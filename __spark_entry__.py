@@ -1,38 +1,643 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` maps
+operator names → (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives
+the DuckDB twin for every SQL-expressible query.
+
+Cross-engine determinism policy (see plans/relational.py ``dsum``):
+exact scaled-integer DECIMAL sums for anything accumulated over many
+rows, identical double formulas on both sides, ROUND(x, 6) on float
+outputs, unique tie-break keys on every ordering, timestamps emitted
+as formatted strings.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_data_workflow_spark.session import tune
+from simple_data_workflow_spark.operators.categorical import encode_data, factor_wrangler
+from simple_data_workflow_spark.operators.cleaning import replace_na
+from simple_data_workflow_spark.operators.na import wrangle_na
+from simple_data_workflow_spark.operators.strings import clean_text_col
+from simple_data_workflow_spark.operators.transforms import exact_moments
+from simple_data_workflow_spark.llmdata import dedup, similarity, text
+from simple_data_workflow_spark.plans import relational as rel
+from simple_data_workflow_spark.plans.relational import dsum
+from simple_data_workflow_spark.sources.readers import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+_SCALE = 1_000_000.0
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum_scaled(col) -> F.Column:
+    """Engine-portable exact sum (see plans.relational.dsum)."""
+    return F.sum(F.round(col * F.lit(_SCALE)).cast("decimal(38,0)")).cast(
+        "double"
+    ) / F.lit(_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# Reference-operator queries (SURVEY.md §2.1) over the testdata tables
+# ---------------------------------------------------------------------------
+
+
+def flagship_std_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY.md §7.1 M0): derive revenue, Gelman-standardize it
+    with exact moments, aggregate per return flag."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    n, mu, sd = exact_moments(rev, "rev")
+    z = (F.col("rev") - F.lit(mu)) / (F.lit(2.0) * F.lit(sd))
+    return (
+        rev.select("l_returnflag", z.alias("z"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("z"), 6).alias("avg_z"),
+            F.round(F.min("z"), 6).alias("min_z"),
+            F.round(F.max("z"), 6).alias("max_z"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+FLAGSHIP_SQL = """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice*(1-l_discount) AS rev FROM lineitem
+), s AS (
+  SELECT COUNT(rev) AS n,
+         CAST(SUM(CAST(ROUND((rev)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s1,
+         CAST(SUM(CAST(ROUND((rev*rev)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s2
+  FROM r
+), m AS (
+  SELECT s1/n AS mu, sqrt((s2 - n*(s1/n)*(s1/n))/(n-1)) AS sd FROM s
+)
+SELECT l_returnflag, COUNT(*) AS n_items,
+       ROUND(AVG((rev - mu)/(2*sd)), 6) AS avg_z,
+       ROUND(MIN((rev - mu)/(2*sd)), 6) AS min_z,
+       ROUND(MAX((rev - mu)/(2*sd)), 6) AS max_z
+FROM r, m
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def gelman_standardize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Gelman standardization of quantity + revenue (reference
+    gelman_standardize_data semantics, exact-moments variant)."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    _, mu_q, sd_q = exact_moments(li, "qty")
+    _, mu_r, sd_r = exact_moments(li, "rev")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round((F.col("qty") - F.lit(mu_q)) / (F.lit(2.0) * F.lit(sd_q)), 6).alias("z_qty"),
+        F.round((F.col("rev") - F.lit(mu_r)) / (F.lit(2.0) * F.lit(sd_r)), 6).alias("z_rev"),
+    )
+
+
+GELMAN_ROWS_SQL = """
+WITH base AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_quantity AS qty, l_extendedprice*(1-l_discount) AS rev
+  FROM lineitem
+), mq AS (
+  SELECT COUNT(qty) AS n,
+         CAST(SUM(CAST(ROUND((qty)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s1,
+         CAST(SUM(CAST(ROUND((qty*qty)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s2
+  FROM base
+), mr AS (
+  SELECT COUNT(rev) AS n,
+         CAST(SUM(CAST(ROUND((rev)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s1,
+         CAST(SUM(CAST(ROUND((rev*rev)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s2
+  FROM base
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND((qty - mq.s1/mq.n)/(2*sqrt((mq.s2 - mq.n*(mq.s1/mq.n)*(mq.s1/mq.n))/(mq.n-1))), 6) AS z_qty,
+       ROUND((rev - mr.s1/mr.n)/(2*sqrt((mr.s2 - mr.n*(mr.s1/mr.n)*(mr.s1/mr.n))/(mr.n-1))), 6) AS z_rev
+FROM base, mq, mr
+"""
+
+
+def transform_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise log / arcsinh (reference transform_data semantics)."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.asinh(F.col("l_quantity")), 6).alias("asinh_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+    )
+
+
+TRANSFORM_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       ROUND(ln(l_quantity + sqrt(l_quantity*l_quantity + 1)), 6) AS asinh_qty,
+       ROUND(ln(l_extendedprice), 6) AS log_price
+FROM lineitem
+"""
+
+
+def clean_text_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text as a column op: trim/collapse-whitespace-to-_/lowercase."""
+    tune(spark)
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", clean_text_col(F.col("o_orderpriority")).alias("priority_clean")
+    )
+
+
+CLEAN_TEXT_SQL = r"""
+SELECT o_orderkey,
+       lower(regexp_replace(trim(o_orderpriority), '\s+', '_', 'g')) AS priority_clean
+FROM orders
+"""
+
+
+def replace_na_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel→NULL rewrite ('P' treated as missing), then a null-aware
+    group count (reference _replace_na semantics)."""
+    tune(spark)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    cleaned = replace_na(o, ["P"], subset=["o_orderstatus"])
+    return (
+        cleaned.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+REPLACE_NA_SQL = """
+SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+       COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1 ASC NULLS FIRST
+"""
+
+
+def one_hot_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode_data one-hot over a discovered categorical (reference
+    get_dummies parity: boolean {col}_{level} columns)."""
+    tune(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    typed, registry = factor_wrangler(cust, str_to_cat=True, dummy_to_bool=False)
+    return encode_data(typed, registry).orderBy("c_custkey")
+
+
+# the five TPC-H segments are the discovered levels at every sf (sorted)
+ONE_HOT_SQL = """
+SELECT c_custkey,
+       c_mktsegment = 'AUTOMOBILE' AS c_mktsegment_AUTOMOBILE,
+       c_mktsegment = 'BUILDING'   AS c_mktsegment_BUILDING,
+       c_mktsegment = 'FURNITURE'  AS c_mktsegment_FURNITURE,
+       c_mktsegment = 'HOUSEHOLD'  AS c_mktsegment_HOUSEHOLD,
+       c_mktsegment = 'MACHINERY'  AS c_mktsegment_MACHINERY
+FROM customer ORDER BY c_custkey
+"""
+
+
+def ordinal_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode_data ordinal codes (cat.codes parity: NULL→-1, level order
+    = sorted observed levels)."""
+    tune(spark)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    typed, registry = factor_wrangler(
+        o, cat_cols=["o_orderpriority"], ordered_cols=["o_orderpriority"], str_to_cat=False
+    )
+    out = encode_data(typed, registry)
+    return out.select(
+        "o_orderkey", F.col("o_orderpriority").cast("long").alias("o_orderpriority")
+    ).orderBy("o_orderkey")
+
+
+ORDINAL_SQL = """
+SELECT o_orderkey,
+       CAST(CASE o_orderpriority
+              WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1 WHEN '3-MEDIUM' THEN 2
+              WHEN '4-NOT SPECIFIED' THEN 3 WHEN '5-LOW' THEN 4 ELSE -1 END AS BIGINT)
+         AS o_orderpriority
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def impute_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation (wrangle_na 'fi', float column) with an exact-sum
+    fill value; NULLs synthesized deterministically (value < 1)."""
+    tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 1, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    row = ev.agg(
+        _dsum_scaled(F.col("value")).alias("s"),
+        F.count("value").alias("n"),
+    ).first()
+    fill = row["s"] / row["n"]
+    return ev.select(
+        "event_id", F.round(F.coalesce(F.col("value"), F.lit(fill)), 6).alias("value")
+    )
+
+
+IMPUTE_MEAN_SQL = """
+WITH t AS (
+  SELECT event_id, CASE WHEN value < 1 THEN NULL ELSE value END AS value FROM events
+), m AS (
+  SELECT CAST(SUM(CAST(ROUND((value)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 / COUNT(value) AS mu FROM t
+)
+SELECT event_id, ROUND(COALESCE(value, mu), 6) AS value FROM t, m
+"""
+
+
+def impute_median_psize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation (wrangle_na 'fi', int column, exact percentile);
+    NULLs synthesized where p_size > 45."""
+    tune(spark)
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_size") > 45, F.lit(None)).otherwise(F.col("p_size")).alias("p_size"),
+    )
+    imputed = wrangle_na(p, strategy="fi", cols=["p_size"])
+    return imputed.select("p_partkey", F.col("p_size").cast("long").alias("p_size"))
+
+
+IMPUTE_MEDIAN_SQL = """
+WITH t AS (
+  SELECT p_partkey, CASE WHEN p_size > 45 THEN NULL ELSE p_size END AS p_size FROM part
+), m AS (SELECT CAST(MEDIAN(p_size) AS BIGINT) AS med FROM t)
+SELECT p_partkey, CAST(COALESCE(p_size, med) AS BIGINT) AS p_size FROM t, m
+"""
+
+
+def impute_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode imputation (wrangle_na 'fi', categorical column; pandas
+    tie-break = most frequent then smallest value)."""
+    tune(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return wrangle_na(o, strategy="fi", cols=["o_orderpriority"]).orderBy("o_orderkey")
+
+
+IMPUTE_MODE_SQL = """
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+), m AS (
+  SELECT o_orderpriority AS mode_v FROM t WHERE o_orderpriority IS NOT NULL
+  GROUP BY 1 ORDER BY COUNT(*) DESC, 1 ASC LIMIT 1
+)
+SELECT o_orderkey, COALESCE(o_orderpriority, (SELECT mode_v FROM m)) AS o_orderpriority
+FROM t ORDER BY o_orderkey
+"""
+
+
+def ols_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-regressor intercept-free OLS (run_model semantics: y ~ x,
+    no constant) via exact-decimal normal equations: beta = Σxy/Σxx,
+    se = sqrt(((Σyy − beta·Σxy)/(n−1))/Σxx)."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    row = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum_scaled(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum_scaled(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum_scaled(F.col("y") * F.col("y")).alias("syy"),
+    ).first()
+    beta = row["sxy"] / row["sxx"]
+    se = ((row["syy"] - beta * row["sxy"]) / (row["n"] - 1) / row["sxx"]) ** 0.5
+    return spark.createDataFrame(
+        [("l_quantity", round(beta, 6), round(se, 6))],
+        "regressor string, estimate double, stderr double",
+    )
+
+
+OLS_SIMPLE_SQL = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND((l_quantity*l_extendedprice)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sxy,
+         CAST(SUM(CAST(ROUND((l_quantity*l_quantity)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sxx,
+         CAST(SUM(CAST(ROUND((l_extendedprice*l_extendedprice)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS syy
+  FROM lineitem
+)
+SELECT 'l_quantity' AS regressor,
+       ROUND(sxy/sxx, 6) AS estimate,
+       ROUND(sqrt((syy - (sxy/sxx)*sxy)/(n-1)/sxx), 6) AS stderr
+FROM s
+"""
+
+
+def ols_multivariate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-regressor OLS + 95% CI long frame (run_model +
+    plot_confidence_intervals tail). Matrix solve → not SQL-expressible;
+    rows-only check."""
+    tune(spark)
+    from simple_data_workflow_spark.operators.model import confidence_intervals, run_model
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    res = run_model(li, y="price", X=["quantity", "discount", "tax"])
+    return confidence_intervals(spark, res)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data queries (SURVEY.md §2.3): dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: representative (min) doc_id per distinct text."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, key_cols=["text"], id_col="doc_id").select(
+        "doc_id", "text"
+    )
+
+
+DEDUP_EXACT_SQL = "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard pairs ≥ 0.02 (all-pairs at oracle scale;
+    MinHash-LSH candidates above the guard — same contract)."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.02, k=3)
+
+
+NGRAM_JACCARD_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                 || ' ' || string_split(text,' ')[i+2])) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+"""
+
+
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact Jaccard — the scale
+    path itself (banding shuffle ∝ collisions). Hash-seeded internals are
+    engine-specific → rows-only check."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    return cand.orderBy("id_a", "id_b")
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures + near-dup pairs within hamming ≤ 3.
+    xxhash64-based → rows-only check."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=16).orderBy("id_a", "id_b")
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis battery: token counts, BPE-ish counts, stopword &
+    punctuation ratios, quality score, language guess, md5 fingerprint."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return text.analyze_documents(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "stopword_ratio",
+        "punct_ratio",
+        "quality",
+        "lang_guess",
+        "fingerprint",
+    )
+
+
+DOC_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, lower(text) AS lt,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, n_bpe_tokens,
+         CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+         CAST(n_punct AS DOUBLE)/len(text) AS p_ratio,
+         len(regexp_extract_all(lt, '\b(der|die|und|das|ist)\b')) AS s_de,
+         len(regexp_extract_all(lt, '\b(the|and|of|to|a)\b')) AS s_en,
+         len(regexp_extract_all(lt, '\b(el|la|de|que|y)\b')) AS s_es,
+         len(regexp_extract_all(lt, '\b(le|la|et|les|des)\b')) AS s_fr,
+         len(regexp_extract_all(lt, '\b(的|是|了|在|我)\b')) AS s_zh,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM t
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(p_ratio, 6) AS punct_ratio,
+       ROUND((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN p_ratio <= 0.2 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_guess,
+       fingerprint
+FROM s
+"""
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for every 10th vector
+    (oracle-parity cosine formula; the LSH variant is the scale path)."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.brute_force_topk(q, emb, k=5, prenormalize=False).orderBy(
+        "query_id", "rank"
+    )
+
+
+COSINE_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM q JOIN e c ON q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ 0.38 (all-pairs at oracle
+    scale; LSH buckets above the guard)."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        emb, threshold=0.38, prenormalize=False
+    ).orderBy("id_a", "id_b")
+
+
+COSINE_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.38
+ORDER BY id_a, id_b
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: synthesize binary+metadata from text,
+    extract features via Arrow-batched mapInPandas (deterministic fake
+    decode). Python-UDF path → rows-only check."""
+    tune(spark)
+    from simple_data_workflow_spark.llmdata.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return extract_features(media, fake_decode=True).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_std_revenue(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {
+        # reference-operator surface (SURVEY.md §2.1)
+        "flagship_std_revenue": _wrap(flagship_std_revenue),
+        "gelman_standardize_lineitem": _wrap(gelman_standardize_lineitem),
+        "transform_math": _wrap(transform_math),
+        "clean_text_priority": _wrap(clean_text_priority),
+        "replace_na_status": _wrap(replace_na_status),
+        "one_hot_mktsegment": _wrap(one_hot_mktsegment),
+        "ordinal_encode_priority": _wrap(ordinal_encode_priority),
+        "impute_mean_value": _wrap(impute_mean_value),
+        "impute_median_psize": _wrap(impute_median_psize),
+        "impute_mode_priority": _wrap(impute_mode_priority),
+        "ols_simple": _wrap(ols_simple),
+        "ols_multivariate_ci": _wrap(ols_multivariate_ci),
+        # relational/OLAP coverage (SURVEY.md §2.2)
+        "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
+        "q3_top_orders": _wrap(rel.q3_top_orders),
+        "q5_region_revenue": _wrap(rel.q5_region_revenue),
+        "top3_orders_per_segment": _wrap(rel.top3_orders_per_segment),
+        "revenue_by_year": _wrap(rel.revenue_by_year),
+        "rollup_flag_status": _wrap(rel.rollup_flag_status),
+        "segment_without_recent_orders": _wrap(rel.segment_without_recent_orders),
+        "nations_with_both": _wrap(rel.nations_with_both),
+        "events_json_kpi": _wrap(rel.events_json_kpi),
+        "sessionize_events": _wrap(rel.sessionize_events),
+        "windowed_event_counts": _wrap(rel.windowed_event_counts),
+        "asof_last_signup": _wrap(rel.asof_last_signup),
+        # LLM-data extensions (SURVEY.md §2.3)
+        "dedup_exact_docs": _wrap(dedup_exact_docs),
+        "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
+        "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
+        "simhash_docs": _wrap(simhash_docs),
+        "doc_text_stats": _wrap(doc_text_stats),
+        "cosine_topk": _wrap(cosine_topk),
+        "cosine_near_dups": _wrap(cosine_near_dups),
+        "multimodal_features": _wrap(multimodal_features),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_std_revenue": FLAGSHIP_SQL,
+        "gelman_standardize_lineitem": GELMAN_ROWS_SQL,
+        "transform_math": TRANSFORM_SQL,
+        "clean_text_priority": CLEAN_TEXT_SQL,
+        "replace_na_status": REPLACE_NA_SQL,
+        "one_hot_mktsegment": ONE_HOT_SQL,
+        "ordinal_encode_priority": ORDINAL_SQL,
+        "impute_mean_value": IMPUTE_MEAN_SQL,
+        "impute_median_psize": IMPUTE_MEDIAN_SQL,
+        "impute_mode_priority": IMPUTE_MODE_SQL,
+        "ols_simple": OLS_SIMPLE_SQL,
+        # ols_multivariate_ci: matrix solve, not SQL-expressible → rows-only
+        "q1_pricing_summary": rel.Q1_SQL,
+        "q3_top_orders": rel.Q3_SQL,
+        "q5_region_revenue": rel.Q5_SQL,
+        "top3_orders_per_segment": rel.TOP3_SQL,
+        "revenue_by_year": rel.REVENUE_BY_YEAR_SQL,
+        "rollup_flag_status": rel.ROLLUP_SQL,
+        "segment_without_recent_orders": rel.ANTI_JOIN_SQL,
+        "nations_with_both": rel.INTERSECT_SQL,
+        "events_json_kpi": rel.EVENTS_JSON_SQL,
+        "sessionize_events": rel.SESSIONIZE_SQL,
+        "windowed_event_counts": rel.WINDOWED_COUNTS_SQL,
+        "asof_last_signup": rel.ASOF_SQL,
+        "dedup_exact_docs": DEDUP_EXACT_SQL,
+        "ngram_jaccard_near_dups": NGRAM_JACCARD_SQL,
+        # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only
+        "doc_text_stats": DOC_STATS_SQL,
+        "cosine_topk": COSINE_TOPK_SQL,
+        "cosine_near_dups": COSINE_NEAR_DUP_SQL,
+        # multimodal_features: pandas-UDF decode → rows-only
+    }

@@ -1,0 +1,113 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": "total_wall_sec", "value": N, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full plan executes,
+nothing collected to the driver — the cluster-shaped measurement).
+Scale-path variants are benched where brute force would be quadratic
+(LSH top-k / LSH near-dup instead of all-pairs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from simple_data_workflow_spark.session import get_spark  # noqa: E402
+from simple_data_workflow_spark.sources.readers import load_table  # noqa: E402
+from simple_data_workflow_spark.llmdata import dedup, similarity, text  # noqa: E402
+from simple_data_workflow_spark.plans import relational as rel  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_number(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def lsh_topk_bench(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.lsh_topk(q, emb, k=5, n_planes=6, dim=64)
+
+
+def lsh_near_dups_bench(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.38, max_rows_all_pairs=0)
+
+
+def minhash_bench(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+
+
+def text_bench(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.analyze_documents(docs)
+
+
+QUERIES = {
+    "q1_pricing_summary": rel.q1_pricing_summary,
+    "q3_top_orders": rel.q3_top_orders,
+    "q5_region_revenue": rel.q5_region_revenue,
+    "top3_orders_per_segment": rel.top3_orders_per_segment,
+    "revenue_by_year": rel.revenue_by_year,
+    "rollup_flag_status": rel.rollup_flag_status,
+    "events_json_kpi": rel.events_json_kpi,
+    "sessionize_events": rel.sessionize_events,
+    "windowed_event_counts": rel.windowed_event_counts,
+    "asof_last_signup": rel.asof_last_signup,
+    "flagship_std_revenue": entrymod.flagship_std_revenue,
+    "gelman_standardize_lineitem": entrymod.gelman_standardize_lineitem,
+    "transform_math": entrymod.transform_math,
+    "dedup_exact_docs": entrymod.dedup_exact_docs,
+    "doc_text_stats": text_bench,
+    "minhash_lsh_near_dups": minhash_bench,
+    "lsh_topk": lsh_topk_bench,
+    "lsh_cosine_near_dups": lsh_near_dups_bench,
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="sdw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/reader path once so per-query numbers measure the queries
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_number(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the 100 TB story):
+- **exact**: groupBy(key) + min(id) — one shuffle on the dedup key,
+  map-side partial aggregation; never a global sort.
+- **ngram-jaccard**: exact pairwise similarity is O(n²) — only run the
+  all-pairs form under a row-count guard; above it, MinHash+LSH produces
+  candidate pairs (banding → only colliding docs meet) and the exact
+  Jaccard verifies candidates. The shuffle is on (band, band-hash), i.e.
+  proportional to candidates, not n².
+- **simhash**: 64-bit signature per doc from per-token hash bit-voting;
+  near-dups = signatures equal on all-but-k bands — joinable, linear.
+- **embedding cosine**: see ``llmdata.similarity`` (LSH-bucketed path).
+
+Hashing note: shingle/token hashing uses xxhash64 (JVM-side, seeded) for
+the LSH internals — cross-engine parity is not needed for candidate
+generation because the *verified* output is exact Jaccard, which IS
+engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row id per exact key: min(id) per group.
+
+    Equivalent to row_number()==1 but cheaper: a partial-aggregating
+    groupBy instead of a per-group sort window.
+    """
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col)).select(id_col, *key_cols)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as a distinct array (codegen-side).
+
+    Documents shorter than k words produce an empty array (guarded:
+    ``sequence(0, negative)`` would otherwise count DOWN)."""
+    w = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(w) - F.lit(k))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(off + 1)) for off in range(k)])
+    )
+    return F.when(F.size(w) >= k, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+    max_rows_all_pairs: int = 20_000,
+) -> DataFrame:
+    """Pairs (id_a, id_b, jaccard) with k-gram Jaccard ≥ threshold.
+
+    Below ``max_rows_all_pairs`` rows: exact all-pairs (range-join on id to
+    halve the matrix). Above: MinHash/LSH candidates first, exact Jaccard
+    verification after — same output contract, candidate recall < 1 traded
+    for linear scaling.
+    """
+    n = df.count()
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    if n <= max_rows_all_pairs:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        cand = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, k=k)
+        a = sh.alias("a")
+        b = sh.alias("b")
+        pairs = (
+            cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+            .join(b, cand.id_b == F.col(f"b.{id_col}"))
+        )
+    out = pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed, min over shingle xxhash64 values."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, seed=seed: F.xxhash64(F.lit(seed), s)))
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs sharing any (band, band-signature) bucket become a
+    candidate pair. Shuffle key = (band, hash(band slice)) — collision
+    volume, not n². Output: distinct (id_a, id_b)."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(F.col(text_col), k), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash: per-token xxhash64, per-bit ±1 voting, sign bit out.
+
+    Expressed entirely with array expressions (no UDF): for each bit b,
+    count tokens with bit set minus tokens with bit clear; signature bit
+    = vote > 0."""
+    toks = F.array_distinct(F.split(text, " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(b: int):
+        # bind b via factory — pyspark lambda arity must stay exactly 2
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bits = [
+        F.when(F.aggregate(hashes, F.lit(0), vote(b)) > 0, F.lit(1)).otherwise(F.lit(0))
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        # shiftleft(1, 63) wraps to Long.MIN_VALUE in the JVM — the sign
+        # bit — which a python literal 1<<63 cannot express as a long
+        out = out + (bit.cast("long") * F.shiftleft(F.lit(1).cast("long"), b))
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups = SimHash signatures within ``max_hamming`` bits.
+
+    Banding join (4 bands of 16 bits; ≤3 differing bits ⇒ at least one
+    band identical) then exact Hamming filter via bit_count(xor)."""
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    bands = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.chunk")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths with one output contract (query_id, neighbor_id, cosine):
+
+- **brute-force top-k** — the exactness baseline: join queries × corpus,
+  cosine via codegen array expressions, per-query top-k via a window
+  partitioned on query_id (the sort is per-partition-key, never global).
+  O(Q·N) — correct at any scale where Q·N compute is acceptable; the
+  corpus side streams, nothing is collected.
+- **random-hyperplane LSH buckets** — the 100 TB path: H fixed random
+  hyperplanes (seeded, driver-generated, broadcast as literals) → a
+  sign-bit bucket id per vector; candidates = bucket collisions (plus
+  optional multi-probe neighboring buckets); exact cosine re-ranks
+  candidates. Shuffle key = bucket id, volume ∝ collisions, not Q·N.
+
+Pre-normalization (``vectors.l2_normalize``) turns cosine into dot and
+is done once per side, not per pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simple_data_workflow_spark.functions.vectors import cosine, dot, l2_normalize
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    prenormalize: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Deterministic ordering: cosine desc, neighbor id asc.
+    ``prenormalize=True`` (default, the scale path) normalizes each side
+    once and scores with a plain dot; ``False`` computes the full cosine
+    per pair — numerically identical formula to the SQL oracle
+    (dot/(norm·norm)), used for cross-engine hash parity."""
+    if prenormalize:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), l2_normalize(F.col(vec_col)).alias("qv")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), l2_normalize(F.col(vec_col)).alias("cv")
+        )
+        score = dot(F.col("qv"), F.col("cv"))
+    else:
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        score = cosine(F.col("qv"), F.col("cv"))
+    pairs = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(score, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id: bit p = (v · plane_p) > 0, packed into a long.
+
+    The planes are literals in the plan (broadcast with the closure) —
+    each executor computes buckets locally, no shuffle until the
+    candidate join."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda v, h: v.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates from hyperplane-bucket collision,
+    exact cosine re-rank. Same output schema as ``brute_force_topk``;
+    recall < 1 by construction (bucket boundary misses)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    pairs = q.join(c, ["bucket"]).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_rows_all_pairs: int = 20_000,
+    prenormalize: bool = True,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+
+    All-pairs under the guard; LSH-bucketed candidates above it.
+    ``prenormalize=False`` scores with the oracle-parity cosine formula."""
+    n = df.count()
+    if not prenormalize and n <= max_rows_all_pairs:
+        raw = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+        a, b = raw.alias("a"), raw.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        return pairs.where(F.col("cosine") >= threshold)
+    norm = df.select(F.col(id_col), l2_normalize(F.col(vec_col)).alias("v"))
+    if n <= max_rows_all_pairs:
+        a, b = norm.alias("a"), norm.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, 8)
+        bucketed = norm.withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            )
+            .distinct()
+        )
+    return pairs.where(F.col("cosine") >= threshold)

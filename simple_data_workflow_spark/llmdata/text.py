@@ -1,0 +1,115 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, fingerprinting.
+
+All pure built-in expressions (split / regexp / md5) — JVM-side,
+whole-stage-codegen, linear scans with no shuffle: the shape that runs
+unchanged over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (documents are single-spaced word salad)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish counting: alpha runs + digit runs + solo symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+    return n_stop.cast("double") / token_count(text).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    return n_punct.cast("double") / F.length(text).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    sane stopword density (the C4-style cheap filters)."""
+    n_tok = token_count(text).cast("double")
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop = stopword_ratio(text)
+    stop_ok = F.when((stop >= 0.01) & (stop <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit count per language (deterministic, tie-break by
+    language code order in ``sorted(LANG_MARKERS)``)."""
+    out = {}
+    lowered = F.lower(text)
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over ``lang_scores`` with deterministic tie-breaking:
+    highest score wins, ties go to the alphabetically-first language;
+    all-zero scores → 'und'."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    # pick max score, then min lang among the maxes (deterministic tie-break)
+    max_score = F.array_max(F.transform(pairs, lambda p: p.score))
+    winner = F.array_min(
+        F.transform(F.filter(pairs, lambda p: p.score == max_score), lambda p: p.lang)
+    )
+    return F.when(max_score > 0, winner).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text. md5 is byte-stable across engines (oracle parity) and a rolling/
+    content-defined variant can swap in without changing the pipeline."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → + token counts, quality, language guess, fingerprint."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,26 @@
+from simple_data_workflow_spark.operators.strings import (  # noqa: F401
+    clean_text,
+    clean_text_col,
+    sanitize_col_names,
+    column_wrangler,
+)
+from simple_data_workflow_spark.operators.cleaning import (  # noqa: F401
+    replace_na,
+    obj_wrangler,
+    check_model_assumptions,
+    clean_data,
+)
+from simple_data_workflow_spark.operators.categorical import (  # noqa: F401
+    CategoryRegistry,
+    factor_wrangler,
+    encode_data,
+)
+from simple_data_workflow_spark.operators.transforms import (  # noqa: F401
+    transform_data,
+    gelman_standardize_data,
+)
+from simple_data_workflow_spark.operators.na import wrangle_na  # noqa: F401
+from simple_data_workflow_spark.operators.model import (  # noqa: F401
+    run_model,
+    confidence_intervals,
+)

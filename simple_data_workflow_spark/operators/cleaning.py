@@ -1,0 +1,98 @@
+"""Cleaning pipeline: sentinel→NULL, typing, composed clean_data.
+
+Reference parity: ``_replace_na`` (src/tasks.py:100-108),
+``_obj_wrangler`` (src/tasks.py:124-131), ``_check_model_assumptions``
+(src/tasks.py:235-240), ``clean_data`` composition (src/tasks.py:243-272).
+
+Spark-first notes: the reference materializes a full pandas frame per
+stage; here every stage contributes expressions to one lazy plan and
+Catalyst collapses the whole chain into a single projection over the
+scan (projection collapsing — strictly better than the reference's
+per-step materialization, SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+from simple_data_workflow_spark.operators.categorical import (
+    CategoryRegistry,
+    factor_wrangler,
+)
+from simple_data_workflow_spark.operators.strings import column_wrangler
+
+
+def replace_na(
+    df: DataFrame,
+    na_values: Sequence[object] | None,
+    subset: Iterable[str] | None = None,
+) -> DataFrame:
+    """Rewrite a user list of sentinel values to NULL across columns.
+
+    String sentinels apply to string columns; numeric sentinels to numeric
+    columns (avoids silent cross-type coercion). Pure projection — stays
+    inside whole-stage codegen, no shuffle.
+    """
+    if not na_values:
+        return df
+    cols = set(subset) if subset is not None else set(df.columns)
+    str_sentinels = [v for v in na_values if isinstance(v, str)]
+    num_sentinels = [v for v in na_values if isinstance(v, (int, float)) and not isinstance(v, bool)]
+    out = []
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if field.name in cols:
+            if isinstance(field.dataType, StringType) and str_sentinels:
+                c = F.when(c.isin(str_sentinels), F.lit(None)).otherwise(c)
+            elif isinstance(field.dataType, NumericType) and num_sentinels:
+                c = F.when(c.isin(num_sentinels), F.lit(None)).otherwise(c)
+        out.append(c.alias(field.name))
+    return df.select(*out)
+
+
+def obj_wrangler(df: DataFrame) -> DataFrame:
+    """Reference casts object→string (src/tasks.py:124-131). Spark columns
+    are born typed, so this is a no-op identity stage kept for pipeline
+    shape parity; non-atomic columns could be stringified here if needed."""
+    return df
+
+
+def check_model_assumptions(df: DataFrame) -> DataFrame:
+    """Documented user extension hook (identity, src/tasks.py:235-240)."""
+    return df
+
+
+def clean_data(
+    df: DataFrame,
+    na_values: Sequence[object] | None = None,
+    cat_cols: Sequence[str] | None = None,
+    ordered_cols: Sequence[str] | None = None,
+    categories: dict[str, list] | None = None,
+    str_to_cat: bool = True,
+    dummy_to_bool: bool = True,
+    assumptions_hook: Callable[[DataFrame], DataFrame] = check_model_assumptions,
+) -> tuple[DataFrame, CategoryRegistry]:
+    """Composed cleaning pipeline (reference ``.pipe`` chain, src/tasks.py:261-271).
+
+    convert_dtypes ≈ parquet/inferred schema (already typed) →
+    replace_na → column_wrangler → obj_wrangler → factor_wrangler →
+    assumptions hook. Returns the cleaned frame plus the category
+    registry (Spark has no CategoricalDtype; the registry carries
+    levels + orderedness for encode/standardize stages).
+    """
+    df = replace_na(df, na_values)
+    df = column_wrangler(df)
+    df = obj_wrangler(df)
+    df, registry = factor_wrangler(
+        df,
+        cat_cols=cat_cols,
+        ordered_cols=ordered_cols,
+        categories=categories,
+        str_to_cat=str_to_cat,
+        dummy_to_bool=dummy_to_bool,
+    )
+    return assumptions_hook(df), registry

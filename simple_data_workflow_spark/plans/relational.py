@@ -1,0 +1,425 @@
+"""Relational/OLAP query library over the TPC-H-ish testdata.
+
+Engine coverage for SURVEY.md §2.2 (categories absent from the
+reference, mandated by the driver's correctness corpus): joins
+(broadcast/sort-merge/semi/anti), group-by aggregation, rollup,
+windows (ranking, lag/lead, frames), sorts/limits/top-k, set ops,
+date functions, JSON extraction, sessionization, as-of lookup.
+
+Cross-engine determinism: monetary aggregates are summed as
+DECIMAL(38,10) (exact, order-insensitive — a parallel double sum is
+not reproducible bit-for-bit across engines) and cast back to double;
+every float output is rounded; every ordering has a unique tie-break
+key.
+
+Scale notes: dimension sides of joins carry explicit ``broadcast``
+hints (region/nation/customer/supplier are dimension-sized); fact-fact
+joins (orders⋈lineitem) shuffle on the join key and AQE handles skew;
+top-k uses per-key windows (partition-local sorts), never a global
+order-by of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEC = "decimal(38,10)"
+_SCALE = 1_000_000.0  # 6 fractional digits
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from simple_data_workflow_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col) -> F.Column:
+    """Exact, order-insensitive, engine-portable sum of a double column.
+
+    ``round(x·10⁶)`` yields an *integral* double — and integral
+    double→DECIMAL conversion is exact in both Spark and DuckDB, unlike
+    fractional conversion, whose rounding differs between engines in the
+    last decimal. The DECIMAL(38,0) accumulation is then exact and
+    order-insensitive, and the final double division is IEEE-identical
+    everywhere. (A parallel double sum is not reproducible at all;
+    a DECIMAL(38,10) cast of a raw double is not portable.)
+    """
+    return F.sum(F.round(col * F.lit(_SCALE)).cast("decimal(38,0)")).cast("double") / F.lit(_SCALE)
+
+
+def davg(col) -> F.Column:
+    return dsum(col) / F.count(col)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates.
+
+    Catalyst pushes the shipdate filter to the parquet scan; the
+    groupBy is a two-phase hash aggregate (map-side partial combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            F.round(davg(F.col("l_quantity")), 6).alias("avg_qty"),
+            F.round(davg(F.col("l_extendedprice")), 6).alias("avg_price"),
+            F.round(davg(F.col("l_discount")), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND((l_quantity)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sum_qty,
+       CAST(SUM(CAST(ROUND((l_extendedprice)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sum_base_price,
+       CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sum_disc_price,
+       CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount)*(1+l_tax))*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sum_charge,
+       ROUND(CAST(SUM(CAST(ROUND((l_quantity)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0/COUNT(l_quantity), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(ROUND((l_extendedprice)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0/COUNT(l_extendedprice), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(ROUND((l_discount)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0/COUNT(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast dim join + fact-fact shuffle join +
+    group + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; all dims broadcast, facts shuffle on keys."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders by price within each market segment.
+    The sort is per-partition-key inside the window — no global sort."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 6).alias("o_totalprice"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+TOP3_SQL = """
+SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice, rk
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+"""
+
+
+def revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function group-by over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+REVENUE_BY_YEAR_SQL = """
+SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND((l_quantity)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def segment_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op + anti-join: BUILDING customers with no 1999+ order."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+ORDER BY c_custkey
+"""
+
+
+def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: nation keys present among BOTH customers and
+    suppliers (INTERSECT), minus an EXCEPT leg for coverage."""
+    cust_nations = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    supp_nations = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return cust_nations.intersect(supp_nations).orderBy("nationkey")
+
+
+INTERSECT_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def events_json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + aggregate: avg value per event_type × props.k bucket."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", (k % 10).alias("k_bucket"), "value")
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.round(davg(F.col("value")), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       ROUND(CAST(SUM(CAST(ROUND((value)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0/COUNT(value), 6) AS avg_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    """Sessionization: lag + gap>threshold cumulative sum per user.
+
+    Window partitioned by user_id — per-user sorts, shuffle on user_id
+    only; a 100 TB event log sessionizes with one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_idx", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_idx").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream (batch form of the
+    Structured Streaming query in ``streaming.events``; epoch-aligned in
+    both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(dsum(F.col("value")), 6).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+WINDOWED_COUNTS_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND((value)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0, 6) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup: for each purchase, the most recent prior-or-equal
+    signup timestamp of the same user — expressed as a running max over
+    an ordered window (no n² join, one shuffle on user_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    signup_ts = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_signup", signup_ts)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.date_format("last_signup", "yyyy-MM-dd HH:mm:ss").alias("last_signup"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(last_signup, '%Y-%m-%d %H:%M:%S') AS last_signup
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_signup
+  FROM events
+) WHERE event_type = 'purchase'
+ORDER BY event_id
+"""

