@@ -27,7 +27,10 @@ from simple_data_workflow_spark.operators.categorical import encode_data, factor
 from simple_data_workflow_spark.operators.cleaning import replace_na
 from simple_data_workflow_spark.operators.na import wrangle_na
 from simple_data_workflow_spark.operators.strings import clean_text_col
-from simple_data_workflow_spark.operators.transforms import exact_moments
+from simple_data_workflow_spark.operators.transforms import (
+    exact_moments,
+    exact_moments_multi,
+)
 from simple_data_workflow_spark.llmdata import dedup, similarity, text
 from simple_data_workflow_spark.plans import relational as rel
 from simple_data_workflow_spark.plans.relational import dsum
@@ -82,8 +85,8 @@ WITH r AS (
   SELECT l_returnflag, l_extendedprice*(1-l_discount) AS rev FROM lineitem
 ), s AS (
   SELECT COUNT(rev) AS n,
-         CAST(SUM(CAST(ROUND((rev)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s1,
-         CAST(SUM(CAST(ROUND((rev*rev)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s2
+         CAST(SUM(CAST(ROUND(rev*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s1,
+         CAST(SUM(CAST(ROUND(rev*rev) AS DECIMAL(38,0))) AS DOUBLE) AS s2
   FROM r
 ), m AS (
   SELECT s1/n AS mu, sqrt((s2 - n*(s1/n)*(s1/n))/(n-1)) AS sd FROM s
@@ -107,8 +110,8 @@ def gelman_standardize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("qty"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
     )
-    _, mu_q, sd_q = exact_moments(li, "qty")
-    _, mu_r, sd_r = exact_moments(li, "rev")
+    moments = exact_moments_multi(li, ["qty", "rev"])  # one scan, both columns
+    (_, mu_q, sd_q), (_, mu_r, sd_r) = moments["qty"], moments["rev"]
     return li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
@@ -124,13 +127,13 @@ WITH base AS (
   FROM lineitem
 ), mq AS (
   SELECT COUNT(qty) AS n,
-         CAST(SUM(CAST(ROUND((qty)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s1,
-         CAST(SUM(CAST(ROUND((qty*qty)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s2
+         CAST(SUM(CAST(ROUND(qty*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s1,
+         CAST(SUM(CAST(ROUND(qty*qty) AS DECIMAL(38,0))) AS DOUBLE) AS s2
   FROM base
 ), mr AS (
   SELECT COUNT(rev) AS n,
-         CAST(SUM(CAST(ROUND((rev)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s1,
-         CAST(SUM(CAST(ROUND((rev*rev)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s2
+         CAST(SUM(CAST(ROUND(rev*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s1,
+         CAST(SUM(CAST(ROUND(rev*rev) AS DECIMAL(38,0))) AS DOUBLE) AS s2
   FROM base
 )
 SELECT l_orderkey, l_linenumber,
@@ -351,6 +354,32 @@ SELECT 'l_quantity' AS regressor,
        ROUND(sqrt((syy - (sxy/sxx)*sxy)/(n-1)/sxx), 6) AS stderr
 FROM s
 """
+
+
+def mice_impute_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MICE multiple imputation (wrangle_na 'mice'): chained-equation
+    draws over synthetically-masked quantity/price, stacked (iter, row_id)
+    output (reference src/tasks.py:444-473). Iterative + stochastic →
+    rows-only check."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.when(F.col("l_linenumber") == 3, F.lit(None))
+        .otherwise(F.col("l_quantity"))
+        .alias("qty"),
+        F.when(F.col("l_discount") > 0.08, F.lit(None))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("price"),
+    )
+    return wrangle_na(
+        li,
+        strategy="mice",
+        cols=["qty", "price"],
+        n_burnin=2,
+        n_imputations=2,
+        n_spread=1,
+        row_id="rid",
+    )
 
 
 def ols_multivariate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_mode_priority": _wrap(impute_mode_priority),
         "ols_simple": _wrap(ols_simple),
         "ols_multivariate_ci": _wrap(ols_multivariate_ci),
+        "mice_impute_lineitem": _wrap(mice_impute_lineitem),
         # relational/OLAP coverage (SURVEY.md §2.2)
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),

@@ -92,14 +92,27 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
-def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed, min over shingle xxhash64 values."""
+def _minhash_streams(hs: Column, num_hashes: int) -> Column:
+    """Signature from PRE-HASHED shingles: per stream, min of a seeded
+    long→long re-hash (a universal family over ints)."""
+
+    def stream(seed: int):
+        return lambda h: F.xxhash64(F.lit(seed), h)
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, seed=seed: F.xxhash64(F.lit(seed), s)))
-            for seed in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(hs, stream(seed))) for seed in range(num_hashes)]
     )
+
+
+def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature of a shingle array (single-expression form).
+
+    NOTE: embedding this in one projection duplicates the string-hash
+    transform into every stream (Catalyst inlines within an expression
+    tree). The hot path in ``minhash_lsh_candidates`` splits string-
+    hashing and streams into separate projections so each shingle string
+    is hashed exactly once."""
+    return _minhash_streams(F.transform(sh, lambda s: F.xxhash64(s)), num_hashes)
 
 
 def minhash_lsh_candidates(
@@ -114,26 +127,39 @@ def minhash_lsh_candidates(
     candidate pair. Shuffle key = (band, hash(band slice)) — collision
     volume, not n². Output: distinct (id_a, id_b)."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # two projections: CollapseProject keeps the (expensive, multiply-used)
+    # string-hash transform out of the per-stream expressions — each
+    # shingle string is hashed once, each stream re-hashes 8-byte longs
+    hashed = df.select(
         F.col(id_col),
-        minhash_signature(shingles(F.col(text_col), k), num_hashes).alias("sig"),
+        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("hs"),
     )
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    sig = hashed.select(
+        F.col(id_col), _minhash_streams(F.col("hs"), num_hashes).alias("sig")
+    )
+    banded = (
+        sig.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.hash(
+                                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "bb.band", "bb.bucket")
+        # the LSH index is materialized once: the self-join would otherwise
+        # recompute every shingle/minhash on BOTH sides (2× the whole
+        # signature cost). Size is n_docs × bands rows of (id, int, int).
+        .persist()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

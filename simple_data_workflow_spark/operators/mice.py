@@ -1,24 +1,165 @@
-"""MICE — multiple imputation by chained equations (reference src/tasks.py:444-473).
+"""MICE — multiple imputation by chained equations, Spark-first.
 
-Placeholder this round; see SURVEY.md §7.2 M8. Design: per-column
-linear fits via the one-pass normal-equations aggregate in
-``operators.model``, iterated n_burnin times, emitting n_imputations
-datasets as a UNION ALL keyed by an ``iter`` column + ``row_id``
-(the reference's MultiIndex (iter, index), SURVEY.md §1.3).
+Reference parity: ``wrangle_na(..., strategy='mice')`` wraps statsmodels
+``MICEData`` (reference src/tasks.py:444-473): burn-in ``n_burnin``
+update sweeps, then ``n_imputations`` saved datasets drawn every
+``n_spread`` sweeps, output = the saved datasets stacked with a
+MultiIndex ``(iter, index)`` — here two ordinary columns
+``(iter, row_id)`` (SURVEY.md §1.3: Spark has no row index).
+
+Distributed design — nothing data-sized ever reaches the driver:
+
+- each chained-equation fit is ONE aggregate pass building the Gram
+  matrix XᵀX / Xᵀy over currently-complete values (the same one-pass
+  normal-equations reduction as ``operators.model``), solved k×k on the
+  driver and re-broadcast as literal coefficients;
+- the stochastic draw is a per-row deterministic Box–Muller transform
+  seeded from ``xxhash64(row_id, col, sweep)`` — fully JVM-side, no
+  Python UDF, reproducible regardless of partitioning;
+- statsmodels uses predictive-mean-matching draws; we use Bayesian
+  normal draws (pred + N(0, σ̂)) — same first two moments, which is what
+  the reference's own (stub) KL acceptance test checks
+  (reference src/tests/test_tasks.py:465-470);
+- per-sweep ``persist`` caps lineage growth; on a cluster swap for
+  ``localCheckpoint`` at larger sweep counts.
+
+Categorical/boolean columns are mode-filled once up front (the linear
+chained equations cover numeric columns, matching the reference's
+numeric usage).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def _u01(seed_col: Column) -> Column:
+    """Deterministic uniform(0,1) from a 64-bit hash (53 mantissa bits)."""
+    return (F.pmod(seed_col, F.lit(2**53).cast("long")).cast("double")) / F.lit(float(2**53))
+
+
+def _gauss(*seed_parts: Column) -> Column:
+    """Box–Muller standard normal from two independent hash streams."""
+    u1 = _u01(F.xxhash64(F.lit(1), *seed_parts))
+    u2 = _u01(F.xxhash64(F.lit(2), *seed_parts))
+    # clamp u1 away from 0 so log() stays finite
+    u1 = F.greatest(u1, F.lit(1e-12))
+    return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * float(np.pi) * u2)
+
+
+def _fit_column(df: DataFrame, target: str, feats: list[str]) -> tuple[np.ndarray, float]:
+    """One-pass OLS (with intercept) of target on feats over rows where the
+    target was originally observed. Returns (coefs incl. intercept, sigma)."""
+    work = df.where(~F.col(f"__na_{target}"))
+    k = len(feats) + 1  # + intercept
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(F.col(target) * F.col(target)).alias("yy")]
+    for i, xi in enumerate(xs):
+        aggs.append(F.sum(xi * F.col(target)).alias(f"xy{i}"))
+        for j in range(i, k):
+            aggs.append(F.sum(xi * xs[j]).alias(f"xx{i}_{j}"))
+    row = work.agg(*aggs).first()
+    n = row["n"]
+    xtx = np.zeros((k, k))
+    xty = np.zeros(k)
+    for i in range(k):
+        xty[i] = row[f"xy{i}"] or 0.0
+        for j in range(i, k):
+            xtx[i, j] = xtx[j, i] = row[f"xx{i}_{j}"] or 0.0
+    # ridge jitter keeps the solve stable when a feature is constant
+    beta = np.linalg.solve(xtx + 1e-8 * np.eye(k), xty)
+    rss = max(float((row["yy"] or 0.0) - xty @ beta), 0.0)
+    dof = max(n - k, 1)
+    sigma = float(np.sqrt(rss / dof))
+    return beta, sigma
 
 
 def mice_impute(
     df: DataFrame,
-    cols: Sequence[str],
+    cols: Sequence[str] | None = None,
     n_burnin: int = 20,
     n_imputations: int = 10,
     n_spread: int = 20,
+    row_id: str | None = None,
+    seed: int = 42,
 ) -> DataFrame:
-    raise NotImplementedError("MICE lands in a later milestone (SURVEY.md §7.2 M8)")
+    """Chained-equation multiple imputation over numeric columns.
+
+    Returns the reference's stacked shape: ``iter`` (0..n_imputations-1)
+    + ``row_id`` + the data columns, one fully-imputed copy of the input
+    per saved draw (reference src/tasks.py:467-469).
+    """
+    cols = list(cols) if cols else list(df.columns)
+    if row_id is None:
+        row_id = "__mice_row_id"
+        df = df.withColumn(row_id, F.monotonically_increasing_id())
+    data_cols = [c for c in df.columns if c != row_id]
+
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if f.name in cols and isinstance(f.dataType, NumericType)
+    ]
+    na_numeric = []
+    flags = df.select(
+        *[F.max(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in numeric]
+    ).first()
+    na_numeric = [c for c in numeric if flags[c] == 1]
+    if not na_numeric:
+        raise ValueError("mice: no numeric column has missing values")
+
+    # non-numeric NA columns: mode/median fill once (chained equations are
+    # linear; reference usage imputes numeric regressors)
+    from simple_data_workflow_spark.operators.na import _fill_values
+
+    other_na = [c for c in cols if c not in numeric]
+    if other_na:
+        fills = _fill_values(df, other_na)
+        if fills:
+            df = df.fillna(fills)
+
+    # track original missingness + start from column-mean fills
+    work = df
+    for c in na_numeric:
+        work = work.withColumn(f"__na_{c}", F.col(c).isNull())
+    means = work.agg(*[F.avg(c).alias(c) for c in na_numeric]).first()
+    work = work.fillna({c: means[c] for c in na_numeric if means[c] is not None})
+    work = work.persist()
+
+    saved: list[DataFrame] = []
+    sweep = 0
+    while len(saved) < n_imputations:
+        target_sweep = n_burnin if not saved else sweep + n_spread
+        while sweep < target_sweep:
+            sweep += 1
+            prev = work
+            for c in na_numeric:
+                feats = [f for f in numeric if f != c]
+                beta, sigma = _fit_column(work, c, feats)
+                pred = F.lit(float(beta[0]))
+                for b, f_ in zip(beta[1:], feats):
+                    pred = pred + F.lit(float(b)) * F.col(f_).cast("double")
+                noise = F.lit(sigma) * _gauss(
+                    F.col(row_id), F.lit(c), F.lit(sweep), F.lit(seed)
+                )
+                work = work.withColumn(
+                    c, F.when(F.col(f"__na_{c}"), pred + noise).otherwise(F.col(c))
+                )
+            work = work.persist()
+            prev.unpersist()
+        saved.append(
+            work.select(
+                F.lit(len(saved)).cast("long").alias("iter"),
+                F.col(row_id).alias("row_id"),
+                *data_cols,
+            )
+        )
+    out = saved[0]
+    for s in saved[1:]:
+        out = out.unionByName(s)  # UNION ALL — the reference's concat
+    return out

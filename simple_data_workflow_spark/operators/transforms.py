@@ -28,24 +28,57 @@ _FUNCS = {"log": F.log, "arcsinh": F.asinh, "asinh": F.asinh}
 _SCALE = 1_000_000.0
 
 
-def exact_moments(df: DataFrame, col) -> tuple[int, float, float]:
-    """(n, mean, stddev_samp) of a double column computed from exact
-    scaled-integer DECIMAL sums — order-insensitive and bit-reproducible
-    across engines (a parallel double sum is not; a fractional
-    double→DECIMAL cast rounds differently per engine, an integral one is
-    exact), so standardized outputs can be hash-compared against a DuckDB
-    oracle using the same formula:
-    mean = Σx/n, sd = sqrt((Σx² − n·mean²)/(n−1))."""
-    c = F.col(col) if isinstance(col, str) else col
-    row = df.agg(
-        F.count(c).alias("n"),
-        (F.sum(F.round(c * F.lit(_SCALE)).cast("decimal(38,0)")).cast("double") / F.lit(_SCALE)).alias("s1"),
-        (F.sum(F.round(c * c * F.lit(_SCALE)).cast("decimal(38,0)")).cast("double") / F.lit(_SCALE)).alias("s2"),
-    ).first()
-    n, s1, s2 = row["n"], row["s1"], row["s2"]
-    mu = s1 / n
-    sd = math.sqrt((s2 - n * mu * mu) / (n - 1)) if n > 1 else float("nan")
-    return n, mu, sd
+def exact_moments_multi(
+    df: DataFrame, cols: Sequence[str], s2_scale: float = 1.0
+) -> dict[str, tuple[int, float, float]]:
+    """(n, mean, stddev_samp) per column from exact scaled-integer sums —
+    order-insensitive and bit-reproducible across engines (a parallel
+    double sum is not; a fractional double→DECIMAL cast rounds
+    differently per engine, an integral one is exact), so standardized
+    outputs can be hash-compared against a DuckDB oracle using the same
+    formula: mean = Σx/n, sd = sqrt((Σx² − n·mean²)/(n−1)).
+
+    ONE scan for all columns; long-typed partials per input partition
+    (native codegen speed), exact DECIMAL reduce of the tiny partial set
+    (see plans.relational.exact_grouped_agg for the overflow analysis).
+    The second moment scales by ``s2_scale`` (default 1) so squared
+    values — e.g. price² ≈ 1e10 — cannot overflow a long partial; the
+    rounding error on sd is O(1/(s2_scale·x̄²)) relative, identical on
+    both engines (parity is exact; accuracy is the tradeoff — raise
+    s2_scale for small-magnitude columns).
+    Columns are assumed non-null (testdata contract); COUNT(*) is shared."""
+    partial_aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        partial_aggs.append(F.sum(F.round(col * F.lit(_SCALE)).cast("long")).alias(f"__s1_{c}"))
+        partial_aggs.append(
+            F.sum(F.round(col * col * F.lit(s2_scale)).cast("long")).alias(f"__s2_{c}")
+        )
+    partials = df.groupBy(F.spark_partition_id().alias("__pid")).agg(*partial_aggs)
+    final_aggs = [F.sum("__n").alias("n")]
+    for c in cols:
+        final_aggs.append(
+            (F.sum(F.col(f"__s1_{c}").cast("decimal(38,0)")).cast("double") / F.lit(_SCALE)).alias(f"s1_{c}")
+        )
+        final_aggs.append(
+            (
+                F.sum(F.col(f"__s2_{c}").cast("decimal(38,0)")).cast("double") / F.lit(s2_scale)
+            ).alias(f"s2_{c}")
+        )
+    row = partials.agg(*final_aggs).first()
+    out = {}
+    n = row["n"]
+    for c in cols:
+        s1, s2 = row[f"s1_{c}"], row[f"s2_{c}"]
+        mu = s1 / n
+        sd = math.sqrt((s2 - n * mu * mu) / (n - 1)) if n > 1 else float("nan")
+        out[c] = (n, mu, sd)
+    return out
+
+
+def exact_moments(df: DataFrame, col: str, s2_scale: float = 1.0) -> tuple[int, float, float]:
+    """Single-column convenience wrapper over :func:`exact_moments_multi`."""
+    return exact_moments_multi(df, [col], s2_scale=s2_scale)[col]
 
 
 def transform_data(df: DataFrame, cols: Sequence[str], func: str = "arcsinh") -> DataFrame:

@@ -45,12 +45,69 @@ def dsum(col) -> F.Column:
     order-insensitive, and the final double division is IEEE-identical
     everywhere. (A parallel double sum is not reproducible at all;
     a DECIMAL(38,10) cast of a raw double is not portable.)
+
+    BigDecimal accumulation costs ~9× a native double sum per row — for
+    hot full-scan aggregates use :func:`exact_grouped_agg`, which gets
+    the same exact result with long-typed map-side partials.
     """
     return F.sum(F.round(col * F.lit(_SCALE)).cast("decimal(38,0)")).cast("double") / F.lit(_SCALE)
 
 
 def davg(col) -> F.Column:
     return dsum(col) / F.count(col)
+
+
+def exact_grouped_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, F.Column],
+    avgs: dict[str, F.Column] | None = None,
+    count_alias: str | None = None,
+    scale: float = _SCALE,
+) -> DataFrame:
+    """Two-level exact scaled-integer aggregation — the scale path for
+    :func:`dsum` semantics.
+
+    Level 1 groups by ``keys + spark_partition_id()`` and accumulates
+    ``round(x·scale)`` as plain LONGs — native codegen speed, partials
+    stay map-side (one row per (group, input partition)). Level 2 reduces
+    the tiny partial set with exact DECIMAL sums. The result is the same
+    exact integer total as a single DECIMAL pass (integer addition is
+    associative), at ~the cost of a double sum.
+
+    Overflow headroom: a long partial holds |Σ round(x·10⁶)| < 9.2e18 —
+    with |x| ≤ 1e6 that is ≥ 7.6e6 rows per input partition, far above a
+    default 128 MB parquet split; the final DECIMAL(38,0) reduce is
+    unbounded. ``avgs`` emits ROUND(sum/scale/count, 6) like the oracle's
+    ``ROUND(.../COUNT(x), 6)`` (columns here are non-null, so COUNT(*)
+    == COUNT(x)).
+    """
+    avgs = avgs or {}
+    partial_aggs = [
+        F.sum(F.round(c * F.lit(scale)).cast("long")).alias(f"__s_{a}")
+        for a, c in {**sums, **avgs}.items()
+    ]
+    partial_aggs.append(F.count(F.lit(1)).alias("__n"))
+    partials = df.groupBy(*keys, F.spark_partition_id().alias("__pid")).agg(*partial_aggs)
+    final_aggs = []
+    for a in sums:
+        final_aggs.append(
+            (F.sum(F.col(f"__s_{a}").cast("decimal(38,0)")).cast("double") / F.lit(scale)).alias(a)
+        )
+    for a in avgs:
+        final_aggs.append(
+            F.round(
+                F.sum(F.col(f"__s_{a}").cast("decimal(38,0)")).cast("double")
+                / F.lit(scale)
+                / F.sum("__n"),
+                6,
+            ).alias(a)
+        )
+    final_aggs.append(F.sum("__n").alias(count_alias or "__count"))
+    out = partials.groupBy(*keys).agg(*final_aggs)
+    if count_alias is None:
+        out = out.drop("__count")
+    return out
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,21 +118,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            F.round(davg(F.col("l_quantity")), 6).alias("avg_qty"),
-            F.round(davg(F.col("l_extendedprice")), 6).alias("avg_price"),
-            F.round(davg(F.col("l_discount")), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    filtered = li.where(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+    out = exact_grouped_agg(
+        filtered,
+        keys=["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": F.col("l_quantity"),
+            "sum_base_price": F.col("l_extendedprice"),
+            "sum_disc_price": disc_price,
+            "sum_charge": charge,
+        },
+        avgs={
+            "avg_qty": F.col("l_quantity"),
+            "avg_price": F.col("l_extendedprice"),
+            "avg_disc": F.col("l_discount"),
+        },
+        count_alias="count_order",
     )
+    return out.orderBy("l_returnflag", "l_linestatus")
 
 
 Q1_SQL = """
@@ -210,15 +270,13 @@ FROM (
 
 def revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-function group-by over the fact table."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy("ship_year")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
     )
+    return exact_grouped_agg(
+        li, keys=["ship_year"], sums={"revenue": F.col("rev")}, count_alias="n_items"
+    ).orderBy("ship_year")
 
 
 REVENUE_BY_YEAR_SQL = """
@@ -232,9 +290,21 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-sets aggregate (subtotals + grand total)."""
     li = _t(spark, sf_dir, "lineitem")
+    # two-level: long partials per (group, input partition) at scan speed,
+    # then the ROLLUP runs over the tiny partial set with exact DECIMAL
+    # sums — grouping-set supersets of exact integer partials stay exact
+    partials = li.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("__pid")
+    ).agg(
+        F.sum(F.round(F.col("l_quantity") * F.lit(_SCALE)).cast("long")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        partials.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(F.col("__s").cast("decimal(38,0)")).cast("double") / F.lit(_SCALE)).alias("sum_qty"),
+            F.sum("__n").alias("n"),
+        )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),

@@ -89,7 +89,9 @@ def test_exact_moments_matches_stats(spark):
 
     vals = [1.25, 2.5, 3.75, 10.0, 7.125]
     df = spark.createDataFrame([(v,) for v in vals], ["x"])
-    n, mu, sd = exact_moments(df, "x")
+    # small-magnitude values need a fine s2 scale (default 1 is sized for
+    # money-scale columns where x² would overflow a scaled long partial)
+    n, mu, sd = exact_moments(df, "x", s2_scale=1e6)
     assert n == 5
     assert mu == pytest.approx(statistics.mean(vals))
     assert sd == pytest.approx(statistics.stdev(vals))
