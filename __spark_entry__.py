@@ -625,6 +625,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _wrap(rel.sessionize_events),
         "windowed_event_counts": _wrap(rel.windowed_event_counts),
         "asof_last_signup": _wrap(rel.asof_last_signup),
+        "cube_year_flag": _wrap(rel.cube_year_flag),
+        "pivot_segment_by_year": _wrap(rel.pivot_segment_by_year),
+        "distinct_parts_per_flag": _wrap(rel.distinct_parts_per_flag),
+        "quantiles_by_segment": _wrap(rel.quantiles_by_segment),
+        "large_parts_except_cheap": _wrap(rel.large_parts_except_cheap),
+        "asof_purchase_order": _wrap(rel.asof_purchase_order),
         # LLM-data extensions (SURVEY.md §2.3)
         "dedup_exact_docs": _wrap(dedup_exact_docs),
         "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
@@ -663,6 +669,12 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": rel.SESSIONIZE_SQL,
         "windowed_event_counts": rel.WINDOWED_COUNTS_SQL,
         "asof_last_signup": rel.ASOF_SQL,
+        "cube_year_flag": rel.CUBE_SQL,
+        "pivot_segment_by_year": rel.PIVOT_SQL,
+        "distinct_parts_per_flag": rel.DISTINCT_SQL,
+        "quantiles_by_segment": rel.QUANTILES_SQL,
+        "large_parts_except_cheap": rel.EXCEPT_SQL,
+        "asof_purchase_order": rel.ASOF_JOIN_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,
         "ngram_jaccard_near_dups": NGRAM_JACCARD_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only

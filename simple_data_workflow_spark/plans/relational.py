@@ -493,3 +493,185 @@ FROM (
 ) WHERE event_type = 'purchase'
 ORDER BY event_id
 """
+
+
+def cube_year_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (ship_year, returnflag) — two-level exact
+    partials (see rollup_flag_status) under the grouping-set expansion."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    partials = li.groupBy("ship_year", "l_returnflag", F.spark_partition_id().alias("__pid")).agg(
+        F.sum(F.round(F.col("rev") * F.lit(_SCALE)).cast("long")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        partials.cube("ship_year", "l_returnflag")
+        .agg(
+            (F.sum(F.col("__s").cast("decimal(38,0)")).cast("double") / F.lit(_SCALE)).alias("revenue"),
+            F.sum("__n").alias("n"),
+        )
+        .orderBy(
+            F.col("ship_year").asc_nulls_first(), F.col("l_returnflag").asc_nulls_first()
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year, l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (1, 2)
+ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST
+"""
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def pivot_segment_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per year × market segment (explicit value list
+    keeps the plan static — no pre-scan for distinct pivot values)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.year("o_orderdate").cast("long").alias("order_year"), "c_mktsegment"
+    )
+    return (
+        joined.groupBy("order_year")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("order_year")
+    )
+
+
+PIVOT_SQL = """
+SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+       COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS AUTOMOBILE,
+       COUNT(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 END) AS BUILDING,
+       COUNT(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 END) AS FURNITURE,
+       COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 END) AS HOUSEHOLD,
+       COUNT(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 END) AS MACHINERY
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (expands to a two-phase distinct
+    aggregate; the exact form — approx_count_distinct is the one-pass
+    sketch alternative when a ~2% error is acceptable at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``); percentile_approx is the sketch path."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUANTILES_SQL = """
+SELECT c_mktsegment,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def large_parts_except_cheap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL set operation over projected keys."""
+    part = _t(spark, sf_dir, "part")
+    big = part.where(F.col("p_size") > 40).select("p_partkey")
+    cheap = part.where(F.col("p_retailprice") < 950).select("p_partkey")
+    return big.exceptAll(cheap).orderBy("p_partkey")
+
+
+EXCEPT_SQL = """
+SELECT p_partkey FROM part WHERE p_size > 40
+EXCEPT ALL
+SELECT p_partkey FROM part WHERE p_retailprice < 950
+ORDER BY p_partkey
+"""
+
+
+def asof_purchase_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table as-of join (operators.joins.asof_join): each purchase
+    event picks up the latest order at-or-before its timestamp for the
+    same key — union+window, one shuffle, no quadratic range join."""
+    from simple_data_workflow_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        purchases,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("o_orderdate_asof", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_asof"),
+        "o_totalprice",
+    ).orderBy("event_id")
+
+
+ASOF_JOIN_SQL = """
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(m.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_asof,
+       m.o_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o.o_orderdate, o.o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+  LIMIT 1
+) m ON TRUE
+WHERE e.event_type = 'purchase'
+ORDER BY e.event_id
+"""

@@ -1,0 +1,58 @@
+"""Sinks — writers for parquet/csv/json plus bucketed tables.
+
+The reference has no sink surface at all (results live in Prefect flow
+state, SURVEY.md §2.2); this is the engine extension. Scale posture:
+``partitionBy`` for pruning on read, ``bucketBy`` so later joins on the
+bucket key co-locate without a shuffle, explicit ``coalesce`` control so
+small results don't produce thousands of files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    max_files: int | None = None,
+) -> None:
+    """Columnar sink; ``partition_by`` lays out hive-style directories so
+    future scans partition-prune; ``max_files`` coalesces tiny outputs
+    (coalesce, not repartition — no extra shuffle)."""
+    out = df.coalesce(max_files) if max_files else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True, sep: str = ","
+) -> None:
+    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggregations on ``bucket_col`` against
+    another table bucketed the same way skip the shuffle entirely — the
+    co-location strategy for repeated 100 TB fact-fact joins."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)

@@ -1,0 +1,56 @@
+"""As-of join operator (union+window technique)."""
+
+import datetime as dt
+
+from simple_data_workflow_spark.operators.joins import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00")),
+            (2, "u1", _ts("2024-01-01T12:00")),
+            (3, "u2", _ts("2024-01-01T09:00")),
+        ],
+        "id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:30"), 100, 1.0),
+            ("u1", _ts("2024-01-01T11:00"), 101, 2.0),
+            ("u2", _ts("2024-01-01T11:00"), 102, 3.0),
+        ],
+        "key string, rts timestamp, rid long, val double",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts",
+        right_payload=["val"], right_tiebreak="rid",
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["val"] == 1.0  # 10:00 sees the 09:30 row
+    assert rows[2]["val"] == 2.0  # 12:00 sees the 11:00 row
+    assert rows[3]["val"] is None  # 09:00 precedes every u2 row
+    assert rows[1]["rts_asof"] == _ts("2024-01-01T09:30")
+
+
+def test_asof_equal_ts_and_tiebreak(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T10:00"))], "id long, key string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T10:00"), 1, 10.0),
+            ("u1", _ts("2024-01-01T10:00"), 2, 20.0),
+        ],
+        "key string, rts timestamp, rid long, val double",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts",
+        right_payload=["val"], right_tiebreak="rid",
+    ).first()
+    # a right row AT the left timestamp is visible; highest tiebreak wins
+    assert out["val"] == 20.0
