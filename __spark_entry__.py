@@ -579,6 +579,135 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake_decode=True).orderBy("doc_id")
 
 
+def impute_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-case drop (wrangle_na 'cc') over synthetically-masked
+    events; row identity preserved via event_id."""
+    tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 1, F.lit(None)).otherwise(F.col("value")).alias("v"),
+        F.when(F.get_json_object("props", "$.k").cast("long") % 7 == 0, F.lit(None))
+        .otherwise(F.get_json_object("props", "$.k").cast("long"))
+        .alias("k"),
+    )
+    return wrangle_na(ev, strategy="cc", cols=["v", "k"]).orderBy("event_id")
+
+
+IMPUTE_CC_SQL = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN value < 1 THEN NULL ELSE value END AS v,
+         CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0 THEN NULL
+              ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
+)
+SELECT event_id, v, k FROM t WHERE v IS NOT NULL AND k IS NOT NULL ORDER BY event_id
+"""
+
+
+def impute_fii_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in + NA-pattern indicator columns (wrangle_na 'fii'):
+    one boolean column per observed row-wise NA pattern (bit order =
+    column order v,k; all-zeros dropped), mean/median fills computed with
+    exact engine-portable sums."""
+    tune(spark)
+    from simple_data_workflow_spark.operators.na import na_indicator_columns
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 1, F.lit(None)).otherwise(F.col("value")).alias("v"),
+        F.when(F.get_json_object("props", "$.k").cast("long") % 7 == 0, F.lit(None))
+        .otherwise(F.get_json_object("props", "$.k").cast("long"))
+        .alias("k"),
+    )
+    with_ind, _names = na_indicator_columns(ev, ["v", "k"])
+    stats = ev.agg(
+        _dsum_scaled(F.col("v")).alias("s"),
+        F.count("v").alias("n"),
+        F.percentile(F.col("k"), F.lit(0.5)).alias("kmed"),
+    ).first()
+    v_fill = stats["s"] / stats["n"]
+    k_fill = int(stats["kmed"]) if float(stats["kmed"]).is_integer() else stats["kmed"]
+    return with_ind.fillna({"v": v_fill, "k": k_fill}).select(
+        "event_id", F.round("v", 6).alias("v"), "k", "na_01", "na_10", "na_11"
+    ).orderBy("event_id")
+
+
+IMPUTE_FII_SQL = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN value < 1 THEN NULL ELSE value END AS v,
+         CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0 THEN NULL
+              ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
+), m AS (
+  SELECT CAST(SUM(CAST(ROUND(v*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0/COUNT(v) AS vmu,
+         CAST(MEDIAN(k) AS BIGINT) AS kmed
+  FROM t
+)
+SELECT event_id,
+       ROUND(COALESCE(v, vmu), 6) AS v,
+       COALESCE(k, kmed) AS k,
+       (v IS NOT NULL AND k IS NULL) AS na_01,
+       (v IS NULL AND k IS NOT NULL) AS na_10,
+       (v IS NULL AND k IS NULL) AS na_11
+FROM t, m ORDER BY event_id
+"""
+
+
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document (llmdata.text.tfidf_top_terms):
+    explode -> tf/df aggregates -> broadcast join -> per-doc window."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=1).orderBy("doc_id")
+
+
+TFIDF_SQL = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, tf.term,
+         tf * ln((SELECT c FROM n) * 1.0 / df.df) AS score
+  FROM tf JOIN df ON tf.term = df.term
+),
+r AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, ROUND(score, 6) AS score, rk FROM r WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+def bigram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams by document frequency (n-gram generation)."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_doc_freq(docs, top_n=20)
+
+
+BIGRAM_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, t.gram
+  FROM w, unnest(list_distinct(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1]))) AS t(gram)
+  WHERE len(ws) >= 2
+)
+SELECT gram, COUNT(*) AS n_docs
+FROM g GROUP BY 1
+ORDER BY n_docs DESC, gram ASC
+LIMIT 20
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -632,6 +761,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_parts_except_cheap": _wrap(rel.large_parts_except_cheap),
         "asof_purchase_order": _wrap(rel.asof_purchase_order),
         # LLM-data extensions (SURVEY.md §2.3)
+        "impute_cc_events": _wrap(impute_cc_events),
+        "impute_fii_events": _wrap(impute_fii_events),
+        "tfidf_top_term": _wrap(tfidf_top_term),
+        "bigram_doc_freq": _wrap(bigram_doc_freq),
         "dedup_exact_docs": _wrap(dedup_exact_docs),
         "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
         "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
@@ -675,6 +808,10 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_by_segment": rel.QUANTILES_SQL,
         "large_parts_except_cheap": rel.EXCEPT_SQL,
         "asof_purchase_order": rel.ASOF_JOIN_SQL,
+        "impute_cc_events": IMPUTE_CC_SQL,
+        "impute_fii_events": IMPUTE_FII_SQL,
+        "tfidf_top_term": TFIDF_SQL,
+        "bigram_doc_freq": BIGRAM_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,
         "ngram_jaccard_near_dups": NGRAM_JACCARD_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only

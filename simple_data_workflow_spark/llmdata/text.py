@@ -113,3 +113,45 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 1) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    explode → two hash aggregates (term frequency per doc, document
+    frequency per term) → broadcast-join the tiny df side → per-doc
+    ranking window. The only global number is N (corpus size), collected
+    as one scalar. idf = ln(N/df), score = tf·idf.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    terms = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(docf), "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", F.round("score", 6).alias("score"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def bigram_doc_freq(df: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
+    """Corpus-wide bigram document frequency, top-N (n-gram generation →
+    explode → count; per-doc distinct shingles so a repeated bigram in one
+    doc counts once)."""
+    from simple_data_workflow_spark.llmdata.dedup import shingles
+
+    grams = df.select(F.explode(shingles(F.col(text_col), 2)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(top_n)
+    )

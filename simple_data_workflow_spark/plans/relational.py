@@ -6,11 +6,11 @@ reference, mandated by the driver's correctness corpus): joins
 windows (ranking, lag/lead, frames), sorts/limits/top-k, set ops,
 date functions, JSON extraction, sessionization, as-of lookup.
 
-Cross-engine determinism: monetary aggregates are summed as
-DECIMAL(38,10) (exact, order-insensitive — a parallel double sum is
-not reproducible bit-for-bit across engines) and cast back to double;
-every float output is rounded; every ordering has a unique tie-break
-key.
+Cross-engine determinism: monetary aggregates accumulate exactly as
+scaled-integer DECIMALs (``dsum`` / ``exact_grouped_agg`` — a parallel
+double sum is not reproducible bit-for-bit across engines, and a
+fractional double→DECIMAL cast rounds differently per engine); every
+float output is rounded; every ordering has a unique tie-break key.
 
 Scale notes: dimension sides of joins carry explicit ``broadcast``
 hints (region/nation/customer/supplier are dimension-sized); fact-fact
@@ -165,8 +165,11 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
     )
+    # scale shape: only the dimension (customer) is broadcast; the
+    # fact-fact orders⋈lineitem leg shuffles on the order key (AQE may
+    # still locally convert it when the filtered side fits)
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
