@@ -655,6 +655,58 @@ FROM t, m ORDER BY event_id
 """
 
 
+def impute_gm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand-model imputation (wrangle_na 'gm'): fii + the full
+    feature × NA-indicator interaction set with patsy-compatible names
+    (reference src/tasks.py:424-441; naming golden pinned at reference
+    test_tasks.py:431-459)."""
+    tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 1, F.lit(None)).otherwise(F.col("value")).alias("v"),
+        F.when(F.get_json_object("props", "$.k").cast("long") % 7 == 0, F.lit(None))
+        .otherwise(F.get_json_object("props", "$.k").cast("long"))
+        .alias("k"),
+    )
+    out = wrangle_na(ev, strategy="gm", cols=["v", "k"])
+    cols = [F.col("event_id"), F.round("v", 6).alias("v"), F.col("k")]
+    for c in out.columns:
+        if c.startswith("na_"):
+            cols.append(F.col(f"`{c}`"))
+        elif ":" in c:
+            cols.append(F.round(F.col(f"`{c}`"), 6).alias(c))
+    return out.select(*cols).orderBy("event_id")
+
+
+IMPUTE_GM_SQL = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN value < 1 THEN NULL ELSE value END AS v,
+         CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0 THEN NULL
+              ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
+), m AS (
+  SELECT AVG(v) AS vmu, CAST(MEDIAN(k) AS BIGINT) AS kmed FROM t
+), f AS (
+  SELECT event_id,
+         COALESCE(v, vmu) AS v_f, COALESCE(k, kmed) AS k_f,
+         (v IS NOT NULL AND k IS NULL) AS na_01,
+         (v IS NULL AND k IS NOT NULL) AS na_10,
+         (v IS NULL AND k IS NULL) AS na_11
+  FROM t, m
+)
+SELECT event_id, ROUND(v_f, 6) AS v, k_f AS k, na_01, na_10, na_11,
+       ROUND(v_f * (CASE WHEN na_01 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""v""):Q(""na_01"")[T.True]",
+       ROUND(v_f * (CASE WHEN na_10 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""v""):Q(""na_10"")[T.True]",
+       ROUND(v_f * (CASE WHEN na_11 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""v""):Q(""na_11"")[T.True]",
+       ROUND(k_f * (CASE WHEN na_01 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""k""):Q(""na_01"")[T.True]",
+       ROUND(k_f * (CASE WHEN na_10 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""k""):Q(""na_10"")[T.True]",
+       ROUND(k_f * (CASE WHEN na_11 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""k""):Q(""na_11"")[T.True]"
+FROM f ORDER BY event_id
+"""
+
+
+
 def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document (llmdata.text.tfidf_top_terms):
     explode -> tf/df aggregates -> broadcast join -> per-doc window."""
@@ -763,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-data extensions (SURVEY.md §2.3)
         "impute_cc_events": _wrap(impute_cc_events),
         "impute_fii_events": _wrap(impute_fii_events),
+        "impute_gm_events": _wrap(impute_gm_events),
         "tfidf_top_term": _wrap(tfidf_top_term),
         "bigram_doc_freq": _wrap(bigram_doc_freq),
         "dedup_exact_docs": _wrap(dedup_exact_docs),
@@ -810,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_order": rel.ASOF_JOIN_SQL,
         "impute_cc_events": IMPUTE_CC_SQL,
         "impute_fii_events": IMPUTE_FII_SQL,
+        "impute_gm_events": IMPUTE_GM_SQL,
         "tfidf_top_term": TFIDF_SQL,
         "bigram_doc_freq": BIGRAM_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,

@@ -87,3 +87,62 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
     q.processAllAvailable()
     q.stop()
     return q
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [
+        StructField("last_ts", DoubleType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    session counting with a gap threshold.
+
+    State = (last event time, session count, event count) per user —
+    O(users) memory regardless of stream length. Each micro-batch gets
+    the user's new events as pandas batches (Arrow transfer); emits the
+    running totals in update mode. The batch twin is
+    plans.relational.sessionize_events (oracle-checked)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(
+                (t.timestamp(), e) for t, e in zip(pdf["ts"], pdf["event_id"])
+            )
+        ts_list.sort()
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for t, _e in ts_list:
+            if last_ts is None or t - last_ts > gap_s:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -31,3 +31,22 @@ def test_stream_matches_batch(spark):
 def test_stream_is_streaming(spark):
     stream = read_event_stream(spark, f"{SF}/events.parquet")
     assert stream.isStreaming
+
+
+def test_stateful_sessionizer_matches_batch(spark):
+    from simple_data_workflow_spark.plans.relational import sessionize_events
+    from simple_data_workflow_spark.streaming.events import sessionize_stream
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    out = sessionize_stream(stream)
+    run_stream_to_memory(out, "sessions_stateful", output_mode="update")
+    # single micro-batch → final update per user == batch sessionization
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_stateful").collect()
+    }
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionize_events(spark, SF).collect()
+    }
+    assert got == want
