@@ -812,6 +812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_segment": _wrap(rel.quantiles_by_segment),
         "large_parts_except_cheap": _wrap(rel.large_parts_except_cheap),
         "asof_purchase_order": _wrap(rel.asof_purchase_order),
+        "sql_grouping_sets": _wrap(rel.sql_grouping_sets),
+        "customers_above_segment_avg": _wrap(rel.customers_above_segment_avg),
         # LLM-data extensions (SURVEY.md §2.3)
         "impute_cc_events": _wrap(impute_cc_events),
         "impute_fii_events": _wrap(impute_fii_events),
@@ -861,6 +863,8 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_by_segment": rel.QUANTILES_SQL,
         "large_parts_except_cheap": rel.EXCEPT_SQL,
         "asof_purchase_order": rel.ASOF_JOIN_SQL,
+        "sql_grouping_sets": rel.GROUPING_SETS_SQL,
+        "customers_above_segment_avg": rel.CORRELATED_SQL,
         "impute_cc_events": IMPUTE_CC_SQL,
         "impute_fii_events": IMPUTE_FII_SQL,
         "impute_gm_events": IMPUTE_GM_SQL,

@@ -678,3 +678,57 @@ LEFT JOIN LATERAL (
 WHERE e.event_type = 'purchase'
 ORDER BY e.event_id
 """
+
+
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL surface (free via temp views): explicit GROUPING SETS —
+    per (status, priority), per status, and grand total in one pass."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def customers_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: customers whose account balance exceeds
+    their segment's average — expressed as a broadcast join against the
+    tiny per-segment aggregate (the decorrelated plan Catalyst would aim
+    for; no per-row subquery execution)."""
+    cust = _t(spark, sf_dir, "customer")
+    seg_avg = cust.groupBy("c_mktsegment").agg(
+        (dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("seg_avg")
+    )
+    return (
+        cust.join(F.broadcast(seg_avg), "c_mktsegment")
+        .where(F.col("c_acctbal") > F.col("seg_avg"))
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 6).alias("c_acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+CORRELATED_SQL = """
+SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 6) AS c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(ROUND(c2.c_acctbal*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0/COUNT(*)
+  FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment
+)
+ORDER BY c_custkey
+"""

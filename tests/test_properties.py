@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis): invariants the golden tests can't pin.
+
+The most load-bearing one checks the cross-engine determinism policy
+itself: the scaled-integer exact sum must produce BIT-IDENTICAL doubles
+in Spark and DuckDB for arbitrary float inputs — that property is what
+every oracle-checked aggregate rests on.
+"""
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from simple_data_workflow_spark.operators.strings import clean_text
+
+money = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(money, min_size=1, max_size=300))
+def test_dsum_bit_identical_across_engines(spark, values):
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.plans.relational import dsum
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = df.agg(dsum(F.col("x")).alias("s")).first()["s"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    want = con.sql(
+        "SELECT CAST(SUM(CAST(ROUND(x*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 FROM t"
+    ).fetchone()[0]
+    assert got == want  # exact equality, not approx — the whole point
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=60))
+def test_clean_text_idempotent(s):
+    once = clean_text(s)
+    assert clean_text(once) == once
+    assert once == once.strip().lower()
+    # no internal whitespace survives
+    assert not any(c.isspace() for c in once)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8), min_size=2, max_size=6)
+)
+def test_jaccard_bounds_and_symmetry(spark, token_lists):
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.llmdata.dedup import jaccard
+
+    rows = [(list(set(a)), list(set(b))) for a in token_lists for b in token_lists]
+    df = spark.createDataFrame(rows, "a array<string>, b array<string>")
+    out = df.select(
+        jaccard(F.col("a"), F.col("b")).alias("jab"),
+        jaccard(F.col("b"), F.col("a")).alias("jba"),
+        (F.sort_array(F.col("a")) == F.sort_array(F.col("b"))).alias("same"),
+    ).collect()
+    for r in out:
+        assert 0.0 <= r["jab"] <= 1.0
+        assert r["jab"] == pytest.approx(r["jba"])  # symmetric
+        if r["same"]:
+            assert r["jab"] == pytest.approx(1.0)  # identical sets → 1
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=1, max_size=40
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, rights, lefts):
+    import pandas as pd
+
+    from simple_data_workflow_spark.operators.joins import asof_join
+
+    rrows = [(f"k{k}", float(t), i, v) for i, (k, t, v) in enumerate(rights)]
+    lrows = [(i, f"k{k}", float(t)) for i, (k, t) in enumerate(lefts)]
+    right = spark.createDataFrame(rrows, "key string, rts double, rid long, val double")
+    left = spark.createDataFrame(lrows, "id long, key string, ts double")
+    out = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts",
+        right_payload=["val"], right_tiebreak="rid",
+    ).toPandas()
+    # brute-force oracle: max (rts, rid) among right rows with rts <= ts
+    want = {}
+    for lid, k, t in lrows:
+        cands = [(rt, rid, v) for (rk, rt, rid, v) in rrows if rk == k and rt <= t]
+        want[lid] = max(cands)[2] if cands else None
+    got = {r.id: (None if pd.isna(r.val) else r.val) for r in out.itertuples()}
+    assert got == want
