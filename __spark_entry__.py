@@ -814,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_order": _wrap(rel.asof_purchase_order),
         "sql_grouping_sets": _wrap(rel.sql_grouping_sets),
         "customers_above_segment_avg": _wrap(rel.customers_above_segment_avg),
+        "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
         # LLM-data extensions (SURVEY.md §2.3)
         "impute_cc_events": _wrap(impute_cc_events),
         "impute_fii_events": _wrap(impute_fii_events),
@@ -865,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_order": rel.ASOF_JOIN_SQL,
         "sql_grouping_sets": rel.GROUPING_SETS_SQL,
         "customers_above_segment_avg": rel.CORRELATED_SQL,
+        "unpivot_flag_metrics": rel.UNPIVOT_SQL,
         "impute_cc_events": IMPUTE_CC_SQL,
         "impute_fii_events": IMPUTE_FII_SQL,
         "impute_gm_events": IMPUTE_GM_SQL,

@@ -732,3 +732,37 @@ WHERE c_acctbal > (
 )
 ORDER BY c_custkey
 """
+
+
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-flag aggregates → long (flag, metric, value)
+    via ``stack()`` — the same unpivot the CI chart frame uses
+    (reference src/tasks.py:593-600)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = exact_grouped_agg(
+        li,
+        keys=["l_returnflag"],
+        sums={
+            "sum_qty": F.col("l_quantity"),
+            "sum_disc": F.col("l_discount"),
+            "sum_tax": F.col("l_tax"),
+        },
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'sum_qty', sum_qty, 'sum_disc', sum_disc, 'sum_tax', sum_tax) AS (metric, value)",
+    ).orderBy("l_returnflag", "metric")
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(ROUND(l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sum_qty,
+         CAST(SUM(CAST(ROUND(l_discount*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sum_disc,
+         CAST(SUM(CAST(ROUND(l_tax*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sum_tax
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, value FROM wide
+UNPIVOT (value FOR metric IN (sum_qty, sum_disc, sum_tax))
+ORDER BY l_returnflag, metric
+"""

@@ -28,3 +28,20 @@ def test_csv_json_roundtrip(spark, tmp_path):
     write_json(df, jp)
     assert spark.read.option("header", True).csv(cp).count() == 2
     assert spark.read.json(jp).count() == 2
+
+
+def test_read_delim_roundtrip(spark, tmp_path):
+    """retrieve_data parity: sep option, nrows→limit, Unnamed-column drop
+    (reference src/tasks.py:61-97)."""
+    import pandas as pd
+
+    from simple_data_workflow_spark.sources.readers import read_delim
+
+    p = str(tmp_path / "d.csv")
+    pd.DataFrame({"Unnamed: 0": [0, 1, 2], "a": [1, 2, 3], "b": ["x", "y", "z"]}).to_csv(
+        p, index=False
+    )
+    df = read_delim(spark, p, sep=",")
+    assert df.columns == ["a", "b"]  # pandas index column dropped
+    assert df.count() == 3
+    assert read_delim(spark, p, nrows=2).count() == 2
