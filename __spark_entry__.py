@@ -815,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_grouping_sets": _wrap(rel.sql_grouping_sets),
         "customers_above_segment_avg": _wrap(rel.customers_above_segment_avg),
         "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
+        "approx_sketches": _wrap(rel.approx_sketches),
+        "sliding_window_counts": _wrap(rel.sliding_window_counts),
         # LLM-data extensions (SURVEY.md §2.3)
         "impute_cc_events": _wrap(impute_cc_events),
         "impute_fii_events": _wrap(impute_fii_events),
@@ -867,6 +869,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_grouping_sets": rel.GROUPING_SETS_SQL,
         "customers_above_segment_avg": rel.CORRELATED_SQL,
         "unpivot_flag_metrics": rel.UNPIVOT_SQL,
+        # approx_sketches: engine-specific HLL/t-digest -> rows-only
+        "sliding_window_counts": rel.SLIDING_WINDOW_SQL,
         "impute_cc_events": IMPUTE_CC_SQL,
         "impute_fii_events": IMPUTE_FII_SQL,
         "impute_gm_events": IMPUTE_GM_SQL,

@@ -74,3 +74,27 @@ def asof_join(
     carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
     out = carried.where(F.col("__is_left") == 1).select("__l.*", "__match.*")
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-tolerant equi-join: spread each hot left key over ``n_salts``
+    shuffle partitions, replicate the (smaller) right side once per salt.
+
+    Use when one key dominates (AQE's skew-join handles moderate skew at
+    runtime; salting is the explicit fix when a single key exceeds what
+    one task can hold). Left salt is derived from deterministic row
+    content hashing — no rand(), so retries/recomputes stay consistent.
+    """
+    salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lhs = left.withColumn("__salt", salt_l)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    out = lhs.join(rhs, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -766,3 +766,49 @@ SELECT l_returnflag, metric, value FROM wide
 UNPIVOT (value FOR metric IN (sum_qty, sum_disc, sum_tax))
 ORDER BY l_returnflag, metric
 """
+
+
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for 100 TB: HyperLogLog++ distinct counts and
+    t-digest-style approximate percentiles — one pass, bounded memory,
+    mergeable across partitions. Engine-specific sketches → rows-only
+    check (the exact twins are oracle-checked in distinct_parts_per_flag
+    / quantiles_by_segment)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_p50_price"),
+            F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("approx_p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-hour length, 1-hour slide): each event lands in
+    two windows; Spark's window() generates the assignment natively."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_WINDOW_SQL = """
+WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS b0, event_type FROM events),
+assigned AS (
+  SELECT b0 AS ws, event_type FROM b
+  UNION ALL
+  SELECT b0 - INTERVAL '1 hour' AS ws, event_type FROM b
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, COUNT(*) AS n
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1,0 +1,50 @@
+"""Lakehouse table-format connectors (Delta / Iceberg / Hudi) — gated.
+
+These formats need their runtime jars on the Spark classpath, which this
+environment does not ship (pyspark + parquet only). The API surface is
+real; each call probes for the format and raises a clear error when the
+jar is absent, so downstream code can feature-gate cleanly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMATS = {
+    "delta": "io.delta:delta-spark",
+    "iceberg": "org.apache.iceberg:iceberg-spark-runtime",
+    "hudi": "org.apache.hudi:hudi-spark-bundle",
+}
+
+
+def _available(spark: SparkSession, fmt: str) -> bool:
+    try:
+        spark.read.format(fmt).load("/nonexistent-probe")
+        return True
+    except Exception as exc:
+        # ClassNotFound / DATA_SOURCE_NOT_FOUND → jar missing; any other
+        # error (e.g. path) means the format itself resolved
+        msg = str(exc)
+        return not ("DATA_SOURCE_NOT_FOUND" in msg or "ClassNotFound" in msg)
+
+
+def read_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
+    if not _available(spark, fmt):
+        raise NotImplementedError(
+            f"{fmt} requires the {_FORMATS[fmt]} jar on the Spark classpath "
+            "(not present in this environment)"
+        )
+    return spark.read.format(fmt).load(path)
+
+
+def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> None:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
+    if not _available(df.sparkSession, fmt):
+        raise NotImplementedError(
+            f"{fmt} requires the {_FORMATS[fmt]} jar on the Spark classpath "
+            "(not present in this environment)"
+        )
+    df.write.format(fmt).mode(mode).save(path)

@@ -54,3 +54,30 @@ def test_asof_equal_ts_and_tiebreak(spark):
     ).first()
     # a right row AT the left timestamp is visible; highest tiebreak wins
     assert out["val"] == 20.0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"k{i}") for i in range(60)], "id long, key string"
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("k0", 2.0), ("k3", 3.0)], "key string, val double"
+    )
+    got = salted_join(left, right, "key", n_salts=4).select("id", "key", "val")
+    want = left.join(right, "key").select("id", "key", "val")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_lakehouse_gated(spark):
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.lakehouse import read_table
+
+    with _pytest.raises((NotImplementedError, Exception)):
+        read_table(spark, "delta", "/tmp/nope")
+    with _pytest.raises(ValueError):
+        read_table(spark, "parquet-not-lakehouse", "/tmp/nope")
