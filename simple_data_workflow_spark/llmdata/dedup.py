@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from simple_data_workflow_spark.session import ensure_parallelism
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep one representative row id per exact key: min(id) per group.
@@ -71,7 +73,7 @@ def ngram_jaccard_pairs(
     for linear scaling.
     """
     n = df.count()
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    sh = ensure_parallelism(df).select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
     if n <= max_rows_all_pairs:
         a = sh.alias("a")
         b = sh.alias("b")
@@ -130,7 +132,7 @@ def minhash_lsh_candidates(
     # two projections: CollapseProject keeps the (expensive, multiply-used)
     # string-hash transform out of the per-stream expressions — each
     # shingle string is hashed once, each stream re-hashes 8-byte longs
-    hashed = df.select(
+    hashed = ensure_parallelism(df).select(
         F.col(id_col),
         F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("hs"),
     )
@@ -208,7 +210,7 @@ def simhash_near_dups(
 
     Banding join (4 bands of 16 bits; ≤3 differing bits ⇒ at least one
     band identical) then exact Hamming filter via bit_count(xor)."""
-    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    sig = ensure_parallelism(df).select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
     bands = sig.select(
         id_col,
         "sig",

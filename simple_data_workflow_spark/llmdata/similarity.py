@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from simple_data_workflow_spark.functions.vectors import cosine, dot, l2_normalize
+from simple_data_workflow_spark.session import ensure_parallelism
 
 
 def brute_force_topk(
@@ -42,6 +43,7 @@ def brute_force_topk(
     once and scores with a plain dot; ``False`` computes the full cosine
     per pair — numerically identical formula to the SQL oracle
     (dot/(norm·norm)), used for cross-engine hash parity."""
+    corpus = ensure_parallelism(corpus)
     if prenormalize:
         q = queries.select(
             F.col(id_col).alias("query_id"), l2_normalize(F.col(vec_col)).alias("qv")
@@ -107,6 +109,7 @@ def lsh_topk(
     exact cosine re-rank. Same output schema as ``brute_force_topk``;
     recall < 1 by construction (bucket boundary misses)."""
     planes = _hyperplanes(dim, n_planes, seed)
+    corpus = ensure_parallelism(corpus)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -144,6 +147,7 @@ def cosine_near_dup_pairs(
     All-pairs under the guard; LSH-bucketed candidates above it.
     ``prenormalize=False`` scores with the oracle-parity cosine formula."""
     n = df.count()
+    df = ensure_parallelism(df)
     if not prenormalize and n <= max_rows_all_pairs:
         raw = df.select(F.col(id_col), F.col(vec_col).alias("v"))
         a, b = raw.alias("a"), raw.alias("b")

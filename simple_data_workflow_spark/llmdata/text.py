@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from simple_data_workflow_spark.session import ensure_parallelism
+
 # tiny per-language marker lexicons for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "a"],
@@ -103,7 +105,7 @@ def fingerprint(text: Column) -> Column:
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents → + token counts, quality, language guess, fingerprint."""
     t = F.col(text_col)
-    return df.select(
+    return ensure_parallelism(df).select(
         "*",
         token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_tokens"),
@@ -126,7 +128,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     from pyspark.sql.window import Window
 
     n_docs = df.count()
-    terms = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    terms = ensure_parallelism(df).select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(docf), "term").select(

@@ -18,6 +18,24 @@ RUNTIME_CONF = {
 }
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition an under-partitioned input ahead of
+    compute-heavy per-row work (regex batteries, minhash signatures,
+    pairwise vector math).
+
+    A 1-row-group parquet file cannot be split by the reader, so a small
+    dimension table otherwise pins an expensive op to ONE core. The
+    shuffle this adds is proportional to the (small) input, the win is
+    N-way parallel compute. No-op when the input is already parallel —
+    at cluster scale inputs arrive in many splits and this does nothing.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an existing session (e.g. the driver's)."""
     for k, v in RUNTIME_CONF.items():
@@ -49,6 +67,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SDW_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # local testdata is single small parquet files; small splits keep
+        # all cores busy. On a real cluster leave the 128 MB default
+        # (override via env) — tiny splits there just multiply task overhead.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SDW_MAX_PARTITION_BYTES", "2097152"),
+        )
+        .config("spark.sql.files.openCostInBytes", "131072")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
