@@ -447,7 +447,10 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific → rows-only check."""
     tune(spark)
     docs = _t(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    # bands=8 → 4 rows/band: collision probability s⁴ per band — tuned for
+    # a low-similarity corpus (observed shingle jaccard ≤ ~0.05) so the
+    # candidate set stays ∝ near-dups, not n²
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
     return cand.orderBy("id_a", "id_b")
 
 

@@ -51,7 +51,7 @@ def lsh_near_dups_bench(spark, sf_dir):
 
 def minhash_bench(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
 
 
 def text_bench(spark, sf_dir):

@@ -15,6 +15,13 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any toPandas()/pandas_udf boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # right-size externally-created sessions (e.g. the driver's) for the
+    # local testdata: ~core-count shuffle partitions (AQE coalesces
+    # further) and small scan splits for the single-file tables
+    "spark.sql.shuffle.partitions": os.environ.get("SDW_SHUFFLE_PARTITIONS", "32"),
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SDW_MAX_PARTITION_BYTES", "2097152"
+    ),
 }
 
 

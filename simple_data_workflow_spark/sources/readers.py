@@ -10,9 +10,26 @@ retry loop here for driver-side listing errors.
 
 from __future__ import annotations
 
+import os
+import tempfile
 import time
+import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _fetch_if_url(path: str) -> str:
+    """The reference reads http(s) URLs directly (pd.read_csv(url),
+    src/tasks.py:94); Spark's csv reader wants a filesystem path, so
+    http(s) sources are staged to a local temp file driver-side. Large
+    remote datasets belong on distributed storage instead — this is the
+    convenience path for the reference's small-file use case."""
+    if path.startswith(("http://", "https://")):
+        fd, tmp = tempfile.mkstemp(suffix=".csv", prefix="sdw-dl-")
+        os.close(fd)
+        urllib.request.urlretrieve(path, tmp)  # noqa: S310 — user-supplied source URL
+        return tmp
+    return path
 
 TPCH_TABLES = (
     "region",
@@ -87,14 +104,15 @@ def read_delim(
     last: Exception | None = None
     for attempt in range(max_retries):
         try:
+            read_path = _fetch_if_url(path)
             df = (
                 spark.read.option("sep", sep)
                 .option("header", True)
                 .option("inferSchema", True)
-                .csv(path)
+                .csv(read_path)
             )
             break
-        except Exception as exc:  # driver-side listing/access failure
+        except Exception as exc:  # driver-side fetch/listing failure
             last = exc
             if attempt == max_retries - 1:
                 raise

@@ -45,3 +45,26 @@ def test_read_delim_roundtrip(spark, tmp_path):
     assert df.columns == ["a", "b"]  # pandas index column dropped
     assert df.count() == 3
     assert read_delim(spark, p, nrows=2).count() == 2
+
+
+def test_read_delim_file_url_scheme(spark, tmp_path):
+    import pandas as pd
+
+    from simple_data_workflow_spark.sources.readers import _fetch_if_url
+
+    # non-URL paths pass through untouched
+    assert _fetch_if_url("/x/y.csv") == "/x/y.csv"
+
+
+def test_viz_gated(spark):
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.operators import viz
+
+    df = spark.createDataFrame([("x", "lower", 1.0)], "regressor string, interval string, estimate double")
+    if viz.HAS_ALTAIR:
+        chart = viz.confidence_interval_chart(df)
+        assert chart is not None
+    else:
+        with _pytest.raises(NotImplementedError):
+            viz.confidence_interval_chart(df)
