@@ -820,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
         "approx_sketches": _wrap(rel.approx_sketches),
         "sliding_window_counts": _wrap(rel.sliding_window_counts),
+        "running_customer_revenue": _wrap(rel.running_customer_revenue),
+        "events_props_map": _wrap(rel.events_props_map),
         # LLM-data extensions (SURVEY.md §2.3)
         "impute_cc_events": _wrap(impute_cc_events),
         "impute_fii_events": _wrap(impute_fii_events),
@@ -874,6 +876,8 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_flag_metrics": rel.UNPIVOT_SQL,
         # approx_sketches: engine-specific HLL/t-digest -> rows-only
         "sliding_window_counts": rel.SLIDING_WINDOW_SQL,
+        "running_customer_revenue": rel.RUNNING_SQL,
+        "events_props_map": rel.PROPS_MAP_SQL,
         "impute_cc_events": IMPUTE_CC_SQL,
         "impute_fii_events": IMPUTE_FII_SQL,
         "impute_gm_events": IMPUTE_GM_SQL,

@@ -812,3 +812,69 @@ assigned AS (
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, COUNT(*) AS n
 FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: per-customer running total (unbounded preceding) and
+    3-row moving average over ordered orders."""
+    orders = _t(spark, sf_dir, "orders")
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_mov = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    # exact engine-portable running sum: accumulate scaled longs in the frame
+    scaled = F.round(F.col("o_totalprice") * F.lit(_SCALE)).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(scaled).over(w_run).cast("double") / F.lit(_SCALE)).alias("running_total"),
+        F.round(
+            (F.sum(scaled).over(w_mov).cast("double") / F.lit(_SCALE))
+            / F.count(F.lit(1)).over(w_mov),
+            6,
+        ).alias("moving_avg3"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS BIGINT)) OVER w_run AS DOUBLE)/1000000.0 AS running_total,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS BIGINT)) OVER w_mov AS DOUBLE)/1000000.0
+             / COUNT(*) OVER w_mov, 6) AS moving_avg3
+FROM orders
+WINDOW w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),
+       w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/JSON functions: parse the props JSON into map<string,bigint>,
+    explode entries, aggregate per key bucket."""
+    ev = _t(spark, sf_dir, "events")
+    entries = ev.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val"),
+    )
+    return (
+        entries.groupBy("key", (F.col("val") % 5).alias("val_mod5"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("total"))
+        .orderBy("key", "val_mod5")
+    )
+
+
+PROPS_MAP_SQL = """
+WITH entries AS (
+  SELECT event_id, k.key AS key,
+         CAST(json_extract(props, '$.' || k.key) AS BIGINT) AS val
+  FROM events, unnest(json_keys(props)) AS k(key)
+)
+SELECT key, val % 5 AS val_mod5, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS total
+FROM entries GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -68,3 +68,32 @@ def test_viz_gated(spark):
     else:
         with _pytest.raises(NotImplementedError):
             viz.confidence_interval_chart(df)
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key co-locate: the join plan has no
+    Exchange on either side (the 100 TB repeated-join strategy)."""
+    import uuid
+
+    from simple_data_workflow_spark.sources.sinks import write_bucketed_table
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    a = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    b = spark.createDataFrame([(i, i * 1.5) for i in range(100)], "k long, w double")
+    ta, tb = f"ta_{uuid.uuid4().hex[:8]}", f"tb_{uuid.uuid4().hex[:8]}"
+    write_bucketed_table(a, ta, "k", num_buckets=4)
+    write_bucketed_table(b, tb, "k", num_buckets=4)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path so bucket co-location (not broadcast)
+        # is what eliminates the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == 100
+        assert "Exchange hashpartitioning" not in plan  # no shuffle on either side
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
