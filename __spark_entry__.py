@@ -545,6 +545,20 @@ ORDER BY query_id, rank
 """
 
 
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (llmdata.similarity.ivf_topk):
+    k-means coarse quantizer (MLlib, seeded), per-list inverted search
+    with n_probe lists per query. Quantizer training is iterative →
+    rows-only check; the exact twin is cosine_topk."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.ivf_topk(q, emb, k=5, n_lists=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+
 def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine ≥ 0.38 (all-pairs at oracle
     scale; LSH buckets above the guard)."""
@@ -835,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": _wrap(doc_text_stats),
         "cosine_topk": _wrap(cosine_topk),
         "cosine_near_dups": _wrap(cosine_near_dups),
+        "ivf_topk_embeddings": _wrap(ivf_topk_embeddings),
         "multimodal_features": _wrap(multimodal_features),
     }
 

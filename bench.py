@@ -49,6 +49,12 @@ def lsh_near_dups_bench(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(emb, threshold=0.38, max_rows_all_pairs=0)
 
 
+def ivf_topk_bench(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.ivf_topk(q, emb, k=5, n_lists=16, n_probe=4)
+
+
 def minhash_bench(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
@@ -77,6 +83,7 @@ QUERIES = {
     "doc_text_stats": text_bench,
     "minhash_lsh_near_dups": minhash_bench,
     "lsh_topk": lsh_topk_bench,
+    "ivf_topk": ivf_topk_bench,
     "lsh_cosine_near_dups": lsh_near_dups_bench,
 }
 

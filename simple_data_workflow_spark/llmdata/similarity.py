@@ -184,3 +184,72 @@ def cosine_near_dup_pairs(
             .distinct()
         )
     return pairs.where(F.col("cosine") >= threshold)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    each corpus vector assigned to its nearest centroid list, each query
+    probes its ``n_probe`` nearest lists and exact-scores only those.
+
+    The quantizer trains on a sample via MLlib KMeans (seeded); the
+    centroid set is tiny and rides into the plan as literals. Compute is
+    ∝ corpus/n_lists · n_probe per query instead of the full corpus;
+    the shuffle key is the list id. Recall < 1 by construction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = ensure_parallelism(corpus)
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def dist2_to(centroid):
+        arr = F.array(*[F.lit(x) for x in centroid])
+        return F.aggregate(
+            F.zip_with(F.col("__v"), arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def with_lists(df, n_assign):
+        """Attach the ids of the n_assign nearest centroid lists."""
+        scored = F.array(
+            *[
+                F.struct(dist2_to(c).alias("d"), F.lit(i).alias("list_id"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.array_sort(scored), 1, n_assign)
+        return df.withColumn("__lists", F.transform(top, lambda s: s.list_id))
+
+    c = with_lists(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")), 1
+    ).select("neighbor_id", F.col("__v").alias("cv"), F.element_at("__lists", 1).alias("list_id"))
+    q = with_lists(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v")), n_probe
+    ).select("query_id", F.col("__v").alias("qv"), F.explode("__lists").alias("list_id"))
+
+    pairs = q.join(c, "list_id").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -145,3 +145,20 @@ def test_multimodal_real_decode_raises(spark):
     media = attach_fake_media(docs)
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         extract_features(media, fake_decode=False).collect()
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.where("vec_id < 20")
+    exact = similarity.brute_force_topk(q, df, k=3)
+    approx = similarity.ivf_topk(q, df, k=3, n_lists=8, n_probe=4)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # probing half the lists on random data
+    assert all(r["rank"] <= 3 for r in approx.collect())
