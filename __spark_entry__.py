@@ -33,7 +33,6 @@ from simple_data_workflow_spark.operators.transforms import (
 )
 from simple_data_workflow_spark.llmdata import dedup, similarity, text
 from simple_data_workflow_spark.plans import relational as rel
-from simple_data_workflow_spark.plans.relational import dsum
 from simple_data_workflow_spark.sources.readers import load_table
 
 SF_SMOKE = "/root/testdata/sf0.001"

@@ -57,8 +57,6 @@ def test_asof_equal_ts_and_tiebreak(spark):
 
 
 def test_salted_join_equals_plain_join(spark):
-    from pyspark.sql import functions as F
-
     from simple_data_workflow_spark.operators.joins import salted_join
 
     left = spark.createDataFrame(

@@ -1,6 +1,5 @@
 """LLM-data operators: dedup, similarity, text analysis, multimodal."""
 
-import math
 
 import numpy as np
 import pytest

@@ -2,7 +2,6 @@
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from simple_data_workflow_spark.operators.na import wrangle_na
 

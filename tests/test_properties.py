@@ -6,7 +6,6 @@ in Spark and DuckDB for arbitrary float inputs — that property is what
 every oracle-checked aggregate rests on.
 """
 
-import math
 
 import duckdb
 import pytest

@@ -1,6 +1,5 @@
 """Structured Streaming: bounded stream == batch twin on sf0.001."""
 
-import pytest
 
 from simple_data_workflow_spark.plans.relational import windowed_event_counts
 from simple_data_workflow_spark.streaming.events import (

@@ -1,6 +1,5 @@
 """Name/string sanitation — goldens from reference test_tasks.py:150-162 (F8)."""
 
-from pyspark.sql import functions as F
 
 from simple_data_workflow_spark.operators.strings import (
     clean_text,
