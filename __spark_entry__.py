@@ -835,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": _wrap(rel.sliding_window_counts),
         "running_customer_revenue": _wrap(rel.running_customer_revenue),
         "events_props_map": _wrap(rel.events_props_map),
+        "order_count_distribution": _wrap(rel.order_count_distribution),
+        "big_orders": _wrap(rel.big_orders),
         # LLM-data extensions (SURVEY.md §2.3)
         "impute_cc_events": _wrap(impute_cc_events),
         "impute_fii_events": _wrap(impute_fii_events),
@@ -892,6 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_counts": rel.SLIDING_WINDOW_SQL,
         "running_customer_revenue": rel.RUNNING_SQL,
         "events_props_map": rel.PROPS_MAP_SQL,
+        "order_count_distribution": rel.Q13_SQL,
+        "big_orders": rel.Q18_SQL,
         "impute_cc_events": IMPUTE_CC_SQL,
         "impute_fii_events": IMPUTE_FII_SQL,
         "impute_gm_events": IMPUTE_GM_SQL,

@@ -49,3 +49,29 @@ def test_stateful_sessionizer_matches_batch(spark):
         for r in sessionize_events(spark, SF).collect()
     }
     assert got == want
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """Exactly-once-style sink: foreachBatch writing idempotent per-epoch
+    parquet (the pattern for sinks without native streaming support)."""
+    from simple_data_workflow_spark.streaming.events import (
+        read_event_stream,
+        windowed_counts_stream,
+    )
+
+    out_dir = str(tmp_path / "stream_out")
+    stream = windowed_counts_stream(read_event_stream(spark, f"{SF}/events.parquet"))
+
+    def write_epoch(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(write_epoch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(f"{out_dir}/epoch=0")
+    assert back.count() > 0
+    assert set(back.columns) == {"window_start", "event_type", "n", "total_value"}
