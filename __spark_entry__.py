@@ -398,6 +398,35 @@ def ols_multivariate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confidence_intervals(spark, res)
 
 
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (operators.cdc.merge_upsert): customers with a
+    1999+ order get an 'active' status row upserted over their 'base'
+    row — anti-join + union, deterministic last-wins dedup."""
+    tune(spark)
+    from simple_data_workflow_spark.operators.cdc import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    target = cust.select("c_custkey", F.lit("base").alias("status"))
+    updates = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"), F.lit("active").alias("status"))
+        .distinct()
+    )
+    return merge_upsert(target, updates, "c_custkey").orderBy("c_custkey")
+
+
+MERGE_UPSERT_SQL = """
+SELECT c_custkey,
+       CASE WHEN EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1999-01-01')
+            THEN 'active' ELSE 'base' END AS status
+FROM customer ORDER BY c_custkey
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # LLM-data queries (SURVEY.md §2.3): dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -809,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_simple": _wrap(ols_simple),
         "ols_multivariate_ci": _wrap(ols_multivariate_ci),
         "mice_impute_lineitem": _wrap(mice_impute_lineitem),
+        "merge_upsert_customers": _wrap(merge_upsert_customers),
         # relational/OLAP coverage (SURVEY.md §2.2)
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -868,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "impute_median_psize": IMPUTE_MEDIAN_SQL,
         "impute_mode_priority": IMPUTE_MODE_SQL,
         "ols_simple": OLS_SIMPLE_SQL,
+        "merge_upsert_customers": MERGE_UPSERT_SQL,
         # ols_multivariate_ci: matrix solve, not SQL-expressible → rows-only
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,

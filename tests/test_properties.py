@@ -101,3 +101,29 @@ def test_asof_join_matches_bruteforce(spark, rights, lefts):
         want[lid] = max(cands)[2] if cands else None
     got = {r.id: (None if pd.isna(r.val) else r.val) for r in out.itertuples()}
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), money), min_size=1, max_size=200
+    )
+)
+def test_two_level_agg_equals_single_decimal_pass(spark, rows):
+    """exact_grouped_agg (long partials + DECIMAL reduce) must equal the
+    single-pass DECIMAL dsum exactly, under any grouping/partitioning."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.plans.relational import dsum, exact_grouped_agg
+
+    df = spark.createDataFrame(
+        [(f"g{k}", v) for k, v in rows], "k string, x double"
+    ).repartition(5)
+    got = {
+        r["k"]: r["s"]
+        for r in exact_grouped_agg(df, ["k"], sums={"s": F.col("x")}).collect()
+    }
+    want = {
+        r["k"]: r["s"] for r in df.groupBy("k").agg(dsum(F.col("x")).alias("s")).collect()
+    }
+    assert got == want
