@@ -469,6 +469,50 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llmdata.dedup.decontaminate): corpus
+    docs whose normalized fingerprint appears in a held-out benchmark
+    slice (doc_id < 50) are dropped via broadcast anti-join."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") < 50)
+    return dedup.decontaminate(docs, benchmark).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+DECONTAMINATE_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, lang, n_chars,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM documents
+), bench AS (SELECT DISTINCT f FROM fp WHERE doc_id < 50)
+SELECT doc_id, lang, n_chars FROM fp
+WHERE NOT EXISTS (SELECT 1 FROM bench WHERE bench.f = fp.f)
+ORDER BY doc_id
+"""
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 1-in-5 downsample per language
+    (llmdata.dedup.stratified_sample): id-modulus selection — a pure
+    filter, reproducible under any partitioning."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sampled = dedup.stratified_sample(docs, "lang", "doc_id", keep_of=5, keep=1)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SQL = """
+SELECT lang, COUNT(*) AS n_sampled
+FROM documents WHERE doc_id % 5 < 1
+GROUP BY lang ORDER BY lang
+"""
+
+
+
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard — the scale
     path itself (banding shuffle ∝ collisions). Hash-seeded internals are
@@ -874,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_term": _wrap(tfidf_top_term),
         "bigram_doc_freq": _wrap(bigram_doc_freq),
         "dedup_exact_docs": _wrap(dedup_exact_docs),
+        "decontaminate_docs": _wrap(decontaminate_docs),
+        "stratified_sample_docs": _wrap(stratified_sample_docs),
         "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
         "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
         "simhash_docs": _wrap(simhash_docs),
@@ -933,6 +979,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_term": TFIDF_SQL,
         "bigram_doc_freq": BIGRAM_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,
+        "decontaminate_docs": DECONTAMINATE_SQL,
+        "stratified_sample_docs": STRATIFIED_SQL,
         "ngram_jaccard_near_dups": NGRAM_JACCARD_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only
         "doc_text_stats": DOC_STATS_SQL,

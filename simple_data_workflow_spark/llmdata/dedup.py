@@ -242,3 +242,37 @@ def simhash_near_dups(
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs whose normalized
+    fingerprint appears in the benchmark set (exact-match stage of an
+    eval-leakage filter; the near-dup stage reuses minhash/jaccard).
+
+    Broadcast anti-join on md5 fingerprints — the benchmark side is
+    small by construction; the corpus streams through unshuffled.
+    """
+    from simple_data_workflow_spark.llmdata.text import fingerprint
+
+    tainted = benchmark.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    marked = corpus.withColumn("__fp", fingerprint(F.col(text_col)))
+    return marked.join(F.broadcast(tainted), "__fp", "left_anti").drop("__fp")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    keep_of: int = 5,
+    keep: int = 1,
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep ``keep``/``keep_of`` of
+    every stratum, chosen by id modulus — reproducible under any
+    partitioning/retry (unlike ``sample()``'s per-partition RNG), and a
+    pure filter: no shuffle at all."""
+    return df.where(F.pmod(F.col(id_col), F.lit(keep_of)) < keep)

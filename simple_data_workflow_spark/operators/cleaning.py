@@ -96,3 +96,56 @@ def clean_data(
         dummy_to_bool=dummy_to_bool,
     )
     return assumptions_hook(df), registry
+
+
+class ValidationError(ValueError):
+    """Raised by :func:`validate` when a rule is violated."""
+
+
+def validate(
+    df: DataFrame,
+    not_null: Sequence[str] | None = None,
+    unique: Sequence[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Concrete model-assumptions stage (the reference ships an identity
+    placeholder hook, src/tasks.py:235-240; this is the real validator to
+    plug into ``clean_data(assumptions_hook=...)``).
+
+    All rules check in ONE aggregate pass (violation counts, not row
+    collections); raises ``ValidationError`` naming every violated rule.
+    Returns ``df`` unchanged on success, so it composes as a pipeline
+    stage.
+    """
+    not_null = list(not_null or [])
+    ranges = dict(ranges or {})
+    aggs = []
+    for c in not_null:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null__{c}"))
+    for c, (lo, hi) in ranges.items():
+        aggs.append(
+            F.sum(
+                F.when((F.col(c) < lo) | (F.col(c) > hi), 1).otherwise(0)
+            ).alias(f"range__{c}")
+        )
+    if unique:
+        aggs.append(F.count(F.lit(1)).alias("__total"))
+        aggs.append(F.count_distinct(*[F.col(c) for c in unique]).alias("__distinct"))
+    problems = []
+    if aggs:
+        row = df.agg(*aggs).first()
+        for c in not_null:
+            n = row[f"null__{c}"] or 0
+            if n:
+                problems.append(f"{c}: {n} NULLs")
+        for c in ranges:
+            n = row[f"range__{c}"] or 0
+            if n:
+                problems.append(f"{c}: {n} values outside {ranges[c]}")
+        if unique and row["__total"] != row["__distinct"]:
+            problems.append(
+                f"key {tuple(unique)}: {row['__total'] - row['__distinct']} duplicate rows"
+            )
+    if problems:
+        raise ValidationError("; ".join(problems))
+    return df

@@ -33,3 +33,25 @@ def test_clean_data_composition(spark):
     assert dict(out.dtypes)["war"] == "boolean"  # dummy → bool
     assert registry.is_cat("status")  # str_to_cat default
     assert out.where(F.col("status").isNull()).count() == 1
+
+
+def test_validate_passes_and_composes(spark):
+    from simple_data_workflow_spark.operators.cleaning import validate
+
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, v double")
+    out = validate(df, not_null=["id", "v"], unique=["id"], ranges={"v": (0, 10)})
+    assert out is df
+
+
+def test_validate_reports_all_violations(spark):
+    import pytest
+
+    from simple_data_workflow_spark.operators.cleaning import ValidationError, validate
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, None), (2, 99.0)], "id long, v double"
+    )
+    with pytest.raises(ValidationError) as exc:
+        validate(df, not_null=["v"], unique=["id"], ranges={"v": (0, 10)})
+    msg = str(exc.value)
+    assert "v: 1 NULLs" in msg and "outside" in msg and "duplicate" in msg

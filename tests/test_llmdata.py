@@ -161,3 +161,21 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5  # probing half the lists on random data
     assert all(r["rank"] <= 3 for r in approx.collect())
+
+
+def test_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [(1, "keep me"), (2, "LEAKED  doc"), (3, "also kept")], ["doc_id", "text"]
+    )
+    benchmark = spark.createDataFrame([(100, "leaked doc")], ["doc_id", "text"])
+    out = dedup.decontaminate(corpus, benchmark)
+    # fingerprint normalizes case/whitespace → doc 2 is removed
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_stratified_sample_deterministic(spark):
+    df = spark.createDataFrame([(i, f"s{i%3}") for i in range(100)], ["id", "lang"])
+    a = {r["id"] for r in dedup.stratified_sample(df, "lang", "id", keep_of=5).collect()}
+    b = {r["id"] for r in dedup.stratified_sample(df.repartition(7), "lang", "id", keep_of=5).collect()}
+    assert a == b  # partitioning-independent
+    assert a == {i for i in range(100) if i % 5 < 1}
