@@ -513,6 +513,84 @@ GROUP BY lang ORDER BY lang
 
 
 
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over the embedding column: dimension, L2
+    norm, element mean/min/max via sequential codegen folds (identical
+    left-to-right accumulation to the oracle's list functions)."""
+    tune(spark)
+    from simple_data_workflow_spark.functions.vectors import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("long").alias("dim"),
+        F.round(norm(v), 6).alias("l2_norm"),
+        F.round(total / F.size(v), 6).alias("mean_elem"),
+        F.round(F.array_min(v).cast("double"), 6).alias("min_elem"),
+        F.round(F.array_max(v).cast("double"), 6).alias("max_elem"),
+    ).orderBy("vec_id")
+
+
+EMBEDDING_STATS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS dim,
+       ROUND(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+       ROUND(list_sum(v) / len(v), 6) AS mean_elem,
+       ROUND(list_min(v), 6) AS min_elem,
+       ROUND(list_max(v), 6) AS max_elem
+FROM e ORDER BY vec_id
+"""
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline — the end-to-end LLM-data flow: length
+    filter → exact dedup (min doc_id per text) → benchmark
+    decontamination (doc_id < 25 slice) → deterministic 1-in-2
+    stratified downsample per language → per-language accounting."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    filtered = docs.where((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000))
+    deduped_ids = dedup.exact_dedup(filtered, key_cols=["text"], id_col="doc_id").select(
+        "doc_id", "text"
+    )
+    survivors = filtered.join(deduped_ids.select("doc_id"), "doc_id")
+    benchmark = docs.where(F.col("doc_id") < 25)
+    clean = dedup.decontaminate(survivors, benchmark)
+    sampled = dedup.stratified_sample(clean, "lang", "doc_id", keep_of=2, keep=1)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_CURATION_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, lang, n_chars, text,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM documents
+  WHERE n_chars BETWEEN 100 AND 2000
+), keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY text),
+bench AS (
+  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM documents WHERE doc_id < 25
+), clean AS (
+  SELECT fp.* FROM fp
+  JOIN keep USING (doc_id)
+  WHERE NOT EXISTS (SELECT 1 FROM bench WHERE bench.f = fp.f)
+), sampled AS (SELECT * FROM clean WHERE doc_id % 2 < 1)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+
+
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard — the scale
     path itself (banding shuffle ∝ collisions). Hash-seeded internals are
@@ -920,6 +998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _wrap(dedup_exact_docs),
         "decontaminate_docs": _wrap(decontaminate_docs),
         "stratified_sample_docs": _wrap(stratified_sample_docs),
+        "embedding_stats": _wrap(embedding_stats),
+        "corpus_curation": _wrap(corpus_curation),
+        "order_rank_metrics": _wrap(rel.order_rank_metrics),
         "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
         "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
         "simhash_docs": _wrap(simhash_docs),
@@ -981,6 +1062,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": DEDUP_EXACT_SQL,
         "decontaminate_docs": DECONTAMINATE_SQL,
         "stratified_sample_docs": STRATIFIED_SQL,
+        "embedding_stats": EMBEDDING_STATS_SQL,
+        "corpus_curation": CORPUS_CURATION_SQL,
+        "order_rank_metrics": rel.RANK_METRICS_SQL,
         "ngram_jaccard_near_dups": NGRAM_JACCARD_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only
         "doc_text_stats": DOC_STATS_SQL,

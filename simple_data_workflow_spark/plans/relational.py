@@ -950,3 +950,35 @@ JOIN (
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey ASC
 """
+
+
+def order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window battery: ntile, percent_rank, lag/lead over
+    per-segment price ordering (unique tie-break via order key)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        joined.select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        .orderBy("c_mktsegment", "o_orderkey")
+    )
+
+
+RANK_METRICS_SQL = """
+SELECT c_mktsegment, o_orderkey,
+       CAST(NTILE(4) OVER w AS BIGINT) AS price_quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       LAG(o_orderkey) OVER w AS prev_orderkey,
+       LEAD(o_orderkey) OVER w AS next_orderkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC)
+ORDER BY c_mktsegment, o_orderkey
+"""
