@@ -186,6 +186,26 @@ def cosine_near_dup_pairs(
     return pairs.where(F.col("cosine") >= threshold)
 
 
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer (seeded MLlib KMeans on a bounded
+    sample) and return plain centroid lists. Index building is a one-time
+    cost amortized over queries — fit once, pass ``centroids`` into
+    ``ivf_topk`` for every search."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).limit(10_000)
+    model = KMeans(k=n_lists, seed=seed, maxIter=5).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -195,6 +215,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
     each corpus vector assigned to its nearest centroid list, each query
@@ -205,15 +226,9 @@ def ivf_topk(
     ∝ corpus/n_lists · n_probe per query instead of the full corpus;
     the shuffle key is the list id. Recall < 1 by construction.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     corpus = ensure_parallelism(corpus)
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    if centroids is None:
+        centroids = fit_ivf_centroids(corpus, vec_col=vec_col, n_lists=n_lists, seed=seed)
 
     def dist2_to(centroid):
         arr = F.array(*[F.lit(x) for x in centroid])
