@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from simple_data_workflow_spark.functions.vectors import cosine, dot, l2_normalize
+from simple_data_workflow_spark.functions.vectors import (
+    cosine,
+    cosine_pd,
+    dot,
+    hyperplane_bucket_pd,
+    l2_normalize,
+    nearest_centroids_pd,
+)
 from simple_data_workflow_spark.session import ensure_parallelism
 
 
@@ -45,13 +52,11 @@ def brute_force_topk(
     (dot/(norm·norm)), used for cross-engine hash parity."""
     corpus = ensure_parallelism(corpus)
     if prenormalize:
-        q = queries.select(
-            F.col(id_col).alias("query_id"), l2_normalize(F.col(vec_col)).alias("qv")
-        )
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"), l2_normalize(F.col(vec_col)).alias("cv")
-        )
-        score = dot(F.col("qv"), F.col("cv"))
+        # perf path: Arrow-batched BLAS cosine (the fold forms are
+        # interpreted per element — reserved for oracle-parity scoring)
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        score = cosine_pd()(F.col("qv"), F.col("cv"))
     else:
         q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
@@ -110,17 +115,20 @@ def lsh_topk(
     recall < 1 by construction (bucket boundary misses)."""
     planes = _hyperplanes(dim, n_planes, seed)
     corpus = ensure_parallelism(corpus)
+    bucket_udf = hyperplane_bucket_pd(planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
     )
     pairs = q.join(c, ["bucket"]).where(F.col("query_id") != F.col("neighbor_id"))
+    # candidate sets are small by design → fold-based cosine: a pandas_udf
+    # here pays a Python-worker roundtrip per (tiny) post-join partition
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -168,7 +176,11 @@ def cosine_near_dup_pairs(
     else:
         dim = len(df.select(vec_col).first()[0])
         planes = _hyperplanes(dim, 8)
-        bucketed = norm.withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+        bucketed = df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            hyperplane_bucket_pd(planes)(F.col(vec_col)).alias("bucket"),
+        )
         a, b = bucketed.alias("a"), bucketed.alias("b")
         pairs = (
             a.join(
@@ -179,7 +191,7 @@ def cosine_near_dup_pairs(
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.round(dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
             )
             .distinct()
         )
@@ -230,37 +242,25 @@ def ivf_topk(
     if centroids is None:
         centroids = fit_ivf_centroids(corpus, vec_col=vec_col, n_lists=n_lists, seed=seed)
 
-    def dist2_to(centroid):
-        arr = F.array(*[F.lit(x) for x in centroid])
-        return F.aggregate(
-            F.zip_with(F.col("__v"), arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def with_lists(df, n_assign):
-        """Attach the ids of the n_assign nearest centroid lists."""
-        scored = F.array(
-            *[
-                F.struct(dist2_to(c).alias("d"), F.lit(i).alias("list_id"))
-                for i, c in enumerate(centroids)
-            ]
-        )
-        top = F.slice(F.array_sort(scored), 1, n_assign)
-        return df.withColumn("__lists", F.transform(top, lambda s: s.list_id))
-
-    c = with_lists(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")), 1
-    ).select("neighbor_id", F.col("__v").alias("cv"), F.element_at("__lists", 1).alias("list_id"))
-    q = with_lists(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v")), n_probe
-    ).select("query_id", F.col("__v").alias("qv"), F.explode("__lists").alias("list_id"))
+    assign1 = nearest_centroids_pd(centroids, 1)
+    assign_probe = nearest_centroids_pd(centroids, n_probe)
+    cos_udf = cosine_pd()
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(assign_probe(F.col(vec_col))).alias("list_id"),
+    )
 
     pairs = q.join(c, "list_id").where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(cos_udf(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
