@@ -1001,6 +1001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": _wrap(embedding_stats),
         "corpus_curation": _wrap(corpus_curation),
         "order_rank_metrics": _wrap(rel.order_rank_metrics),
+        "string_fn_battery": _wrap(rel.string_fn_battery),
+        "date_fn_battery": _wrap(rel.date_fn_battery),
+        "cheapest_supplier_per_nation": _wrap(rel.cheapest_supplier_per_nation),
         "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
         "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
         "simhash_docs": _wrap(simhash_docs),
@@ -1065,6 +1068,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": EMBEDDING_STATS_SQL,
         "corpus_curation": CORPUS_CURATION_SQL,
         "order_rank_metrics": rel.RANK_METRICS_SQL,
+        "string_fn_battery": rel.STRING_BATTERY_SQL,
+        "date_fn_battery": rel.DATE_BATTERY_SQL,
+        "cheapest_supplier_per_nation": rel.Q2_SHAPE_SQL,
         "ngram_jaccard_near_dups": NGRAM_JACCARD_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only
         "doc_text_stats": DOC_STATS_SQL,

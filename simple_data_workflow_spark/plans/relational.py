@@ -982,3 +982,90 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC)
 ORDER BY c_mktsegment, o_orderkey
 """
+
+
+def string_fn_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function battery: case, substring, replace, padding,
+    reverse, edit distance, position — all codegen built-ins."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("long").alias("brand_dist"),
+        F.locate("a", F.col("p_name")).cast("long").alias("first_a"),
+    ).orderBy("p_partkey")
+
+
+STRING_BATTERY_SQL = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substr(p_name, 1, 10) AS name_prefix,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       replace(p_type, ' ', '_') AS type_snake,
+       lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+       reverse(p_brand) AS brand_rev,
+       CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+FROM part ORDER BY p_partkey
+"""
+
+
+def date_fn_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time-function battery: parts, truncation, arithmetic,
+    month boundaries — all pushed through codegen."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+DATE_BATTERY_SQL = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+       CAST(DAY(o_orderdate) AS BIGINT) AS d,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def cheapest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery — rows equal to their
+    group's minimum — expressed as a min-over-window filter (no join,
+    one shuffle on the group key)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("__min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("__min_bal"))
+        .select(
+            "s_suppkey",
+            F.col("s_nationkey").cast("long").alias("s_nationkey"),
+            F.round("s_acctbal", 6).alias("s_acctbal"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q2_SHAPE_SQL = """
+SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey, ROUND(s_acctbal, 6) AS s_acctbal
+FROM supplier s
+WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s.s_nationkey)
+ORDER BY s_suppkey
+"""
