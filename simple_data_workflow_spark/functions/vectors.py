@@ -29,7 +29,8 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """dot/(|a||b|); NULL for zero vectors (nullif guards ANSI mode)."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def l2_normalize(a: Column) -> Column:

@@ -52,8 +52,11 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
+    """|a∩b| / |a∪b|; NULL when both sets are empty (the nullif guard
+    keeps ANSI mode from raising DIVIDE_BY_ZERO on degenerate docs)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
+    union = (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
+    return inter / F.nullif(union, F.lit(0.0))
 
 
 def ngram_jaccard_pairs(

@@ -50,7 +50,8 @@ def stopword_ratio(text: Column) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
-    return n_punct.cast("double") / F.length(text).cast("double")
+    # nullif: empty strings yield NULL rather than an ANSI divide error
+    return n_punct.cast("double") / F.nullif(F.length(text).cast("double"), F.lit(0.0))
 
 
 def quality_score(text: Column) -> Column:
