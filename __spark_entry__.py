@@ -1004,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_fn_battery": _wrap(rel.string_fn_battery),
         "date_fn_battery": _wrap(rel.date_fn_battery),
         "cheapest_supplier_per_nation": _wrap(rel.cheapest_supplier_per_nation),
+        "conditional_agg_battery": _wrap(rel.conditional_agg_battery),
+        "weighted_avg_price": _wrap(rel.weighted_avg_price),
         "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
         "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
         "simhash_docs": _wrap(simhash_docs),
@@ -1071,6 +1073,8 @@ def oracle_sql() -> dict[str, str]:
         "string_fn_battery": rel.STRING_BATTERY_SQL,
         "date_fn_battery": rel.DATE_BATTERY_SQL,
         "cheapest_supplier_per_nation": rel.Q2_SHAPE_SQL,
+        "conditional_agg_battery": rel.CONDITIONAL_AGG_SQL,
+        "weighted_avg_price": rel.WEIGHTED_AVG_SQL,
         "ngram_jaccard_near_dups": NGRAM_JACCARD_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only
         "doc_text_stats": DOC_STATS_SQL,

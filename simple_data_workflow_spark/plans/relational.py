@@ -1069,3 +1069,59 @@ WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
                    WHERE s2.s_nationkey = s.s_nationkey)
 ORDER BY s_suppkey
 """
+
+
+def conditional_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: filtered counts, bool_or/bool_and,
+    sum-if — the FILTER(WHERE ...) family."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+            F.count_if(F.col("l_discount") == 0).alias("n_no_discount"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.round(F.col("l_quantity"))).otherwise(0)
+            ).cast("long").alias("qty_discounted"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+CONDITIONAL_AGG_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+       COUNT(*) FILTER (WHERE l_discount = 0) AS n_no_discount,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN ROUND(l_quantity) ELSE 0 END) AS BIGINT) AS qty_discounted
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted statistics: quantity-weighted mean unit price per flag
+    via two exact scaled sums (Σw·x / Σw)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice") * F.col("l_quantity")).alias("wx"),
+        F.col("l_quantity").alias("w"),
+    )
+    agg = exact_grouped_agg(
+        li, keys=["l_returnflag"], sums={"swx": F.col("wx"), "sw": F.col("w")}
+    )
+    return agg.select(
+        "l_returnflag", F.round(F.col("swx") / F.col("sw"), 6).alias("weighted_avg_price")
+    ).orderBy("l_returnflag")
+
+
+WEIGHTED_AVG_SQL = """
+SELECT l_returnflag,
+       ROUND(
+         (CAST(SUM(CAST(ROUND(l_extendedprice*l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0)
+         / (CAST(SUM(CAST(ROUND(l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0), 6)
+         AS weighted_avg_price
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
