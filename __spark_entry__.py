@@ -1006,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_supplier_per_nation": _wrap(rel.cheapest_supplier_per_nation),
         "conditional_agg_battery": _wrap(rel.conditional_agg_battery),
         "weighted_avg_price": _wrap(rel.weighted_avg_price),
+        "regexp_extract_brands": _wrap(rel.regexp_extract_brands),
+        "rollup_with_grouping_id": _wrap(rel.rollup_with_grouping_id),
         "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
         "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
         "simhash_docs": _wrap(simhash_docs),
@@ -1075,6 +1077,8 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_supplier_per_nation": rel.Q2_SHAPE_SQL,
         "conditional_agg_battery": rel.CONDITIONAL_AGG_SQL,
         "weighted_avg_price": rel.WEIGHTED_AVG_SQL,
+        "regexp_extract_brands": rel.REGEXP_EXTRACT_SQL,
+        "rollup_with_grouping_id": rel.GROUPING_ID_SQL,
         "ngram_jaccard_near_dups": NGRAM_JACCARD_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only
         "doc_text_stats": DOC_STATS_SQL,

@@ -1125,3 +1125,55 @@ SELECT l_returnflag,
          AS weighted_avg_price
 FROM lineitem GROUP BY 1 ORDER BY 1
 """
+
+
+def regexp_extract_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture groups: split 'Brand#NN' into its number, count
+    parts per brand number × size bucket."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+            (F.col("p_size") / 10).cast("long").alias("size_decile"),
+        )
+        .groupBy("brand_num", "size_decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("brand_num", "size_decile")
+    )
+
+
+REGEXP_EXTRACT_SQL = r"""
+SELECT CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+       CAST(p_size // 10 AS BIGINT) AS size_decile,
+       COUNT(*) AS n
+FROM part GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id(): distinguish subtotal rows from data
+    rows that happen to carry NULL keys."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+            "gid",
+        )
+    )
+
+
+GROUPING_ID_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, gid
+"""
