@@ -22,6 +22,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from simple_data_workflow_spark.functions.cols import qcol
 from pyspark.sql.types import BooleanType, NumericType, StringType
 
 MAX_LEVELS = 1000  # hard cap on per-column category cardinality
@@ -53,7 +55,7 @@ def _discover_levels(df: DataFrame, cols: list[str]) -> dict[str, list]:
     tiny; the collected result is O(levels), not O(rows)."""
     if not cols:
         return {}
-    aggs = [F.slice(F.array_sort(F.collect_set(c)), 1, MAX_LEVELS + 1).alias(c) for c in cols]
+    aggs = [F.slice(F.array_sort(F.collect_set(qcol(c))), 1, MAX_LEVELS + 1).alias(c) for c in cols]
     row = df.agg(*aggs).first().asDict()
     out = {}
     for c, levels in row.items():
@@ -102,7 +104,7 @@ def factor_wrangler(
     dummy_cols: list[str] = []
     if dummy_to_bool and numeric_cols:
         aggs = [
-            F.slice(F.array_sort(F.collect_set(c)), 1, _DUMMY_CAP).alias(c) for c in numeric_cols
+            F.slice(F.array_sort(F.collect_set(qcol(c))), 1, _DUMMY_CAP).alias(c) for c in numeric_cols
         ]
         sets = df.agg(*aggs).first().asDict()
         for c, vals in sets.items():
@@ -114,7 +116,7 @@ def factor_wrangler(
         if dummy_cols:
             df = df.select(
                 *[
-                    F.col(c).cast(BooleanType()).alias(c) if c in dummy_cols else F.col(c)
+                    qcol(c).cast(BooleanType()).alias(c) if c in dummy_cols else qcol(c)
                     for c in df.columns
                 ]
             )
@@ -125,7 +127,7 @@ def factor_wrangler(
 
     # (d) explicit domains: enforce, keep given order
     for c, levels in categories.items():
-        df = df.withColumn(c, F.when(F.col(c).isin(list(levels)), F.col(c)).otherwise(F.lit(None)))
+        df = df.withColumn(c, F.when(qcol(c).isin(list(levels)), qcol(c)).otherwise(F.lit(None)))
         registry.add(c, levels, ordered=c in ordered_cols)
 
     # discover levels for the rest in one pass
@@ -165,14 +167,14 @@ def encode_data(df: DataFrame, registry: CategoryRegistry) -> DataFrame:
         if c in ordered:
             levels = registry.levels[c]
             arr = F.array(*[F.lit(v) for v in levels])
-            code = (F.array_position(arr, F.col(c)) - F.lit(1)).cast("int")
+            code = (F.array_position(arr, qcol(c)) - F.lit(1)).cast("int")
             cols.append(F.coalesce(code, F.lit(-1)).alias(c))
         else:
-            cols.append(F.col(c))
+            cols.append(qcol(c))
     for c in unordered:
         for level in registry.levels[c]:
             name = f"{c}_{level}"
             cols.append(
-                F.when(F.col(c) == F.lit(level), F.lit(True)).otherwise(F.lit(False)).alias(name)
+                F.when(qcol(c) == F.lit(level), F.lit(True)).otherwise(F.lit(False)).alias(name)
             )
     return df.select(*cols)

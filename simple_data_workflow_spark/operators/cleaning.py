@@ -17,6 +17,8 @@ from collections.abc import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from simple_data_workflow_spark.functions.cols import qcol
 from pyspark.sql.types import NumericType, StringType
 
 from simple_data_workflow_spark.operators.categorical import (
@@ -44,7 +46,7 @@ def replace_na(
     num_sentinels = [v for v in na_values if isinstance(v, (int, float)) and not isinstance(v, bool)]
     out = []
     for field in df.schema.fields:
-        c = F.col(field.name)
+        c = qcol(field.name)
         if field.name in cols:
             if isinstance(field.dataType, StringType) and str_sentinels:
                 c = F.when(c.isin(str_sentinels), F.lit(None)).otherwise(c)

@@ -29,6 +29,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from simple_data_workflow_spark.functions.cols import qcol
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -46,7 +48,7 @@ def _has_na(df: DataFrame, cols: list[str]) -> bool:
     if not cols:
         return False
     row = df.agg(
-        *[F.max(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in cols]
+        *[F.max(F.when(qcol(c).isNull(), 1).otherwise(0)).alias(c) for c in cols]
     ).first()
     return any(row[c] == 1 for c in cols)
 
@@ -68,12 +70,12 @@ def _fill_values(df: DataFrame, cols: list[str]) -> dict[str, object]:
     aggs = []
     for c, kind in by_type.items():
         if kind == "mean":
-            aggs.append(F.avg(c).alias(c))
+            aggs.append(F.avg(qcol(c)).alias(c))
         elif kind == "median":
             # exact median (pandas interpolates the middle pair) — percentile,
             # not percentile_approx: correctness first, and a single-pass
             # exact percentile over a numeric column is still fully distributed
-            aggs.append(F.percentile(F.col(c), F.lit(0.5)).alias(c))
+            aggs.append(F.percentile(qcol(c), F.lit(0.5)).alias(c))
     fills: dict[str, object] = {}
     if aggs:
         row = df.agg(*aggs).first()
@@ -89,10 +91,10 @@ def _fill_values(df: DataFrame, cols: list[str]) -> dict[str, object]:
         if kind == "mode":
             # pandas .mode()[0]: most frequent, ties broken by smallest value
             top = (
-                df.where(F.col(c).isNotNull())
-                .groupBy(c)
+                df.where(qcol(c).isNotNull())
+                .groupBy(qcol(c).alias("__mode_v"))
                 .count()
-                .orderBy(F.col("count").desc(), F.col(c).asc())
+                .orderBy(F.col("count").desc(), F.col("__mode_v").asc())
                 .first()
             )
             if top is not None:
@@ -102,7 +104,7 @@ def _fill_values(df: DataFrame, cols: list[str]) -> dict[str, object]:
 
 def _pattern_col(cols: list[str]):
     return F.concat(
-        *[F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")) for c in cols]
+        *[F.when(qcol(c).isNull(), F.lit("1")).otherwise(F.lit("0")) for c in cols]
     )
 
 
@@ -161,7 +163,7 @@ def wrangle_na(
         if cat_feats:
             # one pass for all categorical features' level sets
             row = out.agg(
-                *[F.array_sort(F.collect_set(c)).alias(c) for c in cat_feats]
+                *[F.array_sort(F.collect_set(qcol(c))).alias(c) for c in cat_feats]
             ).first()
             levels_by_feat = {c: sorted(row[c] or [], key=str) for c in cat_feats}
         for feat in feats:
@@ -173,13 +175,13 @@ def wrangle_na(
                         name = _interaction_name(feat, lv, ind)
                         inter.append(
                             (
-                                (F.col(feat) == F.lit(lv)) & F.col(ind)
+                                (qcol(feat) == F.lit(lv)) & F.col(ind)
                             ).cast("double").alias(name)
                         )
                 elif isinstance(dtype, NumericType):
                     name = f'Q("{feat}"):Q("{ind}")[T.True]'
                     inter.append(
-                        (F.col(feat).cast("double") * F.col(ind).cast("double")).alias(name)
+                        (qcol(feat).cast("double") * F.col(ind).cast("double")).alias(name)
                     )
         return out.select("*", *inter)
     raise ValueError(f"unknown strategy {strategy!r}")

@@ -19,6 +19,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from simple_data_workflow_spark.functions.cols import qcol
 from pyspark.sql.types import BooleanType, NumericType
 
 from simple_data_workflow_spark.operators.categorical import CategoryRegistry
@@ -96,7 +98,7 @@ def transform_data(df: DataFrame, cols: Sequence[str], func: str = "arcsinh") ->
     if func == "log" and cols:
         # one aggregate pass; short-circuits via max() — no full scan of values to driver
         zero_flags = df.agg(
-            *[F.max(F.when(F.col(c) == 0, 1).otherwise(0)).alias(c) for c in cols]
+            *[F.max(F.when(qcol(c) == 0, 1).otherwise(0)).alias(c) for c in cols]
         ).first()
         bad = [c for c in cols if zero_flags[c] == 1]
         if bad:
@@ -104,7 +106,7 @@ def transform_data(df: DataFrame, cols: Sequence[str], func: str = "arcsinh") ->
     fn = _FUNCS[func]
     return df.select(
         *[
-            fn(F.col(c).cast("double")).alias(c) if c in cols else F.col(c)
+            fn(qcol(c).cast("double")).alias(c) if c in cols else qcol(c)
             for c in df.columns
         ]
     )
@@ -131,9 +133,9 @@ def gelman_standardize_data(
 
     aggs = []
     for c in numeric:
-        aggs += [F.avg(c).alias(f"__mu_{c}"), F.stddev_samp(c).alias(f"__sd_{c}")]
+        aggs += [F.avg(qcol(c)).alias(f"__mu_{c}"), F.stddev_samp(qcol(c)).alias(f"__sd_{c}")]
     for c in boolean:
-        aggs.append(F.avg(F.col(c).cast("double")).alias(f"__mu_{c}"))
+        aggs.append(F.avg(qcol(c).cast("double")).alias(f"__mu_{c}"))
     stats = df.agg(*aggs).first()
 
     out = []
@@ -141,10 +143,10 @@ def gelman_standardize_data(
         c = field.name
         if c in numeric:
             mu, sd = stats[f"__mu_{c}"], stats[f"__sd_{c}"]
-            expr = (F.col(c).cast("double") - F.lit(mu)) / (F.lit(2.0) * F.lit(sd))
+            expr = (qcol(c).cast("double") - F.lit(mu)) / (F.lit(2.0) * F.lit(sd))
             out.append(expr.alias(c))
         elif c in boolean:
-            out.append((F.col(c).cast("double") - F.lit(stats[f"__mu_{c}"])).alias(c))
+            out.append((qcol(c).cast("double") - F.lit(stats[f"__mu_{c}"])).alias(c))
         else:
-            out.append(F.col(c))
+            out.append(qcol(c))
     return df.select(*out)
