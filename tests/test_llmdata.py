@@ -179,3 +179,27 @@ def test_stratified_sample_deterministic(spark):
     b = {r["id"] for r in dedup.stratified_sample(df.repartition(7), "lang", "id", keep_of=5).collect()}
     assert a == b  # partitioning-independent
     assert a == {i for i in range(100) if i % 5 < 1}
+
+
+def test_tfidf_top_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["term"] for r in text.tfidf_top_terms(docs, k=1).collect()}
+    # 'common' appears in every doc → idf 0; the rare high-tf term wins
+    assert out[1] == "apple"
+    assert out[3] == "cherry"
+
+
+def test_bigram_doc_freq(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a b c")], ["doc_id", "text"]
+    )
+    rows = text.bigram_doc_freq(docs, top_n=2).collect()
+    assert (rows[0]["gram"], rows[0]["n_docs"]) == ("a b", 3)
+    assert (rows[1]["gram"], rows[1]["n_docs"]) == ("b c", 2)

@@ -28,3 +28,9 @@ def test_column_wrangler(spark):
 def test_clean_text_col(spark):
     df = spark.createDataFrame([("  A b  C ",)], ["x"])
     assert df.select(clean_text_col("x").alias("y")).first()["y"] == "a_b_c"
+
+
+def test_sanitize_string_iteration_quirk():
+    """Reference quirk (src/tasks.py:55-56): a bare string argument is
+    iterated character-by-character — preserved deliberately."""
+    assert sanitize_col_names("ab") == ["a", "b"]
