@@ -79,6 +79,66 @@ def _fit_column(df: DataFrame, target: str, feats: list[str]) -> tuple[np.ndarra
     return beta, sigma
 
 
+def _pmm_draw(
+    work: DataFrame, target: str, pred, row_id: str, sweep: int, seed: int
+) -> DataFrame:
+    """Predictive-mean-matching draw (statsmodels' default): each missing
+    cell takes the OBSERVED value of a row whose predicted mean is
+    closest to its own prediction — imputed values are always real
+    observed values (respects bounds/discreteness), unlike a normal draw.
+
+    Distributed as an as-of-style carry along the prediction axis inside
+    prediction-RANGE buckets (min/max from one tiny agg): donors
+    (observed rows) carry their value forward/backward per bucket; each
+    missing row picks the nearer neighbor, a hash bit breaking exact
+    ties. The windows partition on the bucket — never a global sort — so
+    the draw scales; a missing row at a bucket edge just falls back to
+    its one-sided neighbor (PMM samples among near donors anyway)."""
+    from pyspark.sql.window import Window
+
+    scored = work.withColumn("__pred", pred)
+    lo, hi = scored.agg(F.min("__pred"), F.max("__pred")).first()
+    n_buckets = 64
+    width = ((hi - lo) / n_buckets) if hi is not None and hi > lo else 1.0
+    scored = scored.withColumn(
+        "__pbucket",
+        F.least(
+            F.floor((F.col("__pred") - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(n_buckets - 1),
+        ),
+    )
+    w = (
+        Window.partitionBy("__pbucket")
+        .orderBy("__pred", F.col(row_id))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rev = (
+        Window.partitionBy("__pbucket")
+        .orderBy(F.desc("__pred"), F.desc(row_id))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    donor_val = F.when(~F.col(f"__na_{target}"), F.col(target))
+    donor_pred = F.when(~F.col(f"__na_{target}"), F.col("__pred"))
+    carried = (
+        scored.withColumn("__below_v", F.last(donor_val, ignorenulls=True).over(w))
+        .withColumn("__below_p", F.last(donor_pred, ignorenulls=True).over(w))
+        .withColumn("__above_v", F.last(donor_val, ignorenulls=True).over(w_rev))
+        .withColumn("__above_p", F.last(donor_pred, ignorenulls=True).over(w_rev))
+    )
+    d_below = F.abs(F.col("__pred") - F.col("__below_p"))
+    d_above = F.abs(F.col("__pred") - F.col("__above_p"))
+    jitter = F.pmod(F.xxhash64(F.col(row_id), F.lit(target), F.lit(sweep), F.lit(seed)), F.lit(2))
+    pick_below = (
+        F.col("__above_v").isNull()
+        | (F.col("__below_v").isNotNull() & ((d_below < d_above) | ((d_below == d_above) & (jitter == 0))))
+    )
+    drawn = F.when(pick_below, F.col("__below_v")).otherwise(F.col("__above_v"))
+    out = carried.withColumn(
+        target, F.when(F.col(f"__na_{target}"), drawn).otherwise(F.col(target))
+    )
+    return out.drop("__pred", "__pbucket", "__below_v", "__below_p", "__above_v", "__above_p")
+
+
 def mice_impute(
     df: DataFrame,
     cols: Sequence[str] | None = None,
@@ -87,13 +147,20 @@ def mice_impute(
     n_spread: int = 20,
     row_id: str | None = None,
     seed: int = 42,
+    draw: str = "normal",
 ) -> DataFrame:
     """Chained-equation multiple imputation over numeric columns.
+
+    ``draw='normal'``: Bayesian draws pred + N(0, σ̂) (deterministic
+    Box–Muller). ``draw='pmm'``: predictive mean matching — statsmodels'
+    default — imputed cells take nearest-predicted OBSERVED values.
 
     Returns the reference's stacked shape: ``iter`` (0..n_imputations-1)
     + ``row_id`` + the data columns, one fully-imputed copy of the input
     per saved draw (reference src/tasks.py:467-469).
     """
+    if draw not in ("normal", "pmm"):
+        raise ValueError(f"draw must be 'normal' or 'pmm', got {draw!r}")
     cols = list(cols) if cols else list(df.columns)
     if row_id is None:
         row_id = "__mice_row_id"
@@ -144,12 +211,15 @@ def mice_impute(
                 pred = F.lit(float(beta[0]))
                 for b, f_ in zip(beta[1:], feats):
                     pred = pred + F.lit(float(b)) * F.col(f_).cast("double")
-                noise = F.lit(sigma) * _gauss(
-                    F.col(row_id), F.lit(c), F.lit(sweep), F.lit(seed)
-                )
-                work = work.withColumn(
-                    c, F.when(F.col(f"__na_{c}"), pred + noise).otherwise(F.col(c))
-                )
+                if draw == "pmm":
+                    work = _pmm_draw(work, c, pred, row_id, sweep, seed)
+                else:
+                    noise = F.lit(sigma) * _gauss(
+                        F.col(row_id), F.lit(c), F.lit(sweep), F.lit(seed)
+                    )
+                    work = work.withColumn(
+                        c, F.when(F.col(f"__na_{c}"), pred + noise).otherwise(F.col(c))
+                    )
             work = work.persist()
             prev.unpersist()
         saved.append(

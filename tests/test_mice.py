@@ -70,3 +70,22 @@ def test_mice_distribution_reasonable(na_frame):
     observed_mean = pdf.x.dropna().mean()
     imputed_rows = out[out.row_id.isin(pdf[pdf.x.isna()].row_id)]
     assert abs(imputed_rows.x.mean() - observed_mean) < 2.0
+
+
+def test_mice_pmm_draws_observed_values(na_frame):
+    out = wrangle_na(
+        na_frame,
+        strategy="mice",
+        cols=["x", "y"],
+        n_burnin=2,
+        n_imputations=2,
+        n_spread=1,
+        row_id="row_id",
+        draw="pmm",
+    ).toPandas()
+    pdf = na_frame.toPandas()
+    observed_x = set(pdf.x.dropna().round(9))
+    imputed = out[out.row_id.isin(pdf[pdf.x.isna()].row_id)]
+    # PMM property: every imputed cell is an actually-observed value
+    assert set(imputed.x.round(9)) <= observed_x
+    assert imputed.x.notna().all()
