@@ -32,7 +32,11 @@ _DUMMY_CAP = 4  # a 0/1 dummy has ≤2 distinct values; cap the collected set
 
 @dataclass
 class CategoryRegistry:
-    """Levels + orderedness per categorical column (pandas-category analogue)."""
+    """Levels + orderedness per categorical column (pandas-category analogue).
+
+    Serializable (to_json/from_json + save/load) so the category metadata
+    survives engine restarts alongside the data it describes — the Spark
+    analogue of pandas persisting CategoricalDtype in pickles."""
 
     levels: dict[str, list] = field(default_factory=dict)
     ordered: set[str] = field(default_factory=set)
@@ -47,6 +51,29 @@ class CategoryRegistry:
 
     def is_ordered(self, col: str) -> bool:
         return col in self.ordered
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps({"levels": self.levels, "ordered": sorted(self.ordered)})
+
+    @classmethod
+    def from_json(cls, s: str) -> "CategoryRegistry":
+        import json
+
+        d = json.loads(s)
+        return cls(levels=dict(d.get("levels", {})), ordered=set(d.get("ordered", [])))
+
+    def save(self, path: str) -> None:
+        """Write beside the data (tiny driver-side file; on distributed
+        storage use the same path convention, e.g. <table>/_categories.json)."""
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "CategoryRegistry":
+        with open(path) as f:
+            return cls.from_json(f.read())
 
 
 def _discover_levels(df: DataFrame, cols: list[str]) -> dict[str, list]:

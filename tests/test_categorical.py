@@ -66,3 +66,16 @@ def test_ordinal_codes(spark):
     vals = [r["lvl"] for r in out.collect()]
     # cat.codes parity: NULL → -1, codes follow the explicit level order
     assert sorted(vals) == [-1, 0, 1, 2]
+
+
+def test_registry_roundtrip(tmp_path):
+    from simple_data_workflow_spark.operators.categorical import CategoryRegistry
+
+    r = CategoryRegistry()
+    r.add("seg", ["A", "B"], ordered=False)
+    r.add("prio", ["lo", "mid", "hi"], ordered=True)
+    p = str(tmp_path / "_categories.json")
+    r.save(p)
+    back = CategoryRegistry.load(p)
+    assert back.levels == r.levels
+    assert back.is_ordered("prio") and not back.is_ordered("seg")

@@ -55,3 +55,22 @@ def test_validate_reports_all_violations(spark):
         validate(df, not_null=["v"], unique=["id"], ranges={"v": (0, 10)})
     msg = str(exc.value)
     assert "v: 1 NULLs" in msg and "outside" in msg and "duplicate" in msg
+
+
+def test_validate_as_pipeline_hook(spark):
+    """validate plugs into clean_data's assumptions stage (the reference's
+    placeholder hook made concrete)."""
+    import functools
+
+    import pytest
+
+    from simple_data_workflow_spark.operators.cleaning import (
+        ValidationError,
+        clean_data,
+        validate,
+    )
+
+    df = spark.createDataFrame([(1, -5.0), (2, 7.0)], "id long, v double")
+    hook = functools.partial(validate, not_null=["id"], ranges={"v": (0, 10)})
+    with pytest.raises(ValidationError):
+        clean_data(df, str_to_cat=False, dummy_to_bool=False, assumptions_hook=hook)
