@@ -75,3 +75,60 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
     back = spark.read.parquet(f"{out_dir}/epoch=0")
     assert back.count() > 0
     assert set(back.columns) == {"window_start", "event_type", "n", "total_value"}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: a row arriving far
+    behind the advanced watermark is dropped; windows only emit once
+    finalized."""
+    import datetime as dt
+    import os
+
+    from simple_data_workflow_spark.streaming.events import windowed_counts_stream
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        # move the parquet part file into the source dir as one batch file
+        import glob
+        import shutil
+
+        part = glob.glob(str(src / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+        shutil.rmtree(str(src / name))
+
+    def ns(hour, minute=0):
+        return int(dt.datetime(2024, 1, 1, hour, minute).timestamp() * 1_000_000_000)
+
+    # batch 1: events at 10:xx and 13:xx → watermark advances to 11:00
+    write_batch("b1", [(1, ns(10, 5), 1, "click", 1.0, "{}"), (2, ns(13, 5), 1, "click", 1.0, "{}")])
+
+    from pyspark.sql import functions as F
+    from simple_data_workflow_spark.streaming.events import EVENTS_SCHEMA
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = windowed_counts_stream(stream, watermark="2 hours")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("wm_test").start()
+    q.processAllAvailable()
+    # batch 2: a very late row (05:xx — far below the 11:00 watermark)
+    write_batch("b2", [(3, ns(5, 30), 1, "click", 1.0, "{}"), (4, ns(14, 5), 1, "click", 1.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+    got = {str(r["window_start"]) for r in spark.sql("SELECT * FROM wm_test").collect()}
+    # the 05:00 window must never appear: its data arrived after the
+    # watermark passed it (append mode only emits finalized windows)
+    assert not any("05:00" in w for w in got)
