@@ -9,6 +9,16 @@ from simple_data_workflow_spark.operators.cleaning import (  # noqa: F401
     obj_wrangler,
     check_model_assumptions,
     clean_data,
+    validate,
+    ValidationError,
+)
+from simple_data_workflow_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    salted_join,
+)
+from simple_data_workflow_spark.operators.cdc import (  # noqa: F401
+    merge_upsert,
+    scd2_apply,
 )
 from simple_data_workflow_spark.operators.categorical import (  # noqa: F401
     CategoryRegistry,

@@ -132,3 +132,23 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 05:00 window must never appear: its data arrived after the
     # watermark passed it (append mode only emits finalized windows)
     assert not any("05:00" in w for w in got)
+
+
+def test_session_window_matches_sessionize(spark):
+    """session_window (gap-based) in batch mode agrees with the explicit
+    lag+cumsum sessionizer on session counts per user."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.readers import load_table
+    from simple_data_workflow_spark.plans.relational import sessionize_events
+
+    ev = load_table(spark, SF, "events")
+    sw = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in sw.collect()}
+    want = {r["user_id"]: r["n_sessions"] for r in sessionize_events(spark, SF).collect()}
+    assert got == want
