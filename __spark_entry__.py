@@ -787,7 +787,7 @@ def impute_fii_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.get_json_object("props", "$.k").cast("long"))
         .alias("k"),
     )
-    with_ind, _names = na_indicator_columns(ev, ["v", "k"])
+    with_ind, names = na_indicator_columns(ev, ["v", "k"])
     stats = ev.agg(
         _dsum_scaled(F.col("v")).alias("s"),
         F.count("v").alias("n"),
@@ -795,8 +795,14 @@ def impute_fii_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     v_fill = stats["s"] / stats["n"]
     k_fill = int(stats["kmed"]) if float(stats["kmed"]).is_integer() else stats["kmed"]
+    # stable output schema across scale factors: a pattern that never
+    # occurs (e.g. '11' at sf0.001) becomes a constant-False indicator
+    ind_cols = [
+        (F.col(p) if p in names else F.lit(False)).alias(p)
+        for p in ("na_01", "na_10", "na_11")
+    ]
     return with_ind.fillna({"v": v_fill, "k": k_fill}).select(
-        "event_id", F.round("v", 6).alias("v"), "k", "na_01", "na_10", "na_11"
+        "event_id", F.round("v", 6).alias("v"), "k", *ind_cols
     ).orderBy("event_id")
 
 
