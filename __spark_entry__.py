@@ -493,8 +493,9 @@ ORDER BY doc_id
 
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified 1-in-5 downsample per language
-    (llmdata.dedup.stratified_sample): id-modulus selection — a pure
-    filter, reproducible under any partitioning."""
+    (llmdata.dedup.stratified_sample): md5(lang|id)-modulus selection —
+    a pure filter, reproducible under any partitioning, and decorrelated
+    from raw id structure so the keep ratio holds per stratum."""
     tune(spark)
     docs = _t(spark, sf_dir, "documents")
     sampled = dedup.stratified_sample(docs, "lang", "doc_id", keep_of=5, keep=1)
@@ -507,7 +508,8 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STRATIFIED_SQL = """
 SELECT lang, COUNT(*) AS n_sampled
-FROM documents WHERE doc_id % 5 < 1
+FROM documents
+WHERE ('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 < 1
 GROUP BY lang ORDER BY lang
 """
 
@@ -584,7 +586,10 @@ bench AS (
   SELECT fp.* FROM fp
   JOIN keep USING (doc_id)
   WHERE NOT EXISTS (SELECT 1 FROM bench WHERE bench.f = fp.f)
-), sampled AS (SELECT * FROM clean WHERE doc_id % 2 < 1)
+), sampled AS (
+  SELECT * FROM clean
+  WHERE ('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 < 1
+)
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM sampled GROUP BY lang ORDER BY lang
 """
@@ -605,11 +610,12 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures + near-dup pairs within hamming ≤ 3.
-    xxhash64-based → rows-only check."""
+    """64-bit SimHash signatures + near-dup pairs within hamming ≤ 3
+    (4 derived bands of 16 bits → recall 1 by pigeonhole; exact
+    bit_count(xor) filter after). xxhash64-based → rows-only check."""
     tune(spark)
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, max_hamming=16).orderBy("id_a", "id_b")
+    return dedup.simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,10 +875,14 @@ WITH t AS (
   FROM t, m
 )
 SELECT event_id, ROUND(v_f, 6) AS v, k_f AS k, na_01, na_10, na_11,
-       ROUND(v_f * (CASE WHEN na_01 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""v""):Q(""na_01"")[T.True]",
+       -- patsy redundancy: the FIRST indicator in each numeric bucket
+       -- (na_01) is full-coded ([False]/[True]); later ones treatment-coded
+       ROUND(v_f * (CASE WHEN NOT na_01 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""v""):Q(""na_01"")[False]",
+       ROUND(v_f * (CASE WHEN na_01 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""v""):Q(""na_01"")[True]",
        ROUND(v_f * (CASE WHEN na_10 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""v""):Q(""na_10"")[T.True]",
        ROUND(v_f * (CASE WHEN na_11 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""v""):Q(""na_11"")[T.True]",
-       ROUND(k_f * (CASE WHEN na_01 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""k""):Q(""na_01"")[T.True]",
+       ROUND(k_f * (CASE WHEN NOT na_01 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""k""):Q(""na_01"")[False]",
+       ROUND(k_f * (CASE WHEN na_01 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""k""):Q(""na_01"")[True]",
        ROUND(k_f * (CASE WHEN na_10 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""k""):Q(""na_10"")[T.True]",
        ROUND(k_f * (CASE WHEN na_11 THEN 1.0 ELSE 0.0 END), 6) AS "Q(""k""):Q(""na_11"")[T.True]"
 FROM f ORDER BY event_id

@@ -53,9 +53,15 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 def jaccard(a: Column, b: Column) -> Column:
     """|a∩b| / |a∪b|; NULL when both sets are empty (the nullif guard
-    keeps ANSI mode from raising DIVIDE_BY_ZERO on degenerate docs)."""
+    keeps ANSI mode from raising DIVIDE_BY_ZERO on degenerate docs).
+
+    array_intersect appears ONCE in the tree (|a∪b| = |a|+|b|-|a∩b|
+    would duplicate it and Catalyst inlines within a projection);
+    array_union is the second — two set ops total, each evaluated once.
+    Hot-path callers (``ngram_jaccard_pairs``) hoist the intersect size
+    into a prior projection instead."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
     return inter / F.nullif(union, F.lit(0.0))
 
 
@@ -88,10 +94,21 @@ def ngram_jaccard_pairs(
             cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
             .join(b, cand.id_b == F.col(f"b.{id_col}"))
         )
-    out = pairs.select(
+    # two projections so the expensive array_intersect is evaluated once
+    # per pair (Catalyst inlines duplicated exprs within one projection
+    # but CollapseProject spares multiply-referenced non-cheap ones)
+    sized = pairs.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double").alias("__i"),
+        (F.size(F.col("a.sh")) + F.size(F.col("b.sh"))).cast("double").alias("__sz"),
+    )
+    out = sized.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("__i") / F.nullif(F.col("__sz") - F.col("__i"), F.lit(0.0)), 6
+        ).alias("jaccard"),
     )
     return out.where(F.col("jaccard") >= threshold)
 
@@ -210,20 +227,36 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dups = SimHash signatures within ``max_hamming`` bits.
 
-    Banding join (4 bands of 16 bits; ≤3 differing bits ⇒ at least one
-    band identical) then exact Hamming filter via bit_count(xor)."""
+    Band count is DERIVED from the threshold: ``max_hamming + 1`` bands
+    of ~``64/(max_hamming+1)`` bits each, so by pigeonhole any pair with
+    ≤ max_hamming differing bits shares at least one identical band —
+    recall is exactly 1 by construction (an exact Hamming filter via
+    bit_count(xor) removes band-collision false positives). More bands
+    ⇒ narrower chunks ⇒ more collisions: callers trade threshold
+    leniency for candidate volume explicitly, never silently losing
+    recall."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
     sig = ensure_parallelism(df).select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+
+    def chunk(b: int) -> Column:
+        start = b * 64 // n_bands
+        width = (b + 1) * 64 // n_bands - start
+        if width >= 64:
+            return F.col("sig")
+        # arithmetic shiftright sign-extends; the mask strips the fill
+        mask = (1 << width) - 1
+        return F.shiftright("sig", start).bitwiseAND(F.lit(mask))
+
     bands = sig.select(
         id_col,
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                    )
-                    for b in range(4)
+                    F.struct(F.lit(b).alias("band"), chunk(b).alias("chunk"))
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -275,7 +308,20 @@ def stratified_sample(
     keep: int = 1,
 ) -> DataFrame:
     """Deterministic stratified downsampling: keep ``keep``/``keep_of`` of
-    every stratum, chosen by id modulus — reproducible under any
-    partitioning/retry (unlike ``sample()``'s per-partition RNG), and a
-    pure filter: no shuffle at all."""
-    return df.where(F.pmod(F.col(id_col), F.lit(keep_of)) < keep)
+    every stratum, chosen by a hash of (stratum, id) — reproducible under
+    any partitioning/retry (unlike ``sample()``'s per-partition RNG), and
+    a pure filter: no shuffle at all.
+
+    Hashing the stratum INTO the selection key decorrelates selection
+    from raw id structure: the keep ratio holds per stratum even when ids
+    are assigned in blocks per stratum (a plain ``id % keep_of`` keeps
+    0% or 100% of such a block). md5 (not xxhash64) so the DuckDB oracle
+    can reproduce the exact selection; the first 8 hex chars (32 bits)
+    are plenty of entropy for a modulus draw.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return df.where(F.pmod(bucket, F.lit(keep_of)) < keep)

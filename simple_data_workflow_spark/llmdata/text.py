@@ -122,9 +122,11 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """Top-k TF-IDF terms per document.
 
     explode → two hash aggregates (term frequency per doc, document
-    frequency per term) → broadcast-join the tiny df side → per-doc
-    ranking window. The only global number is N (corpus size), collected
-    as one scalar. idf = ln(N/df), score = tf·idf.
+    frequency per term) → shuffle-join on term → per-doc ranking window.
+    The docf side is vocabulary-sized (unbounded at corpus scale), so it
+    is NOT force-broadcast — AQE auto-broadcasts it when it is actually
+    small. The only global number is N (corpus size), collected as one
+    scalar. idf = ln(N/df), score = tf·idf.
     """
     from pyspark.sql.window import Window
 
@@ -132,7 +134,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     terms = ensure_parallelism(df).select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(docf), "term").select(
+    scored = tf.join(docf, "term").select(
         F.col(id_col),
         "term",
         (F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),

@@ -64,7 +64,9 @@ def scd2_apply(
         F.max("__change_ts").alias("__change_ts")
     )
     newly_closed = (
-        open_rows.join(F.broadcast(key_changes), on=key, how="inner")
+        # no forced broadcast: a change batch is unbounded in principle;
+        # AQE broadcasts key_changes when it is actually small
+        open_rows.join(key_changes, on=key, how="inner")
         .withColumn(end_col, F.col("__change_ts"))
         .withColumn(current_flag, F.lit(False))
         .drop("__change_ts")

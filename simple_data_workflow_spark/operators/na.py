@@ -25,6 +25,8 @@ guards pathological inputs.
 
 from __future__ import annotations
 
+import itertools
+from collections import defaultdict
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -87,19 +89,49 @@ def _fill_values(df: DataFrame, cols: list[str]) -> dict[str, object]:
                     # match by keeping the double only when non-integral
                     v = int(v) if v is not None and float(v).is_integer() else v
                 fills[c] = v
-    for c, kind in by_type.items():
-        if kind == "mode":
-            # pandas .mode()[0]: most frequent, ties broken by smallest value
-            top = (
-                df.where(qcol(c).isNotNull())
-                .groupBy(qcol(c).alias("__mode_v"))
-                .count()
-                .orderBy(F.col("count").desc(), F.col("__mode_v").asc())
-                .first()
-            )
-            if top is not None:
-                fills[c] = top[0]
+    mode_cols = [c for c, kind in by_type.items() if kind == "mode"]
+    fills.update(_mode_values(df, mode_cols))
     return fills
+
+
+def _mode_values(df: DataFrame, mode_cols: list[str]) -> dict[str, object]:
+    """pandas ``.mode()[0]`` per column (most frequent, ties → smallest
+    value) for ALL mode columns in ONE pass: melt to (col, value) pairs,
+    one hash aggregate, per-column window top-1. One shuffle regardless
+    of how many categorical/bool columns the frame has (vs one groupBy
+    job per column). String ordering gives the pandas tie-break for both
+    strings and booleans ('false' < 'true' matches False < True)."""
+    if not mode_cols:
+        return {}
+    from pyspark.sql.window import Window
+
+    is_bool = {
+        c: isinstance(df.schema[c].dataType, BooleanType) for c in mode_cols
+    }
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("__c"), qcol(c).cast("string").alias("__v")
+                    )
+                    for c in mode_cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.__c", "kv.__v").where(F.col("__v").isNotNull())
+    w = Window.partitionBy("__c").orderBy(F.desc("count"), F.asc("__v"))
+    top = (
+        melted.groupBy("__c", "__v")
+        .count()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .collect()
+    )
+    out: dict[str, object] = {}
+    for r in top:
+        out[r["__c"]] = r["__v"] == "true" if is_bool[r["__c"]] else r["__v"]
+    return out
 
 
 def _pattern_col(cols: list[str]):
@@ -123,10 +155,101 @@ def na_indicator_columns(df: DataFrame, cols: list[str]) -> tuple[DataFrame, lis
     return out.drop("__pat"), names
 
 
-def _interaction_name(feat: str, level, ind: str) -> str:
-    """patsy dmatrix naming for Q('feat')[level]:Q('na_x')[T.True] terms
-    (golden pinned at reference test_tasks.py:431-459)."""
-    return f'Q("{feat}")[{level}]:Q("{ind}")[T.True]'
+def _patsy_pick_subterms(
+    cat_factors: list[str], used: set[frozenset]
+) -> list[dict[str, bool]]:
+    """Patsy's redundancy-resolution algorithm for one term (public patsy
+    ``redundancy.py`` semantics; the reference builds its gm design matrix
+    via ``dmatrix`` so the golden at reference test_tasks.py:431-459 pins
+    exactly this expansion).
+
+    A term's categorical factor set is expanded into its subsets (sorted
+    by size, then factor order); subsets already emitted by earlier terms
+    in the same numeric bucket are dropped; the remaining subterms are
+    greedily merged — a pair differing by exactly one reduced-coded
+    factor collapses into one subterm with that factor full-coded.
+    Returns subterms as ``{factor: full_coded?}`` dicts; ``used`` is
+    mutated with the subsets this term now covers.
+    """
+    fresh: list[dict[str, bool]] = []
+    for r in range(len(cat_factors) + 1):
+        for s in itertools.combinations(cat_factors, r):
+            if frozenset(s) not in used:
+                used.add(frozenset(s))
+                fresh.append({f: False for f in s})
+    changed = True
+    while changed:
+        changed = False
+        for i, short in enumerate(fresh):
+            short_items = set(short.items())
+            for j, long_ in enumerate(fresh):
+                if i == j or len(long_) != len(short) + 1:
+                    continue
+                diff = set(long_.items()) - short_items
+                if len(diff) == 1 and short_items <= set(long_.items()):
+                    (f, expanded), = diff
+                    if not expanded:
+                        merged = dict(short)
+                        merged[f] = True
+                        fresh[i] = merged
+                        fresh.pop(j)
+                        changed = True
+                        break
+            if changed:
+                break
+    return fresh
+
+
+def _gm_interaction_columns(
+    out: DataFrame, feats: list[str], ind_names: list[str]
+) -> list:
+    """The gm interaction column set with patsy-exact names and values.
+
+    The reference's formula is ``sum(Q(feat):Q(ind)) - 1`` over
+    ``itertools.product(features, na_indicators)`` (src/tasks.py:433-437);
+    patsy assigns full vs treatment (``[T.lv]``) codings per factor via
+    the per-numeric-bucket redundancy algorithm above. Level sets for all
+    categorical factors (string/bool features AND the boolean indicators)
+    come from ONE aggregate pass, collected as a single tiny row.
+    """
+    cat_feats = [
+        c for c in feats if isinstance(out.schema[c].dataType, (StringType, BooleanType))
+    ]
+    all_cat = cat_feats + list(ind_names)
+    levels_by_factor: dict[str, list] = {}
+    if all_cat:
+        row = out.agg(
+            *[F.array_sort(F.collect_set(qcol(c))).alias(c) for c in all_cat]
+        ).first()
+        levels_by_factor = {c: list(row[c] or []) for c in all_cat}
+
+    used_by_bucket: dict[frozenset, set] = defaultdict(set)
+    cols = []
+    for feat in feats:
+        is_cat = feat in cat_feats
+        if not is_cat and not isinstance(out.schema[feat].dataType, NumericType):
+            continue
+        for ind in ind_names:
+            numeric = () if is_cat else (feat,)
+            cats = ([feat] if is_cat else []) + [ind]
+            subterms = _patsy_pick_subterms(cats, used_by_bucket[frozenset(numeric)])
+            for sub in subterms:
+                sub_factors = [f for f in cats if f in sub]
+                level_choices = [
+                    levels_by_factor[f] if sub[f] else levels_by_factor[f][1:]
+                    for f in sub_factors
+                ]
+                for combo in itertools.product(*level_choices):
+                    parts = [f'Q("{nf}")' for nf in numeric]
+                    expr = F.lit(1.0)
+                    for nf in numeric:
+                        expr = expr * qcol(nf).cast("double")
+                    for f, lv in zip(sub_factors, combo):
+                        tag = str(lv) if sub[f] else f"T.{lv}"
+                        parts.append(f'Q("{f}")[{tag}]')
+                        expr = expr * (qcol(f) == F.lit(lv)).cast("double")
+                    cols.append(expr.alias(":".join(parts)))
+    return cols
 
 
 def wrangle_na(
@@ -153,35 +276,7 @@ def wrangle_na(
     if strategy == "gm":
         out, ind_names = na_indicator_columns(df, cols)
         out = out.fillna(_fill_values(out, cols))
-        # full interaction set: every (feature level/value) × (NA indicator)
         feats = [c for c in cols if c in out.columns]
-        inter = []
-        cat_feats = [
-            c for c in feats if isinstance(out.schema[c].dataType, (StringType, BooleanType))
-        ]
-        levels_by_feat: dict[str, list] = {}
-        if cat_feats:
-            # one pass for all categorical features' level sets
-            row = out.agg(
-                *[F.array_sort(F.collect_set(qcol(c))).alias(c) for c in cat_feats]
-            ).first()
-            levels_by_feat = {c: sorted(row[c] or [], key=str) for c in cat_feats}
-        for feat in feats:
-            dtype = out.schema[feat].dataType
-            for ind in ind_names:
-                if isinstance(dtype, (StringType, BooleanType)):
-                    # categorical feature: one interaction per level
-                    for lv in levels_by_feat[feat]:
-                        name = _interaction_name(feat, lv, ind)
-                        inter.append(
-                            (
-                                (qcol(feat) == F.lit(lv)) & F.col(ind)
-                            ).cast("double").alias(name)
-                        )
-                elif isinstance(dtype, NumericType):
-                    name = f'Q("{feat}"):Q("{ind}")[T.True]'
-                    inter.append(
-                        (qcol(feat).cast("double") * F.col(ind).cast("double")).alias(name)
-                    )
+        inter = _gm_interaction_columns(out, feats, ind_names)
         return out.select("*", *inter)
     raise ValueError(f"unknown strategy {strategy!r}")

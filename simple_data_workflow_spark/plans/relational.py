@@ -12,11 +12,14 @@ double sum is not reproducible bit-for-bit across engines, and a
 fractional double→DECIMAL cast rounds differently per engine); every
 float output is rounded; every ordering has a unique tie-break key.
 
-Scale notes: dimension sides of joins carry explicit ``broadcast``
-hints (region/nation/customer/supplier are dimension-sized); fact-fact
-joins (orders⋈lineitem) shuffle on the join key and AQE handles skew;
-top-k uses per-key windows (partition-local sorts), never a global
-order-by of the fact table.
+Scale notes: only TRUE dimensions (region: 5 rows, nation: 25 rows —
+fixed-size regardless of scale factor) carry explicit ``broadcast``
+hints. customer/supplier scale with SF (~TB at a 100 TB lineitem), so
+their joins carry no hint — AQE broadcasts them at small sf and falls
+back to shuffle joins at scale. Fact-fact joins (orders⋈lineitem)
+shuffle on the join key and AQE handles skew; top-k uses per-key
+windows (partition-local sorts), never a global order-by of the fact
+table.
 """
 
 from __future__ import annotations
@@ -165,11 +168,11 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
     )
-    # scale shape: only the dimension (customer) is broadcast; the
-    # fact-fact orders⋈lineitem leg shuffles on the order key (AQE may
-    # still locally convert it when the filtered side fits)
+    # scale shape: customer scales with SF (not a true dimension), so no
+    # forced broadcast — AQE converts the join locally when the filtered
+    # side fits; the fact-fact orders⋈lineitem leg shuffles on the order key
     return (
-        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -198,7 +201,9 @@ LIMIT 10
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join; all dims broadcast, facts shuffle on keys."""
+    """TPC-H Q5 shape: 6-way join; true dims (nation/region) broadcast,
+    SF-proportional sides (customer/supplier) left to AQE, facts shuffle
+    on keys."""
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -209,10 +214,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -244,7 +249,7 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sort is per-partition-key inside the window — no global sort."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
@@ -539,7 +544,7 @@ def pivot_segment_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the plan static — no pre-scan for distinct pivot values)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         F.year("o_orderdate").cast("long").alias("order_year"), "c_mktsegment"
     )
     return (
@@ -593,7 +598,7 @@ def quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``quantile_cont``); percentile_approx is the sketch path."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
         joined.groupBy("c_mktsegment")
         .agg(
@@ -925,7 +930,7 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
@@ -957,7 +962,7 @@ def order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-segment price ordering (unique tie-break via order key)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         joined.select(

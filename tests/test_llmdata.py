@@ -178,7 +178,58 @@ def test_stratified_sample_deterministic(spark):
     a = {r["id"] for r in dedup.stratified_sample(df, "lang", "id", keep_of=5).collect()}
     b = {r["id"] for r in dedup.stratified_sample(df.repartition(7), "lang", "id", keep_of=5).collect()}
     assert a == b  # partitioning-independent
-    assert a == {i for i in range(100) if i % 5 < 1}
+    assert 0 < len(a) < 100  # a real subsample
+
+
+def test_stratified_sample_holds_under_id_skew(spark):
+    # ids assigned in contiguous blocks per stratum — the worst case for
+    # a raw id-modulus selection (keeps 0% or 100% of a block when block
+    # boundaries align with the modulus); hashing (stratum, id) must keep
+    # ~1/keep_of of EVERY stratum
+    rows = []
+    for s, (lo, hi) in enumerate([(0, 400), (400, 800), (800, 1200)]):
+        rows += [(i, f"lang{s}") for i in range(lo, hi)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    out = dedup.stratified_sample(df, "lang", "id", keep_of=4, keep=1)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"lang0", "lang1", "lang2"}  # no stratum wiped out
+    for n in counts.values():
+        # binomial(400, 0.25): mean 100, sd ~8.7 — 5 sd tolerance
+        assert 55 <= n <= 145, counts
+
+
+def test_simhash_banding_full_recall_vs_brute_force(spark):
+    # small corpus with pairs across the hamming spectrum; banding must
+    # find EVERY pair within max_hamming that brute force finds
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    base = list(words[:20])
+    for i in range(12):
+        toks = list(base)
+        for _ in range(rng.integers(0, 6)):  # light perturbations
+            toks[rng.integers(0, len(toks))] = words[rng.integers(0, 40)]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for max_h in (3, 8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_near_dups(df, max_hamming=max_h).collect()
+        }
+        sig = df.select("doc_id", dedup.simhash64(F.col("text")).alias("sig"))
+        a, b = sig.alias("a"), sig.alias("b")
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("h"),
+            )
+            .where(F.col("h") <= max_h)
+            .collect()
+        }
+        assert got == brute  # recall 1 by pigeonhole + exact filter
 
 
 def test_tfidf_top_terms(spark):

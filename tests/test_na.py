@@ -61,19 +61,70 @@ def test_fii_indicators(f5):
     assert rows[3]["na_0011"]
 
 
-def test_fii_fills_too(f5):
+def test_fii_golden_exact_frame(f5):
+    """Reference test_wrangle_na_fii (test_tasks.py:379-408) pinned 1:1:
+    imputed features + one boolean indicator per observed NA pattern."""
     out = wrangle_na(f5, strategy="fii", cols=["int_x", "float_x", "cat_x", "bool_x"])
-    assert "na_1000" in out.columns
-    assert out.where(F.col("int_x").isNull()).count() == 0
+    rows = out.orderBy("row_id").collect()
+    got = {c: [r[c] for r in rows] for c in out.columns if c != "row_id"}
+    expected = {
+        "int_x": [1, 2, 2, 4],
+        "float_x": [1.5, 2.0, 2.5, 2.0],
+        "cat_x": ["A", "A", "B", "A"],
+        "bool_x": [False, True, False, False],
+        "na_0011": [False, False, False, True],
+        "na_0100": [False, True, False, False],
+        "na_1000": [False, False, True, False],
+    }
+    assert sorted(got) == sorted(expected)
+    for c in expected:
+        assert got[c] == expected[c], c
+    types = dict(out.dtypes)
+    assert types["int_x"] == "bigint" and types["bool_x"] == "boolean"
+    assert {types[n] for n in ("na_0011", "na_0100", "na_1000")} == {"boolean"}
 
 
-def test_gm_interactions(f5):
+def test_gm_golden_exact_frame(f5):
+    """The reference's 48-line gm golden (test_tasks.py:411-462) pinned
+    1:1 — patsy's per-bucket redundancy codings included: the FIRST
+    indicator a bucket meets is full-coded ([False]/[True]), later ones
+    treatment-coded ([T.True]); the first categorical feature is
+    full-coded, later ones reduced."""
     out = wrangle_na(f5, strategy="gm", cols=["int_x", "float_x", "cat_x", "bool_x"])
-    inter = [c for c in out.columns if ":" in c]
-    # 2 numeric feats × 3 indicators + (2 cat levels + 2 bool levels) × 3
-    assert len(inter) == 2 * 3 + (2 + 2) * 3
-    assert 'Q("int_x"):Q("na_1000")[T.True]' in inter
-    assert 'Q("cat_x")[A]:Q("na_0100")[T.True]' in inter
+    rows = out.orderBy("row_id").collect()
+    got = {c: [r[c] for r in rows] for c in out.columns if c != "row_id"}
+    expected = {
+        "int_x": [1, 2, 2, 4],
+        "float_x": [1.5, 2.0, 2.5, 2.0],
+        "cat_x": ["A", "A", "B", "A"],
+        "bool_x": [False, True, False, False],
+        "na_1000": [False, False, True, False],
+        "na_0100": [False, True, False, False],
+        "na_0011": [False, False, False, True],
+        'Q("cat_x")[A]:Q("na_0011")[False]': [1.0, 1.0, 0.0, 0.0],
+        'Q("cat_x")[B]:Q("na_0011")[False]': [0.0, 0.0, 1.0, 0.0],
+        'Q("cat_x")[A]:Q("na_0011")[True]': [0.0, 0.0, 0.0, 1.0],
+        'Q("cat_x")[B]:Q("na_0011")[True]': [0.0, 0.0, 0.0, 0.0],
+        'Q("cat_x")[A]:Q("na_0100")[T.True]': [0.0, 1.0, 0.0, 0.0],
+        'Q("cat_x")[B]:Q("na_0100")[T.True]': [0.0, 0.0, 0.0, 0.0],
+        'Q("cat_x")[A]:Q("na_1000")[T.True]': [0.0, 0.0, 0.0, 0.0],
+        'Q("cat_x")[B]:Q("na_1000")[T.True]': [0.0, 0.0, 1.0, 0.0],
+        'Q("bool_x")[T.True]:Q("na_0011")[False]': [0.0, 1.0, 0.0, 0.0],
+        'Q("bool_x")[T.True]:Q("na_0011")[True]': [0.0, 0.0, 0.0, 0.0],
+        'Q("bool_x")[T.True]:Q("na_0100")[T.True]': [0.0, 1.0, 0.0, 0.0],
+        'Q("bool_x")[T.True]:Q("na_1000")[T.True]': [0.0, 0.0, 0.0, 0.0],
+        'Q("int_x"):Q("na_0011")[False]': [1.0, 2.0, 2.0, 0.0],
+        'Q("int_x"):Q("na_0011")[True]': [0.0, 0.0, 0.0, 4.0],
+        'Q("int_x"):Q("na_0100")[T.True]': [0.0, 2.0, 0.0, 0.0],
+        'Q("int_x"):Q("na_1000")[T.True]': [0.0, 0.0, 2.0, 0.0],
+        'Q("float_x"):Q("na_0011")[False]': [1.5, 2.0, 2.5, 0.0],
+        'Q("float_x"):Q("na_0011")[True]': [0.0, 0.0, 0.0, 2.0],
+        'Q("float_x"):Q("na_0100")[T.True]': [0.0, 2.0, 0.0, 0.0],
+        'Q("float_x"):Q("na_1000")[T.True]': [0.0, 0.0, 2.5, 0.0],
+    }
+    assert sorted(got) == sorted(expected)
+    for c in expected:
+        assert got[c] == expected[c], c
 
 
 def test_no_na_early_return(spark):
