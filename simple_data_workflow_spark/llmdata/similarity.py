@@ -100,6 +100,18 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return bucket
 
 
+def _probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """XOR masks for multiprobe: every bit pattern flipping ≤ probe_bits
+    of the n_planes sign bits (mask 0 = the home bucket)."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, probe_bits + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in combo))
+    return masks
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -109,17 +121,45 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates from hyperplane-bucket collision,
-    exact cosine re-rank. Same output schema as ``brute_force_topk``;
-    recall < 1 by construction (bucket boundary misses)."""
+    exact cosine re-rank. Same output schema as ``brute_force_topk``.
+
+    Recall < 1 by construction (bucket-boundary misses); the two tuning
+    levers trade recall against candidate volume explicitly:
+
+    - ``n_planes``: more planes → 2^n_planes buckets → smaller buckets.
+      Scale it with corpus size (≈ log2(N / target_bucket_rows)) so
+      per-bucket candidate counts stay bounded at 100 TB.
+    - ``probe_bits``: each QUERY also probes every bucket within hamming
+      ``probe_bits`` of its own (sum of C(n_planes, i) buckets) — near-
+      boundary neighbors differing in a few sign bits are recovered
+      without coarsening the bucketing for the corpus side. Corpus rows
+      are never replicated; only the query stream fans out.
+
+    Measured at the test config (64-dim clustered corpus, n_planes=8,
+    probe_bits=1): recall@5 ≥ 0.8 vs ``brute_force_topk``
+    (tests/test_llmdata.py::test_lsh_topk_recall_vs_brute_force).
+    """
     planes = _hyperplanes(dim, n_planes, seed)
     corpus = ensure_parallelism(corpus)
     bucket_udf = hyperplane_bucket_pd(planes)
-    q = queries.select(
+    masks = _probe_masks(n_planes, probe_bits)
+    # bucket computed ONCE per query row (its own projection; the Arrow
+    # UDF is extracted to a separate plan node, so the per-mask XORs below
+    # reference the materialized column, not n re-evaluations)
+    q_home = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        bucket_udf(F.col(vec_col)).alias("bucket"),
+        bucket_udf(F.col(vec_col)).alias("__home"),
+    )
+    q = q_home.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(*[F.lit(m).cast("long").bitwiseXOR(F.col("__home")) for m in masks])
+        ).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -128,12 +168,13 @@ def lsh_topk(
     )
     pairs = q.join(c, ["bucket"]).where(F.col("query_id") != F.col("neighbor_id"))
     # candidate sets are small by design → fold-based cosine: a pandas_udf
-    # here pays a Python-worker roundtrip per (tiny) post-join partition
+    # here pays a Python-worker roundtrip per (tiny) post-join partition.
+    # distinct() collapses a candidate reached via several probed buckets.
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-    )
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -76,6 +76,43 @@ class CategoryRegistry:
             return cls.from_json(f.read())
 
 
+_META_KEY = "simple_data_workflow_spark.category"
+
+
+def attach_registry_metadata(df: DataFrame, registry: CategoryRegistry) -> DataFrame:
+    """Stamp each registered column's levels/orderedness into its Spark
+    column metadata. Spark persists field metadata in the parquet footer
+    (``org.apache.spark.sql.parquet.row.metadata``), so a plain
+    ``spark.read.parquet`` of the written table recovers the registry via
+    ``registry_from_schema`` — no sidecar file, no re-discovery scan.
+    This is the table-level analogue of pandas pickling CategoricalDtype."""
+    for col in registry.levels:
+        if col in df.columns:
+            df = df.withMetadata(
+                col,
+                {
+                    _META_KEY: {
+                        "levels": registry.levels[col],
+                        "ordered": registry.is_ordered(col),
+                    }
+                },
+            )
+    return df
+
+
+def registry_from_schema(df: DataFrame) -> CategoryRegistry:
+    """Rebuild a CategoryRegistry from column metadata written by
+    ``attach_registry_metadata`` (e.g. after reading a parquet table)."""
+    registry = CategoryRegistry()
+    for field in df.schema.fields:
+        meta = field.metadata.get(_META_KEY)
+        if meta:
+            registry.levels[field.name] = list(meta["levels"])
+            if meta.get("ordered"):
+                registry.ordered.add(field.name)
+    return registry
+
+
 def _discover_levels(df: DataFrame, cols: list[str]) -> dict[str, list]:
     """One aggregate pass collecting (capped, sorted) level sets for many
     columns at once. Map-side partial aggregation keeps the shuffled state

@@ -20,10 +20,21 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
     max_files: int | None = None,
+    registry=None,
 ) -> None:
     """Columnar sink; ``partition_by`` lays out hive-style directories so
     future scans partition-prune; ``max_files`` coalesces tiny outputs
-    (coalesce, not repartition — no extra shuffle)."""
+    (coalesce, not repartition — no extra shuffle). Passing a
+    ``CategoryRegistry`` stamps category levels into column metadata,
+    which Spark persists in the parquet footer — readers recover it with
+    ``operators.categorical.registry_from_schema`` instead of re-scanning
+    for levels."""
+    if registry is not None:
+        from simple_data_workflow_spark.operators.categorical import (
+            attach_registry_metadata,
+        )
+
+        df = attach_registry_metadata(df, registry)
     out = df.coalesce(max_files) if max_files else df
     writer = out.write.mode(mode)
     if partition_by:

@@ -146,6 +146,39 @@ def test_multimodal_real_decode_raises(spark):
         extract_features(media, fake_decode=False).collect()
 
 
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Measured recall@5 for the LSH path at the documented config
+    (n_planes=8, probe_bits=1) on a clustered 64-dim corpus — the
+    workload LSH is for (near-dup/near-neighbor structure, not uniform
+    noise). Pinned ≥ 0.8; multiprobe off (probe_bits=0) must never beat
+    multiprobe on."""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((12, 64)) * 3.0
+    vecs = np.vstack([c + rng.standard_normal((15, 64)) * 0.4 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.where("vec_id % 9 = 0")
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, df, k=5).collect()
+    }
+
+    def recall(probe_bits):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.lsh_topk(
+                q, df, k=5, n_planes=8, dim=64, probe_bits=probe_bits
+            ).collect()
+        }
+        return len(exact_pairs & got) / len(exact_pairs)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= 0.8, (r0, r1)
+    assert r1 >= r0
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     rng = np.random.default_rng(11)
     vecs = rng.standard_normal((200, 16)).astype(float)

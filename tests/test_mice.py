@@ -72,6 +72,40 @@ def test_mice_distribution_reasonable(na_frame):
     assert abs(imputed_rows.x.mean() - observed_mean) < 2.0
 
 
+@pytest.mark.parametrize("draw", ["normal", "pmm"])
+def test_mice_kl_divergence_under_1(na_frame, draw):
+    """The reference's stated (but stubbed) acceptance criterion
+    (test_tasks.py:465-470): each imputed dataset from N draws has a
+    KL divergence w.r.t. the original observed distribution below 1.
+
+    Concretely: per column, 10 histogram bins spanning the observed
+    range, Laplace (+1) smoothing on both sides, KL(imputed‖observed).
+    Threshold 1.0 as the reference states; seed fixed at the operator
+    default (42) so the draws are reproducible."""
+    out = wrangle_na(
+        na_frame,
+        strategy="mice",
+        cols=["x", "y"],
+        n_burnin=3,
+        n_imputations=3,
+        n_spread=2,
+        row_id="row_id",
+        draw=draw,
+    ).toPandas()
+    pdf = na_frame.toPandas()
+    for col in ("x", "y"):
+        obs = pdf[col].dropna().to_numpy()
+        bins = np.histogram_bin_edges(obs, bins=10)
+        q_counts, _ = np.histogram(obs, bins=bins)
+        q = (q_counts + 1) / (q_counts + 1).sum()
+        for it in sorted(out["iter"].unique()):
+            imp = out[out["iter"] == it][col].to_numpy()
+            p_counts, _ = np.histogram(np.clip(imp, bins[0], bins[-1]), bins=bins)
+            p = (p_counts + 1) / (p_counts + 1).sum()
+            kl = float(np.sum(p * np.log(p / q)))
+            assert 0.0 <= kl < 1.0, (draw, col, it, kl)
+
+
 def test_mice_pmm_draws_observed_values(na_frame):
     out = wrangle_na(
         na_frame,

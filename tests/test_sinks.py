@@ -21,6 +21,29 @@ def test_parquet_partitioned_roundtrip(spark, tmp_path):
     assert "PartitionFilters" in pruned._jdf.queryExecution().executedPlan().toString() or True
 
 
+def test_category_registry_parquet_roundtrip(spark, tmp_path):
+    """Write with a CategoryRegistry → plain parquet read → the registry
+    (levels + orderedness) comes back from the footer metadata, no
+    level-discovery scan needed."""
+    from simple_data_workflow_spark.operators.categorical import (
+        CategoryRegistry,
+        registry_from_schema,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "LOW", "a"), (2, "HIGH", "b")], ["id", "priority", "seg"]
+    )
+    reg = CategoryRegistry(
+        levels={"priority": ["LOW", "MED", "HIGH"], "seg": ["a", "b"]},
+        ordered={"priority"},
+    )
+    out = str(tmp_path / "cats")
+    write_parquet(df, out, registry=reg)
+    back = registry_from_schema(spark.read.parquet(out))
+    assert back.levels == reg.levels
+    assert back.ordered == {"priority"}
+
+
 def test_csv_json_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"])
     cp, jp = str(tmp_path / "c"), str(tmp_path / "j")
