@@ -31,7 +31,8 @@ from simple_data_workflow_spark.operators.transforms import (
     exact_moments,
     exact_moments_multi,
 )
-from simple_data_workflow_spark.llmdata import dedup, similarity, text
+from simple_data_workflow_spark.llmdata import dedup, packing, similarity, text
+from simple_data_workflow_spark.operators import joins
 from simple_data_workflow_spark.plans import relational as rel
 from simple_data_workflow_spark.sources.readers import load_table
 
@@ -943,6 +944,138 @@ LIMIT 20
 
 
 
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (llmdata.packing.pack_sequences): documents
+    ordered by doc_id form one token stream cut into 256-token context
+    windows; per-doc placement (start offset, window id, windows
+    spanned) via a distributed range-sharded prefix sum — never a
+    global-order window."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, budget=256).select(
+        "doc_id", "n_tokens", "start_token", "bin_id", "n_bins"
+    ).orderBy("doc_id")
+
+
+PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+  FROM t
+)
+SELECT doc_id, n_tokens, start_token,
+       start_token // 256 AS bin_id,
+       (start_token + GREATEST(n_tokens, 1) - 1) // 256 - start_token // 256 + 1 AS n_bins
+FROM c ORDER BY doc_id
+"""
+
+
+def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware split (llmdata.packing.split_train_holdout): the side
+    is a hash of the SOURCE alone, so a source's documents never straddle
+    the split (no near-dup leakage). Pure stateless filter."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return packing.split_train_holdout(docs, "source", holdout_pct=20).select(
+        "doc_id", "source", "split"
+    ).orderBy("doc_id")
+
+
+SPLIT_SQL = """
+SELECT doc_id, source,
+       CASE WHEN ('0x' || substr(md5('split|' || source), 1, 8))::BIGINT % 100 < 20
+            THEN 'holdout' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with reconstruction-error
+    audit (llmdata.similarity.quantize_embeddings) — the 4× memory/IO
+    reduction before index build; qvec emitted as CSV text (the driver
+    hash compares scalar reprs)."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join("qvec", ",").alias("qvec_csv"),
+        "max_abs_err",
+        "mse",
+    ).orderBy("vec_id")
+
+
+QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), s AS (
+  SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, ve, scale,
+         list_transform(ve, x ->
+           CAST(COALESCE(round(x / nullif(scale, 0.0)), 0) AS INTEGER)) AS qv
+  FROM s
+), e AS (
+  SELECT vec_id, scale, qv,
+         list_transform(ve, x ->
+           abs(CAST(COALESCE(round(x / nullif(scale, 0.0)), 0) AS INTEGER) * scale - x)) AS err,
+         len(ve) AS n
+  FROM q
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       array_to_string(qv, ',') AS qvec_csv,
+       ROUND(list_max(err), 6) AS max_abs_err,
+       ROUND(list_sum(list_transform(err, x -> x * x)) / n, 6) AS mse
+FROM e ORDER BY vec_id
+"""
+
+
+def error_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators.joins.interval_join): click
+    events matched into 5-minute windows opened by high-value error
+    events — time-grid bucketed equi-join + exact range filter, never
+    the O(L·R) nested-loop a bare range predicate produces."""
+    tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where((F.col("event_type") == "error") & (F.col("value") > 18)).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("ts", "value")
+    joined = joins.interval_join(clicks, errors, "ts", "w_start", "w_end", chunk_seconds=300)
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(_dsum_scaled(F.col("value")), 6).alias("click_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
+ERROR_WINDOW_SQL = """
+WITH e AS (
+  SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end
+  FROM events WHERE event_type = 'error' AND value > 18
+), c AS (
+  SELECT ts, value FROM events WHERE event_type = 'click'
+)
+SELECT window_id,
+       COUNT(*) AS n_clicks,
+       ROUND(CAST(SUM(CAST(ROUND(value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0, 6) AS click_value
+FROM e JOIN c ON c.ts >= e.w_start AND c.ts < e.w_end
+GROUP BY window_id ORDER BY window_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1032,6 +1165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups": _wrap(cosine_near_dups),
         "ivf_topk_embeddings": _wrap(ivf_topk_embeddings),
         "multimodal_features": _wrap(multimodal_features),
+        "pack_documents": _wrap(pack_documents),
+        "train_holdout_split": _wrap(train_holdout_split),
+        "quantize_embeddings": _wrap(quantize_embeddings_q),
+        "error_window_clicks": _wrap(error_window_clicks),
     }
 
 
@@ -1101,4 +1238,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": COSINE_TOPK_SQL,
         "cosine_near_dups": COSINE_NEAR_DUP_SQL,
         # multimodal_features: pandas-UDF decode → rows-only
+        "pack_documents": PACK_SQL,
+        "train_holdout_split": SPLIT_SQL,
+        "quantize_embeddings": QUANTIZE_SQL,
+        "error_window_clicks": ERROR_WINDOW_SQL,
     }

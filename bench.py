@@ -22,7 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from simple_data_workflow_spark.session import get_spark  # noqa: E402
 from simple_data_workflow_spark.sources.readers import load_table  # noqa: E402
-from simple_data_workflow_spark.llmdata import dedup, similarity, text  # noqa: E402
+from simple_data_workflow_spark.llmdata import dedup, packing, similarity, text  # noqa: E402
 from simple_data_workflow_spark.plans import relational as rel  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -74,6 +74,12 @@ def text_bench(spark, sf_dir):
     return text.analyze_documents(docs)
 
 
+def pack_bench(spark, sf_dir):
+    # distributed range-sharded prefix sum (the no-global-sort packing path)
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, budget=2048)
+
+
 QUERIES = {
     "q1_pricing_summary": rel.q1_pricing_summary,
     "q3_top_orders": rel.q3_top_orders,
@@ -94,6 +100,9 @@ QUERIES = {
     "lsh_topk": lsh_topk_bench,
     "ivf_topk": ivf_topk_bench,
     "lsh_cosine_near_dups": lsh_near_dups_bench,
+    "pack_documents": pack_bench,
+    "quantize_embeddings": entrymod.quantize_embeddings_q,
+    "error_window_clicks": entrymod.error_window_clicks,
 }
 
 

@@ -30,10 +30,19 @@ def main() -> None:
            "`PushedFilters`/`ReadSchema` (pushdown + column pruning),",
            "`WholeStageCodegen` spans, `Exchange` count (shuffles),",
            "`BroadcastHashJoin` vs `SortMergeJoin` choices.",
+           "",
+           "Each query is EXECUTED (noop sink) before explaining, so",
+           "`AdaptiveSparkPlan isFinalPlan=true` trees show the join",
+           "strategy AQE actually chose at runtime — e.g. customer/supplier",
+           "joins carry no broadcast hint (they scale with SF), and these",
+           "dumps are the evidence AQE still broadcasts them at small sf.",
            ""]
     for name, fn in entrymod.queries().items():
         try:
             df = fn(spark, sf_dir)
+            # run it so AQE finalizes the plan (re-plans at runtime with
+            # real sizes); the subsequent explain prints isFinalPlan=true
+            df.write.format("noop").mode("overwrite").save()
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")

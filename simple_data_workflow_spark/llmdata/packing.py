@@ -1,0 +1,143 @@
+"""Training-batch assembly ops: sequence packing and group-aware splits.
+
+Beyond the reference surface (SURVEY.md §2.3): the last mile of an LLM
+data pipeline — after filtering/dedup, documents are packed into fixed
+token-budget context windows and partitioned into leakage-free splits.
+
+Scale shapes:
+
+- ``pack_sequences`` needs a GLOBAL running token total. A plain
+  ``Window.orderBy`` with no partition key serializes the whole table
+  onto one task, so the prefix sum is computed distributedly instead:
+  range-shard on the order key (exact min/max from one tiny agg),
+  per-shard cumulative sums under a shard-partitioned window, per-shard
+  totals (``n_shards`` rows) prefix-summed on the driver and re-injected
+  as a literal map. Two shuffles bounded by ``n_shards``, never a global
+  sort.
+- ``split_train_holdout`` is a pure stateless filter — a hash of the
+  GROUP key alone decides the side, so every row of a group lands
+  together (no near-dup leakage across the split) under any
+  partitioning, with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simple_data_workflow_spark.llmdata.text import token_count
+from simple_data_workflow_spark.session import ensure_parallelism
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    budget: int = 2048,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk packing: documents ordered by ``id_col`` form one
+    continuous token stream cut into windows of ``budget`` tokens.
+
+    Adds per-document placement columns:
+
+    - ``n_tokens`` — the document's token count;
+    - ``start_token`` — global offset of its first token in the stream;
+    - ``bin_id`` — window index containing that first token;
+    - ``n_bins`` — how many windows the document spans (a document
+      straddling a cut contributes to several windows — standard
+      concat-then-chunk pretraining layout).
+
+    Deterministic for a given ``id_col`` ordering regardless of
+    partitioning; integer-only arithmetic, so cross-engine exact.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = (
+        F.col(token_col)
+        if token_col
+        else token_count(F.col(text_col))
+    ).cast("long")
+    work = ensure_parallelism(df).withColumn("n_tokens", toks)
+
+    lo, hi = work.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return work.select(
+            "*",
+            F.lit(None).cast("long").alias("start_token"),
+            F.lit(None).cast("long").alias("bin_id"),
+            F.lit(None).cast("long").alias("n_bins"),
+        )
+    width = max((int(hi) - int(lo)) // n_shards + 1, 1)
+    # integer DIV, not double division: exact for 64-bit ids
+    work = work.withColumn(
+        "__shard",
+        F.expr(f"CAST((`{id_col}` - {int(lo)}) DIV {width} AS BIGINT)"),
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    work = work.withColumn("__cum", F.sum("n_tokens").over(w))
+
+    totals = {
+        r["__shard"]: r["t"]
+        for r in work.groupBy("__shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, running = {}, 0
+    for s in sorted(totals):
+        offsets[s] = running
+        running += totals[s]
+    # literal shard→offset map: n_shards entries riding in the plan
+    offset_map = F.create_map(
+        *[
+            c
+            for s, off in sorted(offsets.items())
+            for c in (F.lit(int(s)).cast("long"), F.lit(int(off)).cast("long"))
+        ]
+    )
+    start = (offset_map[F.col("__shard")] + F.col("__cum") - F.col("n_tokens")).alias(
+        "start_token"
+    )
+    out = work.select("*", start).drop("__shard", "__cum")
+    end_tok = F.col("start_token") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return out.select(
+        "*",
+        F.floor(F.col("start_token") / budget).cast("long").alias("bin_id"),
+        (F.floor(end_tok / budget) - F.floor(F.col("start_token") / budget) + 1)
+        .cast("long")
+        .alias("n_bins"),
+    )
+
+
+def split_train_holdout(
+    df: DataFrame,
+    group_col: str,
+    holdout_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-free train/holdout labeling: the side is a deterministic
+    hash of the GROUP key (domain, source, dedup-cluster id …), so all
+    rows of a group — including near-duplicates clustered under one key —
+    land on the same side. Adds a ``split`` column.
+
+    md5 (not xxhash64) so external engines can reproduce the exact
+    assignment; the first 8 hex chars give a uniform 32-bit draw."""
+    if not 0 <= holdout_pct <= 100:
+        raise ValueError(f"holdout_pct must be in [0, 100], got {holdout_pct}")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(group_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(
+        "split",
+        F.when(F.pmod(bucket, F.lit(100)) < holdout_pct, F.lit("holdout")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -239,6 +239,61 @@ def cosine_near_dup_pairs(
     return pairs.where(F.col("cosine") >= threshold)
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column:
+    ``scale = max|x| / 127``, ``q_i = round(x_i / scale)`` ∈ [-127, 127].
+
+    Returns (id, scale, qvec, max_abs_err, mse) — the 4× memory/IO
+    reduction step before an ANN index is built or embeddings ship to
+    object storage; the error stats make the precision loss auditable
+    per vector. Pure codegen array expressions: linear scan, no shuffle,
+    no Python. All-zero vectors get scale 0 and an all-zero qvec (the
+    nullif guards the division).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    stage = ensure_parallelism(df).select(
+        F.col(id_col), v.alias("__v"), scale
+    )
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.coalesce(
+            F.round(x / F.nullif(F.col("scale"), F.lit(0.0)), 0), F.lit(0.0)
+        ).cast("int"),
+    )
+    staged = stage.select(id_col, "scale", "__v", q.alias("qvec"))
+    # error array hoisted to its own named column: it is referenced twice
+    # below and CollapseProject only spares multiply-used non-cheap exprs
+    # when they are materialized as a prior projection's output
+    with_err = staged.select(
+        id_col,
+        "scale",
+        "qvec",
+        F.size(F.col("__v")).alias("__n"),
+        F.zip_with(
+            F.col("__v"),
+            F.col("qvec"),
+            lambda x, qi: F.abs(qi.cast("double") * F.col("scale") - x),
+        ).alias("__err"),
+    )
+    return with_err.select(
+        id_col,
+        F.round(F.col("scale"), 6).alias("scale"),
+        "qvec",
+        F.round(F.array_max(F.col("__err")), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(F.col("__err"), F.lit(0.0), lambda acc, e: acc + e * e)
+            / F.col("__n"),
+            6,
+        ).alias("mse"),
+    )
+
+
 def fit_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -76,6 +76,50 @@ def asof_join(
     return out
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    chunk_seconds: int = 300,
+) -> DataFrame:
+    """Point-in-interval join: each left row matched to every right
+    interval with ``right_start <= left_ts < right_end``.
+
+    A naive range-predicate join has no equi key, so Spark falls back to
+    BroadcastNestedLoopJoin — O(L·R) and a broadcast of a whole side.
+    Instead both sides are bucketed onto a time grid: a point lands in
+    exactly ONE chunk of ``chunk_seconds``; an interval is exploded to
+    every chunk it overlaps (``sequence()`` — bounded by interval length
+    / chunk size). The join becomes an equi-join on the chunk id with the
+    exact range predicate as a post-filter. Shuffle volume ∝ rows ×
+    overlap factor, never L·R; each (point, interval) pair meets at most
+    once because the point side is never replicated — no dedup pass.
+
+    Pick ``chunk_seconds`` ≈ the typical interval length: shorter chunks
+    replicate intervals more; longer chunks put more non-matching pairs
+    through the post-filter.
+    """
+    # exact integer microsecond arithmetic — unix_timestamp() truncates to
+    # seconds and double division can be off-by-ulp at chunk boundaries,
+    # either of which silently drops boundary matches. DIV truncates
+    # toward zero == floor for the post-1970 timestamps this targets.
+    chunk_us = chunk_seconds * 1_000_000
+    point_chunk = F.expr(f"unix_micros(`{left_ts}`) DIV {chunk_us}")
+    lo_chunk = F.expr(f"unix_micros(`{right_start}`) DIV {chunk_us}")
+    # end is exclusive: the chunk of the last INCLUDED microsecond
+    hi_chunk = F.expr(f"(unix_micros(`{right_end}`) - 1) DIV {chunk_us}")
+    lhs = left.withColumn("__chunk", point_chunk)
+    rhs = right.withColumn(
+        "__chunk", F.explode(F.sequence(lo_chunk, F.greatest(hi_chunk, lo_chunk)))
+    )
+    out = lhs.join(rhs, "__chunk").where(
+        (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) < F.col(right_end))
+    )
+    return out.drop("__chunk")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -79,3 +79,53 @@ def test_lakehouse_gated(spark):
         read_table(spark, "delta", "/tmp/nope")
     with _pytest.raises(ValueError):
         read_table(spark, "parquet-not-lakehouse", "/tmp/nope")
+
+
+def test_interval_join_matches_naive(spark):
+    import random
+
+    from simple_data_workflow_spark.operators.joins import interval_join
+
+    rng = random.Random(3)
+    base = dt.datetime(2024, 1, 1)
+    points = [
+        (i, base + dt.timedelta(seconds=rng.randint(0, 7200))) for i in range(300)
+    ]
+    intervals = []
+    for j in range(40):
+        s = base + dt.timedelta(seconds=rng.randint(0, 7000))
+        intervals.append((j, s, s + dt.timedelta(seconds=rng.randint(60, 900))))
+    pts = spark.createDataFrame(points, "pid long, ts timestamp")
+    ivs = spark.createDataFrame(intervals, "iid long, start timestamp, end timestamp")
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "ts", "start", "end", chunk_seconds=300).collect()
+    }
+    naive = {
+        (p, i)
+        for p, t in points
+        for i, s, e in intervals
+        if s <= t < e
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_interval_join_boundaries(spark):
+    from simple_data_workflow_spark.operators.joins import interval_join
+
+    s = dt.datetime(2024, 1, 1, 10, 0, 0)
+    e = dt.datetime(2024, 1, 1, 10, 5, 0, 200_000)  # sub-second end past a chunk cut
+    ivs = spark.createDataFrame([(1, s, e)], "iid long, start timestamp, end timestamp")
+    pts = spark.createDataFrame(
+        [
+            (1, s),                                          # == start: included
+            (2, e),                                          # == end: excluded
+            (3, dt.datetime(2024, 1, 1, 10, 5, 0, 100_000)), # inside, past chunk cut
+            (4, s - dt.timedelta(microseconds=1)),           # just before
+        ],
+        "pid long, ts timestamp",
+    )
+    got = sorted(
+        r["pid"] for r in interval_join(pts, ivs, "ts", "start", "end", chunk_seconds=300).collect()
+    )
+    assert got == [1, 3]

@@ -287,3 +287,64 @@ def test_bigram_doc_freq(spark):
     rows = text.bigram_doc_freq(docs, top_n=2).collect()
     assert (rows[0]["gram"], rows[0]["n_docs"]) == ("a b", 3)
     assert (rows[1]["gram"], rows[1]["n_docs"]) == ("b c", 2)
+
+
+def test_pack_sequences_prefix_sums(spark):
+    from simple_data_workflow_spark.llmdata.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (i % 4 + 1))) for i in range(10)]  # 1..4 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=5, n_shards=3).collect()}
+    counts = [i % 4 + 1 for i in range(10)]
+    start = 0
+    for i in range(10):
+        r = out[i]
+        assert r["n_tokens"] == counts[i]
+        assert r["start_token"] == start, i
+        assert r["bin_id"] == start // 5
+        assert r["n_bins"] == (start + counts[i] - 1) // 5 - start // 5 + 1
+        start += counts[i]
+    # partitioning-independent (the distributed prefix sum is exact)
+    out2 = {
+        r["doc_id"]: (r["start_token"], r["bin_id"], r["n_bins"])
+        for r in pack_sequences(df.repartition(7), budget=5, n_shards=3).collect()
+    }
+    assert out2 == {k: (v["start_token"], v["bin_id"], v["n_bins"]) for k, v in out.items()}
+
+
+def test_split_train_holdout_group_atomic(spark):
+    from simple_data_workflow_spark.llmdata.packing import split_train_holdout
+
+    rows = [(i, f"grp{i % 23}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    out = split_train_holdout(df, "g", holdout_pct=30)
+    # every group entirely on one side
+    sides = out.groupBy("g").agg(F.count_distinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in sides)
+    # both sides populated at 30% over 23 groups, and deterministic
+    per_split = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(per_split) == {"train", "holdout"}
+    again = {r["split"]: r["n"] for r in split_train_holdout(df.repartition(9), "g", holdout_pct=30)
+             .groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert again == per_split
+    assert split_train_holdout(df, "g", holdout_pct=0).where("split='holdout'").count() == 0
+    assert split_train_holdout(df, "g", holdout_pct=100).where("split='train'").count() == 0
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from simple_data_workflow_spark.llmdata.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.27]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = rows[1]
+    assert r1["qvec"] == [127, -64, 34]  # round(x * 127 / max|x|)
+    assert r1["scale"] == pytest.approx(1.0 / 127, abs=1e-6)
+    assert max(abs(q) for q in r1["qvec"]) <= 127
+    # reconstruction error bounded by scale/2
+    assert r1["max_abs_err"] <= 0.5 / 127 + 1e-6
+    r2 = rows[2]  # all-zero vector: scale 0, exact zeros
+    assert r2["scale"] == 0.0 and r2["qvec"] == [0, 0, 0]
+    assert r2["max_abs_err"] == 0.0 and r2["mse"] == 0.0
