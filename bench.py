@@ -39,9 +39,18 @@ def _sf_number(sf_dir: str) -> float:
 
 
 def lsh_topk_bench(spark, sf_dir):
+    # probe_bits=0: home-bucket-only candidates (round-1-comparable config)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 10 == 0)
-    return similarity.lsh_topk(q, emb, k=5, n_planes=6, dim=64)
+    return similarity.lsh_topk(q, emb, k=5, n_planes=6, dim=64, probe_bits=0)
+
+
+def lsh_topk_multiprobe_bench(spark, sf_dir):
+    # probe_bits=1 (the operator default): 7× candidate volume bought for
+    # the measured recall jump — benched separately so the trade is visible
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.lsh_topk(q, emb, k=5, n_planes=6, dim=64, probe_bits=1)
 
 
 def lsh_near_dups_bench(spark, sf_dir):
@@ -98,6 +107,7 @@ QUERIES = {
     "doc_text_stats": text_bench,
     "minhash_lsh_near_dups": minhash_bench,
     "lsh_topk": lsh_topk_bench,
+    "lsh_topk_multiprobe": lsh_topk_multiprobe_bench,
     "ivf_topk": ivf_topk_bench,
     "lsh_cosine_near_dups": lsh_near_dups_bench,
     "pack_documents": pack_bench,

@@ -60,19 +60,31 @@ def pack_sequences(
         if token_col
         else token_count(F.col(text_col))
     ).cast("long")
-    work = ensure_parallelism(df).withColumn("n_tokens", toks)
+    # tokenization is the expensive scan and three downstream actions need
+    # its result (min/max, shard totals, final placement) — so it runs
+    # ONCE over a persisted NARROW (id, count) projection (~16 B/row, not
+    # the full document width), and placements join back to the original
+    # frame on the id at the end: one tokenize pass + one co-partitioned
+    # join instead of three full-text scans.
+    narrow = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), toks.alias("n_tokens"))
+        .persist()
+    )
 
-    lo, hi = work.agg(F.min(id_col), F.max(id_col)).first()
+    lo, hi = narrow.agg(F.min(id_col), F.max(id_col)).first()
     if lo is None:
-        return work.select(
+        narrow.unpersist()
+        return df.select(
             "*",
+            F.lit(None).cast("long").alias("n_tokens"),
             F.lit(None).cast("long").alias("start_token"),
             F.lit(None).cast("long").alias("bin_id"),
             F.lit(None).cast("long").alias("n_bins"),
         )
     width = max((int(hi) - int(lo)) // n_shards + 1, 1)
     # integer DIV, not double division: exact for 64-bit ids
-    work = work.withColumn(
+    sharded = narrow.withColumn(
         "__shard",
         F.expr(f"CAST((`{id_col}` - {int(lo)}) DIV {width} AS BIGINT)"),
     )
@@ -81,11 +93,11 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    work = work.withColumn("__cum", F.sum("n_tokens").over(w))
+    sharded = sharded.withColumn("__cum", F.sum("n_tokens").over(w))
 
     totals = {
         r["__shard"]: r["t"]
-        for r in work.groupBy("__shard").agg(F.sum("n_tokens").alias("t")).collect()
+        for r in sharded.groupBy("__shard").agg(F.sum("n_tokens").alias("t")).collect()
     }
     offsets, running = {}, 0
     for s in sorted(totals):
@@ -99,18 +111,18 @@ def pack_sequences(
             for c in (F.lit(int(s)).cast("long"), F.lit(int(off)).cast("long"))
         ]
     )
-    start = (offset_map[F.col("__shard")] + F.col("__cum") - F.col("n_tokens")).alias(
-        "start_token"
-    )
-    out = work.select("*", start).drop("__shard", "__cum")
-    end_tok = F.col("start_token") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
-    return out.select(
-        "*",
-        F.floor(F.col("start_token") / budget).cast("long").alias("bin_id"),
-        (F.floor(end_tok / budget) - F.floor(F.col("start_token") / budget) + 1)
+    start = offset_map[F.col("__shard")] + F.col("__cum") - F.col("n_tokens")
+    end_tok = start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    placement = sharded.select(
+        id_col,
+        "n_tokens",
+        start.alias("start_token"),
+        F.floor(start / budget).cast("long").alias("bin_id"),
+        (F.floor(end_tok / budget) - F.floor(start / budget) + 1)
         .cast("long")
         .alias("n_bins"),
     )
+    return df.join(placement, id_col)
 
 
 def split_train_holdout(
