@@ -1165,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups": _wrap(cosine_near_dups),
         "ivf_topk_embeddings": _wrap(ivf_topk_embeddings),
         "multimodal_features": _wrap(multimodal_features),
+        "stats_corr_battery": _wrap(rel.stats_corr_battery),
         "pack_documents": _wrap(pack_documents),
         "train_holdout_split": _wrap(train_holdout_split),
         "quantize_embeddings": _wrap(quantize_embeddings_q),
@@ -1238,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": COSINE_TOPK_SQL,
         "cosine_near_dups": COSINE_NEAR_DUP_SQL,
         # multimodal_features: pandas-UDF decode → rows-only
+        "stats_corr_battery": rel.STATS_CORR_SQL,
         "pack_documents": PACK_SQL,
         "train_holdout_split": SPLIT_SQL,
         "quantize_embeddings": QUANTIZE_SQL,

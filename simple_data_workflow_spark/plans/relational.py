@@ -1182,3 +1182,63 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, gid
 """
+
+
+def stats_corr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery per return flag: Pearson correlation,
+    sample covariance, and sample stddevs of (extendedprice, quantity).
+
+    Built from EXACT scaled-integer sums (``dsum``) and closed-form
+    double arithmetic instead of native ``corr()``/``covar_samp()``
+    aggregates: a native streaming-merge aggregate's result depends on
+    partition merge order in the last ulps, so it cannot hash-match
+    across engines — n, Σx, Σy, Σxy, Σx², Σy² are order-insensitive
+    exact decimals, and the identical closed-form formula on both sides
+    is bit-identical. Same one-shuffle groupBy shape as any sum battery.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dsum(F.col("l_extendedprice")).alias("sx"),
+            dsum(F.col("l_quantity")).alias("sy"),
+            dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("sxy"),
+            dsum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("sxx"),
+            dsum(F.col("l_quantity") * F.col("l_quantity")).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = (sxy - sx * sy / n) / (n - 1)
+    vx = (sxx - sx * sx / n) / (n - 1)
+    vy = (syy - sy * sy / n) / (n - 1)
+    return g.select(
+        "l_returnflag",
+        n.cast("long").alias("n_items"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("price_qty_corr"),
+        F.round(cov, 6).alias("price_qty_covar"),
+        F.round(F.sqrt(vx), 6).alias("price_stddev"),
+        F.round(F.sqrt(vy), 6).alias("qty_stddev"),
+    ).orderBy("l_returnflag")
+
+
+STATS_CORR_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(l_extendedprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sx,
+         CAST(SUM(CAST(ROUND(l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sy,
+         CAST(SUM(CAST(ROUND(l_extendedprice*l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sxy,
+         CAST(SUM(CAST(ROUND(l_extendedprice*l_extendedprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sxx,
+         CAST(SUM(CAST(ROUND(l_quantity*l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_items,
+       ROUND(((sxy - sx*sy/n)/(n-1)) / (sqrt((sxx - sx*sx/n)/(n-1)) * sqrt((syy - sy*sy/n)/(n-1))), 6) AS price_qty_corr,
+       ROUND((sxy - sx*sy/n)/(n-1), 6) AS price_qty_covar,
+       ROUND(sqrt((sxx - sx*sx/n)/(n-1)), 6) AS price_stddev,
+       ROUND(sqrt((syy - sy*sy/n)/(n-1)), 6) AS qty_stddev
+FROM g ORDER BY l_returnflag
+"""

@@ -88,6 +88,53 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
     return q
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming twin of
+    ``llmdata.dedup.exact_dedup``: the first arrival per key wins, and
+    ``dropDuplicatesWithinWatermark`` ages key state out once the event
+    time watermark passes, so state stays bounded on an unbounded stream
+    (a plain ``dropDuplicates`` would grow state forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def error_click_join_stream(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to error events of the
+    same user within ``[error_ts, error_ts + gap)`` — the streaming
+    sibling of ``operators.joins.interval_join``.
+
+    Both sides carry watermarks AND the join condition bounds event time,
+    which is what lets Spark expire buffered rows from join state; a
+    stream-stream join without the time bound accumulates state forever.
+    Both inputs can branch from one source stream."""
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    ).withWatermark("e_ts", watermark)
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        "value",
+    ).withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") < F.col("e_ts") + F.expr(f"INTERVAL {gap}"))
+    )
+    return clicks.join(errors, cond).select(
+        "click_id", "error_id", "user_id", "c_ts", "e_ts", "value"
+    )
+
+
 SESSION_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),

@@ -152,3 +152,56 @@ def test_session_window_matches_sessionize(spark):
     got = {r["user_id"]: r["n_sessions"] for r in sw.collect()}
     want = {r["user_id"]: r["n_sessions"] for r in sessionize_events(spark, SF).collect()}
     assert got == want
+
+
+def test_dedup_stream_matches_batch_distinct(spark):
+    """Streaming dropDuplicatesWithinWatermark == batch first-per-key on a
+    bounded stream."""
+    from simple_data_workflow_spark.sources.readers import load_table
+    from simple_data_workflow_spark.streaming.events import dedup_stream
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    out = dedup_stream(stream, keys=("user_id", "event_type"))
+    run_stream_to_memory(out, "dedup_stream_t", output_mode="append")
+    got = spark.sql("SELECT COUNT(*) AS n FROM dedup_stream_t").first()["n"]
+    want = load_table(spark, SF, "events").dropDuplicates(["user_id", "event_type"]).count()
+    assert got == want
+    # emitted keys are unique
+    dup = spark.sql(
+        "SELECT user_id, event_type FROM dedup_stream_t GROUP BY 1,2 HAVING COUNT(*) > 1"
+    ).count()
+    assert dup == 0
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked, time-bounded stream-stream join == the same join in
+    batch mode over a bounded source."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.readers import load_table
+    from simple_data_workflow_spark.streaming.events import error_click_join_stream
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet")
+    out = error_click_join_stream(stream)
+    run_stream_to_memory(out, "ss_join_t", output_mode="append")
+    got = {
+        (r["click_id"], r["error_id"])
+        for r in spark.sql("SELECT click_id, error_id FROM ss_join_t").collect()
+    }
+    ev = load_table(spark, SF, "events")
+    errors = ev.where("event_type = 'error'").select(
+        F.col("event_id").alias("error_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    want = {
+        (r["click_id"], r["error_id"])
+        for r in clicks.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("c_ts") >= F.col("e_ts"))
+            & (F.col("c_ts") < F.col("e_ts") + F.expr("INTERVAL 5 MINUTES")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
