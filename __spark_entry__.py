@@ -1166,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": _wrap(ivf_topk_embeddings),
         "multimodal_features": _wrap(multimodal_features),
         "stats_corr_battery": _wrap(rel.stats_corr_battery),
+        "trailing_30d_revenue": _wrap(rel.trailing_30d_revenue),
         "pack_documents": _wrap(pack_documents),
         "train_holdout_split": _wrap(train_holdout_split),
         "quantize_embeddings": _wrap(quantize_embeddings_q),
@@ -1240,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dups": COSINE_NEAR_DUP_SQL,
         # multimodal_features: pandas-UDF decode → rows-only
         "stats_corr_battery": rel.STATS_CORR_SQL,
+        "trailing_30d_revenue": rel.TRAILING_30D_SQL,
         "pack_documents": PACK_SQL,
         "train_holdout_split": SPLIT_SQL,
         "quantize_embeddings": QUANTIZE_SQL,

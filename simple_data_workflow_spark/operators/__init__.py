@@ -14,6 +14,7 @@ from simple_data_workflow_spark.operators.cleaning import (  # noqa: F401
 )
 from simple_data_workflow_spark.operators.joins import (  # noqa: F401
     asof_join,
+    interval_join,
     salted_join,
 )
 from simple_data_workflow_spark.operators.cdc import (  # noqa: F401
@@ -22,8 +23,10 @@ from simple_data_workflow_spark.operators.cdc import (  # noqa: F401
 )
 from simple_data_workflow_spark.operators.categorical import (  # noqa: F401
     CategoryRegistry,
+    attach_registry_metadata,
     factor_wrangler,
     encode_data,
+    registry_from_schema,
 )
 from simple_data_workflow_spark.operators.transforms import (  # noqa: F401
     transform_data,
@@ -33,4 +36,8 @@ from simple_data_workflow_spark.operators.na import wrangle_na  # noqa: F401
 from simple_data_workflow_spark.operators.model import (  # noqa: F401
     run_model,
     confidence_intervals,
+)
+from simple_data_workflow_spark.operators.themes import (  # noqa: F401
+    ggplot2_theme,
+    streamlit_theme,
 )

@@ -1242,3 +1242,51 @@ SELECT l_returnflag,
        ROUND(sqrt((syy - sy*sy/n)/(n-1)), 6) AS qty_stddev
 FROM g ORDER BY l_returnflag
 """
+
+
+def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, each order's trailing-30-day
+    order total (the frame is value-based — all orders within 30 days —
+    not row-count-based, so ties and gaps are handled by semantics, not
+    data luck).
+
+    The frame key is epoch seconds (a numeric range both engines define
+    identically), and the windowed sum accumulates the scaled-integer
+    DECIMAL (exact, order-insensitive) — a double window sum's
+    accumulation order inside a sliding frame is engine-internal and
+    cannot hash-match. Per-key window: partition-local sort, no global
+    sort."""
+    orders = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1995)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    scaled = F.round(F.col("o_totalprice") * 1e6).cast("decimal(38,0)")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            (F.sum(scaled).over(w).cast("double") / 1e6).alias("t30"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "order_date",
+            F.round("t30", 6).alias("trailing_30d_total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+TRAILING_30D_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) OVER (
+           PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE)/1000000.0, 6) AS trailing_30d_total
+FROM orders WHERE year(o_orderdate) = 1995
+ORDER BY o_orderkey
+"""

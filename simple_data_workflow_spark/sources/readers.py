@@ -125,3 +125,27 @@ def read_delim(
     if nrows is not None:
         df = df.limit(nrows)
     return df
+
+
+def read_json_lines(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Newline-delimited JSON reader (the common crawl-dump / API-export
+    interchange format). Pass an explicit ``schema`` DDL string in
+    production — schema inference is a full extra pass over the data,
+    fine for exploration, wasteful at scale. ``multiline=True`` parses
+    whole-file JSON arrays (NOT splittable: one file = one task — keep
+    files small or convert to NDJSON)."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (predicate pushdown + column pruning reach the reader)."""
+    return spark.read.orc(path)

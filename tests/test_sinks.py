@@ -120,3 +120,30 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from simple_data_workflow_spark.sources.readers import read_orc
+    from simple_data_workflow_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame([(i, f"v{i}", i * 1.5) for i in range(100)], ["id", "s", "x"])
+    out = str(tmp_path / "orc")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert back.count() == 100
+    filtered = back.where("id > 90").select("s")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert filtered.count() == 9
+    # filter reaches the ORC scan; projection prunes columns
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in plan
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    from simple_data_workflow_spark.sources.readers import read_json_lines
+    from simple_data_workflow_spark.sources.sinks import write_json
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    p = str(tmp_path / "nd")
+    write_json(df, p)
+    back = read_json_lines(spark, p, schema="id long, s string")
+    assert {(r["id"], r["s"]) for r in back.collect()} == {(1, "a"), (2, "b")}
