@@ -174,7 +174,7 @@ def clean_text_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLEAN_TEXT_SQL = r"""
 SELECT o_orderkey,
-       lower(regexp_replace(trim(o_orderpriority), '\s+', '_', 'g')) AS priority_clean
+       lower(regexp_replace(regexp_replace(o_orderpriority, '^\s+|\s+$', '', 'g'), ' +', '_', 'g')) AS priority_clean
 FROM orders
 """
 

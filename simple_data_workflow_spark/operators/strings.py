@@ -15,12 +15,17 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_WS = re.compile(r"\s+")
+# the reference collapses runs of SPACES only (re.sub(' +', ...)); tabs
+# and newlines inside the string survive untouched — parity-exact
+_SPACES = re.compile(r" +")
 
 
 def clean_text(text: str) -> str:
-    """Normalize a scalar string: trim → collapse whitespace to '_' → lower."""
-    return _WS.sub("_", str(text).strip()).lower()
+    """Normalize a scalar string, exactly as the reference does
+    (src/tasks.py:40-47): Python ``strip()`` (all whitespace at the
+    ends), collapse internal SPACE runs — only spaces — to ``_``,
+    lowercase."""
+    return _SPACES.sub("_", str(text).strip()).lower()
 
 
 def sanitize_col_names(names: Iterable[str]) -> list[str]:
@@ -33,9 +38,14 @@ def sanitize_col_names(names: Iterable[str]) -> list[str]:
 
 
 def clean_text_col(col: Column | str) -> Column:
-    """Column-level ``clean_text``: runs JVM-side inside codegen."""
+    """Column-level ``clean_text``: runs JVM-side inside codegen.
+
+    Matches the scalar form exactly: ends stripped of ALL whitespace
+    (Python ``strip()``; Spark's ``trim`` strips spaces only, hence the
+    regexp), internal SPACE runs → ``_``, lowercase."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.regexp_replace(F.trim(c), r"\s+", "_"))
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return F.lower(F.regexp_replace(stripped, " +", "_"))
 
 
 def column_wrangler(df: DataFrame) -> DataFrame:

@@ -43,8 +43,9 @@ def test_clean_text_idempotent(s):
     once = clean_text(s)
     assert clean_text(once) == once
     assert once == once.strip().lower()
-    # no internal whitespace survives
-    assert not any(c.isspace() for c in once)
+    # reference-exact contract: no SPACE survives anywhere (runs become
+    # '_'); other whitespace (tabs etc.) survives in the interior only
+    assert " " not in once
 
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
@@ -127,3 +128,51 @@ def test_two_level_agg_equals_single_decimal_pass(spark, rows):
         r["k"]: r["s"] for r in df.groupBy("k").agg(dsum(F.col("x")).alias("s")).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    st.integers(1, 64),
+)
+def test_pack_sequences_is_contiguous_stream(spark, token_counts, budget):
+    """Packing invariants for any corpus/budget: start offsets are the
+    exact prefix sums (the stream has no holes and no overlaps), bins
+    cover [start, start+tokens) correctly, and the result is independent
+    of shard count."""
+    from simple_data_workflow_spark.llmdata.packing import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    for n_shards in (1, 4):
+        out = {
+            r["doc_id"]: r
+            for r in pack_sequences(
+                df, token_col="n_tok", budget=budget, n_shards=n_shards
+            ).collect()
+        }
+        acc = 0
+        for i, n in enumerate(token_counts):
+            r = out[i]
+            assert r["start_token"] == acc
+            assert r["bin_id"] == acc // budget
+            assert r["n_bins"] == (acc + max(n, 1) - 1) // budget - acc // budget + 1
+            acc += n
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=80),
+       st.integers(0, 100))
+def test_split_is_deterministic_and_group_atomic(spark, groups, pct):
+    from simple_data_workflow_spark.llmdata.packing import split_train_holdout
+
+    df = spark.createDataFrame([(i, g) for i, g in enumerate(groups)], "id long, g string")
+    out = split_train_holdout(df, "g", holdout_pct=pct).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["g"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # group-atomic
+    if pct == 0:
+        assert all(s == {"train"} for s in by_group.values())
+    if pct == 100:
+        assert all(s == {"holdout"} for s in by_group.values())

@@ -34,3 +34,16 @@ def test_sanitize_string_iteration_quirk():
     """Reference quirk (src/tasks.py:55-56): a bare string argument is
     iterated character-by-character — preserved deliberately."""
     assert sanitize_col_names("ab") == ["a", "b"]
+
+
+def test_clean_text_space_only_collapse_parity(spark):
+    """Reference collapses SPACE runs only (re.sub(' +', ...) at
+    src/tasks.py:46): interior tabs/newlines survive; ends are stripped
+    of all whitespace (Python strip()). Scalar and column forms agree."""
+    raw = "\t A b\tC  d \n"
+    # strip() removes the '\t ' / ' \n' ends; each interior SPACE run
+    # becomes one '_'; the interior tab survives
+    expect = "a_b\tc_d"
+    assert clean_text(raw) == expect
+    df = spark.createDataFrame([(raw,)], ["x"])
+    assert df.select(clean_text_col("x").alias("y")).first()["y"] == expect
