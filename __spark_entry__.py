@@ -610,6 +610,56 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy("id_a", "id_b")
 
 
+def minhash_md5_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dups with the engine-portable md5 hash family
+    (llmdata.dedup.minhash_md5_near_dups): the FULL LSH pipeline —
+    shingle → signature → banding → candidate join → exact-Jaccard
+    verify — reproduced bit-for-bit by the DuckDB oracle (the xxhash64
+    variant stays rows-only; this closes that gap)."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_md5_near_dups(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+MINHASH_MD5_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                 || ' ' || string_split(text,' ')[i+2])) AS sh
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 3
+), gh AS (
+  SELECT doc_id, ('0x' || substr(md5(g.gram), 1, 8))::BIGINT AS h
+  FROM s, unnest(s.sh) AS g(gram)
+), mh AS (
+  SELECT doc_id, st.seed,
+         MIN((h * (2*st.seed + 1) + 8191*st.seed) % 2147483647) AS mh
+  FROM gh, (SELECT unnest(range(16)) AS seed) st
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1
+), bd AS (
+  SELECT doc_id, bb.b,
+         sig[2*bb.b + 1]::VARCHAR || '|' || sig[2*bb.b + 2]::VARCHAR AS bucket
+  FROM sig, (SELECT unnest(range(8)) AS b) bb
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bd a JOIN bd b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS i,
+         CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS sz
+  FROM cand
+  JOIN s sa ON sa.doc_id = cand.id_a
+  JOIN s sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, ROUND(i / nullif(sz - i, 0), 6) AS jaccard
+FROM pairs WHERE i / nullif(sz - i, 0) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures + near-dup pairs within hamming ≤ 3
     (4 derived bands of 16 bits → recall 1 by pigeonhole; exact
@@ -1159,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_with_grouping_id": _wrap(rel.rollup_with_grouping_id),
         "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
         "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
+        "minhash_md5_near_dups": _wrap(minhash_md5_near_dups),
         "simhash_docs": _wrap(simhash_docs),
         "doc_text_stats": _wrap(doc_text_stats),
         "cosine_topk": _wrap(cosine_topk),
@@ -1235,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
         "regexp_extract_brands": rel.REGEXP_EXTRACT_SQL,
         "rollup_with_grouping_id": rel.GROUPING_ID_SQL,
         "ngram_jaccard_near_dups": NGRAM_JACCARD_SQL,
+        "minhash_md5_near_dups": MINHASH_MD5_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only
         "doc_text_stats": DOC_STATS_SQL,
         "cosine_topk": COSINE_TOPK_SQL,

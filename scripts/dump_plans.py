@@ -40,17 +40,22 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         try:
             df = fn(spark, sf_dir)
-            # run it so AQE finalizes the plan (re-plans at runtime with
-            # real sizes); the subsequent explain prints isFinalPlan=true
-            df.write.format("noop").mode("overwrite").save()
+            # execute the DataFrame's OWN QueryExecution so AQE finalizes
+            # it in place (a sink write would execute a copy and leave
+            # this plan isFinalPlan=false); diagnostic-only collect
+            df.collect()
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
             plan = buf.getvalue()
             n_exchange = len(re.findall(r"\bExchange\b", plan))
-            # formatted mode marks codegen nodes with a "* " prefix
-            n_codegen = len(re.findall(r"^\s*[+:|-]*\s*\* ", plan, re.M)) or len(
-                re.findall(r"WholeStageCodegen", plan)
+            # non-AQE formatted trees mark codegen nodes with a "* "
+            # prefix; AQE-final trees drop the marker but annotate nodes
+            # with "[codegen id : N]" in the detail section — count
+            # distinct spans across both forms
+            codegen_ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+            n_codegen = len(codegen_ids) or len(
+                re.findall(r"^\s*[+:|-]*\s*\* ", plan, re.M)
             )
             joins = sorted(set(re.findall(r"(\w*(?:HashJoin|MergeJoin|NestedLoopJoin))", plan)))
             pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)

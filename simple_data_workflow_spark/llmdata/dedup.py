@@ -325,3 +325,117 @@ def stratified_sample(
         10,
     ).cast("long")
     return df.where(F.pmod(bucket, F.lit(keep_of)) < keep)
+
+
+def minhash_md5_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicates with an ENGINE-PORTABLE hash family.
+
+    ``minhash_lsh_candidates`` uses xxhash64 (fast, but the seeding is
+    engine-internal, so no external oracle can reproduce it). This twin
+    hashes each shingle ONCE with md5 (32 bits via the first 8 hex
+    chars) and derives the ``num_hashes`` min-hash streams with linear
+    mixes ``(a_s·h + b_s) mod p`` (p = 2^31-1, a_s = 2s+1 odd,
+    b_s = 8191·s) — every step is plain integer/md5 arithmetic any
+    engine reproduces bit-for-bit, making the full LSH pipeline
+    oracle-checkable end to end. Banding (``num_hashes/bands`` rows per
+    band, string bucket key) produces candidates; exact Jaccard over the
+    shingle sets verifies them. Same banded-join scale shape as the
+    xxhash64 path; md5 costs more per shingle, which is why the
+    engine-seeded variant remains the default perf path.
+    """
+    p = 2_147_483_647
+    rows_per_band = num_hashes // bands
+    base = ensure_parallelism(df).select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+    # shingle-less docs (shorter than k words) can't be near-dups and
+    # would all share one degenerate empty-bucket key — drop them here
+    ).where(F.size("sh") > 0)
+    # one md5 per shingle (own projection; streams below re-mix longs)
+    hashed = base.select(
+        id_col,
+        "sh",
+        F.transform(
+            F.col("sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+
+    def stream(seed: int):
+        a, b = 2 * seed + 1, 8191 * seed
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(p)
+
+    sig = hashed.select(
+        id_col,
+        "sh",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("hs"), stream(s)))
+                for s in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    banded = (
+        sig.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "bb.band", "bb.bucket")
+        .persist()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh_side = sig.select(F.col(id_col), "sh")
+    sa, sb = sh_side.alias("sa"), sh_side.alias("sb")
+    sized = (
+        cand.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast("double").alias("__i"),
+            (F.size(F.col("sa.sh")) + F.size(F.col("sb.sh"))).cast("double").alias("__sz"),
+        )
+    )
+    out = sized.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__i") / F.nullif(F.col("__sz") - F.col("__i"), F.lit(0.0)), 6).alias(
+            "jaccard"
+        ),
+    )
+    return out.where(F.col("jaccard") >= threshold)

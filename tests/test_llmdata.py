@@ -348,3 +348,18 @@ def test_quantize_embeddings_roundtrip(spark):
     r2 = rows[2]  # all-zero vector: scale 0, exact zeros
     assert r2["scale"] == 0.0 and r2["qvec"] == [0, 0, 0]
     assert r2["max_abs_err"] == 0.0 and r2["mse"] == 0.0
+
+
+def test_minhash_md5_finds_near_dups_and_verifies(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight again"),
+        (2, "the quick brown fox jumps over the lazy dog tonight today"),
+        (3, "completely different words entirely unrelated content here now then"),
+        (4, "the quick brown fox jumps over the lazy dog tonight again"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.minhash_md5_near_dups(df, threshold=0.5).collect()}
+    assert out[(1, 4)] == pytest.approx(1.0)  # identical docs always collide
+    assert (1, 2) in out and out[(1, 2)] >= 0.5  # near-dup pair found
+    assert all(a != 3 and b != 3 for a, b in out)  # unrelated doc never verified
