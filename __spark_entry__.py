@@ -669,6 +669,44 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def simhash_md5_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups with the engine-portable 60-bit md5 hash
+    (llmdata.dedup.simhash_md5_near_dups): voting, banding, and the
+    exact bit_count(xor) filter all reproduced by the DuckDB oracle —
+    the oracle-checkable twin of simhash_docs."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_md5_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+SIMHASH_MD5_SQL = """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok.t), 1, 15))::BIGINT AS h
+  FROM t, unnest(toks) AS tok(t)
+), v AS (
+  SELECT doc_id, bb.b,
+         SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, (SELECT unnest(range(60)) AS b) bb
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
+  FROM v GROUP BY 1
+), bd AS (
+  SELECT doc_id, sig, bb.b, (sig >> (bb.b * 15)) & 32767 AS chunk
+  FROM sig, (SELECT unnest(range(4)) AS b) bb
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM bd a JOIN bd b ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts, BPE-ish counts, stopword &
     punctuation ratios, quality score, language guess, md5 fingerprint."""
@@ -1211,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
         "minhash_md5_near_dups": _wrap(minhash_md5_near_dups),
         "simhash_docs": _wrap(simhash_docs),
+        "simhash_md5_docs": _wrap(simhash_md5_docs),
         "doc_text_stats": _wrap(doc_text_stats),
         "cosine_topk": _wrap(cosine_topk),
         "cosine_near_dups": _wrap(cosine_near_dups),
@@ -1287,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_with_grouping_id": rel.GROUPING_ID_SQL,
         "ngram_jaccard_near_dups": NGRAM_JACCARD_SQL,
         "minhash_md5_near_dups": MINHASH_MD5_SQL,
+        "simhash_md5_docs": SIMHASH_MD5_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only
         "doc_text_stats": DOC_STATS_SQL,
         "cosine_topk": COSINE_TOPK_SQL,

@@ -439,3 +439,79 @@ def minhash_md5_near_dups(
         ),
     )
     return out.where(F.col("jaccard") >= threshold)
+
+
+def simhash_md5_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bits: int = 60,
+) -> DataFrame:
+    """SimHash near-dups with an ENGINE-PORTABLE hash: the oracle twin of
+    ``simhash_near_dups`` (whose xxhash64 seeding no external engine can
+    reproduce).
+
+    Token hash = first 15 md5 hex chars → 60 bits, deliberately below
+    the BIGINT sign bit so shifts/XOR behave identically everywhere.
+    Same construction otherwise: per-bit ±1 voting → sign bits →
+    ``max_hamming+1`` derived bands (pigeonhole recall 1) → banded
+    candidate join → exact ``bit_count(xor)`` filter. The md5 transform
+    lives in its own projection so it is evaluated once per row, not
+    once per voting bit."""
+    if n_bits % (max_hamming + 1) != 0:
+        raise ValueError("n_bits must divide evenly into max_hamming+1 bands")
+    n_bands = max_hamming + 1
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashed = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        ).alias("hs"),
+    )
+
+    def vote(b: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig_expr = F.lit(0).cast("long")
+    for b in range(n_bits):
+        bit = F.when(F.aggregate(F.col("hs"), F.lit(0), vote(b)) > 0, F.lit(1)).otherwise(F.lit(0))
+        sig_expr = sig_expr + bit.cast("long") * F.shiftleft(F.lit(1).cast("long"), b)
+    sig = hashed.select(id_col, sig_expr.alias("sig"))
+
+    bands_df = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.chunk").persist()
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

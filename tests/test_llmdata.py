@@ -363,3 +363,54 @@ def test_minhash_md5_finds_near_dups_and_verifies(spark):
     assert out[(1, 4)] == pytest.approx(1.0)  # identical docs always collide
     assert (1, 2) in out and out[(1, 2)] >= 0.5  # near-dup pair found
     assert all(a != 3 and b != 3 for a, b in out)  # unrelated doc never verified
+
+
+def test_simhash_md5_recall_vs_brute_force(spark):
+    """md5-simhash banding finds exactly the brute-force hamming<=3 set
+    (pigeonhole recall 1), and identical docs sit at hamming 0."""
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(30)]
+    base = list(words[:15])
+    docs = []
+    for i in range(10):
+        toks = list(base)
+        for _ in range(rng.integers(0, 4)):
+            toks[rng.integers(0, len(toks))] = words[rng.integers(0, 30)]
+        docs.append((i, " ".join(toks)))
+    docs.append((10, docs[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_md5_near_dups(df, max_hamming=3).collect()
+    }
+    assert got[(0, 10)] == 0
+    # brute force over the same 60-bit md5 signatures
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    hs = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    sig_expr = F.lit(0).cast("long")
+    for b in range(60):
+        bit = F.when(
+            F.aggregate(
+                hs,
+                F.lit(0),
+                (lambda bb: lambda acc, h: acc + F.when(
+                    h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), bb)) != 0, F.lit(1)
+                ).otherwise(F.lit(-1)))(b),
+            ) > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        sig_expr = sig_expr + bit.cast("long") * F.shiftleft(F.lit(1).cast("long"), b)
+    sig = df.select("doc_id", sig_expr.alias("sig"))
+    a, b2 = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"]): r["h"]
+        for r in a.join(b2, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("h"),
+        )
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == brute
