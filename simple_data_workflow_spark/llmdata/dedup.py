@@ -222,6 +222,44 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def _simhash_sigs(
+    df: DataFrame, id_col: str, text_col: str, token_hash, n_bits: int
+) -> DataFrame:
+    """(id, sig) SimHash signatures via explode + ONE codegen hash
+    aggregate: per-bit votes are ``n_bits`` SUM(CASE) expressions over
+    the exploded (doc, token-hash) rows, all inside whole-stage codegen.
+
+    The per-row array-fold form (``simhash64``) evaluates ``n_bits``
+    INTERPRETED ``aggregate()`` lambdas per document — ~n_bits×tokens
+    boxed ops/row; this shape replaces that with a single hash aggregate
+    whose shuffle is one partial row of ``n_bits`` longs per doc per
+    partition (explode keeps a doc's tokens co-located, so the merge is
+    nearly free). Exact same signatures: votes are order-insensitive
+    integer sums.
+    """
+    toks = F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("__tok")
+    hashed = ensure_parallelism(df).select(F.col(id_col), toks).select(
+        id_col, token_hash(F.col("__tok")).alias("__h")
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("__h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"__v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        bit = F.when(F.col(f"__v{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        # shiftleft(1, 63) wraps to Long.MIN_VALUE — the sign bit
+        sig = sig + bit.cast("long") * F.shiftleft(F.lit(1).cast("long"), b)
+    return votes.select(id_col, sig.alias("sig"))
+
+
 def simhash_near_dups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
@@ -238,7 +276,7 @@ def simhash_near_dups(
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_bands = max_hamming + 1
-    sig = ensure_parallelism(df).select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    sig = _simhash_sigs(df, id_col, text_col, lambda t: F.xxhash64(t), 64)
 
     def chunk(b: int) -> Column:
         start = b * 64 // n_bands
@@ -456,33 +494,22 @@ def simhash_md5_near_dups(
     the BIGINT sign bit so shifts/XOR behave identically everywhere.
     Same construction otherwise: per-bit ±1 voting → sign bits →
     ``max_hamming+1`` derived bands (pigeonhole recall 1) → banded
-    candidate join → exact ``bit_count(xor)`` filter. The md5 transform
-    lives in its own projection so it is evaluated once per row, not
-    once per voting bit."""
+    candidate join → exact ``bit_count(xor)`` filter. Signatures come
+    from the shared explode+hash-aggregate shape (``_simhash_sigs``):
+    one md5 per token, votes as codegen SUM(CASE) expressions."""
     if n_bits % (max_hamming + 1) != 0:
         raise ValueError("n_bits must divide evenly into max_hamming+1 bands")
     n_bands = max_hamming + 1
     width = n_bits // n_bands
     mask = (1 << width) - 1
 
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    hashed = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.transform(
-            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-        ).alias("hs"),
+    sig = _simhash_sigs(
+        df,
+        id_col,
+        text_col,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        n_bits,
     )
-
-    def vote(b: int):
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    sig_expr = F.lit(0).cast("long")
-    for b in range(n_bits):
-        bit = F.when(F.aggregate(F.col("hs"), F.lit(0), vote(b)) > 0, F.lit(1)).otherwise(F.lit(0))
-        sig_expr = sig_expr + bit.cast("long") * F.shiftleft(F.lit(1).cast("long"), b)
-    sig = hashed.select(id_col, sig_expr.alias("sig"))
 
     bands_df = sig.select(
         id_col,
