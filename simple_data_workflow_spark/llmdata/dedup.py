@@ -146,17 +146,27 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH banding: docs sharing any (band, band-signature) bucket become a
     candidate pair. Shuffle key = (band, hash(band slice)) — collision
-    volume, not n². Output: distinct (id_a, id_b)."""
+    volume, not n². Output: distinct (id_a, id_b).
+
+    Signatures via explode + ONE codegen hash aggregate: each shingle is
+    string-hashed once, every stream minimum is a MIN() expression over
+    the exploded (doc, hash) rows — whole-stage codegen end to end,
+    replacing ``num_hashes`` interpreted array folds per row. Explode
+    keeps a doc's shingles co-located, so the aggregate merge shuffles
+    one partial row of ``num_hashes`` longs per doc. Shingle-less docs
+    (< k words) drop out: they cannot be shingle near-dups and would
+    otherwise all meet in one degenerate bucket."""
     rows_per_band = num_hashes // bands
-    # two projections: CollapseProject keeps the (expensive, multiply-used)
-    # string-hash transform out of the per-stream expressions — each
-    # shingle string is hashed once, each stream re-hashes 8-byte longs
-    hashed = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("hs"),
+    exploded = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__g"))
+        .select(id_col, F.xxhash64(F.col("__g")).alias("__h"))
     )
-    sig = hashed.select(
-        F.col(id_col), _minhash_streams(F.col("hs"), num_hashes).alias("sig")
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("__h"))).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
     )
     banded = (
         sig.select(
@@ -167,7 +177,7 @@ def minhash_lsh_candidates(
                         F.struct(
                             F.lit(b).alias("band"),
                             F.hash(
-                                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                                *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
                             ).alias("bucket"),
                         )
                         for b in range(bands)
@@ -396,29 +406,21 @@ def minhash_md5_near_dups(
     # shingle-less docs (shorter than k words) can't be near-dups and
     # would all share one degenerate empty-bucket key — drop them here
     ).where(F.size("sh") > 0)
-    # one md5 per shingle (own projection; streams below re-mix longs)
-    hashed = base.select(
+    # same explode + single codegen hash aggregate shape as the xxhash64
+    # path: one md5 per shingle, stream minima as MIN() expressions
+    exploded = base.select(
+        id_col, F.explode("sh").alias("__g")
+    ).select(
         id_col,
-        "sh",
-        F.transform(
-            F.col("sh"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-        ).alias("hs"),
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long").alias("__h"),
     )
-
-    def stream(seed: int):
-        a, b = 2 * seed + 1, 8191 * seed
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(p)
-
-    sig = hashed.select(
-        id_col,
-        "sh",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("hs"), stream(s)))
-                for s in range(num_hashes)
-            ]
-        ).alias("sig"),
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.col("__h") * F.lit(2 * s + 1) + F.lit(8191 * s)) % F.lit(p)
+            ).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
     )
     banded = (
         sig.select(
@@ -431,7 +433,7 @@ def minhash_md5_near_dups(
                             F.concat_ws(
                                 "|",
                                 *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    F.col(f"m{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             ).alias("bucket"),
@@ -457,7 +459,7 @@ def minhash_md5_near_dups(
         )
         .distinct()
     )
-    sh_side = sig.select(F.col(id_col), "sh")
+    sh_side = base
     sa, sb = sh_side.alias("sa"), sh_side.alias("sb")
     sized = (
         cand.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
