@@ -113,29 +113,6 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
-def _minhash_streams(hs: Column, num_hashes: int) -> Column:
-    """Signature from PRE-HASHED shingles: per stream, min of a seeded
-    long→long re-hash (a universal family over ints)."""
-
-    def stream(seed: int):
-        return lambda h: F.xxhash64(F.lit(seed), h)
-
-    return F.array(
-        *[F.array_min(F.transform(hs, stream(seed))) for seed in range(num_hashes)]
-    )
-
-
-def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature of a shingle array (single-expression form).
-
-    NOTE: embedding this in one projection duplicates the string-hash
-    transform into every stream (Catalyst inlines within an expression
-    tree). The hot path in ``minhash_lsh_candidates`` splits string-
-    hashing and streams into separate projections so each shingle string
-    is hashed exactly once."""
-    return _minhash_streams(F.transform(sh, lambda s: F.xxhash64(s)), num_hashes)
-
-
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
