@@ -761,6 +761,38 @@ FROM s
 """
 
 
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking (llmdata.text.chunk_documents): overlapping
+    64-token windows, stride 48; chunk text emitted as an md5 hash so
+    the comparison stays compact. Pure flatMap — no shuffle."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = text.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_hash"),
+        "chunk_n_tokens",
+    ).orderBy("doc_id", "chunk_id")
+
+
+CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, ws, n, st.s,
+         CAST(st.s / 48 AS BIGINT) AS chunk_id
+  FROM t, unnest(range(0, greatest(n, 1), 48)) AS st(s)
+  WHERE st.s = 0 OR st.s < n - 16
+)
+SELECT doc_id, chunk_id,
+       md5(array_to_string(ws[s + 1 : s + 64], ' ')) AS chunk_hash,
+       CAST(least(n - s, 64) AS BIGINT) AS chunk_n_tokens
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 cosine neighbors for every 10th vector
     (oracle-parity cosine formula; the LSH variant is the scale path)."""
@@ -1251,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _wrap(simhash_docs),
         "simhash_md5_docs": _wrap(simhash_md5_docs),
         "doc_text_stats": _wrap(doc_text_stats),
+        "chunk_documents": _wrap(chunk_documents_q),
         "cosine_topk": _wrap(cosine_topk),
         "cosine_near_dups": _wrap(cosine_near_dups),
         "ivf_topk_embeddings": _wrap(ivf_topk_embeddings),
@@ -1329,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5_docs": SIMHASH_MD5_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only
         "doc_text_stats": DOC_STATS_SQL,
+        "chunk_documents": CHUNK_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
         "cosine_near_dups": COSINE_NEAR_DUP_SQL,
         # multimodal_features: pandas-UDF decode → rows-only

@@ -160,3 +160,48 @@ def bigram_doc_freq(df: DataFrame, text_col: str = "text", top_n: int = 20) -> D
         .orderBy(F.desc("n_docs"), F.asc("gram"))
         .limit(top_n)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """RAG-style chunking: overlapping windows of ``chunk_tokens``
+    whitespace tokens, stride ``chunk_tokens - overlap``.
+
+    One output row per (document, chunk): ``chunk_id`` (0-based window
+    index), ``chunk_text``, ``chunk_n_tokens``. The final window may be
+    short; a window that would sit entirely inside the previous one
+    (start ≥ n_tokens - overlap) is not emitted. Pure codegen array
+    expressions — tokens → filtered ``sequence`` of starts → ``slice`` +
+    ``concat_ws`` → ``posexplode`` — so the scan stays linear and
+    JVM-side at any corpus size; chunking is a flatMap, no shuffle.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s < n - overlap),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(w, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(n - s, F.lit(chunk_tokens)).cast("long").alias("chunk_n_tokens"),
+        ),
+    )
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_n_tokens").alias("chunk_n_tokens"),
+    )

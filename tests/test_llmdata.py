@@ -414,3 +414,29 @@ def test_simhash_md5_recall_vs_brute_force(spark):
         .collect()
     }
     assert got == brute
+
+
+def test_chunk_documents_windows(spark):
+    from simple_data_workflow_spark.llmdata.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, " ".join(f"x{i}" for i in range(64)))],
+                               ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 100 tokens, stride 48 -> starts 0, 48 (96 >= 100-16 -> not emitted)
+    assert {(d, c) for d, c in rows if d == 1} == {(1, 0), (1, 1)}
+    assert rows[(1, 0)]["chunk_n_tokens"] == 64
+    assert rows[(1, 0)]["chunk_text"].split(" ")[0] == "t0"
+    assert rows[(1, 1)]["chunk_text"].split(" ")[0] == "t48"  # overlap of 16
+    assert rows[(1, 1)]["chunk_n_tokens"] == 52  # tokens 48..99
+    # doc 2: shorter than one window -> single short chunk
+    assert rows[(2, 0)]["chunk_n_tokens"] == 2
+    assert (2, 1) not in rows
+    # doc 3: exactly one window -> the start-48 tail (16 tokens, fully
+    # inside window 0) must NOT be emitted
+    assert {(d, c) for d, c in rows if d == 3} == {(3, 0)}
+    # overlap reconstruction: consecutive chunks share `overlap` tokens
+    c0 = rows[(1, 0)]["chunk_text"].split(" ")
+    c1 = rows[(1, 1)]["chunk_text"].split(" ")
+    assert c0[-16:] == c1[:16]
