@@ -113,6 +113,9 @@ QUERIES = {
     "pack_documents": pack_bench,
     "quantize_embeddings": entrymod.quantize_embeddings_q,
     "error_window_clicks": entrymod.error_window_clicks,
+    "chunk_documents": entrymod.chunk_documents_q,
+    "stats_corr_battery": rel.stats_corr_battery,
+    "trailing_30d_revenue": rel.trailing_30d_revenue,
 }
 
 

@@ -67,6 +67,7 @@ def exact_grouped_agg(
     avgs: dict[str, F.Column] | None = None,
     count_alias: str | None = None,
     scale: float = _SCALE,
+    scales: dict[str, float] | None = None,
 ) -> DataFrame:
     """Two-level exact scaled-integer aggregation — the scale path for
     :func:`dsum` semantics.
@@ -86,8 +87,17 @@ def exact_grouped_agg(
     == COUNT(x)).
     """
     avgs = avgs or {}
+    # per-alias scale override: large-magnitude columns (e.g. squared
+    # prices) need a smaller scale so round(x·scale) keeps fitting the
+    # long partial within a partition's row count — both engines quantize
+    # with the SAME scale, so cross-engine exactness is unaffected
+    scales = scales or {}
+
+    def _sc(a: str) -> float:
+        return scales.get(a, scale)
+
     partial_aggs = [
-        F.sum(F.round(c * F.lit(scale)).cast("long")).alias(f"__s_{a}")
+        F.sum(F.round(c * F.lit(_sc(a))).cast("long")).alias(f"__s_{a}")
         for a, c in {**sums, **avgs}.items()
     ]
     partial_aggs.append(F.count(F.lit(1)).alias("__n"))
@@ -95,13 +105,13 @@ def exact_grouped_agg(
     final_aggs = []
     for a in sums:
         final_aggs.append(
-            (F.sum(F.col(f"__s_{a}").cast("decimal(38,0)")).cast("double") / F.lit(scale)).alias(a)
+            (F.sum(F.col(f"__s_{a}").cast("decimal(38,0)")).cast("double") / F.lit(_sc(a))).alias(a)
         )
     for a in avgs:
         final_aggs.append(
             F.round(
                 F.sum(F.col(f"__s_{a}").cast("decimal(38,0)")).cast("double")
-                / F.lit(scale)
+                / F.lit(_sc(a))
                 / F.sum("__n"),
                 6,
             ).alias(a)
@@ -1188,26 +1198,33 @@ def stats_corr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate battery per return flag: Pearson correlation,
     sample covariance, and sample stddevs of (extendedprice, quantity).
 
-    Built from EXACT scaled-integer sums (``dsum``) and closed-form
-    double arithmetic instead of native ``corr()``/``covar_samp()``
+    Built from EXACT scaled-integer sums and closed-form double
+    arithmetic instead of native ``corr()``/``covar_samp()``
     aggregates: a native streaming-merge aggregate's result depends on
     partition merge order in the last ulps, so it cannot hash-match
     across engines — n, Σx, Σy, Σxy, Σx², Σy² are order-insensitive
-    exact decimals, and the identical closed-form formula on both sides
-    is bit-identical. Same one-shuffle groupBy shape as any sum battery.
+    exact integers, and the identical closed-form formula on both sides
+    is bit-identical. The sums run through ``exact_grouped_agg`` (long
+    partials per input partition, DECIMAL reduce of the tiny partial
+    set) so exactness costs ~a double sum, not a per-row BigDecimal;
+    product columns carry smaller scales (1e4 for x·y, 1 for x²) to
+    keep long partials within overflow headroom — the oracle quantizes
+    with the same scales, so hashes still match.
     """
     li = _t(spark, sf_dir, "lineitem")
-    g = (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            dsum(F.col("l_extendedprice")).alias("sx"),
-            dsum(F.col("l_quantity")).alias("sy"),
-            dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("sxy"),
-            dsum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("sxx"),
-            dsum(F.col("l_quantity") * F.col("l_quantity")).alias("syy"),
-        )
-    )
+    g = exact_grouped_agg(
+        li,
+        ["l_returnflag"],
+        sums={
+            "sx": F.col("l_extendedprice"),
+            "sy": F.col("l_quantity"),
+            "sxy": F.col("l_extendedprice") * F.col("l_quantity"),
+            "sxx": F.col("l_extendedprice") * F.col("l_extendedprice"),
+            "syy": F.col("l_quantity") * F.col("l_quantity"),
+        },
+        scales={"sxy": 1e4, "sxx": 1.0},
+        count_alias="n_rows",
+    ).withColumn("n", F.col("n_rows").cast("double"))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     cov = (sxy - sx * sy / n) / (n - 1)
@@ -1229,8 +1246,8 @@ WITH g AS (
          CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(CAST(ROUND(l_extendedprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sx,
          CAST(SUM(CAST(ROUND(l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sy,
-         CAST(SUM(CAST(ROUND(l_extendedprice*l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sxy,
-         CAST(SUM(CAST(ROUND(l_extendedprice*l_extendedprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS sxx,
+         CAST(SUM(CAST(ROUND(l_extendedprice*l_quantity*10000.0) AS DECIMAL(38,0))) AS DOUBLE)/10000.0 AS sxy,
+         CAST(SUM(CAST(ROUND(l_extendedprice*l_extendedprice*1.0) AS DECIMAL(38,0))) AS DOUBLE)/1.0 AS sxx,
          CAST(SUM(CAST(ROUND(l_quantity*l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS syy
   FROM lineitem GROUP BY l_returnflag
 )
