@@ -31,7 +31,7 @@ from simple_data_workflow_spark.operators.transforms import (
     exact_moments,
     exact_moments_multi,
 )
-from simple_data_workflow_spark.llmdata import dedup, packing, similarity, text
+from simple_data_workflow_spark.llmdata import curation, dedup, packing, similarity, text
 from simple_data_workflow_spark.operators import joins
 from simple_data_workflow_spark.plans import relational as rel
 from simple_data_workflow_spark.sources.readers import load_table
@@ -555,14 +555,14 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified downsample per language → per-language accounting."""
     tune(spark)
     docs = _t(spark, sf_dir, "documents")
-    filtered = docs.where((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000))
-    deduped_ids = dedup.exact_dedup(filtered, key_cols=["text"], id_col="doc_id").select(
-        "doc_id", "text"
+    sampled = curation.curate_corpus(
+        docs,
+        benchmark=docs.where(F.col("doc_id") < 25),
+        min_chars=100,
+        max_chars=2000,
+        strata_col="lang",
+        keep_of=2,
     )
-    survivors = filtered.join(deduped_ids.select("doc_id"), "doc_id")
-    benchmark = docs.where(F.col("doc_id") < 25)
-    clean = dedup.decontaminate(survivors, benchmark)
-    sampled = dedup.stratified_sample(clean, "lang", "doc_id", keep_of=2, keep=1)
     return (
         sampled.groupBy("lang")
         .agg(

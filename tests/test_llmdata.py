@@ -440,3 +440,22 @@ def test_chunk_documents_windows(spark):
     c0 = rows[(1, 0)]["chunk_text"].split(" ")
     c1 = rows[(1, 1)]["chunk_text"].split(" ")
     assert c0[-16:] == c1[:16]
+
+
+def test_curate_corpus_stages_compose(spark):
+    from simple_data_workflow_spark.llmdata.curation import curate_corpus
+
+    rows = [
+        (1, "alpha beta gamma", "en", 16),
+        (2, "alpha beta gamma", "en", 16),    # exact dup of 1 -> dropped
+        (3, "short", "en", 5),                # below min_chars -> dropped
+        (4, "delta epsilon zeta", "fr", 18),
+        (5, "held out benchmark text", "fr", 23),  # contaminated -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    bench = spark.createDataFrame([(99, "held  OUT benchmark text")], ["doc_id", "text"])
+    out = curate_corpus(df, benchmark=bench, min_chars=10)
+    assert {r["doc_id"] for r in out.collect()} == {1, 4}
+    assert out.columns == df.columns  # schema preserved for composition
+    # all stages optional: bare call only dedups
+    assert {r["doc_id"] for r in curate_corpus(df).collect()} == {1, 3, 4, 5}
