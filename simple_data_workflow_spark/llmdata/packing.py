@@ -65,7 +65,10 @@ def pack_sequences(
     # ONCE over a persisted NARROW (id, count) projection (~16 B/row, not
     # the full document width), and placements join back to the original
     # frame on the id at the end: one tokenize pass + one co-partitioned
-    # join instead of three full-text scans.
+    # join instead of three full-text scans. The narrow cache stays
+    # registered (the returned plan still reads it); it is O(rows×16 B),
+    # evicted LRU, and a caller packing many corpora in one session can
+    # reclaim it eagerly with spark.catalog.clearCache().
     narrow = (
         ensure_parallelism(df)
         .select(F.col(id_col), toks.alias("n_tokens"))

@@ -176,3 +176,33 @@ def test_split_is_deterministic_and_group_atomic(spark, groups, pct):
         assert all(s == {"train"} for s in by_group.values())
     if pct == 100:
         assert all(s == {"holdout"} for s in by_group.values())
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(1, 120), st.integers(8, 24), st.integers(0, 7))
+def test_chunk_windows_reconstruct_the_token_stream(spark, n_tokens, chunk, overlap):
+    """Chunking invariants for any (doc length, window, overlap):
+    consecutive chunks share exactly `overlap` tokens, concatenating
+    each chunk's non-overlapping tail reproduces the document, and no
+    emitted window sits entirely inside the previous one."""
+    from simple_data_workflow_spark.llmdata.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    stride = chunk - overlap
+    rebuilt = []
+    for i, r in enumerate(rows):
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["chunk_n_tokens"] <= chunk
+        if i == 0:
+            rebuilt = toks
+        else:
+            prev = rows[i - 1]["chunk_text"].split(" ")
+            assert prev[stride:stride + overlap] == toks[:len(prev) - stride]
+            rebuilt += toks[overlap:]
+        assert r["chunk_id"] == i
+    assert rebuilt == text.split(" ")
