@@ -83,6 +83,13 @@ def text_bench(spark, sf_dir):
     return text.analyze_documents(docs)
 
 
+def mice_bench(spark, sf_dir):
+    # 4 sweeps × 2 columns over masked lineitem; per-sweep localCheckpoint
+    # keeps plan depth constant and the stacked output reads materialized
+    # draws instead of replaying sweep lineage
+    return entrymod.mice_impute_lineitem(spark, sf_dir)
+
+
 def pack_bench(spark, sf_dir):
     # distributed range-sharded prefix sum (the no-global-sort packing path)
     docs = load_table(spark, sf_dir, "documents")
@@ -116,6 +123,7 @@ QUERIES = {
     "chunk_documents": entrymod.chunk_documents_q,
     "stats_corr_battery": rel.stats_corr_battery,
     "trailing_30d_revenue": rel.trailing_30d_revenue,
+    "mice_impute_lineitem": mice_bench,
 }
 
 

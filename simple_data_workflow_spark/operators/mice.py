@@ -20,8 +20,18 @@ Distributed design — nothing data-sized ever reaches the driver:
   normal draws (pred + N(0, σ̂)) — same first two moments, which is what
   the reference's own (stub) KL acceptance test checks
   (reference src/tests/test_tasks.py:465-470);
-- per-sweep ``persist`` caps lineage growth; on a cluster swap for
-  ``localCheckpoint`` at larger sweep counts.
+- each sweep ends in an eager ``localCheckpoint``: lineage is truncated
+  every sweep, so the Catalyst plan depth stays CONSTANT across any
+  number of sweeps, and the saved draws reference materialized
+  checkpoint data — stacking the ``n_imputations`` outputs at the end
+  reads the checkpoints instead of replaying up to
+  ``n_burnin + n_imputations·n_spread`` sweeps of lineage per draw.
+  Superseded sweeps drop out of scope and their executor-local blocks
+  are released by Spark's ContextCleaner; peak storage is a handful of
+  materialized copies (MEMORY_AND_DISK, spills rather than OOMs). On a
+  cluster, executor loss invalidates local checkpoints — acceptable
+  here because the draws are hash-seeded and a retried run reproduces
+  them exactly.
 
 Categorical/boolean columns are mode-filled once up front (the linear
 chained equations cover numeric columns, matching the reference's
@@ -80,7 +90,8 @@ def _fit_column(df: DataFrame, target: str, feats: list[str]) -> tuple[np.ndarra
 
 
 def _pmm_draw(
-    work: DataFrame, target: str, pred, row_id: str, sweep: int, seed: int
+    work: DataFrame, target: str, pred, row_id: str, sweep: int, seed: int,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Predictive-mean-matching draw (statsmodels' default): each missing
     cell takes the OBSERVED value of a row whose predicted mean is
@@ -93,12 +104,22 @@ def _pmm_draw(
     missing row picks the nearer neighbor, a hash bit breaking exact
     ties. The windows partition on the bucket — never a global sort — so
     the draw scales; a missing row at a bucket edge just falls back to
-    its one-sided neighbor (PMM samples among near donors anyway)."""
+    its one-sided neighbor (PMM samples among near donors anyway).
+
+    ``n_buckets`` bounds per-bucket sort size (the scale knob): callers
+    derive it from the data's partition count so each bucket holds
+    ~rows/n_buckets rows regardless of scale — a fixed count would cap
+    parallelism and let per-bucket sorts grow with the data.
+
+    A bucket may contain no donors at all (every row in it missing);
+    such rows take a precomputed fallback donor — the boundary donor of
+    the nearest donor-bearing bucket — via a literal map built from one
+    tiny aggregate (≤ n_buckets rows to the driver, bounded by the knob,
+    never by the data)."""
     from pyspark.sql.window import Window
 
     scored = work.withColumn("__pred", pred)
     lo, hi = scored.agg(F.min("__pred"), F.max("__pred")).first()
-    n_buckets = 64
     width = ((hi - lo) / n_buckets) if hi is not None and hi > lo else 1.0
     scored = scored.withColumn(
         "__pbucket",
@@ -107,6 +128,30 @@ def _pmm_draw(
             F.lit(n_buckets - 1),
         ),
     )
+    # boundary donors per bucket (donor-bearing buckets only): feeds the
+    # donor-less-bucket fallback below
+    donor_stats = {
+        int(r["__pbucket"]): (r["lo_v"], r["hi_v"])
+        for r in scored.where(~F.col(f"__na_{target}"))
+        .groupBy("__pbucket")
+        .agg(
+            F.min_by(target, "__pred").alias("lo_v"),
+            F.max_by(target, "__pred").alias("hi_v"),
+        )
+        .collect()
+    }
+    if not donor_stats:
+        raise ValueError(f"pmm: column {target!r} has no observed values to draw from")
+    fallback: dict[int, float] = {}
+    for bkt in range(n_buckets):
+        if bkt in donor_stats:
+            continue
+        below = max((d for d in donor_stats if d < bkt), default=None)
+        above = min((d for d in donor_stats if d > bkt), default=None)
+        if below is not None and (above is None or bkt - below <= above - bkt):
+            fallback[bkt] = float(donor_stats[below][1])  # donor nearest the gap
+        else:
+            fallback[bkt] = float(donor_stats[above][0])
     w = (
         Window.partitionBy("__pbucket")
         .orderBy("__pred", F.col(row_id))
@@ -133,6 +178,15 @@ def _pmm_draw(
         | (F.col("__below_v").isNotNull() & ((d_below < d_above) | ((d_below == d_above) & (jitter == 0))))
     )
     drawn = F.when(pick_below, F.col("__below_v")).otherwise(F.col("__above_v"))
+    if fallback:
+        fb_map = F.create_map(
+            *[
+                c
+                for bkt, v in sorted(fallback.items())
+                for c in (F.lit(bkt), F.lit(v))
+            ]
+        )
+        drawn = F.coalesce(drawn, fb_map[F.col("__pbucket")])
     out = carried.withColumn(
         target, F.when(F.col(f"__na_{target}"), drawn).otherwise(F.col(target))
     )
@@ -148,12 +202,16 @@ def mice_impute(
     row_id: str | None = None,
     seed: int = 42,
     draw: str = "normal",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Chained-equation multiple imputation over numeric columns.
 
     ``draw='normal'``: Bayesian draws pred + N(0, σ̂) (deterministic
     Box–Muller). ``draw='pmm'``: predictive mean matching — statsmodels'
     default — imputed cells take nearest-predicted OBSERVED values.
+    ``n_buckets`` (pmm only) partitions the donor-matching windows;
+    default scales with the input's partition count so per-bucket work
+    stays bounded as the data grows.
 
     Returns the reference's stacked shape: ``iter`` (0..n_imputations-1)
     + ``row_id`` + the data columns, one fully-imputed copy of the input
@@ -172,11 +230,12 @@ def mice_impute(
         for f in df.schema.fields
         if f.name in cols and isinstance(f.dataType, NumericType)
     ]
-    na_numeric = []
-    flags = df.select(
-        *[F.max(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in numeric]
+    # one pass for BOTH the has-missing flags and the start-state means
+    stats = df.agg(
+        *[F.max(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__na_{c}") for c in numeric],
+        *[F.avg(c).alias(f"__mu_{c}") for c in numeric],
     ).first()
-    na_numeric = [c for c in numeric if flags[c] == 1]
+    na_numeric = [c for c in numeric if stats[f"__na_{c}"] == 1]
     if not na_numeric:
         raise ValueError("mice: no numeric column has missing values")
 
@@ -194,9 +253,17 @@ def mice_impute(
     work = df
     for c in na_numeric:
         work = work.withColumn(f"__na_{c}", F.col(c).isNull())
-    means = work.agg(*[F.avg(c).alias(c) for c in na_numeric]).first()
-    work = work.fillna({c: means[c] for c in na_numeric if means[c] is not None})
-    work = work.persist()
+    work = work.fillna(
+        {c: stats[f"__mu_{c}"] for c in na_numeric if stats[f"__mu_{c}"] is not None}
+    )
+    # eager checkpoint: materializes the start state AND pins the
+    # monotonically_increasing_id row ids (when generated here) so every
+    # sweep sees the same identities
+    work = work.localCheckpoint(eager=True)
+    if n_buckets is None:
+        # per-bucket rows ≈ rows / (partitions · 8): parallelism tracks
+        # the data instead of capping at a constant
+        n_buckets = max(64, work.rdd.getNumPartitions() * 8)
 
     saved: list[DataFrame] = []
     sweep = 0
@@ -204,7 +271,6 @@ def mice_impute(
         target_sweep = n_burnin if not saved else sweep + n_spread
         while sweep < target_sweep:
             sweep += 1
-            prev = work
             for c in na_numeric:
                 feats = [f for f in numeric if f != c]
                 beta, sigma = _fit_column(work, c, feats)
@@ -212,7 +278,7 @@ def mice_impute(
                 for b, f_ in zip(beta[1:], feats):
                     pred = pred + F.lit(float(b)) * F.col(f_).cast("double")
                 if draw == "pmm":
-                    work = _pmm_draw(work, c, pred, row_id, sweep, seed)
+                    work = _pmm_draw(work, c, pred, row_id, sweep, seed, n_buckets)
                 else:
                     noise = F.lit(sigma) * _gauss(
                         F.col(row_id), F.lit(c), F.lit(sweep), F.lit(seed)
@@ -220,8 +286,11 @@ def mice_impute(
                     work = work.withColumn(
                         c, F.when(F.col(f"__na_{c}"), pred + noise).otherwise(F.col(c))
                     )
-            work = work.persist()
-            prev.unpersist()
+            # truncate lineage EVERY sweep: constant plan depth, and the
+            # frames captured in `saved` stay valid materialized data (the
+            # old persist/unpersist chain invalidated earlier draws, which
+            # then replayed their full sweep lineage when finally stacked)
+            work = work.localCheckpoint(eager=True)
         saved.append(
             work.select(
                 F.lit(len(saved)).cast("long").alias("iter"),

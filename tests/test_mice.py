@@ -106,6 +106,56 @@ def test_mice_kl_divergence_under_1(na_frame, draw):
             assert 0.0 <= kl < 1.0, (draw, col, it, kl)
 
 
+def test_mice_pmm_complete_even_in_donorless_buckets(na_frame):
+    """A prediction-range bucket can hold only missing rows (no donors);
+    those draws must fall back to a neighboring bucket's boundary donor
+    rather than staying NULL. Small n_buckets vs rows makes donor-less
+    buckets likely; assert total completeness on BOTH columns."""
+    for nb in (4, 64, 512):
+        out = wrangle_na(
+            na_frame,
+            strategy="mice",
+            cols=["x", "y"],
+            n_burnin=1,
+            n_imputations=1,
+            n_spread=1,
+            row_id="row_id",
+            draw="pmm",
+            n_buckets=nb,
+        )
+        assert out.where("x IS NULL OR y IS NULL").count() == 0, nb
+
+
+def test_mice_pmm_bucket_count_statistical_invariance(na_frame):
+    """The bucket count is a parallelism knob, not a statistical one:
+    across widely different n_buckets (same seed) every imputed cell is
+    still an observed donor value and the imputed-column means agree to
+    a tight tolerance. (Bitwise equality is NOT expected — a bucket edge
+    moves which near donor a boundary row picks; PMM samples among near
+    donors by design.)"""
+    import numpy as np
+
+    pdf = na_frame.toPandas()
+    observed_x = set(pdf.x.dropna().round(9))
+    means = []
+    for nb in (8, 64, 256):
+        out = wrangle_na(
+            na_frame,
+            strategy="mice",
+            cols=["x", "y"],
+            n_burnin=2,
+            n_imputations=2,
+            n_spread=1,
+            row_id="row_id",
+            draw="pmm",
+            n_buckets=nb,
+        ).toPandas()
+        imputed = out[out.row_id.isin(pdf[pdf.x.isna()].row_id)]
+        assert set(imputed.x.round(9)) <= observed_x, nb
+        means.append(float(out.x.mean()))
+    assert float(np.ptp(means)) < 0.25, means
+
+
 def test_mice_pmm_draws_observed_values(na_frame):
     out = wrangle_na(
         na_frame,
