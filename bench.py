@@ -54,8 +54,21 @@ def lsh_topk_multiprobe_bench(spark, sf_dir):
 
 
 def lsh_near_dups_bench(spark, sf_dir):
+    # probe_bits=0: home-bucket collisions only (round-2-comparable config);
+    # explicit mode + dim → plan builds with zero guard actions
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_dup_pairs(emb, threshold=0.38, max_rows_all_pairs=0)
+    return similarity.cosine_near_dup_pairs(
+        emb, threshold=0.38, mode="lsh", n_planes=8, probe_bits=0, dim=64
+    )
+
+
+def lsh_near_dups_multiprobe_bench(spark, sf_dir):
+    # probe_bits=1 (the operator default): the measured price of the
+    # pinned near-dup recall bound — benched separately like lsh_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        emb, threshold=0.38, mode="lsh", n_planes=8, probe_bits=1, dim=64
+    )
 
 
 _IVF_CENTROIDS: dict = {}
@@ -117,6 +130,7 @@ QUERIES = {
     "lsh_topk_multiprobe": lsh_topk_multiprobe_bench,
     "ivf_topk": ivf_topk_bench,
     "lsh_cosine_near_dups": lsh_near_dups_bench,
+    "lsh_cosine_near_dups_multiprobe": lsh_near_dups_multiprobe_bench,
     "pack_documents": pack_bench,
     "quantize_embeddings": entrymod.quantize_embeddings_q,
     "error_window_clicks": entrymod.error_window_clicks,

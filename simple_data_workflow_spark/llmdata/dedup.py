@@ -72,17 +72,24 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     k: int = 3,
     max_rows_all_pairs: int = 20_000,
+    mode: str = "auto",
 ) -> DataFrame:
     """Pairs (id_a, id_b, jaccard) with k-gram Jaccard ≥ threshold.
 
-    Below ``max_rows_all_pairs`` rows: exact all-pairs (range-join on id to
-    halve the matrix). Above: MinHash/LSH candidates first, exact Jaccard
-    verification after — same output contract, candidate recall < 1 traded
-    for linear scaling.
+    ``mode='exact'``: all-pairs (range-join on id to halve the matrix) —
+    O(n²), caller asserts the scale. ``mode='lsh'``: MinHash/LSH
+    candidates first, exact Jaccard verification after — same output
+    contract, candidate recall < 1 traded for linear scaling, and no
+    action runs while the plan is built. ``mode='auto'`` (default,
+    interactive use) spends ONE ``count()`` to pick a side of
+    ``max_rows_all_pairs``.
     """
-    n = df.count()
+    if mode not in ("auto", "exact", "lsh"):
+        raise ValueError(f"mode must be 'auto', 'exact' or 'lsh', got {mode!r}")
+    if mode == "auto":
+        mode = "exact" if df.count() <= max_rows_all_pairs else "lsh"
     sh = ensure_parallelism(df).select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
-    if n <= max_rows_all_pairs:
+    if mode == "exact":
         a = sh.alias("a")
         b = sh.alias("b")
         pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -182,33 +189,6 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash: per-token xxhash64, per-bit ±1 voting, sign bit out.
-
-    Expressed entirely with array expressions (no UDF): for each bit b,
-    count tokens with bit set minus tokens with bit clear; signature bit
-    = vote > 0."""
-    toks = F.array_distinct(F.split(text, " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote(b: int):
-        # bind b via factory — pyspark lambda arity must stay exactly 2
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bits = [
-        F.when(F.aggregate(hashes, F.lit(0), vote(b)) > 0, F.lit(1)).otherwise(F.lit(0))
-        for b in range(64)
-    ]
-    out = F.lit(0).cast("long")
-    for b, bit in enumerate(bits):
-        # shiftleft(1, 63) wraps to Long.MIN_VALUE in the JVM — the sign
-        # bit — which a python literal 1<<63 cannot express as a long
-        out = out + (bit.cast("long") * F.shiftleft(F.lit(1).cast("long"), b))
-    return out
-
-
 def _simhash_sigs(
     df: DataFrame, id_col: str, text_col: str, token_hash, n_bits: int
 ) -> DataFrame:
@@ -216,9 +196,10 @@ def _simhash_sigs(
     aggregate: per-bit votes are ``n_bits`` SUM(CASE) expressions over
     the exploded (doc, token-hash) rows, all inside whole-stage codegen.
 
-    The per-row array-fold form (``simhash64``) evaluates ``n_bits``
-    INTERPRETED ``aggregate()`` lambdas per document — ~n_bits×tokens
-    boxed ops/row; this shape replaces that with a single hash aggregate
+    A per-row array-fold form would evaluate ``n_bits`` INTERPRETED
+    ``aggregate()`` lambdas per document — ~n_bits×tokens boxed ops/row
+    (that shape survives only as the brute-force oracle in
+    tests/test_llmdata.py); this shape replaces it with a single hash aggregate
     whose shuffle is one partial row of ``n_bits`` longs per doc per
     partition (explode keeps a doc's tokens co-located, so the merge is
     nearly free). Exact same signatures: votes are order-insensitive

@@ -79,27 +79,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket_col(vec_col, planes: np.ndarray):
-    """Sign-bit bucket id: bit p = (v · plane_p) > 0, packed into a long.
-
-    The planes are literals in the plan (broadcast with the closure) —
-    each executor computes buckets locally, no shuffle until the
-    candidate join."""
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in plane]),
-                lambda v, h: v.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
-
-
 def _probe_masks(n_planes: int, probe_bits: int) -> list[int]:
     """XOR masks for multiprobe: every bit pattern flipping ≤ probe_bits
     of the n_planes sign bits (mask 0 = the home bucket)."""
@@ -190,14 +169,50 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     max_rows_all_pairs: int = 20_000,
     prenormalize: bool = True,
+    mode: str = "auto",
+    n_planes: int | None = None,
+    probe_bits: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
 
-    All-pairs under the guard; LSH-bucketed candidates above it.
-    ``prenormalize=False`` scores with the oracle-parity cosine formula."""
-    n = df.count()
+    ``mode`` picks the plan shape explicitly, keeping planned pipelines
+    action-free:
+
+    - ``'exact'``: all-pairs self-join — O(n²), caller asserts the scale.
+    - ``'lsh'``: hyperplane-bucketed candidates + exact re-score. No
+      guard count runs; the plan is built without any job.
+    - ``'auto'`` (default, interactive use): ONE ``count()`` action
+      chooses exact under ``max_rows_all_pairs`` rows, lsh above.
+
+    ``n_planes`` (lsh): buckets = 2^n_planes; scale it like ``lsh_topk``
+    (≈ log2(N / target_bucket_rows)) so per-bucket candidate joins stay
+    bounded — in auto mode it is derived from the measured count with a
+    ~256-row bucket target; in explicit lsh mode it defaults to 8, and
+    callers at real scale should pass their own. ``probe_bits``: one
+    join side also probes every bucket within that hamming distance, so
+    near-dup pairs differing in ≤ probe_bits sign bits are still found —
+    the measured-recall knob (candidate volume × Σ C(n_planes, i)); the
+    pinned bound lives in
+    tests/test_llmdata.py::test_cosine_near_dup_lsh_recall.
+
+    ``dim`` (lsh): embedding width for the hyperplane draw; when omitted
+    it is probed with a 1-row ``first()`` — pass it together with
+    ``mode='lsh'`` for a fully action-free plan build.
+
+    ``prenormalize=False`` scores with the oracle-parity cosine formula.
+    """
+    if mode not in ("auto", "exact", "lsh"):
+        raise ValueError(f"mode must be 'auto', 'exact' or 'lsh', got {mode!r}")
+    if mode == "auto":
+        n = df.count()
+        mode = "exact" if n <= max_rows_all_pairs else "lsh"
+        if n_planes is None and mode == "lsh":
+            n_planes = max(4, min(24, int(np.ceil(np.log2(max(n, 2) / 256)))))
+    if n_planes is None:
+        n_planes = 8
     df = ensure_parallelism(df)
-    if not prenormalize and n <= max_rows_all_pairs:
+    if mode == "exact" and not prenormalize:
         raw = df.select(F.col(id_col), F.col(vec_col).alias("v"))
         a, b = raw.alias("a"), raw.alias("b")
         pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
@@ -206,8 +221,8 @@ def cosine_near_dup_pairs(
             F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
         )
         return pairs.where(F.col("cosine") >= threshold)
-    norm = df.select(F.col(id_col), l2_normalize(F.col(vec_col)).alias("v"))
-    if n <= max_rows_all_pairs:
+    if mode == "exact":
+        norm = df.select(F.col(id_col), l2_normalize(F.col(vec_col)).alias("v"))
         a, b = norm.alias("a"), norm.alias("b")
         pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -215,14 +230,26 @@ def cosine_near_dup_pairs(
             F.round(dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
         )
     else:
-        dim = len(df.select(vec_col).first()[0])
-        planes = _hyperplanes(dim, 8)
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes)
         bucketed = df.select(
             F.col(id_col),
             F.col(vec_col).alias("v"),
-            hyperplane_bucket_pd(planes)(F.col(vec_col)).alias("bucket"),
+            hyperplane_bucket_pd(planes)(F.col(vec_col)).alias("__home"),
         )
-        a, b = bucketed.alias("a"), bucketed.alias("b")
+        masks = _probe_masks(n_planes, probe_bits)
+        # only side a fans out over the probe masks: every ordered pair
+        # (id_a < id_b) is reached when a's probed bucket hits b's home
+        # bucket, so the corpus side is never replicated
+        a = bucketed.select(
+            F.col(id_col),
+            "v",
+            F.explode(
+                F.array(*[F.lit(m).cast("long").bitwiseXOR(F.col("__home")) for m in masks])
+            ).alias("bucket"),
+        ).alias("a")
+        b = bucketed.withColumnRenamed("__home", "bucket").alias("b")
         pairs = (
             a.join(
                 b,

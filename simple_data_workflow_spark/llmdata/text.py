@@ -118,19 +118,27 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 1) -> DataFrame:
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+    n_docs: int | None = None,
+) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
     explode → two hash aggregates (term frequency per doc, document
     frequency per term) → shuffle-join on term → per-doc ranking window.
     The docf side is vocabulary-sized (unbounded at corpus scale), so it
     is NOT force-broadcast — AQE auto-broadcasts it when it is actually
-    small. The only global number is N (corpus size), collected as one
-    scalar. idf = ln(N/df), score = tf·idf.
+    small. The only global number is N (corpus size): pass ``n_docs``
+    when the pipeline already knows it (action-free plan build), else it
+    is collected as one scalar. idf = ln(N/df), score = tf·idf.
     """
     from pyspark.sql.window import Window
 
-    n_docs = df.count()
+    if n_docs is None:
+        n_docs = df.count()
     terms = ensure_parallelism(df).select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

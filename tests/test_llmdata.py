@@ -179,6 +179,57 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert r1 >= r0
 
 
+def test_cosine_near_dup_lsh_recall(spark):
+    """Measured recall for the LSH near-dup path vs the exact all-pairs
+    path at the documented config (n_planes=8, probe_bits=1) on tightly
+    clustered vectors — the workload the operator exists for. Pinned
+    ≥ 0.8; precision is 1 by construction (exact cosine re-scores every
+    candidate). probe_bits=0 must never beat probe_bits=1."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64)) * 3.0
+    vecs = np.vstack([c + rng.standard_normal((12, 64)) * 0.2 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_pairs(df, threshold=0.9, mode="exact").collect()
+    }
+    assert exact  # the fixture must actually produce near-dup pairs
+
+    def lsh_pairs(probe_bits):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in similarity.cosine_near_dup_pairs(
+                df, threshold=0.9, mode="lsh", n_planes=8, probe_bits=probe_bits, dim=64
+            ).collect()
+        }
+
+    p0, p1 = lsh_pairs(0), lsh_pairs(1)
+    assert p1 <= exact and p0 <= exact  # exact re-score: no false pairs
+    assert len(p1) / len(exact) >= 0.8, (len(p0), len(p1), len(exact))
+    assert len(p1) >= len(p0)
+
+
+def test_near_dup_explicit_mode_runs_no_guard_action(spark):
+    """mode='lsh' (with dim) and mode='exact' must build their plans
+    without spending the auto-mode guard count() — planned pipelines at
+    100 TB cannot afford a full pass just to pick a branch."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    docs = spark.createDataFrame([(i, f"a b c d{i}") for i in range(8)], ["doc_id", "text"])
+    tracker = spark.sparkContext.statusTracker()
+
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    similarity.cosine_near_dup_pairs(df, mode="lsh", n_planes=4, dim=2)
+    dedup.ngram_jaccard_pairs(docs, mode="lsh")
+    dedup.ngram_jaccard_pairs(docs, mode="exact")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # plan construction launched zero jobs
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     rng = np.random.default_rng(11)
     vecs = rng.standard_normal((200, 16)).astype(float)
@@ -231,6 +282,32 @@ def test_stratified_sample_holds_under_id_skew(spark):
         assert 55 <= n <= 145, counts
 
 
+def _simhash64_fold(text):
+    """Brute-force SimHash oracle: per-row interpreted array folds —
+    semantically identical to the production explode+hash-aggregate shape
+    (``dedup._simhash_sigs``) but ~n_bits×tokens boxed ops per row, so it
+    lives here as a test oracle only."""
+    toks = F.array_distinct(F.split(text, " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(b):
+        # bind b via factory — pyspark lambda arity must stay exactly 2
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bits = [
+        F.when(F.aggregate(hashes, F.lit(0), vote(b)) > 0, F.lit(1)).otherwise(F.lit(0))
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        # shiftleft(1, 63) wraps to Long.MIN_VALUE — the sign bit — which
+        # a python literal 1<<63 cannot express as a long
+        out = out + (bit.cast("long") * F.shiftleft(F.lit(1).cast("long"), b))
+    return out
+
+
 def test_simhash_banding_full_recall_vs_brute_force(spark):
     # small corpus with pairs across the hamming spectrum; banding must
     # find EVERY pair within max_hamming that brute force finds
@@ -249,7 +326,7 @@ def test_simhash_banding_full_recall_vs_brute_force(spark):
             (r["id_a"], r["id_b"])
             for r in dedup.simhash_near_dups(df, max_hamming=max_h).collect()
         }
-        sig = df.select("doc_id", dedup.simhash64(F.col("text")).alias("sig"))
+        sig = df.select("doc_id", _simhash64_fold(F.col("text")).alias("sig"))
         a, b = sig.alias("a"), sig.alias("b")
         brute = {
             (r["id_a"], r["id_b"])
