@@ -510,7 +510,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATIFIED_SQL = """
 SELECT lang, COUNT(*) AS n_sampled
 FROM documents
-WHERE ('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 < 1
+WHERE ('0x' || substr(md5(coalesce(lang, chr(0) || 'null') || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 < 1
 GROUP BY lang ORDER BY lang
 """
 
@@ -589,7 +589,7 @@ bench AS (
   WHERE NOT EXISTS (SELECT 1 FROM bench WHERE bench.f = fp.f)
 ), sampled AS (
   SELECT * FROM clean
-  WHERE ('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 < 1
+  WHERE ('0x' || substr(md5(coalesce(lang, chr(0) || 'null') || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 < 1
 )
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM sampled GROUP BY lang ORDER BY lang
@@ -615,13 +615,26 @@ def minhash_md5_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llmdata.dedup.minhash_md5_near_dups): the FULL LSH pipeline —
     shingle → signature → banding → candidate join → exact-Jaccard
     verify — reproduced bit-for-bit by the DuckDB oracle (the xxhash64
-    variant stays rows-only; this closes that gap)."""
+    variant stays rows-only; this closes that gap). The checked config
+    runs 8 streams / 4 bands — same 2 rows/band selectivity shape as the
+    16/8 default at half the oracle's per-shingle work (the portability
+    proof doesn't need the production stream count; recall tuning lives
+    with the perf-path benchmarks)."""
     tune(spark)
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_md5_near_dups(docs, threshold=0.5).orderBy("id_a", "id_b")
+    return dedup.minhash_md5_near_dups(
+        docs, num_hashes=8, bands=4, threshold=0.5
+    ).orderBy("id_a", "id_b")
 
 
-MINHASH_MD5_SQL = """
+# per-stream universal-hash constants, md5-derived (decorrelated streams);
+# MUST mirror llmdata.dedup.minhash_md5_coeffs — embedded as literals so
+# the SQL is self-contained
+_MH_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(dedup.minhash_md5_coeffs(8))
+)
+
+MINHASH_MD5_SQL = f"""
 WITH s AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -634,15 +647,15 @@ WITH s AS (
   FROM s, unnest(s.sh) AS g(gram)
 ), mh AS (
   SELECT doc_id, st.seed,
-         MIN((h * (2*st.seed + 1) + 8191*st.seed) % 2147483647) AS mh
-  FROM gh, (SELECT unnest(range(16)) AS seed) st
+         MIN(((h % 2147483647) * st.a + st.b) % 2147483647) AS mh
+  FROM gh, (VALUES {_MH_VALUES}) st(seed, a, b)
   GROUP BY 1, 2
 ), sig AS (
   SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1
 ), bd AS (
   SELECT doc_id, bb.b,
          sig[2*bb.b + 1]::VARCHAR || '|' || sig[2*bb.b + 2]::VARCHAR AS bucket
-  FROM sig, (SELECT unnest(range(8)) AS b) bb
+  FROM sig, (SELECT unnest(range(4)) AS b) bb
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bd a JOIN bd b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1107,7 +1120,7 @@ def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPLIT_SQL = """
 SELECT doc_id, source,
-       CASE WHEN ('0x' || substr(md5('split|' || source), 1, 8))::BIGINT % 100 < 20
+       CASE WHEN ('0x' || substr(md5('split|' || coalesce(source, chr(0) || 'null')), 1, 8))::BIGINT % 100 < 20
             THEN 'holdout' ELSE 'train' END AS split
 FROM documents ORDER BY doc_id
 """

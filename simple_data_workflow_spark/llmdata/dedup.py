@@ -324,13 +324,40 @@ def stratified_sample(
     0% or 100% of such a block). md5 (not xxhash64) so the DuckDB oracle
     can reproduce the exact selection; the first 8 hex chars (32 bits)
     are plenty of entropy for a modulus draw.
+
+    A NULL stratum is a real stratum: it is keyed by the sentinel
+    ``'\\x00null'`` (a NUL byte cannot appear in real text keys), NOT
+    silently skipped — ``concat_ws`` alone would hash such rows on the
+    id only, while a SQL twin's ``col || '|' || id`` would drop them
+    (NULL-propagating), a cross-engine divergence. Oracle twins must
+    apply ``coalesce(col, chr(0) || 'null')`` identically.
     """
+    stratum = F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00null"))
     bucket = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))), 1, 8),
+        F.substring(F.md5(F.concat_ws("|", stratum, F.col(id_col).cast("string"))), 1, 8),
         16,
         10,
     ).cast("long")
     return df.where(F.pmod(bucket, F.lit(keep_of)) < keep)
+
+
+def minhash_md5_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Per-stream universal-hash coefficients ``(a_s, b_s)`` for the
+    md5 MinHash family, derived from md5 of the stream index so the
+    ``num_hashes`` streams are decorrelated (tiny sequential multipliers
+    like ``2s+1`` make the streams strongly correlated, degrading
+    min-wise independence and LSH candidate recall). Pure integer
+    arithmetic over p = 2^31-1; any engine reproduces the constants by
+    embedding them as literals (see MINHASH_MD5_SQL in the entry)."""
+    import hashlib
+
+    p = 2_147_483_647
+    out = []
+    for s in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a-{s}".encode()).hexdigest()[:8], 16) % (p - 1) + 1
+        b = int(hashlib.md5(f"minhash-b-{s}".encode()).hexdigest()[:8], 16) % p
+        out.append((a, b))
+    return out
 
 
 def minhash_md5_near_dups(
@@ -348,16 +375,25 @@ def minhash_md5_near_dups(
     engine-internal, so no external oracle can reproduce it). This twin
     hashes each shingle ONCE with md5 (32 bits via the first 8 hex
     chars) and derives the ``num_hashes`` min-hash streams with linear
-    mixes ``(a_s·h + b_s) mod p`` (p = 2^31-1, a_s = 2s+1 odd,
-    b_s = 8191·s) — every step is plain integer/md5 arithmetic any
-    engine reproduces bit-for-bit, making the full LSH pipeline
-    oracle-checkable end to end. Banding (``num_hashes/bands`` rows per
-    band, string bucket key) produces candidates; exact Jaccard over the
-    shingle sets verifies them. Same banded-join scale shape as the
-    xxhash64 path; md5 costs more per shingle, which is why the
-    engine-seeded variant remains the default perf path.
+    mixes ``((h mod p)·a_s + b_s) mod p`` (p = 2^31-1; a_s/b_s are
+    md5-derived per-stream constants, ``minhash_md5_coeffs``, so the
+    streams are decorrelated) — every step is plain integer/md5
+    arithmetic any engine reproduces bit-for-bit, making the full LSH
+    pipeline oracle-checkable end to end. The ``h mod p`` pre-reduction
+    keeps ``h·a`` under 2^62 (no 64-bit overflow on either engine).
+    Banding (``num_hashes/bands`` rows per band, string bucket key)
+    produces candidates; exact Jaccard over the shingle sets verifies
+    them. Same banded-join scale shape as the xxhash64 path; md5 costs
+    more per shingle, which is why the engine-seeded variant remains the
+    default perf path.
+
+    The banded LSH index is ``persist()``-ed (the self-join would
+    otherwise recompute every signature on both sides) and stays cached
+    until LRU eviction — callers running many corpora in one session can
+    reclaim it eagerly with ``spark.catalog.clearCache()``.
     """
     p = 2_147_483_647
+    coeffs = minhash_md5_coeffs(num_hashes)
     rows_per_band = num_hashes // bands
     base = ensure_parallelism(df).select(
         F.col(id_col), shingles(F.col(text_col), k).alias("sh")
@@ -375,9 +411,9 @@ def minhash_md5_near_dups(
     sig = exploded.groupBy(id_col).agg(
         *[
             F.min(
-                (F.col("__h") * F.lit(2 * s + 1) + F.lit(8191 * s)) % F.lit(p)
+                ((F.col("__h") % F.lit(p)) * F.lit(a) + F.lit(b)) % F.lit(p)
             ).alias(f"m{s}")
-            for s in range(num_hashes)
+            for s, (a, b) in enumerate(coeffs)
         ]
     )
     banded = (
@@ -456,7 +492,12 @@ def simhash_md5_near_dups(
     ``max_hamming+1`` derived bands (pigeonhole recall 1) → banded
     candidate join → exact ``bit_count(xor)`` filter. Signatures come
     from the shared explode+hash-aggregate shape (``_simhash_sigs``):
-    one md5 per token, votes as codegen SUM(CASE) expressions."""
+    one md5 per token, votes as codegen SUM(CASE) expressions.
+
+    The banded signature index is ``persist()``-ed for the self-join and
+    stays cached until LRU eviction — reclaim eagerly with
+    ``spark.catalog.clearCache()`` when processing many corpora in one
+    session."""
     if n_bits % (max_hamming + 1) != 0:
         raise ValueError("n_bits must divide evenly into max_hamming+1 bands")
     n_bands = max_hamming + 1

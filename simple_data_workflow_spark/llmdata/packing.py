@@ -52,9 +52,24 @@ def pack_sequences(
 
     Deterministic for a given ``id_col`` ordering regardless of
     partitioning; integer-only arithmetic, so cross-engine exact.
+
+    ``id_col`` must be a unique numeric column: range-sharding does
+    integer arithmetic on it, and a duplicated id would make the
+    per-shard running order nondeterministic AND fan rows out in the
+    final placement join. The type is checked at plan-build time; the
+    uniqueness check rides the shard-totals aggregate for free (dupes
+    always share a shard, so per-shard distinct counts catch every one).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql.types import NumericType
+
+    id_field = df.schema[id_col]
+    if not isinstance(id_field.dataType, NumericType):
+        raise TypeError(
+            f"pack_sequences id_col {id_col!r} must be numeric for range "
+            f"sharding, got {id_field.dataType.simpleString()}"
+        )
     toks = (
         F.col(token_col)
         if token_col
@@ -98,10 +113,19 @@ def pack_sequences(
     )
     sharded = sharded.withColumn("__cum", F.sum("n_tokens").over(w))
 
-    totals = {
-        r["__shard"]: r["t"]
-        for r in sharded.groupBy("__shard").agg(F.sum("n_tokens").alias("t")).collect()
-    }
+    shard_rows = sharded.groupBy("__shard").agg(
+        F.sum("n_tokens").alias("t"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(id_col).alias("nd"),
+    ).collect()
+    dup_shards = [r["__shard"] for r in shard_rows if r["n"] != r["nd"]]
+    if dup_shards:
+        narrow.unpersist()
+        raise ValueError(
+            f"pack_sequences requires unique ids in {id_col!r}; duplicates "
+            f"found in {len(dup_shards)} shard(s)"
+        )
+    totals = {r["__shard"]: r["t"] for r in shard_rows}
     offsets, running = {}, 0
     for s in sorted(totals):
         offsets[s] = running
@@ -140,13 +164,18 @@ def split_train_holdout(
     land on the same side. Adds a ``split`` column.
 
     md5 (not xxhash64) so external engines can reproduce the exact
-    assignment; the first 8 hex chars give a uniform 32-bit draw."""
+    assignment; the first 8 hex chars give a uniform 32-bit draw.
+
+    A NULL group is keyed by the ``'\\x00null'`` sentinel so NULL-group
+    rows still split ~holdout_pct/100 — without it Spark would hash the
+    salt alone (every NULL row on one fixed side) while a SQL twin's
+    NULL-propagating concat would force them all into 'train'. Oracle
+    twins must apply ``coalesce(col, chr(0) || 'null')`` identically."""
     if not 0 <= holdout_pct <= 100:
         raise ValueError(f"holdout_pct must be in [0, 100], got {holdout_pct}")
+    group = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
     bucket = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit(salt), F.col(group_col).cast("string"))), 1, 8
-        ),
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), group)), 1, 8),
         16,
         10,
     ).cast("long")

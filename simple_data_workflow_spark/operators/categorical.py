@@ -85,16 +85,21 @@ def attach_registry_metadata(df: DataFrame, registry: CategoryRegistry) -> DataF
     (``org.apache.spark.sql.parquet.row.metadata``), so a plain
     ``spark.read.parquet`` of the written table recovers the registry via
     ``registry_from_schema`` — no sidecar file, no re-discovery scan.
-    This is the table-level analogue of pandas pickling CategoricalDtype."""
+    This is the table-level analogue of pandas pickling CategoricalDtype.
+
+    Existing field metadata (column comments, ML attribute metadata …) is
+    MERGED with, not replaced by, the registry key — ``withMetadata``
+    alone would clobber it."""
     for col in registry.levels:
         if col in df.columns:
             df = df.withMetadata(
                 col,
                 {
+                    **df.schema[col].metadata,
                     _META_KEY: {
                         "levels": registry.levels[col],
                         "ordered": registry.is_ordered(col),
-                    }
+                    },
                 },
             )
     return df

@@ -68,6 +68,27 @@ def test_ordinal_codes(spark):
     assert sorted(vals) == [-1, 0, 1, 2]
 
 
+def test_attach_registry_metadata_merges_existing(spark):
+    """Registry stamping must MERGE with pre-existing column metadata
+    (comments, ML attributes), not clobber it — withMetadata alone
+    replaces the whole map."""
+    from simple_data_workflow_spark.operators.categorical import (
+        CategoryRegistry,
+        attach_registry_metadata,
+        registry_from_schema,
+    )
+
+    df = spark.createDataFrame([("A",)], ["seg"]).withMetadata(
+        "seg", {"comment": "segment code"}
+    )
+    r = CategoryRegistry()
+    r.add("seg", ["A", "B"], ordered=False)
+    out = attach_registry_metadata(df, r)
+    meta = out.schema["seg"].metadata
+    assert meta["comment"] == "segment code"  # survived the stamp
+    assert registry_from_schema(out).levels == {"seg": ["A", "B"]}
+
+
 def test_registry_roundtrip(tmp_path):
     from simple_data_workflow_spark.operators.categorical import CategoryRegistry
 

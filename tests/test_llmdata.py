@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from simple_data_workflow_spark.functions.vectors import cosine, dot, l2_normalize
-from simple_data_workflow_spark.llmdata import dedup, similarity, text
+from simple_data_workflow_spark.llmdata import dedup, packing, similarity, text
 from simple_data_workflow_spark.llmdata.multimodal import attach_fake_media, extract_features
 
 
@@ -306,6 +306,67 @@ def _simhash64_fold(text):
         # a python literal 1<<63 cannot express as a long
         out = out + (bit.cast("long") * F.shiftleft(F.lit(1).cast("long"), b))
     return out
+
+
+def test_null_keys_match_duckdb_oracle(spark):
+    """NULL strata / NULL split-groups are keyed by the \\x00null
+    sentinel IDENTICALLY in Spark and in a coalesce()-ing SQL twin —
+    without the sentinel, Spark's concat_ws silently skips the NULL
+    (hashing on the other parts) while SQL's || propagates it (dropping
+    or train-pinning the row): the exact cross-engine divergence this
+    pins out."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "lang": [None if i % 4 == 0 else f"l{i % 3}" for i in range(60)],
+            "source": [None if i % 5 == 0 else f"s{i % 2}" for i in range(60)],
+        }
+    )
+    df = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))
+    con = duckdb.connect()
+    con.register("docs", pdf)
+
+    spark_sample = sorted(
+        r["doc_id"] for r in dedup.stratified_sample(df, "lang", "doc_id", keep_of=3).collect()
+    )
+    oracle_sample = sorted(
+        r[0]
+        for r in con.sql(
+            "SELECT doc_id FROM docs WHERE ('0x' || substr(md5(coalesce(lang, chr(0) || 'null')"
+            " || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3 < 1"
+        ).fetchall()
+    )
+    assert spark_sample == oracle_sample
+    # NULL stratum is sampled, not silently kept or dropped wholesale
+    n_null_in = (pdf.lang.isna()).sum()
+    n_null_kept = len([r for r in spark_sample if r % 4 == 0])
+    assert 0 < n_null_kept < n_null_in
+
+    spark_split = {
+        r["doc_id"]: r["split"]
+        for r in packing.split_train_holdout(df, "source", holdout_pct=40).collect()
+    }
+    oracle_split = {
+        r[0]: r[1]
+        for r in con.sql(
+            "SELECT doc_id, CASE WHEN ('0x' || substr(md5('split|' ||"
+            " coalesce(source, chr(0) || 'null')), 1, 8))::BIGINT % 100 < 40"
+            " THEN 'holdout' ELSE 'train' END FROM docs"
+        ).fetchall()
+    }
+    assert spark_split == oracle_split
+
+
+def test_pack_sequences_rejects_bad_ids(spark):
+    strdf = spark.createDataFrame([("a", "x y"), ("b", "z")], ["doc_id", "text"])
+    with pytest.raises(TypeError, match="must be numeric"):
+        packing.pack_sequences(strdf)
+    dupdf = spark.createDataFrame([(1, "x y"), (1, "z w"), (2, "q")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unique ids"):
+        packing.pack_sequences(dupdf)
 
 
 def test_simhash_banding_full_recall_vs_brute_force(spark):
