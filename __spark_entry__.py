@@ -774,6 +774,81 @@ FROM s
 """
 
 
+def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (llmdata.text.scrub_pii): the corpus text is word
+    salad, so each doc is salted with deterministic synthetic PII (an
+    email, an IPv4 and a phone number derived from its id) and both
+    engines must mask all three identically — patterns live in the
+    Java-regex ∩ RE2 common subset. md5 of the scrubbed text keeps the
+    comparison compact."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 415 "),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit(" 0199"),
+        ).alias("t"),
+    )
+    return salted.select(
+        "doc_id", F.md5(text.scrub_pii(F.col("t"))).alias("scrubbed_hash")
+    ).orderBy("doc_id")
+
+
+# the oracle applies the SAME pattern text (generated from PII_PATTERNS so
+# the two sides cannot drift) with DuckDB's explicit global flag
+_PII_EXPR = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 415 '"
+    " || CAST(doc_id % 900 + 100 AS VARCHAR) || ' 0199'"
+)
+for _pat, _repl in text.PII_PATTERNS:
+    _PII_EXPR = f"regexp_replace({_PII_EXPR}, '{_pat}', '{_repl}', 'g')"
+
+SCRUB_PII_SQL = f"""
+SELECT doc_id, md5({_PII_EXPR}) AS scrubbed_hash
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (llmdata.text.repetition_stats): duplicate-token fraction and
+    top-bigram share per document — the degenerate-text filters a
+    pre-training pipeline runs after dedup."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs).orderBy("doc_id")
+
+
+REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         ROUND(1 - len(list_distinct(w)) / CAST(nullif(len(w), 0) AS DOUBLE), 6) AS dup_token_frac
+  FROM w
+), bg AS (
+  SELECT doc_id, w[r.i] || ' ' || w[r.i + 1] AS gram
+  FROM w, unnest(range(1, len(w))) AS r(i)
+), bgc AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), share AS (
+  SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_share
+  FROM bgc GROUP BY 1
+)
+SELECT base.doc_id, n_tokens, dup_token_frac, share.top_bigram_share
+FROM base LEFT JOIN share ON base.doc_id = share.doc_id
+ORDER BY base.doc_id
+"""
+
+
 def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style chunking (llmdata.text.chunk_documents): overlapping
     64-token windows, stride 48; chunk text emitted as an md5 hash so
@@ -1296,6 +1371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _wrap(simhash_docs),
         "simhash_md5_docs": _wrap(simhash_md5_docs),
         "doc_text_stats": _wrap(doc_text_stats),
+        "scrub_pii_docs": _wrap(scrub_pii_docs),
+        "doc_repetition_stats": _wrap(doc_repetition_stats),
         "chunk_documents": _wrap(chunk_documents_q),
         "cosine_topk": _wrap(cosine_topk),
         "cosine_near_dups": _wrap(cosine_near_dups),
@@ -1375,6 +1452,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5_docs": SIMHASH_MD5_SQL,
         # minhash_lsh_near_dups / simhash_docs: engine-seeded hashing → rows-only
         "doc_text_stats": DOC_STATS_SQL,
+        "scrub_pii_docs": SCRUB_PII_SQL,
+        "doc_repetition_stats": REPETITION_SQL,
         "chunk_documents": CHUNK_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
         "cosine_near_dups": COSINE_NEAR_DUP_SQL,

@@ -95,6 +95,77 @@ def lang_id(text: Column) -> Column:
     return F.when(max_score > 0, winner).otherwise(F.lit("und"))
 
 
+# PII masking patterns — deliberately inside the Java-regex ∩ RE2 common
+# subset (no lookaround, no backrefs) so a SQL oracle applies the SAME
+# pattern text byte-for-byte; ordered so the broad number pattern runs
+# after the structured ones it would otherwise eat into
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d()./ -]{7,14}\d\b", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask emails / IPv4s / phone-shaped numbers with typed placeholders —
+    the pre-training redaction pass. A chain of codegen ``regexp_replace``
+    calls: linear scan, no shuffle, no Python; patterns replace globally
+    on both Spark and SQL engines (DuckDB needs the explicit 'g' flag)."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_token_frac`` — 1 − distinct/total tokens (how much of the doc
+      is repeated words);
+    - ``top_bigram_share`` — occurrences of the most frequent bigram over
+      all bigram occurrences (near 1 ⇒ degenerate loop-generated text).
+
+    Shape: one codegen array projection for the token stats + explode →
+    per-(doc, gram) hash count → per-doc hash aggregate for the bigram
+    share, joined back on the id — linear, partial-aggregating, no
+    global sort. Single-token docs have no bigrams → NULL share (kept:
+    a filter decision, not the operator's)."""
+    toks = tokens(F.col(text_col))
+    stats = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(toks)).cast("double")
+            / F.nullif(F.size(toks).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        toks.alias("__w"),
+    )
+    # raw (non-distinct) bigrams: repetition is the signal, dedup would erase it
+    grams = stats.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__w", i + 1), F.element_at("__w", i + 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    share = per_gram.groupBy(id_col).agg(
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "top_bigram_share"
+        )
+    )
+    return stats.drop("__w").join(share, id_col, "left")
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. md5 is byte-stable across engines (oracle parity) and a rolling/

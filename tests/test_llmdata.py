@@ -308,6 +308,40 @@ def _simhash64_fold(text):
     return out
 
 
+def test_scrub_pii_masks_all_types(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.0.1 fell over"),
+            (3, "call +1 (415) 555-0199 today"),
+            (4, "clean text stays clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["s"] for r in df.select("doc_id", text.scrub_pii(F.col("text")).alias("s")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> fell over"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "clean text stays clean"
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one token repeated
+            (2, "all words here are different"),  # no repetition
+            (3, "solo"),                          # single token: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert out[1]["dup_token_frac"] == 0.75  # 1 distinct of 4
+    assert out[1]["top_bigram_share"] == 1.0  # 'spam spam' is every bigram
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_bigram_share"] == 0.25  # 4 distinct bigrams
+    assert out[3]["top_bigram_share"] is None  # no bigrams → NULL, kept
+
+
 def test_null_keys_match_duckdb_oracle(spark):
     """NULL strata / NULL split-groups are keyed by the \\x00null
     sentinel IDENTICALLY in Spark and in a coalesce()-ing SQL twin —
