@@ -38,27 +38,54 @@ def _sf_number(sf_dir: str) -> float:
         return -1.0
 
 
+_CORPUS_ROWS: dict = {}
+
+
+def _corpus_rows(spark, sf_dir: str) -> int:
+    """Embedding-corpus row count per sf_dir, cached and (in main) computed
+    before the timed loop so knob derivation never costs a timed job."""
+    if sf_dir not in _CORPUS_ROWS:
+        _CORPUS_ROWS[sf_dir] = load_table(spark, sf_dir, "embeddings").count()
+    return _CORPUS_ROWS[sf_dir]
+
+
+def _scaled_planes(n_rows: int, target_bucket: int) -> int:
+    """The documented LSH sizing rule (similarity.cosine_near_dup_pairs):
+    n_planes ≈ log2(N / target_bucket) keeps expected bucket occupancy —
+    and therefore per-bucket candidate volume — constant as the corpus
+    grows, the difference between linear and bucket-quadratic scaling.
+    Chosen targets reproduce the round-2 configs exactly at sf0.1
+    (5k vectors → 6 planes for top-k, 8 for near-dup)."""
+    import math
+
+    return max(4, round(math.log2(max(n_rows, 1) / target_bucket)))
+
+
 def lsh_topk_bench(spark, sf_dir):
     # probe_bits=0: home-bucket-only candidates (round-1-comparable config)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 10 == 0)
-    return similarity.lsh_topk(q, emb, k=5, n_planes=6, dim=64, probe_bits=0)
+    planes = _scaled_planes(_corpus_rows(spark, sf_dir), target_bucket=80)
+    return similarity.lsh_topk(q, emb, k=5, n_planes=planes, dim=64, probe_bits=0)
 
 
 def lsh_topk_multiprobe_bench(spark, sf_dir):
-    # probe_bits=1 (the operator default): 7× candidate volume bought for
-    # the measured recall jump — benched separately so the trade is visible
+    # probe_bits=1 (the operator default): extra candidate volume bought
+    # for the measured recall jump — benched separately so the trade is
+    # visible
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 10 == 0)
-    return similarity.lsh_topk(q, emb, k=5, n_planes=6, dim=64, probe_bits=1)
+    planes = _scaled_planes(_corpus_rows(spark, sf_dir), target_bucket=80)
+    return similarity.lsh_topk(q, emb, k=5, n_planes=planes, dim=64, probe_bits=1)
 
 
 def lsh_near_dups_bench(spark, sf_dir):
     # probe_bits=0: home-bucket collisions only (round-2-comparable config);
     # explicit mode + dim → plan builds with zero guard actions
     emb = load_table(spark, sf_dir, "embeddings")
+    planes = _scaled_planes(_corpus_rows(spark, sf_dir), target_bucket=20)
     return similarity.cosine_near_dup_pairs(
-        emb, threshold=0.38, mode="lsh", n_planes=8, probe_bits=0, dim=64
+        emb, threshold=0.38, mode="lsh", n_planes=planes, probe_bits=0, dim=64
     )
 
 
@@ -66,8 +93,9 @@ def lsh_near_dups_multiprobe_bench(spark, sf_dir):
     # probe_bits=1 (the operator default): the measured price of the
     # pinned near-dup recall bound — benched separately like lsh_topk
     emb = load_table(spark, sf_dir, "embeddings")
+    planes = _scaled_planes(_corpus_rows(spark, sf_dir), target_bucket=20)
     return similarity.cosine_near_dup_pairs(
-        emb, threshold=0.38, mode="lsh", n_planes=8, probe_bits=1, dim=64
+        emb, threshold=0.38, mode="lsh", n_planes=planes, probe_bits=1, dim=64
     )
 
 
@@ -77,12 +105,18 @@ _IVF_CENTROIDS: dict = {}
 def ivf_topk_bench(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 10 == 0)
+    # lists grow ∝ sqrt(N) (16 at the 5k sf0.1 corpus, matching round 2)
+    # while n_probe stays fixed, so the probed fraction of the corpus
+    # SHRINKS as it grows — the sublinear-search scale path
+    n = _corpus_rows(spark, sf_dir)
+    n_lists = max(16, 16 * round((n / 5000) ** 0.5))
     # index build is one-time and amortized (fit during warmup, reused in
     # the timed run — the measurement is the search, not the training)
-    if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = similarity.fit_ivf_centroids(emb)
+    key = (sf_dir, n_lists)
+    if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[key] = similarity.fit_ivf_centroids(emb, n_lists=n_lists)
     return similarity.ivf_topk(
-        q, emb, k=5, n_lists=16, n_probe=4, centroids=_IVF_CENTROIDS[sf_dir]
+        q, emb, k=5, n_lists=n_lists, n_probe=4, centroids=_IVF_CENTROIDS[key]
     )
 
 
@@ -147,6 +181,9 @@ WARM_SF_DIR = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001"
 def main() -> None:
     spark = get_spark(app_name="sdw-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # knob-sizing row counts resolved up front so no timed run pays for one
+    for d in (WARM_SF_DIR, SF_DIR):
+        _corpus_rows(spark, d)
     # warm each query once at the smallest sf (JVM/codegen/reader warmup,
     # not counted) so the timed runs measure the queries, not JIT
     for name, fn in QUERIES.items():

@@ -173,6 +173,7 @@ def cosine_near_dup_pairs(
     n_planes: int | None = None,
     probe_bits: int = 1,
     dim: int | None = None,
+    scorer: str = "codegen",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
 
@@ -200,10 +201,20 @@ def cosine_near_dup_pairs(
     it is probed with a 1-row ``first()`` — pass it together with
     ``mode='lsh'`` for a fully action-free plan build.
 
+    ``scorer`` (lsh) picks how candidate pairs are re-scored:
+    ``'codegen'`` (default) is the JVM ``zip_with``/``aggregate`` fold —
+    no Python worker in the loop, the right choice at moderate dims and
+    when plane scaling keeps per-bucket volume bounded; ``'arrow'`` is
+    the Arrow-batched BLAS kernel — it pays a fixed exchange cost but
+    wins when dims are large (≥ several hundred) or a mis-sized bucket
+    layout floods the join with candidates.
+
     ``prenormalize=False`` scores with the oracle-parity cosine formula.
     """
     if mode not in ("auto", "exact", "lsh"):
         raise ValueError(f"mode must be 'auto', 'exact' or 'lsh', got {mode!r}")
+    if scorer not in ("codegen", "arrow"):
+        raise ValueError(f"scorer must be 'codegen' or 'arrow', got {scorer!r}")
     if mode == "auto":
         n = df.count()
         mode = "exact" if n <= max_rows_all_pairs else "lsh"
@@ -250,10 +261,9 @@ def cosine_near_dup_pairs(
             ).alias("bucket"),
         ).alias("a")
         b = bucketed.withColumnRenamed("__home", "bucket").alias("b")
-        # candidate volume here is bucket-quadratic × probe fan-out — the
-        # regime where the Arrow/BLAS batch kernel wins over the
-        # interpreted per-element fold (measured 69s → fold vs batch at
-        # an 8× rung); exactness is unchanged, only evaluation order
+        score = cosine_pd()(F.col("a.v"), F.col("b.v")) if scorer == "arrow" else cosine(
+            F.col("a.v"), F.col("b.v")
+        )
         pairs = (
             a.join(
                 b,
@@ -263,7 +273,7 @@ def cosine_near_dup_pairs(
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.round(cosine_pd()(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+                F.round(score, 6).alias("cosine"),
             )
             .distinct()
         )
