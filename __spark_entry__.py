@@ -492,6 +492,195 @@ ORDER BY doc_id
 """
 
 
+def cluster_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER consolidation (llmdata.dedup.cluster_pairs):
+    connected components over the 3-gram Jaccard pair list — A~B, B~C
+    collapse to one cluster labeled by the component's min doc_id even
+    when (A, C) was never an emitted pair. Spark side is min-label
+    propagation to a fixpoint (localCheckpoint per round); the oracle is
+    a recursive CTE computing the same min-reachable-id labels."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.02, k=3, mode="exact")
+    return (
+        dedup.cluster_pairs(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+CLUSTER_SQL = """
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                 || ' ' || string_split(text,' ')[i+2])) AS sh
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+), reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e2.src, rr.r FROM e e2 JOIN reach rr ON rr.id = e2.dst
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+def dedup_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-consolidated dedup (llmdata.dedup.dedup_by_cluster): keep
+    ONE doc per near-dup cluster (the min-id member) plus every never-
+    paired doc — the kept-set the pair list alone cannot express."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.02, k=3, mode="exact")
+    return (
+        dedup.dedup_by_cluster(docs, pairs)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTER_SQL = """
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                 || ' ' || string_split(text,' ')[i+2])) AS sh
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+), reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e2.src, rr.r FROM e e2 JOIN reach rr ON rr.id = e2.dst
+), doomed AS (
+  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+  WHERE id != cluster_id
+)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT id FROM doomed)
+ORDER BY doc_id
+"""
+
+
+def ngram_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap decontamination (llmdata.dedup.ngram_decontaminate): drop
+    corpus docs sharing any distinct 8-gram md5 fingerprint with the
+    benchmark slice (doc_id < 50) — catches partial inclusions the
+    exact-fingerprint decontaminate misses. Benchmark grams broadcast;
+    the corpus never shuffles."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") < 50)
+    return (
+        dedup.ngram_decontaminate(docs, benchmark, n=8)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_G8 = " || ' ' || ".join(f"w[i+{o}]" for o in range(8))
+NGRAM_DECONTAMINATE_SQL = f"""
+WITH g AS (
+  SELECT doc_id, substr(md5(gram), 1, 16) AS fp
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(w) - 6), i -> {_G8}))) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  )
+), bench AS (
+  SELECT DISTINCT fp FROM g WHERE doc_id < 50
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM g WHERE fp IN (SELECT fp FROM bench)
+)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY doc_id
+"""
+
+
+def boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (llmdata.dedup.
+    drop_boilerplate_lines): the corpus is single-line word salad, so
+    each doc is deterministically re-lined (10-token lines) and salted
+    with a footer line on every doc and a header line on even ids; both
+    engines must delete exactly the lines occurring in ≥2 distinct docs
+    and reassemble survivors in order. md5 of the cleaned text keeps the
+    comparison compact."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(w) / F.lit(10.0)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i * 10 + 1, 10)),
+        ),
+        "\n",
+    )
+    built = F.concat(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("cookie banner header\n")
+        ).otherwise(F.lit("")),
+        body,
+        F.lit("\nsubscribe to our newsletter footer"),
+    )
+    docs2 = docs.select("doc_id", built.alias("text"))
+    return (
+        dedup.drop_boilerplate_lines(docs2, min_docs=2)
+        .select("doc_id", F.md5(F.col("text")).alias("clean_hash"))
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), built AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'cookie banner header' || chr(10) ELSE '' END)
+    || array_to_string(
+         list_transform(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+                        i -> array_to_string(w[(i*10+1):(i*10+10)], ' ')),
+         chr(10))
+    || chr(10) || 'subscribe to our newsletter footer' AS text
+  FROM w
+), ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM built
+), lines AS (
+  SELECT doc_id, r.i AS pos, ls[r.i] AS line
+  FROM ls, unnest(range(1, len(ls) + 1)) AS r(i)
+), boiler AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS c FROM lines GROUP BY 1
+  ) WHERE c >= 2
+), kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM boiler)
+), reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, md5(coalesce(reb.text, '')) AS clean_hash
+FROM built b LEFT JOIN reb USING (doc_id) ORDER BY b.doc_id
+"""
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified 1-in-5 downsample per language
     (llmdata.dedup.stratified_sample): md5(lang|id)-modulus selection —
@@ -1373,6 +1562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": _wrap(doc_text_stats),
         "scrub_pii_docs": _wrap(scrub_pii_docs),
         "doc_repetition_stats": _wrap(doc_repetition_stats),
+        "cluster_near_dup_docs": _wrap(cluster_near_dup_docs),
+        "dedup_near_dup_docs": _wrap(dedup_near_dup_docs),
+        "ngram_decontaminate_docs": _wrap(ngram_decontaminate_docs),
+        "boilerplate_docs": _wrap(boilerplate_docs),
         "chunk_documents": _wrap(chunk_documents_q),
         "cosine_topk": _wrap(cosine_topk),
         "cosine_near_dups": _wrap(cosine_near_dups),
@@ -1454,6 +1647,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_stats": DOC_STATS_SQL,
         "scrub_pii_docs": SCRUB_PII_SQL,
         "doc_repetition_stats": REPETITION_SQL,
+        "cluster_near_dup_docs": CLUSTER_SQL,
+        "dedup_near_dup_docs": DEDUP_CLUSTER_SQL,
+        "ngram_decontaminate_docs": NGRAM_DECONTAMINATE_SQL,
+        "boilerplate_docs": BOILERPLATE_SQL,
         "chunk_documents": CHUNK_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
         "cosine_near_dups": COSINE_NEAR_DUP_SQL,

@@ -543,3 +543,173 @@ def simhash_md5_near_dups(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every doc
+    that appears in a pair gets the component's canonical label —
+    ``cluster_id`` = the MINIMUM doc id in its component. Pair emitters
+    (`minhash_*`, `simhash_*`, `ngram_jaccard_pairs`,
+    ``similarity.cosine_near_dup_pairs``) give edges; real dedup keeps
+    one doc per CLUSTER, not per pair — A~B, B~C must collapse {A,B,C}
+    to A even when (A, C) was never emitted as a pair.
+
+    Shape: min-label propagation to a fixpoint. Each round is one
+    hash-aggregate over the (symmetrized) edge list joined with the
+    current labels — shuffles keyed on doc id, never a global sort, and
+    a ``localCheckpoint`` per round keeps the plan depth constant (the
+    MICE lesson). Rounds needed = component diameter, and near-dup
+    clusters are shallow (dup families collapse in 2-4 rounds); the
+    convergence probe is a single-row sum aggregate, monotonically
+    decreasing, so termination is exact, not heuristic. For adversarial
+    long-chain graphs (diameter ≫ 20) switch to the large-star/
+    small-star formulation — for dedup workloads the simple form wins
+    on constant factors. Min-label is engine-portable: a recursive-CTE
+    oracle reproduces the exact labels.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("cluster_id"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("__nbr"))
+        )
+        labels = (
+            labels.join(nbr, labels.id == nbr.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce("__nbr", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep ONE doc per near-duplicate cluster: the minimum-id member.
+
+    Because ``cluster_pairs`` labels every clustered doc with its
+    component's min id, the kept set is simply {docs not in any pair}
+    ∪ {docs whose id == their cluster label} — one anti-join of the
+    corpus against the (tiny: one row per REMOVED doc) non-canonical
+    label set. The corpus streams through unshuffled."""
+    labels = cluster_pairs(pairs, id_a=id_a, id_b=id_b)
+    doomed = labels.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(doomed, id_col, "left_anti")
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop corpus docs sharing ≥ ``min_hits`` distinct word n-grams with
+    a benchmark/eval set — overlap-based decontamination (the method
+    used for GPT-3-style training-set hygiene), catching partial
+    inclusions that the exact-fingerprint ``decontaminate`` misses.
+
+    Shape: both sides explode to distinct n-gram md5 fingerprints (md5:
+    engine-portable for the oracle). The benchmark gram set is small by
+    construction (eval sets are), so the probe is a BROADCAST semi-join
+    — the corpus grams never shuffle; with ``min_hits > 1`` the matches
+    take one partial-aggregating count per doc. The final anti-join
+    keys on the (small) contaminated-id set, also broadcast-eligible —
+    the corpus itself streams through unshuffled either way.
+    """
+    def gram_fps(text: Column) -> Column:
+        return F.transform(shingles(text, n), lambda g: F.substring(F.md5(g), 1, 16))
+
+    bench_grams = benchmark.select(
+        F.explode(gram_fps(F.col(text_col))).alias("__g")
+    ).distinct()
+    corpus_grams = ensure_parallelism(corpus).select(
+        F.col(id_col), F.explode(gram_fps(F.col(text_col))).alias("__g")
+    )
+    hit = corpus_grams.join(F.broadcast(bench_grams), "__g", "left_semi")
+    if min_hits <= 1:
+        contaminated = hit.select(id_col).distinct()
+    else:
+        contaminated = (
+            hit.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__hits"))
+            .where(F.col("__hits") >= min_hits)
+            .select(id_col)
+        )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level dedup across the corpus: delete every line that occurs
+    in ≥ ``min_docs`` DISTINCT documents (headers, footers, cookie
+    banners, nav chrome — the pre-training boilerplate pass), keeping
+    each document's remaining lines in their original order.
+
+    Shape: posexplode to (doc, pos, line) → the boilerplate set is one
+    two-level aggregate (distinct (line, doc) partial, then count per
+    line) → a plain shuffle anti-join on the line value (the boilerplate
+    set is corpus-sized in the worst case, so it is NOT broadcast) → one
+    hash-aggregate per doc re-assembles survivors with
+    ``array_sort(collect_list(struct(pos, line)))`` — per-doc arrays,
+    bounded by document size, never a global sort. Docs whose every
+    line was boilerplate come back as empty strings (kept: dropping
+    them is a filter decision for the caller)."""
+    lines = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    boiler = (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .where(F.col("__docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

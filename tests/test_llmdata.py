@@ -631,3 +631,72 @@ def test_curate_corpus_stages_compose(spark):
     assert out.columns == df.columns  # schema preserved for composition
     # all stages optional: bare call only dedups
     assert {r["doc_id"] for r in curate_corpus(df).collect()} == {1, 3, 4, 5}
+
+
+def test_cluster_pairs_transitive_closure(spark):
+    """A~B, B~C collapses {A,B,C} under min-id even though (A,C) was
+    never an emitted pair; disjoint components keep separate labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    """A path graph is the worst-case diameter for label propagation —
+    every node must still end at the global min."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()}
+    assert out == {i: 0 for i in range(n + 1)}
+
+
+def test_dedup_by_cluster_keeps_min_and_singletons(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    kept = {r["doc_id"] for r in dedup.dedup_by_cluster(df, pairs).collect()}
+    # clusters {1,2,3}→keep 1, {5,6}→keep 5; 4 and 7 never paired → kept
+    assert kept == {1, 4, 5, 7}
+
+
+def test_ngram_decontaminate(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog and more"),
+            (2, "completely unrelated text with no overlap whatsoever in any span here"),
+            (3, "the quick brown fox jumps over the lazy dog today exactly"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in dedup.ngram_decontaminate(corpus, bench, n=8).collect()}
+    assert kept == {2}
+    # min_hits above the overlap count keeps the partial-overlap doc
+    kept2 = {
+        r["doc_id"]
+        for r in dedup.ngram_decontaminate(corpus, bench, n=8, min_hits=50).collect()
+    }
+    assert kept2 == {1, 2, 3}
+
+
+def test_drop_boilerplate_lines(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique first line\nsubscribe to our newsletter\nmore content one"),
+            (2, "other opening\nsubscribe to our newsletter\nmore content two"),
+            (3, "subscribe to our newsletter"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup.drop_boilerplate_lines(df).collect()}
+    assert out[1] == "unique first line\nmore content one"   # order preserved
+    assert out[2] == "other opening\nmore content two"
+    assert out[3] == ""  # fully-boilerplate doc kept as empty, not dropped
