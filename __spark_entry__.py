@@ -681,6 +681,70 @@ FROM built b LEFT JOIN reb USING (doc_id) ORDER BY b.doc_id
 """
 
 
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (llmdata.dedup.mixture_sample): per-source keep
+    fractions — en 0.8 / fr 0.5 / de 0.25, everything else 0.1 — via the
+    engine-portable md5(stratum|id) uniform draw. A pure stateless
+    filter; per-lang counts keep the compare compact."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    mixed = dedup.mixture_sample(
+        docs, "lang", "doc_id", rates={"en": 0.8, "fr": 0.5, "de": 0.25}, default_rate=0.1
+    )
+    return mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
+
+
+MIXTURE_SQL = """
+SELECT lang, COUNT(*) AS n_kept
+FROM documents
+WHERE ('0x' || substr(md5(coalesce(lang, chr(0) || 'null') || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0
+      < CASE coalesce(lang, chr(0) || 'null')
+          WHEN 'en' THEN 0.8 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+GROUP BY lang ORDER BY lang
+"""
+
+
+def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked budget selection (llmdata.packing.
+    select_by_token_budget): keep the best docs by vocabulary-diversity
+    score (distinct/total token ratio) until 15k tokens are filled —
+    exact global (score DESC, id) prefix semantics computed without a
+    global sort (uniform score buckets + driver walk + window inside the
+    boundary bucket only)."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("__q"),
+    )
+    return (
+        packing.select_by_token_budget(
+            scored, budget=15_000, score_col="__q", token_col="n_tokens"
+        )
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_BUDGET_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS q
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens FROM c WHERE cum <= 15000 ORDER BY doc_id
+"""
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified 1-in-5 downsample per language
     (llmdata.dedup.stratified_sample): md5(lang|id)-modulus selection —
@@ -1566,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_dup_docs": _wrap(dedup_near_dup_docs),
         "ngram_decontaminate_docs": _wrap(ngram_decontaminate_docs),
         "boilerplate_docs": _wrap(boilerplate_docs),
+        "mixture_sample_docs": _wrap(mixture_sample_docs),
+        "token_budget_select": _wrap(token_budget_select_docs),
         "chunk_documents": _wrap(chunk_documents_q),
         "cosine_topk": _wrap(cosine_topk),
         "cosine_near_dups": _wrap(cosine_near_dups),
@@ -1651,6 +1717,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_dup_docs": DEDUP_CLUSTER_SQL,
         "ngram_decontaminate_docs": NGRAM_DECONTAMINATE_SQL,
         "boilerplate_docs": BOILERPLATE_SQL,
+        "mixture_sample_docs": MIXTURE_SQL,
+        "token_budget_select": TOKEN_BUDGET_SQL,
         "chunk_documents": CHUNK_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
         "cosine_near_dups": COSINE_NEAR_DUP_SQL,

@@ -713,3 +713,49 @@ def drop_boilerplate_lines(
         .join(rebuilt, id_col, "left")
         .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic data mixing: each source/stratum keeps its OWN
+    fraction of rows (e.g. upweight wiki, downweight crawl) — the
+    per-source sampling-rate step of a pretraining mixture. Strata
+    missing from ``rates`` keep ``default_rate``.
+
+    Selection draws a uniform u ∈ [0,1) from md5(stratum|id) — exactly
+    the ``stratified_sample`` construction (reproducible under any
+    partitioning/retry, decorrelated from id block structure,
+    engine-portable for the oracle, NULL stratum keyed by the
+    ``'\\x00null'`` sentinel) — generalized from a k-of-n modulus to an
+    arbitrary per-stratum fraction: keep iff u < rate. u is a 32-bit
+    integer over 2^32 and every rate is a double literal baked into one
+    codegen CASE chain, so the comparison is bit-identical on any
+    engine. A pure stateless filter: no shuffle, no action.
+
+    Rates must lie in [0, 1]: replication (rate > 1) is packing's job,
+    not sampling's."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    stratum = F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00null"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", stratum, F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(stratum == F.lit(s), F.lit(float(r))).otherwise(rate)
+    return df.where(u < rate)

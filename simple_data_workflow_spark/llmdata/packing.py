@@ -185,3 +185,78 @@ def split_train_holdout(
             F.lit("train")
         ),
     )
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str | None = None,
+    token_col: str | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: rank docs by
+    (score DESC, id ASC) and keep the maximal prefix whose cumulative
+    token count stays ≤ ``budget`` — "take the best N tokens" without
+    ever sorting the corpus globally.
+
+    Semantics are EXACTLY ``SUM(tokens) OVER (ORDER BY score DESC, id)
+    ≤ budget`` (inclusive), which is what the oracle runs. The plan
+    avoids the single-task global window behind that SQL:
+
+    1. one tiny agg reads min/max score (first planned action);
+    2. scores are ``width_bucket``-ed into ``n_buckets`` uniform ranges —
+       monotone in score, so global (score, id) order is bucket-major;
+    3. per-bucket token sums (ONE partial-aggregating shuffle of
+       ``n_buckets`` rows) come back to the driver (second action),
+       which walks buckets best-first to find the boundary bucket and
+       the budget remaining at its edge;
+    4. the final filter keeps whole buckets above the boundary and runs
+       the exact cumulative window ONLY inside the boundary bucket —
+       partitioned by bucket, so the sorted slice is ~n/n_buckets rows,
+       not n. (A corpus where most docs share ONE score degrades that
+       partition toward n — ties can't cross buckets — documented, not
+       defended; real quality scores spread.)
+
+    Like the ``mode='auto'`` guards, the two driver actions are the
+    planned cost of the algorithm; the corpus itself is touched by one
+    projection, one bounded shuffle, and one bucket-partitioned window.
+    """
+    toks = F.col(token_col) if token_col else token_count(F.col(text_col))
+    score = F.col(score_col) if score_col else F.lit(0.0)
+    base = ensure_parallelism(df).withColumn("__tok", toks.cast("long")).withColumn(
+        "__score", score.cast("double")
+    )
+    mn, mx = base.agg(F.min("__score"), F.max("__score")).first()
+    if mn is None:
+        return df.limit(0)
+    if mn == mx:
+        bucket = F.lit(1)
+        n_buckets = 1
+    else:
+        bucket = F.least(
+            F.width_bucket(F.col("__score"), F.lit(mn), F.lit(mx), F.lit(n_buckets)),
+            F.lit(n_buckets),
+        )
+    base = base.withColumn("__b", bucket)
+    sums = {
+        r["__b"]: r["t"]
+        for r in base.groupBy("__b").agg(F.sum("__tok").alias("t")).collect()
+    }
+    remaining = budget
+    boundary = None
+    for b in sorted(sums, reverse=True):  # best-first: higher bucket = higher score
+        if sums[b] <= remaining:
+            remaining -= sums[b]
+        else:
+            boundary = b
+            break
+    if boundary is None:  # everything fits
+        return df
+    w = Window.partitionBy("__b").orderBy(F.col("__score").desc(), F.col(id_col))
+    kept = base.withColumn("__cum", F.sum("__tok").over(w)).where(
+        (F.col("__b") > F.lit(boundary))
+        | ((F.col("__b") == F.lit(boundary)) & (F.col("__cum") <= F.lit(remaining)))
+    )
+    return kept.drop("__tok", "__score", "__b", "__cum")

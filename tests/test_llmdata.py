@@ -700,3 +700,50 @@ def test_drop_boilerplate_lines(spark):
     assert out[1] == "unique first line\nmore content one"   # order preserved
     assert out[2] == "other opening\nmore content two"
     assert out[3] == ""  # fully-boilerplate doc kept as empty, not dropped
+
+
+def test_mixture_sample_rates(spark):
+    rows = [(i, ["wiki", "crawl", "books"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = dedup.mixture_sample(
+        df, "source", "doc_id", rates={"wiki": 1.0, "crawl": 0.0}, default_rate=0.5
+    )
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["wiki"] == 1000          # rate 1.0 keeps everything
+    assert "crawl" not in by_src           # rate 0.0 drops everything
+    assert 400 <= by_src["books"] <= 600   # default 0.5, md5-uniform
+    # deterministic: same selection on re-run
+    again = dedup.mixture_sample(
+        df, "source", "doc_id", rates={"wiki": 1.0, "crawl": 0.0}, default_rate=0.5
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in again.collect())
+    with pytest.raises(ValueError):
+        dedup.mixture_sample(df, "source", "doc_id", rates={"wiki": 1.5})
+
+
+def test_select_by_token_budget_matches_global_prefix(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.random(), 3), rng.randint(1, 50)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "n_tok"])
+    # brute-force oracle: cumulative inclusive prefix over (score desc, id)
+    cum, expect = 0, set()
+    for i, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += t
+        if cum <= 3000:
+            expect.add(i)
+    for nb in (1, 7, 1024):
+        got = {
+            r["doc_id"]
+            for r in packing.select_by_token_budget(
+                df, budget=3000, score_col="score", token_col="n_tok", n_buckets=nb
+            ).collect()
+        }
+        assert got == expect, f"n_buckets={nb}"
+    # budget covering everything keeps everything
+    assert packing.select_by_token_budget(
+        df, budget=10**9, score_col="score", token_col="n_tok"
+    ).count() == 400
