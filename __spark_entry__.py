@@ -1102,6 +1102,78 @@ ORDER BY base.doc_id
 """
 
 
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenizer counts (llmdata.text.bpe_token_count): the
+    corpus is letters-only word salad, so each doc is salted with a
+    deterministic contraction/digit/punctuation suffix and both engines
+    must count the same tokens under the shared pattern (Java ∩ RE2
+    subset). Whitespace count alongside shows the budget divergence."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" it's v"),
+            F.col("doc_id").cast("string"),
+            F.lit(".0, (ok)! we'll see..."),
+        ).alias("t"),
+    )
+    return salted.select(
+        "doc_id",
+        text.bpe_token_count(F.col("t")).alias("n_bpe"),
+        F.size(F.split(F.col("t"), " ")).alias("n_ws"),
+    ).orderBy("doc_id")
+
+
+_BPE_PAT_SQL = text.BPE_TOKEN_PATTERN.replace("'", "''")
+BPE_COUNT_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' it''s v' || CAST(doc_id AS VARCHAR) || '.0, (ok)! we''ll see...' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_BPE_PAT_SQL}')) AS INT) AS n_bpe,
+       CAST(len(string_split(t, ' ')) AS INT) AS n_ws
+FROM s ORDER BY doc_id
+"""
+
+
+def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (llmdata.text.winnow_fingerprints, the
+    MOSS algorithm): every (doc, selected k-gram hash) row — two docs
+    sharing a ≥ k+window−1 token run share a fingerprint. md5 hashing
+    keeps the selected minima engine-portable."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, k=5, window=4).orderBy(
+        "doc_id", "fingerprint"
+    )
+
+
+_G5 = " || ' ' || ".join(f"w[i+{o}]" for o in range(5))
+WINNOW_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - 3), i -> {_G5}) AS grams
+  FROM w
+), h AS (
+  SELECT doc_id,
+         list_transform(grams, gr -> ('0x' || substr(md5(gr), 1, 8))::BIGINT) AS h
+  FROM g
+), sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - 2), j -> list_min(h[j:(j+3)]))) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint
+FROM sel ORDER BY doc_id, fingerprint
+"""
+
+
 def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style chunking (llmdata.text.chunk_documents): overlapping
     64-token windows, stride 48; chunk text emitted as an md5 hash so
@@ -1632,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": _wrap(boilerplate_docs),
         "mixture_sample_docs": _wrap(mixture_sample_docs),
         "token_budget_select": _wrap(token_budget_select_docs),
+        "bpe_token_counts": _wrap(bpe_token_counts),
+        "winnow_fingerprint_docs": _wrap(winnow_fingerprint_docs),
         "chunk_documents": _wrap(chunk_documents_q),
         "cosine_topk": _wrap(cosine_topk),
         "cosine_near_dups": _wrap(cosine_near_dups),
@@ -1719,6 +1793,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_docs": BOILERPLATE_SQL,
         "mixture_sample_docs": MIXTURE_SQL,
         "token_budget_select": TOKEN_BUDGET_SQL,
+        "bpe_token_counts": BPE_COUNT_SQL,
+        "winnow_fingerprint_docs": WINNOW_SQL,
         "chunk_documents": CHUNK_SQL,
         "cosine_topk": COSINE_TOPK_SQL,
         "cosine_near_dups": COSINE_NEAR_DUP_SQL,

@@ -284,3 +284,63 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.chunk_n_tokens").alias("chunk_n_tokens"),
     )
+
+
+# GPT-2-style pretokenizer pattern, restricted to the Java-regex ∩ RE2
+# common subset (the real GPT-2 pattern's \s+(?!\S) lookahead is dropped —
+# RE2 has no lookaround): contractions, space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace.
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under a BPE-style pretokenizer — the budget number a
+    real pipeline reports (whitespace counts undercount code/punctuation
+    heavy text badly). One codegen ``regexp_count``: linear scan, no
+    shuffle, no Python; the pattern is engine-portable so a SQL oracle
+    counts identically."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    ``window`` over consecutive hashes keeping each window's minimum, and
+    emit the distinct selected hashes as (id, fingerprint) rows. The
+    guarantee: two documents sharing a run of ≥ k + window − 1 tokens
+    share at least one fingerprint — localized near-dup/plagiarism
+    detection that whole-document md5 cannot give.
+
+    Shape: all array codegen per row (k-gram transform → md5 32-bit
+    hashes → windowed ``array_min`` → ``array_distinct``) then one
+    explode — linear, shuffle-free; ~|tokens|/density fingerprints per
+    doc. md5 keeps the selection engine-portable (ties in VALUE collapse
+    in the distinct set, so no positional tie-break is needed).
+    Downstream, a groupBy on the fingerprint column finds collisions —
+    same scale shape as the banded LSH joins."""
+    w = F.split(F.col(text_col), " ")
+    m = F.size(w) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(off + 1)) for off in range(k)]),
+    )
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    n_sel = m - F.lit(window - 1)
+    sel = F.transform(
+        F.sequence(F.lit(0), n_sel - 1),
+        lambda j: F.array_min(F.slice(hashes, j + 1, window)),
+    )
+    fps = F.when(n_sel >= 1, F.array_distinct(sel)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    )

@@ -747,3 +747,44 @@ def test_select_by_token_budget_matches_global_prefix(spark):
     assert packing.select_by_token_budget(
         df, budget=10**9, score_col="score", token_col="n_tok"
     ).count() == 400
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),            # 2 letter runs
+            (2, "it's 2024, really!"),     # it + 's + space+digits + comma + space+really + bang
+            (3, ""),                       # empty: zero tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n"] for r in df.select("doc_id", text.bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert out[1] == 2
+    assert out[2] == 6
+    assert out[3] == 0
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    """Docs sharing a run of >= k + window - 1 tokens share at least one
+    fingerprint; disjoint texts share none."""
+    k, window = 3, 2
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens > k+window-1=4
+    df = spark.createDataFrame(
+        [
+            (1, "one two " + shared + " tail words"),
+            (2, shared + " completely different ending"),
+            (3, "nothing in common with anyone here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = text.winnow_fingerprints(df, k=k, window=window)
+    sets = {
+        r["doc_id"]: set(r["f"])
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fingerprint").alias("f")).collect()
+    }
+    assert sets[1] & sets[2]          # shared run ⇒ shared fingerprint
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
+    # short doc (< k tokens) emits nothing rather than a degenerate gram
+    short = spark.createDataFrame([(9, "just two")], ["doc_id", "text"])
+    assert text.winnow_fingerprints(short, k=k, window=window).count() == 0
