@@ -143,6 +143,63 @@ def pack_bench(spark, sf_dir):
     return packing.pack_sequences(docs, budget=2048)
 
 
+def cluster_bench(spark, sf_dir):
+    # iterative connected components over LSH-candidate near-dup pairs:
+    # pair generation + O(log diameter) pointer-jumping rounds
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, mode="lsh")
+    return dedup.cluster_pairs(pairs)
+
+
+def decontaminate_bench(spark, sf_dir):
+    # fixed-size benchmark slice → gram set broadcast; corpus unshuffled
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_decontaminate(docs, docs.where(F.col("doc_id") < 50), n=8)
+
+
+def boilerplate_bench(spark, sf_dir):
+    # corpus-wide line counts + reassembly over synthetic 10-token lines
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(w) / F.lit(10.0)).cast("int")
+    relined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.concat_ws(" ", F.slice(w, i * 10 + 1, 10)),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dedup.drop_boilerplate_lines(relined, min_docs=2)
+
+
+def token_budget_bench(spark, sf_dir):
+    # two planned driver actions (min/max + bucket sums), then one
+    # bucket-partitioned window on the boundary slice only
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("q"),
+    )
+    return packing.select_by_token_budget(
+        scored, budget=150_000, score_col="q", token_col="n_tokens"
+    )
+
+
+def winnow_bench(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, k=5, window=4)
+
+
+def scrub_pii_bench(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.scrub_pii(F.col("text")).alias("t"))
+
+
 QUERIES = {
     "q1_pricing_summary": rel.q1_pricing_summary,
     "q3_top_orders": rel.q3_top_orders,
@@ -172,6 +229,12 @@ QUERIES = {
     "stats_corr_battery": rel.stats_corr_battery,
     "trailing_30d_revenue": rel.trailing_30d_revenue,
     "mice_impute_lineitem": mice_bench,
+    "cluster_near_dups": cluster_bench,
+    "ngram_decontaminate": decontaminate_bench,
+    "boilerplate_lines": boilerplate_bench,
+    "token_budget_select": token_budget_bench,
+    "winnow_fingerprints": winnow_bench,
+    "scrub_pii": scrub_pii_bench,
 }
 
 

@@ -788,3 +788,25 @@ def test_winnow_fingerprints_shared_run_guarantee(spark):
     # short doc (< k tokens) emits nothing rather than a degenerate gram
     short = spark.createDataFrame([(9, "just two")], ["doc_id", "text"])
     assert text.winnow_fingerprints(short, k=k, window=window).count() == 0
+
+
+def test_near_dup_scorer_parity(spark):
+    """The Arrow/BLAS scorer and the codegen fold are evaluation
+    strategies, not semantics: identical pairs and (rounded) cosines."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in base[i % 40] + (0.01 * (i // 40)) * rng.standard_normal(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(threshold=0.8, mode="lsh", n_planes=4, probe_bits=1, dim=16)
+    got_cg = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.cosine_near_dup_pairs(df, scorer="codegen", **kw).collect()
+    }
+    got_ar = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.cosine_near_dup_pairs(df, scorer="arrow", **kw).collect()
+    }
+    assert got_cg == got_ar
+    assert len(got_cg) > 0
+    with pytest.raises(ValueError):
+        similarity.cosine_near_dup_pairs(df, scorer="numpy", **kw)
