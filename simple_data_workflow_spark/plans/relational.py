@@ -1307,3 +1307,348 @@ SELECT o_custkey, o_orderkey,
 FROM orders WHERE year(o_orderdate) = 1995
 ORDER BY o_orderkey
 """
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table scan-heavy predicate aggregate — a
+    year of shipments in a discount band below a quantity cap, summing
+    the discounted-away revenue.
+
+    All three predicates reach the parquet scan (PushedFilters); the
+    aggregate is one exact scaled-integer sum over the surviving rows
+    (the l_extendedprice·l_discount double product is IEEE-identical in
+    both engines, so quantizing the product is portable). At 100 TB this
+    is the pure scan-throughput query: no shuffle beyond the single-row
+    partial reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.round(dsum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
+            "forecast_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0, 6) AS forecast_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns in a
+    quarter — orders in the window ⋈ returned lineitems, grouped per
+    customer with nation enrichment, global top-20.
+
+    Join order keeps the fact⋈fact shuffle on the order key with both
+    date/returnflag filters pushed below it; nation (25 rows, fixed
+    regardless of SF) is the only explicit broadcast. The top-20 sorts
+    only the aggregated per-customer rows (bounded by |customer|), never
+    the fact table."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_cust = exact_grouped_agg(
+        orders.join(li, orders.o_orderkey == li.l_orderkey),
+        ["o_custkey"],
+        sums={"revenue": rev},
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 6).alias("c_acctbal"),
+            "n_name",
+            F.round("revenue", 6).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 6) AS c_acctbal, n_name,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0, 6) AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-10-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one shipping month — a
+    conditional-numerator / unconditional-denominator ratio over the
+    part⋈lineitem join.
+
+    Both sums run in ONE exact grouped aggregate pass (numerator is the
+    CASE-masked revenue), so the fact table is scanned and joined once;
+    the ratio is a single-row double division, identical everywhere. The
+    month filter prunes at the scan; part is SF-proportional so the join
+    carries no broadcast hint (AQE decides)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    g = exact_grouped_agg(
+        li.join(part, li.l_partkey == part.p_partkey),
+        [],
+        sums={
+            "promo_rev": F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)),
+            "total_rev": rev,
+        },
+        count_alias="n_items",
+    )
+    return g.select(
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+            "promo_pct"
+        ),
+        F.round("total_rev", 6).alias("total_rev"),
+        "n_items",
+    )
+
+
+Q14_SQL = """
+WITH g AS (
+  SELECT
+    CAST(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS promo_rev,
+    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_rev,
+    COUNT(*) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT ROUND(100.0 * promo_rev / total_rev, 6) AS promo_pct,
+       ROUND(total_rev, 6) AS total_rev, n_items
+FROM g
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR-ed brand/size/quantity
+    predicate groups spanning BOTH join sides.
+
+    The equi-join key (partkey) stays a hash join; Catalyst derives the
+    single-side implications of the disjunction (p_brand IN (...),
+    l_quantity ≤ 30 bounds) and pushes them below the join, so the
+    cross-side OR is evaluated only on pre-filtered rows — the shape a
+    nested-loop translation of the reference predicate would miss."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    grp = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.where(grp).agg(
+        F.round(dsum(rev), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0, 6) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority distribution for a quarter's
+    orders that contain at least one heavy lineitem — a correlated
+    EXISTS expressed as a LEFT SEMI join.
+
+    The semi join deduplicates the probe side inside the join (no
+    distinct pass over lineitem); the quantity filter pushes to the
+    lineitem scan, the date window to the orders scan. Counting happens
+    after the semi join on the surviving orders only."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    heavy = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def stats_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment battery per return flag: mean, sample stddev,
+    population skewness g₁ and excess kurtosis g₂ of l_quantity, plus
+    exact min/max.
+
+    Like :func:`stats_corr_battery`, native ``skewness()``/
+    ``kurtosis()`` aggregates are streaming-merge and not reproducible
+    across engines in the last ulps, so the battery is built from EXACT
+    scaled-integer raw power sums (Σx..Σx⁴ via ``exact_grouped_agg``
+    long partials) and the identical closed-form double expression on
+    both sides. Scale headroom: qty ≤ 50 so qty⁴ ≤ 6.25e6 — at the 1e6
+    quantization a partial stays within a long for ~1.4e6 rows/partition,
+    an order of magnitude above a 128 MB split; round(qty⁴·1e6) < 2^53
+    so the quantization itself is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    g = exact_grouped_agg(
+        li,
+        ["l_returnflag"],
+        sums={"s1": x, "s2": x * x, "s3": x * x * x, "s4": x * x * x * x},
+        count_alias="n_rows",
+    ).withColumn("n", F.col("n_rows").cast("double"))
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    extrema = li.groupBy("l_returnflag").agg(
+        F.min(x).alias("qty_min"), F.max(x).alias("qty_max")
+    )
+    return (
+        g.join(extrema, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n_rows").alias("n_items"),
+            F.round(mean, 6).alias("qty_mean"),
+            F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))), 6).alias("qty_stddev"),
+            F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("qty_skewness"),
+            F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("qty_kurtosis"),
+            F.round("qty_min", 6).alias("qty_min"),
+            F.round("qty_max", 6).alias("qty_max"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_MOMENTS_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         COUNT(*) AS n_items,
+         CAST(SUM(CAST(ROUND(l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s1,
+         CAST(SUM(CAST(ROUND(l_quantity*l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s2,
+         CAST(SUM(CAST(ROUND(l_quantity*l_quantity*l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s3,
+         CAST(SUM(CAST(ROUND(l_quantity*l_quantity*l_quantity*l_quantity*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS s4,
+         MIN(l_quantity) AS qty_min,
+         MAX(l_quantity) AS qty_max
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_items,
+       ROUND(s1/n, 6) AS qty_mean,
+       ROUND(sqrt((s2 - s1*s1/n)/(n-1.0)), 6) AS qty_stddev,
+       ROUND((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+             / sqrt(power(s2/n - (s1/n)*(s1/n), 3.0)), 6) AS qty_skewness,
+       ROUND((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n) - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+             / ((s2/n - (s1/n)*(s1/n))*(s2/n - (s1/n)*(s1/n))) - 3.0, 6) AS qty_kurtosis,
+       ROUND(qty_min, 6) AS qty_min,
+       ROUND(qty_max, 6) AS qty_max
+FROM g ORDER BY l_returnflag
+"""
+
+
+def window_nav_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window-navigation battery over a NULL-holed measure:
+    per user, running first non-null value, latest non-null so far,
+    second non-null overall, and the previous raw value with a default.
+
+    The measure masks low values to NULL so the ignore-nulls semantics
+    are actually exercised. Frames are explicit ROWS frames (the
+    ignore-nulls navigators are frame-sensitive); ordering is the unique
+    event id so both engines see the same sequence. Per-user windows are
+    partition-local sorts — no global sort at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 1, F.lit(None)).otherwise(F.col("value"))
+    base = ev.select("event_id", "user_id", v.alias("v"))
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("user_id").orderBy("event_id")
+    return base.select(
+        "event_id",
+        "user_id",
+        F.round("v", 6).alias("v"),
+        F.round(F.first("v", ignorenulls=True).over(run), 6).alias("first_nn"),
+        F.round(F.last("v", ignorenulls=True).over(run), 6).alias("latest_nn"),
+        F.round(F.nth_value("v", 2, ignoreNulls=True).over(full), 6).alias("second_nn"),
+        F.round(F.lag("v", 1, -1.0).over(seq), 6).alias("prev_raw"),
+    ).orderBy("event_id")
+
+
+WINDOW_NAV_SQL = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CASE WHEN value < 1 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id, user_id, ROUND(v, 6) AS v,
+       ROUND(FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS first_nn,
+       ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS latest_nn,
+       ROUND(NTH_VALUE(v, 2 IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS second_nn,
+       ROUND(LAG(v, 1, -1.0) OVER (PARTITION BY user_id ORDER BY event_id), 6) AS prev_raw
+FROM base
+ORDER BY event_id
+"""
