@@ -1628,6 +1628,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     return {
+        # Registration order is load-bearing: the driver's correctness
+        # harness checks the FIRST 50 entries. Rounds 2-4 validated the
+        # same 50, leaving the round-2/3 additions below never
+        # driver-checked — so they lead this round (rotation, VERDICT r4
+        # "Next round" #5); the three-round-green originals follow.
+        "corpus_curation": _wrap(corpus_curation),
+        "order_rank_metrics": _wrap(rel.order_rank_metrics),
+        "string_fn_battery": _wrap(rel.string_fn_battery),
+        "date_fn_battery": _wrap(rel.date_fn_battery),
+        "cheapest_supplier_per_nation": _wrap(rel.cheapest_supplier_per_nation),
+        "conditional_agg_battery": _wrap(rel.conditional_agg_battery),
+        "weighted_avg_price": _wrap(rel.weighted_avg_price),
+        "regexp_extract_brands": _wrap(rel.regexp_extract_brands),
+        "rollup_with_grouping_id": _wrap(rel.rollup_with_grouping_id),
+        "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
+        "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
+        "minhash_md5_near_dups": _wrap(minhash_md5_near_dups),
+        "simhash_docs": _wrap(simhash_docs),
+        "simhash_md5_docs": _wrap(simhash_md5_docs),
+        "doc_text_stats": _wrap(doc_text_stats),
+        "scrub_pii_docs": _wrap(scrub_pii_docs),
+        "doc_repetition_stats": _wrap(doc_repetition_stats),
+        "cluster_near_dup_docs": _wrap(cluster_near_dup_docs),
+        "dedup_near_dup_docs": _wrap(dedup_near_dup_docs),
+        "ngram_decontaminate_docs": _wrap(ngram_decontaminate_docs),
+        "boilerplate_docs": _wrap(boilerplate_docs),
+        "mixture_sample_docs": _wrap(mixture_sample_docs),
+        "token_budget_select": _wrap(token_budget_select_docs),
+        "bpe_token_counts": _wrap(bpe_token_counts),
+        "winnow_fingerprint_docs": _wrap(winnow_fingerprint_docs),
+        "chunk_documents": _wrap(chunk_documents_q),
+        "cosine_topk": _wrap(cosine_topk),
+        "cosine_near_dups": _wrap(cosine_near_dups),
+        "ivf_topk_embeddings": _wrap(ivf_topk_embeddings),
+        "multimodal_features": _wrap(multimodal_features),
+        "stats_corr_battery": _wrap(rel.stats_corr_battery),
+        "trailing_30d_revenue": _wrap(rel.trailing_30d_revenue),
+        "pack_documents": _wrap(pack_documents),
+        "train_holdout_split": _wrap(train_holdout_split),
+        "quantize_embeddings": _wrap(quantize_embeddings_q),
+        "error_window_clicks": _wrap(error_window_clicks),
         # reference-operator surface (SURVEY.md §2.1)
         "flagship_std_revenue": _wrap(flagship_std_revenue),
         "gelman_standardize_lineitem": _wrap(gelman_standardize_lineitem),
@@ -1681,42 +1722,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": _wrap(decontaminate_docs),
         "stratified_sample_docs": _wrap(stratified_sample_docs),
         "embedding_stats": _wrap(embedding_stats),
-        "corpus_curation": _wrap(corpus_curation),
-        "order_rank_metrics": _wrap(rel.order_rank_metrics),
-        "string_fn_battery": _wrap(rel.string_fn_battery),
-        "date_fn_battery": _wrap(rel.date_fn_battery),
-        "cheapest_supplier_per_nation": _wrap(rel.cheapest_supplier_per_nation),
-        "conditional_agg_battery": _wrap(rel.conditional_agg_battery),
-        "weighted_avg_price": _wrap(rel.weighted_avg_price),
-        "regexp_extract_brands": _wrap(rel.regexp_extract_brands),
-        "rollup_with_grouping_id": _wrap(rel.rollup_with_grouping_id),
-        "ngram_jaccard_near_dups": _wrap(ngram_jaccard_near_dups),
-        "minhash_lsh_near_dups": _wrap(minhash_lsh_near_dups),
-        "minhash_md5_near_dups": _wrap(minhash_md5_near_dups),
-        "simhash_docs": _wrap(simhash_docs),
-        "simhash_md5_docs": _wrap(simhash_md5_docs),
-        "doc_text_stats": _wrap(doc_text_stats),
-        "scrub_pii_docs": _wrap(scrub_pii_docs),
-        "doc_repetition_stats": _wrap(doc_repetition_stats),
-        "cluster_near_dup_docs": _wrap(cluster_near_dup_docs),
-        "dedup_near_dup_docs": _wrap(dedup_near_dup_docs),
-        "ngram_decontaminate_docs": _wrap(ngram_decontaminate_docs),
-        "boilerplate_docs": _wrap(boilerplate_docs),
-        "mixture_sample_docs": _wrap(mixture_sample_docs),
-        "token_budget_select": _wrap(token_budget_select_docs),
-        "bpe_token_counts": _wrap(bpe_token_counts),
-        "winnow_fingerprint_docs": _wrap(winnow_fingerprint_docs),
-        "chunk_documents": _wrap(chunk_documents_q),
-        "cosine_topk": _wrap(cosine_topk),
-        "cosine_near_dups": _wrap(cosine_near_dups),
-        "ivf_topk_embeddings": _wrap(ivf_topk_embeddings),
-        "multimodal_features": _wrap(multimodal_features),
-        "stats_corr_battery": _wrap(rel.stats_corr_battery),
-        "trailing_30d_revenue": _wrap(rel.trailing_30d_revenue),
-        "pack_documents": _wrap(pack_documents),
-        "train_holdout_split": _wrap(train_holdout_split),
-        "quantize_embeddings": _wrap(quantize_embeddings_q),
-        "error_window_clicks": _wrap(error_window_clicks),
     }
 
 

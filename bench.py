@@ -257,28 +257,36 @@ def main() -> None:
 
     # best-of-2 per query: this host runs noisy background load; the min
     # reflects the query, the max reflects the neighbors
+    # per-query fault isolation: one failing query must not abort the run
+    # (round 4 lost ALL timing data to a single AnalysisException) — record
+    # the error string, keep going, emit partial totals
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_all = time.time()
     for name, fn in QUERIES.items():
         best = float("inf")
         for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            try:
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+        if best < float("inf"):
+            timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_number(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_number(SF_DIR),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

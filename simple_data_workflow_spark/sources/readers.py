@@ -50,24 +50,43 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events scan with TIMESTAMP(NANOS) handling.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to a proper session-TZ TIMESTAMP
+    regardless of how the parquet writer encoded it. Observed encodings
+    across testdata generations:
 
-    The testdata events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects; with the nanosAsLong legacy
-    conf it reads as epoch-nanos long, converted here to a proper
-    timestamp (integer ``div`` — no double round-trip; the testdata has
-    zero sub-microsecond remainder)."""
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+      with the ``nanosAsLong`` legacy conf it arrives as epoch-nanos
+      bigint → ``timestamp_micros(ts div 1000)`` (integer div, no double
+      round-trip; the testdata has zero sub-microsecond remainder).
+    - parquet timestamp[us] with isAdjustedToUTC=false: Spark reads
+      TIMESTAMP_NTZ → plain cast to TIMESTAMP. The session TZ is pinned
+      UTC (session.py), so the wall-clock reinterpretation is the
+      identity and epoch arithmetic matches the DuckDB oracle's
+      ``epoch(ts)``.
+    - already TIMESTAMP: pass through.
+
+    Downstream code (sessionize, interval_join, streaming watermarks)
+    can then assume one type instead of being defensive per call site.
+    """
     from pyspark.sql import functions as F
 
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif t == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events scan with timestamp-encoding normalization (see
+    :func:`normalize_events_ts` for the per-generation encodings)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_events_ts(spark.read.parquet(path))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -19,33 +19,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        # testdata parquet stores ts as TIMESTAMP(NANOS) → read as long
-        # (nanosAsLong) and convert; a Kafka source would give timestamps
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def read_event_stream(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
     """File-source stream (schema required for streaming reads). In
     production this is Kafka; the source swap does not change the plan
-    below it."""
+    below it.
+
+    The schema is sniffed from a batch read of the same path rather than
+    hardcoded: the testdata's ``ts`` encoding has drifted across
+    generations (TIMESTAMP(NANOS)-as-long vs timestamp[us] NTZ), and a
+    hardcoded LongType read of an NTZ file silently yields raw
+    epoch-micros — wrong answers, no exception. Sniff + shared
+    normalizer makes the stream's ``ts`` identical to the batch
+    ``load_events`` output whatever the file says."""
+    from ..sources.readers import normalize_events_ts
+
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         # FileStreamSource wants a directory; stage a symlink dir for the
         # single-file testdata case (a real deployment streams a dir/Kafka)
@@ -55,11 +51,11 @@ def read_event_stream(spark: SparkSession, path: str, max_files: int = 1) -> Dat
         path = stage
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .load(path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def windowed_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -108,15 +108,20 @@ def test_watermark_drops_late_data(spark, tmp_path):
     write_batch("b1", [(1, ns(10, 5), 1, "click", 1.0, "{}"), (2, ns(13, 5), 1, "click", 1.0, "{}")])
 
     from pyspark.sql import functions as F
-    from simple_data_workflow_spark.streaming.events import EVENTS_SCHEMA
 
+    # this test's synthetic batch files store ts as epoch-nanos long
+    # (write_batch above) — declare that shape inline
+    long_ts_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     stream = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(long_ts_schema)
         .option("maxFilesPerTrigger", 1)
         .load(str(src))
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
