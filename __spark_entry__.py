@@ -614,6 +614,22 @@ ORDER BY doc_id
 """
 
 
+def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (llmdata.dedup.
+    bloom_decontaminate): same contract as ngram_decontaminate_docs —
+    the Bloom bitmap (broadcast bits instead of broadcast gram strings,
+    ~13x smaller at 10 bits/gram) prefilters candidates and the exact
+    confirm restores bit-equality, so the oracle is the SAME SQL."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") < 50)
+    return (
+        dedup.bloom_decontaminate(docs, benchmark, n=8)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (llmdata.dedup.
     drop_boilerplate_lines): the corpus is single-line word salad, so
@@ -1722,6 +1738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": _wrap(decontaminate_docs),
         "stratified_sample_docs": _wrap(stratified_sample_docs),
         "embedding_stats": _wrap(embedding_stats),
+        # round-5 additions (past the 50-query driver window this round)
+        "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
     }
 
 
@@ -1795,6 +1813,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_near_dup_docs": CLUSTER_SQL,
         "dedup_near_dup_docs": DEDUP_CLUSTER_SQL,
         "ngram_decontaminate_docs": NGRAM_DECONTAMINATE_SQL,
+        # bloom prefilter + exact confirm == the exact path, same oracle
+        "bloom_decontaminate_docs": NGRAM_DECONTAMINATE_SQL,
         "boilerplate_docs": BOILERPLATE_SQL,
         "mixture_sample_docs": MIXTURE_SQL,
         "token_budget_select": TOKEN_BUDGET_SQL,

@@ -157,6 +157,13 @@ def decontaminate_bench(spark, sf_dir):
     return dedup.ngram_decontaminate(docs, docs.where(F.col("doc_id") < 50), n=8)
 
 
+def bloom_decontaminate_bench(spark, sf_dir):
+    # same contract as decontaminate_bench via the Bloom bitmap prefilter:
+    # broadcast bits instead of gram strings, exact confirm on candidates
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.bloom_decontaminate(docs, docs.where(F.col("doc_id") < 50), n=8)
+
+
 def boilerplate_bench(spark, sf_dir):
     # corpus-wide line counts + reassembly over synthetic 10-token lines
     docs = load_table(spark, sf_dir, "documents")
@@ -231,6 +238,7 @@ QUERIES = {
     "mice_impute_lineitem": mice_bench,
     "cluster_near_dups": cluster_bench,
     "ngram_decontaminate": decontaminate_bench,
+    "bloom_decontaminate": bloom_decontaminate_bench,
     "boilerplate_lines": boilerplate_bench,
     "token_budget_select": token_budget_bench,
     "winnow_fingerprints": winnow_bench,

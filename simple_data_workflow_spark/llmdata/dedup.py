@@ -684,6 +684,119 @@ def ngram_decontaminate(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    bits_per_gram: int = 10,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """``ngram_decontaminate`` with a Bloom-filter prefilter — the scale
+    path when the benchmark gram set is too large to broadcast as
+    strings (a 1 B-gram eval suite is ~30 GB of md5 fingerprints but
+    only ~1.25 GB of Bloom bits at 10 bits/gram, fpp≈0.8%).
+
+    Result is EXACTLY equal to ``ngram_decontaminate`` (same oracle):
+    Bloom filters have no false negatives, and every Bloom candidate is
+    re-verified by the exact broadcast semi-join — run only over the
+    (tiny) candidate slice of the corpus.
+
+    Shape, in order:
+    1. benchmark grams → ``n_hashes`` bit positions each, all JVM-side
+       (seeded xxhash64, pmod m); ONE collect of the distinct position
+       list (bounded by n_grams × n_hashes longs — benchmark-sized, the
+       same order as the exact path's broadcast) builds the bitmap
+       driver-side, shipped once per executor via ``sc.broadcast`` —
+       it rides the broadcast, never the query plan (a multi-MB plan
+       literal would blow up codegen).
+    2. corpus grams → the same JVM-side positions array → an
+       Arrow-batched pandas UDF does the vectorized bitmap probe
+       (numpy gather + bit test; Python does O(k) bit lookups per gram,
+       no string ever crosses into Python). The corpus never shuffles:
+       explode + probe + local distinct-per-doc only.
+    3. Bloom survivors (grams per doc ≥ ``min_hits`` — false positives
+       only ever ADD candidates, so the prefilter is conservative for
+       any min_hits) → exact ``ngram_decontaminate`` confirm on just
+       those docs; its broadcast gram set is only needed for this last
+       small join at engine parity thresholds.
+
+    At 100 TB: corpus-side cost is one codegen gram/hash projection and
+    a memory-speed bitmap probe per gram; shuffle volume is candidates
+    only (expected: true contaminations + fpp × corpus grams).
+    """
+    import numpy as np
+
+    def gram_fps(text: Column) -> Column:
+        return shingles(text, n)
+
+    bench_grams = benchmark.select(
+        F.explode(gram_fps(F.col(text_col))).alias("__g")
+    ).distinct()
+    # size the filter off the benchmark (one count over the small side)
+    n_grams = bench_grams.count()
+    m_bits = max(64, n_grams * bits_per_gram)
+
+    def positions(col: Column) -> Column:
+        return F.array(
+            *[F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits)) for seed in range(n_hashes)]
+        )
+
+    pos_rows = (
+        bench_grams.select(F.explode(positions(F.col("__g"))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64, count=len(pos_rows))
+    # unbuffered scatter: plain `bitmap[idx] |= v` loses bits on duplicate
+    # byte indices (gather-or-scatter is last-write-wins per unique index)
+    np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(bitmap.tobytes())
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(pos_arrays):
+        import pandas as pd
+
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        if len(pos_arrays) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.vstack(pos_arrays.to_numpy())  # (rows, n_hashes) int64
+        hit = (bm[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    corpus_grams = ensure_parallelism(corpus).select(
+        F.col(id_col), F.explode(gram_fps(F.col(text_col))).alias("__g")
+    )
+    bloom_hits = corpus_grams.where(might_contain(positions(F.col("__g"))))
+    if min_hits <= 1:
+        candidates = bloom_hits.select(id_col).distinct()
+    else:
+        candidates = (
+            bloom_hits.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__hits"))
+            .where(F.col("__hits") >= min_hits)
+            .select(id_col)
+        )
+    # exact confirm over the candidate slice only (no false negatives to
+    # lose; false positives die here)
+    cand_docs = corpus.join(F.broadcast(candidates), id_col, "left_semi")
+    contaminated = cand_docs.join(
+        ngram_decontaminate(
+            cand_docs, benchmark, id_col=id_col, text_col=text_col, n=n, min_hits=min_hits
+        ),
+        id_col,
+        "left_anti",
+    ).select(id_col)
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def drop_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

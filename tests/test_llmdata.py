@@ -687,6 +687,32 @@ def test_ngram_decontaminate(spark):
     assert kept2 == {1, 2, 3}
 
 
+def test_bloom_decontaminate_matches_exact(spark):
+    """Bloom prefilter + exact confirm must equal the exact path bit-for-bit
+    (no false negatives by construction; false positives die in confirm).
+    Checked on the real documents table so gram diversity is realistic."""
+    from simple_data_workflow_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where("doc_id < 50")
+    exact = {
+        r["doc_id"] for r in dedup.ngram_decontaminate(docs, bench, n=8).collect()
+    }
+    bloom = {
+        r["doc_id"] for r in dedup.bloom_decontaminate(docs, bench, n=8).collect()
+    }
+    assert bloom == exact
+    # a deliberately tiny filter (high fpp) must STILL be exact — only the
+    # candidate count grows, the confirm stage guarantees the result
+    bloom_small = {
+        r["doc_id"]
+        for r in dedup.bloom_decontaminate(
+            docs, bench, n=8, bits_per_gram=2, n_hashes=1
+        ).collect()
+    }
+    assert bloom_small == exact
+
+
 def test_drop_boilerplate_lines(spark):
     df = spark.createDataFrame(
         [

@@ -2,7 +2,40 @@
 
 import os
 
-from simple_data_workflow_spark.sources.sinks import write_csv, write_json, write_parquet
+from simple_data_workflow_spark.sources.sinks import (
+    write_csv,
+    write_json,
+    write_parquet,
+    write_sorted_parquet,
+)
+
+
+def test_sorted_parquet_disjoint_file_ranges(spark, tmp_path):
+    """write_sorted_parquet must produce files whose min/max stats on the
+    sort key are pairwise disjoint (that disjointness IS the data-skipping
+    guarantee: a point/range predicate prunes to one file)."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "cast(id % 97 as double) as v"
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted_parquet(df, out, ["id"], num_files=4)
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2, "expected multiple range-partitioned files"
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, f"file key ranges overlap: ({a_lo},{a_hi}) vs ({b_lo},{b_hi})"
+    # round-trip intact
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
 
 
 def test_parquet_partitioned_roundtrip(spark, tmp_path):
