@@ -694,38 +694,52 @@ def bloom_decontaminate(
     bits_per_gram: int = 10,
     n_hashes: int = 7,
 ) -> DataFrame:
-    """``ngram_decontaminate`` with a Bloom-filter prefilter — the scale
-    path when the benchmark gram set is too large to broadcast as
-    strings (a 1 B-gram eval suite is ~30 GB of md5 fingerprints but
-    only ~1.25 GB of Bloom bits at 10 bits/gram, fpp≈0.8%).
+    """``ngram_decontaminate`` with a Bloom-filter prefilter — the
+    FEASIBILITY path when the benchmark gram set is too large to
+    broadcast as strings (a 1 B-gram eval suite is ~30 GB of md5
+    fingerprints but only ~1.25 GB of Bloom bits at 10 bits/gram,
+    fpp≈0.8%). When the benchmark DOES fit a broadcast, use the exact
+    path: profiled at the 8x local rung (1.9 M corpus grams, 2.4 k
+    bench grams), the Arrow bitmap probe costs about the same per gram
+    as the JVM broadcast-hash semi-join (10.0 s vs 9.1 s stage time),
+    so the prefilter+confirm structure only adds passes — bloom wins
+    nothing on speed at small benchmark sizes, by measurement, and is
+    ~2x slower end-to-end there. Its niche is the regime where the
+    exact broadcast cannot exist.
 
     Result is EXACTLY equal to ``ngram_decontaminate`` (same oracle):
     Bloom filters have no false negatives, and every Bloom candidate is
     re-verified by the exact broadcast semi-join — run only over the
-    (tiny) candidate slice of the corpus.
+    (tiny) candidate slice of the corpus, where the gram set fits
+    because the candidate slice's contaminating grams are
+    benchmark-overlap-sized.
 
     Shape, in order:
-    1. benchmark grams → ``n_hashes`` bit positions each, all JVM-side
-       (seeded xxhash64, pmod m); ONE collect of the distinct position
-       list (bounded by n_grams × n_hashes longs — benchmark-sized, the
-       same order as the exact path's broadcast) builds the bitmap
-       driver-side, shipped once per executor via ``sc.broadcast`` —
-       it rides the broadcast, never the query plan (a multi-MB plan
+    1. benchmark grams → 2 base hashes → ``n_hashes`` bit positions via
+       Kirsch-Mitzenmacher double hashing ((h1 + i*h2) mod m), all
+       JVM-side (seeded xxhash64, both bases pre-reduced mod m so the
+       arithmetic never overflows ANSI longs); ONE collect of the
+       distinct position list (benchmark-sized) builds the bitmap
+       driver-side via ``np.bitwise_or.at`` (unbuffered scatter — plain
+       fancy-index ``|=`` silently drops bits on duplicate byte
+       indices), shipped once per executor via ``sc.broadcast`` — it
+       rides the broadcast, never the query plan (a multi-MB plan
        literal would blow up codegen).
-    2. corpus grams → the same JVM-side positions array → an
-       Arrow-batched pandas UDF does the vectorized bitmap probe
-       (numpy gather + bit test; Python does O(k) bit lookups per gram,
-       no string ever crosses into Python). The corpus never shuffles:
-       explode + probe + local distinct-per-doc only.
+    2. corpus grams → the same 2 JVM-side base hashes, gram string
+       dropped in the projection (rows queued around the Python node
+       carry every retained column — keeping the text would push it
+       through that queue just to be discarded) → Arrow-batched pandas
+       UDF re-derives the k positions in numpy and does the vectorized
+       bitmap probe. The corpus never shuffles: explode + probe +
+       local distinct-per-doc only.
     3. Bloom survivors (grams per doc ≥ ``min_hits`` — false positives
        only ever ADD candidates, so the prefilter is conservative for
        any min_hits) → exact ``ngram_decontaminate`` confirm on just
-       those docs; its broadcast gram set is only needed for this last
-       small join at engine parity thresholds.
+       those docs.
 
     At 100 TB: corpus-side cost is one codegen gram/hash projection and
     a memory-speed bitmap probe per gram; shuffle volume is candidates
-    only (expected: true contaminations + fpp × corpus grams).
+    only (expected: true contaminations + fpp x corpus grams).
     """
     import numpy as np
 
@@ -739,13 +753,25 @@ def bloom_decontaminate(
     n_grams = bench_grams.count()
     m_bits = max(64, n_grams * bits_per_gram)
 
-    def positions(col: Column) -> Column:
+    # Kirsch-Mitzenmacher double hashing: all n_hashes positions derive
+    # from TWO base hashes as (h1 + i*h2) mod m, so the corpus side ships
+    # 2 int64 columns to the probe instead of n_hashes (the Arrow
+    # transfer is the probe's dominant cost). Both hashes pre-reduced mod
+    # m so h1 + i*h2 can't overflow ANSI-mode long arithmetic.
+    def base_hash_cols(col: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m_bits)).alias("h1"),
+            F.pmod(F.xxhash64(col, F.lit(2)), F.lit(m_bits)).alias("h2"),
+        ]
+
+    def km_positions(h1: Column, h2: Column) -> Column:
         return F.array(
-            *[F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits)) for seed in range(n_hashes)]
+            *[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(n_hashes)]
         )
 
     pos_rows = (
-        bench_grams.select(F.explode(positions(F.col("__g"))).alias("p"))
+        bench_grams.select(*base_hash_cols(F.col("__g")))
+        .select(F.explode(km_positions(F.col("h1"), F.col("h2"))).alias("p"))
         .distinct()
         .collect()
     )
@@ -760,21 +786,39 @@ def bloom_decontaminate(
 
     from pyspark.sql.functions import pandas_udf
 
+    # struct input → the UDF receives a flat pandas DataFrame: Arrow
+    # ships exactly two plain int64 columns per gram; numpy re-derives
+    # the n_hashes positions. (A first cut shipped array<bigint> of all
+    # positions per gram — the transfer volume made the probe slower
+    # than the exact join at the 8x rung.)
+    m = m_bits
+    k = n_hashes
+
     @pandas_udf("boolean")
-    def might_contain(pos_arrays):
+    def might_contain(hashes):
         import pandas as pd
 
         bm = np.frombuffer(bc.value, dtype=np.uint8)
-        if len(pos_arrays) == 0:
+        if len(hashes) == 0:
             return pd.Series([], dtype=bool)
-        mat = np.vstack(pos_arrays.to_numpy())  # (rows, n_hashes) int64
+        base = hashes.to_numpy()  # (rows, 2) int64
+        # (rows, k) positions via double hashing — same formula as the
+        # JVM-side bitmap build above
+        mat = (base[:, 0:1] + np.arange(k, dtype=np.int64) * base[:, 1:2]) % m
         hit = (bm[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
         return pd.Series(hit.all(axis=1))
 
-    corpus_grams = ensure_parallelism(corpus).select(
-        F.col(id_col), F.explode(gram_fps(F.col(text_col))).alias("__g")
+    # hash in a projection and DROP the gram string before the Python
+    # node: rows buffered in the JVM queue around ArrowEvalPython carry
+    # every retained column, so keeping '__g' would push the whole gram
+    # text through that queue (hundreds of MB at the 8x rung) just to be
+    # discarded after the filter
+    corpus_hashes = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), F.explode(gram_fps(F.col(text_col))).alias("__g"))
+        .select(F.col(id_col), F.struct(*base_hash_cols(F.col("__g"))).alias("__h"))
     )
-    bloom_hits = corpus_grams.where(might_contain(positions(F.col("__g"))))
+    bloom_hits = corpus_hashes.where(might_contain(F.col("__h")))
     if min_hits <= 1:
         candidates = bloom_hits.select(id_col).distinct()
     else:
