@@ -77,6 +77,92 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
     assert set(back.columns) == {"window_start", "event_type", "n", "total_value"}
 
 
+def test_streaming_upsert_sink_converges_to_batch(spark, tmp_path):
+    """Multi-batch update-mode aggregation through the partition-scoped
+    merge sink: keys updated across micro-batches must hold their LATEST
+    aggregate in the target table, equal to the one-shot batch result."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.streaming.events import windowed_counts_stream
+    from simple_data_workflow_spark.streaming.sinks import streaming_upsert_sink
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        part = glob.glob(str(src / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+        shutil.rmtree(str(src / name))
+
+    def t(hour, minute=0):
+        return dt.datetime(2024, 1, 1, hour, minute)
+
+    # batch 1 seeds two windows; batch 2 updates one of them (same key)
+    # and adds a new event_type in the other — the merge must replace the
+    # updated key and keep the untouched keys in the same partition
+    write_batch(
+        "b1",
+        [
+            (1, t(10, 5), 1, "click", 1.0, "{}"),
+            (2, t(10, 20), 2, "view", 2.0, "{}"),
+            (3, t(11, 5), 1, "click", 3.0, "{}"),
+        ],
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    agg = windowed_counts_stream(stream, watermark="10 hours")
+    target = str(tmp_path / "serving")
+    q = streaming_upsert_sink(
+        agg,
+        target,
+        str(tmp_path / "ckpt"),
+        key_cols=("window_start", "event_type"),
+        partition_col="window_start",
+    )
+    q.processAllAvailable()
+    write_batch("b2", [(4, t(10, 40), 3, "click", 5.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    batch_events = spark.read.parquet(str(src))
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in batch_events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .collect()
+    }
+    assert got == want
+    # the 10:00 click key was updated in place (n=2), view kept untouched
+    assert got[("2024-01-01 10:00:00", "click")][0] == 2
+    assert got[("2024-01-01 10:00:00", "view")][0] == 1
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode windowed agg with a watermark: a row arriving far
     behind the advanced watermark is dropped; windows only emit once
