@@ -1740,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": _wrap(embedding_stats),
         # round-5 additions (past the 50-query driver window this round)
         "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
+        "asof_next_order": _wrap(rel.asof_next_order),
     }
 
 
@@ -1815,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontaminate_docs": NGRAM_DECONTAMINATE_SQL,
         # bloom prefilter + exact confirm == the exact path, same oracle
         "bloom_decontaminate_docs": NGRAM_DECONTAMINATE_SQL,
+        "asof_next_order": rel.ASOF_FORWARD_SQL,
         "boilerplate_docs": BOILERPLATE_SQL,
         "mixture_sample_docs": MIXTURE_SQL,
         "token_budget_select": TOKEN_BUDGET_SQL,

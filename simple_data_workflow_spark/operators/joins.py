@@ -27,17 +27,31 @@ def asof_join(
     right_payload: list[str] | None = None,
     right_tiebreak: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    ``right[right_ts] <= left[left_ts]`` for the same ``on`` key (NULLs
-    when no prior right row exists).
+    """For each left row: columns of the matched right row for the same
+    ``on`` key (NULLs when none exists). ``direction="backward"`` (the
+    default) matches the LATEST right row with ``right_ts <= left_ts``;
+    ``"forward"`` matches the EARLIEST right row with ``right_ts >=
+    left_ts`` — the two directions of ``pandas.merge_asof``, same
+    union+window shape either way (forward just scans time descending).
+
+    ``tolerance_s`` bounds the match distance: a matched row further
+    than this from the left timestamp (seconds for TIMESTAMP columns,
+    same unit as the column for numeric ones) is nulled out — e.g.
+    "latest sensor fix, but only if it is fresher than 10 minutes".
+    The bound is a projection on the carried match, not a join-shape
+    change: still ONE shuffle, still linear.
 
     Ties on timestamp: right rows sort before left rows at the same
-    instant (a fix at time t is visible to a query at time t); among
-    right rows at the same timestamp the highest ``right_tiebreak``
-    wins — pass one whenever (key, ts) is not unique on the right, or
-    the winner is partition-order-dependent.
+    instant (a fix at time t is visible to a query at time t, in both
+    directions); among right rows at the same timestamp the highest
+    ``right_tiebreak`` wins — pass one whenever (key, ts) is not unique
+    on the right, or the winner is partition-order-dependent.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_payload = right_payload or [
         c for c in right.columns if c not in (on, right_ts, right_tiebreak)
     ]
@@ -65,13 +79,30 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs)
     # right rows (__is_left=0) sort before left rows at equal ts; among
-    # right rows the highest tiebreak sorts last, so last() picks it
+    # right rows the highest tiebreak sorts last, so last() picks it.
+    # forward = the same scan over time DESCENDING (earliest future row
+    # is the last right row seen walking backwards from +inf)
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__tb"))
+        .orderBy(ts_order, F.col("__is_left"), F.col("__tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    if tolerance_s is not None:
+        # NTZ cannot cast to numeric directly; hop via TIMESTAMP (session
+        # TZ pinned UTC, so the epoch is unambiguous). The unioned __ts is
+        # already coerced to TIMESTAMP by the union, but the struct field
+        # keeps the right side's original type.
+        mts = F.col("__match").getField(f"{right_ts}{suffix}")
+        if right.schema[right_ts].dataType.simpleString() == "timestamp_ntz":
+            mts = mts.cast("timestamp")
+        mts = mts.cast("double")
+        lts = F.col("__ts").cast("double")
+        delta = (lts - mts) if direction == "backward" else (mts - lts)
+        carried = carried.withColumn(
+            "__match", F.when(delta <= F.lit(float(tolerance_s)), F.col("__match"))
+        )
     out = carried.where(F.col("__is_left") == 1).select("__l.*", "__match.*")
     return out
 

@@ -695,6 +695,61 @@ ORDER BY e.event_id
 """
 
 
+def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (operators.joins.asof_join,
+    direction='forward'): each purchase event picks up the EARLIEST
+    order at-or-after its timestamp for the same key, nulled when more
+    than 30 days out — "did this purchase lead to an order within a
+    month". Same union+window shape as the backward join, one shuffle."""
+    from simple_data_workflow_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        purchases,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_totalprice"],
+        right_tiebreak="o_orderkey",
+        direction="forward",
+        tolerance_s=30 * 86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("o_orderdate_asof", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_asof"),
+        "o_totalprice",
+    ).orderBy("event_id")
+
+
+ASOF_FORWARD_SQL = """
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(m.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_asof,
+       m.o_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o.o_orderdate, o.o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = e.user_id
+    AND o.o_orderdate >= e.ts
+    AND o.o_orderdate <= e.ts + INTERVAL 30 DAY
+  ORDER BY o.o_orderdate ASC, o.o_orderkey DESC
+  LIMIT 1
+) m ON TRUE
+WHERE e.event_type = 'purchase'
+ORDER BY e.event_id
+"""
+
+
 def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark SQL surface (free via temp views): explicit GROUPING SETS —
     per (status, priority), per status, and grand total in one pass."""

@@ -56,6 +56,69 @@ def test_asof_equal_ts_and_tiebreak(spark):
     assert out["val"] == 20.0
 
 
+def test_asof_forward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00")),
+            (2, "u1", _ts("2024-01-01T12:00")),
+            (3, "u2", _ts("2024-01-01T12:00")),
+        ],
+        "id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:30"), 100, 1.0),
+            ("u1", _ts("2024-01-01T11:00"), 101, 2.0),
+            ("u2", _ts("2024-01-01T11:00"), 102, 3.0),
+        ],
+        "key string, rts timestamp, rid long, val double",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts",
+        right_payload=["val"], right_tiebreak="rid", direction="forward",
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["val"] == 2.0  # 10:00 sees the NEXT row at 11:00
+    assert rows[2]["val"] is None  # nothing after 12:00 for u1
+    assert rows[3]["val"] is None  # u2's only row precedes 12:00
+    # a right row AT the left instant matches in forward direction too
+    at = asof_join(
+        left.where("id = 2"),
+        right.where("rid = 101").withColumn("rts", F_lit_ts("2024-01-01T12:00")),
+        on="key", left_ts="ts", right_ts="rts",
+        right_payload=["val"], direction="forward",
+    ).first()
+    assert at["val"] == 2.0
+
+
+def F_lit_ts(s):
+    from pyspark.sql import functions as F
+
+    return F.lit(_ts(s))
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00")),
+            (2, "u1", _ts("2024-01-01T12:00")),
+        ],
+        "id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T09:30"), 100, 1.0)],
+        "key string, rts timestamp, rid long, val double",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts",
+        right_payload=["val"], tolerance_s=3600,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["val"] == 1.0  # 30 min stale — within the hour bound
+    assert rows[2]["val"] is None  # 2.5 h stale — nulled by tolerance
+    assert rows[2]["rts_asof"] is None
+
+
 def test_salted_join_equals_plain_join(spark):
     from simple_data_workflow_spark.operators.joins import salted_join
 
