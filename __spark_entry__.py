@@ -697,6 +697,28 @@ FROM built b LEFT JOIN reb USING (doc_id) ORDER BY b.doc_id
 """
 
 
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap + quality selection (llmdata.dedup.cap_per_group):
+    keep the 40 longest docs per source (ties broken md5(doc_id), then
+    doc_id) — the heavy-tail bound of a pretraining mixture. One window
+    shuffled on source only; DuckDB QUALIFY twin."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    capped = dedup.cap_per_group(docs, "source", "doc_id", 40, score_col="n_chars")
+    return capped.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+CAP_PER_SOURCE_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY source
+  ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= 40
+ORDER BY doc_id
+"""
+
+
 def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing (llmdata.dedup.mixture_sample): per-source keep
     fractions — en 0.8 / fr 0.5 / de 0.25, everything else 0.1 — via the
@@ -1741,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions (past the 50-query driver window this round)
         "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
         "asof_next_order": _wrap(rel.asof_next_order),
+        "cap_docs_per_source": _wrap(cap_docs_per_source),
     }
 
 
@@ -1817,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
         # bloom prefilter + exact confirm == the exact path, same oracle
         "bloom_decontaminate_docs": NGRAM_DECONTAMINATE_SQL,
         "asof_next_order": rel.ASOF_FORWARD_SQL,
+        "cap_docs_per_source": CAP_PER_SOURCE_SQL,
         "boilerplate_docs": BOILERPLATE_SQL,
         "mixture_sample_docs": MIXTURE_SQL,
         "token_budget_select": TOKEN_BUDGET_SQL,

@@ -934,3 +934,46 @@ def mixture_sample(
     for s, r in sorted(rates.items()):
         rate = F.when(stratum == F.lit(s), F.lit(float(r))).otherwise(rate)
     return df.where(u < rate)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group — the per-domain/per-source CAP
+    step of a pretraining mixture ("no more than 100k docs from any one
+    domain"), complementing ``mixture_sample``'s rate-based thinning:
+    rates scale each stratum, caps bound the heavy tail of a zipfian
+    source distribution where no fixed rate fits both head and tail.
+
+    With ``score_col``, keeps the k BEST rows (score descending — cap +
+    quality selection in one pass); without, keeps a deterministic
+    uniform sample via md5(id) order, so survivors are stable under
+    reruns/retries and uncorrelated with id assignment order (a plain
+    "first k by id" would bias toward the oldest crawl records).
+
+    Shape: one ``row_number`` window partitioned by group — shuffle on
+    the group key only, per-group sort bounded by group size, never a
+    global sort. For zipfian domains the hot group lands on one task;
+    that is inherent to exact per-group ranking (an approximate
+    cap-by-rate for the head + exact tail is ``mixture_sample`` + this).
+    Ties (equal scores) break on md5(id) then id — fully deterministic,
+    engine-portable (DuckDB oracle: QUALIFY over the same ordering).
+    """
+    tag = F.md5(F.col(id_col).cast("string"))
+    order = (
+        [F.col(score_col).desc(), tag, F.col(id_col)]
+        if score_col
+        else [tag, F.col(id_col)]
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -687,6 +687,30 @@ def test_ngram_decontaminate(spark):
     assert kept2 == {1, 2, 3}
 
 
+def test_cap_per_group(spark):
+    rows = [(i, "a" if i < 70 else "b", float(i % 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    # scored: exactly k best per group, score-descending
+    top = dedup.cap_per_group(df, "src", "doc_id", 5, score_col="score").collect()
+    by_src = {}
+    for r in top:
+        by_src.setdefault(r["src"], []).append(r["score"])
+    assert {s: len(v) for s, v in by_src.items()} == {"a": 5, "b": 5}
+    assert all(v == 9.0 for v in by_src["a"])  # 7 nines in group a, top 5 all 9s
+    # unscored: deterministic uniform sample — same survivors on rerun
+    s1 = {r["doc_id"] for r in dedup.cap_per_group(df, "src", "doc_id", 7).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in dedup.cap_per_group(df.repartition(13), "src", "doc_id", 7).collect()
+    }
+    assert s1 == s2 and len(s1) == 14
+    # a group smaller than k survives whole
+    assert {
+        r["doc_id"] for r in dedup.cap_per_group(df, "src", "doc_id", 50).collect()
+        if r["src"] == "b"
+    } == set(range(70, 100))
+
+
 def test_bloom_decontaminate_matches_exact(spark):
     """Bloom prefilter + exact confirm must equal the exact path bit-for-bit
     (no false negatives by construction; false positives die in confirm).
