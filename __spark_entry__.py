@@ -1608,6 +1608,49 @@ FROM e ORDER BY vec_id
 """
 
 
+def overlapping_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators.joins.interval_overlap_join):
+    10-minute windows opened by high-value error events overlapped
+    against 30-minute windows opened by purchase events — pairs meet on
+    a shared time-grid chunk and are kept only in the canonical chunk of
+    the intersection start (no dedup pass). Counts overlapping purchase
+    windows per error window."""
+    tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where((F.col("event_type") == "error") & (F.col("value") > 18)).select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e_end"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_end"),
+    )
+    joined = joins.interval_overlap_join(
+        errors, purchases, "e_start", "e_end", "p_start", "p_end", chunk_seconds=600
+    )
+    return (
+        joined.groupBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy("error_id")
+    )
+
+
+OVERLAP_WINDOWS_SQL = """
+WITH e AS (
+  SELECT event_id AS error_id, ts AS e_start, ts + INTERVAL 10 MINUTE AS e_end
+  FROM events WHERE event_type = 'error' AND value > 18
+), p AS (
+  SELECT event_id AS purchase_id, ts AS p_start, ts + INTERVAL 30 MINUTE AS p_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.error_id, COUNT(*) AS n_overlaps
+FROM e JOIN p ON GREATEST(e.e_start, p.p_start) < LEAST(e.e_end, p.p_end)
+GROUP BY e.error_id ORDER BY e.error_id
+"""
+
+
 def error_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (operators.joins.interval_join): click
     events matched into 5-minute windows opened by high-value error
@@ -1764,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
         "asof_next_order": _wrap(rel.asof_next_order),
         "cap_docs_per_source": _wrap(cap_docs_per_source),
+        "overlapping_incident_windows": _wrap(overlapping_incident_windows),
     }
 
 
@@ -1841,6 +1885,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate_docs": NGRAM_DECONTAMINATE_SQL,
         "asof_next_order": rel.ASOF_FORWARD_SQL,
         "cap_docs_per_source": CAP_PER_SOURCE_SQL,
+        "overlapping_incident_windows": OVERLAP_WINDOWS_SQL,
         "boilerplate_docs": BOILERPLATE_SQL,
         "mixture_sample_docs": MIXTURE_SQL,
         "token_budget_select": TOKEN_BUDGET_SQL,

@@ -151,6 +151,66 @@ def interval_join(
     return out.drop("__chunk")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    chunk_seconds: int = 300,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose half-open
+    intervals ``[start, end)`` intersect — the two-sided sibling of
+    ``interval_join`` (point-in-interval), same time-grid shape.
+
+    Both sides explode to every chunk their interval touches, meet in an
+    equi-join on the chunk id, and the exact predicate
+    ``greatest(starts) < least(ends)`` (intersection non-empty — also
+    correct for degenerate empty intervals, unlike the pairwise
+    ``a_s < b_e AND b_s < a_e`` form) filters false chunk-neighbors.
+    An overlapping pair shares EVERY chunk of its intersection, so pairs
+    are assigned to one canonical chunk — the chunk containing
+    ``greatest(left_start, right_start)``, i.e. the intersection's first
+    microsecond, which both sides' chunk ranges provably contain — and
+    kept only there: no duplicate pairs, no dedup pass, no distinct.
+
+    Shuffle volume ∝ rows × (interval length / chunk_seconds); pick
+    ``chunk_seconds`` near the typical interval length. Column names
+    must be disjoint across the two inputs (as with any self-describing
+    join output).
+    """
+    chunk_us = chunk_seconds * 1_000_000
+
+    def lo(c: str):
+        return F.expr(f"unix_micros(`{c}`) DIV {chunk_us}")
+
+    def hi(c: str):
+        # end is exclusive: the chunk of the last INCLUDED microsecond
+        return F.expr(f"(unix_micros(`{c}`) - 1) DIV {chunk_us}")
+
+    lhs = left.withColumn(
+        "__chunk",
+        F.explode(F.sequence(lo(left_start), F.greatest(hi(left_end), lo(left_start)))),
+    )
+    rhs = right.withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(lo(right_start), F.greatest(hi(right_end), lo(right_start)))
+        ),
+    )
+    inter_start = F.greatest(F.col(left_start), F.col(right_start))
+    overlap = inter_start < F.least(F.col(left_end), F.col(right_end))
+    canonical = F.expr(
+        f"unix_micros(greatest(`{left_start}`, `{right_start}`)) DIV {chunk_us}"
+    )
+    out = (
+        lhs.join(rhs, "__chunk")
+        .where(overlap & (F.col("__chunk") == canonical))
+    )
+    return out.drop("__chunk")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

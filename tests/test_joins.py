@@ -173,6 +173,45 @@ def test_interval_join_matches_naive(spark):
     assert got == naive and len(got) > 0
 
 
+def test_interval_overlap_join_matches_naive(spark):
+    import random
+
+    from simple_data_workflow_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, max_len):
+        out = []
+        for j in range(n):
+            s = base + dt.timedelta(seconds=rng.randint(0, 7000))
+            out.append((j, s, s + dt.timedelta(seconds=rng.randint(0, max_len))))
+        return out
+
+    a = mk(60, 900)   # includes zero-length (empty) intervals
+    b = mk(80, 400)
+    da = spark.createDataFrame(a, "aid long, a_start timestamp, a_end timestamp")
+    db = spark.createDataFrame(b, "bid long, b_start timestamp, b_end timestamp")
+    got = {
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(
+            da, db, "a_start", "a_end", "b_start", "b_end", chunk_seconds=300
+        ).collect()
+    }
+    naive = {
+        (i, j)
+        for i, s1, e1 in a
+        for j, s2, e2 in b
+        if max(s1, s2) < min(e1, e2)  # non-empty intersection, half-open
+    }
+    assert got == naive and len(got) > 0
+    # no duplicate pairs despite multi-chunk intersections
+    rows = interval_overlap_join(
+        da, db, "a_start", "a_end", "b_start", "b_end", chunk_seconds=60
+    ).count()
+    assert rows == len(naive)
+
+
 def test_interval_join_boundaries(spark):
     from simple_data_workflow_spark.operators.joins import interval_join
 
