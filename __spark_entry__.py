@@ -1321,7 +1321,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     media = attach_fake_media(docs)
-    return extract_features(media, fake_decode=True).orderBy("doc_id")
+    feats = extract_features(media, fake_decode=True)
+    # The typed array<float> API lives in extract_features; the registered
+    # query serializes it because the driver's canonicalizer (pandas
+    # sort_values over all columns) cannot hash numpy arrays.
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_csv"),
+    ).orderBy("doc_id")
 
 
 def impute_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1710,10 +1721,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # Registration order is load-bearing: the driver's correctness
-        # harness checks the FIRST 50 entries. Rounds 2-4 validated the
-        # same 50, leaving the round-2/3 additions below never
-        # driver-checked — so they lead this round (rotation, VERDICT r4
-        # "Next round" #5); the three-round-green originals follow.
+        # harness checks the FIRST 50 entries. Round-6 rotation (VERDICT
+        # r5 "Next round" #1-#3): lead with (a) the multimodal fix, (b)
+        # the round-5 additions and round-6 registrations never driver-
+        # checked, (c) the 27 §2.2 relational queries and 9 LLM-data
+        # extensions that have only local-oracle evidence on post-drift
+        # testdata. Every query below position 50 has at least one
+        # driver-green round (r1-r5) on current testdata encoding.
+        "multimodal_features": _wrap(multimodal_features),
+        "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
+        "asof_next_order": _wrap(rel.asof_next_order),
+        "cap_docs_per_source": _wrap(cap_docs_per_source),
+        "overlapping_incident_windows": _wrap(overlapping_incident_windows),
+        # round-6 registrations (TPC-H shapes + batteries, formerly dead code)
+        "q6_forecast_revenue": _wrap(rel.q6_forecast_revenue),
+        "q4_priority_exists": _wrap(rel.q4_priority_exists),
+        "q10_returned_items": _wrap(rel.q10_returned_items),
+        "q14_promo_effect": _wrap(rel.q14_promo_effect),
+        "q19_disjunctive_revenue": _wrap(rel.q19_disjunctive_revenue),
+        "stats_moments_battery": _wrap(rel.stats_moments_battery),
+        "window_nav_battery": _wrap(rel.window_nav_battery),
+        # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
+        "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
+        "q3_top_orders": _wrap(rel.q3_top_orders),
+        "q5_region_revenue": _wrap(rel.q5_region_revenue),
+        "top3_orders_per_segment": _wrap(rel.top3_orders_per_segment),
+        "revenue_by_year": _wrap(rel.revenue_by_year),
+        "rollup_flag_status": _wrap(rel.rollup_flag_status),
+        "segment_without_recent_orders": _wrap(rel.segment_without_recent_orders),
+        "nations_with_both": _wrap(rel.nations_with_both),
+        "events_json_kpi": _wrap(rel.events_json_kpi),
+        "sessionize_events": _wrap(rel.sessionize_events),
+        "windowed_event_counts": _wrap(rel.windowed_event_counts),
+        "asof_last_signup": _wrap(rel.asof_last_signup),
+        "cube_year_flag": _wrap(rel.cube_year_flag),
+        "pivot_segment_by_year": _wrap(rel.pivot_segment_by_year),
+        "distinct_parts_per_flag": _wrap(rel.distinct_parts_per_flag),
+        "quantiles_by_segment": _wrap(rel.quantiles_by_segment),
+        "large_parts_except_cheap": _wrap(rel.large_parts_except_cheap),
+        "asof_purchase_order": _wrap(rel.asof_purchase_order),
+        "sql_grouping_sets": _wrap(rel.sql_grouping_sets),
+        "customers_above_segment_avg": _wrap(rel.customers_above_segment_avg),
+        "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
+        "approx_sketches": _wrap(rel.approx_sketches),
+        "sliding_window_counts": _wrap(rel.sliding_window_counts),
+        "running_customer_revenue": _wrap(rel.running_customer_revenue),
+        "events_props_map": _wrap(rel.events_props_map),
+        "order_count_distribution": _wrap(rel.order_count_distribution),
+        "big_orders": _wrap(rel.big_orders),
+        # LLM-data extensions — local-green only
+        "impute_cc_events": _wrap(impute_cc_events),
+        "impute_fii_events": _wrap(impute_fii_events),
+        "impute_gm_events": _wrap(impute_gm_events),
+        "tfidf_top_term": _wrap(tfidf_top_term),
+        "bigram_doc_freq": _wrap(bigram_doc_freq),
+        "dedup_exact_docs": _wrap(dedup_exact_docs),
+        "decontaminate_docs": _wrap(decontaminate_docs),
+        "stratified_sample_docs": _wrap(stratified_sample_docs),
+        "embedding_stats": _wrap(embedding_stats),
+        # --- position 48; slots 49-50 reserved for round-6 additions ---
+        # driver-green in r1-r5 on current testdata (rotated out of window)
         "corpus_curation": _wrap(corpus_curation),
         "order_rank_metrics": _wrap(rel.order_rank_metrics),
         "string_fn_battery": _wrap(rel.string_fn_battery),
@@ -1743,14 +1810,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _wrap(cosine_topk),
         "cosine_near_dups": _wrap(cosine_near_dups),
         "ivf_topk_embeddings": _wrap(ivf_topk_embeddings),
-        "multimodal_features": _wrap(multimodal_features),
         "stats_corr_battery": _wrap(rel.stats_corr_battery),
         "trailing_30d_revenue": _wrap(rel.trailing_30d_revenue),
         "pack_documents": _wrap(pack_documents),
         "train_holdout_split": _wrap(train_holdout_split),
         "quantize_embeddings": _wrap(quantize_embeddings_q),
         "error_window_clicks": _wrap(error_window_clicks),
-        # reference-operator surface (SURVEY.md §2.1)
+        # reference-operator surface (SURVEY.md §2.1) — driver-green r5
         "flagship_std_revenue": _wrap(flagship_std_revenue),
         "gelman_standardize_lineitem": _wrap(gelman_standardize_lineitem),
         "transform_math": _wrap(transform_math),
@@ -1765,49 +1831,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_multivariate_ci": _wrap(ols_multivariate_ci),
         "mice_impute_lineitem": _wrap(mice_impute_lineitem),
         "merge_upsert_customers": _wrap(merge_upsert_customers),
-        # relational/OLAP coverage (SURVEY.md §2.2)
-        "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
-        "q3_top_orders": _wrap(rel.q3_top_orders),
-        "q5_region_revenue": _wrap(rel.q5_region_revenue),
-        "top3_orders_per_segment": _wrap(rel.top3_orders_per_segment),
-        "revenue_by_year": _wrap(rel.revenue_by_year),
-        "rollup_flag_status": _wrap(rel.rollup_flag_status),
-        "segment_without_recent_orders": _wrap(rel.segment_without_recent_orders),
-        "nations_with_both": _wrap(rel.nations_with_both),
-        "events_json_kpi": _wrap(rel.events_json_kpi),
-        "sessionize_events": _wrap(rel.sessionize_events),
-        "windowed_event_counts": _wrap(rel.windowed_event_counts),
-        "asof_last_signup": _wrap(rel.asof_last_signup),
-        "cube_year_flag": _wrap(rel.cube_year_flag),
-        "pivot_segment_by_year": _wrap(rel.pivot_segment_by_year),
-        "distinct_parts_per_flag": _wrap(rel.distinct_parts_per_flag),
-        "quantiles_by_segment": _wrap(rel.quantiles_by_segment),
-        "large_parts_except_cheap": _wrap(rel.large_parts_except_cheap),
-        "asof_purchase_order": _wrap(rel.asof_purchase_order),
-        "sql_grouping_sets": _wrap(rel.sql_grouping_sets),
-        "customers_above_segment_avg": _wrap(rel.customers_above_segment_avg),
-        "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
-        "approx_sketches": _wrap(rel.approx_sketches),
-        "sliding_window_counts": _wrap(rel.sliding_window_counts),
-        "running_customer_revenue": _wrap(rel.running_customer_revenue),
-        "events_props_map": _wrap(rel.events_props_map),
-        "order_count_distribution": _wrap(rel.order_count_distribution),
-        "big_orders": _wrap(rel.big_orders),
-        # LLM-data extensions (SURVEY.md §2.3)
-        "impute_cc_events": _wrap(impute_cc_events),
-        "impute_fii_events": _wrap(impute_fii_events),
-        "impute_gm_events": _wrap(impute_gm_events),
-        "tfidf_top_term": _wrap(tfidf_top_term),
-        "bigram_doc_freq": _wrap(bigram_doc_freq),
-        "dedup_exact_docs": _wrap(dedup_exact_docs),
-        "decontaminate_docs": _wrap(decontaminate_docs),
-        "stratified_sample_docs": _wrap(stratified_sample_docs),
-        "embedding_stats": _wrap(embedding_stats),
-        # round-5 additions (past the 50-query driver window this round)
-        "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
-        "asof_next_order": _wrap(rel.asof_next_order),
-        "cap_docs_per_source": _wrap(cap_docs_per_source),
-        "overlapping_incident_windows": _wrap(overlapping_incident_windows),
     }
 
 
@@ -1826,6 +1849,13 @@ def oracle_sql() -> dict[str, str]:
         "ols_simple": OLS_SIMPLE_SQL,
         "merge_upsert_customers": MERGE_UPSERT_SQL,
         # ols_multivariate_ci: matrix solve, not SQL-expressible → rows-only
+        "q6_forecast_revenue": rel.Q6_SQL,
+        "q4_priority_exists": rel.Q4_SQL,
+        "q10_returned_items": rel.Q10_SQL,
+        "q14_promo_effect": rel.Q14_SQL,
+        "q19_disjunctive_revenue": rel.Q19_SQL,
+        "stats_moments_battery": rel.STATS_MOMENTS_SQL,
+        "window_nav_battery": rel.WINDOW_NAV_SQL,
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "q5_region_revenue": rel.Q5_SQL,

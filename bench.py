@@ -209,6 +209,13 @@ def scrub_pii_bench(spark, sf_dir):
 
 QUERIES = {
     "q1_pricing_summary": rel.q1_pricing_summary,
+    "q6_forecast_revenue": rel.q6_forecast_revenue,
+    "q4_priority_exists": rel.q4_priority_exists,
+    "q10_returned_items": rel.q10_returned_items,
+    "q14_promo_effect": rel.q14_promo_effect,
+    "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+    "stats_moments_battery": rel.stats_moments_battery,
+    "window_nav_battery": rel.window_nav_battery,
     "q3_top_orders": rel.q3_top_orders,
     "q5_region_revenue": rel.q5_region_revenue,
     "top3_orders_per_segment": rel.top3_orders_per_segment,
@@ -285,12 +292,18 @@ def main() -> None:
         if best < float("inf"):
             timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    # host-load context: NOTES_r5 saw ±50% per-query swings with stable
+    # totals; the load averages turn "regression or noise?" into a lookup
+    la1, la5, la15 = os.getloadavg()
     out = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_number(SF_DIR),
+        "loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)],
+        "n_cpus": os.cpu_count(),
+        "wall_sec_incl_overhead": round(time.time() - t_all, 3),
     }
     if errors:
         out["errors"] = errors

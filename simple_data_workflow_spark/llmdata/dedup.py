@@ -734,12 +734,22 @@ def bloom_decontaminate(
        local distinct-per-doc only.
     3. Bloom survivors (grams per doc ≥ ``min_hits`` — false positives
        only ever ADD candidates, so the prefilter is conservative for
-       any min_hits) → exact ``ngram_decontaminate`` confirm on just
-       those docs.
+       any min_hits) → exact confirm on just those docs, via a SHUFFLE
+       semi-join of candidate grams against the benchmark gram
+       fingerprints. NOT a broadcast: in the regime where bloom earns
+       its keep, the benchmark gram set cannot be broadcast as strings,
+       and a confirm that rebroadcast it would fail exactly like the
+       exact path. The shuffle keys on the md5-16 fingerprint (the same
+       fingerprint space as ``ngram_decontaminate``, so results stay
+       bit-equal); volume is candidate grams (prefilter output) + one
+       pass of benchmark grams. When the benchmark side IS small (the
+       tested regime), AQE converts the declared shuffle join to a
+       broadcast at runtime — optimizer's choice, not a baked-in hint.
 
     At 100 TB: corpus-side cost is one codegen gram/hash projection and
-    a memory-speed bitmap probe per gram; shuffle volume is candidates
-    only (expected: true contaminations + fpp x corpus grams).
+    a memory-speed bitmap probe per gram; shuffle volume is candidate
+    grams (expected: true contaminations + fpp x corpus grams) plus one
+    scan-and-shuffle of the benchmark grams in the confirm.
     """
     import numpy as np
 
@@ -829,15 +839,32 @@ def bloom_decontaminate(
             .select(id_col)
         )
     # exact confirm over the candidate slice only (no false negatives to
-    # lose; false positives die here)
-    cand_docs = corpus.join(F.broadcast(candidates), id_col, "left_semi")
-    contaminated = cand_docs.join(
-        ngram_decontaminate(
-            cand_docs, benchmark, id_col=id_col, text_col=text_col, n=n, min_hits=min_hits
-        ),
-        id_col,
-        "left_anti",
-    ).select(id_col)
+    # lose; false positives die here). Same hit semantics and md5-16
+    # fingerprint space as ngram_decontaminate — but the gram match is a
+    # declared SHUFFLE semi-join with no broadcast hint on either side:
+    # this path exists precisely for benchmarks too large to broadcast,
+    # and AQE re-plans it as a broadcast at runtime whenever the
+    # benchmark side is in fact small. (No hint on the candidate
+    # doc-slice join either — at high fpp the candidate set is not
+    # guaranteed small.)
+    def fp16(col: Column) -> Column:
+        return F.substring(F.md5(col), 1, 16)
+
+    cand_docs = corpus.join(candidates, id_col, "left_semi")
+    cand_grams = cand_docs.select(
+        F.col(id_col), F.explode(gram_fps(F.col(text_col))).alias("__g")
+    ).select(F.col(id_col), fp16(F.col("__g")).alias("__fp"))
+    bench_fps = bench_grams.select(fp16(F.col("__g")).alias("__fp")).distinct()
+    confirmed = cand_grams.join(bench_fps, "__fp", "left_semi")
+    if min_hits <= 1:
+        contaminated = confirmed.select(id_col).distinct()
+    else:
+        contaminated = (
+            confirmed.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__hits"))
+            .where(F.col("__hits") >= min_hits)
+            .select(id_col)
+        )
     return corpus.join(contaminated, id_col, "left_anti")
 
 

@@ -18,6 +18,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _epoch_seconds(col: F.Column, dtype_name: str) -> F.Column:
+    """Temporal → epoch-seconds double for tolerance arithmetic.
+
+    DATE and TIMESTAMP_NTZ cannot cast to numeric directly — hop via
+    TIMESTAMP (session TZ pinned UTC in ``session.py``, so the epoch is
+    unambiguous). Plain TIMESTAMP and numeric ts columns cast straight
+    through."""
+    if dtype_name in ("date", "timestamp_ntz"):
+        col = col.cast("timestamp")
+    return col.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -90,15 +102,17 @@ def asof_join(
     )
     carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
     if tolerance_s is not None:
-        # NTZ cannot cast to numeric directly; hop via TIMESTAMP (session
-        # TZ pinned UTC, so the epoch is unambiguous). The unioned __ts is
-        # already coerced to TIMESTAMP by the union, but the struct field
-        # keeps the right side's original type.
-        mts = F.col("__match").getField(f"{right_ts}{suffix}")
-        if right.schema[right_ts].dataType.simpleString() == "timestamp_ntz":
-            mts = mts.cast("timestamp")
-        mts = mts.cast("double")
-        lts = F.col("__ts").cast("double")
+        # The unioned __ts takes the union's common type (which stays NTZ
+        # when both sides are NTZ, or DATE when both are DATE); the struct
+        # field keeps the right side's original type. Normalize BOTH
+        # through the shared DATE/NTZ→TIMESTAMP→double helper.
+        mts = _epoch_seconds(
+            F.col("__match").getField(f"{right_ts}{suffix}"),
+            right.schema[right_ts].dataType.simpleString(),
+        )
+        lts = _epoch_seconds(
+            F.col("__ts"), unioned.schema["__ts"].dataType.simpleString()
+        )
         delta = (lts - mts) if direction == "backward" else (mts - lts)
         carried = carried.withColumn(
             "__match", F.when(delta <= F.lit(float(tolerance_s)), F.col("__match"))

@@ -25,6 +25,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit existence probe via the Hadoop FileSystem API.
+
+    Existence is checked up front — NOT inferred from a read failure —
+    so that a transient FS error or schema-drift AnalysisException during
+    the merge propagates and fails the streaming query, instead of being
+    mistaken for "first batch" and silently overwriting touched
+    partitions with batch-only rows (which would drop existing keys and
+    void the idempotent-upsert guarantee)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def merge_upsert_partitions(
     spark: SparkSession,
     target_path: str,
@@ -45,7 +60,10 @@ def merge_upsert_partitions(
         return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch_df = batch_df.localCheckpoint(eager=True)  # sever from the streaming plan
-    try:
+    if _target_exists(spark, target_path):
+        # Any failure past this point (FS flake, schema drift breaking
+        # unionByName/join analysis) propagates and fails the query —
+        # never fall back to batch-only, which would drop existing keys.
         existing = spark.read.parquet(target_path).where(
             F.col(partition_col).isin(touched)
         )
@@ -55,7 +73,7 @@ def merge_upsert_partitions(
             "left_anti",
         )
         merged = keep.unionByName(batch_df)
-    except Exception:  # first batch: target doesn't exist yet
+    else:  # first batch: target doesn't exist yet
         merged = batch_df
     (
         merged.write.mode("overwrite")

@@ -119,6 +119,78 @@ def test_asof_tolerance(spark):
     assert rows[2]["rts_asof"] is None
 
 
+def test_asof_tolerance_date_right(spark):
+    """tolerance_s with a DATE-typed right ts: DATE cannot cast to double
+    directly — the shared epoch helper must hop via TIMESTAMP."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-02T00:00")),
+            (2, "u1", _ts("2024-01-10T00:00")),
+        ],
+        "id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", dt.date(2024, 1, 1), 1.0)],
+        "key string, rts date, val double",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts",
+        right_payload=["val"], tolerance_s=2 * 86400,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["val"] == 1.0  # 1 day stale — within 2-day bound
+    assert rows[2]["val"] is None  # 9 days stale — nulled
+
+
+def test_asof_tolerance_both_ntz(spark):
+    """tolerance_s with BOTH sides TIMESTAMP_NTZ: the unioned __ts stays
+    NTZ (no coercion partner), which cannot cast to double directly."""
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00")),
+            (2, "u1", _ts("2024-01-01T12:00")),
+        ],
+        "id long, key string, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T09:30"), 1.0)],
+        "key string, rts timestamp_ntz, val double",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts",
+        right_payload=["val"], tolerance_s=3600,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["val"] == 1.0
+    assert rows[2]["val"] is None
+
+
+def test_asof_tolerance_both_date(spark):
+    """tolerance_s with BOTH sides DATE: unioned __ts stays DATE."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", dt.date(2024, 1, 2)),
+            (2, "u1", dt.date(2024, 1, 10)),
+        ],
+        "id long, key string, d date",
+    )
+    right = spark.createDataFrame(
+        [("u1", dt.date(2024, 1, 1), 1.0)],
+        "key string, rd date, val double",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="d", right_ts="rd",
+        right_payload=["val"], tolerance_s=2 * 86400,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["val"] == 1.0
+    assert rows[2]["val"] is None
+
+
 def test_salted_join_equals_plain_join(spark):
     from simple_data_workflow_spark.operators.joins import salted_join
 
