@@ -1779,7 +1779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": _wrap(decontaminate_docs),
         "stratified_sample_docs": _wrap(stratified_sample_docs),
         "embedding_stats": _wrap(embedding_stats),
-        # --- position 48; slots 49-50 reserved for round-6 additions ---
+        # round-6 additions (funnel analytics + string aggregation)
+        "funnel_conversion": _wrap(rel.funnel_conversion),
+        "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
+        # --- position 50: driver window ends here ---
         # driver-green in r1-r5 on current testdata (rotated out of window)
         "corpus_curation": _wrap(corpus_curation),
         "order_rank_metrics": _wrap(rel.order_rank_metrics),
@@ -1856,6 +1859,8 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": rel.Q19_SQL,
         "stats_moments_battery": rel.STATS_MOMENTS_SQL,
         "window_nav_battery": rel.WINDOW_NAV_SQL,
+        "funnel_conversion": rel.FUNNEL_SQL,
+        "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "q5_region_revenue": rel.Q5_SQL,

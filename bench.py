@@ -216,6 +216,8 @@ QUERIES = {
     "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
     "stats_moments_battery": rel.stats_moments_battery,
     "window_nav_battery": rel.window_nav_battery,
+    "funnel_conversion": rel.funnel_conversion,
+    "listagg_priorities_by_segment": rel.listagg_priorities_by_segment,
     "q3_top_orders": rel.q3_top_orders,
     "q5_region_revenue": rel.q5_region_revenue,
     "top3_orders_per_segment": rel.top3_orders_per_segment,

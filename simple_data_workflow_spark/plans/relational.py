@@ -1544,6 +1544,133 @@ WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user, the
+    first *view*, the first *click* at-or-after that view, and the first
+    *purchase* at-or-after that click; one row per stage with the user
+    count and median stage latency.
+
+    Ordering matters (a click BEFORE the first view must not count), so
+    each stage is min(ts) constrained by the previous stage's timestamp
+    — three per-user hash aggregates chained by user-keyed joins, every
+    shuffle on user_id. No window over the raw stream and no global
+    sort: at 100 TB the event table is scanned once per stage with the
+    event-type filter pushed to the scan, and the joined per-user stage
+    frames are |users|-sized, not |events|-sized. Median latency uses
+    the portable exact percentile over epoch-second deltas."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(evtype: str) -> DataFrame:
+        return ev.where(F.col("event_type") == evtype).select(
+            "user_id", F.col("ts").alias("__ts")
+        )
+
+    views = stage("view").groupBy("user_id").agg(F.min("__ts").alias("v_ts"))
+    clicks = (
+        stage("click")
+        .join(views, "user_id")
+        .where(F.col("__ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("__ts").alias("c_ts"), F.first("v_ts").alias("v_ts"))
+    )
+    purchases = (
+        stage("purchase")
+        .join(clicks, "user_id")
+        .where(F.col("__ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("__ts").alias("p_ts"), F.first("c_ts").alias("c_ts"))
+    )
+    clicks = clicks.withColumn(
+        "c_lat", F.col("c_ts").cast("double") - F.col("v_ts").cast("double")
+    )
+    purchases = purchases.withColumn(
+        "p_lat", F.col("p_ts").cast("double") - F.col("c_ts").cast("double")
+    )
+    stages = [
+        views.agg(
+            F.lit(1).alias("stage_no"),
+            F.lit("view").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.lit(0.0).alias("median_latency_s"),
+        ),
+        clicks.agg(
+            F.lit(2).alias("stage_no"),
+            F.lit("click_after_view").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.expr("percentile(c_lat, 0.5)"), 3).alias("median_latency_s"),
+        ),
+        purchases.agg(
+            F.lit(3).alias("stage_no"),
+            F.lit("purchase_after_click").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.expr("percentile(p_lat, 0.5)"), 3).alias("median_latency_s"),
+        ),
+    ]
+    return stages[0].unionByName(stages[1]).unionByName(stages[2]).orderBy("stage_no")
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts, ANY_VALUE(v.v_ts) AS v_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts, ANY_VALUE(c.c_ts) AS c_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage_no, 'view' AS stage, COUNT(*) AS n_users, 0.0 AS median_latency_s FROM v
+UNION ALL
+SELECT 2, 'click_after_view', COUNT(*),
+       ROUND(MEDIAN(epoch(c_ts) - epoch(v_ts)), 3) FROM c
+UNION ALL
+SELECT 3, 'purchase_after_click', COUNT(*),
+       ROUND(MEDIAN(epoch(p_ts) - epoch(c_ts)), 3) FROM p
+ORDER BY stage_no
+"""
+
+
+def listagg_priorities_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """String aggregation (LISTAGG / string_agg): per market segment, the
+    alphabetically-ordered CSV of distinct order priorities its customers
+    used, plus the order count.
+
+    collect_set → array_sort → array_join makes the concatenation
+    order-deterministic (a bare collect_list is partition-order-dependent
+    and would never reproduce across engines or runs). The set is bounded
+    by the priority domain (5 values), so the aggregate state stays tiny
+    regardless of SF."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities_csv"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LISTAGG_SQL = """
+SELECT c_mktsegment,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities_csv,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: order-priority distribution for a quarter's
     orders that contain at least one heavy lineitem — a correlated

@@ -1,0 +1,165 @@
+"""Real media decode: WAV + PPM (dependency-free), PIL/soundfile-gated
+formats, and the Spark-side mapInPandas path with real decoding.
+
+The Pillow/soundfile tests auto-activate when those libraries exist in
+the environment (VERDICT r5 "Next round" #8) and skip cleanly here.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from simple_data_workflow_spark.llmdata.multimodal import (
+    MEDIA_META,
+    N_FEATURES,
+    decode_media,
+    extract_features,
+)
+
+try:
+    from PIL import Image as PIL_Image
+except ImportError:
+    PIL_Image = None
+try:
+    import soundfile
+except ImportError:
+    soundfile = None
+
+
+def make_wav(freq_hz: float = 440.0, rate: int = 8000, seconds: float = 0.5) -> bytes:
+    t = np.arange(int(rate * seconds)) / rate
+    samples = (np.sin(2 * np.pi * freq_hz * t) * 20000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def make_ppm(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    px = np.full((h, w, 3), rgb, dtype=np.uint8)
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def test_wav_decode_sine_dominant_freq():
+    feats = decode_media(make_wav(freq_hz=440.0), "audio/wav")
+    assert len(feats) == N_FEATURES
+    duration, rms, zcr, centroid, dominant, rolloff = feats[:6]
+    assert duration == pytest.approx(0.5, rel=1e-3)
+    # full-scale sine: rms = 1/sqrt(2) after peak normalization
+    assert rms == pytest.approx(1 / np.sqrt(2), rel=0.01)
+    assert dominant == pytest.approx(440.0, abs=4.0)
+    assert centroid == pytest.approx(440.0, rel=0.05)
+    assert rolloff >= dominant
+
+
+def test_wav_decode_8bit_and_stereo():
+    # 8-bit unsigned mono
+    t = np.arange(4000) / 8000.0
+    s8 = (np.sin(2 * np.pi * 100 * t) * 100 + 128).astype(np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(s8.tobytes())
+    feats = decode_media(buf.getvalue(), "audio/x-wav")
+    assert feats[4] == pytest.approx(100.0, abs=4.0)
+    # 16-bit stereo: channels average before analysis
+    s16 = (np.sin(2 * np.pi * 200 * t) * 20000).astype(np.int16)
+    stereo = np.column_stack([s16, s16]).ravel()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(stereo.tobytes())
+    feats = decode_media(buf.getvalue(), "audio/wav")
+    assert feats[4] == pytest.approx(200.0, abs=4.0)
+
+
+def test_ppm_decode_solid_color():
+    feats = decode_media(make_ppm(12, 8, (255, 0, 0)), "image/ppm")
+    w, h, r, g, b, luma_std, grad = feats[:7]
+    assert (w, h) == (12.0, 8.0)
+    assert r == pytest.approx(1.0)
+    assert g == 0.0 and b == 0.0
+    assert luma_std == pytest.approx(0.0, abs=1e-9)  # flat image
+    assert grad == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ppm_decode_gradient_has_edge_energy():
+    px = np.zeros((4, 16, 3), dtype=np.uint8)
+    px[:, 8:, :] = 255  # hard vertical edge
+    blob = b"P6\n16 4\n255\n" + px.tobytes()
+    feats = decode_media(blob, "image/x-portable-pixmap")
+    assert feats[5] > 0.1  # luma std
+    assert feats[6] > 0.0  # gradient energy
+
+
+def test_unknown_and_gated_mimes_raise():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "application/octet-stream")
+    if PIL_Image is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_media(b"\x89PNG\r\n", "image/png")
+    if soundfile is None:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_media(b"fLaC", "audio/flac")
+
+
+@pytest.mark.skipif(PIL_Image is None, reason="Pillow not installed")
+def test_png_decode_via_pillow():
+    img = PIL_Image.new("RGB", (10, 6), (0, 255, 0))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    feats = decode_media(buf.getvalue(), "image/png")
+    assert feats[:2] == [10.0, 6.0]
+    assert feats[3] == pytest.approx(1.0)  # green channel
+
+
+@pytest.mark.skipif(soundfile is None, reason="soundfile not installed")
+def test_flac_decode_via_soundfile():
+    t = np.arange(8000) / 8000.0
+    data = np.sin(2 * np.pi * 440 * t)
+    buf = io.BytesIO()
+    soundfile.write(buf, data, 8000, format="FLAC")
+    feats = decode_media(buf.getvalue(), "audio/flac")
+    assert feats[4] == pytest.approx(440.0, abs=4.0)
+
+
+def test_extract_features_real_decode_spark(spark):
+    """The mapInPandas path with REAL decode: wav + ppm blobs round-trip
+    through BinaryType and come back with correct physics."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("media_meta", MEDIA_META),
+        ]
+    )
+    rows = [
+        (1, bytearray(make_wav(freq_hz=440.0)), ("audio/wav", None, None, 500)),
+        (2, bytearray(make_ppm(12, 8, (255, 0, 0))), ("image/ppm", 12, 8, None)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {r["doc_id"]: r for r in extract_features(df, fake_decode=False).collect()}
+    assert out[1]["features"][4] == pytest.approx(440.0, abs=4.0)
+    assert out[2]["features"][0] == 12.0
+    assert out[2]["features"][2] == pytest.approx(1.0)
