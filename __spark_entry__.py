@@ -1309,6 +1309,53 @@ ORDER BY id_a, id_b
 """
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding-cosine near-dup
+    pairs (≥ 0.38) → connected components (min-label pointer jumping) →
+    keep ONE vector per semantic cluster (the min-id member) plus every
+    unpaired vector. The embedding-space sibling of
+    ``dedup_near_dup_docs``: same cluster/keep machinery
+    (llmdata.dedup.cluster_pairs / dedup_by_cluster), different pair
+    emitter (similarity.cosine_near_dup_pairs — all-pairs at oracle
+    scale, LSH-bucketed above the guard, so at 100 TB the pair volume is
+    collision-bounded). Oracle: brute-force pair SQL + the recursive-CTE
+    min-reachable-id labels."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(emb, threshold=0.38, prenormalize=False)
+    return (
+        dedup.dedup_by_cluster(emb, pairs, id_col="vec_id")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.38
+), ed AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+), reach(id, r) AS (
+  SELECT src, src FROM ed
+  UNION
+  SELECT e2.src, rr.r FROM ed e2 JOIN reach rr ON rr.id = e2.dst
+), doomed AS (
+  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+  WHERE id != cluster_id
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM doomed)
+ORDER BY vec_id
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: synthesize binary+metadata from text,
     extract features via Arrow-batched mapInPandas (deterministic fake
@@ -1783,6 +1830,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _wrap(rel.funnel_conversion),
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
         # --- position 50: driver window ends here ---
+        # round-6 TPC-H completions (local-oracle evidence this round;
+        # rotate into the window next round)
+        "q7_volume_shipping": _wrap(rel.q7_volume_shipping),
+        "q8_market_share": _wrap(rel.q8_market_share),
+        "q9_product_profit": _wrap(rel.q9_product_profit),
+        "q11_important_parts": _wrap(rel.q11_important_parts),
+        "q12_shipdelay_priority": _wrap(rel.q12_shipdelay_priority),
+        "q15_top_supplier": _wrap(rel.q15_top_supplier),
+        "q16_supplier_variety": _wrap(rel.q16_supplier_variety),
+        "q17_small_quantity_revenue": _wrap(rel.q17_small_quantity_revenue),
+        "q22_dormant_customers": _wrap(rel.q22_dormant_customers),
+        "semantic_dedup_embeddings": _wrap(semantic_dedup_embeddings),
         # driver-green in r1-r5 on current testdata (rotated out of window)
         "corpus_curation": _wrap(corpus_curation),
         "order_rank_metrics": _wrap(rel.order_rank_metrics),
@@ -1898,6 +1957,16 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": STRATIFIED_SQL,
         "embedding_stats": EMBEDDING_STATS_SQL,
         "corpus_curation": CORPUS_CURATION_SQL,
+        "q7_volume_shipping": rel.Q7_SQL,
+        "q8_market_share": rel.Q8_SQL,
+        "q9_product_profit": rel.Q9_SQL,
+        "q11_important_parts": rel.Q11_SQL,
+        "q12_shipdelay_priority": rel.Q12_SQL,
+        "q15_top_supplier": rel.Q15_SQL,
+        "q16_supplier_variety": rel.Q16_SQL,
+        "q17_small_quantity_revenue": rel.Q17_SQL,
+        "q22_dormant_customers": rel.Q22_SQL,
+        "semantic_dedup_embeddings": SEMANTIC_DEDUP_SQL,
         "order_rank_metrics": rel.RANK_METRICS_SQL,
         "string_fn_battery": rel.STRING_BATTERY_SQL,
         "date_fn_battery": rel.DATE_BATTERY_SQL,

@@ -218,6 +218,15 @@ QUERIES = {
     "window_nav_battery": rel.window_nav_battery,
     "funnel_conversion": rel.funnel_conversion,
     "listagg_priorities_by_segment": rel.listagg_priorities_by_segment,
+    "q7_volume_shipping": rel.q7_volume_shipping,
+    "q8_market_share": rel.q8_market_share,
+    "q9_product_profit": rel.q9_product_profit,
+    "q11_important_parts": rel.q11_important_parts,
+    "q12_shipdelay_priority": rel.q12_shipdelay_priority,
+    "q15_top_supplier": rel.q15_top_supplier,
+    "q16_supplier_variety": rel.q16_supplier_variety,
+    "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
+    "q22_dormant_customers": rel.q22_dormant_customers,
     "q3_top_orders": rel.q3_top_orders,
     "q5_region_revenue": rel.q5_region_revenue,
     "top3_orders_per_segment": rel.top3_orders_per_segment,

@@ -148,12 +148,17 @@ def lsh_topk(
     pairs = q.join(c, ["bucket"]).where(F.col("query_id") != F.col("neighbor_id"))
     # candidate sets are small by design → fold-based cosine: a pandas_udf
     # here pays a Python-worker roundtrip per (tiny) post-join partition.
-    # distinct() collapses a candidate reached via several probed buckets.
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-    ).distinct()
+    )
+    if len(masks) > 1:
+        # multiprobe only: collapse a candidate reached via several probed
+        # buckets. With a single mask each (query, corpus row) pair meets
+        # in exactly one bucket, so the distinct would be a pure extra
+        # shuffle of the scored pairs — skipped.
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1834,3 +1834,512 @@ SELECT event_id, user_id, ROUND(v, 6) AS v,
 FROM base
 ORDER BY event_id
 """
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — lineitem enriched with its SUPPLIER nation on one side and its
+    ORDER'S CUSTOMER nation on the other, keeping only the two flow
+    directions between NATION_1 and NATION_2.
+
+    The same 25-row nation dim is broadcast twice under different roles
+    (supp_nation / cust_nation); supplier and customer are SF-scaled so
+    their joins carry no hint (AQE decides). The nation-pair disjunction
+    can only be evaluated after both enrichments, but Catalyst pushes
+    the derived single-side implication (supp_nation IN (N1, N2), and
+    likewise for cust) into each branch, so the orders⋈lineitem shuffle
+    carries pre-filtered rows. Group-by is 2 years × 2 directions — the
+    partial aggregate collapses map-side."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+    )
+    g = exact_grouped_agg(
+        j, ["supp_nation", "cust_nation", "l_year"], sums={"volume": rev}
+    )
+    return g.select(
+        "supp_nation",
+        "cust_nation",
+        "l_year",
+        F.round("volume", 6).alias("volume"),
+    ).orderBy("supp_nation", "cust_nation", "l_year")
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(CAST(SUM(CAST(ROUND(volume*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0, 6) AS volume
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1.0 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of ASIA-customer revenue for
+    STANDARD-type parts, per order year — a conditional-numerator /
+    total-denominator ratio computed in ONE grouped pass (the CASE-masked
+    sum rides the same aggregate as the total, so the 5-table join runs
+    once).
+
+    region (5 rows) and nation (25) broadcast; part's type filter prunes
+    before its join; the o_orderdate year bound reaches the orders scan.
+    The supplier-nation lookup feeds only the numerator mask, not a
+    second join tree — the decisive difference from a literal two-query
+    translation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    cn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+        )
+    )
+    sn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(region, F.col("cr_key") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+    )
+    g = exact_grouped_agg(
+        j,
+        ["o_year"],
+        sums={
+            "nation_rev": F.when(
+                F.col("supp_nation") == "NATION_2", rev
+            ).otherwise(F.lit(0.0)),
+            "total_rev": rev,
+        },
+    )
+    return g.select(
+        "o_year",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        F.round("total_rev", 6).alias("total_rev"),
+    ).orderBy("o_year")
+
+
+Q8_SQL = """
+WITH j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1.0 - l_discount) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+), g AS (
+  SELECT o_year,
+         CAST(SUM(CAST(ROUND(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0.0 END * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS nation_rev,
+         CAST(SUM(CAST(ROUND(rev*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_rev
+  FROM j GROUP BY o_year
+)
+SELECT o_year, ROUND(nation_rev / total_rev, 6) AS mkt_share,
+       ROUND(total_rev, 6) AS total_rev
+FROM g ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on *widget* parts by supplier nation and
+    order year. The reference schema has no partsupp, so supply cost is
+    the deterministic surrogate 0.6·p_retailprice·l_quantity — the plan
+    shape (substring part filter, 4-way fact enrichment, two-key
+    group-by) is what's under test, and the oracle computes the same
+    surrogate.
+
+    p_name LIKE '%widget%' prunes part before its join; profit is
+    accumulated as ONE exact scaled-integer sum of the per-row
+    difference (not sum-minus-sum, halving the aggregate state); nation
+    broadcasts, the fact joins shuffle and AQE picks build sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("profit"),
+        )
+    )
+    g = exact_grouped_agg(j, ["nation", "o_year"], sums={"sum_profit": F.col("profit")})
+    return g.select(
+        "nation", "o_year", F.round("sum_profit", 6).alias("sum_profit")
+    ).orderBy("nation", F.desc("o_year"))
+
+
+Q9_SQL = """
+SELECT nation, o_year,
+       ROUND(CAST(SUM(CAST(ROUND(profit*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0, 6) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity AS profit
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp-free adaptation): parts whose shipped
+    value from NATION_9 suppliers exceeds 0.1% of that nation's total
+    shipped value — a per-group aggregate HAVING-compared against a
+    scalar over the SAME aggregate.
+
+    The per-part aggregate is computed ONCE and reused for both sides:
+    the global total re-aggregates the tiny per-part frame (|parts| rows,
+    not |lineitem|) and comes back as a one-row broadcast-joined scalar
+    — the fact table is scanned once, where a literal correlated
+    translation would scan twice. Exact decimal partials make the
+    0.001·total threshold bit-identical across engines, so the boundary
+    part membership can't flap."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    )
+    shipped = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    per_part = exact_grouped_agg(
+        shipped, ["l_partkey"], sums={"value": F.col("l_extendedprice")}
+    )
+    total = per_part.agg(
+        F.sum(F.round(F.col("value") * F.lit(_SCALE)).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") * F.lit(_SCALE) > F.lit(0.001) * F.col("total_value"))
+        .select(F.col("l_partkey").alias("p_partkey"), F.round("value", 6).alias("value"))
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, ROUND(value, 6) AS value
+FROM per_part
+WHERE value * 1000000.0 > 0.001 * (SELECT CAST(SUM(CAST(ROUND(value*1000000.0) AS DECIMAL(38,0))) AS DOUBLE) FROM per_part)
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q12_shipdelay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode-free adaptation): order-priority mix by
+    shipping-delay tier for one ship year. The schema has no l_shipmode /
+    commit/receipt dates, so the classification column is the derived
+    delay datediff(l_shipdate, o_orderdate) bucketed into early / on-time
+    (≤90d) / late tiers — same plan shape: fact⋈fact join, derived CASE
+    dimension, two CASE-masked counts.
+
+    The ship-year filter prunes the lineitem scan before the orders
+    shuffle; the tier expression is pure codegen; counts are exact longs
+    so no decimal machinery is needed."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    tier = (
+        F.when(delay < 0, "early").when(delay <= 90, "on-time").otherwise("late")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(tier.alias("delay_tier"), urgent.alias("is_urgent"))
+        .groupBy("delay_tier")
+        .agg(
+            F.count(F.when(F.col("is_urgent"), 1)).alias("high_priority_items"),
+            F.count(F.when(~F.col("is_urgent"), 1)).alias("low_priority_items"),
+        )
+        .orderBy("delay_tier")
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 0 THEN 'early'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN 'on-time'
+            ELSE 'late' END AS delay_tier,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_priority_items,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_priority_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY delay_tier
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top revenue supplier(s) for one quarter —
+    a per-supplier aggregate equi-joined against its own global MAX
+    (ties all surface, exactly like the view-based original).
+
+    The revenue "view" is one exact grouped aggregate (|supplier| rows);
+    its max re-aggregates that tiny frame and broadcasts back as a
+    single-row join — no second fact scan, no global sort. Exact decimal
+    revenue makes the max comparison portable (a double-summed max could
+    disagree with the oracle on ties in the last bit)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_supp = exact_grouped_agg(li, ["l_suppkey"], sums={"total_revenue": rev})
+    top = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(total_revenue, 6) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp-free adaptation): how many distinct
+    suppliers have shipped each (brand, type, size) combination, for six
+    target sizes and excluding one brand — a COUNT(DISTINCT) over a
+    three-key group on the part⋈lineitem join.
+
+    Both part filters (size IN-list, brand exclusion) prune the part
+    scan before the join. The distinct-agg is Spark's two-phase expand:
+    partial distinct on (keys, l_suppkey) map-side, then exact count —
+    the group keys bound the output at |brands|·|types|·6 rows
+    regardless of fact size."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_size").isin(1, 5, 10, 15, 20, 25) & (F.col("p_brand") != "Brand#1")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 10, 15, 20, 25) AND p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if Brand#3 orders
+    below half the part's average quantity were not taken — a correlated
+    scalar subquery (per-part avg over the SAME fact) decorrelated into
+    aggregate + equi-join.
+
+    The per-part average aggregates only Brand#3 lineitems (the brand
+    filter pushes through the join into both branches), produces a
+    |parts|-sized frame, and joins back on partkey — two scans of the
+    pruned fact slice instead of the naive per-row rescan. l_quantity
+    values are integral doubles, so their sum is exact in IEEE double
+    and avg = exact_sum/count is bit-identical in both engines — the
+    qty < 0.5·avg boundary cannot flap."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    li = _t(spark, sf_dir, "lineitem")
+    branded = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = branded.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty")
+    ).select(F.col("l_partkey").alias("ap_key"), "avg_qty")
+    return (
+        branded.join(avg_qty, branded.l_partkey == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.round(dsum(F.col("l_extendedprice")) / F.lit(7.0), 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+), avg_qty AS (
+  SELECT l_partkey AS ap_key, SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
+  FROM branded GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 / 7.0, 6) AS avg_yearly,
+       COUNT(*) AS n_items
+FROM branded JOIN avg_qty ON l_partkey = ap_key
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone-prefix-free adaptation): per nation, the
+    count and balance of rich-but-dormant customers — above the global
+    average positive account balance, with NO order since 1999 — an
+    aggregate-scalar filter plus an anti-join against recent orders.
+
+    The average-balance scalar aggregates customer once and broadcasts
+    back (one row); the dormancy check is a left-anti hash join on
+    custkey against the date-pruned orders slice (the filter reaches the
+    orders scan, so the anti-join build side is the small recent subset,
+    not all orders). Customers with zero orders ever are dormant by
+    definition and survive the anti-join, exactly like Q22's empty-
+    subquery semantics. The balance sum is exact decimal."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        dormant.join(nation, dormant.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(dsum(F.col("c_acctbal")), 6).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 / COUNT(c_acctbal) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+), rich AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer, avg_bal
+  WHERE c_acctbal > avg_bal
+), dormant AS (
+  SELECT * FROM rich
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = rich.c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+)
+SELECT n_name, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(ROUND(c_acctbal*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0, 6) AS totacctbal
+FROM dormant JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
