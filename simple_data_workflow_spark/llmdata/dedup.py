@@ -732,24 +732,28 @@ def bloom_decontaminate(
        UDF re-derives the k positions in numpy and does the vectorized
        bitmap probe. The corpus never shuffles: explode + probe +
        local distinct-per-doc only.
-    3. Bloom survivors (grams per doc ≥ ``min_hits`` — false positives
-       only ever ADD candidates, so the prefilter is conservative for
-       any min_hits) → exact confirm on just those docs, via a SHUFFLE
-       semi-join of candidate grams against the benchmark gram
-       fingerprints. NOT a broadcast: in the regime where bloom earns
-       its keep, the benchmark gram set cannot be broadcast as strings,
-       and a confirm that rebroadcast it would fail exactly like the
-       exact path. The shuffle keys on the md5-16 fingerprint (the same
-       fingerprint space as ``ngram_decontaminate``, so results stay
-       bit-equal); volume is candidate grams (prefilter output) + one
-       pass of benchmark grams. When the benchmark side IS small (the
-       tested regime), AQE converts the declared shuffle join to a
-       broadcast at runtime — optimizer's choice, not a baked-in hint.
+    3. Bloom-surviving GRAMS (not docs) → exact confirm via a SHUFFLE
+       semi-join of their 64-bit fingerprints (xxhash64, carried
+       through the probe as one extra int64 — 8 B/gram in the Arrow
+       queue) against the benchmark gram fingerprints. Confirming only
+       the surviving grams is exact: Bloom has no false negatives, so
+       every truly-matching gram occurrence reaches the confirm and the
+       per-doc ``min_hits`` occurrence count equals
+       ``ngram_decontaminate``'s. The corpus is never re-scanned,
+       re-grammed, or shuffled — confirm volume is surviving grams
+       (true contaminations + fpp x corpus grams) + one pass of
+       benchmark grams. NOT a broadcast on either side: in the regime
+       where bloom earns its keep, the benchmark gram set cannot be
+       broadcast as strings; when it IS small (the tested regime), AQE
+       converts the declared shuffle join to a broadcast at runtime —
+       optimizer's choice, not a baked-in hint.
 
     At 100 TB: corpus-side cost is one codegen gram/hash projection and
-    a memory-speed bitmap probe per gram; shuffle volume is candidate
-    grams (expected: true contaminations + fpp x corpus grams) plus one
-    scan-and-shuffle of the benchmark grams in the confirm.
+    a memory-speed bitmap probe per gram; shuffle volume is the
+    surviving-gram fingerprints plus one scan-and-shuffle of the
+    benchmark grams in the confirm. Doc-match guarantee is the same
+    class as the exact path's md5-16 fingerprints: a false doc match
+    needs a 64-bit hash collision (~2^-64 per gram pair).
     """
     import numpy as np
 
@@ -826,36 +830,29 @@ def bloom_decontaminate(
     corpus_hashes = (
         ensure_parallelism(corpus)
         .select(F.col(id_col), F.explode(gram_fps(F.col(text_col))).alias("__g"))
-        .select(F.col(id_col), F.struct(*base_hash_cols(F.col("__g"))).alias("__h"))
-    )
-    bloom_hits = corpus_hashes.where(might_contain(F.col("__h")))
-    if min_hits <= 1:
-        candidates = bloom_hits.select(id_col).distinct()
-    else:
-        candidates = (
-            bloom_hits.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("__hits"))
-            .where(F.col("__hits") >= min_hits)
-            .select(id_col)
+        .select(
+            F.col(id_col),
+            F.struct(*base_hash_cols(F.col("__g"))).alias("__h"),
+            # 64-bit confirm fingerprint, seed disjoint from the bloom
+            # bases — carried through the Arrow node (8 B/gram) so the
+            # confirm never has to re-scan/re-gram the corpus
+            F.xxhash64(F.col("__g"), F.lit(3)).alias("__fp"),
         )
-    # exact confirm over the candidate slice only (no false negatives to
-    # lose; false positives die here). Same hit semantics and md5-16
-    # fingerprint space as ngram_decontaminate — but the gram match is a
-    # declared SHUFFLE semi-join with no broadcast hint on either side:
-    # this path exists precisely for benchmarks too large to broadcast,
-    # and AQE re-plans it as a broadcast at runtime whenever the
-    # benchmark side is in fact small. (No hint on the candidate
-    # doc-slice join either — at high fpp the candidate set is not
-    # guaranteed small.)
-    def fp16(col: Column) -> Column:
-        return F.substring(F.md5(col), 1, 16)
-
-    cand_docs = corpus.join(candidates, id_col, "left_semi")
-    cand_grams = cand_docs.select(
-        F.col(id_col), F.explode(gram_fps(F.col(text_col))).alias("__g")
-    ).select(F.col(id_col), fp16(F.col("__g")).alias("__fp"))
-    bench_fps = bench_grams.select(fp16(F.col("__g")).alias("__fp")).distinct()
-    confirmed = cand_grams.join(bench_fps, "__fp", "left_semi")
+    )
+    bloom_hits = corpus_hashes.where(might_contain(F.col("__h"))).select(
+        id_col, "__fp"
+    )
+    # exact confirm over the surviving gram occurrences only. Bloom has
+    # no false negatives, so every truly-matching occurrence is present
+    # and the min_hits count matches ngram_decontaminate's; false
+    # positives die in the semi-join. Declared SHUFFLE join, no
+    # broadcast hint on either side: this path exists precisely for
+    # benchmarks too large to broadcast, and AQE re-plans it as a
+    # broadcast at runtime whenever the benchmark side is in fact small.
+    bench_fps = bench_grams.select(
+        F.xxhash64(F.col("__g"), F.lit(3)).alias("__fp")
+    ).distinct()
+    confirmed = bloom_hits.join(bench_fps, "__fp", "left_semi")
     if min_hits <= 1:
         contaminated = confirmed.select(id_col).distinct()
     else:
