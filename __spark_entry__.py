@@ -1788,6 +1788,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _wrap(rel.q19_disjunctive_revenue),
         "stats_moments_battery": _wrap(rel.stats_moments_battery),
         "window_nav_battery": _wrap(rel.window_nav_battery),
+        # round-6 CDC/temporal/incremental-maintenance operators (new)
+        "scd2_customer_status": _wrap(rel.scd2_customer_status),
+        "temporal_status_of_clicks": _wrap(rel.temporal_status_of_clicks),
+        "incremental_agg_orders": _wrap(rel.incremental_agg_orders),
+        "ewma_customer_orders": _wrap(rel.ewma_customer_orders),
+        # round-6 TPC-H completions + semantic dedup (never driver-checked)
+        "q7_volume_shipping": _wrap(rel.q7_volume_shipping),
+        "q8_market_share": _wrap(rel.q8_market_share),
+        "q9_product_profit": _wrap(rel.q9_product_profit),
+        "q11_important_parts": _wrap(rel.q11_important_parts),
+        "q12_shipdelay_priority": _wrap(rel.q12_shipdelay_priority),
+        "q15_top_supplier": _wrap(rel.q15_top_supplier),
+        "q16_supplier_variety": _wrap(rel.q16_supplier_variety),
+        "q17_small_quantity_revenue": _wrap(rel.q17_small_quantity_revenue),
+        "q22_dormant_customers": _wrap(rel.q22_dormant_customers),
+        "semantic_dedup_embeddings": _wrap(semantic_dedup_embeddings),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -1813,6 +1829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_sketches": _wrap(rel.approx_sketches),
         "sliding_window_counts": _wrap(rel.sliding_window_counts),
         "running_customer_revenue": _wrap(rel.running_customer_revenue),
+        # --- position 50: driver window ends here --- (the 14 entries
+        # below slid out when the CDC + TPC-H blocks took their slots;
+        # all have local-oracle evidence and queue for the r7 rotation)
         "events_props_map": _wrap(rel.events_props_map),
         "order_count_distribution": _wrap(rel.order_count_distribution),
         "big_orders": _wrap(rel.big_orders),
@@ -1826,22 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": _wrap(decontaminate_docs),
         "stratified_sample_docs": _wrap(stratified_sample_docs),
         "embedding_stats": _wrap(embedding_stats),
-        # round-6 additions (funnel analytics + string aggregation)
         "funnel_conversion": _wrap(rel.funnel_conversion),
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
-        # --- position 50: driver window ends here ---
-        # round-6 TPC-H completions (local-oracle evidence this round;
-        # rotate into the window next round)
-        "q7_volume_shipping": _wrap(rel.q7_volume_shipping),
-        "q8_market_share": _wrap(rel.q8_market_share),
-        "q9_product_profit": _wrap(rel.q9_product_profit),
-        "q11_important_parts": _wrap(rel.q11_important_parts),
-        "q12_shipdelay_priority": _wrap(rel.q12_shipdelay_priority),
-        "q15_top_supplier": _wrap(rel.q15_top_supplier),
-        "q16_supplier_variety": _wrap(rel.q16_supplier_variety),
-        "q17_small_quantity_revenue": _wrap(rel.q17_small_quantity_revenue),
-        "q22_dormant_customers": _wrap(rel.q22_dormant_customers),
-        "semantic_dedup_embeddings": _wrap(semantic_dedup_embeddings),
         # driver-green in r1-r5 on current testdata (rotated out of window)
         "corpus_curation": _wrap(corpus_curation),
         "order_rank_metrics": _wrap(rel.order_rank_metrics),
@@ -1918,6 +1923,10 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": rel.Q19_SQL,
         "stats_moments_battery": rel.STATS_MOMENTS_SQL,
         "window_nav_battery": rel.WINDOW_NAV_SQL,
+        "scd2_customer_status": rel.SCD2_CUSTOMER_STATUS_SQL,
+        "temporal_status_of_clicks": rel.TEMPORAL_STATUS_SQL,
+        "incremental_agg_orders": rel.INCREMENTAL_AGG_SQL,
+        "ewma_customer_orders": rel.EWMA_SQL,
         "funnel_conversion": rel.FUNNEL_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,

@@ -218,6 +218,10 @@ QUERIES = {
     "window_nav_battery": rel.window_nav_battery,
     "funnel_conversion": rel.funnel_conversion,
     "listagg_priorities_by_segment": rel.listagg_priorities_by_segment,
+    "scd2_customer_status": rel.scd2_customer_status,
+    "temporal_status_of_clicks": rel.temporal_status_of_clicks,
+    "incremental_agg_orders": rel.incremental_agg_orders,
+    "ewma_customer_orders": rel.ewma_customer_orders,
     "q7_volume_shipping": rel.q7_volume_shipping,
     "q8_market_share": rel.q8_market_share,
     "q9_product_profit": rel.q9_product_profit,

@@ -2343,3 +2343,247 @@ FROM dormant JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC / temporal / incremental-maintenance queries (round 6)
+# ---------------------------------------------------------------------------
+
+
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 history of each customer's order status built from the
+    orders change log (``operators.cdc.scd2_build``): consecutive
+    versions chained with lead(), same-day collisions resolved by max
+    orderkey. One shuffle on the key, no join."""
+    from simple_data_workflow_spark.operators.cdc import scd2_build
+
+    o = _t(spark, sf_dir, "orders")
+    changes = o.select(
+        "o_custkey", "o_orderdate", "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+    )
+    dim = scd2_build(
+        changes, key="o_custkey", ts_col="o_orderdate", tie_break="o_orderkey"
+    )
+    return (
+        dim.where(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey",
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+            "is_current",
+            "status",
+        )
+        .orderBy("o_custkey", "valid_from")
+    )
+
+
+SCD2_CUSTOMER_STATUS_SQL = """
+WITH dedup AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus AS status,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), chained AS (
+  SELECT o_custkey, o_orderdate AS vf,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS vt,
+         status
+  FROM dedup WHERE rn = 1
+)
+SELECT o_custkey,
+       strftime(vf, '%Y-%m-%d') AS valid_from,
+       strftime(vt, '%Y-%m-%d') AS valid_to,
+       vt IS NULL AS is_current,
+       status
+FROM chained WHERE o_custkey < 300
+ORDER BY o_custkey, valid_from
+"""
+
+
+def temporal_status_of_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click event picks the user's status
+    (last signup/purchase) version valid AT the click's timestamp —
+    facts ⋈ SCD2 dim via ``operators.cdc.temporal_join`` (equi-join on
+    user with the interval predicate as a residual, no fanout since
+    versions are disjoint)."""
+    from simple_data_workflow_spark.operators.cdc import scd2_build, temporal_join
+
+    ev = _t(spark, sf_dir, "events")
+    status_log = ev.where(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("status")
+    )
+    dim = scd2_build(status_log, key="user_id", ts_col="ts", tie_break="event_id")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = temporal_join(clicks, dim, key="user_id", ts_col="ts")
+    return (
+        joined.where(F.col("user_id") % 5 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "status",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("status_since"),
+        )
+        .orderBy("event_id")
+    )
+
+
+TEMPORAL_STATUS_SQL = """
+WITH dedup AS (
+  SELECT user_id, ts, event_type AS status,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type IN ('signup', 'purchase')
+), dim AS (
+  SELECT user_id, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+         status
+  FROM dedup WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       d.status,
+       strftime(d.valid_from, '%Y-%m-%d %H:%M:%S') AS status_since
+FROM events e
+JOIN dim d ON d.user_id = e.user_id
+          AND e.ts >= d.valid_from
+          AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+WHERE e.event_type = 'click' AND e.user_id % 5 = 0
+ORDER BY e.event_id
+"""
+
+
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (``operators.cdc.incremental_agg_apply``): a per-(priority, year)
+    SUM/COUNT state built from a base slice of orders is refreshed with
+    a synthetic CDC batch (inserts/updates/deletes carved
+    deterministically from orderkey residues) WITHOUT re-aggregating
+    the base. The oracle recomputes the post-CDC table from scratch —
+    equality proves the incremental result matches a full recompute
+    exactly (scaled-integer DECIMAL sums on both sides)."""
+    from simple_data_workflow_spark.operators.cdc import incremental_agg_apply
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    grp = [
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ]
+    scaled = F.round(F.col("o_totalprice") * F.lit(_SCALE)).cast("decimal(38,0)")
+    # +100.0 is exact in double arithmetic, so the updated scaled value
+    # is exactly old + 100e6 — no cross-engine rounding hazard
+    scaled_new = F.round((F.col("o_totalprice") + F.lit(100.0)) * F.lit(_SCALE)).cast(
+        "decimal(38,0)"
+    )
+    base = o.where(k % 10 != 0)
+    state = (
+        base.select(*grp, scaled.alias("__v"))
+        .groupBy("priority", "o_year")
+        .agg(F.sum("__v").alias("sum_val"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    null_dec = F.lit(None).cast("decimal(38,0)")
+    ins = o.where(k % 10 == 0).select(
+        *grp, F.lit("I").alias("op"), null_dec.alias("old_val"),
+        scaled.alias("new_val"),
+    )
+    upd = o.where((k % 10 != 0) & (k % 7 == 0)).select(
+        *grp, F.lit("U").alias("op"), scaled.alias("old_val"),
+        scaled_new.alias("new_val"),
+    )
+    dele = o.where((k % 10 != 0) & (k % 7 != 0) & (k % 13 == 0)).select(
+        *grp, F.lit("D").alias("op"), scaled.alias("old_val"),
+        null_dec.alias("new_val"),
+    )
+    cdc = ins.unionByName(upd).unionByName(dele)
+    out = incremental_agg_apply(state, cdc, ["priority", "o_year"])
+    return out.select(
+        "priority",
+        "o_year",
+        F.round(F.col("sum_val").cast("double") / F.lit(_SCALE), 6).alias("sum_price"),
+        "n_rows",
+    ).orderBy("priority", "o_year")
+
+
+INCREMENTAL_AGG_SQL = """
+WITH post AS (
+  SELECT o_orderpriority AS priority,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0
+              THEN o_totalprice + 100.0 ELSE o_totalprice END AS price
+  FROM orders
+  WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 13 = 0)
+)
+SELECT priority, o_year,
+       ROUND(CAST(SUM(CAST(ROUND(price*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0, 6) AS sum_price,
+       COUNT(*) AS n_rows
+FROM post
+GROUP BY priority, o_year
+ORDER BY priority, o_year
+"""
+
+
+def ewma_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon EWMA (8 taps, alpha decay 0.5) of each customer's
+    order totals over their order history — a lag-stack window feature,
+    one shuffle on the customer key, all codegen. Exact cross-engine:
+    taps are integral scaled doubles times powers of two, so every
+    partial sum is exact in 53-bit floats and the single final division
+    is IEEE-identical in Spark and DuckDB."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    sp = F.round(F.col("o_totalprice") * F.lit(_SCALE))
+    num = sp * F.lit(1.0)
+    den = F.lit(1.0)
+    for i in range(1, 8):
+        lv = F.lag(sp, i).over(w)
+        wgt = F.lit(0.5 ** i)
+        num = num + F.when(lv.isNotNull(), lv * wgt).otherwise(F.lit(0.0))
+        den = den + F.when(lv.isNotNull(), wgt).otherwise(F.lit(0.0))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.round(num / den / F.lit(_SCALE), 6).alias("ewma_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+EWMA_SQL = """
+WITH f AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         ROUND(o_totalprice*1000000.0) AS sp
+  FROM orders WHERE o_custkey < 200
+), l AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, sp,
+         LAG(sp, 1) OVER w AS l1, LAG(sp, 2) OVER w AS l2,
+         LAG(sp, 3) OVER w AS l3, LAG(sp, 4) OVER w AS l4,
+         LAG(sp, 5) OVER w AS l5, LAG(sp, 6) OVER w AS l6,
+         LAG(sp, 7) OVER w AS l7
+  FROM f
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       ROUND((sp * 1.0
+              + (CASE WHEN l1 IS NOT NULL THEN l1 * 0.5 ELSE 0.0 END)
+              + (CASE WHEN l2 IS NOT NULL THEN l2 * 0.25 ELSE 0.0 END)
+              + (CASE WHEN l3 IS NOT NULL THEN l3 * 0.125 ELSE 0.0 END)
+              + (CASE WHEN l4 IS NOT NULL THEN l4 * 0.0625 ELSE 0.0 END)
+              + (CASE WHEN l5 IS NOT NULL THEN l5 * 0.03125 ELSE 0.0 END)
+              + (CASE WHEN l6 IS NOT NULL THEN l6 * 0.015625 ELSE 0.0 END)
+              + (CASE WHEN l7 IS NOT NULL THEN l7 * 0.0078125 ELSE 0.0 END))
+             / (1.0
+              + (CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END)
+              + (CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END)
+              + (CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END)
+              + (CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0.0 END)
+              + (CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END)
+              + (CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END))
+             / 1000000.0, 6) AS ewma_price
+FROM l ORDER BY o_orderkey
+"""

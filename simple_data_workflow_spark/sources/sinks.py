@@ -99,6 +99,77 @@ def write_sorted_parquet(
     parted.sortWithinPartitions(*order_cols).write.mode(mode).parquet(path)
 
 
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    bits: int = 16,
+) -> None:
+    """Z-order (Morton-curve) clustered parquet layout: multi-column
+    data skipping where :func:`write_sorted_parquet` only serves its
+    leading key.
+
+    Each of ``cols`` (2-4 numeric/temporal columns) is normalized to a
+    ``bits``-bit integer rank over its [min, max] range (one bounded
+    1-row aggregate collect), and the ranks are bit-interleaved into a
+    single Morton code — entirely codegen expressions (shift/and/or
+    chain), no UDF. Range-partitioning + in-file sorting on that code
+    gives every output file a compact hyper-rectangle in the combined
+    key space, so parquet min/max stats stay tight on EVERY clustered
+    column and a point/range predicate on any one of them prunes most
+    files — the engine-level equivalent of Delta/Iceberg ``OPTIMIZE
+    ZORDER BY``, built from ``repartitionByRange``.
+
+    At 100 TB: one range shuffle on the 8-byte code (same cost class as
+    a single-column cluster), no global sort, no driver data path. The
+    min/max aggregate is one scan-speed job; reuse cached bounds via a
+    stats table if rewriting many partitions. NULLs rank as 0 (they
+    cluster with the range minimum — parquet null-counts still serve
+    IS NULL pruning). Linear normalization assumes value ranges without
+    extreme single-point outliers; an outlier compresses everyone
+    else's ranks (the classic Z-order caveat — prefilter or cap if so).
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("z-ordering needs 2-4 columns")
+    n = len(cols)
+    top = (1 << bits) - 1
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        span = (mx - mn) or 1.0
+        rank = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+                    / F.lit(span)
+                    * F.lit(float(top))
+                ),
+            ),
+        ).cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    tagged = df.withColumn("__z", z)
+    parted = (
+        tagged.repartitionByRange(num_files, "__z")
+        if num_files
+        else tagged.repartitionByRange("__z")
+    )
+    parted.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
 def write_orc(
     df: DataFrame,
     path: str,

@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from simple_data_workflow_spark.operators.cdc import merge_upsert, scd2_apply
 
 
@@ -44,3 +46,87 @@ def test_scd2_apply(spark):
     assert (3, "SF", True, None) in rows
     assert (3, "SF-old", False, t0) in rows
     assert len(rows) == 5
+
+
+def test_scd2_build_chains_versions(spark):
+    t = lambda m: dt.datetime(2024, m, 1)  # noqa: E731
+    log = spark.createDataFrame(
+        [
+            (1, t(1), 10, "bronze"),
+            (1, t(3), 11, "silver"),
+            (1, t(3), 12, "gold"),  # same-instant: larger tie-break wins
+            (2, t(2), 20, "bronze"),
+        ],
+        "id long, ts timestamp, seq long, tier string",
+    )
+    from simple_data_workflow_spark.operators.cdc import scd2_build
+
+    out = {
+        (r["id"], r["valid_from"]): (r["valid_to"], r["is_current"], r["tier"])
+        for r in scd2_build(log, "id", "ts", tie_break="seq").collect()
+    }
+    assert out == {
+        (1, t(1)): (t(3), False, "bronze"),
+        (1, t(3)): (None, True, "gold"),
+        (2, t(2)): (None, True, "bronze"),
+    }
+
+
+def test_temporal_join_picks_version_at_ts(spark):
+    t = lambda m: dt.datetime(2024, m, 1)  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            (1, t(1), t(3), False, "bronze"),
+            (1, t(3), None, True, "gold"),
+        ],
+        "id long, valid_from timestamp, valid_to timestamp, is_current boolean, tier string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t(2)),             # inside the closed interval
+            (101, 1, t(3)),             # boundary: start inclusive
+            (102, 1, t(5)),             # open row
+            (103, 1, dt.datetime(2023, 12, 1)),  # before history
+            (104, 9, t(2)),             # unknown key
+        ],
+        "fact_id long, id long, ts timestamp",
+    )
+    from simple_data_workflow_spark.operators.cdc import temporal_join
+
+    inner = {
+        r["fact_id"]: r["tier"]
+        for r in temporal_join(facts, dim, "id", "ts").collect()
+    }
+    assert inner == {100: "bronze", 101: "gold", 102: "gold"}
+    left = temporal_join(facts, dim, "id", "ts", how="left").collect()
+    assert len(left) == 5  # unmatched facts survive with NULL dim cols
+    assert {r["fact_id"] for r in left if r["tier"] is None} == {103, 104}
+
+
+def test_incremental_agg_matches_recompute(spark):
+    from simple_data_workflow_spark.operators.cdc import incremental_agg_apply
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("c", 7)], "g string, v long"
+    )
+    state = base.groupBy("g").agg(
+        F.sum("v").alias("sum_val"), F.count(F.lit(1)).alias("n_rows")
+    )
+    # I into new group d; U of a 20→25; D of c 7 (group c disappears);
+    # move b 5 from b to a = D(b) + I(a)
+    cdc = spark.createDataFrame(
+        [
+            ("d", "I", None, 3),
+            ("a", "U", 20, 25),
+            ("c", "D", 7, None),
+            ("b", "D", 5, None),
+            ("a", "I", None, 5),
+        ],
+        "g string, op string, old_val long, new_val long",
+    )
+    out = {
+        r["g"]: (r["sum_val"], r["n_rows"])
+        for r in incremental_agg_apply(state, cdc, ["g"]).collect()
+    }
+    # recompute: a = 10+25+5 (n=3), d = 3 (n=1); b and c gone
+    assert out == {"a": (40, 3), "d": (3, 1)}

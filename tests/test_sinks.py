@@ -180,3 +180,68 @@ def test_json_lines_roundtrip(spark, tmp_path):
     write_json(df, p)
     back = read_json_lines(spark, p, schema="id long, s string")
     assert {(r["id"], r["s"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_zorder_parquet_skips_on_both_columns(spark, tmp_path):
+    """Z-order clustering must keep parquet min/max stats tight on BOTH
+    clustered columns — a range predicate on either one alone should
+    prune most files, which single-column range clustering cannot do
+    for the trailing column."""
+    import pyarrow.parquet as pq
+
+    from simple_data_workflow_spark.sources.sinks import write_zorder_parquet
+
+    # two independent uniform dimensions (decorrelated via hashing)
+    df = spark.range(0, 40_000).selectExpr(
+        "cast(id % 200 as double) as x",
+        "cast(hash(id) % 200 + 200 as double) as y",
+    )
+    out = str(tmp_path / "z")
+    write_zorder_parquet(df, out, ["x", "y"], num_files=16)
+
+    def file_bounds(path):
+        bounds = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            per_col = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    lo, hi = per_col.get(name, (st.min, st.max))
+                    per_col[name] = (min(lo, st.min), max(hi, st.max))
+            bounds.append(per_col)
+        return bounds
+
+    bounds = file_bounds(out)
+    assert len(bounds) >= 8, "expected many z-partitioned files"
+    # global domain from the observed file stats
+    domain = {
+        c: (min(b[c][0] for b in bounds), max(b[c][1] for b in bounds))
+        for c in ("x", "y")
+    }
+    spans = {c: (hi - lo) or 1.0 for c, (lo, hi) in domain.items()}
+    # each file's bounding box should cover a small fraction of the 2-D domain
+    areas = [
+        ((b["x"][1] - b["x"][0]) / spans["x"])
+        * ((b["y"][1] - b["y"][0]) / spans["y"])
+        for b in bounds
+    ]
+    mean_area = sum(areas) / len(areas)
+    assert mean_area < 0.5, f"z-order bboxes too loose: mean area {mean_area:.2f}"
+    # pruning works on EITHER dimension: a 10%-wide range predicate on
+    # each column must skip at least half the files
+    for col, (lo_all, hi_all) in domain.items():
+        width = (hi_all - lo_all) * 0.1
+        q_lo, q_hi = lo_all + width, lo_all + 2 * width
+        overlapping = sum(
+            1 for b in bounds if not (b[col][1] < q_lo or b[col][0] > q_hi)
+        )
+        assert overlapping <= len(bounds) // 2, (
+            f"{col}-predicate pruned too little: {overlapping}/{len(bounds)} files overlap"
+        )
+    # round-trip intact
+    assert spark.read.parquet(out).count() == 40_000
