@@ -34,20 +34,28 @@ def scd2_build(
     largest ``tie_break`` value (deterministic; required when the log
     has same-instant writes).
 
-    Shape: one shuffle on ``key`` serves both the same-instant dedupe
-    (window over (key, ts)) and the interval chaining (``lead(ts)`` over
-    key) — Catalyst reuses the exchange since both windows partition by
-    a prefix of the same key. No join, no global sort; per-key history
-    sorts are partition-local. At 100 TB the cost is one exchange of the
-    change log, which is the floor for any interval chaining.
+    Shape: ONE shuffle on ``key`` serves both the same-instant dedupe
+    and the interval chaining. The dedupe is a lag-compare over the
+    (key)-partitioned window sorted (ts, tie_break desc) — the first
+    row of each instant is the winner — rather than a row_number over
+    (key, ts), which would hash-partition on (key, ts) and force a
+    SECOND exchange for the ``lead``. The chain window's required sort
+    (key, ts) is a prefix of the dedupe's (key, ts, tie desc), so
+    Catalyst inserts no re-sort either: one exchange + one sort + two
+    window passes total. No join, no global sort; at 100 TB the cost is
+    one exchange of the change log, the floor for any interval
+    chaining.
     """
     attr_cols = [c for c in changes.columns if c not in (key, ts_col, tie_break)]
     if tie_break is not None:
-        w_dedupe = Window.partitionBy(key, ts_col).orderBy(F.desc(tie_break))
+        w_all = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.desc(tie_break))
+        prev_ts = F.lag(ts_col).over(w_all)
         changes = (
-            changes.withColumn("__rn", F.row_number().over(w_dedupe))
-            .where(F.col("__rn") == 1)
-            .drop("__rn", tie_break)
+            changes.withColumn(
+                "__first", prev_ts.isNull() | (prev_ts != F.col(ts_col))
+            )
+            .where(F.col("__first"))
+            .drop("__first", tie_break)
         )
     w_chain = Window.partitionBy(key).orderBy(ts_col)
     nxt = F.lead(ts_col).over(w_chain)
