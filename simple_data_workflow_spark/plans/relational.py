@@ -2408,7 +2408,10 @@ def temporal_status_of_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions are disjoint)."""
     from simple_data_workflow_spark.operators.cdc import scd2_build, temporal_join
 
-    ev = _t(spark, sf_dir, "events")
+    # the user slice is a filter on the JOIN KEY, so it is applied to
+    # BOTH inputs before the window/join (Catalyst cannot push a
+    # post-join filter through the dim's window by itself)
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 5 == 0)
     status_log = ev.where(F.col("event_type").isin("signup", "purchase")).select(
         "user_id", "ts", "event_id", F.col("event_type").alias("status")
     )
@@ -2418,7 +2421,7 @@ def temporal_status_of_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = temporal_join(clicks, dim, key="user_id", ts_col="ts")
     return (
-        joined.where(F.col("user_id") % 5 == 0)
+        joined
         .select(
             "event_id",
             "user_id",
@@ -2483,20 +2486,26 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority", "o_year")
         .agg(F.sum("__v").alias("sum_val"), F.count(F.lit(1)).alias("n_rows"))
     )
+    # one scan builds the whole CDC batch (a 3-branch union would scan
+    # orders three times); op derives from orderkey residues
     null_dec = F.lit(None).cast("decimal(38,0)")
-    ins = o.where(k % 10 == 0).select(
-        *grp, F.lit("I").alias("op"), null_dec.alias("old_val"),
-        scaled.alias("new_val"),
+    op = (
+        F.when(k % 10 == 0, F.lit("I"))
+        .when(k % 7 == 0, F.lit("U"))
+        .when(k % 13 == 0, F.lit("D"))
     )
-    upd = o.where((k % 10 != 0) & (k % 7 == 0)).select(
-        *grp, F.lit("U").alias("op"), scaled.alias("old_val"),
-        scaled_new.alias("new_val"),
+    cdc = (
+        o.select(
+            *grp,
+            op.alias("op"),
+            F.when(op.isin("U", "D"), scaled).otherwise(null_dec).alias("old_val"),
+            F.when(op == "I", scaled)
+            .when(op == "U", scaled_new)
+            .otherwise(null_dec)
+            .alias("new_val"),
+        )
+        .where(F.col("op").isNotNull())
     )
-    dele = o.where((k % 10 != 0) & (k % 7 != 0) & (k % 13 == 0)).select(
-        *grp, F.lit("D").alias("op"), scaled.alias("old_val"),
-        null_dec.alias("new_val"),
-    )
-    cdc = ins.unionByName(upd).unionByName(dele)
     out = incremental_agg_apply(state, cdc, ["priority", "o_year"])
     return out.select(
         "priority",
