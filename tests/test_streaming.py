@@ -296,3 +296,103 @@ def test_stream_stream_join_matches_batch(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_incremental_agg_matches_batch(spark, tmp_path):
+    """Append-only stream folded into a versioned grouped SUM/COUNT
+    state (incremental materialized view) must equal the batch
+    aggregate, across multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.readers import load_table
+    from simple_data_workflow_spark.streaming.events import read_event_stream
+    from simple_data_workflow_spark.streaming.sinks import (
+        read_materialized_agg,
+        streaming_incremental_agg,
+    )
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet", max_files=1)
+    state = str(tmp_path / "state")
+    q = streaming_incremental_agg(
+        stream,
+        state,
+        str(tmp_path / "ckpt"),
+        group_cols=["event_type"],
+        val_col="value",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_type"]: (round(r["sum_val"], 6), r["n_rows"])
+        for r in read_materialized_agg(spark, state).collect()
+    }
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {r["event_type"]: (round(r["s"], 6), r["n"]) for r in batch}
+    assert got == want
+
+
+def test_incremental_batch_replay_is_noop(spark, tmp_path):
+    """Replaying a micro-batch (at-least-once delivery) must not double-
+    count: the versioned state skips batch ids already folded."""
+    from simple_data_workflow_spark.streaming.sinks import (
+        apply_incremental_batch,
+        read_materialized_agg,
+    )
+
+    state = str(tmp_path / "s2")
+    batch = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+    apply_incremental_batch(spark, state, batch, 0, ["g"], "v")
+    apply_incremental_batch(spark, state, batch, 0, ["g"], "v")  # replay
+    out = {r["g"]: (r["sum_val"], r["n_rows"]) for r in read_materialized_agg(spark, state).collect()}
+    assert out == {"a": (1.0, 1), "b": (2.0, 1)}
+    # a NEW batch id does fold
+    apply_incremental_batch(spark, state, batch, 1, ["g"], "v")
+    out = {r["g"]: (r["sum_val"], r["n_rows"]) for r in read_materialized_agg(spark, state).collect()}
+    assert out == {"a": (2.0, 2), "b": (4.0, 2)}
+
+
+def test_stream_temporal_join_static_dim(spark):
+    """Stream-static point-in-time join: streaming facts enriched with
+    the SCD2 dim version valid at each event's timestamp — stateless in
+    streaming (static side), equal to the batch temporal_join."""
+    from simple_data_workflow_spark.operators.cdc import scd2_build, temporal_join
+    from simple_data_workflow_spark.sources.readers import load_table
+    from simple_data_workflow_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    dim = scd2_build(
+        ev.where(F.col("event_type").isin("signup", "purchase")).select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("status")
+        ),
+        key="user_id",
+        ts_col="ts",
+        tie_break="event_id",
+    ).localCheckpoint(eager=True)  # static snapshot for the stream side
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet").where(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts")
+    joined = temporal_join(stream, dim, key="user_id", ts_col="ts")
+    assert joined.isStreaming
+    run_stream_to_memory(joined, "stream_temporal", output_mode="append")
+    got = {
+        r["event_id"]: r["status"]
+        for r in spark.sql("SELECT * FROM stream_temporal").collect()
+    }
+    batch_facts = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    want = {
+        r["event_id"]: r["status"]
+        for r in temporal_join(batch_facts, dim, key="user_id", ts_col="ts").collect()
+    }
+    assert got == want and len(got) > 0
