@@ -153,12 +153,11 @@ def lsh_topk(
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
-    if len(masks) > 1:
-        # multiprobe only: collapse a candidate reached via several probed
-        # buckets. With a single mask each (query, corpus row) pair meets
-        # in exactly one bucket, so the distinct would be a pure extra
-        # shuffle of the scored pairs — skipped.
-        scored = scored.distinct()
+    # No distinct at ANY probe_bits: a (query, corpus) pair matches probed
+    # bucket home_q XOR m == home_c only for the single mask
+    # m == home_q XOR home_c, and the masks are distinct bit patterns —
+    # pair uniqueness is structural, a dedup would be a pure extra
+    # shuffle of the scored pairs.
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -280,7 +279,9 @@ def cosine_near_dup_pairs(
                 F.col(f"b.{id_col}").alias("id_b"),
                 F.round(score, 6).alias("cosine"),
             )
-            .distinct()
+            # no distinct: (a, b) matches a's probed bucket
+            # home_a XOR m == home_b only at the single mask
+            # m == home_a XOR home_b — pair uniqueness is structural
         )
     return pairs.where(F.col("cosine") >= threshold)
 
