@@ -1550,63 +1550,87 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     *purchase* at-or-after that click; one row per stage with the user
     count and median stage latency.
 
-    Ordering matters (a click BEFORE the first view must not count), so
-    each stage is min(ts) constrained by the previous stage's timestamp
-    — three per-user hash aggregates chained by user-keyed joins, every
-    shuffle on user_id. No window over the raw stream and no global
-    sort: at 100 TB the event table is scanned once per stage with the
-    event-type filter pushed to the scan, and the joined per-user stage
-    frames are |users|-sized, not |events|-sized. Median latency uses
-    the portable exact percentile over epoch-second deltas."""
-    ev = _t(spark, sf_dir, "events")
-
-    def stage(evtype: str) -> DataFrame:
-        return ev.where(F.col("event_type") == evtype).select(
-            "user_id", F.col("ts").alias("__ts")
+    Ordering matters (a click BEFORE the first view must not count).
+    ONE shuffle of the (type-filtered) event stream on user_id serves
+    everything: two window passes over the same partitioning compute
+    the running first-view and running first-QUALIFIED-click per row
+    (two passes because a window expression cannot nest inside another;
+    same partitioning + ordering → Catalyst inserts no second exchange
+    or sort), RANGE frames make same-instant stages qualify exactly
+    like the ``>=`` chain. The per-user aggregate then reuses the same
+    hash partitioning (no exchange), and the stage rollups run over the
+    |users|-sized frame. Equivalent to the 3-aggregate + 2-join chain
+    (min qualified click == min click >= first view; a purchase has a
+    qualified click at-or-before it iff it is >= the first qualified
+    click) at a third of the shuffles. Median latency uses the portable
+    exact percentile over epoch-second deltas."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    et, t = F.col("event_type"), F.col("ts")
+    with_fv = ev.select(
+        "user_id", "ts", "event_type",
+        F.min(F.when(et == "view", t)).over(wr).alias("__fv"),
+    )
+    with_qc = with_fv.withColumn(
+        "__qc",
+        F.min(
+            F.when((et == "click") & F.col("__fv").isNotNull(), t)
+        ).over(wr),
+    )
+    per_user = with_qc.groupBy("user_id").agg(
+        F.min(F.when(et == "view", t)).alias("v_ts"),
+        F.min(F.when((et == "click") & F.col("__fv").isNotNull(), t)).alias("c_ts"),
+        F.min(F.when((et == "purchase") & F.col("__qc").isNotNull(), t)).alias("p_ts"),
+    )
+    # one conditional rollup over the |users|-sized frame (percentile
+    # skips NULLs, so the stage filters become the latency expressions'
+    # own nullability), exploded to the 3 stage rows — a 3-branch union
+    # would re-plan the whole pipeline per branch
+    lats = per_user.select(
+        "v_ts", "c_ts", "p_ts",
+        (F.col("c_ts").cast("double") - F.col("v_ts").cast("double")).alias("c_lat"),
+        (F.col("p_ts").cast("double") - F.col("c_ts").cast("double")).alias("p_lat"),
+    )
+    one = lats.agg(
+        F.count("v_ts").alias("n1"),
+        F.count("c_ts").alias("n2"),
+        F.count("p_ts").alias("n3"),
+        F.round(F.expr("percentile(c_lat, 0.5)"), 3).alias("m2"),
+        F.round(F.expr("percentile(p_lat, 0.5)"), 3).alias("m3"),
+    )
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("stage_no"), F.lit("view").alias("stage"),
+                        F.col("n1").alias("n_users"),
+                        F.lit(0.0).alias("median_latency_s"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("stage_no"),
+                        F.lit("click_after_view").alias("stage"),
+                        F.col("n2").alias("n_users"),
+                        F.col("m2").alias("median_latency_s"),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("stage_no"),
+                        F.lit("purchase_after_click").alias("stage"),
+                        F.col("n3").alias("n_users"),
+                        F.col("m3").alias("median_latency_s"),
+                    ),
+                )
+            ).alias("col")
         )
-
-    views = stage("view").groupBy("user_id").agg(F.min("__ts").alias("v_ts"))
-    clicks = (
-        stage("click")
-        .join(views, "user_id")
-        .where(F.col("__ts") >= F.col("v_ts"))
-        .groupBy("user_id")
-        .agg(F.min("__ts").alias("c_ts"), F.first("v_ts").alias("v_ts"))
+        .select("col.stage_no", "col.stage", "col.n_users", "col.median_latency_s")
+        .orderBy("stage_no")
     )
-    purchases = (
-        stage("purchase")
-        .join(clicks, "user_id")
-        .where(F.col("__ts") >= F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("__ts").alias("p_ts"), F.first("c_ts").alias("c_ts"))
-    )
-    clicks = clicks.withColumn(
-        "c_lat", F.col("c_ts").cast("double") - F.col("v_ts").cast("double")
-    )
-    purchases = purchases.withColumn(
-        "p_lat", F.col("p_ts").cast("double") - F.col("c_ts").cast("double")
-    )
-    stages = [
-        views.agg(
-            F.lit(1).alias("stage_no"),
-            F.lit("view").alias("stage"),
-            F.count(F.lit(1)).alias("n_users"),
-            F.lit(0.0).alias("median_latency_s"),
-        ),
-        clicks.agg(
-            F.lit(2).alias("stage_no"),
-            F.lit("click_after_view").alias("stage"),
-            F.count(F.lit(1)).alias("n_users"),
-            F.round(F.expr("percentile(c_lat, 0.5)"), 3).alias("median_latency_s"),
-        ),
-        purchases.agg(
-            F.lit(3).alias("stage_no"),
-            F.lit("purchase_after_click").alias("stage"),
-            F.count(F.lit(1)).alias("n_users"),
-            F.round(F.expr("percentile(p_lat, 0.5)"), 3).alias("median_latency_s"),
-        ),
-    ]
-    return stages[0].unionByName(stages[1]).unionByName(stages[2]).orderBy("stage_no")
 
 
 FUNNEL_SQL = """
