@@ -1815,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg_orders": _wrap(rel.incremental_agg_orders),
         "ewma_customer_orders": _wrap(rel.ewma_customer_orders),
         "heavy_hitter_terms": _wrap(heavy_hitter_terms),
+        "weighted_median_price": _wrap(rel.weighted_median_price),
         # round-6 TPC-H completions + semantic dedup (never driver-checked)
         "q7_volume_shipping": _wrap(rel.q7_volume_shipping),
         "q8_market_share": _wrap(rel.q8_market_share),
@@ -1849,11 +1850,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_above_segment_avg": _wrap(rel.customers_above_segment_avg),
         "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
         "approx_sketches": _wrap(rel.approx_sketches),
+        # --- position 50: driver window ends here --- (the 16 entries
+        # below slid out when the CDC/TPC-H/heavy-hitter/UDAF blocks
+        # took their slots; all have local-oracle evidence and queue for
+        # the r7 rotation)
         "sliding_window_counts": _wrap(rel.sliding_window_counts),
-        # --- position 50: driver window ends here --- (the 15 entries
-        # below slid out when the CDC/TPC-H/heavy-hitter blocks took
-        # their slots; all have local-oracle evidence and queue for the
-        # r7 rotation)
         "running_customer_revenue": _wrap(rel.running_customer_revenue),
         "events_props_map": _wrap(rel.events_props_map),
         "order_count_distribution": _wrap(rel.order_count_distribution),
@@ -1951,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg_orders": rel.INCREMENTAL_AGG_SQL,
         "ewma_customer_orders": rel.EWMA_SQL,
         "heavy_hitter_terms": HEAVY_HITTERS_SQL,
+        "weighted_median_price": rel.WEIGHTED_MEDIAN_SQL,
         "funnel_conversion": rel.FUNNEL_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,

@@ -73,6 +73,21 @@ def pack(spark, sf):
     return packing.pack_sequences(docs, budget=2048)
 
 
+def funnel(spark, sf):
+    return rel.funnel_conversion(spark, sf)
+
+
+def scd2(spark, sf):
+    return rel.scd2_customer_status(spark, sf)
+
+
+def hh(spark, sf):
+    from simple_data_workflow_spark.llmdata import text
+
+    docs = load_table(spark, sf, "documents")
+    return text.heavy_hitters(docs, k=20)
+
+
 SET = {
     "q1_pricing_summary": q1,
     "bloom_decontaminate": bloom,
@@ -80,6 +95,9 @@ SET = {
     "lsh_topk_scaled_planes": lsh,
     "cluster_near_dups": cluster,
     "pack_documents": pack,
+    "funnel_conversion": funnel,
+    "scd2_customer_status": scd2,
+    "heavy_hitter_terms": hh,
 }
 
 

@@ -2620,3 +2620,41 @@ SELECT o_orderkey, o_custkey,
              / 1000000.0, 6) AS ewma_price
 FROM l ORDER BY o_orderkey
 """
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag quantity-weighted median of extended price via the
+    GROUPED_AGG pandas-UDAF surface (``functions.aggregates``): JVM
+    grouping/shuffle, one Arrow transfer per group, numpy crossing
+    search. Exact and engine-portable for integral weights; the oracle's
+    window-cumsum formulation is also the documented rewrite for groups
+    too large to materialize."""
+    from simple_data_workflow_spark.functions.aggregates import weighted_median_udaf
+
+    li = _t(spark, sf_dir, "lineitem")
+    wm = weighted_median_udaf()
+    return (
+        li.groupBy("l_returnflag")
+        # the UDAF must be the agg expression itself (a GROUPED_AGG UDF
+        # cannot nest inside another expression in agg()); round after
+        .agg(wm("l_extendedprice", "l_quantity").alias("__wm"))
+        .select(
+            "l_returnflag", F.round("__wm", 6).alias("w_median_price")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH cw AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, ROUND(MIN(v), 6) AS w_median_price
+FROM cw WHERE cum >= tot / 2.0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
