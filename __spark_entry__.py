@@ -1520,6 +1520,27 @@ FROM f ORDER BY event_id
 
 
 
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-name pairs within Levenshtein distance 1 via SymSpell
+    deletion-variant blocking (llmdata.dedup.fuzzy_pairs) — equi-join on
+    codegen deletion variants + exact levenshtein verify, linear in
+    total characters instead of the oracle's n² cross join."""
+    tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    return dedup.fuzzy_pairs(
+        cust, id_col="c_custkey", text_col="c_name", max_edit=1
+    ).orderBy("id_a", "id_b")
+
+
+FUZZY_NAME_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a, customer b
+WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus terms via per-partition Misra-Gries summaries +
     exact candidate re-count (llmdata.text.heavy_hitters) — bounded
@@ -1816,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_customer_orders": _wrap(rel.ewma_customer_orders),
         "heavy_hitter_terms": _wrap(heavy_hitter_terms),
         "weighted_median_price": _wrap(rel.weighted_median_price),
+        "fuzzy_name_matches": _wrap(fuzzy_name_matches),
         # round-6 TPC-H completions + semantic dedup (never driver-checked)
         "q7_volume_shipping": _wrap(rel.q7_volume_shipping),
         "q8_market_share": _wrap(rel.q8_market_share),
@@ -1849,11 +1871,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_grouping_sets": _wrap(rel.sql_grouping_sets),
         "customers_above_segment_avg": _wrap(rel.customers_above_segment_avg),
         "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
+        # --- position 50: driver window ends here --- (the 17 entries
+        # below slid out when the CDC/TPC-H/heavy-hitter/UDAF/fuzzy
+        # blocks took their slots; all have local-oracle evidence and
+        # queue for the r7 rotation)
         "approx_sketches": _wrap(rel.approx_sketches),
-        # --- position 50: driver window ends here --- (the 16 entries
-        # below slid out when the CDC/TPC-H/heavy-hitter/UDAF blocks
-        # took their slots; all have local-oracle evidence and queue for
-        # the r7 rotation)
         "sliding_window_counts": _wrap(rel.sliding_window_counts),
         "running_customer_revenue": _wrap(rel.running_customer_revenue),
         "events_props_map": _wrap(rel.events_props_map),
@@ -1953,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_customer_orders": rel.EWMA_SQL,
         "heavy_hitter_terms": HEAVY_HITTERS_SQL,
         "weighted_median_price": rel.WEIGHTED_MEDIAN_SQL,
+        "fuzzy_name_matches": FUZZY_NAME_SQL,
         "funnel_conversion": rel.FUNNEL_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,

@@ -1001,3 +1001,75 @@ def cap_per_group(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_edit: int = 1,
+) -> DataFrame:
+    """String pairs within Levenshtein distance ``max_edit`` (currently
+    1), found WITHOUT an all-pairs comparison — SymSpell-style
+    deletion-variant blocking.
+
+    The blocking identity for distance ≤ 1: two strings are within one
+    edit iff they share a member of {s} ∪ {s minus one character} —
+    a substitution at position i makes both i-deletions equal; an
+    insertion/deletion makes one string a deletion variant of the
+    other; equality matches on s itself. So candidates come from an
+    equi-join on the variant value, and every candidate is re-verified
+    with the exact ``levenshtein`` — no false positives survive, and
+    the blocking guarantee means no false negatives exist.
+
+    All codegen: variants are built with ``sequence`` + ``transform`` +
+    ``substring`` (no Python), exploded, and joined on the variant.
+    Shuffle volume is rows × (len+1) variant keys — linear in total
+    characters, vs the n² of a naive cross join; at 100 TB this is the
+    same explode-join-verify shape as the n-gram LSH paths. Variant
+    groups are skew-bounded: a variant matches only strings within one
+    edit of each other, so group sizes track true near-duplicate
+    density (plus hash-join AQE skew handling for pathological columns
+    of near-identical strings).
+
+    Output: (id_a, id_b, dist), id_a < id_b, distinct (a pair can meet
+    under several shared variants — e.g. equal strings meet on every
+    deletion — so this dedup is NOT structural, unlike the LSH probe
+    masks).
+    """
+    if max_edit != 1:
+        raise NotImplementedError("deletion-variant blocking implemented for max_edit=1")
+    s = F.col(text_col)
+    # {s} ∪ deletions(s): element 0 is s itself, element i>0 deletes char i
+    variants = F.concat(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, 1, (i - 1).cast("int")),
+                s.substr(i + 1, F.length(s)),
+            ),
+        ),
+    )
+    sides = df.select(
+        F.col(id_col).alias("__id"),
+        s.alias("__s"),
+        F.explode(variants).alias("__v"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    cand = (
+        a.join(b, (F.col("a.__v") == F.col("b.__v")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__s").alias("sa"),
+            F.col("b.__s").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", F.levenshtein("sa", "sb").alias("dist")
+        )
+        .where(F.col("dist") <= max_edit)
+    )

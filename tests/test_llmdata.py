@@ -892,3 +892,40 @@ def test_heavy_hitters_bounded_candidates(spark):
     )
     out = T.heavy_hitters(docs, k=1, counters=16).collect()
     assert out[0]["term"] == "hot" and out[0]["n_occurrences"] == 2000
+
+
+def test_fuzzy_pairs_matches_bruteforce(spark):
+    """SymSpell deletion-variant blocking must find EXACTLY the
+    levenshtein<=1 pairs a cross join finds: substitutions, inserts,
+    deletes, equal strings — and nothing else."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.llmdata.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "kitten"), (2, "sitten"),   # substitution
+        (3, "kitte"),                   # deletion of #1
+        (4, "kittens"),                 # insertion on #1
+        (5, "kitten"),                  # duplicate of #1
+        (6, "banana"), (7, "zzzzzz"),   # unrelated
+        (8, "ab"), (9, "b"), (10, "a"), # short strings
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(df, max_edit=1).collect()
+    }
+    a = df.alias("a")
+    b = df.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein("a.text", "b.text").alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+        .collect()
+    }
+    assert got == brute and len(got) >= 6
