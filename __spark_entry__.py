@@ -1520,6 +1520,24 @@ FROM f ORDER BY event_id
 
 
 
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 12 BPE merges learned from the documents corpus
+    (llmdata.bpe.bpe_train — word-frequency formulation: one corpus
+    scan, then |vocab|-sized merge iterations). Deterministic merge
+    order (count desc, pair asc) but iterative, so no SQL oracle —
+    correctness is pinned by the pure-Python golden in
+    tests/test_llmdata.py::test_bpe_train_matches_reference."""
+    tune(spark)
+    from simple_data_workflow_spark.llmdata.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=12)
+    return spark.createDataFrame(
+        [(i + 1, p, int(c)) for i, (p, c) in enumerate(merges)],
+        "merge_no int, pair string, count long",
+    ).orderBy("merge_no")
+
+
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-name pairs within Levenshtein distance 1 via SymSpell
     deletion-variant blocking (llmdata.dedup.fuzzy_pairs) — equi-join on
@@ -1838,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_terms": _wrap(heavy_hitter_terms),
         "weighted_median_price": _wrap(rel.weighted_median_price),
         "fuzzy_name_matches": _wrap(fuzzy_name_matches),
+        "bpe_train_merges": _wrap(bpe_train_merges),
         # round-6 TPC-H completions + semantic dedup (never driver-checked)
         "q7_volume_shipping": _wrap(rel.q7_volume_shipping),
         "q8_market_share": _wrap(rel.q8_market_share),
@@ -1870,11 +1889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_order": _wrap(rel.asof_purchase_order),
         "sql_grouping_sets": _wrap(rel.sql_grouping_sets),
         "customers_above_segment_avg": _wrap(rel.customers_above_segment_avg),
-        "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
-        # --- position 50: driver window ends here --- (the 17 entries
-        # below slid out when the CDC/TPC-H/heavy-hitter/UDAF/fuzzy
+        # --- position 50: driver window ends here --- (the 18 entries
+        # below slid out when the CDC/TPC-H/heavy-hitter/UDAF/fuzzy/BPE
         # blocks took their slots; all have local-oracle evidence and
         # queue for the r7 rotation)
+        "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
         "approx_sketches": _wrap(rel.approx_sketches),
         "sliding_window_counts": _wrap(rel.sliding_window_counts),
         "running_customer_revenue": _wrap(rel.running_customer_revenue),

@@ -929,3 +929,54 @@ def test_fuzzy_pairs_matches_bruteforce(spark):
         .collect()
     }
     assert got == brute and len(got) >= 6
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python BPE reference (greedy left-to-right, ties broken on
+    the lexicographically smallest pair) to pin the distributed trainer."""
+    wf = {tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, n in wf.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + n
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((f"{a} {b}", c))
+        new_wf = {}
+        for syms, n in wf.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_wf[tuple(out)] = new_wf.get(tuple(out), 0) + n
+        wf = new_wf
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    from simple_data_workflow_spark.llmdata.bpe import bpe_segment, bpe_train
+
+    corpus = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = bpe_train(df, n_merges=12)
+    wc = Counter(w for t in corpus for w in t.split())
+    want = _bpe_reference(wc, 12)
+    assert got == want
+    # the learned merges segment a known word the classic way
+    segs = bpe_segment("lowest", got)
+    assert "".join(segs) == "lowest</w>"
+    assert len(segs) < len("lowest") + 1  # some merges applied
