@@ -1040,9 +1040,11 @@ def fuzzy_pairs(
     if max_edit != 1:
         raise NotImplementedError("deletion-variant blocking implemented for max_edit=1")
     s = F.col(text_col)
-    # {s} ∪ deletions(s): element 0 is s itself, element i>0 deletes char i
-    variants = F.concat(
-        F.array(s),
+    # {s} ∪ deletions(s): element 0 is s itself, element i>0 deletes
+    # char i. Empty strings guard the sequence (sequence(1, 0) counts
+    # DOWN — the dedup.shingles trap) and contribute just {""}.
+    deletions = F.when(
+        F.length(s) >= 1,
         F.transform(
             F.sequence(F.lit(1), F.length(s)),
             lambda i: F.concat(
@@ -1050,7 +1052,8 @@ def fuzzy_pairs(
                 s.substr(i + 1, F.length(s)),
             ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
+    variants = F.concat(F.array(s), deletions)
     sides = df.select(
         F.col(id_col).alias("__id"),
         s.alias("__s"),

@@ -206,3 +206,42 @@ def test_chunk_windows_reconstruct_the_token_stream(spark, n_tokens, chunk, over
             rebuilt += toks[overlap:]
         assert r["chunk_id"] == i
     assert rebuilt == text.split(" ")
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab.$(", min_size=0, max_size=6),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_fuzzy_pairs_equals_bruteforce_property(spark, strings):
+    """Deletion-variant blocking finds EXACTLY the levenshtein<=1 pairs
+    on arbitrary strings — including regex metacharacters ('.', '$',
+    '(') that would break an unquoted pattern, and empty strings."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.llmdata.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(strings)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, max_edit=1).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein("a.text", "b.text").alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+        .collect()
+    }
+    assert got == brute
