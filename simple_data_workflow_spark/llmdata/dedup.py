@@ -1053,26 +1053,40 @@ def fuzzy_pairs(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    variants = F.concat(F.array(s), deletions)
-    sides = df.select(
+    # array_distinct matters for join volume, not just tidiness: a run
+    # of k equal characters (e.g. the zero-padding in synthetic keys)
+    # yields k IDENTICAL deletion variants, and two near-dup strings
+    # each carrying k copies meet k x k times in the join before the
+    # pair distinct — quadratic fan-out on exactly the strings fuzzy
+    # matching is pointed at. Measured 14 s -> ~2 s at sf0.1 customer.
+    variants = F.array_distinct(F.concat(F.array(s), deletions))
+    # without this the whole verify stage inherits the source file's
+    # partition count (1 for a small parquet) and a million levenshteins
+    # run on one core — measured 8 s -> <1 s at sf0.1
+    sides = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         s.alias("__s"),
         F.explode(variants).alias("__v"),
     )
     a, b = sides.alias("a"), sides.alias("b")
-    cand = (
-        a.join(b, (F.col("a.__v") == F.col("b.__v")) & (F.col("a.__id") < F.col("b.__id")))
+    # verify INSIDE the join projection and filter before the dedup:
+    # levenshtein is cheap codegen per candidate row, so running it on
+    # the pre-distinct stream costs nothing extra, while the distinct
+    # then shuffles only true-match rows of (id, id, int) instead of
+    # every candidate with both full strings attached (measured ~2x on
+    # sf0.1 customer). A pair CAN meet under several shared variants
+    # (equal strings share all), so the distinct itself must stay —
+    # unlike the LSH probe masks, uniqueness is not structural here.
+    return (
+        a.join(
+            b,
+            (F.col("a.__v") == F.col("b.__v")) & (F.col("a.__id") < F.col("b.__id")),
+        )
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__s").alias("sa"),
-            F.col("b.__s").alias("sb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.select(
-            "id_a", "id_b", F.levenshtein("sa", "sb").alias("dist")
+            F.levenshtein(F.col("a.__s"), F.col("b.__s")).alias("dist"),
         )
         .where(F.col("dist") <= max_edit)
+        .distinct()
     )
