@@ -222,6 +222,9 @@ QUERIES = {
     "temporal_status_of_clicks": rel.temporal_status_of_clicks,
     "incremental_agg_orders": rel.incremental_agg_orders,
     "ewma_customer_orders": rel.ewma_customer_orders,
+    "weighted_median_price": rel.weighted_median_price,
+    "heavy_hitter_terms": entrymod.heavy_hitter_terms,
+    "fuzzy_name_matches": entrymod.fuzzy_name_matches,
     "q7_volume_shipping": rel.q7_volume_shipping,
     "q8_market_share": rel.q8_market_share,
     "q9_product_profit": rel.q9_product_profit,
