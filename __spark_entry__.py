@@ -1857,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price": _wrap(rel.weighted_median_price),
         "fuzzy_name_matches": _wrap(fuzzy_name_matches),
         "bpe_train_merges": _wrap(bpe_train_merges),
+        "profile_orders": _wrap(rel.profile_orders),
         # round-6 TPC-H completions + semantic dedup (never driver-checked)
         "q7_volume_shipping": _wrap(rel.q7_volume_shipping),
         "q8_market_share": _wrap(rel.q8_market_share),
@@ -1888,11 +1889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_parts_except_cheap": _wrap(rel.large_parts_except_cheap),
         "asof_purchase_order": _wrap(rel.asof_purchase_order),
         "sql_grouping_sets": _wrap(rel.sql_grouping_sets),
+        # --- position 50: driver window ends here --- (the 19 entries
+        # below slid out when the CDC/TPC-H/heavy-hitter/UDAF/fuzzy/BPE/
+        # profiling blocks took their slots; all have local-oracle
+        # evidence and queue for the r7 rotation)
         "customers_above_segment_avg": _wrap(rel.customers_above_segment_avg),
-        # --- position 50: driver window ends here --- (the 18 entries
-        # below slid out when the CDC/TPC-H/heavy-hitter/UDAF/fuzzy/BPE
-        # blocks took their slots; all have local-oracle evidence and
-        # queue for the r7 rotation)
         "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
         "approx_sketches": _wrap(rel.approx_sketches),
         "sliding_window_counts": _wrap(rel.sliding_window_counts),
@@ -1995,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_terms": HEAVY_HITTERS_SQL,
         "weighted_median_price": rel.WEIGHTED_MEDIAN_SQL,
         "fuzzy_name_matches": FUZZY_NAME_SQL,
+        "profile_orders": rel.PROFILE_ORDERS_SQL,
         "funnel_conversion": rel.FUNNEL_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,

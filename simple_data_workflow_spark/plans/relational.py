@@ -2658,3 +2658,51 @@ SELECT l_returnflag, ROUND(MIN(v), 6) AS w_median_price
 FROM cw WHERE cum >= tot / 2.0
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the orders table
+    (``operators.profiling.profile_columns``): null counts, exact
+    cardinalities, engine-portable min/max strings — single aggregate
+    scan, plan-side pivot to one row per column."""
+    from simple_data_workflow_spark.operators.profiling import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "orders"))
+
+
+PROFILE_ORDERS_SQL = """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(ROUND(MIN(o_totalprice), 6) AS VARCHAR),
+       CAST(ROUND(MAX(o_totalprice), 6) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate),
+       strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+ORDER BY col_name
+"""

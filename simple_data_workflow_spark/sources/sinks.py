@@ -170,6 +170,54 @@ def write_zorder_parquet(
     parted.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    order_cols: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction — the lake-maintenance pass that keeps a
+    streamed-into or over-partitioned parquet table scannable.
+
+    Thousands of tiny files tax the driver (listing, footer reads,
+    per-file task scheduling) far more than the data itself; compaction
+    rewrites the directory into ~``target_file_mb`` files. Sized from
+    the actual on-disk bytes via the Hadoop FS (no data scan), written
+    to a staging dir and atomically swapped in (rename), so a failure
+    mid-rewrite leaves the original table intact. Pass ``order_cols``
+    to re-cluster while compacting (``repartitionByRange`` +
+    ``sortWithinPartitions`` — restores data-skipping stats that
+    micro-batch appends destroy); otherwise a plain ``coalesce`` avoids
+    any shuffle. Returns the new file count.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compacting"
+    if order_cols:
+        (
+            df.repartitionByRange(n_files, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.rename(jpath, backup)
+    fs.rename(staging_p, jpath)
+    fs.delete(backup, True)
+    return sum(
+        1
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
+
+
 def write_orc(
     df: DataFrame,
     path: str,

@@ -274,3 +274,27 @@ def test_read_evolved_parquet_rejects_incompatible(spark, tmp_path):
     spark.createDataFrame([("s",)], "x string").write.parquet(v2)
     with pytest.raises(TypeError, match="incompatible drift"):
         read_evolved_parquet(spark, [v1, v2])
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from simple_data_workflow_spark.sources.sinks import compact_parquet
+
+    out = str(tmp_path / "frag")
+    # simulate micro-batch fragmentation: 40 tiny files
+    spark.range(0, 20_000).selectExpr("id", "id * 1.5 as v").repartition(
+        40
+    ).write.parquet(out)
+    before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert before >= 30
+    n_after = compact_parquet(spark, out, target_file_mb=128)
+    assert n_after < before and n_after >= 1
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert back.agg({"v": "sum"}).first()[0] == sum(i * 1.5 for i in range(20_000))
+    # re-clustering variant restores disjoint range stats while compacting
+    out2 = str(tmp_path / "frag2")
+    spark.range(0, 20_000).selectExpr("id", "id * 1.5 as v").repartition(
+        20
+    ).write.parquet(out2)
+    compact_parquet(spark, out2, target_file_mb=1, order_cols=["id"])
+    assert spark.read.parquet(out2).count() == 20_000

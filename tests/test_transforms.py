@@ -94,3 +94,22 @@ def test_exact_moments_matches_stats(spark):
     assert n == 5
     assert mu == pytest.approx(statistics.mean(vals))
     assert sd == pytest.approx(statistics.stdev(vals))
+
+
+def test_profile_columns_one_pass(spark):
+    from simple_data_workflow_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, None, 1.5), (2, "b", None), (2, "c", 2.5)],
+        "k long, s string, v double",
+    )
+    out = {r["col_name"]: r.asDict() for r in profile_columns(df).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 2
+    assert (out["k"]["min_value"], out["k"]["max_value"]) == ("1", "2")
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["v"]["n_nulls"] == 1
+    assert (out["v"]["min_value"], out["v"]["max_value"]) == ("1.5", "2.5")
+    # approx mode still produces a sane profile (HLL, no Expand)
+    approx = {r["col_name"]: r["n_distinct"] for r in profile_columns(df, exact=False).collect()}
+    assert approx["k"] >= 1
