@@ -160,3 +160,55 @@ def confidence_intervals(
         rows.append((name, "lower", float(lo)))
         rows.append((name, "upper", float(hi)))
     return spark.createDataFrame(rows, "regressor string, interval string, estimate double")
+
+
+def fit_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    y: str,
+    x: str,
+) -> DataFrame:
+    """Per-group simple linear fit (slope/intercept/R²) via the grouped-
+    map ``applyInPandas`` surface — one model per group, fitted with
+    numpy inside an Arrow batch.
+
+    This is the fourth and last Python-extension shape the engine
+    exposes (scalar pandas UDF, GROUPED_AGG UDAF, UDTF, and this
+    grouped map), and the one real per-group model fitting needs: the
+    whole group arrives as ONE pandas frame, so any sklearn/scipy-style
+    estimator drops in unchanged. Same scale caveat as the UDAF — a
+    group must fit in executor memory; Spark shuffles on the group key
+    and runs groups in parallel, so many small groups (the analytics
+    shape) parallelize perfectly while one giant group does not. For
+    global fits use ``run_model`` (distributed normal equations); this
+    is its many-models sibling.
+    """
+    import pandas as pd
+
+    gcols = list(group_cols)
+    schema = ", ".join(
+        [f"{c} {dict(df.dtypes)[c]}" for c in gcols]
+        + ["slope double", "intercept double", "r2 double", "n_rows long"]
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        xs = pdf[x].to_numpy(dtype=float)
+        ys = pdf[y].to_numpy(dtype=float)
+        keys = {c: [pdf[c].iloc[0]] for c in gcols}
+        n = len(xs)
+        if n < 2 or np.ptp(xs) == 0.0:
+            return pd.DataFrame(
+                {**keys, "slope": [float("nan")], "intercept": [float("nan")],
+                 "r2": [float("nan")], "n_rows": [n]}
+            )
+        A = np.vstack([xs, np.ones(n)]).T
+        (slope, intercept), res, _, _ = np.linalg.lstsq(A, ys, rcond=None)
+        ss_tot = float(((ys - ys.mean()) ** 2).sum())
+        ss_res = float(res[0]) if len(res) else float(((A @ [slope, intercept] - ys) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else float("nan")
+        return pd.DataFrame(
+            {**keys, "slope": [float(slope)], "intercept": [float(intercept)],
+             "r2": [r2], "n_rows": [n]}
+        )
+
+    return df.select(*gcols, x, y).groupBy(*gcols).applyInPandas(fit, schema)

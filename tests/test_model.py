@@ -62,3 +62,27 @@ def test_confidence_intervals_frame(spark):
     by_reg = {(r["regressor"], r["interval"]): r["estimate"] for r in rows}
     for i, reg in enumerate(res.regressors):
         assert by_reg[(reg, "lower")] < res.params[i] < by_reg[(reg, "upper")]
+
+
+def test_fit_per_group_matches_numpy(spark):
+    import numpy as np
+
+    from simple_data_workflow_spark.operators.model import fit_per_group
+
+    rows = []
+    rng = np.random.default_rng(3)
+    truths = {"a": (2.0, 1.0), "b": (-0.5, 4.0)}
+    for g, (m, c) in truths.items():
+        for i in range(50):
+            x = float(i)
+            rows.append((g, x, m * x + c + float(rng.normal(0, 0.01))))
+    rows.append(("tiny", 1.0, 5.0))  # n<2 → NaN fit, not a crash
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in fit_per_group(df, ["g"], y="y", x="x").collect()}
+    for g, (m, c) in truths.items():
+        assert abs(out[g]["slope"] - m) < 0.01
+        assert abs(out[g]["intercept"] - c) < 0.05
+        assert out[g]["r2"] > 0.99
+        assert out[g]["n_rows"] == 50
+    # NaN crosses the Arrow boundary as NULL
+    assert out["tiny"]["slope"] is None and out["tiny"]["n_rows"] == 1
