@@ -113,3 +113,40 @@ def test_profile_columns_one_pass(spark):
     # approx mode still produces a sane profile (HLL, no Expand)
     approx = {r["col_name"]: r["n_distinct"] for r in profile_columns(df, exact=False).collect()}
     assert approx["k"] >= 1
+
+
+def _final_plan(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_scd2_build_single_exchange_plan(spark):
+    """The SCD2 build's one-shuffle claim, pinned: dedupe lag-compare
+    and lead() chaining must share one hash exchange (a row_number over
+    (key, ts) would silently re-introduce a second one)."""
+    import datetime as dt
+
+    from simple_data_workflow_spark.operators.cdc import scd2_build
+
+    log = spark.createDataFrame(
+        [(i % 7, dt.datetime(2024, 1 + i % 11, 1), i, f"s{i}") for i in range(200)],
+        "id long, ts timestamp, seq long, v string",
+    )
+    out = scd2_build(log, "id", "ts", tie_break="seq")
+    out.count()
+    plan = _final_plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 2  # dedupe pass + chain pass, no re-sort between
+
+
+def test_funnel_single_data_exchange_plan(spark):
+    """funnel_conversion's collapsed shape, pinned: one hash exchange of
+    the event stream (the windows + per-user agg share it) plus the
+    single-row rollup — never the 3-aggregate + 2-join chain again."""
+    from simple_data_workflow_spark.plans.relational import funnel_conversion
+
+    out = funnel_conversion(spark, "/root/testdata/sf0.001")
+    out.count()
+    plan = _final_plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
