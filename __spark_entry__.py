@@ -1858,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_matches": _wrap(fuzzy_name_matches),
         "bpe_train_merges": _wrap(bpe_train_merges),
         "profile_orders": _wrap(rel.profile_orders),
+        "cohort_retention": _wrap(rel.cohort_retention),
         # round-6 TPC-H completions + semantic dedup (never driver-checked)
         "q7_volume_shipping": _wrap(rel.q7_volume_shipping),
         "q8_market_share": _wrap(rel.q8_market_share),
@@ -1888,11 +1889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_segment": _wrap(rel.quantiles_by_segment),
         "large_parts_except_cheap": _wrap(rel.large_parts_except_cheap),
         "asof_purchase_order": _wrap(rel.asof_purchase_order),
-        "sql_grouping_sets": _wrap(rel.sql_grouping_sets),
-        # --- position 50: driver window ends here --- (the 19 entries
+        # --- position 50: driver window ends here --- (the 20 entries
         # below slid out when the CDC/TPC-H/heavy-hitter/UDAF/fuzzy/BPE/
-        # profiling blocks took their slots; all have local-oracle
+        # profiling/cohort blocks took their slots; all have local-oracle
         # evidence and queue for the r7 rotation)
+        "sql_grouping_sets": _wrap(rel.sql_grouping_sets),
         "customers_above_segment_avg": _wrap(rel.customers_above_segment_avg),
         "unpivot_flag_metrics": _wrap(rel.unpivot_flag_metrics),
         "approx_sketches": _wrap(rel.approx_sketches),
@@ -1997,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_price": rel.WEIGHTED_MEDIAN_SQL,
         "fuzzy_name_matches": FUZZY_NAME_SQL,
         "profile_orders": rel.PROFILE_ORDERS_SQL,
+        "cohort_retention": rel.COHORT_RETENTION_SQL,
         "funnel_conversion": rel.FUNNEL_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,

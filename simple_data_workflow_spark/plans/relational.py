@@ -2706,3 +2706,46 @@ SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
 FROM orders
 ORDER BY col_name
 """
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the event stream: users
+    bucketed by the week of their FIRST event (the cohort), counted in
+    every later week they were active.
+
+    One shuffle on user_id does all the work: per-user aggregate of
+    (first week, set of active weeks) — the week set is bounded by the
+    calendar, not event volume, so collect_set is safe — then a
+    calendar-sized explode and a count per (cohort, offset). No join
+    back to the event stream, no window; at 100 TB the event table is
+    scanned once and everything after the first aggregate is
+    |users|-sized."""
+    ev = _t(spark, sf_dir, "events")
+    um = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+    per_user = um.groupBy("user_id").agg(
+        F.min("w").alias("w0"), F.collect_set("w").alias("ws")
+    )
+    exploded = per_user.select("user_id", "w0", F.explode("ws").alias("w"))
+    return (
+        exploded.groupBy(
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("w0")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH um AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+), pu AS (
+  SELECT user_id, w, MIN(w) OVER (PARTITION BY user_id) AS w0 FROM um
+)
+SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', w0, w) / 7 AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM pu
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
