@@ -225,6 +225,8 @@ QUERIES = {
     "weighted_median_price": rel.weighted_median_price,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,
     "fuzzy_name_matches": entrymod.fuzzy_name_matches,
+    "profile_orders": rel.profile_orders,
+    "cohort_retention": rel.cohort_retention,
     "q7_volume_shipping": rel.q7_volume_shipping,
     "q8_market_share": rel.q8_market_share,
     "q9_product_profit": rel.q9_product_profit,
