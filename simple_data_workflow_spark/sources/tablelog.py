@@ -180,3 +180,24 @@ def table_vacuum(spark: SparkSession, path: str) -> int:
             fs.delete(st.getPath(), True)
             removed += 1
     return removed
+
+
+def table_merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key: str
+) -> int:
+    """MERGE INTO on the table format: batch rows win on key collision,
+    unmatched target rows survive, the result lands as ONE atomic
+    overwrite commit — readers see the pre- or post-merge snapshot,
+    never a mix. Returns the new version.
+
+    Built from ``operators.cdc.merge_upsert`` over the latest snapshot;
+    the optimistic-concurrency caveat of read-modify-write applies (two
+    concurrent merges serialize by commit order, the later one not
+    seeing the earlier's rows — serialize merge writers per table, as
+    the real formats also require for overlapping keys).
+    """
+    from simple_data_workflow_spark.operators.cdc import merge_upsert
+
+    current = table_read(spark, path)
+    merged = merge_upsert(current, updates, key)
+    return table_commit(merged, path, mode="overwrite")

@@ -60,3 +60,22 @@ def test_commit_race_retries_to_next_slot(spark, tmp_path):
     v = table_commit(spark.range(3, 6).selectExpr("id"), t)
     assert v == 2  # lost the race for slot 1, won slot 2
     assert table_read(spark, t).count() == 6
+
+
+def test_table_merge_upsert_atomic_snapshot(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import table_merge_upsert
+
+    t = str(tmp_path / "t4")
+    table_commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), t
+    )
+    v = table_merge_upsert(
+        spark, t, spark.createDataFrame([(2, "B"), (3, "C")], "id long, v string"), "id"
+    )
+    assert {(r["id"], r["v"]) for r in table_read(spark, t).collect()} == {
+        (1, "a"), (2, "B"), (3, "C"),
+    }
+    # pre-merge snapshot still readable (time travel across the merge)
+    assert {(r["id"], r["v"]) for r in table_read(spark, t, version=v - 1).collect()} == {
+        (1, "a"), (2, "b"),
+    }
