@@ -221,3 +221,44 @@ def streaming_incremental_agg(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def streaming_table_upsert_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+):
+    """Update-mode streaming aggregation → transaction-log table
+    (``sources.tablelog``): every micro-batch lands as ONE atomic
+    commit, so any concurrent batch reader sees a complete snapshot —
+    the strictly-stronger sibling of ``streaming_upsert_sink``'s
+    partition-scoped overwrite (which can expose a half-written
+    partition set to a reader racing the merge). Each historical
+    micro-batch also stays time-travelable. Single-key MERGE semantics
+    via ``table_merge_upsert``; the merge serializes per table, which
+    foreachBatch's sequential batch execution guarantees."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _list_versions,
+        table_commit,
+        table_merge_upsert,
+    )
+
+    if len(list(key_cols)) != 1:
+        raise ValueError("streaming_table_upsert_sink supports a single key column")
+    key = list(key_cols)[0]
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if _list_versions(spark, table_path):
+            table_merge_upsert(spark, table_path, batch_df, key)
+        else:
+            table_commit(batch_df, table_path, mode="append")
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -396,3 +396,39 @@ def test_stream_temporal_join_static_dim(spark):
         for r in temporal_join(batch_facts, dim, key="user_id", ts_col="ts").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_table_upsert_matches_batch(spark, tmp_path):
+    """Micro-batches landing as atomic table-format commits must
+    converge to the batch aggregate, with every intermediate snapshot
+    time-travelable."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.readers import load_table
+    from simple_data_workflow_spark.sources.tablelog import table_history, table_read
+    from simple_data_workflow_spark.streaming.events import read_event_stream
+    from simple_data_workflow_spark.streaming.sinks import streaming_table_upsert_sink
+
+    stream = read_event_stream(spark, f"{SF}/events.parquet", max_files=1)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    t = str(tmp_path / "serving")
+    q = streaming_table_upsert_sink(
+        agg, t, str(tmp_path / "ck"), key_cols=["event_type"]
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in table_read(spark, t).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+    assert len(table_history(spark, t)) >= 1  # each batch = one commit
