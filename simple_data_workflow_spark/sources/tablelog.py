@@ -85,6 +85,20 @@ def table_commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     spark = df.sparkSession
+    if mode == "append":
+        versions = _list_versions(spark, path)
+        if versions:
+            prev = _read_entry(spark, path, versions[-1])["schema"]
+            cur = df.schema.simpleString()
+            if prev != cur:
+                # a mismatched append would poison every later snapshot
+                # read (parquet union of incompatible files). Evolve
+                # explicitly: read_evolved_parquet + overwrite commit.
+                raise TypeError(
+                    f"append schema drift at {path}: table has {prev}, "
+                    f"batch has {cur} — align the batch or commit an "
+                    "explicit overwrite after widening"
+                )
     jvm, fs = _fs(spark, path)
     staging = f"{path}/data/.stage-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(staging)
@@ -201,3 +215,21 @@ def table_merge_upsert(
     current = table_read(spark, path)
     merged = merge_upsert(current, updates, key)
     return table_commit(merged, path, mode="overwrite")
+
+
+def table_compact(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Compact the table's CURRENT snapshot into ~``target_file_mb``
+    files as one atomic overwrite commit — the log-native sibling of
+    ``sinks.compact_parquet`` (no rename dance: the old fragmented
+    files simply stop being referenced, stay time-travelable until
+    ``table_vacuum``, and a failure mid-compaction leaves the log
+    untouched). Returns the new version."""
+    jvm, fs = _fs(spark, path)
+    total = 0
+    for f in _resolve_files(spark, path, None):
+        total += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    snapshot = table_read(spark, path).coalesce(n_files)
+    return table_commit(snapshot, path, mode="overwrite")

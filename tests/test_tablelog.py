@@ -79,3 +79,43 @@ def test_table_merge_upsert_atomic_snapshot(spark, tmp_path):
     assert {(r["id"], r["v"]) for r in table_read(spark, t, version=v - 1).collect()} == {
         (1, "a"), (2, "b"),
     }
+
+
+def test_append_schema_drift_rejected(spark, tmp_path):
+    import pytest
+
+    from simple_data_workflow_spark.sources.tablelog import table_commit
+
+    t = str(tmp_path / "t5")
+    table_commit(spark.createDataFrame([(1, "a")], "id long, v string"), t)
+    with pytest.raises(TypeError, match="schema drift"):
+        table_commit(spark.createDataFrame([(2,)], "id long"), t)
+    # an explicit overwrite with the new schema is the sanctioned path
+    v = table_commit(
+        spark.createDataFrame([(2,)], "id long"), t, mode="overwrite"
+    )
+    assert v == 1
+
+
+def test_table_compact_atomic(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_compact,
+        table_vacuum,
+    )
+
+    t = str(tmp_path / "t6")
+    for i in range(5):  # 5 fragmented commits
+        table_commit(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id").repartition(4), t
+        )
+    pre_files = len(
+        [f for f in __import__("os").listdir(f"{t}/data") if f.endswith(".parquet")]
+    )
+    v = table_compact(spark, t, target_file_mb=128)
+    assert table_read(spark, t).count() == 50
+    # pre-compaction snapshot still time-travelable until vacuum
+    assert table_read(spark, t, version=v - 1).count() == 50
+    hist = table_history(spark, t)
+    assert hist[-1]["action"] == "overwrite" and hist[-1]["n_files"] < pre_files
+    table_vacuum(spark, t)
+    assert table_read(spark, t).count() == 50
