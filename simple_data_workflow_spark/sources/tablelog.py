@@ -233,3 +233,13 @@ def table_compact(
     n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
     snapshot = table_read(spark, path).coalesce(n_files)
     return table_commit(snapshot, path, mode="overwrite")
+
+
+def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
+    """DELETE FROM table WHERE condition — survivors of the current
+    snapshot land as one atomic overwrite commit; the pre-delete
+    snapshot stays time-travelable (and physically reclaimable only via
+    log truncation + vacuum, which is the audit-friendly default).
+    Returns the new version."""
+    survivors = table_read(spark, path).where(f"NOT ({condition})")
+    return table_commit(survivors, path, mode="overwrite")

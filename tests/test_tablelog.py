@@ -119,3 +119,16 @@ def test_table_compact_atomic(spark, tmp_path):
     assert hist[-1]["action"] == "overwrite" and hist[-1]["n_files"] < pre_files
     table_vacuum(spark, t)
     assert table_read(spark, t).count() == 50
+
+
+def test_table_delete_where(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+
+    t = str(tmp_path / "t7")
+    table_commit(spark.range(0, 100).selectExpr("id", "id % 3 as g"), t)
+    v = table_delete_where(spark, t, "g = 1")
+    assert table_read(spark, t).count() == 67
+    assert table_read(spark, t).where("g = 1").count() == 0
+    # pre-delete snapshot intact (GDPR note: physical removal needs
+    # log truncation + vacuum; logical deletion is immediate)
+    assert table_read(spark, t, version=v - 1).count() == 100
