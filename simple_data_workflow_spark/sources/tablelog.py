@@ -243,3 +243,52 @@ def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
     Returns the new version."""
     survivors = table_read(spark, path).where(f"NOT ({condition})")
     return table_commit(survivors, path, mode="overwrite")
+
+
+def table_truncate_history(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> int:
+    """Drop log entries older than the last ``keep_last`` versions —
+    the retention knob that makes ``table_vacuum`` able to reclaim
+    space (a data file is deletable only when NO retained version
+    references it).
+
+    The oldest KEPT version must stand alone, so if it is an append
+    (its snapshot depends on earlier entries) it is first rewritten in
+    place as a self-contained entry listing its full resolved file set
+    — an O(log) metadata rewrite, no data movement. Returns the number
+    of log entries removed.
+    """
+    versions = _list_versions(spark, path)
+    if len(versions) <= keep_last:
+        return 0
+    cut = versions[-keep_last]
+    # make the cut version self-contained before dropping its ancestors
+    entry = _read_entry(spark, path, cut)
+    if entry["action"] == "append":
+        files = [f.rsplit("/", 1)[1] for f in _resolve_files(spark, path, cut)]
+        jvm, fs = _fs(spark, path)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/_log/.tmp-{uuid.uuid4().hex}.json"
+        )
+        out = fs.create(tmp, False)
+        try:
+            out.write(
+                json.dumps(
+                    {"action": "overwrite", "files": files, "schema": entry["schema"]}
+                ).encode("utf-8")
+            )
+        finally:
+            out.close()
+        target = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{cut:08d}.json")
+        fs.delete(target, False)
+        fs.rename(tmp, target)
+    jvm, fs = _fs(spark, path)
+    removed = 0
+    for v in versions:
+        if v < cut:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{v:08d}.json"), False
+            )
+            removed += 1
+    return removed

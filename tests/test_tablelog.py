@@ -132,3 +132,39 @@ def test_table_delete_where(spark, tmp_path):
     # pre-delete snapshot intact (GDPR note: physical removal needs
     # log truncation + vacuum; logical deletion is immediate)
     assert table_read(spark, t, version=v - 1).count() == 100
+
+
+def test_truncate_history_then_vacuum_reclaims(spark, tmp_path):
+    import os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_truncate_history,
+        table_vacuum,
+    )
+
+    t = str(tmp_path / "t8")
+    for i in range(4):
+        table_commit(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), t)
+    table_commit(spark.range(500, 505).selectExpr("id"), t, mode="overwrite")
+    pre = len([f for f in os.listdir(f"{t}/data") if f.endswith(".parquet")])
+    assert table_vacuum(spark, t) == 0  # everything still referenced
+    removed_log = table_truncate_history(spark, t, keep_last=1)
+    assert removed_log == 4
+    reclaimed = table_vacuum(spark, t)
+    assert reclaimed > 0 and reclaimed <= pre
+    assert {r["id"] for r in table_read(spark, t).collect()} == set(range(500, 505))
+
+
+def test_truncate_keeps_append_snapshot_self_contained(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_truncate_history,
+        table_vacuum,
+    )
+
+    t = str(tmp_path / "t9")
+    table_commit(spark.range(0, 10).selectExpr("id"), t)
+    table_commit(spark.range(10, 20).selectExpr("id"), t)  # append depends on v0
+    table_truncate_history(spark, t, keep_last=1)
+    table_vacuum(spark, t)
+    # the kept append was rewritten self-contained: full 20 rows survive
+    assert table_read(spark, t).count() == 20
