@@ -292,3 +292,25 @@ def table_truncate_history(
             )
             removed += 1
     return removed
+
+
+def table_update_where(
+    spark: SparkSession, path: str, set_exprs: dict, condition: str
+) -> int:
+    """UPDATE table SET col = expr, ... WHERE condition — rows matching
+    ``condition`` get each ``set_exprs`` column replaced by its SQL
+    expression (evaluated against the row), all others pass through;
+    one atomic overwrite commit. Completes the DML triad with
+    ``table_merge_upsert`` and ``table_delete_where``."""
+    from pyspark.sql import functions as F
+
+    snap = table_read(spark, path)
+    updated = snap.select(
+        *[
+            F.when(F.expr(condition), F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in snap.columns
+        ]
+    )
+    return table_commit(updated, path, mode="overwrite")

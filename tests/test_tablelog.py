@@ -168,3 +168,23 @@ def test_truncate_keeps_append_snapshot_self_contained(spark, tmp_path):
     table_vacuum(spark, t)
     # the kept append was rewritten self-contained: full 20 rows survive
     assert table_read(spark, t).count() == 20
+
+
+def test_table_update_where(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import table_update_where
+
+    t = str(tmp_path / "t10")
+    table_commit(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+            "id long, g string, v double",
+        ),
+        t,
+    )
+    v = table_update_where(spark, t, {"v": "v * 2"}, "g = 'a'")
+    got = {r["id"]: r["v"] for r in table_read(spark, t).collect()}
+    assert got == {1: 20.0, 2: 20.0, 3: 60.0}
+    # pre-update snapshot auditable
+    assert {r["id"]: r["v"] for r in table_read(spark, t, version=v - 1).collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0,
+    }
