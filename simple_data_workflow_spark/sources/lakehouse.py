@@ -4,6 +4,11 @@ These formats need their runtime jars on the Spark classpath, which this
 environment does not ship (pyspark + parquet only). The API surface is
 real; each call probes for the format and raises a clear error when the
 jar is absent, so downstream code can feature-gate cleanly.
+
+For the core mechanics WITHOUT external jars — atomic commits, snapshot
+isolation, time travel, MERGE/UPDATE/DELETE, retention + vacuum — use
+the native ``sources.tablelog`` module; this one exists to plug into
+the real formats when their runtimes are present.
 """
 
 from __future__ import annotations

@@ -298,3 +298,24 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     ).write.parquet(out2)
     compact_parquet(spark, out2, target_file_mb=1, order_cols=["id"])
     assert spark.read.parquet(out2).count() == 20_000
+
+
+def test_lakehouse_write_gate(spark, tmp_path):
+    """Env-gated lakehouse writer: clear NotImplementedError when the
+    format jar is absent (this container), clean ValueError on unknown
+    formats — the native sources.tablelog covers the mechanics here."""
+    import pytest
+
+    from simple_data_workflow_spark.sources.lakehouse import write_table
+
+    df = spark.range(3).selectExpr("id")
+    with pytest.raises(ValueError, match="unknown lakehouse format"):
+        write_table(df, "not_a_format", str(tmp_path / "x"))
+    try:
+        write_table(df, "delta", str(tmp_path / "d"))
+        wrote = True  # environment actually has delta — fine
+    except NotImplementedError as e:
+        wrote = False
+        assert "delta" in str(e)
+    if wrote:
+        assert spark.read.format("delta").load(str(tmp_path / "d")).count() == 3
