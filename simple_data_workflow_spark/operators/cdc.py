@@ -171,12 +171,18 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     union. One shuffle on the key for each leg.
     """
     others = [c for c in updates.columns if c != key]
-    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in others])
-    latest = (
-        updates.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    if others:
+        w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in others])
+        latest = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        # key-only batch: duplicates are identical rows, so a distinct
+        # is the dedupe (a row_number over an order-less window would
+        # fail analysis)
+        latest = updates.distinct()
     untouched = target.join(latest, on=key, how="left_anti")
     return untouched.unionByName(latest)
 

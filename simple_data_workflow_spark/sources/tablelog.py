@@ -13,14 +13,30 @@ plain parquet works:
 - **Commit = one atomic rename** of a staged log entry to the next
   version number. Rename-if-absent is the concurrency primitive
   (atomic on local FS/HDFS; on S3 use a coordinating layer — same
-  caveat the real formats carry). Losing a race re-stages against the
-  next version: optimistic concurrency, append wins are commutative.
+  caveat the real formats carry). An append losing a race re-stages
+  against the next slot (append wins are commutative); a
+  read-modify-write commit (DML, compact) records the ``base`` version
+  it was computed from and RAISES :class:`ConcurrentWriteConflict` if
+  any other commit won in between — optimistic concurrency with real
+  write-conflict detection, not silent lost updates.
 - **Snapshot isolation**: a read resolves the log ONCE (replay:
-  ``overwrite`` resets the file set, ``append`` extends it) and scans
-  the resolved file list explicitly — concurrent commits cannot tear
-  an in-flight read. ``version=`` gives time travel to any retained
-  snapshot.
-- **Vacuum** deletes data files no retained version references.
+  ``overwrite`` resets the file set, ``append`` extends it, ``delta``
+  applies an add/remove file delta) and scans the resolved file list
+  explicitly — concurrent commits cannot tear an in-flight read.
+  ``version=`` gives time travel to any retained snapshot.
+- **File-granular DML**: DELETE/UPDATE/MERGE rewrite ONLY the data
+  files that contain affected rows (found by one predicate-pushed
+  scan where parquet row-group min/max stats skip untouched files at
+  footer cost) and commit an add/remove delta — a DELETE touching
+  0.1% of a 100 TB table rewrites ~0.1% of it, not 100 TB.
+- **Checkpoints** (``<%08d>.checkpoint.json`` = the fully resolved
+  file set after that version) are written every
+  :data:`CHECKPOINT_INTERVAL` commits, so snapshot resolution reads
+  one checkpoint + a bounded tail instead of O(versions) entries —
+  the same fix Delta's ``_last_checkpoint`` applies to log growth.
+- **Vacuum** deletes data files no retained version references, gated
+  by a modification-time retention window so it can never reap the
+  just-staged files of a racing in-flight commit.
 
 At 100 TB the log stays tiny (file lists, not data), reads are plain
 parquet scans of the resolved files (pushdown/pruning intact), and the
@@ -30,10 +46,29 @@ real formats work.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: a full-state checkpoint is written after every Nth commit; snapshot
+#: resolution then reads 1 checkpoint + at most N-1 tail entries.
+CHECKPOINT_INTERVAL = 10
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """A read-modify-write commit (DML/compact) found that the table
+    advanced past the snapshot it was computed from. Re-run the
+    operation against the current snapshot — blindly retrying would
+    silently discard the interleaved commit (lost update), which is
+    exactly what the real formats' ConcurrentModificationException
+    exists to prevent."""
+
+
+# ---------------------------------------------------------------- fs helpers
 
 
 def _fs(spark: SparkSession, path: str):
@@ -42,66 +77,130 @@ def _fs(spark: SparkSession, path: str):
     return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
-def _list_versions(spark: SparkSession, path: str) -> list[int]:
+def _list_log(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
+    """(entry versions, checkpoint versions), each sorted ascending."""
     jvm, fs = _fs(spark, path)
     log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_log")
     if not fs.exists(log_dir):
-        return []
-    out = []
+        return [], []
+    entries, cps = [], []
     for st in fs.listStatus(log_dir):
         name = st.getPath().getName()
-        if name.endswith(".json") and not name.startswith("."):
-            out.append(int(name[:-5]))
-    return sorted(out)
+        if name.startswith("."):
+            continue
+        if name.endswith(".checkpoint.json"):
+            cps.append(int(name[: -len(".checkpoint.json")]))
+        elif name.endswith(".json"):
+            entries.append(int(name[:-5]))
+    return sorted(entries), sorted(cps)
 
 
-def _read_entry(spark: SparkSession, path: str, version: int) -> dict:
+def _read_json(spark: SparkSession, path: str, name: str) -> dict:
     jvm, fs = _fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{version:08d}.json")
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{name}")
     stream = fs.open(p)
     try:
-        data = bytes(
-            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
     return json.loads(data.decode("utf-8"))
 
 
-def table_commit(
-    df: DataFrame,
-    path: str,
-    mode: str = "append",
-    max_retries: int = 10,
-) -> int:
-    """Commit ``df`` as one atomic version; returns the version number.
+def _write_json_if_absent(
+    spark: SparkSession, path: str, name: str, payload: dict
+) -> bool:
+    """Stage under a dot-name, then rename-if-absent to ``name`` —
+    the atomic publish primitive. Returns whether the rename won."""
+    jvm, fs = _fs(spark, path)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/_log"))
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/.tmp-{uuid.uuid4().hex}.json")
+    out = fs.create(tmp, False)
+    try:
+        out.write(json.dumps(payload).encode("utf-8"))
+    finally:
+        out.close()
+    target = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{name}")
+    if not fs.exists(target) and fs.rename(tmp, target):
+        return True
+    fs.delete(tmp, False)
+    return False
 
-    Data files stage under ``data/`` first (invisible), then the log
-    entry is staged and renamed to the next version slot. A rename loss
-    (concurrent writer took the slot) retries against the following
-    slot — the already-staged data files are reused, so a retry costs
-    one small rename, not a rewrite.
-    """
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+
+# ------------------------------------------------------------- log resolve
+
+
+def _resolve_state(
+    spark: SparkSession, path: str, version: int | None
+) -> dict:
+    """Resolve ``{"version", "files", "schema"}`` at ``version`` (or
+    latest): start from the newest checkpoint at-or-before it, replay
+    the ≤ CHECKPOINT_INTERVAL tail entries after it. Bounded log reads
+    per resolve regardless of table age."""
+    entries, cps = _list_log(spark, path)
+    if not entries and not cps:
+        raise FileNotFoundError(f"no table log under {path}")
+    latest = max(entries[-1] if entries else -1, cps[-1] if cps else -1)
+    upto = latest if version is None else version
+    if upto not in set(entries) | set(cps):
+        raise ValueError(
+            f"version {upto} not in retained log (entries {entries}, "
+            f"checkpoints {cps})"
+        )
+    start_cp = max((c for c in cps if c <= upto), default=None)
+    files: list[str] = []
+    schema: str | None = None
+    if start_cp is not None:
+        cp = _read_json(spark, path, f"{start_cp:08d}.checkpoint.json")
+        files, schema = list(cp["files"]), cp.get("schema")
+        replay_from = start_cp + 1
+    else:
+        if entries[0] != 0:
+            raise ValueError(
+                f"history before version {entries[0]} was truncated and no "
+                f"checkpoint covers version {upto}"
+            )
+        replay_from = 0
+    for v in entries:
+        if v < replay_from or v > upto:
+            continue
+        e = _read_json(spark, path, f"{v:08d}.json")
+        action = e["action"]
+        if action == "overwrite":
+            files = list(e["files"])
+        elif action == "append":
+            files.extend(e["files"])
+        elif action == "delta":
+            removed = set(e["remove"])
+            files = [f for f in files if f not in removed]
+            files.extend(e["add"])
+        else:  # pragma: no cover - future-proofing
+            raise ValueError(f"unknown log action {action!r} at version {v}")
+        schema = e.get("schema", schema)
+    return {"version": upto, "files": files, "schema": schema}
+
+
+def _entry_adds(e: dict) -> list[str]:
+    """Data files a log entry introduces (``files`` for append /
+    overwrite, ``add`` for delta). A delta's ``remove`` list is NOT a
+    reference — those files are referenced by the OLDER entries that
+    added them, which is what keeps them time-travelable."""
+    return list(e.get("files", [])) + list(e.get("add", []))
+
+
+# ------------------------------------------------------------------ commit
+
+
+def _stage_data_files(df: DataFrame, path: str, writer=None) -> list[str]:
+    """Write ``df`` under ``data/.stage-*`` (invisible), rename each
+    parquet part to a uuid name directly under ``data/``, return the
+    names. Files stay invisible until a log entry references them."""
     spark = df.sparkSession
-    if mode == "append":
-        versions = _list_versions(spark, path)
-        if versions:
-            prev = _read_entry(spark, path, versions[-1])["schema"]
-            cur = df.schema.simpleString()
-            if prev != cur:
-                # a mismatched append would poison every later snapshot
-                # read (parquet union of incompatible files). Evolve
-                # explicitly: read_evolved_parquet + overwrite commit.
-                raise TypeError(
-                    f"append schema drift at {path}: table has {prev}, "
-                    f"batch has {cur} — align the batch or commit an "
-                    "explicit overwrite after widening"
-                )
     jvm, fs = _fs(spark, path)
     staging = f"{path}/data/.stage-{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(staging)
+    if writer is not None:
+        writer(df, staging)
+    else:
+        df.write.mode("overwrite").parquet(staging)
     files = []
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
         name = st.getPath().getName()
@@ -113,48 +212,102 @@ def table_commit(
         )
         files.append(final)
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-    entry = json.dumps(
-        {"action": mode, "files": files, "schema": df.schema.simpleString()}
-    ).encode("utf-8")
-    log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_log")
-    fs.mkdirs(log_dir)
-    for _ in range(max_retries):
-        versions = _list_versions(spark, path)
-        next_v = (versions[-1] + 1) if versions else 0
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/_log/.tmp-{uuid.uuid4().hex}.json"
+    return files
+
+
+def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Best-effort full-state checkpoint after a won commit. Failure is
+    harmless (resolution falls back to replaying more entries), so it
+    never fails the commit that already succeeded."""
+    if version <= 0 or version % CHECKPOINT_INTERVAL != 0:
+        return
+    with contextlib.suppress(Exception):
+        state = _resolve_state(spark, path, version)
+        _write_json_if_absent(
+            spark,
+            path,
+            f"{version:08d}.checkpoint.json",
+            {"files": state["files"], "schema": state["schema"]},
         )
-        out = fs.create(tmp, False)
-        try:
-            out.write(entry)
-        finally:
-            out.close()
-        target = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{next_v:08d}.json")
-        # rename-if-absent: the loser of a concurrent race sees False
-        # (target exists) and retries against the next slot
-        if not fs.exists(target) and fs.rename(tmp, target):
+
+
+def _commit_entry(
+    spark: SparkSession,
+    path: str,
+    entry: dict,
+    base: int | None = None,
+    max_retries: int = 10,
+) -> int:
+    """Publish ``entry`` into the next log slot.
+
+    ``base`` is the snapshot version a read-modify-write commit was
+    computed from: the entry may then ONLY land in slot ``base + 1``;
+    any interleaved commit raises :class:`ConcurrentWriteConflict`
+    instead of silently dropping it. ``base=None`` (appends, blind
+    overwrites) retries freely — those carry no read dependency.
+    """
+    for _ in range(max_retries):
+        entries, cps = _list_log(spark, path)
+        latest = max(entries[-1] if entries else -1, cps[-1] if cps else -1)
+        next_v = latest + 1
+        if base is not None and next_v != base + 1:
+            raise ConcurrentWriteConflict(
+                f"{entry.get('op', entry['action'])} at {path} was computed "
+                f"against version {base} but the table advanced to {latest}; "
+                "re-run against the current snapshot"
+            )
+        if _write_json_if_absent(spark, path, f"{next_v:08d}.json", entry):
+            _maybe_checkpoint(spark, path, next_v)
             return next_v
-        fs.delete(tmp, False)
+        # lost the rename race; loop re-lists (and, with a base, the
+        # next iteration raises the conflict)
     raise RuntimeError(f"commit lost {max_retries} races at {path}")
 
 
-def _resolve_files(spark: SparkSession, path: str, version: int | None) -> list[str]:
-    versions = _list_versions(spark, path)
-    if not versions:
-        raise FileNotFoundError(f"no table log under {path}")
-    upto = versions[-1] if version is None else version
-    if upto not in versions:
-        raise ValueError(f"version {upto} not in retained log {versions}")
-    files: list[str] = []
-    for v in versions:
-        if v > upto:
-            break
-        entry = _read_entry(spark, path, v)
-        if entry["action"] == "overwrite":
-            files = list(entry["files"])
-        else:
-            files.extend(entry["files"])
-    return [f"{path}/data/{f}" for f in files]
+def table_commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    max_retries: int = 10,
+    base: int | None = None,
+) -> int:
+    """Commit ``df`` as one atomic version; returns the version number.
+
+    Data files stage under ``data/`` first (invisible), then the log
+    entry is staged and renamed to the next version slot. An append
+    losing the rename race retries against the following slot (the
+    staged data files are reused — a retry costs one small rename, not
+    a rewrite). An ``overwrite`` computed FROM a snapshot should pass
+    ``base=`` that snapshot's version: it then conflicts instead of
+    silently discarding an interleaved commit. ``base=None`` overwrite
+    is the blind replace-table-contents form and retries freely.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+    spark = df.sparkSession
+    if mode == "append":
+        try:
+            prev = _resolve_state(spark, path, None)["schema"]
+        except FileNotFoundError:
+            prev = None
+        cur = df.schema.simpleString()
+        if prev is not None and prev != cur:
+            # a mismatched append would poison every later snapshot
+            # read (parquet union of incompatible files). Evolve
+            # explicitly: read_evolved_parquet + overwrite commit.
+            raise TypeError(
+                f"append schema drift at {path}: table has {prev}, "
+                f"batch has {cur} — align the batch or commit an "
+                "explicit overwrite after widening"
+            )
+    files = _stage_data_files(df, path)
+    entry = {"action": mode, "files": files, "schema": df.schema.simpleString()}
+    if base is not None:
+        entry["base"] = base
+    return _commit_entry(spark, path, entry, base=base, max_retries=max_retries)
+
+
+# ------------------------------------------------------------------- reads
 
 
 def table_read(
@@ -163,86 +316,270 @@ def table_read(
     """Snapshot read (latest, or time travel to ``version``): resolves
     the log once and scans the resolved file list explicitly — a
     concurrent commit cannot tear the read."""
-    return spark.read.parquet(*_resolve_files(spark, path, version))
+    state = _resolve_state(spark, path, version)
+    if not state["files"]:
+        # an empty snapshot (e.g. DELETE matched everything): surface
+        # an empty frame with the logged schema, not a read error
+        return spark.createDataFrame([], state["schema"])
+    return spark.read.parquet(*[f"{path}/data/{f}" for f in state["files"]])
 
 
 def table_history(spark: SparkSession, path: str) -> list[dict]:
-    """The commit log, oldest first: version, action, file count."""
+    """The commit log, oldest first: version, action, op (for DML),
+    files added/removed."""
     out = []
-    for v in _list_versions(spark, path):
-        e = _read_entry(spark, path, v)
-        out.append({"version": v, "action": e["action"], "n_files": len(e["files"])})
+    entries, _ = _list_log(spark, path)
+    for v in entries:
+        e = _read_json(spark, path, f"{v:08d}.json")
+        out.append(
+            {
+                "version": v,
+                "action": e["action"],
+                "op": e.get("op", e["action"]),
+                "n_files": len(_entry_adds(e)),
+                "n_removed": len(e.get("remove", [])),
+            }
+        )
     return out
 
 
-def table_vacuum(spark: SparkSession, path: str) -> int:
+# ------------------------------------------------------------------ vacuum
+
+
+def table_vacuum(
+    spark: SparkSession, path: str, retention_hours: float = 168.0
+) -> int:
     """Delete data files referenced by NO retained version (failed
-    stagings, files dropped by overwrites whose history was truncated).
-    Returns the number of files removed."""
-    spark_versions = _list_versions(spark, path)
+    stagings, files dropped by overwrites/deltas whose history was
+    truncated). Returns the number of files/dirs removed.
+
+    Only files OLDER than ``retention_hours`` are touched: a racing
+    in-flight commit renames its data files into ``data/`` BEFORE its
+    log entry exists, so without the age gate a vacuum could reap
+    files the racing commit is about to reference — the same reason
+    Delta refuses sub-retention vacuums by default. ``0`` is allowed
+    for single-writer maintenance windows; with concurrent writers
+    keep it above any writer's stage-to-commit latency.
+    """
+    entries, cps = _list_log(spark, path)
     referenced: set[str] = set()
-    for v in spark_versions:
-        referenced.update(_read_entry(spark, path, v)["files"])
+    for v in entries:
+        referenced.update(_entry_adds(_read_json(spark, path, f"{v:08d}.json")))
+    for c in cps:
+        referenced.update(
+            _read_json(spark, path, f"{c:08d}.checkpoint.json")["files"]
+        )
     jvm, fs = _fs(spark, path)
     data_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
-    removed = 0
     if not fs.exists(data_dir):
         return 0
+    horizon_ms = (time.time() - retention_hours * 3600.0) * 1000.0
+    removed = 0
     for st in fs.listStatus(data_dir):
         name = st.getPath().getName()
+        if st.getModificationTime() > horizon_ms:
+            continue  # young: may belong to an in-flight commit
         if st.isDirectory() or name not in referenced:
             fs.delete(st.getPath(), True)
             removed += 1
     return removed
 
 
+# ------------------------------------------------- file-granular DML triad
+
+
+def _touched_files(
+    spark: SparkSession, path: str, files: list[str], condition
+) -> list[str]:
+    """Names of the snapshot files that contain ≥1 row matching
+    ``condition`` — the copy-on-write candidate set.
+
+    One predicate-pushed scan: parquet row-group min/max stats let the
+    reader skip whole files whose ranges exclude the predicate at
+    footer cost (this IS the min/max prune — done by the scan, not by
+    re-implementing expression evaluation over footer stats driver
+    side), and the map-side-combined ``distinct`` over
+    ``input_file_name`` shuffles at most one row per touched file.
+    The collect is bounded by the snapshot's file count."""
+    scan = spark.read.parquet(*[f"{path}/data/{f}" for f in files])
+    rows = (
+        scan.where(condition)
+        .select(F.input_file_name().alias("__f"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["__f"].rsplit("/", 1)[-1] for r in rows)
+
+
+def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
+    """DELETE FROM table WHERE condition, file-granular copy-on-write:
+    only data files containing matching rows are rewritten (survivors
+    restaged), everything else survives BYTE-IDENTICAL under its old
+    name, and the commit is one atomic add/remove delta. Rows where
+    the condition is NULL survive (SQL DELETE semantics). The
+    pre-delete snapshot stays time-travelable (physically reclaimable
+    via log truncation + vacuum). Conflicts (any interleaved commit)
+    raise :class:`ConcurrentWriteConflict`. Returns the new version,
+    or the current one if nothing matched."""
+    state = _resolve_state(spark, path, None)
+    cond = F.expr(condition)
+    touched = _touched_files(spark, path, state["files"], cond)
+    if not touched:
+        return state["version"]
+    survivors = spark.read.parquet(
+        *[f"{path}/data/{f}" for f in touched]
+    ).where(~F.coalesce(cond, F.lit(False)))
+    added = _stage_data_files(survivors, path)
+    entry = {
+        "action": "delta",
+        "add": added,
+        "remove": touched,
+        "schema": state["schema"],
+        "base": state["version"],
+        "op": "delete",
+    }
+    return _commit_entry(spark, path, entry, base=state["version"])
+
+
+def table_update_where(
+    spark: SparkSession, path: str, set_exprs: dict, condition: str
+) -> int:
+    """UPDATE table SET col = expr, ... WHERE condition, file-granular:
+    only files containing matching rows are rewritten (matching rows
+    get each ``set_exprs`` column replaced by its SQL expression,
+    non-matching rows in those files pass through unchanged), the rest
+    of the table is untouched, one atomic add/remove delta commit.
+    Returns the new version, or the current one if nothing matched."""
+    state = _resolve_state(spark, path, None)
+    cond = F.expr(condition)
+    touched = _touched_files(spark, path, state["files"], cond)
+    if not touched:
+        return state["version"]
+    hit = F.coalesce(cond, F.lit(False))
+    snap = spark.read.parquet(*[f"{path}/data/{f}" for f in touched])
+    updated = snap.select(
+        *[
+            # cast SET back to the column's declared type: SQL UPDATE
+            # never changes a column's type, and a silently-widened
+            # rewrite (e.g. decimal precision growth) would make the
+            # rewritten files unreadable in union with untouched ones
+            F.when(hit, F.expr(set_exprs[c]).cast(snap.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in snap.columns
+        ]
+    )
+    added = _stage_data_files(updated, path)
+    entry = {
+        "action": "delta",
+        "add": added,
+        "remove": touched,
+        "schema": state["schema"],
+        "base": state["version"],
+        "op": "update",
+    }
+    return _commit_entry(spark, path, entry, base=state["version"])
+
+
 def table_merge_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key: str
 ) -> int:
-    """MERGE INTO on the table format: batch rows win on key collision,
-    unmatched target rows survive, the result lands as ONE atomic
-    overwrite commit — readers see the pre- or post-merge snapshot,
-    never a mix. Returns the new version.
+    """MERGE INTO, file-granular: batch rows win on key collision,
+    unmatched target rows survive, brand-new keys insert — but only
+    the data files that CONTAIN a colliding key are rewritten; pure
+    inserts and untouched files ride along in one atomic add/remove
+    delta commit. Semantics come from ``operators.cdc.merge_upsert``
+    applied to the touched subset. Returns the new version.
 
-    Built from ``operators.cdc.merge_upsert`` over the latest snapshot;
-    the optimistic-concurrency caveat of read-modify-write applies (two
-    concurrent merges serialize by commit order, the later one not
-    seeing the earlier's rows — serialize merge writers per table, as
-    the real formats also require for overlapping keys).
+    The touched-file probe broadcasts the batch's key set (MERGE
+    batches are small relative to the table; for a table-sized batch
+    use an overwrite rebuild instead). Interleaved commits raise
+    :class:`ConcurrentWriteConflict` — the lost-update hazard the
+    round-6 docstring could only warn about is now detected.
     """
     from simple_data_workflow_spark.operators.cdc import merge_upsert
 
-    current = table_read(spark, path)
-    merged = merge_upsert(current, updates, key)
-    return table_commit(merged, path, mode="overwrite")
+    state = _resolve_state(spark, path, None)
+    snap = spark.read.parquet(*[f"{path}/data/{f}" for f in state["files"]])
+    keys = updates.select(key).distinct()
+    rows = (
+        snap.join(F.broadcast(keys), key, "left_semi")
+        .select(F.input_file_name().alias("__f"))
+        .distinct()
+        .collect()
+    )
+    touched = sorted(r["__f"].rsplit("/", 1)[-1] for r in rows)
+    # every target row with a colliding key lives in a touched file by
+    # construction, so merging the touched subset is exact
+    target = (
+        spark.read.parquet(*[f"{path}/data/{f}" for f in touched])
+        if touched
+        else snap.limit(0)
+    )
+    merged = merge_upsert(target, updates, key)
+    added = _stage_data_files(merged, path)
+    entry = {
+        "action": "delta",
+        "add": added,
+        "remove": touched,
+        "schema": state["schema"],
+        "base": state["version"],
+        "op": "merge",
+    }
+    return _commit_entry(spark, path, entry, base=state["version"])
+
+
+# ------------------------------------------------------------- maintenance
 
 
 def table_compact(
-    spark: SparkSession, path: str, target_file_mb: int = 128
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    zorder_by: list[str] | None = None,
+    num_files: int | None = None,
 ) -> int:
     """Compact the table's CURRENT snapshot into ~``target_file_mb``
     files as one atomic overwrite commit — the log-native sibling of
     ``sinks.compact_parquet`` (no rename dance: the old fragmented
     files simply stop being referenced, stay time-travelable until
     ``table_vacuum``, and a failure mid-compaction leaves the log
-    untouched). Returns the new version."""
+    untouched).
+
+    ``zorder_by=[col, ...]`` additionally re-clusters the snapshot on
+    a Morton curve over those columns (``sinks.write_zorder_parquet``:
+    range shuffle on the interleaved code, pure codegen) so per-file
+    min/max stats tighten on EVERY listed column — the engine-level
+    ``OPTIMIZE ZORDER BY``. Interleaved commits conflict rather than
+    being silently dropped. Returns the new version."""
+    state = _resolve_state(spark, path, None)
     jvm, fs = _fs(spark, path)
     total = 0
-    for f in _resolve_files(spark, path, None):
-        total += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
-    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
-    snapshot = table_read(spark, path).coalesce(n_files)
-    return table_commit(snapshot, path, mode="overwrite")
+    for f in state["files"]:
+        total += fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/data/{f}")
+        ).getLen()
+    n_files = num_files or max(1, round(total / (target_file_mb * 1024 * 1024)))
+    snapshot = spark.read.parquet(*[f"{path}/data/{f}" for f in state["files"]])
+    if zorder_by:
+        from simple_data_workflow_spark.sources.sinks import write_zorder_parquet
 
-
-def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
-    """DELETE FROM table WHERE condition — survivors of the current
-    snapshot land as one atomic overwrite commit; the pre-delete
-    snapshot stays time-travelable (and physically reclaimable only via
-    log truncation + vacuum, which is the audit-friendly default).
-    Returns the new version."""
-    survivors = table_read(spark, path).where(f"NOT ({condition})")
-    return table_commit(survivors, path, mode="overwrite")
+        writer = lambda df, staging: write_zorder_parquet(  # noqa: E731
+            df, staging, zorder_by, num_files=n_files
+        )
+        added = _stage_data_files(snapshot, path, writer=writer)
+    else:
+        added = _stage_data_files(snapshot.coalesce(n_files), path)
+    entry = {
+        "action": "overwrite",
+        "files": added,
+        "schema": state["schema"],
+        "base": state["version"],
+        "op": "compact",
+    }
+    return _commit_entry(spark, path, entry, base=state["version"])
 
 
 def table_truncate_history(
@@ -253,64 +590,38 @@ def table_truncate_history(
     space (a data file is deletable only when NO retained version
     references it).
 
-    The oldest KEPT version must stand alone, so if it is an append
-    (its snapshot depends on earlier entries) it is first rewritten in
-    place as a self-contained entry listing its full resolved file set
-    — an O(log) metadata rewrite, no data movement. Returns the number
-    of log entries removed.
+    Crash-safe sequencing: FIRST publish a full-state checkpoint at
+    the cut version (atomic rename of a new file — the original entry
+    is never deleted-then-rewritten), VERIFY it exists, THEN delete
+    the ancestor entries. A crash at any point leaves either extra
+    retained history (harmless) or the completed truncation — never a
+    version that resolves to partial data. Returns the number of log
+    entries removed.
     """
-    versions = _list_versions(spark, path)
-    if len(versions) <= keep_last:
+    entries, cps = _list_log(spark, path)
+    if len(entries) <= keep_last:
         return 0
-    cut = versions[-keep_last]
-    # make the cut version self-contained before dropping its ancestors
-    entry = _read_entry(spark, path, cut)
-    if entry["action"] == "append":
-        files = [f.rsplit("/", 1)[1] for f in _resolve_files(spark, path, cut)]
-        jvm, fs = _fs(spark, path)
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/_log/.tmp-{uuid.uuid4().hex}.json"
-        )
-        out = fs.create(tmp, False)
-        try:
-            out.write(
-                json.dumps(
-                    {"action": "overwrite", "files": files, "schema": entry["schema"]}
-                ).encode("utf-8")
-            )
-        finally:
-            out.close()
-        target = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{cut:08d}.json")
-        fs.delete(target, False)
-        fs.rename(tmp, target)
+    cut = entries[-keep_last]
+    state = _resolve_state(spark, path, cut)
     jvm, fs = _fs(spark, path)
-    removed = 0
-    for v in versions:
-        if v < cut:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{v:08d}.json"), False
-            )
-            removed += 1
-    return removed
-
-
-def table_update_where(
-    spark: SparkSession, path: str, set_exprs: dict, condition: str
-) -> int:
-    """UPDATE table SET col = expr, ... WHERE condition — rows matching
-    ``condition`` get each ``set_exprs`` column replaced by its SQL
-    expression (evaluated against the row), all others pass through;
-    one atomic overwrite commit. Completes the DML triad with
-    ``table_merge_upsert`` and ``table_delete_where``."""
-    from pyspark.sql import functions as F
-
-    snap = table_read(spark, path)
-    updated = snap.select(
-        *[
-            F.when(F.expr(condition), F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
-            if c in set_exprs
-            else F.col(c)
-            for c in snap.columns
-        ]
+    cp_name = f"{cut:08d}.checkpoint.json"
+    _write_json_if_absent(
+        spark, path, cp_name, {"files": state["files"], "schema": state["schema"]}
     )
-    return table_commit(updated, path, mode="overwrite")
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{cp_name}")):
+        raise RuntimeError(
+            f"checkpoint {cp_name} failed to publish; aborting truncation "
+            "with all history intact"
+        )
+    removed = 0
+    for v in entries:
+        if v < cut:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{v:08d}.json"), False)
+            removed += 1
+    for c in cps:
+        if c < cut:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{c:08d}.checkpoint.json"),
+                False,
+            )
+    return removed

@@ -58,7 +58,6 @@ def merge_upsert_partitions(
     touched = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
     if not touched:
         return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch_df = batch_df.localCheckpoint(eager=True)  # sever from the streaming plan
     if _target_exists(spark, target_path):
         # Any failure past this point (FS flake, schema drift breaking
@@ -76,7 +75,11 @@ def merge_upsert_partitions(
     else:  # first batch: target doesn't exist yet
         merged = batch_df
     (
+        # per-write dynamic overwrite (only touched partitions replaced)
+        # instead of mutating the shared session conf, which would leak
+        # into unrelated partitioned overwrites later in the session
         merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(target_path)
     )
@@ -239,7 +242,7 @@ def streaming_table_upsert_sink(
     via ``table_merge_upsert``; the merge serializes per table, which
     foreachBatch's sequential batch execution guarantees."""
     from simple_data_workflow_spark.sources.tablelog import (
-        _list_versions,
+        _list_log,
         table_commit,
         table_merge_upsert,
     )
@@ -251,7 +254,7 @@ def streaming_table_upsert_sink(
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
-        if _list_versions(spark, table_path):
+        if any(_list_log(spark, table_path)):
             table_merge_upsert(spark, table_path, batch_df, key)
         else:
             table_commit(batch_df, table_path, mode="append")

@@ -42,7 +42,7 @@ def test_unreferenced_staging_invisible_and_vacuumed(spark, tmp_path):
     )
     # invisible to reads (log never referenced it)
     assert table_read(spark, t).count() == 5
-    removed = table_vacuum(spark, t)
+    removed = table_vacuum(spark, t, retention_hours=0)
     assert removed >= 1
     assert table_read(spark, t).count() == 5  # referenced files untouched
 
@@ -117,7 +117,7 @@ def test_table_compact_atomic(spark, tmp_path):
     assert table_read(spark, t, version=v - 1).count() == 50
     hist = table_history(spark, t)
     assert hist[-1]["action"] == "overwrite" and hist[-1]["n_files"] < pre_files
-    table_vacuum(spark, t)
+    table_vacuum(spark, t, retention_hours=0)
     assert table_read(spark, t).count() == 50
 
 
@@ -147,10 +147,10 @@ def test_truncate_history_then_vacuum_reclaims(spark, tmp_path):
         table_commit(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), t)
     table_commit(spark.range(500, 505).selectExpr("id"), t, mode="overwrite")
     pre = len([f for f in os.listdir(f"{t}/data") if f.endswith(".parquet")])
-    assert table_vacuum(spark, t) == 0  # everything still referenced
+    assert table_vacuum(spark, t, retention_hours=0) == 0  # everything still referenced
     removed_log = table_truncate_history(spark, t, keep_last=1)
     assert removed_log == 4
-    reclaimed = table_vacuum(spark, t)
+    reclaimed = table_vacuum(spark, t, retention_hours=0)
     assert reclaimed > 0 and reclaimed <= pre
     assert {r["id"] for r in table_read(spark, t).collect()} == set(range(500, 505))
 
@@ -165,7 +165,7 @@ def test_truncate_keeps_append_snapshot_self_contained(spark, tmp_path):
     table_commit(spark.range(0, 10).selectExpr("id"), t)
     table_commit(spark.range(10, 20).selectExpr("id"), t)  # append depends on v0
     table_truncate_history(spark, t, keep_last=1)
-    table_vacuum(spark, t)
+    table_vacuum(spark, t, retention_hours=0)
     # the kept append was rewritten self-contained: full 20 rows survive
     assert table_read(spark, t).count() == 20
 
@@ -188,3 +188,292 @@ def test_table_update_where(spark, tmp_path):
     assert {r["id"]: r["v"] for r in table_read(spark, t, version=v - 1).collect()} == {
         1: 10.0, 2: 20.0, 3: 30.0,
     }
+
+
+# ------------------------- round 7: file-granular DML, conflicts, checkpoints
+
+
+def _data_files(t):
+    import os
+
+    return sorted(f for f in os.listdir(f"{t}/data") if f.endswith(".parquet"))
+
+
+def test_delete_is_file_granular(spark, tmp_path):
+    """A selective DELETE must rewrite ONLY the files containing
+    matching rows: untouched files survive under their old names,
+    byte-identical, and the log shows an add/remove delta commit."""
+    import os
+
+    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+
+    t = str(tmp_path / "fg1")
+    # 4 separate appends -> 4+ data files with disjoint id ranges
+    for i in range(4):
+        table_commit(
+            spark.range(i * 100, (i + 1) * 100).selectExpr("id", "id % 7 as g"), t
+        )
+    before = {
+        f: os.path.getmtime(f"{t}/data/{f}") for f in _data_files(t)
+    }
+    sizes = {f: os.path.getsize(f"{t}/data/{f}") for f in before}
+    v = table_delete_where(spark, t, "id between 150 and 160")
+    after = set(_data_files(t))
+    # every file except the one holding ids 100..199 survives unmodified
+    survivors = set(before) & after
+    assert len(survivors) >= len(before) - 1
+    for f in survivors:
+        assert os.path.getmtime(f"{t}/data/{f}") == before[f]
+        assert os.path.getsize(f"{t}/data/{f}") == sizes[f]
+    hist = table_history(spark, t)
+    assert hist[-1]["action"] == "delta" and hist[-1]["op"] == "delete"
+    assert 1 <= hist[-1]["n_removed"] <= len(before) - len(survivors) + 1
+    # correctness + time travel across the delta
+    assert table_read(spark, t).count() == 400 - 11
+    assert table_read(spark, t, version=v - 1).count() == 400
+
+
+def test_delete_null_condition_rows_survive(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+
+    t = str(tmp_path / "fg2")
+    table_commit(
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0)], "id long, v double"
+        ),
+        t,
+    )
+    table_delete_where(spark, t, "v > 20")
+    # SQL DELETE semantics: NULL-condition rows are NOT deleted
+    assert {r["id"] for r in table_read(spark, t).collect()} == {1, 2}
+
+
+def test_update_is_file_granular(spark, tmp_path):
+    import os
+
+    from simple_data_workflow_spark.sources.tablelog import table_update_where
+
+    t = str(tmp_path / "fg3")
+    for i in range(3):
+        table_commit(
+            spark.range(i * 50, (i + 1) * 50).selectExpr("id", "id * 1.0 as v"), t
+        )
+    before = set(_data_files(t))
+    table_update_where(spark, t, {"v": "v + 1000"}, "id >= 120")
+    survivors = set(before) & set(_data_files(t))
+    assert len(survivors) >= len(before) - 1  # only the 100..149 file rewritten
+    got = {r["id"]: r["v"] for r in table_read(spark, t).collect()}
+    assert got[0] == 0.0 and got[119] == 119.0 and got[120] == 1120.0
+    hist = table_history(spark, t)
+    assert hist[-1]["action"] == "delta" and hist[-1]["op"] == "update"
+
+
+def test_merge_is_file_granular_and_inserts(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import table_merge_upsert
+
+    t = str(tmp_path / "fg4")
+    for i in range(3):
+        table_commit(
+            spark.range(i * 10, (i + 1) * 10).selectExpr(
+                "id", "concat('v', id) as v"
+            ),
+            t,
+        )
+    before = set(_data_files(t))
+    # update key 15 (middle file), insert key 99 (no file)
+    table_merge_upsert(
+        spark,
+        t,
+        spark.createDataFrame([(15, "UPDATED"), (99, "NEW")], "id long, v string"),
+        "id",
+    )
+    survivors = set(before) & set(_data_files(t))
+    assert len(survivors) >= len(before) - 1  # only the colliding file rewritten
+    got = {r["id"]: r["v"] for r in table_read(spark, t).collect()}
+    assert got[15] == "UPDATED" and got[99] == "NEW" and got[0] == "v0"
+    assert len(got) == 31
+    hist = table_history(spark, t)
+    assert hist[-1]["action"] == "delta" and hist[-1]["op"] == "merge"
+
+
+def test_concurrent_overwrite_conflict_detected(spark, tmp_path):
+    import pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        ConcurrentWriteConflict,
+    )
+
+    t = str(tmp_path / "cw1")
+    base = table_commit(spark.range(0, 10).selectExpr("id"), t)
+    # a concurrent writer advances the table after our snapshot read
+    table_commit(spark.range(10, 20).selectExpr("id"), t)
+    with pytest.raises(ConcurrentWriteConflict):
+        table_commit(
+            spark.range(0, 5).selectExpr("id"), t, mode="overwrite", base=base
+        )
+    # blind overwrite (no read dependency) still goes through
+    v = table_commit(spark.range(0, 5).selectExpr("id"), t, mode="overwrite")
+    assert v == 2 and table_read(spark, t).count() == 5
+
+
+def test_dml_conflict_on_interleaved_commit(spark, tmp_path):
+    """A DML that raced a concurrent commit must raise, not silently
+    discard the interleaved write (lost update)."""
+    import pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        ConcurrentWriteConflict,
+        _commit_entry,
+        _resolve_state,
+    )
+
+    t = str(tmp_path / "cw2")
+    table_commit(spark.range(0, 10).selectExpr("id"), t)
+    state = _resolve_state(spark, t, None)  # DML reads its base snapshot
+    table_commit(spark.range(10, 20).selectExpr("id"), t)  # interleaver
+    entry = {
+        "action": "delta",
+        "add": [],
+        "remove": [state["files"][0]],
+        "schema": state["schema"],
+        "base": state["version"],
+        "op": "delete",
+    }
+    with pytest.raises(ConcurrentWriteConflict):
+        _commit_entry(spark, t, entry, base=state["version"])
+    # the interleaved append was preserved
+    assert table_read(spark, t).count() == 20
+
+
+def test_log_checkpointing_bounds_resolution(spark, tmp_path):
+    """Every CHECKPOINT_INTERVAL commits a full-state checkpoint lands;
+    snapshot resolution replays checkpoint + tail, and stays correct
+    after the pre-checkpoint entries are truncated away."""
+    import os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        CHECKPOINT_INTERVAL,
+        table_truncate_history,
+    )
+
+    t = str(tmp_path / "ckpt")
+    n = 2 * CHECKPOINT_INTERVAL + 5
+    for i in range(n):
+        table_commit(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), t)
+    cps = [f for f in os.listdir(f"{t}/_log") if f.endswith(".checkpoint.json")]
+    assert len(cps) >= 2  # at versions 10 and 20
+    assert table_read(spark, t).count() == n * 10
+    assert table_read(spark, t, version=CHECKPOINT_INTERVAL).count() == (
+        CHECKPOINT_INTERVAL + 1
+    ) * 10
+    # truncate to the last 3 versions: resolution now starts from the
+    # truncation checkpoint, old versions are gone, latest is intact
+    table_truncate_history(spark, t, keep_last=3)
+    assert table_read(spark, t).count() == n * 10
+    assert table_read(spark, t, version=n - 3).count() == (n - 2) * 10
+    import pytest
+
+    with pytest.raises(ValueError):
+        table_read(spark, t, version=0)
+
+
+def test_vacuum_retention_protects_young_files(spark, tmp_path):
+    """Vacuum must skip unreferenced files younger than the retention
+    window — they may belong to an in-flight commit that staged data
+    but has not yet published its log entry."""
+    import os
+
+    t = str(tmp_path / "ret")
+    table_commit(spark.range(0, 5).selectExpr("id"), t)
+    # an in-flight writer: staged data file + live .stage dir, no log entry
+    spark.range(90, 99).selectExpr("id").write.parquet(f"{t}/data/.stage-live")
+    spark.range(80, 89).selectExpr("id").write.parquet(f"{t}/data/orphan")
+    os.rename(
+        f"{t}/data/orphan/"
+        + next(f for f in os.listdir(f"{t}/data/orphan") if f.endswith(".parquet")),
+        f"{t}/data/cafebabe.parquet",
+    )
+    import shutil
+
+    shutil.rmtree(f"{t}/data/orphan")
+    # default retention: nothing young is touched
+    assert table_vacuum(spark, t) == 0
+    assert os.path.exists(f"{t}/data/.stage-live")
+    assert os.path.exists(f"{t}/data/cafebabe.parquet")
+    # explicit zero-retention maintenance window reclaims both
+    assert table_vacuum(spark, t, retention_hours=0) >= 2
+    assert not os.path.exists(f"{t}/data/.stage-live")
+    assert not os.path.exists(f"{t}/data/cafebabe.parquet")
+    assert table_read(spark, t).count() == 5
+
+
+def test_compact_zorder_clusters_both_columns(spark, tmp_path):
+    """table_compact(zorder_by=...) = OPTIMIZE ZORDER BY: post-compact
+    per-file bounding boxes are tight on EVERY clustered column, so a
+    range predicate on either one prunes most files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from simple_data_workflow_spark.sources.tablelog import table_compact
+
+    t = str(tmp_path / "zc")
+    df = spark.range(0, 400_000).selectExpr(
+        "cast(id % 2000 as double) as x",
+        "cast(pmod(hash(id), 2000) + 2000 as double) as y",
+    )
+    table_commit(df.repartition(8), t)
+    v = table_compact(spark, t, num_files=16, zorder_by=["x", "y"])
+    hist = table_history(spark, t)
+    assert hist[-1]["action"] == "overwrite" and hist[-1]["op"] == "compact"
+    from simple_data_workflow_spark.sources.tablelog import _resolve_state
+
+    files = _resolve_state(spark, t, v)["files"]
+    assert len(files) >= 4
+    bounds = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(t, "data", f)).metadata
+        per_col = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                lo, hi = per_col.get(col.path_in_schema, (st.min, st.max))
+                per_col[col.path_in_schema] = (min(lo, st.min), max(hi, st.max))
+        bounds.append(per_col)
+    domain = {
+        c: (min(b[c][0] for b in bounds), max(b[c][1] for b in bounds))
+        for c in ("x", "y")
+    }
+    for col, (lo_all, hi_all) in domain.items():
+        width = (hi_all - lo_all) * 0.1
+        q_lo, q_hi = lo_all + width, lo_all + 2 * width
+        overlapping = sum(
+            1 for b in bounds if not (b[col][1] < q_lo or b[col][0] > q_hi)
+        )
+        assert overlapping <= len(bounds) // 2, (
+            f"{col}: {overlapping}/{len(bounds)} files overlap a 10% range"
+        )
+    # rows survived the re-cluster
+    assert table_read(spark, t).count() == 400_000
+
+
+def test_delete_everything_yields_empty_snapshot(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+
+    t = str(tmp_path / "empty")
+    table_commit(spark.range(0, 10).selectExpr("id", "id*2 as v"), t)
+    table_delete_where(spark, t, "id >= 0")
+    got = table_read(spark, t)
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "v"}
+
+
+def test_delete_no_match_is_noop_version(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+
+    t = str(tmp_path / "noop")
+    v0 = table_commit(spark.range(0, 10).selectExpr("id"), t)
+    v = table_delete_where(spark, t, "id > 1000")
+    assert v == v0  # no new version committed
+    assert len(table_history(spark, t)) == 1
