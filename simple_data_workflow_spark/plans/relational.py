@@ -2623,40 +2623,52 @@ FROM l ORDER BY o_orderkey
 
 
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-returnflag quantity-weighted median of extended price via the
+    """Top-20 parts by quantity-weighted median extended price, via the
     GROUPED_AGG pandas-UDAF surface (``functions.aggregates``): JVM
     grouping/shuffle, one Arrow transfer per group, numpy crossing
-    search. Exact and engine-portable for integral weights; the oracle's
-    window-cumsum formulation is also the documented rewrite for groups
-    too large to materialize."""
+    search.
+
+    Grouped by ``l_partkey`` deliberately: a GROUPED_AGG UDF
+    materializes each group in executor memory, so the registered plan
+    must live in the regime the UDAF is designed for — many small
+    groups (part count scales with SF, rows-per-part stays ~30-ish
+    constant), never a handful of giant ones (a per-returnflag
+    grouping would pull ⅓ of lineitem into one pandas group at any
+    scale). For giant groups the oracle's window-cumsum formulation is
+    the documented rewrite (``tests/test_udaf.py`` pins the two
+    equal). Exact and engine-portable for integral weights. Top-k
+    output is a partial-ordered take, not a global sort; ties at the
+    boundary break on ``l_partkey`` so the selected set is
+    deterministic cross-engine."""
     from simple_data_workflow_spark.functions.aggregates import weighted_median_udaf
 
     li = _t(spark, sf_dir, "lineitem")
     wm = weighted_median_udaf()
     return (
-        li.groupBy("l_returnflag")
+        li.groupBy("l_partkey")
         # the UDAF must be the agg expression itself (a GROUPED_AGG UDF
         # cannot nest inside another expression in agg()); round after
         .agg(wm("l_extendedprice", "l_quantity").alias("__wm"))
-        .select(
-            "l_returnflag", F.round("__wm", 6).alias("w_median_price")
-        )
-        .orderBy("l_returnflag")
+        .select("l_partkey", F.round("__wm", 6).alias("w_median_price"))
+        .orderBy(F.desc("w_median_price"), F.asc("l_partkey"))
+        .limit(20)
     )
 
 
 WEIGHTED_MEDIAN_SQL = """
 WITH cw AS (
-  SELECT l_returnflag, l_extendedprice AS v,
-         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+  SELECT l_partkey, l_extendedprice AS v,
+         SUM(l_quantity) OVER (PARTITION BY l_partkey
                                ORDER BY l_extendedprice, l_orderkey, l_linenumber
                                ROWS UNBOUNDED PRECEDING) AS cum,
-         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+         SUM(l_quantity) OVER (PARTITION BY l_partkey) AS tot
   FROM lineitem
 )
-SELECT l_returnflag, ROUND(MIN(v), 6) AS w_median_price
+SELECT l_partkey, ROUND(MIN(v), 6) AS w_median_price
 FROM cw WHERE cum >= tot / 2.0
-GROUP BY l_returnflag ORDER BY l_returnflag
+GROUP BY l_partkey
+ORDER BY w_median_price DESC, l_partkey ASC
+LIMIT 20
 """
 
 
