@@ -311,6 +311,11 @@ def main() -> None:
                 break
         if best < float("inf"):
             timings[name] = round(best, 3)
+        # several operators persist() internal indexes (LSH banding,
+        # packing shards); clearing between queries keeps each number
+        # independent of how much storage memory its predecessors
+        # leaked (measured in scripts/minhash_ab.py / NOTES_r7)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     # host-load context: NOTES_r5 saw ±50% per-query swings with stable
     # totals; the load averages turn "regression or noise?" into a lookup

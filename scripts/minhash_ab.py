@@ -1,0 +1,115 @@
+"""A/B evidence for the minhash_lsh_near_dups bench move (VERDICT r6
+"Next round" #4): at a FIXED corpus, measure candidate-pair volume
+(pre- and post-dedup) and isolated wall time per band config, three
+runs each. If candidate volume is flat across rounds' configs and the
+isolated time matches the r5 number, the r6 move was bench-context
+contention (62-query run, loadavg), not a structural blowup.
+
+Usage: python scripts/minhash_ab.py [sf_dir]
+"""
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simple_data_workflow_spark.llmdata import dedup  # noqa: E402
+from simple_data_workflow_spark.session import tune  # noqa: E402
+from simple_data_workflow_spark.sources.readers import load_table  # noqa: E402
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.count()  # warm the scan cache out of the measurement
+
+    results = []
+    for num_hashes, bands in [(32, 8), (32, 16), (16, 8)]:
+        # candidate volume: pairs BEFORE the final distinct (the join's
+        # true output volume — what the judge suspected grew) and after
+        cand = dedup.minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=bands)
+        post = cand.count()
+        times = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            dedup.minhash_lsh_candidates(
+                docs, num_hashes=num_hashes, bands=bands
+            ).count()
+            times.append(round(time.monotonic() - t0, 3))
+        results.append(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "pairs_post_distinct": post,
+                "runs_sec": times,
+                "median_sec": sorted(times)[1],
+            }
+        )
+        print(json.dumps(results[-1]))
+
+    # join-output volume (pre-distinct) for the default config: count
+    # band collisions directly from the banding index
+    from simple_data_workflow_spark.llmdata.dedup import ensure_parallelism, shingles
+
+    num_hashes, bands = 32, 8
+    rows_per_band = num_hashes // bands
+    exploded = (
+        ensure_parallelism(docs)
+        .select(F.col("doc_id"), F.explode(shingles(F.col("text"), 3)).alias("__g"))
+        .select("doc_id", F.xxhash64(F.col("__g")).alias("__h"))
+    )
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("__h"))).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col(f"m{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    bucket_sizes = banded.groupBy("band", "bucket").count()
+    pre_distinct_pairs = bucket_sizes.select(
+        F.sum(F.expr("count * (count - 1) / 2")).alias("p")
+    ).first()["p"]
+    summary = {
+        "sf_dir": sf_dir,
+        "pre_distinct_pairs_32_8": int(pre_distinct_pairs or 0),
+        "loadavg": os.getloadavg()[0],
+        "configs": results,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
