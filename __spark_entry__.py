@@ -427,6 +427,68 @@ FROM customer ORDER BY c_custkey
 """
 
 
+def tablelog_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native transaction-log table format's file-granular DML
+    (``sources.tablelog``), end to end and oracle-checked: commit the
+    orders table into a fresh tablelog table (multiple data files),
+    run DELETE WHERE then UPDATE SET ... WHERE — each rewriting only
+    the data files containing affected rows and committing an atomic
+    add/remove delta with write-conflict detection — and read the
+    final snapshot back. The oracle is the equivalent pure-SQL
+    delete+update pipeline over the same parquet, so a value-hash
+    match proves the copy-on-write path loses/duplicates nothing.
+    The ``+ 5000.0`` update is an exact IEEE double add, portable
+    cross-engine without the decimal trick."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_commit,
+        table_delete_where,
+        table_update_where,
+        table_read,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-tablelog-") + "/orders_tbl"
+    orders = _t(spark, sf_dir, "orders")
+    # repartition so the table has several data files and the DML's
+    # touched-file probe has something real to prune
+    table_commit(orders.repartition(8, "o_orderkey"), path)
+    table_delete_where(
+        spark, path, "o_orderstatus = 'F' AND o_totalprice < 100000"
+    )
+    table_update_where(
+        spark,
+        path,
+        {"o_totalprice": "o_totalprice + 5000.0"},
+        "o_orderpriority = '1-URGENT'",
+    )
+    return (
+        table_read(spark, path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round("o_totalprice", 6).alias("total_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+TABLELOG_DML_SQL = """
+WITH after_delete AS (
+  SELECT * FROM orders
+  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       ROUND(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice + 5000.0 ELSE o_totalprice END,
+             6) AS total_price
+FROM after_delete ORDER BY o_orderkey
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # LLM-data queries (SURVEY.md §2.3): dedup / similarity / text analysis
@@ -1837,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # testdata encoding.
         "funnel_conversion": _wrap(rel.funnel_conversion),
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
+        "tablelog_dml_roundtrip": _wrap(tablelog_dml_roundtrip),
         "multimodal_features": _wrap(multimodal_features),
         "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
         "asof_next_order": _wrap(rel.asof_next_order),
@@ -2000,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": rel.PROFILE_ORDERS_SQL,
         "cohort_retention": rel.COHORT_RETENTION_SQL,
         "funnel_conversion": rel.FUNNEL_SQL,
+        "tablelog_dml_roundtrip": TABLELOG_DML_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
