@@ -980,3 +980,43 @@ def test_bpe_train_matches_reference(spark):
     segs = bpe_segment("lowest", got)
     assert "".join(segs) == "lowest</w>"
     assert len(segs) < len("lowest") + 1  # some merges applied
+
+
+def test_ivf_recall_curve_on_real_embeddings(spark):
+    """IVF recall floor pinned on the REAL sf0.01 embeddings table
+    (VERDICT r6 #7), swept across n_probe: recall@5 must be
+    non-decreasing in probe count, reach 1.0 when every list is probed
+    (n_probe = n_lists ⇒ IVF degenerates to exhaustive search — exact
+    by construction), and clear a measured floor at the documented
+    default (n_probe=4 of 16 lists)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        import pytest
+
+        pytest.skip("sf0.01 testdata not present")
+    from simple_data_workflow_spark.sources.readers import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    q = corpus.where("vec_id % 10 = 0")  # 50 of 500 as queries
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, corpus, k=5).collect()
+    }
+    assert len(exact_pairs) == 50 * 5
+    n_lists = 16
+    centroids = similarity.fit_ivf_centroids(corpus, n_lists=n_lists, seed=42)
+    recalls = {}
+    for n_probe in (2, 4, 8, n_lists):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                q, corpus, k=5, n_lists=n_lists, n_probe=n_probe,
+                centroids=centroids,
+            ).collect()
+        }
+        recalls[n_probe] = len(exact_pairs & got) / len(exact_pairs)
+    assert recalls[2] <= recalls[4] <= recalls[8] <= recalls[16], recalls
+    assert recalls[16] == 1.0, recalls  # all lists probed == exhaustive
+    assert recalls[4] >= 0.6, recalls  # documented-default floor
