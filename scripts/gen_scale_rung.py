@@ -1,6 +1,11 @@
 """Generate a larger local bench rung from the sf0.1 testdata.
 
-Usage: python scripts/gen_scale_rung.py [copies] [out_dir]
+Usage: python scripts/gen_scale_rung.py [copies] [out_dir] [tables]
+
+``tables`` is an optional comma-list restricting which FACT tables are
+generated (e.g. ``documents`` for the 128x decontamination/clustering
+rung, where orders/lineitem would cost gigabytes for nothing);
+dimension tables are always copied.
 
 Unions ``copies`` remapped copies of each FACT table (dimension tables
 stay fixed — like a higher TPC-H scale factor, growth lives in facts):
@@ -44,6 +49,11 @@ def main() -> None:
         if len(sys.argv) > 2
         else f"/root/repo/scaledata/sf{0.1 * copies:g}"
     )
+    facts = (
+        sys.argv[3].split(",")
+        if len(sys.argv) > 3
+        else ["orders", "lineitem", "events", "documents", "embeddings"]
+    )
     spark = get_spark(app_name="gen-scale-rung")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,9 +86,12 @@ def main() -> None:
             u = u.unionByName(p)
         u.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
 
-    stack("orders", lambda df, i: shifted(df, ["o_orderkey"], i))
-    stack("lineitem", lambda df, i: shifted(df, ["l_orderkey"], i))
-    stack("events", lambda df, i: shifted(df, ["event_id", "user_id"], i))
+    if "orders" in facts:
+        stack("orders", lambda df, i: shifted(df, ["o_orderkey"], i))
+    if "lineitem" in facts:
+        stack("lineitem", lambda df, i: shifted(df, ["l_orderkey"], i))
+    if "events" in facts:
+        stack("events", lambda df, i: shifted(df, ["event_id", "user_id"], i))
 
     def remap_documents(df, i):
         df = shifted(df, ["doc_id"], i)
@@ -97,7 +110,8 @@ def main() -> None:
             "n_chars", F.length("text")
         )
 
-    stack("documents", remap_documents)
+    if "documents" in facts:
+        stack("documents", remap_documents)
 
     dim = len(load_table(spark, SRC, "embeddings").select("embedding").first()[0])
 
@@ -113,9 +127,10 @@ def main() -> None:
         )
         return df.withColumn("embedding", flipped)
 
-    stack("embeddings", remap_embeddings)
+    if "embeddings" in facts:
+        stack("embeddings", remap_embeddings)
 
-    for name in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+    for name in DIMS + facts:
         n = spark.read.parquet(f"{out}/{name}.parquet").count()
         print(f"{name}: {n} rows")
     print(f"wrote {copies}x rung to {out} (key offset {off})")

@@ -103,10 +103,16 @@ SET = {
 
 def main() -> None:
     rungs = sys.argv[1:] or DEFAULT_RUNGS
+    # RUNG_QUERIES=a,b restricts the set (e.g. the 128x documents-only
+    # rung, where the relational queries have no fact tables to read)
+    only = os.environ.get("RUNG_QUERIES")
+    queries = (
+        {k: SET[k] for k in only.split(",")} if only else SET
+    )
     spark = get_spark(app_name="scale-rung")
     spark.sparkContext.setLogLevel("ERROR")
     # warm once at the smallest testdata so JIT/codegen is off the clock
-    for fn in SET.values():
+    for fn in queries.values():
         try:
             fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
                 "overwrite"
@@ -114,8 +120,11 @@ def main() -> None:
         except Exception:
             pass
     for sf in rungs:
-        rows = load_table(spark, sf, "lineitem").count()
-        for name, fn in SET.items():
+        try:
+            rows = load_table(spark, sf, "lineitem").count()
+        except Exception:
+            rows = load_table(spark, sf, "documents").count()
+        for name, fn in queries.items():
             best = None
             err = None
             for _ in range(2):
