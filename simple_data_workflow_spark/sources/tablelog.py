@@ -47,12 +47,14 @@ real formats work.
 from __future__ import annotations
 
 import contextlib
+import datetime
 import json
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: a full-state checkpoint is written after every Nth commit; snapshot
 #: resolution then reads 1 checkpoint + at most N-1 tail entries.
@@ -148,10 +150,12 @@ def _resolve_state(
         )
     start_cp = max((c for c in cps if c <= upto), default=None)
     files: list[str] = []
+    stats: dict = {}
     schema: str | None = None
     if start_cp is not None:
         cp = _read_json(spark, path, f"{start_cp:08d}.checkpoint.json")
         files, schema = list(cp["files"]), cp.get("schema")
+        stats = dict(cp.get("stats", {}))
         replay_from = start_cp + 1
     else:
         if entries[0] != 0:
@@ -167,16 +171,20 @@ def _resolve_state(
         action = e["action"]
         if action == "overwrite":
             files = list(e["files"])
+            stats = dict(e.get("stats", {}))
         elif action == "append":
             files.extend(e["files"])
+            stats.update(e.get("stats", {}))
         elif action == "delta":
             removed = set(e["remove"])
             files = [f for f in files if f not in removed]
             files.extend(e["add"])
+            stats = {f: s for f, s in stats.items() if f not in removed}
+            stats.update(e.get("stats", {}))
         else:  # pragma: no cover - future-proofing
             raise ValueError(f"unknown log action {action!r} at version {v}")
         schema = e.get("schema", schema)
-    return {"version": upto, "files": files, "schema": schema}
+    return {"version": upto, "files": files, "schema": schema, "stats": stats}
 
 
 def _entry_adds(e: dict) -> list[str]:
@@ -227,7 +235,11 @@ def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             spark,
             path,
             f"{version:08d}.checkpoint.json",
-            {"files": state["files"], "schema": state["schema"]},
+            {
+                "files": state["files"],
+                "schema": state["schema"],
+                "stats": state["stats"],
+            },
         )
 
 
@@ -270,6 +282,7 @@ def table_commit(
     mode: str = "append",
     max_retries: int = 10,
     base: int | None = None,
+    collect_stats: bool = True,
 ) -> int:
     """Commit ``df`` as one atomic version; returns the version number.
 
@@ -302,9 +315,120 @@ def table_commit(
             )
     files = _stage_data_files(df, path)
     entry = {"action": mode, "files": files, "schema": df.schema.simpleString()}
+    if collect_stats:
+        entry["stats"] = _collect_stats(spark, path, files)
     if base is not None:
         entry["base"] = base
     return _commit_entry(spark, path, entry, base=base, max_retries=max_retries)
+
+
+# --------------------------------------------------- per-file column stats
+
+#: columns of these atomic types get min/max/null-count stats recorded
+#: in the commit log for driver-side file skipping
+_SKIPPABLE = (
+    T.NumericType,
+    T.StringType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+    T.BooleanType,
+)
+#: string min/max longer than this are dropped from the stats rather
+#: than truncated — a truncated max is no longer an upper bound
+_MAX_STAT_STR = 64
+
+
+def _ser_stat(v):
+    """JSON-safe, ORDER-PRESERVING serialization of a stat value: ISO
+    strings for temporals (lexicographic == chronological), numbers and
+    bools as-is, long strings dropped (None)."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, str):
+        return v if len(v) <= _MAX_STAT_STR else None
+    try:  # Decimal and friends
+        return float(v)
+    except (TypeError, ValueError):  # pragma: no cover
+        return None
+
+
+def _collect_stats(spark: SparkSession, path: str, files: list[str]) -> dict:
+    """Per-file min/max/null-count for every skippable column of the
+    just-staged files — ONE grouped aggregate over only those files
+    (freshly written, page-cache warm), collected as at most one row
+    per file. This is the commit-time cost that buys ``table_scan``
+    its driver-side file pruning; the real formats pay the same."""
+    if not files:
+        return {}
+    scan = spark.read.parquet(*[f"{path}/data/{f}" for f in files])
+    cols = [f.name for f in scan.schema if isinstance(f.dataType, _SKIPPABLE)]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"mn__{c}"),
+            F.max(c).alias(f"mx__{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nu__{c}"),
+        ]
+    rows = (
+        scan.withColumn("__f", F.input_file_name()).groupBy("__f").agg(*aggs).collect()
+    )
+    stats: dict = {}
+    for r in rows:
+        per_col = {}
+        for c in cols:
+            mn, mx = _ser_stat(r[f"mn__{c}"]), _ser_stat(r[f"mx__{c}"])
+            if mn is None or mx is None:
+                continue  # all-null file or unserializable — no stat, no prune
+            per_col[c] = [mn, mx, int(r[f"nu__{c}"] or 0)]
+        stats[r["__f"].rsplit("/", 1)[-1]] = per_col
+    return stats
+
+
+def _stats_prune(
+    stats: dict, files: list[str], filters: list[tuple]
+) -> list[str]:
+    """Drop files whose recorded min/max PROVE no row matches the
+    conjunction of ``filters`` (pyarrow-style ``(col, op, value)``
+    tuples, ops ``== != < <= > >= in``). Conservative: a file with no
+    stat for a column always survives; NULL rows never satisfy these
+    comparison ops, so min/max over non-null values is sufficient
+    evidence. Pure function — unit-testable without a filesystem."""
+
+    def maybe_matches(per_col: dict, col, op, val) -> bool:
+        st = per_col.get(col)
+        if st is None:
+            return True
+        mn, mx = st[0], st[1]
+        try:
+            if op in ("==", "="):
+                return mn <= val <= mx
+            if op == "!=":
+                return not (mn == mx == val)
+            if op == "<":
+                return mn < val
+            if op == "<=":
+                return mn <= val
+            if op == ">":
+                return mx > val
+            if op == ">=":
+                return mx >= val
+            if op == "in":
+                return any(mn <= v <= mx for v in val)
+        except TypeError:  # cross-type comparison — never prune on doubt
+            return True
+        return True  # unknown op: no pruning
+    return [
+        f
+        for f in files
+        if all(maybe_matches(stats.get(f, {}), c, o, v) for c, o, v in filters)
+    ]
 
 
 # ------------------------------------------------------------------- reads
@@ -434,6 +558,7 @@ def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
         "action": "delta",
         "add": added,
         "remove": touched,
+        "stats": _collect_stats(spark, path, added),
         "schema": state["schema"],
         "base": state["version"],
         "op": "delete",
@@ -476,6 +601,7 @@ def table_update_where(
         "action": "delta",
         "add": added,
         "remove": touched,
+        "stats": _collect_stats(spark, path, added),
         "schema": state["schema"],
         "base": state["version"],
         "op": "update",
@@ -524,6 +650,7 @@ def table_merge_upsert(
         "action": "delta",
         "add": added,
         "remove": touched,
+        "stats": _collect_stats(spark, path, added),
         "schema": state["schema"],
         "base": state["version"],
         "op": "merge",
@@ -575,6 +702,7 @@ def table_compact(
     entry = {
         "action": "overwrite",
         "files": added,
+        "stats": _collect_stats(spark, path, added),
         "schema": state["schema"],
         "base": state["version"],
         "op": "compact",
@@ -606,7 +734,14 @@ def table_truncate_history(
     jvm, fs = _fs(spark, path)
     cp_name = f"{cut:08d}.checkpoint.json"
     _write_json_if_absent(
-        spark, path, cp_name, {"files": state["files"], "schema": state["schema"]}
+        spark,
+        path,
+        cp_name,
+        {
+            "files": state["files"],
+            "schema": state["schema"],
+            "stats": state["stats"],
+        },
     )
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{cp_name}")):
         raise RuntimeError(
@@ -625,3 +760,115 @@ def table_truncate_history(
                 False,
             )
     return removed
+
+
+# --------------------------------------------- stats scan + change feed
+
+
+def table_scan(
+    spark: SparkSession,
+    path: str,
+    filters: list[tuple] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with DRIVER-SIDE file skipping: prune the resolved
+    file list against the per-file min/max stats recorded at commit
+    time (``_stats_prune``; pyarrow-style ``(col, op, value)`` filter
+    tuples), then scan only the surviving files WITH the same filters
+    applied as row-level predicates (stats pruning is an optimization,
+    never the filter itself).
+
+    At 100 TB this is the difference between opening every file's
+    footer (Spark's parquet row-group skipping still lists and touches
+    all of them) and never listing the pruned files at all — the
+    data-skipping benefit the real formats get from stats in the log.
+    Combine with ``table_compact(zorder_by=...)``: z-ordered files have
+    tight bboxes on every clustered column, so point/range filters on
+    any of them prune most of the table here, driver-side."""
+    state = _resolve_state(spark, path, version)
+    files = state["files"]
+    if filters:
+        files = _stats_prune(state["stats"], files, filters)
+    if not files:
+        return spark.createDataFrame([], state["schema"])
+    df = spark.read.parquet(*[f"{path}/data/{f}" for f in files])
+    for c, op, v in filters or []:
+        col = F.col(c)
+        if op in ("==", "="):
+            cond = col == v
+        elif op == "!=":
+            cond = col != v
+        elif op == "<":
+            cond = col < v
+        elif op == "<=":
+            cond = col <= v
+        elif op == ">":
+            cond = col > v
+        elif op == ">=":
+            cond = col >= v
+        elif op == "in":
+            cond = col.isin(list(v))
+        else:
+            raise ValueError(f"unsupported filter op {op!r}")
+        df = df.where(cond)
+    return df
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    start_version: int,
+    end_version: int | None = None,
+    allow_rewrites: bool = False,
+) -> DataFrame:
+    """Incremental read: the rows ADDED by versions in
+    ``(start_version, end_version]`` with a ``_commit_version`` column
+    — the consume-new-data half of a change feed, enough to tail a
+    tablelog table from ``foreachBatch`` or a cursor-driven batch job
+    (read up to the current version, persist the cursor, repeat). Cost
+    is proportional to the NEW data, never the table.
+
+    Append versions are exact new rows. ``overwrite``/``delta``
+    versions rewrite existing rows (their added files mix updated and
+    carried-over rows), so they raise unless ``allow_rewrites=True``
+    — with it, every row in the files those versions added is surfaced
+    tagged with its version (at-least-once semantics, like a change
+    feed without preimages; dedupe downstream on a key). Raises
+    ``ValueError`` if ``start_version`` predates retained history."""
+    entries, _cps = _list_log(spark, path)
+    if not entries:
+        raise FileNotFoundError(f"no table log under {path}")
+    upto = entries[-1] if end_version is None else end_version
+    missing = set(range(start_version + 1, upto + 1)) - set(entries)
+    if missing:
+        raise ValueError(
+            f"versions {sorted(missing)} in ({start_version}, {upto}] are "
+            "not retained (history truncated) — changes cannot be replayed"
+        )
+    parts = []
+    for v in entries:
+        if v <= start_version or v > upto:
+            continue
+        e = _read_json(spark, path, f"{v:08d}.json")
+        if e["action"] != "append" and not allow_rewrites:
+            raise ValueError(
+                f"version {v} is a {e.get('op', e['action'])!r} commit; its "
+                "added files mix rewritten and carried-over rows — pass "
+                "allow_rewrites=True for at-least-once change-feed semantics"
+            )
+        added = _entry_adds(e)
+        if not added:
+            continue
+        parts.append(
+            spark.read.parquet(*[f"{path}/data/{f}" for f in added]).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+        )
+    if not parts:
+        state = _resolve_state(spark, path, None)
+        empty = spark.createDataFrame([], state["schema"])
+        return empty.withColumn("_commit_version", F.lit(None).cast("long"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -130,3 +130,14 @@ def test_incremental_agg_matches_recompute(spark):
     }
     # recompute: a = 10+25+5 (n=3), d = 3 (n=1); b and c gone
     assert out == {"a": (40, 3), "d": (3, 1)}
+
+
+def test_merge_upsert_key_only_updates(spark):
+    """A batch carrying ONLY the key column must still merge (dedupe by
+    distinct) instead of failing analysis on an order-less window."""
+    from simple_data_workflow_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame([(1,), (2,)], "id long")
+    updates = spark.createDataFrame([(2,), (2,), (3,)], "id long")
+    got = {r["id"] for r in merge_upsert(target, updates, "id").collect()}
+    assert got == {1, 2, 3}

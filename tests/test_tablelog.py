@@ -477,3 +477,143 @@ def test_delete_no_match_is_noop_version(spark, tmp_path):
     v = table_delete_where(spark, t, "id > 1000")
     assert v == v0  # no new version committed
     assert len(table_history(spark, t)) == 1
+
+
+# ----------------------- round 7: per-file stats, table_scan, change feed
+
+
+def test_stats_prune_pure_logic():
+    from simple_data_workflow_spark.sources.tablelog import _stats_prune
+
+    stats = {
+        "a": {"x": [0, 10, 0], "s": ["alpha", "beta", 2]},
+        "b": {"x": [20, 30, 1]},
+        "c": {},  # no stats: always survives
+    }
+    files = ["a", "b", "c"]
+    assert _stats_prune(stats, files, [("x", ">", 15)]) == ["b", "c"]
+    assert _stats_prune(stats, files, [("x", "<=", 10)]) == ["a", "c"]
+    assert _stats_prune(stats, files, [("x", "==", 25)]) == ["b", "c"]
+    assert _stats_prune(stats, files, [("x", "in", [5, 40])]) == ["a", "c"]
+    # "zebra" is outside a's [alpha, beta]; b has no stat for s -> survives
+    assert _stats_prune(stats, files, [("s", "==", "zebra")]) == ["b", "c"]
+    # conjunction: both must be satisfiable
+    assert _stats_prune(stats, files, [("x", ">", 15), ("x", "<", 18)]) == ["c"]
+    # unknown column / cross-type: never prune on doubt
+    assert _stats_prune(stats, files, [("y", ">", 1)]) == files
+    assert _stats_prune(stats, files, [("x", ">", "zzz")]) == files
+
+
+def test_table_scan_skips_files_driver_side(spark, tmp_path):
+    """Commits record per-file min/max; table_scan must prune files
+    whose ranges exclude the filter WITHOUT touching them, and return
+    exactly the filtered rows."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        _stats_prune,
+        table_scan,
+    )
+
+    t = str(tmp_path / "scan1")
+    # 4 commits with disjoint id ranges -> per-file stats are disjoint
+    for i in range(4):
+        table_commit(
+            spark.range(i * 100, (i + 1) * 100).selectExpr(
+                "id", "concat('name', id) as name", "id * 1.5 as score"
+            ),
+            t,
+        )
+    state = _resolve_state(spark, t, None)
+    assert all(state["stats"].get(f) for f in state["files"])  # stats recorded
+    pruned = _stats_prune(state["stats"], state["files"], [("id", ">=", 350)])
+    assert len(pruned) < len(state["files"])  # files actually skipped
+    got = table_scan(spark, t, filters=[("id", ">=", 350)])
+    assert got.count() == 50
+    assert table_scan(spark, t, filters=[("score", "<", 30.0)]).count() == 20
+    # filter that stats prove empty: zero files scanned, empty frame
+    assert table_scan(spark, t, filters=[("id", ">", 10_000)]).count() == 0
+
+
+def test_table_scan_after_zorder_compact_prunes_on_either_column(spark, tmp_path):
+    """stats + z-order compose: post-OPTIMIZE-ZORDER the per-file
+    stats in the log prune on EITHER clustered column."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        _stats_prune,
+        table_compact,
+    )
+
+    t = str(tmp_path / "scan2")
+    df = spark.range(0, 100_000).selectExpr(
+        "cast(id % 1000 as double) as x",
+        "cast(pmod(hash(id), 1000) + 1000 as double) as y",
+    )
+    table_commit(df.repartition(4), t)
+    table_compact(spark, t, num_files=16, zorder_by=["x", "y"])
+    state = _resolve_state(spark, t, None)
+    n = len(state["files"])
+    assert n >= 8
+    for col, lo, hi in (("x", 100.0, 180.0), ("y", 1100.0, 1180.0)):
+        kept = _stats_prune(
+            state["stats"], state["files"], [(col, ">=", lo), (col, "<=", hi)]
+        )
+        assert len(kept) <= n // 2, (col, len(kept), n)
+
+
+def test_table_changes_append_feed(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import table_changes
+
+    t = str(tmp_path / "cf1")
+    table_commit(spark.range(0, 10).selectExpr("id"), t)  # v0
+    table_commit(spark.range(10, 25).selectExpr("id"), t)  # v1
+    table_commit(spark.range(25, 30).selectExpr("id"), t)  # v2
+    ch = table_changes(spark, t, start_version=0)
+    rows = ch.collect()
+    assert len(rows) == 20  # v1 + v2 rows only
+    byv = {}
+    for r in rows:
+        byv.setdefault(r["_commit_version"], set()).add(r["id"])
+    assert byv == {1: set(range(10, 25)), 2: set(range(25, 30))}
+    # bounded window
+    assert table_changes(spark, t, 0, end_version=1).count() == 15
+    # cursor at head: empty frame, schema intact
+    head = table_changes(spark, t, start_version=2)
+    assert head.count() == 0 and "_commit_version" in head.columns
+
+
+def test_table_changes_rejects_rewrites_unless_allowed(spark, tmp_path):
+    import pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_changes,
+        table_delete_where,
+    )
+
+    t = str(tmp_path / "cf2")
+    # one data file, so the delta's add = all 90 survivors
+    table_commit(spark.range(0, 100).selectExpr("id").coalesce(1), t)  # v0
+    table_delete_where(spark, t, "id < 10")  # v1: delta rewrite
+    with pytest.raises(ValueError, match="allow_rewrites"):
+        table_changes(spark, t, start_version=0)
+    ch = table_changes(spark, t, start_version=0, allow_rewrites=True)
+    # the delta's added file carries the 90 survivors, tagged v1
+    assert ch.count() == 90
+    assert {r["_commit_version"] for r in ch.collect()} == {1}
+
+
+def test_table_changes_truncated_history_raises(spark, tmp_path):
+    import pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_changes,
+        table_truncate_history,
+    )
+
+    t = str(tmp_path / "cf3")
+    for i in range(4):
+        table_commit(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), t)
+    table_truncate_history(spark, t, keep_last=2)
+    with pytest.raises(ValueError, match="not retained"):
+        table_changes(spark, t, start_version=0)
+    # the retained window still replays
+    assert table_changes(spark, t, start_version=2).count() == 10
