@@ -1600,6 +1600,26 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_no")
 
 
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODING with the trained merges
+    (llmdata.bpe.bpe_encode): each distinct word is encoded once
+    (Arrow-batched UDF over the vocabulary table) and joined back to
+    the corpus — cost ∝ |vocab|, not corpus tokens. Iterative training
+    + engine-seeded segmentation ⇒ rows-only; exactness vs the naive
+    per-document encoding is pinned in
+    tests/test_llmdata.py::test_bpe_encode_matches_per_word_segment."""
+    tune(spark)
+    from simple_data_workflow_spark.llmdata.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=12)
+    return (
+        bpe_encode(docs, merges)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-name pairs within Levenshtein distance 1 via SymSpell
     deletion-variant blocking (llmdata.dedup.fuzzy_pairs) — equi-join on
@@ -1922,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price": _wrap(rel.weighted_median_price),
         "fuzzy_name_matches": _wrap(fuzzy_name_matches),
         "bpe_train_merges": _wrap(bpe_train_merges),
+        "bpe_encode_docs": _wrap(bpe_encode_docs),
         "profile_orders": _wrap(rel.profile_orders),
         "cohort_retention": _wrap(rel.cohort_retention),
         # round-6 TPC-H completions + semantic dedup (never driver-checked)

@@ -224,6 +224,7 @@ QUERIES = {
     "ewma_customer_orders": rel.ewma_customer_orders,
     "weighted_median_price": rel.weighted_median_price,
     "tablelog_dml_roundtrip": entrymod.tablelog_dml_roundtrip,
+    "bpe_encode_docs": entrymod.bpe_encode_docs,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,
     "fuzzy_name_matches": entrymod.fuzzy_name_matches,
     "profile_orders": rel.profile_orders,

@@ -122,3 +122,61 @@ def bpe_segment(token: str, merges: list[tuple[str, int]]) -> list[str]:
                 i += 1
         syms = out
     return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Distributed BPE encoding with the learned merge list, via
+    distinct-word memoization: BPE is a pure function of the WORD, so
+    each distinct word is encoded exactly once (Arrow-batched pandas
+    UDF over the |vocab|-sized table) and the corpus gets its pieces
+    back through a join — encoding cost is ∝ |vocab|, not corpus
+    tokens, and the corpus-sized work is one explode + one grouped
+    reassembly. This is the memoization every production tokenizer
+    pipeline applies; a per-token UDF over the corpus would repeat the
+    merge loop for every occurrence of "the".
+
+    Returns (id_col, ``token_col`` array<string>, ``n_tokens``). Word
+    order is preserved via posexplode + an array_sort on (pos, pieces)
+    structs. The word→pieces side is vocabulary-sized — typically
+    broadcastable; left to AQE rather than forced, since a 100 TB
+    corpus's vocabulary can exceed the broadcast threshold and the
+    shuffle join on the word is then the right plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    # legacy (annotation-free) pandas_udf form: this module has
+    # ``from __future__ import annotations``, which stringifies type
+    # hints and breaks hint-inferred eval types (same trap documented
+    # in functions/aggregates.py). merges ride into the executors once
+    # per task via the closure.
+    enc = pandas_udf(
+        lambda words: words.map(lambda w: bpe_segment(w, merges)),
+        "array<string>",
+    )
+
+    words = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+        )
+        .where(F.length("w") > 0)
+    )
+    encoded = words.select("w").distinct().withColumn("pieces", enc(F.col("w")))
+    return (
+        words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                )
+            ).alias(token_col)
+        )
+        .withColumn("n_tokens", F.size(F.col(token_col)))
+    )

@@ -1020,3 +1020,34 @@ def test_ivf_recall_curve_on_real_embeddings(spark):
     assert recalls[2] <= recalls[4] <= recalls[8] <= recalls[16], recalls
     assert recalls[16] == 1.0, recalls  # all lists probed == exhaustive
     assert recalls[4] >= 0.6, recalls  # documented-default floor
+
+
+def test_bpe_encode_matches_per_word_segment(spark):
+    """Distributed bpe_encode (distinct-word memoization + join-back)
+    must equal naive per-document bpe_segment application, including
+    word-order preservation through the posexplode/array_sort round
+    trip."""
+    from simple_data_workflow_spark.llmdata.bpe import (
+        bpe_encode,
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low"),
+            (2, "new newer newest new new"),
+            (3, "low new wider"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=12)
+    got = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for doc_id, text in [(1, "low lower lowest low"), (2, "new newer newest new new"), (3, "low new wider")]:
+        expect = [p for w in text.split() for p in bpe_segment(w, merges)]
+        assert got[doc_id] == (expect, len(expect)), doc_id
+    assert 4 not in got  # empty doc has no words, drops out
