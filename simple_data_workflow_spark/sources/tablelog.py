@@ -283,6 +283,7 @@ def table_commit(
     max_retries: int = 10,
     base: int | None = None,
     collect_stats: bool = True,
+    evolve_schema: bool = False,
 ) -> int:
     """Commit ``df`` as one atomic version; returns the version number.
 
@@ -305,14 +306,41 @@ def table_commit(
             prev = None
         cur = df.schema.simpleString()
         if prev is not None and prev != cur:
-            # a mismatched append would poison every later snapshot
-            # read (parquet union of incompatible files). Evolve
-            # explicitly: read_evolved_parquet + overwrite commit.
-            raise TypeError(
-                f"append schema drift at {path}: table has {prev}, "
-                f"batch has {cur} — align the batch or commit an "
-                "explicit overwrite after widening"
-            )
+            if evolve_schema:
+                # METADATA-ONLY schema evolution, the real formats' add-
+                # column path: the batch must carry every existing
+                # column at its exact type (reads match parquet columns
+                # by name, and a silent type change would break the
+                # union scan); net-new columns are fine — pre-evolution
+                # files surface them as NULL because every snapshot
+                # read passes the logged schema explicitly. No data
+                # file is rewritten, which is the entire point at
+                # 100 TB.
+                from pyspark.sql.types import _parse_datatype_string
+
+                old_fields = {
+                    f.name: f.dataType for f in _parse_datatype_string(prev)
+                }
+                new_fields = {f.name: f.dataType for f in df.schema}
+                bad = [
+                    n
+                    for n, t in old_fields.items()
+                    if n not in new_fields or new_fields[n] != t
+                ]
+                if bad:
+                    raise TypeError(
+                        f"evolve_schema append at {path} must keep every "
+                        f"existing column at its type; mismatched: {bad} "
+                        f"(table {prev}, batch {cur})"
+                    )
+            else:
+                # a silently-mismatched append would poison every later
+                # snapshot read (parquet union of incompatible files)
+                raise TypeError(
+                    f"append schema drift at {path}: table has {prev}, "
+                    f"batch has {cur} — align the batch, or pass "
+                    "evolve_schema=True to add columns metadata-only"
+                )
     files = _stage_data_files(df, path)
     entry = {"action": mode, "files": files, "schema": df.schema.simpleString()}
     if collect_stats:
@@ -434,18 +462,36 @@ def _stats_prune(
 # ------------------------------------------------------------------- reads
 
 
+def _read_files(
+    spark: SparkSession, path: str, files: list[str], schema: str | None
+) -> DataFrame:
+    """Scan an explicit file list UNDER THE LOGGED SCHEMA: parquet
+    columns match by name, files predating a schema evolution surface
+    the added columns as NULL, and the reader never does schema
+    inference (which would list/sample footers — real cost at 100 TB
+    file counts)."""
+    reader = spark.read
+    if schema:
+        from pyspark.sql.types import _parse_datatype_string
+
+        reader = reader.schema(_parse_datatype_string(schema))
+    return reader.parquet(*[f"{path}/data/{f}" for f in files])
+
+
 def table_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read (latest, or time travel to ``version``): resolves
     the log once and scans the resolved file list explicitly — a
-    concurrent commit cannot tear the read."""
+    concurrent commit cannot tear the read. The scan carries the
+    logged schema, so snapshots after a metadata-only schema evolution
+    read pre-evolution files with the new columns as NULL."""
     state = _resolve_state(spark, path, version)
     if not state["files"]:
         # an empty snapshot (e.g. DELETE matched everything): surface
         # an empty frame with the logged schema, not a read error
         return spark.createDataFrame([], state["schema"])
-    return spark.read.parquet(*[f"{path}/data/{f}" for f in state["files"]])
+    return _read_files(spark, path, state["files"], state["schema"])
 
 
 def table_history(spark: SparkSession, path: str) -> list[dict]:
@@ -513,7 +559,7 @@ def table_vacuum(
 
 
 def _touched_files(
-    spark: SparkSession, path: str, files: list[str], condition
+    spark: SparkSession, path: str, files: list[str], condition, schema=None
 ) -> list[str]:
     """Names of the snapshot files that contain ≥1 row matching
     ``condition`` — the copy-on-write candidate set.
@@ -525,7 +571,7 @@ def _touched_files(
     side), and the map-side-combined ``distinct`` over
     ``input_file_name`` shuffles at most one row per touched file.
     The collect is bounded by the snapshot's file count."""
-    scan = spark.read.parquet(*[f"{path}/data/{f}" for f in files])
+    scan = _read_files(spark, path, files, schema)
     rows = (
         scan.where(condition)
         .select(F.input_file_name().alias("__f"))
@@ -547,12 +593,12 @@ def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
     or the current one if nothing matched."""
     state = _resolve_state(spark, path, None)
     cond = F.expr(condition)
-    touched = _touched_files(spark, path, state["files"], cond)
+    touched = _touched_files(spark, path, state["files"], cond, state["schema"])
     if not touched:
         return state["version"]
-    survivors = spark.read.parquet(
-        *[f"{path}/data/{f}" for f in touched]
-    ).where(~F.coalesce(cond, F.lit(False)))
+    survivors = _read_files(spark, path, touched, state["schema"]).where(
+        ~F.coalesce(cond, F.lit(False))
+    )
     added = _stage_data_files(survivors, path)
     entry = {
         "action": "delta",
@@ -577,11 +623,11 @@ def table_update_where(
     Returns the new version, or the current one if nothing matched."""
     state = _resolve_state(spark, path, None)
     cond = F.expr(condition)
-    touched = _touched_files(spark, path, state["files"], cond)
+    touched = _touched_files(spark, path, state["files"], cond, state["schema"])
     if not touched:
         return state["version"]
     hit = F.coalesce(cond, F.lit(False))
-    snap = spark.read.parquet(*[f"{path}/data/{f}" for f in touched])
+    snap = _read_files(spark, path, touched, state["schema"])
     updated = snap.select(
         *[
             # cast SET back to the column's declared type: SQL UPDATE
@@ -628,7 +674,7 @@ def table_merge_upsert(
     from simple_data_workflow_spark.operators.cdc import merge_upsert
 
     state = _resolve_state(spark, path, None)
-    snap = spark.read.parquet(*[f"{path}/data/{f}" for f in state["files"]])
+    snap = _read_files(spark, path, state["files"], state["schema"])
     keys = updates.select(key).distinct()
     rows = (
         snap.join(F.broadcast(keys), key, "left_semi")
@@ -640,7 +686,7 @@ def table_merge_upsert(
     # every target row with a colliding key lives in a touched file by
     # construction, so merging the touched subset is exact
     target = (
-        spark.read.parquet(*[f"{path}/data/{f}" for f in touched])
+        _read_files(spark, path, touched, state["schema"])
         if touched
         else snap.limit(0)
     )
@@ -689,7 +735,7 @@ def table_compact(
             jvm.org.apache.hadoop.fs.Path(f"{path}/data/{f}")
         ).getLen()
     n_files = num_files or max(1, round(total / (target_file_mb * 1024 * 1024)))
-    snapshot = spark.read.parquet(*[f"{path}/data/{f}" for f in state["files"]])
+    snapshot = _read_files(spark, path, state["files"], state["schema"])
     if zorder_by:
         from simple_data_workflow_spark.sources.sinks import write_zorder_parquet
 
@@ -791,7 +837,7 @@ def table_scan(
         files = _stats_prune(state["stats"], files, filters)
     if not files:
         return spark.createDataFrame([], state["schema"])
-    df = spark.read.parquet(*[f"{path}/data/{f}" for f in files])
+    df = _read_files(spark, path, files, state["schema"])
     for c, op, v in filters or []:
         col = F.col(c)
         if op in ("==", "="):
@@ -860,7 +906,7 @@ def table_changes(
         if not added:
             continue
         parts.append(
-            spark.read.parquet(*[f"{path}/data/{f}" for f in added]).withColumn(
+            _read_files(spark, path, added, e.get("schema")).withColumn(
                 "_commit_version", F.lit(v).cast("long")
             )
         )

@@ -617,3 +617,217 @@ def test_table_changes_truncated_history_raises(spark, tmp_path):
         table_changes(spark, t, start_version=0)
     # the retained window still replays
     assert table_changes(spark, t, start_version=2).count() == 10
+
+
+# ----------------------------- round 7: metadata-only schema evolution
+
+
+def test_schema_evolution_metadata_only(spark, tmp_path):
+    """evolve_schema=True appends a batch with NEW columns without
+    rewriting any existing data file; snapshots read pre-evolution
+    files with the added columns as NULL, and time travel to a
+    pre-evolution version surfaces the old schema."""
+    import os
+
+    t = str(tmp_path / "evo1")
+    table_commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), t
+    )
+    before = set(_data_files(t))
+    mtimes = {f: os.path.getmtime(f"{t}/data/{f}") for f in before}
+    import pytest
+
+    with pytest.raises(TypeError, match="schema drift"):
+        table_commit(
+            spark.createDataFrame(
+                [(3, "c", 1.5)], "id long, v string, score double"
+            ),
+            t,
+        )
+    v1 = table_commit(
+        spark.createDataFrame(
+            [(3, "c", 1.5)], "id long, v string, score double"
+        ),
+        t,
+        evolve_schema=True,
+    )
+    # no existing data file was rewritten - metadata-only
+    for f in before:
+        assert os.path.getmtime(f"{t}/data/{f}") == mtimes[f]
+    got = {r["id"]: (r["v"], r["score"]) for r in table_read(spark, t).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 1.5)}
+    # time travel to pre-evolution: old schema
+    assert set(table_read(spark, t, version=v1 - 1).columns) == {"id", "v"}
+
+
+def test_schema_evolution_rejects_type_change_and_drop(spark, tmp_path):
+    import pytest
+
+    t = str(tmp_path / "evo2")
+    table_commit(
+        spark.createDataFrame([(1, "a")], "id long, v string"), t
+    )
+    with pytest.raises(TypeError, match="mismatched"):
+        table_commit(
+            spark.createDataFrame([(2, 3)], "id long, v long"),  # type change
+            t,
+            evolve_schema=True,
+        )
+    with pytest.raises(TypeError, match="mismatched"):
+        table_commit(
+            spark.createDataFrame([(2,)], "id long"),  # dropped column
+            t,
+            evolve_schema=True,
+        )
+
+
+def test_dml_and_scan_after_evolution(spark, tmp_path):
+    """File-granular DML and stats-pruned scans keep working across an
+    evolution boundary: a DELETE predicated on the NEW column must
+    leave pre-evolution files untouched (their value is NULL ⇒ no
+    match), and table_scan must still read them NULL-filled."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_delete_where,
+        table_scan,
+    )
+
+    t = str(tmp_path / "evo3")
+    table_commit(spark.range(0, 50).selectExpr("id"), t)
+    table_commit(
+        spark.range(50, 100).selectExpr("id", "id * 2.0 as score"),
+        t,
+        evolve_schema=True,
+    )
+    before = set(_data_files(t))
+    table_delete_where(spark, t, "score > 150")
+    # rows 76..99 deleted; NULL-score (pre-evolution) rows all survive
+    assert table_read(spark, t).count() == 76
+    got = table_scan(spark, t, filters=[("score", "<=", 120.0)])
+    assert got.count() == 11  # ids 50..60
+    assert table_scan(spark, t, filters=[("id", "<", 10)]).count() == 10
+
+
+# --------------------- round 7: model-based randomized op sequences
+
+
+def test_randomized_op_sequence_matches_model(spark, tmp_path):
+    """Seeded random sequences of append / delete / update / merge /
+    compact / truncate / vacuum, mirrored in a pure-Python model:
+    after every op the latest snapshot AND every retained historical
+    version must equal the model exactly. This is the whole-format
+    consistency argument — any interaction bug between delta replay,
+    checkpoints, stats carry-forward, truncation, and vacuum shows up
+    here as a row diff."""
+    import random
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_compact,
+        table_delete_where,
+        table_merge_upsert,
+        table_truncate_history,
+        table_update_where,
+        table_vacuum,
+    )
+
+    def run_sequence(seed, n_ops):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"model{seed}")
+        next_id = [0]
+
+        def fresh_rows(n):
+            rows = [(next_id[0] + i, float(rng.randint(0, 100))) for i in range(n)]
+            next_id[0] += n
+            return rows
+
+        # model: current rows + history of retained versions
+        model: dict[int, float] = {}
+        history: list[dict[int, float]] = []
+        min_retained = [0]
+
+        def commit_model():
+            history.append(dict(model))
+
+        # v0: initial append
+        rows = fresh_rows(rng.randint(5, 15))
+        table_commit(
+            spark.createDataFrame(rows, "id long, val double"), t
+        )
+        model.update(dict(rows))
+        commit_model()
+
+        for _ in range(n_ops):
+            op = rng.choice(
+                ["append", "delete", "update", "merge", "compact", "truncate", "vacuum"]
+            )
+            if op == "append":
+                rows = fresh_rows(rng.randint(3, 10))
+                table_commit(
+                    spark.createDataFrame(rows, "id long, val double"), t
+                )
+                model.update(dict(rows))
+                commit_model()
+            elif op == "delete":
+                thr = float(rng.randint(0, 100))
+                v = table_delete_where(spark, t, f"val < {thr}")
+                survivors = {i: x for i, x in model.items() if not x < thr}
+                if survivors != model:  # matched something -> new version
+                    assert v == len(history)
+                    model.clear()
+                    model.update(survivors)
+                    commit_model()
+                else:
+                    assert v == len(history) - 1  # no-op: version unchanged
+            elif op == "update":
+                thr = float(rng.randint(0, 100))
+                v = table_update_where(
+                    spark, t, {"val": "val + 1000"}, f"val >= {thr}"
+                )
+                updated = {
+                    i: (x + 1000 if x >= thr else x) for i, x in model.items()
+                }
+                if updated != model:
+                    assert v == len(history)
+                    model.clear()
+                    model.update(updated)
+                    commit_model()
+                else:
+                    assert v == len(history) - 1
+            elif op == "merge":
+                ups = [
+                    (i, float(rng.randint(200, 300)))
+                    for i in rng.sample(sorted(model), min(3, len(model)))
+                ] + fresh_rows(2)
+                table_merge_upsert(
+                    spark,
+                    t,
+                    spark.createDataFrame(ups, "id long, val double"),
+                    "id",
+                )
+                model.update(dict(ups))
+                commit_model()
+            elif op == "compact":
+                table_compact(spark, t, target_file_mb=128)
+                commit_model()  # same rows, new version
+            elif op == "truncate":
+                keep = rng.randint(1, 3)
+                table_truncate_history(spark, t, keep_last=keep)
+                min_retained[0] = max(min_retained[0], len(history) - keep)
+            elif op == "vacuum":
+                table_vacuum(spark, t, retention_hours=0)
+
+            # latest snapshot == model
+            got = {
+                r["id"]: r["val"] for r in table_read(spark, t).collect()
+            }
+            assert got == model, (seed, op)
+            # every retained version == its recorded model state
+            for v in range(min_retained[0], len(history)):
+                want = history[v]
+                gv = {
+                    r["id"]: r["val"]
+                    for r in table_read(spark, t, version=v).collect()
+                }
+                assert gv == want, (seed, op, v)
+
+    run_sequence(seed=101, n_ops=12)
+    run_sequence(seed=202, n_ops=12)
