@@ -432,3 +432,103 @@ def test_streaming_table_upsert_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(table_history(spark, t)) >= 1  # each batch = one commit
+
+
+def test_tablelog_streaming_source_tails_commits(spark, tmp_path):
+    """spark.readStream.format('tablelog'): the Python-data-source
+    stream must deliver exactly the rows of each append commit, tagged
+    with its _commit_version, across multiple trigger cycles —
+    including commits that land WHILE the stream is running."""
+    from simple_data_workflow_spark.sources.tablelog import table_commit
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    t = str(tmp_path / "stream_src")
+    table_commit(spark.range(0, 10).selectExpr("id", "id * 2 as v"), t)  # v0
+    table_commit(spark.range(10, 15).selectExpr("id", "id * 2 as v"), t)  # v1
+
+    spark.dataSource.register(TablelogStreamDataSource)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("tablelog").option("path", t).load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 15
+    byv = {
+        r["_commit_version"]: r["n"]
+        for r in got.groupBy("_commit_version").count().withColumnRenamed("count", "n").collect()
+    }
+    assert byv == {0: 10, 1: 5}
+    # new commit while the stream is down; restart resumes from the
+    # checkpointed version offset and delivers ONLY the new rows
+    table_commit(spark.range(15, 18).selectExpr("id", "id * 2 as v"), t)  # v2
+    q2 = (
+        spark.readStream.format("tablelog")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 18
+    assert got2.where("_commit_version = 2").count() == 3
+    assert {r["id"] for r in got2.where("_commit_version = 2").collect()} == {15, 16, 17}
+
+
+def test_tablelog_streaming_source_rejects_rewrites(spark, tmp_path):
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_commit,
+        table_delete_where,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    t = str(tmp_path / "stream_src2")
+    table_commit(spark.range(0, 10).selectExpr("id"), t)
+    table_delete_where(spark, t, "id < 3")  # delta commit
+    spark.dataSource.register(TablelogStreamDataSource)
+    q = (
+        spark.readStream.format("tablelog")
+        .option("path", t)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pyspark.errors
+
+    try:
+        q.awaitTermination(120)
+        raised = q.exception() is not None
+    except pyspark.errors.exceptions.base.PySparkException:
+        raised = True
+    assert raised, "stream over a delta commit must fail without allowRewrites"
+    # with allowRewrites the same range streams (at-least-once)
+    q2 = (
+        spark.readStream.format("tablelog")
+        .option("path", t)
+        .option("allowRewrites", "true")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
