@@ -51,8 +51,10 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -208,3 +210,128 @@ class TablelogStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> TablelogStreamReader:
         return TablelogStreamReader(schema, dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return TablelogStreamWriter(schema, dict(self.options), overwrite)
+
+
+# ------------------------------------------------------------ stream SINK
+
+
+@dataclass
+class _StagedWrite(WriterCommitMessage):
+    staged: list
+    rows: int
+
+
+class TablelogStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming APPEND sink for the table format.
+
+    Per micro-batch: each task streams its Arrow batches into ONE
+    parquet file staged as a dot-file under ``data/`` (invisible — the
+    log never references it, and a crashed task leaves bytes, never a
+    torn table), returns the staged name as its commit message; the
+    driver-side ``commit`` renames the staged files in and publishes
+    one atomic log entry stamped with ``stream_batch_id``. A REPLAYED
+    micro-batch (restart after a commit that the checkpoint didn't
+    record) finds its batch id already in the log and discards its
+    staging — idempotent, which upgrades at-least-once delivery to
+    exactly-once table contents. This is the same ``txn``-action
+    mechanism Delta's streaming sink uses.
+
+    Single-streaming-writer-per-table is assumed (Structured Streaming
+    serializes a query's micro-batches; don't point two queries at one
+    table — same caveat as every log-slot race without a JVM
+    rename-if-absent primitive on this code path)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        if overwrite:
+            raise ValueError("tablelog sink supports append output mode only")
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("tablelog sink requires .option('path', ...)")
+        self._schema_str = schema.simpleString()
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        fs, root = _fs_for(self._path)
+        fs.create_dir(f"{root}/data", recursive=True)
+        name = f".stage-stream-{_uuid.uuid4().hex}.parquet"
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                sink = fs.open_output_stream(f"{root}/data/{name}")
+                writer = pq.ParquetWriter(sink, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _StagedWrite(staged=[], rows=0)  # empty partition
+        writer.close()
+        return _StagedWrite(staged=[name], rows=rows)
+
+    def _cleanup(self, messages):
+        fs, root = _fs_for(self._path)
+        for m in messages:
+            for name in getattr(m, "staged", None) or []:
+                with _suppress_missing():
+                    fs.delete_file(f"{root}/data/{name}")
+
+    def commit(self, messages, batchId: int) -> None:
+        import uuid as _uuid
+
+        fs, root = _fs_for(self._path)
+        versions = _list_entry_versions(self._path)
+        newest_schema = None
+        for v in reversed(versions):  # bounded by retained history
+            e = _read_entry(self._path, v)
+            if e.get("stream_batch_id") == batchId:
+                self._cleanup(messages)  # replayed batch: already live
+                return
+            if newest_schema is None:
+                newest_schema = e.get("schema")
+        if newest_schema is not None and newest_schema != self._schema_str:
+            self._cleanup(messages)
+            raise TypeError(
+                f"stream append schema drift at {self._path}: table has "
+                f"{newest_schema}, stream has {self._schema_str}"
+            )
+        final = []
+        for m in messages:
+            for name in getattr(m, "staged", None) or []:
+                target = f"{_uuid.uuid4().hex}.parquet"
+                fs.move(f"{root}/data/{name}", f"{root}/data/{target}")
+                final.append(target)
+        entry = json.dumps(
+            {
+                "action": "append",
+                "files": final,
+                "schema": self._schema_str,
+                "stream_batch_id": batchId,
+            }
+        ).encode("utf-8")
+        fs.create_dir(f"{root}/_log", recursive=True)
+        for _ in range(10):
+            versions = _list_entry_versions(self._path)
+            next_v = (versions[-1] + 1) if versions else 0
+            slot = f"{root}/_log/{next_v:08d}.json"
+            if fs.get_file_info(slot).type.name != "NotFound":
+                continue  # a concurrent append took the slot; re-list
+            tmp = f"{root}/_log/.tmp-{_uuid.uuid4().hex}.json"
+            with fs.open_output_stream(tmp) as out:
+                out.write(entry)
+            fs.move(tmp, slot)
+            return
+        raise RuntimeError(f"stream commit lost 10 races at {self._path}")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages)
+
+
+def _suppress_missing():
+    import contextlib
+
+    return contextlib.suppress(FileNotFoundError, OSError)

@@ -532,3 +532,98 @@ def test_tablelog_streaming_source_rejects_rewrites(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert q2.exception() is None
+
+
+def test_tablelog_streaming_sink_exactly_once(spark, tmp_path):
+    """writeStream.format('tablelog'): every micro-batch lands as one
+    atomic append commit stamped with its batch id; the table reads
+    back exactly the streamed rows, and a manually replayed batch id
+    is skipped (exactly-once table contents on at-least-once
+    delivery)."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_history,
+        table_read,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    spark.dataSource.register(TablelogStreamDataSource)
+    # file-source stream: two staged input files -> deterministic rows
+    src = str(tmp_path / "in")
+    spark.range(0, 20).selectExpr("id", "id * 3 as v").coalesce(1).write.parquet(src)
+    t = str(tmp_path / "tbl")
+    q = (
+        spark.readStream.schema("id long, v long")
+        .parquet(src)
+        .writeStream.format("tablelog")
+        .option("path", t)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {(r["id"], r["v"]) for r in table_read(spark, t).collect()}
+    assert got == {(i, i * 3) for i in range(20)}
+    hist = table_history(spark, t)
+    assert all(h["action"] == "append" for h in hist)
+
+    # replay protection: re-commit the same batch id directly
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamWriter,
+        _StagedWrite,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    writer = TablelogStreamWriter(
+        _parse_datatype_string("id long, v long"), {"path": t}, overwrite=False
+    )
+    n_before = len(table_history(spark, t))
+    writer.commit([_StagedWrite(staged=[], rows=0)], batchId=0)  # replay of batch 0
+    assert len(table_history(spark, t)) == n_before  # skipped, no new version
+    # a NEW batch id commits (empty append) — proves the skip was the
+    # batch-id match, not the empty message
+    writer.commit([_StagedWrite(staged=[], rows=0)], batchId=999)
+    assert len(table_history(spark, t)) == n_before + 1
+    # table contents unchanged either way
+    assert table_read(spark, t).count() == 20
+
+
+def test_tablelog_stream_roundtrip_source_to_sink(spark, tmp_path):
+    """tablelog -> tablelog: tail one table and append into another;
+    contents must match including across a second incremental cycle."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_commit,
+        table_read,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    spark.dataSource.register(TablelogStreamDataSource)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    table_commit(spark.range(0, 10).selectExpr("id"), src)
+
+    def run_cycle():
+        q = (
+            spark.readStream.format("tablelog")
+            .option("path", src)
+            .load()
+            .drop("_commit_version")
+            .writeStream.format("tablelog")
+            .option("path", dst)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    run_cycle()
+    assert {r["id"] for r in table_read(spark, dst).collect()} == set(range(10))
+    table_commit(spark.range(10, 17).selectExpr("id"), src)
+    run_cycle()
+    assert {r["id"] for r in table_read(spark, dst).collect()} == set(range(17))
