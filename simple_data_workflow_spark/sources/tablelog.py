@@ -918,3 +918,25 @@ def table_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def table_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION — roll the table back to a retained
+    snapshot as ONE metadata-only overwrite commit referencing that
+    version's file list (no data movement at any table size; the files
+    are immutable and still on disk until vacuum). The rollback is
+    itself a new version, so it is auditable and reversible the same
+    way; conflicts with interleaved commits like any read-modify-write.
+    Returns the new version."""
+    target = _resolve_state(spark, path, version)
+    current = _resolve_state(spark, path, None)
+    entry = {
+        "action": "overwrite",
+        "files": target["files"],
+        "stats": target["stats"],
+        "schema": target["schema"],
+        "base": current["version"],
+        "op": "restore",
+        "restored_version": version,
+    }
+    return _commit_entry(spark, path, entry, base=current["version"])

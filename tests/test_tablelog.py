@@ -831,3 +831,29 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
 
     run_sequence(seed=101, n_ops=12)
     run_sequence(seed=202, n_ops=12)
+
+
+def test_table_restore_rolls_back_metadata_only(spark, tmp_path):
+    import os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_delete_where,
+        table_restore,
+    )
+
+    t = str(tmp_path / "restore1")
+    table_commit(spark.range(0, 50).selectExpr("id"), t)  # v0
+    table_commit(spark.range(50, 80).selectExpr("id"), t)  # v1
+    table_delete_where(spark, t, "id < 20")  # v2
+    assert table_read(spark, t).count() == 60
+    files_before = {f: os.path.getmtime(f"{t}/data/{f}") for f in _data_files(t)}
+    v = table_restore(spark, t, version=1)  # undo the delete
+    assert table_read(spark, t).count() == 80
+    # metadata-only: no data file written or touched by the restore
+    for f in files_before:
+        assert os.path.getmtime(f"{t}/data/{f}") == files_before[f]
+    hist = table_history(spark, t)
+    assert hist[-1]["op"] == "restore" and hist[-1]["version"] == v
+    # the rollback is itself reversible
+    table_restore(spark, t, version=2)
+    assert table_read(spark, t).count() == 60
