@@ -857,3 +857,80 @@ def test_table_restore_rolls_back_metadata_only(spark, tmp_path):
     # the rollback is itself reversible
     table_restore(spark, t, version=2)
     assert table_read(spark, t).count() == 60
+
+
+def test_table_scan_equals_filtered_read_randomized(spark, tmp_path):
+    """Property: for random filter conjunctions, table_scan(filters)
+    must return exactly table_read().where(same predicate) — pruning
+    is an optimization, never a semantics change. Runs on a z-ordered
+    multi-file table so pruning actually fires."""
+    import random
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_compact,
+        table_scan,
+    )
+
+    t = str(tmp_path / "prop_scan")
+    df = spark.range(0, 20_000).selectExpr(
+        "id",
+        "cast(id % 500 as double) as x",
+        "cast(pmod(hash(id), 500) as double) as y",
+        "concat('s', pmod(hash(id, 3), 50)) as tag",
+    )
+    table_commit(df.repartition(6), t)
+    table_compact(spark, t, num_files=8, zorder_by=["x", "y"])
+    rng = random.Random(7)
+    ops = ["==", "<", "<=", ">", ">="]
+    for _ in range(12):
+        filters = []
+        for col, domain in (("x", 500), ("y", 500)):
+            if rng.random() < 0.7:
+                filters.append((col, rng.choice(ops), float(rng.randint(0, domain))))
+        if rng.random() < 0.4:
+            filters.append(("tag", "in", [f"s{rng.randint(0, 49)}" for _ in range(3)]))
+        if not filters:
+            filters = [("x", ">=", 0.0)]
+        got = {r["id"] for r in table_scan(spark, t, filters=filters).collect()}
+        from pyspark.sql import functions as F
+
+        cond = F.lit(True)
+        for c, op, v in filters:
+            col = F.col(c)
+            cond = cond & {
+                "==": col == v, "<": col < v, "<=": col <= v,
+                ">": col > v, ">=": col >= v,
+            }[op] if op != "in" else cond & col.isin(list(v))
+        want = {r["id"] for r in table_read(spark, t).where(cond).collect()}
+        assert got == want, filters
+
+
+def test_concurrent_appenders_lose_nothing(spark, tmp_path):
+    """8 threads × 4 appends race the rename-if-absent commit protocol:
+    every append must win SOME slot — versions contiguous, all rows
+    present, no lost update."""
+    import threading
+
+    t = str(tmp_path / "conc")
+    table_commit(spark.range(0, 1).selectExpr("id"), t)  # v0 seeds the log
+    errors = []
+
+    def appender(worker):
+        try:
+            for j in range(4):
+                lo = 1000 * (worker * 4 + j + 1)
+                table_commit(
+                    spark.range(lo, lo + 10).selectExpr("id"), t, max_retries=200
+                )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=appender, args=(w,)) for w in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    hist = table_history(spark, t)
+    assert [h["version"] for h in hist] == list(range(33))  # contiguous slots
+    assert table_read(spark, t).count() == 1 + 32 * 10  # nothing lost
