@@ -489,6 +489,56 @@ FROM after_delete ORDER BY o_orderkey
 """
 
 
+def tablelog_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read path of the table format, end to end and
+    oracle-checked: commit lineitem into a tablelog table, OPTIMIZE
+    ZORDER BY (quantity, price) so per-file stats tighten on both
+    columns, then ``table_scan`` with filter tuples — the file list is
+    pruned DRIVER-SIDE against the stats recorded in the commit log
+    before the scan lists anything (the real formats' data-skipping
+    benefit). The oracle is the same filter over raw parquet, so a
+    value-hash match proves pruning never changes semantics."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_commit,
+        table_compact,
+        table_scan,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-tlscan-") + "/li"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    table_commit(li.repartition(8), path)
+    table_compact(
+        spark, path, num_files=16, zorder_by=["l_quantity", "l_extendedprice"]
+    )
+    scanned = table_scan(
+        spark,
+        path,
+        filters=[("l_quantity", ">=", 30.0), ("l_extendedprice", "<", 20000.0)],
+    )
+    return (
+        scanned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rel.dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+TABLELOG_SCAN_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM lineitem
+WHERE l_quantity >= 30.0 AND l_extendedprice < 20000.0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # LLM-data queries (SURVEY.md §2.3): dedup / similarity / text analysis
@@ -1920,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _wrap(rel.funnel_conversion),
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
         "tablelog_dml_roundtrip": _wrap(tablelog_dml_roundtrip),
+        "tablelog_scan_pruned": _wrap(tablelog_scan_pruned),
         "multimodal_features": _wrap(multimodal_features),
         "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
         "asof_next_order": _wrap(rel.asof_next_order),
@@ -2085,6 +2136,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": rel.COHORT_RETENTION_SQL,
         "funnel_conversion": rel.FUNNEL_SQL,
         "tablelog_dml_roundtrip": TABLELOG_DML_SQL,
+        "tablelog_scan_pruned": TABLELOG_SCAN_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
