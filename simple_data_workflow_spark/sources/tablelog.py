@@ -370,10 +370,21 @@ _MAX_STAT_STR = 64
 def _ser_stat(v):
     """JSON-safe, ORDER-PRESERVING serialization of a stat value: ISO
     strings for temporals (lexicographic == chronological), numbers and
-    bools as-is, long strings dropped (None)."""
+    bools as-is, long strings dropped (None).
+
+    NaN bounds are DROPPED (None ⇒ no stat ⇒ the file always survives
+    pruning): Spark's min/max order NaN as the largest double, so a
+    single NaN row would make ``max`` NaN — and every Python comparison
+    against NaN is False, which would flip ``maybe_matches`` from
+    "can't prove it misses" to "prove it misses" and wrongly prune a
+    file that may match."""
     if v is None:
         return None
-    if isinstance(v, bool) or isinstance(v, (int, float)):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and v != v:  # NaN
+        return None
+    if isinstance(v, (int, float)):
         return v
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
@@ -429,11 +440,34 @@ def _stats_prune(
     comparison ops, so min/max over non-null values is sufficient
     evidence. Pure function — unit-testable without a filesystem."""
 
+    def norm(val):
+        """Align a filter value with the stats' serialized form so
+        comparisons stay order-preserving: temporals → isoformat, and
+        SQL-style 'YYYY-MM-DD HH:MM:SS' strings → the ISO 'T'
+        separator (' ' sorts before 'T', so a mixed-format comparison
+        of the SAME instant would otherwise mis-order and could prune
+        a matching file). NaN filter values prune nothing (NaN never
+        satisfies a range predicate on the read side either)."""
+        if isinstance(val, (datetime.datetime, datetime.date)):
+            return val.isoformat()
+        if (
+            isinstance(val, str)
+            and len(val) > 10
+            and val[10] == " "
+            and val[:4].isdigit()
+            and val[4] == "-"
+        ):
+            return val[:10] + "T" + val[11:]
+        return val
+
     def maybe_matches(per_col: dict, col, op, val) -> bool:
         st = per_col.get(col)
         if st is None:
             return True
         mn, mx = st[0], st[1]
+        val = [norm(v) for v in val] if op == "in" else norm(val)
+        if isinstance(val, float) and val != val:
+            return True  # NaN filter: no pruning evidence either way
         try:
             if op in ("==", "="):
                 return mn <= val <= mx

@@ -934,3 +934,62 @@ def test_concurrent_appenders_lose_nothing(spark, tmp_path):
     hist = table_history(spark, t)
     assert [h["version"] for h in hist] == list(range(33))  # contiguous slots
     assert table_read(spark, t).count() == 1 + 32 * 10  # nothing lost
+
+
+def test_stats_handle_nan_and_temporal_filters(spark, tmp_path):
+    """NaN poisons Python comparisons (everything is False), which
+    would flip 'can't prove it misses' into a wrong prune — a file
+    containing NaN must record NO stat for that column and survive
+    every filter. Temporal filters must prune correctly whether passed
+    as datetime objects or SQL-style strings."""
+    import datetime
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        _stats_prune,
+        table_scan,
+    )
+
+    t = str(tmp_path / "nan1")
+    table_commit(
+        spark.createDataFrame(
+            [(1, 5.0), (2, float("nan")), (3, 9.0)], "id long, v double"
+        ).coalesce(1),
+        t,
+    )
+    table_commit(
+        spark.createDataFrame([(4, 100.0), (5, 200.0)], "id long, v double")
+        .coalesce(1),
+        t,
+    )
+    state = _resolve_state(spark, t, None)
+    nan_file = next(
+        f for f in state["files"] if "v" not in state["stats"].get(f, {})
+    )
+    assert nan_file  # NaN file dropped its v-stat entirely
+    # the NaN file must survive any v filter (it contains v=9.0)
+    kept = _stats_prune(state["stats"], state["files"], [("v", ">", 6.0)])
+    assert nan_file in kept
+    # Spark orders NaN as the LARGEST double, so the NaN row itself
+    # satisfies v > 6.0 row-side — stats dropping + row filter agree
+    assert {r["id"] for r in table_scan(spark, t, filters=[("v", ">", 6.0)]).collect()} == {2, 3, 4, 5}
+
+    # temporal: datetime objects and SQL-style strings both prune right
+    t2 = str(tmp_path / "ts1")
+    table_commit(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2020, 3, 1, 0, 0)),
+             (2, datetime.datetime(2020, 3, 1, 11, 0))],
+            "id long, ts timestamp",
+        ).coalesce(1),
+        t2,
+    )
+    # same-day filter at 12:00 — the file's rows are all earlier; with
+    # the 'T'/' ' mixed-format bug this file was wrongly prunable for <
+    for val in (
+        datetime.datetime(2020, 3, 1, 12, 0),
+        "2020-03-01 12:00:00",
+    ):
+        got = table_scan(spark, t2, filters=[("ts", "<", val)])
+        assert got.count() == 2, val
+        assert table_scan(spark, t2, filters=[("ts", ">", val)]).count() == 0
