@@ -10,3 +10,22 @@ from simple_data_workflow_spark.sources.sinks import (  # noqa: F401
     write_json,
     write_parquet,
 )
+from simple_data_workflow_spark.sources.crawl import (  # noqa: F401
+    read_warc,
+    read_wet,
+)
+from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
+    ConcurrentWriteConflict,
+    table_changes,
+    table_commit,
+    table_compact,
+    table_delete_where,
+    table_history,
+    table_merge_upsert,
+    table_read,
+    table_restore,
+    table_scan,
+    table_truncate_history,
+    table_update_where,
+    table_vacuum,
+)
