@@ -136,8 +136,11 @@ def bpe_encode(
     each distinct word is encoded exactly once (Arrow-batched pandas
     UDF over the |vocab|-sized table) and the corpus gets its pieces
     back through a join — encoding cost is ∝ |vocab|, not corpus
-    tokens, and the corpus-sized work is one explode + one grouped
-    reassembly. This is the memoization every production tokenizer
+    tokens. The corpus-sized work is two explode passes (vocabulary
+    extraction, then the join-back + grouped reassembly) — both plain
+    codegen scans; materializing the exploded corpus to save the
+    second pass would cost more than it saves at any scale. This is
+    the memoization every production tokenizer
     pipeline applies; a per-token UDF over the corpus would repeat the
     merge loop for every occurrence of "the".
 

@@ -24,6 +24,7 @@ from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     table_merge_upsert,
     table_read,
     table_restore,
+    table_row_count,
     table_scan,
     table_truncate_history,
     table_update_where,

@@ -406,9 +406,9 @@ def _collect_stats(spark: SparkSession, path: str, files: list[str]) -> dict:
         return {}
     scan = spark.read.parquet(*[f"{path}/data/{f}" for f in files])
     cols = [f.name for f in scan.schema if isinstance(f.dataType, _SKIPPABLE)]
-    if not cols:
-        return {}
-    aggs = []
+    # per-file row count rides along under the reserved "__rows" key:
+    # it lets COUNT(*) (table_row_count) answer from the log alone
+    aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs += [
             F.min(c).alias(f"mn__{c}"),
@@ -420,7 +420,7 @@ def _collect_stats(spark: SparkSession, path: str, files: list[str]) -> dict:
     )
     stats: dict = {}
     for r in rows:
-        per_col = {}
+        per_col = {"__rows": int(r["__rows"])}
         for c in cols:
             mn, mx = _ser_stat(r[f"mn__{c}"]), _ser_stat(r[f"mx__{c}"])
             if mn is None or mx is None:
@@ -974,3 +974,20 @@ def table_restore(spark: SparkSession, path: str, version: int) -> int:
         "restored_version": version,
     }
     return _commit_entry(spark, path, entry, base=current["version"])
+
+
+def table_row_count(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """COUNT(*) answered from the commit log's per-file row counts —
+    zero data files opened, at any table size (how the real formats
+    serve ``SELECT COUNT(*)`` from metadata). Falls back to one count
+    scan if any resolved file predates stats collection."""
+    state = _resolve_state(spark, path, version)
+    total = 0
+    for f in state["files"]:
+        n = state["stats"].get(f, {}).get("__rows")
+        if n is None:
+            return table_read(spark, path, version).count()
+        total += n
+    return total

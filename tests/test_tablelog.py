@@ -993,3 +993,34 @@ def test_stats_handle_nan_and_temporal_filters(spark, tmp_path):
         got = table_scan(spark, t2, filters=[("ts", "<", val)])
         assert got.count() == 2, val
         assert table_scan(spark, t2, filters=[("ts", ">", val)]).count() == 0
+
+
+def test_row_count_from_metadata(spark, tmp_path):
+    """COUNT(*) must come from the log's per-file row counts — no data
+    file opened — and stay correct across appends, file-granular
+    deletes, and time travel."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_delete_where,
+        table_row_count,
+    )
+
+    t = str(tmp_path / "cnt")
+    table_commit(spark.range(0, 100).selectExpr("id"), t)
+    table_commit(spark.range(100, 130).selectExpr("id"), t)
+    assert table_row_count(spark, t) == 130
+    v = table_delete_where(spark, t, "id between 10 and 19")
+    assert table_row_count(spark, t) == 120
+    assert table_row_count(spark, t, version=v - 1) == 130
+    # metadata path: physically remove the data files; the count must
+    # still answer (nothing opens them), while a real read would fail
+    import os
+    import shutil
+
+    backup = str(tmp_path / "backup")
+    shutil.copytree(f"{t}/data", backup)
+    for f in os.listdir(f"{t}/data"):
+        if f.endswith(".parquet"):
+            os.unlink(f"{t}/data/{f}")
+    assert table_row_count(spark, t) == 120
