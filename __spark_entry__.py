@@ -539,6 +539,62 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def tablelog_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view on the table format
+    (``sources.matview.refresh_aggregate_view``), oracle-checked:
+    orders land in TWO separate commits with a refresh after each —
+    each refresh folds only the new commit via the change feed, with
+    the source cursor inside the same atomic log entry (exactly-once)
+    — and the final view must value-hash-match the oracle's one-shot
+    aggregate over the whole table. Monetary values aggregate as
+    integer cents (exact, order-insensitive, engine-portable — no
+    float-sum drift through the two-stage fold)."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.matview import refresh_aggregate_view
+    from simple_data_workflow_spark.sources.tablelog import table_commit, table_read
+
+    tune(spark)
+    d = tempfile.mkdtemp(prefix="sdw-mv-")
+    src, view = f"{d}/orders_tbl", f"{d}/orders_by_priority"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table_commit(orders.where("o_orderkey % 2 = 0"), src)
+    refresh_aggregate_view(
+        spark, src, view, ["o_orderpriority"],
+        sum_cols=["cents"], min_cols=["cents"], max_cols=["cents"],
+    )
+    table_commit(orders.where("o_orderkey % 2 = 1"), src)
+    refresh_aggregate_view(
+        spark, src, view, ["o_orderpriority"],
+        sum_cols=["cents"], min_cols=["cents"], max_cols=["cents"],
+    )
+    return (
+        table_read(spark, view)
+        .select(
+            "o_orderpriority",
+            F.col("cnt").cast("long").alias("cnt"),
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+TABLELOG_MATVIEW_SQL = """
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS min_cents,
+       MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS max_cents
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # LLM-data queries (SURVEY.md §2.3): dedup / similarity / text analysis
@@ -1971,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
         "tablelog_dml_roundtrip": _wrap(tablelog_dml_roundtrip),
         "tablelog_scan_pruned": _wrap(tablelog_scan_pruned),
+        "tablelog_incremental_view": _wrap(tablelog_incremental_view),
         "multimodal_features": _wrap(multimodal_features),
         "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
         "asof_next_order": _wrap(rel.asof_next_order),
@@ -2137,6 +2194,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": rel.FUNNEL_SQL,
         "tablelog_dml_roundtrip": TABLELOG_DML_SQL,
         "tablelog_scan_pruned": TABLELOG_SCAN_SQL,
+        "tablelog_incremental_view": TABLELOG_MATVIEW_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,

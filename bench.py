@@ -226,6 +226,7 @@ QUERIES = {
     "tablelog_dml_roundtrip": entrymod.tablelog_dml_roundtrip,
     "bpe_encode_docs": entrymod.bpe_encode_docs,
     "tablelog_scan_pruned": entrymod.tablelog_scan_pruned,
+    "tablelog_incremental_view": entrymod.tablelog_incremental_view,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,
     "fuzzy_name_matches": entrymod.fuzzy_name_matches,
     "profile_orders": rel.profile_orders,
