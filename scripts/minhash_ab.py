@@ -63,41 +63,10 @@ def main():
         print(json.dumps(results[-1]))
 
     # join-output volume (pre-distinct) for the default config: count
-    # band collisions directly from the banding index
-    from simple_data_workflow_spark.llmdata.dedup import ensure_parallelism, shingles
-
-    num_hashes, bands = 32, 8
-    rows_per_band = num_hashes // bands
-    exploded = (
-        ensure_parallelism(docs)
-        .select(F.col("doc_id"), F.explode(shingles(F.col("text"), 3)).alias("__g"))
-        .select("doc_id", F.xxhash64(F.col("__g")).alias("__h"))
-    )
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(s), F.col("__h"))).alias(f"m{s}")
-            for s in range(num_hashes)
-        ]
-    )
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            *[
-                                F.col(f"m{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # band collisions from the SAME banding index the candidate join
+    # uses (dedup.minhash_band_index) — an inline copy would silently
+    # diverge from the code under test if the hashing changed
+    banded = dedup.minhash_band_index(docs, num_hashes=32, bands=8)
     bucket_sizes = banded.groupBy("band", "bucket").count()
     pre_distinct_pairs = bucket_sizes.select(
         F.sum(F.expr("count * (count - 1) / 2")).alias("p")

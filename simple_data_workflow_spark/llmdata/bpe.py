@@ -170,7 +170,7 @@ def bpe_encode(
         .where(F.length("w") > 0)
     )
     encoded = words.select("w").distinct().withColumn("pieces", enc(F.col("w")))
-    return (
+    grouped = (
         words.join(encoded, "w")
         .groupBy(id_col)
         .agg(
@@ -180,6 +180,21 @@ def bpe_encode(
                     lambda s: s["pieces"],
                 )
             ).alias(token_col)
+        )
+    )
+    # wordless documents (empty/whitespace text) have no exploded rows
+    # and would silently vanish from an inner reassembly — a row-count
+    # contract violation; rejoin to the id set so they surface with
+    # zero tokens (the join is aggregate-sized, one extra id shuffle)
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(grouped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col(token_col), F.array().cast("array<string>")
+            ).alias(token_col),
         )
         .withColumn("n_tokens", F.size(F.col(token_col)))
     )

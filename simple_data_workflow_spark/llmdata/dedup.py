@@ -120,6 +120,52 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The LSH banding index: one (id, band, bucket) row per document
+    per band. Extracted so the A/B evidence script measures the SAME
+    pipeline the candidate join runs (``scripts/minhash_ab.py`` counts
+    bucket-collision volume from this index; an inline copy would
+    silently diverge when the hashing changes)."""
+    rows_per_band = num_hashes // bands
+    exploded = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__g"))
+        .select(id_col, F.xxhash64(F.col("__g")).alias("__h"))
+    )
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("__h"))).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col(f"m{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -140,36 +186,11 @@ def minhash_lsh_candidates(
     one partial row of ``num_hashes`` longs per doc. Shingle-less docs
     (< k words) drop out: they cannot be shingle near-dups and would
     otherwise all meet in one degenerate bucket."""
-    rows_per_band = num_hashes // bands
-    exploded = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__g"))
-        .select(id_col, F.xxhash64(F.col("__g")).alias("__h"))
-    )
-    sig = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(s), F.col("__h"))).alias(f"m{s}")
-            for s in range(num_hashes)
-        ]
-    )
     banded = (
-        sig.select(
-            id_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.hash(
-                                *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+        minhash_band_index(
+            df, id_col=id_col, text_col=text_col, k=k,
+            num_hashes=num_hashes, bands=bands,
         )
-        .select(id_col, "bb.band", "bb.bucket")
         # the LSH index is materialized once: the self-join would otherwise
         # recompute every shingle/minhash on BOTH sides (2× the whole
         # signature cost). Size is n_docs × bands rows of (id, int, int).

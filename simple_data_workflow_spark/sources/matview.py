@@ -45,16 +45,19 @@ from simple_data_workflow_spark.sources.tablelog import (
 
 
 def _view_cursor(spark: SparkSession, view_path: str) -> int:
-    """The source version the view last folded in — carried by every
-    refresh's log entry, so the latest entry holds the cursor."""
+    """The source version the view last folded in — the NEWEST log
+    entry carrying ``src_version``. Scanned newest-first (bounded by
+    retained history) so that maintenance commits on the view itself
+    (``table_compact``, ``table_restore``) don't mask the cursor —
+    reading only the latest entry would reset it to -1 after a
+    compaction and the next refresh would silently double-count the
+    whole source."""
     entries, _ = _list_log(spark, view_path)
-    if not entries:
-        return -1
-    return int(
-        _read_json(spark, view_path, f"{entries[-1]:08d}.json").get(
-            "src_version", -1
-        )
-    )
+    for v in reversed(entries):
+        sv = _read_json(spark, view_path, f"{v:08d}.json").get("src_version")
+        if sv is not None:
+            return int(sv)
+    return -1
 
 
 def refresh_aggregate_view(

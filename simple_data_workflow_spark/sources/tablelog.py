@@ -367,10 +367,15 @@ _SKIPPABLE = (
 _MAX_STAT_STR = 64
 
 
-def _ser_stat(v):
+def _ser_stat(v, side):
     """JSON-safe, ORDER-PRESERVING serialization of a stat value: ISO
     strings for temporals (lexicographic == chronological), numbers and
-    bools as-is, long strings dropped (None).
+    bools as-is, long strings dropped (None). ``side`` ("min"/"max")
+    directs WIDENING for values that lose precision in a double:
+    a Decimal min rounds DOWN and a Decimal max rounds UP (one ulp via
+    nextafter), so the stored bound always contains the true value —
+    a bound that rounded inward would prove-miss files that match
+    (the same reason the real formats floor mins and ceil maxes).
 
     NaN bounds are DROPPED (None ⇒ no stat ⇒ the file always survives
     pruning): Spark's min/max order NaN as the largest double, so a
@@ -390,8 +395,13 @@ def _ser_stat(v):
         return v.isoformat()
     if isinstance(v, str):
         return v if len(v) <= _MAX_STAT_STR else None
-    try:  # Decimal and friends
-        return float(v)
+    try:  # Decimal and friends: lossy double conversion — widen
+        import math
+
+        f = float(v)
+        if f != v:  # exact Decimal→float compare: precision was lost
+            f = math.nextafter(f, -math.inf if side == "min" else math.inf)
+        return f
     except (TypeError, ValueError):  # pragma: no cover
         return None
 
@@ -422,7 +432,8 @@ def _collect_stats(spark: SparkSession, path: str, files: list[str]) -> dict:
     for r in rows:
         per_col = {"__rows": int(r["__rows"])}
         for c in cols:
-            mn, mx = _ser_stat(r[f"mn__{c}"]), _ser_stat(r[f"mx__{c}"])
+            mn = _ser_stat(r[f"mn__{c}"], "min")
+            mx = _ser_stat(r[f"mx__{c}"], "max")
             if mn is None or mx is None:
                 continue  # all-null file or unserializable — no stat, no prune
             per_col[c] = [mn, mx, int(r[f"nu__{c}"] or 0)]
@@ -440,20 +451,26 @@ def _stats_prune(
     comparison ops, so min/max over non-null values is sufficient
     evidence. Pure function — unit-testable without a filesystem."""
 
-    def norm(val):
+    def norm(val, stat_bound):
         """Align a filter value with the stats' serialized form so
         comparisons stay order-preserving: temporals → isoformat, and
         SQL-style 'YYYY-MM-DD HH:MM:SS' strings → the ISO 'T'
-        separator (' ' sorts before 'T', so a mixed-format comparison
-        of the SAME instant would otherwise mis-order and could prune
-        a matching file). NaN filter values prune nothing (NaN never
-        satisfies a range predicate on the read side either)."""
+        separator — but ONLY when the stored stat itself is ISO-shaped
+        ('T' at position 10), which is how temporal stats serialize.
+        A STRING column whose values merely look like timestamps keeps
+        its raw form, and rewriting the filter would invert the
+        comparison and prune matching files. NaN filter values prune
+        nothing (NaN never satisfies a range predicate on the read
+        side either)."""
         if isinstance(val, (datetime.datetime, datetime.date)):
             return val.isoformat()
         if (
             isinstance(val, str)
+            and isinstance(stat_bound, str)
             and len(val) > 10
             and val[10] == " "
+            and len(stat_bound) > 10
+            and stat_bound[10] == "T"
             and val[:4].isdigit()
             and val[4] == "-"
         ):
@@ -465,7 +482,7 @@ def _stats_prune(
         if st is None:
             return True
         mn, mx = st[0], st[1]
-        val = [norm(v) for v in val] if op == "in" else norm(val)
+        val = [norm(v, mn) for v in val] if op == "in" else norm(val, mn)
         if isinstance(val, float) and val != val:
             return True  # NaN filter: no pruning evidence either way
         try:
@@ -950,7 +967,10 @@ def table_changes(
         return empty.withColumn("_commit_version", F.lit(None).cast("long"))
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # a feed spanning a metadata-only schema evolution has parts
+        # with different widths; pre-evolution parts fill the added
+        # columns with NULL, same as snapshot reads
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -973,6 +993,14 @@ def table_restore(spark: SparkSession, path: str, version: int) -> int:
         "op": "restore",
         "restored_version": version,
     }
+    # carry application markers (e.g. a materialized view's source
+    # cursor) back with the data — restoring the rows but not the
+    # cursor would make the next incremental refresh skip the commits
+    # between the restore point and the pre-restore head
+    with contextlib.suppress(Exception):
+        sv = _read_json(spark, path, f"{version:08d}.json").get("src_version")
+        if sv is not None:
+            entry["src_version"] = sv
     return _commit_entry(spark, path, entry, base=current["version"])
 
 

@@ -106,8 +106,16 @@ class TablelogStreamReader(DataSourceStreamReader):
         self._allow_rewrites = (
             str(options.get("allowrewrites", "false")).lower() == "true"
         )
-        # default: process the whole existing table, then tail
-        self._starting = int(options.get("startingversion", -1))
+        if "startingversion" in options:
+            self._starting = int(options["startingversion"])
+        else:
+            # default: every RETAINED entry, then tail. Anchoring at -1
+            # would make partitions() demand version 0, which fails
+            # permanently on any table whose history was truncated;
+            # rows that live only in the truncation checkpoint are a
+            # batch-backfill concern (table_read), not a stream replay.
+            entries = _list_entry_versions(self._path)
+            self._starting = (entries[0] - 1) if entries else -1
         # arrow schema WITHOUT the version tag; built driver-side (the
         # worker in read() has no SparkSession) and pickled with self
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -163,7 +171,8 @@ class TablelogStreamReader(DataSourceStreamReader):
                 # file predates a schema evolution: column is NULL
                 cols.append(pa.nulls(table.num_rows, field.type))
         cols.append(
-            pa.array([partition.version] * table.num_rows, pa.int64())
+            # constant column without a per-row Python list
+            pa.repeat(pa.scalar(partition.version, pa.int64()), table.num_rows)
         )
         out = pa.table(
             cols,
@@ -286,13 +295,20 @@ class TablelogStreamWriter(DataSourceStreamArrowWriter):
         fs, root = _fs_for(self._path)
         versions = _list_entry_versions(self._path)
         newest_schema = None
-        for v in reversed(versions):  # bounded by retained history
+        for v in reversed(versions):
             e = _read_entry(self._path, v)
             if e.get("stream_batch_id") == batchId:
                 self._cleanup(messages)  # replayed batch: already live
                 return
             if newest_schema is None:
                 newest_schema = e.get("schema")
+            sbid = e.get("stream_batch_id")
+            if sbid is not None and sbid < batchId:
+                # batch ids are monotonic per query: nothing older can
+                # hold this id — O(1) commits instead of O(history)
+                # (a replay can only ever match at-or-above the newest
+                # committed id)
+                break
         if newest_schema is not None and newest_schema != self._schema_str:
             self._cleanup(messages)
             raise TypeError(

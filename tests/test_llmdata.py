@@ -1050,4 +1050,4 @@ def test_bpe_encode_matches_per_word_segment(spark):
     for doc_id, text in [(1, "low lower lowest low"), (2, "new newer newest new new"), (3, "low new wider")]:
         expect = [p for w in text.split() for p in bpe_segment(w, merges)]
         assert got[doc_id] == (expect, len(expect)), doc_id
-    assert 4 not in got  # empty doc has no words, drops out
+    assert got[4] == ([], 0)  # wordless doc surfaces with zero tokens

@@ -627,3 +627,40 @@ def test_tablelog_stream_roundtrip_source_to_sink(spark, tmp_path):
     table_commit(spark.range(10, 17).selectExpr("id"), src)
     run_cycle()
     assert {r["id"] for r in table_read(spark, dst).collect()} == set(range(17))
+
+
+def test_tablelog_stream_starts_on_truncated_history(spark, tmp_path):
+    """A fresh stream on a table whose history was truncated must
+    default to the oldest RETAINED entry instead of demanding version
+    0 forever (review finding)."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_commit,
+        table_truncate_history,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    t = str(tmp_path / "trunc_stream")
+    for i in range(4):
+        table_commit(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), t)
+    table_truncate_history(spark, t, keep_last=2)  # entries now 2,3
+    spark.dataSource.register(TablelogStreamDataSource)
+    out = str(tmp_path / "out_ts")
+    q = (
+        spark.readStream.format("tablelog")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_ts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = spark.read.parquet(out)
+    # only the retained entries' rows stream (20..39); truncated
+    # history is a batch-backfill concern
+    assert {r["_commit_version"] for r in got.collect()} == {2, 3}
+    assert got.count() == 20

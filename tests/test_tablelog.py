@@ -1024,3 +1024,83 @@ def test_row_count_from_metadata(spark, tmp_path):
         if f.endswith(".parquet"):
             os.unlink(f"{t}/data/{f}")
     assert table_row_count(spark, t) == 120
+
+
+def test_string_column_with_timestamp_shaped_values_not_misprunes(spark, tmp_path):
+    """A STRING column whose values look like SQL timestamps must not
+    have its filter values rewritten to ISO form — that inverts the
+    comparison and prunes matching files (review finding)."""
+    from simple_data_workflow_spark.sources.tablelog import table_scan
+
+    t = str(tmp_path / "strts")
+    table_commit(
+        spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 11:00:00")],
+            "id long, s string",
+        ).coalesce(1),
+        t,
+    )
+    got = table_scan(spark, t, filters=[("s", "==", "2024-01-01 10:00:00")])
+    assert got.count() == 1
+    assert table_scan(spark, t, filters=[("s", "<=", "2024-01-01 10:00:00")]).count() == 1
+
+
+def test_changes_and_matview_across_schema_evolution(spark, tmp_path):
+    """The change feed must union parts across a metadata-only schema
+    evolution (pre-evolution rows fill the new column with NULL)."""
+    from simple_data_workflow_spark.sources.tablelog import table_changes
+
+    t = str(tmp_path / "evo_feed")
+    table_commit(spark.range(0, 5).selectExpr("id"), t)
+    table_commit(
+        spark.range(5, 8).selectExpr("id", "id * 2.0 as score"),
+        t,
+        evolve_schema=True,
+    )
+    ch = table_changes(spark, t, start_version=-1)
+    assert ch.count() == 8
+    assert ch.where("score IS NULL").count() == 5
+
+
+def test_matview_cursor_survives_view_compaction(spark, tmp_path):
+    """table_compact on the VIEW writes an entry without src_version;
+    the cursor must come from the newest entry that carries one, or
+    the next refresh would double-count the whole source."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.matview import refresh_aggregate_view
+    from simple_data_workflow_spark.sources.tablelog import table_compact
+
+    src = str(tmp_path / "src_c")
+    view = str(tmp_path / "view_c")
+    table_commit(spark.range(0, 40).selectExpr("id % 2 as g", "id as v"), src)
+    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["v"])
+    table_compact(spark, view)  # maintenance commit, no src_version
+    table_commit(spark.range(40, 60).selectExpr("id % 2 as g", "id as v"), src)
+    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["v"])
+    got = {r["g"]: (r["cnt"], r["sum_v"]) for r in table_read(spark, view).collect()}
+    want = {
+        g: (30, sum(i for i in range(60) if i % 2 == g)) for g in (0, 1)
+    }
+    assert got == want  # no double-counting
+
+
+def test_decimal_stats_widen_not_round_inward(spark, tmp_path):
+    """Decimal bounds that lose precision in a double must widen
+    outward, never prove-miss a file whose true min/max matches."""
+    from decimal import Decimal
+
+    from simple_data_workflow_spark.sources.tablelog import table_scan
+
+    t = str(tmp_path / "dec1")
+    table_commit(
+        spark.createDataFrame(
+            [(1, Decimal("0.99999999999999999999"))],
+            "id long, d decimal(38,20)",
+        ).coalesce(1),
+        t,
+    )
+    got = table_scan(
+        spark, t, filters=[("d", "==", Decimal("0.99999999999999999999"))]
+    )
+    assert got.count() == 1  # float-rounded bound must not exclude it
