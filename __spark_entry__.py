@@ -1726,6 +1726,31 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent IVF-ANN index on the table format
+    (llmdata.ann_index): corpus committed range-clustered by inverted
+    list, search reads through table_scan's stats pruning so unprobed
+    lists' files are never opened. Engine-seeded k-means ⇒ rows-only;
+    exact parity with in-memory ivf_topk and the pruning behavior are
+    pinned in tests/test_llmdata.py."""
+    import tempfile
+
+    from simple_data_workflow_spark.llmdata.ann_index import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="sdw-ivf-") + "/idx"
+    build_ivf_index(emb, path, n_lists=16)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_index_search(spark, path, q, k=5, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-name pairs within Levenshtein distance 1 via SymSpell
     deletion-variant blocking (llmdata.dedup.fuzzy_pairs) — equi-join on
@@ -2028,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_dml_roundtrip": _wrap(tablelog_dml_roundtrip),
         "tablelog_scan_pruned": _wrap(tablelog_scan_pruned),
         "tablelog_incremental_view": _wrap(tablelog_incremental_view),
+        "ivf_index_topk": _wrap(ivf_index_topk),
         "multimodal_features": _wrap(multimodal_features),
         "bloom_decontaminate_docs": _wrap(bloom_decontaminate_docs),
         "asof_next_order": _wrap(rel.asof_next_order),

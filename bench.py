@@ -227,6 +227,7 @@ QUERIES = {
     "bpe_encode_docs": entrymod.bpe_encode_docs,
     "tablelog_scan_pruned": entrymod.tablelog_scan_pruned,
     "tablelog_incremental_view": entrymod.tablelog_incremental_view,
+    "ivf_index_topk": entrymod.ivf_index_topk,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,
     "fuzzy_name_matches": entrymod.fuzzy_name_matches,
     "profile_orders": rel.profile_orders,

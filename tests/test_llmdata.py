@@ -1051,3 +1051,62 @@ def test_bpe_encode_matches_per_word_segment(spark):
         expect = [p for w in text.split() for p in bpe_segment(w, merges)]
         assert got[doc_id] == (expect, len(expect)), doc_id
     assert got[4] == ([], 0)  # wordless doc surfaces with zero tokens
+
+
+def test_ivf_index_on_tablelog_matches_inmemory_and_prunes(spark, tmp_path):
+    """The persisted IVF index must (a) return EXACTLY what the
+    in-memory ivf_topk returns for the same centroids/probes, and (b)
+    prune the index table's files to the probed lists driver-side."""
+    from simple_data_workflow_spark.llmdata.ann_index import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+    from simple_data_workflow_spark.sources.readers import load_table
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        _stats_prune,
+        table_read,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    corpus = load_table(spark, sf_dir, "embeddings")
+    t = str(tmp_path / "ivf_idx")
+    build_ivf_index(corpus, t, n_lists=16, files_per_index=8)
+    q = corpus.where("vec_id % 50 = 0")  # small serving batch
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_index_search(spark, t, q, k=5, n_probe=4).collect()
+    }
+    # same centroids -> identical results to the in-memory path
+    cents = [
+        r["centroid"]
+        for r in sorted(
+            table_read(spark, f"{t}_centroids").collect(),
+            key=lambda r: r["list_id"],
+        )
+    ]
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ivf_topk(
+            q, corpus, k=5, n_probe=4, centroids=cents
+        ).collect()
+    }
+    assert got == want and got
+
+    # pruning: a single query probes 4 of 16 lists; with 8 range-
+    # clustered files, the stats must rule out a real fraction
+    state = _resolve_state(spark, t, None)
+    one_q = corpus.where("vec_id = 0")
+    from simple_data_workflow_spark.functions.vectors import nearest_centroids_pd
+    from pyspark.sql import functions as F
+
+    probe = nearest_centroids_pd(cents, 4)
+    probed = sorted(
+        r["l"]
+        for r in one_q.select(F.explode(probe(F.col("embedding"))).alias("l")).collect()
+    )
+    kept = _stats_prune(
+        state["stats"], state["files"], [("list_id", "in", [int(p) for p in probed])]
+    )
+    assert len(kept) < len(state["files"]), (probed, len(kept), len(state["files"]))
