@@ -14,6 +14,9 @@ from simple_data_workflow_spark.sources.crawl import (  # noqa: F401
     read_warc,
     read_wet,
 )
+from simple_data_workflow_spark.sources.matview import (  # noqa: F401
+    refresh_aggregate_view,
+)
 from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     ConcurrentWriteConflict,
     table_changes,
