@@ -120,6 +120,36 @@ def ivf_topk_bench(spark, sf_dir):
     )
 
 
+_IVF_INDEX_PATHS: dict = {}
+
+
+def _ivf_index_path(spark, sf_dir: str) -> str:
+    """Prebuilt persistent IVF index per sf_dir, built OUTSIDE the
+    timed loop (main() resolves it up front, like _corpus_rows): the
+    ``ivf_index_search_only`` entry then measures the SERVING shape —
+    stats-pruned probed-list search against an amortized index — which
+    the combined ``ivf_index_topk`` number (≈90% index build, VERDICT
+    r7) buries."""
+    if sf_dir not in _IVF_INDEX_PATHS:
+        import tempfile
+
+        from simple_data_workflow_spark.llmdata.ann_index import build_ivf_index
+
+        path = tempfile.mkdtemp(prefix="sdw-ivfidx-") + "/idx"
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ivf_index(emb, path, n_lists=16, files_per_index=8)
+        _IVF_INDEX_PATHS[sf_dir] = path
+    return _IVF_INDEX_PATHS[sf_dir]
+
+
+def ivf_index_search_bench(spark, sf_dir):
+    from simple_data_workflow_spark.llmdata.ann_index import ivf_index_search
+
+    path = _ivf_index_path(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 50 == 0)
+    return ivf_index_search(spark, path, q, k=5, n_probe=4)
+
+
 def minhash_bench(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
@@ -227,7 +257,10 @@ QUERIES = {
     "bpe_encode_docs": entrymod.bpe_encode_docs,
     "tablelog_scan_pruned": entrymod.tablelog_scan_pruned,
     "tablelog_incremental_view": entrymod.tablelog_incremental_view,
+    "tablelog_partitioned_scan": entrymod.tablelog_partitioned_scan,
+    "tablelog_cdf_view": entrymod.tablelog_cdf_view,
     "ivf_index_topk": entrymod.ivf_index_topk,
+    "ivf_index_search_only": ivf_index_search_bench,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,
     "fuzzy_name_matches": entrymod.fuzzy_name_matches,
     "profile_orders": rel.profile_orders,
@@ -284,9 +317,12 @@ WARM_SF_DIR = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001"
 def main() -> None:
     spark = get_spark(app_name="sdw-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # knob-sizing row counts resolved up front so no timed run pays for one
+    # knob-sizing row counts + the persistent IVF index resolved up
+    # front so no timed run pays for either (the search entry measures
+    # serving, not the amortized build)
     for d in (WARM_SF_DIR, SF_DIR):
         _corpus_rows(spark, d)
+        _ivf_index_path(spark, d)
     # warm each query once at the smallest sf (JVM/codegen/reader warmup,
     # not counted) so the timed runs measure the queries, not JIT
     for name, fn in QUERIES.items():

@@ -78,6 +78,72 @@ def build_ivf_index(
     return table_commit(clustered, path, mode="overwrite")
 
 
+def append_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_batch: int | None = None,
+) -> int:
+    """Add new vectors to an EXISTING index without a rebuild: assign
+    them to the already-fitted centroids (read from the companion
+    table — bounded rows) and commit one APPEND, range-clustered on
+    ``list_id`` WITHIN the batch so the new files also carry tight
+    prunable ``list_id`` stats. The quantizer is untouched, so a
+    search after the append equals in-memory ``ivf_topk`` over the
+    union corpus with the same centroids — the amortization that makes
+    a serving index viable (ingest cost ∝ batch, not corpus; a 0.1%
+    daily delta on a 100 TB corpus appends 0.1%, the real formats'
+    append economics). Returns the new index version.
+
+    Drift caveat: appended data shifts the true cluster structure away
+    from the frozen centroids; ``ivf_index_skew`` measures it and the
+    caller rebuilds (``build_ivf_index``) past a threshold — the same
+    maintenance loop FAISS/Milvus run."""
+    spark = df.sparkSession
+    cent_rows = sorted(
+        (r["list_id"], r["centroid"])
+        for r in table_read(spark, f"{path}_centroids").collect()
+    )
+    centroids = [c for _, c in cent_rows]
+    assign1 = nearest_centroids_pd(centroids, 1)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
+    )
+    n_files = files_per_batch or max(2, len(centroids) // 4)
+    clustered = assigned.repartitionByRange(
+        n_files, "list_id"
+    ).sortWithinPartitions("list_id")
+    return table_commit(clustered, path, mode="append")
+
+
+def ivf_index_skew(spark: SparkSession, path: str) -> dict:
+    """Drift guard for the append path: inverted-list occupancy from
+    ONE count aggregate over the index (shuffles one row per list).
+    Returns ``{"max_over_mean": float, "n_lists": int, "rows": int}``
+    — ``max_over_mean`` near 1 is balanced; a list absorbing most
+    appends (frozen centroids no longer fit the data) drives it up,
+    which both hurts probe cost (hot list ≈ scan) and signals recall
+    drift. Rebuild when it crosses the caller's bound (≈3-4 in
+    practice)."""
+    counts = (
+        table_read(spark, path)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes = [r["n"] for r in counts]
+    total = sum(sizes)
+    mean = total / max(1, len(sizes))
+    return {
+        "max_over_mean": max(sizes) / mean if sizes else 0.0,
+        "n_lists": len(sizes),
+        "rows": total,
+    }
+
+
 def ivf_index_search(
     spark: SparkSession,
     path: str,

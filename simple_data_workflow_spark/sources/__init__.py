@@ -15,11 +15,13 @@ from simple_data_workflow_spark.sources.crawl import (  # noqa: F401
     read_wet,
 )
 from simple_data_workflow_spark.sources.matview import (  # noqa: F401
+    ViewCursorLost,
     refresh_aggregate_view,
 )
 from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     ConcurrentWriteConflict,
     table_changes,
+    table_changes_rowlevel,
     table_commit,
     table_compact,
     table_delete_where,

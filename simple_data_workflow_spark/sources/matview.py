@@ -19,10 +19,14 @@ incremental-ETL pattern:
   new cursor) — a re-run is always safe, double-counting is
   impossible. This is the transactional-consistency trick the real
   formats' ``txn`` actions enable.
-- **Decomposable aggregates only** (count/sum/min/max — avg = sum/cnt
-  downstream): the view consumes APPEND commits; ``table_changes``
-  raises on DML rewrites rather than silently double-counting, which
-  is exactly the failure mode non-decomposable maintenance hits.
+- **Decomposable aggregates** (count/sum/min/max — avg = sum/cnt
+  downstream). Append-only sources fold the cheap add-only way; a
+  pending range containing DML commits (round 8) switches to the
+  row-level change feed (``table_changes_rowlevel``) and folds delete
+  preimages with NEGATIVE sign — exact for the invertible aggregates
+  (count/sum). min/max are not invertible under deletes (the deleted
+  row may have held the extremum), so a min/max view REFUSES a
+  DML-bearing refresh instead of silently corrupting.
 - **Conflict-safe**: the refresh commits against its base version;
   concurrent refreshes serialize or raise, never silently lose one.
 """
@@ -36,28 +40,43 @@ from simple_data_workflow_spark.sources.tablelog import (
     _collect_stats,
     _commit_entry,
     _list_log,
+    _read_files,
     _read_json,
     _resolve_state,
     _stage_data_files,
     table_changes,
-    table_read,
+    table_changes_rowlevel,
 )
 
 
-def _view_cursor(spark: SparkSession, view_path: str) -> int:
-    """The source version the view last folded in — the NEWEST log
-    entry carrying ``src_version``. Scanned newest-first (bounded by
-    retained history) so that maintenance commits on the view itself
-    (``table_compact``, ``table_restore``) don't mask the cursor —
-    reading only the latest entry would reset it to -1 after a
-    compaction and the next refresh would silently double-count the
-    whole source."""
-    entries, _ = _list_log(spark, view_path)
-    for v in reversed(entries):
-        sv = _read_json(spark, view_path, f"{v:08d}.json").get("src_version")
-        if sv is not None:
-            return int(sv)
-    return -1
+class ViewCursorLost(RuntimeError):
+    """The view holds aggregate state but no retained log entry or
+    checkpoint carries its source cursor — refreshing would re-fold
+    the ENTIRE source into state that already contains it (silent
+    double counting). Recoverable by rebuilding the view from scratch
+    (drop + full refresh); the error exists so that recovery is an
+    explicit choice, never an accident."""
+
+
+def _view_cursor(spark: SparkSession, state: dict) -> int:
+    """The source version the view last folded in, resolved by the
+    same log replay as the snapshot itself (``src_version`` propagates
+    newest-writer-wins through entries AND checkpoints, so compaction,
+    restore, and history truncation never mask it). A view with rows
+    but no cursor anywhere is corrupt-by-maintenance — raise rather
+    than return -1, because -1 means "never refreshed" and the next
+    refresh would double-count the whole source."""
+    sv = state.get("src_version")
+    if sv is None:
+        if state["files"]:
+            raise ViewCursorLost(
+                "materialized view has aggregate state but no src_version "
+                "in any retained log entry or checkpoint — refusing to "
+                "refresh (it would double-count the source); rebuild the "
+                "view from scratch"
+            )
+        return -1
+    return int(sv)
 
 
 def refresh_aggregate_view(
@@ -85,8 +104,12 @@ def refresh_aggregate_view(
     try:
         state = _resolve_state(spark, view_path, None)
         base: int | None = state["version"]
-        cursor = _view_cursor(spark, view_path)
-        current: DataFrame | None = table_read(spark, view_path)
+        cursor = _view_cursor(spark, state)
+        current: DataFrame | None = (
+            _read_files(spark, view_path, state["files"], state["schema"])
+            if state["files"]
+            else None
+        )
     except FileNotFoundError:
         # base -1 ⇒ the creation commit must win slot 0: two concurrent
         # first refreshes conflict instead of both committing
@@ -94,20 +117,68 @@ def refresh_aggregate_view(
     src_latest = _resolve_state(spark, src_path, None)["version"]
     if src_latest <= cursor:
         return base  # nothing new
-    changes = table_changes(
-        spark, src_path, start_version=cursor, end_version=src_latest
-    ).drop("_commit_version")
-    partial = changes.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
-        *[F.min(c).alias(f"min_{c}") for c in min_cols],
-        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+    # metadata-only peek at the pending commits: all-append sources
+    # take the cheap add-only fold; DML commits (delta/restore) switch
+    # to the row-level change feed and SIGNED folding — exact for the
+    # invertible aggregates (count/sum), impossible for min/max (a
+    # deleted row that held the min needs a group re-scan, which would
+    # break cost ∝ new data — refuse rather than silently corrupt)
+    entries, _ = _list_log(spark, src_path)
+    pending = [v for v in entries if cursor < v <= src_latest]
+    all_appends = all(
+        _read_json(spark, src_path, f"{v:08d}.json")["action"] == "append"
+        for v in pending
     )
+    if all_appends:
+        changes = table_changes(
+            spark, src_path, start_version=cursor, end_version=src_latest
+        ).drop("_commit_version")
+        partial = changes.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+            *[F.min(c).alias(f"min_{c}") for c in min_cols],
+            *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        )
+    else:
+        if min_cols or max_cols:
+            raise ValueError(
+                f"source {src_path} has DML commits in the pending range "
+                f"and the view declares min/max columns — min/max are not "
+                "maintainable under deletes; rebuild the view or drop the "
+                "min/max columns"
+            )
+        changes = table_changes_rowlevel(
+            spark, src_path, start_version=cursor, end_version=src_latest
+        )
+        sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
+            F.lit(1)
+        )
+        neg = F.col("_change_type") == "delete"
+        partial = (
+            changes.withColumn("_sign", sign)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("_sign").alias("cnt"),
+                # negate-then-sum (not sign*value) keeps each column's
+                # exact type — decimal×int would widen precision and
+                # drift the view's schema between refreshes
+                *[
+                    F.sum(F.when(neg, -F.col(c)).otherwise(F.col(c))).alias(
+                        f"sum_{c}"
+                    )
+                    for c in sum_cols
+                ],
+            )
+        )
     merged = (
         partial
         if current is None
         else current.unionByName(partial).groupBy(*group_cols).agg(*partial_aggs())
     )
+    if not all_appends:
+        # a group whose rows were all deleted folds to cnt 0 — it must
+        # vanish, as it would in the full recompute
+        merged = merged.where(F.col("cnt") != 0)
     files = _stage_data_files(merged, view_path)
     entry = {
         "action": "overwrite",

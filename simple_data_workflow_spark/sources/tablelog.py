@@ -111,8 +111,19 @@ def _read_json(spark: SparkSession, path: str, name: str) -> dict:
 def _write_json_if_absent(
     spark: SparkSession, path: str, name: str, payload: dict
 ) -> bool:
-    """Stage under a dot-name, then rename-if-absent to ``name`` —
-    the atomic publish primitive. Returns whether the rename won."""
+    """Stage under a dot-name, then publish to ``name`` if-absent —
+    the atomic commit primitive. Returns whether the publish won.
+
+    On local filesystems the publish is ``java.nio.Files.createLink``
+    (a hard link to the final name): POSIX ``link(2)`` fails with
+    EEXIST atomically, so two racing writers can never both win — the
+    exists+rename fallback used on other schemes is check-then-act
+    (RawLocalFileSystem's ``rename`` overwrites an existing
+    destination, so without the link primitive a sub-millisecond race
+    could clobber a just-won commit; on HDFS ``rename`` itself refuses
+    an existing destination, so the fallback is safe there too — the
+    documented best-effort caveat is object stores without an if-absent
+    primitive, same one the real formats carry)."""
     jvm, fs = _fs(spark, path)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/_log"))
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/.tmp-{uuid.uuid4().hex}.json")
@@ -122,6 +133,19 @@ def _write_json_if_absent(
     finally:
         out.close()
     target = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{name}")
+    scheme = target.toUri().getScheme()
+    if scheme in (None, "file"):
+        t_nio = jvm.java.io.File(target.toUri().getPath()).toPath()
+        s_nio = jvm.java.io.File(tmp.toUri().getPath()).toPath()
+        try:
+            jvm.java.nio.file.Files.createLink(t_nio, s_nio)
+            fs.delete(tmp, False)
+            return True
+        except Exception as exc:  # EEXIST: another writer won the slot
+            if "FileAlreadyExistsException" not in str(exc):
+                raise
+            fs.delete(tmp, False)
+            return False
     if not fs.exists(target) and fs.rename(tmp, target):
         return True
     fs.delete(tmp, False)
@@ -152,10 +176,14 @@ def _resolve_state(
     files: list[str] = []
     stats: dict = {}
     schema: str | None = None
+    src_version: int | None = None
+    partition_by: list[str] | None = None
     if start_cp is not None:
         cp = _read_json(spark, path, f"{start_cp:08d}.checkpoint.json")
         files, schema = list(cp["files"]), cp.get("schema")
         stats = dict(cp.get("stats", {}))
+        src_version = cp.get("src_version")
+        partition_by = cp.get("partition_by")
         replay_from = start_cp + 1
     else:
         if entries[0] != 0:
@@ -184,7 +212,24 @@ def _resolve_state(
         else:  # pragma: no cover - future-proofing
             raise ValueError(f"unknown log action {action!r} at version {v}")
         schema = e.get("schema", schema)
-    return {"version": upto, "files": files, "schema": schema, "stats": stats}
+        # application cursor (materialized views): NEWEST entry that
+        # carries it wins; entries without it (compact, restore of a
+        # cursor-less target, plain maintenance) keep the prior value,
+        # so maintenance commits never mask the cursor
+        if e.get("src_version") is not None:
+            src_version = int(e["src_version"])
+        # partitioning spec: last entry that declares it wins ([] =
+        # explicitly unpartitioned); entries without it inherit
+        if "partition_by" in e:
+            partition_by = e["partition_by"]
+    return {
+        "version": upto,
+        "files": files,
+        "schema": schema,
+        "stats": stats,
+        "src_version": src_version,
+        "partition_by": partition_by,
+    }
 
 
 def _entry_adds(e: dict) -> list[str]:
@@ -231,15 +276,21 @@ def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         return
     with contextlib.suppress(Exception):
         state = _resolve_state(spark, path, version)
+        payload = {
+            "files": state["files"],
+            "schema": state["schema"],
+            "stats": state["stats"],
+        }
+        # checkpoints must carry the application cursor: truncation may
+        # later delete every cursor-bearing ENTRY, and a checkpoint
+        # without it would reset a materialized view's cursor to "never
+        # refreshed" — the silent-double-count hazard
+        if state.get("src_version") is not None:
+            payload["src_version"] = state["src_version"]
+        if state.get("partition_by") is not None:
+            payload["partition_by"] = state["partition_by"]
         _write_json_if_absent(
-            spark,
-            path,
-            f"{version:08d}.checkpoint.json",
-            {
-                "files": state["files"],
-                "schema": state["schema"],
-                "stats": state["stats"],
-            },
+            spark, path, f"{version:08d}.checkpoint.json", payload
         )
 
 
@@ -249,6 +300,7 @@ def _commit_entry(
     entry: dict,
     base: int | None = None,
     max_retries: int = 10,
+    on_retry=None,
 ) -> int:
     """Publish ``entry`` into the next log slot.
 
@@ -256,11 +308,20 @@ def _commit_entry(
     computed from: the entry may then ONLY land in slot ``base + 1``;
     any interleaved commit raises :class:`ConcurrentWriteConflict`
     instead of silently dropping it. ``base=None`` (appends, blind
-    overwrites) retries freely — those carry no read dependency.
+    overwrites) retries freely — those carry no read dependency beyond
+    what ``on_retry`` re-checks: appends pass their schema validation
+    here, which returns the version it validated against, and the
+    publish targets EXACTLY that version's successor slot — so an
+    append can never land after an unseen interleaved commit (e.g. a
+    schema evolution it was not validated against; last-writer-wins
+    schema replay would silently revert the evolution otherwise).
     """
     for _ in range(max_retries):
+        pinned = on_retry() if on_retry is not None else None
         entries, cps = _list_log(spark, path)
         latest = max(entries[-1] if entries else -1, cps[-1] if cps else -1)
+        if pinned is not None and latest != pinned:
+            continue  # a commit landed after validation — re-validate
         next_v = latest + 1
         if base is not None and next_v != base + 1:
             raise ConcurrentWriteConflict(
@@ -271,7 +332,7 @@ def _commit_entry(
         if _write_json_if_absent(spark, path, f"{next_v:08d}.json", entry):
             _maybe_checkpoint(spark, path, next_v)
             return next_v
-        # lost the rename race; loop re-lists (and, with a base, the
+        # lost the publish race; loop re-lists (and, with a base, the
         # next iteration raises the conflict)
     raise RuntimeError(f"commit lost {max_retries} races at {path}")
 
@@ -284,6 +345,7 @@ def table_commit(
     base: int | None = None,
     collect_stats: bool = True,
     evolve_schema: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as one atomic version; returns the version number.
 
@@ -295,59 +357,109 @@ def table_commit(
     ``base=`` that snapshot's version: it then conflicts instead of
     silently discarding an interleaved commit. ``base=None`` overwrite
     is the blind replace-table-contents form and retries freely.
+
+    ``partition_by=[col, ...]`` declares partition columns: the batch
+    is hash-clustered on them before staging (each value combo lands
+    in exactly one file of the batch) and every commit records each
+    file's distinct partition values in the log, so partition-key
+    filters in ``table_scan`` prune files by EXACT membership with no
+    range-stats looseness — the log-native form of hive partitioning,
+    minus the small-file explosion (a file may carry several values).
+    Omit it on later commits: appends and DML inherit the table's
+    declared spec (recorded in the log) and keep their rewritten files
+    prunable; pass ``[]`` on an overwrite to unpartition.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     spark = df.sparkSession
-    if mode == "append":
+    declared = partition_by is not None
+    if partition_by is None:
         try:
-            prev = _resolve_state(spark, path, None)["schema"]
+            partition_by = _resolve_state(spark, path, None).get("partition_by")
         except FileNotFoundError:
-            prev = None
-        cur = df.schema.simpleString()
-        if prev is not None and prev != cur:
-            if evolve_schema:
-                # METADATA-ONLY schema evolution, the real formats' add-
-                # column path: the batch must carry every existing
-                # column at its exact type (reads match parquet columns
-                # by name, and a silent type change would break the
-                # union scan); net-new columns are fine — pre-evolution
-                # files surface them as NULL because every snapshot
-                # read passes the logged schema explicitly. No data
-                # file is rewritten, which is the entire point at
-                # 100 TB.
-                from pyspark.sql.types import _parse_datatype_string
+            partition_by = None
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} not in batch columns "
+                f"{df.columns}"
+            )
+        # explicit partition count pins the clustering fan-out — with
+        # only the columns, AQE would coalesce a small batch into one
+        # file and every value combo would share it (no pruning)
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(n, *partition_by)
 
-                old_fields = {
-                    f.name: f.dataType for f in _parse_datatype_string(prev)
-                }
-                new_fields = {f.name: f.dataType for f in df.schema}
-                bad = [
-                    n
-                    for n, t in old_fields.items()
-                    if n not in new_fields or new_fields[n] != t
-                ]
-                if bad:
-                    raise TypeError(
-                        f"evolve_schema append at {path} must keep every "
-                        f"existing column at its type; mismatched: {bad} "
-                        f"(table {prev}, batch {cur})"
-                    )
-            else:
-                # a silently-mismatched append would poison every later
-                # snapshot read (parquet union of incompatible files)
+    def _validate_append_schema() -> int:
+        """Batch schema vs the CURRENT table schema; raises on drift.
+        Returns the table version the validation read — the commit
+        loop publishes ONLY to that version's successor slot and
+        re-validates whenever the table moved, so a stale append can
+        never land after an interleaved ``evolve_schema`` commit
+        (replay's last-writer-wins schema would silently revert the
+        evolution otherwise)."""
+        try:
+            state = _resolve_state(spark, path, None)
+            prev, seen = state["schema"], int(state["version"])
+        except FileNotFoundError:
+            prev, seen = None, -1
+        cur = df.schema.simpleString()
+        if prev is None or prev == cur:
+            return seen
+        if evolve_schema:
+            # METADATA-ONLY schema evolution, the real formats' add-
+            # column path: the batch must carry every existing column
+            # at its exact type (reads match parquet columns by name,
+            # and a silent type change would break the union scan);
+            # net-new columns are fine — pre-evolution files surface
+            # them as NULL because every snapshot read passes the
+            # logged schema explicitly. No data file is rewritten,
+            # which is the entire point at 100 TB.
+            from pyspark.sql.types import _parse_datatype_string
+
+            old_fields = {
+                f.name: f.dataType for f in _parse_datatype_string(prev)
+            }
+            new_fields = {f.name: f.dataType for f in df.schema}
+            bad = [
+                n
+                for n, t in old_fields.items()
+                if n not in new_fields or new_fields[n] != t
+            ]
+            if bad:
                 raise TypeError(
-                    f"append schema drift at {path}: table has {prev}, "
-                    f"batch has {cur} — align the batch, or pass "
-                    "evolve_schema=True to add columns metadata-only"
+                    f"evolve_schema append at {path} must keep every "
+                    f"existing column at its type; mismatched: {bad} "
+                    f"(table {prev}, batch {cur})"
                 )
+            return seen
+        else:
+            # a silently-mismatched append would poison every later
+            # snapshot read (parquet union of incompatible files)
+            raise TypeError(
+                f"append schema drift at {path}: table has {prev}, "
+                f"batch has {cur} — align the batch, or pass "
+                "evolve_schema=True to add columns metadata-only"
+            )
+
+    if mode == "append":
+        _validate_append_schema()
     files = _stage_data_files(df, path)
     entry = {"action": mode, "files": files, "schema": df.schema.simpleString()}
     if collect_stats:
-        entry["stats"] = _collect_stats(spark, path, files)
+        entry["stats"] = _collect_stats(
+            spark, path, files, partition_cols=partition_by
+        )
+    if declared:
+        entry["partition_by"] = partition_by
     if base is not None:
         entry["base"] = base
-    return _commit_entry(spark, path, entry, base=base, max_retries=max_retries)
+    revalidate = _validate_append_schema if mode == "append" else None
+    return _commit_entry(
+        spark, path, entry, base=base, max_retries=max_retries,
+        on_retry=revalidate,
+    )
 
 
 # --------------------------------------------------- per-file column stats
@@ -365,6 +477,12 @@ _SKIPPABLE = (
 #: string min/max longer than this are dropped from the stats rather
 #: than truncated — a truncated max is no longer an upper bound
 _MAX_STAT_STR = 64
+
+#: per-file distinct-value sets are recorded for partition columns up
+#: to this cardinality PER FILE; a file exceeding it falls back to
+#: min/max stats (a "partition" column with many values per file is
+#: not partitioned data — the cap keeps the log tiny)
+_MAX_PART_VALUES = 32
 
 
 def _ser_stat(v, side):
@@ -406,16 +524,30 @@ def _ser_stat(v, side):
         return None
 
 
-def _collect_stats(spark: SparkSession, path: str, files: list[str]) -> dict:
+def _collect_stats(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    partition_cols: list[str] | None = None,
+) -> dict:
     """Per-file min/max/null-count for every skippable column of the
     just-staged files — ONE grouped aggregate over only those files
     (freshly written, page-cache warm), collected as at most one row
     per file. This is the commit-time cost that buys ``table_scan``
-    its driver-side file pruning; the real formats pay the same."""
+    its driver-side file pruning; the real formats pay the same.
+
+    ``partition_cols`` additionally records each file's DISTINCT value
+    set for those columns (under the reserved ``__parts`` key, capped
+    at :data:`_MAX_PART_VALUES` per file) — exact membership evidence
+    where hash-clustered values make min/max ranges useless. This is
+    the log-native equivalent of hive partition values, except a file
+    may legitimately hold several values (hash clustering) and pruning
+    stays exact."""
     if not files:
         return {}
     scan = spark.read.parquet(*[f"{path}/data/{f}" for f in files])
     cols = [f.name for f in scan.schema if isinstance(f.dataType, _SKIPPABLE)]
+    pcols = [c for c in (partition_cols or []) if c in scan.columns]
     # per-file row count rides along under the reserved "__rows" key:
     # it lets COUNT(*) (table_row_count) answer from the log alone
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -425,6 +557,12 @@ def _collect_stats(spark: SparkSession, path: str, files: list[str]) -> dict:
             F.max(c).alias(f"mx__{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"nu__{c}"),
         ]
+    for c in pcols:
+        # one extra value past the cap disambiguates "exactly at cap"
+        # from "truncated" (a truncated set is NOT pruning evidence)
+        aggs.append(
+            F.slice(F.collect_set(c), 1, _MAX_PART_VALUES + 1).alias(f"pv__{c}")
+        )
     rows = (
         scan.withColumn("__f", F.input_file_name()).groupBy("__f").agg(*aggs).collect()
     )
@@ -437,6 +575,17 @@ def _collect_stats(spark: SparkSession, path: str, files: list[str]) -> dict:
             if mn is None or mx is None:
                 continue  # all-null file or unserializable — no stat, no prune
             per_col[c] = [mn, mx, int(r[f"nu__{c}"] or 0)]
+        parts = {}
+        for c in pcols:
+            vals = r[f"pv__{c}"]
+            if vals is None or len(vals) > _MAX_PART_VALUES:
+                continue  # truncated set is not evidence — min/max only
+            ser = [_ser_stat(v, "min") for v in vals]
+            if any(s is None for s in ser):
+                continue  # unserializable value in the set
+            parts[c] = sorted(ser, key=lambda x: (str(type(x)), str(x)))
+        if parts:
+            per_col["__parts"] = parts
         stats[r["__f"].rsplit("/", 1)[-1]] = per_col
     return stats
 
@@ -477,7 +626,41 @@ def _stats_prune(
             return val[:10] + "T" + val[11:]
         return val
 
+    def part_maybe_matches(vals: list, op, val) -> bool:
+        """EXACT membership evidence from a file's recorded distinct
+        value set (partition columns): a file whose set contains no
+        satisfying value provably misses. Filter values serialize
+        through the same ``_ser_stat`` as the stored set, so equality
+        is apples-to-apples; anything unserializable or cross-typed
+        falls back to "can't prove a miss"."""
+        cand = [val] if op != "in" else list(val)
+        ser = [_ser_stat(v, "min") for v in cand]
+        if any(s is None for s in ser):
+            return True
+        if vals and isinstance(vals[0], str):
+            # same SQL-style → ISO timestamp alignment as min/max stats
+            ser = [norm(s, vals[0]) if isinstance(s, str) else s for s in ser]
+        try:
+            if op in ("==", "=", "in"):
+                return any(s in vals for s in ser)
+            if op == "!=":
+                return any(v != ser[0] for v in vals)
+            if op == "<":
+                return any(v < ser[0] for v in vals)
+            if op == "<=":
+                return any(v <= ser[0] for v in vals)
+            if op == ">":
+                return any(v > ser[0] for v in vals)
+            if op == ">=":
+                return any(v >= ser[0] for v in vals)
+        except TypeError:
+            return True
+        return True
+
     def maybe_matches(per_col: dict, col, op, val) -> bool:
+        pv = per_col.get("__parts", {}).get(col)
+        if pv is not None:
+            return part_maybe_matches(pv, op, val)
         st = per_col.get(col)
         if st is None:
             return True
@@ -643,6 +826,8 @@ def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
     raise :class:`ConcurrentWriteConflict`. Returns the new version,
     or the current one if nothing matched."""
     state = _resolve_state(spark, path, None)
+    if not state["files"]:  # empty snapshot: DELETE is a no-op
+        return state["version"]
     cond = F.expr(condition)
     touched = _touched_files(spark, path, state["files"], cond, state["schema"])
     if not touched:
@@ -655,7 +840,9 @@ def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
         "action": "delta",
         "add": added,
         "remove": touched,
-        "stats": _collect_stats(spark, path, added),
+        "stats": _collect_stats(
+            spark, path, added, partition_cols=state.get("partition_by")
+        ),
         "schema": state["schema"],
         "base": state["version"],
         "op": "delete",
@@ -673,6 +860,8 @@ def table_update_where(
     of the table is untouched, one atomic add/remove delta commit.
     Returns the new version, or the current one if nothing matched."""
     state = _resolve_state(spark, path, None)
+    if not state["files"]:  # empty snapshot: UPDATE is a no-op
+        return state["version"]
     cond = F.expr(condition)
     touched = _touched_files(spark, path, state["files"], cond, state["schema"])
     if not touched:
@@ -698,7 +887,9 @@ def table_update_where(
         "action": "delta",
         "add": added,
         "remove": touched,
-        "stats": _collect_stats(spark, path, added),
+        "stats": _collect_stats(
+            spark, path, added, partition_cols=state.get("partition_by")
+        ),
         "schema": state["schema"],
         "base": state["version"],
         "op": "update",
@@ -725,21 +916,27 @@ def table_merge_upsert(
     from simple_data_workflow_spark.operators.cdc import merge_upsert
 
     state = _resolve_state(spark, path, None)
-    snap = _read_files(spark, path, state["files"], state["schema"])
-    keys = updates.select(key).distinct()
-    rows = (
-        snap.join(F.broadcast(keys), key, "left_semi")
-        .select(F.input_file_name().alias("__f"))
-        .distinct()
-        .collect()
-    )
-    touched = sorted(r["__f"].rsplit("/", 1)[-1] for r in rows)
+    if not state["files"]:
+        # empty snapshot (e.g. DELETE matched everything): merge is
+        # insert-only — no files to probe (a zero-path parquet read
+        # would throw), the batch commits as the whole new content
+        touched: list[str] = []
+    else:
+        snap = _read_files(spark, path, state["files"], state["schema"])
+        keys = updates.select(key).distinct()
+        rows = (
+            snap.join(F.broadcast(keys), key, "left_semi")
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        )
+        touched = sorted(r["__f"].rsplit("/", 1)[-1] for r in rows)
     # every target row with a colliding key lives in a touched file by
     # construction, so merging the touched subset is exact
     target = (
         _read_files(spark, path, touched, state["schema"])
         if touched
-        else snap.limit(0)
+        else spark.createDataFrame([], state["schema"])
     )
     merged = merge_upsert(target, updates, key)
     added = _stage_data_files(merged, path)
@@ -747,7 +944,9 @@ def table_merge_upsert(
         "action": "delta",
         "add": added,
         "remove": touched,
-        "stats": _collect_stats(spark, path, added),
+        "stats": _collect_stats(
+            spark, path, added, partition_cols=state.get("partition_by")
+        ),
         "schema": state["schema"],
         "base": state["version"],
         "op": "merge",
@@ -799,7 +998,9 @@ def table_compact(
     entry = {
         "action": "overwrite",
         "files": added,
-        "stats": _collect_stats(spark, path, added),
+        "stats": _collect_stats(
+            spark, path, added, partition_cols=state.get("partition_by")
+        ),
         "schema": state["schema"],
         "base": state["version"],
         "op": "compact",
@@ -830,16 +1031,20 @@ def table_truncate_history(
     state = _resolve_state(spark, path, cut)
     jvm, fs = _fs(spark, path)
     cp_name = f"{cut:08d}.checkpoint.json"
-    _write_json_if_absent(
-        spark,
-        path,
-        cp_name,
-        {
-            "files": state["files"],
-            "schema": state["schema"],
-            "stats": state["stats"],
-        },
-    )
+    payload = {
+        "files": state["files"],
+        "schema": state["schema"],
+        "stats": state["stats"],
+    }
+    # the entries being deleted may be the only ones carrying the
+    # materialized-view cursor — the checkpoint must preserve it, or a
+    # truncated view would re-fold its entire source on the next
+    # refresh (silent double count)
+    if state.get("src_version") is not None:
+        payload["src_version"] = state["src_version"]
+    if state.get("partition_by") is not None:
+        payload["partition_by"] = state["partition_by"]
+    _write_json_if_absent(spark, path, cp_name, payload)
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{cp_name}")):
         raise RuntimeError(
             f"checkpoint {cp_name} failed to publish; aborting truncation "
@@ -974,6 +1179,119 @@ def table_changes(
     return out
 
 
+def table_changes_rowlevel(
+    spark: SparkSession,
+    path: str,
+    start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed: every row tagged ``_change_type``
+    (``insert`` | ``delete``) and ``_commit_version`` — the CDF shape
+    that lets downstream consumers (``operators.cdc``, the
+    materialized view) fold DML commits EXACTLY instead of refusing
+    them or settling for at-least-once.
+
+    Per commit in ``(start_version, end_version]``:
+
+    - ``append`` → every added row is an ``insert`` (no diff needed).
+    - ``delta`` (file-granular DELETE/UPDATE/MERGE) → the preimage
+      rows (in the removed files but not among the rewritten
+      survivors) surface as ``delete``; rewritten-or-new rows not in
+      the preimage surface as ``insert``. An UPDATE is therefore
+      delete(pre) + insert(post) — exactly what signed aggregation
+      consumes. The multiset diff is ``exceptAll`` over the TOUCHED
+      files only, so cost ∝ the DML's data, never the table — the
+      file-granularity of the DML bounds the feed the same way it
+      bounds the rewrite.
+    - ``overwrite`` with ``op="compact"`` → skipped: a compaction
+      rewrites bytes, not rows — zero logical changes by construction,
+      known from metadata alone (no diff scan at any table size).
+    - other ``overwrite``s (restore, blind replace) → full snapshot
+      diff old-vs-new (two resolved snapshots, ``exceptAll`` both
+      ways). Exact but table-sized — restore is a maintenance event,
+      not a hot-path one.
+
+    Preimages read the REMOVED files, so the feed needs those versions
+    retained (pre-vacuum) — same retention contract as time travel.
+    """
+    entries, _cps = _list_log(spark, path)
+    if not entries:
+        raise FileNotFoundError(f"no table log under {path}")
+    upto = entries[-1] if end_version is None else end_version
+    missing = set(range(start_version + 1, upto + 1)) - set(entries)
+    if missing:
+        raise ValueError(
+            f"versions {sorted(missing)} in ({start_version}, {upto}] are "
+            "not retained (history truncated) — changes cannot be replayed"
+        )
+
+    def tag(df: DataFrame, change: str, v: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(change)).withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+
+    parts: list[DataFrame] = []
+    for v in entries:
+        if v <= start_version or v > upto:
+            continue
+        e = _read_json(spark, path, f"{v:08d}.json")
+        action, schema = e["action"], e.get("schema")
+        if action == "append":
+            if e["files"]:
+                parts.append(
+                    tag(_read_files(spark, path, e["files"], schema), "insert", v)
+                )
+        elif action == "delta":
+            pre = (
+                _read_files(spark, path, e["remove"], schema)
+                if e["remove"]
+                else None
+            )
+            post = (
+                _read_files(spark, path, e["add"], schema) if e["add"] else None
+            )
+            if pre is not None and post is not None:
+                parts.append(tag(pre.exceptAll(post), "delete", v))
+                parts.append(tag(post.exceptAll(pre), "insert", v))
+            elif pre is not None:
+                parts.append(tag(pre, "delete", v))
+            elif post is not None:  # pragma: no cover - delta always removes
+                parts.append(tag(post, "insert", v))
+        elif action == "overwrite":
+            if e.get("op") == "compact":
+                continue  # byte rewrite, zero logical change — metadata fact
+            old = _resolve_state(spark, path, v - 1) if v > 0 else None
+            new_df = (
+                _read_files(spark, path, e["files"], schema)
+                if e["files"]
+                else None
+            )
+            old_df = (
+                _read_files(spark, path, old["files"], old["schema"])
+                if old and old["files"]
+                else None
+            )
+            if old_df is not None and new_df is not None:
+                parts.append(tag(old_df.exceptAll(new_df), "delete", v))
+                parts.append(tag(new_df.exceptAll(old_df), "insert", v))
+            elif old_df is not None:
+                parts.append(tag(old_df, "delete", v))
+            elif new_df is not None:
+                parts.append(tag(new_df, "insert", v))
+    if not parts:
+        state = _resolve_state(spark, path, None)
+        empty = spark.createDataFrame([], state["schema"])
+        return empty.withColumn("_change_type", F.lit(None).cast("string")).withColumn(
+            "_commit_version", F.lit(None).cast("long")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        # parts spanning a metadata-only schema evolution differ in
+        # width; pre-evolution parts fill the added columns with NULL
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def table_restore(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE TABLE TO VERSION — roll the table back to a retained
     snapshot as ONE metadata-only overwrite commit referencing that
@@ -993,14 +1311,15 @@ def table_restore(spark: SparkSession, path: str, version: int) -> int:
         "op": "restore",
         "restored_version": version,
     }
-    # carry application markers (e.g. a materialized view's source
-    # cursor) back with the data — restoring the rows but not the
-    # cursor would make the next incremental refresh skip the commits
-    # between the restore point and the pre-restore head
-    with contextlib.suppress(Exception):
-        sv = _read_json(spark, path, f"{version:08d}.json").get("src_version")
-        if sv is not None:
-            entry["src_version"] = sv
+    # carry the application cursor (materialized view's src_version)
+    # back with the data — restoring the rows but not the cursor would
+    # make the next incremental refresh double-count the commits
+    # between the restore point and the pre-restore head. Resolved at
+    # the TARGET version (not the single entry), so restoring to a
+    # maintenance commit (compact) still lands the cursor that was in
+    # effect at that version.
+    if target.get("src_version") is not None:
+        entry["src_version"] = target["src_version"]
     return _commit_entry(spark, path, entry, base=current["version"])
 
 
@@ -1016,6 +1335,11 @@ def table_row_count(
     for f in state["files"]:
         n = state["stats"].get(f, {}).get("__rows")
         if n is None:
-            return table_read(spark, path, version).count()
+            # count the ALREADY-RESOLVED snapshot — re-resolving via
+            # table_read(version=None) could race a concurrent commit
+            # and count a different snapshot than the one inspected
+            return _read_files(
+                spark, path, state["files"], state["schema"]
+            ).count()
         total += n
     return total

@@ -92,6 +92,39 @@ def _read_entry(path: str, version: int) -> dict:
         return json.loads(f.read().decode("utf-8"))
 
 
+def _publish_if_absent(fs, root: str, name: str, payload: bytes) -> bool:
+    """Publish ``payload`` to ``_log/<name>`` if-absent; returns whether
+    this writer won the slot. On local filesystems the publish is
+    ``os.link`` (POSIX ``link(2)`` fails EEXIST atomically), the SAME
+    primitive the JVM batch path uses — so a streaming sink and a
+    concurrent batch appender contending for one slot can never both
+    win, and neither can clobber the other. Non-local filesystems fall
+    back to check-then-move (best-effort, the documented object-store
+    caveat every log-format carries without a coordination layer)."""
+    import os
+    import uuid as _uuid
+
+    import pyarrow.fs as pafs
+
+    tmp = f"{root}/_log/.tmp-{_uuid.uuid4().hex}.json"
+    with fs.open_output_stream(tmp) as out:
+        out.write(payload)
+    slot = f"{root}/_log/{name}"
+    if isinstance(fs, pafs.LocalFileSystem):
+        try:
+            os.link(tmp, slot)
+            os.unlink(tmp)
+            return True
+        except FileExistsError:
+            os.unlink(tmp)
+            return False
+    if fs.get_file_info(slot).type.name != "NotFound":
+        fs.delete_file(tmp)
+        return False
+    fs.move(tmp, slot)
+    return True
+
+
 @dataclass
 class _FilePartition(InputPartition):
     file_path: str
@@ -248,10 +281,16 @@ class TablelogStreamWriter(DataSourceStreamArrowWriter):
     exactly-once table contents. This is the same ``txn``-action
     mechanism Delta's streaming sink uses.
 
-    Single-streaming-writer-per-table is assumed (Structured Streaming
-    serializes a query's micro-batches; don't point two queries at one
-    table — same caveat as every log-slot race without a JVM
-    rename-if-absent primitive on this code path)."""
+    Slot publication uses the same atomic if-absent primitive as the
+    batch path (``os.link`` on local filesystems — POSIX ``link(2)``
+    fails EEXIST atomically), so the sink is safe against CONCURRENT
+    BATCH APPENDERS on the same table: one of the two racing commits
+    wins each slot, the loser retries the next. Two streaming QUERIES
+    pointed at one table remain a design error for a different reason
+    — their ``stream_batch_id`` sequences would collide and replay
+    detection would dedupe across queries. On non-local filesystems
+    without an if-absent primitive the publish degrades to documented
+    best-effort (the object-store caveat every log format carries)."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         if overwrite:
@@ -333,14 +372,13 @@ class TablelogStreamWriter(DataSourceStreamArrowWriter):
         for _ in range(10):
             versions = _list_entry_versions(self._path)
             next_v = (versions[-1] + 1) if versions else 0
-            slot = f"{root}/_log/{next_v:08d}.json"
-            if fs.get_file_info(slot).type.name != "NotFound":
-                continue  # a concurrent append took the slot; re-list
-            tmp = f"{root}/_log/.tmp-{_uuid.uuid4().hex}.json"
-            with fs.open_output_stream(tmp) as out:
-                out.write(entry)
-            fs.move(tmp, slot)
-            return
+            # atomic if-absent publish (os.link on local FS — the same
+            # primitive the JVM batch path uses), so racing a
+            # concurrent BATCH appender can no longer clobber either
+            # side's just-won commit; a lost race re-lists for the
+            # next slot
+            if _publish_if_absent(fs, root, f"{next_v:08d}.json", entry):
+                return
         raise RuntimeError(f"stream commit lost 10 races at {self._path}")
 
     def abort(self, messages, batchId: int) -> None:

@@ -1110,3 +1110,69 @@ def test_ivf_index_on_tablelog_matches_inmemory_and_prunes(spark, tmp_path):
         state["stats"], state["files"], [("list_id", "in", [int(p) for p in probed])]
     )
     assert len(kept) < len(state["files"]), (probed, len(kept), len(state["files"]))
+
+
+def test_ivf_index_append_matches_union_and_stays_prunable(spark, tmp_path):
+    """Incremental ingest: build on 85% of the corpus, append the other
+    15% against the FROZEN centroids — search must exactly equal
+    in-memory ivf_topk over the union (same centroids), the appended
+    files must carry prunable list_id stats, and the skew guard must
+    report a sane occupancy ratio."""
+    from simple_data_workflow_spark.llmdata.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_search,
+        ivf_index_skew,
+    )
+    from simple_data_workflow_spark.sources.readers import load_table
+    from simple_data_workflow_spark.sources.tablelog import (
+        _read_json,
+        _list_log,
+        _resolve_state,
+        _stats_prune,
+        table_read,
+    )
+
+    corpus = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base = corpus.where("vec_id % 7 != 0")   # ~86%
+    extra = corpus.where("vec_id % 7 = 0")   # ~14%
+    t = str(tmp_path / "ivf_app")
+    build_ivf_index(base, t, n_lists=16, files_per_index=8)
+    v = append_ivf_index(extra, t)
+    assert v >= 1
+
+    cents = [
+        r["centroid"]
+        for r in sorted(
+            table_read(spark, f"{t}_centroids").collect(),
+            key=lambda r: r["list_id"],
+        )
+    ]
+    q = corpus.where("vec_id % 50 = 0")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_index_search(spark, t, q, k=5, n_probe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ivf_topk(
+            q, corpus, k=5, n_probe=4, centroids=cents
+        ).collect()
+    }
+    assert got == want and got
+
+    # the appended files must be prunable on list_id too: every file
+    # added by the append commit has a list_id stat, and a one-list
+    # filter keeps a strict subset of the snapshot's files
+    entries, _ = _list_log(spark, t)
+    app_entry = _read_json(spark, t, f"{entries[-1]:08d}.json")
+    assert app_entry["action"] == "append"
+    for f in app_entry["files"]:
+        assert "list_id" in app_entry["stats"][f]
+    state = _resolve_state(spark, t, None)
+    kept = _stats_prune(state["stats"], state["files"], [("list_id", "==", 0)])
+    assert 0 < len(kept) < len(state["files"])
+
+    skew = ivf_index_skew(spark, t)
+    assert skew["n_lists"] <= 16 and skew["rows"] == corpus.count()
+    assert skew["max_over_mean"] >= 1.0

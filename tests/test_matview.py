@@ -77,15 +77,113 @@ def test_refresh_reads_only_new_data(spark, tmp_path):
     assert got == want
 
 
-def test_refresh_rejects_source_rewrites(spark, tmp_path):
-    """DML on the source would double-count under blind folding — the
-    refresh must surface table_changes' rewrite error instead."""
-    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+def test_cursor_survives_compaction_and_history_truncation(spark, tmp_path):
+    """The round-7 hazard: refresh → compact → truncate_history leaves
+    only maintenance entries on the view, and before round 8 the
+    truncation checkpoint did not carry ``src_version`` — the cursor
+    reset to -1 and the next refresh silently re-folded the ENTIRE
+    source into state that already contained it. Now the cursor rides
+    through checkpoints, so the refresh after truncation folds only
+    the genuinely-new append."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_compact,
+        table_truncate_history,
+    )
+
+    src = str(tmp_path / "src4")
+    view = str(tmp_path / "view4")
+    table_commit(spark.range(0, 80).selectExpr("id % 4 as g", "id * 1.0 as v"), src)
+    refresh_aggregate_view(
+        spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"], max_cols=["v"]
+    )
+    table_compact(spark, view, num_files=1)
+    removed = table_truncate_history(spark, view, keep_last=1)
+    assert removed >= 1  # the cursor-bearing refresh entry is GONE
+    table_commit(spark.range(80, 120).selectExpr("id % 4 as g", "id * 1.0 as v"), src)
+    refresh_aggregate_view(
+        spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"], max_cols=["v"]
+    )
+    assert _view(spark, view) == _full_agg(spark, src)
+
+
+def test_refresh_raises_when_cursor_genuinely_lost(spark, tmp_path):
+    """A view-shaped table WITH aggregate rows but WITHOUT any
+    src_version anywhere (legacy layout / foreign table) must refuse
+    to refresh — folding the whole source into existing state is the
+    double-count the cursor design exists to prevent."""
+    from simple_data_workflow_spark.sources.matview import ViewCursorLost
+
+    src = str(tmp_path / "src5")
+    view = str(tmp_path / "view5")
+    table_commit(spark.range(0, 20).selectExpr("id % 2 as g", "id * 1.0 as v"), src)
+    # hand-built "view" state with no cursor marker
+    table_commit(
+        spark.createDataFrame(
+            [(0, 10, 90.0, 0.0, 18.0)], "g long, cnt long, sum_v double, "
+            "min_v double, max_v double"
+        ),
+        view,
+    )
+    with pytest.raises(ViewCursorLost):
+        refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["v"],
+                               min_cols=["v"], max_cols=["v"])
+
+
+def test_refresh_folds_source_dml_exactly(spark, tmp_path):
+    """Round 8: DML on the source no longer dead-ends the view — the
+    row-level change feed surfaces delete preimages and the refresh
+    folds them with negative sign, matching the full recompute for the
+    invertible aggregates (count/sum)."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_delete_where,
+        table_update_where,
+    )
 
     src = str(tmp_path / "src3")
     view = str(tmp_path / "view3")
     table_commit(spark.range(0, 50).selectExpr("id % 2 as g", "id * 1.0 as v"), src)
     refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["v"])
     table_delete_where(spark, src, "v < 10")
-    with pytest.raises(ValueError, match="allow_rewrites"):
-        refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["v"])
+    table_update_where(spark, src, {"v": "v + 100"}, "v >= 40")
+    table_commit(spark.range(50, 60).selectExpr("id % 2 as g", "id * 1.0 as v"), src)
+    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["v"])
+    got = {r["g"]: (r["cnt"], r["sum_v"]) for r in table_read(spark, view).collect()}
+    want = {
+        r["g"]: (r["cnt"], r["sum_v"])
+        for r in table_read(spark, src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_refresh_dml_deleting_whole_group_drops_it(spark, tmp_path):
+    """A group whose rows are all deleted must vanish from the view,
+    exactly as it is absent from the full recompute."""
+    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+
+    src = str(tmp_path / "src6")
+    view = str(tmp_path / "view6")
+    table_commit(spark.range(0, 30).selectExpr("id % 3 as g", "id * 1.0 as v"), src)
+    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["v"])
+    table_delete_where(spark, src, "g = 1")
+    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["v"])
+    got = {r["g"] for r in table_read(spark, view).collect()}
+    assert got == {0, 2}
+
+
+def test_refresh_rejects_dml_when_minmax_declared(spark, tmp_path):
+    """min/max are not invertible under deletes — a view declaring them
+    must refuse a DML-bearing refresh instead of silently corrupting."""
+    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+
+    src = str(tmp_path / "src7")
+    view = str(tmp_path / "view7")
+    table_commit(spark.range(0, 20).selectExpr("id % 2 as g", "id * 1.0 as v"), src)
+    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"])
+    table_delete_where(spark, src, "v < 5")
+    with pytest.raises(ValueError, match="min/max"):
+        refresh_aggregate_view(
+            spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"]
+        )

@@ -664,3 +664,78 @@ def test_tablelog_stream_starts_on_truncated_history(spark, tmp_path):
     # history is a batch-backfill concern
     assert {r["_commit_version"] for r in got.collect()} == {2, 3}
     assert got.count() == 20
+
+
+def test_sink_races_concurrent_batch_appender_losslessly(spark, tmp_path):
+    """Round 8: the streaming sink publishes log slots with the SAME
+    atomic if-absent primitive as the batch path (os.link / JVM hard
+    link), so a streaming sink racing concurrent batch appenders can
+    never clobber a just-won commit — every commit lands in its own
+    slot, versions stay contiguous, and no rows are lost."""
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_commit,
+        table_history,
+        table_read,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamWriter,
+        _StagedWrite,
+    )
+
+    t = str(tmp_path / "race")
+    table_commit(spark.range(0, 1).selectExpr("id", "id as v"), t)  # v0
+    writer = TablelogStreamWriter(
+        _parse_datatype_string("id bigint, v bigint"), {"path": t}, overwrite=False
+    )
+    errors = []
+
+    def batch_appender(worker):
+        try:
+            for j in range(3):
+                lo = 1000 * (worker * 3 + j + 1)
+                table_commit(
+                    spark.range(lo, lo + 5).selectExpr("id", "id as v"),
+                    t,
+                    max_retries=200,
+                )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def sink_committer(worker):
+        try:
+            for j in range(3):
+                bid = worker * 3 + j
+                lo = -1000 * (bid + 1)
+                name = f".stage-stream-race-{worker}-{j}.parquet"
+                tbl = pa.table(
+                    {
+                        "id": pa.array(range(lo, lo + 5), pa.int64()),
+                        "v": pa.array(range(lo, lo + 5), pa.int64()),
+                    }
+                )
+                pq.write_table(tbl, f"{t}/data/{name}")
+                writer.commit(
+                    [_StagedWrite(staged=[name], rows=5)], batchId=bid
+                )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=batch_appender, args=(w,)) for w in range(3)
+    ] + [threading.Thread(target=sink_committer, args=(w,)) for w in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    hist = table_history(spark, t)
+    n = 1 + 3 * 3 + 2 * 3  # seed + batch commits + sink commits
+    assert [h["version"] for h in hist] == list(range(n))
+    assert table_read(spark, t).count() == 1 + 9 * 5 + 6 * 5  # nothing lost

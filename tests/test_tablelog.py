@@ -1104,3 +1104,179 @@ def test_decimal_stats_widen_not_round_inward(spark, tmp_path):
         spark, t, filters=[("d", "==", Decimal("0.99999999999999999999"))]
     )
     assert got.count() == 1  # float-rounded bound must not exclude it
+
+
+def test_publish_if_absent_is_exclusive(spark, tmp_path):
+    """Two writers to the same log slot: exactly one wins, and the
+    loser can never clobber the winner's payload (local-FS publish is
+    a hard link — POSIX link(2) fails EEXIST atomically, unlike
+    RawLocalFileSystem rename which overwrites)."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _read_json,
+        _write_json_if_absent,
+    )
+
+    p = str(tmp_path / "excl")
+    assert _write_json_if_absent(spark, p, "x.json", {"a": 1})
+    assert not _write_json_if_absent(spark, p, "x.json", {"a": 2})
+    assert _read_json(spark, p, "x.json") == {"a": 1}
+
+
+def test_dml_on_empty_snapshot_is_safe(spark, tmp_path):
+    """DELETE/UPDATE on an empty snapshot are version no-ops and MERGE
+    is insert-only — none may crash on the zero-path parquet read."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_delete_where,
+        table_merge_upsert,
+        table_update_where,
+    )
+
+    t = str(tmp_path / "empty_dml")
+    table_commit(spark.range(0, 10).selectExpr("id", "id * 1.0 as v"), t)
+    table_delete_where(spark, t, "id >= 0")
+    assert table_read(spark, t).count() == 0
+    v = table_delete_where(spark, t, "v > 3")
+    assert v == table_delete_where(spark, t, "v > 5")  # no-ops, same version
+    assert v == table_update_where(spark, t, {"v": "v + 1"}, "v > 3")
+    table_merge_upsert(
+        spark, t, spark.range(0, 3).selectExpr("id", "id * 2.0 as v"), "id"
+    )
+    got = {r["id"]: r["v"] for r in table_read(spark, t).collect()}
+    assert got == {0: 0.0, 1: 2.0, 2: 4.0}
+
+
+def test_append_revalidates_schema_after_interleaved_evolution(
+    spark, tmp_path, monkeypatch
+):
+    """An append validated against version N must not land after an
+    interleaved evolve_schema commit — last-writer-wins schema replay
+    would silently revert the evolution. The commit loop pins the
+    publish to the validated version and re-validates on movement."""
+    import pytest
+
+    import simple_data_workflow_spark.sources.tablelog as tl
+
+    t = str(tmp_path / "reval")
+    tl.table_commit(spark.range(0, 5).selectExpr("id"), t)
+    real = tl._collect_stats
+    fired = {"done": False}
+
+    def sneaky(spark_, path, files, **kw):
+        # interleave an evolve commit between the stale append's
+        # pre-staging validation and its publish attempt
+        if not fired["done"]:
+            fired["done"] = True
+            tl.table_commit(
+                spark.range(5, 8).selectExpr("id", "id * 2.0 as score"),
+                t,
+                evolve_schema=True,
+            )
+        return real(spark_, path, files, **kw)
+
+    monkeypatch.setattr(tl, "_collect_stats", sneaky)
+    with pytest.raises(TypeError, match="schema drift"):
+        tl.table_commit(spark.range(8, 10).selectExpr("id"), t)
+    monkeypatch.setattr(tl, "_collect_stats", real)
+    out = table_read(spark, t)
+    assert "score" in out.columns  # evolution survived
+    assert out.count() == 8  # the stale append's 2 rows never landed
+
+
+def test_rowlevel_changes_delete_update_append(spark, tmp_path):
+    """_change_type feed: appends are inserts, DELETE surfaces its
+    preimage rows as deletes, UPDATE surfaces delete(pre)+insert(post),
+    and compaction contributes zero logical changes."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_changes_rowlevel,
+        table_compact,
+        table_delete_where,
+        table_update_where,
+    )
+
+    t = str(tmp_path / "cdf")
+    table_commit(spark.range(0, 10).selectExpr("id", "id * 1.0 as v"), t)  # v0
+    table_delete_where(spark, t, "id < 3")                                 # v1
+    table_update_where(spark, t, {"v": "v * 10"}, "id = 5")                # v2
+    table_compact(spark, t, num_files=1)                                   # v3
+    table_commit(spark.range(10, 12).selectExpr("id", "id * 1.0 as v"), t) # v4
+
+    ch = table_changes_rowlevel(spark, t, start_version=-1).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r["_commit_version"], r["_change_type"]), set()).add(
+            (r["id"], r["v"])
+        )
+    assert by[(0, "insert")] == {(i, float(i)) for i in range(10)}
+    assert by[(1, "delete")] == {(i, float(i)) for i in range(3)}
+    assert (1, "insert") not in by  # pure delete: no postimage inserts
+    assert by[(2, "delete")] == {(5, 5.0)}
+    assert by[(2, "insert")] == {(5, 50.0)}
+    assert not any(v == 3 for v, _ in by)  # compact: zero logical change
+    assert by[(4, "insert")] == {(10, 10.0), (11, 11.0)}
+
+    # net effect of the feed reproduces the current snapshot
+    import collections
+
+    net = collections.Counter()
+    for (v, kind), rows in by.items():
+        for row in rows:
+            net[row] += 1 if kind == "insert" else -1
+    now = collections.Counter(
+        (r["id"], r["v"]) for r in table_read(spark, t).collect()
+    )
+    assert {k: n for k, n in net.items() if n} == dict(now)
+
+
+def test_partitioned_commit_prunes_by_membership(spark, tmp_path):
+    """partition_by: commits hash-cluster on the partition columns and
+    record each file's distinct value set in the log; partition-key
+    filters then prune by EXACT membership (no range looseness), the
+    spec is inherited by later appends and DML rewrites, and scans
+    stay value-correct."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        _stats_prune,
+        table_delete_where,
+        table_scan,
+    )
+
+    t = str(tmp_path / "part")
+    df = spark.range(0, 1000).selectExpr("id", "id % 8 as g", "id * 1.0 as v")
+    table_commit(df, t, partition_by=["g"])
+    state = _resolve_state(spark, t, None)
+    assert state["partition_by"] == ["g"]
+    stats_files = [f for f in state["files"] if state["stats"].get(f, {}).get("__rows")]
+    assert all(
+        "g" in state["stats"][f].get("__parts", {}) for f in stats_files
+    )
+    kept = _stats_prune(state["stats"], state["files"], [("g", "==", 3)])
+    assert 0 < len(kept) < len(state["files"])
+    assert table_scan(spark, t, filters=[("g", "==", 3)]).count() == 125
+
+    # appends inherit the declared spec without restating it
+    table_commit(
+        spark.range(1000, 1200).selectExpr("id", "id % 8 as g", "id * 1.0 as v"), t
+    )
+    s2 = _resolve_state(spark, t, None)
+    assert s2["partition_by"] == ["g"]
+    kept2 = _stats_prune(s2["stats"], s2["files"], [("g", "==", 3)])
+    assert len(kept2) < len(s2["files"])
+    assert table_scan(spark, t, filters=[("g", "==", 3)]).count() == 150
+
+    # file-granular DELETE: rewritten survivor files keep their
+    # membership stats, pruning and values stay exact
+    table_delete_where(spark, t, "g = 3 and id < 100")
+    s3 = _resolve_state(spark, t, None)
+    kept3 = _stats_prune(s3["stats"], s3["files"], [("g", "==", 3)])
+    assert len(kept3) < len(s3["files"])
+    assert table_scan(spark, t, filters=[("g", "==", 3)]).count() == 137
+
+    # membership beats min/max where hash clustering interleaves
+    # values: a range filter can't prune a file holding {0, 7}, but
+    # an equality on an absent value can
+    all_vals = {
+        v
+        for f in s3["files"]
+        for v in s3["stats"].get(f, {}).get("__parts", {}).get("g", [])
+    }
+    assert all_vals == set(range(8))
