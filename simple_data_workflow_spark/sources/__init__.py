@@ -24,7 +24,10 @@ from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     table_changes_rowlevel,
     table_commit,
     table_compact,
+    table_compact_small,
     table_delete_where,
+    table_drop_check_constraint,
+    table_set_check_constraint,
     table_history,
     table_merge_upsert,
     table_read,

@@ -24,9 +24,13 @@ incremental-ETL pattern:
   pending range containing DML commits (round 8) switches to the
   row-level change feed (``table_changes_rowlevel``) and folds delete
   preimages with NEGATIVE sign — exact for the invertible aggregates
-  (count/sum). min/max are not invertible under deletes (the deleted
-  row may have held the extremum), so a min/max view REFUSES a
-  DML-bearing refresh instead of silently corrupting.
+  (count/sum), cost still ∝ the changes. min/max are not invertible
+  under deletes (the deleted row may have held the extremum), so
+  groups touched by a delete are PARTIALLY RECOMPUTED from the source
+  behind a broadcast semi-join on the affected group keys — cost ∝
+  the affected groups' source data, never the table (the standard
+  delta + partial-recompute maintenance for non-invertible
+  aggregates; untouched groups still fold incrementally).
 - **Conflict-safe**: the refresh commits against its base version;
   concurrent refreshes serialize or raise, never silently lose one.
 """
@@ -46,6 +50,7 @@ from simple_data_workflow_spark.sources.tablelog import (
     _stage_data_files,
     table_changes,
     table_changes_rowlevel,
+    table_read,
 )
 
 
@@ -117,68 +122,120 @@ def refresh_aggregate_view(
     src_latest = _resolve_state(spark, src_path, None)["version"]
     if src_latest <= cursor:
         return base  # nothing new
-    # metadata-only peek at the pending commits: all-append sources
-    # take the cheap add-only fold; DML commits (delta/restore) switch
-    # to the row-level change feed and SIGNED folding — exact for the
-    # invertible aggregates (count/sum), impossible for min/max (a
-    # deleted row that held the min needs a group re-scan, which would
-    # break cost ∝ new data — refuse rather than silently corrupt)
-    entries, _ = _list_log(spark, src_path)
-    pending = [v for v in entries if cursor < v <= src_latest]
-    all_appends = all(
-        _read_json(spark, src_path, f"{v:08d}.json")["action"] == "append"
-        for v in pending
-    )
-    if all_appends:
-        changes = table_changes(
-            spark, src_path, start_version=cursor, end_version=src_latest
-        ).drop("_commit_version")
-        partial = changes.groupBy(*group_cols).agg(
+    def full_aggs():
+        return [
             F.count(F.lit(1)).alias("cnt"),
             *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
             *[F.min(c).alias(f"min_{c}") for c in min_cols],
             *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        ]
+
+    # metadata-only peek at the pending commits: all-append sources
+    # take the cheap add-only fold; DML commits (delta/restore) switch
+    # to the row-level change feed. count/sum fold SIGNED (delete
+    # preimages with negative sign — exact, cost ∝ changes). min/max
+    # are not invertible under deletes (the deleted row may have held
+    # the extremum), so groups touched by a delete are PARTIALLY
+    # RECOMPUTED from the source, bounded by a semi-join on the
+    # affected group keys — cost ∝ the affected groups' source data,
+    # never the table (the standard delta + partial-recompute
+    # maintenance for non-invertible aggregates).
+    entries, _ = _list_log(spark, src_path)
+    pending = [v for v in entries if cursor < v <= src_latest]
+
+    def _pure_add(v: int) -> bool:
+        e = _read_json(spark, src_path, f"{v:08d}.json")
+        # compaction (full or bin-pack) rewrites bytes, not rows — it
+        # contributes zero changes and must not force the DML path
+        return e["action"] == "append" or e.get("op") in (
+            "compact",
+            "compact_small",
         )
+
+    all_appends = all(_pure_add(v) for v in pending)
+    recomputed: DataFrame | None = None
+    if all_appends:
+        changes = table_changes(
+            spark, src_path, start_version=cursor, end_version=src_latest
+        ).drop("_commit_version")
+        partial = changes.groupBy(*group_cols).agg(*full_aggs())
     else:
-        if min_cols or max_cols:
-            raise ValueError(
-                f"source {src_path} has DML commits in the pending range "
-                f"and the view declares min/max columns — min/max are not "
-                "maintainable under deletes; rebuild the view or drop the "
-                "min/max columns"
-            )
         changes = table_changes_rowlevel(
             spark, src_path, start_version=cursor, end_version=src_latest
         )
-        sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
-            F.lit(1)
-        )
-        neg = F.col("_change_type") == "delete"
-        partial = (
-            changes.withColumn("_sign", sign)
-            .groupBy(*group_cols)
-            .agg(
-                F.sum("_sign").alias("cnt"),
-                # negate-then-sum (not sign*value) keeps each column's
-                # exact type — decimal×int would widen precision and
-                # drift the view's schema between refreshes
-                *[
-                    F.sum(F.when(neg, -F.col(c)).otherwise(F.col(c))).alias(
-                        f"sum_{c}"
-                    )
-                    for c in sum_cols
-                ],
+        if min_cols or max_cols:
+            # groups with any delete preimage need a re-scan for their
+            # extrema; the rest of the feed is inserts-only for them
+            # and folds the cheap append way
+            # alias-isolated: `affected` derives from `changes`, so the
+            # anti-join below is a self-join — unqualified column refs
+            # would be ambiguous
+            affected = (
+                changes.where(F.col("_change_type") == "delete")
+                .select(*group_cols)
+                .distinct()
+                .alias("aff")
             )
-        )
+
+            def minus_affected(df: DataFrame, how: str) -> DataFrame:
+                lhs = df.alias("lhs")
+                cond = None
+                for c in group_cols:
+                    eq = F.col(f"lhs.{c}").eqNullSafe(F.col(f"aff.{c}"))
+                    cond = eq if cond is None else (cond & eq)
+                return lhs.join(F.broadcast(affected), on=cond, how=how)
+
+            partial = (
+                minus_affected(
+                    changes.where(F.col("_change_type") == "insert"),
+                    "left_anti",
+                )
+                .groupBy(*group_cols)
+                .agg(*full_aggs())
+            )
+            recomputed = (
+                minus_affected(table_read(spark, src_path, src_latest), "left_semi")
+                .groupBy(*group_cols)
+                .agg(*full_aggs())
+            )
+            if current is not None:
+                current = minus_affected(current, "left_anti")
+        else:
+            sign = F.when(
+                F.col("_change_type") == "delete", F.lit(-1)
+            ).otherwise(F.lit(1))
+            neg = F.col("_change_type") == "delete"
+            partial = (
+                changes.withColumn("_sign", sign)
+                .groupBy(*group_cols)
+                .agg(
+                    F.sum("_sign").alias("cnt"),
+                    # negate-then-sum (not sign*value) keeps each
+                    # column's exact type — decimal×int would widen
+                    # precision and drift the view's schema between
+                    # refreshes
+                    *[
+                        F.sum(
+                            F.when(neg, -F.col(c)).otherwise(F.col(c))
+                        ).alias(f"sum_{c}")
+                        for c in sum_cols
+                    ],
+                )
+            )
     merged = (
         partial
         if current is None
         else current.unionByName(partial).groupBy(*group_cols).agg(*partial_aggs())
     )
-    if not all_appends:
+    if not all_appends and recomputed is None:
         # a group whose rows were all deleted folds to cnt 0 — it must
         # vanish, as it would in the full recompute
         merged = merged.where(F.col("cnt") != 0)
+    if recomputed is not None:
+        # affected groups were stripped from `current` above and their
+        # inserts excluded from `partial`: the recompute REPLACES them
+        # (fully-deleted groups simply have no source rows and vanish)
+        merged = merged.unionByName(recomputed)
     files = _stage_data_files(merged, view_path)
     entry = {
         "action": "overwrite",

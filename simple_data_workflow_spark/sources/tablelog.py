@@ -178,12 +178,14 @@ def _resolve_state(
     schema: str | None = None
     src_version: int | None = None
     partition_by: list[str] | None = None
+    constraints: dict = {}
     if start_cp is not None:
         cp = _read_json(spark, path, f"{start_cp:08d}.checkpoint.json")
         files, schema = list(cp["files"]), cp.get("schema")
         stats = dict(cp.get("stats", {}))
         src_version = cp.get("src_version")
         partition_by = cp.get("partition_by")
+        constraints = dict(cp.get("constraints", {}))
         replay_from = start_cp + 1
     else:
         if entries[0] != 0:
@@ -222,6 +224,12 @@ def _resolve_state(
         # explicitly unpartitioned); entries without it inherit
         if "partition_by" in e:
             partition_by = e["partition_by"]
+        # CHECK constraints: per-entry dict merges (value None drops)
+        for k, vv in e.get("constraints", {}).items():
+            if vv is None:
+                constraints.pop(k, None)
+            else:
+                constraints[k] = vv
     return {
         "version": upto,
         "files": files,
@@ -229,6 +237,7 @@ def _resolve_state(
         "stats": stats,
         "src_version": src_version,
         "partition_by": partition_by,
+        "constraints": constraints,
     }
 
 
@@ -289,6 +298,8 @@ def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             payload["src_version"] = state["src_version"]
         if state.get("partition_by") is not None:
             payload["partition_by"] = state["partition_by"]
+        if state.get("constraints"):
+            payload["constraints"] = state["constraints"]
         _write_json_if_absent(
             spark, path, f"{version:08d}.checkpoint.json", payload
         )
@@ -372,12 +383,19 @@ def table_commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     spark = df.sparkSession
+    try:
+        _cur = _resolve_state(spark, path, None)
+    except FileNotFoundError:
+        _cur = None
     declared = partition_by is not None
-    if partition_by is None:
-        try:
-            partition_by = _resolve_state(spark, path, None).get("partition_by")
-        except FileNotFoundError:
-            partition_by = None
+    if partition_by is None and _cur is not None:
+        partition_by = _cur.get("partition_by")
+    # CHECK constraints: enforced on every batch before it can stage —
+    # one scan; the CAS loop below re-enforces if the constraint set
+    # changes under the commit (a racing ADD CONSTRAINT conflicts or
+    # is re-checked, never slips past)
+    _enforced = {"constraints": dict((_cur or {}).get("constraints") or {})}
+    _enforce_constraints(df, _enforced["constraints"], path, f"{mode} batch")
     if partition_by:
         missing = [c for c in partition_by if c not in df.columns]
         if missing:
@@ -402,8 +420,13 @@ def table_commit(
         try:
             state = _resolve_state(spark, path, None)
             prev, seen = state["schema"], int(state["version"])
+            newc = state.get("constraints") or {}
         except FileNotFoundError:
-            prev, seen = None, -1
+            prev, seen, newc = None, -1, {}
+        if newc != _enforced["constraints"]:
+            # an ADD/DROP CONSTRAINT interleaved since the last check
+            _enforce_constraints(df, newc, path, f"{mode} batch")
+            _enforced["constraints"] = newc
         cur = df.schema.simpleString()
         if prev is None or prev == cur:
             return seen
@@ -443,6 +466,21 @@ def table_commit(
                 "evolve_schema=True to add columns metadata-only"
             )
 
+    def _recheck_constraints() -> int:
+        """Overwrite-mode CAS check: re-enforce constraints if the set
+        changed since the last check; returns the version read so the
+        publish pins to its successor."""
+        try:
+            state = _resolve_state(spark, path, None)
+            seen = int(state["version"])
+            newc = state.get("constraints") or {}
+        except FileNotFoundError:
+            seen, newc = -1, {}
+        if newc != _enforced["constraints"]:
+            _enforce_constraints(df, newc, path, f"{mode} batch")
+            _enforced["constraints"] = newc
+        return seen
+
     if mode == "append":
         _validate_append_schema()
     files = _stage_data_files(df, path)
@@ -455,10 +493,12 @@ def table_commit(
         entry["partition_by"] = partition_by
     if base is not None:
         entry["base"] = base
-    revalidate = _validate_append_schema if mode == "append" else None
+    # both modes re-validate in the CAS loop (appends: schema +
+    # constraints; overwrites: constraints — the schema branch is a
+    # no-op for them because overwrite redefines the schema)
     return _commit_entry(
         spark, path, entry, base=base, max_retries=max_retries,
-        on_retry=revalidate,
+        on_retry=_validate_append_schema if mode == "append" else _recheck_constraints,
     )
 
 
@@ -789,6 +829,86 @@ def table_vacuum(
     return removed
 
 
+# ------------------------------------------------------ CHECK constraints
+
+
+def _enforce_constraints(
+    df: DataFrame, constraints: dict, path: str, what: str
+) -> None:
+    """Raise if any row of ``df`` VIOLATES a CHECK constraint (its
+    expression evaluates to FALSE; NULL passes — SQL CHECK semantics).
+    ONE scan of the batch regardless of constraint count (all counted
+    in a single aggregate), which is the write-time cost Delta pays
+    for the same feature — and the entire point: enforcing quality at
+    ingest beats discovering a poisoned 100 TB table at read time."""
+    if not constraints:
+        return
+    aggs = [
+        F.sum((F.expr(sql) == F.lit(False)).cast("long")).alias(name)
+        for name, sql in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: int(row[name] or 0) for name in constraints if row[name]}
+    if bad:
+        detail = "; ".join(
+            f"{name} CHECK ({constraints[name]}): {n} violating rows"
+            for name, n in bad.items()
+        )
+        raise ValueError(
+            f"CHECK constraint violation on {what} at {path}: {detail}"
+        )
+
+
+def table_set_check_constraint(
+    spark: SparkSession, path: str, name: str, sql: str
+) -> int:
+    """ADD CONSTRAINT name CHECK (sql): validates the CURRENT snapshot
+    satisfies it (one scan — same as Delta's ADD CONSTRAINT), then
+    commits the constraint as a metadata-only log entry. From that
+    version on, every append/overwrite/UPDATE/MERGE batch is checked
+    before it can commit (NULL predicate passes, per SQL CHECK). The
+    commit carries ``base=`` the validated version, so an append
+    racing the ADD either lands first (and was part of the validated
+    snapshot's successor chain — re-checked by its own CAS loop) or
+    conflicts here; unvalidated rows can never slip under a new
+    constraint. Returns the new version."""
+    state = _resolve_state(spark, path, None)
+    if state["files"]:
+        _enforce_constraints(
+            _read_files(spark, path, state["files"], state["schema"]),
+            {name: sql},
+            path,
+            "existing snapshot (ADD CONSTRAINT)",
+        )
+    entry = {
+        "action": "append",
+        "files": [],
+        "schema": state["schema"],
+        "constraints": {name: sql},
+        "base": state["version"],
+        "op": "set_constraint",
+    }
+    return _commit_entry(spark, path, entry, base=state["version"])
+
+
+def table_drop_check_constraint(
+    spark: SparkSession, path: str, name: str
+) -> int:
+    """DROP CONSTRAINT: metadata-only entry mapping the name to null
+    (replay removes it). Returns the new version."""
+    state = _resolve_state(spark, path, None)
+    if name not in (state.get("constraints") or {}):
+        raise ValueError(f"no CHECK constraint {name!r} on {path}")
+    entry = {
+        "action": "append",
+        "files": [],
+        "schema": state["schema"],
+        "constraints": {name: None},
+        "op": "drop_constraint",
+    }
+    return _commit_entry(spark, path, entry)
+
+
 # ------------------------------------------------- file-granular DML triad
 
 
@@ -882,6 +1002,9 @@ def table_update_where(
             for c in snap.columns
         ]
     )
+    _enforce_constraints(
+        updated, state.get("constraints") or {}, path, "UPDATE rewrite"
+    )
     added = _stage_data_files(updated, path)
     entry = {
         "action": "delta",
@@ -939,6 +1062,9 @@ def table_merge_upsert(
         else spark.createDataFrame([], state["schema"])
     )
     merged = merge_upsert(target, updates, key)
+    _enforce_constraints(
+        merged, state.get("constraints") or {}, path, "MERGE output"
+    )
     added = _stage_data_files(merged, path)
     entry = {
         "action": "delta",
@@ -975,8 +1101,12 @@ def table_compact(
     a Morton curve over those columns (``sinks.write_zorder_parquet``:
     range shuffle on the interleaved code, pure codegen) so per-file
     min/max stats tighten on EVERY listed column — the engine-level
-    ``OPTIMIZE ZORDER BY``. Interleaved commits conflict rather than
-    being silently dropped. Returns the new version."""
+    ``OPTIMIZE ZORDER BY``. A table with a declared ``partition_by``
+    spec re-clusters on it instead of a blind ``coalesce`` (which
+    would mix partition values into every output file and dull the
+    membership pruning the spec exists for). Interleaved commits
+    conflict rather than being silently dropped. Returns the new
+    version."""
     state = _resolve_state(spark, path, None)
     jvm, fs = _fs(spark, path)
     total = 0
@@ -993,6 +1123,10 @@ def table_compact(
             df, staging, zorder_by, num_files=n_files
         )
         added = _stage_data_files(snapshot, path, writer=writer)
+    elif state.get("partition_by"):
+        added = _stage_data_files(
+            snapshot.repartition(n_files, *state["partition_by"]), path
+        )
     else:
         added = _stage_data_files(snapshot.coalesce(n_files), path)
     entry = {
@@ -1004,6 +1138,57 @@ def table_compact(
         "schema": state["schema"],
         "base": state["version"],
         "op": "compact",
+    }
+    return _commit_entry(spark, path, entry, base=state["version"])
+
+
+def table_compact_small(
+    spark: SparkSession,
+    path: str,
+    small_file_mb: float = 32.0,
+    target_file_mb: int = 128,
+) -> int:
+    """Bin-pack ONLY the snapshot's small files (< ``small_file_mb``)
+    into ~``target_file_mb`` files, committed as one atomic add/remove
+    DELTA — the scale-right OPTIMIZE for the streaming-append
+    small-file tail: a 100 TB table whose last day of micro-batches left 10 GB of
+    small files rewrites 10 GB, never the table. Full
+    :func:`table_compact` (an overwrite of everything) stays for
+    re-clustering; this is the routine maintenance loop. Large files
+    survive byte-identical under their old names; a partitioned table
+    re-clusters the packed subset on its declared spec so the new
+    files stay membership-prunable. Returns the new version (current
+    one if fewer than two small files exist — nothing to pack)."""
+    state = _resolve_state(spark, path, None)
+    jvm, fs = _fs(spark, path)
+    threshold = small_file_mb * 1024 * 1024
+    small, small_bytes = [], 0
+    for f in state["files"]:
+        sz = fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/data/{f}")
+        ).getLen()
+        if sz < threshold:
+            small.append(f)
+            small_bytes += sz
+    if len(small) < 2:
+        return state["version"]
+    n_files = max(1, round(small_bytes / (target_file_mb * 1024 * 1024)))
+    packed = _read_files(spark, path, small, state["schema"])
+    if state.get("partition_by"):
+        packed = packed.repartition(n_files, *state["partition_by"])
+    else:
+        packed = packed.coalesce(n_files)
+    added = _stage_data_files(packed, path)
+    entry = {
+        "action": "delta",
+        "add": added,
+        "remove": small,
+        "stats": _collect_stats(
+            spark, path, added, partition_cols=state.get("partition_by")
+        ),
+        "schema": state["schema"],
+        "base": state["version"],
+        "op": "compact_small",
     }
     return _commit_entry(spark, path, entry, base=state["version"])
 
@@ -1044,6 +1229,8 @@ def table_truncate_history(
         payload["src_version"] = state["src_version"]
     if state.get("partition_by") is not None:
         payload["partition_by"] = state["partition_by"]
+    if state.get("constraints"):
+        payload["constraints"] = state["constraints"]
     _write_json_if_absent(spark, path, cp_name, payload)
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{cp_name}")):
         raise RuntimeError(
@@ -1152,6 +1339,8 @@ def table_changes(
         if v <= start_version or v > upto:
             continue
         e = _read_json(spark, path, f"{v:08d}.json")
+        if e.get("op") in ("compact", "compact_small"):
+            continue  # byte rewrite, zero logical change — metadata fact
         if e["action"] != "append" and not allow_rewrites:
             raise ValueError(
                 f"version {v} is a {e.get('op', e['action'])!r} commit; its "
@@ -1242,6 +1431,8 @@ def table_changes_rowlevel(
                     tag(_read_files(spark, path, e["files"], schema), "insert", v)
                 )
         elif action == "delta":
+            if e.get("op") == "compact_small":
+                continue  # bin-pack: byte rewrite, zero logical change
             pre = (
                 _read_files(spark, path, e["remove"], schema)
                 if e["remove"]

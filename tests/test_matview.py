@@ -173,17 +173,43 @@ def test_refresh_dml_deleting_whole_group_drops_it(spark, tmp_path):
     assert got == {0, 2}
 
 
-def test_refresh_rejects_dml_when_minmax_declared(spark, tmp_path):
-    """min/max are not invertible under deletes — a view declaring them
-    must refuse a DML-bearing refresh instead of silently corrupting."""
+def test_refresh_minmax_under_deletes_partial_recompute(spark, tmp_path):
+    """min/max are not invertible under deletes — the refresh must
+    partially RECOMPUTE the delete-affected groups from the source
+    (bounded by a semi-join on their keys) while untouched groups fold
+    incrementally, and the result must equal the full recompute. The
+    deletes here remove each group's current MIN and one whole group,
+    the two shapes signed folding cannot handle."""
     from simple_data_workflow_spark.sources.tablelog import table_delete_where
 
     src = str(tmp_path / "src7")
     view = str(tmp_path / "view7")
-    table_commit(spark.range(0, 20).selectExpr("id % 2 as g", "id * 1.0 as v"), src)
-    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"])
-    table_delete_where(spark, src, "v < 5")
-    with pytest.raises(ValueError, match="min/max"):
-        refresh_aggregate_view(
-            spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"]
-        )
+    table_commit(spark.range(0, 40).selectExpr("id % 4 as g", "id * 1.0 as v"), src)
+    refresh_aggregate_view(
+        spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"], max_cols=["v"]
+    )
+    # delete the minima of groups 0 and 1, and ALL of group 2
+    table_delete_where(spark, src, "v < 8 OR g = 2")
+    # also an append in the same pending range: folds together
+    table_commit(spark.range(40, 60).selectExpr("id % 4 as g", "id * 1.0 as v"), src)
+    refresh_aggregate_view(
+        spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"], max_cols=["v"]
+    )
+    assert _view(spark, view) == _full_agg(spark, src)
+    got_groups = {k[0] for k in _view(spark, view)}
+    assert got_groups == {0, 1, 2, 3}  # group 2 re-created by the append
+
+
+def test_refresh_minmax_fully_deleted_group_vanishes(spark, tmp_path):
+    """A min/max view group whose source rows are all deleted (and not
+    re-inserted) must vanish from the view after the refresh."""
+    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+
+    src = str(tmp_path / "src8")
+    view = str(tmp_path / "view8")
+    table_commit(spark.range(0, 30).selectExpr("id % 3 as g", "id * 1.0 as v"), src)
+    refresh_aggregate_view(spark, src, view, ["g"], min_cols=["v"], max_cols=["v"])
+    table_delete_where(spark, src, "g = 1")
+    refresh_aggregate_view(spark, src, view, ["g"], min_cols=["v"], max_cols=["v"])
+    got = {r["g"] for r in table_read(spark, view).collect()}
+    assert got == {0, 2}

@@ -1280,3 +1280,185 @@ def test_partitioned_commit_prunes_by_membership(spark, tmp_path):
         for v in s3["stats"].get(f, {}).get("__parts", {}).get("g", [])
     }
     assert all_vals == set(range(8))
+
+
+def test_compact_preserves_partition_clustering(spark, tmp_path):
+    """Compacting a partitioned table must re-cluster on the declared
+    partition columns, not blindly coalesce (which would mix every
+    partition value into every file and dull membership pruning)."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        _stats_prune,
+        table_compact,
+        table_scan,
+    )
+
+    t = str(tmp_path / "part_compact")
+    df = spark.range(0, 2000).selectExpr("id", "id % 8 as g", "id * 1.0 as v")
+    table_commit(df, t, partition_by=["g"])
+    table_commit(
+        spark.range(2000, 4000).selectExpr("id", "id % 8 as g", "id * 1.0 as v"), t
+    )
+    table_compact(spark, t, num_files=4)
+    state = _resolve_state(spark, t, None)
+    assert state["partition_by"] == ["g"]  # spec survives the compact
+    kept = _stats_prune(state["stats"], state["files"], [("g", "==", 3)])
+    assert 0 < len(kept) < len(state["files"])  # clustering survived too
+    assert table_scan(spark, t, filters=[("g", "==", 3)]).count() == 500
+
+
+def test_compact_small_packs_only_the_small_file_tail(spark, tmp_path):
+    """Partial compaction: only files under the size threshold are
+    bin-packed (one atomic delta), large files survive BYTE-IDENTICAL
+    under their old names — at 100 TB you compact the streaming tail,
+    never the table."""
+    import os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_compact_small,
+    )
+
+    t = str(tmp_path / "csmall")
+    # one big file (hash columns defeat parquet's run-length tricks)
+    table_commit(
+        spark.range(0, 300_000)
+        .selectExpr("id", "hash(id) as h1", "hash(id + 1) as h2")
+        .coalesce(1),
+        t,
+    )
+    big = {
+        f: os.path.getsize(f"{t}/data/{f}")
+        for f in _resolve_state(spark, t, None)["files"]
+    }
+    assert len(big) == 1
+    big_name, big_size = next(iter(big.items()))
+    for i in range(5):  # the small-file tail (streaming-append shaped)
+        table_commit(
+            spark.range(1_000_000 + i * 10, 1_000_000 + i * 10 + 10)
+            .selectExpr("id", "hash(id) as h1", "hash(id + 1) as h2")
+            .coalesce(1),
+            t,
+        )
+    threshold_mb = (big_size - 1) / 2**20  # everything but the big file
+    v = table_compact_small(
+        spark, t, small_file_mb=threshold_mb, target_file_mb=128
+    )
+    state = _resolve_state(spark, t, None)
+    assert big_name in state["files"]  # untouched, same name
+    assert len(state["files"]) == 2  # big + one packed file
+    assert table_read(spark, t).count() == 300_050
+    hist = table_history(spark, t)
+    assert hist[-1]["op"] == "compact_small" and hist[-1]["action"] == "delta"
+    # time travel across the pack still works
+    assert table_read(spark, t, version=v - 1).count() == 300_050
+    # nothing to pack -> version no-op
+    assert table_compact_small(spark, t, small_file_mb=threshold_mb) == v
+
+
+def test_compact_small_is_invisible_to_change_feeds_and_matview(spark, tmp_path):
+    """Bin-packing rewrites bytes, not rows: both change feeds skip it
+    from metadata alone, and an append-only matview keeps refreshing
+    across it (previously ANY non-append source commit dead-ended the
+    plain feed)."""
+    from simple_data_workflow_spark.sources.matview import refresh_aggregate_view
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_changes,
+        table_changes_rowlevel,
+        table_compact,
+        table_compact_small,
+    )
+
+    src = str(tmp_path / "csm_src")
+    view = str(tmp_path / "csm_view")
+    table_commit(spark.range(0, 40).selectExpr("id % 2 as g", "id * 1.0 as v"), src)
+    refresh_aggregate_view(
+        spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"], max_cols=["v"]
+    )
+    table_compact_small(spark, src, small_file_mb=64.0)
+    table_compact(spark, src, num_files=1)
+    table_commit(spark.range(40, 60).selectExpr("id % 2 as g", "id * 1.0 as v"), src)
+    ch = table_changes(spark, src, start_version=0)
+    assert ch.count() == 20  # only the append's rows, compactions skipped
+    rl = table_changes_rowlevel(spark, src, start_version=0)
+    assert rl.where("_change_type = 'delete'").count() == 0
+    # min/max view refreshes across the compactions on the CHEAP path
+    refresh_aggregate_view(
+        spark, src, view, ["g"], sum_cols=["v"], min_cols=["v"], max_cols=["v"]
+    )
+    got = {
+        r["g"]: (r["cnt"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in table_read(spark, view).collect()
+    }
+    want = {
+        g: (
+            30,
+            float(sum(i for i in range(60) if i % 2 == g)),
+            float(g),
+            float(58 + g),
+        )
+        for g in (0, 1)
+    }
+    assert got == want
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """ADD CONSTRAINT validates the existing snapshot, then every
+    append / UPDATE / MERGE batch is checked before it can commit;
+    NULL predicates pass (SQL CHECK), and DROP re-opens the gate."""
+    import pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_drop_check_constraint,
+        table_merge_upsert,
+        table_set_check_constraint,
+        table_update_where,
+    )
+
+    t = str(tmp_path / "ck")
+    table_commit(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id long, v double"
+        ),
+        t,
+    )
+    table_set_check_constraint(spark, t, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        table_commit(
+            spark.createDataFrame([(3, -1.0)], "id long, v double"), t
+        )
+    table_commit(spark.createDataFrame([(3, 30.0)], "id long, v double"), t)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        table_update_where(spark, t, {"v": "v - 100"}, "id = 1")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        table_merge_upsert(
+            spark,
+            t,
+            spark.createDataFrame([(2, -5.0)], "id long, v double"),
+            "id",
+        )
+    # NULL passes (SQL CHECK semantics)
+    table_commit(
+        spark.createDataFrame([(4, None)], "id long, v double"), t
+    )
+    # failed writes left no partial state
+    got = {r["id"]: r["v"] for r in table_read(spark, t).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0, 4: None}
+    table_drop_check_constraint(spark, t, "v_nonneg")
+    table_commit(spark.createDataFrame([(5, -1.0)], "id long, v double"), t)
+    assert table_read(spark, t).count() == 5
+
+
+def test_add_constraint_rejects_violating_snapshot(spark, tmp_path):
+    import pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_set_check_constraint,
+    )
+
+    t = str(tmp_path / "ck2")
+    table_commit(
+        spark.createDataFrame([(1, -3.0)], "id long, v double"), t
+    )
+    with pytest.raises(ValueError, match="existing snapshot"):
+        table_set_check_constraint(spark, t, "v_nonneg", "v >= 0")
