@@ -50,17 +50,24 @@ def build_ivf_index(
     n_lists: int = 16,
     files_per_index: int | None = None,
     seed: int = 42,
+    payload_cols: list[str] | tuple = (),
 ) -> int:
     """Fit the coarse quantizer, assign every vector to its nearest
     list, and commit the corpus range-partitioned on ``list_id`` (one
     range shuffle; files get tight list_id ranges → prunable stats).
-    Returns the index table's committed version."""
+    Returns the index table's committed version.
+
+    ``payload_cols`` stores attribute columns alongside the vectors —
+    they get per-file min/max stats for free at commit time, which is
+    what makes FILTERED ANN (``ivf_index_search(filters=...)``) prune
+    on attributes as well as on probed lists."""
     spark = df.sparkSession
     centroids = fit_ivf_centroids(df, vec_col=vec_col, n_lists=n_lists, seed=seed)
     assign1 = nearest_centroids_pd(centroids, 1)
     assigned = df.select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in payload_cols],
         F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
     )
     n_files = files_per_index or max(8, n_lists // 2)
@@ -107,9 +114,17 @@ def append_ivf_index(
     )
     centroids = [c for _, c in cent_rows]
     assign1 = nearest_centroids_pd(centroids, 1)
+    # payload columns carry through from the table's own schema, so an
+    # appended batch keeps the index filterable on the same attributes
+    payload = [
+        c
+        for c in table_read(spark, path).columns
+        if c not in (id_col, vec_col, "list_id")
+    ]
     assigned = df.select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in payload],
         F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
     )
     n_files = files_per_batch or max(2, len(centroids) // 4)
@@ -152,6 +167,7 @@ def ivf_index_search(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 4,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Top-k search against a built index: queries assign to their
     ``n_probe`` nearest lists (centroids read from the companion
@@ -159,6 +175,15 @@ def ivf_index_search(
     probed lists' files, and exact cosine re-ranks. Output schema
     matches ``similarity.ivf_topk``: (query_id, neighbor_id, cosine,
     rank).
+
+    ``filters`` (``(col, op, value)`` tuples over ``payload_cols``
+    stored at build time) give FILTERED ANN with pre-filter semantics:
+    candidates are restricted BEFORE ranking, so the top-k is exact
+    over the matching neighbors within the probed lists
+    (rank-then-filter would return < k when matches are rare — the
+    classic filtered-ANN bug). The attribute filter composes with the
+    same driver-side stats pruning as ``list_id``, so a selective
+    filter skips whole files of the probed lists too.
 
     The probed-list collect is bounded by ``n_lists``; pruning power
     is highest for small query batches (serving) — a batch probing
@@ -179,7 +204,10 @@ def ivf_index_search(
         r["list_id"] for r in q.select("list_id").distinct().collect()
     )
     corpus = table_scan(
-        spark, path, filters=[("list_id", "in", [int(p) for p in probed])]
+        spark,
+        path,
+        filters=[("list_id", "in", [int(p) for p in probed])]
+        + list(filters or []),
     ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
     )

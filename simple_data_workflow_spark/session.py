@@ -15,6 +15,10 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any toPandas()/pandas_udf boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # the tablelog batch reader (Python Data Source API) prunes its
+    # file list from pushed filters; without this flag Spark refuses
+    # to plan a reader that implements pushFilters at all
+    "spark.sql.python.filterPushdown.enabled": "true",
     # right-size externally-created sessions (e.g. the driver's) for the
     # local testdata: ~core-count shuffle partitions (AQE coalesces
     # further) and small scan splits for the single-file tables

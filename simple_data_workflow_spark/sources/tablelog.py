@@ -179,6 +179,7 @@ def _resolve_state(
     src_version: int | None = None
     partition_by: list[str] | None = None
     constraints: dict = {}
+    fvers: dict = {}
     if start_cp is not None:
         cp = _read_json(spark, path, f"{start_cp:08d}.checkpoint.json")
         files, schema = list(cp["files"]), cp.get("schema")
@@ -186,6 +187,11 @@ def _resolve_state(
         src_version = cp.get("src_version")
         partition_by = cp.get("partition_by")
         constraints = dict(cp.get("constraints", {}))
+        # per-file commit provenance; legacy checkpoints without it
+        # fall back to "at or before the checkpoint version"
+        fvers = {f: int(v) for f, v in cp.get("file_versions", {}).items()}
+        for f in files:
+            fvers.setdefault(f, start_cp)
         replay_from = start_cp + 1
     else:
         if entries[0] != 0:
@@ -202,15 +208,21 @@ def _resolve_state(
         if action == "overwrite":
             files = list(e["files"])
             stats = dict(e.get("stats", {}))
+            fvers = {f: v for f in files}
         elif action == "append":
             files.extend(e["files"])
             stats.update(e.get("stats", {}))
+            for f in e["files"]:
+                fvers[f] = v
         elif action == "delta":
             removed = set(e["remove"])
             files = [f for f in files if f not in removed]
             files.extend(e["add"])
             stats = {f: s for f, s in stats.items() if f not in removed}
             stats.update(e.get("stats", {}))
+            fvers = {f: fv for f, fv in fvers.items() if f not in removed}
+            for f in e["add"]:
+                fvers[f] = v
         else:  # pragma: no cover - future-proofing
             raise ValueError(f"unknown log action {action!r} at version {v}")
         schema = e.get("schema", schema)
@@ -238,6 +250,7 @@ def _resolve_state(
         "src_version": src_version,
         "partition_by": partition_by,
         "constraints": constraints,
+        "file_versions": fvers,
     }
 
 
@@ -300,6 +313,7 @@ def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             payload["partition_by"] = state["partition_by"]
         if state.get("constraints"):
             payload["constraints"] = state["constraints"]
+        payload["file_versions"] = state.get("file_versions", {})
         _write_json_if_absent(
             spark, path, f"{version:08d}.checkpoint.json", payload
         )
@@ -1231,6 +1245,7 @@ def table_truncate_history(
         payload["partition_by"] = state["partition_by"]
     if state.get("constraints"):
         payload["constraints"] = state["constraints"]
+    payload["file_versions"] = state.get("file_versions", {})
     _write_json_if_absent(spark, path, cp_name, payload)
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{cp_name}")):
         raise RuntimeError(

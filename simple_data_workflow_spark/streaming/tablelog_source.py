@@ -42,6 +42,14 @@ Usage::
         .option("path", table_path)
         .load()
     )
+    # batch half (round 8): snapshot read with time travel and
+    # driver-side file pruning from pushed filters
+    snap = (
+        spark.read.format("tablelog")
+        .option("path", table_path)  # + .option("version", "3")
+        .load()
+        .where("g = 2")  # pushed; prunes files via the log's stats
+    )
 """
 
 from __future__ import annotations
@@ -51,6 +59,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
@@ -84,6 +93,96 @@ def _list_entry_versions(path: str) -> list[int]:
         if name.endswith(".json"):
             out.append(int(name[:-5]))
     return sorted(out)
+
+
+def _list_log_arrow(path: str) -> tuple[list[int], list[int]]:
+    """(entry versions, checkpoint versions) — the pyarrow twin of the
+    JVM ``tablelog._list_log``, for session-free processes."""
+    import pyarrow.fs as pafs
+
+    fs, root = _fs_for(path)
+    sel = pafs.FileSelector(f"{root}/_log", allow_not_found=True)
+    entries, cps = [], []
+    for info in fs.get_file_info(sel):
+        name = info.base_name
+        if name.startswith("."):
+            continue
+        if name.endswith(".checkpoint.json"):
+            cps.append(int(name[: -len(".checkpoint.json")]))
+        elif name.endswith(".json"):
+            entries.append(int(name[:-5]))
+    return sorted(entries), sorted(cps)
+
+
+def _read_log_json(path: str, name: str) -> dict:
+    fs, root = _fs_for(path)
+    with fs.open_input_stream(f"{root}/_log/{name}") as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
+    """Snapshot resolution (files/schema/stats at a version) on pure
+    pyarrow — same checkpoint-plus-bounded-tail replay as the JVM
+    ``tablelog._resolve_state``, usable from the session-free driver
+    process the Python Data Source API runs in."""
+    entries, cps = _list_log_arrow(path)
+    if not entries and not cps:
+        raise FileNotFoundError(f"no table log under {path}")
+    latest = max(entries[-1] if entries else -1, cps[-1] if cps else -1)
+    upto = latest if version is None else version
+    if upto not in set(entries) | set(cps):
+        raise ValueError(f"version {upto} not in retained log")
+    start_cp = max((c for c in cps if c <= upto), default=None)
+    files: list[str] = []
+    stats: dict = {}
+    schema: str | None = None
+    fvers: dict = {}
+    if start_cp is not None:
+        cp = _read_log_json(path, f"{start_cp:08d}.checkpoint.json")
+        files, schema = list(cp["files"]), cp.get("schema")
+        stats = dict(cp.get("stats", {}))
+        fvers = {f: int(v) for f, v in cp.get("file_versions", {}).items()}
+        for f in files:
+            fvers.setdefault(f, start_cp)
+        replay_from = start_cp + 1
+    else:
+        if entries[0] != 0:
+            raise ValueError(
+                f"history before version {entries[0]} was truncated and no "
+                f"checkpoint covers version {upto}"
+            )
+        replay_from = 0
+    for v in entries:
+        if v < replay_from or v > upto:
+            continue
+        e = _read_log_json(path, f"{v:08d}.json")
+        action = e["action"]
+        if action == "overwrite":
+            files = list(e["files"])
+            stats = dict(e.get("stats", {}))
+            fvers = {f: v for f in files}
+        elif action == "append":
+            files.extend(e["files"])
+            stats.update(e.get("stats", {}))
+            for f in e["files"]:
+                fvers[f] = v
+        elif action == "delta":
+            removed = set(e["remove"])
+            files = [f for f in files if f not in removed]
+            files.extend(e["add"])
+            stats = {f: s for f, s in stats.items() if f not in removed}
+            stats.update(e.get("stats", {}))
+            fvers = {f: fv for f, fv in fvers.items() if f not in removed}
+            for f in e["add"]:
+                fvers[f] = v
+        schema = e.get("schema", schema)
+    return {
+        "version": upto,
+        "files": files,
+        "schema": schema,
+        "stats": stats,
+        "file_versions": fvers,
+    }
 
 
 def _read_entry(path: str, version: int) -> dict:
@@ -222,10 +321,117 @@ class TablelogStreamReader(DataSourceStreamReader):
         pass
 
 
+def _read_file_arrow(base_path: str, file_path: str, arrow_schema):
+    """Read one data file as an Arrow table conformed to the logged
+    schema: columns match by name, files predating a metadata-only
+    schema evolution fill the added columns with NULL — same contract
+    as batch ``table_read``. Runs in a session-free Python worker."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs, _ = _fs_for(base_path)
+    with fs.open_input_file(file_path) as f:
+        table = pq.read_table(f)
+    cols = []
+    for field in arrow_schema:
+        if field.name in table.column_names:
+            cols.append(table.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(table.num_rows, field.type))
+    return pa.table(cols, schema=pa.schema(list(arrow_schema)))
+
+
+class TablelogBatchReader(DataSourceReader):
+    """Batch half of ``format("tablelog")``: ``spark.read`` over a
+    snapshot (latest or ``version=`` time travel), one input partition
+    per resolved data file, each read worker-side with Arrow.
+
+    Filter pushdown (``pushFilters``) translates the supported
+    comparisons into the same ``(col, op, value)`` tuples the
+    functional ``table_scan`` uses and prunes the FILE LIST driver-side
+    against the commit log's per-file stats — including the
+    partition-membership stats — before Spark plans a single task.
+    Every filter is returned as unhandled, so Spark still applies them
+    row-level: pruning is an optimization, never the semantics (the
+    same contract ``table_scan`` documents).
+
+    Rows carry ``_commit_version`` — the version whose commit added
+    the file they live in (exact: per-file provenance is tracked
+    through log replay AND checkpoints; legacy checkpoints degrade to
+    "at or before the checkpoint")."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("tablelog source requires .option('path', ...)")
+        v = options.get("version")
+        self._version = int(v) if v is not None else None
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        data_fields = [f for f in schema.fields if f.name != VERSION_COL]
+        self._arrow_schema = to_arrow_schema(StructType(data_fields))
+        self._filter_tuples: list[tuple] = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "==",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+            In: "in",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                val = list(f.values) if op == "in" else f.value
+                self._filter_tuples.append((f.attribute[0], op, val))
+            # yield EVERYTHING back as unhandled: the tuples only prune
+            # files; Spark keeps row-level responsibility
+            yield f
+
+    def partitions(self):
+        # driver-side: the JVM module is importable here (workers never
+        # call this), and _stats_prune is a pure function
+        from simple_data_workflow_spark.sources.tablelog import _stats_prune
+
+        state = _resolve_state_arrow(self._path, self._version)
+        files = state["files"]
+        if self._filter_tuples:
+            files = _stats_prune(state["stats"], files, self._filter_tuples)
+        fs, root = _fs_for(self._path)
+        fvers = state["file_versions"]
+        return [
+            _FilePartition(f"{root}/data/{f}", int(fvers.get(f, state["version"])))
+            for f in files
+        ]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+
+        out = _read_file_arrow(self._path, partition.file_path, self._arrow_schema)
+        tagged = out.append_column(
+            VERSION_COL,
+            pa.repeat(pa.scalar(partition.version, pa.int64()), out.num_rows),
+        )
+        yield from tagged.to_batches()
+
+
 class TablelogStreamDataSource(DataSource):
-    """``format("tablelog")``: streaming reads of a native table-format
-    path. Options: ``path`` (required), ``startingVersion`` (default
-    -1 = everything), ``allowRewrites`` (default false)."""
+    """``format("tablelog")``: batch AND streaming reads of a native
+    table-format path, plus the streaming sink. Batch options: ``path``
+    (required), ``version`` (time travel). Streaming options: ``path``
+    (required), ``startingVersion`` (default -1 = everything),
+    ``allowRewrites`` (default false)."""
 
     @classmethod
     def name(cls) -> str:
@@ -249,6 +455,9 @@ class TablelogStreamDataSource(DataSource):
         # (no _parse_datatype_string here: that needs a SparkSession)
         assert schema_str.startswith("struct<") and schema_str.endswith(">")
         return f"{schema_str[:-1]},{VERSION_COL}:bigint>"
+
+    def reader(self, schema: StructType) -> TablelogBatchReader:
+        return TablelogBatchReader(schema, dict(self.options))
 
     def streamReader(self, schema: StructType) -> TablelogStreamReader:
         return TablelogStreamReader(schema, dict(self.options))

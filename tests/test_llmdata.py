@@ -1176,3 +1176,56 @@ def test_ivf_index_append_matches_union_and_stays_prunable(spark, tmp_path):
     skew = ivf_index_skew(spark, t)
     assert skew["n_lists"] <= 16 and skew["rows"] == corpus.count()
     assert skew["max_over_mean"] >= 1.0
+
+
+def test_ivf_index_filtered_search_prefilter_semantics(spark, tmp_path):
+    """Filtered ANN: payload attributes stored at build time restrict
+    candidates BEFORE ranking, so the top-k is exact over matching
+    neighbors within the probed lists — identical to running ivf_topk
+    (same centroids) over the pre-filtered corpus. Appends keep the
+    payload columns filterable."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.llmdata.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_search,
+    )
+    from simple_data_workflow_spark.sources.readers import load_table
+    from simple_data_workflow_spark.sources.tablelog import table_read
+
+    corpus = load_table(spark, "/root/testdata/sf0.01", "embeddings").withColumn(
+        "grp", (F.col("vec_id") % 3).cast("long")
+    )
+    t = str(tmp_path / "ivf_filt")
+    build_ivf_index(
+        corpus.where("vec_id % 5 != 0"), t, n_lists=16, files_per_index=8,
+        payload_cols=["grp"],
+    )
+    append_ivf_index(corpus.where("vec_id % 5 = 0"), t)
+
+    cents = [
+        r["centroid"]
+        for r in sorted(
+            table_read(spark, f"{t}_centroids").collect(),
+            key=lambda r: r["list_id"],
+        )
+    ]
+    q = corpus.where("vec_id % 40 = 0")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_index_search(
+            spark, t, q, k=5, n_probe=4, filters=[("grp", "==", 1)]
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ivf_topk(
+            q, corpus.where("grp = 1"), k=5, n_probe=4, centroids=cents
+        ).collect()
+    }
+    assert got == want and got
+    # every returned neighbor satisfies the filter (pre-filter, not
+    # rank-then-filter)
+    grp_of = {r["vec_id"]: r["grp"] for r in corpus.select("vec_id", "grp").collect()}
+    assert all(grp_of[n] == 1 for _, n, _ in got)

@@ -739,3 +739,60 @@ def test_sink_races_concurrent_batch_appender_losslessly(spark, tmp_path):
     n = 1 + 3 * 3 + 2 * 3  # seed + batch commits + sink commits
     assert [h["version"] for h in hist] == list(range(n))
     assert table_read(spark, t).count() == 1 + 9 * 5 + 6 * 5  # nothing lost
+
+
+def test_tablelog_batch_reader_reads_snapshots_and_prunes(spark, tmp_path):
+    """spark.read.format('tablelog'): batch half of the data source —
+    snapshot read equals table_read, rows carry exact per-file commit
+    provenance, version= time-travels, and pushed filters prune the
+    FILE LIST driver-side before Spark plans a task."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import _parse_datatype_string
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_commit,
+        table_delete_where,
+        table_read,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogBatchReader,
+        TablelogStreamDataSource,
+    )
+
+    spark.dataSource.register(TablelogStreamDataSource)
+    t = str(tmp_path / "batchread")
+    table_commit(
+        spark.range(0, 10).selectExpr("id", "id % 4 as g").repartition(4, "g"), t
+    )
+    table_commit(
+        spark.range(10, 15).selectExpr("id", "id % 4 as g").repartition(4, "g"), t
+    )
+
+    df = spark.read.format("tablelog").option("path", t).load()
+    got = {(r["id"], r["g"], r["_commit_version"]) for r in df.collect()}
+    want = {(i, i % 4, 0 if i < 10 else 1) for i in range(15)}
+    assert got == want  # exact per-file commit provenance
+
+    # time travel
+    v0 = spark.read.format("tablelog").option("path", t).option("version", "0").load()
+    assert v0.count() == 10 and v0.agg({"_commit_version": "max"}).collect()[0][0] == 0
+
+    # DML rewrite: survivors get the delta commit's version
+    table_delete_where(spark, t, "id = 3")
+    df2 = spark.read.format("tablelog").option("path", t).load()
+    assert df2.count() == 14
+    assert df2.where("_commit_version = 2").count() > 0
+
+    # semantics under filters match table_read
+    assert {r["id"] for r in df2.where("g = 2").collect()} == {
+        r["id"] for r in table_read(spark, t).where("g = 2").collect()
+    }
+
+    # driver-side pruning: a pushed equality on the clustered column
+    # yields fewer partitions than the unfiltered reader
+    schema = _parse_datatype_string("id bigint, g bigint, _commit_version bigint")
+    rd_all = TablelogBatchReader(schema, {"path": t})
+    rd_f = TablelogBatchReader(schema, {"path": t})
+    unhandled = list(rd_f.pushFilters([EqualTo(("g",), 2)]))
+    assert len(unhandled) == 1  # everything handed back to Spark
+    assert 0 < len(rd_f.partitions()) < len(rd_all.partitions())
