@@ -644,6 +644,58 @@ ORDER BY o_orderpriority, o_orderstatus
 """
 
 
+def tablelog_batch_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: the BATCH half of ``format("tablelog")``
+    (``streaming/tablelog_source.py:TablelogBatchReader``) —
+    ``spark.read.format("tablelog")`` over a committed snapshot with a
+    pushed filter: the reader prunes the file list driver-side against
+    the commit log's stats (every filter handed back to Spark for
+    row-level application) and each row carries its exact per-file
+    ``_commit_version``. Orders land in TWO commits; the oracle
+    reconstructs the version tag from the same parity split, so a
+    value-hash match proves snapshot contents AND provenance."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.tablelog import table_commit
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    tune(spark)
+    spark.dataSource.register(TablelogStreamDataSource)
+    path = tempfile.mkdtemp(prefix="sdw-tlbatch-") + "/orders_tbl"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table_commit(orders.where("o_orderkey % 2 = 0").repartition(4), path)
+    table_commit(orders.where("o_orderkey % 2 = 1").repartition(4), path)
+    snap = (
+        spark.read.format("tablelog")
+        .option("path", path)
+        .load()
+        .where("o_totalprice >= 200000.0")  # pushed → driver-side prune
+    )
+    return (
+        snap.groupBy("o_orderstatus", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "_commit_version")
+    )
+
+
+TABLELOG_BATCH_SQL = """
+SELECT o_orderstatus, CAST(o_orderkey % 2 AS BIGINT) AS _commit_version,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_totalprice >= 200000.0
+GROUP BY o_orderstatus, CAST(o_orderkey % 2 AS BIGINT)
+ORDER BY o_orderstatus, _commit_version
+"""
+
+
 def tablelog_cdf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 8: the materialized view folds DML commits EXACTLY via the
     row-level change feed (``table_changes_rowlevel``: DELETE preimages
@@ -2152,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "tablelog_partitioned_scan": _wrap(tablelog_partitioned_scan),
         "tablelog_cdf_view": _wrap(tablelog_cdf_view),
+        "tablelog_batch_format_scan": _wrap(tablelog_batch_format_scan),
         "funnel_conversion": _wrap(rel.funnel_conversion),
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
         "tablelog_dml_roundtrip": _wrap(tablelog_dml_roundtrip),
@@ -2299,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head = [
         "tablelog_partitioned_scan",
         "tablelog_cdf_view",
+        "tablelog_batch_format_scan",
         # §2.1 reference-operator battery (r5 → r8 rotation)
         "flagship_std_revenue",
         "gelman_standardize_lineitem",
@@ -2348,7 +2402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders",
         "cohort_retention",
         "q7_volume_shipping",
-        "q8_market_share",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -2391,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         "tablelog_incremental_view": TABLELOG_MATVIEW_SQL,
         "tablelog_partitioned_scan": TABLELOG_PART_SQL,
         "tablelog_cdf_view": TABLELOG_CDF_SQL,
+        "tablelog_batch_format_scan": TABLELOG_BATCH_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,

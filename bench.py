@@ -259,6 +259,7 @@ QUERIES = {
     "tablelog_incremental_view": entrymod.tablelog_incremental_view,
     "tablelog_partitioned_scan": entrymod.tablelog_partitioned_scan,
     "tablelog_cdf_view": entrymod.tablelog_cdf_view,
+    "tablelog_batch_format_scan": entrymod.tablelog_batch_format_scan,
     "ivf_index_topk": entrymod.ivf_index_topk,
     "ivf_index_search_only": ivf_index_search_bench,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,

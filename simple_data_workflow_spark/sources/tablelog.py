@@ -1410,10 +1410,11 @@ def table_changes_rowlevel(
     - ``overwrite`` with ``op="compact"`` → skipped: a compaction
       rewrites bytes, not rows — zero logical changes by construction,
       known from metadata alone (no diff scan at any table size).
-    - other ``overwrite``s (restore, blind replace) → full snapshot
-      diff old-vs-new (two resolved snapshots, ``exceptAll`` both
-      ways). Exact but table-sized — restore is a maintenance event,
-      not a hot-path one.
+    - other ``overwrite``s (restore, blind replace) → snapshot diff,
+      FILE-LEVEL first: immutable data files common to both snapshots
+      cancel exactly and are never read, so a RESTORE rolling back k
+      appends costs ∝ those commits' files; only a blind overwrite
+      that rewrites everything degrades to the full diff.
 
     Preimages read the REMOVED files, so the feed needs those versions
     retained (pre-vacuum) — same retention contract as time travel.
@@ -1467,15 +1468,20 @@ def table_changes_rowlevel(
             if e.get("op") == "compact":
                 continue  # byte rewrite, zero logical change — metadata fact
             old = _resolve_state(spark, path, v - 1) if v > 0 else None
-            new_df = (
-                _read_files(spark, path, e["files"], schema)
-                if e["files"]
-                else None
-            )
+            # diff at the FILE level first: data files are immutable, so
+            # files common to both snapshots cancel exactly and never
+            # need reading — a RESTORE that rolls back k appends costs
+            # ∝ those k commits' files, not two full snapshots (the
+            # general overwrite degrades gracefully to the full diff)
+            old_files = list(old["files"]) if old else []
+            new_files = list(e["files"])
+            pre_f = [f for f in old_files if f not in set(new_files)]
+            post_f = [f for f in new_files if f not in set(old_files)]
             old_df = (
-                _read_files(spark, path, old["files"], old["schema"])
-                if old and old["files"]
-                else None
+                _read_files(spark, path, pre_f, old["schema"]) if pre_f else None
+            )
+            new_df = (
+                _read_files(spark, path, post_f, schema) if post_f else None
             )
             if old_df is not None and new_df is not None:
                 parts.append(tag(old_df.exceptAll(new_df), "delete", v))

@@ -1462,3 +1462,22 @@ def test_add_constraint_rejects_violating_snapshot(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="existing snapshot"):
         table_set_check_constraint(spark, t, "v_nonneg", "v >= 0")
+
+
+def test_rowlevel_changes_restore_is_file_diff_bounded(spark, tmp_path):
+    """A RESTORE's row-level changes: exactly the rolled-back commits'
+    rows as deletes (immutable common files cancel at the FILE level
+    and are never read)."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_changes_rowlevel,
+        table_restore,
+    )
+
+    t = str(tmp_path / "cdf_restore")
+    table_commit(spark.range(0, 10).selectExpr("id"), t)   # v0
+    table_commit(spark.range(10, 14).selectExpr("id"), t)  # v1
+    table_restore(spark, t, 0)                             # v2
+    ch = table_changes_rowlevel(spark, t, start_version=1)
+    rows = {(r["_change_type"], r["id"]) for r in ch.collect()}
+    assert rows == {("delete", i) for i in range(10, 14)}
+    assert table_read(spark, t).count() == 10
