@@ -763,6 +763,60 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 
+def perplexity_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM quality scoring (round 8, ``llmdata.lm``): train an
+    add-k bigram model ON the documents corpus (two grouped
+    aggregates) and score every document's cross-entropy under it —
+    the CCNet/Gopher perplexity-filter signal, jar-free. Scoring is a
+    shuffle join against the corpus-derived LM tables (never a
+    broadcast — vocab scales with the data). Each bigram's −log₂p is
+    rounded and summed as exact integers, so the per-doc number is
+    order-free and engine-portable; the oracle replays the identical
+    formula in SQL."""
+    from simple_data_workflow_spark.llmdata import lm
+
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        lm.perplexity_scores(docs)
+        .select("doc_id", "n_bigrams", "cross_entropy")
+        .orderBy("doc_id")
+    )
+
+
+PERPLEXITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+), gx AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> {'w1': w[i], 'w2': w[i + 1]})) AS g
+  FROM toks
+), grams AS (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM gx
+), uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
+), vocab AS (
+  SELECT COUNT(*) AS v FROM uni
+), terms AS (
+  SELECT g.doc_id,
+         CAST(ROUND(-log2((b.c12 + 0.5) / (u.c1 + 0.5 * vocab.v))
+                    * 1000000.0) AS BIGINT) AS t
+  FROM grams g
+  JOIN (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY w1, w2) b
+    USING (w1, w2)
+  JOIN uni u USING (w1)
+  CROSS JOIN vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(t) AS DOUBLE) / (1000000.0 * COUNT(*)), 6)
+         AS cross_entropy
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: representative (min) doc_id per distinct text."""
     tune(spark)
@@ -2205,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_partitioned_scan": _wrap(tablelog_partitioned_scan),
         "tablelog_cdf_view": _wrap(tablelog_cdf_view),
         "tablelog_batch_format_scan": _wrap(tablelog_batch_format_scan),
+        "perplexity_score_docs": _wrap(perplexity_score_docs),
         "funnel_conversion": _wrap(rel.funnel_conversion),
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
         "tablelog_dml_roundtrip": _wrap(tablelog_dml_roundtrip),
@@ -2353,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_partitioned_scan",
         "tablelog_cdf_view",
         "tablelog_batch_format_scan",
+        "perplexity_score_docs",
         # §2.1 reference-operator battery (r5 → r8 rotation)
         "flagship_std_revenue",
         "gelman_standardize_lineitem",
@@ -2401,7 +2457,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_docs",
         "profile_orders",
         "cohort_retention",
-        "q7_volume_shipping",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -2445,6 +2500,7 @@ def oracle_sql() -> dict[str, str]:
         "tablelog_partitioned_scan": TABLELOG_PART_SQL,
         "tablelog_cdf_view": TABLELOG_CDF_SQL,
         "tablelog_batch_format_scan": TABLELOG_BATCH_SQL,
+        "perplexity_score_docs": PERPLEXITY_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,

@@ -191,6 +191,75 @@ def _read_entry(path: str, version: int) -> dict:
         return json.loads(f.read().decode("utf-8"))
 
 
+#: mirror of tablelog's string-stat cap: longer bounds are dropped, not
+#: truncated (a truncated max is no longer an upper bound)
+_MAX_STAT_STR = 64
+
+
+def _footer_stats(fs, root: str, name: str) -> dict:
+    """Per-file min/max/null-count/row-count harvested from the parquet
+    FOOTER of a just-staged sink file — the pyarrow twin of the JVM
+    ``tablelog._collect_stats``, at zero extra scan cost (the footer is
+    already written). Gives streaming-landed files the same driver-side
+    pruning and metadata-only COUNT(*) as batch-landed ones.
+    Serialization matches ``tablelog._ser_stat``: temporals → ISO
+    strings, long strings dropped, NaN bounds dropped, nested/binary
+    columns skipped."""
+    import datetime as _dt
+    import math
+
+    import pyarrow.parquet as pq
+
+    def ser(v):
+        if v is None or isinstance(v, bytes):
+            return None
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, str):
+            return v if len(v) <= _MAX_STAT_STR else None
+        return None
+
+    with fs.open_input_file(f"{root}/data/{name}") as f:
+        md = pq.ParquetFile(f).metadata
+    per_col: dict = {"__rows": int(md.num_rows)}
+    # aggregate row-group stats per top-level column; a column with ANY
+    # unusable row-group stat is disqualified (partial bounds would not
+    # bound the file)
+    acc: dict = {}
+    bad: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            cname = col.path_in_schema
+            if cname in bad:
+                continue
+            st = col.statistics
+            mn = mx = nulls = None
+            if "." not in cname and st is not None and st.has_min_max:
+                mn, mx = ser(st.min), ser(st.max)
+                if st.has_null_count:
+                    nulls = int(st.null_count or 0)
+            if mn is None or mx is None or nulls is None:
+                bad.add(cname)
+                acc.pop(cname, None)
+                continue
+            prev = acc.get(cname)
+            acc[cname] = (
+                [mn, mx, nulls]
+                if prev is None
+                else [min(prev[0], mn), max(prev[1], mx), prev[2] + nulls]
+            )
+    per_col.update(acc)
+    return per_col
+
+
 def _publish_if_absent(fs, root: str, name: str, payload: bytes) -> bool:
     """Publish ``payload`` to ``_log/<name>`` if-absent; returns whether
     this writer won the slot. On local filesystems the publish is
@@ -490,6 +559,15 @@ class TablelogStreamWriter(DataSourceStreamArrowWriter):
     exactly-once table contents. This is the same ``txn``-action
     mechanism Delta's streaming sink uses.
 
+    Commits carry per-file stats harvested from the parquet FOOTERS the
+    tasks just wrote (``_footer_stats`` — no extra scan), so
+    streaming-landed files get the same driver-side pruning and
+    metadata-only COUNT(*) as batch-landed ones. CHECK constraints
+    (``tablelog.table_set_check_constraint``) are NOT enforced on this
+    path — the sink runs session-free and cannot evaluate Spark SQL
+    expressions; filter the stream before the sink, or validate
+    downstream (documented boundary, not silent).
+
     Slot publication uses the same atomic if-absent primitive as the
     batch path (``os.link`` on local filesystems — POSIX ``link(2)``
     fails EEXIST atomically), so the sink is safe against CONCURRENT
@@ -564,17 +642,25 @@ class TablelogStreamWriter(DataSourceStreamArrowWriter):
                 f"{newest_schema}, stream has {self._schema_str}"
             )
         final = []
+        stats = {}
         for m in messages:
             for name in getattr(m, "staged", None) or []:
                 target = f"{_uuid.uuid4().hex}.parquet"
                 fs.move(f"{root}/data/{name}", f"{root}/data/{target}")
                 final.append(target)
+                # footer-harvested stats: streaming-landed files prune
+                # and metadata-count exactly like batch-landed ones
+                try:
+                    stats[target] = _footer_stats(fs, root, target)
+                except Exception:
+                    pass  # no stat → conservative (file never pruned)
         entry = json.dumps(
             {
                 "action": "append",
                 "files": final,
                 "schema": self._schema_str,
                 "stream_batch_id": batchId,
+                "stats": stats,
             }
         ).encode("utf-8")
         fs.create_dir(f"{root}/_log", recursive=True)

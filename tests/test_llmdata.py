@@ -1229,3 +1229,54 @@ def test_ivf_index_filtered_search_prefilter_semantics(spark, tmp_path):
     # rank-then-filter)
     grp_of = {r["vec_id"]: r["grp"] for r in corpus.select("vec_id", "grp").collect()}
     assert all(grp_of[n] == 1 for _, n, _ in got)
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """Self-scored add-k bigram cross-entropy against hand-replicated
+    math, plus held-out scoring of unseen bigrams/words (smoothing
+    floor, no crash) and the CCNet-style filter."""
+    import math
+
+    from simple_data_workflow_spark.llmdata import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z z"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"], r["perplexity"])
+        for r in lm.perplexity_scores(docs).collect()
+    }
+    assert 4 not in got  # single-token doc: no bigram, excluded
+
+    # corpus: unigrams a:3 b:3 z:2 (V=3); bigrams (a,b):3 (b,a):1 (z,z):1
+    def term(c12, c1):
+        return round(-math.log2((c12 + 0.5) / (c1 + 0.5 * 3)) * 1e6)
+
+    def ce(terms):
+        return round(sum(terms) / (1e6 * len(terms)), 6)
+
+    ab, ba, zz = term(3, 3), term(1, 3), term(1, 2)
+    assert got[1] == (3, ce([ab, ba, ab]), round(2 ** ce([ab, ba, ab]), 4))
+    assert got[2] == (1, ce([ab]), round(2 ** ce([ab]), 4))
+    assert got[3] == (1, ce([zz]), round(2 ** ce([zz]), 4))
+
+    # held-out: unseen bigram (a,c) and fully-unseen word (q,q) hit the
+    # smoothing floor instead of crashing or scoring 0
+    model = lm.bigram_lm_counts(docs)
+    held = spark.createDataFrame(
+        [(10, "a c"), (11, "q q")], "doc_id long, text string"
+    )
+    hs = {r["doc_id"]: r["cross_entropy"]
+          for r in lm.perplexity_scores(held, lm=model).collect()}
+    assert hs[10] == ce([term(0, 3)])
+    assert hs[11] == ce([term(0, 0)])
+    # an unseen bigram after a COMMON word is more surprising than two
+    # fully-unknown words (add-k flattens unknown contexts toward
+    # uniform) — and both score worse than the corpus's fluent doc 2
+    assert hs[10] > hs[11] > got[2][1]
+
+    # the filter keeps the fluent docs, drops the gibberish
+    thresh = got[1][2] + 0.01
+    kept = {r["doc_id"] for r in lm.perplexity_filter(docs, thresh).collect()}
+    assert 1 in kept and 3 not in kept

@@ -796,3 +796,48 @@ def test_tablelog_batch_reader_reads_snapshots_and_prunes(spark, tmp_path):
     unhandled = list(rd_f.pushFilters([EqualTo(("g",), 2)]))
     assert len(unhandled) == 1  # everything handed back to Spark
     assert 0 < len(rd_f.partitions()) < len(rd_all.partitions())
+
+
+def test_streaming_sink_commits_carry_footer_stats(spark, tmp_path):
+    """Round 8: sink commits harvest per-file stats from the parquet
+    footers they just wrote, so streaming-landed files prune
+    driver-side and serve metadata-only COUNT(*) exactly like
+    batch-landed ones."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        _stats_prune,
+        table_row_count,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    spark.dataSource.register(TablelogStreamDataSource)
+    src = str(tmp_path / "fs_in")
+    spark.range(0, 100).selectExpr(
+        "id", "cast(id * 2 as double) as v", "concat('u', id % 7) as tag"
+    ).coalesce(2).write.parquet(src)
+    t = str(tmp_path / "fs_tbl")
+    q = (
+        spark.readStream.schema("id long, v double, tag string")
+        .parquet(src)
+        .writeStream.format("tablelog")
+        .option("path", t)
+        .option("checkpointLocation", str(tmp_path / "fs_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    state = _resolve_state(spark, t, None)
+    assert state["files"]
+    for f in state["files"]:
+        st = state["stats"][f]
+        assert st["__rows"] > 0
+        assert st["id"][0] >= 0 and st["id"][1] <= 99  # real bounds
+        assert st["tag"][0].startswith("u")  # string stats too
+    # metadata-only COUNT(*) works on a purely stream-built table
+    assert table_row_count(spark, t) == 100
+    # an impossible range proves the bounds actually prune
+    assert _stats_prune(state["stats"], state["files"], [("id", ">", 10**9)]) == []
+    assert _stats_prune(state["stats"], state["files"], [("v", "<", 0.0)]) == []
