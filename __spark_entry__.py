@@ -696,6 +696,79 @@ ORDER BY o_orderstatus, _commit_version
 """
 
 
+def tablelog_clone_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: SHALLOW CLONE + AS OF TIMESTAMP time travel
+    (``sources.tablelog.table_clone`` / ``table_version_at_timestamp``).
+    Customers land in two commits; the clone is ONE metadata-only
+    commit referencing the source's immutable files (zero bytes
+    copied); a file-granular DELETE then diverges the clone
+    copy-on-write. The result unions three aggregates — the UNTOUCHED
+    source, the diverged clone, and the clone read AS OF its creation
+    timestamp (pre-DML) — so a value-hash match proves (a) cloning
+    copies nothing yet reads everything, (b) clone DML never leaks
+    into the source, and (c) timestamp resolution lands on the right
+    version. Mirrors Delta's CLONE + TIMESTAMP AS OF; at 100 TB the
+    clone cost stays one JSON write regardless of table size."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_clone,
+        table_commit,
+        table_delete_where,
+        table_history,
+        table_read,
+    )
+
+    tune(spark)
+    d = tempfile.mkdtemp(prefix="sdw-clone-")
+    src, dst = f"{d}/cust", f"{d}/cust_clone"
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table_commit(cust.where("c_custkey % 2 = 0"), src)
+    table_commit(cust.where("c_custkey % 2 = 1"), src)
+    table_clone(spark, src, dst)
+    table_delete_where(spark, dst, "c_acctbal < 0.0")
+    t0 = table_history(spark, dst)[0]["timestamp"]
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                rel.dsum(F.col("c_acctbal")).alias("total_bal"),
+            )
+            .withColumn("snap", F.lit(tag))
+        )
+
+    return (
+        agg(table_read(spark, src), "src")
+        .unionByName(agg(table_read(spark, dst), "clone"))
+        .unionByName(agg(table_read(spark, dst, timestamp=t0), "clone_t0"))
+        .select("snap", "c_mktsegment", "n", "total_bal")
+        .orderBy("snap", "c_mktsegment")
+    )
+
+
+TABLELOG_CLONE_SQL = """
+WITH base AS (SELECT c_mktsegment, c_acctbal FROM customer),
+a AS (
+  SELECT 'src' AS snap, c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(c_acctbal*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_bal
+  FROM base GROUP BY c_mktsegment
+  UNION ALL
+  SELECT 'clone', c_mktsegment, COUNT(*),
+         CAST(SUM(CAST(ROUND(c_acctbal*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0
+  FROM base WHERE c_acctbal >= 0.0 GROUP BY c_mktsegment
+  UNION ALL
+  SELECT 'clone_t0', c_mktsegment, COUNT(*),
+         CAST(SUM(CAST(ROUND(c_acctbal*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0
+  FROM base GROUP BY c_mktsegment
+)
+SELECT snap, c_mktsegment, n, total_bal FROM a ORDER BY snap, c_mktsegment
+"""
+
+
 def tablelog_cdf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 8: the materialized view folds DML commits EXACTLY via the
     row-level change feed (``table_changes_rowlevel``: DELETE preimages
@@ -2259,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_partitioned_scan": _wrap(tablelog_partitioned_scan),
         "tablelog_cdf_view": _wrap(tablelog_cdf_view),
         "tablelog_batch_format_scan": _wrap(tablelog_batch_format_scan),
+        "tablelog_clone_timetravel": _wrap(tablelog_clone_timetravel),
         "perplexity_score_docs": _wrap(perplexity_score_docs),
         "funnel_conversion": _wrap(rel.funnel_conversion),
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
@@ -2408,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_partitioned_scan",
         "tablelog_cdf_view",
         "tablelog_batch_format_scan",
+        "tablelog_clone_timetravel",
         "perplexity_score_docs",
         # §2.1 reference-operator battery (r5 → r8 rotation)
         "flagship_std_revenue",
@@ -2456,7 +2531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges",
         "bpe_encode_docs",
         "profile_orders",
-        "cohort_retention",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -2500,6 +2574,7 @@ def oracle_sql() -> dict[str, str]:
         "tablelog_partitioned_scan": TABLELOG_PART_SQL,
         "tablelog_cdf_view": TABLELOG_CDF_SQL,
         "tablelog_batch_format_scan": TABLELOG_BATCH_SQL,
+        "tablelog_clone_timetravel": TABLELOG_CLONE_SQL,
         "perplexity_score_docs": PERPLEXITY_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,

@@ -22,6 +22,7 @@ from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     ConcurrentWriteConflict,
     table_changes,
     table_changes_rowlevel,
+    table_clone,
     table_commit,
     table_compact,
     table_compact_small,
@@ -37,4 +38,5 @@ from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     table_truncate_history,
     table_update_where,
     table_vacuum,
+    table_version_at_timestamp,
 )

@@ -49,6 +49,7 @@ from __future__ import annotations
 import contextlib
 import datetime
 import json
+import os
 import time
 import uuid
 
@@ -354,6 +355,10 @@ def _commit_entry(
                 f"against version {base} but the table advanced to {latest}; "
                 "re-run against the current snapshot"
             )
+        # wall-clock commit time, refreshed per publish attempt — the
+        # durable basis for AS OF timestamp time travel (entry mtime is
+        # the legacy fallback but does not survive a file copy)
+        entry["ts"] = int(time.time() * 1000)
         if _write_json_if_absent(spark, path, f"{next_v:08d}.json", entry):
             _maybe_checkpoint(spark, path, next_v)
             return next_v
@@ -750,6 +755,15 @@ def _stats_prune(
 # ------------------------------------------------------------------- reads
 
 
+def _data_path(path: str, f: str) -> str:
+    """Resolve a logged file reference to a readable location: bare
+    uuid names live under this table's ``data/``; references carrying
+    a ``/`` (shallow-clone entries pointing into ANOTHER table's data
+    dir) pass through verbatim. Data files are immutable in every
+    table, which is what makes cross-table references sound."""
+    return f if "/" in f else f"{path}/data/{f}"
+
+
 def _read_files(
     spark: SparkSession, path: str, files: list[str], schema: str | None
 ) -> DataFrame:
@@ -763,17 +777,67 @@ def _read_files(
         from pyspark.sql.types import _parse_datatype_string
 
         reader = reader.schema(_parse_datatype_string(schema))
-    return reader.parquet(*[f"{path}/data/{f}" for f in files])
+    return reader.parquet(*[_data_path(path, f) for f in files])
+
+
+def table_version_at_timestamp(
+    spark: SparkSession, path: str, timestamp
+) -> int:
+    """The newest retained version committed at or before
+    ``timestamp`` (a ``datetime``, ISO-8601 string, or epoch
+    milliseconds) — the resolution step behind ``AS OF TIMESTAMP``
+    time travel. Commit times come from the ``ts`` field each entry
+    records at publish (mtime fallback for legacy entries), read from
+    the log alone — no data files are opened. Raises when the
+    timestamp predates all retained history (the pre-truncation
+    contract: truncated versions are not addressable by time either).
+    """
+    if isinstance(timestamp, str):
+        timestamp = datetime.datetime.fromisoformat(timestamp)
+    if isinstance(timestamp, datetime.datetime):
+        if timestamp.tzinfo is None:
+            timestamp = timestamp.replace(tzinfo=datetime.timezone.utc)
+        ts_ms = int(timestamp.timestamp() * 1000)
+    else:
+        ts_ms = int(timestamp)
+    entries, _ = _list_log(spark, path)
+    if not entries:
+        raise FileNotFoundError(f"no table log under {path}")
+    jvm, fs = _fs(spark, path)
+    best: int | None = None
+    for v in entries:
+        e = _read_json(spark, path, f"{v:08d}.json")
+        e_ts = e.get("ts")
+        if e_ts is None:
+            e_ts = fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{v:08d}.json")
+            ).getModificationTime()
+        if int(e_ts) <= ts_ms:
+            best = v  # entries are sorted: last match wins
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} predates all retained history at {path} "
+            f"(oldest retained version {entries[0]})"
+        )
+    return best
 
 
 def table_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
-    """Snapshot read (latest, or time travel to ``version``): resolves
-    the log once and scans the resolved file list explicitly — a
-    concurrent commit cannot tear the read. The scan carries the
-    logged schema, so snapshots after a metadata-only schema evolution
-    read pre-evolution files with the new columns as NULL."""
+    """Snapshot read (latest, or time travel to ``version`` /
+    ``AS OF timestamp``): resolves the log once and scans the resolved
+    file list explicitly — a concurrent commit cannot tear the read.
+    The scan carries the logged schema, so snapshots after a
+    metadata-only schema evolution read pre-evolution files with the
+    new columns as NULL."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = table_version_at_timestamp(spark, path, timestamp)
     state = _resolve_state(spark, path, version)
     if not state["files"]:
         # an empty snapshot (e.g. DELETE matched everything): surface
@@ -784,11 +848,28 @@ def table_read(
 
 def table_history(spark: SparkSession, path: str) -> list[dict]:
     """The commit log, oldest first: version, action, op (for DML),
-    files added/removed."""
+    files added/removed, rows added (from the commit's recorded
+    per-file stats — None when stats were disabled), and the commit's
+    wall-clock timestamp (log-entry mtime, ISO) — the DESCRIBE HISTORY
+    operability surface, answered from metadata alone."""
     out = []
     entries, _ = _list_log(spark, path)
+    jvm, fs = _fs(spark, path)
     for v in entries:
         e = _read_json(spark, path, f"{v:08d}.json")
+        stats = e.get("stats")
+        rows_added: int | None = None
+        if stats is not None:
+            counted = [stats.get(f, {}).get("__rows") for f in _entry_adds(e)]
+            if all(c is not None for c in counted):
+                rows_added = int(sum(counted))
+        # commit time recorded IN the entry at publish (durable across
+        # file copies); legacy entries fall back to log-file mtime
+        ts_ms = e.get("ts")
+        if ts_ms is None:
+            ts_ms = fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{v:08d}.json")
+            ).getModificationTime()
         out.append(
             {
                 "version": v,
@@ -796,6 +877,10 @@ def table_history(spark: SparkSession, path: str) -> list[dict]:
                 "op": e.get("op", e["action"]),
                 "n_files": len(_entry_adds(e)),
                 "n_removed": len(e.get("remove", [])),
+                "rows_added": rows_added,
+                "timestamp": datetime.datetime.fromtimestamp(
+                    ts_ms / 1000.0, tz=datetime.timezone.utc
+                ).isoformat(),
             }
         )
     return out
@@ -946,7 +1031,11 @@ def _touched_files(
         .distinct()
         .collect()
     )
-    return sorted(r["__f"].rsplit("/", 1)[-1] for r in rows)
+    # map basenames back to the LOGGED reference strings: a shallow
+    # clone logs absolute refs, and the remove-list must name exactly
+    # what the snapshot's file list names (uuid basenames are unique)
+    by_name = {f.rsplit("/", 1)[-1]: f for f in files}
+    return sorted(by_name[r["__f"].rsplit("/", 1)[-1]] for r in rows)
 
 
 def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
@@ -1067,7 +1156,8 @@ def table_merge_upsert(
             .distinct()
             .collect()
         )
-        touched = sorted(r["__f"].rsplit("/", 1)[-1] for r in rows)
+        by_name = {f.rsplit("/", 1)[-1]: f for f in state["files"]}
+        touched = sorted(by_name[r["__f"].rsplit("/", 1)[-1]] for r in rows)
     # every target row with a colliding key lives in a touched file by
     # construction, so merging the touched subset is exact
     target = (
@@ -1126,7 +1216,7 @@ def table_compact(
     total = 0
     for f in state["files"]:
         total += fs.getFileStatus(
-            jvm.org.apache.hadoop.fs.Path(f"{path}/data/{f}")
+            jvm.org.apache.hadoop.fs.Path(_data_path(path, f))
         ).getLen()
     n_files = num_files or max(1, round(total / (target_file_mb * 1024 * 1024)))
     snapshot = _read_files(spark, path, state["files"], state["schema"])
@@ -1179,7 +1269,7 @@ def table_compact_small(
     small, small_bytes = [], 0
     for f in state["files"]:
         sz = fs.getFileStatus(
-            jvm.org.apache.hadoop.fs.Path(f"{path}/data/{f}")
+            jvm.org.apache.hadoop.fs.Path(_data_path(path, f))
         ).getLen()
         if sz < threshold:
             small.append(f)
@@ -1555,3 +1645,74 @@ def table_row_count(
             ).count()
         total += n
     return total
+
+
+# -------------------------------------------------------------------- clone
+
+
+def table_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    deep: bool = False,
+) -> int:
+    """CREATE TABLE ... CLONE src [VERSION AS OF v].
+
+    Shallow (default): ONE metadata-only commit at ``dst`` whose file
+    list references the source snapshot's immutable data files by
+    absolute path — zero bytes copied at any table size (Delta's
+    shallow clone). Per-file stats, schema, partition spec, CHECK
+    constraints, and the materialized-view cursor all carry over, so
+    scans prune and refreshes resume identically. The clone then
+    diverges copy-on-write: appends/DML stage new files under the
+    CLONE's own ``data/`` and only rewrite what they touch; the source
+    is never modified. ``table_compact(dst)`` fully materializes the
+    clone (rewrites every referenced byte locally), after which it is
+    independent of the source.
+
+    Retention caveat (same as every shallow clone): ``table_vacuum`` /
+    ``table_truncate_history`` on the SOURCE can reap files the clone
+    still references — vacuum the source only after deep-cloning or
+    compacting dependents, or pass ``deep=True`` to copy the data
+    through a real write (one scan + write, no shared fate).
+
+    Returns the clone's commit version (0 for a fresh ``dst``).
+    """
+    state = _resolve_state(spark, src, version)
+    if deep:
+        snap = (
+            _read_files(spark, src, state["files"], state["schema"])
+            if state["files"]
+            else spark.createDataFrame([], state["schema"])
+        )
+        return table_commit(
+            snap,
+            dst,
+            mode="overwrite",
+            partition_by=state.get("partition_by"),
+        )
+    src_abs = src if "://" in src else os.path.abspath(src)
+    refs = [_data_path(src_abs, f) for f in state["files"]]
+    stats = {
+        _data_path(src_abs, f): s
+        for f, s in state["stats"].items()
+        if f in set(state["files"])
+    }
+    entry = {
+        "action": "overwrite",
+        "files": refs,
+        "stats": stats,
+        "schema": state["schema"],
+        "op": "clone",
+        "clone_of": [src_abs, int(state["version"])],
+    }
+    if state.get("partition_by") is not None:
+        entry["partition_by"] = state["partition_by"]
+    if state.get("constraints"):
+        entry["constraints"] = state["constraints"]
+    # a cloned materialized view keeps its refresh cursor — its state
+    # IS the fold up to src_version, clone included
+    if state.get("src_version") is not None:
+        entry["src_version"] = state["src_version"]
+    return _commit_entry(spark, dst, entry)

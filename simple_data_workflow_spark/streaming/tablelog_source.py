@@ -80,6 +80,14 @@ def _fs_for(path: str):
     return fs, root
 
 
+def _data_ref(root: str, f: str) -> str:
+    """Resolve a logged file reference: bare uuid names live under
+    this table's ``data/``; refs carrying a ``/`` (shallow-clone
+    entries pointing into another table's data dir) pass through —
+    mirrors ``sources.tablelog._data_path``."""
+    return f if "/" in f else f"{root}/data/{f}"
+
+
 def _list_entry_versions(path: str) -> list[int]:
     import pyarrow.fs as pafs
 
@@ -353,7 +361,7 @@ class TablelogStreamReader(DataSourceStreamReader):
                 )
             fs, root = _fs_for(self._path)
             for f in list(e.get("files", [])) + list(e.get("add", [])):
-                parts.append(_FilePartition(f"{root}/data/{f}", v))
+                parts.append(_FilePartition(_data_ref(root, f), v))
         return parts
 
     def read(self, partition: _FilePartition):
@@ -480,7 +488,7 @@ class TablelogBatchReader(DataSourceReader):
         fs, root = _fs_for(self._path)
         fvers = state["file_versions"]
         return [
-            _FilePartition(f"{root}/data/{f}", int(fvers.get(f, state["version"])))
+            _FilePartition(_data_ref(root, f), int(fvers.get(f, state["version"])))
             for f in files
         ]
 

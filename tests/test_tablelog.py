@@ -1481,3 +1481,123 @@ def test_rowlevel_changes_restore_is_file_diff_bounded(spark, tmp_path):
     rows = {(r["_change_type"], r["id"]) for r in ch.collect()}
     assert rows == {("delete", i) for i in range(10, 14)}
     assert table_read(spark, t).count() == 10
+
+
+def test_history_reports_rows_and_timestamps(spark, tmp_path):
+    """DESCRIBE HISTORY operability: per-commit rows-added from the
+    log's stats (no data files opened) and a wall-clock timestamp."""
+    t = str(tmp_path / "hist_rows")
+    table_commit(spark.range(0, 25).selectExpr("id"), t)
+    table_commit(spark.range(25, 40).selectExpr("id"), t)
+    table_commit(spark.range(0, 3).selectExpr("id"), t, collect_stats=False)
+    hist = table_history(spark, t)
+    assert [h["rows_added"] for h in hist] == [25, 15, None]
+    assert all(h["timestamp"].startswith("20") for h in hist)
+    assert hist[0]["timestamp"] <= hist[-1]["timestamp"]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """AS OF TIMESTAMP resolves against the ts each entry records at
+    publish; pre-history timestamps raise instead of guessing."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_version_at_timestamp,
+    )
+
+    t = str(tmp_path / "ts_travel")
+    table_commit(spark.range(0, 10).selectExpr("id"), t)
+    _time.sleep(0.05)
+    table_commit(spark.range(10, 25).selectExpr("id"), t)
+    hist = table_history(spark, t)
+    mid = hist[1]["timestamp"]  # exactly at commit 1 → version 1
+    assert table_version_at_timestamp(spark, t, mid) == 1
+    before_v1 = hist[0]["timestamp"]
+    assert table_version_at_timestamp(spark, t, before_v1) == 0
+    assert table_read(spark, t, timestamp=before_v1).count() == 10
+    assert table_read(spark, t, timestamp=mid).count() == 25
+    with _pytest.raises(ValueError, match="predates"):
+        table_version_at_timestamp(spark, t, "1999-01-01T00:00:00+00:00")
+    with _pytest.raises(ValueError, match="not both"):
+        table_read(spark, t, version=0, timestamp=mid)
+
+
+def test_shallow_clone_zero_copy_divergence_and_materialize(spark, tmp_path):
+    """Shallow clone: metadata-only (no bytes under the clone's data/),
+    reads equal, stats/partition spec/constraints carry over, DML on
+    the clone is copy-on-write and never touches the source, and
+    compaction fully materializes the clone."""
+    import os as _os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_clone,
+        table_compact,
+        table_delete_where,
+        table_scan,
+        table_set_check_constraint,
+    )
+
+    src = str(tmp_path / "clone_src")
+    dst = str(tmp_path / "clone_dst")
+    df = spark.range(0, 400).selectExpr("id", "id % 4 AS part")
+    table_commit(df, src, partition_by=["part"])
+    table_set_check_constraint(spark, src, "id_nonneg", "id >= 0")
+    table_commit(
+        spark.range(400, 500).selectExpr("id", "id % 4 AS part"), src
+    )
+    v = table_clone(spark, src, dst)
+    assert v == 0
+    # zero-copy: the clone carries no data files of its own yet
+    assert not _os.path.exists(f"{dst}/data") or not any(
+        n.endswith(".parquet") for n in _os.listdir(f"{dst}/data")
+    )
+    assert table_read(spark, dst).count() == 500
+    # membership pruning works through the cloned stats + spec
+    pruned = table_scan(spark, dst, filters=[("part", "==", 2)])
+    assert pruned.count() == 125
+    # constraints carried: a violating append on the clone is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="id_nonneg"):
+        table_commit(
+            spark.createDataFrame([(-5, 0)], "id long, part long"), dst
+        )
+    # copy-on-write divergence: DML the clone, source untouched
+    table_delete_where(spark, dst, "id < 100")
+    assert table_read(spark, dst).count() == 400
+    assert table_read(spark, src).count() == 500
+    # deleting on the source does not leak into the clone either
+    table_delete_where(spark, src, "id >= 450")
+    assert table_read(spark, dst).count() == 400
+    # compaction materializes: every resolved file is clone-local
+    table_compact(spark, dst, num_files=4)
+    from simple_data_workflow_spark.sources.tablelog import _resolve_state
+
+    state = _resolve_state(spark, dst, None)
+    assert state["files"] and all("/" not in f for f in state["files"])
+    assert table_read(spark, dst).count() == 400
+
+
+def test_clone_version_as_of_and_merge(spark, tmp_path):
+    """Cloning a historical version snapshots exactly that version;
+    MERGE on a clone rewrites only the touched referenced files."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_clone,
+        table_merge_upsert,
+    )
+
+    src = str(tmp_path / "clone_v_src")
+    dst = str(tmp_path / "clone_v_dst")
+    table_commit(spark.range(0, 50).selectExpr("id", "id * 2 AS v"), src)
+    table_commit(spark.range(50, 80).selectExpr("id", "id * 2 AS v"), src)
+    table_clone(spark, src, dst, version=0)
+    assert table_read(spark, dst).count() == 50
+    upd = spark.createDataFrame([(3, 999), (100, 1)], "id long, v long")
+    table_merge_upsert(spark, dst, upd, "id")
+    got = {(r["id"], r["v"]) for r in table_read(spark, dst).collect()}
+    assert (3, 999) in got and (100, 1) in got and (4, 8) in got
+    assert len(got) == 51
+    # the source still resolves both commits untouched
+    assert table_read(spark, src).count() == 80
