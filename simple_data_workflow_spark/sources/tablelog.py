@@ -1038,6 +1038,84 @@ def _touched_files(
     return sorted(by_name[r["__f"].rsplit("/", 1)[-1]] for r in rows)
 
 
+def _interleaved_plain_appends(
+    spark: SparkSession, path: str, from_v: int, to_v: int, schema: str
+) -> list[str] | None:
+    """Files added by versions ``(from_v, to_v]`` IF every one of them
+    is a plain data append under the unchanged ``schema`` — the only
+    interleaving a DML delta can be rebased across. ``None`` means a
+    real conflict interleaved: an overwrite/delta/compact touches the
+    files the delta was computed from; a schema evolution would be
+    silently reverted by the delta's last-writer-wins schema; a
+    constraint or partition-spec change invalidates what the DML's
+    rewrite was checked against."""
+    added: list[str] = []
+    for v in range(from_v + 1, to_v + 1):
+        try:
+            e = _read_json(spark, path, f"{v:08d}.json")
+        except Exception:
+            return None  # entry unreadable/truncated away — punt
+        if (
+            e["action"] != "append"
+            or e.get("schema") != schema
+            or e.get("constraints")
+            or "partition_by" in e
+        ):
+            return None
+        added.extend(e["files"])
+    return added
+
+
+def _commit_dml_rebasing(
+    spark: SparkSession,
+    path: str,
+    entry: dict,
+    state: dict,
+    probe,
+    extend,
+    max_rebases: int = 5,
+) -> int:
+    """Publish a DML delta, REBASING it over concurrent plain appends
+    instead of aborting (the Delta concurrency model, with an exact
+    probe where Delta's ``ConcurrentAppendException`` is stats-maybe):
+
+    on conflict, if everything that interleaved since the delta's base
+    is a plain data append, the delta's add/remove files are untouched
+    — the only serializability question is whether the APPENDED rows
+    are hit by the DML's predicate/keys. ``probe(new_files)`` answers
+    it exactly (one pushed-down scan of just the interleaved files);
+    disjoint appends re-target the same delta at the new head, and
+    overlapping ones have the overlap rewritten by
+    ``extend(matching_files) -> (added, stats)`` and folded into the
+    delta. Cost ∝ interleaved data, never the table. Anything other
+    than a plain append still raises — those genuinely invalidate the
+    delta. At 1000-executor scale this is what keeps maintenance DML
+    from being starved by a steady append/streaming-ingest load."""
+    base = int(state["version"])
+    for _ in range(max_rebases):
+        try:
+            return _commit_entry(spark, path, entry, base=base)
+        except ConcurrentWriteConflict:
+            cur = _resolve_state(spark, path, None)
+            new_files = _interleaved_plain_appends(
+                spark, path, base, int(cur["version"]), state["schema"]
+            )
+            if new_files is None:
+                raise
+            matching = probe(new_files) if new_files else []
+            if matching:
+                extra_added, extra_stats = extend(matching)
+                entry["add"] = list(entry["add"]) + list(extra_added)
+                entry["remove"] = list(entry["remove"]) + list(matching)
+                entry["stats"] = {**entry.get("stats", {}), **extra_stats}
+            base = int(cur["version"])
+            entry["base"] = base
+    raise ConcurrentWriteConflict(
+        f"{entry.get('op')} at {path} rebased {max_rebases} times without "
+        "winning a commit; retry under lower append pressure"
+    )
+
+
 def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
     """DELETE FROM table WHERE condition, file-granular copy-on-write:
     only data files containing matching rows are rewritten (survivors
@@ -1045,9 +1123,11 @@ def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
     name, and the commit is one atomic add/remove delta. Rows where
     the condition is NULL survive (SQL DELETE semantics). The
     pre-delete snapshot stays time-travelable (physically reclaimable
-    via log truncation + vacuum). Conflicts (any interleaved commit)
-    raise :class:`ConcurrentWriteConflict`. Returns the new version,
-    or the current one if nothing matched."""
+    via log truncation + vacuum). Concurrent plain appends are REBASED
+    over (appended rows matching the predicate are deleted too — exact
+    serializability, cost ∝ the interleaved data); any other
+    interleaved commit raises :class:`ConcurrentWriteConflict`.
+    Returns the new version, or the current one if nothing matched."""
     state = _resolve_state(spark, path, None)
     if not state["files"]:  # empty snapshot: DELETE is a no-op
         return state["version"]
@@ -1055,22 +1135,36 @@ def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
     touched = _touched_files(spark, path, state["files"], cond, state["schema"])
     if not touched:
         return state["version"]
-    survivors = _read_files(spark, path, touched, state["schema"]).where(
-        ~F.coalesce(cond, F.lit(False))
-    )
-    added = _stage_data_files(survivors, path)
+
+    def _rewrite(files: list[str]) -> tuple[list[str], dict]:
+        survivors = _read_files(spark, path, files, state["schema"]).where(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        added = _stage_data_files(survivors, path)
+        return added, _collect_stats(
+            spark, path, added, partition_cols=state.get("partition_by")
+        )
+
+    added, stats = _rewrite(touched)
     entry = {
         "action": "delta",
         "add": added,
         "remove": touched,
-        "stats": _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by")
-        ),
+        "stats": stats,
         "schema": state["schema"],
         "base": state["version"],
         "op": "delete",
     }
-    return _commit_entry(spark, path, entry, base=state["version"])
+    return _commit_dml_rebasing(
+        spark,
+        path,
+        entry,
+        state,
+        probe=lambda newf: _touched_files(
+            spark, path, newf, cond, state["schema"]
+        ),
+        extend=_rewrite,
+    )
 
 
 def table_update_where(
@@ -1090,37 +1184,52 @@ def table_update_where(
     if not touched:
         return state["version"]
     hit = F.coalesce(cond, F.lit(False))
-    snap = _read_files(spark, path, touched, state["schema"])
-    updated = snap.select(
-        *[
-            # cast SET back to the column's declared type: SQL UPDATE
-            # never changes a column's type, and a silently-widened
-            # rewrite (e.g. decimal precision growth) would make the
-            # rewritten files unreadable in union with untouched ones
-            F.when(hit, F.expr(set_exprs[c]).cast(snap.schema[c].dataType))
-            .otherwise(F.col(c))
-            .alias(c)
-            if c in set_exprs
-            else F.col(c)
-            for c in snap.columns
-        ]
-    )
-    _enforce_constraints(
-        updated, state.get("constraints") or {}, path, "UPDATE rewrite"
-    )
-    added = _stage_data_files(updated, path)
+
+    def _rewrite(files: list[str]) -> tuple[list[str], dict]:
+        snap = _read_files(spark, path, files, state["schema"])
+        updated = snap.select(
+            *[
+                # cast SET back to the column's declared type: SQL
+                # UPDATE never changes a column's type, and a silently-
+                # widened rewrite (e.g. decimal precision growth) would
+                # make the rewritten files unreadable in union with
+                # untouched ones
+                F.when(hit, F.expr(set_exprs[c]).cast(snap.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in snap.columns
+            ]
+        )
+        _enforce_constraints(
+            updated, state.get("constraints") or {}, path, "UPDATE rewrite"
+        )
+        added = _stage_data_files(updated, path)
+        return added, _collect_stats(
+            spark, path, added, partition_cols=state.get("partition_by")
+        )
+
+    added, stats = _rewrite(touched)
     entry = {
         "action": "delta",
         "add": added,
         "remove": touched,
-        "stats": _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by")
-        ),
+        "stats": stats,
         "schema": state["schema"],
         "base": state["version"],
         "op": "update",
     }
-    return _commit_entry(spark, path, entry, base=state["version"])
+    return _commit_dml_rebasing(
+        spark,
+        path,
+        entry,
+        state,
+        probe=lambda newf: _touched_files(
+            spark, path, newf, cond, state["schema"]
+        ),
+        extend=_rewrite,
+    )
 
 
 def table_merge_upsert(
@@ -1135,29 +1244,37 @@ def table_merge_upsert(
 
     The touched-file probe broadcasts the batch's key set (MERGE
     batches are small relative to the table; for a table-sized batch
-    use an overwrite rebuild instead). Interleaved commits raise
-    :class:`ConcurrentWriteConflict` — the lost-update hazard the
-    round-6 docstring could only warn about is now detected.
+    use an overwrite rebuild instead). Concurrent plain appends are
+    rebased over: an appended row with a colliding key is dropped in
+    favor of the batch's version (MERGE serializes AFTER the append —
+    batch wins, exactly as it would against a pre-existing row); any
+    other interleaved commit raises :class:`ConcurrentWriteConflict`
+    — the lost-update hazard the round-6 docstring could only warn
+    about is now detected.
     """
     from simple_data_workflow_spark.operators.cdc import merge_upsert
 
     state = _resolve_state(spark, path, None)
-    if not state["files"]:
-        # empty snapshot (e.g. DELETE matched everything): merge is
-        # insert-only — no files to probe (a zero-path parquet read
-        # would throw), the batch commits as the whole new content
-        touched: list[str] = []
-    else:
-        snap = _read_files(spark, path, state["files"], state["schema"])
-        keys = updates.select(key).distinct()
+    keys = updates.select(key).distinct()
+
+    def _colliding(files: list[str]) -> list[str]:
+        snap = _read_files(spark, path, files, state["schema"])
         rows = (
             snap.join(F.broadcast(keys), key, "left_semi")
             .select(F.input_file_name().alias("__f"))
             .distinct()
             .collect()
         )
-        by_name = {f.rsplit("/", 1)[-1]: f for f in state["files"]}
-        touched = sorted(by_name[r["__f"].rsplit("/", 1)[-1]] for r in rows)
+        by_name = {f.rsplit("/", 1)[-1]: f for f in files}
+        return sorted(by_name[r["__f"].rsplit("/", 1)[-1]] for r in rows)
+
+    if not state["files"]:
+        # empty snapshot (e.g. DELETE matched everything): merge is
+        # insert-only — no files to probe (a zero-path parquet read
+        # would throw), the batch commits as the whole new content
+        touched: list[str] = []
+    else:
+        touched = _colliding(state["files"])
     # every target row with a colliding key lives in a touched file by
     # construction, so merging the touched subset is exact
     target = (
@@ -1170,6 +1287,18 @@ def table_merge_upsert(
         merged, state.get("constraints") or {}, path, "MERGE output"
     )
     added = _stage_data_files(merged, path)
+
+    def _drop_colliding(files: list[str]) -> tuple[list[str], dict]:
+        # the batch's version of every colliding key is ALREADY in the
+        # merged output — the appended duplicate is the loser
+        kept = _read_files(spark, path, files, state["schema"]).join(
+            F.broadcast(keys), key, "left_anti"
+        )
+        extra = _stage_data_files(kept, path)
+        return extra, _collect_stats(
+            spark, path, extra, partition_cols=state.get("partition_by")
+        )
+
     entry = {
         "action": "delta",
         "add": added,
@@ -1181,7 +1310,9 @@ def table_merge_upsert(
         "base": state["version"],
         "op": "merge",
     }
-    return _commit_entry(spark, path, entry, base=state["version"])
+    return _commit_dml_rebasing(
+        spark, path, entry, state, probe=_colliding, extend=_drop_colliding
+    )
 
 
 # ------------------------------------------------------------- maintenance

@@ -1601,3 +1601,125 @@ def test_clone_version_as_of_and_merge(spark, tmp_path):
     assert len(got) == 51
     # the source still resolves both commits untouched
     assert table_read(spark, src).count() == 80
+
+
+def _inject_before_dml(monkeypatch, op, action):
+    """Patch _commit_entry so the FIRST publish attempt of a DML entry
+    with ``op`` finds ``action()`` committed just before it — a
+    deterministic replay of the concurrent-writer race."""
+    from simple_data_workflow_spark.sources import tablelog as tl
+
+    orig = tl._commit_entry
+    done = {"v": False}
+
+    def inject(spark, path, entry, *a, **kw):
+        if entry.get("op") == op and not done["v"]:
+            done["v"] = True
+            action()
+        return orig(spark, path, entry, *a, **kw)
+
+    monkeypatch.setattr(tl, "_commit_entry", inject)
+
+
+def test_delete_rebases_over_disjoint_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A plain append that interleaves with a DELETE no longer aborts
+    it: the delete probes the appended files, finds no predicate
+    overlap, and re-targets the SAME delta at the new head — appended
+    files survive untouched."""
+    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+
+    t = str(tmp_path / "rebase_disjoint")
+    table_commit(spark.range(0, 100).selectExpr("id"), t)
+    base_files = table_history(spark, t)[0]["n_files"]
+    _inject_before_dml(
+        monkeypatch,
+        "delete",
+        lambda: table_commit(spark.range(200, 220).selectExpr("id"), t),
+    )
+    v = table_delete_where(spark, t, "id < 10")
+    assert v == 2  # v0 base, v1 injected append, v2 rebased delete
+    got = {r["id"] for r in table_read(spark, t).collect()}
+    assert got == set(range(10, 100)) | set(range(200, 220))
+    # the rebased delta only rewrote BASE files — the appended ones
+    # were provably disjoint from the predicate
+    assert table_history(spark, t)[2]["n_removed"] <= base_files
+
+
+def test_delete_rebases_over_overlapping_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Appended rows matching the predicate are deleted too — the
+    rebase extends the delta with a rewrite of exactly the overlapping
+    appended files (serializable: append first, then DELETE)."""
+    from simple_data_workflow_spark.sources.tablelog import table_delete_where
+
+    t = str(tmp_path / "rebase_overlap")
+    table_commit(spark.range(0, 100).selectExpr("id"), t)
+    _inject_before_dml(
+        monkeypatch,
+        "delete",
+        lambda: table_commit(
+            spark.range(0, 5).selectExpr("id"), t
+        ),  # duplicates inside the predicate
+    )
+    table_delete_where(spark, t, "id < 10")
+    got = sorted(r["id"] for r in table_read(spark, t).collect())
+    assert got == list(range(10, 100))  # both copies of 0-4 gone
+
+
+def test_dml_still_conflicts_on_non_append_interleave(
+    spark, tmp_path, monkeypatch
+):
+    """Rebase is appends-only: an interleaved overwrite (or schema
+    evolution / constraint change) still raises — those invalidate
+    the computed delta."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        ConcurrentWriteConflict,
+        table_delete_where,
+    )
+
+    t = str(tmp_path / "rebase_conflict")
+    table_commit(spark.range(0, 50).selectExpr("id"), t)
+    _inject_before_dml(
+        monkeypatch,
+        "delete",
+        lambda: table_commit(
+            spark.range(500, 520).selectExpr("id"), t, mode="overwrite"
+        ),
+    )
+    with _pytest.raises(ConcurrentWriteConflict):
+        table_delete_where(spark, t, "id < 10")
+
+
+def test_merge_rebases_batch_wins_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """MERGE serializes after an interleaved append: an appended row
+    with a colliding key loses to the batch's version (dropped from
+    the appended file's rewrite); non-colliding appended rows
+    survive."""
+    from simple_data_workflow_spark.sources.tablelog import table_merge_upsert
+
+    t = str(tmp_path / "rebase_merge")
+    table_commit(spark.range(0, 50).selectExpr("id", "id * 2 AS v"), t)
+    _inject_before_dml(
+        monkeypatch,
+        "merge",
+        lambda: table_commit(
+            spark.createDataFrame([(3, 777), (60, 5)], "id long, v long"), t
+        ),
+    )
+    upd = spark.createDataFrame([(3, 999), (100, 1)], "id long, v long")
+    table_merge_upsert(spark, t, upd, "id")
+    rows = table_read(spark, t).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r["v"])
+    assert by_id[3] == [999]  # batch won; appended 777 dropped
+    assert by_id[60] == [5]  # non-colliding appended row survives
+    assert by_id[100] == [1]  # batch insert
+    assert len(rows) == 52  # 50 base + 60 + 100 (3 deduped)
