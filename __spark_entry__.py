@@ -769,6 +769,66 @@ SELECT snap, c_mktsegment, n, total_bal FROM a ORDER BY snap, c_mktsegment
 """
 
 
+def tablelog_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: merge-on-read DELETE via deletion vectors
+    (``sources.tablelog.table_delete_where(mode="mor")``). Orders land
+    in one multi-file commit; a MoR DELETE then writes ONLY position
+    sidecars (``(file, pos)`` parquet) — zero data files rewritten —
+    and every read subtracts them with one anti-join on (file
+    basename, ``_metadata.row_index``). A second, overlapping MoR
+    DELETE proves already-deleted rows are never double-marked. The
+    result aggregates the surviving snapshot; the oracle applies the
+    same two predicates over raw parquet, so a value-hash match proves
+    the vectors subtract exactly the deleted rows and nothing else.
+    At 100 TB this is Delta/Iceberg's answer to small deletes against
+    huge files: write cost ∝ deleted rows, not touched-file bytes."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_commit,
+        table_delete_where,
+        table_read,
+        table_row_count,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-mor-") + "/orders_mor"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    table_commit(orders.repartition(8), path)
+    table_delete_where(spark, path, "o_totalprice < 50000.0", mode="mor")
+    # overlapping second vector: cheap urgent orders are already gone
+    table_delete_where(
+        spark, path, "o_orderpriority = '1-URGENT' AND o_totalprice < 100000.0",
+        mode="mor",
+    )
+    snap = table_read(spark, path)
+    out = (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    # metadata-only COUNT(*) must agree with the scan — a mismatch
+    # means dv_counts drifted from the vectors (fail loudly here
+    # rather than hash-mismatching mysteriously)
+    assert table_row_count(spark, path) == snap.count()
+    return out
+
+
+TABLELOG_MOR_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE NOT (o_totalprice < 50000.0)
+  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 100000.0)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def tablelog_cdf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 8: the materialized view folds DML commits EXACTLY via the
     row-level change feed (``table_changes_rowlevel``: DELETE preimages
@@ -2333,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_cdf_view": _wrap(tablelog_cdf_view),
         "tablelog_batch_format_scan": _wrap(tablelog_batch_format_scan),
         "tablelog_clone_timetravel": _wrap(tablelog_clone_timetravel),
+        "tablelog_mor_delete": _wrap(tablelog_mor_delete),
         "perplexity_score_docs": _wrap(perplexity_score_docs),
         "funnel_conversion": _wrap(rel.funnel_conversion),
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
@@ -2483,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_cdf_view",
         "tablelog_batch_format_scan",
         "tablelog_clone_timetravel",
+        "tablelog_mor_delete",
         "perplexity_score_docs",
         # §2.1 reference-operator battery (r5 → r8 rotation)
         "flagship_std_revenue",
@@ -2530,7 +2592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_matches",
         "bpe_train_merges",
         "bpe_encode_docs",
-        "profile_orders",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -2575,6 +2636,7 @@ def oracle_sql() -> dict[str, str]:
         "tablelog_cdf_view": TABLELOG_CDF_SQL,
         "tablelog_batch_format_scan": TABLELOG_BATCH_SQL,
         "tablelog_clone_timetravel": TABLELOG_CLONE_SQL,
+        "tablelog_mor_delete": TABLELOG_MOR_SQL,
         "perplexity_score_docs": PERPLEXITY_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,

@@ -181,6 +181,8 @@ def _resolve_state(
     partition_by: list[str] | None = None
     constraints: dict = {}
     fvers: dict = {}
+    dvs: list[str] = []
+    dv_counts: dict = {}
     if start_cp is not None:
         cp = _read_json(spark, path, f"{start_cp:08d}.checkpoint.json")
         files, schema = list(cp["files"]), cp.get("schema")
@@ -188,6 +190,8 @@ def _resolve_state(
         src_version = cp.get("src_version")
         partition_by = cp.get("partition_by")
         constraints = dict(cp.get("constraints", {}))
+        dvs = list(cp.get("dvs", []))
+        dv_counts = dict(cp.get("dv_counts", {}))
         # per-file commit provenance; legacy checkpoints without it
         # fall back to "at or before the checkpoint version"
         fvers = {f: int(v) for f, v in cp.get("file_versions", {}).items()}
@@ -210,6 +214,12 @@ def _resolve_state(
             files = list(e["files"])
             stats = dict(e.get("stats", {}))
             fvers = {f: v for f in files}
+            # an overwrite REPLACES the deletion-vector set: a plain
+            # overwrite/compact clears it (fresh file list, DVs
+            # applied or irrelevant); restore/clone carry the target
+            # snapshot's DVs explicitly
+            dvs = list(e.get("dvs", []))
+            dv_counts = dict(e.get("dv_counts", {}))
         elif action == "append":
             files.extend(e["files"])
             stats.update(e.get("stats", {}))
@@ -224,6 +234,18 @@ def _resolve_state(
             fvers = {f: fv for f, fv in fvers.items() if f not in removed}
             for f in e["add"]:
                 fvers[f] = v
+            # a rewritten file's DV rows are dead weight (the file is
+            # no longer scanned, so the anti-join never matches) but
+            # its COUNT must drop or metadata-only COUNT(*) undercounts
+            dv_counts = {
+                f: n for f, n in dv_counts.items() if f not in removed
+            }
+        elif action == "dv":
+            # merge-on-read DELETE: row-position deletion vectors over
+            # unchanged data files — the file list does not move
+            dvs.extend(e.get("dv_add", []))
+            for f, n in e.get("dv_counts", {}).items():
+                dv_counts[f] = dv_counts.get(f, 0) + int(n)
         else:  # pragma: no cover - future-proofing
             raise ValueError(f"unknown log action {action!r} at version {v}")
         schema = e.get("schema", schema)
@@ -252,15 +274,23 @@ def _resolve_state(
         "partition_by": partition_by,
         "constraints": constraints,
         "file_versions": fvers,
+        "dvs": dvs,
+        "dv_counts": dv_counts,
     }
 
 
 def _entry_adds(e: dict) -> list[str]:
     """Data files a log entry introduces (``files`` for append /
-    overwrite, ``add`` for delta). A delta's ``remove`` list is NOT a
+    overwrite, ``add`` for delta, ``dv_add`` for deletion vectors —
+    DV sidecars live under ``data/`` and must count as referenced or
+    vacuum would reap them). A delta's ``remove`` list is NOT a
     reference — those files are referenced by the OLDER entries that
     added them, which is what keeps them time-travelable."""
-    return list(e.get("files", [])) + list(e.get("add", []))
+    return (
+        list(e.get("files", []))
+        + list(e.get("add", []))
+        + list(e.get("dv_add", []))
+    )
 
 
 # ------------------------------------------------------------------ commit
@@ -315,6 +345,12 @@ def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         if state.get("constraints"):
             payload["constraints"] = state["constraints"]
         payload["file_versions"] = state.get("file_versions", {})
+        # deletion vectors are part of snapshot state: a checkpoint
+        # without them would resurrect MoR-deleted rows after log
+        # truncation
+        if state.get("dvs"):
+            payload["dvs"] = state["dvs"]
+            payload["dv_counts"] = state.get("dv_counts", {})
         _write_json_if_absent(
             spark, path, f"{version:08d}.checkpoint.json", payload
         )
@@ -764,14 +800,67 @@ def _data_path(path: str, f: str) -> str:
     return f if "/" in f else f"{path}/data/{f}"
 
 
-def _read_files(
+def _dv_frame(spark: SparkSession, path: str, dvs: list[str]) -> DataFrame:
+    """The union of deletion-vector sidecars as ``(__sdw_dv_name,
+    __sdw_dv_pos)`` — target files identified by uuid BASENAME so the
+    vectors stay valid across shallow clones (whose snapshot lists the
+    same immutable file under an absolute ref)."""
+    return (
+        spark.read.schema("file string, pos bigint")
+        .parquet(*[_data_path(path, d) for d in dvs])
+        .select(
+            F.element_at(F.split("file", "/"), -1).alias("__sdw_dv_name"),
+            F.col("pos").alias("__sdw_dv_pos"),
+        )
+    )
+
+
+def _scan_with_pos(
     spark: SparkSession, path: str, files: list[str], schema: str | None
+) -> DataFrame:
+    """File-list scan carrying ``__sdw_dv_name`` (file basename) and
+    ``__sdw_dv_pos`` (``_metadata.row_index``) helper columns — the
+    join key space deletion vectors address rows by."""
+    reader = spark.read
+    if schema:
+        from pyspark.sql.types import _parse_datatype_string
+
+        reader = reader.schema(_parse_datatype_string(schema))
+    df = reader.parquet(*[_data_path(path, f) for f in files])
+    return df.select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "__sdw_dv_name"
+        ),
+        F.col("_metadata.row_index").alias("__sdw_dv_pos"),
+    )
+
+
+def _read_files(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: str | None,
+    dvs: list[str] | None = None,
 ) -> DataFrame:
     """Scan an explicit file list UNDER THE LOGGED SCHEMA: parquet
     columns match by name, files predating a schema evolution surface
     the added columns as NULL, and the reader never does schema
     inference (which would list/sample footers — real cost at 100 TB
-    file counts)."""
+    file counts). ``dvs`` (deletion-vector sidecar files) subtract
+    MoR-deleted row positions with one anti-join on (file basename,
+    ``_metadata.row_index``) — vector rows for files not in ``files``
+    simply never match."""
+    if dvs:
+        return (
+            _scan_with_pos(spark, path, files, schema)
+            .join(
+                _dv_frame(spark, path, dvs),
+                ["__sdw_dv_name", "__sdw_dv_pos"],
+                "left_anti",
+            )
+            .drop("__sdw_dv_name", "__sdw_dv_pos")
+        )
     reader = spark.read
     if schema:
         from pyspark.sql.types import _parse_datatype_string
@@ -843,7 +932,9 @@ def table_read(
         # an empty snapshot (e.g. DELETE matched everything): surface
         # an empty frame with the logged schema, not a read error
         return spark.createDataFrame([], state["schema"])
-    return _read_files(spark, path, state["files"], state["schema"])
+    return _read_files(
+        spark, path, state["files"], state["schema"], dvs=state["dvs"]
+    )
 
 
 def table_history(spark: SparkSession, path: str) -> list[dict]:
@@ -909,9 +1000,9 @@ def table_vacuum(
     for v in entries:
         referenced.update(_entry_adds(_read_json(spark, path, f"{v:08d}.json")))
     for c in cps:
-        referenced.update(
-            _read_json(spark, path, f"{c:08d}.checkpoint.json")["files"]
-        )
+        cp = _read_json(spark, path, f"{c:08d}.checkpoint.json")
+        referenced.update(cp["files"])
+        referenced.update(cp.get("dvs", []))
     jvm, fs = _fs(spark, path)
     data_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
     if not fs.exists(data_dir):
@@ -974,7 +1065,10 @@ def table_set_check_constraint(
     state = _resolve_state(spark, path, None)
     if state["files"]:
         _enforce_constraints(
-            _read_files(spark, path, state["files"], state["schema"]),
+            _read_files(
+                spark, path, state["files"], state["schema"],
+                dvs=state.get("dvs"),
+            ),
             {name: sql},
             path,
             "existing snapshot (ADD CONSTRAINT)",
@@ -1012,7 +1106,12 @@ def table_drop_check_constraint(
 
 
 def _touched_files(
-    spark: SparkSession, path: str, files: list[str], condition, schema=None
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    condition,
+    schema=None,
+    dvs: list[str] | None = None,
 ) -> list[str]:
     """Names of the snapshot files that contain ≥1 row matching
     ``condition`` — the copy-on-write candidate set.
@@ -1024,18 +1123,24 @@ def _touched_files(
     side), and the map-side-combined ``distinct`` over
     ``input_file_name`` shuffles at most one row per touched file.
     The collect is bounded by the snapshot's file count."""
-    scan = _read_files(spark, path, files, schema)
+    # _metadata.file_path, not input_file_name(): the latter refuses
+    # plans with two file sources, which the deletion-vector anti-join
+    # introduces; the metadata column binds to its own relation
+    scan = _scan_with_pos(spark, path, files, schema)
+    if dvs:
+        scan = scan.join(
+            _dv_frame(spark, path, dvs),
+            ["__sdw_dv_name", "__sdw_dv_pos"],
+            "left_anti",
+        )
     rows = (
-        scan.where(condition)
-        .select(F.input_file_name().alias("__f"))
-        .distinct()
-        .collect()
+        scan.where(condition).select("__sdw_dv_name").distinct().collect()
     )
     # map basenames back to the LOGGED reference strings: a shallow
     # clone logs absolute refs, and the remove-list must name exactly
     # what the snapshot's file list names (uuid basenames are unique)
     by_name = {f.rsplit("/", 1)[-1]: f for f in files}
-    return sorted(by_name[r["__f"].rsplit("/", 1)[-1]] for r in rows)
+    return sorted(by_name[r["__sdw_dv_name"]] for r in rows)
 
 
 def _interleaved_plain_appends(
@@ -1066,13 +1171,26 @@ def _interleaved_plain_appends(
     return added
 
 
+def _fold_delta(rewrite):
+    """Standard copy-on-write rebase fold: rewrite the overlapping
+    appended files and extend the delta's add/remove/stats."""
+
+    def fold(entry: dict, matching: list[str]) -> None:
+        extra_added, extra_stats = rewrite(matching)
+        entry["add"] = list(entry["add"]) + list(extra_added)
+        entry["remove"] = list(entry["remove"]) + list(matching)
+        entry["stats"] = {**entry.get("stats", {}), **extra_stats}
+
+    return fold
+
+
 def _commit_dml_rebasing(
     spark: SparkSession,
     path: str,
     entry: dict,
     state: dict,
     probe,
-    extend,
+    fold,
     max_rebases: int = 5,
 ) -> int:
     """Publish a DML delta, REBASING it over concurrent plain appends
@@ -1085,9 +1203,9 @@ def _commit_dml_rebasing(
     are hit by the DML's predicate/keys. ``probe(new_files)`` answers
     it exactly (one pushed-down scan of just the interleaved files);
     disjoint appends re-target the same delta at the new head, and
-    overlapping ones have the overlap rewritten by
-    ``extend(matching_files) -> (added, stats)`` and folded into the
-    delta. Cost ∝ interleaved data, never the table. Anything other
+    overlapping ones are folded in by ``fold(entry, matching_files)``
+    (copy-on-write: rewrite + extend add/remove; merge-on-read: mark
+    extra deletion-vector rows). Cost ∝ interleaved data. Anything other
     than a plain append still raises — those genuinely invalidate the
     delta. At 1000-executor scale this is what keeps maintenance DML
     from being starved by a steady append/streaming-ingest load."""
@@ -1104,10 +1222,7 @@ def _commit_dml_rebasing(
                 raise
             matching = probe(new_files) if new_files else []
             if matching:
-                extra_added, extra_stats = extend(matching)
-                entry["add"] = list(entry["add"]) + list(extra_added)
-                entry["remove"] = list(entry["remove"]) + list(matching)
-                entry["stats"] = {**entry.get("stats", {}), **extra_stats}
+                fold(entry, matching)
             base = int(cur["version"])
             entry["base"] = base
     raise ConcurrentWriteConflict(
@@ -1116,30 +1231,114 @@ def _commit_dml_rebasing(
     )
 
 
-def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
-    """DELETE FROM table WHERE condition, file-granular copy-on-write:
-    only data files containing matching rows are rewritten (survivors
-    restaged), everything else survives BYTE-IDENTICAL under its old
-    name, and the commit is one atomic add/remove delta. Rows where
-    the condition is NULL survive (SQL DELETE semantics). The
-    pre-delete snapshot stays time-travelable (physically reclaimable
-    via log truncation + vacuum). Concurrent plain appends are REBASED
-    over (appended rows matching the predicate are deleted too — exact
-    serializability, cost ∝ the interleaved data); any other
-    interleaved commit raises :class:`ConcurrentWriteConflict`.
-    Returns the new version, or the current one if nothing matched."""
+def table_delete_where(
+    spark: SparkSession, path: str, condition: str, mode: str = "cow"
+) -> int:
+    """DELETE FROM table WHERE condition. Rows where the condition is
+    NULL survive (SQL DELETE semantics); the pre-delete snapshot stays
+    time-travelable (physically reclaimable via log truncation +
+    vacuum); concurrent plain appends are REBASED over (appended rows
+    matching the predicate are deleted too — exact serializability,
+    cost ∝ the interleaved data); any other interleaved commit raises
+    :class:`ConcurrentWriteConflict`. Returns the new version, or the
+    current one if nothing matched.
+
+    ``mode="cow"`` (copy-on-write, default): only data files
+    containing matching rows are rewritten (survivors restaged),
+    everything else survives BYTE-IDENTICAL under its old name, one
+    atomic add/remove delta.
+
+    ``mode="mor"`` (merge-on-read, Delta/Iceberg deletion vectors):
+    NO data file is rewritten at all — matching row POSITIONS are
+    written to small parquet sidecars (``(file, pos)``) and the commit
+    records them; every snapshot read subtracts them with one
+    anti-join on (file basename, ``_metadata.row_index``). Write cost
+    ∝ the DELETED rows, not the touched files — at 100 TB this is the
+    difference between rewriting a terabyte of touched files to drop
+    a few thousand rows and writing kilobytes of positions.
+    ``table_compact`` (or any overwrite) purges the vectors by
+    materializing the subtraction. Metadata-only COUNT(*) stays exact
+    (per-file deleted counts ride the log)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     state = _resolve_state(spark, path, None)
     if not state["files"]:  # empty snapshot: DELETE is a no-op
         return state["version"]
     cond = F.expr(condition)
-    touched = _touched_files(spark, path, state["files"], cond, state["schema"])
+    touched = _touched_files(
+        spark, path, state["files"], cond, state["schema"], dvs=state["dvs"]
+    )
     if not touched:
         return state["version"]
 
-    def _rewrite(files: list[str]) -> tuple[list[str], dict]:
-        survivors = _read_files(spark, path, files, state["schema"]).where(
-            ~F.coalesce(cond, F.lit(False))
+    if mode == "mor":
+
+        def _mark(files: list[str]) -> tuple[list[str], dict]:
+            """Stage deletion-vector rows for predicate hits in
+            ``files``; returns (dv sidecar names, per-file counts)."""
+            scan = _scan_with_pos(spark, path, files, state["schema"])
+            if state["dvs"]:
+                # rows already MoR-deleted must not be marked twice
+                # (COUNT(*) subtracts dv_counts — a double mark would
+                # undercount)
+                scan = scan.join(
+                    _dv_frame(spark, path, state["dvs"]),
+                    ["__sdw_dv_name", "__sdw_dv_pos"],
+                    "left_anti",
+                )
+            name_to_ref = spark.createDataFrame(
+                [(f.rsplit("/", 1)[-1], f) for f in files],
+                "__sdw_dv_name string, file string",
+            )
+            dv_rows = (
+                scan.where(F.coalesce(cond, F.lit(False)))
+                .select("__sdw_dv_name", F.col("__sdw_dv_pos").alias("pos"))
+                .join(F.broadcast(name_to_ref), "__sdw_dv_name")
+                .select("file", "pos")
+            )
+            dv_files = _stage_data_files(dv_rows, path)
+            # counts from the just-staged sidecars — no recompute
+            counts = {
+                r["file"]: int(r["n"])
+                for r in spark.read.schema("file string, pos bigint")
+                .parquet(*[_data_path(path, d) for d in dv_files])
+                .groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            return dv_files, counts
+
+        dv_files, counts = _mark(touched)
+        entry = {
+            "action": "dv",
+            "dv_add": dv_files,
+            "dv_counts": counts,
+            "schema": state["schema"],
+            "base": state["version"],
+            "op": "delete",
+        }
+
+        def _fold_dv(e: dict, matching: list[str]) -> None:
+            extra, extra_counts = _mark(matching)
+            e["dv_add"] = list(e["dv_add"]) + extra
+            for f, n in extra_counts.items():
+                e["dv_counts"][f] = e["dv_counts"].get(f, 0) + n
+
+        return _commit_dml_rebasing(
+            spark,
+            path,
+            entry,
+            state,
+            probe=lambda newf: _touched_files(
+                spark, path, newf, cond, state["schema"]
+            ),
+            fold=_fold_dv,
         )
+
+    def _rewrite(files: list[str]) -> tuple[list[str], dict]:
+        survivors = _read_files(
+            spark, path, files, state["schema"], dvs=state["dvs"]
+        ).where(~F.coalesce(cond, F.lit(False)))
         added = _stage_data_files(survivors, path)
         return added, _collect_stats(
             spark, path, added, partition_cols=state.get("partition_by")
@@ -1163,7 +1362,7 @@ def table_delete_where(spark: SparkSession, path: str, condition: str) -> int:
         probe=lambda newf: _touched_files(
             spark, path, newf, cond, state["schema"]
         ),
-        extend=_rewrite,
+        fold=_fold_delta(_rewrite),
     )
 
 
@@ -1180,13 +1379,17 @@ def table_update_where(
     if not state["files"]:  # empty snapshot: UPDATE is a no-op
         return state["version"]
     cond = F.expr(condition)
-    touched = _touched_files(spark, path, state["files"], cond, state["schema"])
+    touched = _touched_files(
+        spark, path, state["files"], cond, state["schema"], dvs=state["dvs"]
+    )
     if not touched:
         return state["version"]
     hit = F.coalesce(cond, F.lit(False))
 
     def _rewrite(files: list[str]) -> tuple[list[str], dict]:
-        snap = _read_files(spark, path, files, state["schema"])
+        snap = _read_files(
+            spark, path, files, state["schema"], dvs=state["dvs"]
+        )
         updated = snap.select(
             *[
                 # cast SET back to the column's declared type: SQL
@@ -1228,7 +1431,7 @@ def table_update_where(
         probe=lambda newf: _touched_files(
             spark, path, newf, cond, state["schema"]
         ),
-        extend=_rewrite,
+        fold=_fold_delta(_rewrite),
     )
 
 
@@ -1258,15 +1461,23 @@ def table_merge_upsert(
     keys = updates.select(key).distinct()
 
     def _colliding(files: list[str]) -> list[str]:
-        snap = _read_files(spark, path, files, state["schema"])
+        # _metadata.file_path, not input_file_name(): the DV anti-join
+        # makes this a two-file-source plan (see _touched_files)
+        snap = _scan_with_pos(spark, path, files, state["schema"])
+        if state["dvs"]:
+            snap = snap.join(
+                _dv_frame(spark, path, state["dvs"]),
+                ["__sdw_dv_name", "__sdw_dv_pos"],
+                "left_anti",
+            )
         rows = (
             snap.join(F.broadcast(keys), key, "left_semi")
-            .select(F.input_file_name().alias("__f"))
+            .select("__sdw_dv_name")
             .distinct()
             .collect()
         )
         by_name = {f.rsplit("/", 1)[-1]: f for f in files}
-        return sorted(by_name[r["__f"].rsplit("/", 1)[-1]] for r in rows)
+        return sorted(by_name[r["__sdw_dv_name"]] for r in rows)
 
     if not state["files"]:
         # empty snapshot (e.g. DELETE matched everything): merge is
@@ -1278,7 +1489,7 @@ def table_merge_upsert(
     # every target row with a colliding key lives in a touched file by
     # construction, so merging the touched subset is exact
     target = (
-        _read_files(spark, path, touched, state["schema"])
+        _read_files(spark, path, touched, state["schema"], dvs=state["dvs"])
         if touched
         else spark.createDataFrame([], state["schema"])
     )
@@ -1291,9 +1502,9 @@ def table_merge_upsert(
     def _drop_colliding(files: list[str]) -> tuple[list[str], dict]:
         # the batch's version of every colliding key is ALREADY in the
         # merged output — the appended duplicate is the loser
-        kept = _read_files(spark, path, files, state["schema"]).join(
-            F.broadcast(keys), key, "left_anti"
-        )
+        kept = _read_files(
+            spark, path, files, state["schema"], dvs=state["dvs"]
+        ).join(F.broadcast(keys), key, "left_anti")
         extra = _stage_data_files(kept, path)
         return extra, _collect_stats(
             spark, path, extra, partition_cols=state.get("partition_by")
@@ -1311,7 +1522,12 @@ def table_merge_upsert(
         "op": "merge",
     }
     return _commit_dml_rebasing(
-        spark, path, entry, state, probe=_colliding, extend=_drop_colliding
+        spark,
+        path,
+        entry,
+        state,
+        probe=_colliding,
+        fold=_fold_delta(_drop_colliding),
     )
 
 
@@ -1350,7 +1566,9 @@ def table_compact(
             jvm.org.apache.hadoop.fs.Path(_data_path(path, f))
         ).getLen()
     n_files = num_files or max(1, round(total / (target_file_mb * 1024 * 1024)))
-    snapshot = _read_files(spark, path, state["files"], state["schema"])
+    snapshot = _read_files(
+        spark, path, state["files"], state["schema"], dvs=state.get("dvs")
+    )
     if zorder_by:
         from simple_data_workflow_spark.sources.sinks import write_zorder_parquet
 
@@ -1408,7 +1626,9 @@ def table_compact_small(
     if len(small) < 2:
         return state["version"]
     n_files = max(1, round(small_bytes / (target_file_mb * 1024 * 1024)))
-    packed = _read_files(spark, path, small, state["schema"])
+    packed = _read_files(
+        spark, path, small, state["schema"], dvs=state.get("dvs")
+    )
     if state.get("partition_by"):
         packed = packed.repartition(n_files, *state["partition_by"])
     else:
@@ -1467,6 +1687,9 @@ def table_truncate_history(
     if state.get("constraints"):
         payload["constraints"] = state["constraints"]
     payload["file_versions"] = state.get("file_versions", {})
+    if state.get("dvs"):
+        payload["dvs"] = state["dvs"]
+        payload["dv_counts"] = state.get("dv_counts", {})
     _write_json_if_absent(spark, path, cp_name, payload)
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{cp_name}")):
         raise RuntimeError(
@@ -1516,7 +1739,9 @@ def table_scan(
         files = _stats_prune(state["stats"], files, filters)
     if not files:
         return spark.createDataFrame([], state["schema"])
-    df = _read_files(spark, path, files, state["schema"])
+    df = _read_files(
+        spark, path, files, state["schema"], dvs=state.get("dvs")
+    )
     for c, op, v in filters or []:
         col = F.col(c)
         if op in ("==", "="):
@@ -1583,6 +1808,12 @@ def table_changes(
                 "added files mix rewritten and carried-over rows — pass "
                 "allow_rewrites=True for at-least-once change-feed semantics"
             )
+        if e["action"] == "dv":
+            # MoR DELETE adds zero rows; its deletes are invisible in
+            # an adds-only feed (same contract as a delta's removals
+            # under allow_rewrites) — use table_changes_rowlevel for
+            # exact preimages
+            continue
         added = _entry_adds(e)
         if not added:
             continue
@@ -1656,6 +1887,20 @@ def table_changes_rowlevel(
             "_commit_version", F.lit(v).cast("long")
         )
 
+    # deletion vectors in effect BEFORE each replayed commit: preimages
+    # must subtract rows already MoR-deleted or a feed spanning a dv
+    # commit would emit the same delete twice (once from the dv entry,
+    # once from a later rewrite's raw preimage)
+    cur_dvs: list[str]
+    try:
+        cur_dvs = (
+            list(_resolve_state(spark, path, start_version).get("dvs", []))
+            if start_version >= 0
+            else []
+        )
+    except Exception:
+        cur_dvs = []
+
     parts: list[DataFrame] = []
     for v in entries:
         if v <= start_version or v > upto:
@@ -1667,11 +1912,28 @@ def table_changes_rowlevel(
                 parts.append(
                     tag(_read_files(spark, path, e["files"], schema), "insert", v)
                 )
+        elif action == "dv":
+            # MoR DELETE: the preimages are exactly the rows at the
+            # marked positions of the unchanged target files — one
+            # semi-join, cost ∝ the vectors' target files
+            targets = sorted(e.get("dv_counts", {}).keys())
+            if targets and e.get("dv_add"):
+                deletes = (
+                    _scan_with_pos(spark, path, targets, schema)
+                    .join(
+                        _dv_frame(spark, path, e["dv_add"]),
+                        ["__sdw_dv_name", "__sdw_dv_pos"],
+                        "left_semi",
+                    )
+                    .drop("__sdw_dv_name", "__sdw_dv_pos")
+                )
+                parts.append(tag(deletes, "delete", v))
+            cur_dvs = cur_dvs + list(e.get("dv_add", []))
         elif action == "delta":
             if e.get("op") == "compact_small":
                 continue  # bin-pack: byte rewrite, zero logical change
             pre = (
-                _read_files(spark, path, e["remove"], schema)
+                _read_files(spark, path, e["remove"], schema, dvs=cur_dvs)
                 if e["remove"]
                 else None
             )
@@ -1687,23 +1949,46 @@ def table_changes_rowlevel(
                 parts.append(tag(post, "insert", v))
         elif action == "overwrite":
             if e.get("op") == "compact":
+                cur_dvs = list(e.get("dvs", []))  # compaction purges DVs
                 continue  # byte rewrite, zero logical change — metadata fact
             old = _resolve_state(spark, path, v - 1) if v > 0 else None
             # diff at the FILE level first: data files are immutable, so
             # files common to both snapshots cancel exactly and never
             # need reading — a RESTORE that rolls back k appends costs
             # ∝ those k commits' files, not two full snapshots (the
-            # general overwrite degrades gracefully to the full diff)
+            # general overwrite degrades gracefully to the full diff).
+            # A file under a deletion vector on EITHER side must not
+            # cancel: the bytes match but the visible rows may not
+            # (e.g. restoring to a pre-delete version resurrects rows)
+            new_dvs = list(e.get("dvs", []))
+            protected = set((old or {}).get("dv_counts", {}) or {}) | set(
+                e.get("dv_counts", {})
+            )
             old_files = list(old["files"]) if old else []
             new_files = list(e["files"])
-            pre_f = [f for f in old_files if f not in set(new_files)]
-            post_f = [f for f in new_files if f not in set(old_files)]
+            pre_f = [
+                f
+                for f in old_files
+                if f not in set(new_files) or f in protected
+            ]
+            post_f = [
+                f
+                for f in new_files
+                if f not in set(old_files) or f in protected
+            ]
             old_df = (
-                _read_files(spark, path, pre_f, old["schema"]) if pre_f else None
+                _read_files(
+                    spark, path, pre_f, old["schema"], dvs=cur_dvs
+                )
+                if pre_f
+                else None
             )
             new_df = (
-                _read_files(spark, path, post_f, schema) if post_f else None
+                _read_files(spark, path, post_f, schema, dvs=new_dvs)
+                if post_f
+                else None
             )
+            cur_dvs = new_dvs
             if old_df is not None and new_df is not None:
                 parts.append(tag(old_df.exceptAll(new_df), "delete", v))
                 parts.append(tag(new_df.exceptAll(old_df), "insert", v))
@@ -1753,6 +2038,11 @@ def table_restore(spark: SparkSession, path: str, version: int) -> int:
     # effect at that version.
     if target.get("src_version") is not None:
         entry["src_version"] = target["src_version"]
+    # deletion vectors are snapshot state: restoring the files without
+    # the vectors in effect at that version would resurrect rows
+    if target.get("dvs"):
+        entry["dvs"] = target["dvs"]
+        entry["dv_counts"] = target.get("dv_counts", {})
     return _commit_entry(spark, path, entry, base=current["version"])
 
 
@@ -1764,7 +2054,10 @@ def table_row_count(
     serve ``SELECT COUNT(*)`` from metadata). Falls back to one count
     scan if any resolved file predates stats collection."""
     state = _resolve_state(spark, path, version)
-    total = 0
+    # merge-on-read deletes subtract from metadata: per-file deleted
+    # counts ride the dv commits (keys for since-rewritten files are
+    # dropped at replay, so this never double-subtracts)
+    total = -sum(int(n) for n in state.get("dv_counts", {}).values())
     for f in state["files"]:
         n = state["stats"].get(f, {}).get("__rows")
         if n is None:
@@ -1772,7 +2065,8 @@ def table_row_count(
             # table_read(version=None) could race a concurrent commit
             # and count a different snapshot than the one inspected
             return _read_files(
-                spark, path, state["files"], state["schema"]
+                spark, path, state["files"], state["schema"],
+                dvs=state.get("dvs"),
             ).count()
         total += n
     return total
@@ -1813,7 +2107,10 @@ def table_clone(
     state = _resolve_state(spark, src, version)
     if deep:
         snap = (
-            _read_files(spark, src, state["files"], state["schema"])
+            _read_files(
+                spark, src, state["files"], state["schema"],
+                dvs=state.get("dvs"),
+            )
             if state["files"]
             else spark.createDataFrame([], state["schema"])
         )
@@ -1842,6 +2139,14 @@ def table_clone(
         entry["partition_by"] = state["partition_by"]
     if state.get("constraints"):
         entry["constraints"] = state["constraints"]
+    # deletion vectors ride along as absolute refs too: the sidecars
+    # name target files by BASENAME, which the clone's refs preserve
+    if state.get("dvs"):
+        entry["dvs"] = [_data_path(src_abs, d) for d in state["dvs"]]
+        entry["dv_counts"] = {
+            _data_path(src_abs, f): n
+            for f, n in state.get("dv_counts", {}).items()
+        }
     # a cloned materialized view keeps its refresh cursor — its state
     # IS the fold up to src_version, clone included
     if state.get("src_version") is not None:

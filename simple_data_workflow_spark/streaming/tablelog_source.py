@@ -145,10 +145,12 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
     stats: dict = {}
     schema: str | None = None
     fvers: dict = {}
+    dvs: list[str] = []
     if start_cp is not None:
         cp = _read_log_json(path, f"{start_cp:08d}.checkpoint.json")
         files, schema = list(cp["files"]), cp.get("schema")
         stats = dict(cp.get("stats", {}))
+        dvs = list(cp.get("dvs", []))
         fvers = {f: int(v) for f, v in cp.get("file_versions", {}).items()}
         for f in files:
             fvers.setdefault(f, start_cp)
@@ -169,6 +171,7 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
             files = list(e["files"])
             stats = dict(e.get("stats", {}))
             fvers = {f: v for f in files}
+            dvs = list(e.get("dvs", []))
         elif action == "append":
             files.extend(e["files"])
             stats.update(e.get("stats", {}))
@@ -183,7 +186,18 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
             fvers = {f: fv for f, fv in fvers.items() if f not in removed}
             for f in e["add"]:
                 fvers[f] = v
+        elif action == "dv":
+            dvs.extend(e.get("dv_add", []))
         schema = e.get("schema", schema)
+    if dvs:
+        # merge-on-read deletion vectors need the per-row anti-join
+        # the session-free pyarrow reader does not implement — an
+        # explicit error beats silently resurrecting deleted rows
+        raise ValueError(
+            f"snapshot at {path} carries deletion vectors (merge-on-read "
+            "DELETE); read it via table_read/table_scan, or purge the "
+            "vectors with table_compact before using format('tablelog')"
+        )
     return {
         "version": upto,
         "files": files,

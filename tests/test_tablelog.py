@@ -1723,3 +1723,171 @@ def test_merge_rebases_batch_wins_over_concurrent_append(
     assert by_id[60] == [5]  # non-colliding appended row survives
     assert by_id[100] == [1]  # batch insert
     assert len(rows) == 52  # 50 base + 60 + 100 (3 deduped)
+
+
+def test_mor_delete_basic_counts_and_time_travel(spark, tmp_path):
+    """Merge-on-read DELETE: no data file rewritten (sidecars only),
+    reads subtract positions, metadata COUNT(*) stays exact, the
+    pre-delete version still time-travels, and already-deleted rows
+    are never marked twice."""
+    import os as _os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_delete_where,
+        table_row_count,
+    )
+
+    t = str(tmp_path / "mor_basic")
+    table_commit(spark.range(0, 100).selectExpr("id").repartition(4), t)
+    data_before = sorted(_os.listdir(f"{t}/data"))
+    v = table_delete_where(spark, t, "id < 10", mode="mor")
+    assert v == 1
+    # every pre-existing data file is still there, byte-identical name
+    assert set(data_before) <= set(_os.listdir(f"{t}/data"))
+    st = _resolve_state(spark, t, None)
+    assert sorted(st["files"]) == sorted(
+        _resolve_state(spark, t, 0)["files"]
+    )  # file list unchanged — only sidecars were added
+    assert st["dvs"] and sum(st["dv_counts"].values()) == 10
+    got = sorted(r["id"] for r in table_read(spark, t).collect())
+    assert got == list(range(10, 100))
+    assert table_row_count(spark, t) == 90  # metadata-only path
+    assert table_read(spark, t, version=0).count() == 100  # time travel
+    # overlapping second MoR delete: rows 0-9 are already gone and must
+    # not be re-marked (COUNT(*) would undercount)
+    table_delete_where(spark, t, "id < 20", mode="mor")
+    st2 = _resolve_state(spark, t, None)
+    assert sum(st2["dv_counts"].values()) == 20
+    assert table_row_count(spark, t) == 80
+    assert table_read(spark, t).count() == 80
+
+
+def test_mor_interplay_cow_compact_truncate_vacuum(spark, tmp_path):
+    """DVs compose with the rest of the format: a copy-on-write DML on
+    a DV'd file applies the vectors (no resurrection), compaction
+    purges them, and truncation+vacuum keeps sidecars referenced by
+    the checkpoint."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_compact,
+        table_delete_where,
+        table_row_count,
+        table_truncate_history,
+        table_update_where,
+    )
+
+    t = str(tmp_path / "mor_interplay")
+    table_commit(spark.range(0, 200).selectExpr("id", "id AS v").repartition(4), t)
+    table_delete_where(spark, t, "id < 50", mode="mor")
+    # a cow UPDATE touching DV'd files must not resurrect rows 0-49
+    table_update_where(spark, t, {"v": "v + 1000"}, "id BETWEEN 50 AND 59")
+    got = {r["id"]: r["v"] for r in table_read(spark, t).collect()}
+    assert len(got) == 150 and got[50] == 1050 and 0 not in got
+    # truncate: the checkpoint must carry the DVs (and vacuum must not
+    # reap the sidecars it references)
+    table_truncate_history(spark, t, keep_last=1)
+    table_vacuum(spark, t, retention_hours=0)
+    assert table_read(spark, t).count() == 150
+    assert table_row_count(spark, t) == 150
+    # compaction materializes the subtraction and purges the vectors
+    table_compact(spark, t, num_files=2)
+    st = _resolve_state(spark, t, None)
+    assert st["dvs"] == [] and st["dv_counts"] == {}
+    assert table_read(spark, t).count() == 150
+
+
+def test_mor_changefeed_restore_and_matview(spark, tmp_path):
+    """The row-level feed emits exact delete preimages for dv commits
+    (so the matview folds MoR deletes), and RESTORE across a dv commit
+    moves the vectors with the snapshot."""
+    from simple_data_workflow_spark.sources.matview import (
+        refresh_aggregate_view,
+    )
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_changes_rowlevel,
+        table_delete_where,
+        table_restore,
+    )
+
+    d = str(tmp_path)
+    src, view = f"{d}/mor_src", f"{d}/mor_view"
+    df = spark.range(0, 120).selectExpr("id", "id % 3 AS g", "id AS x")
+    table_commit(df, src)
+    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["x"])
+    table_delete_where(spark, src, "id < 30", mode="mor")
+    ch = table_changes_rowlevel(spark, src, start_version=0)
+    rows = {(r["_change_type"], r["id"]) for r in ch.collect()}
+    assert rows == {("delete", i) for i in range(30)}
+    table_commit(
+        spark.range(200, 230).selectExpr("id", "id % 3 AS g", "id AS x"), src
+    )
+    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["x"])
+    expect = {
+        (r["g"], r["s"])
+        for r in table_read(spark, src)
+        .groupBy("g")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).sum("x").alias("s"))
+        .collect()
+    }
+    got = {(r["g"], r["sum_x"]) for r in table_read(spark, view).collect()}
+    assert got == expect
+    # restore to the pre-delete version resurrects; restore forward to
+    # the dv version re-applies the vectors
+    table_restore(spark, src, 0)
+    assert table_read(spark, src).count() == 120
+    table_restore(spark, src, 1)
+    assert table_read(spark, src).count() == 90
+
+
+def test_mor_clone_and_format_reader_boundary(spark, tmp_path):
+    """A shallow clone carries the vectors (reads match the source);
+    the session-free format('tablelog') reader refuses DV snapshots
+    instead of resurrecting rows."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_clone,
+        table_delete_where,
+        table_row_count,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        _resolve_state_arrow,
+    )
+
+    src = str(tmp_path / "mor_clone_src")
+    dst = str(tmp_path / "mor_clone_dst")
+    table_commit(spark.range(0, 80).selectExpr("id").repartition(3), src)
+    table_delete_where(spark, src, "id % 2 = 0", mode="mor")
+    table_clone(spark, src, dst)
+    assert table_read(spark, dst).count() == 40
+    assert table_row_count(spark, dst) == 40
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        _resolve_state_arrow(src)
+
+
+def test_mor_delete_rebases_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A MoR DELETE racing a plain append folds extra vectors for the
+    appended rows the predicate hits — same serializability as the
+    copy-on-write rebase, still zero data-file rewrites."""
+    import os as _os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_delete_where,
+    )
+
+    t = str(tmp_path / "mor_rebase")
+    table_commit(spark.range(0, 100).selectExpr("id"), t)
+    _inject_before_dml(
+        monkeypatch,
+        "delete",
+        lambda: table_commit(spark.range(0, 5).selectExpr("id"), t),
+    )
+    table_delete_where(spark, t, "id < 10", mode="mor")
+    got = sorted(r["id"] for r in table_read(spark, t).collect())
+    assert got == list(range(10, 100))
+    st = _resolve_state(spark, t, None)
+    assert sum(st["dv_counts"].values()) == 15  # 10 base + 5 appended
