@@ -260,6 +260,8 @@ QUERIES = {
     "tablelog_partitioned_scan": entrymod.tablelog_partitioned_scan,
     "tablelog_cdf_view": entrymod.tablelog_cdf_view,
     "tablelog_batch_format_scan": entrymod.tablelog_batch_format_scan,
+    "tablelog_clone_timetravel": entrymod.tablelog_clone_timetravel,
+    "tablelog_mor_delete": entrymod.tablelog_mor_delete,
     "perplexity_score_docs": entrymod.perplexity_score_docs,
     "ivf_index_topk": entrymod.ivf_index_topk,
     "ivf_index_search_only": ivf_index_search_bench,

@@ -241,11 +241,16 @@ def _resolve_state(
                 f: n for f, n in dv_counts.items() if f not in removed
             }
         elif action == "dv":
-            # merge-on-read DELETE: row-position deletion vectors over
-            # unchanged data files — the file list does not move
+            # merge-on-read DML: row-position deletion vectors over
+            # unchanged data files; a MoR UPDATE additionally appends
+            # the postimage rows as new files in the same atomic entry
             dvs.extend(e.get("dv_add", []))
             for f, n in e.get("dv_counts", {}).items():
                 dv_counts[f] = dv_counts.get(f, 0) + int(n)
+            files.extend(e.get("add", []))
+            stats.update(e.get("stats", {}))
+            for f in e.get("add", []):
+                fvers[f] = v
         else:  # pragma: no cover - future-proofing
             raise ValueError(f"unknown log action {action!r} at version {v}")
         schema = e.get("schema", schema)
@@ -1367,14 +1372,29 @@ def table_delete_where(
 
 
 def table_update_where(
-    spark: SparkSession, path: str, set_exprs: dict, condition: str
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict,
+    condition: str,
+    mode: str = "cow",
 ) -> int:
-    """UPDATE table SET col = expr, ... WHERE condition, file-granular:
-    only files containing matching rows are rewritten (matching rows
-    get each ``set_exprs`` column replaced by its SQL expression,
-    non-matching rows in those files pass through unchanged), the rest
-    of the table is untouched, one atomic add/remove delta commit.
-    Returns the new version, or the current one if nothing matched."""
+    """UPDATE table SET col = expr, ... WHERE condition. Returns the
+    new version, or the current one if nothing matched.
+
+    ``mode="cow"`` (default): file-granular copy-on-write — only files
+    containing matching rows are rewritten (matching rows get each
+    ``set_exprs`` column replaced by its SQL expression, non-matching
+    rows in those files pass through unchanged), the rest of the table
+    is untouched, one atomic add/remove delta commit.
+
+    ``mode="mor"`` (merge-on-read): the matching rows' POSITIONS go to
+    deletion-vector sidecars and their POSTIMAGES are appended as new
+    files — both in one atomic ``dv`` entry; no existing file is
+    rewritten. Write cost ∝ the UPDATED rows, not the touched files —
+    the right shape when a predicate hits a few rows in many huge
+    files. Purge with ``table_compact`` as with MoR deletes."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     state = _resolve_state(spark, path, None)
     if not state["files"]:  # empty snapshot: UPDATE is a no-op
         return state["version"]
@@ -1385,6 +1405,94 @@ def table_update_where(
     if not touched:
         return state["version"]
     hit = F.coalesce(cond, F.lit(False))
+
+    if mode == "mor":
+        from pyspark.sql.types import _parse_datatype_string
+
+        fields = list(_parse_datatype_string(state["schema"]))
+
+        def _mor(files: list[str]) -> tuple[list[str], dict, list[str], dict]:
+            """(dv sidecars, per-file counts, postimage files, their
+            stats) for the matching rows in ``files``."""
+            scan = _scan_with_pos(spark, path, files, state["schema"])
+            if state["dvs"]:
+                scan = scan.join(
+                    _dv_frame(spark, path, state["dvs"]),
+                    ["__sdw_dv_name", "__sdw_dv_pos"],
+                    "left_anti",
+                )
+            matches = scan.where(hit)
+            # postimages: every selected row matched, so SET applies
+            # unconditionally; cast pins the declared column type
+            post = matches.select(
+                *[
+                    (
+                        F.expr(set_exprs[fld.name]).cast(fld.dataType)
+                        if fld.name in set_exprs
+                        else F.col(fld.name)
+                    ).alias(fld.name)
+                    for fld in fields
+                ]
+            )
+            _enforce_constraints(
+                post, state.get("constraints") or {}, path, "UPDATE postimage"
+            )
+            added = _stage_data_files(post, path)
+            added_stats = _collect_stats(
+                spark, path, added, partition_cols=state.get("partition_by")
+            )
+            name_to_ref = spark.createDataFrame(
+                [(f.rsplit("/", 1)[-1], f) for f in files],
+                "__sdw_dv_name string, file string",
+            )
+            dv_rows = (
+                matches.select(
+                    "__sdw_dv_name", F.col("__sdw_dv_pos").alias("pos")
+                )
+                .join(F.broadcast(name_to_ref), "__sdw_dv_name")
+                .select("file", "pos")
+            )
+            dv_files = _stage_data_files(dv_rows, path)
+            counts = {
+                r["file"]: int(r["n"])
+                for r in spark.read.schema("file string, pos bigint")
+                .parquet(*[_data_path(path, d) for d in dv_files])
+                .groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            return dv_files, counts, added, added_stats
+
+        dv_files, counts, added, added_stats = _mor(touched)
+        entry = {
+            "action": "dv",
+            "dv_add": dv_files,
+            "dv_counts": counts,
+            "add": added,
+            "stats": added_stats,
+            "schema": state["schema"],
+            "base": state["version"],
+            "op": "update",
+        }
+
+        def _fold_mor(e: dict, matching: list[str]) -> None:
+            dvf, cnts, add2, st2 = _mor(matching)
+            e["dv_add"] = list(e["dv_add"]) + dvf
+            for f, n in cnts.items():
+                e["dv_counts"][f] = e["dv_counts"].get(f, 0) + n
+            e["add"] = list(e["add"]) + add2
+            e["stats"] = {**e.get("stats", {}), **st2}
+
+        return _commit_dml_rebasing(
+            spark,
+            path,
+            entry,
+            state,
+            probe=lambda newf: _touched_files(
+                spark, path, newf, cond, state["schema"]
+            ),
+            fold=_fold_mor,
+        )
 
     def _rewrite(files: list[str]) -> tuple[list[str], dict]:
         snap = _read_files(
@@ -1436,27 +1544,45 @@ def table_update_where(
 
 
 def table_merge_upsert(
-    spark: SparkSession, path: str, updates: DataFrame, key: str
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    mode: str = "cow",
 ) -> int:
     """MERGE INTO, file-granular: batch rows win on key collision,
-    unmatched target rows survive, brand-new keys insert — but only
-    the data files that CONTAIN a colliding key are rewritten; pure
-    inserts and untouched files ride along in one atomic add/remove
-    delta commit. Semantics come from ``operators.cdc.merge_upsert``
-    applied to the touched subset. Returns the new version.
+    unmatched target rows survive, brand-new keys insert. Semantics
+    come from ``operators.cdc.merge_upsert`` (duplicate batch keys
+    dedupe deterministically, last by the other columns' sort order).
+    Returns the new version.
+
+    ``mode="cow"`` (default): only the data files that CONTAIN a
+    colliding key are rewritten; pure inserts and untouched files ride
+    along in one atomic add/remove delta commit.
+
+    ``mode="mor"`` (merge-on-read): NO existing file is rewritten —
+    colliding target rows' POSITIONS go to deletion-vector sidecars
+    and the (deduped) batch is appended as new files, both in one
+    atomic ``dv`` entry. Write cost ∝ the batch + collided rows, never
+    the touched files' bytes — the right shape for a small upsert
+    batch landing scattered across many huge files. Purge with
+    ``table_compact``.
 
     The touched-file probe broadcasts the batch's key set (MERGE
     batches are small relative to the table; for a table-sized batch
     use an overwrite rebuild instead). Concurrent plain appends are
     rebased over: an appended row with a colliding key is dropped in
     favor of the batch's version (MERGE serializes AFTER the append —
-    batch wins, exactly as it would against a pre-existing row); any
-    other interleaved commit raises :class:`ConcurrentWriteConflict`
-    — the lost-update hazard the round-6 docstring could only warn
-    about is now detected.
+    batch wins, exactly as it would against a pre-existing row; under
+    ``mor`` the appended loser is deletion-vector-marked); any other
+    interleaved commit raises :class:`ConcurrentWriteConflict` — the
+    lost-update hazard the round-6 docstring could only warn about is
+    now detected.
     """
     from simple_data_workflow_spark.operators.cdc import merge_upsert
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     state = _resolve_state(spark, path, None)
     keys = updates.select(key).distinct()
 
@@ -1486,6 +1612,97 @@ def table_merge_upsert(
         touched: list[str] = []
     else:
         touched = _colliding(state["files"])
+
+    if mode == "mor":
+        from pyspark.sql.types import _parse_datatype_string
+
+        fields = list(_parse_datatype_string(state["schema"]))
+        # dedupe the batch EXACTLY as the cow path does (merge against
+        # an empty target = merge_upsert's deterministic last-wins),
+        # then conform to the logged schema — cast pins declared types
+        latest = merge_upsert(
+            spark.createDataFrame([], updates.schema), updates, key
+        )
+        post = latest.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
+        )
+        _enforce_constraints(
+            post, state.get("constraints") or {}, path, "MERGE batch"
+        )
+        added = _stage_data_files(post, path)
+        added_stats = _collect_stats(
+            spark, path, added, partition_cols=state.get("partition_by")
+        )
+
+        def _mark_colliding(
+            files: list[str], dvs: list[str]
+        ) -> tuple[list[str], dict]:
+            """Deletion-vector rows for target rows whose key collides
+            with the batch, among ``files``."""
+            scan = _scan_with_pos(spark, path, files, state["schema"])
+            if dvs:
+                # already-deleted rows must not be marked twice —
+                # COUNT(*) subtracts dv_counts
+                scan = scan.join(
+                    _dv_frame(spark, path, dvs),
+                    ["__sdw_dv_name", "__sdw_dv_pos"],
+                    "left_anti",
+                )
+            name_to_ref = spark.createDataFrame(
+                [(f.rsplit("/", 1)[-1], f) for f in files],
+                "__sdw_dv_name string, file string",
+            )
+            dv_rows = (
+                scan.join(F.broadcast(keys), key, "left_semi")
+                .select("__sdw_dv_name", F.col("__sdw_dv_pos").alias("pos"))
+                .join(F.broadcast(name_to_ref), "__sdw_dv_name")
+                .select("file", "pos")
+            )
+            dv_files = _stage_data_files(dv_rows, path)
+            counts = {
+                r["file"]: int(r["n"])
+                for r in spark.read.schema("file string, pos bigint")
+                .parquet(*[_data_path(path, d) for d in dv_files])
+                .groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            return dv_files, counts
+
+        if touched:
+            dv_files, counts = _mark_colliding(touched, state["dvs"])
+        else:
+            dv_files, counts = [], {}
+        entry = {
+            "action": "dv",
+            "dv_add": dv_files,
+            "dv_counts": counts,
+            "add": added,
+            "stats": added_stats,
+            "schema": state["schema"],
+            "base": state["version"],
+            "op": "merge",
+        }
+
+        def _fold_mor_merge(e: dict, matching: list[str]) -> None:
+            # interleaved appended rows with colliding keys are the
+            # losers: DV them (the batch's version is already in the
+            # entry's postimage files — no new adds); appended files
+            # predate no vectors, so no anti-join needed
+            extra, extra_counts = _mark_colliding(matching, [])
+            e["dv_add"] = list(e["dv_add"]) + extra
+            for f, n in extra_counts.items():
+                e["dv_counts"][f] = e["dv_counts"].get(f, 0) + n
+
+        return _commit_dml_rebasing(
+            spark,
+            path,
+            entry,
+            state,
+            probe=_colliding,
+            fold=_fold_mor_merge,
+        )
+
     # every target row with a colliding key lives in a touched file by
     # construction, so merging the touched subset is exact
     target = (
@@ -1809,12 +2026,14 @@ def table_changes(
                 "allow_rewrites=True for at-least-once change-feed semantics"
             )
         if e["action"] == "dv":
-            # MoR DELETE adds zero rows; its deletes are invisible in
-            # an adds-only feed (same contract as a delta's removals
-            # under allow_rewrites) — use table_changes_rowlevel for
-            # exact preimages
-            continue
-        added = _entry_adds(e)
+            # MoR deletes are invisible in an adds-only feed (same
+            # contract as a delta's removals under allow_rewrites; use
+            # table_changes_rowlevel for exact preimages); a MoR
+            # UPDATE's postimage files are its adds — dv sidecars are
+            # positions, not table rows, and never surface
+            added = list(e.get("add", []))
+        else:
+            added = _entry_adds(e)
         if not added:
             continue
         parts.append(
@@ -1913,9 +2132,10 @@ def table_changes_rowlevel(
                     tag(_read_files(spark, path, e["files"], schema), "insert", v)
                 )
         elif action == "dv":
-            # MoR DELETE: the preimages are exactly the rows at the
+            # MoR DML: the preimages are exactly the rows at the
             # marked positions of the unchanged target files — one
-            # semi-join, cost ∝ the vectors' target files
+            # semi-join, cost ∝ the vectors' target files; a MoR
+            # UPDATE's postimage files (``add``) are pure inserts
             targets = sorted(e.get("dv_counts", {}).keys())
             if targets and e.get("dv_add"):
                 deletes = (
@@ -1928,6 +2148,10 @@ def table_changes_rowlevel(
                     .drop("__sdw_dv_name", "__sdw_dv_pos")
                 )
                 parts.append(tag(deletes, "delete", v))
+            if e.get("add"):
+                parts.append(
+                    tag(_read_files(spark, path, e["add"], schema), "insert", v)
+                )
             cur_dvs = cur_dvs + list(e.get("dv_add", []))
         elif action == "delta":
             if e.get("op") == "compact_small":

@@ -187,7 +187,16 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
             for f in e["add"]:
                 fvers[f] = v
         elif action == "dv":
+            # merge-on-read DML; a MoR UPDATE's postimage files ride
+            # the same entry as ``add`` (mirror of the JVM replay) —
+            # the dvs themselves still make this snapshot unreadable
+            # here (raise below), but the file list must stay exact so
+            # a later compact/delta replays correctly
             dvs.extend(e.get("dv_add", []))
+            files.extend(e.get("add", []))
+            stats.update(e.get("stats", {}))
+            for f in e.get("add", []):
+                fvers[f] = v
         schema = e.get("schema", schema)
     if dvs:
         # merge-on-read deletion vectors need the per-row anti-join

@@ -1891,3 +1891,150 @@ def test_mor_delete_rebases_over_concurrent_append(
     assert got == list(range(10, 100))
     st = _resolve_state(spark, t, None)
     assert sum(st["dv_counts"].values()) == 15  # 10 base + 5 appended
+
+
+def test_mor_update_postimage_and_counts(spark, tmp_path):
+    """Merge-on-read UPDATE: one atomic dv entry marks the preimages
+    and appends the postimages — no existing file rewritten, COUNT(*)
+    unchanged, reads see the new values, time travel sees the old."""
+    import os as _os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_row_count,
+        table_update_where,
+    )
+
+    t = str(tmp_path / "mor_update")
+    table_commit(
+        spark.range(0, 100).selectExpr("id", "id AS v").repartition(4), t
+    )
+    data_before = sorted(_os.listdir(f"{t}/data"))
+    table_update_where(spark, t, {"v": "v + 1000"}, "id % 10 = 3", mode="mor")
+    assert set(data_before) <= set(_os.listdir(f"{t}/data"))
+    st = _resolve_state(spark, t, None)
+    assert st["dvs"] and sum(st["dv_counts"].values()) == 10
+    got = {r["id"]: r["v"] for r in table_read(spark, t).collect()}
+    assert len(got) == 100 and got[3] == 1003 and got[4] == 4
+    assert table_row_count(spark, t) == 100  # metadata path, dv-adjusted
+    old = {r["id"]: r["v"] for r in table_read(spark, t, version=0).collect()}
+    assert old[3] == 3
+    # a second MoR update over the SAME rows hits the postimages (which
+    # live in added files), not the dv'd preimages
+    table_update_where(spark, t, {"v": "v + 1"}, "id % 10 = 3", mode="mor")
+    got2 = {r["id"]: r["v"] for r in table_read(spark, t).collect()}
+    assert len(got2) == 100 and got2[3] == 1004
+
+
+def test_mor_update_changefeed_and_matview(spark, tmp_path):
+    """A MoR UPDATE surfaces as delete(pre)+insert(post) in the
+    row-level feed, so the matview folds it exactly."""
+    from simple_data_workflow_spark.sources.matview import (
+        refresh_aggregate_view,
+    )
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_changes_rowlevel,
+        table_update_where,
+    )
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    src, view = f"{d}/moru_src", f"{d}/moru_view"
+    table_commit(
+        spark.range(0, 90).selectExpr("id", "id % 3 AS g", "id AS x"), src
+    )
+    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["x"])
+    table_update_where(spark, src, {"x": "x + 500"}, "id < 9", mode="mor")
+    ch = table_changes_rowlevel(spark, src, start_version=0)
+    rows = {(r["_change_type"], r["id"], r["x"]) for r in ch.collect()}
+    assert rows == {("delete", i, i) for i in range(9)} | {
+        ("insert", i, i + 500) for i in range(9)
+    }
+    refresh_aggregate_view(spark, src, view, ["g"], sum_cols=["x"])
+    expect = {
+        (r["g"], r["s"])
+        for r in table_read(spark, src)
+        .groupBy("g")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    }
+    got = {(r["g"], r["sum_x"]) for r in table_read(spark, view).collect()}
+    assert got == expect
+
+
+def test_mor_merge_upsert_matches_cow(spark, tmp_path):
+    """Merge-on-read MERGE: colliding target rows are deletion-vector
+    marked and the batch appends as new files — no existing file
+    rewritten, result identical to the copy-on-write merge, COUNT(*)
+    exact from metadata, time travel sees the pre-merge rows."""
+    import os as _os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_merge_upsert,
+        table_row_count,
+    )
+
+    d = str(tmp_path)
+    batch = spark.range(95, 110).selectExpr("id", "id + 9000 AS v")
+    for t, mode in ((f"{d}/cow", "cow"), (f"{d}/mor", "mor")):
+        table_commit(
+            spark.range(0, 100).selectExpr("id", "id AS v").repartition(4), t
+        )
+        if mode == "mor":
+            data_before = sorted(_os.listdir(f"{t}/data"))
+        table_merge_upsert(spark, t, batch, "id", mode=mode)
+    cow = {(r["id"], r["v"]) for r in table_read(spark, f"{d}/cow").collect()}
+    mor = {(r["id"], r["v"]) for r in table_read(spark, f"{d}/mor").collect()}
+    assert mor == cow and len(mor) == 110
+    # zero data files rewritten; vectors mark exactly the 5 collisions
+    assert set(data_before) <= set(_os.listdir(f"{d}/mor/data"))
+    st = _resolve_state(spark, f"{d}/mor", None)
+    assert st["dvs"] and sum(st["dv_counts"].values()) == 5
+    assert table_row_count(spark, f"{d}/mor") == 110  # metadata path
+    assert table_read(spark, f"{d}/mor", version=0).count() == 100
+    # a second MoR merge over the same keys hits the postimage files
+    table_merge_upsert(
+        spark,
+        f"{d}/mor",
+        spark.range(95, 110).selectExpr("id", "id + 20000 AS v"),
+        "id",
+        mode="mor",
+    )
+    got = {r["id"]: r["v"] for r in table_read(spark, f"{d}/mor").collect()}
+    assert len(got) == 110 and got[95] == 20095 and got[94] == 94
+
+
+def test_mor_merge_rebases_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A MoR MERGE racing a plain append DV-marks the appended rows
+    with colliding keys (batch wins) — still zero rewrites."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_merge_upsert,
+    )
+
+    t = str(tmp_path / "mor_merge_rebase")
+    table_commit(spark.range(0, 50).selectExpr("id", "id AS v"), t)
+    _inject_before_dml(
+        monkeypatch,
+        "merge",
+        lambda: table_commit(
+            spark.range(45, 60).selectExpr("id", "id AS v"), t
+        ),
+    )
+    table_merge_upsert(
+        spark,
+        t,
+        spark.range(48, 55).selectExpr("id", "id + 7000 AS v"),
+        "id",
+        mode="mor",
+    )
+    got = {r["id"]: r["v"] for r in table_read(spark, t).collect()}
+    assert len(got) == 60  # 0..59, no duplicates
+    assert all(got[i] == i + 7000 for i in range(48, 55))
+    assert all(got[i] == i for i in list(range(48)) + list(range(55, 60)))
+    st = _resolve_state(spark, t, None)
+    # collisions: 48,49 in base + 48..54 in the appended files = 2 + 7
+    assert sum(st["dv_counts"].values()) == 9
