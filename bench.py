@@ -262,6 +262,8 @@ QUERIES = {
     "tablelog_batch_format_scan": entrymod.tablelog_batch_format_scan,
     "tablelog_clone_timetravel": entrymod.tablelog_clone_timetravel,
     "tablelog_mor_delete": entrymod.tablelog_mor_delete,
+    "tablelog_mor_dml": entrymod.tablelog_mor_dml,
+    "tablelog_bloom_lookup": entrymod.tablelog_bloom_lookup,
     "perplexity_score_docs": entrymod.perplexity_score_docs,
     "ivf_index_topk": entrymod.ivf_index_topk,
     "ivf_index_search_only": ivf_index_search_bench,

@@ -59,6 +59,21 @@ from pyspark.sql import types as T
 
 #: a full-state checkpoint is written after every Nth commit; snapshot
 #: resolution then reads 1 checkpoint + at most N-1 tail entries.
+#: per-file Bloom-filter index defaults: m bits / k probes per column.
+#: m=8192 (1 KiB/file/col in the log) holds FPR under ~2.5% for up to
+#: ~1k distinct values per file and degrades gracefully past that —
+#: the knob exists for denser files
+_BLOOM_M = 8192
+_BLOOM_K = 4
+
+#: bloom-indexable column types: the hash input is the value's
+#: CANONICAL STRING (Spark ``CAST(col AS STRING)``), which the driver
+#: must reproduce exactly with ``str(value)`` — true only for strings
+#: and integrals, which is also exactly where equality point-lookups
+#: live (ids, uuids, emails). Floats/decimals/temporals stringify
+#: differently across engines and are refused at build time.
+_BLOOMABLE = (T.StringType, T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
 CHECKPOINT_INTERVAL = 10
 
 
@@ -179,6 +194,7 @@ def _resolve_state(
     schema: str | None = None
     src_version: int | None = None
     partition_by: list[str] | None = None
+    bloom: dict | None = None
     constraints: dict = {}
     fvers: dict = {}
     dvs: list[str] = []
@@ -189,6 +205,7 @@ def _resolve_state(
         stats = dict(cp.get("stats", {}))
         src_version = cp.get("src_version")
         partition_by = cp.get("partition_by")
+        bloom = cp.get("bloom")
         constraints = dict(cp.get("constraints", {}))
         dvs = list(cp.get("dvs", []))
         dv_counts = dict(cp.get("dv_counts", {}))
@@ -264,6 +281,11 @@ def _resolve_state(
         # explicitly unpartitioned); entries without it inherit
         if "partition_by" in e:
             partition_by = e["partition_by"]
+        # bloom-index spec: same last-declarer-wins contract ({} or
+        # {"cols": []} drops it); per-file bitmaps ride stats and stay
+        # valid regardless — the spec only directs FUTURE writes
+        if "bloom" in e:
+            bloom = e["bloom"]
         # CHECK constraints: per-entry dict merges (value None drops)
         for k, vv in e.get("constraints", {}).items():
             if vv is None:
@@ -277,6 +299,7 @@ def _resolve_state(
         "stats": stats,
         "src_version": src_version,
         "partition_by": partition_by,
+        "bloom": bloom,
         "constraints": constraints,
         "file_versions": fvers,
         "dvs": dvs,
@@ -347,6 +370,8 @@ def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             payload["src_version"] = state["src_version"]
         if state.get("partition_by") is not None:
             payload["partition_by"] = state["partition_by"]
+        if state.get("bloom") is not None:
+            payload["bloom"] = state["bloom"]
         if state.get("constraints"):
             payload["constraints"] = state["constraints"]
         payload["file_versions"] = state.get("file_versions", {})
@@ -417,6 +442,9 @@ def table_commit(
     collect_stats: bool = True,
     evolve_schema: bool = False,
     partition_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_m: int = _BLOOM_M,
+    bloom_k: int = _BLOOM_K,
 ) -> int:
     """Commit ``df`` as one atomic version; returns the version number.
 
@@ -439,6 +467,18 @@ def table_commit(
     Omit it on later commits: appends and DML inherit the table's
     declared spec (recorded in the log) and keep their rewritten files
     prunable; pass ``[]`` on an overwrite to unpartition.
+
+    ``bloom_cols=[col, ...]`` declares a per-file Bloom-filter index
+    (Delta's BLOOMFILTER INDEX shape): every commit records a
+    ``bloom_m``-bit / ``bloom_k``-probe bitmap per file per column in
+    the log, and ``table_scan`` prunes files whose bitmaps PROVE an
+    equality/IN value absent — the evidence min/max cannot give on
+    high-cardinality columns (a uuid's range spans everything). Only
+    string/integral columns qualify (the hash input is the canonical
+    string, which the driver must reproduce exactly). Like
+    ``partition_by``, the spec rides the log: later appends and DML
+    rewrites inherit it and stay prunable; pass ``[]`` to drop it —
+    existing files' bitmaps are self-describing and keep pruning.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
@@ -450,6 +490,24 @@ def table_commit(
     declared = partition_by is not None
     if partition_by is None and _cur is not None:
         partition_by = _cur.get("partition_by")
+    bloom_declared = bloom_cols is not None
+    bloom = (
+        {"cols": list(bloom_cols), "m": int(bloom_m), "k": int(bloom_k)}
+        if bloom_declared
+        else (_cur or {}).get("bloom")
+    )
+    if bloom_declared and bloom_cols:
+        bad = [
+            c
+            for c in bloom_cols
+            if c not in df.columns
+            or not isinstance(df.schema[c].dataType, _BLOOMABLE)
+        ]
+        if bad:
+            raise ValueError(
+                f"bloom_cols must be string/integral batch columns; bad: "
+                f"{bad} (batch {df.schema.simpleString()})"
+            )
     # CHECK constraints: enforced on every batch before it can stage —
     # one scan; the CAS loop below re-enforces if the constraint set
     # changes under the commit (a racing ADD CONSTRAINT conflicts or
@@ -547,10 +605,12 @@ def table_commit(
     entry = {"action": mode, "files": files, "schema": df.schema.simpleString()}
     if collect_stats:
         entry["stats"] = _collect_stats(
-            spark, path, files, partition_cols=partition_by
+            spark, path, files, partition_cols=partition_by, bloom=bloom
         )
     if declared:
         entry["partition_by"] = partition_by
+    if bloom_declared:
+        entry["bloom"] = bloom
     if base is not None:
         entry["base"] = base
     # both modes re-validate in the CAS loop (appends: schema +
@@ -583,6 +643,129 @@ _MAX_STAT_STR = 64
 #: min/max stats (a "partition" column with many values per file is
 #: not partitioned data — the cap keeps the log tiny)
 _MAX_PART_VALUES = 32
+
+def _bloom_positions(value, m: int, k: int) -> list[int] | None:
+    """Driver-side probe positions for ``value`` under an (m, k) Bloom
+    filter — MD5 double-hashing (Kirsch-Mitzenmacher), matching the
+    Spark-side build bit-for-bit: both hash the canonical string's
+    UTF-8 bytes with MD5 and derive position_i = (h1 + i*h2) mod m from
+    hex digits [0:15) and [16:31). Returns None when the value's
+    canonical form cannot be reproduced driver-side (non-str/int) —
+    the caller must then skip bloom evidence for it."""
+    import hashlib
+
+    if isinstance(value, bool) or not isinstance(value, (str, int)):
+        return None
+    d = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    h1, h2 = int(d[0:15], 16), int(d[16:31], 16)
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_maybe(meta: dict, value) -> bool:
+    """Can ``value`` be present given a file's per-column bloom
+    ``meta`` = {"m","k","t","b"(base64 bitmap)}? Conservative: any
+    doubt (unprobeable value, type mismatch with the column's
+    canonical category) returns True."""
+    import base64
+
+    t = meta.get("t")
+    if t == "s" and not isinstance(value, str):
+        return True
+    if t == "i" and (isinstance(value, bool) or not isinstance(value, int)):
+        return True
+    pos = _bloom_positions(value, int(meta["m"]), int(meta["k"]))
+    if pos is None:
+        return True
+    bits = base64.b64decode(meta["b"])
+    for p in pos:
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False  # a probe bit is unset — provably absent
+    return True
+
+
+def _bloom_prune(stats: dict, files: list[str], filters: list[tuple]) -> list[str]:
+    """Drop files whose per-file Bloom bitmaps PROVE an equality/IN
+    filter cannot match — the evidence min/max ranges and partition
+    membership cannot give on a high-cardinality column (a uuid's
+    min/max spans everything; its bloom pins it to a few files). Pure
+    function over the same serialized stats ``_stats_prune`` reads;
+    composes with it (both are conservative-keep)."""
+    eqs = [(c, o, v) for c, o, v in filters if o in ("=", "==", "in")]
+    if not eqs:
+        return files
+    out = []
+    for f in files:
+        per_col = stats.get(f, {})
+        blooms = per_col.get("__bloom") or {}
+        keep = True
+        for c, o, v in eqs:
+            meta = blooms.get(c)
+            if meta is None:
+                continue
+            cand = list(v) if o == "in" else [v]
+            if not any(_bloom_maybe(meta, x) for x in cand):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
+def _collect_blooms(
+    spark: SparkSession, path: str, files: list[str], bloom: dict
+) -> dict:
+    """Per-file Bloom bitmaps for ``bloom["cols"]`` over just-staged
+    ``files``. One grouped aggregate per column, fully JVM-side: MD5 of
+    the canonical string → two 60-bit halves → k probe positions →
+    per-(file, word) ``bit_or`` of single-bit masks — at most m/64 rows
+    per file per column cross the collect (128 for the default m=8192),
+    never a row per value. Returns {file: {col: {"m","k","t","b"}}}."""
+    import base64
+
+    m, k = int(bloom.get("m", _BLOOM_M)), int(bloom.get("k", _BLOOM_K))
+    scan = spark.read.parquet(*[_data_path(path, f) for f in files])
+    types = {f.name: f.dataType for f in scan.schema}
+    out: dict = {f: {} for f in files}
+    by_name = {f.rsplit("/", 1)[-1]: f for f in files}
+    for c in bloom.get("cols", []):
+        if c not in types or not isinstance(types[c], _BLOOMABLE):
+            continue
+        tcat = "s" if isinstance(types[c], T.StringType) else "i"
+        h = F.md5(F.col(c).cast("string"))
+        h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+        h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint")
+        pos = F.explode(
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+        ).alias("p")
+        rows = (
+            scan.where(F.col(c).isNotNull())
+            .select(F.input_file_name().alias("__f"), pos)
+            .groupBy("__f", (F.col("p") / 64).cast("int").alias("w"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+                ).alias("b")
+            )
+            .collect()
+        )
+        words: dict[str, dict[int, int]] = {}
+        for r in rows:
+            words.setdefault(r["__f"].rsplit("/", 1)[-1], {})[int(r["w"])] = (
+                int(r["b"]) & 0xFFFFFFFFFFFFFFFF
+            )
+        for name, wmap in words.items():
+            buf = bytearray(m // 8)
+            for w, v in wmap.items():
+                buf[w * 8 : w * 8 + 8] = v.to_bytes(8, "little")
+            ref = by_name.get(name)
+            if ref is not None:
+                out[ref][c] = {
+                    "m": m,
+                    "k": k,
+                    "t": tcat,
+                    "b": base64.b64encode(bytes(buf)).decode("ascii"),
+                }
+    return {f: cols for f, cols in out.items() if cols}
 
 
 def _ser_stat(v, side):
@@ -629,6 +812,7 @@ def _collect_stats(
     path: str,
     files: list[str],
     partition_cols: list[str] | None = None,
+    bloom: dict | None = None,
 ) -> dict:
     """Per-file min/max/null-count for every skippable column of the
     just-staged files — ONE grouped aggregate over only those files
@@ -687,6 +871,12 @@ def _collect_stats(
         if parts:
             per_col["__parts"] = parts
         stats[r["__f"].rsplit("/", 1)[-1]] = per_col
+    if bloom and bloom.get("cols"):
+        # second pass over the same just-written (page-warm) files; the
+        # per-file payload is self-describing ({m,k,t,bitmap}) so files
+        # built under an older spec keep pruning correctly forever
+        for ref, cols in _collect_blooms(spark, path, files, bloom).items():
+            stats.setdefault(ref.rsplit("/", 1)[-1], {})["__bloom"] = cols
     return stats
 
 
@@ -1346,7 +1536,7 @@ def table_delete_where(
         ).where(~F.coalesce(cond, F.lit(False)))
         added = _stage_data_files(survivors, path)
         return added, _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
         )
 
     added, stats = _rewrite(touched)
@@ -1439,7 +1629,7 @@ def table_update_where(
             )
             added = _stage_data_files(post, path)
             added_stats = _collect_stats(
-                spark, path, added, partition_cols=state.get("partition_by")
+                spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
             )
             name_to_ref = spark.createDataFrame(
                 [(f.rsplit("/", 1)[-1], f) for f in files],
@@ -1518,7 +1708,7 @@ def table_update_where(
         )
         added = _stage_data_files(updated, path)
         return added, _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
         )
 
     added, stats = _rewrite(touched)
@@ -1631,7 +1821,7 @@ def table_merge_upsert(
         )
         added = _stage_data_files(post, path)
         added_stats = _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
         )
 
         def _mark_colliding(
@@ -1724,7 +1914,7 @@ def table_merge_upsert(
         ).join(F.broadcast(keys), key, "left_anti")
         extra = _stage_data_files(kept, path)
         return extra, _collect_stats(
-            spark, path, extra, partition_cols=state.get("partition_by")
+            spark, path, extra, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
         )
 
     entry = {
@@ -1732,7 +1922,7 @@ def table_merge_upsert(
         "add": added,
         "remove": touched,
         "stats": _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
         ),
         "schema": state["schema"],
         "base": state["version"],
@@ -1803,7 +1993,7 @@ def table_compact(
         "action": "overwrite",
         "files": added,
         "stats": _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
         ),
         "schema": state["schema"],
         "base": state["version"],
@@ -1856,7 +2046,7 @@ def table_compact_small(
         "add": added,
         "remove": small,
         "stats": _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
         ),
         "schema": state["schema"],
         "base": state["version"],
@@ -1901,6 +2091,8 @@ def table_truncate_history(
         payload["src_version"] = state["src_version"]
     if state.get("partition_by") is not None:
         payload["partition_by"] = state["partition_by"]
+    if state.get("bloom") is not None:
+        payload["bloom"] = state["bloom"]
     if state.get("constraints"):
         payload["constraints"] = state["constraints"]
     payload["file_versions"] = state.get("file_versions", {})
@@ -1954,6 +2146,9 @@ def table_scan(
     files = state["files"]
     if filters:
         files = _stats_prune(state["stats"], files, filters)
+        # bloom evidence composes on top: equality/IN on an indexed
+        # high-cardinality column prunes where min/max ranges cannot
+        files = _bloom_prune(state["stats"], files, filters)
     if not files:
         return spark.createDataFrame([], state["schema"])
     df = _read_files(
@@ -2343,6 +2538,7 @@ def table_clone(
             dst,
             mode="overwrite",
             partition_by=state.get("partition_by"),
+            bloom_cols=(state.get("bloom") or {}).get("cols"),
         )
     src_abs = src if "://" in src else os.path.abspath(src)
     refs = [_data_path(src_abs, f) for f in state["files"]]
@@ -2363,6 +2559,8 @@ def table_clone(
         entry["partition_by"] = state["partition_by"]
     if state.get("constraints"):
         entry["constraints"] = state["constraints"]
+    if state.get("bloom") is not None:
+        entry["bloom"] = state["bloom"]
     # deletion vectors ride along as absolute refs too: the sidecars
     # name target files by BASENAME, which the clone's refs preserve
     if state.get("dvs"):

@@ -502,12 +502,16 @@ class TablelogBatchReader(DataSourceReader):
     def partitions(self):
         # driver-side: the JVM module is importable here (workers never
         # call this), and _stats_prune is a pure function
-        from simple_data_workflow_spark.sources.tablelog import _stats_prune
+        from simple_data_workflow_spark.sources.tablelog import (
+            _bloom_prune,
+            _stats_prune,
+        )
 
         state = _resolve_state_arrow(self._path, self._version)
         files = state["files"]
         if self._filter_tuples:
             files = _stats_prune(state["stats"], files, self._filter_tuples)
+            files = _bloom_prune(state["stats"], files, self._filter_tuples)
         fs, root = _fs_for(self._path)
         fvers = state["file_versions"]
         return [

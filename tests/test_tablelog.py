@@ -2038,3 +2038,76 @@ def test_mor_merge_rebases_over_concurrent_append(
     st = _resolve_state(spark, t, None)
     # collisions: 48,49 in base + 48..54 in the appended files = 2 + 7
     assert sum(st["dv_counts"].values()) == 9
+
+
+def test_bloom_index_point_lookup_prunes_and_stays_exact(spark, tmp_path):
+    """Per-file Bloom index: equality lookups on a high-cardinality
+    string column prune files min/max cannot (every file spans the
+    full hex range), and pruning never changes results — the true
+    file always survives (driver hashlib == Spark md5 double-hash,
+    bit for bit)."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _bloom_prune,
+        _resolve_state,
+        _stats_prune,
+        table_scan,
+    )
+
+    t = str(tmp_path / "bloomed")
+    df = spark.range(0, 4000).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS tag"
+    ).repartition(16)  # random placement: tag min/max useless per file
+    table_commit(df, t, bloom_cols=["tag"])
+    st = _resolve_state(spark, t, None)
+    assert len(st["files"]) == 16
+    assert all("__bloom" in st["stats"][f] for f in st["files"])
+    import hashlib
+
+    probe = hashlib.md5(b"1234").hexdigest()  # tag of id=1234, present
+    filt = [("tag", "=", probe)]
+    after_range = _stats_prune(st["stats"], st["files"], filt)
+    after_bloom = _bloom_prune(st["stats"], after_range, filt)
+    assert len(after_range) == 16  # min/max gave nothing
+    assert len(after_bloom) < 16  # bloom pruned most files
+    rows = table_scan(spark, t, filters=filt).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1234
+    # absent value: provably-absent files all pruned, scan exact-empty
+    missing = hashlib.md5(b"nope-not-here").hexdigest()
+    assert table_scan(spark, t, filters=[("tag", "=", missing)]).count() == 0
+    # IN-list composes; integral columns probe too when indexed
+    assert (
+        table_scan(spark, t, filters=[("tag", "in", [probe, missing])]).count()
+        == 1
+    )
+
+
+def test_bloom_spec_inherited_by_append_and_dml(spark, tmp_path):
+    """The bloom spec rides the log like partition_by: plain appends
+    and DML rewrites compute bitmaps for their new files without
+    re-declaring, and checkpoint/truncation carries the spec."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_delete_where,
+        table_scan,
+        table_update_where,
+    )
+
+    t = str(tmp_path / "bloom_inherit")
+    mk = "md5(CAST(id AS STRING)) AS tag"
+    table_commit(
+        spark.range(0, 500).selectExpr("id", mk), t, bloom_cols=["tag"]
+    )
+    table_commit(spark.range(500, 1000).selectExpr("id", mk), t)  # inherit
+    table_delete_where(spark, t, "id % 97 = 0")  # cow rewrite re-blooms
+    st = _resolve_state(spark, t, None)
+    assert st["bloom"] == {"cols": ["tag"], "m": 8192, "k": 4}
+    assert all("__bloom" in st["stats"][f] for f in st["files"])
+    import hashlib
+
+    probe = hashlib.md5(b"777").hexdigest()  # from the APPENDED commit
+    rows = table_scan(spark, t, filters=[("tag", "=", probe)]).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 777
+    # update keeps lookups exact through its rewrite
+    table_update_where(spark, t, {"id": "id + 100000"}, f"tag = '{probe}'")
+    rows = table_scan(spark, t, filters=[("tag", "=", probe)]).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 100777
