@@ -195,6 +195,8 @@ def _resolve_state(
     src_version: int | None = None
     partition_by: list[str] | None = None
     bloom: dict | None = None
+    column_map: dict = {}
+    used_physicals: list[str] = []
     constraints: dict = {}
     fvers: dict = {}
     dvs: list[str] = []
@@ -206,6 +208,8 @@ def _resolve_state(
         src_version = cp.get("src_version")
         partition_by = cp.get("partition_by")
         bloom = cp.get("bloom")
+        column_map = dict(cp.get("column_map", {}))
+        used_physicals = list(cp.get("used_physicals", []))
         constraints = dict(cp.get("constraints", {}))
         dvs = list(cp.get("dvs", []))
         dv_counts = dict(cp.get("dv_counts", {}))
@@ -268,6 +272,11 @@ def _resolve_state(
             stats.update(e.get("stats", {}))
             for f in e.get("add", []):
                 fvers[f] = v
+        elif action == "meta":
+            # metadata-only commit (RENAME/DROP COLUMN, spec changes):
+            # zero file-list movement; the schema/column_map/spec keys
+            # are picked up by the generic tracking below
+            pass
         else:  # pragma: no cover - future-proofing
             raise ValueError(f"unknown log action {action!r} at version {v}")
         schema = e.get("schema", schema)
@@ -286,6 +295,14 @@ def _resolve_state(
         # valid regardless — the spec only directs FUTURE writes
         if "bloom" in e:
             bloom = e["bloom"]
+        # column mapping (metadata-only RENAME/DROP COLUMN): the map
+        # translates the logged LOGICAL schema to the files' stable
+        # PHYSICAL names; used_physicals prevents a later re-added
+        # column from resurrecting a dropped physical's data
+        if "column_map" in e:
+            column_map = dict(e["column_map"])
+        if "used_physicals" in e:
+            used_physicals = list(e["used_physicals"])
         # CHECK constraints: per-entry dict merges (value None drops)
         for k, vv in e.get("constraints", {}).items():
             if vv is None:
@@ -300,6 +317,8 @@ def _resolve_state(
         "src_version": src_version,
         "partition_by": partition_by,
         "bloom": bloom,
+        "column_map": column_map,
+        "used_physicals": used_physicals,
         "constraints": constraints,
         "file_versions": fvers,
         "dvs": dvs,
@@ -372,6 +391,10 @@ def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             payload["partition_by"] = state["partition_by"]
         if state.get("bloom") is not None:
             payload["bloom"] = state["bloom"]
+        if state.get("column_map"):
+            payload["column_map"] = state["column_map"]
+        if state.get("used_physicals"):
+            payload["used_physicals"] = state["used_physicals"]
         if state.get("constraints"):
             payload["constraints"] = state["constraints"]
         payload["file_versions"] = state.get("file_versions", {})
@@ -601,16 +624,46 @@ def table_commit(
 
     if mode == "append":
         _validate_append_schema()
-    files = _stage_data_files(df, path)
+    # column mapping: batches arrive LOGICAL; files store PHYSICAL.
+    # A net-new column whose default physical name was ever used by a
+    # since-dropped/renamed column gets a FRESH physical — otherwise
+    # old files would resurrect the retired column's data under it.
+    cmap = dict((_cur or {}).get("column_map") or {})
+    used = list((_cur or {}).get("used_physicals") or [])
+    cur_fields: set = set()
+    if _cur is not None and _cur.get("schema"):
+        from pyspark.sql.types import _parse_datatype_string
+
+        cur_fields = {f.name for f in _parse_datatype_string(_cur["schema"])}
+    map_grew = False
+    if cmap or used:
+        taken = {cmap.get(c, c) for c in df.columns if c in cur_fields or c in cmap}
+        retired = set(used) - {cmap.get(n, n) for n in cur_fields}
+        for c in df.columns:
+            if c in cur_fields or c in cmap:
+                continue
+            if c in retired or c in taken:
+                cmap[c] = f"{c}__{uuid.uuid4().hex[:8]}"
+                map_grew = True
+                taken.add(cmap[c])
+            else:
+                taken.add(c)
+    files = _stage_data_files(_to_physical(df, cmap), path)
     entry = {"action": mode, "files": files, "schema": df.schema.simpleString()}
     if collect_stats:
         entry["stats"] = _collect_stats(
-            spark, path, files, partition_cols=partition_by, bloom=bloom
+            spark, path, files, partition_cols=partition_by, bloom=bloom,
+            cmap=cmap,
         )
     if declared:
         entry["partition_by"] = partition_by
     if bloom_declared:
         entry["bloom"] = bloom
+    if map_grew:
+        entry["column_map"] = cmap
+        entry["used_physicals"] = sorted(
+            set(used) | {cmap.get(c, c) for c in df.columns}
+        )
     if base is not None:
         entry["base"] = base
     # both modes re-validate in the CAS loop (appends: schema +
@@ -813,6 +866,7 @@ def _collect_stats(
     files: list[str],
     partition_cols: list[str] | None = None,
     bloom: dict | None = None,
+    cmap: dict | None = None,
 ) -> dict:
     """Per-file min/max/null-count for every skippable column of the
     just-staged files — ONE grouped aggregate over only those files
@@ -831,6 +885,13 @@ def _collect_stats(
         return {}
     scan = spark.read.parquet(*[f"{path}/data/{f}" for f in files])
     cols = [f.name for f in scan.schema if isinstance(f.dataType, _SKIPPABLE)]
+    # staged files carry PHYSICAL names; specs are declared logical —
+    # translate here so stats stay keyed physical (stable across
+    # renames, matching the files) and scans translate filters once
+    if cmap:
+        partition_cols = [cmap.get(c, c) for c in (partition_cols or [])]
+        if bloom and bloom.get("cols"):
+            bloom = {**bloom, "cols": [cmap.get(c, c) for c in bloom["cols"]]}
     pcols = [c for c in (partition_cols or []) if c in scan.columns]
     # per-file row count rides along under the reserved "__rows" key:
     # it lets COUNT(*) (table_row_count) answer from the log alone
@@ -1010,25 +1071,69 @@ def _dv_frame(spark: SparkSession, path: str, dvs: list[str]) -> DataFrame:
     )
 
 
+def _phys_struct(schema: str, cmap: dict | None):
+    """The PHYSICAL read schema for a logged LOGICAL schema under a
+    column map: field names substituted logical→physical, types and
+    nullability unchanged. Identity when the map is empty."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    if not cmap:
+        return st
+    return T.StructType(
+        [
+            T.StructField(cmap.get(f.name, f.name), f.dataType, f.nullable)
+            for f in st
+        ]
+    )
+
+
+def _to_logical(df: DataFrame, schema: str, cmap: dict | None) -> DataFrame:
+    """Rename a physical scan back to logical column names (column
+    mapping's read half). Extra non-schema columns (dv helpers) pass
+    through untouched."""
+    if not cmap:
+        return df
+    from pyspark.sql.types import _parse_datatype_string
+
+    logical = {cmap.get(f.name, f.name): f.name for f in _parse_datatype_string(schema)}
+    return df.select(
+        *[F.col(c).alias(logical.get(c, c)) for c in df.columns]
+    )
+
+
+def _to_physical(df: DataFrame, cmap: dict | None) -> DataFrame:
+    """Rename a logical batch to physical column names before staging
+    (column mapping's write half)."""
+    if not cmap:
+        return df
+    return df.select(*[F.col(c).alias(cmap.get(c, c)) for c in df.columns])
+
+
 def _scan_with_pos(
-    spark: SparkSession, path: str, files: list[str], schema: str | None
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: str | None,
+    cmap: dict | None = None,
 ) -> DataFrame:
     """File-list scan carrying ``__sdw_dv_name`` (file basename) and
     ``__sdw_dv_pos`` (``_metadata.row_index``) helper columns — the
-    join key space deletion vectors address rows by."""
+    join key space deletion vectors address rows by. ``cmap`` (column
+    mapping) reads files under their PHYSICAL names and presents
+    logical ones."""
     reader = spark.read
     if schema:
-        from pyspark.sql.types import _parse_datatype_string
-
-        reader = reader.schema(_parse_datatype_string(schema))
+        reader = reader.schema(_phys_struct(schema, cmap))
     df = reader.parquet(*[_data_path(path, f) for f in files])
-    return df.select(
+    df = df.select(
         "*",
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
             "__sdw_dv_name"
         ),
         F.col("_metadata.row_index").alias("__sdw_dv_pos"),
     )
+    return _to_logical(df, schema, cmap) if schema else df
 
 
 def _read_files(
@@ -1037,6 +1142,7 @@ def _read_files(
     files: list[str],
     schema: str | None,
     dvs: list[str] | None = None,
+    cmap: dict | None = None,
 ) -> DataFrame:
     """Scan an explicit file list UNDER THE LOGGED SCHEMA: parquet
     columns match by name, files predating a schema evolution surface
@@ -1045,10 +1151,13 @@ def _read_files(
     file counts). ``dvs`` (deletion-vector sidecar files) subtract
     MoR-deleted row positions with one anti-join on (file basename,
     ``_metadata.row_index``) — vector rows for files not in ``files``
-    simply never match."""
+    simply never match. ``cmap`` (column mapping, logical→physical)
+    makes metadata-only RENAME/DROP COLUMN work: files are read under
+    their stable PHYSICAL names and presented under the logged
+    LOGICAL schema."""
     if dvs:
         return (
-            _scan_with_pos(spark, path, files, schema)
+            _scan_with_pos(spark, path, files, schema, cmap=cmap)
             .join(
                 _dv_frame(spark, path, dvs),
                 ["__sdw_dv_name", "__sdw_dv_pos"],
@@ -1058,10 +1167,9 @@ def _read_files(
         )
     reader = spark.read
     if schema:
-        from pyspark.sql.types import _parse_datatype_string
-
-        reader = reader.schema(_parse_datatype_string(schema))
-    return reader.parquet(*[_data_path(path, f) for f in files])
+        reader = reader.schema(_phys_struct(schema, cmap))
+    df = reader.parquet(*[_data_path(path, f) for f in files])
+    return _to_logical(df, schema, cmap) if schema else df
 
 
 def table_version_at_timestamp(
@@ -1128,7 +1236,8 @@ def table_read(
         # an empty frame with the logged schema, not a read error
         return spark.createDataFrame([], state["schema"])
     return _read_files(
-        spark, path, state["files"], state["schema"], dvs=state["dvs"]
+        spark, path, state["files"], state["schema"], dvs=state["dvs"],
+        cmap=state.get("column_map"),
     )
 
 
@@ -1262,7 +1371,7 @@ def table_set_check_constraint(
         _enforce_constraints(
             _read_files(
                 spark, path, state["files"], state["schema"],
-                dvs=state.get("dvs"),
+                dvs=state.get("dvs"), cmap=state.get("column_map"),
             ),
             {name: sql},
             path,
@@ -1297,6 +1406,139 @@ def table_drop_check_constraint(
     return _commit_entry(spark, path, entry)
 
 
+# ----------------------------------------- column mapping (RENAME/DROP)
+
+
+def _constraint_refs(state: dict, col: str) -> list[str]:
+    import re
+
+    return [
+        name
+        for name, sql in (state.get("constraints") or {}).items()
+        if re.search(rf"\b{re.escape(col)}\b", sql)
+    ]
+
+
+def table_rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN, METADATA-ONLY (Delta column mapping):
+    one log entry updates the logical schema and the column map — the
+    files keep the column under its stable PHYSICAL name (the name it
+    was first written with), so zero bytes move at any table size.
+    Every read path translates physical→logical; writes translate the
+    other way; per-file stats stay keyed physical and remain valid. A
+    declared ``partition_by`` / bloom spec naming the column is
+    renamed in the same atomic entry; a CHECK constraint referencing
+    it must be dropped first (its SQL text cannot be rewritten
+    safely). Interleaved commits conflict (CAS on the base version).
+    Returns the new version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    state = _resolve_state(spark, path, None)
+    fields = list(_parse_datatype_string(state["schema"]))
+    names = [f.name for f in fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {path} (has {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists in {path}")
+    refs = _constraint_refs(state, old)
+    if refs:
+        raise ValueError(
+            f"CHECK constraints {refs} reference column {old!r}; drop "
+            "them before renaming (their SQL cannot be rewritten safely)"
+        )
+    cmap = dict(state.get("column_map") or {})
+    phys = cmap.pop(old, old)
+    cmap[new] = phys
+    used = sorted(
+        set(state.get("used_physicals") or [])
+        | {cmap.get(n, n) for n in names if n != old}
+        | {phys}
+    )
+    new_schema = T.StructType(
+        [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in fields
+        ]
+    ).simpleString()
+    entry = {
+        "action": "meta",
+        "op": "rename_column",
+        "schema": new_schema,
+        "column_map": cmap,
+        "used_physicals": used,
+        "base": state["version"],
+    }
+    if old in (state.get("partition_by") or []):
+        entry["partition_by"] = [
+            new if c == old else c for c in state["partition_by"]
+        ]
+    bl = state.get("bloom")
+    if bl and old in bl.get("cols", []):
+        entry["bloom"] = {
+            **bl, "cols": [new if c == old else c for c in bl["cols"]]
+        }
+    return _commit_entry(spark, path, entry, base=state["version"])
+
+
+def table_drop_column(spark: SparkSession, path: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN, METADATA-ONLY: the logical schema and
+    map forget the column; the data stays in the files (time travel to
+    pre-drop versions still reads it) but no current-snapshot read
+    selects it. The retired PHYSICAL name is recorded in
+    ``used_physicals`` — a later column RE-ADDED under the same
+    logical name gets a fresh physical, so old files can never
+    resurrect the dropped column's data under it. Columns named by the
+    partition/bloom spec or a CHECK constraint must leave those first.
+    Returns the new version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    state = _resolve_state(spark, path, None)
+    fields = list(_parse_datatype_string(state["schema"]))
+    names = [f.name for f in fields]
+    if col not in names:
+        raise ValueError(f"no column {col!r} in {path} (has {names})")
+    if len(fields) == 1:
+        raise ValueError(f"cannot drop the only column of {path}")
+    if col in (state.get("partition_by") or []):
+        raise ValueError(
+            f"{col!r} is a partition column; redeclare partition_by first"
+        )
+    if col in (state.get("bloom") or {}).get("cols", []):
+        raise ValueError(
+            f"{col!r} is bloom-indexed; redeclare bloom_cols first"
+        )
+    refs = _constraint_refs(state, col)
+    if refs:
+        raise ValueError(
+            f"CHECK constraints {refs} reference column {col!r}; drop them first"
+        )
+    cmap = dict(state.get("column_map") or {})
+    phys = cmap.pop(col, col)
+    used = sorted(
+        set(state.get("used_physicals") or [])
+        | {cmap.get(n, n) for n in names if n != col}
+        | {phys}
+    )
+    new_schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, f.nullable)
+            for f in fields
+            if f.name != col
+        ]
+    ).simpleString()
+    entry = {
+        "action": "meta",
+        "op": "drop_column",
+        "schema": new_schema,
+        "column_map": cmap,
+        "used_physicals": used,
+        "base": state["version"],
+    }
+    return _commit_entry(spark, path, entry, base=state["version"])
+
+
 # ------------------------------------------------- file-granular DML triad
 
 
@@ -1307,6 +1549,7 @@ def _touched_files(
     condition,
     schema=None,
     dvs: list[str] | None = None,
+    cmap: dict | None = None,
 ) -> list[str]:
     """Names of the snapshot files that contain ≥1 row matching
     ``condition`` — the copy-on-write candidate set.
@@ -1321,7 +1564,7 @@ def _touched_files(
     # _metadata.file_path, not input_file_name(): the latter refuses
     # plans with two file sources, which the deletion-vector anti-join
     # introduces; the metadata column binds to its own relation
-    scan = _scan_with_pos(spark, path, files, schema)
+    scan = _scan_with_pos(spark, path, files, schema, cmap=cmap)
     if dvs:
         scan = scan.join(
             _dv_frame(spark, path, dvs),
@@ -1461,7 +1704,8 @@ def table_delete_where(
         return state["version"]
     cond = F.expr(condition)
     touched = _touched_files(
-        spark, path, state["files"], cond, state["schema"], dvs=state["dvs"]
+        spark, path, state["files"], cond, state["schema"], dvs=state["dvs"],
+        cmap=state.get("column_map"),
     )
     if not touched:
         return state["version"]
@@ -1471,7 +1715,10 @@ def table_delete_where(
         def _mark(files: list[str]) -> tuple[list[str], dict]:
             """Stage deletion-vector rows for predicate hits in
             ``files``; returns (dv sidecar names, per-file counts)."""
-            scan = _scan_with_pos(spark, path, files, state["schema"])
+            scan = _scan_with_pos(
+                spark, path, files, state["schema"],
+                cmap=state.get("column_map"),
+            )
             if state["dvs"]:
                 # rows already MoR-deleted must not be marked twice
                 # (COUNT(*) subtracts dv_counts — a double mark would
@@ -1525,18 +1772,22 @@ def table_delete_where(
             entry,
             state,
             probe=lambda newf: _touched_files(
-                spark, path, newf, cond, state["schema"]
+                spark, path, newf, cond, state["schema"],
+                cmap=state.get("column_map"),
             ),
             fold=_fold_dv,
         )
 
     def _rewrite(files: list[str]) -> tuple[list[str], dict]:
         survivors = _read_files(
-            spark, path, files, state["schema"], dvs=state["dvs"]
+            spark, path, files, state["schema"], dvs=state["dvs"],
+            cmap=state.get("column_map"),
         ).where(~F.coalesce(cond, F.lit(False)))
-        added = _stage_data_files(survivors, path)
+        added = _stage_data_files(
+            _to_physical(survivors, state.get("column_map")), path
+        )
         return added, _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
         )
 
     added, stats = _rewrite(touched)
@@ -1555,7 +1806,8 @@ def table_delete_where(
         entry,
         state,
         probe=lambda newf: _touched_files(
-            spark, path, newf, cond, state["schema"]
+            spark, path, newf, cond, state["schema"],
+            cmap=state.get("column_map"),
         ),
         fold=_fold_delta(_rewrite),
     )
@@ -1590,7 +1842,8 @@ def table_update_where(
         return state["version"]
     cond = F.expr(condition)
     touched = _touched_files(
-        spark, path, state["files"], cond, state["schema"], dvs=state["dvs"]
+        spark, path, state["files"], cond, state["schema"], dvs=state["dvs"],
+        cmap=state.get("column_map"),
     )
     if not touched:
         return state["version"]
@@ -1604,7 +1857,10 @@ def table_update_where(
         def _mor(files: list[str]) -> tuple[list[str], dict, list[str], dict]:
             """(dv sidecars, per-file counts, postimage files, their
             stats) for the matching rows in ``files``."""
-            scan = _scan_with_pos(spark, path, files, state["schema"])
+            scan = _scan_with_pos(
+                spark, path, files, state["schema"],
+                cmap=state.get("column_map"),
+            )
             if state["dvs"]:
                 scan = scan.join(
                     _dv_frame(spark, path, state["dvs"]),
@@ -1627,9 +1883,11 @@ def table_update_where(
             _enforce_constraints(
                 post, state.get("constraints") or {}, path, "UPDATE postimage"
             )
-            added = _stage_data_files(post, path)
+            added = _stage_data_files(
+                _to_physical(post, state.get("column_map")), path
+            )
             added_stats = _collect_stats(
-                spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
+                spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
             )
             name_to_ref = spark.createDataFrame(
                 [(f.rsplit("/", 1)[-1], f) for f in files],
@@ -1679,14 +1937,16 @@ def table_update_where(
             entry,
             state,
             probe=lambda newf: _touched_files(
-                spark, path, newf, cond, state["schema"]
+                spark, path, newf, cond, state["schema"],
+                cmap=state.get("column_map"),
             ),
             fold=_fold_mor,
         )
 
     def _rewrite(files: list[str]) -> tuple[list[str], dict]:
         snap = _read_files(
-            spark, path, files, state["schema"], dvs=state["dvs"]
+            spark, path, files, state["schema"], dvs=state["dvs"],
+            cmap=state.get("column_map"),
         )
         updated = snap.select(
             *[
@@ -1706,9 +1966,11 @@ def table_update_where(
         _enforce_constraints(
             updated, state.get("constraints") or {}, path, "UPDATE rewrite"
         )
-        added = _stage_data_files(updated, path)
+        added = _stage_data_files(
+            _to_physical(updated, state.get("column_map")), path
+        )
         return added, _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
         )
 
     added, stats = _rewrite(touched)
@@ -1727,7 +1989,8 @@ def table_update_where(
         entry,
         state,
         probe=lambda newf: _touched_files(
-            spark, path, newf, cond, state["schema"]
+            spark, path, newf, cond, state["schema"],
+            cmap=state.get("column_map"),
         ),
         fold=_fold_delta(_rewrite),
     )
@@ -1779,7 +2042,10 @@ def table_merge_upsert(
     def _colliding(files: list[str]) -> list[str]:
         # _metadata.file_path, not input_file_name(): the DV anti-join
         # makes this a two-file-source plan (see _touched_files)
-        snap = _scan_with_pos(spark, path, files, state["schema"])
+        snap = _scan_with_pos(
+            spark, path, files, state["schema"],
+            cmap=state.get("column_map"),
+        )
         if state["dvs"]:
             snap = snap.join(
                 _dv_frame(spark, path, state["dvs"]),
@@ -1819,9 +2085,11 @@ def table_merge_upsert(
         _enforce_constraints(
             post, state.get("constraints") or {}, path, "MERGE batch"
         )
-        added = _stage_data_files(post, path)
+        added = _stage_data_files(
+            _to_physical(post, state.get("column_map")), path
+        )
         added_stats = _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
         )
 
         def _mark_colliding(
@@ -1829,7 +2097,10 @@ def table_merge_upsert(
         ) -> tuple[list[str], dict]:
             """Deletion-vector rows for target rows whose key collides
             with the batch, among ``files``."""
-            scan = _scan_with_pos(spark, path, files, state["schema"])
+            scan = _scan_with_pos(
+                spark, path, files, state["schema"],
+                cmap=state.get("column_map"),
+            )
             if dvs:
                 # already-deleted rows must not be marked twice —
                 # COUNT(*) subtracts dv_counts
@@ -1896,7 +2167,10 @@ def table_merge_upsert(
     # every target row with a colliding key lives in a touched file by
     # construction, so merging the touched subset is exact
     target = (
-        _read_files(spark, path, touched, state["schema"], dvs=state["dvs"])
+        _read_files(
+            spark, path, touched, state["schema"], dvs=state["dvs"],
+            cmap=state.get("column_map"),
+        )
         if touched
         else spark.createDataFrame([], state["schema"])
     )
@@ -1904,17 +2178,22 @@ def table_merge_upsert(
     _enforce_constraints(
         merged, state.get("constraints") or {}, path, "MERGE output"
     )
-    added = _stage_data_files(merged, path)
+    added = _stage_data_files(
+        _to_physical(merged, state.get("column_map")), path
+    )
 
     def _drop_colliding(files: list[str]) -> tuple[list[str], dict]:
         # the batch's version of every colliding key is ALREADY in the
         # merged output — the appended duplicate is the loser
         kept = _read_files(
-            spark, path, files, state["schema"], dvs=state["dvs"]
+            spark, path, files, state["schema"], dvs=state["dvs"],
+            cmap=state.get("column_map"),
         ).join(F.broadcast(keys), key, "left_anti")
-        extra = _stage_data_files(kept, path)
+        extra = _stage_data_files(
+            _to_physical(kept, state.get("column_map")), path
+        )
         return extra, _collect_stats(
-            spark, path, extra, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
+            spark, path, extra, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
         )
 
     entry = {
@@ -1922,7 +2201,7 @@ def table_merge_upsert(
         "add": added,
         "remove": touched,
         "stats": _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
         ),
         "schema": state["schema"],
         "base": state["version"],
@@ -1974,18 +2253,28 @@ def table_compact(
         ).getLen()
     n_files = num_files or max(1, round(total / (target_file_mb * 1024 * 1024)))
     snapshot = _read_files(
-        spark, path, state["files"], state["schema"], dvs=state.get("dvs")
+        spark, path, state["files"], state["schema"], dvs=state.get("dvs"),
+        cmap=state.get("column_map"),
     )
+    cmap = state.get("column_map")
+    snapshot = _to_physical(snapshot, cmap)
     if zorder_by:
         from simple_data_workflow_spark.sources.sinks import write_zorder_parquet
 
+        zcols = [
+            (cmap or {}).get(c, c) for c in zorder_by
+        ]  # snapshot is physical now
         writer = lambda df, staging: write_zorder_parquet(  # noqa: E731
-            df, staging, zorder_by, num_files=n_files
+            df, staging, zcols, num_files=n_files
         )
         added = _stage_data_files(snapshot, path, writer=writer)
     elif state.get("partition_by"):
         added = _stage_data_files(
-            snapshot.repartition(n_files, *state["partition_by"]), path
+            snapshot.repartition(
+                n_files,
+                *[(cmap or {}).get(c, c) for c in state["partition_by"]],
+            ),
+            path,
         )
     else:
         added = _stage_data_files(snapshot.coalesce(n_files), path)
@@ -1993,7 +2282,7 @@ def table_compact(
         "action": "overwrite",
         "files": added,
         "stats": _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
         ),
         "schema": state["schema"],
         "base": state["version"],
@@ -2034,19 +2323,22 @@ def table_compact_small(
         return state["version"]
     n_files = max(1, round(small_bytes / (target_file_mb * 1024 * 1024)))
     packed = _read_files(
-        spark, path, small, state["schema"], dvs=state.get("dvs")
+        spark, path, small, state["schema"], dvs=state.get("dvs"),
+        cmap=state.get("column_map"),
     )
     if state.get("partition_by"):
         packed = packed.repartition(n_files, *state["partition_by"])
     else:
         packed = packed.coalesce(n_files)
-    added = _stage_data_files(packed, path)
+    added = _stage_data_files(
+        _to_physical(packed, state.get("column_map")), path
+    )
     entry = {
         "action": "delta",
         "add": added,
         "remove": small,
         "stats": _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom")
+            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
         ),
         "schema": state["schema"],
         "base": state["version"],
@@ -2093,6 +2385,10 @@ def table_truncate_history(
         payload["partition_by"] = state["partition_by"]
     if state.get("bloom") is not None:
         payload["bloom"] = state["bloom"]
+    if state.get("column_map"):
+        payload["column_map"] = state["column_map"]
+    if state.get("used_physicals"):
+        payload["used_physicals"] = state["used_physicals"]
     if state.get("constraints"):
         payload["constraints"] = state["constraints"]
     payload["file_versions"] = state.get("file_versions", {})
@@ -2145,14 +2441,20 @@ def table_scan(
     state = _resolve_state(spark, path, version)
     files = state["files"]
     if filters:
-        files = _stats_prune(state["stats"], files, filters)
+        # stats are keyed by the files' stable PHYSICAL names; filters
+        # arrive logical — translate once for pruning (row-level
+        # application below stays logical)
+        cm = state.get("column_map") or {}
+        pfilters = [(cm.get(c, c), o, v) for c, o, v in filters]
+        files = _stats_prune(state["stats"], files, pfilters)
         # bloom evidence composes on top: equality/IN on an indexed
         # high-cardinality column prunes where min/max ranges cannot
-        files = _bloom_prune(state["stats"], files, filters)
+        files = _bloom_prune(state["stats"], files, pfilters)
     if not files:
         return spark.createDataFrame([], state["schema"])
     df = _read_files(
-        spark, path, files, state["schema"], dvs=state.get("dvs")
+        spark, path, files, state["schema"], dvs=state.get("dvs"),
+        cmap=state.get("column_map"),
     )
     for c, op, v in filters or []:
         col = F.col(c)
@@ -2207,11 +2509,26 @@ def table_changes(
             f"versions {sorted(missing)} in ({start_version}, {upto}] are "
             "not retained (history truncated) — changes cannot be replayed"
         )
+    try:
+        _st0 = (
+            _resolve_state(spark, path, start_version)
+            if start_version >= 0
+            else None
+        )
+    except Exception:
+        _st0 = None
+    cur_cmap = dict((_st0 or {}).get("column_map") or {})
     parts = []
     for v in entries:
         if v <= start_version or v > upto:
             continue
         e = _read_json(spark, path, f"{v:08d}.json")
+        # column mapping in effect at this version: physical names are
+        # stable, so the entry-time map reads any file correctly
+        if "column_map" in e:
+            cur_cmap = dict(e["column_map"])
+        if e["action"] == "meta":
+            continue  # RENAME/DROP COLUMN: zero rows, metadata fact
         if e.get("op") in ("compact", "compact_small"):
             continue  # byte rewrite, zero logical change — metadata fact
         if e["action"] != "append" and not allow_rewrites:
@@ -2232,9 +2549,9 @@ def table_changes(
         if not added:
             continue
         parts.append(
-            _read_files(spark, path, added, e.get("schema")).withColumn(
-                "_commit_version", F.lit(v).cast("long")
-            )
+            _read_files(
+                spark, path, added, e.get("schema"), cmap=cur_cmap
+            ).withColumn("_commit_version", F.lit(v).cast("long"))
         )
     if not parts:
         state = _resolve_state(spark, path, None)
@@ -2307,13 +2624,17 @@ def table_changes_rowlevel(
     # once from a later rewrite's raw preimage)
     cur_dvs: list[str]
     try:
-        cur_dvs = (
-            list(_resolve_state(spark, path, start_version).get("dvs", []))
+        _st0 = (
+            _resolve_state(spark, path, start_version)
             if start_version >= 0
-            else []
+            else None
         )
     except Exception:
-        cur_dvs = []
+        _st0 = None
+    cur_dvs = list((_st0 or {}).get("dvs") or [])
+    # column mapping in effect per replayed version (physical names are
+    # stable, so the entry-time map reads files of any age correctly)
+    cur_cmap = dict((_st0 or {}).get("column_map") or {})
 
     parts: list[DataFrame] = []
     for v in entries:
@@ -2321,10 +2642,18 @@ def table_changes_rowlevel(
             continue
         e = _read_json(spark, path, f"{v:08d}.json")
         action, schema = e["action"], e.get("schema")
+        if "column_map" in e:
+            cur_cmap = dict(e["column_map"])
         if action == "append":
             if e["files"]:
                 parts.append(
-                    tag(_read_files(spark, path, e["files"], schema), "insert", v)
+                    tag(
+                        _read_files(
+                            spark, path, e["files"], schema, cmap=cur_cmap
+                        ),
+                        "insert",
+                        v,
+                    )
                 )
         elif action == "dv":
             # MoR DML: the preimages are exactly the rows at the
@@ -2334,7 +2663,9 @@ def table_changes_rowlevel(
             targets = sorted(e.get("dv_counts", {}).keys())
             if targets and e.get("dv_add"):
                 deletes = (
-                    _scan_with_pos(spark, path, targets, schema)
+                    _scan_with_pos(
+                        spark, path, targets, schema, cmap=cur_cmap
+                    )
                     .join(
                         _dv_frame(spark, path, e["dv_add"]),
                         ["__sdw_dv_name", "__sdw_dv_pos"],
@@ -2345,19 +2676,30 @@ def table_changes_rowlevel(
                 parts.append(tag(deletes, "delete", v))
             if e.get("add"):
                 parts.append(
-                    tag(_read_files(spark, path, e["add"], schema), "insert", v)
+                    tag(
+                        _read_files(
+                            spark, path, e["add"], schema, cmap=cur_cmap
+                        ),
+                        "insert",
+                        v,
+                    )
                 )
             cur_dvs = cur_dvs + list(e.get("dv_add", []))
         elif action == "delta":
             if e.get("op") == "compact_small":
                 continue  # bin-pack: byte rewrite, zero logical change
             pre = (
-                _read_files(spark, path, e["remove"], schema, dvs=cur_dvs)
+                _read_files(
+                    spark, path, e["remove"], schema, dvs=cur_dvs,
+                    cmap=cur_cmap,
+                )
                 if e["remove"]
                 else None
             )
             post = (
-                _read_files(spark, path, e["add"], schema) if e["add"] else None
+                _read_files(spark, path, e["add"], schema, cmap=cur_cmap)
+                if e["add"]
+                else None
             )
             if pre is not None and post is not None:
                 parts.append(tag(pre.exceptAll(post), "delete", v))
@@ -2397,13 +2739,16 @@ def table_changes_rowlevel(
             ]
             old_df = (
                 _read_files(
-                    spark, path, pre_f, old["schema"], dvs=cur_dvs
+                    spark, path, pre_f, old["schema"], dvs=cur_dvs,
+                    cmap=(old or {}).get("column_map"),
                 )
                 if pre_f
                 else None
             )
             new_df = (
-                _read_files(spark, path, post_f, schema, dvs=new_dvs)
+                _read_files(
+                    spark, path, post_f, schema, dvs=new_dvs, cmap=cur_cmap
+                )
                 if post_f
                 else None
             )
