@@ -59,12 +59,33 @@ from pyspark.sql import types as T
 
 #: a full-state checkpoint is written after every Nth commit; snapshot
 #: resolution then reads 1 checkpoint + at most N-1 tail entries.
-#: per-file Bloom-filter index defaults: m bits / k probes per column.
-#: m=8192 (1 KiB/file/col in the log) holds FPR under ~2.5% for up to
-#: ~1k distinct values per file and degrades gracefully past that —
-#: the knob exists for denser files
+#: per-file Bloom-filter index sizing. The DEFAULT is AUTO (spec
+#: ``m=None``): each commit sizes each file's bitmap from that file's
+#: OBSERVED distinct count (~10 bits/value, next power of two, floor
+#: ``_BLOOM_M`` = 1 KiB, cap ``_BLOOM_M_MAX`` = 512 KiB), which holds
+#: the per-file FPR near ~1% at ANY rows-per-file — a fixed m
+#: saturates the moment files grow 10× (the round-8 sf0.1 failure:
+#: 8192 bits over ~9,400 values ⇒ FPR ≈ 96%, pruning dead). Per-file
+#: payloads are self-describing ``{m,k,t,b}``, so mixed sizes from
+#: different commits coexist and replay fine. Past the cap (~400k
+#: distinct values/file) FPR degrades gracefully — at that density
+#: the right tool is more files, not bigger bitmaps.
 _BLOOM_M = 8192
+_BLOOM_M_MAX = 1 << 22
+_BLOOM_BITS_PER_VALUE = 10
 _BLOOM_K = 4
+
+
+def _auto_bloom_m(ndv: int) -> int:
+    """Bitmap size for an observed per-file distinct count: ~10 bits
+    per value rounded UP to a power of two (the round-up plus the
+    k=4 formula gives FPR ≈ 0.3–1.2%), clamped to
+    [``_BLOOM_M``, ``_BLOOM_M_MAX``]."""
+    want = max(1, int(ndv)) * _BLOOM_BITS_PER_VALUE
+    m = _BLOOM_M
+    while m < want and m < _BLOOM_M_MAX:
+        m <<= 1
+    return m
 
 #: bloom-indexable column types: the hash input is the value's
 #: CANONICAL STRING (Spark ``CAST(col AS STRING)``), which the driver
@@ -466,7 +487,7 @@ def table_commit(
     evolve_schema: bool = False,
     partition_by: list[str] | None = None,
     bloom_cols: list[str] | None = None,
-    bloom_m: int = _BLOOM_M,
+    bloom_m: int | None = None,
     bloom_k: int = _BLOOM_K,
 ) -> int:
     """Commit ``df`` as one atomic version; returns the version number.
@@ -493,15 +514,19 @@ def table_commit(
 
     ``bloom_cols=[col, ...]`` declares a per-file Bloom-filter index
     (Delta's BLOOMFILTER INDEX shape): every commit records a
-    ``bloom_m``-bit / ``bloom_k``-probe bitmap per file per column in
-    the log, and ``table_scan`` prunes files whose bitmaps PROVE an
-    equality/IN value absent — the evidence min/max cannot give on
-    high-cardinality columns (a uuid's range spans everything). Only
-    string/integral columns qualify (the hash input is the canonical
-    string, which the driver must reproduce exactly). Like
-    ``partition_by``, the spec rides the log: later appends and DML
-    rewrites inherit it and stay prunable; pass ``[]`` to drop it —
-    existing files' bitmaps are self-describing and keep pruning.
+    ``bloom_k``-probe bitmap per file per column in the log, and
+    ``table_scan`` prunes files whose bitmaps PROVE an equality/IN
+    value absent — the evidence min/max cannot give on
+    high-cardinality columns (a uuid's range spans everything). The
+    default ``bloom_m=None`` AUTO-SIZES each file's bitmap from its
+    observed distinct count (~10 bits/value, power of two, 1 KiB
+    floor / 512 KiB cap), holding FPR near ~1% at any rows-per-file —
+    pass an explicit ``bloom_m`` only to pin log size over pruning
+    power. Only string/integral columns qualify (the hash input is
+    the canonical string, which the driver must reproduce exactly).
+    Like ``partition_by``, the spec rides the log: later appends and
+    DML rewrites inherit it and stay prunable; pass ``[]`` to drop
+    it — existing files' bitmaps are self-describing and keep pruning.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
@@ -515,7 +540,11 @@ def table_commit(
         partition_by = _cur.get("partition_by")
     bloom_declared = bloom_cols is not None
     bloom = (
-        {"cols": list(bloom_cols), "m": int(bloom_m), "k": int(bloom_k)}
+        {
+            "cols": list(bloom_cols),
+            "m": None if bloom_m is None else int(bloom_m),
+            "k": int(bloom_k),
+        }
         if bloom_declared
         else (_cur or {}).get("bloom")
     )
@@ -771,28 +800,73 @@ def _collect_blooms(
     ``files``. One grouped aggregate per column, fully JVM-side: MD5 of
     the canonical string → two 60-bit halves → k probe positions →
     per-(file, word) ``bit_or`` of single-bit masks — at most m/64 rows
-    per file per column cross the collect (128 for the default m=8192),
-    never a row per value. Returns {file: {col: {"m","k","t","b"}}}."""
-    import base64
+    per file per column cross the collect, never a row per value.
 
-    m, k = int(bloom.get("m", _BLOOM_M)), int(bloom.get("k", _BLOOM_K))
+    Spec ``m=None`` (the default) AUTO-SIZES each file's bitmap from
+    its observed ``approx_count_distinct`` (one extra sizing aggregate
+    over the same page-warm files, collected as one row per file): the
+    per-file FPR then holds near ~1% regardless of rows-per-file,
+    where a fixed m saturates at the first 10× scale-up. The per-file
+    m rides the position expression as a literal file→m map (commits
+    stage a bounded file count), so the build stays ONE aggregate per
+    column even with heterogeneous sizes. Returns
+    ``{file: {col: {"m","k","t","b"}}}`` — self-describing payloads,
+    so mixed-size bitmaps across commits probe correctly forever."""
+    import base64
+    from itertools import chain
+
+    m_spec = bloom.get("m", _BLOOM_M)
+    k = int(bloom.get("k", _BLOOM_K))
     scan = spark.read.parquet(*[_data_path(path, f) for f in files])
     types = {f.name: f.dataType for f in scan.schema}
+    cols = [
+        c
+        for c in bloom.get("cols", [])
+        if c in types and isinstance(types[c], _BLOOMABLE)
+    ]
+    if not cols:
+        return {}
     out: dict = {f: {} for f in files}
     by_name = {f.rsplit("/", 1)[-1]: f for f in files}
-    for c in bloom.get("cols", []):
-        if c not in types or not isinstance(types[c], _BLOOMABLE):
-            continue
+    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    m_for: dict[tuple[str, str], int] = {}
+    if m_spec is None:
+        ndv_rows = (
+            scan.select(basename.alias("__f"), *cols)
+            .groupBy("__f")
+            .agg(*[F.approx_count_distinct(c).alias(c) for c in cols])
+            .collect()
+        )
+        for r in ndv_rows:
+            for c in cols:
+                m_for[(r["__f"], c)] = _auto_bloom_m(int(r[c] or 0))
+    for c in cols:
         tcat = "s" if isinstance(types[c], T.StringType) else "i"
+        if m_spec is None:
+            # literal basename→m map: bounded by the commit's file
+            # count; coalesce covers a file the sizing pass never saw
+            # (can't happen for a file with non-null rows, but cheap)
+            pairs = [
+                (F.lit(name), F.lit(m_for.get((name, c), _BLOOM_M)))
+                for name in by_name
+            ]
+            m_col = F.coalesce(
+                F.element_at(
+                    F.create_map(*chain.from_iterable(pairs)), basename
+                ),
+                F.lit(_BLOOM_M),
+            ).cast("bigint")
+        else:
+            m_col = F.lit(int(m_spec)).cast("bigint")
         h = F.md5(F.col(c).cast("string"))
         h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
         h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint")
         pos = F.explode(
-            F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, m_col) for i in range(k)])
         ).alias("p")
         rows = (
             scan.where(F.col(c).isNotNull())
-            .select(F.input_file_name().alias("__f"), pos)
+            .select(basename.alias("__f"), pos)
             .groupBy("__f", (F.col("p") / 64).cast("int").alias("w"))
             .agg(
                 F.bit_or(
@@ -803,10 +877,15 @@ def _collect_blooms(
         )
         words: dict[str, dict[int, int]] = {}
         for r in rows:
-            words.setdefault(r["__f"].rsplit("/", 1)[-1], {})[int(r["w"])] = (
+            words.setdefault(r["__f"], {})[int(r["w"])] = (
                 int(r["b"]) & 0xFFFFFFFFFFFFFFFF
             )
         for name, wmap in words.items():
+            m = (
+                m_for.get((name, c), _BLOOM_M)
+                if m_spec is None
+                else int(m_spec)
+            )
             buf = bytearray(m // 8)
             for w, v in wmap.items():
                 buf[w * 8 : w * 8 + 8] = v.to_bytes(8, "little")
@@ -991,8 +1070,26 @@ def _stats_prune(
         if vals and isinstance(vals[0], str):
             # same SQL-style → ISO timestamp alignment as min/max stats
             ser = [norm(s, vals[0]) if isinstance(s, str) else s for s in ser]
+
+        def _cat(x):
+            # type CATEGORY for apples-to-apples equality: Python's
+            # `'2' in [2]` is False without raising, but the row-level
+            # filter CASTS and matches — equality/IN may only prune on
+            # same-category evidence (the guard _bloom_maybe already
+            # has; < <= > >= get it free via TypeError below)
+            if isinstance(x, bool):
+                return "b"
+            if isinstance(x, str):
+                return "s"
+            if isinstance(x, (int, float)):
+                return "n"
+            return "o"
+
+        vcats = {_cat(v) for v in vals}
         try:
             if op in ("==", "=", "in"):
+                if any(_cat(s) not in vcats for s in ser):
+                    return True  # cross-typed candidate: can't prove a miss
                 return any(s in vals for s in ser)
             if op == "!=":
                 return any(v != ser[0] for v in vals)

@@ -2100,7 +2100,7 @@ def test_bloom_spec_inherited_by_append_and_dml(spark, tmp_path):
     table_commit(spark.range(500, 1000).selectExpr("id", mk), t)  # inherit
     table_delete_where(spark, t, "id % 97 = 0")  # cow rewrite re-blooms
     st = _resolve_state(spark, t, None)
-    assert st["bloom"] == {"cols": ["tag"], "m": 8192, "k": 4}
+    assert st["bloom"] == {"cols": ["tag"], "m": None, "k": 4}
     assert all("__bloom" in st["stats"][f] for f in st["files"])
     import hashlib
 
@@ -2111,3 +2111,90 @@ def test_bloom_spec_inherited_by_append_and_dml(spark, tmp_path):
     table_update_where(spark, t, {"id": "id + 100000"}, f"tag = '{probe}'")
     rows = table_scan(spark, t, filters=[("tag", "=", probe)]).collect()
     assert len(rows) == 1 and rows[0]["id"] == 100777
+
+
+def test_bloom_auto_sizes_bitmaps_from_file_density(spark, tmp_path):
+    """Round-9 scale fix: the default spec (m=None) sizes each file's
+    bitmap from its OBSERVED distinct count, so pruning power holds
+    when rows-per-file grows 10×+ (the fixed 8192-bit default
+    saturated at ~9.4k values/file: FPR ≈ 96%, pruning dead — the one
+    round-8 defect). Dense files must get bigger bitmaps; an explicit
+    bloom_m still pins the size; mixed-size payloads coexist."""
+    import hashlib
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _bloom_prune,
+        _resolve_state,
+        table_scan,
+    )
+
+    t = str(tmp_path / "bloom_auto")
+    mk = "md5(CAST(id AS STRING)) AS tag"
+    # ~10k distinct values per file — exactly the density that killed
+    # the fixed default
+    table_commit(
+        spark.range(0, 40000).selectExpr("id", mk).repartition(4),
+        t,
+        bloom_cols=["tag"],
+    )
+    st = _resolve_state(spark, t, None)
+    metas = [st["stats"][f]["__bloom"]["tag"] for f in st["files"]]
+    # auto-sizing: ~10 bits × ~10k values → ≥ 65536-bit bitmaps (the
+    # fixed default would have stayed at 8192 and saturated)
+    assert all(m["m"] >= 65536 for m in metas)
+    # pruning effectiveness at this density: a present value keeps its
+    # own file plus at most ~1% FPs; an absent value prunes everything
+    probe = hashlib.md5(b"1234").hexdigest()
+    filt = [("tag", "=", probe)]
+    survivors = _bloom_prune(st["stats"], st["files"], filt)
+    assert len(survivors) <= 2
+    rows = table_scan(spark, t, filters=filt).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1234
+    missing = [("tag", "=", hashlib.md5(b"absent-key").hexdigest())]
+    assert _bloom_prune(st["stats"], st["files"], missing) == []
+    # explicit m pins the size (mixed payloads in one table are fine:
+    # each bitmap is self-describing)
+    table_commit(
+        spark.range(40000, 40100).selectExpr("id", mk),
+        t,
+        bloom_cols=["tag"],
+        bloom_m=8192,
+    )
+    st2 = _resolve_state(spark, t, None)
+    sizes = {st2["stats"][f]["__bloom"]["tag"]["m"] for f in st2["files"]}
+    assert 8192 in sizes and max(sizes) >= 65536
+    probe2 = hashlib.md5(b"40050").hexdigest()
+    rows = table_scan(spark, t, filters=[("tag", "=", probe2)]).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 40050
+
+
+def test_partition_membership_never_prunes_on_cross_typed_equality(
+    spark, tmp_path
+):
+    """Round-9 correctness fix: an INT partition column probed with a
+    STRING literal ('2' in [2] is False in Python without raising)
+    must NOT prune — table_scan's row-level filter CASTS and matches,
+    so pruning would silently drop rows. Same-category equality keeps
+    pruning; the membership evidence stays exact."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        _stats_prune,
+        table_scan,
+    )
+
+    t = str(tmp_path / "xtyped")
+    df = spark.range(0, 400).selectExpr("id", "CAST(id % 4 AS INT) AS g")
+    table_commit(df, t, partition_by=["g"])
+    st = _resolve_state(spark, t, None)
+    # string literal against the int membership sets: NO pruning
+    kept = _stats_prune(st["stats"], st["files"], [("g", "=", "2")])
+    assert kept == st["files"]
+    # ... and the scan (which casts row-level) returns every match
+    assert table_scan(spark, t, filters=[("g", "=", "2")]).count() == 100
+    assert (
+        table_scan(spark, t, filters=[("g", "in", ["2", "3"])]).count() == 200
+    )
+    # same-category equality still prunes files by exact membership
+    kept_int = _stats_prune(st["stats"], st["files"], [("g", "=", 2)])
+    assert 0 < len(kept_int) < len(st["files"])
+    assert table_scan(spark, t, filters=[("g", "=", 2)]).count() == 100
