@@ -28,6 +28,8 @@ from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     table_compact_small,
     table_delete_where,
     table_drop_check_constraint,
+    table_drop_column,
+    table_rename_column,
     table_set_check_constraint,
     table_history,
     table_merge_upsert,

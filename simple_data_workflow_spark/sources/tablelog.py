@@ -3003,6 +3003,13 @@ def table_clone(
         entry["constraints"] = state["constraints"]
     if state.get("bloom") is not None:
         entry["bloom"] = state["bloom"]
+    # column mapping must ride the clone: the referenced files store
+    # PHYSICAL names, and without the map a renamed column would read
+    # as NULL through the clone (round-9 test-found bug)
+    if state.get("column_map"):
+        entry["column_map"] = state["column_map"]
+    if state.get("used_physicals"):
+        entry["used_physicals"] = state["used_physicals"]
     # deletion vectors ride along as absolute refs too: the sidecars
     # name target files by BASENAME, which the clone's refs preserve
     if state.get("dvs"):

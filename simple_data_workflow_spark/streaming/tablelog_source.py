@@ -129,10 +129,14 @@ def _read_log_json(path: str, name: str) -> dict:
 
 
 def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
-    """Snapshot resolution (files/schema/stats at a version) on pure
-    pyarrow — same checkpoint-plus-bounded-tail replay as the JVM
-    ``tablelog._resolve_state``, usable from the session-free driver
-    process the Python Data Source API runs in."""
+    """Snapshot resolution (files/schema/stats/deletion-vectors/column
+    map at a version) on pure pyarrow — same checkpoint-plus-bounded-
+    tail replay as the JVM ``tablelog._resolve_state``, usable from
+    the session-free driver process the Python Data Source API runs
+    in. Round 9: returns ``dvs`` (merge-on-read deletion-vector
+    sidecars) and ``column_map`` (logical→physical names after
+    metadata-only RENAME/DROP COLUMN) instead of refusing — the format
+    readers now apply both."""
     entries, cps = _list_log_arrow(path)
     if not entries and not cps:
         raise FileNotFoundError(f"no table log under {path}")
@@ -146,11 +150,13 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
     schema: str | None = None
     fvers: dict = {}
     dvs: list[str] = []
+    column_map: dict = {}
     if start_cp is not None:
         cp = _read_log_json(path, f"{start_cp:08d}.checkpoint.json")
         files, schema = list(cp["files"]), cp.get("schema")
         stats = dict(cp.get("stats", {}))
         dvs = list(cp.get("dvs", []))
+        column_map = dict(cp.get("column_map", {}))
         fvers = {f: int(v) for f, v in cp.get("file_versions", {}).items()}
         for f in files:
             fvers.setdefault(f, start_cp)
@@ -187,33 +193,53 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
             for f in e["add"]:
                 fvers[f] = v
         elif action == "dv":
-            # merge-on-read DML; a MoR UPDATE's postimage files ride
-            # the same entry as ``add`` (mirror of the JVM replay) —
-            # the dvs themselves still make this snapshot unreadable
-            # here (raise below), but the file list must stay exact so
-            # a later compact/delta replays correctly
+            # merge-on-read DML: row-position deletion vectors over
+            # unchanged data files; a MoR UPDATE's postimage files
+            # ride the same entry as ``add`` (mirror of the JVM replay)
             dvs.extend(e.get("dv_add", []))
             files.extend(e.get("add", []))
             stats.update(e.get("stats", {}))
             for f in e.get("add", []):
                 fvers[f] = v
         schema = e.get("schema", schema)
-    if dvs:
-        # merge-on-read deletion vectors need the per-row anti-join
-        # the session-free pyarrow reader does not implement — an
-        # explicit error beats silently resurrecting deleted rows
-        raise ValueError(
-            f"snapshot at {path} carries deletion vectors (merge-on-read "
-            "DELETE); read it via table_read/table_scan, or purge the "
-            "vectors with table_compact before using format('tablelog')"
-        )
+        # column mapping rides any entry (meta commits for RENAME/DROP
+        # COLUMN, data commits that allocated fresh physicals) — the
+        # newest declaration wins, mirroring the JVM replay. Without
+        # this, a renamed column's files would be read under the
+        # LOGICAL name, miss, and NULL-fill: silent data loss.
+        if "column_map" in e:
+            column_map = dict(e["column_map"])
     return {
         "version": upto,
         "files": files,
         "schema": schema,
         "stats": stats,
         "file_versions": fvers,
+        "dvs": dvs,
+        "column_map": column_map,
     }
+
+
+def _dv_positions_arrow(path: str, dvs: list[str]) -> dict[str, list[int]]:
+    """Deleted row positions per data-file BASENAME, read from the
+    deletion-vector parquet sidecars with pyarrow — the session-free
+    twin of ``tablelog._dv_frame``. Read ONCE driver-side at planning
+    time (bytes ∝ outstanding deletes, the same metadata Delta's
+    scan planner loads), then each partition ships only ITS OWN
+    positions — a worker never re-reads the sidecars."""
+    import pyarrow.parquet as pq
+
+    fs, root = _fs_for(path)
+    out: dict[str, list[int]] = {}
+    for d in dvs:
+        ref = _data_ref(root, d)
+        with fs.open_input_file(ref) as f:
+            t = pq.read_table(f, columns=["file", "pos"])
+        for fname, pos in zip(
+            t.column("file").to_pylist(), t.column("pos").to_pylist()
+        ):
+            out.setdefault(fname.rsplit("/", 1)[-1], []).append(int(pos))
+    return out
 
 
 def _read_entry(path: str, version: int) -> dict:
@@ -328,6 +354,10 @@ def _publish_if_absent(fs, root: str, name: str, payload: bytes) -> bool:
 class _FilePartition(InputPartition):
     file_path: str
     version: int
+    #: logical→physical column names (column mapping); None = identity
+    cmap: dict | None = None
+    #: MoR-deleted row positions WITHIN this file (sorted); None = none
+    dv_positions: list | None = None
 
 
 class TablelogStreamReader(DataSourceStreamReader):
@@ -367,6 +397,19 @@ class TablelogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
         entries = set(_list_entry_versions(self._path))
+        # column mapping as of the batch's END version: physical names
+        # are STABLE for a column's whole life, so the newest map reads
+        # every older file correctly (a retired physical maps to no
+        # logical field and never resurfaces) — without it a renamed
+        # column would stream as NULL, silent data loss
+        try:
+            cmap = (
+                _resolve_state_arrow(self._path, hi if hi in entries else None)
+                .get("column_map")
+                or None
+            )
+        except (FileNotFoundError, ValueError):
+            cmap = None
         parts: list[_FilePartition] = []
         for v in range(lo + 1, hi + 1):
             if v not in entries:
@@ -375,6 +418,8 @@ class TablelogStreamReader(DataSourceStreamReader):
                     "retained (history truncated past the stream's cursor)"
                 )
             e = _read_entry(self._path, v)
+            if e["action"] == "meta":
+                continue  # metadata-only (rename/drop column): no rows
             if e["action"] != "append" and not self._allow_rewrites:
                 raise ValueError(
                     f"version {v} is a {e.get('op', e['action'])!r} commit; "
@@ -384,33 +429,23 @@ class TablelogStreamReader(DataSourceStreamReader):
                 )
             fs, root = _fs_for(self._path)
             for f in list(e.get("files", [])) + list(e.get("add", [])):
-                parts.append(_FilePartition(_data_ref(root, f), v))
+                parts.append(_FilePartition(_data_ref(root, f), v, cmap=cmap))
         return parts
 
     def read(self, partition: _FilePartition):
         # runs in a Python worker: pyarrow only, no SparkSession
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        fs, _ = _fs_for(self._path)
-        with fs.open_input_file(partition.file_path) as f:
-            table = pq.read_table(f)
-        cols = []
-        for field in self._arrow_schema:
-            if field.name in table.column_names:
-                cols.append(table.column(field.name).cast(field.type))
-            else:
-                # file predates a schema evolution: column is NULL
-                cols.append(pa.nulls(table.num_rows, field.type))
-        cols.append(
-            # constant column without a per-row Python list
-            pa.repeat(pa.scalar(partition.version, pa.int64()), table.num_rows)
+        out = _read_file_arrow(
+            self._path,
+            partition.file_path,
+            self._arrow_schema,
+            cmap=partition.cmap,
         )
-        out = pa.table(
-            cols,
-            schema=pa.schema(
-                list(self._arrow_schema) + [pa.field(VERSION_COL, pa.int64())]
-            ),
+        out = out.append_column(
+            VERSION_COL,
+            # constant column without a per-row Python list
+            pa.repeat(pa.scalar(partition.version, pa.int64()), out.num_rows),
         )
         yield from out.to_batches()
 
@@ -421,11 +456,24 @@ class TablelogStreamReader(DataSourceStreamReader):
         pass
 
 
-def _read_file_arrow(base_path: str, file_path: str, arrow_schema):
+def _read_file_arrow(
+    base_path: str,
+    file_path: str,
+    arrow_schema,
+    cmap: dict | None = None,
+    dv_positions: list | None = None,
+):
     """Read one data file as an Arrow table conformed to the logged
     schema: columns match by name, files predating a metadata-only
     schema evolution fill the added columns with NULL — same contract
-    as batch ``table_read``. Runs in a session-free Python worker."""
+    as batch ``table_read``. ``cmap`` (logical→physical column names)
+    makes metadata-only RENAME/DROP COLUMN read correctly: the file is
+    probed under the PHYSICAL name and presented under the logical one
+    (a retired physical never resurfaces — it maps to no logical
+    field). ``dv_positions`` (merge-on-read deleted row indexes within
+    THIS file) are masked out with one boolean filter — row order is
+    the file's physical order, matching ``_metadata.row_index`` on the
+    JVM path. Runs in a session-free Python worker."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -434,11 +482,19 @@ def _read_file_arrow(base_path: str, file_path: str, arrow_schema):
         table = pq.read_table(f)
     cols = []
     for field in arrow_schema:
-        if field.name in table.column_names:
-            cols.append(table.column(field.name).cast(field.type))
+        phys = (cmap or {}).get(field.name, field.name)
+        if phys in table.column_names:
+            cols.append(table.column(phys).cast(field.type))
         else:
             cols.append(pa.nulls(table.num_rows, field.type))
-    return pa.table(cols, schema=pa.schema(list(arrow_schema)))
+    out = pa.table(cols, schema=pa.schema(list(arrow_schema)))
+    if dv_positions:
+        import numpy as np
+
+        mask = np.ones(out.num_rows, dtype=bool)
+        mask[np.asarray(dv_positions, dtype=np.int64)] = False
+        out = out.filter(pa.array(mask))
+    return out
 
 
 class TablelogBatchReader(DataSourceReader):
@@ -509,20 +565,47 @@ class TablelogBatchReader(DataSourceReader):
 
         state = _resolve_state_arrow(self._path, self._version)
         files = state["files"]
-        if self._filter_tuples:
-            files = _stats_prune(state["stats"], files, self._filter_tuples)
-            files = _bloom_prune(state["stats"], files, self._filter_tuples)
+        cmap = state.get("column_map") or None
+        filters = self._filter_tuples
+        if filters and cmap:
+            # stats are keyed by PHYSICAL name (stable across renames);
+            # pushed filters arrive logical — translate once, exactly
+            # as table_scan does
+            filters = [(cmap.get(c, c), o, v) for c, o, v in filters]
+        if filters:
+            files = _stats_prune(state["stats"], files, filters)
+            files = _bloom_prune(state["stats"], files, filters)
+        # deletion vectors: sidecars read ONCE here (bytes ∝
+        # outstanding deletes); each partition ships only its own
+        # file's positions, so MoR-maintained tables are readable
+        # without compacting (the round-8 refusal removed)
+        dv_pos = (
+            _dv_positions_arrow(self._path, state["dvs"])
+            if state.get("dvs")
+            else {}
+        )
         fs, root = _fs_for(self._path)
         fvers = state["file_versions"]
         return [
-            _FilePartition(_data_ref(root, f), int(fvers.get(f, state["version"])))
+            _FilePartition(
+                _data_ref(root, f),
+                int(fvers.get(f, state["version"])),
+                cmap=cmap,
+                dv_positions=dv_pos.get(f.rsplit("/", 1)[-1]),
+            )
             for f in files
         ]
 
     def read(self, partition: _FilePartition):
         import pyarrow as pa
 
-        out = _read_file_arrow(self._path, partition.file_path, self._arrow_schema)
+        out = _read_file_arrow(
+            self._path,
+            partition.file_path,
+            self._arrow_schema,
+            cmap=partition.cmap,
+            dv_positions=partition.dv_positions,
+        )
         tagged = out.append_column(
             VERSION_COL,
             pa.repeat(pa.scalar(partition.version, pa.int64()), out.num_rows),

@@ -1840,18 +1840,21 @@ def test_mor_changefeed_restore_and_matview(spark, tmp_path):
     assert table_read(spark, src).count() == 90
 
 
-def test_mor_clone_and_format_reader_boundary(spark, tmp_path):
+def test_mor_clone_and_format_reader_dv_aware(spark, tmp_path):
     """A shallow clone carries the vectors (reads match the source);
-    the session-free format('tablelog') reader refuses DV snapshots
-    instead of resurrecting rows."""
-    import pytest as _pytest
-
+    the session-free format('tablelog') reader applies them (round 9 —
+    it previously REFUSED DV snapshots, forcing the compact-first
+    workaround whose full-table rewrite is exactly the cost MoR
+    exists to avoid). Planning reads the sidecars ONCE driver-side;
+    each partition masks only its own file's positions."""
     from simple_data_workflow_spark.sources.tablelog import (
         table_clone,
         table_delete_where,
         table_row_count,
+        table_update_where,
     )
     from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
         _resolve_state_arrow,
     )
 
@@ -1862,8 +1865,41 @@ def test_mor_clone_and_format_reader_boundary(spark, tmp_path):
     table_clone(spark, src, dst)
     assert table_read(spark, dst).count() == 40
     assert table_row_count(spark, dst) == 40
-    with _pytest.raises(ValueError, match="deletion vectors"):
-        _resolve_state_arrow(src)
+    # arrow-side state resolution surfaces the vectors instead of
+    # raising, and the format reader masks them
+    st = _resolve_state_arrow(src)
+    assert st["dvs"]
+    spark.dataSource.register(TablelogStreamDataSource)
+    got = (
+        spark.read.format("tablelog")
+        .option("path", src)
+        .load()
+        .select("id")
+        .orderBy("id")
+        .collect()
+    )
+    want = sorted(r["id"] for r in table_read(spark, src).collect())
+    assert [r["id"] for r in got] == want == list(range(1, 80, 2))
+    # MoR UPDATE (vectors + postimage files in one entry) reads
+    # exactly too, including through the shallow clone's absolute refs
+    table_update_where(spark, src, {"id": "id + 1000"}, "id < 10", mode="mor")
+    got2 = sorted(
+        r["id"]
+        for r in spark.read.format("tablelog")
+        .option("path", src)
+        .load()
+        .collect()
+    )
+    want2 = sorted(r["id"] for r in table_read(spark, src).collect())
+    assert got2 == want2
+    got_clone = sorted(
+        r["id"]
+        for r in spark.read.format("tablelog")
+        .option("path", dst)
+        .load()
+        .collect()
+    )
+    assert got_clone == sorted(r["id"] for r in table_read(spark, dst).collect())
 
 
 def test_mor_delete_rebases_over_concurrent_append(
@@ -2198,3 +2234,128 @@ def test_partition_membership_never_prunes_on_cross_typed_equality(
     kept_int = _stats_prune(st["stats"], st["files"], [("g", "=", 2)])
     assert 0 < len(kept_int) < len(st["files"])
     assert table_scan(spark, t, filters=[("g", "=", 2)]).count() == 100
+
+
+def test_rename_column_metadata_only_reads_dml_changes_clone(
+    spark, tmp_path
+):
+    """ALTER TABLE RENAME COLUMN is metadata-only (files keep the
+    stable PHYSICAL name) and every read path translates: snapshot
+    reads, filtered scans (stats stay keyed physical), DML predicates,
+    the row-level change feed, and clones. Round 9: first real
+    coverage of the column-mapping surface."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_changes_rowlevel,
+        table_clone,
+        table_delete_where,
+        table_rename_column,
+        table_scan,
+    )
+
+    t = str(tmp_path / "ren")
+    table_commit(
+        spark.range(0, 100).selectExpr("id", "id % 5 AS g"), t,
+        partition_by=["g"],
+    )
+    v_ren = table_rename_column(spark, t, "g", "grp")
+    st = _resolve_state(spark, t, None)
+    assert st["column_map"] == {"grp": "g"}
+    assert st["partition_by"] == ["grp"]  # spec renamed atomically
+    # snapshot read: logical name, real values (NOT null-filled)
+    df = table_read(spark, t)
+    assert df.columns == ["id", "grp"]
+    assert df.where("grp = 2").count() == 20
+    # filtered scan: logical filter translates to the physical-keyed
+    # membership stats and still prunes
+    assert table_scan(spark, t, filters=[("grp", "=", 2)]).count() == 20
+    # DML under the new name; time travel to pre-rename still shows
+    # the old name
+    table_delete_where(spark, t, "grp = 4")
+    assert table_read(spark, t).count() == 80
+    assert table_read(spark, t, version=v_ren - 1).columns == ["id", "g"]
+    # appends arrive LOGICAL and land under the stable physical
+    table_commit(spark.range(100, 110).selectExpr("id", "id % 5 AS grp"), t)
+    assert table_read(spark, t).where("grp = 2").count() == 22
+    # row-level change feed presents logical names
+    feed = table_changes_rowlevel(spark, t, v_ren, None)
+    assert "grp" in feed.columns and "g" not in feed.columns
+    # clones carry the map
+    dst = str(tmp_path / "ren_clone")
+    table_clone(spark, t, dst)
+    assert table_read(spark, dst).where("grp = 2").count() == 22
+
+
+def test_drop_column_then_readd_gets_fresh_physical(spark, tmp_path):
+    """DROP COLUMN is metadata-only; a column RE-ADDED under the same
+    logical name gets a FRESH physical, so old files can never
+    resurrect the dropped column's data (they surface NULL)."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_drop_column,
+    )
+
+    t = str(tmp_path / "dropadd")
+    table_commit(spark.range(0, 50).selectExpr("id", "id * 10 AS x"), t)
+    table_drop_column(spark, t, "x")
+    assert table_read(spark, t).columns == ["id"]
+    # re-add x with DIFFERENT values via schema evolution
+    table_commit(
+        spark.range(50, 60).selectExpr("id", "id + 7 AS x"),
+        t,
+        evolve_schema=True,
+    )
+    st = _resolve_state(spark, t, None)
+    # fresh physical allocated (old physical 'x' is retired)
+    assert st["column_map"].get("x", "x") != "x"
+    rows = {r["id"]: r["x"] for r in table_read(spark, t).collect()}
+    assert len(rows) == 60
+    # old rows: NULL (never id*10 resurrected); new rows: id + 7
+    assert all(rows[i] is None for i in range(50))
+    assert all(rows[i] == i + 7 for i in range(50, 60))
+
+
+def test_format_reader_applies_column_map(spark, tmp_path):
+    """The session-free format('tablelog') readers translate
+    physical→logical (round 9): after a metadata-only rename, batch
+    and streaming reads return the column's DATA under its new name —
+    previously they probed files by logical name, missed, and
+    silently NULL-filled."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_rename_column,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    t = str(tmp_path / "ren_fmt")
+    table_commit(spark.range(0, 30).selectExpr("id", "id * 2 AS val"), t)
+    table_rename_column(spark, t, "val", "doubled")
+    spark.dataSource.register(TablelogStreamDataSource)
+    got = (
+        spark.read.format("tablelog").option("path", t).load()
+        .select("id", "doubled").orderBy("id").collect()
+    )
+    assert [r["doubled"] for r in got] == [i * 2 for i in range(30)]
+    # pushed filter on the renamed column translates to the
+    # physical-keyed stats (no wrong pruning, right rows)
+    n = (
+        spark.read.format("tablelog").option("path", t).load()
+        .where("doubled >= 40").count()
+    )
+    assert n == 10
+    # streaming: the same file read path, so renamed columns stream
+    # with data too
+    import tempfile
+
+    out = (
+        spark.readStream.format("tablelog").option("path", t).load()
+        .writeStream.format("memory").queryName("ren_fmt_q")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ren-ck-"))
+        .trigger(availableNow=True).start()
+    )
+    out.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT doubled FROM ren_fmt_q ORDER BY id"
+    ).collect()
+    assert [r["doubled"] for r in rows] == [i * 2 for i in range(30)]
