@@ -1381,6 +1381,90 @@ def table_history(spark: SparkSession, path: str) -> list[dict]:
 # ------------------------------------------------------------------ vacuum
 
 
+def _abs_root(path: str) -> str:
+    """The canonical absolute form clone refs use for this table."""
+    return path if "://" in path else os.path.abspath(path)
+
+
+def _register_clone_backref(
+    spark: SparkSession, src_root: str, dst: str
+) -> None:
+    """Record at ``src_root`` that ``dst`` shallow-references its data
+    files: one marker under ``{src}/_clones/``, written BEFORE the
+    clone's commit publishes (a failed clone leaves a stale marker,
+    which vacuum garbage-collects when it finds no log at ``dst`` —
+    the safe order; the reverse would let a racing vacuum reap files
+    the just-committed clone references)."""
+    jvm, fs = _fs(spark, src_root)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{src_root}/_clones"))
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{src_root}/_clones/{uuid.uuid4().hex}.json"
+    )
+    out = fs.create(p, False)
+    try:
+        out.write(
+            json.dumps({"dst": _abs_root(dst), "ts": int(time.time() * 1000)})
+            .encode("utf-8")
+        )
+    finally:
+        out.close()
+
+
+def _clone_referenced_names(spark: SparkSession, path: str) -> set[str]:
+    """Basenames of THIS table's data files that live shallow clones
+    still reference — collected from each registered clone's ENTIRE
+    retained log (not just its current snapshot, so the clone's own
+    time travel survives a source vacuum). Markers whose destination
+    has no log (clone deleted / never committed) or references none of
+    our files anymore (materialized, then history-truncated) are
+    garbage-collected here. Cost ∝ clone count × clone log size —
+    metadata, never data."""
+    jvm, fs = _fs(spark, path)
+    cdir = jvm.org.apache.hadoop.fs.Path(f"{path}/_clones")
+    if not fs.exists(cdir):
+        return set()
+    data_prefix = f"{_abs_root(path)}/data"
+    out: set[str] = set()
+    for st in fs.listStatus(cdir):
+        name = st.getPath().getName()
+        if not name.endswith(".json"):
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            marker = json.loads(
+                bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                ).decode("utf-8")
+            )
+        finally:
+            stream.close()
+        dst = marker.get("dst")
+        try:
+            entries, cps = _list_log(spark, dst)
+        except Exception:
+            entries, cps = [], []
+        if not entries and not cps:
+            fs.delete(st.getPath(), False)  # clone gone or never landed
+            continue
+        refs: set[str] = set()
+        for v in entries:
+            refs.update(_entry_adds(_read_json(spark, dst, f"{v:08d}.json")))
+        for c in cps:
+            cp = _read_json(spark, dst, f"{c:08d}.checkpoint.json")
+            refs.update(cp["files"])
+            refs.update(cp.get("dvs", []))
+        ours = {
+            r.rsplit("/", 1)[-1]
+            for r in refs
+            if "/" in r and r.rsplit("/", 1)[0] == data_prefix
+        }
+        if not ours:
+            fs.delete(st.getPath(), False)  # fully materialized: release
+            continue
+        out.update(ours)
+    return out
+
+
 def table_vacuum(
     spark: SparkSession, path: str, retention_hours: float = 168.0
 ) -> int:
@@ -1395,7 +1479,15 @@ def table_vacuum(
     Delta refuses sub-retention vacuums by default. ``0`` is allowed
     for single-writer maintenance windows; with concurrent writers
     keep it above any writer's stage-to-commit latency.
-    """
+
+    CLONE-AWARE (round 9): shallow clones reference this table's
+    immutable files by absolute path; each clone registers a back-ref
+    marker under ``{path}/_clones/`` at creation, and vacuum keeps
+    every file any live clone's retained log still references — so
+    vacuuming a source after history truncation can no longer
+    silently corrupt its clones (previously a documented caveat).
+    Markers for deleted or fully-materialized clones are
+    garbage-collected in the same pass."""
     entries, cps = _list_log(spark, path)
     referenced: set[str] = set()
     for v in entries:
@@ -1404,6 +1496,7 @@ def table_vacuum(
         cp = _read_json(spark, path, f"{c:08d}.checkpoint.json")
         referenced.update(cp["files"])
         referenced.update(cp.get("dvs", []))
+    referenced.update(_clone_referenced_names(spark, path))
     jvm, fs = _fs(spark, path)
     data_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
     if not fs.exists(data_dir):
@@ -2957,11 +3050,15 @@ def table_clone(
     clone (rewrites every referenced byte locally), after which it is
     independent of the source.
 
-    Retention caveat (same as every shallow clone): ``table_vacuum`` /
-    ``table_truncate_history`` on the SOURCE can reap files the clone
-    still references — vacuum the source only after deep-cloning or
-    compacting dependents, or pass ``deep=True`` to copy the data
-    through a real write (one scan + write, no shared fate).
+    Source-retention safety (round 9): the clone registers a back-ref
+    marker under ``{src}/_clones/`` BEFORE its commit publishes, and
+    ``table_vacuum`` on the source keeps every file any live clone's
+    retained log references — so vacuuming the source after history
+    truncation no longer corrupts clones. Markers are garbage-
+    collected once a clone is deleted or fully materialized
+    (``table_compact(dst)`` then clone-side history truncation). Pass
+    ``deep=True`` to copy the data through a real write instead (one
+    scan + write, no shared fate at all).
 
     Returns the clone's commit version (0 for a fresh ``dst``).
     """
@@ -2970,19 +3067,40 @@ def table_clone(
         snap = (
             _read_files(
                 spark, src, state["files"], state["schema"],
-                dvs=state.get("dvs"),
+                dvs=state.get("dvs"), cmap=state.get("column_map"),
             )
             if state["files"]
             else spark.createDataFrame([], state["schema"])
         )
-        return table_commit(
+        bl = state.get("bloom") or {}
+        v0 = table_commit(
             snap,
             dst,
             mode="overwrite",
             partition_by=state.get("partition_by"),
-            bloom_cols=(state.get("bloom") or {}).get("cols"),
+            bloom_cols=bl.get("cols"),
+            bloom_m=bl.get("m"),
+            bloom_k=int(bl.get("k", _BLOOM_K)),
         )
-    src_abs = src if "://" in src else os.path.abspath(src)
+        # a deep clone is advertised as an independent COPY: CHECK
+        # constraints must carry or the clone's ingest validation is
+        # silently weaker than the source's. One metadata entry (the
+        # snapshot provably satisfies them — the source enforced every
+        # write — so no re-scan)
+        if state.get("constraints"):
+            return _commit_entry(
+                spark,
+                dst,
+                {
+                    "action": "append",
+                    "files": [],
+                    "schema": state["schema"],
+                    "constraints": state["constraints"],
+                    "op": "clone_constraints",
+                },
+            )
+        return v0
+    src_abs = _abs_root(src)
     refs = [_data_path(src_abs, f) for f in state["files"]]
     stats = {
         _data_path(src_abs, f): s
@@ -3022,4 +3140,15 @@ def table_clone(
     # IS the fold up to src_version, clone included
     if state.get("src_version") is not None:
         entry["src_version"] = state["src_version"]
+    # back-ref registration BEFORE the commit publishes (vacuum safety
+    # order), at EVERY table whose data dir the refs point into — a
+    # clone of a clone references the ORIGINAL's files directly, so it
+    # registers there too, and each source's vacuum sees it
+    roots = set()
+    for r in refs + list(entry.get("dvs", [])):
+        head, sep, _ = r.rpartition("/data/")
+        if sep and head:
+            roots.add(head)
+    for root in roots:
+        _register_clone_backref(spark, root, dst)
     return _commit_entry(spark, dst, entry)

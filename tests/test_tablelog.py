@@ -2359,3 +2359,107 @@ def test_format_reader_applies_column_map(spark, tmp_path):
         "SELECT doubled FROM ren_fmt_q ORDER BY id"
     ).collect()
     assert [r["doubled"] for r in rows] == [i * 2 for i in range(30)]
+
+
+def test_vacuum_is_clone_aware(spark, tmp_path):
+    """Round 9: vacuuming a source after history truncation must NOT
+    reap files a live shallow clone references (previously a
+    documented corruption caveat). The clone registers a back-ref at
+    creation; vacuum keeps every file the clone's retained log
+    references, and garbage-collects markers of deleted clones."""
+    import shutil
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_clone,
+        table_truncate_history,
+        table_vacuum,
+    )
+
+    src = str(tmp_path / "vac_src")
+    dst = str(tmp_path / "vac_dst")
+    table_commit(spark.range(0, 60).selectExpr("id").repartition(2), src)
+    table_clone(spark, src, dst)  # clone of v0's files
+    # source moves on: overwrite drops v0's files from its OWN refs,
+    # truncation forgets v0 entirely
+    table_commit(
+        spark.range(100, 130).selectExpr("id").repartition(2),
+        src,
+        mode="overwrite",
+    )
+    table_truncate_history(spark, src, keep_last=1)
+    # vacuum must keep the clone-referenced v0 files alive
+    table_vacuum(spark, src, retention_hours=0)
+    got = sorted(r["id"] for r in table_read(spark, dst).collect())
+    assert got == list(range(60))  # clone intact AFTER source vacuum
+    assert sorted(r["id"] for r in table_read(spark, src).collect()) == list(
+        range(100, 130)
+    )
+    # clone deleted → its marker is GC'd and the files finally reap
+    shutil.rmtree(dst)
+    reclaimed = table_vacuum(spark, src, retention_hours=0)
+    assert reclaimed >= 2  # v0's data files now unreferenced
+    import os as _os
+
+    assert _os.listdir(f"{src}/_clones") == []  # marker gone too
+
+
+def test_clone_of_clone_survives_original_vacuum(spark, tmp_path):
+    """A second-level clone references the ORIGINAL's files directly
+    (absolute refs pass through), so it registers a back-ref at the
+    original too — vacuuming the original keeps its files alive."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_clone,
+        table_truncate_history,
+        table_vacuum,
+    )
+
+    a = str(tmp_path / "gen_a")
+    b = str(tmp_path / "gen_b")
+    c = str(tmp_path / "gen_c")
+    table_commit(spark.range(0, 40).selectExpr("id").repartition(2), a)
+    table_clone(spark, a, b)
+    table_clone(spark, b, c)  # refs point into a/data directly
+    table_commit(
+        spark.range(500, 510).selectExpr("id"), a, mode="overwrite"
+    )
+    table_truncate_history(spark, a, keep_last=1)
+    table_vacuum(spark, a, retention_hours=0)
+    assert sorted(r["id"] for r in table_read(spark, c).collect()) == list(
+        range(40)
+    )
+
+
+def test_deep_clone_carries_constraints_and_bloom_spec(spark, tmp_path):
+    """A deep clone is an independent COPY: CHECK constraints and the
+    bloom spec's m/k must carry (previously constraints were dropped
+    and a custom m/k silently reset — weaker ingest validation than
+    the source's)."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        table_clone,
+        table_set_check_constraint,
+    )
+
+    src = str(tmp_path / "deep_src")
+    dst = str(tmp_path / "deep_dst")
+    table_commit(
+        spark.range(0, 50).selectExpr("id", "CAST(id AS STRING) AS tag"),
+        src,
+        bloom_cols=["tag"],
+        bloom_m=16384,
+        bloom_k=5,
+    )
+    table_set_check_constraint(spark, src, "id_nonneg", "id >= 0")
+    table_clone(spark, src, dst, deep=True)
+    st = _resolve_state(spark, dst, None)
+    assert st["constraints"] == {"id_nonneg": "id >= 0"}
+    assert st["bloom"] == {"cols": ["tag"], "m": 16384, "k": 5}
+    metas = [st["stats"][f]["__bloom"]["tag"] for f in st["files"]]
+    assert all(m["m"] == 16384 and m["k"] == 5 for m in metas)
+    # and the carried constraint actually enforces on the clone
+    with _pytest.raises(ValueError, match="id_nonneg"):
+        table_commit(spark.range(-5, 0).selectExpr(
+            "id", "CAST(id AS STRING) AS tag"
+        ), dst)
