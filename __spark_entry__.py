@@ -1108,6 +1108,75 @@ FROM terms GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def perplexity_heldout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 9 (VERDICT r8 #8): HELD-OUT perplexity — train the bigram
+    model on even-doc_id documents only, score the odd-doc_id half
+    under it. This pins the unseen-token path with an oracle: a
+    held-out bigram (or even a first token) the training half never
+    saw must flow through the LEFT joins as ``coalesce(count, 0)`` and
+    still produce the exact add-k number — the formula CCNet-style
+    filtering depends on when scoring web text under a Wikipedia
+    model. Training uses ``persist=True`` (round-9 split), so the
+    scoring plan reads materialized count tables instead of
+    re-tokenizing the training half inside the join."""
+    from simple_data_workflow_spark.llmdata import lm
+
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    model = lm.bigram_lm_counts(
+        docs.where(F.col("doc_id") % 2 == 0), persist=True
+    )
+    return (
+        lm.perplexity_scores(docs.where(F.col("doc_id") % 2 == 1), lm=model)
+        .select("doc_id", "n_bigrams", "cross_entropy")
+        .orderBy("doc_id")
+    )
+
+
+PERPLEXITY_HELDOUT_SQL = """
+WITH toks_train AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 2 = 0
+    AND len(string_split(text, ' ')) >= 2
+), toks_score AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 2 = 1
+    AND len(string_split(text, ' ')) >= 2
+), uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM toks_train) GROUP BY w1
+), big AS (
+  SELECT g.w1, g.w2, COUNT(*) AS c12 FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                  i -> {'w1': w[i], 'w2': w[i + 1]})) AS g
+    FROM toks_train
+  ) GROUP BY g.w1, g.w2
+), vocab AS (
+  SELECT COUNT(*) AS v FROM uni
+), grams AS (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                  i -> {'w1': w[i], 'w2': w[i + 1]})) AS g
+    FROM toks_score
+  )
+), terms AS (
+  SELECT g.doc_id,
+         CAST(ROUND(-log2((COALESCE(b.c12, 0) + 0.5)
+                          / (COALESCE(u.c1, 0) + 0.5 * vocab.v))
+                    * 1000000.0) AS BIGINT) AS t
+  FROM grams g
+  LEFT JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
+  LEFT JOIN uni u ON g.w1 = u.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(t) AS DOUBLE) / (1000000.0 * COUNT(*)), 6)
+         AS cross_entropy
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: representative (min) doc_id per distinct text."""
     tune(spark)
@@ -2555,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_mor_dml": _wrap(tablelog_mor_dml),
         "tablelog_bloom_lookup": _wrap(tablelog_bloom_lookup),
         "perplexity_score_docs": _wrap(perplexity_score_docs),
+        "perplexity_heldout_docs": _wrap(perplexity_heldout_docs),
         "funnel_conversion": _wrap(rel.funnel_conversion),
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
         "tablelog_dml_roundtrip": _wrap(tablelog_dml_roundtrip),
@@ -2803,6 +2873,7 @@ def oracle_sql() -> dict[str, str]:
         "tablelog_mor_dml": TABLELOG_MOR_DML_SQL,
         "tablelog_bloom_lookup": TABLELOG_BLOOM_SQL,
         "perplexity_score_docs": PERPLEXITY_SQL,
+        "perplexity_heldout_docs": PERPLEXITY_HELDOUT_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,

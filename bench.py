@@ -150,6 +150,46 @@ def ivf_index_search_bench(spark, sf_dir):
     return ivf_index_search(spark, path, q, k=5, n_probe=4)
 
 
+_LM_PATHS: dict = {}
+
+
+def _lm_path(spark, sf_dir: str):
+    """Prebuilt bigram LM per sf_dir (uni/big count tables written to
+    parquet + V), built OUTSIDE the timed loop like the IVF index:
+    ``perplexity_score_only`` then measures the SERVING shape — score
+    a corpus under an existing model — which the train-included
+    ``perplexity_score_docs`` number buries (~4× tokenization before
+    the round-9 persist fix, ~2× after). Parquet-backed (not
+    .persist()) because the per-query clearCache() would evict a
+    cached model between entries."""
+    if sf_dir not in _LM_PATHS:
+        import tempfile
+
+        from simple_data_workflow_spark.llmdata import lm
+
+        root = tempfile.mkdtemp(prefix="sdw-lm-")
+        docs = load_table(spark, sf_dir, "documents")
+        uni, big, v = lm.bigram_lm_counts(docs, persist=True)
+        uni.write.parquet(f"{root}/uni")
+        big.write.parquet(f"{root}/big")
+        uni.unpersist(), big.unpersist()
+        _LM_PATHS[sf_dir] = (root, v)
+    return _LM_PATHS[sf_dir]
+
+
+def perplexity_score_only_bench(spark, sf_dir):
+    from simple_data_workflow_spark.llmdata import lm
+
+    root, v = _lm_path(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    model = (
+        spark.read.parquet(f"{root}/uni"),
+        spark.read.parquet(f"{root}/big"),
+        v,
+    )
+    return lm.perplexity_scores(docs, lm=model)
+
+
 def minhash_bench(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
@@ -265,6 +305,8 @@ QUERIES = {
     "tablelog_mor_dml": entrymod.tablelog_mor_dml,
     "tablelog_bloom_lookup": entrymod.tablelog_bloom_lookup,
     "perplexity_score_docs": entrymod.perplexity_score_docs,
+    "perplexity_heldout_docs": entrymod.perplexity_heldout_docs,
+    "perplexity_score_only": perplexity_score_only_bench,
     "ivf_index_topk": entrymod.ivf_index_topk,
     "ivf_index_search_only": ivf_index_search_bench,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,
@@ -329,6 +371,7 @@ def main() -> None:
     for d in (WARM_SF_DIR, SF_DIR):
         _corpus_rows(spark, d)
         _ivf_index_path(spark, d)
+        _lm_path(spark, d)
     # warm each query once at the smallest sf (JVM/codegen/reader warmup,
     # not counted) so the timed runs measure the queries, not JIT
     for name, fn in QUERIES.items():
@@ -337,8 +380,11 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-2 per query: this host runs noisy background load; the min
-    # reflects the query, the max reflects the neighbors
+    # best-of-3 per query: this host runs noisy background load; the min
+    # reflects the query, the max reflects the neighbors. Raised from
+    # best-of-2 in round 9 — VERDICT r8 flagged five untouched-code
+    # entries drifting >1.3× two rounds running; a third sample tightens
+    # the min-estimator enough to separate regression from load.
     # per-query fault isolation: one failing query must not abort the run
     # (round 4 lost ALL timing data to a single AnalysisException) — record
     # the error string, keep going, emit partial totals
@@ -347,7 +393,7 @@ def main() -> None:
     t_all = time.time()
     for name, fn in QUERIES.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             try:
                 t0 = time.time()
                 df = fn(spark, SF_DIR)

@@ -68,11 +68,25 @@ def _doc_bigrams(toks: DataFrame, id_col: str) -> DataFrame:
 
 
 def bigram_lm_counts(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Train: ``(unigrams(w1, c1), bigrams(w1, w2, c12), V)``. Two
-    grouped aggregates; ``V`` is one count — the only driver value."""
+    grouped aggregates; ``V`` is one count — the only driver value.
+
+    ``persist=True`` materializes BOTH count tables (and caches the
+    tokenized corpus only for the duration of training): a scoring
+    plan that references the model then reads the aggregates instead
+    of re-deriving them — without it, self-scoring tokenized the
+    corpus ~4× in one query (the round-8 bench's slowest entry was
+    mostly this). The caller owns eviction (``uni.unpersist()`` /
+    ``big.unpersist()``) — or writes the tables to storage, which the
+    ``lm=`` parameter accepts just the same."""
     toks = _tokens(docs, text_col, id_col)
+    if persist:
+        toks = toks.persist()
     uni = (
         toks.select(F.explode("w").alias("w1"))
         .groupBy("w1")
@@ -83,6 +97,12 @@ def bigram_lm_counts(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
+    if persist:
+        uni, big = uni.persist(), big.persist()
+        v = uni.count()
+        big.count()  # materialize now, while toks is cached
+        toks.unpersist()
+        return uni, big, v
     return uni, big, uni.count()
 
 
@@ -97,7 +117,15 @@ def perplexity_scores(
     under ``lm`` (or a model trained on ``docs`` itself when omitted —
     the self-scoring shape that flags a corpus's own outliers).
     Returns ``(id_col, n_bigrams, cross_entropy, perplexity)``."""
-    uni, big, v = lm if lm is not None else bigram_lm_counts(docs, text_col, id_col)
+    # self-scoring trains with persist=True: the scoring joins read
+    # the materialized count tables instead of re-tokenizing the
+    # corpus inside the same plan (round-9 fix — the scoring pass
+    # itself still tokenizes once, which is its own ∝-corpus cost)
+    uni, big, v = (
+        lm
+        if lm is not None
+        else bigram_lm_counts(docs, text_col, id_col, persist=True)
+    )
     grams = _doc_bigrams(_tokens(docs, text_col, id_col), id_col)
     joined = grams.join(big, ["w1", "w2"], "left").join(uni, ["w1"], "left")
     p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k)) / (
