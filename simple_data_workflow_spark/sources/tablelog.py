@@ -489,6 +489,7 @@ def table_commit(
     bloom_cols: list[str] | None = None,
     bloom_m: int | None = None,
     bloom_k: int = _BLOOM_K,
+    stream_batch_id: int | None = None,
 ) -> int:
     """Commit ``df`` as one atomic version; returns the version number.
 
@@ -531,6 +532,23 @@ def table_commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     spark = df.sparkSession
+    if stream_batch_id is not None:
+        # foreachBatch replay dedup (the same txn mechanism the
+        # session-free Arrow sink uses): a batch id already in the log
+        # is a no-op, upgrading at-least-once delivery to exactly-once
+        # table contents. Batch ids are monotonic per query, so the
+        # newest-first scan stops at the first OLDER id — O(1) per
+        # commit, not O(history). Single streaming query per table
+        # (two queries' id sequences would cross-dedupe — the
+        # documented constraint the Arrow sink carries too).
+        entries_now, _ = _list_log(spark, path)
+        for v in reversed(entries_now):
+            e = _read_json(spark, path, f"{v:08d}.json")
+            sbid = e.get("stream_batch_id")
+            if sbid == stream_batch_id:
+                return v  # replayed batch: already live
+            if sbid is not None and sbid < stream_batch_id:
+                break
     try:
         _cur = _resolve_state(spark, path, None)
     except FileNotFoundError:
@@ -693,6 +711,8 @@ def table_commit(
         entry["used_physicals"] = sorted(
             set(used) | {cmap.get(c, c) for c in df.columns}
         )
+    if stream_batch_id is not None:
+        entry["stream_batch_id"] = int(stream_batch_id)
     if base is not None:
         entry["base"] = base
     # both modes re-validate in the CAS loop (appends: schema +

@@ -683,8 +683,10 @@ class TablelogStreamWriter(DataSourceStreamArrowWriter):
     metadata-only COUNT(*) as batch-landed ones. CHECK constraints
     (``tablelog.table_set_check_constraint``) are NOT enforced on this
     path — the sink runs session-free and cannot evaluate Spark SQL
-    expressions; filter the stream before the sink, or validate
-    downstream (documented boundary, not silent).
+    expressions; use ``streaming.sinks.streaming_table_append_sink``
+    (the session-ful foreachBatch twin, same exactly-once txn
+    mechanism) when the table carries constraints, or filter the
+    stream before this sink (documented boundary, not silent).
 
     Slot publication uses the same atomic if-absent primitive as the
     batch path (``os.link`` on local filesystems — POSIX ``link(2)``

@@ -841,3 +841,84 @@ def test_streaming_sink_commits_carry_footer_stats(spark, tmp_path):
     # an impossible range proves the bounds actually prune
     assert _stats_prune(state["stats"], state["files"], [("id", ">", 10**9)]) == []
     assert _stats_prune(state["stats"], state["files"], [("v", "<", 0.0)]) == []
+
+
+def test_streaming_append_sink_enforces_check_constraints(spark, tmp_path):
+    """Round 9 (VERDICT r8 #7): the session-ful foreachBatch append
+    sink enforces CHECK constraints batch-side — a violating
+    micro-batch fails the query ATOMICALLY (the table never advances,
+    nothing stages), a clean batch appends exactly once, and a
+    replayed batch id is a no-op."""
+    import pyspark.sql.utils  # noqa: F401
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_commit,
+        table_history,
+        table_read,
+        table_set_check_constraint,
+    )
+    from simple_data_workflow_spark.streaming.sinks import (
+        streaming_table_append_sink,
+    )
+
+    t = str(tmp_path / "checked_tbl")
+    table_commit(spark.range(0, 5).selectExpr("id", "id * 2 AS v"), t)
+    table_set_check_constraint(spark, t, "v_nonneg", "v >= 0")
+
+    # violating stream FIRST (batch ids start at 0 per query; the sink
+    # is single-query-per-table by contract, so the rejection case
+    # must not share ids with a committed clean batch): query fails,
+    # table never advances
+    n_versions = len(table_history(spark, t))
+    src_bad = str(tmp_path / "in_bad")
+    spark.range(0, 4).selectExpr("id", "-id - 1 as v").coalesce(1).write.parquet(src_bad)
+    q2 = streaming_table_append_sink(
+        spark.readStream.schema("id long, v long").parquet(src_bad),
+        t,
+        str(tmp_path / "ck_bad"),
+    )
+    exc_msg = None
+    try:
+        q2.processAllAvailable()
+        q2.awaitTermination(120)
+    except Exception as e:  # StreamingQueryException wraps the ValueError
+        exc_msg = str(e)
+    if exc_msg is None:
+        exc_msg = str(q2.exception() or "")
+    q2.stop()
+    assert "v_nonneg" in exc_msg, "violating batch must fail the query"
+    assert len(table_history(spark, t)) == n_versions  # never advanced
+    assert table_read(spark, t).count() == 5
+    assert table_read(spark, t).where("v < 0").count() == 0
+
+    # clean stream: appends land, constraint satisfied
+    src_ok = str(tmp_path / "in_ok")
+    spark.range(5, 15).selectExpr("id", "id * 2 as v").coalesce(1).write.parquet(src_ok)
+    q = streaming_table_append_sink(
+        spark.readStream.schema("id long, v long").parquet(src_ok),
+        t,
+        str(tmp_path / "ck_ok"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert table_read(spark, t).count() == 15
+
+    # replay dedup: re-running the CLEAN checkpointed query offers the
+    # committed batch again on restart; the table must not double
+    q3 = streaming_table_append_sink(
+        spark.readStream.schema("id long, v long").parquet(src_ok),
+        t,
+        str(tmp_path / "ck_ok"),  # same checkpoint
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    assert table_read(spark, t).count() == 15
+    # and the direct-dedup contract: same stream_batch_id is a no-op
+    v_now = len(table_history(spark, t))
+    table_commit(
+        spark.range(100, 104).selectExpr("id", "id as v"),
+        t,
+        stream_batch_id=0,  # already in the log from the clean query
+    )
+    assert len(table_history(spark, t)) == v_now
+    assert table_read(spark, t).count() == 15
