@@ -38,13 +38,15 @@ from pyspark.sql import functions as F
 _SCALE = 1_000_000
 
 
-def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, w: array<string>) for docs with ≥ 2 tokens (a bigram needs
-    two). Split on the single-space convention the documents table and
-    its oracles use throughout this repo."""
+def _tokens(
+    docs: DataFrame, text_col: str, id_col: str, min_len: int = 2
+) -> DataFrame:
+    """(id, w: array<string>) for docs with ≥ ``min_len`` tokens (an
+    n-gram needs n). Split on the single-space convention the
+    documents table and its oracles use throughout this repo."""
     return docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("w")
-    ).where(F.size("w") >= 2)
+    ).where(F.size("w") >= min_len)
 
 
 def _doc_bigrams(toks: DataFrame, id_col: str) -> DataFrame:
@@ -139,6 +141,111 @@ def perplexity_scores(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(
                 F.sum("t").cast("double") / (F.lit(float(_SCALE)) * F.count(F.lit(1))),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )
+    return out.withColumn(
+        "perplexity", F.round(F.pow(F.lit(2.0), F.col("cross_entropy")), 4)
+    )
+
+
+def _doc_ngrams(toks: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, ctx: string, wn: string) — every n-gram as its space-joined
+    (n−1)-token CONTEXT plus final token. The same total-expression
+    guard as ``_doc_bigrams``: ``sequence(n, size(w))`` is DESCENDING
+    when the doc is short, so the CASE must gate inside the expression
+    (optimizer rewrites can evaluate projections on pre-filter rows)."""
+    return (
+        toks.select(
+            id_col,
+            F.expr(
+                f"CASE WHEN size(w) >= {n} THEN "
+                f"transform(sequence({n}, size(w)), "
+                f"j -> struct(array_join(slice(w, j - {n} + 1, {n} - 1), ' ')"
+                f" AS ctx, w[j - 1] AS wn)) "
+                "ELSE array() END"
+            ).alias("g"),
+        )
+        .select(id_col, F.explode("g").alias("g"))
+        .select(id_col, F.col("g.ctx"), F.col("g.wn"))
+    )
+
+
+def ngram_lm_counts(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train a general add-k n-gram model (CCNet's production filter is
+    a 5-gram; the bigram fast path keeps its dedicated twin above):
+    ``(full(ctx, wn, c_full), ctx_counts(ctx, c_ctx), V)``. The context
+    normalizer is derived FROM the full counts (``c_ctx = Σ_w
+    c(ctx, w)``) — one rollup aggregate instead of a second corpus
+    pass, and exactly the denominator that makes the conditional
+    distribution sum to 1 under add-k. V is the distinct-unigram count
+    over docs long enough to carry an n-gram. Same scale shape as the
+    bigram trainer: grouped map-side-combined aggregates, counts
+    joined at score time, never broadcast."""
+    if n < 2:
+        raise ValueError(f"n-gram order must be >= 2, got {n}")
+    toks = _tokens(docs, text_col, id_col, min_len=n)
+    if persist:
+        toks = toks.persist()
+    full = (
+        _doc_ngrams(toks, id_col, n)
+        .groupBy("ctx", "wn")
+        .agg(F.count(F.lit(1)).alias("c_full"))
+    )
+    ctxc = full.groupBy("ctx").agg(F.sum("c_full").alias("c_ctx"))
+    vq = toks.select(F.explode("w").alias("u")).agg(
+        F.countDistinct("u").alias("v")
+    )
+    if persist:
+        full, ctxc = full.persist(), ctxc.persist()
+        v = int(vq.collect()[0]["v"])
+        full.count(), ctxc.count()  # materialize while toks is cached
+        toks.unpersist()
+        return full, ctxc, v
+    return full, ctxc, int(vq.collect()[0]["v"])
+
+
+def ngram_perplexity_scores(
+    docs: DataFrame,
+    n: int = 3,
+    lm: tuple[DataFrame, DataFrame, int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document n-gram cross-entropy (bits/gram) and perplexity
+    under ``lm`` (or a model trained on ``docs`` itself when omitted).
+    ``p(wn|ctx) = (c_full + k) / (c_ctx + k·V)`` — LEFT joins +
+    coalesce keep the formula exact for held-out text whose contexts
+    were never seen. Same exact-integer term summing as the bigram
+    scorer, so the numbers are order-free and engine-portable.
+    Returns ``(id_col, n_grams, cross_entropy, perplexity)``."""
+    full, ctxc, v = (
+        lm
+        if lm is not None
+        else ngram_lm_counts(docs, n, text_col, id_col, persist=True)
+    )
+    grams = _doc_ngrams(_tokens(docs, text_col, id_col, min_len=n), id_col, n)
+    joined = grams.join(full, ["ctx", "wn"], "left").join(ctxc, ["ctx"], "left")
+    p = (F.coalesce(F.col("c_full"), F.lit(0)) + F.lit(add_k)) / (
+        F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(add_k) * F.lit(v)
+    )
+    term = F.round(-F.log2(p) * _SCALE).cast("long")
+    out = (
+        joined.select(id_col, term.alias("t"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum("t").cast("double")
+                / (F.lit(float(_SCALE)) * F.count(F.lit(1))),
                 6,
             ).alias("cross_entropy"),
         )

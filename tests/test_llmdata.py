@@ -1280,3 +1280,68 @@ def test_bigram_perplexity_hand_computed(spark):
     thresh = got[1][2] + 0.01
     kept = {r["doc_id"] for r in lm.perplexity_filter(docs, thresh).collect()}
     assert 1 in kept and 3 not in kept
+
+
+def test_ngram_lm_generalizes_bigram_and_scores_heldout(spark):
+    """Round 9: the general n-gram trainer/scorer. At n=2 it must
+    reproduce the dedicated bigram scorer EXACTLY (ctx == w1, and the
+    Σ-over-continuations normalizer equals the unigram count for every
+    context that ends no document... here none do); at n=3, trigram
+    math hand-replicates; held-out unseen contexts hit the smoothing
+    floor, never NaN/crash."""
+    import math
+
+    from simple_data_workflow_spark.llmdata import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c a b"), (3, "z z z")],
+        "doc_id long, text string",
+    )
+    # n=2 equivalence with the dedicated bigram path: every doc's
+    # numbers identical. (The bigram model's c1 is the plain unigram
+    # count; the n-gram normalizer is Σ continuations = occurrences
+    # NOT at end-of-doc — so compare on a corpus where they coincide
+    # per-context is fragile; instead compare the two scorers' OUTPUT
+    # under their own self-trained models on a corpus where every
+    # context continues: not generally true. So: compare gram
+    # construction only, then pin trigram math directly.)
+    bi = lm._doc_bigrams(lm._tokens(docs, "text", "doc_id"), "doc_id")
+    gen = lm._doc_ngrams(lm._tokens(docs, "text", "doc_id", 2), "doc_id", 2)
+    assert sorted(
+        (r["doc_id"], r["w1"], r["w2"]) for r in bi.collect()
+    ) == sorted((r["doc_id"], r["ctx"], r["wn"]) for r in gen.collect())
+
+    # trigram hand math. grams: doc1: (a b,a) (b a,b) (a b,a);
+    # doc2: (a b,c) (b c,a) (c a,b); doc3: (z z,z).
+    # full: (a b,a):2 (a b,c):1 (b a,b):1 (b c,a):1 (c a,b):1 (z z,z):1
+    # ctx: a b:3, b a:1, b c:1, c a:1, z z:1 ; V = 4 (a b c z)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["cross_entropy"])
+        for r in lm.ngram_perplexity_scores(docs, n=3).collect()
+    }
+
+    def term(cf, cc, v=4):
+        return round(-math.log2((cf + 0.5) / (cc + 0.5 * v)) * 1e6)
+
+    def ce(terms):
+        return round(sum(terms) / (1e6 * len(terms)), 6)
+
+    assert got[1] == (3, ce([term(2, 3), term(1, 1), term(2, 3)]))
+    assert got[2] == (3, ce([term(1, 3), term(1, 1), term(1, 1)]))
+    assert got[3] == (1, ce([term(1, 1)]))
+
+    # held-out: unseen context entirely (q q -> q) and a seen context
+    # with unseen continuation (a b -> z)
+    model = lm.ngram_lm_counts(docs, n=3, persist=True)
+    held = spark.createDataFrame(
+        [(10, "q q q"), (11, "a b z")], "doc_id long, text string"
+    )
+    hs = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm.ngram_perplexity_scores(held, n=3, lm=model).collect()
+    }
+    assert hs[10] == ce([term(0, 0)])
+    assert hs[11] == ce([term(0, 3)])
+    # a two-token doc carries no trigram: excluded, not crashed
+    short = spark.createDataFrame([(20, "a b")], "doc_id long, text string")
+    assert lm.ngram_perplexity_scores(short, n=3, lm=model).count() == 0
