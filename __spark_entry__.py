@@ -2150,6 +2150,34 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 9: product-quantization ANN
+    (``llmdata.similarity.fit_pq_codebooks/pq_encode/pq_topk``) — the
+    FAISS ``PQ8 + refine`` shape. 64-dim float vectors encode to 8
+    uint8 codes (32× smaller: the representation a 100 TB embedding
+    corpus actually scans); search reads each query's m×256
+    lookup table once and scores every code row with m codegen table
+    lookups (asymmetric distance), then exact-rescoring ONLY the ADC
+    shortlist recovers recall. Codebook training is seeded iterative
+    k-means → rows-only check, but the recall claim is asserted
+    IN-QUERY against the exact brute-force twin — ≥ 0.9 at
+    rerank=50 — so the driver run fails loudly if quantization ever
+    degrades (same pattern as the bloom prune assert)."""
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    cbs = similarity.fit_pq_codebooks(emb, m=8)
+    codes = similarity.pq_encode(emb, cbs)
+    out = similarity.pq_topk(q, codes, cbs, k=5, rerank=50, corpus=emb)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, emb, k=5).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert len(got & exact) / max(len(exact), 1) >= 0.9
+    return out.orderBy("query_id", "rank")
+
+
 def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine ≥ 0.38 (all-pairs at oracle
     scale; LSH buckets above the guard)."""
@@ -2860,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _wrap(cosine_topk),
         "cosine_near_dups": _wrap(cosine_near_dups),
         "ivf_topk_embeddings": _wrap(ivf_topk_embeddings),
+        "pq_topk_embeddings": _wrap(pq_topk_embeddings),
         "stats_corr_battery": _wrap(rel.stats_corr_battery),
         "trailing_30d_revenue": _wrap(rel.trailing_30d_revenue),
         "pack_documents": _wrap(pack_documents),

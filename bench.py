@@ -342,6 +342,7 @@ QUERIES = {
     "lsh_topk": lsh_topk_bench,
     "lsh_topk_multiprobe": lsh_topk_multiprobe_bench,
     "ivf_topk": ivf_topk_bench,
+    "pq_topk_rerank": entrymod.pq_topk_embeddings,
     "lsh_cosine_near_dups": lsh_near_dups_bench,
     "lsh_cosine_near_dups_multiprobe": lsh_near_dups_multiprobe_bench,
     "pack_documents": pack_bench,

@@ -1345,3 +1345,50 @@ def test_ngram_lm_generalizes_bigram_and_scores_heldout(spark):
     # a two-token doc carries no trigram: excluded, not crashed
     short = spark.createDataFrame([(20, "a b")], "doc_id long, text string")
     assert lm.ngram_perplexity_scores(short, n=3, lm=model).count() == 0
+
+
+def test_pq_topk_recall_and_compression(spark):
+    """Round 9: product quantization. 64-dim float vectors encode to
+    m=8 uint8 codes (32× smaller); ADC-only top-k clears a recall
+    floor, and the FAISS-style exact re-rank of the ADC shortlist
+    recovers recall ≥ 0.9 while the corpus is only ever scanned as
+    codes. Codebook training is seeded-deterministic."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.llmdata import similarity as S
+    from simple_data_workflow_spark.sources.readers import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = S.fit_pq_codebooks(emb, m=8)
+    # deterministic: refit is bit-identical (seeded RNG + seeded init)
+    assert S.fit_pq_codebooks(emb, m=8) == cbs
+    assert len(cbs) == 8 and all(len(cb[0]) == 8 for cb in cbs)
+    codes = S.pq_encode(emb, cbs)
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert codes.where(
+        F.exists("codes", lambda c: (c < 0) | (c > 255))
+    ).count() == 0
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(q, emb, k=5).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_topk(q, codes, cbs, k=5).collect()
+    }
+    assert len(adc & exact) / len(exact) >= 0.35  # ADC-only floor
+    refined = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_topk(
+            q, codes, cbs, k=5, rerank=50, corpus=emb
+        ).collect()
+    }
+    assert len(refined & exact) / len(exact) >= 0.9  # rerank recovers
+    # rerank without corpus is a loud error, not a silent ADC fallback
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus"):
+        S.pq_topk(q, codes, cbs, k=5, rerank=10)
