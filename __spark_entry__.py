@@ -987,6 +987,66 @@ ORDER BY o_orderkey
 """
 
 
+def tablelog_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 9: Iceberg-style HIDDEN PARTITIONING
+    (``table_commit(partition_by=["months(o_orderdate)"])``). Orders
+    cluster on the TRANSFORMED month value (the log records each
+    file's distinct months — no generated column is stored), and the
+    query filters the RAW date column: ``table_scan`` derives
+    membership/range evidence on the transformed sets and prunes
+    driver-side, asserted in-query (the ~84 distinct months spread
+    over 32 files ⇒ a 6-month window must keep a small minority).
+    The oracle applies the same raw-column filter over plain parquet,
+    so a value-hash match proves transform-derived pruning never
+    changes semantics — the exact hazard of doing day arithmetic two
+    ways (Spark ``datediff``/``month`` vs driver Python)."""
+    import datetime
+    import tempfile
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _derive_transform_filters,
+        _resolve_state,
+        _stats_prune,
+        table_commit,
+        table_scan,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-tlhid-") + "/orders_hidden"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    table_commit(orders, path, partition_by=["months(o_orderdate)"])
+    lo = datetime.date(1995, 1, 1)
+    hi = datetime.date(1995, 7, 1)
+    filt = [("o_orderdate", ">=", lo), ("o_orderdate", "<", hi)]
+    st = _resolve_state(spark, path, None)
+    derived = _derive_transform_filters(st["partition_by"], filt, {})
+    survivors = _stats_prune(st["stats"], st["files"], filt + derived)
+    # the pruning claim: ≤6 of ~84 months qualify; with ~3 months per
+    # file a correct derivation keeps well under half the files
+    assert derived and len(survivors) < len(st["files"]) / 2
+    return (
+        table_scan(spark, path, filters=filt)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+TABLELOG_HIDDEN_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -2773,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_score_docs": _wrap(perplexity_score_docs),
         "perplexity_heldout_docs": _wrap(perplexity_heldout_docs),
         "tablelog_rename_scan": _wrap(tablelog_rename_scan),
+        "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
         "trigram_perplexity_docs": _wrap(trigram_perplexity_docs),
         "funnel_conversion": _wrap(rel.funnel_conversion),
         "listagg_priorities_by_segment": _wrap(rel.listagg_priorities_by_segment),
@@ -2924,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window: approx_sketches only.
     head = [
         "tablelog_rename_scan",
+        "tablelog_hidden_partition_scan",
         "perplexity_heldout_docs",
         "trigram_perplexity_docs",
         "sql_grouping_sets",
@@ -2972,7 +3034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents",
         "train_holdout_split",
         "quantize_embeddings",
-        "error_window_clicks",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -3023,6 +3084,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_score_docs": PERPLEXITY_SQL,
         "perplexity_heldout_docs": PERPLEXITY_HELDOUT_SQL,
         "tablelog_rename_scan": TABLELOG_RENAME_SQL,
+        "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,
         "trigram_perplexity_docs": TRIGRAM_PERPLEXITY_SQL,
         "listagg_priorities_by_segment": rel.LISTAGG_SQL,
         "q1_pricing_summary": rel.Q1_SQL,

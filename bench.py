@@ -309,6 +309,7 @@ QUERIES = {
     "perplexity_score_only": perplexity_score_only_bench,
     "trigram_perplexity_docs": entrymod.trigram_perplexity_docs,
     "tablelog_rename_scan": entrymod.tablelog_rename_scan,
+    "tablelog_hidden_partition_scan": entrymod.tablelog_hidden_partition_scan,
     "ivf_index_topk": entrymod.ivf_index_topk,
     "ivf_index_search_only": ivf_index_search_bench,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,

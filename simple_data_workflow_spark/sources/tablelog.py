@@ -50,6 +50,7 @@ import contextlib
 import datetime
 import json
 import os
+import re
 import time
 import uuid
 
@@ -96,6 +97,191 @@ def _auto_bloom_m(ndv: int) -> int:
 _BLOOMABLE = (T.StringType, T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 CHECKPOINT_INTERVAL = 10
+
+# ------------------------------------------ partition transforms (Iceberg)
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(years|months|days|hours|bucket|truncate)\s*\(\s*([^)]*?)\s*\)\s*$"
+)
+#: transforms that preserve the source column's order — a RANGE filter
+#: on the raw column derives a range filter on the transformed value
+#: (bucket hashes, so only equality/IN derive)
+_MONOTONIC_TRANSFORMS = {"years", "months", "days", "hours", "truncate"}
+
+
+def _parse_partition_field(spec: str) -> tuple[str, str, str, int | None]:
+    """Parse one partition-spec field into ``(key, col, kind, param)``.
+    A bare column name is the identity transform; Iceberg-style
+    transforms are ``years/months/days/hours(col)`` (temporal
+    bucketing), ``bucket(n, col)`` (hash bucket — md5 canonical-string,
+    the same driver-reproducible hash the Bloom index uses), and
+    ``truncate(w, col)`` (string prefix / integer floor-to-width).
+    ``key`` is the canonical form used as the stats key."""
+    if "(" not in spec:
+        return spec.strip(), spec.strip(), "identity", None
+    m = _TRANSFORM_RE.match(spec)
+    if not m:
+        raise ValueError(
+            f"unsupported partition transform {spec!r} (supported: "
+            "years/months/days/hours(col), bucket(n, col), "
+            "truncate(w, col))"
+        )
+    kind = m.group(1)
+    args = [a.strip() for a in m.group(2).split(",")]
+    if kind in ("bucket", "truncate"):
+        if len(args) != 2:
+            raise ValueError(f"{kind}() takes (n, col): {spec!r}")
+        param = int(args[0])
+        if param <= 0:
+            raise ValueError(f"{kind}() width must be positive: {spec!r}")
+        return _canonical_field(kind, param, args[1]), args[1], kind, param
+    if len(args) != 1:
+        raise ValueError(f"{kind}() takes one column: {spec!r}")
+    return _canonical_field(kind, None, args[0]), args[0], kind, None
+
+
+def _canonical_field(kind: str, param: int | None, col: str) -> str:
+    if kind == "identity":
+        return col
+    return f"{kind}({col})" if param is None else f"{kind}({param},{col})"
+
+
+def _transform_expr(kind: str, param: int | None, col: str, dtype):
+    """Spark Column computing the transform of ``col`` — must agree
+    VALUE-FOR-VALUE with the driver-side ``_transform_value`` (the
+    session runs UTC, so temporal arithmetic matches), or pruning
+    would drop matching files."""
+    c = F.col(col)
+    if kind == "identity":
+        return c
+    if kind == "years":
+        return F.year(c)
+    if kind == "months":
+        # year*100+month: sortable int, human-readable, monotonic
+        return F.year(c) * F.lit(100) + F.month(c)
+    if kind == "days":
+        return F.datediff(c.cast("date"), F.lit("1970-01-01"))
+    if kind == "hours":
+        return F.floor(F.unix_timestamp(c.cast("timestamp")) / 3600).cast(
+            "bigint"
+        )
+    if kind == "bucket":
+        if not isinstance(dtype, _BLOOMABLE):
+            raise ValueError(
+                f"bucket() needs a string/integral column, got "
+                f"{dtype.simpleString()} for {col!r}"
+            )
+        h = F.conv(
+            F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        return F.pmod(h, F.lit(param)).cast("int")
+    if kind == "truncate":
+        if isinstance(dtype, T.StringType):
+            return F.substring(c, 1, param)
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return c - F.pmod(c, F.lit(param))
+        raise ValueError(
+            f"truncate() needs a string/integral column, got "
+            f"{dtype.simpleString()} for {col!r}"
+        )
+    raise ValueError(f"unknown transform {kind!r}")
+
+
+def _transform_value(kind: str, param: int | None, v):
+    """Driver-side transform of a FILTER value — the Python twin of
+    ``_transform_expr``. Returns None when the value's canonical form
+    cannot be reproduced here (wrong type): the caller then derives no
+    evidence and pruning stays conservative."""
+    import hashlib
+
+    if kind == "identity":
+        return v
+    if kind in ("years", "months", "days"):
+        if isinstance(v, str):
+            try:
+                v = datetime.date.fromisoformat(v[:10])
+            except ValueError:
+                return None
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        if not isinstance(v, datetime.date):
+            return None
+        if kind == "years":
+            return v.year
+        if kind == "months":
+            return v.year * 100 + v.month
+        return (v - datetime.date(1970, 1, 1)).days
+    if kind == "hours":
+        if isinstance(v, str):
+            try:
+                v = datetime.datetime.fromisoformat(v.replace(" ", "T"))
+            except ValueError:
+                return None
+        if isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        ):
+            v = datetime.datetime(v.year, v.month, v.day)
+        if not isinstance(v, datetime.datetime):
+            return None
+        if v.tzinfo is None:
+            # session timezone is UTC (session.tune); naive == UTC
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() // 3600)
+    if kind == "bucket":
+        if isinstance(v, bool) or not isinstance(v, (str, int)):
+            return None
+        return int(hashlib.md5(str(v).encode()).hexdigest()[0:15], 16) % param
+    if kind == "truncate":
+        if isinstance(v, str):
+            return v[:param]
+        if isinstance(v, bool) or not isinstance(v, int):
+            return None
+        return v - v % param
+    return None
+
+
+def _derive_transform_filters(
+    partition_by: list[str] | None, pfilters: list[tuple], cmap: dict | None
+) -> list[tuple]:
+    """Derived pruning filters on TRANSFORMED partition values: a
+    filter on the raw column becomes membership/range evidence against
+    the canonical transform key's recorded per-file value sets.
+    Equality/IN derive for every transform; range filters derive only
+    for ORDER-PRESERVING transforms, with strict bounds relaxed
+    (``ts > V`` ⇒ ``days(ts) >= days(V)`` — same-day later rows
+    qualify). Purely additive: row-level filtering stays on the raw
+    column, so a missed derivation costs pruning, never correctness."""
+    out: list[tuple] = []
+    for spec in partition_by or []:
+        _, col, kind, param = _parse_partition_field(spec)
+        if kind == "identity":
+            continue
+        pcol = (cmap or {}).get(col, col)
+        pkey = _canonical_field(kind, param, pcol)
+        for c, o, v in pfilters:
+            if c != pcol:
+                continue
+            if o in ("=", "==", "in"):
+                vals = list(v) if o == "in" else [v]
+                tv = [_transform_value(kind, param, x) for x in vals]
+                if all(t is not None for t in tv):
+                    out.append((pkey, "in", tv))
+            elif o in ("<", "<=", ">", ">=") and kind in _MONOTONIC_TRANSFORMS:
+                t = _transform_value(kind, param, v)
+                if t is not None:
+                    out.append((pkey, "<=" if o in ("<", "<=") else ">=", t))
+    return out
+
+
+def _cluster_exprs(df: DataFrame, partition_by: list[str], cmap: dict | None = None):
+    """Clustering Columns for a partition spec over ``df`` — pass
+    ``cmap`` when ``df`` carries PHYSICAL column names."""
+    out = []
+    for spec in partition_by:
+        _, col, kind, param = _parse_partition_field(spec)
+        c = (cmap or {}).get(col, col)
+        out.append(_transform_expr(kind, param, c, df.schema[c].dataType))
+    return out
 
 
 class ConcurrentWriteConflict(RuntimeError):
@@ -513,6 +699,19 @@ def table_commit(
     declared spec (recorded in the log) and keep their rewritten files
     prunable; pass ``[]`` on an overwrite to unpartition.
 
+    Fields may also be Iceberg-style TRANSFORMS — ``"days(ts)"`` /
+    ``"months(ts)"`` / ``"years(ts)"`` / ``"hours(ts)"``,
+    ``"bucket(n, col)"`` (md5 canonical-string hash, driver-
+    reproducible), ``"truncate(w, col)"`` (string prefix / integer
+    floor) — the HIDDEN-partitioning shape: the batch clusters on the
+    transformed value, the log records each file's distinct
+    TRANSFORMED values, and ``table_scan`` filters on the RAW column
+    still prune (equality/IN derive membership probes for every
+    transform; ranges derive for the order-preserving ones). No
+    generated column is stored; a high-cardinality timestamp
+    partitions by day without the small-file explosion raw-value
+    partitioning would cause.
+
     ``bloom_cols=[col, ...]`` declares a per-file Bloom-filter index
     (Delta's BLOOMFILTER INDEX shape): every commit records a
     ``bloom_k``-probe bitmap per file per column in the log, and
@@ -585,7 +784,8 @@ def table_commit(
     _enforced = {"constraints": dict((_cur or {}).get("constraints") or {})}
     _enforce_constraints(df, _enforced["constraints"], path, f"{mode} batch")
     if partition_by:
-        missing = [c for c in partition_by if c not in df.columns]
+        parsed = [_parse_partition_field(s) for s in partition_by]
+        missing = [c for _, c, _, _ in parsed if c not in df.columns]
         if missing:
             raise ValueError(
                 f"partition_by columns {missing} not in batch columns "
@@ -593,9 +793,19 @@ def table_commit(
             )
         # explicit partition count pins the clustering fan-out — with
         # only the columns, AQE would coalesce a small batch into one
-        # file and every value combo would share it (no pruning)
+        # file and every value combo would share it (no pruning).
+        # Transforms cluster on the TRANSFORMED value (days/bucket/...)
+        # so each file holds few transformed values — the Iceberg
+        # hidden-partitioning shape: queries filter the raw column and
+        # still prune.
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        df = df.repartition(n, *partition_by)
+        df = df.repartition(
+            n,
+            *[
+                _transform_expr(kind, param, col, df.schema[col].dataType)
+                for _, col, kind, param in parsed
+            ],
+        )
 
     def _validate_append_schema() -> int:
         """Batch schema vs the CURRENT table schema; raises on drift.
@@ -702,6 +912,23 @@ def table_commit(
             spark, path, files, partition_cols=partition_by, bloom=bloom,
             cmap=cmap,
         )
+        if len(entry["stats"]) < len(files):
+            # zero-row staged files (hash clustering with fewer value
+            # combos than shuffle partitions leaves empty outputs):
+            # drop them from the commit and the disk — every absent
+            # stats key is provably empty because the stats aggregate
+            # emits a "__rows" row for any file with ≥ 1 row. Fewer
+            # objects to list, fewer footers to ever open.
+            empties = [f for f in files if f not in entry["stats"]]
+            files = [f for f in files if f in entry["stats"]]
+            entry["files"] = files
+            jvm_, fs_ = _fs(spark, path)
+            for f in empties:
+                with contextlib.suppress(Exception):
+                    fs_.delete(
+                        jvm_.org.apache.hadoop.fs.Path(_data_path(path, f)),
+                        False,
+                    )
     if declared:
         entry["partition_by"] = partition_by
     if bloom_declared:
@@ -987,11 +1214,23 @@ def _collect_stats(
     # staged files carry PHYSICAL names; specs are declared logical —
     # translate here so stats stay keyed physical (stable across
     # renames, matching the files) and scans translate filters once
-    if cmap:
-        partition_cols = [cmap.get(c, c) for c in (partition_cols or [])]
-        if bloom and bloom.get("cols"):
-            bloom = {**bloom, "cols": [cmap.get(c, c) for c in bloom["cols"]]}
-    pcols = [c for c in (partition_cols or []) if c in scan.columns]
+    if cmap and bloom and bloom.get("cols"):
+        bloom = {**bloom, "cols": [cmap.get(c, c) for c in bloom["cols"]]}
+    # partition fields: bare columns (identity) or transforms; the
+    # stats key is the canonical form over the PHYSICAL inner column
+    # (stable across renames), the recorded values are TRANSFORMED
+    pfields: list[tuple[str, object]] = []
+    for spec in partition_cols or []:
+        _, col, kind, param = _parse_partition_field(spec)
+        pcol = (cmap or {}).get(col, col)
+        if pcol not in scan.columns:
+            continue
+        pfields.append(
+            (
+                _canonical_field(kind, param, pcol),
+                _transform_expr(kind, param, pcol, scan.schema[pcol].dataType),
+            )
+        )
     # per-file row count rides along under the reserved "__rows" key:
     # it lets COUNT(*) (table_row_count) answer from the log alone
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -1001,11 +1240,13 @@ def _collect_stats(
             F.max(c).alias(f"mx__{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"nu__{c}"),
         ]
-    for c in pcols:
+    for i, (_, expr) in enumerate(pfields):
         # one extra value past the cap disambiguates "exactly at cap"
         # from "truncated" (a truncated set is NOT pruning evidence)
         aggs.append(
-            F.slice(F.collect_set(c), 1, _MAX_PART_VALUES + 1).alias(f"pv__{c}")
+            F.slice(F.collect_set(expr), 1, _MAX_PART_VALUES + 1).alias(
+                f"pv__{i}"
+            )
         )
     rows = (
         scan.withColumn("__f", F.input_file_name()).groupBy("__f").agg(*aggs).collect()
@@ -1020,14 +1261,14 @@ def _collect_stats(
                 continue  # all-null file or unserializable — no stat, no prune
             per_col[c] = [mn, mx, int(r[f"nu__{c}"] or 0)]
         parts = {}
-        for c in pcols:
-            vals = r[f"pv__{c}"]
+        for i, (key, _) in enumerate(pfields):
+            vals = r[f"pv__{i}"]
             if vals is None or len(vals) > _MAX_PART_VALUES:
                 continue  # truncated set is not evidence — min/max only
             ser = [_ser_stat(v, "min") for v in vals]
             if any(s is None for s in ser):
                 continue  # unserializable value in the set
-            parts[c] = sorted(ser, key=lambda x: (str(type(x)), str(x)))
+            parts[key] = sorted(ser, key=lambda x: (str(type(x)), str(x)))
         if parts:
             per_col["__parts"] = parts
         stats[r["__f"].rsplit("/", 1)[-1]] = per_col
@@ -1680,10 +1921,16 @@ def table_rename_column(
         "used_physicals": used,
         "base": state["version"],
     }
-    if old in (state.get("partition_by") or []):
-        entry["partition_by"] = [
-            new if c == old else c for c in state["partition_by"]
-        ]
+    pb = state.get("partition_by") or []
+    if any(_parse_partition_field(sp)[1] == old for sp in pb):
+        # rename the INNER column of bare and transform fields alike
+        renamed = []
+        for sp in pb:
+            _, col, kind, param = _parse_partition_field(sp)
+            renamed.append(
+                _canonical_field(kind, param, new if col == old else col)
+            )
+        entry["partition_by"] = renamed
     bl = state.get("bloom")
     if bl and old in bl.get("cols", []):
         entry["bloom"] = {
@@ -1711,7 +1958,10 @@ def table_drop_column(spark: SparkSession, path: str, col: str) -> int:
         raise ValueError(f"no column {col!r} in {path} (has {names})")
     if len(fields) == 1:
         raise ValueError(f"cannot drop the only column of {path}")
-    if col in (state.get("partition_by") or []):
+    if any(
+        _parse_partition_field(sp)[1] == col
+        for sp in (state.get("partition_by") or [])
+    ):
         raise ValueError(
             f"{col!r} is a partition column; redeclare partition_by first"
         )
@@ -2482,7 +2732,7 @@ def table_compact(
         added = _stage_data_files(
             snapshot.repartition(
                 n_files,
-                *[(cmap or {}).get(c, c) for c in state["partition_by"]],
+                *_cluster_exprs(snapshot, state["partition_by"], cmap),
             ),
             path,
         )
@@ -2537,7 +2787,9 @@ def table_compact_small(
         cmap=state.get("column_map"),
     )
     if state.get("partition_by"):
-        packed = packed.repartition(n_files, *state["partition_by"])
+        packed = packed.repartition(
+            n_files, *_cluster_exprs(packed, state["partition_by"])
+        )
     else:
         packed = packed.coalesce(n_files)
     added = _stage_data_files(
@@ -2656,6 +2908,13 @@ def table_scan(
         # application below stays logical)
         cm = state.get("column_map") or {}
         pfilters = [(cm.get(c, c), o, v) for c, o, v in filters]
+        # hidden partitioning: filters on a transform-partitioned RAW
+        # column derive membership/range evidence on the transformed
+        # per-file value sets (additive — pruning only, never the
+        # row-level semantics)
+        pfilters = pfilters + _derive_transform_filters(
+            state.get("partition_by"), pfilters, cm
+        )
         files = _stats_prune(state["stats"], files, pfilters)
         # bloom evidence composes on top: equality/IN on an indexed
         # high-cardinality column prunes where min/max ranges cannot

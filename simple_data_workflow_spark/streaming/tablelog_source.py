@@ -151,12 +151,14 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
     fvers: dict = {}
     dvs: list[str] = []
     column_map: dict = {}
+    partition_by = None
     if start_cp is not None:
         cp = _read_log_json(path, f"{start_cp:08d}.checkpoint.json")
         files, schema = list(cp["files"]), cp.get("schema")
         stats = dict(cp.get("stats", {}))
         dvs = list(cp.get("dvs", []))
         column_map = dict(cp.get("column_map", {}))
+        partition_by = cp.get("partition_by")
         fvers = {f: int(v) for f, v in cp.get("file_versions", {}).items()}
         for f in files:
             fvers.setdefault(f, start_cp)
@@ -209,6 +211,8 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
         # LOGICAL name, miss, and NULL-fill: silent data loss.
         if "column_map" in e:
             column_map = dict(e["column_map"])
+        if "partition_by" in e:
+            partition_by = e["partition_by"]
     return {
         "version": upto,
         "files": files,
@@ -217,6 +221,7 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
         "file_versions": fvers,
         "dvs": dvs,
         "column_map": column_map,
+        "partition_by": partition_by,
     }
 
 
@@ -573,6 +578,15 @@ class TablelogBatchReader(DataSourceReader):
             # as table_scan does
             filters = [(cmap.get(c, c), o, v) for c, o, v in filters]
         if filters:
+            from simple_data_workflow_spark.sources.tablelog import (
+                _derive_transform_filters,
+            )
+
+            # hidden partitioning: raw-column filters derive evidence
+            # on transformed per-file value sets (days/bucket/...)
+            filters = filters + _derive_transform_filters(
+                state.get("partition_by"), filters, cmap
+            )
             files = _stats_prune(state["stats"], files, filters)
             files = _bloom_prune(state["stats"], files, filters)
         # deletion vectors: sidecars read ONCE here (bytes ∝

@@ -2463,3 +2463,132 @@ def test_deep_clone_carries_constraints_and_bloom_spec(spark, tmp_path):
         table_commit(spark.range(-5, 0).selectExpr(
             "id", "CAST(id AS STRING) AS tag"
         ), dst)
+
+
+def test_partition_transforms_days_prune_and_stay_exact(spark, tmp_path):
+    """Round 9: Iceberg-style hidden partitioning. A table partitioned
+    by days(ts) clusters on the DAY, records per-file transformed
+    value sets, and a filter on the RAW timestamp column prunes files
+    (equality AND ranges — days() is order-preserving) while the
+    row-level semantics stay exact."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _derive_transform_filters,
+        _resolve_state,
+        _stats_prune,
+        table_scan,
+    )
+
+    t = str(tmp_path / "days_part")
+    df = spark.range(0, 2000).selectExpr(
+        "id",
+        "timestampadd(MINUTE, CAST(id * 7 AS INT), "
+        "TIMESTAMP '2024-03-01 00:00:00') AS ts",
+    )  # ~10 distinct days, many rows each
+    table_commit(df, t, partition_by=["days(ts)"])
+    st = _resolve_state(spark, t, None)
+    assert st["partition_by"] == ["days(ts)"]
+    keys = {
+        k
+        for f in st["files"]
+        for k in st["stats"].get(f, {}).get("__parts", {})
+    }
+    assert keys == {"days(ts)"}
+    # equality on the raw column: derived membership prunes
+    filt = [("ts", "=", "2024-03-05 12:34:00")]
+    derived = _derive_transform_filters(["days(ts)"], filt, {})
+    assert derived == [("days(ts)", "in", [19787])]  # 2024-03-05
+    kept = _stats_prune(st["stats"], st["files"], filt + derived)
+    assert 0 < len(kept) < len(st["files"])
+    # range on the raw column: order-preserving transform derives
+    rfilt = [("ts", ">=", "2024-03-09 00:00:00")]
+    rkept = _stats_prune(
+        st["stats"],
+        st["files"],
+        rfilt + _derive_transform_filters(["days(ts)"], rfilt, {}),
+    )
+    assert 0 < len(rkept) < len(st["files"])
+    # semantics: pruned scan == unpruned count
+    import datetime as dt
+
+    want = df.where("ts >= TIMESTAMP '2024-03-09 00:00:00'").count()
+    got = table_scan(
+        spark, t, filters=[("ts", ">=", dt.datetime(2024, 3, 9))]
+    ).count()
+    assert got == want > 0
+    # appends INHERIT the transform spec and stay prunable
+    more = spark.range(5000, 5200).selectExpr(
+        "id", "TIMESTAMP '2024-04-01 08:00:00' AS ts"
+    )
+    table_commit(more, t)
+    st2 = _resolve_state(spark, t, None)
+    newf = [f for f in st2["files"] if f not in set(st["files"])]
+    newf_with_rows = [
+        f for f in newf if st2["stats"].get(f, {}).get("__rows")
+    ]
+    assert newf_with_rows and all(
+        "days(ts)" in st2["stats"][f].get("__parts", {})
+        for f in newf_with_rows
+    )
+    april = [("ts", ">=", "2024-04-01 00:00:00")]
+    akept = _stats_prune(
+        st2["stats"],
+        st2["files"],
+        april + _derive_transform_filters(["days(ts)"], april, {}),
+    )
+    akept_rows = [f for f in akept if st2["stats"].get(f, {}).get("__rows")]
+    # every surviving file WITH ROWS is an appended April file (empty
+    # staged files carry no stats and survive conservatively)
+    assert set(akept_rows) == set(newf_with_rows)
+
+
+def test_partition_transforms_bucket_and_truncate(spark, tmp_path):
+    """bucket(n, col): equality on the raw high-cardinality column
+    prunes to ~1/n of files via the md5 hash bucket (ranges derive
+    nothing — hash is not order-preserving); truncate(w, col) prunes
+    string prefixes. Both exact under table_scan."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        _derive_transform_filters,
+        _resolve_state,
+        _stats_prune,
+        table_scan,
+    )
+
+    t = str(tmp_path / "bucket_part")
+    df = spark.range(0, 4000).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS tag"
+    )
+    table_commit(df, t, partition_by=["bucket(8,tag)"])
+    st = _resolve_state(spark, t, None)
+    import hashlib
+
+    probe = hashlib.md5(b"123").hexdigest()
+    filt = [("tag", "=", probe)]
+    derived = _derive_transform_filters(["bucket(8,tag)"], filt, {})
+    b = int(hashlib.md5(probe.encode()).hexdigest()[0:15], 16) % 8
+    assert derived == [("bucket(8,tag)", "in", [b])]
+    kept = _stats_prune(st["stats"], st["files"], filt + derived)
+    assert 0 < len(kept) <= max(1, len(st["files"]) // 4)
+    rows = table_scan(spark, t, filters=filt).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 123
+    # range filters derive NO bucket evidence (hash order-free)
+    assert (
+        _derive_transform_filters(["bucket(8,tag)"], [("tag", ">", "ff")], {})
+        == []
+    )
+    # truncate on strings: prefix membership + order preservation
+    t2 = str(tmp_path / "trunc_part")
+    df2 = spark.range(0, 1000).selectExpr(
+        "id", "concat(CASE WHEN id % 4 = 0 THEN 'alpha' WHEN id % 4 = 1 "
+        "THEN 'beta' WHEN id % 4 = 2 THEN 'gamma' ELSE 'delta' END, "
+        "'-', CAST(id AS STRING)) AS name"
+    )
+    table_commit(df2, t2, partition_by=["truncate(2,name)"])
+    st2 = _resolve_state(spark, t2, None)
+    nf = [("name", "=", "beta-5")]
+    nkept = _stats_prune(
+        st2["stats"],
+        st2["files"],
+        nf + _derive_transform_filters(["truncate(2,name)"], nf, {}),
+    )
+    assert 0 < len(nkept) < len(st2["files"])
+    assert table_scan(spark, t2, filters=nf).count() == 1
