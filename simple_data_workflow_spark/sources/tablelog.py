@@ -1367,10 +1367,21 @@ def _stats_prune(
         return True
 
     def maybe_matches(per_col: dict, col, op, val) -> bool:
+        st = per_col.get(col)
+        if op == "isnull":
+            # null-count evidence: a file recording ZERO nulls provably
+            # has no IS NULL row. All-null files record no min/max stat
+            # at all (st is None) and survive conservatively.
+            return not (st is not None and st[2] == 0)
+        if op == "notnull":
+            # a file WITH a min/max stat has ≥1 non-null row; a file
+            # without one is all-null OR statless — only "__rows with
+            # stats collected and no stat entry" would prove all-null,
+            # which this pure function cannot distinguish: keep.
+            return True
         pv = per_col.get("__parts", {}).get(col)
         if pv is not None:
             return part_maybe_matches(pv, op, val)
-        st = per_col.get(col)
         if st is None:
             return True
         mn, mx = st[0], st[1]
@@ -1671,7 +1682,9 @@ def _register_clone_backref(
         out.close()
 
 
-def _clone_referenced_names(spark: SparkSession, path: str) -> set[str]:
+def _clone_referenced_names(
+    spark: SparkSession, path: str, gc: bool = True
+) -> set[str]:
     """Basenames of THIS table's data files that live shallow clones
     still reference — collected from each registered clone's ENTIRE
     retained log (not just its current snapshot, so the clone's own
@@ -1705,7 +1718,8 @@ def _clone_referenced_names(spark: SparkSession, path: str) -> set[str]:
         except Exception:
             entries, cps = [], []
         if not entries and not cps:
-            fs.delete(st.getPath(), False)  # clone gone or never landed
+            if gc:
+                fs.delete(st.getPath(), False)  # clone gone/never landed
             continue
         refs: set[str] = set()
         for v in entries:
@@ -1720,14 +1734,18 @@ def _clone_referenced_names(spark: SparkSession, path: str) -> set[str]:
             if "/" in r and r.rsplit("/", 1)[0] == data_prefix
         }
         if not ours:
-            fs.delete(st.getPath(), False)  # fully materialized: release
+            if gc:
+                fs.delete(st.getPath(), False)  # materialized: release
             continue
         out.update(ours)
     return out
 
 
 def table_vacuum(
-    spark: SparkSession, path: str, retention_hours: float = 168.0
+    spark: SparkSession,
+    path: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
 ) -> int:
     """Delete data files referenced by NO retained version (failed
     stagings, files dropped by overwrites/deltas whose history was
@@ -1748,7 +1766,11 @@ def table_vacuum(
     vacuuming a source after history truncation can no longer
     silently corrupt its clones (previously a documented caveat).
     Markers for deleted or fully-materialized clones are
-    garbage-collected in the same pass."""
+    garbage-collected in the same pass (kept under ``dry_run``).
+
+    ``dry_run=True`` counts the files a real vacuum would delete and
+    touches NOTHING — the pre-flight check before reclaiming space on
+    a table other pipelines may clone from."""
     entries, cps = _list_log(spark, path)
     referenced: set[str] = set()
     for v in entries:
@@ -1757,7 +1779,11 @@ def table_vacuum(
         cp = _read_json(spark, path, f"{c:08d}.checkpoint.json")
         referenced.update(cp["files"])
         referenced.update(cp.get("dvs", []))
-    referenced.update(_clone_referenced_names(spark, path))
+    if dry_run:
+        # read-only marker scan: stale markers stay for the real run
+        referenced.update(_clone_referenced_names(spark, path, gc=False))
+    else:
+        referenced.update(_clone_referenced_names(spark, path))
     jvm, fs = _fs(spark, path)
     data_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
     if not fs.exists(data_dir):
@@ -1769,7 +1795,8 @@ def table_vacuum(
         if st.getModificationTime() > horizon_ms:
             continue  # young: may belong to an in-flight commit
         if st.isDirectory() or name not in referenced:
-            fs.delete(st.getPath(), True)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
             removed += 1
     return removed
 
@@ -2941,6 +2968,10 @@ def table_scan(
             cond = col >= v
         elif op == "in":
             cond = col.isin(list(v))
+        elif op == "isnull":
+            cond = col.isNull()
+        elif op == "notnull":
+            cond = col.isNotNull()
         else:
             raise ValueError(f"unsupported filter op {op!r}")
         df = df.where(cond)

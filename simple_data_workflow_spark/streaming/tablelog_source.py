@@ -539,6 +539,8 @@ class TablelogBatchReader(DataSourceReader):
             GreaterThan,
             GreaterThanOrEqual,
             In,
+            IsNotNull,
+            IsNull,
             LessThan,
             LessThanOrEqual,
         )
@@ -550,11 +552,18 @@ class TablelogBatchReader(DataSourceReader):
             LessThan: "<",
             LessThanOrEqual: "<=",
             In: "in",
+            IsNull: "isnull",
+            IsNotNull: "notnull",
         }
         for f in filters:
             op = ops.get(type(f))
             if op is not None and len(f.attribute) == 1:
-                val = list(f.values) if op == "in" else f.value
+                if op == "in":
+                    val = list(f.values)
+                elif op in ("isnull", "notnull"):
+                    val = None
+                else:
+                    val = f.value
                 self._filter_tuples.append((f.attribute[0], op, val))
             # yield EVERYTHING back as unhandled: the tuples only prune
             # files; Spark keeps row-level responsibility

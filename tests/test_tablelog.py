@@ -2592,3 +2592,49 @@ def test_partition_transforms_bucket_and_truncate(spark, tmp_path):
     )
     assert 0 < len(nkept) < len(st2["files"])
     assert table_scan(spark, t2, filters=nf).count() == 1
+
+
+def test_isnull_pruning_and_vacuum_dry_run(spark, tmp_path):
+    """Round 9 small wins: (a) ``("col","isnull",None)`` filters prune
+    files whose stats record ZERO nulls and stay exact row-level;
+    (b) ``table_vacuum(dry_run=True)`` counts reclaimable files and
+    touches nothing — markers, data, and log all intact."""
+    import os as _os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        _stats_prune,
+        table_scan,
+        table_truncate_history,
+        table_vacuum,
+    )
+
+    t = str(tmp_path / "nulls")
+    clean = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    holey = spark.range(100, 200).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS v"
+    )
+    table_commit(clean.coalesce(1), t)
+    table_commit(holey.coalesce(1), t)
+    st = _resolve_state(spark, t, None)
+    kept = _stats_prune(st["stats"], st["files"], [("v", "isnull", None)])
+    assert len(kept) == 1  # the zero-null file is provably clean
+    assert table_scan(spark, t, filters=[("v", "isnull", None)]).count() == 10
+    assert (
+        table_scan(spark, t, filters=[("v", "notnull", None)]).count() == 190
+    )
+
+    # vacuum dry run: overwrite strands the old files, truncation
+    # forgets them; dry_run reports without deleting
+    t2 = str(tmp_path / "dry")
+    table_commit(spark.range(0, 50).selectExpr("id").repartition(2), t2)
+    table_commit(
+        spark.range(50, 60).selectExpr("id"), t2, mode="overwrite"
+    )
+    table_truncate_history(spark, t2, keep_last=1)
+    n_files_before = len(_os.listdir(f"{t2}/data"))
+    would = table_vacuum(spark, t2, retention_hours=0, dry_run=True)
+    assert would >= 2
+    assert len(_os.listdir(f"{t2}/data")) == n_files_before  # untouched
+    did = table_vacuum(spark, t2, retention_hours=0)
+    assert did == would  # the dry run predicted the real reclaim
