@@ -29,6 +29,10 @@ from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     table_delete_where,
     table_drop_check_constraint,
     table_drop_column,
+    table_drop_tag,
+    table_files_df,
+    table_partitions_df,
+    table_publish_from,
     table_rename_column,
     table_set_check_constraint,
     table_history,
@@ -37,6 +41,8 @@ from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     table_restore,
     table_row_count,
     table_scan,
+    table_tag,
+    table_tags,
     table_truncate_history,
     table_update_where,
     table_vacuum,

@@ -405,6 +405,7 @@ def _resolve_state(
     column_map: dict = {}
     used_physicals: list[str] = []
     constraints: dict = {}
+    tags: dict = {}
     fvers: dict = {}
     dvs: list[str] = []
     dv_counts: dict = {}
@@ -418,6 +419,7 @@ def _resolve_state(
         column_map = dict(cp.get("column_map", {}))
         used_physicals = list(cp.get("used_physicals", []))
         constraints = dict(cp.get("constraints", {}))
+        tags = {k: int(v) for k, v in cp.get("tags", {}).items()}
         dvs = list(cp.get("dvs", []))
         dv_counts = dict(cp.get("dv_counts", {}))
         # per-file commit provenance; legacy checkpoints without it
@@ -516,6 +518,13 @@ def _resolve_state(
                 constraints.pop(k, None)
             else:
                 constraints[k] = vv
+        # tags (named version anchors): same per-entry merge contract
+        # as constraints — ``None`` deletes, else (re)points the name
+        for k, vv in e.get("tags", {}).items():
+            if vv is None:
+                tags.pop(k, None)
+            else:
+                tags[k] = int(vv)
     return {
         "version": upto,
         "files": files,
@@ -527,6 +536,7 @@ def _resolve_state(
         "column_map": column_map,
         "used_physicals": used_physicals,
         "constraints": constraints,
+        "tags": tags,
         "file_versions": fvers,
         "dvs": dvs,
         "dv_counts": dv_counts,
@@ -604,6 +614,8 @@ def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             payload["used_physicals"] = state["used_physicals"]
         if state.get("constraints"):
             payload["constraints"] = state["constraints"]
+        if state.get("tags"):
+            payload["tags"] = state["tags"]
         payload["file_versions"] = state.get("file_versions", {})
         # deletion vectors are part of snapshot state: a checkpoint
         # without them would resurrect MoR-deleted rows after log
@@ -1588,16 +1600,24 @@ def table_read(
     path: str,
     version: int | None = None,
     timestamp=None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Snapshot read (latest, or time travel to ``version`` /
-    ``AS OF timestamp``): resolves the log once and scans the resolved
-    file list explicitly — a concurrent commit cannot tear the read.
-    The scan carries the logged schema, so snapshots after a
-    metadata-only schema evolution read pre-evolution files with the
-    new columns as NULL."""
+    ``AS OF timestamp`` / a named ``tag``): resolves the log once and
+    scans the resolved file list explicitly — a concurrent commit
+    cannot tear the read. The scan carries the logged schema, so
+    snapshots after a metadata-only schema evolution read
+    pre-evolution files with the new columns as NULL."""
+    if sum(x is not None for x in (version, timestamp, tag)) > 1:
+        raise ValueError("pass at most one of version, timestamp, tag")
+    if tag is not None:
+        tags = _resolve_state(spark, path, None)["tags"]
+        if tag not in tags:
+            raise ValueError(
+                f"no tag {tag!r} at {path} (tags: {sorted(tags)})"
+            )
+        version = tags[tag]
     if timestamp is not None:
-        if version is not None:
-            raise ValueError("pass version OR timestamp, not both")
         version = table_version_at_timestamp(spark, path, timestamp)
     state = _resolve_state(spark, path, version)
     if not state["files"]:
@@ -2837,7 +2857,7 @@ def table_compact_small(
 
 
 def table_truncate_history(
-    spark: SparkSession, path: str, keep_last: int = 1
+    spark: SparkSession, path: str, keep_last: int = 1, drop_tags: bool = False
 ) -> int:
     """Drop log entries older than the last ``keep_last`` versions —
     the retention knob that makes ``table_vacuum`` able to reclaim
@@ -2851,11 +2871,40 @@ def table_truncate_history(
     retained history (harmless) or the completed truncation — never a
     version that resolves to partial data. Returns the number of log
     entries removed.
+
+    Tag retention: a tag (``table_tag``) pins its version. Truncation
+    that would cut past a tagged version RAISES — the whole point of a
+    tag is that ``table_read(tag=...)`` keeps working — unless
+    ``drop_tags=True``, which first publishes a metadata commit
+    deleting the in-the-way tags (auditable in history) and then
+    truncates.
     """
-    entries, cps = _list_log(spark, path)
-    if len(entries) <= keep_last:
-        return 0
-    cut = entries[-keep_last]
+    while True:
+        entries, cps = _list_log(spark, path)
+        if len(entries) <= keep_last:
+            return 0
+        cut = entries[-keep_last]
+        head_tags = _resolve_state(spark, path, None)["tags"]
+        stale = {n: v for n, v in head_tags.items() if v < cut}
+        if not stale:
+            break
+        if not drop_tags:
+            raise ValueError(
+                f"truncation to keep_last={keep_last} would cut past tagged "
+                f"versions {stale}; retag, or pass drop_tags=True to delete "
+                "them"
+            )
+        # deleting a tag moves the cut (the delete is itself a commit),
+        # so loop until the tag set and the cut agree
+        _commit_entry(
+            spark,
+            path,
+            {
+                "action": "meta",
+                "op": "drop_stale_tags",
+                "tags": {n: None for n in stale},
+            },
+        )
     state = _resolve_state(spark, path, cut)
     jvm, fs = _fs(spark, path)
     cp_name = f"{cut:08d}.checkpoint.json"
@@ -2880,6 +2929,8 @@ def table_truncate_history(
         payload["used_physicals"] = state["used_physicals"]
     if state.get("constraints"):
         payload["constraints"] = state["constraints"]
+    if state.get("tags"):
+        payload["tags"] = state["tags"]
     payload["file_versions"] = state.get("file_versions", {})
     if state.get("dvs"):
         payload["dvs"] = state["dvs"]
@@ -3462,3 +3513,257 @@ def table_clone(
     for root in roots:
         _register_clone_backref(spark, root, dst)
     return _commit_entry(spark, dst, entry)
+
+
+# ----------------------------------------------- tags + metadata tables
+
+
+def table_tag(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> int:
+    """Create (or repoint) a named version anchor — Iceberg's tags:
+    ``table_read(tag="v1.0-training-set")`` keeps resolving the exact
+    snapshot a model was trained on, however many commits land after.
+    One metadata commit (``tags`` merge in the log, zero data
+    movement); the tag set rides checkpoints, so it survives history
+    truncation — and truncation REFUSES to cut past a tagged version
+    (see ``table_truncate_history``), which is what makes a tag a
+    retention pin and not just a bookmark. Returns the tagging commit's
+    version."""
+    entries, cps = _list_log(spark, path)
+    if not entries and not cps:
+        raise FileNotFoundError(f"no table log under {path}")
+    latest = max(entries[-1] if entries else -1, cps[-1] if cps else -1)
+    v = latest if version is None else int(version)
+    if v not in set(entries) | set(cps):
+        raise ValueError(f"version {v} not in retained log at {path}")
+    return _commit_entry(
+        spark, path, {"action": "meta", "op": "tag", "tags": {name: v}}
+    )
+
+
+def table_drop_tag(spark: SparkSession, path: str, name: str) -> int:
+    """Delete a tag (one metadata commit). The previously-tagged
+    version stays readable while retained; it just loses its retention
+    pin and its name."""
+    tags = _resolve_state(spark, path, None)["tags"]
+    if name not in tags:
+        raise ValueError(f"no tag {name!r} at {path} (tags: {sorted(tags)})")
+    return _commit_entry(
+        spark, path, {"action": "meta", "op": "drop_tag", "tags": {name: None}}
+    )
+
+
+def table_tags(spark: SparkSession, path: str) -> dict:
+    """The live tag set ``{name: version}`` — answered from the log
+    alone."""
+    return dict(_resolve_state(spark, path, None)["tags"])
+
+
+_FILES_DF_SCHEMA = (
+    "file string, size_bytes bigint, rows bigint, dv_deleted bigint, "
+    "commit_version bigint, partition_values map<string, array<string>>"
+)
+
+
+def table_files_df(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The FILES metadata table (Iceberg's ``db.t.files`` / Delta's
+    ``DESCRIBE DETAIL`` granularity): one row per live data file of
+    the snapshot — name, on-disk bytes, row count, merge-on-read
+    deleted-row count, the commit that added it, and its recorded
+    partition-value sets. Everything but ``size_bytes`` comes from the
+    log alone; sizes are one driver-side ``getFileStatus`` per file
+    (bounded by the snapshot's file count — the same budget every
+    pruning decision already spends). This is the operability surface
+    maintenance decisions read: small-file ratios for compaction,
+    DV density for purge scheduling, per-commit data distribution."""
+    state = _resolve_state(spark, path, version)
+    jvm, fs = _fs(spark, path)
+    rows = []
+    for f in state["files"]:
+        st = state["stats"].get(f, {})
+        parts = st.get("__parts")
+        try:
+            size = int(
+                fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(_data_path(path, f))
+                ).getLen()
+            )
+        except Exception:
+            size = None  # referenced file on a dead mount: surface, don't die
+        rows.append(
+            (
+                f,
+                size,
+                int(st["__rows"]) if "__rows" in st else None,
+                int(state.get("dv_counts", {}).get(f, 0)),
+                state.get("file_versions", {}).get(f),
+                {k: [str(x) for x in v] for k, v in parts.items()}
+                if parts
+                else None,
+            )
+        )
+    return spark.createDataFrame(rows, _FILES_DF_SCHEMA)
+
+
+def table_partitions_df(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The PARTITIONS metadata table: one row per (partition field,
+    transformed value) with its file count and — where provable — its
+    exact row count, from the log alone (zero data files opened).
+
+    Exactness contract: ``n_rows`` is non-NULL only when every file
+    containing the value holds THAT VALUE ALONE (single-value
+    ``__parts`` set with a recorded row count). Hash-clustered commits
+    may legitimately pack several values per file; those values report
+    ``n_rows = NULL`` rather than a wrong number — the same
+    conservative honesty the pruning path applies."""
+    state = _resolve_state(spark, path, version)
+    per_val: dict = {}
+    for f in state["files"]:
+        st = state["stats"].get(f, {})
+        parts = st.get("__parts") or {}
+        frows = st.get("__rows")
+        ndv = int(state.get("dv_counts", {}).get(f, 0))
+        for field, vals in parts.items():
+            for v in vals:
+                key = (field, str(v))
+                n_files, n_rows, exact = per_val.get(key, (0, 0, True))
+                single = len(vals) == 1 and frows is not None
+                per_val[key] = (
+                    n_files + 1,
+                    n_rows + (int(frows) - ndv if single else 0),
+                    exact and single,
+                )
+    rows = [
+        (field, val, nf, nr if ex else None)
+        for (field, val), (nf, nr, ex) in sorted(per_val.items())
+    ]
+    return spark.createDataFrame(
+        rows, "field string, value string, n_files bigint, n_rows bigint"
+    )
+
+
+# ------------------------------------------------- write-audit-publish
+
+
+def table_publish_from(spark: SparkSession, src: str, staged: str) -> int:
+    """Write-audit-publish (Iceberg's WAP pattern) on the native
+    format: stage changes on a SHALLOW CLONE of ``src``, audit them
+    there (run the CHECK constraints, the dedup job, the eval queries —
+    production readers of ``src`` never see any of it), then publish
+    the staged snapshot back to ``src`` as ONE atomic commit.
+
+    Mechanics: the staged table's own data files are HARD-LINKED into
+    ``src/data`` (same immutable bytes, zero copy on a local FS;
+    copied on schemes without ``link``), refs that already point into
+    ``src/data`` fold back to basenames, and refs into third tables
+    (clone-of-clone) pass through with a vacuum back-ref registered —
+    then one ``overwrite`` entry lands at ``src`` carrying the staged
+    snapshot's file list, stats, schema, partition spec, constraint
+    set, column map, and deletion vectors. Publication is
+    conflict-checked against the clone's base version: if ``src``
+    advanced since staging, it raises :class:`ConcurrentWriteConflict`
+    instead of silently discarding the interleaved commits — re-clone
+    and re-audit (the audit's whole promise is that what was audited
+    is what publishes). A replayed publish attempt is safe: links of
+    already-linked files are no-ops, and the commit slot check makes
+    the log entry land at most once.
+
+    After publishing, the staged table is disposable — delete its
+    directory; its clone back-ref is garbage-collected by the next
+    ``table_vacuum(src)``."""
+    src_abs = _abs_root(src)
+    s_entries, s_cps = _list_log(spark, staged)
+    if not s_entries or s_entries[0] != 0:
+        raise ValueError(
+            f"staged table {staged} has no version-0 clone entry; "
+            "stage with table_clone(src, staged)"
+        )
+    e0 = _read_json(spark, staged, "00000000.json")
+    clone_of = e0.get("clone_of")
+    if not clone_of or clone_of[0] != src_abs:
+        raise ValueError(
+            f"staged table {staged} was not cloned from {src} "
+            f"(clone_of={clone_of}); write-audit-publish requires the "
+            "stage to be a shallow clone of the publish target"
+        )
+    base = int(clone_of[1])
+    head = _resolve_state(spark, src, None)
+    if head["version"] != base:
+        raise ConcurrentWriteConflict(
+            f"{src} advanced to version {head['version']} after the stage "
+            f"was cloned at {base}; re-clone, re-audit, re-publish"
+        )
+    st = _resolve_state(spark, staged, None)
+    jvm, fs = _fs(spark, src)
+    conf = spark._jsc.hadoopConfiguration()
+    staged_abs = _abs_root(staged)
+
+    def _adopt(ref: str) -> str:
+        if "/" in ref:
+            if ref.startswith(src_abs + "/data/"):
+                return ref.rsplit("/", 1)[-1]  # fold back to our basename
+            return ref  # third-table ref: passes through, back-ref below
+        # the stage's own immutable file: link (or copy) into src/data
+        name = ref
+        s_path = jvm.org.apache.hadoop.fs.Path(f"{staged_abs}/data/{name}")
+        t_path = jvm.org.apache.hadoop.fs.Path(f"{src_abs}/data/{name}")
+        if t_path.toUri().getScheme() in (None, "file"):
+            t_nio = jvm.java.io.File(t_path.toUri().getPath()).toPath()
+            s_nio = jvm.java.io.File(s_path.toUri().getPath()).toPath()
+            try:
+                jvm.java.nio.file.Files.createLink(t_nio, s_nio)
+            except Exception as exc:
+                # uuid names are unique per staging write: an existing
+                # target IS this same file, linked by an earlier
+                # publish attempt that lost its commit race
+                if "FileAlreadyExistsException" not in str(exc):
+                    raise
+        elif not fs.exists(t_path):
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, s_path, fs, t_path, False, conf
+            )
+        return name
+
+    files = [_adopt(f) for f in st["files"]]
+    name_map = dict(zip(st["files"], files))
+    stats = {name_map.get(f, f): s for f, s in st["stats"].items()}
+    entry: dict = {
+        "action": "overwrite",
+        "files": files,
+        "stats": stats,
+        "schema": st["schema"],
+        "op": "publish",
+        "published_from": [staged_abs, int(st["version"])],
+        # full-replace keys: src's state must become EXACTLY the
+        # audited state, including specs the stage dropped
+        "partition_by": st.get("partition_by"),
+        "bloom": st.get("bloom"),
+        "column_map": st.get("column_map", {}),
+        "used_physicals": st.get("used_physicals", []),
+    }
+    # constraints merge per-entry: explicit None tombstones for
+    # src-head constraints the audited stage no longer carries
+    cons = {k: None for k in head.get("constraints", {})}
+    cons.update(st.get("constraints", {}))
+    if cons:
+        entry["constraints"] = cons
+    if st.get("dvs"):
+        entry["dvs"] = [_adopt(d) for d in st["dvs"]]
+        entry["dv_counts"] = {
+            name_map.get(f, f): n for f, n in st.get("dv_counts", {}).items()
+        }
+    if st.get("src_version") is not None:
+        entry["src_version"] = st["src_version"]
+    roots = set()
+    for r in files + list(entry.get("dvs", [])):
+        h, sep, _ = r.rpartition("/data/")
+        if sep and h and h != src_abs:
+            roots.add(h)
+    for root in roots:
+        _register_clone_backref(spark, root, src)
+    return _commit_entry(spark, src, entry, base=base)

