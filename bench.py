@@ -310,6 +310,9 @@ QUERIES = {
     "trigram_perplexity_docs": entrymod.trigram_perplexity_docs,
     "tablelog_rename_scan": entrymod.tablelog_rename_scan,
     "tablelog_hidden_partition_scan": entrymod.tablelog_hidden_partition_scan,
+    "tablelog_wap_publish": entrymod.tablelog_wap_publish,
+    "tablelog_tag_read": entrymod.tablelog_tag_read,
+    "tablelog_metadata_tables": entrymod.tablelog_metadata_tables,
     "ivf_index_topk": entrymod.ivf_index_topk,
     "ivf_index_search_only": ivf_index_search_bench,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,

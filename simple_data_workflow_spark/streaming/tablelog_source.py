@@ -151,6 +151,7 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
     fvers: dict = {}
     dvs: list[str] = []
     column_map: dict = {}
+    tags: dict = {}
     partition_by = None
     if start_cp is not None:
         cp = _read_log_json(path, f"{start_cp:08d}.checkpoint.json")
@@ -158,6 +159,7 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
         stats = dict(cp.get("stats", {}))
         dvs = list(cp.get("dvs", []))
         column_map = dict(cp.get("column_map", {}))
+        tags = {k: int(v) for k, v in cp.get("tags", {}).items()}
         partition_by = cp.get("partition_by")
         fvers = {f: int(v) for f, v in cp.get("file_versions", {}).items()}
         for f in files:
@@ -213,6 +215,12 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
             column_map = dict(e["column_map"])
         if "partition_by" in e:
             partition_by = e["partition_by"]
+        # tags: per-entry merge, None deletes (JVM-replay mirror)
+        for k, vv in e.get("tags", {}).items():
+            if vv is None:
+                tags.pop(k, None)
+            else:
+                tags[k] = int(vv)
     return {
         "version": upto,
         "files": files,
@@ -221,8 +229,26 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
         "file_versions": fvers,
         "dvs": dvs,
         "column_map": column_map,
+        "tags": tags,
         "partition_by": partition_by,
     }
+
+
+def _version_from_options(path: str, options: dict) -> int | None:
+    """Resolve the snapshot version a reader's options pin: explicit
+    ``version``, or a named ``tag`` (resolved against the CURRENT tag
+    set — one log replay). Mutually exclusive, both optional."""
+    v, tag = options.get("version"), options.get("tag")
+    if v is not None and tag is not None:
+        raise ValueError("pass .option('version') OR .option('tag'), not both")
+    if tag is not None:
+        tags = _resolve_state_arrow(path, None)["tags"]
+        if tag not in tags:
+            raise ValueError(
+                f"no tag {tag!r} at {path} (tags: {sorted(tags)})"
+            )
+        return tags[tag]
+    return int(v) if v is not None else None
 
 
 def _dv_positions_arrow(path: str, dvs: list[str]) -> dict[str, list[int]]:
@@ -525,8 +551,7 @@ class TablelogBatchReader(DataSourceReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("tablelog source requires .option('path', ...)")
-        v = options.get("version")
-        self._version = int(v) if v is not None else None
+        self._version = _version_from_options(self._path, options)
         from pyspark.sql.pandas.types import to_arrow_schema
 
         data_fields = [f for f in schema.fields if f.name != VERSION_COL]
@@ -639,9 +664,10 @@ class TablelogBatchReader(DataSourceReader):
 class TablelogStreamDataSource(DataSource):
     """``format("tablelog")``: batch AND streaming reads of a native
     table-format path, plus the streaming sink. Batch options: ``path``
-    (required), ``version`` (time travel). Streaming options: ``path``
-    (required), ``startingVersion`` (default -1 = everything),
-    ``allowRewrites`` (default false)."""
+    (required), ``version`` (time travel), ``tag`` (named-anchor time
+    travel — reads the snapshot ``table_tag`` pinned). Streaming
+    options: ``path`` (required), ``startingVersion`` (default -1 =
+    everything), ``allowRewrites`` (default false)."""
 
     @classmethod
     def name(cls) -> str:
@@ -651,14 +677,14 @@ class TablelogStreamDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("tablelog source requires .option('path', ...)")
-        versions = _list_entry_versions(path)
-        if not versions:
-            raise ValueError(f"no table log under {path}")
-        schema_str = None
-        for v in reversed(versions):
-            schema_str = _read_entry(path, v).get("schema")
-            if schema_str:
-                break
+        # schema at the PINNED snapshot (version/tag option), not HEAD:
+        # a tag created before a schema evolution must read with its
+        # own column set. Streaming reads pass no version option and
+        # resolve HEAD, as before.
+        version = _version_from_options(path, dict(self.options))
+        schema_str = _resolve_state_arrow(path, version).get("schema")
+        if not schema_str:
+            raise ValueError(f"no schema recorded in the log at {path}")
         # this method runs in a session-free Python process, so return
         # the logged ``struct<...>`` STRING with the version tag
         # spliced in — Spark's engine-side type parser accepts it

@@ -2846,3 +2846,42 @@ def test_publish_carries_mor_deletion_vectors(spark, tmp_path):
     )
     # metadata-only COUNT nets out the published DV counts
     assert table_row_count(spark, src) == 30
+
+
+def test_format_reader_tag_option(spark, tmp_path):
+    """``spark.read.format("tablelog").option("tag", ...)``: the
+    session-free reader resolves a named anchor to its pinned version
+    AND reads with the schema AS OF that version — a tag created
+    before a rename surfaces the old column names with data, while
+    the un-optioned read sees HEAD."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_rename_column,
+        table_tag,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    t = str(tmp_path / "tag_fmt")
+    table_commit(spark.range(0, 20).selectExpr("id", "id * 2 AS val"), t)
+    table_tag(spark, t, "v1")
+    table_rename_column(spark, t, "val", "doubled")
+    table_commit(
+        spark.range(20, 50).selectExpr("id", "id * 2 AS doubled"), t
+    )
+    spark.dataSource.register(TablelogStreamDataSource)
+    tagged = (
+        spark.read.format("tablelog").option("path", t)
+        .option("tag", "v1").load()
+    )
+    assert "val" in tagged.columns and "doubled" not in tagged.columns
+    got = tagged.select("id", "val").orderBy("id").collect()
+    assert [r["val"] for r in got] == [i * 2 for i in range(20)]
+    head = spark.read.format("tablelog").option("path", t).load()
+    assert "doubled" in head.columns and head.count() == 50
+    with _pytest.raises(Exception, match="no tag"):
+        spark.read.format("tablelog").option("path", t).option(
+            "tag", "nope"
+        ).load().count()
