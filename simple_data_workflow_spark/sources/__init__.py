@@ -46,5 +46,6 @@ from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     table_truncate_history,
     table_update_where,
     table_vacuum,
+    table_verify,
     table_version_at_timestamp,
 )

@@ -3767,3 +3767,111 @@ def table_publish_from(spark: SparkSession, src: str, staged: str) -> int:
     for root in roots:
         _register_clone_backref(spark, root, src)
     return _commit_entry(spark, src, entry, base=base)
+
+
+# ------------------------------------------------------------------ fsck
+
+
+def table_verify(
+    spark: SparkSession, path: str, check_rows: bool = False
+) -> dict:
+    """Consistency audit — ``fsck`` for the table format. Verifies, for
+    the CURRENT snapshot and every retained version's references:
+
+    - every referenced data file and DV sidecar exists on disk;
+    - per-file recorded row counts are internally consistent
+      (``dv_counts`` never exceeds the file's recorded rows);
+    - tags point at retained versions;
+    - clone back-ref markers parse (corrupt markers would silently
+      weaken vacuum's keep-set);
+    - with ``check_rows=True``, ONE count aggregate over the live
+      snapshot confirms the physical row count equals the metadata
+      count (``table_row_count``) — the only check that opens data
+      files, priced accordingly.
+
+    Returns ``{"ok": bool, "issues": [str, ...], "checked_files": n}``
+    — issues name the broken invariant and the offending object, so
+    the finding is actionable. Metadata-only by default: cost ∝ log
+    size + one ``getFileStatus`` per referenced file, independent of
+    table bytes — runnable as a scheduled job against a 100 TB table."""
+    issues: list[str] = []
+    entries, cps = _list_log(spark, path)
+    if not entries and not cps:
+        return {"ok": False, "issues": [f"no table log under {path}"],
+                "checked_files": 0}
+    jvm, fs = _fs(spark, path)
+
+    def _exists(ref: str) -> bool:
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(_data_path(path, ref)))
+
+    referenced: set[str] = set()
+    for v in entries:
+        try:
+            referenced.update(_entry_adds(_read_json(spark, path, f"{v:08d}.json")))
+        except Exception as exc:
+            issues.append(f"log entry {v} unreadable: {exc}")
+    for c in cps:
+        try:
+            cp = _read_json(spark, path, f"{c:08d}.checkpoint.json")
+            referenced.update(cp["files"])
+            referenced.update(cp.get("dvs", []))
+        except Exception as exc:
+            issues.append(f"checkpoint {c} unreadable: {exc}")
+    missing = sorted(r for r in referenced if not _exists(r))
+    issues.extend(
+        f"referenced file missing on disk: {m}" for m in missing[:20]
+    )
+    if len(missing) > 20:
+        issues.append(f"... and {len(missing) - 20} more missing files")
+
+    state = _resolve_state(spark, path, None)
+    retained = set(entries) | set(cps)
+    for name, tv in state.get("tags", {}).items():
+        if tv not in retained:
+            issues.append(
+                f"tag {name!r} points at version {tv}, not in retained log"
+            )
+    for f, n in state.get("dv_counts", {}).items():
+        frows = state["stats"].get(f, {}).get("__rows")
+        if frows is not None and int(n) > int(frows):
+            issues.append(
+                f"dv_counts[{f}] = {n} exceeds the file's {frows} rows"
+            )
+        if f not in state["files"]:
+            continue  # rewritten file's dead DV weight: harmless, documented
+    # clone markers: corrupt/unparseable markers would drop files from
+    # vacuum's keep-set silently
+    marker_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_clones")
+    if fs.exists(marker_dir):
+        for st in fs.listStatus(marker_dir):
+            mname = st.getPath().getName()
+            if not mname.endswith(".json"):
+                continue
+            try:
+                stream = fs.open(st.getPath())
+                try:
+                    marker = json.loads(
+                        bytes(
+                            jvm.org.apache.commons.io.IOUtils.toByteArray(
+                                stream
+                            )
+                        ).decode("utf-8")
+                    )
+                finally:
+                    stream.close()
+                if "dst" not in marker:
+                    raise KeyError("dst")
+            except Exception as exc:
+                issues.append(f"clone marker {mname} unreadable: {exc}")
+    if check_rows:
+        meta_rows = table_row_count(spark, path)
+        phys_rows = table_read(spark, path).count()
+        if meta_rows != phys_rows:
+            issues.append(
+                f"metadata row count {meta_rows} != physical {phys_rows}"
+            )
+    return {
+        "ok": not issues,
+        "issues": issues,
+        "checked_files": len(referenced),
+    }

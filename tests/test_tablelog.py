@@ -2885,3 +2885,48 @@ def test_format_reader_tag_option(spark, tmp_path):
         spark.read.format("tablelog").option("path", t).option(
             "tag", "nope"
         ).load().count()
+
+
+def test_table_verify_fsck(spark, tmp_path):
+    """``table_verify``: metadata-only consistency audit. Healthy table
+    (appends + MoR delete + tag + clone) => ok; physically deleting a
+    referenced data file, or hand-corrupting a clone marker, each
+    produce a named issue. ``check_rows=True`` cross-checks metadata
+    COUNT against a physical scan."""
+    import os as _os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_clone,
+        table_delete_where,
+        table_tag,
+        table_verify,
+    )
+
+    t = str(tmp_path / "fsck")
+    table_commit(spark.range(0, 50).selectExpr("id").repartition(2), t)
+    table_commit(spark.range(50, 60).selectExpr("id"), t)
+    table_delete_where(spark, t, "id < 5", mode="mor")
+    table_tag(spark, t, "ok-tag")
+    table_clone(spark, t, str(tmp_path / "fsck_clone"))
+    rep = table_verify(spark, t, check_rows=True)
+    assert rep["ok"], rep["issues"]
+    assert rep["checked_files"] >= 4  # 3 data files + 1 DV sidecar
+
+    # corrupt a clone marker: named issue, not a silent vacuum hazard
+    mdir = f"{t}/_clones"
+    marker = next(m for m in _os.listdir(mdir) if m.endswith(".json"))
+    with open(f"{mdir}/{marker}", "w") as fh:
+        fh.write("{not json")
+    rep2 = table_verify(spark, t)
+    assert not rep2["ok"]
+    assert any("clone marker" in i for i in rep2["issues"])
+    _os.unlink(f"{mdir}/{marker}")
+
+    # physically delete a referenced data file => named issue
+    victim = next(
+        f for f in _os.listdir(f"{t}/data") if f.endswith(".parquet")
+    )
+    _os.unlink(f"{t}/data/{victim}")
+    rep3 = table_verify(spark, t)
+    assert not rep3["ok"]
+    assert any(victim in i and "missing" in i for i in rep3["issues"])
