@@ -977,6 +977,55 @@ ORDER BY snap, key
 """
 
 
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant equi-join (``operators.joins.salted_join``): 70%
+    of lineitem rows are collapsed onto ONE synthetic hot key — the
+    shape where a plain shuffle join puts most of the table in a
+    single task (the classic 100 TB straggler/OOM). ``salted_join``
+    spreads each hot left key over ``n_salts`` shuffle partitions and
+    replicates the small right side once per salt, so no task holds
+    more than ~1/n_salts of the hot key. The oracle runs the PLAIN
+    join in SQL — a value-hash match proves salting changes the
+    physical distribution and nothing else."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    left = li.withColumn(
+        "jk",
+        F.when(F.col("l_partkey") % 10 < 7, F.lit(0)).otherwise(
+            F.col("l_partkey")
+        ).cast("long"),
+    )
+    right = left.select("jk").distinct().withColumn(
+        "label", F.pmod(F.col("jk"), F.lit(7)).cast("long")
+    )
+    out = joins.salted_join(left, right, "jk", n_salts=8)
+    return (
+        out.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rel.dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy("label")
+    )
+
+
+SALTED_JOIN_SQL = """
+WITH l AS (
+  SELECT CASE WHEN l_partkey % 10 < 7 THEN 0 ELSE l_partkey END AS jk,
+         l_extendedprice
+  FROM lineitem
+), r AS (
+  SELECT DISTINCT jk, CAST(jk % 7 AS BIGINT) AS label FROM l
+)
+SELECT label, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM l JOIN r USING (jk)
+GROUP BY label ORDER BY label
+"""
+
+
 def tablelog_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 8: merge-on-read DELETE via deletion vectors
     (``sources.tablelog.table_delete_where(mode="mor")``). Orders land
@@ -3042,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_wap_publish": _wrap(tablelog_wap_publish),
         "tablelog_tag_read": _wrap(tablelog_tag_read),
         "tablelog_metadata_tables": _wrap(tablelog_metadata_tables),
+        "salted_skew_join": _wrap(salted_skew_join),
         "tablelog_partitioned_scan": _wrap(tablelog_partitioned_scan),
         "tablelog_cdf_view": _wrap(tablelog_cdf_view),
         "tablelog_batch_format_scan": _wrap(tablelog_batch_format_scan),
@@ -3209,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_wap_publish",
         "tablelog_tag_read",
         "tablelog_metadata_tables",
+        "salted_skew_join",
         "tablelog_rename_scan",
         "tablelog_hidden_partition_scan",
         "perplexity_heldout_docs",
@@ -3255,7 +3306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk",
         "cosine_near_dups",
         "stats_corr_battery",
-        "trailing_30d_revenue",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -3299,6 +3349,7 @@ def oracle_sql() -> dict[str, str]:
         "tablelog_wap_publish": TABLELOG_WAP_SQL,
         "tablelog_tag_read": TABLELOG_TAG_SQL,
         "tablelog_metadata_tables": TABLELOG_META_SQL,
+        "salted_skew_join": SALTED_JOIN_SQL,
         "tablelog_partitioned_scan": TABLELOG_PART_SQL,
         "tablelog_cdf_view": TABLELOG_CDF_SQL,
         "tablelog_batch_format_scan": TABLELOG_BATCH_SQL,

@@ -311,6 +311,7 @@ QUERIES = {
     "tablelog_rename_scan": entrymod.tablelog_rename_scan,
     "tablelog_hidden_partition_scan": entrymod.tablelog_hidden_partition_scan,
     "tablelog_wap_publish": entrymod.tablelog_wap_publish,
+    "salted_skew_join": entrymod.salted_skew_join,
     "tablelog_tag_read": entrymod.tablelog_tag_read,
     "tablelog_metadata_tables": entrymod.tablelog_metadata_tables,
     "ivf_index_topk": entrymod.ivf_index_topk,
