@@ -236,11 +236,18 @@ def _resolve_state_arrow(path: str, version: int | None = None) -> dict:
 
 def _version_from_options(path: str, options: dict) -> int | None:
     """Resolve the snapshot version a reader's options pin: explicit
-    ``version``, or a named ``tag`` (resolved against the CURRENT tag
-    set — one log replay). Mutually exclusive, both optional."""
+    ``version``, a named ``tag`` (resolved against the CURRENT tag
+    set — one log replay), or ``timestampAsOf`` (ISO-8601 or epoch
+    millis; newest retained version committed at or before it, from
+    the ``ts`` field each entry records at publish). Mutually
+    exclusive, all optional."""
     v, tag = options.get("version"), options.get("tag")
-    if v is not None and tag is not None:
-        raise ValueError("pass .option('version') OR .option('tag'), not both")
+    ts = options.get("timestampasof", options.get("timestampAsOf"))
+    if sum(x is not None for x in (v, tag, ts)) > 1:
+        raise ValueError(
+            "pass at most one of .option('version'), .option('tag'), "
+            ".option('timestampAsOf')"
+        )
     if tag is not None:
         tags = _resolve_state_arrow(path, None)["tags"]
         if tag not in tags:
@@ -248,6 +255,28 @@ def _version_from_options(path: str, options: dict) -> int | None:
                 f"no tag {tag!r} at {path} (tags: {sorted(tags)})"
             )
         return tags[tag]
+    if ts is not None:
+        import datetime as _dt
+
+        try:
+            ts_ms = int(ts)
+        except ValueError:
+            parsed = _dt.datetime.fromisoformat(ts)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+            ts_ms = int(parsed.timestamp() * 1000)
+        entries, _ = _list_log_arrow(path)
+        best = None
+        for ver in entries:
+            e_ts = _read_log_json(path, f"{ver:08d}.json").get("ts")
+            if e_ts is not None and int(e_ts) <= ts_ms:
+                best = ver  # sorted ascending: last match wins
+        if best is None:
+            raise ValueError(
+                f"timestampAsOf {ts!r} predates all retained history at "
+                f"{path}"
+            )
+        return best
     return int(v) if v is not None else None
 
 

@@ -1520,7 +1520,7 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert table_read(spark, t, timestamp=mid).count() == 25
     with _pytest.raises(ValueError, match="predates"):
         table_version_at_timestamp(spark, t, "1999-01-01T00:00:00+00:00")
-    with _pytest.raises(ValueError, match="not both"):
+    with _pytest.raises(ValueError, match="at most one"):
         table_read(spark, t, version=0, timestamp=mid)
 
 
@@ -2930,3 +2930,35 @@ def test_table_verify_fsck(spark, tmp_path):
     rep3 = table_verify(spark, t)
     assert not rep3["ok"]
     assert any(victim in i and "missing" in i for i in rep3["issues"])
+
+
+def test_format_reader_timestamp_as_of(spark, tmp_path):
+    """``.option("timestampAsOf", ...)`` on the session-free reader:
+    resolves the newest version committed at or before the timestamp
+    from the log's durable ``ts`` fields — Delta's TIMESTAMP AS OF on
+    the format surface."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import table_history
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    t = str(tmp_path / "tsopt")
+    table_commit(spark.range(0, 10).selectExpr("id"), t)
+    table_commit(spark.range(10, 40).selectExpr("id"), t)
+    t0 = table_history(spark, t)[0]["timestamp"]
+    spark.dataSource.register(TablelogStreamDataSource)
+    n0 = (
+        spark.read.format("tablelog").option("path", t)
+        .option("timestampAsOf", t0).load().count()
+    )
+    assert n0 == 10
+    with _pytest.raises(Exception, match="predates"):
+        spark.read.format("tablelog").option("path", t).option(
+            "timestampAsOf", "1999-01-01T00:00:00+00:00"
+        ).load().count()
+    with _pytest.raises(Exception, match="at most one"):
+        spark.read.format("tablelog").option("path", t).option(
+            "timestampAsOf", t0
+        ).option("version", "1").load().count()
