@@ -2799,6 +2799,42 @@ def ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality classifier
+    (``llmdata.classify.train_logreg`` / ``logreg_score``) — the
+    fastText/CCNet-shaped pretraining gate. Features are cheap codegen
+    text statistics (stopword ratio, punctuation ratio, log token
+    count); the weak label marks documents longer than 400 chars.
+    Training is IRLS where each Newton step is ONE map-side-combined
+    aggregate (k sums + k(k+1)/2 Hessian cells) and a 4×4 driver
+    solve — the same scan count on 100 TB. Iterative ⇒ rows-only; the
+    distributed fit is pinned equal to a driver-side numpy IRLS twin
+    in ``tests/test_llmdata.py::test_logreg_matches_numpy_irls``."""
+    from simple_data_workflow_spark.llmdata.classify import (
+        logreg_score,
+        train_logreg,
+    )
+
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        text.stopword_ratio(F.col("text")).alias("stop_r"),
+        text.punct_ratio(F.col("text")).alias("punct_r"),
+        F.log1p(text.token_count(F.col("text"))).alias("log_toks"),
+        (F.length("text") > 400).cast("double").alias("label"),
+    )
+    beta = train_logreg(
+        feats, ["stop_r", "punct_r", "log_toks"], "label", iters=8
+    )
+    return (
+        logreg_score(feats, beta, ["stop_r", "punct_r", "log_toks"])
+        .select("doc_id", F.round("quality_prob", 4).alias("quality_prob"))
+        .orderBy(F.desc("quality_prob"), "doc_id")
+        .limit(50)
+    )
+
+
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-name pairs within Levenshtein distance 1 via SymSpell
     deletion-variant blocking (llmdata.dedup.fuzzy_pairs) — equi-join on
@@ -3131,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_terms": _wrap(heavy_hitter_terms),
         "weighted_median_price": _wrap(rel.weighted_median_price),
         "fuzzy_name_matches": _wrap(fuzzy_name_matches),
+        "quality_classifier_docs": _wrap(quality_classifier_docs),
         "bpe_train_merges": _wrap(bpe_train_merges),
         "bpe_encode_docs": _wrap(bpe_encode_docs),
         "profile_orders": _wrap(rel.profile_orders),

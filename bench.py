@@ -318,6 +318,7 @@ QUERIES = {
     "ivf_index_search_only": ivf_index_search_bench,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,
     "fuzzy_name_matches": entrymod.fuzzy_name_matches,
+    "quality_classifier_docs": entrymod.quality_classifier_docs,
     "profile_orders": rel.profile_orders,
     "cohort_retention": rel.cohort_retention,
     "q7_volume_shipping": rel.q7_volume_shipping,

@@ -1392,3 +1392,60 @@ def test_pq_topk_recall_and_compression(spark):
 
     with _pytest.raises(ValueError, match="corpus"):
         S.pq_topk(q, codes, cbs, k=5, rerank=10)
+
+
+def test_logreg_matches_numpy_irls(spark):
+    """The distributed IRLS (one aggregate per Newton step, k×k driver
+    solve) reproduces the textbook driver-side fit on the same data,
+    same iterations, same ridge — the aggregates ARE the math."""
+    import numpy as np
+
+    from simple_data_workflow_spark.llmdata.classify import (
+        logreg_score,
+        train_logreg,
+        train_logreg_numpy,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 2000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    z = 1.5 * x1 - 2.0 * x2 + 0.5
+    p = 1.0 / (1.0 + np.exp(-z))
+    y = (rng.uniform(size=n) < p).astype(float)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, label double")
+
+    beta = train_logreg(df, ["x1", "x2"], "label", iters=8)
+    ref = train_logreg_numpy(np.stack([x1, x2], axis=1), y, iters=8)
+    assert np.allclose(beta, ref, rtol=1e-6, atol=1e-8)
+    # the fit recovers the generating coefficients to sampling noise
+    assert abs(beta[0] - 1.5) < 0.3
+    assert abs(beta[1] + 2.0) < 0.3
+    assert abs(beta[2] - 0.5) < 0.3
+
+    scored = logreg_score(df, beta, ["x1", "x2"])
+    acc = scored.selectExpr(
+        "avg(CASE WHEN (quality_prob > 0.5) = (label = 1.0) "
+        "THEN 1.0 ELSE 0.0 END) AS acc"
+    ).collect()[0]["acc"]
+    assert acc > 0.8
+
+
+def test_logreg_separation_stays_finite_and_filter_gates(spark):
+    """Perfectly-separable labels (the MLE diverges) stay finite under
+    the ridge term, classify every row correctly, and the one-call
+    quality gate keeps exactly the high-quality side."""
+    import numpy as np
+
+    from simple_data_workflow_spark.llmdata.classify import (
+        quality_classifier_filter,
+        train_logreg,
+    )
+
+    rows = [(float(i), 1.0 if i >= 50 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, label double")
+    beta = train_logreg(df, ["x"], "label", iters=6)
+    assert all(np.isfinite(b) for b in beta)
+    kept = quality_classifier_filter(df, ["x"], "label", iters=6)
+    assert {r["x"] for r in kept.collect()} == {float(i) for i in range(50, 100)}
