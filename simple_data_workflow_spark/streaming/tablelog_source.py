@@ -68,6 +68,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 VERSION_COL = "_commit_version"
+CHANGE_COL = "_change_type"
 
 
 def _fs_for(path: str):
@@ -418,6 +419,11 @@ class _FilePartition(InputPartition):
     cmap: dict | None = None
     #: MoR-deleted row positions WITHIN this file (sorted); None = none
     dv_positions: list | None = None
+    #: change-feed mode: "insert" / "delete"; None = plain snapshot row
+    change_type: str | None = None
+    #: change-feed DELETE partitions: row positions to EMIT from the
+    #: file (the deletion vector's targets) — take, not mask
+    take_positions: list | None = None
 
 
 class TablelogStreamReader(DataSourceStreamReader):
@@ -427,6 +433,18 @@ class TablelogStreamReader(DataSourceStreamReader):
             raise ValueError("tablelog source requires .option('path', ...)")
         self._allow_rewrites = (
             str(options.get("allowrewrites", "false")).lower() == "true"
+        )
+        # change-data-feed mode: rows carry _change_type insert/delete.
+        # Appends are inserts; MoR "dv" commits yield EXACT row-level
+        # deletes (positions from the sidecar, preimage rows read from
+        # the untouched target file) + postimage inserts — so the
+        # recommended at-scale DML mode streams its changes exactly.
+        # Compactions are zero logical change, skipped from metadata.
+        # File-rewrite DML / overwrites still gate on allowRewrites
+        # (their adds then stream as at-least-once inserts) — the same
+        # boundary the non-CDF reader documents.
+        self._cdf = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
         )
         if "startingversion" in options:
             self._starting = int(options["startingversion"])
@@ -438,11 +456,13 @@ class TablelogStreamReader(DataSourceStreamReader):
             # batch-backfill concern (table_read), not a stream replay.
             entries = _list_entry_versions(self._path)
             self._starting = (entries[0] - 1) if entries else -1
-        # arrow schema WITHOUT the version tag; built driver-side (the
-        # worker in read() has no SparkSession) and pickled with self
+        # arrow schema WITHOUT the version/change tags; built driver-side
+        # (the worker in read() has no SparkSession) and pickled with self
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        data_fields = [f for f in schema.fields if f.name != VERSION_COL]
+        data_fields = [
+            f for f in schema.fields if f.name not in (VERSION_COL, CHANGE_COL)
+        ]
         self._arrow_schema = to_arrow_schema(StructType(data_fields))
 
     # -- offsets: {"version": N} == all versions <= N consumed
@@ -480,6 +500,43 @@ class TablelogStreamReader(DataSourceStreamReader):
             e = _read_entry(self._path, v)
             if e["action"] == "meta":
                 continue  # metadata-only (rename/drop column): no rows
+            fs, root = _fs_for(self._path)
+            if self._cdf and e["action"] == "dv":
+                # MoR DML streams EXACTLY: deletes = sidecar positions
+                # taken from the untouched target files (resolved to
+                # refs via the snapshot the DVs landed on), inserts =
+                # the entry's postimage files
+                name_to_ref = {
+                    f.rsplit("/", 1)[-1]: _data_ref(root, f)
+                    for f in _resolve_state_arrow(self._path, v)["files"]
+                }
+                for fname, positions in _dv_positions_arrow(
+                    self._path, list(e.get("dv_add", []))
+                ).items():
+                    ref = name_to_ref.get(fname)
+                    if ref is None:
+                        raise ValueError(
+                            f"dv commit {v} targets {fname}, absent from "
+                            f"the version-{v} snapshot"
+                        )
+                    parts.append(
+                        _FilePartition(
+                            ref, v, cmap=cmap, change_type="delete",
+                            take_positions=sorted(positions),
+                        )
+                    )
+                for f in e.get("add", []):
+                    parts.append(
+                        _FilePartition(
+                            _data_ref(root, f), v, cmap=cmap,
+                            change_type="insert",
+                        )
+                    )
+                continue
+            if self._cdf and e["action"] == "delta" and (
+                e.get("op") in ("compact", "compact_small")
+            ):
+                continue  # byte rewrite, zero logical change (metadata)
             if e["action"] != "append" and not self._allow_rewrites:
                 raise ValueError(
                     f"version {v} is a {e.get('op', e['action'])!r} commit; "
@@ -487,9 +544,13 @@ class TablelogStreamReader(DataSourceStreamReader):
                     ".option('allowRewrites', 'true') for at-least-once "
                     "change-feed semantics"
                 )
-            fs, root = _fs_for(self._path)
             for f in list(e.get("files", [])) + list(e.get("add", [])):
-                parts.append(_FilePartition(_data_ref(root, f), v, cmap=cmap))
+                parts.append(
+                    _FilePartition(
+                        _data_ref(root, f), v, cmap=cmap,
+                        change_type="insert" if self._cdf else None,
+                    )
+                )
         return parts
 
     def read(self, partition: _FilePartition):
@@ -502,6 +563,18 @@ class TablelogStreamReader(DataSourceStreamReader):
             self._arrow_schema,
             cmap=partition.cmap,
         )
+        if partition.take_positions is not None:
+            # change-feed DELETE: emit exactly the deletion vector's
+            # target rows (positions are file-physical row indexes)
+            out = out.take(pa.array(partition.take_positions, pa.int64()))
+        if partition.change_type is not None:
+            out = out.append_column(
+                CHANGE_COL,
+                pa.repeat(
+                    pa.scalar(partition.change_type, pa.string()),
+                    out.num_rows,
+                ),
+            )
         out = out.append_column(
             VERSION_COL,
             # constant column without a per-row Python list
@@ -580,6 +653,11 @@ class TablelogBatchReader(DataSourceReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("tablelog source requires .option('path', ...)")
+        if str(options.get("readchangefeed", "false")).lower() == "true":
+            raise ValueError(
+                "readChangeFeed is a STREAMING option (readStream); for a "
+                "batch change feed use tablelog.table_changes_rowlevel"
+            )
         self._version = _version_from_options(self._path, options)
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -694,9 +772,13 @@ class TablelogStreamDataSource(DataSource):
     """``format("tablelog")``: batch AND streaming reads of a native
     table-format path, plus the streaming sink. Batch options: ``path``
     (required), ``version`` (time travel), ``tag`` (named-anchor time
-    travel — reads the snapshot ``table_tag`` pinned). Streaming
-    options: ``path`` (required), ``startingVersion`` (default -1 =
-    everything), ``allowRewrites`` (default false)."""
+    travel — reads the snapshot ``table_tag`` pinned),
+    ``timestampAsOf``. Streaming options: ``path`` (required),
+    ``startingVersion`` (default -1 = everything), ``allowRewrites``
+    (default false), ``readChangeFeed`` (rows carry
+    ``_change_type`` insert/delete — appends and merge-on-read DML
+    stream exactly; compactions skip from metadata; file-rewrite
+    DML still gates on ``allowRewrites``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -719,7 +801,20 @@ class TablelogStreamDataSource(DataSource):
         # spliced in — Spark's engine-side type parser accepts it
         # (no _parse_datatype_string here: that needs a SparkSession)
         assert schema_str.startswith("struct<") and schema_str.endswith(">")
-        return f"{schema_str[:-1]},{VERSION_COL}:bigint>"
+        cdf = (
+            str(
+                self.options.get(
+                    "readchangefeed", self.options.get("readChangeFeed", "false")
+                )
+            ).lower()
+            == "true"
+        )
+        tail = (
+            f",{CHANGE_COL}:string,{VERSION_COL}:bigint>"
+            if cdf
+            else f",{VERSION_COL}:bigint>"
+        )
+        return f"{schema_str[:-1]}{tail}"
 
     def reader(self, schema: StructType) -> TablelogBatchReader:
         return TablelogBatchReader(schema, dict(self.options))

@@ -2962,3 +2962,56 @@ def test_format_reader_timestamp_as_of(spark, tmp_path):
         spark.read.format("tablelog").option("path", t).option(
             "timestampAsOf", t0
         ).option("version", "1").load().count()
+
+
+def test_streaming_change_feed_matches_rowlevel(spark, tmp_path):
+    """``readStream.format("tablelog").option("readChangeFeed","true")``:
+    the streamed feed (appends = inserts; MoR DELETE/UPDATE = exact
+    row-level deletes from the sidecar positions + postimage inserts;
+    compaction = nothing) equals the batch ``table_changes_rowlevel``
+    multiset over the same version range."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_changes_rowlevel,
+        table_compact_small,
+        table_delete_where,
+        table_update_where,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    t = str(tmp_path / "cdf_stream")
+    table_commit(
+        spark.range(0, 30).selectExpr("id", "id % 3 AS g").repartition(2), t
+    )
+    table_commit(spark.range(30, 40).selectExpr("id", "id % 3 AS g"), t)
+    table_delete_where(spark, t, "id < 5", mode="mor")
+    table_update_where(
+        spark, t, {"g": "g + 100"}, "id >= 35", mode="mor"
+    )
+    table_compact_small(spark, t)  # byte rewrite: must stream nothing
+
+    spark.dataSource.register(TablelogStreamDataSource)
+    q = (
+        spark.readStream.format("tablelog").option("path", t)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName("cdf_q")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdf-ck-"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["id"], r["g"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("SELECT * FROM cdf_q").collect()
+    }
+    batch = {
+        (r["id"], r["g"], r["_change_type"], r["_commit_version"])
+        for r in table_changes_rowlevel(spark, t, -1).collect()
+    }
+    assert streamed == batch
+    # sanity on the shape itself: 40 inserts + 5 deletes +
+    # (5 deletes + 5 inserts) for the MoR update, nothing for compact
+    assert len(streamed) == 55
+    assert sum(1 for s in streamed if s[2] == "delete") == 10
