@@ -150,6 +150,38 @@ def ivf_index_search_bench(spark, sf_dir):
     return ivf_index_search(spark, path, q, k=5, n_probe=4)
 
 
+_PQ_ARTIFACTS: dict = {}
+
+
+def _pq_artifacts(spark, sf_dir: str):
+    """Prebuilt PQ codebooks + encoded-codes parquet per sf_dir, built
+    OUTSIDE the timed loop like the IVF index and the LM tables: the
+    ``pq_search_only`` entry then measures the SERVING shape — ADC scan
+    over uint8 codes + exact re-rank of the shortlist — which the
+    driver query's number buries under codebook training, corpus
+    encoding AND the brute-force recall oracle it asserts against."""
+    if sf_dir not in _PQ_ARTIFACTS:
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cbs = similarity.fit_pq_codebooks(emb, m=16)
+        path = tempfile.mkdtemp(prefix="sdw-pqcodes-") + "/codes"
+        similarity.pq_encode(emb, cbs).write.parquet(path)
+        _PQ_ARTIFACTS[sf_dir] = (cbs, path)
+    return _PQ_ARTIFACTS[sf_dir]
+
+
+def pq_search_only_bench(spark, sf_dir):
+    cbs, codes_path = _pq_artifacts(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    n = _corpus_rows(spark, sf_dir)
+    codes = spark.read.parquet(codes_path)
+    return similarity.pq_topk(
+        q, codes, cbs, k=5, rerank=max(50, n // 20), corpus=emb
+    )
+
+
 _LM_PATHS: dict = {}
 
 
@@ -349,6 +381,7 @@ QUERIES = {
     "lsh_topk_multiprobe": lsh_topk_multiprobe_bench,
     "ivf_topk": ivf_topk_bench,
     "pq_topk_rerank": entrymod.pq_topk_embeddings,
+    "pq_search_only": pq_search_only_bench,
     "lsh_cosine_near_dups": lsh_near_dups_bench,
     "lsh_cosine_near_dups_multiprobe": lsh_near_dups_multiprobe_bench,
     "pack_documents": pack_bench,
@@ -381,6 +414,7 @@ def main() -> None:
         _corpus_rows(spark, d)
         _ivf_index_path(spark, d)
         _lm_path(spark, d)
+        _pq_artifacts(spark, d)
     # warm each query once at the smallest sf (JVM/codegen/reader warmup,
     # not counted) so the timed runs measure the queries, not JIT
     for name, fn in QUERIES.items():
