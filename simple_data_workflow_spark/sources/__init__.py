@@ -20,6 +20,7 @@ from simple_data_workflow_spark.sources.matview import (  # noqa: F401
 )
 from simple_data_workflow_spark.sources.tablelog import (  # noqa: F401
     ConcurrentWriteConflict,
+    table_add_column,
     table_changes,
     table_changes_rowlevel,
     table_clone,

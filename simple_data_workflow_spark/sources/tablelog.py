@@ -2046,6 +2046,49 @@ def table_drop_column(spark: SparkSession, path: str, col: str) -> int:
     return _commit_entry(spark, path, entry, base=state["version"])
 
 
+def table_add_column(
+    spark: SparkSession, path: str, col: str, dtype: str
+) -> int:
+    """ALTER TABLE ADD COLUMN (nullable), METADATA-ONLY: one log entry
+    widens the logical schema; every existing file surfaces the new
+    column as NULL because snapshot reads pass the logged schema
+    explicitly — zero bytes move at any table size (the pure-DDL twin
+    of ``table_commit(evolve_schema=True)``, which requires a data
+    batch). If the default physical name was ever used by a
+    since-dropped/renamed column, the new column gets a FRESH
+    uuid-suffixed physical — old files can never resurrect the retired
+    column's data under the new name. Interleaved commits conflict
+    (CAS on the base version). Returns the new version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    state = _resolve_state(spark, path, None)
+    fields = list(_parse_datatype_string(state["schema"]))
+    names = [f.name for f in fields]
+    if col in names:
+        raise ValueError(f"column {col!r} already exists in {path}")
+    new_type = _parse_datatype_string(dtype)
+    cmap = dict(state.get("column_map") or {})
+    used = set(state.get("used_physicals") or [])
+    live_phys = {cmap.get(n, n) for n in names}
+    retired = used - live_phys
+    entry: dict = {
+        "action": "meta",
+        "op": "add_column",
+        "schema": T.StructType(
+            fields + [T.StructField(col, new_type, True)]
+        ).simpleString(),
+        "base": state["version"],
+    }
+    if col in retired or col in live_phys:
+        cmap[col] = f"{col}__{uuid.uuid4().hex[:8]}"
+        entry["column_map"] = cmap
+        entry["used_physicals"] = sorted(used | live_phys | {cmap[col]})
+    elif cmap or used:
+        entry["column_map"] = cmap
+        entry["used_physicals"] = sorted(used | live_phys | {col})
+    return _commit_entry(spark, path, entry, base=state["version"])
+
+
 # ------------------------------------------------- file-granular DML triad
 
 

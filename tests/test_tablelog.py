@@ -3015,3 +3015,51 @@ def test_streaming_change_feed_matches_rowlevel(spark, tmp_path):
     # (5 deletes + 5 inserts) for the MoR update, nothing for compact
     assert len(streamed) == 55
     assert sum(1 for s in streamed if s[2] == "delete") == 10
+
+
+def test_add_column_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN without a data batch: old files NULL-fill
+    the new column, later appends carry it, and re-adding a column
+    under a DROPPED column's name gets a fresh physical — the retired
+    data never resurrects."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_add_column,
+        table_drop_column,
+    )
+
+    t = str(tmp_path / "addcol")
+    table_commit(spark.range(0, 10).selectExpr("id", "id * 2 AS v"), t)
+    mtimes = {
+        f: _os.path.getmtime(f"{t}/data/{f}")
+        for f in _os.listdir(f"{t}/data")
+    }
+    table_add_column(spark, t, "note", "string")
+    got = table_read(spark, t)
+    assert got.columns == ["id", "v", "note"]
+    assert got.where("note IS NULL").count() == 10
+    # pure DDL: no data file touched
+    assert all(
+        _os.path.getmtime(f"{t}/data/{f}") == m for f, m in mtimes.items()
+    )
+    with _pytest.raises(ValueError, match="already exists"):
+        table_add_column(spark, t, "v", "string")
+    # appends carry the widened schema
+    table_commit(
+        spark.range(10, 15).selectExpr(
+            "id", "id * 2 AS v", "CAST('x' AS STRING) AS note"
+        ),
+        t,
+    )
+    assert table_read(spark, t).where("note = 'x'").count() == 5
+
+    # drop + re-add under the same name: fresh physical, old data dead
+    table_drop_column(spark, t, "note")
+    table_add_column(spark, t, "note", "string")
+    again = table_read(spark, t)
+    assert again.where("note IS NOT NULL").count() == 0  # 'x' stays buried
+    # time travel still sees the pre-drop values
+    assert table_read(spark, t, version=2).where("note = 'x'").count() == 5
