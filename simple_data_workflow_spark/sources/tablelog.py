@@ -3368,16 +3368,27 @@ def table_changes_rowlevel(
     return out
 
 
-def table_restore(spark: SparkSession, path: str, version: int) -> int:
-    """RESTORE TABLE TO VERSION — roll the table back to a retained
-    snapshot as ONE metadata-only overwrite commit referencing that
-    version's file list (no data movement at any table size; the files
-    are immutable and still on disk until vacuum). The rollback is
-    itself a new version, so it is auditable and reversible the same
-    way; conflicts with interleaved commits like any read-modify-write.
-    Returns the new version."""
-    target = _resolve_state(spark, path, version)
+def table_restore(
+    spark: SparkSession, path: str, version: int | None = None,
+    tag: str | None = None,
+) -> int:
+    """RESTORE TABLE TO VERSION (or to a named ``tag``) — roll the
+    table back to a retained snapshot as ONE metadata-only overwrite
+    commit referencing that version's file list (no data movement at
+    any table size; the files are immutable and still on disk until
+    vacuum). The rollback is itself a new version, so it is auditable
+    and reversible the same way; conflicts with interleaved commits
+    like any read-modify-write. Returns the new version."""
+    if (version is None) == (tag is None):
+        raise ValueError("pass exactly one of version, tag")
     current = _resolve_state(spark, path, None)
+    if tag is not None:
+        if tag not in current["tags"]:
+            raise ValueError(
+                f"no tag {tag!r} at {path} (tags: {sorted(current['tags'])})"
+            )
+        version = current["tags"][tag]
+    target = _resolve_state(spark, path, version)
     entry = {
         "action": "overwrite",
         "files": target["files"],

@@ -446,7 +446,22 @@ class TablelogStreamReader(DataSourceStreamReader):
         self._cdf = (
             str(options.get("readchangefeed", "false")).lower() == "true"
         )
-        if "startingversion" in options:
+        if "startingversion" in options and "startingtag" in options:
+            raise ValueError(
+                "pass .option('startingVersion') OR .option('startingTag'), "
+                "not both"
+            )
+        if "startingtag" in options:
+            # stream everything AFTER the tagged snapshot — "tag the
+            # version the model trained on, stream what changed since"
+            tags = _resolve_state_arrow(self._path, None)["tags"]
+            name = options["startingtag"]
+            if name not in tags:
+                raise ValueError(
+                    f"no tag {name!r} at {self._path} (tags: {sorted(tags)})"
+                )
+            self._starting = tags[name]
+        elif "startingversion" in options:
             self._starting = int(options["startingversion"])
         else:
             # default: every RETAINED entry, then tail. Anchoring at -1

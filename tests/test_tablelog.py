@@ -3063,3 +3063,44 @@ def test_add_column_metadata_only(spark, tmp_path):
     assert again.where("note IS NOT NULL").count() == 0  # 'x' stays buried
     # time travel still sees the pre-drop values
     assert table_read(spark, t, version=2).where("note = 'x'").count() == 5
+
+
+def test_restore_to_tag_and_starting_tag_stream(spark, tmp_path):
+    """Tag composition: RESTORE TABLE TO TAG rolls back by name, and a
+    change-feed stream with ``startingTag`` delivers exactly the
+    commits AFTER the tagged snapshot."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_restore,
+        table_tag,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    t = str(tmp_path / "tagflow")
+    table_commit(spark.range(0, 20).selectExpr("id"), t)   # v0
+    table_tag(spark, t, "trained-on")                      # v1
+    table_commit(spark.range(20, 50).selectExpr("id"), t)  # v2
+    table_commit(spark.range(50, 60).selectExpr("id"), t)  # v3
+
+    spark.dataSource.register(TablelogStreamDataSource)
+    q = (
+        spark.readStream.format("tablelog").option("path", t)
+        .option("startingTag", "trained-on")
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName("since_tag_q")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stag-ck-"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM since_tag_q").collect()
+    # only the two post-tag appends stream (tag pins v0; v1 is the tag
+    # meta commit itself — no rows)
+    assert {r["id"] for r in rows} == set(range(20, 60))
+    assert all(r["_change_type"] == "insert" for r in rows)
+
+    # restore by name: back to the tagged snapshot, one metadata commit
+    table_restore(spark, t, tag="trained-on")
+    assert {r["id"] for r in table_read(spark, t).collect()} == set(range(20))
