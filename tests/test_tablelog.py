@@ -3104,3 +3104,66 @@ def test_restore_to_tag_and_starting_tag_stream(spark, tmp_path):
     # restore by name: back to the tagged snapshot, one metadata commit
     table_restore(spark, t, tag="trained-on")
     assert {r["id"] for r in table_read(spark, t).collect()} == set(range(20))
+
+
+def test_cdf_stream_maintains_aggregate_exactly(spark, tmp_path):
+    """End-to-end composition: a grouped SUM/COUNT maintained from the
+    STREAMING change feed of a MoR-maintained table equals the full
+    recompute — the change stream's insert/delete rows map straight
+    onto ``incremental_agg_apply``'s I/D contract, so a 100 TB fact
+    table's aggregate refreshes at O(changes) from the stream."""
+    import tempfile
+
+    from simple_data_workflow_spark.operators.cdc import (
+        incremental_agg_apply,
+    )
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_delete_where,
+        table_update_where,
+    )
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "cdf_agg")
+    table_commit(
+        spark.range(0, 100).selectExpr("id", "id % 4 AS g", "id * 1.0 AS v"),
+        t,
+    )
+    table_delete_where(spark, t, "id < 10", mode="mor")
+    table_update_where(spark, t, {"v": "v + 1000.0"}, "id >= 90", mode="mor")
+
+    spark.dataSource.register(TablelogStreamDataSource)
+    q = (
+        spark.readStream.format("tablelog").option("path", t)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName("cdf_agg_q")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cagg-ck-"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    feed = spark.sql("SELECT * FROM cdf_agg_q")
+    cdc = feed.select(
+        F.when(F.col("_change_type") == "insert", "I").otherwise("D").alias("op"),
+        "g",
+        F.when(F.col("_change_type") == "delete", F.col("v")).alias("old_val"),
+        F.when(F.col("_change_type") == "insert", F.col("v")).alias("new_val"),
+    )
+    empty = spark.createDataFrame(
+        [], "g bigint, sum_val double, n_rows bigint"
+    )
+    got = {
+        r["g"]: (r["sum_val"], r["n_rows"])
+        for r in incremental_agg_apply(empty, cdc, ["g"]).collect()
+    }
+    want = {
+        r["g"]: (r["s"], r["n"])
+        for r in table_read(spark, t)
+        .groupBy("g").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][1] == want[g][1]
+        assert abs(float(got[g][0]) - float(want[g][0])) < 1e-6
