@@ -2799,6 +2799,54 @@ def ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_balanced_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster balancing (``llmdata.clustering``): distributed
+    k-means over the embedding corpus (assign = one vectorized Arrow
+    scan per iteration; update = ONE grouped aggregate collecting
+    exactly k×dim cells — nothing data-sized at the driver), then a
+    per-cluster cap via the stateless hash-rank window — the mixing
+    lever that stops one embedding neighborhood from dominating a
+    training token budget. Iterative ⇒ rows-only; the distributed fit
+    is pinned EXACTLY equal to a driver-side numpy Lloyd twin in
+    ``tests/test_llmdata.py::test_kmeans_matches_numpy_lloyd``. Returns
+    per-cluster kept/total counts; the cap invariant is asserted
+    in-query."""
+    from simple_data_workflow_spark.llmdata.clustering import (
+        assign_clusters,
+        cluster_balanced_sample,
+        kmeans_fit,
+    )
+
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cap = max(20, n // 16)  # scale the quota with the corpus
+    cents = kmeans_fit(emb, k=8, iters=5)
+    kept = (
+        cluster_balanced_sample(emb, cents, cap_per_cluster=cap)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    total = (
+        assign_clusters(emb, cents)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    out = (
+        total.join(kept, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "n_total",
+        )
+        .orderBy("cluster_id")
+    )
+    rows = out.collect()
+    assert all(r["n_kept"] <= cap for r in rows)
+    assert all(r["n_kept"] == min(r["n_total"], cap) for r in rows)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic-regression quality classifier
     (``llmdata.classify.train_logreg`` / ``logreg_score``) — the
@@ -3168,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price": _wrap(rel.weighted_median_price),
         "fuzzy_name_matches": _wrap(fuzzy_name_matches),
         "quality_classifier_docs": _wrap(quality_classifier_docs),
+        "cluster_balanced_embeddings": _wrap(cluster_balanced_embeddings),
         "bpe_train_merges": _wrap(bpe_train_merges),
         "bpe_encode_docs": _wrap(bpe_encode_docs),
         "profile_orders": _wrap(rel.profile_orders),

@@ -351,6 +351,7 @@ QUERIES = {
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,
     "fuzzy_name_matches": entrymod.fuzzy_name_matches,
     "quality_classifier_docs": entrymod.quality_classifier_docs,
+    "cluster_balanced_embeddings": entrymod.cluster_balanced_embeddings,
     "profile_orders": rel.profile_orders,
     "cohort_retention": rel.cohort_retention,
     "q7_volume_shipping": rel.q7_volume_shipping,

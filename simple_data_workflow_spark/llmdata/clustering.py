@@ -1,0 +1,146 @@
+"""Distributed k-means over embedding columns + cluster-balanced
+sampling — the semantic-diversity lever of a pretraining data mix:
+cluster the corpus by embedding, then cap/quota documents per cluster
+so no semantic neighborhood dominates the token budget.
+
+Spark-first design: Lloyd's algorithm with the two halves placed where
+they belong at 100 TB —
+
+- **assign** is an Arrow-batched vectorized pandas UDF (one numpy
+  ``batch × k × dim`` distance computation per batch; centroids ride
+  pickled with the UDF — k·dim doubles, never data-sized);
+- **update** is ONE grouped aggregate per iteration:
+  ``posexplode(vec) → groupBy(cluster, pos) → SUM/COUNT`` with
+  map-side combine, collecting exactly ``k × dim`` cells to the
+  driver — cost independent of corpus rows beyond the scan.
+
+Initialization is deterministic (the k lowest-id vectors), so the fit
+reproduces anywhere and the unit test pins the distributed iteration
+EXACTLY equal to a driver-side numpy Lloyd twin. Empty clusters keep
+their previous centroid (the standard fix; deterministic).
+
+``cluster_balanced_sample`` then caps each cluster with the same
+stateless xxhash64-rank window ``llmdata.dedup.cap_per_key`` uses — no
+global sort, one shuffle on cluster_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _assign_udf(centroids: np.ndarray):
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        X = np.asarray(list(vs), dtype=np.float64)
+        # ||x-c||² = ||x||² − 2x·c + ||c||²; ||x||² constant per row
+        d = -2.0 * X @ C.T + (C * C).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Fit k centroids; returns them as a ``k × dim`` nested list.
+    Deterministic: init = the k lowest-``id_col`` vectors; each Lloyd
+    iteration is one assign-scan + one grouped aggregate."""
+    seed_rows = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} rows, found {len(seed_rows)}")
+    C = np.asarray([r["v"] for r in seed_rows], dtype=np.float64)
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        assigned = vecs.withColumn("c", _assign_udf(C)(F.col("v")))
+        cells = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_C = C.copy()  # empty cluster keeps its previous centroid
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C))
+        for r in cells:
+            sums[r["c"], r["pos"]] = r["s"]
+            counts[r["c"]] = r["n"]
+        nonempty = counts > 0
+        new_C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if np.allclose(new_C, C, rtol=0, atol=1e-12):
+            C = new_C
+            break
+        C = new_C
+    return [[float(x) for x in row] for row in C]
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Append each row's nearest-centroid id — one vectorized scan."""
+    C = np.asarray(centroids, dtype=np.float64)
+    return df.withColumn(
+        out_col, _assign_udf(C)(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: list,
+    cap_per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cluster-balance",
+) -> DataFrame:
+    """Keep at most ``cap_per_cluster`` rows per semantic cluster,
+    chosen by a deterministic per-row hash rank (stateless, seedable
+    via ``salt``; re-running selects the same rows). One shuffle on
+    cluster_id; no global sort. The semantic twin of per-source
+    capping: stops any one embedding neighborhood from dominating the
+    training mix."""
+    assigned = assign_clusters(df, centroids, vec_col=vec_col)
+    rank = F.xxhash64(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("cluster_id").orderBy(rank.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap_per_cluster)
+        .drop("__rn")
+    )
+
+
+def kmeans_fit_numpy(
+    X: np.ndarray, k: int, iters: int = 10
+) -> np.ndarray:
+    """Driver-side Lloyd twin (same init: first k rows in given order;
+    same empty-cluster rule) — the test oracle for ``kmeans_fit``."""
+    C = X[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d = -2.0 * X @ C.T + (C * C).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        new_C = C.copy()
+        for j in range(k):
+            m = a == j
+            if m.any():
+                new_C[j] = X[m].mean(axis=0)
+        if np.allclose(new_C, C, rtol=0, atol=1e-12):
+            return new_C
+        C = new_C
+    return C

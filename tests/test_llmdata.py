@@ -1449,3 +1449,77 @@ def test_logreg_separation_stays_finite_and_filter_gates(spark):
     assert all(np.isfinite(b) for b in beta)
     kept = quality_classifier_filter(df, ["x"], "label", iters=6)
     assert {r["x"] for r in kept.collect()} == {float(i) for i in range(50, 100)}
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Distributed Lloyd (vectorized assign UDF + one grouped aggregate
+    per iteration) reproduces the driver-side numpy twin exactly —
+    same deterministic init (k lowest ids), same empty-cluster rule."""
+    import numpy as np
+
+    from simple_data_workflow_spark.llmdata.clustering import (
+        kmeans_fit,
+        kmeans_fit_numpy,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[0.0, 0.0], [5.0, 5.0], [-5.0, 5.0]])
+    X = np.vstack(
+        [c + rng.normal(0, 0.4, (40, 2)) for c in centers]
+    )
+    order = rng.permutation(len(X))
+    X = X[order]
+    rows = [(int(i), [float(a), float(b)]) for i, (a, b) in enumerate(X)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    got = np.asarray(kmeans_fit(df, k=3, iters=7))
+    want = kmeans_fit_numpy(X, k=3, iters=7)
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+    # the fit lands on the generating centers (any order)
+    for c in centers:
+        assert min(np.linalg.norm(got - c, axis=1)) < 0.3
+
+
+def test_cluster_balanced_sample_caps_each_cluster(spark):
+    """Cluster-balanced sampling: every semantic cluster is capped,
+    selection is deterministic (re-run picks the same rows), and the
+    sample's assignments agree with assign_clusters."""
+    import numpy as np
+
+    from simple_data_workflow_spark.llmdata.clustering import (
+        assign_clusters,
+        cluster_balanced_sample,
+        kmeans_fit,
+    )
+
+    rng = np.random.RandomState(11)
+    # wildly imbalanced neighborhoods: 300 near A, 20 near B
+    A = rng.normal(0, 0.3, (300, 4)) + np.array([4.0, 0, 0, 0])
+    B = rng.normal(0, 0.3, (20, 4)) + np.array([-4.0, 0, 0, 0])
+    X = np.vstack([A, B])
+    rows = [(int(i), [float(v) for v in x]) for i, x in enumerate(X)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = kmeans_fit(df, k=2, iters=5)
+
+    kept = cluster_balanced_sample(df, cents, cap_per_cluster=25)
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in kept.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert max(sizes.values()) <= 25
+    assert min(sizes.values()) == 20  # the small cluster survives whole
+    # deterministic re-run
+    again = cluster_balanced_sample(df, cents, cap_per_cluster=25)
+    assert {r["vec_id"] for r in kept.collect()} == {
+        r["vec_id"] for r in again.collect()
+    }
+    # assignments in the sample match a fresh assign pass
+    fresh = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(df, cents).collect()
+    }
+    assert all(
+        fresh[r["vec_id"]] == r["cluster_id"] for r in kept.collect()
+    )
