@@ -240,8 +240,84 @@ def _transform_value(kind: str, param: int | None, v):
     return None
 
 
+#: transforms whose Spark-side expression AND driver-side value twin
+#: both depend on the session timezone being UTC (date/hour extraction
+#: of instants); bucket/truncate/identity are timezone-free
+_TEMPORAL_TRANSFORMS = {"years", "months", "days", "hours"}
+
+
+def _session_utc(spark: SparkSession) -> bool:
+    try:
+        return spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    except Exception:
+        return False
+
+
+def _utc_normalize_filters(
+    spark: SparkSession, schema_str: str, filters: list[tuple]
+) -> list[tuple]:
+    """Rewrite naive temporal filter literals on TIMESTAMP columns into
+    the UTC instant the session means. Timestamp stats serialize as UTC
+    isoformat and the hidden-partitioning twin ``_transform_value`` is
+    fixed to UTC, while a naive literal in a filter is interpreted in
+    the SESSION timezone by the row-level comparison — without this
+    rewrite a non-UTC reader's pruning could drop files whose rows the
+    row-level filter keeps (ADVICE r9, generalized from derived
+    transforms to plain min/max stats). No-op under a UTC session.
+    Values that fail to parse pass through untouched (pruning on them
+    stays conservative via the existing type guards)."""
+    if _session_utc(spark):
+        return filters
+    try:
+        from zoneinfo import ZoneInfo
+
+        tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        return filters
+    from pyspark.sql.types import _parse_datatype_string
+
+    ts_cols = {
+        f.name
+        for f in _parse_datatype_string(schema_str)
+        if isinstance(f.dataType, T.TimestampType)
+    }
+
+    def one(v):
+        if isinstance(v, str):
+            try:
+                v = datetime.datetime.fromisoformat(v.replace(" ", "T"))
+            except ValueError:
+                return None
+        if isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        ):
+            v = datetime.datetime(v.year, v.month, v.day)
+        if not isinstance(v, datetime.datetime):
+            return None
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=tz)  # naive literal = session wall time
+        return (
+            v.astimezone(datetime.timezone.utc)
+            .replace(tzinfo=None)
+            .isoformat()
+        )
+
+    out = []
+    for c, o, v in filters:
+        if c in ts_cols:
+            if o == "in":
+                nv = [one(x) for x in v]
+                v = [n if n is not None else x for n, x in zip(nv, v)]
+            else:
+                nv = one(v)
+                v = nv if nv is not None else v
+        out.append((c, o, v))
+    return out
+
+
 def _derive_transform_filters(
-    partition_by: list[str] | None, pfilters: list[tuple], cmap: dict | None
+    partition_by: list[str] | None, pfilters: list[tuple], cmap: dict | None,
+    utc_ok: bool = True,
 ) -> list[tuple]:
     """Derived pruning filters on TRANSFORMED partition values: a
     filter on the raw column becomes membership/range evidence against
@@ -256,6 +332,8 @@ def _derive_transform_filters(
         _, col, kind, param = _parse_partition_field(spec)
         if kind == "identity":
             continue
+        if kind in _TEMPORAL_TRANSFORMS and not utc_ok:
+            continue  # non-UTC reader: pruning off, correctness intact
         pcol = (cmap or {}).get(col, col)
         pkey = _canonical_field(kind, param, pcol)
         for c, o, v in pfilters:
@@ -688,6 +766,7 @@ def table_commit(
     bloom_m: int | None = None,
     bloom_k: int = _BLOOM_K,
     stream_batch_id: int | None = None,
+    stream_app_id: str | None = None,
 ) -> int:
     """Commit ``df`` as one atomic version; returns the version number.
 
@@ -744,22 +823,30 @@ def table_commit(
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     spark = df.sparkSession
     if stream_batch_id is not None:
-        # foreachBatch replay dedup (the same txn mechanism the
-        # session-free Arrow sink uses): a batch id already in the log
-        # is a no-op, upgrading at-least-once delivery to exactly-once
-        # table contents. Batch ids are monotonic per query, so the
-        # newest-first scan stops at the first OLDER id — O(1) per
-        # commit, not O(history). Single streaming query per table
-        # (two queries' id sequences would cross-dedupe — the
-        # documented constraint the Arrow sink carries too).
+        # foreachBatch replay dedup (the same (txnAppId, txnVersion)
+        # mechanism Delta's idempotent writes use): a batch id already
+        # in the log UNDER THE SAME APP ID is a no-op, upgrading
+        # at-least-once delivery to exactly-once table contents.
+        # Dedup is scoped to ``stream_app_id`` (derive it from the
+        # query's checkpoint location): a pipeline restarted against
+        # the same table with a FRESH checkpoint gets fresh batch ids
+        # 0..N AND a fresh app id, so its batches no longer collide
+        # with history and silently vanish (the pre-r10 hazard of
+        # keying on the bare monotonic id). Per-app batch ids are
+        # monotonic, so the newest-first scan decides at the FIRST
+        # same-app entry (== replay, < new) — O(interleaved other
+        # writers), not O(history). ``stream_app_id=None`` keeps the
+        # legacy single-query-per-table semantics and only matches
+        # entries that also carry no app id.
         entries_now, _ = _list_log(spark, path)
         for v in reversed(entries_now):
             e = _read_json(spark, path, f"{v:08d}.json")
             sbid = e.get("stream_batch_id")
+            if sbid is None or e.get("stream_app_id") != stream_app_id:
+                continue  # non-stream or another query's sequence
             if sbid == stream_batch_id:
                 return v  # replayed batch: already live
-            if sbid is not None and sbid < stream_batch_id:
-                break
+            break  # newest same-app id is older: genuinely new batch
     try:
         _cur = _resolve_state(spark, path, None)
     except FileNotFoundError:
@@ -797,6 +884,21 @@ def table_commit(
     _enforce_constraints(df, _enforced["constraints"], path, f"{mode} batch")
     if partition_by:
         parsed = [_parse_partition_field(s) for s in partition_by]
+        if any(k in _TEMPORAL_TRANSFORMS for _, _, k, _ in parsed) and (
+            not _session_utc(spark)
+        ):
+            # days()/hours()/months()/years() cluster and record values
+            # via the SESSION's timezone, while the driver-side pruning
+            # twin (_transform_value) is fixed to UTC — a non-UTC
+            # writer would record values that make derived pruning
+            # silently drop matching files later. Refuse loudly at the
+            # only point that can poison the log (ADVICE r9).
+            raise ValueError(
+                "temporal partition transforms require "
+                "spark.sql.session.timeZone=UTC in the writing session "
+                "(session.tune() sets it); recorded partition values "
+                "would otherwise disagree with the UTC pruning twin"
+            )
         missing = [c for _, c, _, _ in parsed if c not in df.columns]
         if missing:
             raise ValueError(
@@ -952,6 +1054,8 @@ def table_commit(
         )
     if stream_batch_id is not None:
         entry["stream_batch_id"] = int(stream_batch_id)
+        if stream_app_id is not None:
+            entry["stream_app_id"] = str(stream_app_id)
     if base is not None:
         entry["base"] = base
     # both modes re-validate in the CAS loop (appends: schema +
@@ -1703,7 +1807,8 @@ def _register_clone_backref(
 
 
 def _clone_referenced_names(
-    spark: SparkSession, path: str, gc: bool = True
+    spark: SparkSession, path: str, gc: bool = True,
+    gc_before_ms: float | None = None,
 ) -> set[str]:
     """Basenames of THIS table's data files that live shallow clones
     still reference — collected from each registered clone's ENTIRE
@@ -1711,8 +1816,13 @@ def _clone_referenced_names(
     time travel survives a source vacuum). Markers whose destination
     has no log (clone deleted / never committed) or references none of
     our files anymore (materialized, then history-truncated) are
-    garbage-collected here. Cost ∝ clone count × clone log size —
-    metadata, never data."""
+    garbage-collected here — but ONLY markers older than
+    ``gc_before_ms`` (the vacuum retention horizon): an IN-FLIGHT
+    ``table_clone`` registers its marker BEFORE its commit publishes,
+    so a fresh no-log marker is indistinguishable from a failed clone
+    and reaping it would let a later vacuum corrupt the live clone
+    (the r9 TOCTOU). ``gc_before_ms=None`` disables GC outright.
+    Cost ∝ clone count × clone log size — metadata, never data."""
     jvm, fs = _fs(spark, path)
     cdir = jvm.org.apache.hadoop.fs.Path(f"{path}/_clones")
     if not fs.exists(cdir):
@@ -1733,12 +1843,18 @@ def _clone_referenced_names(
         finally:
             stream.close()
         dst = marker.get("dst")
+        # age gate: a marker younger than the retention horizon may
+        # belong to a clone whose commit is still in flight — keep it
+        old_enough = (
+            gc_before_ms is not None
+            and float(marker.get("ts", float("inf"))) < gc_before_ms
+        )
         try:
             entries, cps = _list_log(spark, dst)
         except Exception:
             entries, cps = [], []
         if not entries and not cps:
-            if gc:
+            if gc and old_enough:
                 fs.delete(st.getPath(), False)  # clone gone/never landed
             continue
         refs: set[str] = set()
@@ -1754,7 +1870,7 @@ def _clone_referenced_names(
             if "/" in r and r.rsplit("/", 1)[0] == data_prefix
         }
         if not ours:
-            if gc:
+            if gc and old_enough:
                 fs.delete(st.getPath(), False)  # materialized: release
             continue
         out.update(ours)
@@ -1799,16 +1915,21 @@ def table_vacuum(
         cp = _read_json(spark, path, f"{c:08d}.checkpoint.json")
         referenced.update(cp["files"])
         referenced.update(cp.get("dvs", []))
+    horizon_ms = (time.time() - retention_hours * 3600.0) * 1000.0
     if dry_run:
         # read-only marker scan: stale markers stay for the real run
         referenced.update(_clone_referenced_names(spark, path, gc=False))
     else:
-        referenced.update(_clone_referenced_names(spark, path))
+        # marker GC shares the vacuum's retention horizon: a no-log
+        # marker younger than it may be an in-flight clone (registered
+        # before its commit publishes) and must survive this pass
+        referenced.update(
+            _clone_referenced_names(spark, path, gc_before_ms=horizon_ms)
+        )
     jvm, fs = _fs(spark, path)
     data_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
     if not fs.exists(data_dir):
         return 0
-    horizon_ms = (time.time() - retention_hours * 3600.0) * 1000.0
     removed = 0
     for st in fs.listStatus(data_dir):
         name = st.getPath().getName()
@@ -3026,15 +3147,21 @@ def table_scan(
     if filters:
         # stats are keyed by the files' stable PHYSICAL names; filters
         # arrive logical — translate once for pruning (row-level
-        # application below stays logical)
+        # application below stays logical). Naive temporal literals on
+        # timestamp columns are first rewritten to the UTC instant the
+        # session means, so UTC-serialized stats and the UTC transform
+        # twin compare against the same instant the row-level filter
+        # will (ADVICE r9 — a non-UTC reader must never prune a file
+        # whose rows match under its own literal interpretation).
+        norm = _utc_normalize_filters(spark, state["schema"], filters)
         cm = state.get("column_map") or {}
-        pfilters = [(cm.get(c, c), o, v) for c, o, v in filters]
+        pfilters = [(cm.get(c, c), o, v) for c, o, v in norm]
         # hidden partitioning: filters on a transform-partitioned RAW
         # column derive membership/range evidence on the transformed
         # per-file value sets (additive — pruning only, never the
-        # row-level semantics)
+        # row-level semantics). utc_ok holds: values were normalized.
         pfilters = pfilters + _derive_transform_filters(
-            state.get("partition_by"), pfilters, cm
+            state.get("partition_by"), pfilters, cm, utc_ok=True
         )
         files = _stats_prune(state["stats"], files, pfilters)
         # bloom evidence composes on top: equality/IN on an indexed

@@ -243,18 +243,65 @@ def streaming_table_append_sink(
     the same ``stream_batch_id`` replay dedup the Arrow sink uses —
     a restarted query re-offering a committed batch is a no-op.
     Schema evolution and bloom/partition specs inherit from the table
-    like any batch append. One streaming query per table (two queries'
-    batch-id sequences would cross-dedupe — the shared constraint of
-    the txn mechanism)."""
+    like any batch append.
+
+    Replay dedup is scoped per query (round 10, ADVICE r9): the app id
+    derives from ``checkpoint_dir`` — Delta's ``(txnAppId, txnVersion)``
+    shape — so a pipeline restarted with a FRESH checkpoint (batch ids
+    reset to 0) no longer collides with committed history and silently
+    drops its first batches, and two queries can append to one table.
+    A tiny high-water-mark file in the checkpoint dir carries the
+    newest committed batch id OUTSIDE the table log, so even after
+    ``table_truncate_history`` erases the in-log dedup evidence, a
+    replayed old batch is still recognized and skipped."""
+    import hashlib
+    import json as _json
+
     from simple_data_workflow_spark.sources.tablelog import table_commit
 
+    app_id = hashlib.md5(
+        checkpoint_dir.rstrip("/").encode("utf-8")
+    ).hexdigest()[:16]
+
+    def _hwm_path(jvm):
+        return jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/_tablelog_hwm")
+
+    def _read_hwm(spark: SparkSession) -> int:
+        jvm = spark._jvm
+        fs = _hwm_path(jvm).getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(_hwm_path(jvm)):
+            return -1
+        stream = fs.open(_hwm_path(jvm))
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        rec = _json.loads(data.decode("utf-8"))
+        return int(rec["hwm"]) if rec.get("app_id") == app_id else -1
+
+    def _write_hwm(spark: SparkSession, batch_id: int) -> None:
+        jvm = spark._jvm
+        fs = _hwm_path(jvm).getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(_hwm_path(jvm), True)  # overwrite: monotonic value
+        try:
+            out.write(
+                _json.dumps({"app_id": app_id, "hwm": int(batch_id)}).encode()
+            )
+        finally:
+            out.close()
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id <= _read_hwm(spark):
+            return  # committed before (hwm survives log truncation)
         table_commit(
             batch_df.localCheckpoint(eager=True),
             table_path,
             mode="append",
             stream_batch_id=batch_id,
+            stream_app_id=app_id,
         )
+        _write_hwm(spark, batch_id)
 
     return (
         stream_df.writeStream.outputMode("append")

@@ -739,9 +739,13 @@ class TablelogBatchReader(DataSourceReader):
             )
 
             # hidden partitioning: raw-column filters derive evidence
-            # on transformed per-file value sets (days/bucket/...)
+            # on transformed per-file value sets (days/bucket/...).
+            # utc_ok holds by construction here: this session-free path
+            # evaluates row filters through Arrow, whose timestamps are
+            # instants (naive-UTC) — the same basis the UTC-enforced
+            # writer recorded and _transform_value assumes.
             filters = filters + _derive_transform_filters(
-                state.get("partition_by"), filters, cmap
+                state.get("partition_by"), filters, cmap, utc_ok=True
             )
             files = _stats_prune(state["stats"], files, filters)
             files = _bloom_prune(state["stats"], files, filters)
@@ -880,20 +884,37 @@ class TablelogStreamWriter(DataSourceStreamArrowWriter):
     batch path (``os.link`` on local filesystems — POSIX ``link(2)``
     fails EEXIST atomically), so the sink is safe against CONCURRENT
     BATCH APPENDERS on the same table: one of the two racing commits
-    wins each slot, the loser retries the next. Two streaming QUERIES
-    pointed at one table remain a design error for a different reason
-    — their ``stream_batch_id`` sequences would collide and replay
-    detection would dedupe across queries. On non-local filesystems
+    wins each slot, the loser retries the next. Replay dedup is scoped
+    per query by ``stream_app_id`` (derived from the checkpoint
+    location, or an explicit ``.option("appId", ...)``) — Delta's
+    ``(txnAppId, txnVersion)`` shape — so two streaming queries, or
+    one query restarted with a FRESH checkpoint (batch ids reset to
+    0!), no longer cross-dedupe and silently drop data (round-10 fix;
+    previously a documented single-query constraint). On non-local filesystems
     without an if-absent primitive the publish degrades to documented
     best-effort (the object-store caveat every log format carries)."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         if overwrite:
             raise ValueError("tablelog sink supports append output mode only")
-        self._path = options.get("path")
+        lowered = {k.lower(): v for k, v in options.items()}
+        self._path = lowered.get("path")
         if not self._path:
             raise ValueError("tablelog sink requires .option('path', ...)")
         self._schema_str = schema.simpleString()
+        # replay-dedup scope (Delta's txnAppId): explicit .option("appId")
+        # wins; else derived from the query's checkpoint location (all
+        # DataStreamWriter options reach the sink), so a restart with a
+        # FRESH checkpoint — whose batch ids reset to 0 — gets a fresh
+        # scope instead of colliding with committed history and being
+        # silently dropped as replays. None = legacy bare-id dedup.
+        self._app_id = lowered.get("appid")
+        if self._app_id is None and lowered.get("checkpointlocation"):
+            import hashlib
+
+            self._app_id = hashlib.md5(
+                lowered["checkpointlocation"].rstrip("/").encode("utf-8")
+            ).hexdigest()[:16]
 
     def write(self, iterator):
         import uuid as _uuid
@@ -931,18 +952,18 @@ class TablelogStreamWriter(DataSourceStreamArrowWriter):
         newest_schema = None
         for v in reversed(versions):
             e = _read_entry(self._path, v)
-            if e.get("stream_batch_id") == batchId:
-                self._cleanup(messages)  # replayed batch: already live
-                return
             if newest_schema is None:
                 newest_schema = e.get("schema")
             sbid = e.get("stream_batch_id")
-            if sbid is not None and sbid < batchId:
-                # batch ids are monotonic per query: nothing older can
-                # hold this id — O(1) commits instead of O(history)
-                # (a replay can only ever match at-or-above the newest
-                # committed id)
-                break
+            if sbid is None or e.get("stream_app_id") != self._app_id:
+                continue  # non-stream entry or another query's scope
+            if sbid == batchId:
+                self._cleanup(messages)  # replayed batch: already live
+                return
+            # per-scope batch ids are monotonic: the newest same-scope
+            # id being older proves this batch is new — the scan stays
+            # O(interleaved other writers), not O(history)
+            break
         if newest_schema is not None and newest_schema != self._schema_str:
             self._cleanup(messages)
             raise TypeError(
@@ -962,15 +983,16 @@ class TablelogStreamWriter(DataSourceStreamArrowWriter):
                     stats[target] = _footer_stats(fs, root, target)
                 except Exception:
                     pass  # no stat → conservative (file never pruned)
-        entry = json.dumps(
-            {
-                "action": "append",
-                "files": final,
-                "schema": self._schema_str,
-                "stream_batch_id": batchId,
-                "stats": stats,
-            }
-        ).encode("utf-8")
+        payload = {
+            "action": "append",
+            "files": final,
+            "schema": self._schema_str,
+            "stream_batch_id": batchId,
+            "stats": stats,
+        }
+        if self._app_id is not None:
+            payload["stream_app_id"] = self._app_id
+        entry = json.dumps(payload).encode("utf-8")
         fs.create_dir(f"{root}/_log", recursive=True)
         for _ in range(10):
             versions = _list_entry_versions(self._path)

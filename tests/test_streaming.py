@@ -576,8 +576,13 @@ def test_tablelog_streaming_sink_exactly_once(spark, tmp_path):
     )
     from pyspark.sql.types import _parse_datatype_string
 
+    # round 10: dedup is scoped (appId, batchId) — the replay must
+    # carry the SAME app scope (here: derived from the checkpoint
+    # location, exactly as the real query's sink derived it)
     writer = TablelogStreamWriter(
-        _parse_datatype_string("id long, v long"), {"path": t}, overwrite=False
+        _parse_datatype_string("id long, v long"),
+        {"path": t, "checkpointLocation": str(tmp_path / "ck")},
+        overwrite=False,
     )
     n_before = len(table_history(spark, t))
     writer.commit([_StagedWrite(staged=[], rows=0)], batchId=0)  # replay of batch 0
@@ -586,7 +591,17 @@ def test_tablelog_streaming_sink_exactly_once(spark, tmp_path):
     # batch-id match, not the empty message
     writer.commit([_StagedWrite(staged=[], rows=0)], batchId=999)
     assert len(table_history(spark, t)) == n_before + 1
-    # table contents unchanged either way
+    # a restarted pipeline with a FRESH checkpoint re-offers batch 0 —
+    # a DIFFERENT scope, so it must LAND, not vanish as a false replay
+    # (the pre-r10 bare-id data-loss hazard)
+    writer2 = TablelogStreamWriter(
+        _parse_datatype_string("id long, v long"),
+        {"path": t, "checkpointLocation": str(tmp_path / "ck_fresh")},
+        overwrite=False,
+    )
+    writer2.commit([_StagedWrite(staged=[], rows=0)], batchId=0)
+    assert len(table_history(spark, t)) == n_before + 2
+    # table contents unchanged either way (all replays/empties)
     assert table_read(spark, t).count() == 20
 
 
@@ -913,12 +928,84 @@ def test_streaming_append_sink_enforces_check_constraints(spark, tmp_path):
     q3.processAllAvailable()
     q3.stop()
     assert table_read(spark, t).count() == 15
-    # and the direct-dedup contract: same stream_batch_id is a no-op
+    # and the direct-dedup contract (round 10: scoped per app id, the
+    # (txnAppId, txnVersion) shape): the same (app, batch) pair is a
+    # no-op, while the same batch id under ANOTHER app id commits —
+    # that second half is exactly the fresh-checkpoint-restart data
+    # loss the bare-id dedup used to cause
+    import hashlib
+
+    ck_app = hashlib.md5(
+        str(tmp_path / "ck_ok").rstrip("/").encode()
+    ).hexdigest()[:16]
     v_now = len(table_history(spark, t))
     table_commit(
         spark.range(100, 104).selectExpr("id", "id as v"),
         t,
         stream_batch_id=0,  # already in the log from the clean query
+        stream_app_id=ck_app,
     )
     assert len(table_history(spark, t)) == v_now
     assert table_read(spark, t).count() == 15
+    table_commit(
+        spark.range(100, 104).selectExpr("id", "id as v"),
+        t,
+        stream_batch_id=0,
+        stream_app_id="another-query",  # different scope: must land
+    )
+    assert len(table_history(spark, t)) == v_now + 1
+    assert table_read(spark, t).count() == 19
+
+
+def test_append_sink_fresh_checkpoint_restart_and_hwm(spark, tmp_path):
+    """Round 10 (ADVICE r9 medium): replay dedup is scoped per query
+    app id. A pipeline restarted with a FRESH checkpoint resets batch
+    ids to 0 — its batches must LAND (previously they matched
+    historical ids and silently vanished). And the checkpoint-local
+    high-water mark keeps replays deduped even after
+    table_truncate_history erases the in-log evidence."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_read,
+        table_truncate_history,
+    )
+    from simple_data_workflow_spark.streaming.sinks import (
+        streaming_table_append_sink,
+    )
+
+    t = str(tmp_path / "restart_tbl")
+    src_a = str(tmp_path / "in_a")
+    spark.range(0, 10).selectExpr("id").coalesce(1).write.parquet(src_a)
+    q = streaming_table_append_sink(
+        spark.readStream.schema("id long").parquet(src_a),
+        t,
+        str(tmp_path / "ck_a"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert table_read(spark, t).count() == 10
+
+    # fresh checkpoint, new source content, batch ids restart at 0:
+    # rows must land, not be dropped as replays of the old batch 0
+    src_b = str(tmp_path / "in_b")
+    spark.range(100, 107).selectExpr("id").coalesce(1).write.parquet(src_b)
+    q2 = streaming_table_append_sink(
+        spark.readStream.schema("id long").parquet(src_b),
+        t,
+        str(tmp_path / "ck_b"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert table_read(spark, t).count() == 17
+
+    # truncate history (dedup evidence in the log is gone), then
+    # replay query B from its ORIGINAL checkpoint: the hwm file keeps
+    # the replayed batch a no-op
+    table_truncate_history(spark, t, keep_last=1)
+    q3 = streaming_table_append_sink(
+        spark.readStream.schema("id long").parquet(src_b),
+        t,
+        str(tmp_path / "ck_b"),
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    assert table_read(spark, t).count() == 17

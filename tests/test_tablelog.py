@@ -3167,3 +3167,98 @@ def test_cdf_stream_maintains_aggregate_exactly(spark, tmp_path):
     for g in want:
         assert got[g][1] == want[g][1]
         assert abs(float(got[g][0]) - float(want[g][0])) < 1e-6
+
+
+def test_vacuum_keeps_young_inflight_clone_marker(spark, tmp_path):
+    """Round 10 (ADVICE r9 medium): an in-flight table_clone registers
+    its back-ref marker BEFORE its commit publishes, so a no-log
+    marker younger than the vacuum retention horizon is
+    indistinguishable from a failed clone and must SURVIVE the vacuum
+    — reaping it would let a later vacuum (after source history
+    truncation) corrupt the by-then-live clone. Only markers older
+    than the horizon are garbage-collected."""
+    import json as _json
+    import os as _os
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _clone_referenced_names,
+    )
+
+    src = str(tmp_path / "toctou_src")
+    table_commit(spark.range(0, 30).selectExpr("id").repartition(2), src)
+    _os.makedirs(f"{src}/_clones", exist_ok=True)
+    now_ms = __import__("time").time() * 1000
+    # marker of a clone whose commit hasn't published yet (fresh ts)
+    with open(f"{src}/_clones/inflight.json", "w") as f:
+        _json.dump({"dst": str(tmp_path / "no_log_yet"), "ts": now_ms}, f)
+    # marker of a clone that failed long ago (ancient ts)
+    with open(f"{src}/_clones/failed.json", "w") as f:
+        _json.dump(
+            {"dst": str(tmp_path / "never_landed"), "ts": now_ms - 10 * 86400e3},
+            f,
+        )
+    table_vacuum(spark, src, retention_hours=1.0)
+    left = sorted(_os.listdir(f"{src}/_clones"))
+    assert left == ["inflight.json"], left  # young kept, ancient reaped
+    # a GC pass with no horizon touches nothing
+    _clone_referenced_names(spark, src, gc=True, gc_before_ms=None)
+    assert sorted(_os.listdir(f"{src}/_clones")) == ["inflight.json"]
+
+
+def test_temporal_partition_transform_requires_utc_session(spark, tmp_path):
+    """Round 10 (ADVICE r9 low): days()/hours()/months()/years()
+    record transformed partition values through the SESSION timezone
+    while the driver-side pruning twin is fixed to UTC — a non-UTC
+    writer would poison derived pruning into silently dropping
+    matching files. table_commit must refuse; bucket()/truncate()
+    (timezone-free) must not; and a non-UTC READER simply skips
+    temporal derivation (conservative, never wrong)."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        _derive_transform_filters,
+        table_scan,
+    )
+
+    t = str(tmp_path / "tz_tbl")
+    df = spark.sql(
+        "SELECT id, timestampadd(HOUR, CAST(id AS INT), "
+        "TIMESTAMP'2024-01-01 00:00:00') AS ts FROM range(0, 96)"
+    )
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    table_commit(df, t, partition_by=["days(ts)"])
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        with _pytest.raises(ValueError, match="timeZone"):
+            table_commit(df, str(tmp_path / "tz_bad"), partition_by=["days(ts)"])
+        # timezone-free transforms stay allowed
+        table_commit(
+            spark.range(0, 10).selectExpr("id"),
+            str(tmp_path / "tz_ok"),
+            partition_by=["bucket(4, id)"],
+        )
+        # non-UTC reader: correctness intact — the literal is first
+        # normalized to the UTC instant the session means, so both
+        # min/max-stats pruning and days() derivation compare the same
+        # instant the row-level filter will. The literal means Tokyo
+        # time (= 2024-01-02 15:00 UTC): the filter keeps 9 rows from
+        # the Jan-2-UTC day file that unnormalized UTC pruning
+        # (ts >= Jan 3 / days(ts) >= Jan 3) silently dropped.
+        got = table_scan(
+            spark, t, filters=[("ts", ">=", "2024-01-03 00:00:00")]
+        ).count()
+        expect = (
+            table_read(spark, t).where("ts >= '2024-01-03 00:00:00'").count()
+        )
+        assert got == expect and expect == 48 + 9
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # unit: temporal derivation gated on utc_ok; bucket unaffected
+    pf = [("ts", "=", "2024-01-02"), ("k", "=", "x")]
+    spec = ["days(ts)", "bucket(8, k)"]
+    utc = _derive_transform_filters(spec, pf, None, utc_ok=True)
+    non = _derive_transform_filters(spec, pf, None, utc_ok=False)
+    assert any(c == "days(ts)" for c, _, _ in utc)
+    assert not any(c == "days(ts)" for c, _, _ in non)
+    assert any(c == "bucket(8,k)" for c, _, _ in non)
