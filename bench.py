@@ -340,6 +340,7 @@ QUERIES = {
     "perplexity_heldout_docs": entrymod.perplexity_heldout_docs,
     "perplexity_score_only": perplexity_score_only_bench,
     "trigram_perplexity_docs": entrymod.trigram_perplexity_docs,
+    "fivegram_perplexity_docs": entrymod.fivegram_perplexity_docs,
     "tablelog_rename_scan": entrymod.tablelog_rename_scan,
     "tablelog_hidden_partition_scan": entrymod.tablelog_hidden_partition_scan,
     "tablelog_wap_publish": entrymod.tablelog_wap_publish,

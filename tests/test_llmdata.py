@@ -1523,3 +1523,59 @@ def test_cluster_balanced_sample_caps_each_cluster(spark):
     assert all(
         fresh[r["vec_id"]] == r["cluster_id"] for r in kept.collect()
     )
+
+
+def test_ngram_min_count_pruning_and_broadcast_posture(spark):
+    """Round 10 (VERDICT r9 #6 + #1): count pruning shrinks the full
+    n-gram table while the context normalizer keeps the TRUE
+    denominator, so a pruned gram scores exactly like an unseen one;
+    and the size-aware broadcast posture is value-identical to the
+    forced shuffle posture."""
+    from simple_data_workflow_spark.llmdata import lm
+
+    rows = [(i, "a b c d e a b c d e a b x y z") for i in range(6)] + [
+        (100, "p q r s t u v w x y")  # singleton 5-grams only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full_all, ctx_all, v_all = lm.ngram_lm_counts(docs, n=5)
+    full_pr, ctx_pr, v_pr = lm.ngram_lm_counts(docs, n=5, min_count=2)
+    n_all, n_pr = full_all.count(), full_pr.count()
+    assert n_pr < n_all  # pruning bites
+    assert v_pr == v_all  # vocab unchanged
+    # normalizer keeps the pre-prune denominator (probabilities proper)
+    tot_all = {r["ctx"]: r["c_ctx"] for r in ctx_all.collect()}
+    tot_pr = {r["ctx"]: r["c_ctx"] for r in ctx_pr.collect()}
+    assert tot_pr == tot_all
+
+    # a pruned gram scores exactly like an unseen one: doc 100's grams
+    # are all singletons -> pruned -> every term is (0+k)/(c_ctx+k*V)
+    scored = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm.ngram_perplexity_scores(
+            docs, n=5, lm=(full_pr, ctx_pr, v_pr)
+        ).collect()
+    }
+    import math
+
+    k, V = 0.5, v_all
+    # doc 100: 6 grams, each ctx has c_ctx = 1 (its own occurrence)
+    want = round(
+        round(-math.log2(k / (1 + k * V)) * 1e6) * 6 / (1e6 * 6), 6
+    )
+    assert scored[100] == want
+
+    # broadcast vs shuffle posture: identical values
+    b = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm.ngram_perplexity_scores(
+            docs, n=5, lm=(full_pr, ctx_pr, v_pr), broadcast=True
+        ).collect()
+    }
+    s = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm.ngram_perplexity_scores(
+            docs, n=5, lm=(full_pr, ctx_pr, v_pr), broadcast=False
+        ).collect()
+    }
+    assert b == s == scored
