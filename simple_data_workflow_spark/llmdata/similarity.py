@@ -480,12 +480,15 @@ def pq_encode(
     codebooks: list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    payload_cols: list | tuple = (),
 ) -> DataFrame:
     """Encode each (unit-normalized) vector as ``m`` uint8 codes —
     argmin centroid per subspace, vectorized numpy over Arrow batches
     (one batch does batch×k_codes×sub_dim flops; no per-row Python).
-    Returns ``(id_col, codes array<int>)`` — the 8-byte-per-vector
-    representation a 100 TB embedding corpus actually scans."""
+    Returns ``(id_col, *payload_cols, codes array<int>)`` — the
+    8-byte-per-vector representation a 100 TB embedding corpus
+    actually scans (``payload_cols`` carries attributes like an IVF
+    ``list_id`` through to the persisted index)."""
     C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     sub = C[0].shape[1]
 
@@ -502,7 +505,9 @@ def pq_encode(
         return pd.Series(list(out))
 
     return ensure_parallelism(corpus).select(
-        F.col(id_col), encode(F.col(vec_col).cast("array<double>")).alias("codes")
+        F.col(id_col),
+        *[F.col(c) for c in payload_cols],
+        encode(F.col(vec_col).cast("array<double>")).alias("codes"),
     )
 
 
