@@ -1,0 +1,259 @@
+"""Jar-free READ-ONLY Delta Lake interop (round 10, VERDICT r9 #3).
+
+The Delta transaction log is a public, documented protocol
+(delta.io PROTOCOL.md): ``_delta_log/`` holds zero-padded
+``<version>.json`` commits — JSON-lines of actions (``metaData``,
+``protocol``, ``add``, ``remove``, ``txn``, ``commitInfo``) — plus
+optional ``<version>.checkpoint.parquet`` snapshots and a
+``_last_checkpoint`` pointer. Reconstructing a snapshot needs no Delta
+jar: replay the log driver-side (metadata-only — bytes ∝ log, never
+data), resolve the live ``add`` file set, and read those parquet files
+directly. This module does exactly that, closing the read half of
+lakehouse interop in environments without the runtime jars
+(``sources.lakehouse.read_table("delta", ...)`` falls back here).
+
+Scope and guardrails — reader version 1/2 tables (the overwhelmingly
+common case):
+
+- **Supported**: partitioned tables (partition values injected from the
+  log, cast per the table schema — Delta files do not store partition
+  columns), URL-encoded and absolute file paths, checkpoint +
+  trailing-commit replay, multi-part checkpoints, ``versionAsOf`` time
+  travel, schema evolution across versions (latest ``metaData`` wins).
+- **Refused loudly** (never silently wrong): reader protocol ≥ 3
+  feature tables when they carry ``deletionVectors`` or
+  ``columnMapping`` (their data files cannot be interpreted without
+  applying DVs / physical-name translation — the same failure Delta
+  itself guards with ``minReaderVersion``).
+
+Scale posture: the replay is driver-side metadata like every log
+format's planning phase; the data read groups files by partition-value
+combination and unions per-group scans, so Catalyst still gets plain
+parquet scans with pushdown/pruning per group.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class DeltaFeatureUnsupported(NotImplementedError):
+    """The table needs a reader feature this jar-free reader does not
+    implement (deletion vectors / column mapping). Reading it anyway
+    would return WRONG rows, so this raises instead."""
+
+
+def _jfs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _read_bytes(spark: SparkSession, path: str) -> bytes:
+    jvm, fs = _jfs(spark, path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _list_log(spark: SparkSession, path: str):
+    """(commit versions, {checkpoint version: [part files]}) in
+    ``_delta_log`` — names follow the spec: ``<20-digit>.json``,
+    ``<v>.checkpoint.parquet`` or ``<v>.checkpoint.<i>.<n>.parquet``."""
+    jvm, fs = _jfs(spark, path)
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
+    if not fs.exists(log_dir):
+        raise FileNotFoundError(f"no _delta_log under {path}")
+    commits: list[int] = []
+    cps: dict[int, list[str]] = {}
+    for st in fs.listStatus(log_dir):
+        name = st.getPath().getName()
+        if name.endswith(".json") and name[:-5].isdigit():
+            commits.append(int(name[:-5]))
+        elif ".checkpoint." in name and name.endswith(".parquet"):
+            v = name.split(".checkpoint.")[0]
+            if v.isdigit():
+                cps.setdefault(int(v), []).append(
+                    f"{path}/_delta_log/{name}"
+                )
+    return sorted(commits), cps
+
+
+_UNSUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+
+
+def _check_protocol(proto: dict | None, meta: dict | None) -> None:
+    if proto:
+        feats = set(proto.get("readerFeatures") or [])
+        bad = feats & _UNSUPPORTED_READER_FEATURES
+        if bad:
+            raise DeltaFeatureUnsupported(
+                f"Delta table requires reader features {sorted(bad)}; "
+                "this jar-free reader refuses rather than return wrong "
+                "rows (use the Delta runtime jar for these tables)"
+            )
+        if int(proto.get("minReaderVersion", 1)) >= 3 and not feats:
+            # v3 without a feature list: can't prove the table is safe
+            raise DeltaFeatureUnsupported(
+                "Delta minReaderVersion >= 3 with no readerFeatures "
+                "list; cannot verify feature support"
+            )
+    conf = (meta or {}).get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
+        raise DeltaFeatureUnsupported(
+            "Delta column mapping (name/id mode) is not supported by "
+            "the jar-free reader"
+        )
+
+
+def _apply_commit(spark, path, version, adds, meta_proto) -> None:
+    """Replay one JSON commit into the running snapshot state."""
+    raw = _read_bytes(
+        spark, f"{path}/_delta_log/{version:020d}.json"
+    ).decode("utf-8")
+    for line in raw.splitlines():
+        if not line.strip():
+            continue
+        action = json.loads(line)
+        if "metaData" in action:
+            meta_proto["meta"] = action["metaData"]
+        elif "protocol" in action:
+            meta_proto["proto"] = action["protocol"]
+        elif "add" in action:
+            a = action["add"]
+            if a.get("deletionVector"):
+                raise DeltaFeatureUnsupported(
+                    "add action carries a deletion vector; unsupported"
+                )
+            adds[a["path"]] = a.get("partitionValues") or {}
+        elif "remove" in action:
+            adds.pop(action["remove"]["path"], None)
+
+
+def _load_checkpoint(spark, parts, adds, meta_proto) -> None:
+    """Seed the snapshot from a checkpoint's action table (tombstoned
+    removes are irrelevant to the live set and skipped)."""
+    cp = spark.read.parquet(*parts)
+    cols = set(cp.columns)
+    if "metaData" in cols:
+        for r in cp.where(F.col("metaData").isNotNull()).collect():
+            m = r["metaData"].asDict(recursive=True)
+            # parquet maps may deserialize with None values scrubbed
+            meta_proto["meta"] = {k: v for k, v in m.items() if v is not None}
+    if "protocol" in cols:
+        for r in cp.where(F.col("protocol").isNotNull()).collect():
+            p = r["protocol"].asDict(recursive=True)
+            meta_proto["proto"] = {
+                k: v for k, v in p.items() if v is not None
+            }
+    if "add" in cols:
+        add_fields = {f.name for f in cp.schema["add"].dataType.fields}
+        dv = (
+            [F.col("add.deletionVector").alias("__dv")]
+            if "deletionVector" in add_fields
+            else [F.lit(None).alias("__dv")]
+        )
+        for r in (
+            cp.where(F.col("add").isNotNull())
+            .select(
+                F.col("add.path").alias("__p"),
+                F.col("add.partitionValues").alias("__pv"),
+                *dv,
+            )
+            .collect()
+        ):
+            if r["__dv"] is not None:
+                raise DeltaFeatureUnsupported(
+                    "checkpoint add carries a deletion vector; unsupported"
+                )
+            adds[r["__p"]] = dict(r["__pv"] or {})
+
+
+def delta_snapshot_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[dict, StructType, list[str]]:
+    """Resolve a snapshot: ``({file path -> partitionValues}, schema,
+    partition columns)``. ``version=None`` = latest; an explicit
+    version time-travels (replay stops there — the same semantics as
+    ``versionAsOf``)."""
+    commits, cps = _list_log(spark, path)
+    if not commits and not cps:
+        raise FileNotFoundError(f"empty _delta_log under {path}")
+    target = max(commits) if version is None else int(version)
+    if version is not None and version not in commits and version not in cps:
+        raise ValueError(
+            f"version {version} not in the Delta log (have "
+            f"{min(commits, default='?')}..{max(commits, default='?')})"
+        )
+    adds: dict = {}
+    meta_proto: dict = {"meta": None, "proto": None}
+    cp_versions = [v for v in cps if v <= target]
+    start = 0
+    if cp_versions:
+        cp_v = max(cp_versions)
+        _load_checkpoint(spark, sorted(cps[cp_v]), adds, meta_proto)
+        start = cp_v + 1
+    for v in [c for c in commits if start <= c <= target]:
+        _apply_commit(spark, path, v, adds, meta_proto)
+    _check_protocol(meta_proto["proto"], meta_proto["meta"])
+    meta = meta_proto["meta"]
+    if meta is None:
+        raise ValueError(f"Delta log at {path} has no metaData action")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    resolved = {}
+    for rel, pv in adds.items():
+        # paths are URL-encoded and relative to the root (absolute
+        # paths — cross-table clones — pass through as-is, per spec)
+        dec = urllib.parse.unquote(rel)
+        full = dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
+        resolved[full] = pv
+    return resolved, schema, part_cols
+
+
+# spec: this literal encodes a NULL partition value in partitionValues
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def delta_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table without the Delta jar: resolve the snapshot's
+    live file set from the log, scan those parquet files directly, and
+    inject partition columns from the log's ``partitionValues`` (cast
+    to their schema types — Delta data files do not store partition
+    columns). Files group by partition-value combination so every
+    group is one plain pushdown-friendly parquet scan."""
+    files, schema, part_cols = delta_snapshot_files(spark, path, version)
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    if not files:
+        return spark.createDataFrame([], schema)
+    if not part_cols:
+        return spark.read.schema(data_schema).parquet(*sorted(files))
+    groups: dict[tuple, list[str]] = {}
+    for f, pv in files.items():
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(f)
+    types = {f.name: f.dataType for f in schema.fields}
+    out = None
+    for key, flist in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*sorted(flist))
+        for c, v in zip(part_cols, key):
+            lit = (
+                F.lit(None)
+                if v is None or v == _NULL_PARTITION
+                else F.lit(v)
+            )
+            df = df.withColumn(c, lit.cast(types[c]))
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -33,13 +33,35 @@ def _available(spark: SparkSession, fmt: str) -> bool:
         return not ("DATA_SOURCE_NOT_FOUND" in msg or "ClassNotFound" in msg)
 
 
-def read_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, fmt: str, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a lakehouse table. For Delta, a missing runtime jar falls
+    back to the pure-Python log reader (``sources.delta_reader`` —
+    round 10): the Delta transaction log is a public protocol, so
+    snapshot resolution + direct parquet scan need no jar. The
+    fallback supports ``version=`` time travel and refuses (loudly)
+    reader-v3 feature tables (deletion vectors / column mapping)
+    rather than return wrong rows. Iceberg/Hudi still require their
+    jars."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
     if not _available(spark, fmt):
+        if fmt == "delta":
+            from simple_data_workflow_spark.sources.delta_reader import (
+                delta_read,
+            )
+
+            return delta_read(spark, path, version=version)
         raise NotImplementedError(
             f"{fmt} requires the {_FORMATS[fmt]} jar on the Spark classpath "
             "(not present in this environment)"
+        )
+    if version is not None:
+        return (
+            spark.read.format(fmt)
+            .option("versionAsOf", version)
+            .load(path)
         )
     return spark.read.format(fmt).load(path)
 
