@@ -3004,6 +3004,31 @@ ORDER BY id_a, id_b
 """
 
 
+def fuzzy_edit2_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 (VERDICT r9 #5): fuzzy matching at Levenshtein distance
+    ≤ 2 — SymSpell order-2 deletion-variant blocking
+    (llmdata.dedup.fuzzy_pairs(max_edit=2)): candidates come from an
+    equi-join on {s} ∪ del1(s) ∪ del2(s) (~len²/2 codegen variants per
+    row, linear in rows vs the oracle's n² cross join), then the exact
+    levenshtein verify keeps only true ≤2 pairs. The oracle IS the
+    brute-force twin, so the value hash pins the SymSpell d=2 blocking
+    guarantee: no pair within two edits escapes the variant join."""
+    tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    return dedup.fuzzy_pairs(
+        cust, id_col="c_custkey", text_col="c_name", max_edit=2
+    ).orderBy("id_a", "id_b")
+
+
+FUZZY_EDIT2_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a, customer b
+WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus terms via per-partition Misra-Gries summaries +
     exact candidate re-count (llmdata.text.heavy_hitters) — bounded
@@ -3317,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_terms": _wrap(heavy_hitter_terms),
         "weighted_median_price": _wrap(rel.weighted_median_price),
         "fuzzy_name_matches": _wrap(fuzzy_name_matches),
+        "fuzzy_edit2_matches": _wrap(fuzzy_edit2_matches),
         "quality_classifier_docs": _wrap(quality_classifier_docs),
         "cluster_balanced_embeddings": _wrap(cluster_balanced_embeddings),
         "bpe_train_merges": _wrap(bpe_train_merges),
@@ -3528,6 +3554,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_terms": HEAVY_HITTERS_SQL,
         "weighted_median_price": rel.WEIGHTED_MEDIAN_SQL,
         "fuzzy_name_matches": FUZZY_NAME_SQL,
+        "fuzzy_edit2_matches": FUZZY_EDIT2_SQL,
         "profile_orders": rel.PROFILE_ORDERS_SQL,
         "cohort_retention": rel.COHORT_RETENTION_SQL,
         "funnel_conversion": rel.FUNNEL_SQL,

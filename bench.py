@@ -385,6 +385,7 @@ QUERIES = {
     "ivf_index_search_only": ivf_index_search_bench,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,
     "fuzzy_name_matches": entrymod.fuzzy_name_matches,
+    "fuzzy_edit2_matches": entrymod.fuzzy_edit2_matches,
     "quality_classifier_docs": entrymod.quality_classifier_docs,
     "cluster_balanced_embeddings": entrymod.cluster_balanced_embeddings,
     "profile_orders": rel.profile_orders,
