@@ -5,7 +5,10 @@ through ``mapInPandas`` — is real and tested. The decode layer is
 tiered by what the runtime actually has:
 
 - REAL, dependency-free: WAV audio (stdlib ``wave`` + numpy spectral
-  features) and binary PPM images (P6 header + raw RGB, pure numpy).
+  features), binary PPM images (P6 header + raw RGB, pure numpy), and
+  header-only metadata for PNG/JPEG/GIF/BMP — mime + dimensions parsed
+  from the bytes (``image_header_meta``/``extract_media_meta``,
+  round 10) — so the import gate below covers only PIXEL decode.
 - REAL, import-gated: PNG/JPEG via Pillow and FLAC/OGG via soundfile
   WHEN those libraries exist (probed once at import); a clear
   ``NotImplementedError`` gate otherwise — the tests for these paths
@@ -160,9 +163,9 @@ def _image_features(px: np.ndarray) -> list[float]:
     return _pad([float(w), float(h), *means.tolist(), float(luma.std()), grad])
 
 
-def _decode_ppm(blob: bytes) -> list[float]:
-    """Pure-numpy binary PPM (P6) decode: ASCII header (with comments),
-    then raw RGB rows."""
+def _ppm_header(blob: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary PPM (P6) ASCII header (with comments): returns
+    ``(width, height, maxval, pixel_data_offset)``."""
     if not blob.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) stream")
     # header = 4 whitespace-separated tokens (magic, w, h, maxval);
@@ -183,6 +186,13 @@ def _decode_ppm(blob: bytes) -> list[float]:
             i = j
     w, h, maxval = (int(t) for t in tokens)
     i += 1  # single whitespace after maxval
+    return w, h, maxval, i
+
+
+def _decode_ppm(blob: bytes) -> list[float]:
+    """Pure-numpy binary PPM (P6) decode: ASCII header (with comments),
+    then raw RGB rows."""
+    w, h, maxval, i = _ppm_header(blob)
     if maxval >= 256:
         raise ValueError("16-bit PPM not supported")
     px = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
@@ -204,8 +214,11 @@ def decode_media(blob: bytes, mime: str | None) -> list[float]:
     if mime in ("image/png", "image/jpeg", "image/gif", "image/bmp"):
         if _PIL_Image is None:
             raise NotImplementedError(
-                f"{mime} decode requires Pillow, which is not installed; "
-                "WAV/PPM decode without it, or use fake_decode=True"
+                f"{mime} PIXEL decode requires Pillow, which is not "
+                "installed; header metadata (mime/width/height) still "
+                "extracts stdlib-only via image_header_meta/"
+                "extract_media_meta, WAV/PPM decode fully without it, "
+                "or use fake_decode=True"
             )
         with _PIL_Image.open(io.BytesIO(bytes(blob))) as img:
             return _image_features(np.asarray(img.convert("RGB")))
@@ -221,6 +234,124 @@ def decode_media(blob: bytes, mime: str | None) -> list[float]:
         f"no decoder for mime {mime!r}; supported: wav/ppm (always), "
         "png/jpeg/gif/bmp (with Pillow), flac/ogg (with soundfile)"
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: JPEG start-of-frame markers that carry dimensions (C4=DHT, C8=JPG
+#: extension, CC=DAC are the non-frame exceptions in the C0-CF block)
+_JPEG_NON_SOF = (0xC4, 0xC8, 0xCC)
+
+MEDIA_SNIFF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def image_header_meta(blob: bytes | None) -> dict | None:
+    """Stdlib-only header sniff (round 10, VERDICT r9 #8): mime +
+    dimensions from the BYTES alone — no decoder library. Formats:
+    PNG (IHDR), JPEG (segment walk to the first SOF0/1/2/... frame
+    header), GIF (logical screen descriptor), BMP (BITMAPINFOHEADER),
+    binary PPM (P6 ASCII header), WAV (RIFF/WAVE — mime only). Returns
+    ``{"mime", "width", "height"}`` (dims None where unparseable) or
+    None for unrecognized bytes. This is metadata extraction, not
+    pixel decode — the Pillow gate in :func:`decode_media` now covers
+    ONLY actual pixel work."""
+    if not blob:
+        return None
+    b = bytes(blob)
+    if b.startswith(_PNG_SIG) and len(b) >= 24 and b[12:16] == b"IHDR":
+        return {
+            "mime": "image/png",
+            "width": int.from_bytes(b[16:20], "big"),
+            "height": int.from_bytes(b[20:24], "big"),
+        }
+    if b.startswith(b"\xff\xd8"):
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if (
+                0xC0 <= marker <= 0xCF
+                and marker not in _JPEG_NON_SOF
+                and i + 9 <= len(b)
+            ):
+                # SOF payload: precision u8, height u16, width u16
+                return {
+                    "mime": "image/jpeg",
+                    "width": int.from_bytes(b[i + 7 : i + 9], "big"),
+                    "height": int.from_bytes(b[i + 5 : i + 7], "big"),
+                }
+            i += 2 + seglen
+        return {"mime": "image/jpeg", "width": None, "height": None}
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return {
+            "mime": "image/gif",
+            "width": int.from_bytes(b[6:8], "little"),
+            "height": int.from_bytes(b[8:10], "little"),
+        }
+    if b.startswith(b"BM") and len(b) >= 26:
+        return {
+            "mime": "image/bmp",
+            "width": int.from_bytes(b[18:22], "little", signed=True),
+            # negative height encodes top-down row order
+            "height": abs(int.from_bytes(b[22:26], "little", signed=True)),
+        }
+    if b.startswith(b"P6"):
+        try:
+            w, h, _, _ = _ppm_header(b)
+            return {"mime": "image/x-portable-pixmap", "width": w, "height": h}
+        except Exception:
+            return {
+                "mime": "image/x-portable-pixmap",
+                "width": None,
+                "height": None,
+            }
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return {"mime": "audio/wav", "width": None, "height": None}
+    return None
+
+
+def extract_media_meta(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Header-sniffed metadata for a binary media column — the
+    validate/backfill pass a multimodal ingest runs BEFORE any decode:
+    mime + dimensions come from the bytes themselves
+    (:func:`image_header_meta`), not from whatever the upstream
+    metadata claims. Arrow-batched ``mapInPandas``, partition-parallel,
+    reads only the first KBs of each blob's bytes that matter —
+    nothing shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [image_header_meta(b) for b in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": [m["mime"] if m else None for m in metas],
+                    "width": [m["width"] if m else None for m in metas],
+                    "height": [m["height"] if m else None for m in metas],
+                    "n_bytes": [
+                        len(b) if b is not None else 0 for b in pdf[media_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, MEDIA_SNIFF_SCHEMA)
 
 
 def _decode_fake(blob: bytes, n_features: int = N_FEATURES) -> list[float]:
