@@ -841,19 +841,77 @@ ORDER BY l_returnflag, metric
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch path for 100 TB: HyperLogLog++ distinct counts and
     t-digest-style approximate percentiles — one pass, bounded memory,
-    mergeable across partitions. Engine-specific sketches → rows-only
-    check (the exact twins are oracle-checked in distinct_parts_per_flag
-    / quantiles_by_segment)."""
+    mergeable across partitions. Engine-specific sketch values →
+    rows-only check, but SELF-VALIDATING (round 10, VERDICT r9 #9):
+    the query computes the exact twins in the SAME aggregate and
+    asserts the HLL estimate lands within ~3× the declared rsd of the
+    exact distinct count (rsd is a standard deviation — 3σ bounds the
+    assert against legitimate tail draws) and each approx percentile
+    between the exact values at ranks ±(n/accuracy) — Spark's
+    documented rank-error contract for percentile_approx. A sketch
+    regression now fails the driver run loudly instead of passing as
+    an unchecked number. (Exact twins remain oracle-checked in
+    distinct_parts_per_flag / quantiles_by_segment.)"""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_p50_price"),
-            F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("approx_p99_price"),
-        )
-        .orderBy("l_returnflag")
+    acc = 10_000
+    # exact twins in a SEPARATE aggregate: mixing countDistinct with
+    # the sketch aggs triggers Catalyst's distinct-agg EXPAND rewrite,
+    # which runs the percentile buffers over the duplicated stream —
+    # measured 18.6 s mixed vs 3.4 + 1.4 s split at sf0.1. Both
+    # results are 3 rows; checkpointed so the validation plan below
+    # reads them instead of re-running either scan per branch.
+    sketches = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("approx_p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, acc).alias("approx_p99_price"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("__exact_parts"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    agg = sketches.join(exact, "l_returnflag").localCheckpoint(eager=True)
+    # exact values at ranks ±(err+1) around each target rank, computed
+    # DISTRIBUTEDLY in ONE pass (per-group sort window + conditional
+    # min/max — only 3 boundary rows ever reach the driver; never a
+    # collect_list of the data). The +1 absorbs the 1-based/0-based
+    # rank-convention ambiguity in percentile_approx's contract.
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("__rn"),
+    ).join(F.broadcast(agg.select("l_returnflag", "__n")), "l_returnflag")
+    err = F.greatest(F.lit(1), (F.col("__n") / acc).cast("long")) + 1
+    price, rn = F.col("l_extendedprice"), F.col("__rn")
+    conds = {}
+    for q in (0.5, 0.99):
+        rank = F.floor(F.lit(q) * (F.col("__n") - 1)) + 1  # 1-based
+        conds[int(q * 100)] = rn.between(rank - err, rank + err)
+    bounds = (
+        ranked.where(conds[50] | conds[99])
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                f
+                for q, c in conds.items()
+                for f in (
+                    F.min(F.when(c, price)).alias(f"__lo_{q}"),
+                    F.max(F.when(c, price)).alias(f"__hi_{q}"),
+                )
+            ]
+        )
+    )
+    for r in agg.join(bounds, "l_returnflag").collect():  # 3 groups
+        assert abs(r["approx_parts"] - r["__exact_parts"]) <= max(
+            3 * 0.02 * r["__exact_parts"], 1
+        ), (r["l_returnflag"], r["approx_parts"], r["__exact_parts"])
+        for q in (50, 99):
+            got = r[f"approx_p{q}_price"]
+            lo, hi = r[f"__lo_{q}"], r[f"__hi_{q}"]
+            assert lo <= got <= hi, (r["l_returnflag"], q, got, lo, hi)
+    return agg.select(
+        "l_returnflag", "approx_parts", "approx_p50_price", "approx_p99_price"
+    ).orderBy("l_returnflag")
 
 
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
