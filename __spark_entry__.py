@@ -1304,6 +1304,64 @@ ORDER BY o_orderstatus
 """
 
 
+def tablelog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 (VERDICT r9 #10): ALTER COLUMN TYPE WIDEN + MERGE
+    SCHEMA EVOLUTION end-to-end on the table format. Builds a table
+    with an INT key, widens it to BIGINT metadata-only
+    (``table_widen_column`` — zero files rewritten, readers up-cast at
+    scan), then MERGEs a batch carrying a NET-NEW column with
+    ``evolve_schema=True`` (Delta's withSchemaEvolution): collided
+    rows take the batch values, untouched files surface the adopted
+    column as NULL, inserts land — one atomic commit. The oracle
+    replays the exact final state in SQL (anti-join + union), so the
+    value hash pins widen casts, NULL-fill, and merge semantics
+    together."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_commit,
+        table_merge_upsert,
+        table_read,
+        table_widen_column,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-sev-") + "/t"
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    base = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.col("o_custkey").cast("long").alias("v"),
+    )
+    table_commit(base.repartition(4), path)
+    table_widen_column(spark, path, "k", "bigint")
+    batch = cust.where(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") * 4).cast("bigint").alias("k"),
+        (F.col("c_custkey") * 1000).cast("long").alias("v"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    table_merge_upsert(spark, path, batch, "k", evolve_schema=True)
+    out = table_read(spark, path)
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    return out.select("k", "v", "seg").orderBy("k")
+
+
+TABLELOG_SCHEMA_EVOLUTION_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS v
+  FROM orders WHERE o_orderkey % 7 = 0
+), batch AS (
+  SELECT c_custkey * 4 AS k, c_custkey * 1000 AS v, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT b.k, b.v, CAST(NULL AS VARCHAR) AS seg
+FROM base b WHERE b.k NOT IN (SELECT k FROM batch)
+UNION ALL
+SELECT k, v, seg FROM batch
+ORDER BY k
+"""
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -3406,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_score_docs": _wrap(perplexity_score_docs),
         "perplexity_heldout_docs": _wrap(perplexity_heldout_docs),
         "tablelog_rename_scan": _wrap(tablelog_rename_scan),
+        "tablelog_schema_evolution": _wrap(tablelog_schema_evolution),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
         "trigram_perplexity_docs": _wrap(trigram_perplexity_docs),
         "fivegram_perplexity_docs": _wrap(fivegram_perplexity_docs),
@@ -3671,6 +3730,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_score_docs": PERPLEXITY_SQL,
         "perplexity_heldout_docs": PERPLEXITY_HELDOUT_SQL,
         "tablelog_rename_scan": TABLELOG_RENAME_SQL,
+        "tablelog_schema_evolution": TABLELOG_SCHEMA_EVOLUTION_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,
         "trigram_perplexity_docs": TRIGRAM_PERPLEXITY_SQL,
         "fivegram_perplexity_docs": FIVEGRAM_PERPLEXITY_SQL,

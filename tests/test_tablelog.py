@@ -3262,3 +3262,150 @@ def test_temporal_partition_transform_requires_utc_session(spark, tmp_path):
     assert any(c == "days(ts)" for c, _, _ in utc)
     assert not any(c == "days(ts)" for c, _, _ in non)
     assert any(c == "bucket(8,k)" for c, _, _ in non)
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    """Round 10 (VERDICT r9 #10): ALTER COLUMN int->bigint /
+    float->double is ONE metadata entry — old files keep their narrow
+    parquet encoding and every reader up-casts at scan time; time
+    travel across the widen still shows the old type; narrowing and
+    cross-family changes refuse."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_scan,
+        table_widen_column,
+    )
+
+    t = str(tmp_path / "widen_tbl")
+    table_commit(
+        spark.range(0, 50).selectExpr(
+            "cast(id as int) as k", "cast(id as float) as v"
+        ),
+        t,
+    )
+    mtimes = {
+        f: _os.path.getmtime(f"{t}/data/{f}")
+        for f in _os.listdir(f"{t}/data")
+    }
+    v1 = table_widen_column(spark, t, "k", "bigint")
+    v2 = table_widen_column(spark, t, "v", "double")
+    # zero data movement
+    assert {
+        f: _os.path.getmtime(f"{t}/data/{f}") for f in _os.listdir(f"{t}/data")
+    } == mtimes
+    df = table_read(spark, t)
+    assert df.schema["k"].dataType.simpleString() == "bigint"
+    assert df.schema["v"].dataType.simpleString() == "double"
+    assert df.count() == 50 and df.where("k = 7").count() == 1
+    # session-free format reader casts per the logged schema too
+    from simple_data_workflow_spark.streaming.tablelog_source import (
+        TablelogStreamDataSource,
+    )
+
+    spark.dataSource.register(TablelogStreamDataSource)
+    fmt = spark.read.format("tablelog").option("path", t).load()
+    assert fmt.schema["k"].dataType.simpleString() == "bigint"
+    assert fmt.where("k = 7").count() == 1
+    # pre-widen version reads the narrow type (time travel intact)
+    old = table_read(spark, t, version=v1 - 1)
+    assert old.schema["k"].dataType.simpleString() == "int"
+    # appends now write the wide type; stats pruning still prunes on k
+    table_commit(
+        spark.range(1000, 1050).selectExpr(
+            "cast(id as bigint) as k", "cast(id as double) as v"
+        ),
+        t,
+    )
+    assert table_read(spark, t).count() == 100
+    assert table_scan(spark, t, filters=[("k", ">=", 1000)]).count() == 50
+    # refusals: narrowing, cross-family, unknown column
+    with _pytest.raises(TypeError, match="widen"):
+        table_widen_column(spark, t, "v", "float")
+    with _pytest.raises(TypeError, match="widen"):
+        table_widen_column(spark, t, "k", "string")
+    with _pytest.raises(ValueError, match="not in"):
+        table_widen_column(spark, t, "nope", "bigint")
+    assert v2 == v1 + 1
+
+
+def test_merge_schema_evolution_cow_and_mor(spark, tmp_path):
+    """MERGE with evolve_schema=True adopts net-new source columns
+    (Delta's withSchemaEvolution): untouched files surface them as
+    NULL, rewritten/appended files carry the values, and the widened
+    schema + data publish in ONE atomic commit. Without the flag the
+    extra column raises."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_merge_upsert,
+    )
+
+    for mode in ("cow", "mor"):
+        t = str(tmp_path / f"mev_{mode}")
+        table_commit(
+            spark.range(0, 20).selectExpr("id as k", "id * 2 as v")
+            .repartition(4),
+            t,
+        )
+        batch = spark.createDataFrame(
+            [(5, 500, "gold"), (100, 1000, "new")],
+            "k long, v long, tier string",
+        )
+        with _pytest.raises(TypeError, match="evolve_schema"):
+            table_merge_upsert(spark, t, batch, "k", mode=mode)
+        with _pytest.raises(TypeError, match="every existing column"):
+            table_merge_upsert(
+                spark,
+                t,
+                batch.select("k", "tier"),
+                "k",
+                mode=mode,
+                evolve_schema=True,
+            )
+        table_merge_upsert(
+            spark, t, batch, "k", mode=mode, evolve_schema=True
+        )
+        got = {
+            r["k"]: (r["v"], r["tier"])
+            for r in table_read(spark, t).collect()
+        }
+        assert len(got) == 21
+        assert got[5] == (500, "gold")  # collided: batch row with value
+        assert got[100] == (1000, "new")  # inserted
+        assert got[3] == (6, None)  # untouched row: NULL-filled
+        # next plain append must carry the evolved schema
+        table_commit(
+            spark.createDataFrame([(200, 7, "x")], "k long, v long, tier string"),
+            t,
+        )
+        assert table_read(spark, t).where("tier = 'x'").count() == 1
+
+
+def test_merge_evolution_never_resurrects_dropped_column(spark, tmp_path):
+    """A MERGE-adopted column whose name matches a DROPPED column gets
+    a fresh physical — old files must never resurrect the retired
+    data under the new column."""
+    from simple_data_workflow_spark.sources.tablelog import (
+        table_drop_column,
+        table_merge_upsert,
+    )
+
+    t = str(tmp_path / "mev_drop")
+    table_commit(
+        spark.range(0, 10).selectExpr(
+            "id as k", "id * 2 as v", "concat('old', id) as tag"
+        ),
+        t,
+    )
+    table_drop_column(spark, t, "tag")
+    batch = spark.createDataFrame(
+        [(3, 333, "fresh")], "k long, v long, tag string"
+    )
+    table_merge_upsert(spark, t, batch, "k", evolve_schema=True)
+    got = {r["k"]: r["tag"] for r in table_read(spark, t).collect()}
+    assert got[3] == "fresh"
+    # every untouched row reads NULL — NOT the dropped column's data
+    assert all(v is None for k, v in got.items() if k != 3)
