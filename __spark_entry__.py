@@ -3611,70 +3611,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_customers": _wrap(merge_upsert_customers),
     }
     # Registration order is load-bearing: the driver's correctness
-    # harness checks the FIRST 50 entries. Round-9 rotation (VERDICT r8
-    # "Next round" #6): lead with this round's NEW queries — the
-    # write-audit-publish / tags / metadata-tables block, column-mapping
-    # end-to-end, held-out perplexity, trigram LM — then the STALEST
-    # registry blocks: everything last driver-checked in r4/r5
-    # (string/date batteries, grouping sets, pivot twins, the llmdata
-    # document battery, ANN/embedding queries). The r8 head (tablelog
-    # DML/DV/clone block + the full §2.1 reference battery) is freshly
-    # driver-green in CORRECTNESS_r08 and keeps local-replica evidence
-    # below the window (pack_documents / train_holdout_split /
-    # quantize_embeddings slid out for the new block; all r1-7
-    # driver-green + local-green). Rows-only entries in the window:
-    # approx_sketches only.
+    # harness checks the FIRST 50 entries. Round-10 rotation (VERDICT
+    # r9 "Next round" #4): lead with this round's NEW queries (schema
+    # evolution, 5-gram LM, edit-2 fuzzy, persisted PQ index, media
+    # header sniff, the now-self-validating approx_sketches) plus the
+    # never-driver-checked quality classifier, then the STALEST
+    # blocks: last-checked-r5 (ANN/embedding + misc), r6 (asof/pivot/
+    # set-op/quantile block), two r7 TPC-H anchors, and the two blocks
+    # VERDICT r9 named explicitly — the full §2.1 reference battery
+    # and the tablelog DML/DV/clone block, both last driver-checked
+    # r8. The r9 head (WAP/tags/metadata, column mapping, perplexity,
+    # llmdata document battery) is freshly driver-green in
+    # CORRECTNESS_r09 and keeps local-replica evidence below the
+    # window. Rows-only entries in the window: pq_index_topk,
+    # media_header_meta, approx_sketches (self-validating asserts),
+    # quality_classifier_docs, ivf_topk_embeddings,
+    # minhash_lsh_near_dups, simhash_docs, mice_impute_lineitem,
+    # ols_multivariate_ci.
     head = [
-        "tablelog_wap_publish",
-        "tablelog_tag_read",
-        "tablelog_metadata_tables",
-        "salted_skew_join",
-        "tablelog_rename_scan",
-        "tablelog_hidden_partition_scan",
-        "perplexity_heldout_docs",
-        "trigram_perplexity_docs",
-        "sql_grouping_sets",
-        "customers_above_segment_avg",
-        "unpivot_flag_metrics",
+        # --- new in r10 ---
+        "tablelog_schema_evolution",
+        "fivegram_perplexity_docs",
+        "fuzzy_edit2_matches",
+        "pq_index_topk",
+        "media_header_meta",
         "approx_sketches",
-        "sliding_window_counts",
-        "running_customer_revenue",
-        "events_props_map",
-        "order_count_distribution",
-        "big_orders",
-        "tfidf_top_term",
-        "bigram_doc_freq",
-        "dedup_exact_docs",
-        "decontaminate_docs",
-        "stratified_sample_docs",
-        "embedding_stats",
-        "corpus_curation",
-        "order_rank_metrics",
-        "string_fn_battery",
-        "date_fn_battery",
-        "cheapest_supplier_per_nation",
-        "conditional_agg_battery",
-        "weighted_avg_price",
-        "regexp_extract_brands",
-        "rollup_with_grouping_id",
-        "ngram_jaccard_near_dups",
-        "minhash_md5_near_dups",
-        "simhash_md5_docs",
-        "doc_text_stats",
-        "scrub_pii_docs",
-        "doc_repetition_stats",
-        "cluster_near_dup_docs",
-        "dedup_near_dup_docs",
-        "ngram_decontaminate_docs",
-        "boilerplate_docs",
-        "mixture_sample_docs",
-        "token_budget_select",
-        "bpe_token_counts",
-        "winnow_fingerprint_docs",
-        "chunk_documents",
-        "cosine_topk",
-        "cosine_near_dups",
-        "stats_corr_battery",
+        "quality_classifier_docs",
+        # --- stalest: last driver-checked r5 ---
+        "error_window_clicks",
+        "ivf_topk_embeddings",
+        "minhash_lsh_near_dups",
+        "pack_documents",
+        "quantize_embeddings",
+        "simhash_docs",
+        "trailing_30d_revenue",
+        "train_holdout_split",
+        # --- last driver-checked r6 ---
+        "asof_last_signup",
+        "asof_purchase_order",
+        "cube_year_flag",
+        "distinct_parts_per_flag",
+        "large_parts_except_cheap",
+        "pivot_segment_by_year",
+        "quantiles_by_segment",
+        # --- r7 TPC-H anchors ---
+        "q1_pricing_summary",
+        "q9_product_profit",
+        # --- §2.1 reference battery (VERDICT r9 #4, last r8) ---
+        "flagship_std_revenue",
+        "gelman_standardize_lineitem",
+        "transform_math",
+        "clean_text_priority",
+        "replace_na_status",
+        "one_hot_mktsegment",
+        "ordinal_encode_priority",
+        "impute_mean_value",
+        "impute_median_psize",
+        "impute_mode_priority",
+        "impute_cc_events",
+        "impute_fii_events",
+        "impute_gm_events",
+        "ols_simple",
+        "mice_impute_lineitem",
+        "ols_multivariate_ci",
+        # --- tablelog DML/DV/clone block (VERDICT r9 #4, last r8) ---
+        "tablelog_mor_dml",
+        "tablelog_bloom_lookup",
+        "tablelog_dml_roundtrip",
+        "tablelog_mor_delete",
+        "tablelog_clone_timetravel",
+        "tablelog_cdf_view",
+        "tablelog_batch_format_scan",
+        "tablelog_partitioned_scan",
+        "tablelog_incremental_view",
+        "merge_upsert_customers",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
