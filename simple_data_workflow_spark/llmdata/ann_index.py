@@ -385,3 +385,52 @@ def pq_index_search(
         rerank=rerank,
         corpus=corpus,
     )
+
+
+def append_pq_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_batch: int | None = None,
+) -> int:
+    """Add new vectors to an EXISTING PQ index without a rebuild — the
+    PQ twin of :func:`append_ivf_index`: encode the batch with the
+    FROZEN codebooks (read from the companion table — bounded rows),
+    assign to the frozen coarse centroids when the index is IVF-PQ,
+    and commit one APPEND range-clustered on ``list_id`` so the new
+    code files also carry tight prunable stats. Ingest cost ∝ batch,
+    not corpus. A search after the append scores the union corpus
+    under the same quantizers — same contract as the IVF append.
+
+    Drift caveat: appended data shifts the distribution away from the
+    frozen codebooks/centroids, degrading ADC accuracy gradually;
+    ``ivf_index_skew`` works on the codes table too (it only reads
+    ``list_id``) and the caller rebuilds past a threshold. Returns the
+    new index version."""
+    from simple_data_workflow_spark.llmdata.similarity import pq_encode
+
+    spark = df.sparkSession
+    codebooks = read_pq_codebooks(spark, path)
+    try:
+        cent_rows = sorted(
+            (r["list_id"], r["centroid"])
+            for r in table_read(spark, f"{path}_centroids").collect()
+        )
+    except FileNotFoundError:
+        cent_rows = []
+    payload: list = []
+    if cent_rows:
+        centroids = [c for _, c in cent_rows]
+        assign1 = nearest_centroids_pd(centroids, 1)
+        df = df.withColumn(
+            "list_id", F.element_at(assign1(F.col(vec_col)), 1)
+        )
+        payload = ["list_id"]
+    codes = pq_encode(df, codebooks, id_col, vec_col, payload_cols=payload)
+    if cent_rows:
+        n_files = files_per_batch or max(2, len(cent_rows) // 4)
+        codes = codes.repartitionByRange(
+            n_files, "list_id"
+        ).sortWithinPartitions("list_id")
+    return table_commit(codes, path, mode="append")

@@ -1737,3 +1737,61 @@ def test_fuzzy_pairs_edit2_matches_bruteforce(spark):
     assert got == brute and len(got) >= 10
     # distances are exact, not just bounded
     assert all(v in (0, 1, 2) for v in got.values())
+
+
+def test_pq_index_append_matches_full_encode_and_stays_prunable(
+    spark, tmp_path
+):
+    """append_pq_index encodes a delta batch with the FROZEN
+    codebooks/centroids and appends it: search over the appended index
+    equals search over an index built from the union corpus with the
+    SAME quantizers, and the appended files stay list_id-prunable."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.llmdata.ann_index import (
+        append_pq_index,
+        build_pq_index,
+        pq_index_search,
+        read_pq_codebooks,
+    )
+    from simple_data_workflow_spark.sources.readers import load_table
+    from simple_data_workflow_spark.sources.tablelog import (
+        _resolve_state,
+        _stats_prune,
+        table_read,
+    )
+
+    corpus = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    old = corpus.where("vec_id % 10 != 0")
+    new = corpus.where("vec_id % 10 = 0")
+    t = str(tmp_path / "pq_app")
+    build_pq_index(old, t, m=8, n_lists=8, files_per_index=4)
+    v = append_pq_index(new, t)
+    assert v > 0
+    assert table_read(spark, t).count() == corpus.count()
+
+    q = corpus.where("vec_id % 100 = 0")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_index_search(
+            spark, t, q, k=5, n_probe=8, rerank=60, corpus=corpus
+        ).collect()
+    }
+    # reference: same codebooks+centroids over the union, in memory
+    cbs = read_pq_codebooks(spark, t)
+    codes = table_read(spark, t).select("vec_id", "codes")
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.pq_topk(
+            q, codes, cbs, k=5, rerank=60, corpus=corpus
+        ).collect()
+    }
+    assert got == want and got
+
+    # appended files carry tight list_id stats: a single-list filter
+    # prunes some of them too
+    state = _resolve_state(spark, t, None)
+    kept = _stats_prune(
+        state["stats"], state["files"], [("list_id", "==", 0)]
+    )
+    assert len(kept) < len(state["files"])
