@@ -381,6 +381,7 @@ QUERIES = {
     "salted_skew_join": entrymod.salted_skew_join,
     "tablelog_tag_read": entrymod.tablelog_tag_read,
     "tablelog_metadata_tables": entrymod.tablelog_metadata_tables,
+    "delta_interop_roundtrip": entrymod.delta_interop_roundtrip,
     "ivf_index_topk": entrymod.ivf_index_topk,
     "ivf_index_search_only": ivf_index_search_bench,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,

@@ -186,7 +186,7 @@ def delta_snapshot_files(
     commits, cps = _list_log(spark, path)
     if not commits and not cps:
         raise FileNotFoundError(f"empty _delta_log under {path}")
-    target = max(commits) if version is None else int(version)
+    target = max([*commits, *cps]) if version is None else int(version)
     if version is not None and version not in commits and version not in cps:
         raise ValueError(
             f"version {version} not in the Delta log (have "

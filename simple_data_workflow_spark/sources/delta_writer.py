@@ -1,0 +1,541 @@
+"""Jar-free Delta Lake WRITE interop (round 10).
+
+Companion to ``sources.delta_reader``: the Delta transaction log is a
+public, documented protocol (delta.io PROTOCOL.md), so WRITING a
+spec-conformant table needs no Delta jar either — stage plain parquet
+data files with Spark's own writer, then publish one atomic
+``_delta_log/<version>.json`` commit describing them.  Tables written
+here round-trip through ``delta_reader.delta_read`` (pinned) and are
+laid out exactly as the spec demands (protocol/metaData/add/remove
+JSON-line actions, zero-padded versions, percent-encoded relative
+paths, Hive-style partition directories with partition columns absent
+from the data files, per-file ``stats`` JSON), so a real Delta runtime
+can read them too.
+
+What this writer emits (writer protocol 1/2 — the plain-parquet tier):
+
+- ``create`` / ``append`` / ``overwrite`` modes with optional
+  Hive-partitioned layout (``partitionValues`` in the log; NULL
+  partition value ⇄ ``__HIVE_DEFAULT_PARTITION__`` directory).
+- Per-file ``stats`` JSON (``numRecords``/``minValues``/``maxValues``/
+  ``nullCount``) harvested from the parquet FOOTERS the tasks just
+  wrote — zero extra scan, same trick as the tablelog streaming sink.
+- ``commitInfo`` provenance on every commit.
+- Classic checkpoints (``<v>.checkpoint.parquet`` + the
+  ``_last_checkpoint`` pointer) via ``delta_checkpoint`` so log replay
+  cost stays bounded as commits accumulate.
+- Optimistic concurrency: commits publish if-absent (hard-link
+  primitive, like ``tablelog._write_json_if_absent``); a lost race
+  retries blind appends against the re-resolved snapshot and raises
+  ``DeltaConcurrentWrite`` for overwrites.
+
+Scale posture: the commit is metadata-sized (bytes ∝ files added, not
+data); data movement is Spark's normal distributed parquet write plus
+one driver-side rename per staged file — the same planning-phase cost
+every log-format writer pays.  Nothing data-sized reaches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from simple_data_workflow_spark.sources.delta_reader import (
+    _list_log,
+    _read_bytes,
+    _NULL_PARTITION,
+)
+
+
+class DeltaConcurrentWrite(RuntimeError):
+    """Another writer committed the version this write targeted."""
+
+
+class DeltaSchemaMismatch(ValueError):
+    """Append/overwrite schema is incompatible with the table."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _publish_if_absent(spark, path: str, name: str, body: str) -> bool:
+    """Stage under a dot-name, publish to ``_delta_log/name`` if-absent
+    (POSIX ``link(2)`` EEXIST atomicity on local FS — the same
+    primitive ``tablelog._write_json_if_absent`` documents; HDFS
+    rename refuses existing destinations so the fallback is safe
+    there too)."""
+    jvm, fs = _fs(spark, path)
+    log = f"{path}/_delta_log"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(log))
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{log}/.tmp-{uuid.uuid4().hex}")
+    out = fs.create(tmp, False)
+    try:
+        out.write(body.encode("utf-8"))
+    finally:
+        out.close()
+    target = jvm.org.apache.hadoop.fs.Path(f"{log}/{name}")
+    scheme = target.toUri().getScheme()
+    if scheme in (None, "file"):
+        t_nio = jvm.java.io.File(target.toUri().getPath()).toPath()
+        s_nio = jvm.java.io.File(tmp.toUri().getPath()).toPath()
+        try:
+            jvm.java.nio.file.Files.createLink(t_nio, s_nio)
+            won = True
+        except Exception:
+            won = False
+        fs.delete(tmp, False)
+        return won
+    if fs.exists(target):
+        fs.delete(tmp, False)
+        return False
+    won = fs.rename(tmp, target)
+    if not won:
+        fs.delete(tmp, False)
+    return won
+
+
+def _replay_full(spark, path: str, version: int | None = None):
+    """Full-fidelity snapshot replay: ``(adds: {relpath: add-dict},
+    meta, proto, version)``.  Unlike the reader's replay this keeps the
+    whole ``add`` action (size/modTime/stats) — the checkpoint writer
+    needs it verbatim.  Seeds from the newest checkpoint ≤ target like
+    the reader does."""
+    commits, cps = _list_log(spark, path)
+    if not commits and not cps:
+        raise FileNotFoundError(f"empty _delta_log under {path}")
+    target = max([*commits, *cps]) if version is None else int(version)
+    adds: dict[str, dict] = {}
+    meta = proto = None
+    cp_versions = [v for v in cps if v <= target]
+    start = 0
+    if cp_versions:
+        cp_v = max(cp_versions)
+        cp = spark.read.parquet(*sorted(cps[cp_v]))
+        cols = set(cp.columns)
+        for r in cp.collect():
+            d = r.asDict(recursive=True)
+            if "metaData" in cols and d.get("metaData"):
+                meta = {k: v for k, v in d["metaData"].items() if v is not None}
+            if "protocol" in cols and d.get("protocol"):
+                proto = {k: v for k, v in d["protocol"].items() if v is not None}
+            if "add" in cols and d.get("add"):
+                a = {k: v for k, v in d["add"].items() if v is not None}
+                adds[a["path"]] = a
+        start = cp_v + 1
+    for v in [c for c in commits if start <= c <= target]:
+        raw = _read_bytes(
+            spark, f"{path}/_delta_log/{v:020d}.json"
+        ).decode("utf-8")
+        for line in raw.splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                meta = action["metaData"]
+            elif "protocol" in action:
+                proto = action["protocol"]
+            elif "add" in action:
+                adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                adds.pop(action["remove"]["path"], None)
+    return adds, meta, proto, target
+
+
+_MAX_STAT_STR = 64
+
+
+def _file_stats(local_path: str, part_cols: set[str]) -> str | None:
+    """Delta ``stats`` JSON from the parquet footer the task already
+    wrote (zero extra scan).  Atomic columns only; long strings and
+    NaN bounds dropped — same serialization rules as the tablelog
+    footer harvest."""
+    import datetime as _dt
+    import math
+
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(local_path).metadata
+    except Exception:
+        return None
+
+    def ser(v):
+        if v is None or isinstance(v, bytes):
+            return None
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, float):
+            return None if math.isnan(v) else v
+        if isinstance(v, int):
+            return v
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, str) and len(v) <= _MAX_STAT_STR:
+            return v
+        return None
+
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in part_cols:
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st.has_min_max:
+                lo, hi = ser(st.min), ser(st.max)
+                if lo is not None:
+                    mins[name] = lo if name not in mins else min(mins[name], lo)
+                if hi is not None:
+                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def _schema_types(schema: StructType) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+
+def _stage_data_files(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> list[dict]:
+    """Distributed parquet write into a dot-staging dir, then rename
+    each task file into the table tree (partition layout preserved) and
+    build its ``add`` action — partition values parsed from the
+    Hive-style dir names Spark itself produced, paths percent-encoded
+    per spec, stats from the footers."""
+    spark = df.sparkSession
+    jvm, fs = _fs(spark, path)
+    staging = f"{path}/.staging-{uuid.uuid4().hex}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    def walk(p):
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
+            if st.isDirectory():
+                yield from walk(str(st.getPath().toUri().getPath()))
+            else:
+                yield st
+
+    part_set = set(partition_by)
+    adds = []
+    now = int(time.time() * 1000)
+    staging_uri = jvm.org.apache.hadoop.fs.Path(staging).toUri().getPath()
+    for st in walk(staging):
+        full = str(st.getPath().toUri().getPath())
+        name = full.rsplit("/", 1)[1]
+        if not name.endswith(".parquet"):
+            continue
+        rel = full[len(staging_uri) + 1 :]
+        segs = rel.split("/")
+        pv: dict[str, str | None] = {}
+        for seg in segs[:-1]:
+            if "=" not in seg:
+                continue
+            k, _, v = seg.partition("=")
+            k = urllib.parse.unquote(k)
+            pv[k] = None if v == _NULL_PARTITION else urllib.parse.unquote(v)
+        dest = f"{path}/{rel}"
+        parent = dest.rsplit("/", 1)[0]
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(parent))
+        if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(full),
+            jvm.org.apache.hadoop.fs.Path(dest),
+        ):
+            raise IOError(f"failed to move staged file into table: {rel}")
+        stats = _file_stats(dest, part_set)
+        add = {
+            "path": "/".join(urllib.parse.quote(s, safe="=") for s in segs),
+            "partitionValues": pv,
+            "size": int(st.getLen()),
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        if stats:
+            add["stats"] = stats
+        adds.append(add)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    return adds
+
+
+def delta_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    overwrite_schema: bool = False,
+    _retries: int = 5,
+) -> int:
+    """Write ``df`` as a spec-conformant Delta table without the Delta
+    jar; returns the committed version.
+
+    ``mode``: ``error`` (create; fail if the table exists), ``append``
+    (schema must match by name+type; partition spec inherited),
+    ``overwrite`` (replace contents; a changed schema needs
+    ``overwrite_schema=True``, Delta's own gate).  Appends that lose a
+    commit race re-resolve and retry (they are order-free); creates and
+    overwrites raise ``DeltaConcurrentWrite``.
+    """
+    if mode not in ("error", "append", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    spark = df.sparkSession
+    try:
+        cur_adds, cur_meta, _, cur_v = _replay_full(spark, path)
+        exists = cur_meta is not None
+    except FileNotFoundError:
+        cur_adds, cur_meta, cur_v, exists = {}, None, -1, False
+    if exists and mode == "error":
+        raise ValueError(
+            f"Delta table already exists at {path} (mode='error')"
+        )
+
+    if exists:
+        table_schema = StructType.fromJson(
+            json.loads(cur_meta["schemaString"])
+        )
+        existing_parts = list(cur_meta.get("partitionColumns") or [])
+        if partition_by is None:
+            partition_by = existing_parts
+        elif list(partition_by) != existing_parts and mode == "append":
+            raise DeltaSchemaMismatch(
+                f"append partition spec {partition_by} != table spec "
+                f"{existing_parts}"
+            )
+        same = _schema_types(table_schema) == _schema_types(df.schema)
+        if not same:
+            if mode == "append":
+                raise DeltaSchemaMismatch(
+                    "append schema differs from the table schema "
+                    f"({_schema_types(table_schema)} vs "
+                    f"{_schema_types(df.schema)})"
+                )
+            if not overwrite_schema:
+                raise DeltaSchemaMismatch(
+                    "overwrite with a different schema needs "
+                    "overwrite_schema=True"
+                )
+        if same:
+            # canonical column order = the table's
+            df = df.select(*[f.name for f in table_schema.fields])
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in DataFrame: {missing}")
+
+    adds = _stage_data_files(df, path, partition_by)
+    now = int(time.time() * 1000)
+    table_id = (cur_meta or {}).get("id") or str(uuid.uuid4())
+    meta_action = {
+        "metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": partition_by,
+            "configuration": {},
+            "createdTime": (cur_meta or {}).get("createdTime", now),
+        }
+    }
+    need_meta = (
+        not exists
+        or (
+            mode == "overwrite"
+            and (
+                overwrite_schema
+                or list((cur_meta or {}).get("partitionColumns") or [])
+                != partition_by
+            )
+        )
+    )
+
+    for attempt in range(_retries):
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "WRITE",
+                        "operationParameters": {
+                            "mode": mode.upper(),
+                            "partitionBy": json.dumps(partition_by),
+                        },
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            )
+        ]
+        if not exists:
+            lines.append(
+                json.dumps(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+            )
+        if need_meta:
+            lines.append(json.dumps(meta_action))
+        if mode == "overwrite":
+            for rel in sorted(cur_adds):
+                lines.append(
+                    json.dumps(
+                        {
+                            "remove": {
+                                "path": rel,
+                                "deletionTimestamp": now,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                )
+        lines.extend(json.dumps({"add": a}) for a in adds)
+        version = cur_v + 1
+        if _publish_if_absent(
+            spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
+        ):
+            return version
+        if mode != "append":
+            raise DeltaConcurrentWrite(
+                f"version {version} of {path} was committed by another "
+                "writer; re-run the overwrite against the new snapshot"
+            )
+        # blind appends are order-free: re-resolve and retry
+        cur_adds, cur_meta, _, cur_v = _replay_full(spark, path)
+        if _schema_types(
+            StructType.fromJson(json.loads(cur_meta["schemaString"]))
+        ) != _schema_types(df.schema):
+            raise DeltaSchemaMismatch(
+                "table schema changed while retrying the append"
+            )
+    raise DeltaConcurrentWrite(
+        f"append to {path} lost the commit race {_retries} times"
+    )
+
+
+def delta_checkpoint(spark: SparkSession, path: str) -> int:
+    """Write a classic single-file checkpoint (``<v>.checkpoint.parquet``
+    + ``_last_checkpoint``) for the latest version, so replay cost stays
+    bounded; pre-checkpoint JSON commits become vacuum-able.  Remove
+    tombstones are not carried (this writer's reader — and snapshot
+    correctness generally — only needs the live add set; noted per
+    PROTOCOL.md which keeps tombstones for VACUUM bookkeeping only).
+    Local-filesystem paths only (the checkpoint is metadata-sized and
+    written driver-side with pyarrow)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    adds, meta, proto, version = _replay_full(spark, path)
+    if meta is None:
+        raise ValueError(f"Delta log at {path} has no metaData action")
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    def row(add=None, m=None, p=None):
+        return {"add": add, "metaData": m, "protocol": p}
+
+    rows = [row(p=proto), row(m={
+        "id": meta.get("id"),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": meta.get("schemaString"),
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": dict(meta.get("configuration") or {}),
+        "createdTime": meta.get("createdTime"),
+    })]
+    for rel in sorted(adds):
+        a = adds[rel]
+        rows.append(
+            row(
+                add={
+                    "path": a["path"],
+                    "partitionValues": [
+                        (k, v) for k, v in (a.get("partitionValues") or {}).items()
+                    ],
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime"),
+                    "dataChange": True,
+                    "stats": a.get("stats"),
+                }
+            )
+        )
+    kv = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", kv),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field("options", kv),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", kv),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    # format.options needs the tuple-list map encoding too
+    for r in rows:
+        if r["metaData"]:
+            r["metaData"]["format"]["options"] = []
+            r["metaData"]["configuration"] = list(
+                r["metaData"]["configuration"].items()
+            )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    jvm, _ = _fs(spark, path)
+    local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    pq.write_table(
+        table, f"{local}/_delta_log/{version:020d}.checkpoint.parquet"
+    )
+    with open(f"{local}/_delta_log/_last_checkpoint", "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    return version

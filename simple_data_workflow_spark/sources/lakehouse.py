@@ -67,9 +67,22 @@ def read_table(
 
 
 def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> None:
+    """Write a lakehouse table. For Delta, a missing runtime jar falls
+    back to the pure-Python spec-conformant log writer
+    (``sources.delta_writer`` — round 10): plain parquet data files
+    plus an atomic ``_delta_log`` commit that both this repo's jar-free
+    reader and a real Delta runtime can replay. Iceberg/Hudi still
+    require their jars."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
     if not _available(df.sparkSession, fmt):
+        if fmt == "delta":
+            from simple_data_workflow_spark.sources.delta_writer import (
+                delta_write,
+            )
+
+            delta_write(df, path, mode=mode)
+            return
         raise NotImplementedError(
             f"{fmt} requires the {_FORMATS[fmt]} jar on the Spark classpath "
             "(not present in this environment)"
