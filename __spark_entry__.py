@@ -2747,6 +2747,139 @@ ORDER BY vec_id
 """
 
 
+def semdedup_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023, arXiv:2303.09540 — round 10,
+    ``llmdata.clustering.semantic_dedup``): k-means clusters bound the
+    near-dup candidate search (the paper's trick that replaces the
+    O(n²) all-pairs scan ``semantic_dedup_embeddings`` oracles at small
+    scale), then within-cluster cosine pairs → min-label connected
+    components → one representative kept per component. Rows-only
+    (k-means is iterative float), but SELF-VALIDATING in-query:
+    (a) kept + dropped partitions the corpus exactly, and (b) every
+    dropped vector is provably redundant — it appears in ≥1
+    within-cluster pair at the threshold (bounded-count asserts; no
+    data-sized collect). Returns the per-cluster keep summary."""
+    from simple_data_workflow_spark.llmdata.clustering import (
+        assign_clusters,
+        kmeans_fit,
+        semantic_dedup,
+        semantic_pairs,
+    )
+
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    C = kmeans_fit(emb, k=8, iters=5)
+    kept = semantic_dedup(emb, C, threshold=0.38)
+    n_total = emb.count()
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_total
+    pairs = semantic_pairs(emb, C, threshold=0.38)
+    participants = pairs.select(F.col("id_a").alias("vec_id")).unionByName(
+        pairs.select(F.col("id_b").alias("vec_id"))
+    ).distinct()
+    dropped = emb.select("vec_id").join(kept.select("vec_id"), "vec_id", "left_anti")
+    orphans = dropped.join(participants, "vec_id", "left_anti").count()
+    assert orphans == 0, f"{orphans} dropped vectors have no near-dup pair"
+    return (
+        assign_clusters(emb, C)
+        .join(kept.select("vec_id", F.lit(1).alias("__k")), "vec_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.coalesce("__k", F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def dup_ngram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplication diagnostic (round 10,
+    ``llmdata.dedup.dup_ngram_fraction`` — Lee et al. 2022,
+    arXiv:2107.06499): per doc, the fraction of its 8-gram instances
+    whose gram occurs in ≥1 OTHER document. Gram build is the codegen
+    zip_with chain; per-(doc,gram) counts collapse map-side before the
+    corpus-wide doc-frequency join (gram-keyed, never broadcast — the
+    LM posture). Oracle replays grams/instances/frequency in DuckDB
+    list SQL."""
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dup_ngram_fraction(docs, n=8).orderBy("doc_id")
+
+
+_DUPG8 = " || ' ' || ".join(f"w[i+{o}]" for o in range(8))
+DUP_NGRAM_FRACTION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> {_DUPG8})) AS gram
+  FROM t WHERE len(w) >= 8
+), inst AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+), freq AS (
+  SELECT gram, COUNT(*) AS nd FROM inst GROUP BY gram
+), per AS (
+  SELECT i.doc_id,
+         CAST(SUM(i.cnt) AS BIGINT) AS n_gram_insts,
+         CAST(SUM(CASE WHEN f.nd > 1 THEN i.cnt ELSE 0 END) AS BIGINT) AS dup_gram_insts
+  FROM inst i JOIN freq f USING (gram) GROUP BY i.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_gram_insts, 0) AS n_gram_insts,
+       COALESCE(p.dup_gram_insts, 0) AS dup_gram_insts,
+       ROUND(CAST(p.dup_gram_insts AS DOUBLE)
+             / NULLIF(CAST(p.n_gram_insts AS DOUBLE), 0), 6) AS dup_fraction
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter (round 10, ``llmdata.text.
+    gopher_quality`` — Rae et al. 2021 §A1.1): per-doc word count,
+    mean word length, symbol/alpha-word ratios and stopword hits, plus
+    the conjunctive pass verdict (``min_words`` lowered to 20 for the
+    synthetic ~30-word docs so both verdicts appear). Pure codegen
+    expressions over the token array — one scan, no shuffle; the
+    oracle replays every rule in DuckDB list-lambda SQL."""
+    from simple_data_workflow_spark.llmdata.text import gopher_quality
+
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_quality(docs, min_words=20)
+    return g.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+        "passes",
+    ).orderBy("doc_id")
+
+
+GOPHER_QUALITY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / NULLIF(CAST(len(w) AS DOUBLE), 0), 6) AS mean_word_len,
+         ROUND(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+               / NULLIF(CAST(len(w) AS DOUBLE), 0), 6) AS symbol_ratio,
+         ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / NULLIF(CAST(len(w) AS DOUBLE), 0), 6) AS alpha_word_ratio,
+         len(list_filter(w, x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS stopword_hits
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, stopword_hits,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        AND stopword_hits >= 2) AS passes
+FROM m
+ORDER BY doc_id
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: synthesize binary+metadata from text,
     extract features via Arrow-batched mapInPandas (deterministic fake
@@ -3572,6 +3705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _wrap(rel.q17_small_quantity_revenue),
         "q22_dormant_customers": _wrap(rel.q22_dormant_customers),
         "semantic_dedup_embeddings": _wrap(semantic_dedup_embeddings),
+        "semdedup_kmeans_embeddings": _wrap(semdedup_kmeans_embeddings),
+        "dup_ngram_fraction_docs": _wrap(dup_ngram_fraction_docs),
+        "gopher_quality_docs": _wrap(gopher_quality_docs),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -3853,6 +3989,8 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": rel.Q17_SQL,
         "q22_dormant_customers": rel.Q22_SQL,
         "semantic_dedup_embeddings": SEMANTIC_DEDUP_SQL,
+        "dup_ngram_fraction_docs": DUP_NGRAM_FRACTION_SQL,
+        "gopher_quality_docs": GOPHER_QUALITY_SQL,
         "order_rank_metrics": rel.RANK_METRICS_SQL,
         "string_fn_battery": rel.STRING_BATTERY_SQL,
         "date_fn_battery": rel.DATE_BATTERY_SQL,

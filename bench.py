@@ -382,6 +382,9 @@ QUERIES = {
     "tablelog_tag_read": entrymod.tablelog_tag_read,
     "tablelog_metadata_tables": entrymod.tablelog_metadata_tables,
     "delta_interop_roundtrip": entrymod.delta_interop_roundtrip,
+    "dup_ngram_fraction": entrymod.dup_ngram_fraction_docs,
+    "gopher_quality": entrymod.gopher_quality_docs,
+    "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,
     "ivf_index_search_only": ivf_index_search_bench,
     "heavy_hitter_terms": entrymod.heavy_hitter_terms,

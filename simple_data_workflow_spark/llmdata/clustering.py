@@ -126,6 +126,76 @@ def cluster_balanced_sample(
     )
 
 
+def semantic_pairs(
+    df: DataFrame,
+    centroids: list,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster cosine near-duplicate pairs — the candidate step
+    of SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", arXiv:2303.09540):
+    instead of an O(n²) all-pairs scan, pairs are only scored INSIDE a
+    k-means cluster. At 100 TB this is the whole trick: pick k ∝ N so
+    expected cluster size stays constant and the per-cluster self-join
+    stays bounded; a pathologically hot cluster is re-clusterable
+    recursively (same function, its rows only). The join shuffles both
+    sides once on ``cluster_id``; scoring is the codegen
+    ``zip_with``/``aggregate`` dot product over pre-L2-normalized
+    vectors — no Python in the pair loop."""
+    from simple_data_workflow_spark.functions.vectors import dot, l2_normalize
+
+    base = assign_clusters(df, centroids, vec_col=vec_col).select(
+        F.col(id_col),
+        "cluster_id",
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("__v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.round(dot(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: drop semantic near-duplicates, keeping ONE
+    representative per within-cluster near-dup connected component
+    (the minimum id — this repo's dedup convention; deterministic and
+    engine-portable, where the paper keeps the member farthest from
+    the centroid). Composes the tested machinery end-to-end:
+    ``semantic_pairs`` (cluster-bounded candidate scoring) →
+    ``dedup.cluster_pairs`` (min-label propagation with path halving)
+    → anti-join of the corpus against the non-canonical ids. Returns
+    the kept rows with their ``cluster_id`` attached. Cost: one
+    assign scan + one cluster-keyed self-join + O(log diameter)
+    label-propagation rounds over the (tiny) pair list — nothing
+    data-sized at the driver."""
+    from simple_data_workflow_spark.llmdata.dedup import dedup_by_cluster
+
+    pairs = semantic_pairs(
+        df, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assign_clusters(df, centroids, vec_col=vec_col)
+    return dedup_by_cluster(assigned, pairs, id_col=id_col)
+
+
 def kmeans_fit_numpy(
     X: np.ndarray, k: int, iters: int = 10
 ) -> np.ndarray:

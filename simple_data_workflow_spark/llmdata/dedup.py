@@ -1140,3 +1140,71 @@ def fuzzy_pairs(
         .where(F.col("dist") <= max_edit)
         .distinct()
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-corpus duplication measure (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the diagnostic behind substring-level dedup):
+    the fraction of a doc's word n-gram INSTANCES whose gram also
+    occurs in at least one OTHER document. Near-1 scores flag
+    boilerplate/mirror content that doc-level exact/minhash dedup
+    misses because the containing documents differ.
+
+    Shape, and why it holds at 100 TB: grams are built with the
+    codegen ``zip_with`` shifted-slice chain (the indexed
+    ``transform(sequence(...))`` form measured ~10× slower — see
+    ``lm._doc_ngrams``), then collapsed to per-(doc, gram) counts with
+    one map-side-combined aggregate BEFORE anything corpus-wide
+    happens — the explode never shuffles raw. Document frequency is a
+    second aggregate over that (already-distinct-per-doc) table, and
+    the score join is gram-keyed between two corpus-derived tables —
+    deliberately NOT broadcast, the same posture as LM scoring
+    (``lm.py``): the gram table scales with the corpus. Docs shorter
+    than n words surface with zero instances and a NULL fraction
+    rather than dropping out."""
+    from simple_data_workflow_spark.session import ensure_parallelism
+
+    m = f"greatest(0, size(__w) - {n - 1})"
+    parts = [F.expr(f"slice(__w, {i + 1}, {m})") for i in range(n)]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = F.zip_with(gram, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    inst = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+        .select(F.col(id_col), F.explode(gram).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    # one row per (doc, gram) ⇒ COUNT(*) == distinct-doc frequency
+    freq = inst.groupBy("__g").agg(F.count(F.lit(1)).alias("__nd"))
+    per_doc = (
+        inst.join(freq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").alias("n_gram_insts"),
+            F.sum(F.when(F.col("__nd") > 1, F.col("__cnt")).otherwise(F.lit(0))).alias(
+                "dup_gram_insts"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_gram_insts", F.lit(0)).alias("n_gram_insts"),
+            F.coalesce("dup_gram_insts", F.lit(0)).alias("dup_gram_insts"),
+            F.round(
+                F.col("dup_gram_insts").cast("double")
+                / F.nullif(F.col("n_gram_insts").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

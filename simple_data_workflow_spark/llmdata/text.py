@@ -428,3 +428,80 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
     return exact.orderBy(F.desc("n_occurrences"), "term").limit(k)
+
+
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_ratio": 0.8,
+    "min_stopword_hits": 2,
+}
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", §A1.1 — the
+    repetition rules live in ``repetition_stats``): per-doc rule
+    metrics plus the conjunctive ``passes`` verdict.
+
+    - word count within ``[min_words, max_words]``
+    - mean word length within ``[min_mean_word_len, max_mean_word_len]``
+    - symbol-to-word ratio (``#`` / ``...``) ≤ ``max_symbol_word_ratio``
+    - fraction of words containing an alphabetic char ≥
+      ``min_alpha_word_ratio``
+    - at least ``min_stopword_hits`` stopword occurrences
+
+    Everything is a JVM-side expression over the token array (split /
+    filter / aggregate / regexp) — one scan, zero shuffles, zero
+    Python; the 100 TB cost is the read. The metric columns surface so
+    the filter is auditable (which rule killed a doc), the pretraining
+    dashboard staple."""
+    t = {**GOPHER_DEFAULTS, **thresholds}
+    unknown = set(thresholds) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
+    w = tokens(F.col(text_col))
+    n_words = F.size(w)
+    char_sum = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.round(
+        char_sum.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0))
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(
+        n_alpha.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    )
+    stop_hits = F.size(F.filter(w, lambda x: F.lower(x).isin(STOPWORDS)))
+    symbol_ratio = F.round(
+        n_symbols.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    )
+    passes = (
+        (n_words >= t["min_words"])
+        & (n_words <= t["max_words"])
+        & (mean_wl >= t["min_mean_word_len"])
+        & (mean_wl <= t["max_mean_word_len"])
+        & (symbol_ratio <= t["max_symbol_word_ratio"])
+        & (alpha_ratio >= t["min_alpha_word_ratio"])
+        & (stop_hits >= t["min_stopword_hits"])
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        passes.alias("passes"),
+    )

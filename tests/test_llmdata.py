@@ -1795,3 +1795,134 @@ def test_pq_index_append_matches_full_encode_and_stays_prunable(
         state["stats"], state["files"], [("list_id", "==", 0)]
     )
     assert len(kept) < len(state["files"])
+
+
+# ---------------------------------------------------------------------------
+# Round 10: SemDeDup (cluster-bounded), dup-ngram fraction, Gopher rules
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_equals_numpy_twin(spark):
+    """semantic_dedup (assign → within-cluster pairs → components → keep
+    min id) must equal a brute-force numpy twin of the SAME rule."""
+    import numpy as np
+
+    from simple_data_workflow_spark.llmdata.clustering import (
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    # two far-apart blobs; inside each, a few near-identical copies
+    base = rng.normal(size=(6, 8))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):
+            rows.append((vid, (b + rng.normal(scale=1e-3, size=8)).tolist()))
+            vid += 1
+    for _ in range(10):  # loners
+        rows.append((vid, rng.normal(scale=5.0, size=8).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = kmeans_fit(df, k=4, iters=8)
+    got = {r["vec_id"] for r in semantic_dedup(df, C, threshold=0.999).collect()}
+
+    X = np.asarray([r[1] for r in rows])
+    Cn = np.asarray(C)
+    assign = (
+        -2.0 * X @ Cn.T + (Cn * Cn).sum(axis=1)[None, :]
+    ).argmin(axis=1)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n = len(rows)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if assign[i] == assign[j] and round(float(Xn[i] @ Xn[j]), 6) >= 0.999:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    want = {i for i in range(n) if find(i) == i}
+    assert got == want
+    assert len(want) < n  # the dupes really collapsed
+
+
+def test_dup_ngram_fraction_hand_computed(spark):
+    from simple_data_workflow_spark.llmdata.dedup import dup_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # grams: "a b c", "b c d", "c d e"
+            (2, "a b c x y"),   # shares "a b c" with doc 1
+            (3, "p q r s"),     # no overlap
+            (4, "s t"),         # too short for n=3 → zero instances
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_gram_insts"], r["dup_gram_insts"], r["dup_fraction"])
+        for r in dup_ngram_fraction(df, n=3).collect()
+    }
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (0, 0, None)
+
+
+def test_dup_ngram_fraction_counts_instances_not_types(spark):
+    """A gram repeated WITHIN one doc is one type but several
+    instances; only cross-document occurrence makes it 'dup'."""
+    from simple_data_workflow_spark.llmdata.dedup import dup_ngram_fraction
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "x y x z z z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_gram_insts"], r["dup_gram_insts"])
+        for r in dup_ngram_fraction(df, n=2).collect()
+    }
+    # doc1 bigram instances: x y, y x, x y, y x, x y → 5; both "x y"
+    # and "y x" also occur in doc2, so all 5 instances are dup
+    assert got[1] == (5, 5)
+    # doc2: x y, y x, x z, z z, z z → 5 instances; "x y" and "y x"
+    # cross documents (2 instances); "x z" and the WITHIN-doc repeated
+    # "z z" do not
+    assert got[2] == (5, 2)
+
+
+def test_gopher_quality_rules(spark):
+    from simple_data_workflow_spark.llmdata.text import gopher_quality
+
+    # mean word length 51/14 ≈ 3.64 (inside [3, 10]); 4 stopword hits
+    long_good = (
+        "the quick brown fox jumps over the lazy dog and it runs far away " * 5
+    )
+    df = spark.createDataFrame(
+        [
+            (1, long_good.strip()),
+            (2, "short doc only"),                         # fails min_words
+            (3, ("zq " * 60).strip()),                     # mean len 2 → fails
+            (4, ("### " * 60).strip()),                    # symbols + no alpha
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality(df, min_words=10, min_stopword_hits=2).collect()
+    }
+    assert got[1]["passes"] is True
+    assert got[2]["passes"] is False and got[2]["n_words"] == 3
+    assert got[3]["passes"] is False and got[3]["mean_word_len"] == 2.0
+    r4 = got[4]
+    assert r4["passes"] is False
+    assert r4["alpha_word_ratio"] == 0.0 and r4["symbol_ratio"] >= 1.0
+    with __import__("pytest").raises(ValueError, match="unknown gopher"):
+        gopher_quality(df, bogus_rule=1)
