@@ -1418,6 +1418,170 @@ ORDER BY o_orderpriority
 """
 
 
+def iceberg_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10: jar-free ICEBERG READ interop
+    (``sources.iceberg_reader`` — the public iceberg.apache.org/spec
+    is the only contract; Avro manifests are decoded through the
+    REFERENCE ``org.apache.avro`` implementation already on Spark's
+    classpath). The query builds a spec-conformant two-snapshot table
+    in-query — metadata JSON with ``version-hint.text``, an Avro
+    manifest LIST per snapshot, Avro manifests whose entries include a
+    DELETED-status tombstone that must be excluded — then reads the
+    current snapshot through the ``lakehouse.read_table`` front door
+    (which falls back to metadata replay when the jar is absent) and
+    aggregates. The oracle is the same aggregate over raw parquet, so
+    a value-hash match pins manifest-list replay, status filtering,
+    and schema mapping end-to-end."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="sdw-ice-") + "/orders_ice"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def land(df, dest):
+        tmp = dest + ".__tmp__"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        _shutil.move(part, dest)
+        _shutil.rmtree(tmp)
+
+    land(orders.where("o_orderkey % 2 = 0"), f"{root}/data/even.parquet")
+    land(orders.where("o_orderkey % 2 = 1"), f"{root}/data/odd.parquet")
+    land(orders.limit(1), f"{root}/data/ghost.parquet")  # DELETED entry
+
+    jvm = spark._jvm
+    entry_schema = jvm.org.apache.avro.Schema.Parser().parse(
+        _json.dumps(
+            {
+                "type": "record",
+                "name": "manifest_entry",
+                "fields": [
+                    {"name": "status", "type": "int"},
+                    {
+                        "name": "data_file",
+                        "type": {
+                            "type": "record",
+                            "name": "r2",
+                            "fields": [
+                                {"name": "file_path", "type": "string"},
+                                {"name": "file_format", "type": "string"},
+                                {"name": "record_count", "type": "long"},
+                            ],
+                        },
+                    },
+                ],
+            }
+        )
+    )
+    list_schema = jvm.org.apache.avro.Schema.Parser().parse(
+        _json.dumps(
+            {
+                "type": "record",
+                "name": "manifest_file",
+                "fields": [
+                    {"name": "manifest_path", "type": "string"},
+                    {"name": "manifest_length", "type": "long"},
+                ],
+            }
+        )
+    )
+
+    def avro(path, schema, rows):
+        w = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+        fw = jvm.org.apache.avro.file.DataFileWriter(w)
+        fw.create(schema, jvm.java.io.File(path))
+        for r in rows:
+            fw.append(r)
+        fw.close()
+
+    def entry(p, status=1):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(entry_schema)
+        d = jvm.org.apache.avro.generic.GenericData.Record(
+            entry_schema.getField("data_file").schema()
+        )
+        d.put("file_path", p)
+        d.put("file_format", "PARQUET")
+        d.put("record_count", jvm.java.lang.Long(1))
+        rec.put("status", status)
+        rec.put("data_file", d)
+        return rec
+
+    def mf(p):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(list_schema)
+        rec.put("manifest_path", p)
+        rec.put("manifest_length", jvm.java.lang.Long(1))
+        return rec
+
+    md = f"{root}/metadata"
+    _os.makedirs(md, exist_ok=True)
+    avro(f"{md}/m0.avro", entry_schema, [entry(f"{root}/data/even.parquet")])
+    avro(
+        f"{md}/m1.avro",
+        entry_schema,
+        [
+            entry(f"{root}/data/odd.parquet"),
+            entry(f"{root}/data/ghost.parquet", status=2),
+        ],
+    )
+    avro(f"{md}/ml-1.avro", list_schema, [mf(f"{md}/m0.avro")])
+    avro(f"{md}/ml-2.avro", list_schema, [mf(f"{md}/m0.avro"), mf(f"{md}/m1.avro")])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": root,
+        "last-column-id": 3,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                    {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+                    {"id": 3, "name": "o_totalprice", "required": False, "type": "double"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "snapshots": [
+            {"snapshot-id": 1, "manifest-list": f"{md}/ml-1.avro"},
+            {"snapshot-id": 2, "manifest-list": f"{md}/ml-2.avro"},
+        ],
+        "current-snapshot-id": 2,
+    }
+    with open(f"{md}/v1.metadata.json", "w") as f:
+        _json.dump(meta, f)
+    with open(f"{md}/version-hint.text", "w") as f:
+        f.write("1")
+
+    got = lakehouse.read_table(spark, "iceberg", root)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_INTEROP_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -3655,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_rename_scan": _wrap(tablelog_rename_scan),
         "tablelog_schema_evolution": _wrap(tablelog_schema_evolution),
         "delta_interop_roundtrip": _wrap(delta_interop_roundtrip),
+        "iceberg_interop_read": _wrap(iceberg_interop_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
         "trigram_perplexity_docs": _wrap(trigram_perplexity_docs),
         "fivegram_perplexity_docs": _wrap(fivegram_perplexity_docs),
@@ -3824,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head = [
         # --- new in r10 ---
         "delta_interop_roundtrip",
+        "iceberg_interop_read",
         "tablelog_schema_evolution",
         "fivegram_perplexity_docs",
         "fuzzy_edit2_matches",
@@ -3877,10 +4043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_cdf_view",
         "tablelog_batch_format_scan",
         "tablelog_partitioned_scan",
-        "tablelog_incremental_view",
-        # (merge_upsert_customers rotated out to fit the 50-cap: MERGE
-        # semantics are driver-covered this window by
-        # tablelog_schema_evolution's evolving merge)
+        # (merge_upsert_customers and tablelog_incremental_view rotated
+        # out to fit the 50-cap: MERGE semantics are driver-covered this
+        # window by tablelog_schema_evolution's evolving merge, and the
+        # incremental matview by tablelog_cdf_view)
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -3938,6 +4104,7 @@ def oracle_sql() -> dict[str, str]:
         "tablelog_rename_scan": TABLELOG_RENAME_SQL,
         "tablelog_schema_evolution": TABLELOG_SCHEMA_EVOLUTION_SQL,
         "delta_interop_roundtrip": DELTA_INTEROP_SQL,
+        "iceberg_interop_read": ICEBERG_INTEROP_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,
         "trigram_perplexity_docs": TRIGRAM_PERPLEXITY_SQL,
         "fivegram_perplexity_docs": FIVEGRAM_PERPLEXITY_SQL,

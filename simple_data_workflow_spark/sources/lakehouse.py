@@ -36,14 +36,16 @@ def _available(spark: SparkSession, fmt: str) -> bool:
 def read_table(
     spark: SparkSession, fmt: str, path: str, version: int | None = None
 ) -> DataFrame:
-    """Read a lakehouse table. For Delta, a missing runtime jar falls
-    back to the pure-Python log reader (``sources.delta_reader`` —
-    round 10): the Delta transaction log is a public protocol, so
-    snapshot resolution + direct parquet scan need no jar. The
-    fallback supports ``version=`` time travel and refuses (loudly)
-    reader-v3 feature tables (deletion vectors / column mapping)
-    rather than return wrong rows. Iceberg/Hudi still require their
-    jars."""
+    """Read a lakehouse table. When the runtime jar is absent, Delta
+    falls back to the pure-Python log reader (``sources.delta_reader``)
+    and Iceberg to the metadata/manifest replay reader
+    (``sources.iceberg_reader``) — both formats' on-disk layouts are
+    public specs, so snapshot resolution + a direct parquet scan need
+    no jar. Both fallbacks support ``version=`` time travel (Delta
+    version / Iceberg snapshot id) and REFUSE feature tiers they
+    cannot read correctly (Delta DV/column-mapping; Iceberg row-level
+    deletes, v3+, renamed columns) rather than return wrong rows.
+    Hudi still requires its jar."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
     if not _available(spark, fmt):
@@ -53,6 +55,15 @@ def read_table(
             )
 
             return delta_read(spark, path, version=version)
+        if fmt == "iceberg":
+            # pure-metadata fallback (round 10): JSON + Avro manifest
+            # replay via sources.iceberg_reader; ``version`` means the
+            # snapshot id (Iceberg's time-travel handle)
+            from simple_data_workflow_spark.sources.iceberg_reader import (
+                iceberg_read,
+            )
+
+            return iceberg_read(spark, path, snapshot_id=version)
         raise NotImplementedError(
             f"{fmt} requires the {_FORMATS[fmt]} jar on the Spark classpath "
             "(not present in this environment)"
