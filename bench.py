@@ -383,6 +383,7 @@ QUERIES = {
     "tablelog_metadata_tables": entrymod.tablelog_metadata_tables,
     "delta_interop_roundtrip": entrymod.delta_interop_roundtrip,
     "iceberg_interop_read": entrymod.iceberg_interop_read,
+    "delta_dv_read": entrymod.delta_dv_read,
     "dup_ngram_fraction": entrymod.dup_ngram_fraction_docs,
     "gopher_quality": entrymod.gopher_quality_docs,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,

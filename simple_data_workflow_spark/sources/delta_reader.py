@@ -19,12 +19,15 @@ common case):
   log, cast per the table schema — Delta files do not store partition
   columns), URL-encoded and absolute file paths, checkpoint +
   trailing-commit replay, multi-part checkpoints, ``versionAsOf`` time
-  travel, schema evolution across versions (latest ``metaData`` wins).
+  travel, schema evolution across versions (latest ``metaData`` wins),
+  and — since round 10's second half — merge-on-read DELETION VECTORS
+  (inline/uuid-derived/absolute descriptors decoded by
+  ``sources.delta_dv``; each file masks only its own row positions via
+  ``_metadata.row_index`` + one Arrow-batched membership test).
 - **Refused loudly** (never silently wrong): reader protocol ≥ 3
-  feature tables when they carry ``deletionVectors`` or
-  ``columnMapping`` (their data files cannot be interpreted without
-  applying DVs / physical-name translation — the same failure Delta
-  itself guards with ``minReaderVersion``).
+  feature tables when they carry ``columnMapping`` (their data files
+  cannot be interpreted without physical-name translation — the same
+  failure Delta itself guards with ``minReaderVersion``).
 
 Scale posture: the replay is driver-side metadata like every log
 format's planning phase; the data read groups files by partition-value
@@ -44,8 +47,8 @@ from pyspark.sql.types import StructType
 
 class DeltaFeatureUnsupported(NotImplementedError):
     """The table needs a reader feature this jar-free reader does not
-    implement (deletion vectors / column mapping). Reading it anyway
-    would return WRONG rows, so this raises instead."""
+    implement (column mapping). Reading it anyway would return WRONG
+    rows, so this raises instead."""
 
 
 def _jfs(spark: SparkSession, path: str):
@@ -86,7 +89,7 @@ def _list_log(spark: SparkSession, path: str):
     return sorted(commits), cps
 
 
-_UNSUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+_UNSUPPORTED_READER_FEATURES = {"columnMapping"}
 
 
 def _check_protocol(proto: dict | None, meta: dict | None) -> None:
@@ -128,11 +131,10 @@ def _apply_commit(spark, path, version, adds, meta_proto) -> None:
             meta_proto["proto"] = action["protocol"]
         elif "add" in action:
             a = action["add"]
-            if a.get("deletionVector"):
-                raise DeltaFeatureUnsupported(
-                    "add action carries a deletion vector; unsupported"
-                )
-            adds[a["path"]] = a.get("partitionValues") or {}
+            adds[a["path"]] = (
+                a.get("partitionValues") or {},
+                a.get("deletionVector"),
+            )
         elif "remove" in action:
             adds.pop(action["remove"]["path"], None)
 
@@ -169,19 +171,21 @@ def _load_checkpoint(spark, parts, adds, meta_proto) -> None:
             )
             .collect()
         ):
-            if r["__dv"] is not None:
-                raise DeltaFeatureUnsupported(
-                    "checkpoint add carries a deletion vector; unsupported"
-                )
-            adds[r["__p"]] = dict(r["__pv"] or {})
+            dvd = r["__dv"]
+            if dvd is not None and not isinstance(dvd, dict):
+                dvd = dvd.asDict(recursive=True)
+            if dvd is not None:
+                dvd = {k: v for k, v in dvd.items() if v is not None}
+            adds[r["__p"]] = (dict(r["__pv"] or {}), dvd or None)
 
 
 def delta_snapshot_files(
     spark: SparkSession, path: str, version: int | None = None
-) -> tuple[dict, StructType, list[str]]:
-    """Resolve a snapshot: ``({file path -> partitionValues}, schema,
-    partition columns)``. ``version=None`` = latest; an explicit
-    version time-travels (replay stops there — the same semantics as
+) -> tuple[dict, dict, StructType, list[str]]:
+    """Resolve a snapshot: ``({file path -> partitionValues},
+    {file path -> deletionVector descriptor}, schema, partition
+    columns)``. ``version=None`` = latest; an explicit version
+    time-travels (replay stops there — the same semantics as
     ``versionAsOf``)."""
     commits, cps = _list_log(spark, path)
     if not commits and not cps:
@@ -208,37 +212,111 @@ def delta_snapshot_files(
         raise ValueError(f"Delta log at {path} has no metaData action")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    resolved = {}
-    for rel, pv in adds.items():
+    resolved, dvs = {}, {}
+    for rel, (pv, dv) in adds.items():
         # paths are URL-encoded and relative to the root (absolute
         # paths — cross-table clones — pass through as-is, per spec)
         dec = urllib.parse.unquote(rel)
         full = dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
         resolved[full] = pv
-    return resolved, schema, part_cols
+        if dv:
+            dvs[full] = dv
+    return resolved, dvs, schema, part_cols
 
 
 # spec: this literal encodes a NULL partition value in partitionValues
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _dv_masked_scan(spark, data_schema, flist, dv_positions):
+    """Scan parquet files applying per-file deletion vectors: clean
+    files take the plain codegen path; DV'd files read with
+    ``_metadata.row_index`` and drop their deleted positions through
+    ONE Arrow-batched mask UDF whose closure carries only the bitmaps
+    (bytes ∝ deleted rows — the same broadcast Delta's own scan does;
+    each batch tests membership with one vectorized ``np.isin``)."""
+    import urllib.parse as _up
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    clean = [f for f in flist if f not in dv_positions]
+    dirty = [f for f in flist if f in dv_positions]
+    parts = []
+    if clean:
+        parts.append(spark.read.schema(data_schema).parquet(*sorted(clean)))
+    if dirty:
+        masks = {
+            _up.urlparse(f).path if "://" in f or f.startswith("file:") else f:
+                dv_positions[f]
+            for f in dirty
+        }
+
+        # no type hints: module-level `from __future__ import
+        # annotations` would stringify them beyond pyspark's resolver
+        def _keep(fp, ri):
+            out = np.ones(len(fp), dtype=bool)
+            for p in fp.unique():
+                key = _up.urlparse(p).path
+                dead = masks.get(key)
+                if dead is not None and len(dead):
+                    sel = (fp == p).to_numpy()
+                    out[sel] = ~np.isin(
+                        ri.to_numpy()[sel].astype(np.int64), dead
+                    )
+            return pd.Series(out)
+
+        keep = pandas_udf(_keep, "boolean")
+
+        df = (
+            spark.read.schema(data_schema)
+            .parquet(*sorted(dirty))
+            .select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+            .where(keep(F.col("__fp"), F.col("__ri")))
+            .drop("__fp", "__ri")
+        )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def delta_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a Delta table without the Delta jar: resolve the snapshot's
-    live file set from the log, scan those parquet files directly, and
-    inject partition columns from the log's ``partitionValues`` (cast
-    to their schema types — Delta data files do not store partition
-    columns). Files group by partition-value combination so every
-    group is one plain pushdown-friendly parquet scan."""
-    files, schema, part_cols = delta_snapshot_files(spark, path, version)
+    live file set from the log, scan those parquet files directly,
+    apply merge-on-read DELETION VECTORS (decoded by
+    ``sources.delta_dv`` from inline/uuid/absolute descriptors, each
+    file masking only its own row positions), and inject partition
+    columns from the log's ``partitionValues`` (cast to their schema
+    types — Delta data files do not store partition columns). Files
+    group by partition-value combination so every clean group is one
+    plain pushdown-friendly parquet scan."""
+    files, dvs, schema, part_cols = delta_snapshot_files(spark, path, version)
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
     if not files:
         return spark.createDataFrame([], schema)
+    dv_positions = {}
+    if dvs:
+        from simple_data_workflow_spark.sources.delta_dv import (
+            read_dv_positions,
+        )
+
+        for f, desc in dvs.items():
+            dv_positions[f] = read_dv_positions(
+                lambda p: _read_bytes(spark, p), path, desc
+            )
     if not part_cols:
-        return spark.read.schema(data_schema).parquet(*sorted(files))
+        return _dv_masked_scan(spark, data_schema, sorted(files), dv_positions)
     groups: dict[tuple, list[str]] = {}
     for f, pv in files.items():
         key = tuple(pv.get(c) for c in part_cols)
@@ -246,7 +324,7 @@ def delta_read(
     types = {f.name: f.dataType for f in schema.fields}
     out = None
     for key, flist in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*sorted(flist))
+        df = _dv_masked_scan(spark, data_schema, sorted(flist), dv_positions)
         for c, v in zip(part_cols, key):
             lit = (
                 F.lit(None)

@@ -446,6 +446,12 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     adds, meta, proto, version = _replay_full(spark, path)
     if meta is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
+    if any(a.get("deletionVector") for a in adds.values()):
+        raise NotImplementedError(
+            "delta_checkpoint does not carry deletionVector descriptors; "
+            "checkpointing this table here would silently un-delete rows "
+            "— compact the DVs with a Delta runtime first"
+        )
     proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
 
     def row(add=None, m=None, p=None):

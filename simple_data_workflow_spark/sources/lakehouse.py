@@ -42,10 +42,11 @@ def read_table(
     (``sources.iceberg_reader``) — both formats' on-disk layouts are
     public specs, so snapshot resolution + a direct parquet scan need
     no jar. Both fallbacks support ``version=`` time travel (Delta
-    version / Iceberg snapshot id) and REFUSE feature tiers they
-    cannot read correctly (Delta DV/column-mapping; Iceberg row-level
-    deletes, v3+, renamed columns) rather than return wrong rows.
-    Hudi still requires its jar."""
+    version / Iceberg snapshot id); the Delta one applies deletion
+    vectors, and both REFUSE feature tiers they cannot read correctly
+    (Delta column-mapping; Iceberg row-level deletes, v3+, renamed
+    columns) rather than return wrong rows. Hudi still requires its
+    jar."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
     if not _available(spark, fmt):

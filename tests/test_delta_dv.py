@@ -1,0 +1,191 @@
+"""Delta deletion-vector decoding (round 10, ``sources.delta_dv``) +
+its application in the jar-free reader. Fixtures are built with the
+module's own spec-following serializers (delta.io PROTOCOL.md §
+"Deletion Vectors" / RoaringFormatSpec); the Z85 codec is additionally
+pinned against the ZeroMQ spec's published test vector, so encode and
+decode cannot be wrong in the same direction."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from simple_data_workflow_spark.sources import delta_dv as dv
+from simple_data_workflow_spark.sources.delta_reader import delta_read
+from simple_data_workflow_spark.sources.delta_writer import (
+    delta_checkpoint,
+    delta_write,
+)
+
+
+def test_z85_spec_vector_and_roundtrip():
+    # ZeroMQ Z85 spec (rfc.zeromq.org/spec/32): this exact 8-byte
+    # sequence encodes to "HelloWorld"
+    data = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert dv.z85_encode(data) == "HelloWorld"
+    assert dv.z85_decode("HelloWorld") == data
+    rng = np.random.default_rng(3)
+    blob = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+    assert dv.z85_decode(dv.z85_encode(blob)) == blob
+    with pytest.raises(ValueError, match="multiple of 4"):
+        dv.z85_encode(b"abc")
+    with pytest.raises(ValueError, match="invalid Z85"):
+        dv.z85_decode('"""""')
+
+
+def test_roaring_roundtrip_array_bitmap_and_64bit_keys():
+    # array containers, a dense >4096 bitmap container, and values
+    # spanning several 32-bit keys (the RoaringBitmapArray dimension)
+    positions = sorted(
+        {1, 5, 65535, 65536, 70000}
+        | set(range(200_000, 205_000))            # dense: bitmap container
+        | {(3 << 32) + 7, (3 << 32) + 8, (40 << 32) + 123}
+    )
+    data = dv.dv_serialize(positions)
+    got = dv.dv_deserialize(data)
+    assert got.tolist() == positions
+    with pytest.raises(ValueError, match="magic"):
+        dv.dv_deserialize(b"\x00\x00\x00\x00" + data[4:])
+
+
+def test_roaring_run_container_decodes():
+    """The serializer never emits run containers, so hand-craft one
+    (cookie 12347 + run bitset) to pin the decode path."""
+    import struct
+
+    # one container, key 0, cardinality 25: runs [5..14], [100..114]
+    payload = struct.pack("<i", ((1 - 1) << 16) | 12347)
+    payload += b"\x01"                      # run bitset: container 0 is runs
+    payload += struct.pack("<HH", 0, 25 - 1)
+    payload += struct.pack("<H", 2)         # 2 runs
+    payload += struct.pack("<HH", 5, 9)     # start 5, length 9 → 5..14
+    payload += struct.pack("<HH", 100, 14)  # 100..114
+    data = struct.pack("<i", dv.DV_MAGIC) + struct.pack("<q", 1)
+    data += struct.pack("<i", 0) + payload
+    got = dv.dv_deserialize(data).tolist()
+    assert got == list(range(5, 15)) + list(range(100, 115))
+
+
+def _attach_dv(root, version, rel_path, positions, inline=False):
+    """Commit version N+1 replacing `rel_path`'s add with one carrying
+    a deletion vector (the MoR DELETE shape a Delta runtime writes)."""
+    blob = dv.dv_serialize(positions)
+    if inline:
+        pad = (-len(blob)) % 4
+        desc = {
+            "storageType": "i",
+            "pathOrInlineDv": dv.z85_encode(blob + b"\x00" * pad),
+            "sizeInBytes": len(blob),
+            "cardinality": len(positions),
+        }
+    else:
+        fbytes, spans = dv.dv_file_bytes([blob])
+        import uuid as _uuid
+
+        u = _uuid.uuid4()
+        name = f"deletion_vector_{u}.bin"
+        with open(f"{root}/{name}", "wb") as f:
+            f.write(fbytes)
+        desc = {
+            "storageType": "u",
+            "pathOrInlineDv": dv.z85_encode(u.bytes),
+            "offset": spans[0][0],
+            "sizeInBytes": spans[0][1],
+            "cardinality": len(positions),
+        }
+    actions = [
+        {"remove": {"path": rel_path, "deletionTimestamp": 1, "dataChange": True}},
+        {
+            "add": {
+                "path": rel_path,
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 1,
+                "dataChange": True,
+                "deletionVector": desc,
+            }
+        },
+    ]
+    with open(f"{root}/_delta_log/{version:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _file_rel(root):
+    """The single data file's log-relative path."""
+    with open(f"{root}/_delta_log/{0:020d}.json") as f:
+        for line in f:
+            a = json.loads(line)
+            if "add" in a:
+                return a["add"]["path"]
+    raise AssertionError("no add in v0")
+
+
+def test_delta_read_applies_uuid_and_inline_dvs(spark, tmp_path):
+    for inline in (False, True):
+        root = str(tmp_path / f"dv{int(inline)}")
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        )
+        delta_write(df.coalesce(1), root, mode="error")
+        rel = _file_rel(root)
+        # parquet preserves the coalesced row order → position i == id i
+        _attach_dv(root, 1, rel, [1, 3, 7], inline=inline)
+        got = {r["id"] for r in delta_read(spark, root).collect()}
+        assert got == {0, 2, 4, 5, 6, 8, 9}
+        # pre-DV snapshot still reads complete
+        assert len(delta_read(spark, root, 0).collect()) == 10
+        # checkpointing would drop the DV → must refuse
+        with pytest.raises(NotImplementedError, match="deletionVector"):
+            delta_checkpoint(spark, root)
+
+
+def test_delta_dv_corruption_raises(spark, tmp_path):
+    root = str(tmp_path / "dvbad")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    delta_write(df.coalesce(1), root, mode="error")
+    rel = _file_rel(root)
+    _attach_dv(root, 1, rel, [0])
+    # flip a byte inside the sidecar payload → CRC must catch it
+    name = [n for n in os.listdir(root) if n.startswith("deletion_vector_")][0]
+    with open(f"{root}/{name}", "r+b") as f:
+        f.seek(9)
+        b = f.read(1)
+        f.seek(9)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(ValueError, match="checksum|magic"):
+        delta_read(spark, root).collect()
+
+
+def test_dv_cardinality_mismatch_raises(spark, tmp_path):
+    root = str(tmp_path / "dvcard")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    delta_write(df.coalesce(1), root, mode="error")
+    rel = _file_rel(root)
+    blob = dv.dv_serialize([0, 1])
+    pad = (-len(blob)) % 4
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": dv.z85_encode(blob + b"\x00" * pad),
+        "sizeInBytes": len(blob),
+        "cardinality": 5,  # wrong on purpose
+    }
+    with open(f"{root}/_delta_log/{1:020d}.json", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 1,
+                        "dataChange": True,
+                        "deletionVector": desc,
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="cardinality"):
+        delta_read(spark, root).collect()

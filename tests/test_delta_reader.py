@@ -208,7 +208,8 @@ def test_delta_read_checkpoint_seed_plus_trailing_commits(spark, tmp_path):
 
     got = {(r["id"], r["v"]) for r in delta_read(spark, root).collect()}
     assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}
-    files, schema, parts = delta_snapshot_files(spark, root)
+    files, dvs, schema, parts = delta_snapshot_files(spark, root)
+    assert dvs == {}
     assert {os.path.basename(f) for f in files} == {
         "f0.parquet", "f1.parquet", "f2.parquet"
     }
@@ -218,9 +219,11 @@ def test_delta_read_checkpoint_seed_plus_trailing_commits(spark, tmp_path):
 def test_delta_reader_refuses_v3_features_and_column_mapping(
     spark, tmp_path
 ):
-    """Reader-v3 feature tables (deletion vectors) and column-mapped
-    tables must refuse LOUDLY — reading their files directly returns
-    wrong rows, which is worse than an error."""
+    """Column-mapped tables must refuse LOUDLY — reading their files
+    directly returns wrong rows, which is worse than an error. A v3
+    protocol whose only reader feature is deletionVectors is READABLE
+    since the DV decoder landed (test_delta_dv.py covers the DVs
+    themselves); an unknown reader feature still refuses."""
     root = str(tmp_path / "dldv")
     _write_parquet_file(
         spark,
@@ -243,8 +246,9 @@ def test_delta_reader_refuses_v3_features_and_column_mapping(
             _add("f0.parquet"),
         ],
     )
-    with pytest.raises(DeltaFeatureUnsupported, match="deletionVectors"):
-        delta_read(spark, root)
+    assert [(r["id"], r["v"]) for r in delta_read(spark, root).collect()] == [
+        (1, 1.0)
+    ]
 
     root2 = str(tmp_path / "dlcm")
     _write_parquet_file(
@@ -264,7 +268,8 @@ def test_delta_reader_refuses_v3_features_and_column_mapping(
     with pytest.raises(DeltaFeatureUnsupported, match="column mapping"):
         delta_read(spark, root2)
 
-    # per-file deletion vector on an otherwise-plain table: refused too
+    # a CORRUPT per-file deletion vector must still fail loudly (a
+    # malformed storage type can't be decoded — never silently ignored)
     root3 = str(tmp_path / "dldv2")
     _write_parquet_file(
         spark,
@@ -273,11 +278,11 @@ def test_delta_reader_refuses_v3_features_and_column_mapping(
     )
     add_dv = _add("f0.parquet")
     add_dv["add"]["deletionVector"] = {
-        "storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+        "storageType": "z", "pathOrInlineDv": "x", "offset": 1,
         "sizeInBytes": 40, "cardinality": 1,
     }
     _commit(root3, 0, [_PROTO, _meta(), add_dv])
-    with pytest.raises(DeltaFeatureUnsupported, match="deletion vector"):
+    with pytest.raises(ValueError, match="storageType"):
         delta_read(spark, root3)
 
 
