@@ -23,11 +23,14 @@ common case):
   and — since round 10's second half — merge-on-read DELETION VECTORS
   (inline/uuid-derived/absolute descriptors decoded by
   ``sources.delta_dv``; each file masks only its own row positions via
-  ``_metadata.row_index`` + one Arrow-batched membership test).
-- **Refused loudly** (never silently wrong): reader protocol ≥ 3
-  feature tables when they carry ``columnMapping`` (their data files
-  cannot be interpreted without physical-name translation — the same
-  failure Delta itself guards with ``minReaderVersion``).
+  ``_metadata.row_index`` + one Arrow-batched membership test) plus
+  COLUMN MAPPING in ``name`` mode (scan by the schemaString's
+  ``physicalName`` metadata, translated back to logical names at every
+  nesting level with one positional struct cast per top-level column;
+  partitionValues resolved by physical key).
+- **Refused loudly** (never silently wrong): column mapping ``id``
+  mode — it resolves parquet columns by field-id, which a by-name
+  scan cannot honor once physical names diverge.
 
 Scale posture: the replay is driver-side metadata like every log
 format's planning phase; the data read groups files by partition-value
@@ -89,18 +92,25 @@ def _list_log(spark: SparkSession, path: str):
     return sorted(commits), cps
 
 
-_UNSUPPORTED_READER_FEATURES = {"columnMapping"}
+# whitelist, not blocklist: an UNKNOWN reader feature (e.g.
+# v2Checkpoint's sidecar layout) could make the replay silently wrong,
+# so only features this reader demonstrably handles pass.
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",  # sources.delta_dv + _dv_masked_scan
+    "columnMapping",    # name mode (id mode re-checked below)
+    "timestampNtz",     # plain type mapping, nothing to do at scan
+}
 
 
 def _check_protocol(proto: dict | None, meta: dict | None) -> None:
     if proto:
         feats = set(proto.get("readerFeatures") or [])
-        bad = feats & _UNSUPPORTED_READER_FEATURES
+        bad = feats - _SUPPORTED_READER_FEATURES
         if bad:
             raise DeltaFeatureUnsupported(
-                f"Delta table requires reader features {sorted(bad)}; "
-                "this jar-free reader refuses rather than return wrong "
-                "rows (use the Delta runtime jar for these tables)"
+                f"Delta table requires reader features {sorted(bad)} this "
+                "jar-free reader does not implement; refusing rather than "
+                "return wrong rows (use the Delta runtime jar)"
             )
         if int(proto.get("minReaderVersion", 1)) >= 3 and not feats:
             # v3 without a feature list: can't prove the table is safe
@@ -109,10 +119,13 @@ def _check_protocol(proto: dict | None, meta: dict | None) -> None:
                 "list; cannot verify feature support"
             )
     conf = (meta or {}).get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode not in ("none", "", "name"):
         raise DeltaFeatureUnsupported(
-            "Delta column mapping (name/id mode) is not supported by "
-            "the jar-free reader"
+            f"Delta column mapping mode {mode!r} is not supported by "
+            "the jar-free reader (only 'name' mode: 'id' mode resolves "
+            "parquet columns by field-id, which a by-name scan cannot "
+            "honor after renames)"
         )
 
 
@@ -227,6 +240,57 @@ def delta_snapshot_files(
 # spec: this literal encodes a NULL partition value in partitionValues
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
+_PHYS_KEY = "delta.columnMapping.physicalName"
+
+
+def _physical_name(field) -> str:
+    return (field.metadata or {}).get(_PHYS_KEY, field.name)
+
+
+def _physicalize(dt):
+    """Rename every (nested) struct field to its column-mapping
+    physical name — the names actually present in the parquet files of
+    a mapped table."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    _physical_name(f), _physicalize(f.dataType), f.nullable
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physicalize(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physicalize(dt.keyType),
+            _physicalize(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _is_mapped(schema: StructType) -> bool:
+    from pyspark.sql import types as T
+
+    def walk(dt):
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                if _PHYS_KEY in (f.metadata or {}):
+                    return True
+                if walk(f.dataType):
+                    return True
+        elif isinstance(dt, T.ArrayType):
+            return walk(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            return walk(dt.keyType) or walk(dt.valueType)
+        return False
+
+    return walk(schema)
+
 
 def _dv_masked_scan(spark, data_schema, flist, dv_positions):
     """Scan parquet files applying per-file deletion vectors: clean
@@ -300,9 +364,31 @@ def delta_read(
     group by partition-value combination so every clean group is one
     plain pushdown-friendly parquet scan."""
     files, dvs, schema, part_cols = delta_snapshot_files(spark, path, version)
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+    mapped = _is_mapped(schema)
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+    scan_schema = _physicalize(data_schema) if mapped else data_schema
+    # physical partitionValues key per logical partition column (mapped
+    # tables key partitionValues by PHYSICAL name; fall back to logical)
+    part_phys = {
+        f.name: _physical_name(f)
+        for f in schema.fields
+        if f.name in part_cols
+    }
+
+    def logicalize(df):
+        """Physical→logical rename at every nesting level: a cast
+        between identical shapes renames struct fields positionally,
+        so ONE cast per top-level column maps the whole subtree."""
+        if not mapped:
+            return df
+        return df.select(
+            *[
+                F.col(_physical_name(f)).cast(f.dataType).alias(f.name)
+                for f in data_fields
+            ]
+        )
+
     if not files:
         return spark.createDataFrame([], schema)
     dv_positions = {}
@@ -316,15 +402,21 @@ def delta_read(
                 lambda p: _read_bytes(spark, p), path, desc
             )
     if not part_cols:
-        return _dv_masked_scan(spark, data_schema, sorted(files), dv_positions)
+        return logicalize(
+            _dv_masked_scan(spark, scan_schema, sorted(files), dv_positions)
+        )
     groups: dict[tuple, list[str]] = {}
     for f, pv in files.items():
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(
+            pv.get(part_phys[c], pv.get(c)) for c in part_cols
+        )
         groups.setdefault(key, []).append(f)
     types = {f.name: f.dataType for f in schema.fields}
     out = None
     for key, flist in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = _dv_masked_scan(spark, data_schema, sorted(flist), dv_positions)
+        df = logicalize(
+            _dv_masked_scan(spark, scan_schema, sorted(flist), dv_positions)
+        )
         for c, v in zip(part_cols, key):
             lit = (
                 F.lit(None)

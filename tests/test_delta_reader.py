@@ -261,11 +261,13 @@ def test_delta_reader_refuses_v3_features_and_column_mapping(
         0,
         [
             _PROTO,
-            _meta(conf={"delta.columnMapping.mode": "name"}),
+            _meta(conf={"delta.columnMapping.mode": "id"}),
             _add("f0.parquet"),
         ],
     )
-    with pytest.raises(DeltaFeatureUnsupported, match="column mapping"):
+    # id mode resolves by parquet field-id — by-name scanning cannot
+    # honor it, so it refuses; NAME mode is supported (own test below)
+    with pytest.raises(DeltaFeatureUnsupported, match="'id'"):
         delta_read(spark, root2)
 
     # a CORRUPT per-file deletion vector must still fail loudly (a
@@ -318,3 +320,140 @@ def test_delta_read_schema_evolution_latest_metadata_wins(spark, tmp_path):
         (r["id"], r["v"], r["tag"]) for r in delta_read(spark, root).collect()
     }
     assert got == {(1, 1.0, None), (2, 2.0, "x")}
+
+
+def test_delta_read_column_mapping_name_mode(spark, tmp_path):
+    """Name-mode column mapping: data files carry PHYSICAL column
+    names (col-<uuid> style), the schemaString's field metadata maps
+    them to logical names at every nesting level, and partitionValues
+    keys by physical name. The reader must translate everywhere —
+    the silent-NULL failure a plain by-name scan would produce."""
+    root = str(tmp_path / "dlcmn")
+    # physical layout: col-a (long), col-b struct<col-x: double>,
+    # partitioned by col-p (string)
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame(
+            [(1, (1.5,)), (2, (2.5,))],
+            "`col-a` long, `col-b` struct<`col-x`: double>",
+        ),
+        f"{root}/col-p=US/a.parquet",
+    )
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame(
+            [(3, (3.5,))], "`col-a` long, `col-b` struct<`col-x`: double>"
+        ),
+        f"{root}/col-p=__HIVE_DEFAULT_PARTITION__/b.parquet",
+    )
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-a",
+                    },
+                },
+                {
+                    "name": "payload",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "score",
+                                "type": "double",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.id": 3,
+                                    "delta.columnMapping.physicalName": "col-x",
+                                },
+                            }
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-b",
+                    },
+                },
+                {
+                    "name": "region",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 4,
+                        "delta.columnMapping.physicalName": "col-p",
+                    },
+                },
+            ],
+        }
+    )
+    _commit(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": 5,
+                }
+            },
+            {
+                "metaData": {
+                    "id": "cm-test",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema,
+                    "partitionColumns": ["region"],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                    "createdTime": 1,
+                }
+            },
+            _add("col-p=US/a.parquet", {"col-p": "US"}),
+            _add(
+                "col-p=__HIVE_DEFAULT_PARTITION__/b.parquet",
+                {"col-p": "__HIVE_DEFAULT_PARTITION__"},
+            ),
+        ],
+    )
+    df = delta_read(spark, root)
+    assert df.columns == ["id", "payload", "region"]
+    assert df.schema["payload"].dataType.fieldNames() == ["score"]
+    got = {
+        (r["id"], r["payload"]["score"], r["region"]) for r in df.collect()
+    }
+    assert got == {(1, 1.5, "US"), (2, 2.5, "US"), (3, 3.5, None)}
+
+
+def test_delta_reader_refuses_unknown_reader_feature(spark, tmp_path):
+    """Reader features are a WHITELIST: an unknown feature (e.g.
+    v2Checkpoint's sidecar layout) could make the log replay silently
+    wrong, so anything unrecognized refuses."""
+    root = str(tmp_path / "dlvf")
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        f"{root}/f0.parquet",
+    )
+    _commit(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
+                }
+            },
+            _meta(),
+            _add("f0.parquet"),
+        ],
+    )
+    with pytest.raises(DeltaFeatureUnsupported, match="v2Checkpoint"):
+        delta_read(spark, root)
