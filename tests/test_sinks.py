@@ -301,21 +301,21 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
 
 
 def test_lakehouse_write_gate(spark, tmp_path):
-    """Env-gated lakehouse writer: clear NotImplementedError when the
-    format jar is absent (this container), clean ValueError on unknown
-    formats — the native sources.tablelog covers the mechanics here."""
+    """Lakehouse writer front door: clean ValueError on unknown
+    formats; Hudi still env-gates on its jar; Delta WRITES through the
+    jar-free fallback (round 10, sources.delta_writer) and round-trips
+    through the matching read fallback."""
     import pytest
 
-    from simple_data_workflow_spark.sources.lakehouse import write_table
+    from simple_data_workflow_spark.sources.lakehouse import (
+        read_table,
+        write_table,
+    )
 
     df = spark.range(3).selectExpr("id")
     with pytest.raises(ValueError, match="unknown lakehouse format"):
         write_table(df, "not_a_format", str(tmp_path / "x"))
-    try:
-        write_table(df, "delta", str(tmp_path / "d"))
-        wrote = True  # environment actually has delta — fine
-    except NotImplementedError as e:
-        wrote = False
-        assert "delta" in str(e)
-    if wrote:
-        assert spark.read.format("delta").load(str(tmp_path / "d")).count() == 3
+    with pytest.raises(NotImplementedError, match="hudi"):
+        write_table(df, "hudi", str(tmp_path / "h"))
+    write_table(df, "delta", str(tmp_path / "d"))
+    assert read_table(spark, "delta", str(tmp_path / "d")).count() == 3
