@@ -28,9 +28,15 @@ common case):
   ``physicalName`` metadata, translated back to logical names at every
   nesting level with one positional struct cast per top-level column;
   partitionValues resolved by physical key).
-- **Refused loudly** (never silently wrong): column mapping ``id``
-  mode — it resolves parquet columns by field-id, which a by-name
-  scan cannot honor once physical names diverge.
+  and COLUMN MAPPING in ``id`` mode (the scan schema carries each
+  field's ``delta.columnMapping.id`` as ``parquet.field.id`` metadata
+  and Spark's native field-id resolution
+  (``spark.sql.parquet.fieldId.read.enabled``) matches parquet columns
+  by id — the exact resolution rule the Delta spec mandates for id
+  mode, honored without the jar).
+- **Refused loudly** (never silently wrong): an id-mode table whose
+  schema is missing ``delta.columnMapping.id`` on any field (by-id
+  resolution cannot be honored), and unknown reader features.
 
 Scale posture: the replay is driver-side metadata like every log
 format's planning phase; the data read groups files by partition-value
@@ -97,7 +103,7 @@ def _list_log(spark: SparkSession, path: str):
 # so only features this reader demonstrably handles pass.
 _SUPPORTED_READER_FEATURES = {
     "deletionVectors",  # sources.delta_dv + _dv_masked_scan
-    "columnMapping",    # name mode (id mode re-checked below)
+    "columnMapping",    # name mode (physicalName scan) + id mode (field-id scan)
     "timestampNtz",     # plain type mapping, nothing to do at scan
 }
 
@@ -120,12 +126,10 @@ def _check_protocol(proto: dict | None, meta: dict | None) -> None:
             )
     conf = (meta or {}).get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode not in ("none", "", "name"):
+    if mode not in ("none", "", "name", "id"):
         raise DeltaFeatureUnsupported(
             f"Delta column mapping mode {mode!r} is not supported by "
-            "the jar-free reader (only 'name' mode: 'id' mode resolves "
-            "parquet columns by field-id, which a by-name scan cannot "
-            "honor after renames)"
+            "the jar-free reader (supported: none/name/id)"
         )
 
 
@@ -200,6 +204,18 @@ def delta_snapshot_files(
     columns)``. ``version=None`` = latest; an explicit version
     time-travels (replay stops there — the same semantics as
     ``versionAsOf``)."""
+    resolved, dvs, schema, part_cols, _meta = _resolve_snapshot(
+        spark, path, version
+    )
+    return resolved, dvs, schema, part_cols
+
+
+def _resolve_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[dict, dict, StructType, list[str], dict]:
+    """``delta_snapshot_files`` plus the resolved ``metaData`` action
+    (the reader needs ``configuration`` — e.g. the column-mapping
+    mode — which the public tuple does not carry)."""
     commits, cps = _list_log(spark, path)
     if not commits and not cps:
         raise FileNotFoundError(f"empty _delta_log under {path}")
@@ -234,7 +250,7 @@ def delta_snapshot_files(
         resolved[full] = pv
         if dv:
             dvs[full] = dv
-    return resolved, dvs, schema, part_cols
+    return resolved, dvs, schema, part_cols, meta
 
 
 # spec: this literal encodes a NULL partition value in partitionValues
@@ -268,6 +284,49 @@ def _physicalize(dt):
         return T.MapType(
             _physicalize(dt.keyType),
             _physicalize(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+_ID_KEY = "delta.columnMapping.id"
+
+
+def _with_field_ids(dt):
+    """Rebuild a schema keeping LOGICAL field names but carrying each
+    field's ``delta.columnMapping.id`` as ``parquet.field.id`` metadata
+    — the shape Spark's native field-id resolution
+    (``spark.sql.parquet.fieldId.read.enabled``) consumes. Id-mode
+    resolution is by-id at EVERY nesting level, so a field without an
+    id cannot be honored and refuses."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        out = []
+        for f in dt.fields:
+            fid = (f.metadata or {}).get(_ID_KEY)
+            if fid is None:
+                raise DeltaFeatureUnsupported(
+                    f"column mapping mode 'id' requires "
+                    f"delta.columnMapping.id metadata on every field; "
+                    f"{f.name!r} has none — by-id resolution cannot be "
+                    "honored"
+                )
+            out.append(
+                T.StructField(
+                    f.name,
+                    _with_field_ids(f.dataType),
+                    f.nullable,
+                    {"parquet.field.id": int(fid)},
+                )
+            )
+        return T.StructType(out)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_with_field_ids(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _with_field_ids(dt.keyType),
+            _with_field_ids(dt.valueType),
             dt.valueContainsNull,
         )
     return dt
@@ -362,12 +421,28 @@ def delta_read(
     columns from the log's ``partitionValues`` (cast to their schema
     types — Delta data files do not store partition columns). Files
     group by partition-value combination so every clean group is one
-    plain pushdown-friendly parquet scan."""
-    files, dvs, schema, part_cols = delta_snapshot_files(spark, path, version)
-    mapped = _is_mapped(schema)
+    plain pushdown-friendly parquet scan. Column mapping: ``name`` mode
+    scans by physicalName and renames back; ``id`` mode scans with
+    ``parquet.field.id`` metadata under Spark's native field-id
+    resolution — logical names come out directly."""
+    files, dvs, schema, part_cols, meta = _resolve_snapshot(
+        spark, path, version
+    )
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    id_mode = mode == "id"
+    mapped = not id_mode and _is_mapped(schema)
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(data_fields)
-    scan_schema = _physicalize(data_schema) if mapped else data_schema
+    if id_mode:
+        # the conf is read when the scan is physically planned (at
+        # action time), so it must stay set for the session — it is
+        # inert for schemas without parquet.field.id metadata
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        scan_schema = _with_field_ids(data_schema)
+    else:
+        scan_schema = _physicalize(data_schema) if mapped else data_schema
     # physical partitionValues key per logical partition column (mapped
     # tables key partitionValues by PHYSICAL name; fall back to logical)
     part_phys = {

@@ -265,10 +265,11 @@ def test_delta_reader_refuses_v3_features_and_column_mapping(
             _add("f0.parquet"),
         ],
     )
-    # id mode resolves by parquet field-id — by-name scanning cannot
-    # honor it, so it refuses; NAME mode is supported (own test below)
+    # id mode resolves by parquet field-id; a schemaString that carries
+    # NO delta.columnMapping.id metadata cannot be honored by-id, so it
+    # refuses (valid id-mode tables are supported — own test below)
     with pytest.raises(DeltaFeatureUnsupported, match="'id'"):
-        delta_read(spark, root2)
+        delta_read(spark, root2).collect()
 
     # a CORRUPT per-file deletion vector must still fail loudly (a
     # malformed storage type can't be decoded — never silently ignored)
@@ -427,6 +428,116 @@ def test_delta_read_column_mapping_name_mode(spark, tmp_path):
         (r["id"], r["payload"]["score"], r["region"]) for r in df.collect()
     }
     assert got == {(1, 1.5, "US"), (2, 2.5, "US"), (3, 3.5, None)}
+
+
+def test_delta_read_column_mapping_id_mode(spark, tmp_path):
+    """Id-mode column mapping resolves parquet columns by FIELD ID, not
+    name. The fixture is adversarial: the files' physical names are
+    SWAPPED relative to the logical schema (physical 'col-b' carries
+    field-id 1 = logical 'a'; physical 'col-a' carries field-id 2 =
+    logical 'b'), so any by-name resolution — logical or physical —
+    reads the wrong column, and only honoring the spec's by-id rule
+    produces these values. Also covers a nested struct field and a
+    partition column keyed by physical name with a NULL partition."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "dlcmi")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    file_schema = T.StructType(
+        [
+            T.StructField("col-b", T.LongType(), True, {"parquet.field.id": 1}),
+            T.StructField("col-a", T.LongType(), True, {"parquet.field.id": 2}),
+            T.StructField(
+                "col-s",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "col-x",
+                            T.DoubleType(),
+                            True,
+                            {"parquet.field.id": 4},
+                        )
+                    ]
+                ),
+                True,
+                {"parquet.field.id": 3},
+            ),
+        ]
+    )
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame([(10, 20, (1.5,)), (11, 21, (2.5,))], file_schema),
+        f"{root}/col-p=US/a.parquet",
+    )
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame([(12, 22, (3.5,))], file_schema),
+        f"{root}/col-p=__HIVE_DEFAULT_PARTITION__/b.parquet",
+    )
+
+    def fld(name, typ, fid, phys):
+        return {
+            "name": name,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("a", "long", 1, "col-b"),
+                fld("b", "long", 2, "col-a"),
+                fld(
+                    "payload",
+                    {
+                        "type": "struct",
+                        "fields": [fld("score", "double", 4, "col-x")],
+                    },
+                    3,
+                    "col-s",
+                ),
+                fld("region", "string", 5, "col-p"),
+            ],
+        }
+    )
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cm-id-test",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema,
+                    "partitionColumns": ["region"],
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                    "createdTime": 1,
+                }
+            },
+            _add("col-p=US/a.parquet", {"col-p": "US"}),
+            _add(
+                "col-p=__HIVE_DEFAULT_PARTITION__/b.parquet",
+                {"col-p": "__HIVE_DEFAULT_PARTITION__"},
+            ),
+        ],
+    )
+    df = delta_read(spark, root)
+    assert df.columns == ["a", "b", "payload", "region"]
+    got = {
+        (r["a"], r["b"], r["payload"]["score"], r["region"])
+        for r in df.collect()
+    }
+    assert got == {
+        (10, 20, 1.5, "US"),
+        (11, 21, 2.5, "US"),
+        (12, 22, 3.5, None),
+    }
 
 
 def test_delta_reader_refuses_unknown_reader_feature(spark, tmp_path):
