@@ -79,12 +79,14 @@ def read_table(
 
 
 def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> None:
-    """Write a lakehouse table. For Delta, a missing runtime jar falls
-    back to the pure-Python spec-conformant log writer
-    (``sources.delta_writer`` — round 10): plain parquet data files
-    plus an atomic ``_delta_log`` commit that both this repo's jar-free
-    reader and a real Delta runtime can replay. Iceberg/Hudi still
-    require their jars."""
+    """Write a lakehouse table. When the runtime jar is absent, Delta
+    falls back to the pure-Python spec-conformant log writer
+    (``sources.delta_writer``) and Iceberg to the metadata/manifest
+    writer (``sources.iceberg_writer``) — both stage plain parquet data
+    files with Spark's own distributed writer and publish the format's
+    public metadata chain atomically, so this repo's jar-free readers
+    AND the real runtimes can replay them. Hudi still requires its
+    jar."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
     if not _available(df.sparkSession, fmt):
@@ -94,6 +96,13 @@ def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> 
             )
 
             delta_write(df, path, mode=mode)
+            return
+        if fmt == "iceberg":
+            from simple_data_workflow_spark.sources.iceberg_writer import (
+                iceberg_write,
+            )
+
+            iceberg_write(df, path, mode=mode)
             return
         raise NotImplementedError(
             f"{fmt} requires the {_FORMATS[fmt]} jar on the Spark classpath "
