@@ -1208,3 +1208,94 @@ def dup_ngram_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def remove_dup_substrings(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — their ExactSubstr variant, re-expressed
+    relationally): every word ``n``-gram INSTANCE whose gram occurs
+    more than once in the corpus is removed, except the single
+    canonical occurrence (the minimal ``(doc_id, position)``), and each
+    document's text is rebuilt from its surviving token positions.
+    ``dup_ngram_fraction`` is the diagnostic; this is the edit.
+
+    Shape, and why it holds at 100 TB (the paper uses a suffix array,
+    which is a single-machine construction; the relational equivalent
+    below is the distributed shape):
+
+    - gram instances keep their START POSITION via one ``posexplode``
+      over the codegen ``zip_with`` shifted-slice gram array (the
+      indexed ``transform(sequence(...))`` form measured ~10× slower);
+    - one aggregate per gram computes ``(instance count, canonical
+      occurrence)`` — ``min(struct(doc_id, pos))`` is a map-side
+      combinable agg, so raw instances collapse before shuffling;
+    - duplicate instances expand to covered token positions
+      (``pos .. pos+n-1``) and collapse to ONE array per doc
+      (``collect_set`` bounded by the doc's own length — never
+      corpus-sized);
+    - the rebuild is per-row codegen: ``arrays_zip`` tokens with their
+      indexes, filter out covered positions, re-join. No token-level
+      corpus shuffle: tokens never leave their document row.
+
+    Docs shorter than ``n`` words pass through untouched. Output:
+    ``(id, n_tokens, n_removed, dedup_text)``."""
+    from simple_data_workflow_spark.session import ensure_parallelism
+
+    m = f"greatest(0, size(__w) - {n - 1})"
+    parts = [F.expr(f"slice(__w, {i + 1}, {m})") for i in range(n)]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = F.zip_with(gram, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    base = ensure_parallelism(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    )
+    inst = base.select(
+        F.col(id_col), F.posexplode(gram).alias("__pos", "__g")
+    )
+    canon = inst.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
+    )
+    covered = (
+        inst.join(canon, "__g")
+        .where(
+            (F.col("__cnt") > 1)
+            & ~(
+                (F.col(f"__first.{id_col}") == F.col(id_col))
+                & (F.col("__first.__pos") == F.col("__pos"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+            ).alias("__tp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__tp").alias("__rm"))
+    )
+    joined = base.join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.col("__w"),
+        F.coalesce(F.col("__rm"), F.array().cast("array<int>")).alias("__rm"),
+    )
+    zipped = F.arrays_zip(
+        F.col("__w"), F.sequence(F.lit(0), F.size("__w") - 1).alias("__i")
+    )
+    keep = F.filter(
+        zipped, lambda s: ~F.array_contains(F.col("__rm"), s["__i"])
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__w").alias("n_tokens"),
+        F.size("__rm").alias("n_removed_positions"),
+        F.array_join(
+            F.transform(keep, lambda s: s["__w"]), " "
+        ).alias("dedup_text"),
+    )

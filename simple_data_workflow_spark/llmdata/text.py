@@ -505,3 +505,72 @@ def gopher_quality(
         stop_hits.alias("stopword_hits"),
         passes.alias("passes"),
     )
+
+
+# C4 cleaning (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning with a Unified Text-to-Text Transformer", §2.2). The
+# published bad-word filter uses the "List of Dirty, Naughty, Obscene
+# …" wordlist; a tiny deterministic stand-in ships here — swap in the
+# real list via the ``bad_words`` parameter.
+C4_BAD_WORDS = ("obscenity", "slur")
+
+C4_TERMINAL_RE = r'[.!?"]\s*$'
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2), the other
+    canonical pretraining filter next to ``gopher_quality``:
+
+    line level (the ``cleaned_text`` output keeps only lines that):
+      - end in a terminal punctuation mark (``. ! ? "``),
+      - contain at least ``min_line_words`` words,
+      - do not contain the word "javascript" (case-insensitive);
+    page level (the conjunctive ``passes`` verdict):
+      - at least ``min_sentences`` sentences survive the line filter
+        (sentence ≈ terminal-punct occurrence, C4's own proxy),
+      - no "lorem ipsum", no curly brace ``{``,
+      - no word from the bad-word list.
+
+    Everything is JVM-side codegen (split / filter / regexp) — one
+    scan, zero shuffles, zero Python; per-rule metric columns surface
+    so the filter is auditable. The DuckDB oracle replays every rule
+    with list lambdas (``c4_clean_docs`` driver query)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(line):
+        return (
+            line.rlike(C4_TERMINAL_RE)
+            & (F.size(F.split(F.trim(line), " ")) >= min_line_words)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(cleaned, F.lit(r"[.!?]"), F.lit(0)))
+    low = F.lower(F.col(text_col))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    has_bad = F.exists(
+        F.split(low, r"[\s\n]+"), lambda x: x.isin(*bad_words)
+    )
+    passes = (
+        (n_sent >= min_sentences) & ~has_lorem & ~has_brace & ~has_bad
+    )
+    return df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_bad_word"),
+        cleaned.alias("cleaned_text"),
+        passes.alias("passes"),
+    )

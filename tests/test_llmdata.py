@@ -1926,3 +1926,69 @@ def test_gopher_quality_rules(spark):
     assert r4["alpha_word_ratio"] == 0.0 and r4["symbol_ratio"] >= 1.0
     with __import__("pytest").raises(ValueError, match="unknown gopher"):
         gopher_quality(df, bogus_rule=1)
+
+
+def test_c4_clean_rules(spark):
+    """C4 rule set (Raffel et al. 2020 §2.2): line retention needs
+    terminal punctuation + >=5 words + no 'javascript'; page verdicts
+    check sentences / lorem ipsum / braces / bad words."""
+    from simple_data_workflow_spark.llmdata.text import c4_clean
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good sentences -> passes
+            (1, "this line has five good words.\nanother line with enough words!\nthird sentence keeps it all valid."),
+            # line without terminal punct + line too short -> both dropped
+            (2, "no terminal punctuation at all here\ntoo short."),
+            # javascript line dropped; page fails (only 2 sentences left)
+            (3, "please enable javascript to view this.\na normal sentence with many fine words.\nsecond normal sentence also has plenty words."),
+            # lorem ipsum page-kill even with good lines
+            (4, "lorem ipsum dolor sit amet is here.\nsecond valid sentence with enough words.\nthird valid sentence with enough words."),
+            # curly brace page-kill
+            (5, "function calls look like f() { return 1; } anyway.\nsecond valid sentence with enough words.\nthird valid sentence with enough words."),
+            # bad word page-kill
+            (6, "an obscenity appears right in this line.\nsecond valid sentence with enough words.\nthird valid sentence with enough words."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert out[1]["passes"] and out[1]["n_kept_lines"] == 3
+    assert out[2]["n_kept_lines"] == 0 and not out[2]["passes"]
+    assert out[3]["n_kept_lines"] == 2 and not out[3]["passes"]
+    assert "javascript" not in out[3]["cleaned_text"]
+    assert out[4]["has_lorem_ipsum"] and not out[4]["passes"]
+    assert out[5]["has_brace"] and not out[5]["passes"]
+    assert out[6]["has_bad_word"] and not out[6]["passes"]
+    # the metric columns stay auditable
+    assert out[2]["n_lines"] == 2 and out[2]["n_sentences"] == 0
+
+
+def test_remove_dup_substrings(spark):
+    """ExactSubstr dedup (Lee et al. 2022): a duplicated 8-gram keeps
+    exactly its canonical (min doc_id, pos) occurrence; shorter docs
+    and unique text pass through untouched."""
+    from simple_data_workflow_spark.llmdata.dedup import (
+        remove_dup_substrings,
+    )
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # one exact 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma delta {shared} epsilon"),
+            (3, "tiny doc"),  # < n tokens: untouched
+            (4, "all unique tokens here never repeat anywhere else truly"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_dup_substrings(docs, n=8).collect()}
+    # doc 1 holds the canonical occurrence (min doc_id): fully intact
+    assert out[1]["dedup_text"] == f"alpha {shared} beta"
+    assert out[1]["n_removed_positions"] == 0
+    # doc 2 loses exactly the 8 shared positions
+    assert out[2]["dedup_text"] == "gamma delta epsilon"
+    assert out[2]["n_removed_positions"] == 8
+    assert out[3]["dedup_text"] == "tiny doc"
+    assert out[4]["n_removed_positions"] == 0
+    assert out[4]["dedup_text"].startswith("all unique")
+    assert out[2]["n_tokens"] == 11
