@@ -104,15 +104,18 @@ def _publish_if_absent(spark, path: str, name: str, body: str) -> bool:
 
 def _replay_full(spark, path: str, version: int | None = None):
     """Full-fidelity snapshot replay: ``(adds: {relpath: add-dict},
-    meta, proto, version)``.  Unlike the reader's replay this keeps the
-    whole ``add`` action (size/modTime/stats) — the checkpoint writer
-    needs it verbatim.  Seeds from the newest checkpoint ≤ target like
-    the reader does."""
+    meta, proto, version, txns: {appId: version})``.  Unlike the
+    reader's replay this keeps the whole ``add`` action
+    (size/modTime/stats) — the checkpoint writer needs it verbatim —
+    and the per-app ``txn`` high-water marks (streaming replay dedup,
+    Delta's ``(txnAppId, txnVersion)``).  Seeds from the newest
+    checkpoint ≤ target like the reader does."""
     commits, cps = _list_log(spark, path)
     if not commits and not cps:
         raise FileNotFoundError(f"empty _delta_log under {path}")
     target = max([*commits, *cps]) if version is None else int(version)
     adds: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     meta = proto = None
     cp_versions = [v for v in cps if v <= target]
     start = 0
@@ -129,6 +132,8 @@ def _replay_full(spark, path: str, version: int | None = None):
             if "add" in cols and d.get("add"):
                 a = {k: v for k, v in d["add"].items() if v is not None}
                 adds[a["path"]] = a
+            if "txn" in cols and d.get("txn") and d["txn"].get("appId"):
+                txns[d["txn"]["appId"]] = int(d["txn"]["version"])
         start = cp_v + 1
     for v in [c for c in commits if start <= c <= target]:
         raw = _read_bytes(
@@ -146,7 +151,21 @@ def _replay_full(spark, path: str, version: int | None = None):
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
-    return adds, meta, proto, target
+            elif "txn" in action:
+                t = action["txn"]
+                if t.get("appId") is not None:
+                    txns[t["appId"]] = int(t["version"])
+    return adds, meta, proto, target, txns
+
+
+def delta_last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
+    """The newest committed ``txn`` version for ``app_id`` (-1 when the
+    app never committed) — the spec's streaming replay-dedup probe."""
+    try:
+        _, _, _, _, txns = _replay_full(spark, path)
+    except FileNotFoundError:
+        return -1
+    return txns.get(app_id, -1)
 
 
 _MAX_STAT_STR = 64
@@ -287,6 +306,7 @@ def delta_write(
     mode: str = "error",
     partition_by: list[str] | None = None,
     overwrite_schema: bool = False,
+    txn: tuple[str, int] | None = None,
     _retries: int = 5,
 ) -> int:
     """Write ``df`` as a spec-conformant Delta table without the Delta
@@ -298,15 +318,25 @@ def delta_write(
     ``overwrite_schema=True``, Delta's own gate).  Appends that lose a
     commit race re-resolve and retry (they are order-free); creates and
     overwrites raise ``DeltaConcurrentWrite``.
+
+    ``txn=(appId, version)`` emits the spec's ``txn`` action — the
+    streaming replay-dedup handle: if the table already records a
+    ``txn`` for this appId at a version ≥ the offered one, the write
+    is a committed-replay and returns that existing table version as a
+    NO-OP (Delta's ``(txnAppId, txnVersion)`` idempotent-write
+    contract).
     """
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     spark = df.sparkSession
     try:
-        cur_adds, cur_meta, _, cur_v = _replay_full(spark, path)
+        cur_adds, cur_meta, _, cur_v, cur_txns = _replay_full(spark, path)
         exists = cur_meta is not None
     except FileNotFoundError:
         cur_adds, cur_meta, cur_v, exists = {}, None, -1, False
+        cur_txns = {}
+    if txn is not None and cur_txns.get(txn[0], -1) >= int(txn[1]):
+        return cur_v  # committed replay: idempotent no-op
     if exists and mode == "error":
         raise ValueError(
             f"Delta table already exists at {path} (mode='error')"
@@ -394,6 +424,18 @@ def delta_write(
             )
         if need_meta:
             lines.append(json.dumps(meta_action))
+        if txn is not None:
+            lines.append(
+                json.dumps(
+                    {
+                        "txn": {
+                            "appId": txn[0],
+                            "version": int(txn[1]),
+                            "lastUpdated": now,
+                        }
+                    }
+                )
+            )
         if mode == "overwrite":
             for rel in sorted(cur_adds):
                 lines.append(
@@ -419,7 +461,9 @@ def delta_write(
                 "writer; re-run the overwrite against the new snapshot"
             )
         # blind appends are order-free: re-resolve and retry
-        cur_adds, cur_meta, _, cur_v = _replay_full(spark, path)
+        cur_adds, cur_meta, _, cur_v, cur_txns = _replay_full(spark, path)
+        if txn is not None and cur_txns.get(txn[0], -1) >= int(txn[1]):
+            return cur_v  # the racing writer WAS this txn: no-op
         if _schema_types(
             StructType.fromJson(json.loads(cur_meta["schemaString"]))
         ) != _schema_types(df.schema):
@@ -443,7 +487,7 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    adds, meta, proto, version = _replay_full(spark, path)
+    adds, meta, proto, version, txns = _replay_full(spark, path)
     if meta is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
     if any(a.get("deletionVector") for a in adds.values()):
@@ -454,8 +498,8 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
         )
     proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
 
-    def row(add=None, m=None, p=None):
-        return {"add": add, "metaData": m, "protocol": p}
+    def row(add=None, m=None, p=None, t=None):
+        return {"add": add, "metaData": m, "protocol": p, "txn": t}
 
     rows = [row(p=proto), row(m={
         "id": meta.get("id"),
@@ -465,6 +509,11 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
         "configuration": dict(meta.get("configuration") or {}),
         "createdTime": meta.get("createdTime"),
     })]
+    for app_id in sorted(txns):
+        # streaming replay-dedup evidence must survive checkpointing
+        rows.append(
+            row(t={"appId": app_id, "version": int(txns[app_id])})
+        )
     for rel in sorted(adds):
         a = adds[rel]
         rows.append(
@@ -524,6 +573,15 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
                     ]
                 ),
             ),

@@ -200,3 +200,116 @@ def test_lakehouse_front_door_write_fallback(spark, tmp_path):
     lakehouse.write_table(df, "delta", root, mode="overwrite")
     got = lakehouse.read_table(spark, "delta", root)
     assert _rows(got, "id", "v") == {(1, 2.0)}
+
+
+def test_txn_action_idempotent_writes_and_checkpoint(spark, tmp_path):
+    """The spec's (txnAppId, txnVersion) idempotent-write contract:
+    a write re-offering a committed txn version is a NO-OP; higher
+    versions land; a DIFFERENT app with the same version lands; the
+    dedup evidence survives classic checkpointing (txn actions are
+    carried) even after the pre-checkpoint commits are deleted."""
+    import glob as _glob
+    import os as _os
+
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_checkpoint,
+        delta_last_txn_version,
+        delta_write,
+    )
+
+    root = str(tmp_path / "dtxn")
+    one = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    two = spark.createDataFrame([(2, 2.0)], "id long, v double")
+    delta_write(one, root, mode="append", txn=("appA", 0))
+    assert delta_last_txn_version(spark, root, "appA") == 0
+    # replay of batch 0: table unchanged
+    delta_write(two, root, mode="append", txn=("appA", 0))
+    assert delta_read(spark, root).count() == 1
+    # next batch lands
+    delta_write(two, root, mode="append", txn=("appA", 1))
+    assert delta_read(spark, root).count() == 2
+    # same version, different app: NOT a replay
+    delta_write(
+        spark.createDataFrame([(3, 3.0)], "id long, v double"),
+        root,
+        mode="append",
+        txn=("appB", 1),
+    )
+    assert delta_read(spark, root).count() == 3
+    # checkpoint carries the txn high-water marks
+    delta_checkpoint(spark, root)
+    for f in _glob.glob(f"{root}/_delta_log/*.json"):
+        _os.remove(f)
+    assert delta_last_txn_version(spark, root, "appA") == 1
+    delta_write(two, root, mode="append", txn=("appA", 1))  # still a no-op
+    assert delta_read(spark, root).count() == 3
+
+
+def test_streaming_delta_append_sink_exactly_once(spark, tmp_path):
+    """foreachBatch → jar-free delta_write with txn actions: batches
+    land exactly once; a FRESH checkpoint dir (new appId) re-offering
+    batch id 0 still lands because the txn scope differs — the
+    fresh-restart hazard the (appId, version) pair exists to close."""
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.streaming.sinks import (
+        streaming_delta_append_sink,
+    )
+
+    import glob as _glob
+    import shutil as _shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "dst")
+
+    def write_batch(name, rows):
+        # the parquet file source lists FLAT files — stage the part
+        # file up out of its write directory
+        spark.createDataFrame(rows, "id long, v double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+        part = _glob.glob(str(src / name / "part-*.parquet"))[0]
+        _shutil.move(part, str(src / f"{name}.parquet"))
+        _shutil.rmtree(str(src / name))
+
+    write_batch("b0", [(1, 1.0), (2, 2.0)])
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q = streaming_delta_append_sink(stream, table, str(tmp_path / "ck1"))
+    q.processAllAvailable()
+    write_batch("b1", [(3, 3.0)])
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["id"], r["v"]) for r in delta_read(spark, table).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}
+
+    # restart with the SAME checkpoint: committed offsets are not
+    # re-offered, and even a re-offered batch would hit the txn no-op
+    stream2 = (
+        spark.readStream.format("parquet")
+        .schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q2 = streaming_delta_append_sink(stream2, table, str(tmp_path / "ck1"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert delta_read(spark, table).count() == 3
+
+    # FRESH checkpoint: batch ids restart at 0 under a NEW appId, so
+    # the data lands again (append semantics, different txn scope)
+    stream3 = (
+        spark.readStream.format("parquet")
+        .schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q3 = streaming_delta_append_sink(stream3, table, str(tmp_path / "ck2"))
+    q3.processAllAvailable()
+    q3.stop()
+    assert delta_read(spark, table).count() == 6
