@@ -1673,6 +1673,169 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 second half: jar-free ICEBERG WRITE interop
+    (``sources.iceberg_writer`` — the public iceberg.apache.org/spec is
+    the only contract). High-value orders are written as a NEW
+    spec-conformant v1 table IDENTITY-PARTITIONED on
+    ``o_orderpriority`` (parquet data files with ``PARQUET:field_id``
+    footers, Avro manifest + manifest list written through the
+    REFERENCE ``org.apache.avro`` implementation, versioned
+    ``metadata/v<N>.metadata.json`` + ``version-hint.text``); the
+    remaining orders APPEND as a second snapshot whose manifest list
+    REUSES the first manifest. The read side goes through the
+    ``lakehouse.read_table`` front door (metadata/manifest replay when
+    the jar is absent). The oracle is the same aggregate over raw
+    parquet, so a value-hash match pins the whole
+    write→manifest→replay→read loop."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-iceberg-w-") + "/orders_ice"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    iceberg_write(
+        orders.where("o_totalprice > 150000"),
+        path,
+        mode="error",
+        partition_by=["o_orderpriority"],
+    )
+    iceberg_write(orders.where("o_totalprice <= 150000"), path, mode="append")
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ICEBERG_WRITE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def delta_idmode_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 second half: Delta COLUMN MAPPING ``id`` MODE read —
+    the jar-free reader's last refusal tier, now supported via Spark's
+    native parquet field-id resolution (the scan schema carries each
+    field's ``delta.columnMapping.id`` as ``parquet.field.id``
+    metadata). The in-query fixture is ADVERSARIAL: the data files'
+    physical column names are rotated relative to the logical schema
+    (physical ``col-2`` holds logical ``o_orderkey`` etc. — ids are
+    the only truth), so any by-name resolution reads the wrong column
+    and the value-hash catches it. The oracle is the same aggregate
+    over raw parquet."""
+    import json as _json
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="sdw-deltaid-") + "/orders_idmap"
+    _os.makedirs(root)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    phys = orders.select(
+        F.col("o_orderkey").alias("col-2", metadata={"parquet.field.id": 1}),
+        F.col("o_totalprice").alias("col-3", metadata={"parquet.field.id": 2}),
+        F.col("o_orderstatus").alias("col-1", metadata={"parquet.field.id": 3}),
+    )
+    phys.coalesce(2).write.mode("overwrite").parquet(f"{root}/.stage")
+    adds = []
+    for i, f in enumerate(sorted(_glob.glob(f"{root}/.stage/part-*.parquet"))):
+        dest = f"{root}/f{i}.parquet"
+        _shutil.move(f, dest)
+        adds.append(
+            {
+                "add": {
+                    "path": f"f{i}.parquet",
+                    "partitionValues": {},
+                    "size": _os.path.getsize(dest),
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            }
+        )
+    _shutil.rmtree(f"{root}/.stage")
+
+    def fld(name, typ, fid, physname):
+        return {
+            "name": name,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": physname,
+            },
+        }
+
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("o_orderkey", "long", 1, "col-2"),
+                fld("o_totalprice", "double", 2, "col-3"),
+                fld("o_orderstatus", "string", 3, "col-1"),
+            ],
+        }
+    )
+    _os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        for action in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "idmode-driver-query",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                    "createdTime": 1,
+                }
+            },
+            *adds,
+        ]:
+            fh.write(_json.dumps(action) + "\n")
+    got = lakehouse.read_table(spark, "delta", root)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_IDMODE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -3135,6 +3298,156 @@ ORDER BY doc_id
 """
 
 
+def c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rule set (round 10 second half, ``llmdata.text.
+    c4_clean`` — Raffel et al. 2020 §2.2), the other canonical
+    pretraining filter next to Gopher: line-level retention (terminal
+    punctuation, ≥5 words, no "javascript") plus page-level verdicts
+    (≥3 sentences, no "lorem ipsum", no ``{``, no bad words). The
+    synthetic docs are single-line word salad, so the query first
+    builds a deterministic multi-line PAGE per doc (sentence breaks at
+    ' table ', plus doc_id-keyed injections of each page-level hazard)
+    with the identical construction replayed in the DuckDB oracle —
+    every rule fires both ways across the corpus."""
+    from simple_data_workflow_spark.llmdata.text import c4_clean
+
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.regexp_replace(F.col("text"), " table ", ".\n"),
+        F.lit("."),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\nlorem ipsum dolor sit amet.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 23 == 0, F.lit("\nif (x) { y(); }")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nplease enable javascript to continue reading this page."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\nthis line mentions an obscenity for the filter to catch."),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    out = c4_clean(pages)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "has_lorem_ipsum",
+        "has_brace",
+        "has_bad_word",
+        "cleaned_text",
+        "passes",
+    ).orderBy("doc_id")
+
+
+C4_CLEAN_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         concat(
+           regexp_replace(text, ' table ', e'.\n', 'g'), '.',
+           CASE WHEN doc_id % 17 = 0 THEN e'\nlorem ipsum dolor sit amet.' ELSE '' END,
+           CASE WHEN doc_id % 23 = 0 THEN e'\nif (x) { y(); }' ELSE '' END,
+           CASE WHEN doc_id % 11 = 0 THEN e'\nplease enable javascript to continue reading this page.' ELSE '' END,
+           CASE WHEN doc_id % 13 = 0 THEN e'\nthis line mentions an obscenity for the filter to catch.' ELSE '' END
+         ) AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+         string_split(text, e'\n') AS lines,
+         list_filter(string_split(text, e'\n'),
+           l -> regexp_matches(l, '[.!?"]\s*$')
+                AND len(string_split(trim(l), ' ')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM p
+), m AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         CAST(len(regexp_extract_all(array_to_string(kept, e'\n'), '[.!?]')) AS BIGINT) AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(text, '{') AS has_brace,
+         len(list_filter(regexp_split_to_array(lower(text), '[\s\n]+'),
+             x -> x IN ('obscenity', 'slur'))) > 0 AS has_bad_word,
+         array_to_string(kept, e'\n') AS cleaned_text
+  FROM s
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem_ipsum, has_brace,
+       has_bad_word, cleaned_text,
+       (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_brace
+        AND NOT has_bad_word) AS passes
+FROM m
+ORDER BY doc_id
+"""
+
+
+def dedup_substring_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (round 10 second half,
+    ``llmdata.dedup.remove_dup_substrings`` — Lee et al. 2022's
+    ExactSubstr re-expressed relationally): every duplicated word
+    8-gram instance is removed corpus-wide except its canonical
+    (minimal ``(doc_id, pos)``) occurrence, and each doc's text is
+    rebuilt from the surviving token positions — tokens never leave
+    their document row; only gram keys shuffle. The DuckDB oracle
+    replays the whole edit (window canonicalization, coverage
+    expansion, ordered re-aggregation)."""
+    from simple_data_workflow_spark.llmdata.dedup import (
+        remove_dup_substrings,
+    )
+
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_dup_substrings(docs, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed_positions").cast("long").alias("n_removed_positions"),
+        "dedup_text",
+    ).orderBy("doc_id")
+
+
+DEDUP_SUBSTRING_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), inst AS (
+  SELECT t.doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+  FROM t, UNNEST(range(1, len(w) - 8 + 2)) AS u(i)
+  WHERE len(w) >= 8
+), marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM inst
+), covered AS (
+  SELECT DISTINCT doc_id, tp
+  FROM (
+    SELECT doc_id, UNNEST(range(pos, pos + 8)) AS tp
+    FROM marked WHERE cnt > 1 AND rn > 1
+  )
+), toks AS (
+  SELECT t.doc_id, i - 1 AS tp, w[i] AS tok
+  FROM t, UNNEST(range(1, len(w) + 1)) AS u(i)
+), kept AS (
+  SELECT toks.doc_id, string_agg(tok, ' ' ORDER BY toks.tp) AS dedup_text
+  FROM toks LEFT JOIN covered
+    ON toks.doc_id = covered.doc_id AND toks.tp = covered.tp
+  WHERE covered.tp IS NULL
+  GROUP BY toks.doc_id
+), rmcount AS (
+  SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed_positions,
+       COALESCE(k.dedup_text, '') AS dedup_text
+FROM documents d
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+LEFT JOIN rmcount r ON d.doc_id = r.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: synthesize binary+metadata from text,
     extract features via Arrow-batched mapInPandas (deterministic fake
@@ -3911,6 +4224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_schema_evolution": _wrap(tablelog_schema_evolution),
         "delta_interop_roundtrip": _wrap(delta_interop_roundtrip),
         "iceberg_interop_read": _wrap(iceberg_interop_read),
+        "iceberg_write_roundtrip": _wrap(iceberg_write_roundtrip),
+        "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
         "trigram_perplexity_docs": _wrap(trigram_perplexity_docs),
@@ -3965,6 +4280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_kmeans_embeddings": _wrap(semdedup_kmeans_embeddings),
         "dup_ngram_fraction_docs": _wrap(dup_ngram_fraction_docs),
         "gopher_quality_docs": _wrap(gopher_quality_docs),
+        "c4_clean_docs": _wrap(c4_clean_docs),
+        "dedup_substring_docs": _wrap(dedup_substring_docs),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -4080,6 +4397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ols_multivariate_ci.
     head = [
         # --- new in r10 ---
+        "iceberg_write_roundtrip",
+        "delta_idmode_read",
+        "c4_clean_docs",
+        "dedup_substring_docs",
         "delta_interop_roundtrip",
         "iceberg_interop_read",
         "delta_dv_read",
@@ -4090,15 +4411,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_header_meta",
         "approx_sketches",
         "quality_classifier_docs",
-        # --- stalest: last driver-checked r5 ---
+        # --- stalest: last driver-checked r5 (ivf_topk_embeddings /
+        # minhash_lsh_near_dups / simhash_docs / train_holdout_split
+        # rotated out to fit the 50-cap for the four new second-half
+        # queries: the first three are rows-only whose ORACLE twins
+        # (ivf_index_topk, minhash_md5_near_dups, simhash_md5_docs)
+        # were driver-green r9, and all four are local-replica green) ---
         "error_window_clicks",
-        "ivf_topk_embeddings",
-        "minhash_lsh_near_dups",
         "pack_documents",
         "quantize_embeddings",
-        "simhash_docs",
         "trailing_30d_revenue",
-        "train_holdout_split",
         # --- last driver-checked r6 (asof_last_signup rotated out to
         # fit the 50-cap; asof coverage stays via asof_purchase_order) ---
         "asof_purchase_order",
@@ -4198,6 +4520,8 @@ def oracle_sql() -> dict[str, str]:
         "tablelog_schema_evolution": TABLELOG_SCHEMA_EVOLUTION_SQL,
         "delta_interop_roundtrip": DELTA_INTEROP_SQL,
         "iceberg_interop_read": ICEBERG_INTEROP_SQL,
+        "iceberg_write_roundtrip": ICEBERG_WRITE_SQL,
+        "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,
         "trigram_perplexity_docs": TRIGRAM_PERPLEXITY_SQL,
@@ -4252,6 +4576,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": SEMANTIC_DEDUP_SQL,
         "dup_ngram_fraction_docs": DUP_NGRAM_FRACTION_SQL,
         "gopher_quality_docs": GOPHER_QUALITY_SQL,
+        "c4_clean_docs": C4_CLEAN_SQL,
+        "dedup_substring_docs": DEDUP_SUBSTRING_SQL,
         "order_rank_metrics": rel.RANK_METRICS_SQL,
         "string_fn_battery": rel.STRING_BATTERY_SQL,
         "date_fn_battery": rel.DATE_BATTERY_SQL,

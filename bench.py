@@ -386,6 +386,10 @@ QUERIES = {
     "delta_dv_read": entrymod.delta_dv_read,
     "dup_ngram_fraction": entrymod.dup_ngram_fraction_docs,
     "gopher_quality": entrymod.gopher_quality_docs,
+    "c4_clean_docs": entrymod.c4_clean_docs,
+    "dedup_substring_docs": entrymod.dedup_substring_docs,
+    "iceberg_write_roundtrip": entrymod.iceberg_write_roundtrip,
+    "delta_idmode_read": entrymod.delta_idmode_read,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,
     "ivf_index_search_only": ivf_index_search_bench,
