@@ -3386,6 +3386,52 @@ ORDER BY doc_id
 """
 
 
+def bm25_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (round 10 second half,
+    ``llmdata.text.bm25_scores`` — Robertson & Zaragoza 2009, Lucene
+    idf variant): one query's relevance scores over the corpus, the
+    baseline that sits next to embedding search in every RAG/curation
+    stack. The explode stream filters to the query's terms BEFORE the
+    per-(doc,term) map-side collapse, so nothing corpus-sized
+    shuffles; N/avgdl are two scalars. The DuckDB oracle replays tf,
+    df and the full scoring formula."""
+    from simple_data_workflow_spark.llmdata.text import bm25_scores
+
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["table", "spark", "merge", "vector"])
+    return out.select("doc_id", "n_terms_hit", "score").orderBy("doc_id")
+
+
+BM25_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+         list_filter(w, x -> x IN ('table', 'spark', 'merge', 'vector')) AS qt
+  FROM d
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM base
+), tf AS (
+  SELECT doc_id, dl, t AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, UNNEST(qt) AS t FROM base)
+  GROUP BY doc_id, dl, t
+), dfq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       ROUND(SUM(
+         ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+       ), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""
+
+
 def dedup_substring_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-level dedup (round 10 second half,
     ``llmdata.dedup.remove_dup_substrings`` — Lee et al. 2022's
@@ -4286,6 +4332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_docs": _wrap(gopher_quality_docs),
         "c4_clean_docs": _wrap(c4_clean_docs),
         "dedup_substring_docs": _wrap(dedup_substring_docs),
+        "bm25_scores_docs": _wrap(bm25_scores_docs),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -4582,6 +4629,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_docs": GOPHER_QUALITY_SQL,
         "c4_clean_docs": C4_CLEAN_SQL,
         "dedup_substring_docs": DEDUP_SUBSTRING_SQL,
+        "bm25_scores_docs": BM25_SQL,
         "order_rank_metrics": rel.RANK_METRICS_SQL,
         "string_fn_battery": rel.STRING_BATTERY_SQL,
         "date_fn_battery": rel.DATE_BATTERY_SQL,

@@ -574,3 +574,75 @@ def c4_clean(
         cleaned.alias("cleaned_text"),
         passes.alias("passes"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance scores for one query over the corpus
+    (Robertson & Zaragoza 2009, with Lucene's non-negative idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the lexical-retrieval
+    baseline every RAG/data-curation stack keeps next to embedding
+    search. Returns ``(id, n_terms_hit, score)`` for every document
+    containing at least one query term.
+
+    Shape, and why it holds at 100 TB: term frequencies collapse to
+    per-(doc, term) rows with ONE map-side-combined aggregate over the
+    exploded tokens, but only AFTER filtering to the query's terms —
+    the explode stream drops to ~|q| rows per doc before anything
+    shuffles (a corpus-wide tf table would be the LM posture; a
+    single query never needs it). Document lengths are a second
+    map-side agg; document frequencies aggregate over the
+    already-collapsed (doc, term) rows; N and avgdl are two scalars
+    joined in as literals. Everything is JVM codegen."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    q = [t.lower() for t in query_terms]
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "),
+        lambda x: x.isin(*q),
+    )
+    dl = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("double").alias("__dl"),
+        toks.alias("__qt"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    tf = (
+        dl.select(F.col(id_col), "__dl", F.explode("__qt").alias("__t"))
+        .groupBy(id_col, "__dl", "__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    term_score = idf * (
+        F.col("__tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.round(F.sum(term_score), 6).alias("score"),
+        )
+    )

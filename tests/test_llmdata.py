@@ -1992,3 +1992,35 @@ def test_remove_dup_substrings(spark):
     assert out[4]["n_removed_positions"] == 0
     assert out[4]["dedup_text"].startswith("all unique")
     assert out[2]["n_tokens"] == 11
+
+
+def test_bm25_scores_hand_computed(spark):
+    """BM25 against a hand-computed twin on a 3-doc corpus."""
+    import math
+
+    from simple_data_workflow_spark.llmdata.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog fish"),
+            (3, "bird bird bird bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+    n, avgdl, k1, b = 3.0, 3.0, 1.2, 0.75
+
+    def idf(df_):
+        return math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+
+    def ts(tf, dl, df_):
+        return idf(df_) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = round(ts(2, 3, 1) + ts(1, 3, 2), 6)  # cat df=1, dog df=2
+    want2 = round(ts(1, 2, 2), 6)
+    assert out[1]["n_terms_hit"] == 2 and abs(out[1]["score"] - want1) < 1e-9
+    assert out[2]["n_terms_hit"] == 1 and abs(out[2]["score"] - want2) < 1e-9
+    assert 3 not in out  # no query term: not scored
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(docs, [])
