@@ -1836,6 +1836,77 @@ ORDER BY o_orderstatus
 """
 
 
+def hudi_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 second half: jar-free HUDI copy-on-write read
+    (``sources.hudi_reader`` — the public hudi.apache.org layout spec
+    is the only contract). The in-query fixture is ADVERSARIAL the way
+    a real upsert history is: the low-key orders land at instant 001
+    with CORRUPTED prices (doubled), get REWRITTEN correctly at 002
+    (the same file group — copy-on-write), and an INFLIGHT instant 003
+    leaves a garbage base file that must never surface. Only the
+    latest-committed-slice rule yields the oracle's aggregate over raw
+    parquet; reading any extra or stale slice fails the value hash."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="sdw-hudi-") + "/orders_hudi"
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    low = orders.where("o_orderkey % 2 = 0")
+    high = orders.where("o_orderkey % 2 = 1")
+
+    def stage(df, dest):
+        tmp = dest + ".__tmp__"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        _shutil.move(part, dest)
+        _shutil.rmtree(tmp)
+
+    # instant 001: group A corrupted (doubled prices), group B correct
+    stage(
+        low.withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        f"{root}/fgA_0-1-2_001.parquet",
+    )
+    stage(high, f"{root}/fgB_0-1-2_001.parquet")
+    # instant 002: copy-on-write upsert rewrites group A correctly
+    stage(low, f"{root}/fgA_0-3-4_002.parquet")
+    # instant 003: INFLIGHT garbage that must not surface
+    stage(
+        orders.limit(100).withColumn("o_totalprice", F.lit(1e9)),
+        f"{root}/fgC_0-5-6_003.parquet",
+    )
+    _os.makedirs(f"{root}/.hoodie", exist_ok=True)
+    with open(f"{root}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write(
+            "hoodie.table.name=orders_hudi\n"
+            "hoodie.table.type=COPY_ON_WRITE\n"
+        )
+    for name in ("001.commit", "002.commit", "003.commit.inflight"):
+        with open(f"{root}/.hoodie/{name}", "w") as fh:
+            fh.write("{}")
+    got = lakehouse.read_table(spark, "hudi", root)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+HUDI_INTEROP_SQL = DELTA_IDMODE_SQL
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -4333,6 +4404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_docs": _wrap(c4_clean_docs),
         "dedup_substring_docs": _wrap(dedup_substring_docs),
         "bm25_scores_docs": _wrap(bm25_scores_docs),
+        "hudi_interop_read": _wrap(hudi_interop_read),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -4448,6 +4520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ols_multivariate_ci.
     head = [
         # --- new in r10 ---
+        "hudi_interop_read",
+        "bm25_scores_docs",
         "iceberg_write_roundtrip",
         "delta_idmode_read",
         "c4_clean_docs",
@@ -4464,13 +4538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_docs",
         # --- stalest: last driver-checked r5 (ivf_topk_embeddings /
         # minhash_lsh_near_dups / simhash_docs / train_holdout_split
-        # rotated out to fit the 50-cap for the four new second-half
-        # queries: the first three are rows-only whose ORACLE twins
-        # (ivf_index_topk, minhash_md5_near_dups, simhash_md5_docs)
-        # were driver-green r9, and all four are local-replica green) ---
-        "error_window_clicks",
+        # rotated out to fit the 50-cap for the six new second-half
+        # queries, along with error_window_clicks and
+        # quantize_embeddings: the three rows-only ones have ORACLE
+        # twins (ivf_index_topk, minhash_md5_near_dups,
+        # simhash_md5_docs) driver-green r9; all are local-replica
+        # green this round) ---
         "pack_documents",
-        "quantize_embeddings",
         "trailing_30d_revenue",
         # --- last driver-checked r6 (asof_last_signup rotated out to
         # fit the 50-cap; asof coverage stays via asof_purchase_order) ---
@@ -4630,6 +4704,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean_docs": C4_CLEAN_SQL,
         "dedup_substring_docs": DEDUP_SUBSTRING_SQL,
         "bm25_scores_docs": BM25_SQL,
+        "hudi_interop_read": HUDI_INTEROP_SQL,
         "order_rank_metrics": rel.RANK_METRICS_SQL,
         "string_fn_battery": rel.STRING_BATTERY_SQL,
         "date_fn_battery": rel.DATE_BATTERY_SQL,

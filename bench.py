@@ -390,6 +390,8 @@ QUERIES = {
     "dedup_substring_docs": entrymod.dedup_substring_docs,
     "iceberg_write_roundtrip": entrymod.iceberg_write_roundtrip,
     "delta_idmode_read": entrymod.delta_idmode_read,
+    "hudi_interop_read": entrymod.hudi_interop_read,
+    "bm25_scores_docs": entrymod.bm25_scores_docs,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,
     "ivf_index_search_only": ivf_index_search_bench,

@@ -43,10 +43,12 @@ def read_table(
     public specs, so snapshot resolution + a direct parquet scan need
     no jar. Both fallbacks support ``version=`` time travel (Delta
     version / Iceberg snapshot id); the Delta one applies deletion
-    vectors, and both REFUSE feature tiers they cannot read correctly
-    (Delta column-mapping; Iceberg row-level deletes, v3+, renamed
-    columns) rather than return wrong rows. Hudi still requires its
-    jar."""
+    vectors and column mapping, and all three fallbacks REFUSE feature
+    tiers they cannot read correctly (Iceberg row-level deletes, v3+,
+    renamed columns; Hudi merge-on-read) rather than return wrong
+    rows. Hudi copy-on-write resolves through the timeline +
+    file-group reader (``sources.hudi_reader``; ``version`` = the
+    instant-time string for time travel)."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
     if not _available(spark, fmt):
@@ -65,6 +67,14 @@ def read_table(
             )
 
             return iceberg_read(spark, path, snapshot_id=version)
+        if fmt == "hudi":
+            from simple_data_workflow_spark.sources.hudi_reader import (
+                hudi_read,
+            )
+
+            return hudi_read(
+                spark, path, as_of=None if version is None else str(version)
+            )
         raise NotImplementedError(
             f"{fmt} requires the {_FORMATS[fmt]} jar on the Spark classpath "
             "(not present in this environment)"

@@ -1,0 +1,130 @@
+"""Jar-free Hudi copy-on-write read interop: hand-written
+spec-conformant fixtures (classic ``.hoodie`` timeline, file-group
+naming ``<fileId>_<writeToken>_<instant>.parquet``), so these tests pin
+the reader against the PUBLIC layout spec, not a Hudi runtime."""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+
+from simple_data_workflow_spark.sources.hudi_reader import (
+    HudiFeatureUnsupported,
+    hudi_read,
+    hudi_snapshot_files,
+)
+
+
+def _write_file(spark, df, dest: str) -> None:
+    tmp = dest + ".__tmp__"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    shutil.move(part, dest)
+    shutil.rmtree(tmp)
+
+
+def _props(root: str, table_type: str = "COPY_ON_WRITE") -> None:
+    os.makedirs(f"{root}/.hoodie", exist_ok=True)
+    with open(f"{root}/.hoodie/hoodie.properties", "w") as f:
+        f.write("#Hudi table properties\n")
+        f.write("hoodie.table.name=fixture\n")
+        f.write(f"hoodie.table.type={table_type}\n")
+        f.write("hoodie.table.version=6\n")
+
+
+def _instant(root: str, t: str, action: str = "commit", body: str = "{}"):
+    with open(f"{root}/.hoodie/{t}.{action}", "w") as f:
+        f.write(body)
+
+
+def test_hudi_cow_latest_slice_and_pending_exclusion(spark, tmp_path):
+    """Per file group the LATEST committed slice wins; files from
+    inflight instants (no completed timeline entry) never surface."""
+    root = str(tmp_path / "hudi")
+    _props(root)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v double")
+    # file group A: written at t1, REWRITTEN (upsert) at t2
+    _write_file(spark, mk([(1, 1.0), (2, 99.0)]), f"{root}/fgA_0-1-2_001.parquet")
+    _write_file(spark, mk([(1, 1.0), (2, 2.0)]), f"{root}/fgA_0-3-4_002.parquet")
+    # file group B: one slice at t1
+    _write_file(spark, mk([(3, 3.0)]), f"{root}/fgB_0-1-2_001.parquet")
+    # file group C: INFLIGHT write at t3 (no completed instant)
+    _write_file(spark, mk([(9, 9.9)]), f"{root}/fgC_0-5-6_003.parquet")
+    _instant(root, "001")
+    _instant(root, "002")
+    _instant(root, "003", action="commit.inflight")
+
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}
+    # time travel: as of t1 the old slice of A is current
+    v1 = {(r["id"], r["v"]) for r in hudi_read(spark, root, as_of="001").collect()}
+    assert v1 == {(1, 1.0), (2, 99.0), (3, 3.0)}
+    # front door falls back here; version = instant string
+    from simple_data_workflow_spark.sources import lakehouse
+
+    fd = {
+        (r["id"], r["v"])
+        for r in lakehouse.read_table(spark, "hudi", root, version="001").collect()
+    }
+    assert fd == v1
+
+
+def test_hudi_partitioned_meta_columns_and_refusals(spark, tmp_path):
+    """Partition dirs resolve; _hoodie_* meta columns strip unless
+    asked for; MoR and empty timelines refuse loudly."""
+    root = str(tmp_path / "hudip")
+    _props(root)
+    df = spark.createDataFrame(
+        [("c1", 1, "US"), ("c2", 2, "US")],
+        "`_hoodie_record_key` string, id int, region string",
+    )
+    _write_file(spark, df, f"{root}/region=US/fgA_0-1-2_001.parquet")
+    _instant(root, "001")
+    out = hudi_read(spark, root)
+    assert "_hoodie_record_key" not in out.columns
+    assert {(r["id"], r["region"]) for r in out.collect()} == {(1, "US"), (2, "US")}
+    assert "_hoodie_record_key" in hudi_read(spark, root, include_meta=True).columns
+
+    root2 = str(tmp_path / "mor")
+    _props(root2, table_type="MERGE_ON_READ")
+    with pytest.raises(HudiFeatureUnsupported, match="MERGE_ON_READ"):
+        hudi_read(spark, root2)
+
+    root3 = str(tmp_path / "empty")
+    _props(root3)
+    with pytest.raises(ValueError, match="no completed commits"):
+        hudi_read(spark, root3)
+
+
+def test_hudi_replacecommit_excludes_retired_groups(spark, tmp_path):
+    """A completed replacecommit (clustering / insert_overwrite)
+    retires the listed file groups: their slices vanish even though
+    their commits completed; a group REWRITTEN after the replacement
+    stays live."""
+    root = str(tmp_path / "hudir")
+    _props(root)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v double")
+    _write_file(spark, mk([(1, 1.0)]), f"{root}/fgA_0-1-2_001.parquet")
+    _write_file(spark, mk([(2, 2.0)]), f"{root}/fgB_0-1-2_001.parquet")
+    # clustering at 002 rewrites A+B into fgC and retires them
+    _write_file(spark, mk([(1, 1.0), (2, 2.0)]), f"{root}/fgC_0-3-4_002.parquet")
+    _instant(root, "001")
+    _instant(
+        root,
+        "002",
+        action="replacecommit",
+        body=json.dumps(
+            {"partitionToReplaceFileIds": {"": ["fgA", "fgB"]}}
+        ),
+    )
+    # fgB gets NEW data at 003 (group reused after replacement)
+    _write_file(spark, mk([(5, 5.0)]), f"{root}/fgB_0-9-9_003.parquet")
+    _instant(root, "003")
+
+    files = [os.path.basename(p) for p in hudi_snapshot_files(spark, root)]
+    assert files == ["fgB_0-9-9_003.parquet", "fgC_0-3-4_002.parquet"]
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (5, 5.0)}
