@@ -490,12 +490,8 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     adds, meta, proto, version, txns = _replay_full(spark, path)
     if meta is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
-    if any(a.get("deletionVector") for a in adds.values()):
-        raise NotImplementedError(
-            "delta_checkpoint does not carry deletionVector descriptors; "
-            "checkpointing this table here would silently un-delete rows "
-            "— compact the DVs with a Delta runtime first"
-        )
+    # deletionVector descriptors are carried VERBATIM (dropping them
+    # would silently un-delete rows once pre-checkpoint commits vacuum)
     proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
 
     def row(add=None, m=None, p=None, t=None):
@@ -527,6 +523,7 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
                     "modificationTime": a.get("modificationTime"),
                     "dataChange": True,
                     "stats": a.get("stats"),
+                    "deletionVector": a.get("deletionVector"),
                 }
             )
         )
@@ -543,6 +540,18 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),

@@ -136,9 +136,16 @@ def test_delta_read_applies_uuid_and_inline_dvs(spark, tmp_path):
         assert got == {0, 2, 4, 5, 6, 8, 9}
         # pre-DV snapshot still reads complete
         assert len(delta_read(spark, root, 0).collect()) == 10
-        # checkpointing would drop the DV → must refuse
-        with pytest.raises(NotImplementedError, match="deletionVector"):
-            delta_checkpoint(spark, root)
+        # checkpointing carries the DV descriptor VERBATIM: after the
+        # pre-checkpoint JSON commits are vacuumed away, the replay
+        # must still apply the deletions (dropping the descriptor
+        # would silently un-delete)
+        delta_checkpoint(spark, root)
+        for n in os.listdir(f"{root}/_delta_log"):
+            if n.endswith(".json") and n[:1] == "0":
+                os.remove(f"{root}/_delta_log/{n}")
+        got_cp = {r["id"] for r in delta_read(spark, root).collect()}
+        assert got_cp == {0, 2, 4, 5, 6, 8, 9}
 
 
 def test_delta_dv_corruption_raises(spark, tmp_path):
