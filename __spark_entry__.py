@@ -1836,6 +1836,62 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 second half: jar-free Delta COPY-ON-WRITE DML
+    (``delta_writer.delta_delete`` / ``delta_update``): orders land as
+    a partitioned Delta table, low-value orders DELETE, one priority
+    band's prices UPDATE (×1.1) — each as a spec-conformant remove+add
+    commit that rewrites ONLY the affected files — and the result reads
+    back through the front-door fallback. The oracle replays the same
+    DML as a WHERE + CASE over raw parquet, so the value hash pins the
+    whole write→delete→update→replay→read loop."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_update,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-deltadml-") + "/orders_dml"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    delta_write(orders, path, mode="error", partition_by=["o_orderstatus"])
+    delta_delete(spark, path, "o_totalprice < 50000")
+    delta_update(
+        spark,
+        path,
+        {"o_totalprice": "o_totalprice * 1.1"},
+        "o_orderpriority = '1-URGENT'",
+    )
+    got = lakehouse.read_table(spark, "delta", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_DML_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(
+         (CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.1
+               ELSE o_totalprice END) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_totalprice >= 50000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def hudi_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 second half: jar-free HUDI copy-on-write read
     (``sources.hudi_reader`` — the public hudi.apache.org layout spec
@@ -4405,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_docs": _wrap(dedup_substring_docs),
         "bm25_scores_docs": _wrap(bm25_scores_docs),
         "hudi_interop_read": _wrap(hudi_interop_read),
+        "delta_dml_roundtrip": _wrap(delta_dml_roundtrip),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -4520,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ols_multivariate_ci.
     head = [
         # --- new in r10 ---
+        "delta_dml_roundtrip",
         "hudi_interop_read",
         "bm25_scores_docs",
         "iceberg_write_roundtrip",
@@ -4544,7 +4602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twins (ivf_index_topk, minhash_md5_near_dups,
         # simhash_md5_docs) driver-green r9; all are local-replica
         # green this round) ---
-        "pack_documents",
         "trailing_30d_revenue",
         # --- last driver-checked r6 (asof_last_signup rotated out to
         # fit the 50-cap; asof coverage stays via asof_purchase_order) ---
@@ -4705,6 +4762,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_docs": DEDUP_SUBSTRING_SQL,
         "bm25_scores_docs": BM25_SQL,
         "hudi_interop_read": HUDI_INTEROP_SQL,
+        "delta_dml_roundtrip": DELTA_DML_SQL,
         "order_rank_metrics": rel.RANK_METRICS_SQL,
         "string_fn_battery": rel.STRING_BATTERY_SQL,
         "date_fn_battery": rel.DATE_BATTERY_SQL,

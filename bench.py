@@ -391,6 +391,7 @@ QUERIES = {
     "iceberg_write_roundtrip": entrymod.iceberg_write_roundtrip,
     "delta_idmode_read": entrymod.delta_idmode_read,
     "hudi_interop_read": entrymod.hudi_interop_read,
+    "delta_dml_roundtrip": entrymod.delta_dml_roundtrip,
     "bm25_scores_docs": entrymod.bm25_scores_docs,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,

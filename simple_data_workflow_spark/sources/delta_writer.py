@@ -612,3 +612,206 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     with open(f"{local}/_delta_log/_last_checkpoint", "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
     return version
+
+# ---------------------------------------------------------------------------
+# copy-on-write DML (round 10 second half): DELETE / UPDATE on the
+# public log format — the same rewrite shape Delta's own CoW DML uses.
+# ---------------------------------------------------------------------------
+
+
+def _dml_rewrite(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    transform,
+    operation: str,
+    _retries: int = 5,
+) -> int:
+    """Shared CoW DML engine: find the files that contain predicate
+    matches (one scan with ``_metadata.file_path`` — stats-unaffected
+    files never rewrite), rewrite ONLY those files with ``transform``
+    applied to their rows, and publish remove+add in ONE atomic commit.
+    Write volume ∝ affected files, not table size; unaffected files are
+    byte-identical and stay referenced. Refuses tables with deletion
+    vectors or column mapping (their physical layout needs the Delta
+    runtime's own DML)."""
+    import urllib.parse as _up
+
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _NULL_PARTITION,
+        _is_mapped,
+        delta_snapshot_files,
+    )
+
+    for attempt in range(_retries):
+        files, dvs, schema, part_cols = delta_snapshot_files(spark, path)
+        adds_now, meta, proto, cur_v, _txns = _replay_full(spark, path)
+        if dvs:
+            raise NotImplementedError(
+                f"{operation} on a table with deletion vectors needs the "
+                "Delta runtime (the rewrite would have to merge DV masks)"
+            )
+        if _is_mapped(schema) or (
+            (meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            )
+            not in ("", "none")
+        ):
+            raise NotImplementedError(
+                f"{operation} on a column-mapped table needs the Delta "
+                "runtime (physical-name rewrites)"
+            )
+        if not files:
+            return cur_v  # empty table: nothing to do
+        types = {f.name: f.dataType for f in schema.fields}
+        data_cols = [f.name for f in schema.fields if f.name not in part_cols]
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+
+        # one logical-schema view of the whole snapshot with per-row file
+        # provenance; partition values inject from the log like delta_read
+        parts = []
+        groups: dict[tuple, list[str]] = {}
+        for f, pv in files.items():
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(f)
+        for key, flist in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            df = spark.read.schema(data_schema).parquet(*sorted(flist))
+            df = df.withColumn("__file", F.col("_metadata.file_path"))
+            for c, v in zip(part_cols, key):
+                lit = (
+                    F.lit(None)
+                    if v is None or v == _NULL_PARTITION
+                    else F.lit(v)
+                )
+                df = df.withColumn(c, lit.cast(types[c]))
+            parts.append(df.select("__file", *[f.name for f in schema.fields]))
+        snap = parts[0]
+        for p_ in parts[1:]:
+            snap = snap.unionByName(p_)
+
+        hit = (
+            snap.where(predicate)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        norm = {}
+        for f in files:
+            local = _up.urlparse(f).path if "://" in f else f
+            norm[local] = f
+        affected = []
+        for r in hit:
+            local = _up.urlparse(r["__file"]).path
+            if local in norm:
+                affected.append(norm[local])
+        if not affected:
+            return cur_v  # no matches anywhere: metadata no-op
+        aff_set = set(affected)
+
+        # rows of the affected files ONLY (the hit values are drawn from
+        # snap.__file itself, so representation matches exactly)
+        remainder = snap.where(
+            F.col("__file").isin(*sorted({r["__file"] for r in hit}))
+        )
+        rewritten = transform(remainder.drop("__file"), predicate)
+        staged = _stage_data_files(rewritten, path, list(part_cols))
+
+        now = int(time.time() * 1000)
+        rel_by_full = {}
+        for rel in adds_now:
+            dec = urllib.parse.unquote(rel)
+            full = (
+                dec
+                if "://" in dec or dec.startswith("/")
+                else f"{path}/{dec}"
+            )
+            rel_by_full[full] = rel
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": operation,
+                        "operationParameters": {"predicate": predicate},
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            )
+        ]
+        for f in sorted(aff_set):
+            rel = rel_by_full.get(f)
+            if rel is None:
+                continue
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            )
+        lines.extend(json.dumps({"add": a}) for a in staged)
+        version = cur_v + 1
+        if _publish_if_absent(
+            spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
+        ):
+            return version
+        # lost the race: the snapshot moved under us — the staged files
+        # are orphans (never referenced); re-resolve and redo the DML
+        jvm, fs = _fs(spark, path)
+        for a in staged:
+            dec = urllib.parse.unquote(a["path"])
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{dec}"), False)
+    raise DeltaConcurrentWrite(
+        f"{operation} on {path} lost the commit race {_retries} times"
+    )
+
+
+def delta_delete(
+    spark: SparkSession, path: str, predicate: str
+) -> int:
+    """DELETE FROM the Delta table WHERE ``predicate`` — jar-free
+    copy-on-write: only files containing matches rewrite (their
+    non-matching rows re-stage), published as remove+add in one atomic
+    commit. Returns the committed version (or the current version when
+    nothing matched — a metadata no-op, like Delta)."""
+    return _dml_rewrite(
+        spark,
+        path,
+        predicate,
+        lambda df, pred: df.where(f"NOT ({pred})"),
+        "DELETE",
+    )
+
+
+def delta_update(
+    spark: SparkSession, path: str, set_exprs: dict, predicate: str
+) -> int:
+    """UPDATE the Delta table SET col=expr WHERE ``predicate`` —
+    jar-free copy-on-write, same rewrite/commit shape as
+    ``delta_delete``; non-matching rows in affected files rewrite
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    def transform(df, pred):
+        cond = F.expr(pred)
+        out = df
+        for col, expr in set_exprs.items():
+            if col not in df.columns:
+                raise ValueError(f"unknown column {col!r} in SET")
+            out = out.withColumn(
+                col,
+                F.when(cond, F.expr(expr).cast(dict(
+                    (f.name, f.dataType) for f in df.schema.fields
+                )[col])).otherwise(F.col(col)),
+            )
+        return out
+
+    return _dml_rewrite(spark, path, predicate, transform, "UPDATE")

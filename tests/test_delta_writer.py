@@ -313,3 +313,59 @@ def test_streaming_delta_append_sink_exactly_once(spark, tmp_path):
     q3.processAllAvailable()
     q3.stop()
     assert delta_read(spark, table).count() == 6
+
+
+def test_delta_delete_and_update_cow(spark, tmp_path):
+    """Jar-free CoW DML: only files containing matches rewrite
+    (unaffected files stay byte-identical under their names), the
+    commit is remove+add, no-match DML is a metadata no-op, and the
+    pre-DML snapshot stays time-travelable."""
+    import glob as _glob
+    import os as _os
+
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_update,
+        delta_write,
+    )
+
+    root = str(tmp_path / "dml")
+    delta_write(
+        spark.createDataFrame(
+            [(1, 10.0, "US"), (2, 20.0, "US")], "id long, v double, region string"
+        ),
+        root,
+        mode="error",
+        partition_by=["region"],
+    )
+    delta_write(
+        spark.createDataFrame([(3, 30.0, "EU")], "id long, v double, region string"),
+        root,
+        mode="append",
+    )
+    eu_files = set(_glob.glob(f"{root}/region=EU/*.parquet"))
+    assert eu_files
+    eu_bytes = {f: _os.path.getsize(f) for f in eu_files}
+
+    v = delta_delete(spark, root, "v >= 20.0 AND region = 'US'")
+    got = {(r["id"], r["v"], r["region"]) for r in delta_read(spark, root).collect()}
+    assert got == {(1, 10.0, "US"), (3, 30.0, "EU")}
+    # the EU file group was untouched — byte-identical under its name
+    assert {f: _os.path.getsize(f) for f in eu_files} == eu_bytes
+    # pre-delete snapshot still reads complete
+    assert delta_read(spark, root, v - 1).count() == 3
+
+    # predicate on a partition column alone works too
+    delta_update(spark, root, {"v": "v * 10"}, "region = 'EU'")
+    got = {(r["id"], r["v"]) for r in delta_read(spark, root).collect()}
+    assert got == {(1, 10.0), (3, 300.0)}
+
+    # no-match DML: version does not advance
+    before = delta_delete(spark, root, "v > 1e9")
+    assert delta_delete(spark, root, "v > 1e9") == before
+
+    # delete everything in a file: the file is removed with no add
+    delta_delete(spark, root, "region = 'EU'")
+    got = {(r["id"], r["v"]) for r in delta_read(spark, root).collect()}
+    assert got == {(1, 10.0)}
