@@ -1892,6 +1892,73 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 second half: jar-free Delta MERGE
+    (``delta_writer.delta_merge_upsert`` — delete-insert upsert, the
+    deterministic SQL-replayable contract: result = target anti-join
+    source ON keys UNION source). The source updates every 7th order
+    (price ×2) and inserts shifted new keys; only files containing
+    matched keys rewrite, and rewrites + inserts publish as ONE atomic
+    commit. The oracle replays the anti-join+union in DuckDB."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_merge_upsert,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-deltamrg-") + "/orders_merge"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_write(orders, path, mode="error", partition_by=["o_orderstatus"])
+    src = (
+        orders.where("o_orderkey % 7 = 0")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            orders.where("o_orderkey % 1000 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            )
+        )
+    )
+    delta_merge_upsert(spark, path, src, on=["o_orderkey"])
+    got = lakehouse.read_table(spark, "delta", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_MERGE_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 1000 = 0
+), merged AS (
+  SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def hudi_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 second half: jar-free HUDI copy-on-write read
     (``sources.hudi_reader`` — the public hudi.apache.org layout spec
@@ -4462,6 +4529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores_docs": _wrap(bm25_scores_docs),
         "hudi_interop_read": _wrap(hudi_interop_read),
         "delta_dml_roundtrip": _wrap(delta_dml_roundtrip),
+        "delta_merge_roundtrip": _wrap(delta_merge_roundtrip),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -4577,6 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ols_multivariate_ci.
     head = [
         # --- new in r10 ---
+        "delta_merge_roundtrip",
         "delta_dml_roundtrip",
         "hudi_interop_read",
         "bm25_scores_docs",
@@ -4602,7 +4671,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twins (ivf_index_topk, minhash_md5_near_dups,
         # simhash_md5_docs) driver-green r9; all are local-replica
         # green this round) ---
-        "trailing_30d_revenue",
         # --- last driver-checked r6 (asof_last_signup rotated out to
         # fit the 50-cap; asof coverage stays via asof_purchase_order) ---
         "asof_purchase_order",
@@ -4763,6 +4831,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores_docs": BM25_SQL,
         "hudi_interop_read": HUDI_INTEROP_SQL,
         "delta_dml_roundtrip": DELTA_DML_SQL,
+        "delta_merge_roundtrip": DELTA_MERGE_SQL,
         "order_rank_metrics": rel.RANK_METRICS_SQL,
         "string_fn_battery": rel.STRING_BATTERY_SQL,
         "date_fn_battery": rel.DATE_BATTERY_SQL,

@@ -622,19 +622,23 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
 def _dml_rewrite(
     spark: SparkSession,
     path: str,
-    predicate: str,
+    predicate: str | None,
     transform,
     operation: str,
+    hit_fn=None,
+    extra_rows_fn=None,
     _retries: int = 5,
 ) -> int:
-    """Shared CoW DML engine: find the files that contain predicate
-    matches (one scan with ``_metadata.file_path`` — stats-unaffected
-    files never rewrite), rewrite ONLY those files with ``transform``
-    applied to their rows, and publish remove+add in ONE atomic commit.
-    Write volume ∝ affected files, not table size; unaffected files are
-    byte-identical and stay referenced. Refuses tables with deletion
-    vectors or column mapping (their physical layout needs the Delta
-    runtime's own DML)."""
+    """Shared CoW DML engine: find the files that contain matches
+    (one scan with ``_metadata.file_path`` — unaffected files never
+    rewrite), rewrite ONLY those files with ``transform`` applied to
+    their rows, and publish remove+add in ONE atomic commit. Write
+    volume ∝ affected files, not table size; unaffected files are
+    byte-identical and stay referenced. ``hit_fn(snap)`` overrides the
+    predicate for join-shaped matching (MERGE); ``extra_rows_fn(cols)``
+    appends new rows (MERGE inserts) in the SAME atomic commit.
+    Refuses tables with deletion vectors or column mapping (their
+    physical layout needs the Delta runtime's own DML)."""
     import urllib.parse as _up
 
     from pyspark.sql import functions as F
@@ -693,12 +697,8 @@ def _dml_rewrite(
         for p_ in parts[1:]:
             snap = snap.unionByName(p_)
 
-        hit = (
-            snap.where(predicate)
-            .select("__file")
-            .distinct()
-            .collect()
-        )
+        hit_df = hit_fn(snap) if hit_fn is not None else snap.where(predicate)
+        hit = hit_df.select("__file").distinct().collect()
         norm = {}
         for f in files:
             local = _up.urlparse(f).path if "://" in f else f
@@ -708,16 +708,22 @@ def _dml_rewrite(
             local = _up.urlparse(r["__file"]).path
             if local in norm:
                 affected.append(norm[local])
-        if not affected:
+        if not affected and extra_rows_fn is None:
             return cur_v  # no matches anywhere: metadata no-op
         aff_set = set(affected)
 
-        # rows of the affected files ONLY (the hit values are drawn from
-        # snap.__file itself, so representation matches exactly)
-        remainder = snap.where(
-            F.col("__file").isin(*sorted({r["__file"] for r in hit}))
-        )
-        rewritten = transform(remainder.drop("__file"), predicate)
+        if affected:
+            # rows of the affected files ONLY (the hit values are drawn
+            # from snap.__file itself, so representation matches exactly)
+            remainder = snap.where(
+                F.col("__file").isin(*sorted({r["__file"] for r in hit}))
+            )
+            rewritten = transform(remainder.drop("__file"), predicate)
+        else:
+            rewritten = snap.drop("__file").limit(0)
+        if extra_rows_fn is not None:
+            extra = extra_rows_fn([f.name for f in schema.fields])
+            rewritten = rewritten.unionByName(extra)
         staged = _stage_data_files(rewritten, path, list(part_cols))
 
         now = int(time.time() * 1000)
@@ -815,3 +821,57 @@ def delta_update(
         return out
 
     return _dml_rewrite(spark, path, predicate, transform, "UPDATE")
+
+
+def delta_merge_upsert(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+) -> int:
+    """MERGE INTO the Delta table USING ``source`` ON the key columns —
+    jar-free copy-on-write upsert with delete-insert semantics (the
+    deterministic, SQL-replayable contract: result = target anti-join
+    source ON keys, UNION source). Only files containing matched keys
+    rewrite; matched target rows drop, every source row lands, and the
+    whole edit — rewrites plus inserts — publishes as ONE atomic
+    remove+add commit, so readers never see a half-merged table. A
+    merge into an empty or absent table degenerates to create/append.
+    Source schema must match the table by name+type."""
+    try:
+        _, meta, _, cur_v, _ = _replay_full(spark, path)
+    except FileNotFoundError:
+        meta = None
+    if meta is None:
+        return delta_write(source, path, mode="append")
+    table_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if _schema_types(table_schema) != _schema_types(source.schema):
+        raise DeltaSchemaMismatch(
+            "merge source schema differs from the table schema "
+            f"({_schema_types(table_schema)} vs {_schema_types(source.schema)})"
+        )
+    missing = [c for c in on if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge key columns not in source: {missing}")
+    cols = [f.name for f in table_schema.fields]
+    src = source.select(*cols).localCheckpoint(eager=True)
+    keys = src.select(*on).distinct()
+
+    def hit_fn(snap):
+        return snap.join(keys, list(on), "left_semi")
+
+    def transform(remainder, _pred):
+        return remainder.join(keys, list(on), "left_anti")
+
+    def extra_rows_fn(out_cols):
+        return src.select(*out_cols)
+
+    return _dml_rewrite(
+        spark,
+        path,
+        None,
+        transform,
+        "MERGE",
+        hit_fn=hit_fn,
+        extra_rows_fn=extra_rows_fn,
+    )

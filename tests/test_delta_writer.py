@@ -369,3 +369,51 @@ def test_delta_delete_and_update_cow(spark, tmp_path):
     delta_delete(spark, root, "region = 'EU'")
     got = {(r["id"], r["v"]) for r in delta_read(spark, root).collect()}
     assert got == {(1, 10.0)}
+
+
+def test_delta_merge_upsert(spark, tmp_path):
+    """Delete-insert MERGE: matched target rows replace, new keys
+    insert, both in ONE commit; unaffected files stay byte-identical;
+    empty-table merge degenerates to create."""
+    import glob as _glob
+    import os as _os
+
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_merge_upsert,
+    )
+
+    root = str(tmp_path / "dmrg")
+    delta_write(
+        spark.createDataFrame(
+            [(1, 10.0, "US"), (2, 20.0, "EU")], "id long, v double, region string"
+        ),
+        root,
+        mode="error",
+        partition_by=["region"],
+    )
+    eu = {f: _os.path.getsize(f) for f in _glob.glob(f"{root}/region=EU/*.parquet")}
+    src = spark.createDataFrame(
+        [(1, 11.0, "US"), (9, 90.0, "AS")], "id long, v double, region string"
+    )
+    v = delta_merge_upsert(spark, root, src, on=["id"])
+    got = _rows(delta_read(spark, root), "id", "v", "region")
+    assert got == {(1, 11.0, "US"), (2, 20.0, "EU"), (9, 90.0, "AS")}
+    # EU file group had no matched keys: untouched
+    assert {f: _os.path.getsize(f) for f in eu} == eu
+    # one atomic commit: remove + adds in the same version file
+    with open(f"{root}/_delta_log/{v:020d}.json") as f:
+        kinds = [next(iter(json.loads(l))) for l in f if l.strip()]
+    assert "remove" in kinds and "add" in kinds
+    # pre-merge snapshot intact
+    assert _rows(delta_read(spark, root, v - 1), "id", "v") == {
+        (1, 10.0), (2, 20.0),
+    }
+    # schema gate
+    with pytest.raises(DeltaSchemaMismatch, match="merge source"):
+        delta_merge_upsert(
+            spark, root, spark.createDataFrame([(1,)], "id long"), on=["id"]
+        )
+    # merge into an absent table = create
+    root2 = str(tmp_path / "dmrg2")
+    delta_merge_upsert(spark, root2, src, on=["id"])
+    assert _rows(delta_read(spark, root2), "id") == {(1,), (9,)}
