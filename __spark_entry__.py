@@ -2030,6 +2030,52 @@ def hudi_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 HUDI_INTEROP_SQL = DELTA_IDMODE_SQL
 
 
+def hudi_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 second half: jar-free HUDI copy-on-write WRITE
+    (``sources.hudi_writer``): high-value orders create a
+    Hive-partitioned CoW table (spec file-group names, ``_hoodie_*``
+    meta columns, partition metadata markers, timeline commit as the
+    atomic publish point), the rest APPEND as new file groups, and the
+    result reads back through the front-door fallback. The oracle is
+    the same aggregate over raw parquet — all three lakehouse formats
+    now WRITE jar-free too."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.hudi_writer import hudi_write
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-hudi-w-") + "/orders_hudi_w"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    hudi_write(
+        orders.where("o_totalprice > 150000"),
+        path,
+        mode="error",
+        record_key="o_orderkey",
+        partition_by=["o_orderpriority"],
+    )
+    hudi_write(
+        orders.where("o_totalprice <= 150000"),
+        path,
+        mode="append",
+        record_key="o_orderkey",
+    )
+    got = lakehouse.read_table(spark, "hudi", path)
+    return (
+        got.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+HUDI_WRITE_SQL = ICEBERG_WRITE_SQL
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -4528,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_docs": _wrap(dedup_substring_docs),
         "bm25_scores_docs": _wrap(bm25_scores_docs),
         "hudi_interop_read": _wrap(hudi_interop_read),
+        "hudi_write_roundtrip": _wrap(hudi_write_roundtrip),
         "delta_dml_roundtrip": _wrap(delta_dml_roundtrip),
         "delta_merge_roundtrip": _wrap(delta_merge_roundtrip),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
@@ -4645,6 +4692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ols_multivariate_ci.
     head = [
         # --- new in r10 ---
+        "hudi_write_roundtrip",
         "delta_merge_roundtrip",
         "delta_dml_roundtrip",
         "hudi_interop_read",
@@ -4673,7 +4721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green this round) ---
         # --- last driver-checked r6 (asof_last_signup rotated out to
         # fit the 50-cap; asof coverage stays via asof_purchase_order) ---
-        "asof_purchase_order",
         "cube_year_flag",
         "distinct_parts_per_flag",
         "large_parts_except_cheap",
@@ -4830,6 +4877,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_docs": DEDUP_SUBSTRING_SQL,
         "bm25_scores_docs": BM25_SQL,
         "hudi_interop_read": HUDI_INTEROP_SQL,
+        "hudi_write_roundtrip": HUDI_WRITE_SQL,
         "delta_dml_roundtrip": DELTA_DML_SQL,
         "delta_merge_roundtrip": DELTA_MERGE_SQL,
         "order_rank_metrics": rel.RANK_METRICS_SQL,

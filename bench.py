@@ -391,6 +391,7 @@ QUERIES = {
     "iceberg_write_roundtrip": entrymod.iceberg_write_roundtrip,
     "delta_idmode_read": entrymod.delta_idmode_read,
     "hudi_interop_read": entrymod.hudi_interop_read,
+    "hudi_write_roundtrip": entrymod.hudi_write_roundtrip,
     "delta_dml_roundtrip": entrymod.delta_dml_roundtrip,
     "delta_merge_roundtrip": entrymod.delta_merge_roundtrip,
     "bm25_scores_docs": entrymod.bm25_scores_docs,

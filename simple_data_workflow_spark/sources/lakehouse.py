@@ -114,6 +114,13 @@ def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> 
 
             iceberg_write(df, path, mode=mode)
             return
+        if fmt == "hudi":
+            from simple_data_workflow_spark.sources.hudi_writer import (
+                hudi_write,
+            )
+
+            hudi_write(df, path, mode=mode, record_key=df.columns[0])
+            return
         raise NotImplementedError(
             f"{fmt} requires the {_FORMATS[fmt]} jar on the Spark classpath "
             "(not present in this environment)"
