@@ -2076,6 +2076,54 @@ def hudi_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 HUDI_WRITE_SQL = ICEBERG_WRITE_SQL
 
 
+def hudi_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 second half: jar-free Hudi CoW UPSERT
+    (``hudi_writer.hudi_upsert`` — delete-insert by record key via ONE
+    atomic replacecommit; only matched file groups rewrite). Same
+    source shape as ``delta_merge_roundtrip`` (every 7th order updated
+    ×2, shifted new keys inserted), same anti-join+union oracle."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_upsert,
+        hudi_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-hudi-u-") + "/orders_hudi_u"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    hudi_write(
+        orders,
+        path,
+        mode="error",
+        record_key="o_orderkey",
+        partition_by=["o_orderstatus"],
+    )
+    src = (
+        orders.where("o_orderkey % 7 = 0")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            orders.where("o_orderkey % 1000 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            )
+        )
+    )
+    hudi_upsert(spark, path, src)
+    got = lakehouse.read_table(spark, "hudi", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -4575,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores_docs": _wrap(bm25_scores_docs),
         "hudi_interop_read": _wrap(hudi_interop_read),
         "hudi_write_roundtrip": _wrap(hudi_write_roundtrip),
+        "hudi_upsert_roundtrip": _wrap(hudi_upsert_roundtrip),
         "delta_dml_roundtrip": _wrap(delta_dml_roundtrip),
         "delta_merge_roundtrip": _wrap(delta_merge_roundtrip),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
@@ -4878,6 +4927,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores_docs": BM25_SQL,
         "hudi_interop_read": HUDI_INTEROP_SQL,
         "hudi_write_roundtrip": HUDI_WRITE_SQL,
+        "hudi_upsert_roundtrip": DELTA_MERGE_SQL,
         "delta_dml_roundtrip": DELTA_DML_SQL,
         "delta_merge_roundtrip": DELTA_MERGE_SQL,
         "order_rank_metrics": rel.RANK_METRICS_SQL,

@@ -392,6 +392,7 @@ QUERIES = {
     "delta_idmode_read": entrymod.delta_idmode_read,
     "hudi_interop_read": entrymod.hudi_interop_read,
     "hudi_write_roundtrip": entrymod.hudi_write_roundtrip,
+    "hudi_upsert_roundtrip": entrymod.hudi_upsert_roundtrip,
     "delta_dml_roundtrip": entrymod.delta_dml_roundtrip,
     "delta_merge_roundtrip": entrymod.delta_merge_roundtrip,
     "bm25_scores_docs": entrymod.bm25_scores_docs,

@@ -150,17 +150,40 @@ def hudi_write(
     # the new files land
     replaced: dict[str, set[str]] = {}
     if exists and mode == "overwrite":
-        import re as _re
-
-        jvm, fs = _jfs(spark, path)
-        root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
-        for f in hudi_snapshot_files(spark, path):
-            name = f.rsplit("/", 1)[1]
-            fid = name.split("_", 1)[0]
-            rel = f[len(root_local) + 1 :]
-            part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        for part, fid in _live_groups(spark, path):
             replaced.setdefault(part, set()).add(fid)
+    op = "INSERT" if mode != "overwrite" else "INSERT_OVERWRITE_TABLE"
+    return _insert_batch(
+        df, path, keys, partition_by, replaced, exists, instant, op
+    )
 
+
+def _live_groups(spark: SparkSession, path: str):
+    """(partition relpath, fileId) of every live file group."""
+    jvm, _ = _jfs(spark, path)
+    root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    for f in hudi_snapshot_files(spark, path):
+        name = f.rsplit("/", 1)[1]
+        fid = name.split("_", 1)[0]
+        rel = f[len(root_local) + 1 :]
+        part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        yield part, fid
+
+
+def _insert_batch(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str],
+    replaced: dict,
+    exists: bool,
+    instant: str,
+    operation: str,
+) -> str:
+    """Enrich with meta columns, stage distributed, move into
+    spec-named file groups, publish the timeline instant if-absent
+    (``replacecommit`` when groups retire, ``commit`` otherwise)."""
+    spark = df.sparkSession
     # ---- meta columns + staging --------------------------------------
     key_expr = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
     part_path_expr = (
@@ -285,11 +308,9 @@ def hudi_write(
 
     meta = {
         "partitionToWriteStats": write_stats,
-        "operationType": "INSERT"
-        if mode != "overwrite"
-        else "INSERT_OVERWRITE_TABLE",
+        "operationType": operation,
     }
-    if mode == "overwrite" and replaced:
+    if replaced:
         meta["partitionToReplaceFileIds"] = {
             p: sorted(ids) for p, ids in replaced.items()
         }
@@ -303,3 +324,85 @@ def hudi_write(
             f"instant {instant} at {path} was committed by another writer"
         )
     return instant
+
+
+def hudi_upsert(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+) -> str:
+    """UPSERT into an existing Hudi CoW table by its record key —
+    delete-insert semantics published as ONE atomic ``replacecommit``:
+    file groups containing matched keys retire
+    (``partitionToReplaceFileIds``), their unmatched rows rewrite into
+    new groups alongside every source row, and readers flip from the
+    old groups to the new ones at the single timeline instant — the
+    same mechanism Hudi's own clustering/insert_overwrite uses, so
+    snapshot isolation and ``as_of`` time travel hold throughout.
+    Record-key columns come from ``hoodie.properties``. Unmatched file
+    groups are untouched (write volume ∝ affected groups)."""
+    props = load_table_properties(spark, path)
+    keys = [
+        k
+        for k in (props.get("hoodie.table.recordkey.fields", "") or "").split(",")
+        if k
+    ]
+    if not keys:
+        raise ValueError(
+            "hoodie.table.recordkey.fields missing — cannot upsert "
+            "without record keys"
+        )
+    partition_by = [
+        p
+        for p in (props.get("hoodie.table.partition.fields", "") or "").split(",")
+        if p
+    ]
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(f"record key columns not in source: {missing}")
+
+    files = hudi_snapshot_files(spark, path)
+    jvm, _ = _jfs(spark, path)
+    root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    snap = (
+        spark.read.parquet(*files)
+        .withColumn("__file", F.col("_metadata.file_path"))
+    )
+    data_cols = [
+        c for c in snap.columns if c not in _META_COLS and c != "__file"
+    ]
+    src = source.select(*data_cols).localCheckpoint(eager=True)
+    key_df = src.select(*keys).distinct()
+    hit = (
+        snap.join(key_df, keys, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    if not hit:
+        # nothing matched: a plain insert commit
+        instant = _next_instant(spark, path)
+        return _insert_batch(
+            src, path, keys, partition_by, {}, True, instant, "UPSERT"
+        )
+    import urllib.parse as _up
+
+    replaced: dict[str, set[str]] = {}
+    hit_paths = sorted({r["__file"] for r in hit})
+    for p_ in hit_paths:
+        local = _up.urlparse(p_).path
+        name = local.rsplit("/", 1)[1]
+        fid = name.split("_", 1)[0]
+        rel = local[len(root_local) + 1 :]
+        part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        replaced.setdefault(part, set()).add(fid)
+    remainder = (
+        snap.where(F.col("__file").isin(*hit_paths))
+        .select(*data_cols)
+        .join(key_df, keys, "left_anti")
+    )
+    batch = remainder.unionByName(src)
+    instant = _next_instant(spark, path)
+    return _insert_batch(
+        batch, path, keys, partition_by, replaced, True, instant, "UPSERT"
+    )

@@ -189,3 +189,55 @@ def test_hudi_write_roundtrip_and_overwrite(spark, tmp_path):
         spark.createDataFrame([(5, 5.0)], "id long, v double"), "hudi", root2
     )
     assert {(r["id"], r["v"]) for r in lakehouse.read_table(spark, "hudi", root2).collect()} == {(5, 5.0)}
+
+
+def test_hudi_upsert_replaces_matched_groups(spark, tmp_path):
+    """Delete-insert upsert via ONE replacecommit: matched groups
+    retire, their unmatched rows + all source rows land as new groups,
+    unmatched groups stay byte-identical, pre-upsert instants
+    time-travel."""
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_upsert,
+        hudi_write,
+    )
+
+    root = str(tmp_path / "hup")
+    t1 = hudi_write(
+        spark.createDataFrame(
+            [(1, 1.0, "US"), (2, 2.0, "US")], "id long, v double, region string"
+        ),
+        root,
+        mode="error",
+        record_key="id",
+        partition_by=["region"],
+    )
+    hudi_write(
+        spark.createDataFrame([(3, 3.0, "EU")], "id long, v double, region string"),
+        root,
+        mode="append",
+        record_key="id",
+    )
+    eu = {f: os.path.getsize(f) for f in glob.glob(f"{root}/region=EU/*.parquet")}
+    t3 = hudi_upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(2, 22.0, "US"), (9, 9.0, "AS")], "id long, v double, region string"
+        ),
+    )
+    got = {(r["id"], r["v"], r["region"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(1, 1.0, "US"), (2, 22.0, "US"), (3, 3.0, "EU"), (9, 9.0, "AS")}
+    # the EU group had no matched keys: untouched bytes
+    assert {f: os.path.getsize(f) for f in eu} == eu
+    # one atomic replacecommit
+    assert glob.glob(f"{root}/.hoodie/{t3}.replacecommit")
+    # pre-upsert state still time-travels
+    assert hudi_read(spark, root, as_of=t1).count() == 2
+    # upsert with zero matches = plain insert commit
+    t4 = hudi_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(7, 7.0, "US")], "id long, v double, region string"),
+    )
+    assert glob.glob(f"{root}/.hoodie/{t4}.commit")
+    assert hudi_read(spark, root).count() == 5
