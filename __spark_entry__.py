@@ -2076,6 +2076,191 @@ def hudi_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 HUDI_WRITE_SQL = ICEBERG_WRITE_SQL
 
 
+def iceberg_pos_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 second half: Iceberg v2 POSITION-DELETE read — the
+    reader's biggest refusal tier upgraded to support (mirrors
+    ``delta_dv_read``). The fixture writes orders with the jar-free
+    writer, then hand-publishes a spec-shaped v2 snapshot whose delete
+    manifest points at a position-delete parquet dropping every row
+    whose position ≡ 0 (mod 10) per file; the masked read through the
+    front door must match the oracle's aggregate over the kept rows.
+    Position deletes key by EXACT file path, so the mask is
+    per-target-file — the same ``_metadata.row_index`` Arrow mask the
+    Delta DV scan uses."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        _write_avro,
+        iceberg_write,
+    )
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="sdw-icepd-") + "/orders_pd"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    # deterministic row positions: ONE file, sorted within it (a global
+    # orderBy + coalesce would rely on partition concatenation order)
+    iceberg_write(
+        orders.repartition(1).sortWithinPartitions("o_orderkey"),
+        root,
+        mode="error",
+    )
+    meta = load_table_metadata(spark, root)
+    snap0 = meta["snapshots"][0]
+    data_file = _glob.glob(f"{root}/data/*.parquet")[0]
+    n_rows = _pq.ParquetFile(data_file).metadata.num_rows
+    dele = spark.createDataFrame(
+        [(data_file, p) for p in range(0, n_rows, 10)],
+        "file_path string, pos long",
+    )
+    dpath = f"{root}/data/pos-deletes.parquet"
+    tmp = dpath + ".__tmp__"
+    dele.coalesce(1).write.parquet(tmp)
+    import shutil as _shutil
+
+    part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+    _shutil.move(part, dpath)
+    _shutil.rmtree(tmp)
+    entry_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int", "field-id": 134},
+                            {"name": "file_path", "type": "string", "field-id": 100},
+                            {"name": "file_format", "type": "string", "field-id": 101},
+                            {"name": "record_count", "type": "long", "field-id": 103},
+                            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        ],
+                    },
+                    "field-id": 2,
+                },
+            ],
+        }
+    )
+    dmanifest = f"{root}/metadata/delete-m0.avro"
+    dlen = _write_avro(
+        spark,
+        dmanifest,
+        entry_schema,
+        [
+            {
+                "status": 1,
+                "data_file": {
+                    "content": 1,
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "record_count": (n_rows + 9) // 10,
+                    "file_size_in_bytes": _os.path.getsize(dpath),
+                },
+            }
+        ],
+        meta={"content": "deletes"},
+    )
+    mlist_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string", "field-id": 500},
+                {"name": "manifest_length", "type": "long", "field-id": 501},
+                {"name": "partition_spec_id", "type": "int", "field-id": 502},
+                {"name": "content", "type": "int", "field-id": 517},
+            ],
+        }
+    )
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _avro_records,
+        _get,
+        _j2py,
+    )
+
+    old = list(_avro_records(spark, snap0["manifest-list"]))
+    mlist2 = f"{root}/metadata/snap-777-1-pd.avro"
+    _write_avro(
+        spark,
+        mlist2,
+        mlist_schema,
+        [
+            {
+                "manifest_path": _j2py(_get(old[0], "manifest_path")),
+                "manifest_length": int(_get(old[0], "manifest_length")),
+                "partition_spec_id": 0,
+                "content": 0,
+            },
+            {
+                "manifest_path": dmanifest,
+                "manifest_length": dlen,
+                "partition_spec_id": 0,
+                "content": 1,
+            },
+        ],
+    )
+    meta2 = dict(meta)
+    meta2["format-version"] = 2
+    meta2["last-sequence-number"] = 2
+    meta2["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": 777,
+            "timestamp-ms": snap0["timestamp-ms"] + 1,
+            "summary": {"operation": "delete"},
+            "manifest-list": mlist2,
+            "schema-id": 0,
+        }
+    ]
+    meta2["current-snapshot-id"] = 777
+    with open(f"{root}/metadata/v2.metadata.json", "w") as f:
+        _json.dump(meta2, f)
+    crc = f"{root}/metadata/.version-hint.text.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    with open(f"{root}/metadata/version-hint.text", "w") as f:
+        f.write("2")
+    got = lakehouse.read_table(spark, "iceberg", root)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_POS_DELETE_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM kept
+WHERE pos % 10 <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def hudi_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 second half: jar-free Hudi CoW UPSERT
     (``hudi_writer.hudi_upsert`` — delete-insert by record key via ONE
@@ -4563,6 +4748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_interop_roundtrip": _wrap(delta_interop_roundtrip),
         "iceberg_interop_read": _wrap(iceberg_interop_read),
         "iceberg_write_roundtrip": _wrap(iceberg_write_roundtrip),
+        "iceberg_pos_delete_read": _wrap(iceberg_pos_delete_read),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
@@ -4747,6 +4933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_interop_read",
         "bm25_scores_docs",
         "iceberg_write_roundtrip",
+        "iceberg_pos_delete_read",
         "delta_idmode_read",
         "c4_clean_docs",
         "dedup_substring_docs",
@@ -4770,7 +4957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green this round) ---
         # --- last driver-checked r6 (asof_last_signup rotated out to
         # fit the 50-cap; asof coverage stays via asof_purchase_order) ---
-        "cube_year_flag",
         "distinct_parts_per_flag",
         "large_parts_except_cheap",
         "pivot_segment_by_year",
@@ -4867,6 +5053,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_interop_roundtrip": DELTA_INTEROP_SQL,
         "iceberg_interop_read": ICEBERG_INTEROP_SQL,
         "iceberg_write_roundtrip": ICEBERG_WRITE_SQL,
+        "iceberg_pos_delete_read": ICEBERG_POS_DELETE_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,

@@ -389,6 +389,7 @@ QUERIES = {
     "c4_clean_docs": entrymod.c4_clean_docs,
     "dedup_substring_docs": entrymod.dedup_substring_docs,
     "iceberg_write_roundtrip": entrymod.iceberg_write_roundtrip,
+    "iceberg_pos_delete_read": entrymod.iceberg_pos_delete_read,
     "delta_idmode_read": entrymod.delta_idmode_read,
     "hudi_interop_read": entrymod.hudi_interop_read,
     "hudi_write_roundtrip": entrymod.hudi_write_roundtrip,

@@ -20,14 +20,17 @@ Scope and guardrails — v1/v2 tables on parquet:
   v1 inline ``manifests`` array, ``snapshot_id=`` time travel,
   DELETED-status manifest entries (excluded per spec), struct/list/map
   and all primitive column types, field-id verification against the
-  parquet footers.
+  parquet footers, and v2 POSITION DELETES (delete manifests → plain
+  parquet ``(file_path, pos)`` files, applied per target file with the
+  same Arrow row-index mask the Delta DV scan uses — path-keyed, which
+  is sound because Iceberg never reuses data-file paths).
 - **Refused loudly** (never silently wrong): format-version ≥ 3,
-  delete manifests / delete data files (v2 merge-on-read row-level
-  deletes — reading their data files directly returns deleted rows),
-  non-parquet data files, and tables whose parquet field-ids
-  contradict a by-name column resolution (an Iceberg RENAME moves the
-  name but keeps the id; matching by name would silently misread, so
-  one data-file footer is probed and any id/name mismatch aborts).
+  EQUALITY delete files (applying them needs sequence-number merge
+  semantics), non-parquet data files, and tables whose parquet
+  field-ids contradict a by-name column resolution (an Iceberg RENAME
+  moves the name but keeps the id; matching by name would silently
+  misread, so one data-file footer is probed and any id/name mismatch
+  aborts).
 
 Scale posture: metadata replay is driver-side and ∝ manifest bytes;
 the data read is one plain pushdown-friendly parquet scan over the
@@ -247,14 +250,36 @@ def iceberg_snapshot_files(
     ``snapshot_id=None`` = the current snapshot; an explicit id
     time-travels. Per spec the manifest list is COMPLETE for its
     snapshot, so the live set is every manifest entry whose status is
-    not DELETED (2); delete manifests / delete files refuse."""
+    not DELETED (2). Tables carrying row-level deletes refuse here —
+    ``iceberg_read`` resolves them through
+    ``_snapshot_files_and_deletes`` instead."""
+    files, deletes, schema = _snapshot_files_and_deletes(
+        spark, path, snapshot_id
+    )
+    if deletes:
+        raise IcebergFeatureUnsupported(
+            "snapshot carries row-level delete files; use iceberg_read "
+            "(position deletes are applied there) — returning the raw "
+            "data-file list would resurrect deleted rows"
+        )
+    return files, schema
+
+
+def _snapshot_files_and_deletes(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> tuple[list[str], list[str], T.StructType]:
+    """Snapshot resolution including v2 row-level deletes:
+    ``(data files, POSITION-delete files, schema)``. Equality deletes
+    refuse (applying them needs sequence-number ordering semantics a
+    by-path mask cannot honor); position deletes name their target
+    data file by exact path, so path-keyed application is sound."""
     meta = load_table_metadata(spark, path)
     schema, _ = _schema_and_ids(meta)
     snaps = meta.get("snapshots") or []
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
         if snapshot_id in (None, -1):
-            return [], schema  # empty table: no snapshot yet
+            return [], [], schema  # empty table: no snapshot yet
     snap = next(
         (s for s in snaps if int(s["snapshot-id"]) == int(snapshot_id)), None
     )
@@ -262,22 +287,21 @@ def iceberg_snapshot_files(
         have = [int(s["snapshot-id"]) for s in snaps]
         raise ValueError(f"snapshot {snapshot_id} not in table (have {have})")
 
-    manifests: list[str] = []
+    manifests: list[tuple[str, int]] = []  # (path, content: 0 data/1 deletes)
     if snap.get("manifest-list"):
         for r in _avro_records(spark, _local_path(str(snap["manifest-list"]))):
-            content = _get(r, "content")
-            if content is not None and int(content) != 0:
-                raise IcebergFeatureUnsupported(
-                    "snapshot carries a DELETE manifest (v2 row-level "
-                    "deletes); reading data files directly would "
-                    "resurrect deleted rows — use the Iceberg runtime"
-                )
-            manifests.append(_local_path(_j2py(_get(r, "manifest_path"))))
+            content = int(_get(r, "content") or 0)
+            manifests.append(
+                (_local_path(_j2py(_get(r, "manifest_path"))), content)
+            )
     else:  # older v1 form: inline manifest path array
-        manifests = [_local_path(str(m)) for m in snap.get("manifests") or []]
+        manifests = [
+            (_local_path(str(m)), 0) for m in snap.get("manifests") or []
+        ]
 
     files: list[str] = []
-    for mpath in manifests:
+    delete_files: list[str] = []
+    for mpath, mcontent in manifests:
         for e in _avro_records(spark, mpath):
             status = int(_get(e, "status") or 0)
             if status == 2:  # DELETED — not part of the table
@@ -285,20 +309,37 @@ def iceberg_snapshot_files(
             df = _get(e, "data_file")
             if df is None:
                 raise ValueError(f"manifest entry without data_file in {mpath}")
-            fcontent = _get(df, "content")
-            if fcontent is not None and int(fcontent) != 0:
-                raise IcebergFeatureUnsupported(
-                    "data_file.content marks a delete file (position/"
-                    "equality deletes); unsupported without the runtime"
-                )
+            fcontent = int(_get(df, "content") or 0)
             fmt = (_j2py(_get(df, "file_format")) or "PARQUET").upper()
             if fmt != "PARQUET":
                 raise IcebergFeatureUnsupported(
                     f"data file format {fmt}; the jar-free reader scans "
                     "parquet only"
                 )
-            files.append(_local_path(_j2py(_get(df, "file_path"))))
-    return sorted(set(files)), schema
+            fpath = _local_path(_j2py(_get(df, "file_path")))
+            if mcontent == 0 and fcontent == 0:
+                files.append(fpath)
+            elif fcontent == 1:
+                delete_files.append(fpath)  # POSITION_DELETES
+            elif mcontent == 1 and fcontent == 0:
+                # a v2 delete manifest MUST stamp data_file.content;
+                # guessing position-vs-equality could resurrect or
+                # over-delete rows
+                raise IcebergFeatureUnsupported(
+                    f"delete manifest entry without data_file.content "
+                    f"in {mpath} (malformed v2 metadata)"
+                )
+            elif fcontent == 2:
+                raise IcebergFeatureUnsupported(
+                    "snapshot carries EQUALITY delete files; applying "
+                    "them needs sequence-number merge semantics — use "
+                    "the Iceberg runtime"
+                )
+            else:
+                raise IcebergFeatureUnsupported(
+                    f"unknown data_file.content {fcontent} in {mpath}"
+                )
+    return sorted(set(files)), sorted(set(delete_files)), schema
 
 
 def _verify_field_ids(files: list[str], ids: dict[str, int]) -> None:
@@ -338,13 +379,45 @@ def iceberg_read(
     """Read an Iceberg table without the runtime jar: resolve the
     snapshot's data files from metadata JSON + Avro manifests
     (driver-side, metadata-sized), verify by-name resolution against
-    the parquet field-ids, and scan the files as one plain parquet
-    read (Iceberg data files store all columns — no partition-value
-    injection needed)."""
-    files, schema = iceberg_snapshot_files(spark, path, snapshot_id)
+    the parquet field-ids, scan the files as one plain parquet read
+    (Iceberg data files store all columns — no partition-value
+    injection needed), and apply v2 POSITION DELETES: delete files are
+    plain parquet ``(file_path, pos)`` rows keyed by the EXACT target
+    path (paths are never reused, so path-keyed masking is sound
+    without sequence numbers), applied per-file with the same
+    ``_metadata.row_index`` + Arrow ``np.isin`` mask the Delta
+    deletion-vector scan uses (mask bytes ∝ deleted rows)."""
+    files, delete_files, schema = _snapshot_files_and_deletes(
+        spark, path, snapshot_id
+    )
     meta = load_table_metadata(spark, path)
     _, ids = _schema_and_ids(meta)
     _verify_field_ids(files, ids)
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    positions: dict[str, object] = {}
+    if delete_files:
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        rows = (
+            spark.read.parquet(*delete_files)
+            .select("file_path", "pos")
+            .groupBy("file_path")
+            .agg(F.collect_list("pos").alias("ps"))
+            .collect()
+        )
+        by_local = {}
+        for r in rows:
+            by_local[_local_path(str(r["file_path"]))] = np.unique(
+                np.asarray(r["ps"], dtype=np.int64)
+            )
+        for f in files:
+            if f in by_local:
+                positions[f] = by_local[f]
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _dv_masked_scan,
+    )
+
+    return _dv_masked_scan(spark, schema, files, positions)

@@ -298,10 +298,25 @@ _MANIFEST_FILE_SCHEMA_JSON = json.dumps(
 )
 
 
-def _jlong(jvm, v: int):
-    """py4j maps small Python ints to java.lang.Integer, which Avro's
-    GenericDatumWriter refuses for ``long`` fields — box explicitly."""
-    return jvm.java.lang.Long(str(int(v)))
+def _avro_json_value(ftype, v):
+    """Python value → Avro JSON-encoding value for ``ftype`` (the
+    python-parsed schema node). Unions wrap non-null branches as
+    ``{"<branch name>": value}`` per the Avro spec's JSON encoding."""
+    if isinstance(ftype, list):  # union
+        if v is None:
+            return None
+        branch = next(t for t in ftype if t != "null")
+        if isinstance(branch, str):
+            key = branch
+        else:
+            key = branch.get("name") or branch["type"]
+        return {key: _avro_json_value(branch, v)}
+    if isinstance(ftype, dict) and ftype.get("type") == "record":
+        return {
+            f["name"]: _avro_json_value(f["type"], (v or {}).get(f["name"]))
+            for f in ftype["fields"]
+        }
+    return v
 
 
 def _write_avro(
@@ -312,31 +327,22 @@ def _write_avro(
     meta: dict[str, str] | None = None,
 ) -> int:
     """Write one Avro object-container file through the reference
-    implementation; returns its byte length. ``long`` fields must be
-    pre-boxed with ``_jlong``; nested dicts become sub-records."""
+    implementation; returns its byte length. Rows cross the py4j
+    boundary as Avro-JSON and are decoded by the reference
+    ``jsonDecoder`` — the SCHEMA fixes every numeric width, so py4j's
+    int-vs-long boxing ambiguity (which made small values in
+    ``["null","long"]`` unions unresolvable) cannot corrupt types."""
     jvm, fs = _jfs(spark, path)
     schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    py_schema = json.loads(schema_json)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
 
-    def to_rec(sch, d: dict):
-        rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
-        for f in sch.getFields():
-            name = f.name()
-            v = d.get(name)
-            ftype = f.schema()
-            # unwrap unions to the non-null branch for nested records
-            if ftype.getType().getName() == "union":
-                branches = list(ftype.getTypes())
-                ftype = next(
-                    (b for b in branches if b.getType().getName() != "null"),
-                    ftype,
-                )
-            if isinstance(v, dict):
-                v = to_rec(ftype, v)
-            elif isinstance(v, int) and not isinstance(v, bool):
-                if ftype.getType().getName() == "long":
-                    v = _jlong(jvm, v)
-            rec.put(name, v)
-        return rec
+    def to_rec(d: dict):
+        body = json.dumps(_avro_json_value(py_schema, d))
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
+            schema, body
+        )
+        return reader.read(None, dec)
 
     writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
     dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
@@ -347,7 +353,7 @@ def _write_avro(
     dfw.create(schema, out)
     try:
         for r in rows:
-            dfw.append(to_rec(schema, r))
+            dfw.append(to_rec(r))
     finally:
         dfw.close()
     return int(fs.getFileStatus(jpath).getLen())

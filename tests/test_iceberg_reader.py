@@ -243,7 +243,9 @@ def test_iceberg_refusals(spark, tmp_path):
     with pytest.raises(IcebergFeatureUnsupported, match="format-version 3"):
         iceberg_read(spark, root)
 
-    # delete manifest in the manifest list
+    # EQUALITY delete file in a delete manifest (position deletes are
+    # supported since the second half of round 10 — own test in
+    # test_iceberg_writer.py; equality needs sequence-number merging)
     root2 = str(tmp_path / "icedel")
     _write_parquet_file(
         spark,
@@ -253,6 +255,10 @@ def test_iceberg_refusals(spark, tmp_path):
     _avro_write(
         spark, f"{root2}/metadata/m.avro", _MANIFEST_ENTRY_SCHEMA,
         [_data_entry(f"{root2}/data/a.parquet", 1)],
+    )
+    _avro_write(
+        spark, f"{root2}/metadata/md.avro", _MANIFEST_ENTRY_SCHEMA,
+        [_data_entry(f"{root2}/data/eq.parquet", 1, content=2)],
     )
     _avro_write(
         spark, f"{root2}/metadata/ml.avro", _MANIFEST_FILE_SCHEMA,
@@ -265,10 +271,11 @@ def test_iceberg_refusals(spark, tmp_path):
     )
     snaps = [{"snapshot-id": 1, "manifest-list": f"{root2}/metadata/ml.avro"}]
     _write_metadata(root2, 1, _table_metadata(root2, snaps, 1))
-    with pytest.raises(IcebergFeatureUnsupported, match="DELETE manifest"):
+    with pytest.raises(IcebergFeatureUnsupported, match="EQUALITY"):
         iceberg_read(spark, root2)
 
-    # delete DATA file (content=1) inside a data manifest
+    # a delete manifest whose entry lacks data_file.content is
+    # MALFORMED v2 metadata: position-vs-equality cannot be guessed
     root3 = str(tmp_path / "icedf")
     _write_parquet_file(
         spark,
@@ -277,11 +284,24 @@ def test_iceberg_refusals(spark, tmp_path):
     )
     _avro_write(
         spark, f"{root3}/metadata/m.avro", _MANIFEST_ENTRY_SCHEMA,
-        [_data_entry(f"{root3}/data/a.parquet", 1, content=1)],
+        [_data_entry(f"{root3}/data/a.parquet", 1)],
     )
-    snaps = [{"snapshot-id": 1, "manifests": [f"{root3}/metadata/m.avro"]}]
-    _write_metadata(root3, 1, _table_metadata(root3, snaps, 1, format_version=1))
-    with pytest.raises(IcebergFeatureUnsupported, match="delete file"):
+    _avro_write(
+        spark, f"{root3}/metadata/md.avro", _MANIFEST_ENTRY_SCHEMA,
+        [_data_entry(f"{root3}/data/pd.parquet", 1)],  # content absent
+    )
+    _avro_write(
+        spark, f"{root3}/metadata/ml.avro", _MANIFEST_FILE_SCHEMA,
+        [
+            {"manifest_path": f"{root3}/metadata/m.avro",
+             "manifest_length": 1, "content": 0},
+            {"manifest_path": f"{root3}/metadata/md.avro",
+             "manifest_length": 1, "content": 1},
+        ],
+    )
+    snaps = [{"snapshot-id": 1, "manifest-list": f"{root3}/metadata/ml.avro"}]
+    _write_metadata(root3, 1, _table_metadata(root3, snaps, 1))
+    with pytest.raises(IcebergFeatureUnsupported, match="malformed"):
         iceberg_read(spark, root3)
 
 

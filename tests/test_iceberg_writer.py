@@ -157,3 +157,192 @@ def test_iceberg_lakehouse_front_door(spark, tmp_path):
     lakehouse.write_table(df, "iceberg", root, mode="overwrite")
     got = lakehouse.read_table(spark, "iceberg", root)
     assert _rows(got) == {(1, 2.0)}
+
+
+def test_iceberg_position_deletes_applied(spark, tmp_path):
+    """v2 row-level POSITION deletes: a delete manifest's parquet
+    (file_path, pos) rows mask exactly those rows out of their target
+    data files; equality deletes still refuse. The fixture extends a
+    writer-built table with a hand-built v2 snapshot (manifest list
+    with content fields, delete manifest, delete parquet)."""
+    import json as _json
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        IcebergFeatureUnsupported,
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        _write_avro,
+        iceberg_write,
+    )
+
+    root = str(tmp_path / "ipd")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    )
+    iceberg_write(df.coalesce(1), root, mode="error")
+    meta = load_table_metadata(spark, root)
+    snap0 = meta["snapshots"][0]
+    data_file = glob.glob(f"{root}/data/*.parquet")[0]
+
+    # position-delete parquet: drop rows at positions 1, 3, 7
+    dele = spark.createDataFrame(
+        [(data_file, 1), (data_file, 3), (data_file, 7)],
+        "file_path string, pos long",
+    )
+    dpath = f"{root}/data/pos-deletes.parquet"
+    tmp = dpath + ".__tmp__"
+    dele.coalesce(1).write.parquet(tmp)
+    import shutil as _shutil
+
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    _shutil.move(part, dpath)
+    _shutil.rmtree(tmp)
+
+    entry_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int", "field-id": 134},
+                            {"name": "file_path", "type": "string", "field-id": 100},
+                            {"name": "file_format", "type": "string", "field-id": 101},
+                            {"name": "record_count", "type": "long", "field-id": 103},
+                            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        ],
+                    },
+                    "field-id": 2,
+                },
+            ],
+        }
+    )
+    dmanifest = f"{root}/metadata/delete-m0.avro"
+    dlen = _write_avro(
+        spark,
+        dmanifest,
+        entry_schema,
+        [
+            {
+                "status": 1,
+                "data_file": {
+                    "content": 1,
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "record_count": 3,
+                    "file_size_in_bytes": 100,
+                },
+            }
+        ],
+        meta={"content": "deletes"},
+    )
+    mlist_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string", "field-id": 500},
+                {"name": "manifest_length", "type": "long", "field-id": 501},
+                {"name": "partition_spec_id", "type": "int", "field-id": 502},
+                {"name": "content", "type": "int", "field-id": 517},
+                {"name": "added_snapshot_id", "type": ["null", "long"],
+                 "default": None, "field-id": 503},
+            ],
+        }
+    )
+    # the original snapshot's (only) data manifest rides along
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _avro_records,
+        _get,
+        _j2py,
+    )
+
+    old = list(_avro_records(spark, snap0["manifest-list"]))
+    data_manifest = _j2py(_get(old[0], "manifest_path"))
+    data_len = int(_get(old[0], "manifest_length"))
+    mlist2 = f"{root}/metadata/snap-777-1-x.avro"
+    _write_avro(
+        spark,
+        mlist2,
+        mlist_schema,
+        [
+            {"manifest_path": data_manifest, "manifest_length": data_len,
+             "partition_spec_id": 0, "content": 0, "added_snapshot_id": 777},
+            {"manifest_path": dmanifest, "manifest_length": dlen,
+             "partition_spec_id": 0, "content": 1, "added_snapshot_id": 777},
+        ],
+    )
+    meta2 = dict(meta)
+    meta2["format-version"] = 2
+    meta2["last-sequence-number"] = 2
+    meta2["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": 777,
+            "timestamp-ms": snap0["timestamp-ms"] + 1,
+            "summary": {"operation": "delete"},
+            "manifest-list": mlist2,
+            "schema-id": 0,
+            "sequence-number": 2,
+        }
+    ]
+    meta2["current-snapshot-id"] = 777
+    import os as _os
+
+    with open(f"{root}/metadata/v2.metadata.json", "w") as f:
+        _json.dump(meta2, f)
+    # the writer created version-hint.text through Hadoop's checksummed
+    # local FS; a plain-Python overwrite must drop the stale .crc
+    crc = f"{root}/metadata/.version-hint.text.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    with open(f"{root}/metadata/version-hint.text", "w") as f:
+        f.write("2")
+
+    got = {r["id"] for r in iceberg_read(spark, root).collect()}
+    assert got == {0, 2, 4, 5, 6, 8, 9}
+    # snapshot_id time travel to the pre-delete snapshot: complete
+    pre = iceberg_read(spark, root, snapshot_id=snap0["snapshot-id"])
+    assert pre.count() == 10
+    # the raw-file resolver refuses a delete-carrying snapshot
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_snapshot_files,
+    )
+
+    with pytest.raises(IcebergFeatureUnsupported, match="delete"):
+        iceberg_snapshot_files(spark, root)
+
+    # equality deletes refuse
+    eman = f"{root}/metadata/eq-m0.avro"
+    elen = _write_avro(
+        spark, eman, entry_schema,
+        [{"status": 1, "data_file": {"content": 2, "file_path": dpath,
+          "file_format": "PARQUET", "record_count": 1,
+          "file_size_in_bytes": 10}}],
+    )
+    mlist3 = f"{root}/metadata/snap-778-1-x.avro"
+    _write_avro(
+        spark, mlist3, mlist_schema,
+        [{"manifest_path": eman, "manifest_length": elen,
+          "partition_spec_id": 0, "content": 1, "added_snapshot_id": 778}],
+    )
+    meta3 = dict(meta2)
+    meta3["snapshots"] = meta2["snapshots"] + [
+        {"snapshot-id": 778, "timestamp-ms": snap0["timestamp-ms"] + 2,
+         "summary": {"operation": "delete"}, "manifest-list": mlist3,
+         "schema-id": 0}
+    ]
+    meta3["current-snapshot-id"] = 778
+    with open(f"{root}/metadata/v3.metadata.json", "w") as f:
+        _json.dump(meta3, f)
+    with open(f"{root}/metadata/version-hint.text", "w") as f:
+        f.write("3")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    with pytest.raises(IcebergFeatureUnsupported, match="EQUALITY"):
+        iceberg_read(spark, root).collect()
