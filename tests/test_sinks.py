@@ -302,9 +302,8 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
 
 def test_lakehouse_write_gate(spark, tmp_path):
     """Lakehouse writer front door: clean ValueError on unknown
-    formats; Hudi still env-gates on its jar; Delta WRITES through the
-    jar-free fallback (round 10, sources.delta_writer) and round-trips
-    through the matching read fallback."""
+    formats; ALL THREE formats write through their jar-free fallbacks
+    (round 10) and round-trip through the matching read fallbacks."""
     import pytest
 
     from simple_data_workflow_spark.sources.lakehouse import (
@@ -315,7 +314,6 @@ def test_lakehouse_write_gate(spark, tmp_path):
     df = spark.range(3).selectExpr("id")
     with pytest.raises(ValueError, match="unknown lakehouse format"):
         write_table(df, "not_a_format", str(tmp_path / "x"))
-    with pytest.raises(NotImplementedError, match="hudi"):
-        write_table(df, "hudi", str(tmp_path / "h"))
-    write_table(df, "delta", str(tmp_path / "d"))
-    assert read_table(spark, "delta", str(tmp_path / "d")).count() == 3
+    for fmt in ("delta", "iceberg", "hudi"):
+        write_table(df, fmt, str(tmp_path / fmt))
+        assert read_table(spark, fmt, str(tmp_path / fmt)).count() == 3
