@@ -27,7 +27,7 @@ common case):
   COLUMN MAPPING in ``name`` mode (scan by the schemaString's
   ``physicalName`` metadata, translated back to logical names at every
   nesting level with one positional struct cast per top-level column;
-  partitionValues resolved by physical key).
+  partitionValues resolved by physical key)
   and COLUMN MAPPING in ``id`` mode (the scan schema carries each
   field's ``delta.columnMapping.id`` as ``parquet.field.id`` metadata
   and Spark's native field-id resolution
@@ -502,3 +502,67 @@ def delta_read(
         df = df.select(*[f.name for f in schema.fields])
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def delta_version_at_timestamp(spark: SparkSession, path: str, ts_ms: int) -> int:
+    """Resolve ``timestampAsOf`` to a version: the LATEST commit whose
+    timestamp is <= ``ts_ms``. Per PROTOCOL.md the commit timestamp is
+    the ``commitInfo.timestamp`` when present, else the log file's
+    modification time (Delta's own fallback). Raises if the table has
+    no commit at or before the asked instant."""
+    jvm, fs = _jfs(spark, path)
+    commits, _cps = _list_log(spark, path)
+    best = None
+    for v in commits:
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/_delta_log/{v:020d}.json"
+        )
+        t = int(fs.getFileStatus(p).getModificationTime())
+        raw = _read_bytes(spark, str(p.toUri().getPath())).decode("utf-8")
+        for line in raw.splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                t = int(a["commitInfo"]["timestamp"])
+                break
+        if t <= ts_ms and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {ts_ms} in {path}"
+        )
+    return best
+
+
+def delta_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's commit history as a DataFrame — Delta's DESCRIBE
+    HISTORY shape (version, timestamp, operation, operationParameters)
+    from the ``commitInfo`` actions. Metadata-sized (bytes ∝ log)."""
+    commits, _cps = _list_log(spark, path)
+    rows = []
+    for v in commits:
+        raw = _read_bytes(
+            spark, f"{path}/_delta_log/{v:020d}.json"
+        ).decode("utf-8")
+        info = {}
+        for line in raw.splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                info = a["commitInfo"]
+                break
+        rows.append(
+            (
+                v,
+                info.get("timestamp"),
+                info.get("operation"),
+                json.dumps(info.get("operationParameters") or {}),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp long, operation string, "
+        "operation_parameters string",
+    )

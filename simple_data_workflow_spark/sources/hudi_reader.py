@@ -199,3 +199,25 @@ def hudi_read(
         if meta_cols:
             df = df.drop(*meta_cols)
     return df
+
+
+def hudi_timeline_table(spark: SparkSession, path: str) -> DataFrame:
+    """The table's timeline as a DataFrame (instant, action, state) —
+    the ``hudi_table_changes``/timeline view's shape. Pending instants
+    surface too (state = requested/inflight), so operators can see
+    in-flight writes without being able to read them."""
+    jvm, fs = _jfs(spark, path)
+    hd = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie")
+    rows = []
+    for st in fs.listStatus(hd):
+        name = st.getPath().getName()
+        m = re.match(
+            r"^(\d+)\.(commit|replacecommit|clean|rollback)"
+            r"(?:\.(requested|inflight))?$",
+            name,
+        )
+        if m:
+            rows.append((m.group(1), m.group(2), m.group(3) or "completed"))
+    return spark.createDataFrame(
+        sorted(rows), "instant string, action string, state string"
+    )

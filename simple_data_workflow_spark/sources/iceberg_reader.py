@@ -421,3 +421,41 @@ def iceberg_read(
     )
 
     return _dv_masked_scan(spark, schema, files, positions)
+
+
+def iceberg_snapshots_table(spark: SparkSession, path: str) -> DataFrame:
+    """The table's snapshot history as a DataFrame — Iceberg's
+    ``snapshots`` metadata table shape (snapshot_id, timestamp_ms,
+    operation, manifest_list, parent_id). Metadata-sized."""
+    meta = load_table_metadata(spark, path)
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            s.get("timestamp-ms"),
+            (s.get("summary") or {}).get("operation"),
+            s.get("manifest-list"),
+            s.get("parent-snapshot-id"),
+        )
+        for s in meta.get("snapshots") or []
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, timestamp_ms long, operation string, "
+        "manifest_list string, parent_id long",
+    )
+
+
+def iceberg_files_table(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The snapshot's live data files as a DataFrame — Iceberg's
+    ``files`` metadata table shape (file_path, and whether position
+    deletes target it). Metadata-sized (one manifest replay)."""
+    files, deletes, _schema = _snapshot_files_and_deletes(
+        spark, path, snapshot_id
+    )
+    dset = set(deletes)
+    rows = [(f, bool(dset)) for f in files]
+    return spark.createDataFrame(
+        rows, "file_path string, snapshot_has_deletes boolean"
+    )

@@ -568,3 +568,45 @@ def test_delta_reader_refuses_unknown_reader_feature(spark, tmp_path):
     )
     with pytest.raises(DeltaFeatureUnsupported, match="v2Checkpoint"):
         delta_read(spark, root)
+
+
+def test_delta_timestamp_as_of_and_history(spark, tmp_path):
+    """timestampAsOf resolution (commitInfo.timestamp preferred, file
+    mtime fallback) and the DESCRIBE HISTORY-shaped commit listing."""
+    import json as _json
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_history,
+        delta_version_at_timestamp,
+    )
+
+    root = str(tmp_path / "dts")
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        f"{root}/f0.parquet",
+    )
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame([(2, 2.0)], "id long, v double"),
+        f"{root}/f1.parquet",
+    )
+
+    def info(ts, op):
+        return {"commitInfo": {"timestamp": ts, "operation": op}}
+
+    _commit(root, 0, [info(1000, "WRITE"), _PROTO, _meta(), _add("f0.parquet")])
+    _commit(root, 1, [info(2000, "WRITE"), _add("f1.parquet")])
+
+    assert delta_version_at_timestamp(spark, root, 1500) == 0
+    assert delta_version_at_timestamp(spark, root, 2000) == 1
+    assert delta_version_at_timestamp(spark, root, 99999) == 1
+    with pytest.raises(ValueError, match="no Delta commit"):
+        delta_version_at_timestamp(spark, root, 500)
+    v0 = delta_version_at_timestamp(spark, root, 1500)
+    assert delta_read(spark, root, v0).count() == 1
+
+    hist = {r["version"]: r for r in delta_history(spark, root).collect()}
+    assert hist[0]["timestamp"] == 1000 and hist[0]["operation"] == "WRITE"
+    assert hist[1]["timestamp"] == 2000
+    assert _json.loads(hist[1]["operation_parameters"]) == {}

@@ -241,3 +241,45 @@ def test_hudi_upsert_replaces_matched_groups(spark, tmp_path):
     )
     assert glob.glob(f"{root}/.hoodie/{t4}.commit")
     assert hudi_read(spark, root).count() == 5
+
+
+def test_lakehouse_metadata_tables(spark, tmp_path):
+    """Cross-format metadata tables: Delta history, Iceberg snapshots/
+    files, Hudi timeline — all metadata-sized driver builds."""
+    from simple_data_workflow_spark.sources.delta_reader import delta_history
+    from simple_data_workflow_spark.sources.delta_writer import delta_write
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        hudi_timeline_table,
+    )
+    from simple_data_workflow_spark.sources.hudi_writer import hudi_write
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_files_table,
+        iceberg_snapshots_table,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_write,
+    )
+
+    d = spark.createDataFrame([(1, 1.0)], "id long, v double")
+
+    droot = str(tmp_path / "md_delta")
+    delta_write(d, droot, mode="error")
+    delta_write(d, droot, mode="append")
+    hist = delta_history(spark, droot).collect()
+    assert [r["version"] for r in hist] == [0, 1]
+    assert all(r["operation"] == "WRITE" for r in hist)
+
+    iroot = str(tmp_path / "md_ice")
+    s1 = iceberg_write(d.coalesce(1), iroot, mode="error")
+    s2 = iceberg_write(d.coalesce(1), iroot, mode="append")
+    snaps = {r["snapshot_id"]: r for r in iceberg_snapshots_table(spark, iroot).collect()}
+    assert set(snaps) == {s1, s2} and snaps[s2]["parent_id"] == s1
+    files = iceberg_files_table(spark, iroot).collect()
+    assert len(files) == 2 and not files[0]["snapshot_has_deletes"]
+
+    hroot = str(tmp_path / "md_hudi")
+    hudi_write(d, hroot, mode="error", record_key="id")
+    with open(f"{hroot}/.hoodie/99999999999999999.commit.inflight", "w") as f:
+        f.write("{}")
+    tl = {(r["action"], r["state"]) for r in hudi_timeline_table(spark, hroot).collect()}
+    assert ("commit", "completed") in tl and ("commit", "inflight") in tl
