@@ -215,15 +215,16 @@ def dv_serialize(positions) -> bytes:
 
 def dv_file_bytes(blobs: list[bytes]) -> tuple[bytes, list[tuple[int, int]]]:
     """Assemble a sidecar ``.bin``: version byte, then per blob
-    ``int32 BE size + data + int32 BE CRC32(data)``. Returns the file
-    bytes and each blob's (offset, sizeInBytes) for its descriptor."""
+    ``int32 BE size + data + uint32 BE CRC32(data)`` (the full 32-bit
+    checksum, matching Delta's implementation). Returns the file bytes
+    and each blob's (offset, sizeInBytes) for its descriptor."""
     buf = bytearray(b"\x01")
     spans = []
     for b in blobs:
         offset = len(buf)
         buf += struct.pack(">i", len(b))
         buf += b
-        buf += struct.pack(">i", zlib.crc32(b) & 0x7FFFFFFF)
+        buf += struct.pack(">I", zlib.crc32(b) & 0xFFFFFFFF)
         spans.append((offset, len(b)))
     return bytes(buf), spans
 
@@ -273,8 +274,10 @@ def read_dv_positions(
                 f"DV size mismatch in {path}: descriptor {size}, file {stored_size}"
             )
         data = raw[offset + 4 : offset + 4 + size]
-        (crc,) = struct.unpack_from(">i", raw, offset + 4 + size)
-        if zlib.crc32(data) & 0x7FFFFFFF != crc:
+        # the full unsigned 32-bit CRC-32 (a signed read would reject
+        # ~half of real runtimes' sidecars whose CRC has the top bit set)
+        (crc,) = struct.unpack_from(">I", raw, offset + 4 + size)
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
             raise ValueError(f"DV checksum mismatch in {path}")
     else:
         raise ValueError(f"unknown DV storageType {st!r}")

@@ -204,6 +204,12 @@ def _file_stats(local_path: str, part_cols: set[str]) -> str | None:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    # min/max must cover EVERY row group or be omitted for the whole
+    # file: aggregating only the serializable row groups records
+    # tighter-than-true bounds (e.g. one group's true min is a >64-char
+    # string that ser() drops), and engines that data-skip on stats
+    # would then prune files that contain matching rows
+    invalid: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -213,15 +219,28 @@ def _file_stats(local_path: str, part_cols: set[str]) -> str | None:
                 continue
             st = col.statistics
             if st is None:
+                invalid.add(name)
                 continue
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
-            if st.has_min_max:
-                lo, hi = ser(st.min), ser(st.max)
-                if lo is not None:
-                    mins[name] = lo if name not in mins else min(mins[name], lo)
-                if hi is not None:
-                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            if name in invalid:
+                continue
+            if not st.has_min_max:
+                # an all-null group carries no bound — harmless; a
+                # group with values but no stats makes the file bound
+                # untrustworthy
+                if st.null_count is None or st.null_count != col.num_values:
+                    invalid.add(name)
+                continue
+            lo, hi = ser(st.min), ser(st.max)
+            if lo is None or hi is None:
+                invalid.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    for name in invalid:
+        mins.pop(name, None)
+        maxs.pop(name, None)
     return json.dumps(
         {
             "numRecords": md.num_rows,
@@ -456,6 +475,14 @@ def delta_write(
         ):
             return version
         if mode != "append":
+            # the staged data files were already renamed into the table
+            # tree but never referenced — clean them up before raising,
+            # or retried overwrites accumulate orphans a vacuum of this
+            # log can't see
+            jvm, fs = _fs(spark, path)
+            for a in adds:
+                dec = urllib.parse.unquote(a["path"])
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{dec}"), False)
             raise DeltaConcurrentWrite(
                 f"version {version} of {path} was committed by another "
                 "writer; re-run the overwrite against the new snapshot"
@@ -787,12 +814,17 @@ def delta_delete(
     copy-on-write: only files containing matches rewrite (their
     non-matching rows re-stage), published as remove+add in one atomic
     commit. Returns the committed version (or the current version when
-    nothing matched — a metadata no-op, like Delta)."""
+    nothing matched — a metadata no-op, like Delta).
+
+    DELETE removes only rows where the predicate is TRUE: under SQL
+    three-valued logic ``NOT (NULL)`` is NULL, so a bare ``NOT (pred)``
+    filter would silently drop NULL-predicate rows from rewritten
+    files — the keep-filter coalesces NULL to false first."""
     return _dml_rewrite(
         spark,
         path,
         predicate,
-        lambda df, pred: df.where(f"NOT ({pred})"),
+        lambda df, pred: df.where(f"NOT coalesce(({pred}), false)"),
         "DELETE",
     )
 

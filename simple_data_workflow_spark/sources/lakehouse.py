@@ -80,11 +80,17 @@ def read_table(
             "(not present in this environment)"
         )
     if version is not None:
-        return (
-            spark.read.format(fmt)
-            .option("versionAsOf", version)
-            .load(path)
-        )
+        # each runtime spells time travel differently; `versionAsOf` is
+        # Delta-only and the other runtimes would IGNORE the unknown
+        # option and silently return the latest snapshot
+        reader = spark.read.format(fmt)
+        if fmt == "delta":
+            reader = reader.option("versionAsOf", version)
+        elif fmt == "iceberg":
+            reader = reader.option("snapshot-id", version)
+        elif fmt == "hudi":
+            reader = reader.option("as.of.instant", str(version))
+        return reader.load(path)
     return spark.read.format(fmt).load(path)
 
 

@@ -196,3 +196,37 @@ def test_dv_cardinality_mismatch_raises(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="cardinality"):
         delta_read(spark, root).collect()
+
+
+def test_dv_sidecar_crc_full_unsigned_32bit():
+    """The sidecar checksum is the FULL unsigned 32-bit CRC-32 (4-byte
+    big-endian), not a sign-masked 31-bit value: ~half of real
+    runtimes' sidecars have the top CRC bit set and a 31-bit compare
+    would spuriously reject them (ADVICE r10 medium)."""
+    import struct
+    import zlib
+
+    # find a payload whose CRC32 has the top bit set
+    blob = pos = None
+    for i in range(512):
+        cand = dv.dv_serialize([i, i + 7])
+        if zlib.crc32(cand) & 0x80000000:
+            blob, pos = cand, [i, i + 7]
+            break
+    assert blob is not None
+    raw, spans = dv.dv_file_bytes([blob])
+    offset, size = spans[0]
+    (stored,) = struct.unpack_from(">I", raw, offset + 4 + size)
+    assert stored == zlib.crc32(blob) & 0xFFFFFFFF  # full 32 bits kept
+    got = dv.read_dv_positions(
+        lambda p: raw,
+        "/tmp",
+        {
+            "storageType": "p",
+            "pathOrInlineDv": "x",
+            "offset": offset,
+            "sizeInBytes": size,
+            "cardinality": 2,
+        },
+    )
+    assert list(got) == pos

@@ -417,3 +417,74 @@ def test_delta_merge_upsert(spark, tmp_path):
     root2 = str(tmp_path / "dmrg2")
     delta_merge_upsert(spark, root2, src, on=["id"])
     assert _rows(delta_read(spark, root2), "id") == {(1,), (9,)}
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE removes only predicate-TRUE rows: under three-valued
+    logic NOT(NULL)=NULL, so a bare NOT(pred) rewrite would silently
+    drop rows whose predicate evaluates to NULL from any affected
+    file (ADVICE r10 high)."""
+    from simple_data_workflow_spark.sources.delta_writer import delta_delete
+
+    root = str(tmp_path / "dnull")
+    # one file holding a TRUE match (v=20) AND a NULL-predicate row
+    delta_write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, None)], "id long, v double"
+        ).coalesce(1),
+        root,
+        mode="error",
+    )
+    delta_delete(spark, root, "v >= 20.0")
+    got = _rows(delta_read(spark, root), "id", "v")
+    assert got == {(1, 10.0), (3, None)}  # NULL row survives
+
+
+def test_file_stats_omit_columns_with_unserializable_extremes(spark, tmp_path):
+    """If any value contributing to a column's min/max is dropped by
+    serialization (>64-char strings, NaN), the column must be absent
+    from minValues/maxValues entirely — a partial bound is
+    tighter-than-true and makes stats-based skipping prune files that
+    contain matches (ADVICE r10 medium)."""
+    root = str(tmp_path / "dstats")
+    long_min = "a" * 80  # the TRUE min, unserializable
+    delta_write(
+        spark.createDataFrame(
+            [(1, long_min, 1.0), (2, "zzz", float("nan")), (3, "mmm", 2.0)],
+            "id long, s string, x double",
+        ).coalesce(1),
+        root,
+        mode="error",
+    )
+    with open(f"{root}/_delta_log/{0:020d}.json") as f:
+        stats = [
+            json.loads(json.loads(l)["add"]["stats"])
+            for l in f
+            if l.strip() and "add" in json.loads(l)
+        ]
+    assert len(stats) == 1
+    st = stats[0]
+    # 's' min is a dropped long string; 'x' carries a NaN → both whole
+    # columns omitted from bounds (not partially aggregated)
+    assert "s" not in st["minValues"] and "s" not in st["maxValues"]
+    assert "x" not in st["minValues"] and "x" not in st["maxValues"]
+    # the clean column keeps its true bounds; null counts unaffected
+    assert st["minValues"]["id"] == 1 and st["maxValues"]["id"] == 3
+    assert st["numRecords"] == 3
+
+
+def test_overwrite_lost_race_cleans_staged_files(spark, tmp_path, monkeypatch):
+    """A lost overwrite race must delete its already-renamed staged
+    data files before raising — otherwise retried overwrites
+    accumulate unreferenced parquet that vacuum can't see
+    (ADVICE r10 low)."""
+    root = str(tmp_path / "drace")
+    delta_write(spark.createDataFrame([(1,)], "id long"), root, mode="error")
+    files_before = set(glob.glob(f"{root}/**/*.parquet", recursive=True))
+    monkeypatch.setattr(dw, "_publish_if_absent", lambda *a: False)
+    with pytest.raises(DeltaConcurrentWrite):
+        delta_write(
+            spark.createDataFrame([(2,)], "id long"), root, mode="overwrite"
+        )
+    files_after = set(glob.glob(f"{root}/**/*.parquet", recursive=True))
+    assert files_after == files_before  # no orphans left behind
