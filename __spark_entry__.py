@@ -2261,6 +2261,185 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_eq_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: Iceberg v2 EQUALITY-DELETE read (VERDICT r10 #2 — the
+    refusal tier narrowed to v3+ only). The fixture writes orders with
+    the jar-free writer (data files at sequence 0), hand-publishes a
+    spec-shaped v2 snapshot whose delete manifest carries an equality
+    delete at sequence 1 on ``equality_ids=[1]`` (= ``o_orderkey``)
+    naming every key divisible by 7, AND a second data file at
+    sequence 2 that re-inserts the keys divisible by 14 with doubled
+    price — pinning the spec's STRICTLY-smaller sequence rule: the
+    re-inserted rows must survive the delete that precedes them.
+    Application is a sequence-classed NULL-safe anti-join
+    (``iceberg_reader.iceberg_read``) — fully distributed, nothing
+    data-sized on the driver."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _avro_records,
+        _get,
+        _j2py,
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        _write_avro,
+        iceberg_write,
+    )
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="sdw-iceeq-") + "/orders_eq"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    iceberg_write(orders, root, mode="error")
+    meta = load_table_metadata(spark, root)
+    snap0 = meta["snapshots"][0]
+
+    def _one_file(df, dest):
+        tmp = dest + ".__tmp__"
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        _shutil.move(part, dest)
+        _shutil.rmtree(tmp)
+
+    # equality-delete file: one column, the equality_ids field values
+    epath = f"{root}/data/eq-deletes.parquet"
+    _one_file(orders.where("o_orderkey % 7 = 0").select("o_orderkey"), epath)
+    # re-insert file at a HIGHER sequence: doubled price for keys % 14
+    rpath = f"{root}/data/reinsert.parquet"
+    _one_file(
+        orders.where("o_orderkey % 14 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        rpath,
+    )
+    entry_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int", "field-id": 134},
+                            {"name": "file_path", "type": "string", "field-id": 100},
+                            {"name": "file_format", "type": "string", "field-id": 101},
+                            {"name": "record_count", "type": "long", "field-id": 103},
+                            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                            {
+                                "name": "equality_ids",
+                                "type": ["null", {"type": "array", "items": "int"}],
+                                "default": None,
+                                "field-id": 135,
+                            },
+                        ],
+                    },
+                    "field-id": 2,
+                },
+            ],
+        }
+    )
+    dmanifest = f"{root}/metadata/eqdel-m0.avro"
+    dlen = _write_avro(
+        spark, dmanifest, entry_schema,
+        [{"status": 1, "data_file": {
+            "content": 2, "file_path": epath, "file_format": "PARQUET",
+            "record_count": 1, "file_size_in_bytes": _os.path.getsize(epath),
+            "equality_ids": [1]}}],
+        meta={"content": "deletes"},
+    )
+    rmanifest = f"{root}/metadata/reins-m0.avro"
+    rlen = _write_avro(
+        spark, rmanifest, entry_schema,
+        [{"status": 1, "data_file": {
+            "content": 0, "file_path": rpath, "file_format": "PARQUET",
+            "record_count": 1, "file_size_in_bytes": _os.path.getsize(rpath),
+            "equality_ids": None}}],
+        meta={"content": "data"},
+    )
+    mlist_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string", "field-id": 500},
+                {"name": "manifest_length", "type": "long", "field-id": 501},
+                {"name": "partition_spec_id", "type": "int", "field-id": 502},
+                {"name": "content", "type": "int", "field-id": 517},
+                {"name": "sequence_number", "type": ["null", "long"],
+                 "default": None, "field-id": 515},
+            ],
+        }
+    )
+    old = list(_avro_records(spark, snap0["manifest-list"]))
+    mlist2 = f"{root}/metadata/snap-911-1-eq.avro"
+    _write_avro(
+        spark, mlist2, mlist_schema,
+        [
+            {"manifest_path": _j2py(_get(old[0], "manifest_path")),
+             "manifest_length": int(_get(old[0], "manifest_length")),
+             "partition_spec_id": 0, "content": 0, "sequence_number": 0},
+            {"manifest_path": dmanifest, "manifest_length": dlen,
+             "partition_spec_id": 0, "content": 1, "sequence_number": 1},
+            {"manifest_path": rmanifest, "manifest_length": rlen,
+             "partition_spec_id": 0, "content": 0, "sequence_number": 2},
+        ],
+    )
+    meta2 = dict(meta)
+    meta2["format-version"] = 2
+    meta2["last-sequence-number"] = 2
+    meta2["snapshots"] = meta["snapshots"] + [
+        {"snapshot-id": 911, "timestamp-ms": snap0["timestamp-ms"] + 1,
+         "sequence-number": 2, "summary": {"operation": "overwrite"},
+         "manifest-list": mlist2, "schema-id": 0}
+    ]
+    meta2["current-snapshot-id"] = 911
+    with open(f"{root}/metadata/v2.metadata.json", "w") as f:
+        _json.dump(meta2, f)
+    crc = f"{root}/metadata/.version-hint.text.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    with open(f"{root}/metadata/version-hint.text", "w") as f:
+        f.write("2")
+    got = lakehouse.read_table(spark, "iceberg", root)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_EQ_DELETE_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 14 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM kept
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def hudi_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 second half: jar-free Hudi CoW UPSERT
     (``hudi_writer.hudi_upsert`` — delete-insert by record key via ONE
@@ -4749,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_interop_read": _wrap(iceberg_interop_read),
         "iceberg_write_roundtrip": _wrap(iceberg_write_roundtrip),
         "iceberg_pos_delete_read": _wrap(iceberg_pos_delete_read),
+        "iceberg_eq_delete_read": _wrap(iceberg_eq_delete_read),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
@@ -5054,6 +5234,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_interop_read": ICEBERG_INTEROP_SQL,
         "iceberg_write_roundtrip": ICEBERG_WRITE_SQL,
         "iceberg_pos_delete_read": ICEBERG_POS_DELETE_SQL,
+        "iceberg_eq_delete_read": ICEBERG_EQ_DELETE_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,

@@ -20,22 +20,33 @@ Scope and guardrails — v1/v2 tables on parquet:
   v1 inline ``manifests`` array, ``snapshot_id=`` time travel,
   DELETED-status manifest entries (excluded per spec), struct/list/map
   and all primitive column types, field-id verification against the
-  parquet footers, and v2 POSITION DELETES (delete manifests → plain
-  parquet ``(file_path, pos)`` files, applied per target file with the
-  same Arrow row-index mask the Delta DV scan uses — path-keyed, which
-  is sound because Iceberg never reuses data-file paths).
+  parquet footers, v2 POSITION DELETES (delete manifests → plain
+  parquet ``(file_path, pos)`` files — path-keyed, which is sound
+  because Iceberg never reuses data-file paths), and v2 EQUALITY
+  DELETES (sequence-ordered anti-joins: a delete file with data
+  sequence number ``s`` removes matching rows from data files with
+  sequence number strictly below ``s``, NULL-safe equality on the
+  delete file's ``equality_ids`` columns — spec "Scan Planning").
 - **Refused loudly** (never silently wrong): format-version ≥ 3,
-  EQUALITY delete files (applying them needs sequence-number merge
-  semantics), non-parquet data files, and tables whose parquet
-  field-ids contradict a by-name column resolution (an Iceberg RENAME
-  moves the name but keeps the id; matching by name would silently
-  misread, so one data-file footer is probed and any id/name mismatch
-  aborts).
+  equality deletes whose sequence numbers or field ids cannot be
+  resolved from the manifests, non-parquet data files, and tables
+  whose parquet field-ids contradict a by-name column resolution (an
+  Iceberg RENAME moves the name but keeps the id; matching by name
+  would silently misread, so one data-file footer is probed and any
+  id/name mismatch aborts).
 
 Scale posture: metadata replay is driver-side and ∝ manifest bytes;
 the data read is one plain pushdown-friendly parquet scan over the
 resolved file set (Iceberg data files store ALL columns, including
 identity-partition columns, so no value injection is needed).
+Position deletes never reach the driver as boxed Python objects:
+below ``_POS_DELETE_MASK_MAX`` total positions they transfer as ONE
+Arrow table and pack into per-file int64 numpy masks (the same
+broadcast shape as the Delta deletion-vector scan, bytes ∝ deleted
+rows); above it they are never collected at all — the scan switches
+to a distributed anti-join on ``(file_path, _metadata.row_index)``.
+Equality deletes are anti-joins by construction, so nothing
+data-sized touches the driver on that path either.
 """
 
 from __future__ import annotations
@@ -253,26 +264,33 @@ def iceberg_snapshot_files(
     not DELETED (2). Tables carrying row-level deletes refuse here —
     ``iceberg_read`` resolves them through
     ``_snapshot_files_and_deletes`` instead."""
-    files, deletes, schema = _snapshot_files_and_deletes(
+    data, deletes, schema = _snapshot_files_and_deletes(
         spark, path, snapshot_id
     )
     if deletes:
         raise IcebergFeatureUnsupported(
             "snapshot carries row-level delete files; use iceberg_read "
-            "(position deletes are applied there) — returning the raw "
-            "data-file list would resurrect deleted rows"
+            "(position/equality deletes are applied there) — returning "
+            "the raw data-file list would resurrect deleted rows"
         )
-    return files, schema
+    return [f for f, _seq in data], schema
 
 
 def _snapshot_files_and_deletes(
     spark: SparkSession, path: str, snapshot_id: int | None = None
-) -> tuple[list[str], list[str], T.StructType]:
+) -> tuple[list[tuple[str, int]], list[dict], T.StructType]:
     """Snapshot resolution including v2 row-level deletes:
-    ``(data files, POSITION-delete files, schema)``. Equality deletes
-    refuse (applying them needs sequence-number ordering semantics a
-    by-path mask cannot honor); position deletes name their target
-    data file by exact path, so path-keyed application is sound."""
+    ``([(data file, data sequence number)], [delete dicts], schema)``.
+    Each delete dict carries ``path``, ``seq`` (data sequence number,
+    inherited from the manifest-list entry when the manifest entry
+    leaves it null — spec "Sequence Number Inheritance"), ``content``
+    (1 = position, 2 = equality) and ``equality_ids``. Position
+    deletes name their target data file by exact path, so path-keyed
+    application is sound without sequence ordering; equality deletes
+    apply to data files with a STRICTLY smaller sequence number, so
+    their ``seq`` must resolve (refused otherwise — guessing would
+    over- or under-delete). v1 tables have no sequence numbers: all
+    files read as seq 0 per spec."""
     meta = load_table_metadata(spark, path)
     schema, _ = _schema_and_ids(meta)
     snaps = meta.get("snapshots") or []
@@ -286,26 +304,52 @@ def _snapshot_files_and_deletes(
     if snap is None:
         have = [int(s["snapshot-id"]) for s in snaps]
         raise ValueError(f"snapshot {snapshot_id} not in table (have {have})")
+    # snapshot-id → its sequence number (for ADDED-entry inheritance
+    # when the manifest-list entry predates the sequence_number field)
+    snap_seq = {
+        int(s["snapshot-id"]): int(s.get("sequence-number") or 0)
+        for s in snaps
+    }
 
-    manifests: list[tuple[str, int]] = []  # (path, content: 0 data/1 deletes)
+    # (path, content: 0 data/1 deletes, manifest sequence number)
+    manifests: list[tuple[str, int, int | None]] = []
     if snap.get("manifest-list"):
         for r in _avro_records(spark, _local_path(str(snap["manifest-list"]))):
             content = int(_get(r, "content") or 0)
+            mseq = _get(r, "sequence_number")
+            if mseq is None:
+                added = _get(r, "added_snapshot_id")
+                mseq = (
+                    snap_seq.get(int(_j2py(added)))
+                    if added is not None
+                    else None
+                )
             manifests.append(
-                (_local_path(_j2py(_get(r, "manifest_path"))), content)
+                (
+                    _local_path(_j2py(_get(r, "manifest_path"))),
+                    content,
+                    None if mseq is None else int(mseq),
+                )
             )
     else:  # older v1 form: inline manifest path array
         manifests = [
-            (_local_path(str(m)), 0) for m in snap.get("manifests") or []
+            (_local_path(str(m)), 0, 0) for m in snap.get("manifests") or []
         ]
 
-    files: list[str] = []
-    delete_files: list[str] = []
-    for mpath, mcontent in manifests:
+    files: dict[str, int] = {}
+    delete_files: dict[str, dict] = {}
+    for mpath, mcontent, mseq in manifests:
         for e in _avro_records(spark, mpath):
             status = int(_get(e, "status") or 0)
             if status == 2:  # DELETED — not part of the table
                 continue
+            # per-entry sequence number; null + ADDED inherits the
+            # manifest's (spec inheritance rule); v1 manifests have
+            # neither → 0
+            eseq = _get(e, "sequence_number")
+            if eseq is None and status == 1:
+                eseq = mseq
+            seq = 0 if eseq is None else int(eseq)
             df = _get(e, "data_file")
             if df is None:
                 raise ValueError(f"manifest entry without data_file in {mpath}")
@@ -318,9 +362,14 @@ def _snapshot_files_and_deletes(
                 )
             fpath = _local_path(_j2py(_get(df, "file_path")))
             if mcontent == 0 and fcontent == 0:
-                files.append(fpath)
-            elif fcontent == 1:
-                delete_files.append(fpath)  # POSITION_DELETES
+                files[fpath] = seq
+            elif fcontent == 1:  # POSITION_DELETES
+                delete_files[fpath] = {
+                    "path": fpath,
+                    "seq": seq,
+                    "content": 1,
+                    "equality_ids": None,
+                }
             elif mcontent == 1 and fcontent == 0:
                 # a v2 delete manifest MUST stamp data_file.content;
                 # guessing position-vs-equality could resurrect or
@@ -329,17 +378,37 @@ def _snapshot_files_and_deletes(
                     f"delete manifest entry without data_file.content "
                     f"in {mpath} (malformed v2 metadata)"
                 )
-            elif fcontent == 2:
-                raise IcebergFeatureUnsupported(
-                    "snapshot carries EQUALITY delete files; applying "
-                    "them needs sequence-number merge semantics — use "
-                    "the Iceberg runtime"
+            elif fcontent == 2:  # EQUALITY_DELETES
+                eq = _get(df, "equality_ids")
+                eq_ids = (
+                    [int(x) for x in eq] if eq is not None else None
                 )
+                if not eq_ids:
+                    raise IcebergFeatureUnsupported(
+                        f"equality delete file without equality_ids in "
+                        f"{mpath} — cannot determine the match columns"
+                    )
+                if eseq is None and mseq is None:
+                    raise IcebergFeatureUnsupported(
+                        f"equality delete file with unresolvable sequence "
+                        f"number in {mpath} — ordered application is "
+                        "impossible without it"
+                    )
+                delete_files[fpath] = {
+                    "path": fpath,
+                    "seq": seq,
+                    "content": 2,
+                    "equality_ids": eq_ids,
+                }
             else:
                 raise IcebergFeatureUnsupported(
                     f"unknown data_file.content {fcontent} in {mpath}"
                 )
-    return sorted(set(files)), sorted(set(delete_files)), schema
+    return (
+        sorted(files.items()),
+        [delete_files[p] for p in sorted(delete_files)],
+        schema,
+    )
 
 
 def _verify_field_ids(files: list[str], ids: dict[str, int]) -> None:
@@ -373,6 +442,74 @@ def _verify_field_ids(files: list[str], ids: dict[str, int]) -> None:
             )
 
 
+# position-delete application strategy threshold: below this many total
+# deleted positions they move to the driver ONCE as a packed Arrow table
+# (int64 column, ~8 bytes/position) and broadcast as per-file numpy
+# masks — the same shape as the Delta deletion-vector scan; above it
+# nothing is collected at all and the scan anti-joins on
+# (file_path, _metadata.row_index) instead, keeping driver memory flat
+# no matter how many rows a snapshot deletes.
+_POS_DELETE_MASK_MAX = 2_000_000
+
+
+def _norm_path_col(c):
+    """SQL-side twin of ``_local_path``: ``file:``-scheme URIs → plain
+    paths so delete-file ``file_path`` strings compare equal to
+    ``_metadata.file_path`` regardless of slash count; other schemes
+    pass through unchanged on BOTH sides, so equality is preserved."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(c, "^file:/+", "/")
+
+
+def _scan_with_position_deletes(
+    spark, schema, flist: list[str], pos_paths: list[str]
+):
+    """Scan ``flist`` minus the positions named by the position-delete
+    parquet files. Small delete sets broadcast as packed numpy masks
+    (``_dv_masked_scan``); large ones apply as a distributed
+    LEFT ANTI join — no driver materialization on either path."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _dv_masked_scan,
+    )
+
+    if not pos_paths:
+        return _dv_masked_scan(spark, schema, flist, {})
+    dscan = spark.read.parquet(*sorted(pos_paths)).select("file_path", "pos")
+    n_pos = dscan.count()  # metadata-backed: one cheap planning job
+    if n_pos <= _POS_DELETE_MASK_MAX:
+        import numpy as np
+
+        tbl = dscan.toArrow()  # ONE Arrow transfer, packed columns
+        pdf = tbl.to_pandas()
+        positions: dict[str, object] = {}
+        by_local: dict[str, object] = {}
+        for fp, grp in pdf.groupby("file_path"):
+            by_local[_local_path(str(fp))] = np.unique(
+                grp["pos"].to_numpy(np.int64)
+            )
+        for f in flist:
+            if f in by_local:
+                positions[f] = by_local[f]
+        return _dv_masked_scan(spark, schema, flist, positions)
+    base = (
+        spark.read.schema(schema)
+        .parquet(*sorted(flist))
+        .select(
+            "*",
+            _norm_path_col(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+    )
+    dels = dscan.select(
+        _norm_path_col(F.col("file_path")).alias("__fp"),
+        F.col("pos").cast("long").alias("__ri"),
+    )
+    return base.join(dels, ["__fp", "__ri"], "left_anti").drop("__fp", "__ri")
+
+
 def iceberg_read(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
@@ -381,46 +518,71 @@ def iceberg_read(
     (driver-side, metadata-sized), verify by-name resolution against
     the parquet field-ids, scan the files as one plain parquet read
     (Iceberg data files store all columns — no partition-value
-    injection needed), and apply v2 POSITION DELETES: delete files are
-    plain parquet ``(file_path, pos)`` rows keyed by the EXACT target
-    path (paths are never reused, so path-keyed masking is sound
-    without sequence numbers), applied per-file with the same
-    ``_metadata.row_index`` + Arrow ``np.isin`` mask the Delta
-    deletion-vector scan uses (mask bytes ∝ deleted rows)."""
-    files, delete_files, schema = _snapshot_files_and_deletes(
+    injection needed), and apply v2 row-level deletes:
+
+    - POSITION deletes — parquet ``(file_path, pos)`` rows keyed by the
+      EXACT target path (paths are never reused, so path-keyed masking
+      is sound without sequence numbers): small sets broadcast as
+      packed int64 masks, large sets anti-join distributed
+      (``_scan_with_position_deletes``).
+    - EQUALITY deletes — per spec scan planning, a delete file at data
+      sequence number ``s`` removes rows from data files with sequence
+      number STRICTLY below ``s`` whose values match the delete row on
+      the ``equality_ids`` columns, NULL-safe. Data files group into
+      sequence classes; each class anti-joins the delete files that
+      apply to it (a relationally-natural distributed plan — nothing
+      reaches the driver)."""
+    data, deletes, schema = _snapshot_files_and_deletes(
         spark, path, snapshot_id
     )
     meta = load_table_metadata(spark, path)
     _, ids = _schema_and_ids(meta)
+    files = [f for f, _seq in data]
     _verify_field_ids(files, ids)
     if not files:
         return spark.createDataFrame([], schema)
-    positions: dict[str, object] = {}
-    if delete_files:
-        import numpy as np
+    pos_paths = [d["path"] for d in deletes if d["content"] == 1]
+    eq_deletes = [d for d in deletes if d["content"] == 2]
+    if not eq_deletes:
+        return _scan_with_position_deletes(spark, schema, files, pos_paths)
 
-        from pyspark.sql import functions as F
+    from functools import reduce
 
-        rows = (
-            spark.read.parquet(*delete_files)
-            .select("file_path", "pos")
-            .groupBy("file_path")
-            .agg(F.collect_list("pos").alias("ps"))
-            .collect()
-        )
-        by_local = {}
-        for r in rows:
-            by_local[_local_path(str(r["file_path"]))] = np.unique(
-                np.asarray(r["ps"], dtype=np.int64)
+    from pyspark.sql import functions as F
+
+    id_to_name = {v: k for k, v in ids.items()}
+    for d in eq_deletes:
+        missing = [i for i in d["equality_ids"] if i not in id_to_name]
+        if missing:
+            raise IcebergFeatureUnsupported(
+                f"equality delete {d['path']} references field ids "
+                f"{missing} that are not top-level table columns"
             )
-        for f in files:
-            if f in by_local:
-                positions[f] = by_local[f]
-    from simple_data_workflow_spark.sources.delta_reader import (
-        _dv_masked_scan,
-    )
-
-    return _dv_masked_scan(spark, schema, files, positions)
+    # sequence classes: all data files sharing a sequence number see
+    # the same set of applicable equality deletes
+    classes: dict[int, list[str]] = {}
+    for f, seq in data:
+        classes.setdefault(seq, []).append(f)
+    parts = []
+    for seq in sorted(classes):
+        part = _scan_with_position_deletes(
+            spark, schema, classes[seq], pos_paths
+        )
+        for d in eq_deletes:
+            if d["seq"] <= seq:
+                continue  # strictly-smaller rule: not applicable
+            cols = [id_to_name[i] for i in d["equality_ids"]]
+            deldf = spark.read.parquet(d["path"]).select(*cols)
+            cond = reduce(
+                lambda a, b: a & b,
+                [part[c].eqNullSafe(deldf[c]) for c in cols],
+            )
+            part = part.join(deldf, cond, "left_anti")
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def iceberg_snapshots_table(spark: SparkSession, path: str) -> DataFrame:
@@ -449,13 +611,14 @@ def iceberg_files_table(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """The snapshot's live data files as a DataFrame — Iceberg's
-    ``files`` metadata table shape (file_path, and whether position
-    deletes target it). Metadata-sized (one manifest replay)."""
-    files, deletes, _schema = _snapshot_files_and_deletes(
+    ``files`` metadata table shape (file_path, data sequence number,
+    and whether row-level deletes exist in the snapshot).
+    Metadata-sized (one manifest replay)."""
+    data, deletes, _schema = _snapshot_files_and_deletes(
         spark, path, snapshot_id
     )
-    dset = set(deletes)
-    rows = [(f, bool(dset)) for f in files]
+    rows = [(f, seq, bool(deletes)) for f, seq in data]
     return spark.createDataFrame(
-        rows, "file_path string, snapshot_has_deletes boolean"
+        rows,
+        "file_path string, sequence_number long, snapshot_has_deletes boolean",
     )

@@ -243,9 +243,9 @@ def test_iceberg_refusals(spark, tmp_path):
     with pytest.raises(IcebergFeatureUnsupported, match="format-version 3"):
         iceberg_read(spark, root)
 
-    # EQUALITY delete file in a delete manifest (position deletes are
-    # supported since the second half of round 10 — own test in
-    # test_iceberg_writer.py; equality needs sequence-number merging)
+    # EQUALITY delete file WITHOUT equality_ids: the match columns are
+    # unknowable, so the read must refuse (supported equality deletes
+    # are pinned in test_iceberg_equality_deletes below)
     root2 = str(tmp_path / "icedel")
     _write_parquet_file(
         spark,
@@ -271,7 +271,7 @@ def test_iceberg_refusals(spark, tmp_path):
     )
     snaps = [{"snapshot-id": 1, "manifest-list": f"{root2}/metadata/ml.avro"}]
     _write_metadata(root2, 1, _table_metadata(root2, snaps, 1))
-    with pytest.raises(IcebergFeatureUnsupported, match="EQUALITY"):
+    with pytest.raises(IcebergFeatureUnsupported, match="equality_ids"):
         iceberg_read(spark, root2)
 
     # a delete manifest whose entry lacks data_file.content is
@@ -388,3 +388,237 @@ def test_iceberg_empty_table_and_schema_types(spark, tmp_path):
         "ts": "timestamp",
         "tags": "array<string>",
     }
+
+
+# round 11: v2 equality deletes — sequence-ordered anti-joins
+_MANIFEST_ENTRY_SCHEMA_SEQ = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": ["null", "int"], "default": None},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                            "default": None,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+_MANIFEST_FILE_SCHEMA_SEQ = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": ["null", "int"], "default": None},
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+            },
+        ],
+    }
+)
+
+
+def _avro_write_json(spark, path, schema_json, rows):
+    """Union-typed numeric fields (sequence_number) can't cross py4j as
+    boxed Longs (py4j unboxes them back to Python ints → Integer → Avro
+    union resolution fails); the writer module's JSON-decoder path fixes
+    widths from the schema."""
+    import os as _os
+
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        _write_avro,
+    )
+
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+    _write_avro(spark, path, schema_json, rows)
+
+
+def _seq_entry(path, rows, seq=None, content=0, equality_ids=None):
+    e = _data_entry(path, rows, content=content)
+    e["sequence_number"] = seq
+    if equality_ids is not None:
+        e["data_file"]["equality_ids"] = equality_ids
+    return e
+
+
+def test_iceberg_equality_deletes(spark, tmp_path):
+    """Spec scan planning: an equality delete at data sequence number s
+    removes matching rows (NULL-safe, on the equality_ids columns) from
+    data files with sequence number STRICTLY below s — files written at
+    or after s keep their rows, so re-inserted keys survive."""
+    root = str(tmp_path / "iceeq")
+    # f0 at seq 1; f1 at seq 3 (re-inserts id=2 after the delete)
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (None, 9.0)], "id long, v double"
+        ),
+        f"{root}/data/f0.parquet",
+    )
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame([(2, 22.0), (4, 4.0)], "id long, v double"),
+        f"{root}/data/f1.parquet",
+    )
+    # equality delete at seq 2 on field id 1 (= column "id"): id=2 and
+    # the NULL id (null-safe match)
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame([(2,), (None,)], "id long"),
+        f"{root}/data/eq0.parquet",
+    )
+    _avro_write_json(
+        spark, f"{root}/metadata/m0.avro", _MANIFEST_ENTRY_SCHEMA_SEQ,
+        [_seq_entry(f"{root}/data/f0.parquet", 3, seq=1)],
+    )
+    _avro_write_json(
+        spark, f"{root}/metadata/m1.avro", _MANIFEST_ENTRY_SCHEMA_SEQ,
+        [_seq_entry(f"{root}/data/f1.parquet", 2, seq=3)],
+    )
+    _avro_write_json(
+        spark, f"{root}/metadata/md.avro", _MANIFEST_ENTRY_SCHEMA_SEQ,
+        [
+            _seq_entry(
+                f"{root}/data/eq0.parquet", 2, seq=2, content=2,
+                equality_ids=[1],
+            )
+        ],
+    )
+    _avro_write_json(
+        spark, f"{root}/metadata/ml.avro", _MANIFEST_FILE_SCHEMA_SEQ,
+        [
+            {"manifest_path": f"{root}/metadata/m0.avro",
+             "manifest_length": 1, "content": 0, "sequence_number": 1},
+            {"manifest_path": f"{root}/metadata/m1.avro",
+             "manifest_length": 1, "content": 0, "sequence_number": 3},
+            {"manifest_path": f"{root}/metadata/md.avro",
+             "manifest_length": 1, "content": 1, "sequence_number": 2},
+        ],
+    )
+    snaps = [{"snapshot-id": 1, "manifest-list": f"{root}/metadata/ml.avro",
+              "sequence-number": 3}]
+    _write_metadata(root, 1, _table_metadata(root, snaps, 1))
+    got = {(r["id"], r["v"]) for r in iceberg_read(spark, root).collect()}
+    # f0 (seq 1 < 2): id=2 and NULL-id rows deleted; f1 (seq 3 >= 2):
+    # untouched, including the re-inserted id=2
+    assert got == {(1, 1.0), (2, 22.0), (4, 4.0)}
+    # iceberg_snapshot_files still refuses delete-carrying snapshots
+    with pytest.raises(IcebergFeatureUnsupported, match="row-level"):
+        iceberg_snapshot_files(spark, root)
+
+
+def test_iceberg_entry_seq_inherited_from_manifest_list(spark, tmp_path):
+    """A null manifest-entry sequence_number on an ADDED entry inherits
+    the manifest-list entry's (spec sequence-number inheritance) — the
+    equality delete must still order correctly."""
+    root = str(tmp_path / "iceinh")
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        f"{root}/data/f0.parquet",
+    )
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame([(2,)], "id long"),
+        f"{root}/data/eq0.parquet",
+    )
+    _avro_write_json(
+        spark, f"{root}/metadata/m0.avro", _MANIFEST_ENTRY_SCHEMA_SEQ,
+        [_seq_entry(f"{root}/data/f0.parquet", 2, seq=None)],  # inherit 1
+    )
+    _avro_write_json(
+        spark, f"{root}/metadata/md.avro", _MANIFEST_ENTRY_SCHEMA_SEQ,
+        [
+            _seq_entry(
+                f"{root}/data/eq0.parquet", 1, seq=None, content=2,
+                equality_ids=[1],
+            )
+        ],
+    )
+    _avro_write_json(
+        spark, f"{root}/metadata/ml.avro", _MANIFEST_FILE_SCHEMA_SEQ,
+        [
+            {"manifest_path": f"{root}/metadata/m0.avro",
+             "manifest_length": 1, "content": 0, "sequence_number": 1},
+            {"manifest_path": f"{root}/metadata/md.avro",
+             "manifest_length": 1, "content": 1, "sequence_number": 2},
+        ],
+    )
+    snaps = [{"snapshot-id": 1, "manifest-list": f"{root}/metadata/ml.avro",
+              "sequence-number": 2}]
+    _write_metadata(root, 1, _table_metadata(root, snaps, 1))
+    got = {(r["id"], r["v"]) for r in iceberg_read(spark, root).collect()}
+    assert got == {(1, 1.0)}  # id=2 deleted: file seq 1 < delete seq 2
+
+
+def test_iceberg_position_delete_antijoin_path(spark, tmp_path, monkeypatch):
+    """Above _POS_DELETE_MASK_MAX the reader must not collect positions
+    at all — the distributed anti-join on (file_path, row_index) must
+    produce the exact same rows as the broadcast-mask path."""
+    import simple_data_workflow_spark.sources.iceberg_reader as ir
+
+    root = str(tmp_path / "icepda")
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, v double"
+        ),
+        f"{root}/data/f0.parquet",
+    )
+    _write_parquet_file(
+        spark,
+        spark.createDataFrame(
+            [(f"{root}/data/f0.parquet", p) for p in range(0, 20, 3)],
+            "file_path string, pos long",
+        ),
+        f"{root}/data/pd0.parquet",
+    )
+    _avro_write(
+        spark, f"{root}/metadata/m0.avro", _MANIFEST_ENTRY_SCHEMA,
+        [_data_entry(f"{root}/data/f0.parquet", 20)],
+    )
+    _avro_write(
+        spark, f"{root}/metadata/md.avro", _MANIFEST_ENTRY_SCHEMA,
+        [_data_entry(f"{root}/data/pd0.parquet", 7, content=1)],
+    )
+    _avro_write(
+        spark, f"{root}/metadata/ml.avro", _MANIFEST_FILE_SCHEMA,
+        [
+            {"manifest_path": f"{root}/metadata/m0.avro",
+             "manifest_length": 1, "content": 0},
+            {"manifest_path": f"{root}/metadata/md.avro",
+             "manifest_length": 1, "content": 1},
+        ],
+    )
+    snaps = [{"snapshot-id": 1, "manifest-list": f"{root}/metadata/ml.avro"}]
+    _write_metadata(root, 1, _table_metadata(root, snaps, 1))
+    want = {(i, float(i)) for i in range(20) if i % 3 != 0}
+    via_mask = {(r["id"], r["v"]) for r in iceberg_read(spark, root).collect()}
+    assert via_mask == want
+    monkeypatch.setattr(ir, "_POS_DELETE_MASK_MAX", 0)  # force anti-join
+    via_join = {(r["id"], r["v"]) for r in iceberg_read(spark, root).collect()}
+    assert via_join == want

@@ -317,7 +317,8 @@ def test_iceberg_position_deletes_applied(spark, tmp_path):
     with pytest.raises(IcebergFeatureUnsupported, match="delete"):
         iceberg_snapshot_files(spark, root)
 
-    # equality deletes refuse
+    # equality deletes without equality_ids refuse (supported equality
+    # deletes are pinned in test_iceberg_reader.py)
     eman = f"{root}/metadata/eq-m0.avro"
     elen = _write_avro(
         spark, eman, entry_schema,
@@ -344,5 +345,5 @@ def test_iceberg_position_deletes_applied(spark, tmp_path):
         f.write("3")
     if _os.path.exists(crc):
         _os.remove(crc)
-    with pytest.raises(IcebergFeatureUnsupported, match="EQUALITY"):
+    with pytest.raises(IcebergFeatureUnsupported, match="equality_ids"):
         iceberg_read(spark, root).collect()
