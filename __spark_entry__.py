@@ -1892,6 +1892,69 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: jar-free Iceberg v2 row-level DELETE
+    (``iceberg_writer.iceberg_delete`` — VERDICT r10 #3): orders land
+    as a v2 table (sequence-numbered snapshots), two stacked DELETEs
+    publish position-delete snapshots (merge-on-read: the original data
+    files never rewrite, delete cost ∝ matching rows), an append lands
+    AFTER them, and the result reads back through the front-door
+    fallback (position deletes applied as packed masks or a distributed
+    anti-join per ``iceberg_reader``). The oracle replays the same edits
+    as WHERE + UNION over raw parquet."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-icedml-") + "/orders_icedml"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    iceberg_write(orders, path, mode="error")
+    iceberg_delete(spark, path, "o_totalprice < 50000")
+    iceberg_delete(spark, path, "o_orderpriority = '5-LOW'")
+    iceberg_write(
+        orders.where("o_orderkey % 100 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        ),
+        path,
+        mode="append",
+    )
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_DML_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders
+  WHERE o_totalprice >= 50000 AND o_orderpriority <> '5-LOW'
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM kept
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 second half: jar-free Delta MERGE
     (``delta_writer.delta_merge_upsert`` — delete-insert upsert, the
@@ -4929,6 +4992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_write_roundtrip": _wrap(iceberg_write_roundtrip),
         "iceberg_pos_delete_read": _wrap(iceberg_pos_delete_read),
         "iceberg_eq_delete_read": _wrap(iceberg_eq_delete_read),
+        "iceberg_dml_roundtrip": _wrap(iceberg_dml_roundtrip),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
@@ -5235,6 +5299,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_write_roundtrip": ICEBERG_WRITE_SQL,
         "iceberg_pos_delete_read": ICEBERG_POS_DELETE_SQL,
         "iceberg_eq_delete_read": ICEBERG_EQ_DELETE_SQL,
+        "iceberg_dml_roundtrip": ICEBERG_DML_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,

@@ -199,10 +199,14 @@ def _field_id_spark_schema(schema: T.StructType, ice_schema: dict) -> T.StructTy
 # Avro writing (reference org.apache.avro via the JVM gateway)
 # ---------------------------------------------------------------------------
 
-# v1 manifest_entry schema (spec "Manifests"); field-id attributes are
+# manifest_entry schema (spec "Manifests"); field-id attributes are
 # how Iceberg stamps its ids into Avro schemas. block_size_in_bytes is
-# deprecated-but-required in v1.
-def _manifest_entry_schema_json(partition_fields: list[dict]) -> str:
+# deprecated-but-required in v1 (dropped in v2); v2 adds per-entry
+# sequence numbers (null on ADDED entries = inherit from the manifest
+# list) and the data_file ``content`` discriminator.
+def _manifest_entry_schema_json(
+    partition_fields: list[dict], format_version: int = 1
+) -> str:
     part_fields = [
         {
             "name": p["name"],
@@ -212,90 +216,133 @@ def _manifest_entry_schema_json(partition_fields: list[dict]) -> str:
         }
         for p in partition_fields
     ]
+    entry_fields = [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+    ]
+    df_fields = [
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {
+                "type": "record",
+                "name": "r102",
+                "fields": part_fields,
+            },
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {
+            "name": "file_size_in_bytes",
+            "type": "long",
+            "field-id": 104,
+        },
+    ]
+    if format_version >= 2:
+        entry_fields.extend(
+            [
+                {
+                    "name": "sequence_number",
+                    "type": ["null", "long"],
+                    "default": None,
+                    "field-id": 3,
+                },
+                {
+                    "name": "file_sequence_number",
+                    "type": ["null", "long"],
+                    "default": None,
+                    "field-id": 4,
+                },
+            ]
+        )
+        df_fields.insert(
+            0, {"name": "content", "type": "int", "field-id": 134}
+        )
+        df_fields.append(
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+                "field-id": 135,
+            }
+        )
+    else:
+        df_fields.append(
+            {
+                "name": "block_size_in_bytes",
+                "type": "long",
+                "field-id": 105,
+            }
+        )
+    entry_fields.append(
+        {
+            "name": "data_file",
+            "type": {"type": "record", "name": "r2", "fields": df_fields},
+            "field-id": 2,
+        }
+    )
     return json.dumps(
         {
             "type": "record",
             "name": "manifest_entry",
-            "fields": [
-                {"name": "status", "type": "int", "field-id": 0},
-                {
-                    "name": "snapshot_id",
-                    "type": ["null", "long"],
-                    "default": None,
-                    "field-id": 1,
-                },
-                {
-                    "name": "data_file",
-                    "type": {
-                        "type": "record",
-                        "name": "r2",
-                        "fields": [
-                            {"name": "file_path", "type": "string", "field-id": 100},
-                            {"name": "file_format", "type": "string", "field-id": 101},
-                            {
-                                "name": "partition",
-                                "type": {
-                                    "type": "record",
-                                    "name": "r102",
-                                    "fields": part_fields,
-                                },
-                                "field-id": 102,
-                            },
-                            {"name": "record_count", "type": "long", "field-id": 103},
-                            {
-                                "name": "file_size_in_bytes",
-                                "type": "long",
-                                "field-id": 104,
-                            },
-                            {
-                                "name": "block_size_in_bytes",
-                                "type": "long",
-                                "field-id": 105,
-                            },
-                        ],
-                    },
-                    "field-id": 2,
-                },
-            ],
+            "fields": entry_fields,
         }
     )
 
 
-_MANIFEST_FILE_SCHEMA_JSON = json.dumps(
-    {
-        "type": "record",
-        "name": "manifest_file",
-        "fields": [
-            {"name": "manifest_path", "type": "string", "field-id": 500},
-            {"name": "manifest_length", "type": "long", "field-id": 501},
-            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+def _manifest_file_schema_json(format_version: int = 1) -> str:
+    fields = [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {
+            "name": "added_snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 503,
+        },
+        {
+            "name": "added_data_files_count",
+            "type": ["null", "int"],
+            "default": None,
+            "field-id": 504,
+        },
+        {
+            "name": "existing_data_files_count",
+            "type": ["null", "int"],
+            "default": None,
+            "field-id": 505,
+        },
+        {
+            "name": "deleted_data_files_count",
+            "type": ["null", "int"],
+            "default": None,
+            "field-id": 506,
+        },
+    ]
+    if format_version >= 2:
+        # v2 required: the manifest's content kind and sequence bounds
+        fields[3:3] = [
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
             {
-                "name": "added_snapshot_id",
-                "type": ["null", "long"],
-                "default": None,
-                "field-id": 503,
+                "name": "min_sequence_number",
+                "type": "long",
+                "field-id": 516,
             },
-            {
-                "name": "added_data_files_count",
-                "type": ["null", "int"],
-                "default": None,
-                "field-id": 504,
-            },
-            {
-                "name": "existing_data_files_count",
-                "type": ["null", "int"],
-                "default": None,
-                "field-id": 505,
-            },
-            {
-                "name": "deleted_data_files_count",
-                "type": ["null", "int"],
-                "default": None,
-                "field-id": 506,
-            },
-        ],
-    }
-)
+        ]
+    return json.dumps(
+        {"type": "record", "name": "manifest_file", "fields": fields}
+    )
+
+
+_MANIFEST_FILE_SCHEMA_JSON = _manifest_file_schema_json(1)
 
 
 def _avro_json_value(ftype, v):
@@ -549,7 +596,9 @@ def _publish_metadata_if_absent(
 
 def _current_manifests(spark: SparkSession, path: str, meta: dict) -> list[dict]:
     """The current snapshot's manifest-list entries (reused verbatim by
-    appends — Iceberg appends never rewrite prior manifests)."""
+    appends and DML — Iceberg never rewrites prior manifests). v2
+    fields (content/sequence bounds) carry through when present so
+    reused manifests keep their original sequence numbers."""
     snaps = meta.get("snapshots") or []
     cur = meta.get("current-snapshot-id")
     snap = next((s for s in snaps if s["snapshot-id"] == cur), None)
@@ -557,23 +606,29 @@ def _current_manifests(spark: SparkSession, path: str, meta: dict) -> list[dict]
         return []
     out = []
     for r in _avro_records(spark, _local_path(str(snap["manifest-list"]))):
-        out.append(
-            {
-                "manifest_path": _j2py(_get(r, "manifest_path")),
-                "manifest_length": int(_get(r, "manifest_length") or 0),
-                "partition_spec_id": int(_get(r, "partition_spec_id") or 0),
-                "added_snapshot_id": _j2py(_get(r, "added_snapshot_id")),
-                "added_data_files_count": _j2py(
-                    _get(r, "added_data_files_count")
-                ),
-                "existing_data_files_count": _j2py(
-                    _get(r, "existing_data_files_count")
-                ),
-                "deleted_data_files_count": _j2py(
-                    _get(r, "deleted_data_files_count")
-                ),
-            }
-        )
+        d = {
+            "manifest_path": _j2py(_get(r, "manifest_path")),
+            "manifest_length": int(_get(r, "manifest_length") or 0),
+            "partition_spec_id": int(_get(r, "partition_spec_id") or 0),
+            "added_snapshot_id": _j2py(_get(r, "added_snapshot_id")),
+            "added_data_files_count": _j2py(
+                _get(r, "added_data_files_count")
+            ),
+            "existing_data_files_count": _j2py(
+                _get(r, "existing_data_files_count")
+            ),
+            "deleted_data_files_count": _j2py(
+                _get(r, "deleted_data_files_count")
+            ),
+        }
+        if int(meta.get("format-version", 1)) >= 2:
+            d["content"] = int(_get(r, "content") or 0)
+            d["sequence_number"] = int(_get(r, "sequence_number") or 0)
+            mseq = _get(r, "min_sequence_number")
+            d["min_sequence_number"] = (
+                int(mseq) if mseq is not None else d["sequence_number"]
+            )
+        out.append(d)
     return out
 
 
@@ -586,10 +641,14 @@ def iceberg_write(
     path: str,
     mode: str = "error",
     partition_by: list[str] | None = None,
+    format_version: int = 2,
     _retries: int = 5,
 ) -> int:
-    """Write ``df`` as a spec-conformant Iceberg v1 table without the
-    runtime jar; returns the committed snapshot id.
+    """Write ``df`` as a spec-conformant Iceberg table without the
+    runtime jar; returns the committed snapshot id. New tables default
+    to format-version 2 (what real runtimes write — sequence-numbered
+    snapshots, row-level-delete capable); ``format_version=1`` emits
+    the older layout. Writes to an existing table adopt ITS version.
 
     ``mode``: ``error`` (create; fail if the table exists), ``append``
     (schema must match by name+type; partition spec inherited),
@@ -600,6 +659,11 @@ def iceberg_write(
     """
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if format_version not in (1, 2):
+        raise IcebergFeatureUnsupported(
+            f"format-version {format_version} writes are not supported "
+            "(v1/v2 only)"
+        )
     spark = df.sparkSession
     try:
         cur_meta = load_table_metadata(spark, path)
@@ -610,9 +674,10 @@ def iceberg_write(
         raise ValueError(f"Iceberg table already exists at {path} (mode='error')")
 
     if exists:
-        if int(cur_meta.get("format-version", 1)) != 1:
+        format_version = int(cur_meta.get("format-version", 1))
+        if format_version not in (1, 2):
             raise IcebergFeatureUnsupported(
-                "the jar-free writer only appends to format-version 1 tables"
+                "the jar-free writer only writes format-version 1/2 tables"
             )
         ice_schema = (
             cur_meta["schemas"][0]
@@ -667,8 +732,15 @@ def iceberg_write(
         now_ms = int(time.time() * 1000)
         snapshot_id = uuid.uuid4().int % (2**62)
         md_uuid = uuid.uuid4().hex
+        fv = format_version
+        # v2 sequence numbers: one per commit, monotonically increasing
+        seq = (
+            int((cur_meta or {}).get("last-sequence-number", 0)) + 1
+            if fv >= 2
+            else None
+        )
         # --- manifest ---
-        entry_schema = _manifest_entry_schema_json(spec_fields)
+        entry_schema = _manifest_entry_schema_json(spec_fields, fv)
         rows = []
         for f in files:
             part_rec = {
@@ -677,20 +749,27 @@ def iceberg_write(
                 )
                 for p in spec_fields
             }
-            rows.append(
-                {
-                    "status": 1,  # ADDED
-                    "snapshot_id": snapshot_id,
-                    "data_file": {
-                        "file_path": f["path"],
-                        "file_format": "PARQUET",
-                        "partition": part_rec,
-                        "record_count": f["record_count"],
-                        "file_size_in_bytes": f["size"],
-                        "block_size_in_bytes": 67108864,
-                    },
-                }
-            )
+            data_file = {
+                "file_path": f["path"],
+                "file_format": "PARQUET",
+                "partition": part_rec,
+                "record_count": f["record_count"],
+                "file_size_in_bytes": f["size"],
+            }
+            row = {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "data_file": data_file,
+            }
+            if fv >= 2:
+                data_file["content"] = 0  # DATA
+                data_file["equality_ids"] = None
+                # null on ADDED entries = inherit from the manifest list
+                row["sequence_number"] = None
+                row["file_sequence_number"] = None
+            else:
+                data_file["block_size_in_bytes"] = 67108864
+            rows.append(row)
         spec_json = json.dumps(
             [
                 {
@@ -712,7 +791,7 @@ def iceberg_write(
                 "schema": json.dumps(ice_schema),
                 "partition-spec": spec_json,
                 "partition-spec-id": "0",
-                "format-version": "1",
+                "format-version": str(fv),
                 "content": "data",
             },
         )
@@ -720,24 +799,27 @@ def iceberg_write(
         manifests = []
         if mode == "append" and exists:
             manifests.extend(_current_manifests(spark, path, cur_meta))
-        manifests.append(
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": mlen,
-                "partition_spec_id": 0,
-                "added_snapshot_id": snapshot_id,
-                "added_data_files_count": len(files),
-                "existing_data_files_count": 0,
-                "deleted_data_files_count": 0,
-            }
-        )
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(files),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+        }
+        if fv >= 2:
+            new_manifest["content"] = 0
+            new_manifest["sequence_number"] = seq
+            new_manifest["min_sequence_number"] = seq
+        manifests.append(new_manifest)
         mlist_path = f"{path}/metadata/snap-{snapshot_id}-1-{md_uuid}.avro"
         _write_avro(
             spark,
             mlist_path,
-            _MANIFEST_FILE_SCHEMA_JSON,
+            _manifest_file_schema_json(fv),
             manifests,
-            meta={"format-version": "1"},
+            meta={"format-version": str(fv)},
         )
         # --- table metadata ---
         snapshot = {
@@ -749,6 +831,8 @@ def iceberg_write(
             "manifest-list": mlist_path,
             "schema-id": 0,
         }
+        if fv >= 2:
+            snapshot["sequence-number"] = seq
         prev_snaps = list((cur_meta or {}).get("snapshots") or [])
         if exists and (cur_meta or {}).get("current-snapshot-id") not in (
             None,
@@ -756,7 +840,7 @@ def iceberg_write(
         ):
             snapshot["parent-snapshot-id"] = cur_meta["current-snapshot-id"]
         meta_out = {
-            "format-version": 1,
+            "format-version": fv,
             "table-uuid": table_uuid,
             "location": path,
             "last-updated-ms": now_ms,
@@ -795,6 +879,8 @@ def iceberg_write(
             "current-snapshot-id": snapshot_id,
             "snapshots": prev_snaps + [snapshot],
         }
+        if fv >= 2:
+            meta_out["last-sequence-number"] = seq
         version = 1
         if exists:
             import re as _re
@@ -819,4 +905,235 @@ def iceberg_write(
         exists = True
     raise IcebergConcurrentWrite(
         f"append to {path} lost the commit race {_retries} times"
+    )
+
+
+# ---------------------------------------------------------------------------
+# row-level DML (round 11): DELETE via a position-delete snapshot —
+# merge-on-read, the shape real v2 runtimes commit for deletes.
+# ---------------------------------------------------------------------------
+
+# spec "Position Delete Files": reserved field ids for the delete-file
+# columns, stamped into the parquet footers so real readers resolve them
+_POS_DELETE_FILE_PATH_ID = 2147483546
+_POS_DELETE_POS_ID = 2147483545
+
+
+def iceberg_delete(
+    spark: SparkSession, path: str, predicate: str, _retries: int = 5
+) -> int:
+    """DELETE FROM the Iceberg table WHERE ``predicate`` — jar-free
+    merge-on-read: matching rows are located with ONE distributed scan
+    (``_metadata.file_path`` + ``row_index``), written as a
+    spec-shaped POSITION-DELETE parquet file (``file_path``/``pos``
+    with the reserved field ids, sorted by path then position), and
+    published as a delete manifest in a new sequence-numbered snapshot
+    — no data file rewrites, delete cost ∝ matching rows. Returns the
+    committed snapshot id (or the current one when nothing matched — a
+    metadata no-op).
+
+    Needs a format-version 2 table (v1 has no row-level deletes; the
+    default ``iceberg_write`` emits v2). Nothing data-sized touches
+    the driver: matches stage through Spark's distributed writer and
+    only per-file footer counts replay driver-side."""
+    import pyarrow.parquet as pq
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _norm_path_col,
+        _schema_and_ids,
+        _snapshot_files_and_deletes,
+    )
+
+    meta = load_table_metadata(spark, path)
+    if int(meta.get("format-version", 1)) < 2:
+        raise IcebergFeatureUnsupported(
+            "DELETE needs a format-version 2 table (v1 has no row-level "
+            "deletes); rewrite the table with iceberg_write(..., "
+            "format_version=2)"
+        )
+    data, deletes, schema = _snapshot_files_and_deletes(spark, path)
+    if not data:
+        return int(meta.get("current-snapshot-id") or -1)
+    files = [f for f, _seq in data]
+    pos_paths = [d["path"] for d in deletes if d["content"] == 1]
+
+    # one distributed scan: rows matching the predicate → (file_path as
+    # the MANIFEST spells it, position). Already-deleted positions are
+    # excluded up front so the new delete file only carries live rows.
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _scan_with_position_deletes,
+    )
+
+    base = (
+        spark.read.schema(schema)
+        .parquet(*sorted(files))
+        .select(
+            "*",
+            _norm_path_col(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        .where(predicate)
+    )
+    if pos_paths:
+        dead = (
+            spark.read.parquet(*sorted(pos_paths))
+            .select(
+                _norm_path_col(F.col("file_path")).alias("__fp"),
+                F.col("pos").cast("long").alias("__ri"),
+            )
+        )
+        base = base.join(dead, ["__fp", "__ri"], "left_anti")
+    # normalized scan path → the manifest's own spelling (metadata-sized
+    # mapping, broadcast)
+    spelling = spark.createDataFrame(
+        [(_local_path(f), f) for f in files], "__fp string, file_path string"
+    )
+    matches = (
+        base.join(F.broadcast(spelling), "__fp")
+        .select("file_path", F.col("__ri").alias("pos"))
+        .sort("file_path", "pos")
+    )
+    # stage the position-delete parquet with the spec's reserved ids
+    # (alias(metadata=...) — DataFrame.to() drops metadata when names
+    # and types already match, so it cannot stamp these)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    matches = matches.select(
+        F.col("file_path").alias(
+            "file_path", metadata={"parquet.field.id": _POS_DELETE_FILE_PATH_ID}
+        ),
+        F.col("pos").alias(
+            "pos", metadata={"parquet.field.id": _POS_DELETE_POS_ID}
+        ),
+    )
+    jvm, fs = _jfs(spark, path)
+    staging = f"{path}/.staging-{uuid.uuid4().hex}"
+    matches.write.mode("overwrite").parquet(staging)
+    staged = []
+    staging_local = jvm.org.apache.hadoop.fs.Path(staging).toUri().getPath()
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        src = f"{staging_local}/{name}"
+        try:
+            nrec = pq.ParquetFile(src).metadata.num_rows
+        except Exception:
+            nrec = spark.read.parquet(src).count()
+        if nrec == 0:
+            continue
+        dest = f"{path}/data/delete-{uuid.uuid4().hex}-{name}"
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/data"))
+        if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(src),
+            jvm.org.apache.hadoop.fs.Path(dest),
+        ):
+            raise IOError(f"failed to move staged delete file {name}")
+        staged.append(
+            {
+                "path": dest,
+                "size": int(
+                    fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(dest)).getLen()
+                ),
+                "record_count": int(nrec),
+            }
+        )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    if not staged:
+        return int(meta.get("current-snapshot-id") or -1)  # no matches
+
+    ice_schema = (
+        meta["schemas"][0] if "schemas" in meta else meta["schema"]
+    )
+    for attempt in range(_retries):
+        now_ms = int(time.time() * 1000)
+        snapshot_id = uuid.uuid4().int % (2**62)
+        md_uuid = uuid.uuid4().hex
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        entry_schema = _manifest_entry_schema_json([], 2)
+        rows = []
+        for f in staged:
+            rows.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherit
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": f["path"],
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": f["record_count"],
+                        "file_size_in_bytes": f["size"],
+                        "equality_ids": None,
+                    },
+                }
+            )
+        dmanifest = f"{path}/metadata/{md_uuid}-del-m0.avro"
+        dlen = _write_avro(
+            spark,
+            dmanifest,
+            entry_schema,
+            rows,
+            meta={
+                "schema": json.dumps(ice_schema),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        manifests = _current_manifests(spark, path, meta)
+        manifests.append(
+            {
+                "manifest_path": dmanifest,
+                "manifest_length": dlen,
+                "partition_spec_id": 0,
+                "content": 1,  # DELETES
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(staged),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+            }
+        )
+        mlist_path = f"{path}/metadata/snap-{snapshot_id}-1-{md_uuid}.avro"
+        _write_avro(
+            spark,
+            mlist_path,
+            _manifest_file_schema_json(2),
+            manifests,
+            meta={"format-version": "2"},
+        )
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": meta.get("current-snapshot-id"),
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "delete"},
+            "manifest-list": mlist_path,
+            "schema-id": meta.get("current-schema-id", 0),
+        }
+        meta_out = dict(meta)
+        meta_out["last-updated-ms"] = now_ms
+        meta_out["last-sequence-number"] = seq
+        meta_out["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+        meta_out["current-snapshot-id"] = snapshot_id
+        version = 1
+        import re as _re
+
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")):
+            m = _re.match(r"v(\d+)\.metadata\.json", st.getPath().getName())
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        if _publish_metadata_if_absent(
+            spark, path, version, json.dumps(meta_out, indent=2)
+        ):
+            return snapshot_id
+        # lost the race: the staged delete file still names valid
+        # (path, pos) targets — re-resolve the metadata and re-publish
+        meta = load_table_metadata(spark, path)
+    raise IcebergConcurrentWrite(
+        f"DELETE on {path} lost the commit race {_retries} times"
     )

@@ -8,6 +8,7 @@ these tests pin conformance to the PUBLIC spec, not to a runtime."""
 
 import glob
 import json
+import os
 
 import pytest
 
@@ -35,9 +36,12 @@ def test_iceberg_write_create_and_roundtrip(spark, tmp_path):
     back = iceberg_read(spark, root)
     assert back.columns == ["id", "v", "tag"]
     assert _rows(back) == _rows(df)
-    # metadata chain is spec-shaped: v1 + schema ids + one snapshot
+    # metadata chain is spec-shaped: v2 by default (what real runtimes
+    # write) + schema ids + one sequence-numbered snapshot
     meta = load_table_metadata(spark, root)
-    assert meta["format-version"] == 1
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 1
+    assert meta["snapshots"][0]["sequence-number"] == 1
     assert meta["current-snapshot-id"] == snap
     ids = [f["id"] for f in meta["schema"]["fields"]]
     assert ids == [1, 2, 3]
@@ -347,3 +351,96 @@ def test_iceberg_position_deletes_applied(spark, tmp_path):
         _os.remove(crc)
     with pytest.raises(IcebergFeatureUnsupported, match="equality_ids"):
         iceberg_read(spark, root).collect()
+
+
+def test_iceberg_v1_explicit_and_append_adopts_version(spark, tmp_path):
+    """format_version=1 still emits the old layout; appends adopt the
+    table's version regardless of the argument default."""
+    root = str(tmp_path / "iw1")
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    iceberg_write(df, root, mode="error", format_version=1)
+    meta = load_table_metadata(spark, root)
+    assert meta["format-version"] == 1 and "last-sequence-number" not in meta
+    iceberg_write(df, root, mode="append")  # adopts v1
+    meta = load_table_metadata(spark, root)
+    assert meta["format-version"] == 1
+    assert iceberg_read(spark, root).count() == 2
+
+
+def test_iceberg_delete_position_dml(spark, tmp_path):
+    """Jar-free merge-on-read DELETE: a position-delete snapshot is
+    published (no data-file rewrites), the read applies it, the
+    pre-delete snapshot stays time-travelable, no-match DELETE is a
+    metadata no-op, stacked deletes compose, and v1 tables refuse."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        IcebergFeatureUnsupported,
+        load_table_metadata as _ltm,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+    )
+
+    root = str(tmp_path / "idml")
+    df = spark.createDataFrame(
+        [(i, float(i), "US" if i % 2 else "EU") for i in range(1, 11)],
+        "id long, v double, region string",
+    )
+    snap0 = iceberg_write(df, root, mode="error")
+    data_before = sorted(glob.glob(f"{root}/data/*.parquet"))
+
+    snap1 = iceberg_delete(spark, root, "v >= 8.0 OR region = 'EU'")
+    got = {r["id"] for r in iceberg_read(spark, root).collect()}
+    assert got == {1, 3, 5, 7}
+    # data files untouched (merge-on-read, not copy-on-write)
+    assert all(os.path.exists(f) for f in data_before)
+    # pre-delete snapshot still reads complete
+    assert iceberg_read(spark, root, snap0).count() == 10
+    meta = _ltm(spark, root)
+    assert meta["last-sequence-number"] == 2
+    assert meta["snapshots"][-1]["summary"]["operation"] == "delete"
+
+    # no-match DELETE: metadata no-op, same snapshot id
+    assert iceberg_delete(spark, root, "v > 1e9") == snap1
+
+    # stacked second delete composes with the first
+    iceberg_delete(spark, root, "id = 3")
+    got = {r["id"] for r in iceberg_read(spark, root).collect()}
+    assert got == {1, 5, 7}
+
+    # append AFTER deletes: new rows land, old deletes stay applied
+    iceberg_write(
+        spark.createDataFrame([(100, 100.0, "AS")], "id long, v double, region string"),
+        root,
+        mode="append",
+    )
+    got = {r["id"] for r in iceberg_read(spark, root).collect()}
+    assert got == {1, 5, 7, 100}
+
+    # v1 tables have no row-level deletes
+    root1 = str(tmp_path / "idml1")
+    iceberg_write(df, root1, mode="error", format_version=1)
+    with pytest.raises(IcebergFeatureUnsupported, match="format-version 2"):
+        iceberg_delete(spark, root1, "id = 1")
+
+
+def test_iceberg_delete_file_carries_reserved_field_ids(spark, tmp_path):
+    """Spec: position-delete files stamp file_path/pos with the
+    reserved ids 2147483546/2147483545 so real readers resolve them."""
+    import pyarrow.parquet as pq
+
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+    )
+
+    root = str(tmp_path / "idfid")
+    iceberg_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        root,
+        mode="error",
+    )
+    iceberg_delete(spark, root, "id = 2")
+    dfiles = [f for f in glob.glob(f"{root}/data/delete-*.parquet")]
+    assert len(dfiles) == 1
+    sch = pq.ParquetFile(dfiles[0]).schema_arrow
+    ids = {f.name: int(f.metadata[b"PARQUET:field_id"]) for f in sch}
+    assert ids == {"file_path": 2147483546, "pos": 2147483545}
