@@ -351,13 +351,15 @@ def _is_mapped(schema: StructType) -> bool:
     return walk(schema)
 
 
-def _dv_masked_scan(spark, data_schema, flist, dv_positions):
+def _dv_masked_scan(spark, data_schema, flist, dv_positions, file_col=None):
     """Scan parquet files applying per-file deletion vectors: clean
     files take the plain codegen path; DV'd files read with
     ``_metadata.row_index`` and drop their deleted positions through
     ONE Arrow-batched mask UDF whose closure carries only the bitmaps
     (bytes ∝ deleted rows — the same broadcast Delta's own scan does;
-    each batch tests membership with one vectorized ``np.isin``)."""
+    each batch tests membership with one vectorized ``np.isin``).
+    ``file_col`` keeps ``_metadata.file_path`` as a named output column
+    (DML needs per-row file provenance)."""
     import urllib.parse as _up
 
     import numpy as np
@@ -368,7 +370,12 @@ def _dv_masked_scan(spark, data_schema, flist, dv_positions):
     dirty = [f for f in flist if f in dv_positions]
     parts = []
     if clean:
-        parts.append(spark.read.schema(data_schema).parquet(*sorted(clean)))
+        df = spark.read.schema(data_schema).parquet(*sorted(clean))
+        if file_col:
+            df = df.select(
+                F.col("_metadata.file_path").alias(file_col), "*"
+            )
+        parts.append(df)
     if dirty:
         masks = {
             _up.urlparse(f).path if "://" in f or f.startswith("file:") else f:
@@ -401,8 +408,14 @@ def _dv_masked_scan(spark, data_schema, flist, dv_positions):
                 F.col("_metadata.row_index").alias("__ri"),
             )
             .where(keep(F.col("__fp"), F.col("__ri")))
-            .drop("__fp", "__ri")
         )
+        if file_col:
+            df = df.select(
+                F.col("__fp").alias(file_col),
+                *[f.name for f in data_schema.fields],
+            )
+        else:
+            df = df.drop("__fp", "__ri")
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:

@@ -664,65 +664,118 @@ def _dml_rewrite(
     byte-identical and stay referenced. ``hit_fn(snap)`` overrides the
     predicate for join-shaped matching (MERGE); ``extra_rows_fn(cols)``
     appends new rows (MERGE inserts) in the SAME atomic commit.
-    Refuses tables with deletion vectors or column mapping (their
-    physical layout needs the Delta runtime's own DML)."""
+
+    The snapshot view is ONE scan regardless of partition count:
+    partition values inject through a broadcast join against a
+    metadata-sized (file → partition values) mapping, so the plan stays
+    O(1) in the number of partition values a predicate touches (the
+    pre-r11 per-partition-group union grew one plan leg per value).
+
+    Column-mapped tables rewrite with PHYSICAL names (name mode at
+    every nesting level via the positional-cast rename; id mode also
+    stamps ``parquet.field.id`` — nested id-mode structs refuse, the
+    alias metadata channel is top-level only). Tables with deletion
+    vectors rewrite from the DV-MASKED row view — the affected file's
+    remove drops its DV with it, so deleted rows stay deleted."""
     import urllib.parse as _up
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from simple_data_workflow_spark.sources.delta_reader import (
+        _ID_KEY,
         _NULL_PARTITION,
+        _dv_masked_scan,
         _is_mapped,
+        _physical_name,
+        _physicalize,
+        _read_bytes,
+        _with_field_ids,
         delta_snapshot_files,
     )
 
     for attempt in range(_retries):
         files, dvs, schema, part_cols = delta_snapshot_files(spark, path)
         adds_now, meta, proto, cur_v, _txns = _replay_full(spark, path)
-        if dvs:
-            raise NotImplementedError(
-                f"{operation} on a table with deletion vectors needs the "
-                "Delta runtime (the rewrite would have to merge DV masks)"
-            )
-        if _is_mapped(schema) or (
-            (meta.get("configuration") or {}).get(
-                "delta.columnMapping.mode", "none"
-            )
-            not in ("", "none")
-        ):
-            raise NotImplementedError(
-                f"{operation} on a column-mapped table needs the Delta "
-                "runtime (physical-name rewrites)"
-            )
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        id_mode = mode == "id"
+        mapped = not id_mode and (_is_mapped(schema) or mode == "name")
         if not files:
             return cur_v  # empty table: nothing to do
         types = {f.name: f.dataType for f in schema.fields}
-        data_cols = [f.name for f in schema.fields if f.name not in part_cols]
-        data_schema = StructType(
-            [f for f in schema.fields if f.name not in part_cols]
-        )
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = StructType(data_fields)
+        part_fields = [f for f in schema.fields if f.name in part_cols]
+        if id_mode:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            for f in data_fields:
+                if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                    raise NotImplementedError(
+                        f"{operation} on an id-mapped table with nested "
+                        f"column {f.name!r}: nested parquet.field.id "
+                        "stamping is not supported by the jar-free writer"
+                    )
+            scan_schema = _with_field_ids(data_schema)
+        else:
+            scan_schema = _physicalize(data_schema) if mapped else data_schema
 
-        # one logical-schema view of the whole snapshot with per-row file
-        # provenance; partition values inject from the log like delta_read
-        parts = []
-        groups: dict[tuple, list[str]] = {}
-        for f, pv in files.items():
-            key = tuple(pv.get(c) for c in part_cols)
-            groups.setdefault(key, []).append(f)
-        for key, flist in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            df = spark.read.schema(data_schema).parquet(*sorted(flist))
-            df = df.withColumn("__file", F.col("_metadata.file_path"))
-            for c, v in zip(part_cols, key):
-                lit = (
-                    F.lit(None)
-                    if v is None or v == _NULL_PARTITION
-                    else F.lit(v)
+        dv_positions = {}
+        if dvs:
+            from simple_data_workflow_spark.sources.delta_dv import (
+                read_dv_positions,
+            )
+
+            for f, desc in dvs.items():
+                dv_positions[f] = read_dv_positions(
+                    lambda p: _read_bytes(spark, p), path, desc
                 )
-                df = df.withColumn(c, lit.cast(types[c]))
-            parts.append(df.select("__file", *[f.name for f in schema.fields]))
-        snap = parts[0]
-        for p_ in parts[1:]:
-            snap = snap.unionByName(p_)
+
+        # ONE scan of the whole snapshot (DV-masked), with per-row file
+        # provenance; logicalize mapped names like delta_read does
+        snap = _dv_masked_scan(
+            spark, scan_schema, sorted(files), dv_positions, file_col="__file"
+        )
+        if mapped:
+            snap = snap.select(
+                "__file",
+                *[
+                    F.col(_physical_name(f)).cast(f.dataType).alias(f.name)
+                    for f in data_fields
+                ],
+            )
+        if part_cols:
+            # partition values inject via ONE broadcast mapping join —
+            # plan size is O(1) in the number of partition values
+            part_phys = {f.name: _physical_name(f) for f in part_fields}
+            map_rows = []
+            for f, pv in files.items():
+                vals = []
+                for c in part_cols:
+                    v = pv.get(part_phys[c], pv.get(c))
+                    vals.append(
+                        None if v is None or v == _NULL_PARTITION else v
+                    )
+                local = _up.urlparse(f).path if "://" in f else f
+                map_rows.append((local, *vals))
+            map_schema = T.StructType(
+                [T.StructField("__fk", T.StringType())]
+                + [T.StructField(f"__pv_{c}", T.StringType()) for c in part_cols]
+            )
+            mapdf = spark.createDataFrame(map_rows, map_schema)
+            snap = snap.withColumn(
+                "__fk", F.regexp_replace(F.col("__file"), "^file:/+", "/")
+            )
+            snap = snap.join(F.broadcast(mapdf), "__fk").select(
+                "__file",
+                *[f.name for f in data_fields],
+                *[
+                    F.col(f"__pv_{c}").cast(types[c]).alias(c)
+                    for c in part_cols
+                ],
+            )
+        snap = snap.select("__file", *[f.name for f in schema.fields])
 
         hit_df = hit_fn(snap) if hit_fn is not None else snap.where(predicate)
         hit = hit_df.select("__file").distinct().collect()
@@ -751,7 +804,35 @@ def _dml_rewrite(
         if extra_rows_fn is not None:
             extra = extra_rows_fn([f.name for f in schema.fields])
             rewritten = rewritten.unionByName(extra)
-        staged = _stage_data_files(rewritten, path, list(part_cols))
+        # stage under PHYSICAL names so rewritten files look exactly
+        # like the table's original data files
+        if mapped or id_mode:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+            cols = []
+            for f in schema.fields:
+                c = F.col(f.name).cast(_physicalize(f.dataType))
+                if id_mode:
+                    fid = (f.metadata or {}).get(_ID_KEY)
+                    if fid is None:
+                        raise NotImplementedError(
+                            f"{operation} on id-mapped table: column "
+                            f"{f.name!r} has no delta.columnMapping.id"
+                        )
+                    cols.append(
+                        c.alias(
+                            _physical_name(f),
+                            metadata={"parquet.field.id": int(fid)},
+                        )
+                    )
+                else:
+                    cols.append(c.alias(_physical_name(f)))
+            rewritten = rewritten.select(*cols)
+            stage_parts = [
+                _physical_name(f) for f in schema.fields if f.name in part_cols
+            ]
+        else:
+            stage_parts = list(part_cols)
+        staged = _stage_data_files(rewritten, path, stage_parts)
 
         now = int(time.time() * 1000)
         rel_by_full = {}

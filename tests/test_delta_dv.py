@@ -230,3 +230,37 @@ def test_dv_sidecar_crc_full_unsigned_32bit():
         },
     )
     assert list(got) == pos
+
+
+def test_dml_on_dv_table_rewrites_masked_rows(spark, tmp_path):
+    """Round 11: CoW DML on a DV-carrying table (refusal lifted) — the
+    rewrite reads the DV-MASKED view, so rows the DV already deleted
+    stay deleted, and the affected file's remove drops its DV."""
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_update,
+    )
+
+    root = str(tmp_path / "dvdml")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ).coalesce(1),
+        root,
+        mode="error",
+    )
+    rel = _file_rel(root)
+    _attach_dv(root, 1, rel, [1, 3, 7])
+    delta_delete(spark, root, "id >= 8")
+    got = {r["id"] for r in delta_read(spark, root).collect()}
+    assert got == {0, 2, 4, 5, 6}  # DV deletions survive the rewrite
+    # the rewritten snapshot carries no DV descriptors anymore
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_snapshot_files,
+    )
+
+    _files, dvs, _sch, _pc = delta_snapshot_files(spark, root)
+    assert not dvs
+    delta_update(spark, root, {"v": "v + 100.0"}, "id = 0")
+    got = {(r["id"], r["v"]) for r in delta_read(spark, root).collect()}
+    assert got == {(0, 100.0), (2, 2.0), (4, 4.0), (5, 5.0), (6, 6.0)}
