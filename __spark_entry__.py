@@ -1955,6 +1955,64 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_dv_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 (VERDICT r10 #6): Delta DELETE via WRITTEN deletion
+    vectors (``delta_delete(strategy="dv")``) — merge-on-read: one
+    roaring-serialized sidecar marks the matching rows dead, the data
+    files stay byte-identical, and the commit upgrades the protocol to
+    the deletionVectors feature. A second stacked DV delete merges
+    positions, then a copy-on-write UPDATE consumes the DV-masked view
+    (the round-11 DML-on-DV lift). Read back through the front-door
+    fallback; oracle = the same edits as WHERE + CASE over raw
+    parquet."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_update,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-deltadvw-") + "/orders_dvw"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    delta_write(orders.repartition(16), path, mode="error")
+    delta_delete(spark, path, "o_totalprice < 30000", strategy="dv")
+    delta_delete(spark, path, "o_orderpriority = '5-LOW'", strategy="dv")
+    delta_update(
+        spark,
+        path,
+        {"o_totalprice": "o_totalprice * 2.0"},
+        "o_orderpriority = '1-URGENT'",
+    )
+    got = lakehouse.read_table(spark, "delta", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_DV_WRITE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(
+         (CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2.0
+               ELSE o_totalprice END) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_totalprice >= 30000 AND o_orderpriority <> '5-LOW'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 second half: jar-free Delta MERGE
     (``delta_writer.delta_merge_upsert`` — delete-insert upsert, the
@@ -4993,6 +5051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_pos_delete_read": _wrap(iceberg_pos_delete_read),
         "iceberg_eq_delete_read": _wrap(iceberg_eq_delete_read),
         "iceberg_dml_roundtrip": _wrap(iceberg_dml_roundtrip),
+        "delta_dv_write_roundtrip": _wrap(delta_dv_write_roundtrip),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
@@ -5300,6 +5359,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_pos_delete_read": ICEBERG_POS_DELETE_SQL,
         "iceberg_eq_delete_read": ICEBERG_EQ_DELETE_SQL,
         "iceberg_dml_roundtrip": ICEBERG_DML_SQL,
+        "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,

@@ -351,7 +351,9 @@ def _is_mapped(schema: StructType) -> bool:
     return walk(schema)
 
 
-def _dv_masked_scan(spark, data_schema, flist, dv_positions, file_col=None):
+def _dv_masked_scan(
+    spark, data_schema, flist, dv_positions, file_col=None, row_col=None
+):
     """Scan parquet files applying per-file deletion vectors: clean
     files take the plain codegen path; DV'd files read with
     ``_metadata.row_index`` and drop their deleted positions through
@@ -359,7 +361,8 @@ def _dv_masked_scan(spark, data_schema, flist, dv_positions, file_col=None):
     (bytes ∝ deleted rows — the same broadcast Delta's own scan does;
     each batch tests membership with one vectorized ``np.isin``).
     ``file_col`` keeps ``_metadata.file_path`` as a named output column
-    (DML needs per-row file provenance)."""
+    (DML needs per-row file provenance); ``row_col`` keeps
+    ``_metadata.row_index`` (DV writing needs positions)."""
     import urllib.parse as _up
 
     import numpy as np
@@ -371,10 +374,13 @@ def _dv_masked_scan(spark, data_schema, flist, dv_positions, file_col=None):
     parts = []
     if clean:
         df = spark.read.schema(data_schema).parquet(*sorted(clean))
+        extra = []
         if file_col:
-            df = df.select(
-                F.col("_metadata.file_path").alias(file_col), "*"
-            )
+            extra.append(F.col("_metadata.file_path").alias(file_col))
+        if row_col:
+            extra.append(F.col("_metadata.row_index").alias(row_col))
+        if extra:
+            df = df.select(*extra, "*")
         parts.append(df)
     if dirty:
         masks = {
@@ -409,10 +415,14 @@ def _dv_masked_scan(spark, data_schema, flist, dv_positions, file_col=None):
             )
             .where(keep(F.col("__fp"), F.col("__ri")))
         )
-        if file_col:
+        if file_col or row_col:
+            extra = []
+            if file_col:
+                extra.append(F.col("__fp").alias(file_col))
+            if row_col:
+                extra.append(F.col("__ri").alias(row_col))
             df = df.select(
-                F.col("__fp").alias(file_col),
-                *[f.name for f in data_schema.fields],
+                *extra, *[f.name for f in data_schema.fields]
             )
         else:
             df = df.drop("__fp", "__ri")

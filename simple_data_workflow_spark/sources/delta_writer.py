@@ -643,7 +643,129 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
 # ---------------------------------------------------------------------------
 # copy-on-write DML (round 10 second half): DELETE / UPDATE on the
 # public log format — the same rewrite shape Delta's own CoW DML uses.
+# Round 11: shared snapshot-view builder (one scan + broadcast partition
+# injection), column-mapping + DV support, and a merge-on-read DELETE
+# that writes deletion vectors instead of rewriting files.
 # ---------------------------------------------------------------------------
+
+
+def _snapshot_view(
+    spark: SparkSession, path: str, operation: str, row_col: str | None = None
+) -> dict | None:
+    """One logical-schema DataFrame over the CURRENT snapshot with
+    per-row file provenance (``__file``; optionally row positions via
+    ``row_col``): DV-masked scan, column-mapping logicalization, and
+    partition values injected through ONE broadcast join against a
+    metadata-sized (file → partition values) mapping — plan size O(1)
+    in partition count. Returns None for an empty table."""
+    import urllib.parse as _up
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _NULL_PARTITION,
+        _dv_masked_scan,
+        _is_mapped,
+        _physical_name,
+        _physicalize,
+        _read_bytes,
+        _with_field_ids,
+        delta_snapshot_files,
+    )
+
+    files, dvs, schema, part_cols = delta_snapshot_files(spark, path)
+    adds_now, meta, proto, cur_v, _txns = _replay_full(spark, path)
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    id_mode = mode == "id"
+    mapped = not id_mode and (_is_mapped(schema) or mode == "name")
+    if not files:
+        return None
+    types = {f.name: f.dataType for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+    part_fields = [f for f in schema.fields if f.name in part_cols]
+    if id_mode:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        for f in data_fields:
+            if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                raise NotImplementedError(
+                    f"{operation} on an id-mapped table with nested "
+                    f"column {f.name!r}: nested parquet.field.id "
+                    "stamping is not supported by the jar-free writer"
+                )
+        scan_schema = _with_field_ids(data_schema)
+    else:
+        scan_schema = _physicalize(data_schema) if mapped else data_schema
+
+    dv_positions = {}
+    if dvs:
+        from simple_data_workflow_spark.sources.delta_dv import (
+            read_dv_positions,
+        )
+
+        for f, desc in dvs.items():
+            dv_positions[f] = read_dv_positions(
+                lambda p: _read_bytes(spark, p), path, desc
+            )
+
+    lead = ["__file"] + ([row_col] if row_col else [])
+    snap = _dv_masked_scan(
+        spark,
+        scan_schema,
+        sorted(files),
+        dv_positions,
+        file_col="__file",
+        row_col=row_col,
+    )
+    if mapped:
+        snap = snap.select(
+            *lead,
+            *[
+                F.col(_physical_name(f)).cast(f.dataType).alias(f.name)
+                for f in data_fields
+            ],
+        )
+    if part_cols:
+        part_phys = {f.name: _physical_name(f) for f in part_fields}
+        map_rows = []
+        for f, pv in files.items():
+            vals = []
+            for c in part_cols:
+                v = pv.get(part_phys[c], pv.get(c))
+                vals.append(None if v is None or v == _NULL_PARTITION else v)
+            local = _up.urlparse(f).path if "://" in f else f
+            map_rows.append((local, *vals))
+        map_schema = T.StructType(
+            [T.StructField("__fk", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in part_cols]
+        )
+        mapdf = spark.createDataFrame(map_rows, map_schema)
+        snap = snap.withColumn(
+            "__fk", F.regexp_replace(F.col("__file"), "^file:/+", "/")
+        )
+        snap = snap.join(F.broadcast(mapdf), "__fk").select(
+            *lead,
+            *[f.name for f in data_fields],
+            *[F.col(f"__pv_{c}").cast(types[c]).alias(c) for c in part_cols],
+        )
+    snap = snap.select(*lead, *[f.name for f in schema.fields])
+    return {
+        "snap": snap,
+        "files": files,
+        "dvs": dvs,
+        "dv_positions": dv_positions,
+        "schema": schema,
+        "part_cols": part_cols,
+        "meta": meta,
+        "proto": proto,
+        "cur_v": cur_v,
+        "adds_now": adds_now,
+        "mapped": mapped,
+        "id_mode": id_mode,
+    }
 
 
 def _dml_rewrite(
@@ -684,98 +806,23 @@ def _dml_rewrite(
 
     from simple_data_workflow_spark.sources.delta_reader import (
         _ID_KEY,
-        _NULL_PARTITION,
-        _dv_masked_scan,
-        _is_mapped,
         _physical_name,
         _physicalize,
-        _read_bytes,
-        _with_field_ids,
-        delta_snapshot_files,
     )
 
     for attempt in range(_retries):
-        files, dvs, schema, part_cols = delta_snapshot_files(spark, path)
-        adds_now, meta, proto, cur_v, _txns = _replay_full(spark, path)
-        mode = (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none"
-        )
-        id_mode = mode == "id"
-        mapped = not id_mode and (_is_mapped(schema) or mode == "name")
-        if not files:
+        view = _snapshot_view(spark, path, operation)
+        if view is None:
+            _adds, _m, _p, cur_v, _t = _replay_full(spark, path)
             return cur_v  # empty table: nothing to do
-        types = {f.name: f.dataType for f in schema.fields}
-        data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = StructType(data_fields)
-        part_fields = [f for f in schema.fields if f.name in part_cols]
-        if id_mode:
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            for f in data_fields:
-                if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
-                    raise NotImplementedError(
-                        f"{operation} on an id-mapped table with nested "
-                        f"column {f.name!r}: nested parquet.field.id "
-                        "stamping is not supported by the jar-free writer"
-                    )
-            scan_schema = _with_field_ids(data_schema)
-        else:
-            scan_schema = _physicalize(data_schema) if mapped else data_schema
-
-        dv_positions = {}
-        if dvs:
-            from simple_data_workflow_spark.sources.delta_dv import (
-                read_dv_positions,
-            )
-
-            for f, desc in dvs.items():
-                dv_positions[f] = read_dv_positions(
-                    lambda p: _read_bytes(spark, p), path, desc
-                )
-
-        # ONE scan of the whole snapshot (DV-masked), with per-row file
-        # provenance; logicalize mapped names like delta_read does
-        snap = _dv_masked_scan(
-            spark, scan_schema, sorted(files), dv_positions, file_col="__file"
+        snap = view["snap"]
+        files, schema, part_cols = (
+            view["files"],
+            view["schema"],
+            view["part_cols"],
         )
-        if mapped:
-            snap = snap.select(
-                "__file",
-                *[
-                    F.col(_physical_name(f)).cast(f.dataType).alias(f.name)
-                    for f in data_fields
-                ],
-            )
-        if part_cols:
-            # partition values inject via ONE broadcast mapping join —
-            # plan size is O(1) in the number of partition values
-            part_phys = {f.name: _physical_name(f) for f in part_fields}
-            map_rows = []
-            for f, pv in files.items():
-                vals = []
-                for c in part_cols:
-                    v = pv.get(part_phys[c], pv.get(c))
-                    vals.append(
-                        None if v is None or v == _NULL_PARTITION else v
-                    )
-                local = _up.urlparse(f).path if "://" in f else f
-                map_rows.append((local, *vals))
-            map_schema = T.StructType(
-                [T.StructField("__fk", T.StringType())]
-                + [T.StructField(f"__pv_{c}", T.StringType()) for c in part_cols]
-            )
-            mapdf = spark.createDataFrame(map_rows, map_schema)
-            snap = snap.withColumn(
-                "__fk", F.regexp_replace(F.col("__file"), "^file:/+", "/")
-            )
-            snap = snap.join(F.broadcast(mapdf), "__fk").select(
-                "__file",
-                *[f.name for f in data_fields],
-                *[
-                    F.col(f"__pv_{c}").cast(types[c]).alias(c)
-                    for c in part_cols
-                ],
-            )
-        snap = snap.select("__file", *[f.name for f in schema.fields])
+        cur_v, adds_now = view["cur_v"], view["adds_now"]
+        mapped, id_mode = view["mapped"], view["id_mode"]
 
         hit_df = hit_fn(snap) if hit_fn is not None else snap.where(predicate)
         hit = hit_df.select("__file").distinct().collect()
@@ -888,19 +935,205 @@ def _dml_rewrite(
     )
 
 
-def delta_delete(
-    spark: SparkSession, path: str, predicate: str
+def _dv_delete(
+    spark: SparkSession, path: str, predicate: str, _retries: int = 5
 ) -> int:
-    """DELETE FROM the Delta table WHERE ``predicate`` — jar-free
-    copy-on-write: only files containing matches rewrite (their
-    non-matching rows re-stage), published as remove+add in one atomic
-    commit. Returns the committed version (or the current version when
-    nothing matched — a metadata no-op, like Delta).
+    """Merge-on-read DELETE: write DELETION VECTORS instead of
+    rewriting files — cost ∝ deleted rows, not affected-file bytes.
+    Matching (file, row position) pairs come off the cluster as ONE
+    packed Arrow transfer (int64 positions — the DV must serialize
+    driver-side anyway, and its bytes are ∝ deleted rows by
+    definition), merge with each file's existing DV positions, and
+    publish one roaring-serialized sidecar plus remove+add actions that
+    re-add each affected file under a ``deletionVector`` descriptor
+    (storageType "u", PROTOCOL.md §Deletion Vectors). The commit
+    upgrades the protocol to readerVersion 3 / writerVersion 7 with the
+    ``deletionVectors`` feature when the table does not carry it yet."""
+    import numpy as np
+
+    from simple_data_workflow_spark.sources.delta_dv import (
+        dv_file_bytes,
+        dv_serialize,
+        dv_uuid_path,
+        z85_encode,
+    )
+
+    for attempt in range(_retries):
+        view = _snapshot_view(spark, path, "DELETE", row_col="__row")
+        if view is None:
+            _a, _m, _p, cur_v, _t = _replay_full(spark, path)
+            return cur_v
+        snap = view["snap"]
+        matches = snap.where(predicate).select("__file", "__row")
+        tbl = matches.toArrow()  # packed: bytes ∝ deleted rows
+        if tbl.num_rows == 0:
+            return view["cur_v"]
+        pdf = tbl.to_pandas()
+        import urllib.parse as _up
+
+        norm = {}
+        for f in view["files"]:
+            local = _up.urlparse(f).path if "://" in f else f
+            norm[local] = f
+        new_positions: dict[str, np.ndarray] = {}
+        for fp, grp in pdf.groupby("__file"):
+            local = _up.urlparse(str(fp)).path
+            full = norm.get(local)
+            if full is None:
+                continue
+            pos = grp["__row"].to_numpy(np.int64)
+            old = view["dv_positions"].get(full)
+            if old is not None and len(old):
+                pos = np.union1d(pos, np.asarray(old, dtype=np.int64))
+            new_positions[full] = np.unique(pos)
+        if not new_positions:
+            return view["cur_v"]
+
+        # one sidecar carries every affected file's bitmap
+        order = sorted(new_positions)
+        blobs = [dv_serialize(new_positions[f]) for f in order]
+        fbytes, spans = dv_file_bytes(blobs)
+        u = uuid.uuid4()
+        sidecar = dv_uuid_path(path, z85_encode(u.bytes))
+        jvm, fs = _fs(spark, path)
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(sidecar), False)
+        try:
+            out.write(fbytes)
+        finally:
+            out.close()
+
+        rel_by_full = {}
+        for rel in view["adds_now"]:
+            dec = urllib.parse.unquote(rel)
+            full = (
+                dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
+            )
+            rel_by_full[full] = rel
+        now = int(time.time() * 1000)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "DELETE",
+                        "operationParameters": {
+                            "predicate": predicate,
+                            "strategy": "deletion-vectors",
+                        },
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            )
+        ]
+        proto = view["proto"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+        rfeats = set(proto.get("readerFeatures") or [])
+        if "deletionVectors" not in rfeats or int(
+            proto.get("minReaderVersion", 1)
+        ) < 3:
+            rfeats.add("deletionVectors")
+            mode = (view["meta"].get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            )
+            if mode not in ("", "none"):
+                rfeats.add("columnMapping")
+            wfeats = set(proto.get("writerFeatures") or []) | rfeats
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(rfeats),
+                            "writerFeatures": sorted(wfeats),
+                        }
+                    }
+                )
+            )
+        for f, span in zip(order, spans):
+            rel = rel_by_full.get(f)
+            if rel is None:
+                continue
+            old_add = dict(view["adds_now"][rel])
+            old_add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": span[0],
+                "sizeInBytes": span[1],
+                "cardinality": int(len(new_positions[f])),
+            }
+            old_add["dataChange"] = True
+            old_add["modificationTime"] = now
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            )
+            lines.append(json.dumps({"add": old_add}))
+        version = view["cur_v"] + 1
+        if _publish_if_absent(
+            spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
+        ):
+            return version
+        # lost the race: the sidecar is an unreferenced orphan — remove
+        # it and redo against the new snapshot
+        fs.delete(jvm.org.apache.hadoop.fs.Path(sidecar), False)
+    raise DeltaConcurrentWrite(
+        f"DELETE on {path} lost the commit race {_retries} times"
+    )
+
+
+# affected-file count at which a DELETE switches from copy-on-write
+# rewrites (cost ∝ affected-file bytes) to deletion vectors (cost ∝
+# deleted rows) under strategy="auto"
+_DV_DELETE_FILE_THRESHOLD = 8
+
+
+def delta_delete(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    strategy: str = "auto",
+) -> int:
+    """DELETE FROM the Delta table WHERE ``predicate``; returns the
+    committed version (or the current version when nothing matched — a
+    metadata no-op, like Delta).
+
+    ``strategy``:
+    - ``"rewrite"`` — jar-free copy-on-write: only files containing
+      matches rewrite (their non-matching rows re-stage), published as
+      remove+add in one atomic commit.
+    - ``"dv"`` — merge-on-read: deletion vectors mark the rows dead
+      without touching the data files (cost ∝ deleted rows).
+    - ``"auto"`` (default) — one cheap file-hit probe, then DVs when
+      the delete touches more than ``_DV_DELETE_FILE_THRESHOLD`` files
+      (rewriting many files for a sparse delete is the scale trap),
+      rewrites otherwise (few files → the table stays DV-free and
+      scans stay pure codegen).
 
     DELETE removes only rows where the predicate is TRUE: under SQL
     three-valued logic ``NOT (NULL)`` is NULL, so a bare ``NOT (pred)``
     filter would silently drop NULL-predicate rows from rewritten
     files — the keep-filter coalesces NULL to false first."""
+    if strategy not in ("auto", "rewrite", "dv"):
+        raise ValueError(f"unknown DELETE strategy {strategy!r}")
+    if strategy == "dv":
+        return _dv_delete(spark, path, predicate)
+    if strategy == "auto":
+        view = _snapshot_view(spark, path, "DELETE")
+        if view is None:
+            _a, _m, _p, cur_v, _t = _replay_full(spark, path)
+            return cur_v
+        n_hit = (
+            view["snap"].where(predicate).select("__file").distinct().count()
+        )
+        if n_hit > _DV_DELETE_FILE_THRESHOLD:
+            return _dv_delete(spark, path, predicate)
     return _dml_rewrite(
         spark,
         path,

@@ -264,3 +264,103 @@ def test_dml_on_dv_table_rewrites_masked_rows(spark, tmp_path):
     delta_update(spark, root, {"v": "v + 100.0"}, "id = 0")
     got = {(r["id"], r["v"]) for r in delta_read(spark, root).collect()}
     assert got == {(0, 100.0), (2, 2.0), (4, 4.0), (5, 5.0), (6, 6.0)}
+
+
+def test_delta_delete_writes_deletion_vectors(spark, tmp_path):
+    """Round 11 (VERDICT r10 #6): delta_delete(strategy='dv') publishes
+    a roaring sidecar + remove/re-add actions instead of rewriting
+    files; both this repo's reader and the front door apply it, stacked
+    DV deletes merge positions, and the protocol upgrades to
+    readerVersion 3 with the deletionVectors feature."""
+    import glob as _glob
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_snapshot_files,
+    )
+    from simple_data_workflow_spark.sources.delta_writer import delta_delete
+
+    root = str(tmp_path / "dvw")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, v double"
+        ).coalesce(1),
+        root,
+        mode="error",
+    )
+    data_files = sorted(_glob.glob(f"{root}/*.parquet"))
+    sizes = {f: os.path.getsize(f) for f in data_files}
+
+    v = delta_delete(spark, root, "id % 3 = 0", strategy="dv")
+    # data files byte-identical (merge-on-read), sidecar exists
+    assert {f: os.path.getsize(f) for f in data_files} == sizes
+    assert _glob.glob(f"{root}/deletion_vector_*.bin")
+    got = {r["id"] for r in delta_read(spark, root).collect()}
+    assert got == {i for i in range(20) if i % 3 != 0}
+    # pre-delete snapshot intact; front door agrees
+    assert delta_read(spark, root, v - 1).count() == 20
+    front = {r["id"] for r in lakehouse.read_table(spark, "delta", root).collect()}
+    assert front == got
+    # protocol upgraded with the feature
+    with open(f"{root}/_delta_log/{v:020d}.json") as f:
+        acts = [json.loads(l) for l in f if l.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+
+    # stacked DV delete merges with the existing positions
+    delta_delete(spark, root, "id = 1", strategy="dv")
+    got = {r["id"] for r in delta_read(spark, root).collect()}
+    assert got == {i for i in range(20) if i % 3 != 0 and i != 1}
+    _files, dvs, _s, _p = delta_snapshot_files(spark, root)
+    assert len(dvs) == 1
+    assert dvs[list(dvs)[0]]["cardinality"] == 8  # 7 multiples of 3 + id 1
+
+    # no-match DV delete: metadata no-op
+    before = delta_delete(spark, root, "id > 1000", strategy="dv")
+    assert delta_delete(spark, root, "id > 1000", strategy="dv") == before
+
+    # CoW DML on the DV-carrying table still composes (round-11 lift):
+    # the rewrite consumes the DV-masked view
+    from simple_data_workflow_spark.sources.delta_writer import delta_update
+
+    delta_update(spark, root, {"v": "v * 0.0"}, "id = 2")
+    got = {(r["id"], r["v"]) for r in delta_read(spark, root).collect()}
+    assert (2, 0.0) in got and len(got) == 12
+
+
+def test_delta_delete_auto_strategy_picks_dv_when_wide(spark, tmp_path):
+    """auto: a delete touching many files writes DVs (no rewrites); a
+    narrow delete keeps the copy-on-write path (table stays DV-free)."""
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_snapshot_files,
+    )
+    from simple_data_workflow_spark.sources.delta_writer import delta_delete
+
+    root = str(tmp_path / "dvauto")
+    # ~16 files, a few rows each
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(64)], "id long, v double"
+        ).repartition(16),
+        root,
+        mode="error",
+    )
+    delta_delete(spark, root, "id < 60")  # touches >8 files → DV
+    _files, dvs, _s, _p = delta_snapshot_files(spark, root)
+    assert dvs  # auto picked the merge-on-read path
+    got = {r["id"] for r in delta_read(spark, root).collect()}
+    assert got == {60, 61, 62, 63}
+    # narrow delete on a fresh table: rewrite path, no DVs
+    root2 = str(tmp_path / "dvauto2")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(16)], "id long, v double"
+        ).coalesce(1),
+        root2,
+        mode="error",
+    )
+    delta_delete(spark, root2, "id = 3")
+    _files2, dvs2, _s2, _p2 = delta_snapshot_files(spark, root2)
+    assert not dvs2
+    assert delta_read(spark, root2).count() == 15
