@@ -2609,6 +2609,84 @@ def hudi_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 (VERDICT r10 #4): Hudi MERGE-ON-READ end-to-end — the
+    read matrix's last refusal lifted. Orders land as an MoR table
+    (deltacommit base), a log-file UPSERT updates every 7th key (×2
+    price, one spec-shaped Avro data block per file group, written
+    executor-side) and inserts shifted keys as new base groups, and a
+    log-file DELETE block drops low-price rows. The snapshot read
+    merges base + logs per file group entirely on the executors
+    (``binaryFile`` scan + the ``sources.hudi_log`` codec, newest
+    instant per record key wins) — the oracle replays the same edits
+    as CASE + UNION + WHERE over raw parquet."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_delta_delete,
+        hudi_delta_upsert,
+        hudi_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-hudi-mor-") + "/orders_mor"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    hudi_write(
+        orders,
+        path,
+        mode="error",
+        record_key="o_orderkey",
+        partition_by=["o_orderstatus"],
+        table_type="MERGE_ON_READ",
+    )
+    src = (
+        orders.where("o_orderkey % 7 = 0")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            orders.where("o_orderkey % 1000 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            )
+        )
+    )
+    hudi_delta_upsert(spark, path, src)
+    hudi_delta_delete(spark, path, "o_totalprice < 10000")
+    got = lakehouse.read_table(spark, "hudi", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+HUDI_MOR_SQL = """
+WITH upserted AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 1000 = 0
+), kept AS (
+  SELECT * FROM upserted WHERE o_totalprice >= 10000
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM kept
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -5052,6 +5130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_eq_delete_read": _wrap(iceberg_eq_delete_read),
         "iceberg_dml_roundtrip": _wrap(iceberg_dml_roundtrip),
         "delta_dv_write_roundtrip": _wrap(delta_dv_write_roundtrip),
+        "hudi_mor_read": _wrap(hudi_mor_read),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
@@ -5360,6 +5439,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_eq_delete_read": ICEBERG_EQ_DELETE_SQL,
         "iceberg_dml_roundtrip": ICEBERG_DML_SQL,
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
+        "hudi_mor_read": HUDI_MOR_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,

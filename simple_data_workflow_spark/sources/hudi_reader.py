@@ -1,4 +1,5 @@
-"""Jar-free READ-ONLY Apache Hudi COPY-ON-WRITE interop (round 10).
+"""Jar-free READ-ONLY Apache Hudi interop (round 10; merge-on-read
+added round 11).
 
 The Hudi table layout is a public, documented spec (hudi.apache.org
 "Technical Specification"): a ``.hoodie/`` directory holds
@@ -26,11 +27,17 @@ Scope and guardrails:
   Hive-partitioned or flat, multi-slice file groups, pending/inflight
   exclusion, ``as_of`` instant time travel, ``replacecommit``
   exclusion via ``partitionToReplaceFileIds``, optional stripping of
-  the ``_hoodie_*`` meta columns.
-- **Refused loudly** (never silently wrong): MERGE_ON_READ tables
-  (``.log.*`` delta files need record-level merging), a missing/
-  unparseable ``hoodie.properties``, and tables with no completed
-  commits.
+  the ``_hoodie_*`` meta columns; MERGE_ON_READ tables (round 11):
+  per-file-group log replay — spec-shaped log blocks
+  (``sources.hudi_log``) decode EXECUTOR-side, data blocks upsert by
+  record key, delete blocks drop keys, rollback command blocks
+  invalidate their targets, and deltacommit-gated validity hides
+  uncommitted blocks; ``query_type="read_optimized"`` exposes the
+  base-only view.
+- **Refused loudly** (never silently wrong): a missing/unparseable
+  ``hoodie.properties``, tables with no completed commits, log blocks
+  in encodings only the runtime can decode (HFile/parquet data
+  blocks, Kryo-serialized delete keys, nested Avro schemas).
 
 Scale posture: timeline parsing is driver-side metadata like every
 log format's planning phase; file-group resolution is one listing
@@ -84,17 +91,20 @@ def load_table_properties(spark: SparkSession, path: str) -> dict:
 
 
 def _timeline(spark: SparkSession, path: str):
-    """``(completed commit instants, completed replacecommit
-    instants)`` from the classic timeline layout. A completed action
-    is a bare ``<instant>.<action>`` file; ``.requested``/``.inflight``
-    are pending and ignored."""
+    """``(completed commit/deltacommit instants, completed
+    replacecommit instants)`` from the classic timeline layout. A
+    completed action is a bare ``<instant>.<action>`` file;
+    ``.requested``/``.inflight`` are pending and ignored.
+    ``deltacommit`` (merge-on-read writes) counts as a commit: its base
+    files (inserts) and log blocks are live once the instant
+    completes."""
     jvm, fs = _jfs(spark, path)
     hd = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie")
     commits: set[str] = set()
     replaces: set[str] = set()
     for st in fs.listStatus(hd):
         name = st.getPath().getName()
-        m = re.match(r"^(\d+)\.(commit|replacecommit)$", name)
+        m = re.match(r"^(\d+)\.(commit|deltacommit|replacecommit)$", name)
         if m:
             (replaces if m.group(2) == "replacecommit" else commits).add(
                 m.group(1)
@@ -117,20 +127,22 @@ def _replaced_file_ids(
     return out
 
 
-def hudi_snapshot_files(
+# MoR log files: ``.<fileId>_<baseInstant>.log.<version>_<writeToken>``
+_LOG_FILE_RE = re.compile(
+    r"^\.(?P<file_id>.+)_(?P<base_instant>\d+)\.log\.(?P<version>\d+)_(?P<token>.+)$"
+)
+
+
+def _resolve_groups(
     spark: SparkSession, path: str, as_of: str | None = None
-) -> list[str]:
-    """Resolve the copy-on-write snapshot to its base-file paths.
-    ``as_of`` restricts to instants <= the given instant time string
-    (Hudi's time-travel handle)."""
-    props = load_table_properties(spark, path)
-    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
-    if ttype != "COPY_ON_WRITE":
-        raise HudiFeatureUnsupported(
-            f"Hudi table type {ttype} is not supported by the jar-free "
-            "reader (merge-on-read needs record-level log merging — use "
-            "the Hudi runtime jar)"
-        )
+) -> tuple[dict, dict, set, set]:
+    """File-group resolution shared by CoW and MoR reads:
+    ``(groups, logs, commits, replaces)`` where ``groups`` maps
+    ``(partition, fileId) -> (base instant, base path)`` (latest valid
+    slice, replacecommit-retired groups dropped) and ``logs`` maps
+    ``(partition, fileId) -> [(version, log path)]`` for log files
+    attached to that group's CURRENT base instant (older slices' logs
+    were compacted into the newer base)."""
     commits, replaces = _timeline(spark, path)
     if as_of is not None:
         commits = {c for c in commits if c <= str(as_of)}
@@ -155,19 +167,31 @@ def hudi_snapshot_files(
     # (partition relpath, fileId) -> (instant, full path): latest valid
     # slice per file group
     groups: dict[tuple[str, str], tuple[str, str]] = {}
+    log_candidates: list[tuple[str, str, str, int, str]] = []
     for full in walk(path):
         name = full.rsplit("/", 1)[1]
-        m = _BASE_FILE_RE.match(name)
-        if not m:
-            continue
-        if m.group("instant") not in completed:
-            continue  # inflight / failed / rolled-back / future writer
         rel_dir = full[len(root) + 1 :].rsplit("/", 1)
         part = rel_dir[0] if len(rel_dir) == 2 else ""
-        key = (part, m.group("file_id"))
-        cur = groups.get(key)
-        if cur is None or m.group("instant") > cur[0]:
-            groups[key] = (m.group("instant"), full)
+        m = _BASE_FILE_RE.match(name)
+        if m:
+            if m.group("instant") not in completed:
+                continue  # inflight / failed / rolled-back / future writer
+            key = (part, m.group("file_id"))
+            cur = groups.get(key)
+            if cur is None or m.group("instant") > cur[0]:
+                groups[key] = (m.group("instant"), full)
+            continue
+        lm = _LOG_FILE_RE.match(name)
+        if lm:
+            log_candidates.append(
+                (
+                    part,
+                    lm.group("file_id"),
+                    lm.group("base_instant"),
+                    int(lm.group("version")),
+                    full,
+                )
+            )
 
     # drop file groups a replacecommit retired (unless a NEWER slice
     # was written into the group afterwards)
@@ -178,6 +202,34 @@ def hudi_snapshot_files(
                 if cur is not None and cur[0] <= r:
                     del groups[(part, fid)]
 
+    logs: dict[tuple[str, str], list[tuple[int, str]]] = {}
+    for part, fid, base_instant, version, full in log_candidates:
+        cur = groups.get((part, fid))
+        if cur is None or cur[0] != base_instant:
+            continue  # logs of an older slice or a retired group
+        logs.setdefault((part, fid), []).append((version, full))
+    for k in logs:
+        logs[k].sort()
+    return groups, logs, commits, replaces
+
+
+def hudi_snapshot_files(
+    spark: SparkSession, path: str, as_of: str | None = None
+) -> list[str]:
+    """Resolve the copy-on-write snapshot to its base-file paths.
+    ``as_of`` restricts to instants <= the given instant time string
+    (Hudi's time-travel handle). Merge-on-read tables refuse here —
+    a raw base-file list would resurrect log-deleted rows and miss log
+    updates; use ``hudi_read``, which merges."""
+    props = load_table_properties(spark, path)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "COPY_ON_WRITE":
+        raise HudiFeatureUnsupported(
+            f"Hudi table type {ttype}: the raw base-file list is only "
+            "the read-optimized view — use hudi_read, which merges the "
+            "log files"
+        )
+    groups, _logs, _c, _r = _resolve_groups(spark, path, as_of)
     return sorted(p for _, p in groups.values())
 
 
@@ -186,19 +238,241 @@ def hudi_read(
     path: str,
     as_of: str | None = None,
     include_meta: bool = False,
+    query_type: str = "snapshot",
 ) -> DataFrame:
-    """Read a Hudi copy-on-write table without the Hudi jar: resolve
-    the snapshot's latest valid file slices from the timeline +
-    file-name convention, scan them as one plain parquet read (CoW
-    files store all columns), and drop the ``_hoodie_*`` meta columns
-    unless ``include_meta=True``."""
-    files = hudi_snapshot_files(spark, path, as_of=as_of)
+    """Read a Hudi table without the Hudi jar.
+
+    COPY_ON_WRITE: resolve the snapshot's latest valid file slices from
+    the timeline + file-name convention, scan them as one plain parquet
+    read (CoW files store all columns), and drop the ``_hoodie_*`` meta
+    columns unless ``include_meta=True``.
+
+    MERGE_ON_READ (round 11, VERDICT r10 #4): each file group's base
+    parquet merges with its ``.log.*`` delta files — log blocks decode
+    EXECUTOR-SIDE (``binaryFile`` scan + ``mapInPandas`` over
+    ``sources.hudi_log``'s spec-shaped codec), uncommitted/rolled-back
+    blocks are skipped, and the newest version per record key wins
+    (delete blocks drop keys) via one window over (group, key) — the
+    default OverwriteWithLatestAvroPayload semantics, fully
+    distributed. ``query_type="read_optimized"`` returns the base-only
+    view (Hudi's RO query) instead of merging."""
+    if query_type not in ("snapshot", "read_optimized"):
+        raise ValueError(f"unknown query_type {query_type!r}")
+    props = load_table_properties(spark, path)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype == "MERGE_ON_READ" and query_type == "snapshot":
+        return _mor_read(spark, path, as_of=as_of)
+    groups, _logs, _c, _r = _resolve_groups(spark, path, as_of)
+    files = sorted(p for _, p in groups.values())
     df = spark.read.parquet(*files)
     if not include_meta:
         meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
         if meta_cols:
             df = df.drop(*meta_cols)
     return df
+
+
+def _avro_prim_for(dt) -> str:
+    """Spark type → flat Avro primitive (the log codec's domain)."""
+    from pyspark.sql import types as T
+
+    m = {
+        T.LongType: "long",
+        T.IntegerType: "int",
+        T.DoubleType: "double",
+        T.FloatType: "float",
+        T.StringType: "string",
+        T.BooleanType: "boolean",
+        T.BinaryType: "bytes",
+    }
+    for cls, prim in m.items():
+        if isinstance(dt, cls):
+            return prim
+    raise HudiFeatureUnsupported(
+        f"column type {dt.simpleString()} has no flat-Avro log encoding "
+        "in the jar-free MoR path"
+    )
+
+
+def _mor_read(
+    spark: SparkSession,
+    path: str,
+    as_of: str | None = None,
+    _provenance: bool = False,
+) -> DataFrame:
+    """Distributed merge-on-read snapshot: base slices UNION decoded
+    log records, newest (instant, intra-file order) per (file group,
+    record key) wins, delete-block keys drop. Log bytes never touch
+    the driver — ``binaryFile`` partitions them to executors and the
+    pure-Python block codec decodes them beside the data."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from simple_data_workflow_spark.sources import hudi_log as hlog
+
+    groups, logs, commits, _replaces = _resolve_groups(spark, path, as_of)
+    if not groups:
+        raise ValueError(f"no live file groups in the Hudi table at {path}")
+    base_files = sorted(p for _, p in groups.values())
+    base = spark.read.parquet(*base_files)
+    if "_hoodie_record_key" not in base.columns:
+        raise HudiFeatureUnsupported(
+            "merge-on-read needs _hoodie_record_key in the base files to "
+            "merge log records by key"
+        )
+    data_cols = [c for c in base.columns if not c.startswith("_hoodie_")]
+    data_schema = T.StructType(
+        [f for f in base.schema.fields if f.name in set(data_cols)]
+    )
+
+    # base rows: provenance via one broadcast (path -> group, instant) map
+    import urllib.parse as _up
+
+    map_rows = [
+        (
+            _up.urlparse(full).path if "://" in full else full,
+            f"{part}\x00{fid}",
+            instant,
+        )
+        for (part, fid), (instant, full) in groups.items()
+    ]
+    mapdf = spark.createDataFrame(
+        map_rows, "__fk string, __group string, __binstant string"
+    )
+    base_rows = (
+        base.withColumn(
+            "__fk",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+        .join(F.broadcast(mapdf), "__fk")
+        .select(
+            F.col("__group"),
+            F.col("__binstant").alias("__instant"),
+            F.lit(-1).cast("long").alias("__ord"),
+            F.lit(False).alias("__del"),
+            F.col("_hoodie_record_key").alias("__key"),
+            *data_cols,
+        )
+    )
+
+    log_paths = sorted(p for lst in logs.values() for _v, p in lst)
+    if not log_paths:
+        all_rows = base_rows
+    else:
+        # Spark's file index ignores dot-files, and the spec names log
+        # files with a leading dot — stage non-hidden SYMLINKS
+        # (driver-side, one per log file: metadata-sized) and key the
+        # decode map by the symlink paths the scan will report
+        import os as _os
+        import tempfile as _tempfile
+
+        linkdir = _tempfile.mkdtemp(prefix="sdw-hudilogs-")
+        valid = set(commits)
+        version_by_path = {}
+        group_by_path = {}
+        staged_paths = []
+        for i, ((part, fid), lst) in enumerate(sorted(logs.items())):
+            for v, p in lst:
+                link = f"{linkdir}/log-{i}-{v}.bin"
+                _os.symlink(p, link)
+                staged_paths.append(link)
+                version_by_path[link] = v
+                group_by_path[link] = f"{part}\x00{fid}"
+        log_paths = staged_paths
+        out_schema = T.StructType(
+            [
+                T.StructField("__group", T.StringType()),
+                T.StructField("__instant", T.StringType()),
+                T.StructField("__ord", T.LongType()),
+                T.StructField("__del", T.BooleanType()),
+                T.StructField("__key", T.StringType()),
+            ]
+            + list(data_schema.fields)
+        )
+        out_cols = [f.name for f in out_schema.fields]
+
+        def decode(batches):
+            for pdf in batches:
+                rows = []
+                for lpath, content in zip(pdf["path"], pdf["content"]):
+                    local = _up.urlparse(str(lpath)).path
+                    group = group_by_path.get(local)
+                    if group is None:
+                        continue
+                    version = version_by_path[local]
+                    kept = []
+                    for i, blk in enumerate(
+                        hlog.decode_blocks(bytes(content))
+                    ):
+                        instant = blk["header"].get(hlog.INSTANT_TIME)
+                        if blk["type"] == hlog.COMMAND_BLOCK:
+                            target = blk["header"].get(
+                                hlog.TARGET_INSTANT_TIME
+                            )
+                            kept = [
+                                k for k in kept if k[1] != target
+                            ]
+                            continue
+                        if instant not in valid:
+                            continue  # uncommitted / rolled back / >as_of
+                        kept.append((i, instant, blk))
+                    for i, instant, blk in kept:
+                        ord_base = (int(version) << 20) | (i << 10)
+                        if blk["type"] == hlog.DELETE_BLOCK:
+                            for j, key in enumerate(
+                                hlog.decode_delete_block(blk)
+                            ):
+                                rows.append(
+                                    {
+                                        "__group": group,
+                                        "__instant": instant,
+                                        "__ord": ord_base + j,
+                                        "__del": True,
+                                        "__key": key,
+                                    }
+                                )
+                        elif blk["type"] == hlog.AVRO_DATA_BLOCK:
+                            for j, rec in enumerate(
+                                hlog.decode_avro_data_block(blk)
+                            ):
+                                row = {
+                                    c: rec.get(c) for c in out_cols[5:]
+                                }
+                                row["__group"] = group
+                                row["__instant"] = instant
+                                row["__ord"] = ord_base + j
+                                row["__del"] = False
+                                row["__key"] = rec.get(
+                                    "_hoodie_record_key"
+                                )
+                                rows.append(row)
+                        else:
+                            raise HudiFeatureUnsupported(
+                                f"log block type {blk['type']} needs the "
+                                "Hudi runtime to decode"
+                            )
+                yield pd.DataFrame(rows, columns=out_cols)
+
+        log_rows = (
+            spark.read.format("binaryFile")
+            .load(log_paths)
+            .select("path", "content")
+            .mapInPandas(decode, out_schema)
+        )
+        all_rows = base_rows.unionByName(log_rows)
+
+    w = Window.partitionBy("__group", "__key").orderBy(
+        F.desc("__instant"), F.desc("__ord")
+    )
+    merged = all_rows.withColumn("__rn", F.row_number().over(w)).where(
+        (F.col("__rn") == 1) & (~F.col("__del"))
+    )
+    if _provenance:  # internal: the MoR delete writer needs (group, key)
+        return merged.select("__group", "__key", *data_cols)
+    return merged.select(*data_cols)
 
 
 def hudi_timeline_table(spark: SparkSession, path: str) -> DataFrame:

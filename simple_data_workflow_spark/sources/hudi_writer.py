@@ -117,12 +117,18 @@ def hudi_write(
     mode: str = "error",
     record_key: str | list[str] = "id",
     partition_by: list[str] | None = None,
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
-    """Write ``df`` as a spec-layout Hudi copy-on-write table without
-    the Hudi jar; returns the committed instant time. See the module
-    docstring for modes and documented deviations."""
+    """Write ``df`` as a spec-layout Hudi table without the Hudi jar;
+    returns the committed instant time. ``table_type="MERGE_ON_READ"``
+    creates an MoR table (inserts publish as ``deltacommit`` per the
+    timeline spec; row-level changes then flow through
+    ``hudi_delta_upsert`` / ``hudi_delta_delete`` as log files). See
+    the module docstring for modes and documented deviations."""
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(f"unsupported table_type {table_type!r}")
     spark = df.sparkSession
     keys = [record_key] if isinstance(record_key, str) else list(record_key)
     missing = [k for k in keys if k not in df.columns]
@@ -143,6 +149,7 @@ def hudi_write(
             ).split(",")
             if p
         ]
+        table_type = props.get("hoodie.table.type", "COPY_ON_WRITE")
     partition_by = list(partition_by or [])
 
     instant = _next_instant(spark, path)
@@ -154,7 +161,8 @@ def hudi_write(
             replaced.setdefault(part, set()).add(fid)
     op = "INSERT" if mode != "overwrite" else "INSERT_OVERWRITE_TABLE"
     return _insert_batch(
-        df, path, keys, partition_by, replaced, exists, instant, op
+        df, path, keys, partition_by, replaced, exists, instant, op,
+        table_type=table_type,
     )
 
 
@@ -179,6 +187,7 @@ def _insert_batch(
     exists: bool,
     instant: str,
     operation: str,
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
     """Enrich with meta columns, stage distributed, move into
     spec-named file groups, publish the timeline instant if-absent
@@ -292,7 +301,7 @@ def _insert_batch(
         props_body = (
             "#Updated at write time\n"
             "hoodie.table.name=" + path.rstrip("/").rsplit("/", 1)[1] + "\n"
-            "hoodie.table.type=COPY_ON_WRITE\n"
+            "hoodie.table.type=" + table_type + "\n"
             "hoodie.table.version=6\n"
             "hoodie.table.recordkey.fields=" + ",".join(keys) + "\n"
             "hoodie.table.partition.fields=" + ",".join(partition_by) + "\n"
@@ -316,7 +325,8 @@ def _insert_batch(
         }
         action = "replacecommit"
     else:
-        action = "commit"
+        # MoR timelines publish writes as deltacommit actions
+        action = "deltacommit" if table_type == "MERGE_ON_READ" else "commit"
     if not _publish_instant_if_absent(
         spark, path, f"{instant}.{action}", json.dumps(meta, indent=2)
     ):
@@ -406,3 +416,301 @@ def hudi_upsert(
     return _insert_batch(
         batch, path, keys, partition_by, replaced, True, instant, "UPSERT"
     )
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read writes (round 11): log-file upserts and deletes.
+# ---------------------------------------------------------------------------
+
+
+def _avro_log_schema(fields) -> str:
+    """Flat [null, primitive]-union Avro schema for log records: the
+    data columns plus ``_hoodie_record_key`` (the merge key)."""
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        _avro_prim_for,
+    )
+
+    avro_fields = [
+        {
+            "name": "_hoodie_record_key",
+            "type": ["null", "string"],
+            "default": None,
+        }
+    ]
+    for f in fields:
+        avro_fields.append(
+            {
+                "name": f.name,
+                "type": ["null", _avro_prim_for(f.dataType)],
+                "default": None,
+            }
+        )
+    return json.dumps(
+        {"type": "record", "name": "hudi_log_record", "fields": avro_fields}
+    )
+
+
+def _mor_context(spark: SparkSession, path: str):
+    """(props, keys, groups, logs, next log version per group, local
+    table root) for a MERGE_ON_READ table."""
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        HudiFeatureUnsupported,
+        _resolve_groups,
+        load_table_properties,
+    )
+
+    props = load_table_properties(spark, path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiFeatureUnsupported(
+            "log-file writes need a MERGE_ON_READ table (create with "
+            "hudi_write(..., table_type='MERGE_ON_READ'))"
+        )
+    keys = [
+        k
+        for k in (props.get("hoodie.table.recordkey.fields", "") or "").split(",")
+        if k
+    ]
+    groups, logs, _c, _r = _resolve_groups(spark, path)
+    next_version = {
+        f"{part}\x00{fid}": (max((v for v, _p in logs.get((part, fid), [])), default=0) + 1)
+        for (part, fid) in groups
+    }
+    jvm, _fs = _jfs(spark, path)
+    root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    return props, keys, groups, logs, next_version, root_local
+
+
+def _base_keymap(spark: SparkSession, path: str, groups: dict):
+    """Distributed (record key -> file group) map from the base files:
+    one scan of ``_hoodie_record_key`` + file provenance, joined with a
+    metadata-sized broadcast of (path -> group, partition, base
+    instant)."""
+    import urllib.parse as _up
+
+    base_files = sorted(p for _, p in groups.values())
+    mapdf = spark.createDataFrame(
+        [
+            (
+                _up.urlparse(full).path if "://" in full else full,
+                f"{part}\x00{fid}",
+                part,
+                fid,
+                instant,
+            )
+            for (part, fid), (instant, full) in groups.items()
+        ],
+        "__fk string, __group string, __part string, __fid string, "
+        "__binstant string",
+    )
+    return (
+        spark.read.parquet(*base_files)
+        .select(
+            F.col("_hoodie_record_key").alias("__key"),
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("__fk"),
+        )
+        .join(F.broadcast(mapdf), "__fk")
+        .select("__key", "__group", "__part", "__fid", "__binstant")
+    )
+
+
+def _write_group_logs(
+    grouped,
+    out_schema,
+    root_local: str,
+    instant: str,
+    make_content,
+):
+    """applyInPandas body factory: each file group's pandas frame
+    writes ONE log file (created exclusively — a name collision means
+    a concurrent writer, and the publish-if-absent on the deltacommit
+    is the real commit point) and yields its write-stats row.
+    Executor-side ``open()`` — local/shared filesystems, the same
+    assumption the test/bench environment runs under."""
+
+    def write_one(pdf):
+        import os as _os
+
+        import pandas as _pd
+
+        group = pdf["__group"].iloc[0]
+        part, fid = group.split("\x00")
+        binstant = pdf["__binstant"].iloc[0]
+        version = int(pdf["__version"].iloc[0])
+        token = "0-1-0"
+        name = f".{fid}_{binstant}.log.{version}_{token}"
+        dest_dir = f"{root_local}/{part}" if part else root_local
+        _os.makedirs(dest_dir, exist_ok=True)
+        dest = f"{dest_dir}/{name}"
+        data = make_content(pdf, instant)
+        with open(dest, "xb") as f:
+            f.write(data)
+        rel = f"{part}/{name}" if part else name
+        return _pd.DataFrame(
+            [
+                {
+                    "partition": part,
+                    "fileId": fid,
+                    "path": rel,
+                    "fileSizeInBytes": len(data),
+                    "numRows": len(pdf),
+                }
+            ]
+        )
+
+    return grouped.applyInPandas(write_one, out_schema)
+
+
+_LOG_STATS_SCHEMA = (
+    "partition string, fileId string, path string, "
+    "fileSizeInBytes long, numRows long"
+)
+
+
+def _publish_delta(spark, path, instant, stats_rows, operation) -> str:
+    write_stats: dict[str, list[dict]] = {}
+    for r in stats_rows:
+        write_stats.setdefault(r["partition"], []).append(
+            {
+                "fileId": r["fileId"],
+                "path": r["path"],
+                "fileSizeInBytes": int(r["fileSizeInBytes"]),
+            }
+        )
+    meta = {
+        "partitionToWriteStats": write_stats,
+        "operationType": operation,
+    }
+    if not _publish_instant_if_absent(
+        spark, path, f"{instant}.deltacommit", json.dumps(meta, indent=2)
+    ):
+        raise HudiConcurrentWrite(
+            f"instant {instant} at {path} was committed by another writer"
+        )
+    return instant
+
+
+def hudi_delta_upsert(spark: SparkSession, path: str, source: DataFrame) -> str:
+    """UPSERT into a MERGE_ON_READ table: rows whose record key lives
+    in an existing file group append to that group's LOG file (one
+    spec-shaped Avro data block per group, written executor-side by an
+    ``applyInPandas`` over the group partitioning — write cost ∝
+    changed rows); rows with NEW keys land as base files of new file
+    groups. Everything publishes under deltacommit instants (updates
+    first, then inserts when both kinds are present). Returns the last
+    committed instant."""
+    from simple_data_workflow_spark.sources import hudi_log as hlog
+
+    props, keys, groups, logs, next_version, root_local = _mor_context(
+        spark, path
+    )
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(f"record key columns not in source: {missing}")
+    data_fields = [f for f in source.schema.fields]
+    schema_json = _avro_log_schema(data_fields)
+    key_expr = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
+    src = source.withColumn("__key", key_expr)
+    keymap = _base_keymap(spark, path, groups)
+    matched = src.join(keymap, "__key")
+    inserts = src.join(keymap.select("__key"), "__key", "left_anti").drop(
+        "__key"
+    )
+    last_instant = None
+
+    if matched.limit(1).count() > 0:
+        instant = _next_instant(spark, path)
+        data_cols = [f.name for f in data_fields]
+
+        def make_content(pdf, inst):
+            rows = []
+            for _i, r in pdf.iterrows():
+                rec = {"_hoodie_record_key": r["__key"]}
+                for c in data_cols:
+                    v = r[c]
+                    rec[c] = None if v is None or (v != v) else v
+                rows.append(rec)
+            return hlog.encode_avro_data_block(inst, schema_json, rows)
+
+        vmap = spark.createDataFrame(
+            [(g, v) for g, v in next_version.items()],
+            "__group string, __version int",
+        )
+        stats = _write_group_logs(
+            matched.join(F.broadcast(vmap), "__group").groupBy("__group"),
+            _LOG_STATS_SCHEMA,
+            root_local,
+            instant,
+            make_content,
+        ).collect()
+        last_instant = _publish_delta(spark, path, instant, stats, "UPSERT")
+    if inserts.limit(1).count() > 0:
+        part_fields = [
+            p
+            for p in (
+                props.get("hoodie.table.partition.fields", "") or ""
+            ).split(",")
+            if p
+        ]
+        instant = _next_instant(spark, path)
+        last_instant = _insert_batch(
+            inserts,
+            path,
+            keys,
+            part_fields,
+            {},
+            True,
+            instant,
+            "UPSERT",
+            table_type="MERGE_ON_READ",
+        )
+    if last_instant is None:
+        # nothing to do — report the latest completed instant
+        from simple_data_workflow_spark.sources.hudi_reader import _timeline
+
+        commits, replaces = _timeline(spark, path)
+        return max(commits | replaces)
+    return last_instant
+
+
+def hudi_delta_delete(spark: SparkSession, path: str, predicate: str) -> str:
+    """DELETE FROM a MERGE_ON_READ table WHERE ``predicate``: matching
+    rows of the CURRENT merged view resolve to (file group, record
+    key) pairs, and each affected group appends one spec-shaped DELETE
+    block to its log file — cost ∝ deleted rows, no base-file
+    rewrites. Returns the committed instant (or the latest completed
+    one when nothing matched)."""
+    from simple_data_workflow_spark.sources import hudi_log as hlog
+    from simple_data_workflow_spark.sources.hudi_reader import _mor_read
+
+    _props, _keys, groups, logs, next_version, root_local = _mor_context(
+        spark, path
+    )
+    view = _mor_read(spark, path, _provenance=True)
+    hits = view.where(predicate).select("__group", "__key")
+    if hits.limit(1).count() == 0:
+        from simple_data_workflow_spark.sources.hudi_reader import _timeline
+
+        commits, replaces = _timeline(spark, path)
+        return max(commits | replaces)
+    instant = _next_instant(spark, path)
+
+    def make_content(pdf, inst):
+        return hlog.encode_delete_block(inst, sorted(pdf["__key"]))
+
+    ctx = spark.createDataFrame(
+        [
+            (g, v, groups[tuple(g.split("\x00"))][0])
+            for g, v in next_version.items()
+        ],
+        "__group string, __version int, __binstant string",
+    )
+    stats = _write_group_logs(
+        hits.join(F.broadcast(ctx), "__group").groupBy("__group"),
+        _LOG_STATS_SCHEMA,
+        root_local,
+        instant,
+        make_content,
+    ).collect()
+    return _publish_delta(spark, path, instant, stats, "DELETE")

@@ -88,10 +88,16 @@ def test_hudi_partitioned_meta_columns_and_refusals(spark, tmp_path):
     assert {(r["id"], r["region"]) for r in out.collect()} == {(1, "US"), (2, "US")}
     assert "_hoodie_record_key" in hudi_read(spark, root, include_meta=True).columns
 
-    root2 = str(tmp_path / "mor")
+    # MERGE_ON_READ reads since round 11 (test_hudi_mor_upsert_delete_
+    # roundtrip); the RAW file list still refuses for MoR
+    root2 = str(tmp_path / "morraw")
     _props(root2, table_type="MERGE_ON_READ")
-    with pytest.raises(HudiFeatureUnsupported, match="MERGE_ON_READ"):
-        hudi_read(spark, root2)
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        hudi_snapshot_files,
+    )
+
+    with pytest.raises(HudiFeatureUnsupported, match="read-optimized"):
+        hudi_snapshot_files(spark, root2)
 
     root3 = str(tmp_path / "empty")
     _props(root3)
@@ -283,3 +289,156 @@ def test_lakehouse_metadata_tables(spark, tmp_path):
         f.write("{}")
     tl = {(r["action"], r["state"]) for r in hudi_timeline_table(spark, hroot).collect()}
     assert ("commit", "completed") in tl and ("commit", "inflight") in tl
+
+
+# --------------------- round 11: merge-on-read ---------------------
+
+
+def test_hudi_log_codec_roundtrips():
+    """Block framing + flat-Avro record codec round-trip, and corrupt
+    framing raises instead of misreading."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources import hudi_log as hlog
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "k", "type": ["null", "string"], "default": None},
+                {"name": "n", "type": ["null", "long"], "default": None},
+                {"name": "x", "type": ["null", "double"], "default": None},
+                {"name": "b", "type": ["null", "boolean"], "default": None},
+            ],
+        }
+    )
+    rows = [
+        {"k": "a", "n": 1, "x": 1.5, "b": True},
+        {"k": "b", "n": -1234567890123, "x": -0.25, "b": False},
+        {"k": "c", "n": None, "x": None, "b": None},
+    ]
+    data = hlog.encode_avro_data_block("t1", schema, rows)
+    data += hlog.encode_delete_block("t2", ["a", "zz"])
+    data += hlog.encode_rollback_block("t3", "t2")
+    blocks = hlog.decode_blocks(data)
+    assert [b["type"] for b in blocks] == [
+        hlog.AVRO_DATA_BLOCK, hlog.DELETE_BLOCK, hlog.COMMAND_BLOCK,
+    ]
+    assert hlog.decode_avro_data_block(blocks[0]) == rows
+    assert hlog.decode_delete_block(blocks[1]) == ["a", "zz"]
+    assert blocks[2]["header"][hlog.TARGET_INSTANT_TIME] == "t2"
+    assert blocks[0]["header"][hlog.INSTANT_TIME] == "t1"
+    with _pytest.raises(hlog.HudiLogCorrupt):
+        hlog.decode_blocks(b"JUNK" + data)
+    # Kryo-ish garbage in a delete block refuses, never misreads
+    bad = hlog.encode_block(hlog.DELETE_BLOCK, {hlog.INSTANT_TIME: "t"},
+                            b"\x00\x00\x00\x01\x7f\xff\xff\xff\x01\x02")
+    with _pytest.raises(hlog.HudiLogCorrupt, match="Kryo"):
+        hlog.decode_delete_block(hlog.decode_blocks(bad)[0])
+
+
+def test_hudi_mor_upsert_delete_roundtrip(spark, tmp_path):
+    """End-to-end MoR: create (deltacommit base), log-file UPSERT
+    (updates to logs, inserts to new groups), log-file DELETE, snapshot
+    merge, read-optimized view, and as_of time travel."""
+    from simple_data_workflow_spark.sources.hudi_reader import hudi_read
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_delta_delete,
+        hudi_delta_upsert,
+        hudi_write,
+    )
+
+    root = str(tmp_path / "mor")
+    df = spark.createDataFrame(
+        [(1, 10.0, "US"), (2, 20.0, "US"), (3, 30.0, "EU")],
+        "id long, v double, region string",
+    )
+    t0 = hudi_write(
+        df, root, mode="error", record_key="id",
+        partition_by=["region"], table_type="MERGE_ON_READ",
+    )
+    assert os.path.exists(f"{root}/.hoodie/{t0}.deltacommit")
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(1, 10.0), (2, 20.0), (3, 30.0)}
+
+    # upsert: id=2 updates (log), id=9 inserts (new group)
+    src = spark.createDataFrame(
+        [(2, 222.0, "US"), (9, 90.0, "AS")], "id long, v double, region string"
+    )
+    hudi_delta_upsert(spark, root, src)
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(1, 10.0), (2, 222.0), (3, 30.0), (9, 90.0)}
+    # a log file exists and base files were NOT rewritten for the update
+    logs = [
+        n for _d, _s, files in os.walk(root) for n in files if ".log." in n
+    ]
+    assert logs
+    # read-optimized view: base only — the update is invisible, the
+    # insert (a base file) shows
+    ro = {
+        (r["id"], r["v"])
+        for r in hudi_read(spark, root, query_type="read_optimized").collect()
+    }
+    assert ro == {(1, 10.0), (2, 20.0), (3, 30.0), (9, 90.0)}
+
+    # second upsert stacks on the same log file group (version 2)
+    hudi_delta_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(2, 2222.0, "US")], "id long, v double, region string"),
+    )
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert (2, 2222.0) in got and len(got) == 4
+
+    # delete via a log DELETE block
+    t_del = hudi_delta_delete(spark, root, "v >= 90.0")
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(1, 10.0), (3, 30.0)}
+    # no-match delete: returns latest instant, nothing changes
+    assert hudi_delta_delete(spark, root, "v > 1e9") >= t_del
+    # as_of before the delete still sees the upserted rows
+    pre = {(r["id"], r["v"]) for r in hudi_read(spark, root, as_of=t_del)
+           .collect()}
+    assert pre == {(1, 10.0), (3, 30.0)}
+    pre2 = {
+        (r["id"], r["v"])
+        for r in hudi_read(spark, root, as_of=str(int(t_del) - 1)).collect()
+    }
+    assert pre2 == {(1, 10.0), (2, 2222.0), (3, 30.0), (9, 90.0)}
+
+
+def test_hudi_mor_uncommitted_log_blocks_invisible(spark, tmp_path):
+    """Log blocks whose instant has no completed deltacommit must not
+    surface (crash-consistency: the block lands before the commit)."""
+    from simple_data_workflow_spark.sources import hudi_log as hlog
+    from simple_data_workflow_spark.sources.hudi_reader import hudi_read
+    from simple_data_workflow_spark.sources.hudi_writer import hudi_write
+
+    root = str(tmp_path / "morunc")
+    hudi_write(
+        spark.createDataFrame([(1, 10.0)], "id long, v double"),
+        root, mode="error", record_key="id", table_type="MERGE_ON_READ",
+    )
+    # hand-plant a log file whose block instant never committed
+    import glob as _glob
+
+    base = _glob.glob(f"{root}/*.parquet")[0]
+    name = os.path.basename(base)
+    fid, _tok, rest = name.split("_", 2)
+    binstant = rest.split(".")[0]
+    schema = json.dumps(
+        {"type": "record", "name": "r", "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"], "default": None},
+            {"name": "id", "type": ["null", "long"], "default": None},
+            {"name": "v", "type": ["null", "double"], "default": None},
+        ]}
+    )
+    blk = hlog.encode_avro_data_block(
+        "99999999999999999", schema,
+        [{"_hoodie_record_key": "1", "id": 1, "v": 666.0}],
+    )
+    with open(f"{root}/.{fid}_{binstant}.log.1_0-1-0", "wb") as f:
+        f.write(blk)
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(1, 10.0)}  # uncommitted block invisible
