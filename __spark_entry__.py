@@ -2687,6 +2687,67 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 (VERDICT r10 #7): STREAMING reads of the jar-free Delta
+    log (``streaming/delta_source.py``, ``format("deltalog")``).
+    Orders land in TWO Delta append commits (parity split); the stream
+    replays them with availableNow (batch boundaries == commit
+    versions, rows tagged ``_commit_version``) into a parquet sink,
+    and the aggregate over the streamed output must match the oracle's
+    parity-reconstructed aggregate over raw parquet — pinning both the
+    streamed CONTENTS and the per-commit provenance."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.delta_writer import delta_write
+    from simple_data_workflow_spark.streaming.delta_source import (
+        DeltaLogStreamDataSource,
+    )
+
+    tune(spark)
+    spark.dataSource.register(DeltaLogStreamDataSource)
+    root = tempfile.mkdtemp(prefix="sdw-dstream-")
+    path = f"{root}/orders_delta"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_write(orders.where("o_orderkey % 2 = 0"), path, mode="error")
+    delta_write(orders.where("o_orderkey % 2 = 1"), path, mode="append")
+    out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
+    q = (
+        spark.readStream.format("deltalog")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(out_dir)
+    return (
+        streamed.groupBy("o_orderstatus", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "_commit_version")
+    )
+
+
+DELTA_STREAM_SQL = """
+SELECT o_orderstatus,
+       CAST(o_orderkey % 2 AS BIGINT) AS _commit_version,
+       COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+GROUP BY o_orderstatus, o_orderkey % 2
+ORDER BY o_orderstatus, _commit_version
+"""
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -5131,6 +5192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_dml_roundtrip": _wrap(iceberg_dml_roundtrip),
         "delta_dv_write_roundtrip": _wrap(delta_dv_write_roundtrip),
         "hudi_mor_read": _wrap(hudi_mor_read),
+        "delta_stream_read": _wrap(delta_stream_read),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
@@ -5440,6 +5502,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_dml_roundtrip": ICEBERG_DML_SQL,
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "hudi_mor_read": HUDI_MOR_SQL,
+        "delta_stream_read": DELTA_STREAM_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,

@@ -1,0 +1,323 @@
+"""Streaming READS of the jar-free Delta log (round 11, VERDICT r10 #7).
+
+``spark.readStream.format("deltalog")`` over a table written by
+``sources.delta_writer`` (or any spec-conformant Delta writer):
+commit-driven microbatches via PySpark 4's Python Data Source API — the
+same architecture as ``streaming.tablelog_source`` (offsets are commit
+versions; each batch reads exactly the files its commits added, so
+batch boundaries equal transaction boundaries).
+
+Semantics:
+
+- **Append commits stream exactly**: every ``add`` with
+  ``dataChange=true`` and no sibling ``remove`` is new rows.
+- **Rewrite commits (DML/overwrite/merge) refuse by default** —
+  their adds mix rewritten and carried-over rows, so tailing them as
+  inserts would duplicate; ``.option("allowRewrites", "true")`` opts
+  into at-least-once semantics and streams the adds (deletion-vector
+  re-adds stream their LIVE rows — the DV mask applies in the reader).
+- **Metadata/protocol-only commits** contribute no rows.
+- Rows carry ``_commit_version`` (the Delta version that added them).
+- ``.option("startingVersion", N)`` anchors the stream after version
+  N; the default replays every retained commit then tails. A commit
+  needed by the cursor but vacuumed away raises (truncated history is
+  a batch-backfill concern, like the tablelog source documents).
+
+Scope: column mapping ``name`` mode translates physical→logical per
+field; ``id`` mode refuses (field-id resolution in the session-free
+Arrow reader is not implemented). Partition values inject from the
+log's ``partitionValues`` as constant Arrow columns.
+
+Everything driver-side is metadata-sized (log JSON bytes); workers read
+their one parquet file through pyarrow with no SparkSession — the same
+posture as the native tablelog source.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+VERSION_COL = "_commit_version"
+
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+_PHYS_KEY = "delta.columnMapping.physicalName"
+
+
+def _local_root(path: str) -> str:
+    if "://" in path or path.startswith("file:"):
+        return urllib.parse.urlparse(path).path
+    return path
+
+
+def _list_log(path: str) -> list[int]:
+    """Retained commit versions (session-free listing)."""
+    import pyarrow.fs as pafs
+
+    fs = pafs.LocalFileSystem()
+    sel = pafs.FileSelector(
+        f"{_local_root(path)}/_delta_log", allow_not_found=True
+    )
+    out = []
+    for info in fs.get_file_info(sel):
+        name = info.base_name
+        if name.startswith("."):
+            continue
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _read_commit(path: str, version: int) -> list[dict]:
+    with open(
+        f"{_local_root(path)}/_delta_log/{version:020d}.json", "rb"
+    ) as f:
+        return [
+            json.loads(line)
+            for line in f.read().decode("utf-8").splitlines()
+            if line.strip()
+        ]
+
+
+def _latest_meta(path: str) -> dict:
+    """The newest metaData action across retained commits (schema +
+    partition columns + configuration) — metadata-sized replay."""
+    meta = None
+    for v in _list_log(path):
+        for a in _read_commit(path, v):
+            if "metaData" in a:
+                meta = a["metaData"]
+    if meta is None:
+        raise ValueError(f"no metaData action in the Delta log at {path}")
+    return meta
+
+
+@dataclass
+class _DeltaFilePartition(InputPartition):
+    file_path: str
+    version: int
+    #: logical name -> physical name (column mapping); None = identity
+    cmap: dict | None = None
+    #: partition column -> string value (None encodes NULL)
+    partition_values: dict = field(default_factory=dict)
+    #: deletion-vector positions to MASK OUT; None = none
+    dv_positions: list | None = None
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("deltalog source requires .option('path', ...)")
+        self._allow_rewrites = (
+            str(options.get("allowrewrites", "false")).lower() == "true"
+        )
+        meta = _latest_meta(self._path)
+        conf = meta.get("configuration") or {}
+        mode = conf.get("delta.columnMapping.mode", "none")
+        if mode == "id":
+            raise NotImplementedError(
+                "deltalog streaming does not support column mapping mode "
+                "'id' (field-id resolution needs the JVM scan); 'name' "
+                "and unmapped tables stream"
+            )
+        table_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        self._part_cols = list(meta.get("partitionColumns") or [])
+        cmap = {}
+        for f in table_schema.fields:
+            phys = (f.metadata or {}).get(_PHYS_KEY)
+            if phys and phys != f.name:
+                cmap[f.name] = phys
+        self._cmap = cmap or None
+        # physical partitionValues key per logical partition column
+        self._part_phys = {
+            c: (cmap or {}).get(c, c) for c in self._part_cols
+        }
+        if "startingversion" in options:
+            self._starting = int(options["startingversion"])
+        else:
+            commits = _list_log(self._path)
+            self._starting = (commits[0] - 1) if commits else -1
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        data_fields = [
+            f for f in schema.fields if f.name != VERSION_COL
+        ]
+        self._data_schema = StructType(data_fields)
+        self._arrow_schema = to_arrow_schema(
+            StructType(
+                [f for f in data_fields if f.name not in self._part_cols]
+            )
+        )
+        self._part_types = {
+            f.name: f for f in data_fields if f.name in self._part_cols
+        }
+
+    # -- offsets: {"version": N} == all versions <= N consumed
+    def initialOffset(self) -> dict:
+        return {"version": self._starting}
+
+    def latestOffset(self) -> dict:
+        commits = _list_log(self._path)
+        latest = commits[-1] if commits else self._starting
+        return {"version": max(latest, self._starting)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["version"], end["version"]
+        have = set(_list_log(self._path))
+        parts: list[_DeltaFilePartition] = []
+        root = _local_root(self._path)
+        for v in range(lo + 1, hi + 1):
+            if v not in have:
+                raise ValueError(
+                    f"deltalog stream needs version {v} but its commit "
+                    "JSON is not retained (vacuumed past the cursor)"
+                )
+            actions = _read_commit(self._path, v)
+            adds = [a["add"] for a in actions if "add" in a]
+            removes = [a for a in actions if "remove" in a]
+            data_adds = [a for a in adds if a.get("dataChange", True)]
+            if not data_adds:
+                continue  # metadata/protocol-only or compaction
+            if removes and not self._allow_rewrites:
+                op = next(
+                    (
+                        a["commitInfo"].get("operation")
+                        for a in actions
+                        if "commitInfo" in a
+                    ),
+                    "REWRITE",
+                )
+                raise ValueError(
+                    f"version {v} is a {op!r} commit; its files mix "
+                    "rewritten and carried-over rows — set "
+                    ".option('allowRewrites', 'true') for at-least-once "
+                    "semantics"
+                )
+            for a in data_adds:
+                rel = urllib.parse.unquote(a["path"])
+                full = (
+                    rel
+                    if "://" in rel or rel.startswith("/")
+                    else f"{root}/{rel}"
+                )
+                dv_pos = None
+                if a.get("deletionVector"):
+                    from simple_data_workflow_spark.sources.delta_dv import (
+                        read_dv_positions,
+                    )
+
+                    def _rb(p):
+                        with open(_local_root(p), "rb") as fh:
+                            return fh.read()
+
+                    dv_pos = [
+                        int(x)
+                        for x in read_dv_positions(
+                            _rb, root, a["deletionVector"]
+                        )
+                    ]
+                pv = {}
+                raw_pv = a.get("partitionValues") or {}
+                for c in self._part_cols:
+                    val = raw_pv.get(self._part_phys[c], raw_pv.get(c))
+                    pv[c] = (
+                        None
+                        if val is None or val == _NULL_PARTITION
+                        else val
+                    )
+                parts.append(
+                    _DeltaFilePartition(
+                        _local_root(full),
+                        v,
+                        cmap=self._cmap,
+                        partition_values=pv,
+                        dv_positions=dv_pos,
+                    )
+                )
+        return parts
+
+    def read(self, partition: _DeltaFilePartition):
+        # runs in a Python worker: pyarrow only, no SparkSession
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.file_path)
+        cols = []
+        for f in self._arrow_schema:
+            src = (partition.cmap or {}).get(f.name, f.name)
+            if src in tbl.column_names:
+                cols.append(tbl.column(src).cast(f.type))
+            else:
+                cols.append(pa.nulls(tbl.num_rows, f.type))
+        out = pa.Table.from_arrays(cols, schema=self._arrow_schema)
+        if partition.dv_positions:
+            keep = np.ones(out.num_rows, dtype=bool)
+            dead = np.asarray(partition.dv_positions, dtype=np.int64)
+            keep[dead[dead < out.num_rows]] = False
+            out = out.filter(pa.array(keep))
+        # partition columns inject as constants, cast to schema types
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        for c in self._part_cols:
+            f = self._part_types[c]
+            at = to_arrow_type(f.dataType)
+            v = partition.partition_values.get(c)
+            if v is None:
+                col = pa.nulls(out.num_rows, at)
+            else:
+                col = pa.repeat(
+                    pa.scalar(v, pa.string()), out.num_rows
+                ).cast(at)
+            out = out.append_column(c, col)
+        out = out.append_column(
+            VERSION_COL,
+            pa.repeat(pa.scalar(partition.version, pa.int64()), out.num_rows),
+        )
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
+class DeltaLogStreamDataSource(DataSource):
+    """``format("deltalog")``: streaming reads of a spec-conformant
+    Delta table without the Delta jar. Register with
+    ``spark.dataSource.register(DeltaLogStreamDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltalog"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("deltalog source requires .option('path', ...)")
+        meta = _latest_meta(path)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        from pyspark.sql.types import LongType, StructField
+
+        # strip column-mapping metadata (physical resolution is the
+        # reader's concern) and append the version tag
+        clean = StructType(
+            [
+                StructField(f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        return clean.add(StructField(VERSION_COL, LongType()))
+
+    def streamReader(self, schema: StructType) -> DeltaStreamReader:
+        return DeltaStreamReader(schema, dict(self.options))
