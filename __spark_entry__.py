@@ -5352,92 +5352,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_customers": _wrap(merge_upsert_customers),
     }
     # Registration order is load-bearing: the driver's correctness
-    # harness checks the FIRST 50 entries. Round-10 rotation (VERDICT
-    # r9 "Next round" #4): lead with this round's NEW queries (schema
-    # evolution, 5-gram LM, edit-2 fuzzy, persisted PQ index, media
-    # header sniff, the now-self-validating approx_sketches) plus the
-    # never-driver-checked quality classifier, then the STALEST
-    # blocks: last-checked-r5 (ANN/embedding + misc), r6 (asof/pivot/
-    # set-op/quantile block), two r7 TPC-H anchors, and the two blocks
-    # VERDICT r9 named explicitly — the full §2.1 reference battery
-    # and the tablelog DML/DV/clone block, both last driver-checked
-    # r8. The r9 head (WAP/tags/metadata, column mapping, perplexity,
-    # llmdata document battery) is freshly driver-green in
-    # CORRECTNESS_r09 and keeps local-replica evidence below the
-    # window. Rows-only entries in the window: pq_index_topk,
-    # media_header_meta, approx_sketches (self-validating asserts),
-    # quality_classifier_docs, ivf_topk_embeddings,
-    # minhash_lsh_near_dups, simhash_docs, mice_impute_lineitem,
-    # ols_multivariate_ci.
+    # harness checks the FIRST 50 entries. Round-11 rotation (VERDICT
+    # r10 "Next round" #8): lead with this round's NEW queries (Iceberg
+    # equality-delete read, Iceberg v2 DML, Delta DV-write, Hudi MoR,
+    # Delta log streaming), then every never-driver-checked entry
+    # (hudi_upsert, gopher, dup-ngram, SemDeDup, cluster-balanced
+    # sampling, pq_topk), then stalest-first: the r5 ANN/embedding
+    # block, the r6 asof/cube block, the bpe/multimodal rows-only
+    # twins VERDICT named, and the r7 TPC-H + llmdata block, topped
+    # with two r8 entries to fill the 50. The r10 head (lakehouse
+    # write/DML round-trips, §2.1 battery, tablelog DML/DV/clone) is
+    # freshly driver-green in CORRECTNESS_r10 and keeps local-replica
+    # evidence below the window. Rows-only entries in the window:
+    # minhash_lsh_near_dups, simhash_docs, semdedup_kmeans_embeddings,
+    # cluster_balanced_embeddings, pq_topk_embeddings,
+    # multimodal_features, bpe_train_merges, ivf_topk_embeddings
+    # (each with an oracle twin or in-query invariant as declared).
     head = [
-        # --- new in r10 ---
-        "hudi_write_roundtrip",
-        "delta_merge_roundtrip",
-        "delta_dml_roundtrip",
-        "hudi_interop_read",
-        "bm25_scores_docs",
-        "iceberg_write_roundtrip",
-        "iceberg_pos_delete_read",
-        "delta_idmode_read",
-        "c4_clean_docs",
-        "dedup_substring_docs",
-        "delta_interop_roundtrip",
-        "iceberg_interop_read",
-        "delta_dv_read",
-        "tablelog_schema_evolution",
-        "fivegram_perplexity_docs",
-        "fuzzy_edit2_matches",
-        "pq_index_topk",
-        "media_header_meta",
-        "approx_sketches",
-        "quality_classifier_docs",
-        # --- stalest: last driver-checked r5 (ivf_topk_embeddings /
-        # minhash_lsh_near_dups / simhash_docs / train_holdout_split
-        # rotated out to fit the 50-cap for the six new second-half
-        # queries, along with error_window_clicks and
-        # quantize_embeddings: the three rows-only ones have ORACLE
-        # twins (ivf_index_topk, minhash_md5_near_dups,
-        # simhash_md5_docs) driver-green r9; all are local-replica
-        # green this round) ---
-        # --- last driver-checked r6 (asof_last_signup rotated out to
-        # fit the 50-cap; asof coverage stays via asof_purchase_order) ---
-        "distinct_parts_per_flag",
-        "large_parts_except_cheap",
-        "pivot_segment_by_year",
-        "quantiles_by_segment",
-        # --- r7 TPC-H anchors ---
-        "q1_pricing_summary",
-        "q9_product_profit",
-        # --- §2.1 reference battery (VERDICT r9 #4, last r8) ---
-        "flagship_std_revenue",
-        "gelman_standardize_lineitem",
-        "transform_math",
-        "clean_text_priority",
-        "replace_na_status",
-        "one_hot_mktsegment",
-        "ordinal_encode_priority",
-        "impute_mean_value",
-        "impute_median_psize",
-        "impute_mode_priority",
-        "impute_cc_events",
-        "impute_fii_events",
-        "impute_gm_events",
-        "ols_simple",
-        "mice_impute_lineitem",
-        "ols_multivariate_ci",
-        # --- tablelog DML/DV/clone block (VERDICT r9 #4, last r8) ---
-        "tablelog_mor_dml",
-        "tablelog_bloom_lookup",
-        "tablelog_dml_roundtrip",
-        "tablelog_mor_delete",
-        "tablelog_clone_timetravel",
-        "tablelog_cdf_view",
-        "tablelog_batch_format_scan",
-        "tablelog_partitioned_scan",
-        # (merge_upsert_customers and tablelog_incremental_view rotated
-        # out to fit the 50-cap: MERGE semantics are driver-covered this
-        # window by tablelog_schema_evolution's evolving merge, and the
-        # incremental matview by tablelog_cdf_view)
+        # --- new in r11 ---
+        "iceberg_eq_delete_read",
+        "iceberg_dml_roundtrip",
+        "delta_dv_write_roundtrip",
+        "hudi_mor_read",
+        "delta_stream_read",
+        # --- never driver-checked ---
+        "hudi_upsert_roundtrip",
+        "gopher_quality_docs",
+        "dup_ngram_fraction_docs",
+        "semdedup_kmeans_embeddings",
+        "cluster_balanced_embeddings",
+        "pq_topk_embeddings",
+        # --- stalest: last driver-checked r5 ---
+        "ivf_topk_embeddings",
+        "minhash_lsh_near_dups",
+        "simhash_docs",
+        "train_holdout_split",
+        "error_window_clicks",
+        "quantize_embeddings",
+        "pack_documents",
+        "trailing_30d_revenue",
+        # --- last driver-checked r6 ---
+        "asof_last_signup",
+        "asof_purchase_order",
+        "cube_year_flag",
+        # --- rows-only twins VERDICT r10 #8 named (r7/r8) ---
+        "bpe_encode_docs",
+        "bpe_train_merges",
+        "multimodal_features",
+        # --- last driver-checked r7 ---
+        "cohort_retention",
+        "events_json_kpi",
+        "nations_with_both",
+        "profile_orders",
+        "q11_important_parts",
+        "q12_shipdelay_priority",
+        "q15_top_supplier",
+        "q16_supplier_variety",
+        "q17_small_quantity_revenue",
+        "q22_dormant_customers",
+        "q3_top_orders",
+        "q5_region_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "revenue_by_year",
+        "rollup_flag_status",
+        "segment_without_recent_orders",
+        "semantic_dedup_embeddings",
+        "sessionize_events",
+        "top3_orders_per_segment",
+        "windowed_event_counts",
+        # --- oldest r8 fillers ---
+        "asof_next_order",
+        "bloom_decontaminate_docs",
+        "cap_docs_per_source",
+        "ewma_customer_orders",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}

@@ -481,14 +481,25 @@ def _scan_with_position_deletes(
     n_pos = dscan.count()  # metadata-backed: one cheap planning job
     if n_pos <= _POS_DELETE_MASK_MAX:
         import numpy as np
+        from pyspark.sql import functions as F
 
-        tbl = dscan.toArrow()  # ONE Arrow transfer, packed columns
-        pdf = tbl.to_pandas()
+        # group DISTRIBUTED (one row per target file), then ONE Arrow
+        # transfer of (path, packed int64 list) — positions never box
+        # into Python objects and the path string ships once per file,
+        # so driver bytes ≈ 8 B/position + one string per target file
+        tbl = (
+            dscan.groupBy("file_path")
+            .agg(F.collect_list("pos").alias("pos_list"))
+            .toArrow()
+        )
         positions: dict[str, object] = {}
         by_local: dict[str, object] = {}
-        for fp, grp in pdf.groupby("file_path"):
+        for fp, plist in zip(
+            tbl.column("file_path").to_pylist(),
+            tbl.column("pos_list"),
+        ):
             by_local[_local_path(str(fp))] = np.unique(
-                grp["pos"].to_numpy(np.int64)
+                plist.values.to_numpy(zero_copy_only=False).astype(np.int64)
             )
         for f in flist:
             if f in by_local:
