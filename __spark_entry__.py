@@ -2748,6 +2748,113 @@ ORDER BY o_orderstatus, _commit_version
 """
 
 
+def delta_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: Delta table maintenance end-to-end — a 16-file orders
+    table takes a DV DELETE (merge-on-read), OPTIMIZE compacts the
+    small files and MATERIALIZES the deletion vectors (masked rows
+    rewrite, DVs drop, dataChange=false), VACUUM reaps the
+    unreferenced originals + sidecar, and the post-maintenance read
+    must still match the oracle's WHERE twin — pinning that compaction
+    and GC change bytes, never rows."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_optimize,
+        delta_vacuum,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-dopt-") + "/orders_opt"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_write(orders.repartition(16), path, mode="error")
+    delta_delete(spark, path, "o_totalprice < 40000", strategy="dv")
+    delta_optimize(spark, path)
+    delta_vacuum(spark, path, retention_hours=0)
+    got = lakehouse.read_table(spark, "delta", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_OPTIMIZE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_totalprice >= 40000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def hudi_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: Hudi MoR COMPACTION end-to-end — the hudi_mor_read
+    edit sequence (log upsert + insert, log delete) followed by
+    ``hudi_compact``: every logged file group rewrites its MERGED rows
+    as a new base slice under a completed commit, after which the
+    READ-OPTIMIZED view (base files only — no merge) must equal the
+    oracle's replay of the full edit history. Same oracle as
+    hudi_mor_read: compaction changes bytes, never rows."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.hudi_reader import hudi_read
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_compact,
+        hudi_delta_delete,
+        hudi_delta_upsert,
+        hudi_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-hudi-c-") + "/orders_morc"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    hudi_write(
+        orders,
+        path,
+        mode="error",
+        record_key="o_orderkey",
+        partition_by=["o_orderstatus"],
+        table_type="MERGE_ON_READ",
+    )
+    src = (
+        orders.where("o_orderkey % 7 = 0")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            orders.where("o_orderkey % 1000 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            )
+        )
+    )
+    hudi_delta_upsert(spark, path, src)
+    hudi_delta_delete(spark, path, "o_totalprice < 10000")
+    hudi_compact(spark, path)
+    # read-optimized: base files only — compaction must have folded
+    # every log edit into the new base slices
+    got = hudi_read(spark, path, query_type="read_optimized")
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -5193,6 +5300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_write_roundtrip": _wrap(delta_dv_write_roundtrip),
         "hudi_mor_read": _wrap(hudi_mor_read),
         "delta_stream_read": _wrap(delta_stream_read),
+        "delta_optimize_roundtrip": _wrap(delta_optimize_roundtrip),
+        "hudi_compact_read": _wrap(hudi_compact_read),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
@@ -5371,6 +5480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head = [
         # --- new in r11 ---
         "iceberg_eq_delete_read",
+        "delta_optimize_roundtrip",
+        "hudi_compact_read",
         "iceberg_dml_roundtrip",
         "delta_dv_write_roundtrip",
         "hudi_mor_read",
@@ -5424,8 +5535,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oldest r8 fillers ---
         "asof_next_order",
         "bloom_decontaminate_docs",
-        "cap_docs_per_source",
-        "ewma_customer_orders",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -5491,6 +5600,8 @@ def oracle_sql() -> dict[str, str]:
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "hudi_mor_read": HUDI_MOR_SQL,
         "delta_stream_read": DELTA_STREAM_SQL,
+        "delta_optimize_roundtrip": DELTA_OPTIMIZE_SQL,
+        "hudi_compact_read": HUDI_MOR_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,

@@ -396,6 +396,11 @@ QUERIES = {
     "hudi_upsert_roundtrip": entrymod.hudi_upsert_roundtrip,
     "delta_dml_roundtrip": entrymod.delta_dml_roundtrip,
     "delta_merge_roundtrip": entrymod.delta_merge_roundtrip,
+    "iceberg_eq_delete_read": entrymod.iceberg_eq_delete_read,
+    "iceberg_dml_roundtrip": entrymod.iceberg_dml_roundtrip,
+    "delta_dv_write_roundtrip": entrymod.delta_dv_write_roundtrip,
+    "hudi_mor_read": entrymod.hudi_mor_read,
+    "delta_stream_read": entrymod.delta_stream_read,
     "bm25_scores_docs": entrymod.bm25_scores_docs,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,

@@ -1221,3 +1221,215 @@ def delta_merge_upsert(
         hit_fn=hit_fn,
         extra_rows_fn=extra_rows_fn,
     )
+
+
+# ---------------------------------------------------------------------------
+# table maintenance (round 11): OPTIMIZE (small-file compaction, DV
+# materialization) and VACUUM (unreferenced-file GC) on the public log.
+# ---------------------------------------------------------------------------
+
+
+def delta_optimize(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 64 * 1024 * 1024,
+    _retries: int = 5,
+) -> int | None:
+    """Compact small files: per partition-value group, files under
+    ``small_file_bytes`` (when the group has at least two) rewrite as
+    coalesced files; deletion vectors on compacted files MATERIALIZE
+    (the masked rows rewrite, the DV drops — Delta's own OPTIMIZE
+    behavior on DV tables). Published as remove+add with
+    ``dataChange=false`` so streaming tailers skip it as the byte-level
+    no-op it is. Returns the committed version, or None when nothing
+    needed compacting. Untouched files stay byte-identical."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _read_bytes,
+        delta_snapshot_files,
+    )
+
+    for attempt in range(_retries):
+        files, dvs, schema, part_cols = delta_snapshot_files(spark, path)
+        adds_now, meta, proto, cur_v, _txns = _replay_full(spark, path)
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode not in ("", "none"):
+            raise NotImplementedError(
+                "OPTIMIZE on a column-mapped table is not supported by "
+                "the jar-free writer yet (physical-name restaging)"
+            )
+        rel_by_full = {}
+        for rel in adds_now:
+            dec = urllib.parse.unquote(rel)
+            full = (
+                dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
+            )
+            rel_by_full[full] = rel
+        sizes = {
+            full: int(adds_now[rel].get("size") or 0)
+            for full, rel in rel_by_full.items()
+        }
+        groups: dict[tuple, list[str]] = {}
+        for f, pv in files.items():
+            key = tuple(sorted((k, v) for k, v in (pv or {}).items()))
+            groups.setdefault(key, []).append(f)
+        compact: list[str] = []
+        for key, flist in groups.items():
+            small = [
+                f
+                for f in flist
+                # a DV'd file is worth rewriting at any size (the mask
+                # disappears and the scan returns to pure codegen)
+                if sizes.get(f, 0) < small_file_bytes or f in dvs
+            ]
+            if len(small) >= 2 or any(f in dvs for f in small):
+                compact.extend(small)
+        if not compact:
+            return None
+        dv_positions = {}
+        if dvs:
+            from simple_data_workflow_spark.sources.delta_dv import (
+                read_dv_positions,
+            )
+
+            for f, desc in dvs.items():
+                if f in set(compact):
+                    dv_positions[f] = read_dv_positions(
+                        lambda p: _read_bytes(spark, p), path, desc
+                    )
+        from simple_data_workflow_spark.sources.delta_reader import (
+            _dv_masked_scan,
+        )
+
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        # rewrite per partition group (files in one group share the
+        # same partition values, so staging re-derives them correctly)
+        staged_all: list[dict] = []
+        compact_set = set(compact)
+        for key, flist in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            victims = [f for f in flist if f in compact_set]
+            if not victims:
+                continue
+            df = _dv_masked_scan(
+                spark,
+                data_schema,
+                sorted(victims),
+                {f: p for f, p in dv_positions.items() if f in victims},
+            ).coalesce(1)
+            for c, v in key:
+                lit = (
+                    F.lit(None)
+                    if v is None or v == "__HIVE_DEFAULT_PARTITION__"
+                    else F.lit(v)
+                )
+                df = df.withColumn(c, lit.cast(types[c]))
+            if part_cols:
+                df = df.select(*[f.name for f in schema.fields])
+            staged_all.extend(_stage_data_files(df, path, list(part_cols)))
+        now = int(time.time() * 1000)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "OPTIMIZE",
+                        "operationParameters": {
+                            "targetSize": small_file_bytes
+                        },
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            )
+        ]
+        for f in sorted(compact_set):
+            rel = rel_by_full.get(f)
+            if rel is None:
+                continue
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now,
+                            "dataChange": False,
+                        }
+                    }
+                )
+            )
+        for a in staged_all:
+            a = dict(a)
+            a["dataChange"] = False  # byte rewrite, zero logical change
+            lines.append(json.dumps({"add": a}))
+        version = cur_v + 1
+        if _publish_if_absent(
+            spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
+        ):
+            return version
+        jvm, fs = _fs(spark, path)
+        for a in staged_all:
+            dec = urllib.parse.unquote(a["path"])
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{dec}"), False)
+    raise DeltaConcurrentWrite(
+        f"OPTIMIZE on {path} lost the commit race {_retries} times"
+    )
+
+
+def delta_vacuum(
+    spark: SparkSession, path: str, retention_hours: float = 168.0
+) -> list[str]:
+    """Delete data files and DV sidecars no longer referenced by the
+    CURRENT snapshot whose modification time is older than the
+    retention horizon (default 7 days — Delta's own default). Time
+    travel to versions whose files were vacuumed stops working, exactly
+    like Delta. Returns the deleted paths. Log JSON is NOT touched
+    (checkpoint-based log cleanup is `delta_checkpoint`'s domain)."""
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_snapshot_files,
+    )
+    from simple_data_workflow_spark.sources.delta_dv import dv_uuid_path
+
+    files, dvs, _schema, _pc = delta_snapshot_files(spark, path)
+    live = set()
+    jvm, fs = _fs(spark, path)
+    root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    for f in files:
+        live.add(f if f.startswith("/") else f"{root_local}/{f}")
+    for desc in dvs.values():
+        st = desc.get("storageType")
+        if st == "u":
+            live.add(dv_uuid_path(root_local, desc["pathOrInlineDv"]))
+        elif st == "p":
+            live.add(desc["pathOrInlineDv"])
+    horizon = int(time.time() * 1000) - int(retention_hours * 3600 * 1000)
+
+    def walk(p):
+        for st_ in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
+            name = st_.getPath().getName()
+            if st_.isDirectory():
+                if name == "_delta_log" or name.startswith(".staging"):
+                    continue
+                yield from walk(str(st_.getPath().toUri().getPath()))
+            else:
+                yield st_
+
+    deleted = []
+    for st_ in walk(path):
+        full = str(st_.getPath().toUri().getPath())
+        name = full.rsplit("/", 1)[1]
+        if name.startswith(".") or name.startswith("_"):
+            continue
+        if not (name.endswith(".parquet") or name.endswith(".bin")):
+            continue
+        if full in live:
+            continue
+        if int(st_.getModificationTime()) >= horizon:
+            continue  # too young: a concurrent writer may reference it
+        fs.delete(st_.getPath(), False)
+        deleted.append(full)
+    return sorted(deleted)

@@ -613,9 +613,12 @@ def hudi_delta_upsert(spark: SparkSession, path: str, source: DataFrame) -> str:
     key_expr = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
     src = source.withColumn("__key", key_expr)
     keymap = _base_keymap(spark, path, groups)
-    matched = src.join(keymap, "__key")
-    inserts = src.join(keymap.select("__key"), "__key", "left_anti").drop(
-        "__key"
+    # ONE join, materialized once (source-sized — the changed rows),
+    # then split into updates/inserts without recomputation
+    joined = src.join(keymap, "__key", "left").localCheckpoint(eager=True)
+    matched = joined.where(F.col("__group").isNotNull())
+    inserts = joined.where(F.col("__group").isNull()).drop(
+        "__key", "__group", "__part", "__fid", "__binstant"
     )
     last_instant = None
 
@@ -688,7 +691,13 @@ def hudi_delta_delete(spark: SparkSession, path: str, predicate: str) -> str:
         spark, path
     )
     view = _mor_read(spark, path, _provenance=True)
-    hits = view.where(predicate).select("__group", "__key")
+    # materialize the hit set once (∝ deleted rows) — the probe and the
+    # per-group log writes reuse it instead of re-merging the table
+    hits = (
+        view.where(predicate)
+        .select("__group", "__key")
+        .localCheckpoint(eager=True)
+    )
     if hits.limit(1).count() == 0:
         from simple_data_workflow_spark.sources.hudi_reader import _timeline
 
@@ -714,3 +723,159 @@ def hudi_delta_delete(spark: SparkSession, path: str, predicate: str) -> str:
         make_content,
     ).collect()
     return _publish_delta(spark, path, instant, stats, "DELETE")
+
+
+def hudi_compact(spark: SparkSession, path: str) -> str | None:
+    """Compact a MERGE_ON_READ table: every file group carrying log
+    files rewrites its merged rows as a NEW base slice at a fresh
+    instant (same fileId — the name convention then makes the reader
+    pick the new slice and drop the old slice's logs automatically),
+    published as a completed ``commit`` action, Hudi's compaction
+    shape. Fully distributed: each group's merge happens in the MoR
+    read plan and its new base file writes executor-side
+    (``applyInPandas`` per group). Returns the committed instant, or
+    None when no group has logs. Pre-compaction instants stay
+    time-travelable (``as_of`` resolves the OLD slice + its logs)."""
+    import pandas as _pd
+
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        _mor_read,
+        _resolve_groups,
+        load_table_properties,
+    )
+
+    props = load_table_properties(spark, path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise ValueError("hudi_compact targets MERGE_ON_READ tables")
+    groups, logs, _c, _r = _resolve_groups(spark, path)
+    logged = {f"{part}\x00{fid}" for (part, fid) in logs}
+    if not logged:
+        return None
+    jvm, _fs_ = _jfs(spark, path)
+    root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    instant = _next_instant(spark, path)
+
+    view = _mor_read(spark, path, _provenance=True)
+    victims = view.where(F.col("__group").isin(*sorted(logged)))
+    data_cols = [c for c in victims.columns if c not in ("__group", "__key")]
+
+    out_schema = (
+        "partition string, fileId string, path string, "
+        "fileSizeInBytes long, numRows long"
+    )
+
+    def write_base(pdf):
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        group = pdf["__group"].iloc[0]
+        part, fid = group.split("\x00")
+        name = f"{fid}_0-1-0_{instant}.parquet"
+        dest_dir = f"{root_local}/{part}" if part else root_local
+        _os.makedirs(dest_dir, exist_ok=True)
+        dest = f"{dest_dir}/{name}"
+        body = pdf[data_cols].copy()
+        n = len(body)
+        meta = _pd.DataFrame(
+            {
+                "_hoodie_commit_time": [instant] * n,
+                "_hoodie_commit_seqno": [
+                    f"{instant}_{i}" for i in range(n)
+                ],
+                "_hoodie_record_key": pdf["__key"].tolist(),
+                "_hoodie_partition_path": [part] * n,
+                "_hoodie_file_name": [fid] * n,
+            }
+        )
+        tbl = _pa.Table.from_pandas(
+            _pd.concat(
+                [meta.reset_index(drop=True), body.reset_index(drop=True)],
+                axis=1,
+            ),
+            preserve_index=False,
+        )
+        tmp = dest + f".__tmp{_os.getpid()}__"
+        _pq.write_table(tbl, tmp)
+        _os.rename(tmp, dest)
+        rel = f"{part}/{name}" if part else name
+        return _pd.DataFrame(
+            [
+                {
+                    "partition": part,
+                    "fileId": fid,
+                    "path": rel,
+                    "fileSizeInBytes": _os.path.getsize(dest),
+                    "numRows": n,
+                }
+            ]
+        )
+
+    stats = (
+        victims.groupBy("__group").applyInPandas(write_base, out_schema)
+    ).collect()
+    write_stats: dict[str, list[dict]] = {}
+    for r in stats:
+        write_stats.setdefault(r["partition"], []).append(
+            {
+                "fileId": r["fileId"],
+                "path": r["path"],
+                "fileSizeInBytes": int(r["fileSizeInBytes"]),
+            }
+        )
+    # a logged group whose merged view is EMPTY (every record deleted)
+    # never reaches applyInPandas — write its empty base slice
+    # driver-side (schema-only parquet, metadata-sized) so the old
+    # slice's logs stop attaching
+    done = {f"{r['partition']}\x00{r['fileId']}" for r in stats}
+    empty_groups = sorted(logged - done)
+    if empty_groups:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        data_arrow = to_arrow_schema(
+            victims.drop("__group", "__key").schema
+        )
+        meta_fields = [
+            _pa.field(c, _pa.string())
+            for c in (
+                "_hoodie_commit_time",
+                "_hoodie_commit_seqno",
+                "_hoodie_record_key",
+                "_hoodie_partition_path",
+                "_hoodie_file_name",
+            )
+        ]
+        empty_schema = _pa.schema(meta_fields + list(data_arrow))
+        for group in empty_groups:
+            part, fid = group.split("\x00")
+            name = f"{fid}_0-1-0_{instant}.parquet"
+            dest_dir = f"{root_local}/{part}" if part else root_local
+            _os.makedirs(dest_dir, exist_ok=True)
+            dest = f"{dest_dir}/{name}"
+            _pq.write_table(empty_schema.empty_table(), dest)
+            rel = f"{part}/{name}" if part else name
+            write_stats.setdefault(part, []).append(
+                {
+                    "fileId": fid,
+                    "path": rel,
+                    "fileSizeInBytes": _os.path.getsize(dest),
+                }
+            )
+    meta = {
+        "partitionToWriteStats": write_stats,
+        "operationType": "COMPACT",
+    }
+    # compaction publishes a completed COMMIT action (per the timeline
+    # spec) — the new base slices become the groups' latest
+    if not _publish_instant_if_absent(
+        spark, path, f"{instant}.commit", json.dumps(meta, indent=2)
+    ):
+        raise HudiConcurrentWrite(
+            f"instant {instant} at {path} was committed by another writer"
+        )
+    return instant

@@ -670,3 +670,100 @@ def test_dml_across_many_partitions_single_scan_plan(spark, tmp_path):
     # so none do)
     assert delta_read(spark, root).where("region = 'r3'").count() == 10
     assert delta_read(spark, root).where("region = 'r4'").count() == 0
+
+
+def test_delta_optimize_compacts_and_materializes_dvs(spark, tmp_path):
+    """Round 11: OPTIMIZE coalesces small files per partition group
+    with dataChange=false (streaming tailers skip it), materializes
+    deletion vectors (masked rows rewrite, DV drops), leaves the
+    logical snapshot identical, and keeps pre-OPTIMIZE versions
+    time-travelable."""
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_snapshot_files,
+    )
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_optimize,
+        delta_vacuum,
+    )
+
+    root = str(tmp_path / "dopt")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i), "A" if i < 20 else "B") for i in range(40)],
+            "id long, v double, g string",
+        ).repartition(8),
+        root,
+        mode="error",
+        partition_by=["g"],
+    )
+    delta_delete(spark, root, "id % 10 = 0", strategy="dv")
+    before = _rows(delta_read(spark, root), "id", "v", "g")
+    files_before, dvs_before, _s, _p = delta_snapshot_files(spark, root)
+    assert dvs_before  # the DV delete landed as descriptors
+
+    v = delta_optimize(spark, root, small_file_bytes=64 * 1024 * 1024)
+    assert v is not None
+    after = _rows(delta_read(spark, root), "id", "v", "g")
+    assert after == before  # logical snapshot identical
+    files_after, dvs_after, _s2, _p2 = delta_snapshot_files(spark, root)
+    assert not dvs_after  # DVs materialized away
+    assert len(files_after) < len(files_before)  # actually compacted
+    assert len(files_after) == 2  # one file per partition group
+    # the commit is dataChange=false end to end
+    with open(f"{root}/_delta_log/{v:020d}.json") as f:
+        acts = [json.loads(l) for l in f if l.strip()]
+    assert all(
+        a["add"]["dataChange"] is False for a in acts if "add" in a
+    )
+    assert all(
+        a["remove"]["dataChange"] is False for a in acts if "remove" in a
+    )
+    # pre-OPTIMIZE version still reads complete
+    assert len(_rows(delta_read(spark, root, v - 1), "id")) == 36
+    # nothing left to compact: no-op
+    assert delta_optimize(spark, root) is None
+
+    # vacuum: retention 0 deletes the unreferenced originals + sidecar
+    deleted = delta_vacuum(spark, root, retention_hours=0)
+    assert deleted and any(d.endswith(".bin") for d in deleted)
+    assert _rows(delta_read(spark, root), "id", "v", "g") == before
+    # live files untouched; re-vacuum is a no-op
+    assert delta_vacuum(spark, root, retention_hours=0) == []
+
+
+def test_deltalog_stream_skips_optimize_commits(spark, tmp_path):
+    """The deltalog stream must treat OPTIMIZE's dataChange=false
+    remove+add as the byte-level no-op it is."""
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_optimize,
+    )
+    from simple_data_workflow_spark.streaming.delta_source import (
+        DeltaLogStreamDataSource,
+    )
+
+    root = str(tmp_path / "doptstream")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ).repartition(4),
+        root,
+        mode="error",
+    )
+    assert delta_optimize(spark, root) is not None
+    spark.dataSource.register(DeltaLogStreamDataSource)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        spark.readStream.format("deltalog")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 10  # v0 only; the OPTIMIZE commit emitted 0
+    assert {r["_commit_version"] for r in got.collect()} == {0}

@@ -442,3 +442,67 @@ def test_hudi_mor_uncommitted_log_blocks_invisible(spark, tmp_path):
         f.write(blk)
     got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
     assert got == {(1, 10.0)}  # uncommitted block invisible
+
+
+def test_hudi_compact_rewrites_logged_groups(spark, tmp_path):
+    """Compaction: groups with logs rewrite their MERGED rows as a new
+    base slice under a completed commit; the snapshot is identical
+    before/after, pre-compaction instants still time-travel with the
+    OLD slice + logs, and subsequent log writes attach to the NEW
+    base."""
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        _resolve_groups,
+        hudi_read,
+    )
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_compact,
+        hudi_delta_delete,
+        hudi_delta_upsert,
+        hudi_write,
+    )
+
+    root = str(tmp_path / "morc")
+    hudi_write(
+        spark.createDataFrame(
+            [(1, 10.0, "US"), (2, 20.0, "US"), (3, 30.0, "EU")],
+            "id long, v double, region string",
+        ),
+        root, mode="error", record_key="id",
+        partition_by=["region"], table_type="MERGE_ON_READ",
+    )
+    hudi_delta_upsert(
+        spark, root,
+        spark.createDataFrame([(2, 222.0, "US")], "id long, v double, region string"),
+    )
+    hudi_delta_delete(spark, root, "id = 3")
+    before = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert before == {(1, 10.0), (2, 222.0)}
+
+    t = hudi_compact(spark, root)
+    assert t is not None and os.path.exists(f"{root}/.hoodie/{t}.commit")
+    after = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert after == before
+    # logged groups got fresh base slices; no logs attach to them now
+    _g, logs, _c, _r = _resolve_groups(spark, root)
+    assert not logs
+    # the read-optimized view now equals the snapshot (logs compacted)
+    ro = {
+        (r["id"], r["v"])
+        for r in hudi_read(spark, root, query_type="read_optimized").collect()
+    }
+    assert ro == before
+    # pre-compaction instant still time-travels (old slice + its logs)
+    pre = {
+        (r["id"], r["v"])
+        for r in hudi_read(spark, root, as_of=str(int(t) - 1)).collect()
+    }
+    assert pre == before
+    # nothing to compact now: no-op
+    assert hudi_compact(spark, root) is None
+    # new log writes attach to the new base slice
+    hudi_delta_upsert(
+        spark, root,
+        spark.createDataFrame([(1, 111.0, "US")], "id long, v double, region string"),
+    )
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(1, 111.0), (2, 222.0)}
