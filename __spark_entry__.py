@@ -2855,6 +2855,78 @@ def hudi_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: STREAMING reads of jar-free Iceberg v2 tables
+    (``streaming/iceberg_source.py``, ``format("iceberglog")`` —
+    sequence numbers as offsets, manifests decoded by the pure-Python
+    Avro OCF reader cross-pinned against the reference Java
+    implementation). Orders land in TWO append snapshots (parity
+    split); the stream replays them with availableNow into a parquet
+    sink, rows tagged ``_snapshot_id``; the oracle reconstructs the
+    per-snapshot provenance from the same parity split (snapshot ids
+    are random, so the tag maps to the parity via MIN(o_orderkey)
+    ordering)."""
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_write,
+    )
+    from simple_data_workflow_spark.streaming.iceberg_source import (
+        IcebergLogStreamDataSource,
+    )
+
+    tune(spark)
+    spark.dataSource.register(IcebergLogStreamDataSource)
+    root = tempfile.mkdtemp(prefix="sdw-istream-")
+    path = f"{root}/orders_ice"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    iceberg_write(orders.where("o_orderkey % 2 = 0"), path, mode="error")
+    iceberg_write(orders.where("o_orderkey % 2 = 1"), path, mode="append")
+    out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
+    q = (
+        spark.readStream.format("iceberglog")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(out_dir)
+    # snapshot ids are random — normalize to a stable 0/1 batch ordinal
+    # via each snapshot's key parity (even batch first)
+    ordinal = streamed.withColumn(
+        "_batch", (F.col("o_orderkey") % 2).cast("long")
+    )
+    return (
+        ordinal.groupBy("o_orderstatus", "_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "_batch")
+    )
+
+
+ICEBERG_STREAM_SQL = """
+SELECT o_orderstatus,
+       CAST(o_orderkey % 2 AS BIGINT) AS _batch,
+       COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+GROUP BY o_orderstatus, o_orderkey % 2
+ORDER BY o_orderstatus, _batch
+"""
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -5302,6 +5374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stream_read": _wrap(delta_stream_read),
         "delta_optimize_roundtrip": _wrap(delta_optimize_roundtrip),
         "hudi_compact_read": _wrap(hudi_compact_read),
+        "iceberg_stream_read": _wrap(iceberg_stream_read),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
@@ -5482,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_eq_delete_read",
         "delta_optimize_roundtrip",
         "hudi_compact_read",
+        "iceberg_stream_read",
         "iceberg_dml_roundtrip",
         "delta_dv_write_roundtrip",
         "hudi_mor_read",
@@ -5532,9 +5606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events",
         "top3_orders_per_segment",
         "windowed_event_counts",
-        # --- oldest r8 fillers ---
+        # --- oldest r8 filler ---
         "asof_next_order",
-        "bloom_decontaminate_docs",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -5602,6 +5675,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_stream_read": DELTA_STREAM_SQL,
         "delta_optimize_roundtrip": DELTA_OPTIMIZE_SQL,
         "hudi_compact_read": HUDI_MOR_SQL,
+        "iceberg_stream_read": ICEBERG_STREAM_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,

@@ -1152,3 +1152,117 @@ def test_delta_log_stream_rewrites_gate_and_dv(spark, tmp_path):
     assert {
         r["id"] for r in got.where("_commit_version = 1").collect()
     } == {0, 1, 2, 3, 4, 5, 6}
+
+
+def test_iceberg_log_stream_matches_batch(spark, tmp_path):
+    """stream==batch over an Iceberg v2 append sequence: sequence
+    numbers are the offsets, batches align to snapshots, a checkpoint
+    restart resumes at the cursor, rewrites gate, and v1 refuses."""
+    import pyspark.errors
+
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_read,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_write,
+    )
+    from simple_data_workflow_spark.streaming.iceberg_source import (
+        IcebergLogStreamDataSource,
+    )
+
+    t = str(tmp_path / "istream")
+    iceberg_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, v double"
+        ),
+        t,
+        mode="error",
+    )  # seq 1
+    iceberg_write(
+        spark.createDataFrame([(8, 8.0)], "id long, v double"),
+        t,
+        mode="append",
+    )  # seq 2
+    spark.dataSource.register(IcebergLogStreamDataSource)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberglog")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 9
+    # two distinct snapshot tags, matching the metadata's snapshot ids
+    meta_ids = {
+        r["_snapshot_id"] for r in got.select("_snapshot_id").distinct().collect()
+    }
+    assert len(meta_ids) == 2
+    streamed = {(r["id"], r["v"]) for r in got.drop("_snapshot_id").collect()}
+    batch = {(r["id"], r["v"]) for r in iceberg_read(spark, t).collect()}
+    assert streamed == batch
+
+    # append while down; restart delivers only the new snapshot
+    iceberg_write(
+        spark.createDataFrame([(9, 9.0)], "id long, v double"),
+        t,
+        mode="append",
+    )  # seq 3
+    run()
+    assert spark.read.parquet(out).count() == 10
+
+    # an overwrite snapshot gates without allowRewrites
+    iceberg_write(
+        spark.createDataFrame([(0, 0.0)], "id long, v double"),
+        t,
+        mode="overwrite",
+    )  # seq 4
+    with _pytest.raises(
+        pyspark.errors.exceptions.captured.StreamingQueryException,
+        match="allowRewrites",
+    ):
+        run()
+    # with the opt-in, its added file streams as at-least-once inserts
+    q = (
+        spark.readStream.format("iceberglog")
+        .option("path", t)
+        .option("allowRewrites", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 11
+
+    # v1 tables refuse (no sequence-number cursor)
+    t1 = str(tmp_path / "istream1")
+    iceberg_write(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        t1,
+        mode="error",
+        format_version=1,
+    )
+    with _pytest.raises(Exception, match="format-version 2"):
+        q = (
+            spark.readStream.format("iceberglog")
+            .option("path", t1)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "c1"))
+            .start()
+        )
+        q.awaitTermination(120)
