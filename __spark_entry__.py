@@ -2561,6 +2561,54 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_eq_delete_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: equality-delete WRITE
+    (``iceberg_writer.iceberg_equality_delete`` — the CDC-writer
+    shape: delete cost ∝ key rows, NO table scan). Same edit sequence
+    as ``iceberg_eq_delete_read`` but produced entirely by this repo's
+    writer instead of a hand-published snapshot: v2 orders, an
+    equality delete on keys divisible by 7, then an APPEND re-inserting
+    the keys divisible by 14 at doubled price — the re-inserts carry a
+    HIGHER sequence number, so the reader's strictly-smaller rule must
+    keep them. Same oracle as the read twin."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_equality_delete,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-iceeqw-") + "/orders_eqw"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    iceberg_write(orders, path, mode="error")
+    iceberg_equality_delete(
+        spark,
+        path,
+        orders.where("o_orderkey % 7 = 0").select("o_orderkey"),
+    )
+    iceberg_write(
+        orders.where("o_orderkey % 14 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        path,
+        mode="append",
+    )
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def hudi_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 second half: jar-free Hudi CoW UPSERT
     (``hudi_writer.hudi_upsert`` — delete-insert by record key via ONE
@@ -5375,6 +5423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_optimize_roundtrip": _wrap(delta_optimize_roundtrip),
         "hudi_compact_read": _wrap(hudi_compact_read),
         "iceberg_stream_read": _wrap(iceberg_stream_read),
+        "iceberg_eq_delete_write": _wrap(iceberg_eq_delete_write),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
@@ -5556,6 +5605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_optimize_roundtrip",
         "hudi_compact_read",
         "iceberg_stream_read",
+        "iceberg_eq_delete_write",
         "iceberg_dml_roundtrip",
         "delta_dv_write_roundtrip",
         "hudi_mor_read",
@@ -5606,8 +5656,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events",
         "top3_orders_per_segment",
         "windowed_event_counts",
-        # --- oldest r8 filler ---
-        "asof_next_order",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -5676,6 +5724,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_optimize_roundtrip": DELTA_OPTIMIZE_SQL,
         "hudi_compact_read": HUDI_MOR_SQL,
         "iceberg_stream_read": ICEBERG_STREAM_SQL,
+        "iceberg_eq_delete_write": ICEBERG_EQ_DELETE_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,

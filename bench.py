@@ -401,6 +401,12 @@ QUERIES = {
     "delta_dv_write_roundtrip": entrymod.delta_dv_write_roundtrip,
     "hudi_mor_read": entrymod.hudi_mor_read,
     "delta_stream_read": entrymod.delta_stream_read,
+    "delta_optimize_roundtrip": entrymod.delta_optimize_roundtrip,
+    "hudi_compact_read": entrymod.hudi_compact_read,
+    "iceberg_stream_read": entrymod.iceberg_stream_read,
+    "iceberg_eq_delete_write": entrymod.iceberg_eq_delete_write,
+    "iceberg_eq_delete_read": entrymod.iceberg_eq_delete_read,
+    "iceberg_dml_roundtrip": entrymod.iceberg_dml_roundtrip,
     "bm25_scores_docs": entrymod.bm25_scores_docs,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,

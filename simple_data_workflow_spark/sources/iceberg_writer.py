@@ -1137,3 +1137,186 @@ def iceberg_delete(
     raise IcebergConcurrentWrite(
         f"DELETE on {path} lost the commit race {_retries} times"
     )
+
+
+def iceberg_equality_delete(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    _retries: int = 5,
+) -> int:
+    """Publish an EQUALITY-DELETE snapshot: every table row whose
+    values match a row of ``keys`` (NULL-safe, on the key DataFrame's
+    columns — they become the delete file's ``equality_ids``) is dead
+    for all data files with a smaller sequence number. This is the
+    CDC-writer shape (Flink upsert streams emit these): the delete
+    costs ∝ key rows — no scan of the table at all, unlike
+    ``iceberg_delete``'s position-scan — and later re-inserts of the
+    same keys survive because their files carry a HIGHER sequence
+    number (the spec's strictly-smaller application rule, which the
+    reader implements). Needs a format-version 2 table; returns the
+    committed snapshot id."""
+    meta = load_table_metadata(spark, path)
+    if int(meta.get("format-version", 1)) < 2:
+        raise IcebergFeatureUnsupported(
+            "equality deletes need a format-version 2 table"
+        )
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _schema_and_ids,
+    )
+
+    schema, ids = _schema_and_ids(meta)
+    eq_cols = list(keys.columns)
+    missing = [c for c in eq_cols if c not in ids]
+    if missing:
+        raise ValueError(
+            f"equality-delete columns not in the table schema: {missing}"
+        )
+    table_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for f in keys.schema.fields:
+        if table_types[f.name] != f.dataType.simpleString():
+            raise IcebergSchemaMismatch(
+                f"equality column {f.name!r} type "
+                f"{f.dataType.simpleString()} != table "
+                f"{table_types[f.name]}"
+            )
+    eq_ids = [ids[c] for c in eq_cols]
+    # stage the delete file: the equality columns with their table
+    # field ids stamped, deduped (a key listed twice is one delete)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    staged_df = keys.dropDuplicates().select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+            for c in eq_cols
+        ]
+    )
+    jvm, fs = _jfs(spark, path)
+    staging = f"{path}/.staging-{uuid.uuid4().hex}"
+    staged_df.coalesce(1).write.mode("overwrite").parquet(staging)
+    import pyarrow.parquet as pq
+
+    staged = []
+    staging_local = jvm.org.apache.hadoop.fs.Path(staging).toUri().getPath()
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        src = f"{staging_local}/{name}"
+        nrec = pq.ParquetFile(src).metadata.num_rows
+        if nrec == 0:
+            continue
+        dest = f"{path}/data/eqdelete-{uuid.uuid4().hex}-{name}"
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/data"))
+        if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(src),
+            jvm.org.apache.hadoop.fs.Path(dest),
+        ):
+            raise IOError(f"failed to move staged equality-delete {name}")
+        staged.append(
+            {
+                "path": dest,
+                "size": int(
+                    fs.getFileStatus(
+                        jvm.org.apache.hadoop.fs.Path(dest)
+                    ).getLen()
+                ),
+                "record_count": int(nrec),
+            }
+        )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    if not staged:
+        return int(meta.get("current-snapshot-id") or -1)  # empty keys
+
+    ice_schema = meta["schemas"][0] if "schemas" in meta else meta["schema"]
+    for attempt in range(_retries):
+        now_ms = int(time.time() * 1000)
+        snapshot_id = uuid.uuid4().int % (2**62)
+        md_uuid = uuid.uuid4().hex
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        entry_schema = _manifest_entry_schema_json([], 2)
+        rows = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherit
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": f["path"],
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": f["record_count"],
+                    "file_size_in_bytes": f["size"],
+                    "equality_ids": eq_ids,
+                },
+            }
+            for f in staged
+        ]
+        dmanifest = f"{path}/metadata/{md_uuid}-eqdel-m0.avro"
+        dlen = _write_avro(
+            spark,
+            dmanifest,
+            entry_schema,
+            rows,
+            meta={
+                "schema": json.dumps(ice_schema),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        manifests = _current_manifests(spark, path, meta)
+        manifests.append(
+            {
+                "manifest_path": dmanifest,
+                "manifest_length": dlen,
+                "partition_spec_id": 0,
+                "content": 1,  # DELETES
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(staged),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+            }
+        )
+        mlist_path = f"{path}/metadata/snap-{snapshot_id}-1-{md_uuid}.avro"
+        _write_avro(
+            spark,
+            mlist_path,
+            _manifest_file_schema_json(2),
+            manifests,
+            meta={"format-version": "2"},
+        )
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": meta.get("current-snapshot-id"),
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "delete"},
+            "manifest-list": mlist_path,
+            "schema-id": meta.get("current-schema-id", 0),
+        }
+        meta_out = dict(meta)
+        meta_out["last-updated-ms"] = now_ms
+        meta_out["last-sequence-number"] = seq
+        meta_out["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+        meta_out["current-snapshot-id"] = snapshot_id
+        version = 1
+        import re as _re
+
+        for st in fs.listStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")
+        ):
+            m = _re.match(r"v(\d+)\.metadata\.json", st.getPath().getName())
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        if _publish_metadata_if_absent(
+            spark, path, version, json.dumps(meta_out, indent=2)
+        ):
+            return snapshot_id
+        meta = load_table_metadata(spark, path)
+    raise IcebergConcurrentWrite(
+        f"equality DELETE on {path} lost the commit race {_retries} times"
+    )

@@ -444,3 +444,60 @@ def test_iceberg_delete_file_carries_reserved_field_ids(spark, tmp_path):
     sch = pq.ParquetFile(dfiles[0]).schema_arrow
     ids = {f.name: int(f.metadata[b"PARQUET:field_id"]) for f in sch}
     assert ids == {"file_path": 2147483546, "pos": 2147483545}
+
+
+def test_iceberg_equality_delete_write(spark, tmp_path):
+    """Round 11: equality-delete WRITE — the CDC-writer shape. Costs
+    ∝ key rows (no table scan); re-inserts at a later sequence
+    survive (the reader's strictly-smaller rule); NULL keys match
+    NULL-safe; the delete file stamps the table's field ids."""
+    import pyarrow.parquet as pq
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata as _ltm,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_equality_delete,
+    )
+
+    root = str(tmp_path / "ieqw")
+    iceberg_write(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (None, 9.0)], "id long, v double"
+        ),
+        root,
+        mode="error",
+    )
+    iceberg_equality_delete(
+        spark, root, spark.createDataFrame([(2,), (None,)], "id long")
+    )
+    got = {(r["id"], r["v"]) for r in iceberg_read(spark, root).collect()}
+    assert got == {(1, 1.0)}  # id=2 and NULL-id rows dead
+    # re-insert id=2 at a higher sequence: survives the older delete
+    iceberg_write(
+        spark.createDataFrame([(2, 22.0)], "id long, v double"),
+        root,
+        mode="append",
+    )
+    got = {(r["id"], r["v"]) for r in iceberg_read(spark, root).collect()}
+    assert got == {(1, 1.0), (2, 22.0)}
+    # the delete file carries the table's field id for `id`
+    dfiles = glob.glob(f"{root}/data/eqdelete-*.parquet")
+    assert len(dfiles) == 1
+    sch = pq.ParquetFile(dfiles[0]).schema_arrow
+    assert int(sch.field("id").metadata[b"PARQUET:field_id"]) == 1
+    meta = _ltm(spark, root)
+    assert meta["snapshots"][-2]["summary"]["operation"] == "delete"
+    # schema gates
+    with pytest.raises(ValueError, match="not in the table schema"):
+        iceberg_equality_delete(
+            spark, root, spark.createDataFrame([(1,)], "zz long")
+        )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        IcebergSchemaMismatch,
+    )
+
+    with pytest.raises(IcebergSchemaMismatch):
+        iceberg_equality_delete(
+            spark, root, spark.createDataFrame([("x",)], "id string")
+        )
