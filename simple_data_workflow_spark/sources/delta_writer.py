@@ -776,6 +776,7 @@ def _dml_rewrite(
     operation: str,
     hit_fn=None,
     extra_rows_fn=None,
+    _hits0: list | None = None,
     _retries: int = 5,
 ) -> int:
     """Shared CoW DML engine: find the files that contain matches
@@ -824,8 +825,22 @@ def _dml_rewrite(
         cur_v, adds_now = view["cur_v"], view["adds_now"]
         mapped, id_mode = view["mapped"], view["id_mode"]
 
-        hit_df = hit_fn(snap) if hit_fn is not None else snap.where(predicate)
-        hit = hit_df.select("__file").distinct().collect()
+        if (
+            attempt == 0
+            and _hits0 is not None
+            and _hits0[0] == cur_v
+        ):
+            # the caller (delta_delete's auto-strategy probe) already
+            # ran the hit scan against THIS version's snapshot — reuse
+            # it instead of paying a second full scan (the version
+            # guard rejects a probe made stale by a concurrent commit;
+            # retries always re-resolve)
+            hit = _hits0[1]
+        else:
+            hit_df = (
+                hit_fn(snap) if hit_fn is not None else snap.where(predicate)
+            )
+            hit = hit_df.select("__file").distinct().collect()
         norm = {}
         for f in files:
             local = _up.urlparse(f).path if "://" in f else f
@@ -1124,22 +1139,25 @@ def delta_delete(
         raise ValueError(f"unknown DELETE strategy {strategy!r}")
     if strategy == "dv":
         return _dv_delete(spark, path, predicate)
+    hits0 = None
     if strategy == "auto":
         view = _snapshot_view(spark, path, "DELETE")
         if view is None:
             _a, _m, _p, cur_v, _t = _replay_full(spark, path)
             return cur_v
-        n_hit = (
-            view["snap"].where(predicate).select("__file").distinct().count()
+        hit_rows = (
+            view["snap"].where(predicate).select("__file").distinct().collect()
         )
-        if n_hit > _DV_DELETE_FILE_THRESHOLD:
+        if len(hit_rows) > _DV_DELETE_FILE_THRESHOLD:
             return _dv_delete(spark, path, predicate)
+        hits0 = (view["cur_v"], hit_rows)
     return _dml_rewrite(
         spark,
         path,
         predicate,
         lambda df, pred: df.where(f"NOT coalesce(({pred}), false)"),
         "DELETE",
+        _hits0=hits0,
     )
 
 
