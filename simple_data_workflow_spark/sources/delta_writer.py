@@ -776,7 +776,8 @@ def _dml_rewrite(
     operation: str,
     hit_fn=None,
     extra_rows_fn=None,
-    _hits0: list | None = None,
+    _hits0: tuple | None = None,
+    _view0: dict | None = None,
     _retries: int = 5,
 ) -> int:
     """Shared CoW DML engine: find the files that contain matches
@@ -812,7 +813,11 @@ def _dml_rewrite(
     )
 
     for attempt in range(_retries):
-        view = _snapshot_view(spark, path, operation)
+        view = (
+            _view0
+            if attempt == 0 and _view0 is not None
+            else _snapshot_view(spark, path, operation)
+        )
         if view is None:
             _adds, _m, _p, cur_v, _t = _replay_full(spark, path)
             return cur_v  # empty table: nothing to do
@@ -1103,10 +1108,12 @@ def _dv_delete(
     )
 
 
-# affected-file count at which a DELETE switches from copy-on-write
-# rewrites (cost ∝ affected-file bytes) to deletion vectors (cost ∝
-# deleted rows) under strategy="auto"
+# auto-strategy DELETE: deletion vectors win when the delete is WIDE
+# (many files would rewrite) and SPARSE (few of those files' rows
+# actually match — rewriting amplifies); dense deletes rewrite, which
+# shrinks the files and keeps scans codegen-pure
 _DV_DELETE_FILE_THRESHOLD = 8
+_DV_DELETE_MAX_MATCH_FRACTION = 0.2
 
 
 def delta_delete(
@@ -1125,11 +1132,13 @@ def delta_delete(
       remove+add in one atomic commit.
     - ``"dv"`` — merge-on-read: deletion vectors mark the rows dead
       without touching the data files (cost ∝ deleted rows).
-    - ``"auto"`` (default) — one cheap file-hit probe, then DVs when
-      the delete touches more than ``_DV_DELETE_FILE_THRESHOLD`` files
-      (rewriting many files for a sparse delete is the scale trap),
-      rewrites otherwise (few files → the table stays DV-free and
-      scans stay pure codegen).
+    - ``"auto"`` (default) — one per-file hit probe, then DVs when the
+      delete is WIDE (more than ``_DV_DELETE_FILE_THRESHOLD`` files)
+      AND SPARSE (matched rows under
+      ``_DV_DELETE_MAX_MATCH_FRACTION`` of the affected files' rows,
+      from the log's per-file stats) — rewriting many files to drop a
+      few rows each is the scale trap; dense deletes rewrite so the
+      files actually shrink.
 
     DELETE removes only rows where the predicate is TRUE: under SQL
     three-valued logic ``NOT (NULL)`` is NULL, so a bare ``NOT (pred)``
@@ -1140,16 +1149,54 @@ def delta_delete(
     if strategy == "dv":
         return _dv_delete(spark, path, predicate)
     hits0 = None
+    view = None
     if strategy == "auto":
+        import urllib.parse as _up
+
+        from pyspark.sql import functions as F
+
         view = _snapshot_view(spark, path, "DELETE")
         if view is None:
             _a, _m, _p, cur_v, _t = _replay_full(spark, path)
             return cur_v
-        hit_rows = (
-            view["snap"].where(predicate).select("__file").distinct().collect()
+        probe = (
+            view["snap"].where(predicate).groupBy("__file").count().collect()
         )
+        hit_rows = [r for r in probe]  # Rows expose r["__file"]
         if len(hit_rows) > _DV_DELETE_FILE_THRESHOLD:
-            return _dv_delete(spark, path, predicate)
+            # wide — but only SPARSE wide deletes benefit from DVs:
+            # compare matched rows to the affected files' total rows
+            # (per-file numRecords from the log's stats, metadata-only)
+            matched = sum(r["count"] for r in probe)
+            rel_by_full = {}
+            for rel in view["adds_now"]:
+                dec = urllib.parse.unquote(rel)
+                full = (
+                    dec
+                    if "://" in dec or dec.startswith("/")
+                    else f"{path}/{dec}"
+                )
+                rel_by_full[_up.urlparse(full).path if "://" in full else full] = rel
+            total = 0
+            known = True
+            for r in probe:
+                local = _up.urlparse(r["__file"]).path
+                rel = rel_by_full.get(local)
+                stats = (
+                    view["adds_now"].get(rel, {}).get("stats")
+                    if rel
+                    else None
+                )
+                n = json.loads(stats).get("numRecords") if stats else None
+                if n is None:
+                    known = False
+                    break
+                total += int(n)
+            sparse = (not known) or matched < _DV_DELETE_MAX_MATCH_FRACTION * max(
+                total, 1
+            )
+            if sparse:
+                return _dv_delete(spark, path, predicate)
         hits0 = (view["cur_v"], hit_rows)
     return _dml_rewrite(
         spark,
@@ -1158,6 +1205,7 @@ def delta_delete(
         lambda df, pred: df.where(f"NOT coalesce(({pred}), false)"),
         "DELETE",
         _hits0=hits0,
+        _view0=view if strategy == "auto" else None,
     )
 
 

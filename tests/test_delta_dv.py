@@ -329,9 +329,12 @@ def test_delta_delete_writes_deletion_vectors(spark, tmp_path):
     assert (2, 0.0) in got and len(got) == 12
 
 
-def test_delta_delete_auto_strategy_picks_dv_when_wide(spark, tmp_path):
-    """auto: a delete touching many files writes DVs (no rewrites); a
-    narrow delete keeps the copy-on-write path (table stays DV-free)."""
+def test_delta_delete_auto_strategy_picks_dv_when_wide_and_sparse(
+    spark, tmp_path
+):
+    """auto: a WIDE + SPARSE delete (many files, few matched rows per
+    file) writes DVs; a WIDE + DENSE delete rewrites (the files should
+    shrink); a narrow delete keeps the copy-on-write path."""
     from simple_data_workflow_spark.sources.delta_reader import (
         delta_snapshot_files,
     )
@@ -341,16 +344,25 @@ def test_delta_delete_auto_strategy_picks_dv_when_wide(spark, tmp_path):
     # ~16 files, a few rows each
     delta_write(
         spark.createDataFrame(
-            [(i, float(i)) for i in range(64)], "id long, v double"
+            [(i, float(i)) for i in range(160)], "id long, v double"
         ).repartition(16),
         root,
         mode="error",
     )
-    delta_delete(spark, root, "id < 60")  # touches >8 files → DV
+    delta_delete(spark, root, "id % 10 = 0")  # wide (16 files), 10% → DV
     _files, dvs, _s, _p = delta_snapshot_files(spark, root)
     assert dvs  # auto picked the merge-on-read path
     got = {r["id"] for r in delta_read(spark, root).collect()}
-    assert got == {60, 61, 62, 63}
+    assert got == {i for i in range(160) if i % 10 != 0}
+
+    # wide but DENSE: rewrite, no new DV debt (old DVs materialize
+    # into the rewritten files)
+    delta_delete(spark, root, "id < 150")
+    _files, dvs, _s, _p = delta_snapshot_files(spark, root)
+    assert not dvs
+    got = {r["id"] for r in delta_read(spark, root).collect()}
+    # 150 fell to the FIRST delete (150 % 10 == 0)
+    assert got == {151, 152, 153, 154, 155, 156, 157, 158, 159}
     # narrow delete on a fresh table: rewrite path, no DVs
     root2 = str(tmp_path / "dvauto2")
     delta_write(
