@@ -60,8 +60,14 @@ _META_COLS = [
 
 
 def _next_instant(spark: SparkSession, path: str) -> str:
-    """Hudi instant time: ``yyyyMMddHHmmssSSS``; strictly greater than
-    every existing timeline entry (same-millisecond writers bump)."""
+    """Hudi instant time: ``yyyyMMddHHmmssSSS``; STRICTLY greater than
+    every existing timeline entry. Seconds and milliseconds derive from
+    ONE clock reading — two reads can straddle a second boundary under
+    load and compose an instant that sorts BELOW an already-allocated
+    one (e.g. seconds from :12 with millis already rolled to :13.001 →
+    "...12001" < "...12999"), silently corrupting instant-ordered time
+    travel — and the result bumps past the timeline MAX, not just past
+    collisions."""
     jvm, fs = _jfs(spark, path)
     existing = set()
     hd = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie")
@@ -72,8 +78,12 @@ def _next_instant(spark: SparkSession, path: str) -> str:
             m = re.match(r"^(\d+)\.", st.getPath().getName())
             if m:
                 existing.add(m.group(1))
-    t = time.strftime("%Y%m%d%H%M%S") + f"{int(time.time() * 1000) % 1000:03d}"
-    while t in existing:
+    now = time.time()
+    t = time.strftime(
+        "%Y%m%d%H%M%S", time.localtime(now)
+    ) + f"{int(now * 1000) % 1000:03d}"
+    hi = max(existing, default="")
+    while t <= hi or t in existing:
         t = str(int(t) + 1)
     return t
 
