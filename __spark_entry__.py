@@ -2975,6 +2975,64 @@ ORDER BY o_orderstatus, _batch
 """
 
 
+def hudi_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: STREAMING reads of jar-free Hudi tables
+    (``streaming/hudi_source.py``, ``format("hudilog")`` — completed
+    timeline instants as offsets, Hudi's own incremental-query
+    cursor). Orders land in TWO commits (parity split); the
+    change-feed stream replays them with availableNow (rows tagged
+    ``_instant`` + ``_change_type``); the oracle reconstructs the
+    per-commit provenance from the same parity split."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.hudi_writer import hudi_write
+    from simple_data_workflow_spark.streaming.hudi_source import (
+        HudiLogStreamDataSource,
+    )
+
+    tune(spark)
+    spark.dataSource.register(HudiLogStreamDataSource)
+    root = tempfile.mkdtemp(prefix="sdw-hstream-")
+    path = f"{root}/orders_hudi"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hudi_write(
+        orders.where("o_orderkey % 2 = 0"), path,
+        mode="error", record_key="o_orderkey",
+    )
+    hudi_write(
+        orders.where("o_orderkey % 2 = 1"), path,
+        mode="append", record_key="o_orderkey",
+    )
+    out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
+    q = (
+        spark.readStream.format("hudilog")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(out_dir)
+    # instants are wall-clock — normalize to the stable 0/1 parity
+    ordinal = streamed.where("_change_type = 'insert'").withColumn(
+        "_batch", (F.col("o_orderkey") % 2).cast("long")
+    )
+    return (
+        ordinal.groupBy("o_orderstatus", "_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "_batch")
+    )
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -5424,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_compact_read": _wrap(hudi_compact_read),
         "iceberg_stream_read": _wrap(iceberg_stream_read),
         "iceberg_eq_delete_write": _wrap(iceberg_eq_delete_write),
+        "hudi_stream_read": _wrap(hudi_stream_read),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
         "tablelog_hidden_partition_scan": _wrap(tablelog_hidden_partition_scan),
@@ -5606,6 +5665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_compact_read",
         "iceberg_stream_read",
         "iceberg_eq_delete_write",
+        "hudi_stream_read",
         "iceberg_dml_roundtrip",
         "delta_dv_write_roundtrip",
         "hudi_mor_read",
@@ -5638,7 +5698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention",
         "events_json_kpi",
         "nations_with_both",
-        "profile_orders",
         "q11_important_parts",
         "q12_shipdelay_priority",
         "q15_top_supplier",
@@ -5725,6 +5784,7 @@ def oracle_sql() -> dict[str, str]:
         "hudi_compact_read": HUDI_MOR_SQL,
         "iceberg_stream_read": ICEBERG_STREAM_SQL,
         "iceberg_eq_delete_write": ICEBERG_EQ_DELETE_SQL,
+        "hudi_stream_read": ICEBERG_STREAM_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,
         "tablelog_hidden_partition_scan": TABLELOG_HIDDEN_SQL,

@@ -405,6 +405,7 @@ QUERIES = {
     "hudi_compact_read": entrymod.hudi_compact_read,
     "iceberg_stream_read": entrymod.iceberg_stream_read,
     "iceberg_eq_delete_write": entrymod.iceberg_eq_delete_write,
+    "hudi_stream_read": entrymod.hudi_stream_read,
     "iceberg_eq_delete_read": entrymod.iceberg_eq_delete_read,
     "iceberg_dml_roundtrip": entrymod.iceberg_dml_roundtrip,
     "bm25_scores_docs": entrymod.bm25_scores_docs,

@@ -1320,3 +1320,94 @@ def iceberg_equality_delete(
     raise IcebergConcurrentWrite(
         f"equality DELETE on {path} lost the commit race {_retries} times"
     )
+
+
+def iceberg_expire_snapshots(
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+) -> list[int]:
+    """Expire old snapshots (Iceberg's ``expireSnapshots`` shape): drop
+    every snapshot except the current one, the ``keep_last`` newest,
+    and — when ``older_than_ms`` is given — any newer than that
+    instant; then delete the files ONLY they referenced (data files,
+    delete files, manifests, manifest lists). Time travel to expired
+    snapshots stops working, exactly like Iceberg. Returns the expired
+    snapshot ids. Everything is metadata-sized (manifest replay per
+    snapshot) except the file deletes themselves."""
+    from simple_data_workflow_spark.sources.avro_ocf import read_ocf_file
+
+    meta = load_table_metadata(spark, path)
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: (int(s.get("timestamp-ms") or 0), int(s["snapshot-id"])),
+    )
+    cur = meta.get("current-snapshot-id")
+    keep: set[int] = {int(cur)} if cur not in (None, -1) else set()
+    for s in snaps[-max(keep_last, 1):]:
+        keep.add(int(s["snapshot-id"]))
+    if older_than_ms is not None:
+        for s in snaps:
+            if int(s.get("timestamp-ms") or 0) >= int(older_than_ms):
+                keep.add(int(s["snapshot-id"]))
+    expired = [s for s in snaps if int(s["snapshot-id"]) not in keep]
+    if not expired:
+        return []
+
+    def referenced(snapshot) -> tuple[set[str], set[str]]:
+        """(data/delete file paths, manifest+list paths) one snapshot
+        references, via the pure-Python OCF reader."""
+        files: set[str] = set()
+        metas: set[str] = set()
+        mlist = _local_path(str(snapshot["manifest-list"]))
+        metas.add(mlist)
+        _s, entries = read_ocf_file(mlist)
+        for m in entries:
+            mp = _local_path(str(m["manifest_path"]))
+            metas.add(mp)
+            _s2, mes = read_ocf_file(mp)
+            for e in mes:
+                if int(e.get("status") or 0) == 2:
+                    continue
+                files.add(_local_path(str(e["data_file"]["file_path"])))
+        return files, metas
+
+    live_files: set[str] = set()
+    live_metas: set[str] = set()
+    for s in snaps:
+        if int(s["snapshot-id"]) in keep:
+            f, m = referenced(s)
+            live_files |= f
+            live_metas |= m
+    dead_files: set[str] = set()
+    dead_metas: set[str] = set()
+    for s in expired:
+        f, m = referenced(s)
+        dead_files |= f - live_files
+        dead_metas |= m - live_metas
+
+    jvm, fs = _jfs(spark, path)
+    for p in sorted(dead_files | dead_metas):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
+
+    expired_ids = {int(s["snapshot-id"]) for s in expired}
+    meta_out = dict(meta)
+    meta_out["snapshots"] = [
+        s for s in snaps if int(s["snapshot-id"]) not in expired_ids
+    ]
+    meta_out["last-updated-ms"] = int(time.time() * 1000)
+    version = 1
+    import re as _re
+
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")):
+        m = _re.match(r"v(\d+)\.metadata\.json", st.getPath().getName())
+        if m:
+            version = max(version, int(m.group(1)) + 1)
+    if not _publish_metadata_if_absent(
+        spark, path, version, json.dumps(meta_out, indent=2)
+    ):
+        raise IcebergConcurrentWrite(
+            f"snapshot expiration on {path} lost the metadata race"
+        )
+    return sorted(expired_ids)

@@ -501,3 +501,47 @@ def test_iceberg_equality_delete_write(spark, tmp_path):
         iceberg_equality_delete(
             spark, root, spark.createDataFrame([("x",)], "id string")
         )
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """Snapshot expiration: old snapshots drop from metadata and the
+    files ONLY they referenced delete; shared files survive; the
+    current snapshot still reads; expired ids stop time-traveling."""
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_expire_snapshots,
+    )
+
+    root = str(tmp_path / "iexp")
+    s1 = iceberg_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        root,
+        mode="error",
+    )
+    s2 = iceberg_write(
+        spark.createDataFrame([(3, 3.0)], "id long, v double"),
+        root,
+        mode="append",
+    )
+    # overwrite: s1/s2's data files become exclusive to them
+    s3 = iceberg_write(
+        spark.createDataFrame([(9, 9.0)], "id long, v double"),
+        root,
+        mode="overwrite",
+    )
+    iceberg_delete(spark, root, "id = 9")  # s4: MoR delete snapshot
+    n_before = len(glob.glob(f"{root}/data/*.parquet"))
+    expired = iceberg_expire_snapshots(spark, root, keep_last=2)
+    assert set(expired) == {s1, s2}
+    # current snapshot reads the same
+    assert iceberg_read(spark, root).count() == 0  # 9 deleted
+    # pre-overwrite data files are gone; s3/s4 files survive
+    n_after = len(glob.glob(f"{root}/data/*.parquet"))
+    assert n_after < n_before
+    with pytest.raises(ValueError, match="not in table"):
+        iceberg_read(spark, root, s1)
+    meta = load_table_metadata(spark, root)
+    assert {int(s["snapshot-id"]) for s in meta["snapshots"]} >= {s3}
+    assert s1 not in {int(s["snapshot-id"]) for s in meta["snapshots"]}
+    # nothing more to expire under the same policy
+    assert iceberg_expire_snapshots(spark, root, keep_last=2) == []

@@ -1266,3 +1266,112 @@ def test_iceberg_log_stream_matches_batch(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+
+
+def test_hudi_log_stream_change_feed(spark, tmp_path):
+    """Hudi incremental stream: base inserts tag 'insert', MoR log
+    data blocks tag 'upsert', delete blocks tag 'delete' (key only),
+    batches align to instants, a checkpoint restart resumes, and
+    replacecommits gate behind allowRewrites."""
+    import pyspark.errors
+
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_delta_delete,
+        hudi_delta_upsert,
+        hudi_upsert,
+        hudi_write,
+    )
+    from simple_data_workflow_spark.streaming.hudi_source import (
+        HudiLogStreamDataSource,
+    )
+
+    t = str(tmp_path / "hstream")
+    hudi_write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id long, v double"
+        ),
+        t, mode="error", record_key="id", table_type="MERGE_ON_READ",
+    )
+    hudi_delta_upsert(
+        spark, t, spark.createDataFrame([(2, 222.0)], "id long, v double")
+    )
+    hudi_delta_delete(spark, t, "id = 1")
+    spark.dataSource.register(HudiLogStreamDataSource)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+
+    def run(extra=None):
+        reader = spark.readStream.format("hudilog").option("path", t)
+        for k, v in (extra or {}).items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(out)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in got.groupBy("_change_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_type == {"insert": 2, "upsert": 1, "delete": 1}
+    up = got.where("_change_type = 'upsert'").collect()[0]
+    assert up["id"] == 2 and up["v"] == 222.0 and up["_hoodie_record_key"] == "2"
+    de = got.where("_change_type = 'delete'").collect()[0]
+    assert de["_hoodie_record_key"] == "1" and de["id"] is None
+    # three distinct instants = three change batches
+    assert got.select("_instant").distinct().count() == 3
+
+    # restart delivers only the NEW instant's changes
+    hudi_delta_upsert(
+        spark, t, spark.createDataFrame([(3, 30.0)], "id long, v double")
+    )  # new key → new base group (insert)
+    run()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 5
+    assert got2.where("id = 3 AND _change_type = 'insert'").count() == 1
+
+    # a CoW replacecommit gates without allowRewrites (separate CoW
+    # table: hudi_upsert is the CoW upsert and refuses MoR by design)
+    t2 = str(tmp_path / "hstream2")
+    hudi_write(
+        spark.createDataFrame([(1, 10.0)], "id long, v double"),
+        t2, mode="error", record_key="id",
+    )
+    out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+
+    def run2(extra=None):
+        reader = spark.readStream.format("hudilog").option("path", t2)
+        for k, v in (extra or {}).items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out2)
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run2()
+    assert spark.read.parquet(out2).count() == 1
+    hudi_upsert(
+        spark, t2, spark.createDataFrame([(1, 2222.0)], "id long, v double")
+    )
+    with _pytest.raises(
+        pyspark.errors.exceptions.captured.StreamingQueryException,
+        match="allowRewrites",
+    ):
+        run2()
+    run2({"allowRewrites": "true"})
+    got3 = spark.read.parquet(out2)
+    assert got3.where("v = 2222.0").count() == 1
