@@ -1499,3 +1499,33 @@ def delta_vacuum(
         fs.delete(st_.getPath(), False)
         deleted.append(full)
     return sorted(deleted)
+
+
+def delta_cleanup_log(
+    spark: SparkSession, path: str, retention_hours: float = 720.0
+) -> list[int]:
+    """Delete commit JSONs at or below the newest CHECKPOINT whose
+    modification time is past the retention horizon (Delta's
+    ``delta.logRetentionDuration`` behavior, default 30 days) — the
+    checkpoint carries the full pre-horizon state, so replay
+    correctness is unaffected; only time travel to the cleaned
+    versions stops. Returns the deleted versions. Without a
+    checkpoint nothing is deleted (the JSONs ARE the table)."""
+    commits, cps = _list_log(spark, path)
+    if not cps:
+        return []
+    cp_max = max(cps)
+    horizon = int(time.time() * 1000) - int(retention_hours * 3600 * 1000)
+    jvm, fs = _fs(spark, path)
+    deleted = []
+    for v in sorted(commits):
+        if v > cp_max:
+            continue  # newer than the checkpoint: still load-bearing
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/_delta_log/{v:020d}.json"
+        )
+        if int(fs.getFileStatus(p).getModificationTime()) >= horizon:
+            continue
+        fs.delete(p, False)
+        deleted.append(v)
+    return deleted

@@ -889,3 +889,91 @@ def hudi_compact(spark: SparkSession, path: str) -> str | None:
             f"instant {instant} at {path} was committed by another writer"
         )
     return instant
+
+
+def hudi_clean(
+    spark: SparkSession, path: str, retain_commits: int = 10
+) -> list[str]:
+    """Hudi's CLEANER (KEEP_LATEST_COMMITS policy): per file group,
+    delete base slices (and their attached log files) that are OLDER
+    than the slice a reader as-of the retention horizon would pick —
+    the newest ``retain_commits`` completed instants stay fully
+    time-travelable, older slices that have been superseded reap.
+    Returns the deleted paths. The current slice of every group always
+    survives (a group written once and never rewritten is never
+    touched, no matter how old)."""
+    import re as _re
+
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        _resolve_groups,
+        _timeline,
+    )
+
+    commits, replaces = _timeline(spark, path)
+    completed = sorted(commits | replaces)
+    if len(completed) <= retain_commits:
+        return []
+    horizon = completed[-retain_commits]  # oldest instant to keep fully
+    groups, logs, _c, _r = _resolve_groups(spark, path)
+    # the slice a reader at the horizon would resolve per group: the
+    # newest slice with instant <= horizon — everything older reaps
+    jvm, fs = _jfs(spark, path)
+    root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    keep_floor: dict[tuple[str, str], str] = {}
+    all_slices: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    base_re = _re.compile(
+        r"^(?P<fid>.+?)_(?P<token>[^_]+)_(?P<instant>\d+)\.parquet$"
+    )
+
+    def walk(p):
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if name == ".hoodie":
+                    continue
+                yield from walk(str(st.getPath().toUri().getPath()))
+            else:
+                yield str(st.getPath().toUri().getPath())
+
+    for full in walk(path):
+        name = full.rsplit("/", 1)[-1]
+        m = base_re.match(name)
+        if not m or m.group("instant") not in (commits | replaces):
+            continue
+        rel_dir = full[len(root_local) + 1 :].rsplit("/", 1)
+        part = rel_dir[0] if len(rel_dir) == 2 else ""
+        key = (part, m.group("fid"))
+        all_slices.setdefault(key, []).append((m.group("instant"), full))
+    for key, slices in all_slices.items():
+        slices.sort()
+        at_horizon = [t for t, _f in slices if t <= horizon]
+        if at_horizon:
+            keep_floor[key] = at_horizon[-1]
+        else:
+            keep_floor[key] = slices[0][0]  # nothing at/below: keep all
+
+    deleted: list[str] = []
+    log_re = _re.compile(
+        r"^\.(?P<fid>.+)_(?P<binstant>\d+)\.log\.(?P<v>\d+)_(?P<tok>.+)$"
+    )
+    dead_bases: dict[tuple[str, str], set[str]] = {}
+    for key, slices in all_slices.items():
+        floor = keep_floor[key]
+        for t, full in slices:
+            if t < floor:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(full), False)
+                deleted.append(full)
+                dead_bases.setdefault(key, set()).add(t)
+    # logs attached to reaped base slices reap with them
+    for full in walk(path):
+        name = full.rsplit("/", 1)[-1]
+        m = log_re.match(name)
+        if not m:
+            continue
+        rel_dir = full[len(root_local) + 1 :].rsplit("/", 1)
+        part = rel_dir[0] if len(rel_dir) == 2 else ""
+        key = (part, m.group("fid"))
+        if m.group("binstant") in dead_bases.get(key, set()):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(full), False)
+            deleted.append(full)
+    return sorted(deleted)

@@ -767,3 +767,27 @@ def test_deltalog_stream_skips_optimize_commits(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 10  # v0 only; the OPTIMIZE commit emitted 0
     assert {r["_commit_version"] for r in got.collect()} == {0}
+
+
+def test_delta_cleanup_log_respects_checkpoint_and_retention(spark, tmp_path):
+    """Log cleanup deletes only commits covered by a checkpoint and
+    past retention; the table still reads from the checkpoint seed, and
+    a checkpoint-less table is never touched."""
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_cleanup_log,
+    )
+
+    root = str(tmp_path / "dlclean")
+    delta_write(spark.createDataFrame([(1,)], "id long"), root, mode="error")
+    delta_write(spark.createDataFrame([(2,)], "id long"), root, mode="append")
+    # no checkpoint yet: nothing may delete
+    assert delta_cleanup_log(spark, root, retention_hours=0) == []
+    delta_checkpoint(spark, root)  # at v1
+    delta_write(spark.createDataFrame([(3,)], "id long"), root, mode="append")
+    deleted = delta_cleanup_log(spark, root, retention_hours=0)
+    assert deleted == [0, 1]  # covered by the checkpoint
+    # v2 (after the checkpoint) survives; table reads complete
+    assert os.path.exists(f"{root}/_delta_log/{2:020d}.json")
+    assert _rows(delta_read(spark, root), "id") == {(1,), (2,), (3,)}
+    # retention respected: fresh commits survive a long horizon
+    assert delta_cleanup_log(spark, root, retention_hours=1) == []

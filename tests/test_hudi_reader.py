@@ -506,3 +506,45 @@ def test_hudi_compact_rewrites_logged_groups(spark, tmp_path):
     )
     got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
     assert got == {(1, 111.0), (2, 222.0)}
+
+
+def test_hudi_clean_reaps_superseded_slices(spark, tmp_path):
+    """The cleaner deletes base slices older than the retention
+    horizon's resolvable slice (plus their logs); current slices and
+    never-rewritten groups survive at any age; retained instants still
+    time-travel."""
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_clean,
+        hudi_compact,
+        hudi_delta_upsert,
+        hudi_write,
+    )
+
+    root = str(tmp_path / "hclean")
+    hudi_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+        root, mode="error", record_key="id", table_type="MERGE_ON_READ",
+    )
+    # rewrite group(s) twice via upsert+compact cycles → 3 slices
+    for v in (100.0, 200.0):
+        hudi_delta_upsert(
+            spark, root,
+            spark.createDataFrame([(1, v)], "id long, v double"),
+        )
+        hudi_compact(spark, root)
+    n_before = sum(
+        1 for _d, _s, fs_ in os.walk(root) for n in fs_ if n.endswith(".parquet")
+    )
+    # generous retention: nothing to clean
+    assert hudi_clean(spark, root, retain_commits=10) == []
+    # tight retention: superseded slices reap
+    deleted = hudi_clean(spark, root, retain_commits=1)
+    assert deleted
+    n_after = sum(
+        1 for _d, _s, fs_ in os.walk(root) for n in fs_ if n.endswith(".parquet")
+    )
+    assert n_after < n_before
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(1, 200.0), (2, 20.0)}
+    # idempotent
+    assert hudi_clean(spark, root, retain_commits=1) == []
