@@ -1955,6 +1955,139 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: jar-free Iceberg v2 UPDATE
+    (``iceberg_writer.iceberg_update``) — merge-on-read, the v2 runtime
+    shape: ONE snapshot carries a position-delete file (old row
+    versions die) AND new data files (updated versions land), so the
+    edit is atomic and cost ∝ matching rows with no data-file
+    rewrites. Here urgent orders get a 10% surcharge, then a stacked
+    DELETE prunes on the UPDATED prices (ordering matters: rows pushed
+    over the threshold by the update must survive), and the result
+    reads back through the front-door fallback. The oracle replays
+    UPDATE as CASE and DELETE as WHERE over raw parquet."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_update,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-iceupd-") + "/orders_iceupd"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    iceberg_write(orders, path, mode="error")
+    iceberg_update(
+        spark,
+        path,
+        {"o_totalprice": "o_totalprice * 1.1"},
+        "o_orderpriority = '1-URGENT'",
+    )
+    iceberg_delete(spark, path, "o_totalprice < 100000")
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_UPDATE_SQL = """
+WITH upd AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM upd
+WHERE o_totalprice >= 100000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def iceberg_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: jar-free Iceberg v2 MERGE
+    (``iceberg_writer.iceberg_merge_upsert`` — delete-insert upsert,
+    same deterministic contract as ``delta_merge_upsert``: result =
+    target anti-join source ON keys UNION source), published as ONE
+    merge-on-read snapshot: a position-delete file kills the matched
+    target rows and new data files carry every source row — no
+    data-file rewrites, cost ∝ matched + source rows. The table is
+    identity-partitioned so updated rows must land under their Hive
+    partition directories and record partition values in the
+    manifest. The oracle replays the anti-join+union in DuckDB."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_merge_upsert,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-icemrg-") + "/orders_icemrg"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    iceberg_write(orders, path, mode="error", partition_by=["o_orderstatus"])
+    src = (
+        orders.where("o_orderkey % 7 = 0")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            orders.where("o_orderkey % 1000 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            )
+        )
+    )
+    iceberg_merge_upsert(spark, path, src, on=["o_orderkey"])
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_MERGE_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 1000 = 0
+), merged AS (
+  SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_dv_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 11 (VERDICT r10 #6): Delta DELETE via WRITTEN deletion
     vectors (``delta_delete(strategy="dv")``) — merge-on-read: one
@@ -5475,6 +5608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_pos_delete_read": _wrap(iceberg_pos_delete_read),
         "iceberg_eq_delete_read": _wrap(iceberg_eq_delete_read),
         "iceberg_dml_roundtrip": _wrap(iceberg_dml_roundtrip),
+        "iceberg_update_roundtrip": _wrap(iceberg_update_roundtrip),
+        "iceberg_merge_roundtrip": _wrap(iceberg_merge_roundtrip),
         "delta_dv_write_roundtrip": _wrap(delta_dv_write_roundtrip),
         "hudi_mor_read": _wrap(hudi_mor_read),
         "delta_stream_read": _wrap(delta_stream_read),
@@ -5660,6 +5795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (each with an oracle twin or in-query invariant as declared).
     head = [
         # --- new in r11 ---
+        "iceberg_update_roundtrip",
+        "iceberg_merge_roundtrip",
         "iceberg_eq_delete_read",
         "delta_optimize_roundtrip",
         "hudi_compact_read",
@@ -5713,8 +5850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_without_recent_orders",
         "semantic_dedup_embeddings",
         "sessionize_events",
-        "top3_orders_per_segment",
-        "windowed_event_counts",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -5777,6 +5912,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_pos_delete_read": ICEBERG_POS_DELETE_SQL,
         "iceberg_eq_delete_read": ICEBERG_EQ_DELETE_SQL,
         "iceberg_dml_roundtrip": ICEBERG_DML_SQL,
+        "iceberg_update_roundtrip": ICEBERG_UPDATE_SQL,
+        "iceberg_merge_roundtrip": ICEBERG_MERGE_SQL,
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "hudi_mor_read": HUDI_MOR_SQL,
         "delta_stream_read": DELTA_STREAM_SQL,

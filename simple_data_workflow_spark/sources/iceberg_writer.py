@@ -919,85 +919,132 @@ _POS_DELETE_FILE_PATH_ID = 2147483546
 _POS_DELETE_POS_ID = 2147483545
 
 
-def iceberg_delete(
-    spark: SparkSession, path: str, predicate: str, _retries: int = 5
-) -> int:
-    """DELETE FROM the Iceberg table WHERE ``predicate`` — jar-free
-    merge-on-read: matching rows are located with ONE distributed scan
-    (``_metadata.file_path`` + ``row_index``), written as a
-    spec-shaped POSITION-DELETE parquet file (``file_path``/``pos``
-    with the reserved field ids, sorted by path then position), and
-    published as a delete manifest in a new sequence-numbered snapshot
-    — no data file rewrites, delete cost ∝ matching rows. Returns the
-    committed snapshot id (or the current one when nothing matched — a
-    metadata no-op).
+def _table_spec(meta: dict) -> list[dict]:
+    """The table's partition-spec fields enriched with their Iceberg
+    and Avro types (the shape ``_manifest_entry_schema_json`` and the
+    manifest-row builders expect) — from metadata only."""
+    ice_schema = meta["schemas"][0] if "schemas" in meta else meta["schema"]
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    spec_fields = []
+    for p in meta.get("partition-spec") or []:
+        ice_t = by_name[p["name"]]["type"]
+        spec_fields.append(
+            {
+                "name": p["name"],
+                "transform": p["transform"],
+                "source_id": p["source-id"],
+                "field_id": p["field-id"],
+                "ice_type": ice_t,
+                "avro_type": _PART_AVRO[ice_t],
+            }
+        )
+    return spec_fields
 
-    Needs a format-version 2 table (v1 has no row-level deletes; the
-    default ``iceberg_write`` emits v2). Nothing data-sized touches
-    the driver: matches stage through Spark's distributed writer and
-    only per-file footer counts replay driver-side."""
-    import pyarrow.parquet as pq
 
+def _live_lineage_scan(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame | None, list[tuple[str, int]], T.StructType]:
+    """The CURRENT snapshot's live rows with row lineage — the table
+    columns plus ``__fp`` (normalized data-file path) and ``__ri``
+    (position within the file) — for row-level DML to locate targets.
+    Position deletes apply as a distributed anti-join; equality deletes
+    per the spec's strictly-smaller sequence rule (same plan shape as
+    ``iceberg_reader.iceberg_read``, with lineage carried through).
+    Returns ``(None, data, schema)`` for an empty table. Fully
+    distributed — nothing data-sized touches the driver."""
     from simple_data_workflow_spark.sources.iceberg_reader import (
         _norm_path_col,
         _schema_and_ids,
         _snapshot_files_and_deletes,
     )
 
-    meta = load_table_metadata(spark, path)
-    if int(meta.get("format-version", 1)) < 2:
-        raise IcebergFeatureUnsupported(
-            "DELETE needs a format-version 2 table (v1 has no row-level "
-            "deletes); rewrite the table with iceberg_write(..., "
-            "format_version=2)"
-        )
     data, deletes, schema = _snapshot_files_and_deletes(spark, path)
     if not data:
-        return int(meta.get("current-snapshot-id") or -1)
-    files = [f for f, _seq in data]
+        return None, data, schema
     pos_paths = [d["path"] for d in deletes if d["content"] == 1]
+    eq_deletes = [d for d in deletes if d["content"] == 2]
 
-    # one distributed scan: rows matching the predicate → (file_path as
-    # the MANIFEST spells it, position). Already-deleted positions are
-    # excluded up front so the new delete file only carries live rows.
-    from simple_data_workflow_spark.sources.iceberg_reader import (
-        _scan_with_position_deletes,
-    )
-
-    base = (
-        spark.read.schema(schema)
-        .parquet(*sorted(files))
-        .select(
-            "*",
-            _norm_path_col(F.col("_metadata.file_path")).alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
-        )
-        .where(predicate)
-    )
-    if pos_paths:
-        dead = (
-            spark.read.parquet(*sorted(pos_paths))
+    def scan(flist: list[str]) -> DataFrame:
+        base = (
+            spark.read.schema(schema)
+            .parquet(*sorted(flist))
             .select(
+                "*",
+                _norm_path_col(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        )
+        if pos_paths:
+            dead = spark.read.parquet(*sorted(pos_paths)).select(
                 _norm_path_col(F.col("file_path")).alias("__fp"),
                 F.col("pos").cast("long").alias("__ri"),
             )
+            base = base.join(dead, ["__fp", "__ri"], "left_anti")
+        return base
+
+    if not eq_deletes:
+        return scan([f for f, _seq in data]), data, schema
+
+    from functools import reduce
+
+    meta = load_table_metadata(spark, path)
+    _, ids = _schema_and_ids(meta)
+    id_to_name = {v: k for k, v in ids.items()}
+    classes: dict[int, list[str]] = {}
+    for f, seq in data:
+        classes.setdefault(seq, []).append(f)
+    parts = []
+    for seq in sorted(classes):
+        part = scan(classes[seq])
+        for d in eq_deletes:
+            if d["seq"] <= seq:
+                continue  # strictly-smaller rule: not applicable
+            cols = [id_to_name[i] for i in d["equality_ids"]]
+            deldf = spark.read.parquet(d["path"]).select(*cols)
+            cond = reduce(
+                lambda a, b: a & b,
+                [part[c].eqNullSafe(deldf[c]) for c in cols],
+            )
+            part = part.join(deldf, cond, "left_anti")
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, data, schema
+
+
+def _stage_position_deletes(
+    spark: SparkSession,
+    path: str,
+    matches: DataFrame,
+    files: list[str],
+) -> list[dict]:
+    """Stage spec-shaped POSITION-DELETE parquet files for ``matches``
+    (a DataFrame carrying ``__fp``/``__ri`` lineage columns): the
+    normalized scan paths map back to the manifest's own spelling
+    through a metadata-sized broadcast, rows sort by path then
+    position, and the reserved delete-file field ids stamp into the
+    footers. Returns the staged file dicts (empty when nothing
+    matched); zero-row task files are dropped."""
+    import pyarrow.parquet as pq
+
+    rows = (
+        matches.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(_local_path(f), f) for f in files],
+                    "__fp string, file_path string",
+                )
+            ),
+            "__fp",
         )
-        base = base.join(dead, ["__fp", "__ri"], "left_anti")
-    # normalized scan path → the manifest's own spelling (metadata-sized
-    # mapping, broadcast)
-    spelling = spark.createDataFrame(
-        [(_local_path(f), f) for f in files], "__fp string, file_path string"
-    )
-    matches = (
-        base.join(F.broadcast(spelling), "__fp")
         .select("file_path", F.col("__ri").alias("pos"))
         .sort("file_path", "pos")
     )
-    # stage the position-delete parquet with the spec's reserved ids
-    # (alias(metadata=...) — DataFrame.to() drops metadata when names
-    # and types already match, so it cannot stamp these)
+    # alias(metadata=...) — DataFrame.to() drops metadata when names
+    # and types already match, so it cannot stamp the reserved ids
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    matches = matches.select(
+    rows = rows.select(
         F.col("file_path").alias(
             "file_path", metadata={"parquet.field.id": _POS_DELETE_FILE_PATH_ID}
         ),
@@ -1007,7 +1054,7 @@ def iceberg_delete(
     )
     jvm, fs = _jfs(spark, path)
     staging = f"{path}/.staging-{uuid.uuid4().hex}"
-    matches.write.mode("overwrite").parquet(staging)
+    rows.write.mode("overwrite").parquet(staging)
     staged = []
     staging_local = jvm.org.apache.hadoop.fs.Path(staging).toUri().getPath()
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
@@ -1038,66 +1085,152 @@ def iceberg_delete(
             }
         )
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-    if not staged:
-        return int(meta.get("current-snapshot-id") or -1)  # no matches
+    return staged
 
-    ice_schema = (
-        meta["schemas"][0] if "schemas" in meta else meta["schema"]
-    )
+
+def _publish_dml_snapshot(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    staged_adds: list[dict],
+    staged_dels: list[dict],
+    operation: str,
+    spec_fields: list[dict],
+    _retries: int = 5,
+) -> int:
+    """Publish ONE sequence-numbered snapshot carrying an optional DATA
+    manifest (``staged_adds``) and an optional POSITION-DELETE manifest
+    (``staged_dels``) on top of the current manifests — the commit
+    shape shared by DELETE (deletes only), UPDATE and MERGE (deletes +
+    adds in the SAME snapshot, so readers never see a half-applied
+    edit). A lost metadata race re-resolves and retries: the staged
+    files still name valid targets because prior data files are
+    immutable."""
+    import re as _re
+
+    jvm, fs = _jfs(spark, path)
     for attempt in range(_retries):
         now_ms = int(time.time() * 1000)
         snapshot_id = uuid.uuid4().int % (2**62)
         md_uuid = uuid.uuid4().hex
         seq = int(meta.get("last-sequence-number", 0)) + 1
-        entry_schema = _manifest_entry_schema_json([], 2)
-        rows = []
-        for f in staged:
-            rows.append(
+        ice_schema = meta["schemas"][0] if "schemas" in meta else meta["schema"]
+        manifests = _current_manifests(spark, path, meta)
+        if staged_adds:
+            entry_schema = _manifest_entry_schema_json(spec_fields, 2)
+            rows = []
+            for f in staged_adds:
+                part_rec = {
+                    p["name"]: _coerce_part_value(
+                        f["partition_values"].get(p["name"]), p["ice_type"]
+                    )
+                    for p in spec_fields
+                }
+                rows.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,  # inherit
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 0,  # DATA
+                            "file_path": f["path"],
+                            "file_format": "PARQUET",
+                            "partition": part_rec,
+                            "record_count": f["record_count"],
+                            "file_size_in_bytes": f["size"],
+                            "equality_ids": None,
+                        },
+                    }
+                )
+            spec_json = json.dumps(
+                [
+                    {
+                        "name": p["name"],
+                        "transform": p["transform"],
+                        "source-id": p["source_id"],
+                        "field-id": p["field_id"],
+                    }
+                    for p in spec_fields
+                ]
+            )
+            dmanifest = f"{path}/metadata/{md_uuid}-m0.avro"
+            dlen = _write_avro(
+                spark,
+                dmanifest,
+                entry_schema,
+                rows,
+                meta={
+                    "schema": json.dumps(ice_schema),
+                    "partition-spec": spec_json,
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+            manifests.append(
                 {
-                    "status": 1,
-                    "snapshot_id": snapshot_id,
-                    "sequence_number": None,  # inherit
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": 1,  # POSITION_DELETES
-                        "file_path": f["path"],
-                        "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": f["record_count"],
-                        "file_size_in_bytes": f["size"],
-                        "equality_ids": None,
-                    },
+                    "manifest_path": dmanifest,
+                    "manifest_length": dlen,
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": len(staged_adds),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
                 }
             )
-        dmanifest = f"{path}/metadata/{md_uuid}-del-m0.avro"
-        dlen = _write_avro(
-            spark,
-            dmanifest,
-            entry_schema,
-            rows,
-            meta={
-                "schema": json.dumps(ice_schema),
-                "partition-spec": "[]",
-                "partition-spec-id": "0",
-                "format-version": "2",
-                "content": "deletes",
-            },
-        )
-        manifests = _current_manifests(spark, path, meta)
-        manifests.append(
-            {
-                "manifest_path": dmanifest,
-                "manifest_length": dlen,
-                "partition_spec_id": 0,
-                "content": 1,  # DELETES
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snapshot_id,
-                "added_data_files_count": len(staged),
-                "existing_data_files_count": 0,
-                "deleted_data_files_count": 0,
-            }
-        )
+        if staged_dels:
+            entry_schema = _manifest_entry_schema_json([], 2)
+            rows = []
+            for f in staged_dels:
+                rows.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,  # inherit
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,  # POSITION_DELETES
+                            "file_path": f["path"],
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": f["record_count"],
+                            "file_size_in_bytes": f["size"],
+                            "equality_ids": None,
+                        },
+                    }
+                )
+            delmanifest = f"{path}/metadata/{md_uuid}-del-m0.avro"
+            dellen = _write_avro(
+                spark,
+                delmanifest,
+                entry_schema,
+                rows,
+                meta={
+                    "schema": json.dumps(ice_schema),
+                    "partition-spec": "[]",
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "deletes",
+                },
+            )
+            manifests.append(
+                {
+                    "manifest_path": delmanifest,
+                    "manifest_length": dellen,
+                    "partition_spec_id": 0,
+                    "content": 1,  # DELETES
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": len(staged_dels),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                }
+            )
         mlist_path = f"{path}/metadata/snap-{snapshot_id}-1-{md_uuid}.avro"
         _write_avro(
             spark,
@@ -1111,7 +1244,7 @@ def iceberg_delete(
             "parent-snapshot-id": meta.get("current-snapshot-id"),
             "sequence-number": seq,
             "timestamp-ms": now_ms,
-            "summary": {"operation": "delete"},
+            "summary": {"operation": operation},
             "manifest-list": mlist_path,
             "schema-id": meta.get("current-schema-id", 0),
         }
@@ -1121,8 +1254,6 @@ def iceberg_delete(
         meta_out["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
         meta_out["current-snapshot-id"] = snapshot_id
         version = 1
-        import re as _re
-
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")):
             m = _re.match(r"v(\d+)\.metadata\.json", st.getPath().getName())
             if m:
@@ -1131,11 +1262,193 @@ def iceberg_delete(
             spark, path, version, json.dumps(meta_out, indent=2)
         ):
             return snapshot_id
-        # lost the race: the staged delete file still names valid
-        # (path, pos) targets — re-resolve the metadata and re-publish
+        # lost the race: staged files still name valid targets —
+        # re-resolve the metadata and re-publish
         meta = load_table_metadata(spark, path)
     raise IcebergConcurrentWrite(
-        f"DELETE on {path} lost the commit race {_retries} times"
+        f"row-level DML on {path} lost the commit race {_retries} times"
+    )
+
+
+def iceberg_delete(
+    spark: SparkSession, path: str, predicate: str, _retries: int = 5
+) -> int:
+    """DELETE FROM the Iceberg table WHERE ``predicate`` — jar-free
+    merge-on-read: matching rows are located with ONE distributed scan
+    (``_metadata.file_path`` + ``row_index``), written as a
+    spec-shaped POSITION-DELETE parquet file (``file_path``/``pos``
+    with the reserved field ids, sorted by path then position), and
+    published as a delete manifest in a new sequence-numbered snapshot
+    — no data file rewrites, delete cost ∝ matching rows. Returns the
+    committed snapshot id (or the current one when nothing matched — a
+    metadata no-op).
+
+    Needs a format-version 2 table (v1 has no row-level deletes; the
+    default ``iceberg_write`` emits v2). Matching runs against the
+    LIVE view (prior position AND equality deletes applied), so a new
+    delete file only carries live rows. Nothing data-sized touches
+    the driver: matches stage through Spark's distributed writer and
+    only per-file footer counts replay driver-side."""
+    meta = load_table_metadata(spark, path)
+    if int(meta.get("format-version", 1)) < 2:
+        raise IcebergFeatureUnsupported(
+            "DELETE needs a format-version 2 table (v1 has no row-level "
+            "deletes); rewrite the table with iceberg_write(..., "
+            "format_version=2)"
+        )
+    view, data, _schema = _live_lineage_scan(spark, path)
+    if view is None:
+        return int(meta.get("current-snapshot-id") or -1)
+    staged = _stage_position_deletes(
+        spark,
+        path,
+        view.where(predicate).select("__fp", "__ri"),
+        [f for f, _seq in data],
+    )
+    if not staged:
+        return int(meta.get("current-snapshot-id") or -1)  # no matches
+    return _publish_dml_snapshot(
+        spark, path, meta, [], staged, "delete", _table_spec(meta), _retries
+    )
+
+
+def iceberg_update(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict,
+    predicate: str,
+    _retries: int = 5,
+) -> int:
+    """UPDATE the Iceberg table SET col=expr WHERE ``predicate`` —
+    jar-free merge-on-read, the v2 runtime shape: ONE snapshot carries
+    a POSITION-DELETE file marking the old versions of the matching
+    rows dead AND new data files holding their updated versions, so
+    readers flip atomically from old to new rows and cost is ∝ matching
+    rows (untouched files never rewrite). Matching runs against the
+    LIVE view (prior position/equality deletes applied), so dead rows
+    are never resurrected. SET expressions may reference any table
+    column and cast to the column's declared type, as
+    ``delta_update`` does. Returns the committed snapshot id (current
+    id when nothing matched — a metadata no-op)."""
+    meta = load_table_metadata(spark, path)
+    if int(meta.get("format-version", 1)) < 2:
+        raise IcebergFeatureUnsupported(
+            "UPDATE needs a format-version 2 table (v1 has no row-level "
+            "deletes); rewrite the table with iceberg_write(..., "
+            "format_version=2)"
+        )
+    view, data, schema = _live_lineage_scan(spark, path)
+    if view is None:
+        return int(meta.get("current-snapshot-id") or -1)
+    types = {f.name: f.dataType for f in schema.fields}
+    for col in set_exprs:
+        if col not in types:
+            raise ValueError(f"unknown column {col!r} in SET")
+    # materialize the matches ONCE (executor-resident, size ∝ matched
+    # rows): the delete positions and the re-inserted rows MUST name
+    # the same row set even if the predicate is volatile
+    matches = view.where(predicate).localCheckpoint()
+    if matches.isEmpty():
+        return int(meta.get("current-snapshot-id") or -1)
+    staged_dels = _stage_position_deletes(
+        spark, path, matches.select("__fp", "__ri"), [f for f, _seq in data]
+    )
+    updated = matches
+    for col, expr in set_exprs.items():
+        updated = updated.withColumn(col, F.expr(expr).cast(types[col]))
+    updated = updated.select(*[f.name for f in schema.fields])
+    spec_fields = _table_spec(meta)
+    ice_schema = meta["schemas"][0] if "schemas" in meta else meta["schema"]
+    staged_adds = _stage_data_files(
+        updated,
+        path,
+        [p["name"] for p in spec_fields],
+        _field_id_spark_schema(updated.schema, ice_schema),
+    )
+    return _publish_dml_snapshot(
+        spark,
+        path,
+        meta,
+        staged_adds,
+        staged_dels,
+        "overwrite",
+        spec_fields,
+        _retries,
+    )
+
+
+def iceberg_merge_upsert(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    _retries: int = 5,
+) -> int:
+    """MERGE INTO the Iceberg table USING ``source`` ON the key columns
+    — jar-free merge-on-read upsert with delete-insert semantics (the
+    same deterministic contract as ``delta_merge_upsert``: result =
+    target anti-join source ON keys, UNION source). ONE snapshot
+    carries a POSITION-DELETE file for the matched target rows and new
+    data files holding every source row — no data-file rewrites, cost
+    ∝ matched + source rows. Matching runs against the LIVE view, so
+    previously-deleted rows never resurrect; NULL keys never match
+    (standard join semantics), like SQL MERGE. A merge into an absent
+    or empty table degenerates to create/append. Source schema must
+    match the table by name+type."""
+    try:
+        meta = load_table_metadata(spark, path)
+    except FileNotFoundError:
+        meta = None
+    if meta is None:
+        iceberg_write(source, path, mode="append")
+        return int(load_table_metadata(spark, path)["current-snapshot-id"])
+    if int(meta.get("format-version", 1)) < 2:
+        raise IcebergFeatureUnsupported(
+            "MERGE needs a format-version 2 table (v1 has no row-level "
+            "deletes); rewrite the table with iceberg_write(..., "
+            "format_version=2)"
+        )
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _schema_and_ids,
+    )
+
+    table_schema, _ids = _schema_and_ids(meta)
+    if _schema_types(table_schema) != _schema_types(source.schema):
+        raise IcebergSchemaMismatch(
+            "merge source schema differs from the table schema "
+            f"({_schema_types(table_schema)} vs {_schema_types(source.schema)})"
+        )
+    missing = [c for c in on if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge key columns not in source: {missing}")
+    cols = [f.name for f in table_schema.fields]
+    source = source.select(*cols)
+    spec_fields = _table_spec(meta)
+    ice_schema = meta["schemas"][0] if "schemas" in meta else meta["schema"]
+    view, data, _schema = _live_lineage_scan(spark, path)
+    staged_dels: list[dict] = []
+    if view is not None:
+        matched = view.join(
+            source.select(*on).dropDuplicates(), list(on), "left_semi"
+        )
+        staged_dels = _stage_position_deletes(
+            spark, path, matched.select("__fp", "__ri"), [f for f, _seq in data]
+        )
+    staged_adds = _stage_data_files(
+        source,
+        path,
+        [p["name"] for p in spec_fields],
+        _field_id_spark_schema(source.schema, ice_schema),
+    )
+    return _publish_dml_snapshot(
+        spark,
+        path,
+        meta,
+        staged_adds,
+        staged_dels,
+        "overwrite",
+        spec_fields,
+        _retries,
     )
 
 

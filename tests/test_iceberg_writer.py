@@ -545,3 +545,145 @@ def test_iceberg_expire_snapshots(spark, tmp_path):
     assert s1 not in {int(s["snapshot-id"]) for s in meta["snapshots"]}
     # nothing more to expire under the same policy
     assert iceberg_expire_snapshots(spark, root, keep_last=2) == []
+
+
+def test_iceberg_update_mor(spark, tmp_path):
+    """UPDATE publishes ONE snapshot carrying a position-delete file
+    for the old row versions AND new data files with the updated rows
+    (merge-on-read — no data-file rewrite); NULL-predicate rows stay
+    untouched (UPDATE applies only where the predicate is TRUE)."""
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_update,
+    )
+
+    root = str(tmp_path / "iu")
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        "id int, val double, name string",
+    )
+    iceberg_write(df, root, mode="error")
+    files_before = sorted(glob.glob(f"{root}/data/part-*.parquet"))
+    n_snaps = len(load_table_metadata(spark, root)["snapshots"])
+    sid = iceberg_update(
+        spark, root, {"val": "val * 2", "name": "upper(name)"}, "val >= 30"
+    )
+    meta = load_table_metadata(spark, root)
+    # exactly ONE new snapshot (deletes + adds are atomic), op overwrite
+    assert len(meta["snapshots"]) == n_snaps + 1
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    assert meta["current-snapshot-id"] == sid
+    # original data files are untouched (merge-on-read): still present,
+    # alongside the NEW files holding the updated row versions
+    files_after = set(glob.glob(f"{root}/data/part-*.parquet"))
+    assert set(files_before) <= files_after
+    assert len(files_after) > len(files_before)
+    got = _rows(iceberg_read(spark, root))
+    assert got == {
+        (1, 10.0, "a"),
+        (2, None, "b"),  # NULL predicate → not updated, not dropped
+        (3, 60.0, "C"),
+        (4, 80.0, "D"),
+    }
+    # no-match UPDATE is a metadata no-op
+    assert iceberg_update(spark, root, {"val": "0.0"}, "id = 999") == sid
+
+
+def test_iceberg_update_partitioned_and_time_travel(spark, tmp_path):
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_update,
+    )
+
+    root = str(tmp_path / "iup")
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", float(i)) for i in range(1, 9)],
+        "id int, grp string, val double",
+    )
+    s0 = iceberg_write(df, root, mode="error", partition_by=["grp"])
+    iceberg_update(spark, root, {"val": "val + 100"}, "grp = 'A'")
+    got = {r["id"]: r["val"] for r in iceberg_read(spark, root).collect()}
+    assert got == {i: float(i) + (100 if i % 2 else 0) for i in range(1, 9)}
+    # updated rows land under their Hive partition directories
+    assert glob.glob(f"{root}/data/grp=A/*.parquet")
+    # the pre-update snapshot is still time-travelable
+    old = {r["id"]: r["val"] for r in iceberg_read(spark, root, s0).collect()}
+    assert old == {i: float(i) for i in range(1, 9)}
+
+
+def test_iceberg_merge_upsert_semantics(spark, tmp_path):
+    """Delete-insert MERGE: matched target rows drop via a position
+    delete, every source row lands; NULL keys never match; a merge into
+    an absent table degenerates to create."""
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_merge_upsert,
+    )
+
+    root = str(tmp_path / "im")
+    target = spark.createDataFrame(
+        [(1, "t1"), (2, "t2"), (None, "tnull")], "id int, name string"
+    )
+    iceberg_write(target, root, mode="error")
+    source = spark.createDataFrame(
+        [(2, "s2"), (9, "s9"), (None, "snull")], "id int, name string"
+    )
+    iceberg_merge_upsert(spark, root, source, ["id"])
+    got = _rows(iceberg_read(spark, root))
+    # target NULL-key row SURVIVES (join semantics) alongside the
+    # source NULL-key row; id=2 is replaced
+    assert got == {
+        (1, "t1"),
+        (None, "tnull"),
+        (2, "s2"),
+        (9, "s9"),
+        (None, "snull"),
+    }
+    # degenerate: absent table → create
+    root2 = str(tmp_path / "im2")
+    iceberg_merge_upsert(spark, root2, source, ["id"])
+    assert _rows(iceberg_read(spark, root2)) == _rows(source)
+    # schema mismatch refuses
+    with pytest.raises(IcebergSchemaMismatch):
+        iceberg_merge_upsert(
+            spark,
+            root,
+            spark.createDataFrame([(1,)], "id int"),
+            ["id"],
+        )
+
+
+def test_iceberg_update_does_not_resurrect_eq_deleted_rows(spark, tmp_path):
+    """UPDATE matches against the LIVE view: a row killed by an
+    equality delete must not come back as an updated copy."""
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_equality_delete,
+        iceberg_update,
+    )
+
+    root = str(tmp_path / "ieq")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "id int, val double"
+    )
+    iceberg_write(df, root, mode="error")
+    iceberg_equality_delete(
+        spark, root, spark.createDataFrame([(2,), (3,)], "id int")
+    )
+    iceberg_update(spark, root, {"val": "val * 10"}, "id <= 4")
+    got = _rows(iceberg_read(spark, root))
+    assert got == {(1, 10.0), (4, 40.0), (5, 5.0)}
+
+
+def test_iceberg_dml_requires_v2(spark, tmp_path):
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        IcebergFeatureUnsupported,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_merge_upsert,
+        iceberg_update,
+    )
+
+    root = str(tmp_path / "iv1")
+    df = spark.createDataFrame([(1, 1.0)], "id int, val double")
+    iceberg_write(df, root, mode="error", format_version=1)
+    with pytest.raises(IcebergFeatureUnsupported, match="format-version 2"):
+        iceberg_update(spark, root, {"val": "0.0"}, "id = 1")
+    with pytest.raises(IcebergFeatureUnsupported, match="format-version 2"):
+        iceberg_merge_upsert(spark, root, df, ["id"])
