@@ -768,6 +768,54 @@ def _snapshot_view(
     }
 
 
+def _stage_physical(
+    spark: SparkSession, path: str, df, view: dict, operation: str
+) -> list[dict]:
+    """Stage ``df`` (the table's LOGICAL schema, partition columns
+    included) as table data files: column-mapped tables stage under
+    PHYSICAL names (name mode at every nesting level via the
+    positional-cast rename; id mode also stamps ``parquet.field.id`` —
+    nested id-mode structs refuse, the alias metadata channel is
+    top-level only), so staged files look exactly like the table's
+    original data files. Returns the add-action dicts."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _ID_KEY,
+        _physical_name,
+        _physicalize,
+    )
+
+    schema, part_cols = view["schema"], view["part_cols"]
+    if view["mapped"] or view["id_mode"]:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        cols = []
+        for f in schema.fields:
+            c = F.col(f.name).cast(_physicalize(f.dataType))
+            if view["id_mode"]:
+                fid = (f.metadata or {}).get(_ID_KEY)
+                if fid is None:
+                    raise NotImplementedError(
+                        f"{operation} on id-mapped table: column "
+                        f"{f.name!r} has no delta.columnMapping.id"
+                    )
+                cols.append(
+                    c.alias(
+                        _physical_name(f),
+                        metadata={"parquet.field.id": int(fid)},
+                    )
+                )
+            else:
+                cols.append(c.alias(_physical_name(f)))
+        df = df.select(*cols)
+        stage_parts = [
+            _physical_name(f) for f in schema.fields if f.name in part_cols
+        ]
+    else:
+        stage_parts = list(part_cols)
+    return _stage_data_files(df, path, stage_parts)
+
+
 def _dml_rewrite(
     spark: SparkSession,
     path: str,
@@ -871,35 +919,7 @@ def _dml_rewrite(
         if extra_rows_fn is not None:
             extra = extra_rows_fn([f.name for f in schema.fields])
             rewritten = rewritten.unionByName(extra)
-        # stage under PHYSICAL names so rewritten files look exactly
-        # like the table's original data files
-        if mapped or id_mode:
-            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-            cols = []
-            for f in schema.fields:
-                c = F.col(f.name).cast(_physicalize(f.dataType))
-                if id_mode:
-                    fid = (f.metadata or {}).get(_ID_KEY)
-                    if fid is None:
-                        raise NotImplementedError(
-                            f"{operation} on id-mapped table: column "
-                            f"{f.name!r} has no delta.columnMapping.id"
-                        )
-                    cols.append(
-                        c.alias(
-                            _physical_name(f),
-                            metadata={"parquet.field.id": int(fid)},
-                        )
-                    )
-                else:
-                    cols.append(c.alias(_physical_name(f)))
-            rewritten = rewritten.select(*cols)
-            stage_parts = [
-                _physical_name(f) for f in schema.fields if f.name in part_cols
-            ]
-        else:
-            stage_parts = list(part_cols)
-        staged = _stage_data_files(rewritten, path, stage_parts)
+        staged = _stage_physical(spark, path, rewritten, view, operation)
 
         now = int(time.time() * 1000)
         rel_by_full = {}
@@ -955,20 +975,33 @@ def _dml_rewrite(
     )
 
 
-def _dv_delete(
-    spark: SparkSession, path: str, predicate: str, _retries: int = 5
+def _dv_dml(
+    spark: SparkSession,
+    path: str,
+    operation: str,
+    op_params: dict,
+    hit_fn,
+    new_rows_fn=None,
+    always_commit: bool = False,
+    checkpoint_matches: bool = True,
+    _retries: int = 5,
 ) -> int:
-    """Merge-on-read DELETE: write DELETION VECTORS instead of
-    rewriting files — cost ∝ deleted rows, not affected-file bytes.
-    Matching (file, row position) pairs come off the cluster as ONE
-    packed Arrow transfer (int64 positions — the DV must serialize
-    driver-side anyway, and its bytes are ∝ deleted rows by
-    definition), merge with each file's existing DV positions, and
-    publish one roaring-serialized sidecar plus remove+add actions that
-    re-add each affected file under a ``deletionVector`` descriptor
-    (storageType "u", PROTOCOL.md §Deletion Vectors). The commit
-    upgrades the protocol to readerVersion 3 / writerVersion 7 with the
-    ``deletionVectors`` feature when the table does not carry it yet."""
+    """Shared merge-on-read DML engine: DELETION VECTORS mark the rows
+    ``hit_fn(snap)`` selects as dead, and ``new_rows_fn(matches, view)``
+    rows (logical schema) stage as NEW data files — both published in
+    ONE atomic commit, so readers flip from old to new rows atomically
+    and cost is ∝ edited rows, never affected-file bytes. Matching
+    (file, row position) pairs come off the cluster as ONE packed Arrow
+    transfer (int64 positions — the DV must serialize driver-side
+    anyway, and its bytes are ∝ deleted rows by definition), merge with
+    each file's existing DV positions, and publish one
+    roaring-serialized sidecar plus remove+add actions that re-add each
+    affected file under a ``deletionVector`` descriptor (storageType
+    "u", PROTOCOL.md §Deletion Vectors). A DV-writing commit upgrades
+    the protocol to readerVersion 3 / writerVersion 7 with the
+    ``deletionVectors`` feature when the table does not carry it yet.
+    ``always_commit`` forces a commit even with zero matches (MERGE
+    must still insert its source rows)."""
     import numpy as np
 
     from simple_data_workflow_spark.sources.delta_dv import (
@@ -979,14 +1012,20 @@ def _dv_delete(
     )
 
     for attempt in range(_retries):
-        view = _snapshot_view(spark, path, "DELETE", row_col="__row")
+        view = _snapshot_view(spark, path, operation, row_col="__row")
         if view is None:
             _a, _m, _p, cur_v, _t = _replay_full(spark, path)
             return cur_v
         snap = view["snap"]
-        matches = snap.where(predicate).select("__file", "__row")
-        tbl = matches.toArrow()  # packed: bytes ∝ deleted rows
-        if tbl.num_rows == 0:
+        matches = hit_fn(snap)
+        if new_rows_fn is not None and checkpoint_matches:
+            # the DV positions and the re-inserted rows MUST name the
+            # SAME row set — materialize once (executor-resident,
+            # size ∝ matched rows). MERGE opts out: its new rows are
+            # the (already checkpointed) source, independent of matches
+            matches = matches.localCheckpoint()
+        tbl = matches.select("__file", "__row").toArrow()
+        if tbl.num_rows == 0 and not always_commit:
             return view["cur_v"]
         pdf = tbl.to_pandas()
         import urllib.parse as _up
@@ -1006,21 +1045,35 @@ def _dv_delete(
             if old is not None and len(old):
                 pos = np.union1d(pos, np.asarray(old, dtype=np.int64))
             new_positions[full] = np.unique(pos)
-        if not new_positions:
+        if not new_positions and not always_commit:
             return view["cur_v"]
 
+        # stage the new rows BEFORE the sidecar so a new_rows_fn error
+        # leaves nothing behind
+        staged: list[dict] = []
+        if new_rows_fn is not None:
+            staged = _stage_physical(
+                spark,
+                path,
+                new_rows_fn(matches.drop("__file", "__row"), view),
+                view,
+                operation,
+            )
+
+        jvm, fs = _fs(spark, path)
         # one sidecar carries every affected file's bitmap
         order = sorted(new_positions)
-        blobs = [dv_serialize(new_positions[f]) for f in order]
-        fbytes, spans = dv_file_bytes(blobs)
+        sidecar, spans = None, []
         u = uuid.uuid4()
-        sidecar = dv_uuid_path(path, z85_encode(u.bytes))
-        jvm, fs = _fs(spark, path)
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(sidecar), False)
-        try:
-            out.write(fbytes)
-        finally:
-            out.close()
+        if order:
+            blobs = [dv_serialize(new_positions[f]) for f in order]
+            fbytes, spans = dv_file_bytes(blobs)
+            sidecar = dv_uuid_path(path, z85_encode(u.bytes))
+            out = fs.create(jvm.org.apache.hadoop.fs.Path(sidecar), False)
+            try:
+                out.write(fbytes)
+            finally:
+                out.close()
 
         rel_by_full = {}
         for rel in view["adds_now"]:
@@ -1035,11 +1088,8 @@ def _dv_delete(
                 {
                     "commitInfo": {
                         "timestamp": now,
-                        "operation": "DELETE",
-                        "operationParameters": {
-                            "predicate": predicate,
-                            "strategy": "deletion-vectors",
-                        },
+                        "operation": operation,
+                        "operationParameters": dict(op_params),
                         "engineInfo": "simple-data-workflow-spark delta_writer",
                     }
                 }
@@ -1047,9 +1097,10 @@ def _dv_delete(
         ]
         proto = view["proto"] or {"minReaderVersion": 1, "minWriterVersion": 2}
         rfeats = set(proto.get("readerFeatures") or [])
-        if "deletionVectors" not in rfeats or int(
-            proto.get("minReaderVersion", 1)
-        ) < 3:
+        if order and (
+            "deletionVectors" not in rfeats
+            or int(proto.get("minReaderVersion", 1)) < 3
+        ):
             rfeats.add("deletionVectors")
             mode = (view["meta"].get("configuration") or {}).get(
                 "delta.columnMapping.mode", "none"
@@ -1095,16 +1146,37 @@ def _dv_delete(
                 )
             )
             lines.append(json.dumps({"add": old_add}))
+        lines.extend(json.dumps({"add": a}) for a in staged)
         version = view["cur_v"] + 1
         if _publish_if_absent(
             spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
         ):
             return version
-        # lost the race: the sidecar is an unreferenced orphan — remove
-        # it and redo against the new snapshot
-        fs.delete(jvm.org.apache.hadoop.fs.Path(sidecar), False)
+        # lost the race: the sidecar and staged files are unreferenced
+        # orphans — remove them and redo against the new snapshot
+        if sidecar is not None:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(sidecar), False)
+        for a in staged:
+            dec = urllib.parse.unquote(a["path"])
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{dec}"), False)
     raise DeltaConcurrentWrite(
-        f"DELETE on {path} lost the commit race {_retries} times"
+        f"{operation} on {path} lost the commit race {_retries} times"
+    )
+
+
+def _dv_delete(
+    spark: SparkSession, path: str, predicate: str, _retries: int = 5
+) -> int:
+    """Merge-on-read DELETE: write DELETION VECTORS instead of
+    rewriting files — cost ∝ deleted rows, not affected-file bytes
+    (see ``_dv_dml``)."""
+    return _dv_dml(
+        spark,
+        path,
+        "DELETE",
+        {"predicate": predicate, "strategy": "deletion-vectors"},
+        lambda snap: snap.where(predicate),
+        _retries=_retries,
     )
 
 
@@ -1114,6 +1186,41 @@ def _dv_delete(
 # shrinks the files and keeps scans codegen-pure
 _DV_DELETE_FILE_THRESHOLD = 8
 _DV_DELETE_MAX_MATCH_FRACTION = 0.2
+
+
+def _probe_wants_dv(view: dict, probe: list, path: str) -> bool:
+    """The auto-strategy decision from a per-file hit probe
+    (``groupBy("__file").count()`` rows): deletion vectors win when the
+    edit is WIDE (more than ``_DV_DELETE_FILE_THRESHOLD`` affected
+    files) AND SPARSE (matched rows under
+    ``_DV_DELETE_MAX_MATCH_FRACTION`` of the affected files' total
+    rows, from the log's per-file numRecords stats — metadata only).
+    Rewriting many files to edit a few rows each is the scale trap;
+    dense edits rewrite so the files actually shrink/stay pure."""
+    import urllib.parse as _up
+
+    if len(probe) <= _DV_DELETE_FILE_THRESHOLD:
+        return False
+    matched = sum(r["count"] for r in probe)
+    rel_by_full = {}
+    for rel in view["adds_now"]:
+        dec = urllib.parse.unquote(rel)
+        full = dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
+        rel_by_full[_up.urlparse(full).path if "://" in full else full] = rel
+    total = 0
+    known = True
+    for r in probe:
+        local = _up.urlparse(r["__file"]).path
+        rel = rel_by_full.get(local)
+        stats = view["adds_now"].get(rel, {}).get("stats") if rel else None
+        n = json.loads(stats).get("numRecords") if stats else None
+        if n is None:
+            known = False
+            break
+        total += int(n)
+    return (not known) or matched < _DV_DELETE_MAX_MATCH_FRACTION * max(
+        total, 1
+    )
 
 
 def delta_delete(
@@ -1153,8 +1260,6 @@ def delta_delete(
     if strategy == "auto":
         import urllib.parse as _up
 
-        from pyspark.sql import functions as F
-
         view = _snapshot_view(spark, path, "DELETE")
         if view is None:
             _a, _m, _p, cur_v, _t = _replay_full(spark, path)
@@ -1162,42 +1267,9 @@ def delta_delete(
         probe = (
             view["snap"].where(predicate).groupBy("__file").count().collect()
         )
-        hit_rows = [r for r in probe]  # Rows expose r["__file"]
-        if len(hit_rows) > _DV_DELETE_FILE_THRESHOLD:
-            # wide — but only SPARSE wide deletes benefit from DVs:
-            # compare matched rows to the affected files' total rows
-            # (per-file numRecords from the log's stats, metadata-only)
-            matched = sum(r["count"] for r in probe)
-            rel_by_full = {}
-            for rel in view["adds_now"]:
-                dec = urllib.parse.unquote(rel)
-                full = (
-                    dec
-                    if "://" in dec or dec.startswith("/")
-                    else f"{path}/{dec}"
-                )
-                rel_by_full[_up.urlparse(full).path if "://" in full else full] = rel
-            total = 0
-            known = True
-            for r in probe:
-                local = _up.urlparse(r["__file"]).path
-                rel = rel_by_full.get(local)
-                stats = (
-                    view["adds_now"].get(rel, {}).get("stats")
-                    if rel
-                    else None
-                )
-                n = json.loads(stats).get("numRecords") if stats else None
-                if n is None:
-                    known = False
-                    break
-                total += int(n)
-            sparse = (not known) or matched < _DV_DELETE_MAX_MATCH_FRACTION * max(
-                total, 1
-            )
-            if sparse:
-                return _dv_delete(spark, path, predicate)
-        hits0 = (view["cur_v"], hit_rows)
+        if _probe_wants_dv(view, probe, path):
+            return _dv_delete(spark, path, predicate)
+        hits0 = (view["cur_v"], [r for r in probe])
     return _dml_rewrite(
         spark,
         path,
@@ -1209,14 +1281,77 @@ def delta_delete(
     )
 
 
-def delta_update(
-    spark: SparkSession, path: str, set_exprs: dict, predicate: str
+def _dv_update(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict,
+    predicate: str,
+    _retries: int = 5,
 ) -> int:
-    """UPDATE the Delta table SET col=expr WHERE ``predicate`` —
-    jar-free copy-on-write, same rewrite/commit shape as
-    ``delta_delete``; non-matching rows in affected files rewrite
-    unchanged."""
+    """Merge-on-read UPDATE: ONE commit DV-masks the old versions of
+    the matching rows and appends new data files carrying their updated
+    versions (the shape real Delta runtimes commit on DV-enabled
+    tables) — cost ∝ matched rows, untouched files never rewrite."""
     from pyspark.sql import functions as F
+
+    def new_rows(matched, view):
+        types = {f.name: f.dataType for f in view["schema"].fields}
+        out = matched
+        for col, expr in set_exprs.items():
+            if col not in types:
+                raise ValueError(f"unknown column {col!r} in SET")
+            out = out.withColumn(col, F.expr(expr).cast(types[col]))
+        return out.select(*[f.name for f in view["schema"].fields])
+
+    return _dv_dml(
+        spark,
+        path,
+        "UPDATE",
+        {"predicate": predicate, "strategy": "deletion-vectors"},
+        lambda snap: snap.where(predicate),
+        new_rows_fn=new_rows,
+        _retries=_retries,
+    )
+
+
+def delta_update(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict,
+    predicate: str,
+    strategy: str = "auto",
+) -> int:
+    """UPDATE the Delta table SET col=expr WHERE ``predicate``.
+
+    ``strategy``:
+    - ``"rewrite"`` — jar-free copy-on-write, same rewrite/commit shape
+      as ``delta_delete``; non-matching rows in affected files rewrite
+      unchanged.
+    - ``"dv"`` — merge-on-read: one commit deletion-vector-masks the
+      old row versions AND appends files with the updated versions
+      (cost ∝ matched rows).
+    - ``"auto"`` (default) — one per-file hit probe, then DVs when the
+      update is WIDE and SPARSE (``_probe_wants_dv``): rewriting many
+      files to touch a few rows each is the scale trap."""
+    from pyspark.sql import functions as F
+
+    if strategy not in ("auto", "rewrite", "dv"):
+        raise ValueError(f"unknown UPDATE strategy {strategy!r}")
+    if strategy == "dv":
+        return _dv_update(spark, path, set_exprs, predicate)
+    hits0 = None
+    view = None
+    if strategy == "auto":
+        view = _snapshot_view(spark, path, "UPDATE")
+        if view is None:
+            _a, _m, _p, cur_v, _t = _replay_full(spark, path)
+            return cur_v
+        probe = (
+            view["snap"].where(predicate).groupBy("__file").count().collect()
+        )
+        if _probe_wants_dv(view, probe, path):
+            return _dv_update(spark, path, set_exprs, predicate)
+        hits0 = (view["cur_v"], [r for r in probe])
 
     def transform(df, pred):
         cond = F.expr(pred)
@@ -1232,7 +1367,15 @@ def delta_update(
             )
         return out
 
-    return _dml_rewrite(spark, path, predicate, transform, "UPDATE")
+    return _dml_rewrite(
+        spark,
+        path,
+        predicate,
+        transform,
+        "UPDATE",
+        _hits0=hits0,
+        _view0=view if strategy == "auto" else None,
+    )
 
 
 def delta_merge_upsert(
@@ -1240,16 +1383,26 @@ def delta_merge_upsert(
     path: str,
     source: DataFrame,
     on: list[str],
+    strategy: str = "auto",
 ) -> int:
     """MERGE INTO the Delta table USING ``source`` ON the key columns —
-    jar-free copy-on-write upsert with delete-insert semantics (the
-    deterministic, SQL-replayable contract: result = target anti-join
-    source ON keys, UNION source). Only files containing matched keys
-    rewrite; matched target rows drop, every source row lands, and the
-    whole edit — rewrites plus inserts — publishes as ONE atomic
-    remove+add commit, so readers never see a half-merged table. A
-    merge into an empty or absent table degenerates to create/append.
-    Source schema must match the table by name+type."""
+    jar-free upsert with delete-insert semantics (the deterministic,
+    SQL-replayable contract: result = target anti-join source ON keys,
+    UNION source). Matched target rows drop, every source row lands,
+    and the whole edit publishes as ONE atomic commit, so readers never
+    see a half-merged table. A merge into an empty or absent table
+    degenerates to create/append. Source schema must match the table by
+    name+type.
+
+    ``strategy``: ``"rewrite"`` — copy-on-write (only files containing
+    matched keys rewrite); ``"dv"`` — merge-on-read (one commit
+    DV-masks the matched target rows and appends the source rows as new
+    files, cost ∝ matched + source rows); ``"auto"`` (default) — per-file
+    hit probe, DVs when the matched keys are spread WIDE but SPARSE
+    across files (the common upsert shape: a trickle of changed keys
+    touching every file)."""
+    if strategy not in ("auto", "rewrite", "dv"):
+        raise ValueError(f"unknown MERGE strategy {strategy!r}")
     try:
         _, meta, _, cur_v, _ = _replay_full(spark, path)
     except FileNotFoundError:
@@ -1272,6 +1425,21 @@ def delta_merge_upsert(
     def hit_fn(snap):
         return snap.join(keys, list(on), "left_semi")
 
+    if strategy == "dv":
+        if _snapshot_view(spark, path, "MERGE") is None:
+            return delta_write(src, path, mode="append")
+        return _dv_merge(spark, path, src, on, hit_fn)
+    hits0 = None
+    view = None
+    if strategy == "auto":
+        view = _snapshot_view(spark, path, "MERGE")
+        if view is None:
+            return delta_write(src, path, mode="append")
+        probe = hit_fn(view["snap"]).groupBy("__file").count().collect()
+        if _probe_wants_dv(view, probe, path):
+            return _dv_merge(spark, path, src, on, hit_fn)
+        hits0 = (view["cur_v"], [r for r in probe])
+
     def transform(remainder, _pred):
         return remainder.join(keys, list(on), "left_anti")
 
@@ -1286,6 +1454,35 @@ def delta_merge_upsert(
         "MERGE",
         hit_fn=hit_fn,
         extra_rows_fn=extra_rows_fn,
+        _hits0=hits0,
+        _view0=view if strategy == "auto" else None,
+    )
+
+
+def _dv_merge(
+    spark: SparkSession,
+    path: str,
+    src: DataFrame,
+    on: list[str],
+    hit_fn,
+    _retries: int = 5,
+) -> int:
+    """Merge-on-read MERGE: one commit DV-masks the matched target rows
+    and appends every source row as new data files — no data-file
+    rewrites, cost ∝ matched + source rows. ``src`` is already
+    checkpointed and projected to the table columns by the caller."""
+    return _dv_dml(
+        spark,
+        path,
+        "MERGE",
+        {"on": list(on), "strategy": "deletion-vectors"},
+        hit_fn,
+        new_rows_fn=lambda _matched, view: src.select(
+            *[f.name for f in view["schema"].fields]
+        ),
+        always_commit=True,
+        checkpoint_matches=False,
+        _retries=_retries,
     )
 
 

@@ -791,3 +791,137 @@ def test_delta_cleanup_log_respects_checkpoint_and_retention(spark, tmp_path):
     assert _rows(delta_read(spark, root), "id") == {(1,), (2,), (3,)}
     # retention respected: fresh commits survive a long horizon
     assert delta_cleanup_log(spark, root, retention_hours=1) == []
+
+
+def test_delta_update_dv_strategy(spark, tmp_path):
+    """Merge-on-read UPDATE: one commit DV-masks the old row versions
+    and appends new files with the updated versions — original data
+    files stay byte-identical; a later CoW edit consumes the DV-masked
+    view."""
+    import glob
+
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_update,
+        delta_write,
+    )
+
+    root = str(tmp_path / "dvu")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(1, 11)],
+        "id int, name string, val double",
+    )
+    delta_write(df, root, mode="error")
+    before = set(glob.glob(f"{root}/part-*.parquet"))
+    v = delta_update(spark, root, {"val": "val * 2"}, "id <= 3", strategy="dv")
+    with open(f"{root}/_delta_log/{v:020d}.json") as f:
+        txt = f.read()
+    assert '"operation": "UPDATE"' in txt and "deletionVector" in txt
+    # originals untouched, new files appended
+    after = set(glob.glob(f"{root}/part-*.parquet"))
+    assert before <= after and len(after) > len(before)
+    got = {r["id"]: r["val"] for r in delta_read(spark, root).collect()}
+    assert got == {i: float(i) * (2 if i <= 3 else 1) for i in range(1, 11)}
+    # no-match UPDATE is a metadata no-op
+    assert delta_update(spark, root, {"val": "0"}, "id = 99", strategy="dv") == v
+    # stacked CoW UPDATE sees the DV-masked view
+    delta_update(
+        spark, root, {"name": "concat(name, '_x')"}, "id = 1", strategy="rewrite"
+    )
+    got = {r["id"]: (r["name"], r["val"]) for r in delta_read(spark, root).collect()}
+    assert got[1] == ("n1_x", 2.0) and got[2] == ("n2", 4.0)
+
+
+def test_delta_merge_dv_strategy(spark, tmp_path):
+    """Merge-on-read MERGE on a partitioned table: matched target rows
+    die by DV, every source row lands under its partition; a source
+    with NO matched keys still inserts (always-commit)."""
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_merge_upsert,
+        delta_write,
+    )
+
+    root = str(tmp_path / "dvm")
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", float(i)) for i in range(1, 9)],
+        "id int, grp string, val double",
+    )
+    delta_write(df, root, mode="error", partition_by=["grp"])
+    src = spark.createDataFrame(
+        [(2, "B", 777.0), (50, "A", 888.0)], "id int, grp string, val double"
+    )
+    delta_merge_upsert(spark, root, src, ["id"], strategy="dv")
+    got = {r["id"]: (r["grp"], r["val"]) for r in delta_read(spark, root).collect()}
+    exp = {i: ("A" if i % 2 else "B", float(i)) for i in range(1, 9)}
+    exp[2] = ("B", 777.0)
+    exp[50] = ("A", 888.0)
+    assert got == exp
+    # zero-match merge still inserts
+    src2 = spark.createDataFrame([(60, "B", 1.0)], "id int, grp string, val double")
+    delta_merge_upsert(spark, root, src2, ["id"], strategy="dv")
+    assert delta_read(spark, root).where("id = 60").count() == 1
+
+
+def test_delta_update_auto_strategy(spark, tmp_path):
+    """auto UPDATE mirrors auto DELETE: a wide sparse edit (many files,
+    few rows each) writes DVs; a dense edit rewrites (no DV)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_update,
+        delta_write,
+    )
+
+    root = str(tmp_path / "dva")
+    big = (
+        spark.range(0, 20000)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 1.0).alias("val"),
+        )
+        .repartition(16)
+    )
+    delta_write(big, root, mode="error")
+    delta_update(spark, root, {"val": "val + 0.5"}, "id % 500 = 13")
+    last = sorted(glob.glob(f"{root}/_delta_log/*.json"))[-1]
+    assert "deletionVector" in open(last).read()
+    chk = delta_read(spark, root).where("id % 500 = 13").select("val").collect()
+    assert len(chk) == 40 and all(r["val"] % 1 == 0.5 for r in chk)
+    assert delta_read(spark, root).count() == 20000
+    # dense: every row matches → rewrite, no DV
+    delta_update(spark, root, {"val": "val + 1"}, "id >= 0")
+    last = sorted(glob.glob(f"{root}/_delta_log/*.json"))[-1]
+    assert "deletionVector" not in open(last).read()
+    tot = delta_read(spark, root).agg(F.sum("val")).collect()[0][0]
+    assert abs(tot - (sum(range(20000)) + 20000 + 40 * 0.5)) < 1e-6
+
+
+def test_dv_update_on_name_mapped_table(spark, tmp_path):
+    """DV UPDATE on a column-mapped table: the appended updated-row
+    files carry PHYSICAL names like any other data file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from simple_data_workflow_spark.sources.delta_writer import delta_update
+
+    root = str(tmp_path / "dvcm")
+    _mapped_fixture(spark, root, "name")
+    v = delta_update(
+        spark, root, {"id": "id + 100"}, "region = 'EU'", strategy="dv"
+    )
+    got = {(r["id"], r["region"]) for r in delta_read(spark, root).collect()}
+    assert got == {(1, "US"), (2, "US"), (103, "EU")}
+    with open(f"{root}/_delta_log/{v:020d}.json") as f:
+        acts = [json.loads(l) for l in f if l.strip()]
+    new_adds = [
+        a["add"] for a in acts if "add" in a and "deletionVector" not in a["add"]
+    ]
+    assert new_adds
+    import urllib.parse as up
+
+    sch = pq.ParquetFile(
+        f"{root}/" + up.unquote(new_adds[0]["path"])
+    ).schema_arrow
+    assert {f.name for f in sch} == {"col-a", "col-b"}
