@@ -24,9 +24,13 @@ Semantics:
   a batch-backfill concern, like the tablelog source documents).
 
 Scope: column mapping ``name`` mode translates physical→logical per
-field; ``id`` mode refuses (field-id resolution in the session-free
-Arrow reader is not implemented). Partition values inject from the
-log's ``partitionValues`` as constant Arrow columns.
+field; ``id`` mode resolves each column by matching the parquet
+footer's ``PARQUET:field_id`` against the schema's
+``delta.columnMapping.id`` (falling back to the physical name for
+files without id metadata — the same fallback Spark's fieldId read
+path applies), with nested id-mode columns refused like the batch DML
+path (top-level ids only). Partition values inject from the log's
+``partitionValues`` as constant Arrow columns.
 
 Everything driver-side is metadata-sized (log JSON bytes); workers read
 their one parquet file through pyarrow with no SparkSession — the same
@@ -50,6 +54,7 @@ VERSION_COL = "_commit_version"
 
 _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 _PHYS_KEY = "delta.columnMapping.physicalName"
+_ID_KEY = "delta.columnMapping.id"
 
 
 def _local_root(path: str) -> str:
@@ -106,6 +111,8 @@ class _DeltaFilePartition(InputPartition):
     version: int
     #: logical name -> physical name (column mapping); None = identity
     cmap: dict | None = None
+    #: logical name -> parquet field id (id-mode mapping); None = off
+    idmap: dict | None = None
     #: partition column -> string value (None encodes NULL)
     partition_values: dict = field(default_factory=dict)
     #: deletion-vector positions to MASK OUT; None = none
@@ -123,12 +130,6 @@ class DeltaStreamReader(DataSourceStreamReader):
         meta = _latest_meta(self._path)
         conf = meta.get("configuration") or {}
         mode = conf.get("delta.columnMapping.mode", "none")
-        if mode == "id":
-            raise NotImplementedError(
-                "deltalog streaming does not support column mapping mode "
-                "'id' (field-id resolution needs the JVM scan); 'name' "
-                "and unmapped tables stream"
-            )
         table_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         self._part_cols = list(meta.get("partitionColumns") or [])
         cmap = {}
@@ -137,6 +138,29 @@ class DeltaStreamReader(DataSourceStreamReader):
             if phys and phys != f.name:
                 cmap[f.name] = phys
         self._cmap = cmap or None
+        self._idmap = None
+        if mode == "id":
+            from pyspark.sql import types as T
+
+            idmap = {}
+            for f in table_schema.fields:
+                if isinstance(
+                    f.dataType, (T.StructType, T.ArrayType, T.MapType)
+                ):
+                    raise NotImplementedError(
+                        "deltalog streaming on an id-mapped table with "
+                        f"nested column {f.name!r}: nested field-id "
+                        "resolution is top-level only (same scope as the "
+                        "batch DML path)"
+                    )
+                fid = (f.metadata or {}).get(_ID_KEY)
+                if fid is None:
+                    raise ValueError(
+                        f"column mapping mode 'id' but column {f.name!r} "
+                        "carries no delta.columnMapping.id"
+                    )
+                idmap[f.name] = int(fid)
+            self._idmap = idmap
         # physical partitionValues key per logical partition column
         self._part_phys = {
             c: (cmap or {}).get(c, c) for c in self._part_cols
@@ -239,6 +263,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                         _local_root(full),
                         v,
                         cmap=self._cmap,
+                        idmap=self._idmap,
                         partition_values=pv,
                         dv_positions=dv_pos,
                     )
@@ -252,9 +277,22 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.file_path)
+        # id-mode resolution: parquet footer field ids → column name
+        # (files without id metadata fall back to physical names, the
+        # same fallback Spark's fieldId read path applies)
+        by_id = {}
+        if partition.idmap:
+            for pf in tbl.schema:
+                fid = (pf.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = pf.name
         cols = []
         for f in self._arrow_schema:
-            src = (partition.cmap or {}).get(f.name, f.name)
+            src = None
+            if partition.idmap:
+                src = by_id.get(partition.idmap.get(f.name))
+            if src is None:
+                src = (partition.cmap or {}).get(f.name, f.name)
             if src in tbl.column_names:
                 cols.append(tbl.column(src).cast(f.type))
             else:

@@ -1154,6 +1154,102 @@ def test_delta_log_stream_rewrites_gate_and_dv(spark, tmp_path):
     } == {0, 1, 2, 3, 4, 5, 6}
 
 
+def test_delta_log_stream_id_mode(spark, tmp_path):
+    """id-mode column mapping streams: columns resolve by the parquet
+    footers' field ids — with PRIORITY over names (a file whose
+    physical names are swapped relative to its ids must still resolve
+    by id) — and files carrying no id metadata fall back to physical
+    names, the same fallback Spark's fieldId read path applies."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.streaming.delta_source import (
+        DeltaLogStreamDataSource,
+    )
+
+    t = str(tmp_path / "idstream")
+
+    def one_file(df, dest):
+        tmp = dest + ".__tmp__"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        _shutil.move(part, dest)
+        _shutil.rmtree(tmp)
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    # v0 file: conventional — p-1 carries id 1 (logical id), p-2 id 2
+    one_file(
+        spark.createDataFrame([(1, 1.5)], "a long, b double").select(
+            F.col("a").alias("p-1", metadata={"parquet.field.id": 1}),
+            F.col("b").alias("p-2", metadata={"parquet.field.id": 2}),
+        ),
+        f"{t}/a.parquet",
+    )
+    # v1 file: physical names SWAPPED vs ids — by-name reading would
+    # flip the columns; by-id must not
+    one_file(
+        spark.createDataFrame([(2, 2.5)], "a long, b double").select(
+            F.col("a").alias("p-2", metadata={"parquet.field.id": 1}),
+            F.col("b").alias("p-1", metadata={"parquet.field.id": 2}),
+        ),
+        f"{t}/b.parquet",
+    )
+    # v2 file: NO field ids → physical-name fallback
+    one_file(
+        spark.createDataFrame([(3, 3.5)], "a long, b double").select(
+            F.col("a").alias("p-1"), F.col("b").alias("p-2")
+        ),
+        f"{t}/c.parquet",
+    )
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "p-1"}},
+        {"name": "score", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "p-2"}},
+    ]
+    _os.makedirs(f"{t}/_delta_log", exist_ok=True)
+    with open(f"{t}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(_json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "idstream",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 1,
+        }}) + "\n")
+        f.write(_json.dumps({"add": {"path": "a.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}}) + "\n")
+    for v, name in ((1, "b.parquet"), (2, "c.parquet")):
+        with open(f"{t}/_delta_log/{v:020d}.json", "w") as f:
+            f.write(_json.dumps({"add": {"path": name, "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}}) + "\n")
+
+    spark.dataSource.register(DeltaLogStreamDataSource)
+    out_dir = str(tmp_path / "idout")
+    q = (
+        spark.readStream.format("deltalog")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "idckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["score"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(1, 1.5), (2, 2.5), (3, 3.5)}
+
+
 def test_iceberg_log_stream_matches_batch(spark, tmp_path):
     """stream==batch over an Iceberg v2 append sequence: sequence
     numbers are the offsets, batches align to snapshots, a checkpoint
