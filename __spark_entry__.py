@@ -2088,6 +2088,68 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: Iceberg metadata-only SCHEMA EVOLUTION
+    (``iceberg_add_column`` / ``iceberg_rename_column`` /
+    ``iceberg_drop_column`` — spec "Schema Evolution"): a column ADDs
+    with a fresh field id (pre-evolution files read NULL), the price
+    column RENAMEs (the id stays; pre-rename files resolve BY FIELD ID
+    — the reader detects the rename from the schema history and
+    switches the whole scan to id resolution), an append lands under
+    the new name, row-level DML runs against the evolved table, and a
+    DROP removes the added column again. Data files never rewrite at
+    any step. The oracle replays the same edits relationally."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_add_column,
+        iceberg_delete,
+        iceberg_drop_column,
+        iceberg_rename_column,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-icesev-") + "/orders_icesev"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    iceberg_write(orders.where("o_orderkey % 2 = 0"), path, mode="error")
+    iceberg_add_column(spark, path, "o_band", "string")
+    iceberg_rename_column(spark, path, "o_totalprice", "price")
+    iceberg_write(
+        orders.where("o_orderkey % 2 = 1")
+        .withColumnRenamed("o_totalprice", "price")
+        .withColumn("o_band", F.lit("late")),
+        path,
+        mode="append",
+    )
+    iceberg_delete(spark, path, "price < 50000")
+    iceberg_drop_column(spark, path, "o_band")
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("price")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_totalprice >= 50000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_dv_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 11 (VERDICT r10 #6): Delta DELETE via WRITTEN deletion
     vectors (``delta_delete(strategy="dv")``) — merge-on-read: one
@@ -5610,6 +5672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_dml_roundtrip": _wrap(iceberg_dml_roundtrip),
         "iceberg_update_roundtrip": _wrap(iceberg_update_roundtrip),
         "iceberg_merge_roundtrip": _wrap(iceberg_merge_roundtrip),
+        "iceberg_schema_evolution": _wrap(iceberg_schema_evolution),
         "delta_dv_write_roundtrip": _wrap(delta_dv_write_roundtrip),
         "hudi_mor_read": _wrap(hudi_mor_read),
         "delta_stream_read": _wrap(delta_stream_read),
@@ -5797,6 +5860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r11 ---
         "iceberg_update_roundtrip",
         "iceberg_merge_roundtrip",
+        "iceberg_schema_evolution",
         "iceberg_eq_delete_read",
         "delta_optimize_roundtrip",
         "hudi_compact_read",
@@ -5849,7 +5913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_flag_status",
         "segment_without_recent_orders",
         "semantic_dedup_embeddings",
-        "sessionize_events",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -5914,6 +5977,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_dml_roundtrip": ICEBERG_DML_SQL,
         "iceberg_update_roundtrip": ICEBERG_UPDATE_SQL,
         "iceberg_merge_roundtrip": ICEBERG_MERGE_SQL,
+        "iceberg_schema_evolution": ICEBERG_SCHEMA_EVOLUTION_SQL,
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "hudi_mor_read": HUDI_MOR_SQL,
         "delta_stream_read": DELTA_STREAM_SQL,

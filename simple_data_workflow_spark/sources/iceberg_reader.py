@@ -411,35 +411,79 @@ def _snapshot_files_and_deletes(
     )
 
 
-def _verify_field_ids(files: list[str], ids: dict[str, int]) -> None:
-    """Iceberg resolves columns by FIELD ID; this reader hands Spark a
-    by-NAME parquet scan. Those agree unless a column was renamed, so
-    probe ONE data file's footer: if it records field-ids and any
-    (name → id) pair contradicts the table schema, refuse — silent
-    misreads are worse than an error. Files without id metadata (not
-    written by an Iceberg writer) pass: their names ARE the contract."""
+def _rename_detected(meta: dict, ids: dict[str, int]) -> bool:
+    """True when the table's schema HISTORY proves a column rename:
+    some prior schema names a field id differently than the current
+    schema does. Files written under the old schema then spell the
+    column with the old name, so a by-NAME scan would silently read
+    NULL — the caller must resolve by field id instead. Metadata-only
+    (the ``schemas`` list carries every schema still referenced)."""
+    cur = {v: k for k, v in ids.items()}
+    for s in meta.get("schemas") or []:
+        for f in s.get("fields", []):
+            now = cur.get(int(f["id"]))
+            if now is not None and f["name"] != now:
+                return True
+    return False
+
+
+def _by_name_resolution_sound(files: list[str], ids: dict[str, int]) -> bool:
+    """Iceberg resolves columns by FIELD ID; this reader normally hands
+    Spark a by-NAME parquet scan. Those agree unless a column was
+    RENAMED (the name moves, the id stays), so probe ONE data file's
+    footer BOTH ways: a file column whose name maps to a different
+    table id, or a table id whose file column carries a different
+    name, means by-name would misread — return ``False`` and the
+    caller switches the whole scan to field-id resolution
+    (``_id_schema`` + ``spark.sql.parquet.fieldId.read.enabled``), the
+    rule real Iceberg readers apply. Files without id metadata (not
+    written by an Iceberg writer) pass: their names ARE the contract.
+    (Tables whose own metadata records the rename are caught for ALL
+    files by ``_rename_detected``; this probe is a safety net for
+    externally rewritten files.)"""
     if not files:
-        return
+        return True
     try:
         import pyarrow.parquet as pq
 
         arrow_schema = pq.ParquetFile(files[0]).schema_arrow
     except Exception:
-        return  # non-local or unreadable footer: nothing to probe
+        return True  # non-local or unreadable footer: nothing to probe
+    fid2name = {}
     for f in arrow_schema:
         md = f.metadata or {}
         fid = md.get(b"PARQUET:field_id")
         if fid is None:
             continue
+        fid2name[int(fid)] = f.name
         want = ids.get(f.name)
         if want is not None and int(fid) != want:
-            raise IcebergFeatureUnsupported(
-                f"parquet column {f.name!r} carries field-id "
-                f"{int(fid)} but the table schema maps that name to id "
-                f"{want} — the column was renamed (Iceberg resolves by "
-                "id); by-name reading would silently misread, use the "
-                "Iceberg runtime"
+            return False
+    for name, fid in ids.items():
+        have = fid2name.get(fid)
+        if have is not None and have != name:
+            return False
+    return True
+
+
+def _id_schema(schema: T.StructType, ids: dict[str, int]) -> T.StructType:
+    """The scan schema with ``parquet.field.id`` metadata stamped on
+    every top-level field: with ``spark.sql.parquet.fieldId.read.
+    enabled`` Spark then resolves columns BY ID against the footers —
+    the Iceberg resolution rule — so renamed columns read correctly
+    from files that predate the rename. Files lacking id metadata
+    error loudly under this mode (never a silent misread)."""
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                metadata={"parquet.field.id": ids[f.name]},
             )
+            for f in schema.fields
+        ]
+    )
 
 
 # position-delete application strategy threshold: below this many total
@@ -549,9 +593,16 @@ def iceberg_read(
     meta = load_table_metadata(spark, path)
     _, ids = _schema_and_ids(meta)
     files = [f for f, _seq in data]
-    _verify_field_ids(files, ids)
     if not files:
         return spark.createDataFrame([], schema)
+    if _rename_detected(meta, ids) or not _by_name_resolution_sound(
+        files, ids
+    ):
+        # a column was renamed: switch to the spec's by-FIELD-ID
+        # resolution for the whole scan (renamed columns then read
+        # correctly from pre-rename files)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        schema = _id_schema(schema, ids)
     pos_paths = [d["path"] for d in deletes if d["content"] == 1]
     eq_deletes = [d for d in deletes if d["content"] == 2]
     if not eq_deletes:
@@ -583,7 +634,14 @@ def iceberg_read(
             if d["seq"] <= seq:
                 continue  # strictly-smaller rule: not applicable
             cols = [id_to_name[i] for i in d["equality_ids"]]
-            deldf = spark.read.parquet(d["path"]).select(*cols)
+            # under by-id resolution the delete file may spell the
+            # columns with pre-rename names — resolve those by id too
+            types = {f.name: f for f in schema.fields}
+            deldf = (
+                spark.read.schema(T.StructType([types[c] for c in cols]))
+                .parquet(d["path"])
+                .select(*cols)
+            )
             cond = reduce(
                 lambda a, b: a & b,
                 [part[c].eqNullSafe(deldf[c]) for c in cols],

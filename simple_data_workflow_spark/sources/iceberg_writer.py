@@ -52,6 +52,7 @@ from pyspark.sql import types as T
 from simple_data_workflow_spark.sources.iceberg_reader import (
     IcebergFeatureUnsupported,
     _avro_records,
+    _current_schema,
     _get,
     _j2py,
     _local_path,
@@ -477,10 +478,18 @@ def _stage_data_files(
     spark = df.sparkSession
     jvm, fs = _jfs(spark, path)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    # DataFrame.to applies the WHOLE target schema including nested
-    # field metadata — a plain aliasing select would only stamp
-    # top-level parquet.field.id and lose the nested ids
-    df = df.to(scan_schema)
+    # stamp ids via cast+alias, NOT DataFrame.to(): .to() elides
+    # no-op columns (silently dropping their metadata) and poisons
+    # later alias stamps; a cast to the metadata-carrying target type
+    # stamps nested struct ids, and the alias stamps the top level
+    df = df.select(
+        *[
+            F.col(f.name)
+            .cast(f.dataType)
+            .alias(f.name, metadata=dict(f.metadata or {}))
+            for f in scan_schema.fields
+        ]
+    )
     shadows = []
     for c in partition_by:
         sh = f"__icepart_{c}"
@@ -679,11 +688,7 @@ def iceberg_write(
             raise IcebergFeatureUnsupported(
                 "the jar-free writer only writes format-version 1/2 tables"
             )
-        ice_schema = (
-            cur_meta["schemas"][0]
-            if "schemas" in cur_meta
-            else cur_meta["schema"]
-        )
+        ice_schema = _current_schema(cur_meta)
         last_col_id = int(cur_meta.get("last-column-id", 0))
         spec_fields = [
             {
@@ -822,6 +827,10 @@ def iceberg_write(
             meta={"format-version": str(fv)},
         )
         # --- table metadata ---
+        cur_schema_id = int((cur_meta or {}).get("current-schema-id", 0))
+        schema_history = list((cur_meta or {}).get("schemas") or []) or [
+            ice_schema
+        ]
         snapshot = {
             "snapshot-id": snapshot_id,
             "timestamp-ms": now_ms,
@@ -829,7 +838,7 @@ def iceberg_write(
                 "operation": "append" if mode != "overwrite" else "overwrite"
             },
             "manifest-list": mlist_path,
-            "schema-id": 0,
+            "schema-id": cur_schema_id,
         }
         if fv >= 2:
             snapshot["sequence-number"] = seq
@@ -846,8 +855,8 @@ def iceberg_write(
             "last-updated-ms": now_ms,
             "last-column-id": last_col_id,
             "schema": ice_schema,
-            "schemas": [ice_schema],
-            "current-schema-id": 0,
+            "schemas": schema_history,
+            "current-schema-id": cur_schema_id,
             "partition-spec": [
                 {
                     "name": p["name"],
@@ -923,7 +932,7 @@ def _table_spec(meta: dict) -> list[dict]:
     """The table's partition-spec fields enriched with their Iceberg
     and Avro types (the shape ``_manifest_entry_schema_json`` and the
     manifest-row builders expect) — from metadata only."""
-    ice_schema = meta["schemas"][0] if "schemas" in meta else meta["schema"]
+    ice_schema = _current_schema(meta)
     by_name = {f["name"]: f for f in ice_schema["fields"]}
     spec_fields = []
     for p in meta.get("partition-spec") or []:
@@ -953,7 +962,10 @@ def _live_lineage_scan(
     Returns ``(None, data, schema)`` for an empty table. Fully
     distributed — nothing data-sized touches the driver."""
     from simple_data_workflow_spark.sources.iceberg_reader import (
+        _by_name_resolution_sound,
+        _id_schema,
         _norm_path_col,
+        _rename_detected,
         _schema_and_ids,
         _snapshot_files_and_deletes,
     )
@@ -961,6 +973,14 @@ def _live_lineage_scan(
     data, deletes, schema = _snapshot_files_and_deletes(spark, path)
     if not data:
         return None, data, schema
+    meta = load_table_metadata(spark, path)
+    _, ids = _schema_and_ids(meta)
+    if _rename_detected(meta, ids) or not _by_name_resolution_sound(
+        [f for f, _seq in data], ids
+    ):
+        # renamed column: resolve by field id, like iceberg_read
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        schema = _id_schema(schema, ids)
     pos_paths = [d["path"] for d in deletes if d["content"] == 1]
     eq_deletes = [d for d in deletes if d["content"] == 2]
 
@@ -987,20 +1007,24 @@ def _live_lineage_scan(
 
     from functools import reduce
 
-    meta = load_table_metadata(spark, path)
-    _, ids = _schema_and_ids(meta)
     id_to_name = {v: k for k, v in ids.items()}
     classes: dict[int, list[str]] = {}
     for f, seq in data:
         classes.setdefault(seq, []).append(f)
     parts = []
+    types = {f.name: f for f in schema.fields}
     for seq in sorted(classes):
         part = scan(classes[seq])
         for d in eq_deletes:
             if d["seq"] <= seq:
                 continue  # strictly-smaller rule: not applicable
             cols = [id_to_name[i] for i in d["equality_ids"]]
-            deldf = spark.read.parquet(d["path"]).select(*cols)
+            # schema-resolved (id-stamped under a rename) like the reader
+            deldf = (
+                spark.read.schema(T.StructType([types[c] for c in cols]))
+                .parquet(d["path"])
+                .select(*cols)
+            )
             cond = reduce(
                 lambda a, b: a & b,
                 [part[c].eqNullSafe(deldf[c]) for c in cols],
@@ -1114,7 +1138,7 @@ def _publish_dml_snapshot(
         snapshot_id = uuid.uuid4().int % (2**62)
         md_uuid = uuid.uuid4().hex
         seq = int(meta.get("last-sequence-number", 0)) + 1
-        ice_schema = meta["schemas"][0] if "schemas" in meta else meta["schema"]
+        ice_schema = _current_schema(meta)
         manifests = _current_manifests(spark, path, meta)
         if staged_adds:
             entry_schema = _manifest_entry_schema_json(spec_fields, 2)
@@ -1358,7 +1382,7 @@ def iceberg_update(
         updated = updated.withColumn(col, F.expr(expr).cast(types[col]))
     updated = updated.select(*[f.name for f in schema.fields])
     spec_fields = _table_spec(meta)
-    ice_schema = meta["schemas"][0] if "schemas" in meta else meta["schema"]
+    ice_schema = _current_schema(meta)
     staged_adds = _stage_data_files(
         updated,
         path,
@@ -1424,7 +1448,7 @@ def iceberg_merge_upsert(
     cols = [f.name for f in table_schema.fields]
     source = source.select(*cols)
     spec_fields = _table_spec(meta)
-    ice_schema = meta["schemas"][0] if "schemas" in meta else meta["schema"]
+    ice_schema = _current_schema(meta)
     view, data, _schema = _live_lineage_scan(spark, path)
     staged_dels: list[dict] = []
     if view is not None:
@@ -1540,7 +1564,7 @@ def iceberg_equality_delete(
     if not staged:
         return int(meta.get("current-snapshot-id") or -1)  # empty keys
 
-    ice_schema = meta["schemas"][0] if "schemas" in meta else meta["schema"]
+    ice_schema = _current_schema(meta)
     for attempt in range(_retries):
         now_ms = int(time.time() * 1000)
         snapshot_id = uuid.uuid4().int % (2**62)
@@ -1724,3 +1748,141 @@ def iceberg_expire_snapshots(
             f"snapshot expiration on {path} lost the metadata race"
         )
     return sorted(expired_ids)
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (round 11 continuation): metadata-only commits — the
+# Iceberg model (spec "Schema Evolution"): a NEW schema entry appends to
+# `schemas` with the next schema-id and becomes current; data files
+# never rewrite. Reads stay safe because columns resolve per the spec:
+# add → old files lack the id and read NULL; drop → files' extra column
+# is ignored; rename → the id stays, and the reader switches to
+# field-id resolution when it detects by-name is unsound.
+# ---------------------------------------------------------------------------
+
+
+def _evolve_schema(spark: SparkSession, path: str, mutate, _retries: int = 5) -> int:
+    """Publish a metadata-only schema change: ``mutate(fields, meta)``
+    receives a deep copy of the current schema's field list and the
+    table metadata, returns ``(new_fields, extra_metadata_updates)``.
+    The new schema appends with the next schema-id and becomes current.
+    Returns the new schema id; retries the metadata race."""
+    import copy
+    import re as _re
+
+    jvm, fs = _jfs(spark, path)
+    for attempt in range(_retries):
+        meta = load_table_metadata(spark, path)
+        cur = _current_schema(meta)
+        new_fields, extra = mutate(copy.deepcopy(cur["fields"]), meta)
+        schemas = list(meta.get("schemas") or [])
+        if not schemas:  # v1 single-schema form: seed the history
+            schemas = [dict(cur, **{"schema-id": meta.get("current-schema-id", 0)})]
+        new_id = max(int(s.get("schema-id", 0)) for s in schemas) + 1
+        new_schema = {"type": "struct", "schema-id": new_id, "fields": new_fields}
+        meta_out = dict(meta)
+        meta_out["schemas"] = schemas + [new_schema]
+        meta_out["current-schema-id"] = new_id
+        meta_out["schema"] = new_schema  # v1-compat single-schema field
+        meta_out["last-updated-ms"] = int(time.time() * 1000)
+        meta_out.update(extra or {})
+        version = 1
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")):
+            m = _re.match(r"v(\d+)\.metadata\.json", st.getPath().getName())
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        if _publish_metadata_if_absent(
+            spark, path, version, json.dumps(meta_out, indent=2)
+        ):
+            return new_id
+    raise IcebergConcurrentWrite(
+        f"schema evolution on {path} lost the metadata race {_retries} times"
+    )
+
+
+def iceberg_add_column(
+    spark: SparkSession, path: str, name: str, ice_type: str
+) -> int:
+    """ADD COLUMN ``name`` of (primitive) Iceberg type ``ice_type`` —
+    metadata-only: the column gets a fresh field id past
+    ``last-column-id``; rows in files written before the change read
+    NULL (the spec's rule for an id the file does not carry). Returns
+    the new schema id."""
+    from simple_data_workflow_spark.sources.iceberg_reader import _spark_type
+
+    _spark_type(ice_type)  # validates the type string (raises otherwise)
+
+    def mutate(fields, meta):
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        fid = int(meta.get("last-column-id", len(fields))) + 1
+        fields.append(
+            {"id": fid, "name": name, "required": False, "type": ice_type}
+        )
+        return fields, {"last-column-id": fid}
+
+    return _evolve_schema(spark, path, mutate)
+
+
+def iceberg_rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """RENAME COLUMN — metadata-only: the field keeps its id, only the
+    name moves, so files written under EITHER name stay readable (the
+    reader probes the footers and switches to field-id resolution when
+    by-name would misread). Returns the new schema id."""
+
+    def mutate(fields, meta):
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        hit = next((f for f in fields if f["name"] == old), None)
+        if hit is None:
+            raise ValueError(f"no column {old!r} in the table schema")
+        hit["name"] = new
+        # identity-partition field names follow the source column
+        spec = meta.get("partition-spec") or []
+        parts = [p for p in spec if p["source-id"] == hit["id"]]
+        extra = {}
+        if parts:
+            new_spec = [dict(p) for p in spec]
+            for p in new_spec:
+                if p["source-id"] == hit["id"]:
+                    p["name"] = new
+            extra["partition-spec"] = new_spec
+            pspecs = []
+            for ps in meta.get("partition-specs") or []:
+                ps = dict(ps)
+                ps["fields"] = [
+                    dict(f, name=new)
+                    if f.get("source-id") == hit["id"]
+                    else f
+                    for f in ps.get("fields") or []
+                ]
+                pspecs.append(ps)
+            if pspecs:
+                extra["partition-specs"] = pspecs
+        return fields, extra
+
+    return _evolve_schema(spark, path, mutate)
+
+
+def iceberg_drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """DROP COLUMN — metadata-only: the field leaves the current
+    schema; data files keep the physical column but readers ignore it
+    (ids never get reused: ``last-column-id`` is monotonic). Partition
+    source columns refuse — dropping one would orphan the spec.
+    Returns the new schema id."""
+
+    def mutate(fields, meta):
+        hit = next((f for f in fields if f["name"] == name), None)
+        if hit is None:
+            raise ValueError(f"no column {name!r} in the table schema")
+        for p in meta.get("partition-spec") or []:
+            if p["source-id"] == hit["id"]:
+                raise ValueError(
+                    f"column {name!r} is a partition source column; "
+                    "dropping it would orphan the partition spec"
+                )
+        return [f for f in fields if f["name"] != name], {}
+
+    return _evolve_schema(spark, path, mutate)

@@ -307,8 +307,12 @@ def test_iceberg_refusals(spark, tmp_path):
 
 def test_iceberg_field_id_rename_guard(spark, tmp_path):
     """A renamed column keeps its field-id: parquet footers say
-    (old_name → id); by-name reading would silently misread, so the
-    probe must refuse."""
+    (old_name → id 2) while the table declares a DIFFERENT column
+    under that name (id 3). By-name reading would silently misread —
+    the probe detects the contradiction and the scan switches to
+    FIELD-ID resolution (the spec's rule): the file's id-2 column
+    belongs to no current field and is ignored, and the table's
+    ``old_v`` (id 3) reads NULL because the file predates it."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -350,8 +354,8 @@ def test_iceberg_field_id_rename_guard(spark, tmp_path):
         root, 1,
         _table_metadata(root, snaps, 1, format_version=2, schemas=[schema]),
     )
-    with pytest.raises(IcebergFeatureUnsupported, match="field-id"):
-        iceberg_read(spark, root)
+    got = [tuple(r) for r in iceberg_read(spark, root).collect()]
+    assert got == [(1, None)]
 
 
 def test_iceberg_empty_table_and_schema_types(spark, tmp_path):

@@ -687,3 +687,110 @@ def test_iceberg_dml_requires_v2(spark, tmp_path):
         iceberg_update(spark, root, {"val": "0.0"}, "id = 1")
     with pytest.raises(IcebergFeatureUnsupported, match="format-version 2"):
         iceberg_merge_upsert(spark, root, df, ["id"])
+
+
+def test_iceberg_schema_evolution_add_rename_drop(spark, tmp_path):
+    """Metadata-only schema evolution (spec 'Schema Evolution'): ADD
+    gets a fresh id past last-column-id and old files read NULL; RENAME
+    keeps the id and pre-rename files resolve BY FIELD ID (the reader
+    detects the rename from the schema history and switches the scan);
+    DROP leaves files untouched. Appends and row-level DML keep working
+    across every step."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_add_column,
+        iceberg_delete,
+        iceberg_drop_column,
+        iceberg_rename_column,
+        iceberg_update,
+    )
+
+    root = str(tmp_path / "sev")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(1, 6)],
+        "id int, name string, val double",
+    )
+    iceberg_write(df, root, mode="error")
+    # ADD: fresh id, old rows NULL, append carries the column
+    iceberg_add_column(spark, root, "tag", "string")
+    meta = load_table_metadata(spark, root)
+    assert meta["last-column-id"] == 4
+    got = iceberg_read(spark, root)
+    assert got.columns == ["id", "name", "val", "tag"]
+    assert got.where("tag IS NULL").count() == 5
+    iceberg_write(
+        spark.createDataFrame(
+            [(6, "n6", 6.0, "x")], "id int, name string, val double, tag string"
+        ),
+        root,
+        mode="append",
+    )
+    tags = {r["id"]: r["tag"] for r in iceberg_read(spark, root).collect()}
+    assert tags == {1: None, 2: None, 3: None, 4: None, 5: None, 6: "x"}
+    # RENAME: id stays, pre-rename files resolve by field id
+    iceberg_rename_column(spark, root, "val", "score")
+    vals = {r["id"]: r["score"] for r in iceberg_read(spark, root).collect()}
+    assert vals == {i: float(i) for i in range(1, 7)}
+    # append under the new name; mixed-name file sets still read
+    iceberg_write(
+        spark.createDataFrame(
+            [(7, "n7", 7.0, None)],
+            "id int, name string, score double, tag string",
+        ),
+        root,
+        mode="append",
+    )
+    # DML against the renamed table (lineage scan switches to by-id too)
+    iceberg_update(spark, root, {"score": "score + 100"}, "id <= 2")
+    iceberg_delete(spark, root, "id = 5")
+    vals = {r["id"]: r["score"] for r in iceberg_read(spark, root).collect()}
+    assert vals == {1: 101.0, 2: 102.0, 3: 3.0, 4: 4.0, 6: 6.0, 7: 7.0}
+    # DROP: metadata-only, files untouched
+    iceberg_drop_column(spark, root, "tag")
+    got = iceberg_read(spark, root)
+    assert got.columns == ["id", "name", "score"] and got.count() == 6
+    # guards
+    with pytest.raises(ValueError, match="no column"):
+        iceberg_drop_column(spark, root, "nope")
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg_rename_column(spark, root, "id", "name")
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg_add_column(spark, root, "id", "string")
+
+
+def test_iceberg_rename_partition_column_follows_spec(spark, tmp_path):
+    """Renaming an identity-partition source column renames the
+    partition-spec field too, and appends under the new name work."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_rename_column,
+    )
+
+    root = str(tmp_path / "sevp")
+    iceberg_write(
+        spark.createDataFrame([(1, "A"), (2, "B")], "id int, grp string"),
+        root,
+        mode="error",
+        partition_by=["grp"],
+    )
+    iceberg_rename_column(spark, root, "grp", "bucket")
+    meta = load_table_metadata(spark, root)
+    assert meta["partition-spec"][0]["name"] == "bucket"
+    got = {(r["id"], r["bucket"]) for r in iceberg_read(spark, root).collect()}
+    assert got == {(1, "A"), (2, "B")}
+    iceberg_write(
+        spark.createDataFrame([(3, "C")], "id int, bucket string"),
+        root,
+        mode="append",
+    )
+    assert iceberg_read(spark, root).count() == 3
+    with pytest.raises(ValueError, match="partition source"):
+        from simple_data_workflow_spark.sources.iceberg_writer import (
+            iceberg_drop_column,
+        )
+
+        iceberg_drop_column(spark, root, "bucket")
