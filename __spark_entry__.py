@@ -2208,6 +2208,92 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_dv_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: Delta UPDATE and MERGE as MERGE-ON-READ
+    (``delta_update(strategy="dv")`` / ``delta_merge_upsert(
+    strategy="dv")`` — the shape real Delta runtimes commit on
+    DV-enabled tables): ONE commit deletion-vector-masks the old row
+    versions AND appends new files with the updated/source rows, so
+    wide sparse edits cost rows instead of rewritten file bytes. The
+    UPDATE doubles urgent order prices; the MERGE then re-prices every
+    13th order (over the DV-masked view — already-updated rows must
+    merge from their UPDATED values) and inserts shifted keys. Read
+    back through the front-door fallback; oracle = CASE + anti-join +
+    union over raw parquet."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_merge_upsert,
+        delta_update,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-dvdml-") + "/orders_dvdml"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    delta_write(orders, path, mode="error")
+    delta_update(
+        spark,
+        path,
+        {"o_totalprice": "o_totalprice * 2.0"},
+        "o_orderpriority = '1-URGENT'",
+        strategy="dv",
+    )
+    upd_view = lakehouse.read_table(spark, "delta", path)
+    src = (
+        upd_view.where("o_orderkey % 13 = 0")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+        .unionByName(
+            upd_view.where("o_orderkey % 5000 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
+            )
+        )
+    )
+    delta_merge_upsert(spark, path, src, on=["o_orderkey"], strategy="dv")
+    got = lakehouse.read_table(spark, "delta", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_DV_DML_SQL = """
+WITH upd AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+), src AS (
+  SELECT o_orderkey, o_totalprice + 5.0 AS o_totalprice, o_orderstatus
+  FROM upd WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 20000000 AS o_orderkey, o_totalprice, o_orderstatus
+  FROM upd WHERE o_orderkey % 5000 = 0
+), merged AS (
+  SELECT u.o_orderkey, u.o_totalprice, u.o_orderstatus
+  FROM upd u
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = u.o_orderkey)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 second half: jar-free Delta MERGE
     (``delta_writer.delta_merge_upsert`` — delete-insert upsert, the
@@ -5744,6 +5830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_upsert_roundtrip": _wrap(hudi_upsert_roundtrip),
         "delta_dml_roundtrip": _wrap(delta_dml_roundtrip),
         "delta_merge_roundtrip": _wrap(delta_merge_roundtrip),
+        "delta_dv_dml_roundtrip": _wrap(delta_dv_dml_roundtrip),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -5861,6 +5948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_update_roundtrip",
         "iceberg_merge_roundtrip",
         "iceberg_schema_evolution",
+        "delta_dv_dml_roundtrip",
         "iceberg_eq_delete_read",
         "delta_optimize_roundtrip",
         "hudi_compact_read",
@@ -5912,7 +6000,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_year",
         "rollup_flag_status",
         "segment_without_recent_orders",
-        "semantic_dedup_embeddings",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -5978,6 +6065,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_update_roundtrip": ICEBERG_UPDATE_SQL,
         "iceberg_merge_roundtrip": ICEBERG_MERGE_SQL,
         "iceberg_schema_evolution": ICEBERG_SCHEMA_EVOLUTION_SQL,
+        "delta_dv_dml_roundtrip": DELTA_DV_DML_SQL,
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "hudi_mor_read": HUDI_MOR_SQL,
         "delta_stream_read": DELTA_STREAM_SQL,

@@ -406,8 +406,10 @@ QUERIES = {
     "iceberg_stream_read": entrymod.iceberg_stream_read,
     "iceberg_eq_delete_write": entrymod.iceberg_eq_delete_write,
     "hudi_stream_read": entrymod.hudi_stream_read,
-    "iceberg_eq_delete_read": entrymod.iceberg_eq_delete_read,
-    "iceberg_dml_roundtrip": entrymod.iceberg_dml_roundtrip,
+    "delta_dv_dml_roundtrip": entrymod.delta_dv_dml_roundtrip,
+    "iceberg_update_roundtrip": entrymod.iceberg_update_roundtrip,
+    "iceberg_merge_roundtrip": entrymod.iceberg_merge_roundtrip,
+    "iceberg_schema_evolution": entrymod.iceberg_schema_evolution,
     "bm25_scores_docs": entrymod.bm25_scores_docs,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,
