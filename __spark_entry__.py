@@ -2150,6 +2150,72 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: Iceberg COMPACTION
+    (``iceberg_writer.iceberg_compact`` — the rewrite-data-files
+    maintenance action; Delta has OPTIMIZE, Hudi has MoR compaction):
+    after a DELETE publishes position deletes and an UPDATE stacks
+    more, compaction rewrites the LIVE view into fresh data files and
+    publishes a REPLACE snapshot referencing NO delete files — values
+    unchanged, subsequent scans pure parquet. The aggregate reads the
+    compacted table; the oracle replays the edits relationally."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _snapshot_files_and_deletes,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_compact,
+        iceberg_delete,
+        iceberg_update,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-icecmp-") + "/orders_icecmp"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    iceberg_write(orders, path, mode="error")
+    iceberg_delete(spark, path, "o_totalprice < 80000")
+    iceberg_update(
+        spark, path, {"o_totalprice": "o_totalprice + 7.0"}, "o_orderkey % 3 = 0"
+    )
+    iceberg_compact(spark, path)
+    # the compacted snapshot must carry zero delete files
+    _data, dels, _schema = _snapshot_files_and_deletes(spark, path)
+    assert not dels, f"compaction left delete files referenced: {dels}"
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_COMPACT_SQL = """
+WITH kept AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 7.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+  WHERE o_totalprice >= 80000
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM kept
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_dv_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 11 (VERDICT r10 #6): Delta DELETE via WRITTEN deletion
     vectors (``delta_delete(strategy="dv")``) — merge-on-read: one
@@ -5759,6 +5825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_update_roundtrip": _wrap(iceberg_update_roundtrip),
         "iceberg_merge_roundtrip": _wrap(iceberg_merge_roundtrip),
         "iceberg_schema_evolution": _wrap(iceberg_schema_evolution),
+        "iceberg_compact_roundtrip": _wrap(iceberg_compact_roundtrip),
         "delta_dv_write_roundtrip": _wrap(delta_dv_write_roundtrip),
         "hudi_mor_read": _wrap(hudi_mor_read),
         "delta_stream_read": _wrap(delta_stream_read),
@@ -5948,6 +6015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_update_roundtrip",
         "iceberg_merge_roundtrip",
         "iceberg_schema_evolution",
+        "iceberg_compact_roundtrip",
         "delta_dv_dml_roundtrip",
         "iceberg_eq_delete_read",
         "delta_optimize_roundtrip",
@@ -5999,7 +6067,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share",
         "revenue_by_year",
         "rollup_flag_status",
-        "segment_without_recent_orders",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -6066,6 +6133,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge_roundtrip": ICEBERG_MERGE_SQL,
         "iceberg_schema_evolution": ICEBERG_SCHEMA_EVOLUTION_SQL,
         "delta_dv_dml_roundtrip": DELTA_DV_DML_SQL,
+        "iceberg_compact_roundtrip": ICEBERG_COMPACT_SQL,
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "hudi_mor_read": HUDI_MOR_SQL,
         "delta_stream_read": DELTA_STREAM_SQL,

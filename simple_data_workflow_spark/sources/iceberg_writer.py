@@ -1121,15 +1121,17 @@ def _publish_dml_snapshot(
     operation: str,
     spec_fields: list[dict],
     _retries: int = 5,
+    replace_all: bool = False,
 ) -> int:
     """Publish ONE sequence-numbered snapshot carrying an optional DATA
     manifest (``staged_adds``) and an optional POSITION-DELETE manifest
     (``staged_dels``) on top of the current manifests — the commit
     shape shared by DELETE (deletes only), UPDATE and MERGE (deletes +
     adds in the SAME snapshot, so readers never see a half-applied
-    edit). A lost metadata race re-resolves and retries: the staged
-    files still name valid targets because prior data files are
-    immutable."""
+    edit). ``replace_all`` drops the current manifests instead
+    (rewrite-data-files/compaction: the staged adds ARE the table). A
+    lost metadata race re-resolves and retries: the staged files still
+    name valid targets because prior data files are immutable."""
     import re as _re
 
     jvm, fs = _jfs(spark, path)
@@ -1139,7 +1141,9 @@ def _publish_dml_snapshot(
         md_uuid = uuid.uuid4().hex
         seq = int(meta.get("last-sequence-number", 0)) + 1
         ice_schema = _current_schema(meta)
-        manifests = _current_manifests(spark, path, meta)
+        manifests = (
+            [] if replace_all else _current_manifests(spark, path, meta)
+        )
         if staged_adds:
             entry_schema = _manifest_entry_schema_json(spec_fields, 2)
             rows = []
@@ -1748,6 +1752,53 @@ def iceberg_expire_snapshots(
             f"snapshot expiration on {path} lost the metadata race"
         )
     return sorted(expired_ids)
+
+
+def iceberg_compact(spark: SparkSession, path: str, _retries: int = 5) -> int:
+    """Rewrite-data-files maintenance (Iceberg's OPTIMIZE/compaction
+    equivalent — Delta has OPTIMIZE, Hudi has MoR compaction): the LIVE
+    snapshot view (position AND equality deletes applied) rewrites into
+    fresh data files and publishes a REPLACE snapshot whose manifest
+    list carries ONLY the new data manifest — small files merge, delete
+    files stop applying, and subsequent scans are pure parquet reads
+    with zero delete-application work. Older snapshots (and their
+    delete files) stay time-travelable until ``iceberg_expire_snapshots``
+    collects them. Needs v2 (v1 compaction ≡ ``iceberg_write(...,
+    mode="overwrite")``). Returns the committed snapshot id."""
+    meta = load_table_metadata(spark, path)
+    if int(meta.get("format-version", 1)) < 2:
+        raise IcebergFeatureUnsupported(
+            "compaction targets format-version 2 tables; on v1, an "
+            "iceberg_write(..., mode='overwrite') of the current view "
+            "is the equivalent"
+        )
+    view, _data, schema = _live_lineage_scan(spark, path)
+    if view is None:
+        return int(meta.get("current-snapshot-id") or -1)
+    rows = view.drop("__fp", "__ri").select(*[f.name for f in schema.fields])
+    spec_fields = _table_spec(meta)
+    ice_schema = _current_schema(meta)
+    staged = [
+        f
+        for f in _stage_data_files(
+            rows,
+            path,
+            [p["name"] for p in spec_fields],
+            _field_id_spark_schema(rows.schema, ice_schema),
+        )
+        if f["record_count"] > 0
+    ]
+    return _publish_dml_snapshot(
+        spark,
+        path,
+        meta,
+        staged,
+        [],
+        "replace",
+        spec_fields,
+        _retries,
+        replace_all=True,
+    )
 
 
 # ---------------------------------------------------------------------------

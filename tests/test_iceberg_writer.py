@@ -794,3 +794,39 @@ def test_iceberg_rename_partition_column_follows_spec(spark, tmp_path):
         )
 
         iceberg_drop_column(spark, root, "bucket")
+
+
+def test_iceberg_compact_rewrites_files_and_drops_deletes(spark, tmp_path):
+    """Compaction (rewrite-data-files): the live view rewrites into
+    fresh files, the REPLACE snapshot references no delete files, data
+    is unchanged, and older snapshots still time-travel."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _snapshot_files_and_deletes,
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_compact,
+        iceberg_delete,
+        iceberg_update,
+    )
+
+    root = str(tmp_path / "icmp")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(60)], "id int, val double"
+    )
+    iceberg_write(df.repartition(6), root, mode="error")
+    iceberg_delete(spark, root, "id % 10 = 0")
+    iceberg_update(spark, root, {"val": "val + 1000"}, "id > 50")
+    before = {r["id"]: r["val"] for r in iceberg_read(spark, root).collect()}
+    s_pre = load_table_metadata(spark, root)["current-snapshot-id"]
+    sid = iceberg_compact(spark, root)
+    after = {r["id"]: r["val"] for r in iceberg_read(spark, root).collect()}
+    assert before == after
+    data, dels, _schema = _snapshot_files_and_deletes(spark, root)
+    assert not dels
+    meta = load_table_metadata(spark, root)
+    snap = [s for s in meta["snapshots"] if s["snapshot-id"] == sid][0]
+    assert snap["summary"]["operation"] == "replace"
+    # pre-compaction snapshot unchanged, deletes still applied there
+    old = {r["id"]: r["val"] for r in iceberg_read(spark, root, s_pre).collect()}
+    assert old == before
