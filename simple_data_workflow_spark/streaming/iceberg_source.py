@@ -13,7 +13,11 @@ Semantics:
   reads the data files ADDED by that snapshot (manifest-list entries
   with ``sequence_number == s`` → manifests → ADDED entries with
   ``content=0``).
-- **Non-append snapshots (overwrite/replace/delete) refuse by
+- **"replace" snapshots SKIP** — the spec defines the operation as
+  adding/removing files WITHOUT changing table data (compaction), so
+  there are no rows to stream (same treatment the deltalog source
+  gives dataChange=false OPTIMIZE commits).
+- **Other non-append snapshots (overwrite/delete) refuse by
   default**; ``.option("allowRewrites", "true")`` streams their ADDED
   data files as at-least-once inserts (row-level deletes carried by
   delete manifests do not retract already-streamed rows — the same
@@ -152,6 +156,12 @@ class IcebergStreamReader(DataSourceStreamReader):
             seq = int(snap.get("sequence-number", 0))
             sid = int(snap["snapshot-id"])
             op = (snap.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                # spec: "replace" = files added/removed WITHOUT changing
+                # table data (compaction) — no rows to stream, skip it
+                # (the same treatment the deltalog source gives
+                # dataChange=false OPTIMIZE commits)
+                continue
             if op != "append" and not self._allow_rewrites:
                 raise ValueError(
                     f"snapshot {sid} (sequence {seq}) is a {op!r} — its "

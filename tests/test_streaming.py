@@ -1471,3 +1471,79 @@ def test_hudi_log_stream_change_feed(spark, tmp_path):
     run2({"allowRewrites": "true"})
     got3 = spark.read.parquet(out2)
     assert got3.where("v = 2222.0").count() == 1
+
+
+def test_iceberg_log_stream_skips_replace_snapshots(spark, tmp_path):
+    """A compaction's REPLACE snapshot adds/removes files WITHOUT
+    changing table data (spec wording) — the stream must SKIP it, then
+    keep delivering later appends."""
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_compact,
+        iceberg_delete,
+        iceberg_write,
+    )
+    from simple_data_workflow_spark.streaming.iceberg_source import (
+        IcebergLogStreamDataSource,
+    )
+
+    t = str(tmp_path / "icmpstream")
+    iceberg_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ).repartition(3),
+        t,
+        mode="error",
+    )  # seq 1
+    spark.dataSource.register(IcebergLogStreamDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberglog")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 6
+    iceberg_delete(spark, t, "id = 0")  # seq 2: delete snapshot
+    iceberg_compact(spark, t)  # seq 3: REPLACE — must be skipped
+    iceberg_write(
+        spark.createDataFrame([(9, 9.0)], "id long, v double"),
+        t,
+        mode="append",
+    )  # seq 4
+    # the delete snapshot would gate; but replace alone must not —
+    # checkpoint sits at seq 1, so the delete (seq 2) gates first
+    import pyspark.errors
+
+    import pytest as _pytest
+
+    with _pytest.raises(
+        pyspark.errors.exceptions.captured.StreamingQueryException,
+        match="allowRewrites",
+    ):
+        run()
+    # fresh stream anchored after the delete: replace skips silently,
+    # the append streams
+    q = (
+        spark.readStream.format("iceberglog")
+        .option("path", t)
+        .option("startingSequence", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(str(tmp_path / "out2")).collect()}
+    assert got == {(9, 9.0)}
