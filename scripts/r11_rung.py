@@ -180,12 +180,90 @@ def part_b_write_rung(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def part_c_mor_update_rung(spark):
+    """Round-11 continuation: merge-on-read row-level UPDATE rung.
+    A FIXED 400-row update (spread thin across all 16 files — the
+    wide+sparse shape) against tables of 8x/32x/128x rows:
+
+    - delta UPDATE strategy="dv" (DV-mask + append new rows) vs
+      strategy="rewrite" (CoW rewrites every affected file). The claim:
+      the rewrite wall grows with TABLE bytes (all 16 files rewrite to
+      touch ~25 rows each) while the DV wall stays near the hit-scan
+      cost — edit cost ∝ edited rows, not affected-file bytes.
+    - iceberg UPDATE (position-delete + append, MoR by construction)
+      for the same shape.
+    """
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_update,
+        delta_write,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_update,
+        iceberg_write,
+    )
+
+    base_rows = 50_000
+    for mult in (8, 32, 128):
+        n = base_rows * mult
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+            (F.col("id") % 4).cast("string").alias("g"),
+        )
+        pred = "id < 400"  # constant match count, spread over all files
+        root = tempfile.mkdtemp(prefix=f"sdw-r11c-{mult}x-")
+        # best-of-2 per strategy (fresh table per attempt — DML mutates)
+        # to shed JIT/GC noise from the back-to-back 16-file builds
+        def best2(build, run):
+            walls = []
+            for i in range(2):
+                p = f"{root}/t{i}-{len(walls)}-{time.monotonic_ns()}"
+                build(p)
+                t0 = time.monotonic()
+                run(p)
+                walls.append(time.monotonic() - t0)
+            return min(walls)
+
+        dv = best2(
+            lambda p: delta_write(df.repartition(16), p, mode="error"),
+            lambda p: delta_update(
+                spark, p, {"v": "v + 1"}, pred, strategy="dv"
+            ),
+        )
+        cow = best2(
+            lambda p: delta_write(df.repartition(16), p, mode="error"),
+            lambda p: delta_update(
+                spark, p, {"v": "v + 1"}, pred, strategy="rewrite"
+            ),
+        )
+        ice = best2(
+            lambda p: iceberg_write(df.repartition(16), p, mode="error"),
+            lambda p: iceberg_update(spark, p, {"v": "v + 1"}, pred),
+        )
+        emit(
+            {
+                "part": "C",
+                "mult": f"{mult}x",
+                "n_rows": n,
+                "matched_rows": 400,
+                "delta_dv_update_sec": round(dv, 3),
+                "delta_rewrite_update_sec": round(cow, 3),
+                "iceberg_mor_update_sec": round(ice, 3),
+            }
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if os.path.exists(OUT) and "--part-a-only" not in sys.argv:
+    only_c = "--part-c-only" in sys.argv
+    if os.path.exists(OUT) and "--part-a-only" not in sys.argv and not only_c:
         os.remove(OUT)
     spark = get_spark()
     tune(spark)
-    part_a_iceberg_deletes(spark)
+    if not only_c:
+        part_a_iceberg_deletes(spark)
+        if "--part-a-only" not in sys.argv:
+            part_b_write_rung(spark)
     if "--part-a-only" not in sys.argv:
-        part_b_write_rung(spark)
+        part_c_mor_update_rung(spark)
     print("done")
