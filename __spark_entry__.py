@@ -2360,6 +2360,111 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: Delta RESTORE TO VERSION
+    (``delta_writer.delta_restore``): after a DV DELETE and a CoW
+    UPDATE mutate the table, RESTORE flips the file set back to v0 in
+    ONE metadata-sized commit (history preserved — the restore is a new
+    version), then a fresh DELETE applies to the restored state. The
+    oracle sees only the post-restore edit: the restored table IS the
+    original orders."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_restore,
+        delta_update,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-rst-") + "/orders_rst"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_write(orders, path, mode="error")  # v0
+    delta_delete(spark, path, "o_totalprice < 120000", strategy="dv")
+    delta_update(spark, path, {"o_totalprice": "o_totalprice * 9"}, "o_orderkey % 2 = 0")
+    delta_restore(spark, path, 0)  # back to pristine orders
+    delta_delete(spark, path, "o_orderkey % 10 = 3")
+    got = lakehouse.read_table(spark, "delta", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_RESTORE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_orderkey % 10 <> 3
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def iceberg_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: Iceberg ROLLBACK
+    (``iceberg_writer.iceberg_rollback`` — the spec's
+    set-current-snapshot, metadata-only): a corrupting append and a
+    DELETE land after the good snapshot, rollback moves
+    current-snapshot-id back (nothing rewrites; sequence numbers stay
+    monotonic), and a post-rollback DELETE edits the restored state.
+    The oracle sees the original orders with only the final edit."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_rollback,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-irb-") + "/orders_irb"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    good = iceberg_write(orders, path, mode="error")
+    iceberg_write(  # corrupting append: duplicate rows under shifted keys
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(50_000_000)),
+        path,
+        mode="append",
+    )
+    iceberg_delete(spark, path, "o_totalprice > 100")  # corrupting delete
+    iceberg_rollback(spark, path, good)
+    iceberg_delete(spark, path, "o_orderkey % 10 = 7")
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_ROLLBACK_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_orderkey % 10 <> 7
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 second half: jar-free Delta MERGE
     (``delta_writer.delta_merge_upsert`` — delete-insert upsert, the
@@ -5898,6 +6003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dml_roundtrip": _wrap(delta_dml_roundtrip),
         "delta_merge_roundtrip": _wrap(delta_merge_roundtrip),
         "delta_dv_dml_roundtrip": _wrap(delta_dv_dml_roundtrip),
+        "delta_restore_roundtrip": _wrap(delta_restore_roundtrip),
+        "iceberg_rollback_roundtrip": _wrap(iceberg_rollback_roundtrip),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -6017,6 +6124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_schema_evolution",
         "iceberg_compact_roundtrip",
         "delta_dv_dml_roundtrip",
+        "delta_restore_roundtrip",
+        "iceberg_rollback_roundtrip",
         "iceberg_eq_delete_read",
         "delta_optimize_roundtrip",
         "hudi_compact_read",
@@ -6065,8 +6174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue",
         "q7_volume_shipping",
         "q8_market_share",
-        "revenue_by_year",
-        "rollup_flag_status",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -6134,6 +6241,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_schema_evolution": ICEBERG_SCHEMA_EVOLUTION_SQL,
         "delta_dv_dml_roundtrip": DELTA_DV_DML_SQL,
         "iceberg_compact_roundtrip": ICEBERG_COMPACT_SQL,
+        "delta_restore_roundtrip": DELTA_RESTORE_SQL,
+        "iceberg_rollback_roundtrip": ICEBERG_ROLLBACK_SQL,
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "hudi_mor_read": HUDI_MOR_SQL,
         "delta_stream_read": DELTA_STREAM_SQL,

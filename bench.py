@@ -411,6 +411,8 @@ QUERIES = {
     "iceberg_merge_roundtrip": entrymod.iceberg_merge_roundtrip,
     "iceberg_schema_evolution": entrymod.iceberg_schema_evolution,
     "iceberg_compact_roundtrip": entrymod.iceberg_compact_roundtrip,
+    "delta_restore_roundtrip": entrymod.delta_restore_roundtrip,
+    "iceberg_rollback_roundtrip": entrymod.iceberg_rollback_roundtrip,
     "bm25_scores_docs": entrymod.bm25_scores_docs,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,

@@ -325,6 +325,7 @@ def delta_write(
     mode: str = "error",
     partition_by: list[str] | None = None,
     overwrite_schema: bool = False,
+    merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
     _retries: int = 5,
 ) -> int:
@@ -337,6 +338,15 @@ def delta_write(
     ``overwrite_schema=True``, Delta's own gate).  Appends that lose a
     commit race re-resolve and retry (they are order-free); creates and
     overwrites raise ``DeltaConcurrentWrite``.
+
+    ``merge_schema=True`` (Delta's ``mergeSchema`` option) lets an
+    APPEND carry NEW columns: the commit republishes metaData with the
+    union schema (table columns first, net-new columns appended); rows
+    in files written before the append read NULL for the new columns,
+    and append rows may omit table columns (NULL on read). Type
+    changes still refuse — mergeSchema adds columns, never mutates
+    them. Column-mapped tables refuse (new columns would need fresh
+    mapping ids).
 
     ``txn=(appId, version)`` emits the spec's ``txn`` action — the
     streaming replay-dedup handle: if the table already records a
@@ -374,14 +384,39 @@ def delta_write(
                 f"{existing_parts}"
             )
         same = _schema_types(table_schema) == _schema_types(df.schema)
+        merged_schema = None
         if not same:
             if mode == "append":
-                raise DeltaSchemaMismatch(
-                    "append schema differs from the table schema "
-                    f"({_schema_types(table_schema)} vs "
-                    f"{_schema_types(df.schema)})"
+                if not merge_schema:
+                    raise DeltaSchemaMismatch(
+                        "append schema differs from the table schema "
+                        f"({_schema_types(table_schema)} vs "
+                        f"{_schema_types(df.schema)}); pass "
+                        "merge_schema=True to add the new columns"
+                    )
+                mode_cm = ((cur_meta.get("configuration") or {}).get(
+                    "delta.columnMapping.mode", "none"
+                ))
+                if mode_cm not in ("", "none"):
+                    raise DeltaSchemaMismatch(
+                        "merge_schema on a column-mapped table is not "
+                        "supported (new columns need fresh mapping ids)"
+                    )
+                tt = _schema_types(table_schema)
+                dt = _schema_types(df.schema)
+                clash = sorted(
+                    c for c in dt if c in tt and dt[c] != tt[c]
                 )
-            if not overwrite_schema:
+                if clash:
+                    raise DeltaSchemaMismatch(
+                        "mergeSchema adds columns but never changes "
+                        f"types; columns with type changes: {clash}"
+                    )
+                merged_schema = StructType(
+                    list(table_schema.fields)
+                    + [f for f in df.schema.fields if f.name not in tt]
+                )
+            elif not overwrite_schema:
                 raise DeltaSchemaMismatch(
                     "overwrite with a different schema needs "
                     "overwrite_schema=True"
@@ -389,6 +424,8 @@ def delta_write(
         if same:
             # canonical column order = the table's
             df = df.select(*[f.name for f in table_schema.fields])
+    else:
+        merged_schema = None
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
@@ -401,14 +438,16 @@ def delta_write(
         "metaData": {
             "id": table_id,
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
+            "schemaString": (merged_schema or df.schema).json(),
             "partitionColumns": partition_by,
-            "configuration": {},
+            # a republished metaData must not wipe table configuration
+            "configuration": dict((cur_meta or {}).get("configuration") or {}),
             "createdTime": (cur_meta or {}).get("createdTime", now),
         }
     }
     need_meta = (
         not exists
+        or merged_schema is not None
         or (
             mode == "overwrite"
             and (
@@ -1726,3 +1765,98 @@ def delta_cleanup_log(
         fs.delete(p, False)
         deleted.append(v)
     return deleted
+
+
+def delta_restore(
+    spark: SparkSession, path: str, version: int, _retries: int = 5
+) -> int:
+    """RESTORE TABLE TO VERSION ``version`` — ONE commit whose
+    remove+add actions flip the current file set back to the target
+    snapshot's (a metadata-sized file-level diff; data files are
+    immutable, so target files simply re-reference — including their
+    deletion-vector descriptors as of that version). The restore is
+    itself a NEW commit: history is preserved, the restore shows in the
+    log, and it can be time-traveled past or restored again (Delta's
+    own RESTORE semantics). The target's metaData (schema, partition
+    columns, configuration) republishes when it differs. Refuses if a
+    target data file was vacuumed away (re-adding a missing file would
+    corrupt the table)."""
+    adds_tgt, meta_tgt, _pt, tgt_v, _tt = _replay_full(
+        spark, path, version=version
+    )
+    if meta_tgt is None:
+        raise ValueError(f"no metaData at or before version {version}")
+    jvm, fs = _fs(spark, path)
+    for rel in adds_tgt:
+        dec = urllib.parse.unquote(rel)
+        full = dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(full)):
+            raise FileNotFoundError(
+                f"cannot RESTORE to version {version}: data file {rel} "
+                "was removed (vacuumed) from the table directory"
+            )
+    for attempt in range(_retries):
+        adds_now, meta_now, _p, cur_v, _t = _replay_full(spark, path)
+        if version > cur_v:
+            raise ValueError(
+                f"version {version} is newer than the current {cur_v}"
+            )
+        now = int(time.time() * 1000)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "RESTORE",
+                        "operationParameters": {"version": int(version)},
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            )
+        ]
+        if (
+            meta_now.get("schemaString") != meta_tgt.get("schemaString")
+            or (meta_now.get("partitionColumns") or [])
+            != (meta_tgt.get("partitionColumns") or [])
+            or (meta_now.get("configuration") or {})
+            != (meta_tgt.get("configuration") or {})
+        ):
+            lines.append(json.dumps({"metaData": meta_tgt}))
+        n_changes = 0
+        for rel in sorted(adds_now):
+            same = rel in adds_tgt and adds_now[rel].get(
+                "deletionVector"
+            ) == adds_tgt[rel].get("deletionVector")
+            if not same:
+                lines.append(
+                    json.dumps(
+                        {
+                            "remove": {
+                                "path": rel,
+                                "deletionTimestamp": now,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                )
+                n_changes += 1
+        for rel in sorted(adds_tgt):
+            same = rel in adds_now and adds_now[rel].get(
+                "deletionVector"
+            ) == adds_tgt[rel].get("deletionVector")
+            if not same:
+                a = dict(adds_tgt[rel])
+                a["dataChange"] = True
+                a["modificationTime"] = now
+                lines.append(json.dumps({"add": a}))
+                n_changes += 1
+        if n_changes == 0 and len(lines) == 1:
+            return cur_v  # already at the target state: metadata no-op
+        new_v = cur_v + 1
+        if _publish_if_absent(
+            spark, path, f"{new_v:020d}.json", "\n".join(lines) + "\n"
+        ):
+            return new_v
+    raise DeltaConcurrentWrite(
+        f"RESTORE on {path} lost the commit race {_retries} times"
+    )

@@ -1937,3 +1937,44 @@ def iceberg_drop_column(spark: SparkSession, path: str, name: str) -> int:
         return [f for f in fields if f["name"] != name], {}
 
     return _evolve_schema(spark, path, mutate)
+
+
+def iceberg_rollback(
+    spark: SparkSession, path: str, snapshot_id: int, _retries: int = 5
+) -> int:
+    """Roll the table back to ``snapshot_id`` — metadata-only (the
+    spec's set-current-snapshot): ``current-snapshot-id`` moves to the
+    target, nothing rewrites, and the rolled-past snapshots stay in the
+    log (time-travelable, collectable by ``iceberg_expire_snapshots``).
+    Later writes parent off the restored snapshot; sequence numbers
+    stay monotonic (``last-sequence-number`` never rewinds — the spec's
+    rule, so new row-level deletes still order after everything ever
+    committed). Returns the restored snapshot id."""
+    import re as _re
+
+    jvm, fs = _jfs(spark, path)
+    for attempt in range(_retries):
+        meta = load_table_metadata(spark, path)
+        snaps = meta.get("snapshots") or []
+        if not any(int(s["snapshot-id"]) == int(snapshot_id) for s in snaps):
+            have = [int(s["snapshot-id"]) for s in snaps]
+            raise ValueError(
+                f"snapshot {snapshot_id} not in table (have {have})"
+            )
+        if meta.get("current-snapshot-id") == int(snapshot_id):
+            return int(snapshot_id)  # already current: no-op
+        meta_out = dict(meta)
+        meta_out["current-snapshot-id"] = int(snapshot_id)
+        meta_out["last-updated-ms"] = int(time.time() * 1000)
+        version = 1
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")):
+            m = _re.match(r"v(\d+)\.metadata\.json", st.getPath().getName())
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        if _publish_metadata_if_absent(
+            spark, path, version, json.dumps(meta_out, indent=2)
+        ):
+            return int(snapshot_id)
+    raise IcebergConcurrentWrite(
+        f"rollback on {path} lost the metadata race {_retries} times"
+    )

@@ -925,3 +925,82 @@ def test_dv_update_on_name_mapped_table(spark, tmp_path):
         f"{root}/" + up.unquote(new_adds[0]["path"])
     ).schema_arrow
     assert {f.name for f in sch} == {"col-a", "col-b"}
+
+
+def test_delta_restore_flips_file_set_back(spark, tmp_path):
+    """RESTORE TO VERSION: one commit re-references the target
+    version's files (DV descriptors included), history preserved, and
+    a restore can move forward again to a later version."""
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_restore,
+        delta_update,
+        delta_write,
+    )
+
+    root = str(tmp_path / "rst")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id int, val double"
+    )
+    delta_write(df, root, mode="error")  # v0
+    delta_delete(spark, root, "id >= 7", strategy="dv")  # v1
+    delta_update(spark, root, {"val": "val * 10"}, "id = 1")  # v2
+    v = delta_restore(spark, root, 0)
+    assert v == 3  # the restore is a NEW commit
+    got = {r["id"]: r["val"] for r in delta_read(spark, root).collect()}
+    assert got == {i: float(i) for i in range(10)}
+    # forward restore re-applies v1's deletion vector
+    delta_restore(spark, root, 1)
+    got = {r["id"]: r["val"] for r in delta_read(spark, root).collect()}
+    assert got == {i: float(i) for i in range(7)}
+    # idempotent: restoring to the state we're already in is a no-op
+    cur = delta_restore(spark, root, 1)
+    assert delta_restore(spark, root, 1) == cur
+    with pytest.raises(ValueError, match="newer than"):
+        delta_restore(spark, root, 99)
+
+
+def test_delta_write_merge_schema_append(spark, tmp_path):
+    """mergeSchema append: new columns join the table schema (old rows
+    read NULL), missing source columns read NULL, type changes
+    refuse, and plain appends still refuse without the flag."""
+    from simple_data_workflow_spark.sources.delta_writer import (
+        DeltaSchemaMismatch,
+        delta_write,
+    )
+
+    root = str(tmp_path / "ms")
+    delta_write(
+        spark.createDataFrame([(1, 1.0)], "id int, val double"),
+        root,
+        mode="error",
+    )
+    with pytest.raises(DeltaSchemaMismatch, match="merge_schema"):
+        delta_write(
+            spark.createDataFrame(
+                [(2, 2.0, "x")], "id int, val double, tag string"
+            ),
+            root,
+            mode="append",
+        )
+    delta_write(
+        spark.createDataFrame(
+            [(2, 2.0, "x")], "id int, val double, tag string"
+        ),
+        root,
+        mode="append",
+        merge_schema=True,
+    )
+    got = delta_read(spark, root)
+    assert got.columns == ["id", "val", "tag"]
+    rows = {r["id"]: r["tag"] for r in got.collect()}
+    assert rows == {1: None, 2: "x"}
+    with pytest.raises(DeltaSchemaMismatch, match="type"):
+        delta_write(
+            spark.createDataFrame(
+                [("s", 3.0, "y")], "id string, val double, tag string"
+            ),
+            root,
+            mode="append",
+            merge_schema=True,
+        )

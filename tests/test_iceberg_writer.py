@@ -830,3 +830,50 @@ def test_iceberg_compact_rewrites_files_and_drops_deletes(spark, tmp_path):
     # pre-compaction snapshot unchanged, deletes still applied there
     old = {r["id"]: r["val"] for r in iceberg_read(spark, root, s_pre).collect()}
     assert old == before
+
+
+def test_iceberg_rollback_metadata_only(spark, tmp_path):
+    """Rollback moves current-snapshot-id back without rewriting
+    anything; later writes parent off the restored snapshot and
+    sequence numbers stay monotonic."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_rollback,
+    )
+
+    root = str(tmp_path / "irb")
+    s1 = iceberg_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id int, val double"
+        ),
+        root,
+        mode="error",
+    )
+    iceberg_write(
+        spark.createDataFrame([(9, 9.0)], "id int, val double"),
+        root,
+        mode="append",
+    )
+    iceberg_delete(spark, root, "id = 0")
+    pre_seq = load_table_metadata(spark, root)["last-sequence-number"]
+    assert iceberg_rollback(spark, root, s1) == s1
+    meta = load_table_metadata(spark, root)
+    assert meta["current-snapshot-id"] == s1
+    assert meta["last-sequence-number"] == pre_seq  # never rewinds
+    assert {r["id"] for r in iceberg_read(spark, root).collect()} == set(
+        range(6)
+    )
+    s4 = iceberg_write(
+        spark.createDataFrame([(77, 77.0)], "id int, val double"),
+        root,
+        mode="append",
+    )
+    meta = load_table_metadata(spark, root)
+    snap4 = [s for s in meta["snapshots"] if s["snapshot-id"] == s4][0]
+    assert snap4["parent-snapshot-id"] == s1
+    assert snap4["sequence-number"] == pre_seq + 1
+    with pytest.raises(ValueError, match="not in table"):
+        iceberg_rollback(spark, root, 12345)
