@@ -2243,11 +2243,15 @@ def delta_dv_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_write(orders.repartition(16), path, mode="error")
     delta_delete(spark, path, "o_totalprice < 30000", strategy="dv")
     delta_delete(spark, path, "o_orderpriority = '5-LOW'", strategy="dv")
+    # explicitly copy-on-write: this query pins the CoW-consumes-the-
+    # DV-masked-view scenario (the MoR update has its own query,
+    # delta_dv_dml_roundtrip), and auto's probe would be wasted here
     delta_update(
         spark,
         path,
         {"o_totalprice": "o_totalprice * 2.0"},
         "o_orderpriority = '1-URGENT'",
+        strategy="rewrite",
     )
     got = lakehouse.read_table(spark, "delta", path)
     return (
