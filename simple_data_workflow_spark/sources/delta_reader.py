@@ -463,6 +463,18 @@ def delta_read(
         # action time), so it must stay set for the session — it is
         # inert for schemas without parquet.field.id metadata
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        from pyspark.sql.types import ArrayType, MapType
+
+        if any(
+            isinstance(f.dataType, (StructType, ArrayType, MapType))
+            for f in data_fields
+        ):
+            # nested-schema pruning rewrites the read schema WITHOUT
+            # the parquet.field.id metadata → pruned nested id-mode
+            # columns silently read NULL; correctness over pruning
+            spark.conf.set(
+                "spark.sql.optimizer.nestedSchemaPruning.enabled", "false"
+            )
         scan_schema = _with_field_ids(data_schema)
     else:
         scan_schema = _physicalize(data_schema) if mapped else data_schema

@@ -727,14 +727,22 @@ def _snapshot_view(
     data_schema = StructType(data_fields)
     part_fields = [f for f in schema.fields if f.name in part_cols]
     if id_mode:
+        # nested columns resolve by id on the read (_with_field_ids
+        # recurses) AND restage with nested ids on the write
+        # (_phys_with_ids — the cast target type carries nested
+        # metadata into the footers)
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        for f in data_fields:
-            if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
-                raise NotImplementedError(
-                    f"{operation} on an id-mapped table with nested "
-                    f"column {f.name!r}: nested parquet.field.id "
-                    "stamping is not supported by the jar-free writer"
-                )
+        if any(
+            isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+            for f in data_fields
+        ):
+            # Spark's nested-schema pruning rewrites the read schema
+            # WITHOUT the parquet.field.id metadata, so a pruned
+            # nested id-mode column silently reads NULL — trade the
+            # pruning win for correctness while such tables are in play
+            spark.conf.set(
+                "spark.sql.optimizer.nestedSchemaPruning.enabled", "false"
+            )
         scan_schema = _with_field_ids(data_schema)
     else:
         scan_schema = _physicalize(data_schema) if mapped else data_schema
@@ -807,16 +815,61 @@ def _snapshot_view(
     }
 
 
+def _phys_with_ids(dt, operation: str):
+    """The id-mode STAGING type: physical names AND
+    ``parquet.field.id`` metadata at every nesting level. A cast to
+    this type carries the nested metadata into the written footers
+    (the positional-cast rename the name-mode path already uses —
+    nested alias metadata cannot, it is top-level only)."""
+    from pyspark.sql import types as T
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _ID_KEY,
+        _physical_name,
+    )
+
+    if isinstance(dt, T.StructType):
+        out = []
+        for f in dt.fields:
+            fid = (f.metadata or {}).get(_ID_KEY)
+            if fid is None:
+                raise NotImplementedError(
+                    f"{operation} on id-mapped table: field {f.name!r} "
+                    "has no delta.columnMapping.id — by-id resolution "
+                    "of the staged files would be impossible"
+                )
+            out.append(
+                T.StructField(
+                    _physical_name(f),
+                    _phys_with_ids(f.dataType, operation),
+                    f.nullable,
+                    {"parquet.field.id": int(fid)},
+                )
+            )
+        return T.StructType(out)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _phys_with_ids(dt.elementType, operation), dt.containsNull
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _phys_with_ids(dt.keyType, operation),
+            _phys_with_ids(dt.valueType, operation),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _stage_physical(
     spark: SparkSession, path: str, df, view: dict, operation: str
 ) -> list[dict]:
     """Stage ``df`` (the table's LOGICAL schema, partition columns
     included) as table data files: column-mapped tables stage under
-    PHYSICAL names (name mode at every nesting level via the
-    positional-cast rename; id mode also stamps ``parquet.field.id`` —
-    nested id-mode structs refuse, the alias metadata channel is
-    top-level only), so staged files look exactly like the table's
-    original data files. Returns the add-action dicts."""
+    PHYSICAL names at every nesting level via the positional-cast
+    rename; id mode also stamps ``parquet.field.id`` at every nesting
+    level (the cast target type carries nested metadata into the
+    footers), so staged files look exactly like the table's original
+    data files. Returns the add-action dicts."""
     from pyspark.sql import functions as F
 
     from simple_data_workflow_spark.sources.delta_reader import (
@@ -830,7 +883,6 @@ def _stage_physical(
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         cols = []
         for f in schema.fields:
-            c = F.col(f.name).cast(_physicalize(f.dataType))
             if view["id_mode"]:
                 fid = (f.metadata or {}).get(_ID_KEY)
                 if fid is None:
@@ -839,13 +891,19 @@ def _stage_physical(
                         f"{f.name!r} has no delta.columnMapping.id"
                     )
                 cols.append(
-                    c.alias(
+                    F.col(f.name)
+                    .cast(_phys_with_ids(f.dataType, operation))
+                    .alias(
                         _physical_name(f),
                         metadata={"parquet.field.id": int(fid)},
                     )
                 )
             else:
-                cols.append(c.alias(_physical_name(f)))
+                cols.append(
+                    F.col(f.name)
+                    .cast(_physicalize(f.dataType))
+                    .alias(_physical_name(f))
+                )
         df = df.select(*cols)
         stage_parts = [
             _physical_name(f) for f in schema.fields if f.name in part_cols

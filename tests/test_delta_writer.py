@@ -1004,3 +1004,107 @@ def test_delta_write_merge_schema_append(spark, tmp_path):
             mode="append",
             merge_schema=True,
         )
+
+
+def test_dml_on_id_mapped_table_with_nested_struct(spark, tmp_path):
+    """The pre-continuation refusal, lifted: CoW DML on an id-mapped
+    table with a NESTED struct column — the staged rewrite carries
+    physical names AND parquet.field.id at every nesting level (the
+    cast target type transports nested metadata into the footers)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_writer import delta_update
+
+    root = str(tmp_path / "idnest")
+
+    def one_file(df, dest):
+        tmp = dest + ".__tmp__"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    from pyspark.sql import types as T
+
+    nested_t = T.StructType(
+        [T.StructField("p-3", T.DoubleType(), True, {"parquet.field.id": 3})]
+    )
+    src = spark.createDataFrame(
+        [(1, (1.5,)), (2, (2.5,)), (3, (3.5,))],
+        "a long, b struct<x: double>",
+    )
+    # cast+alias, NOT .to(): .to() drops metadata on no-op columns
+    one_file(
+        src.select(
+            F.col("a")
+            .cast("long")
+            .alias("p-1", metadata={"parquet.field.id": 1}),
+            F.col("b")
+            .cast(nested_t)
+            .alias("p-2", metadata={"parquet.field.id": 2}),
+        ),
+        f"{root}/a.parquet",
+    )
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "p-1"}},
+        {"name": "payload",
+         "type": {"type": "struct", "fields": [
+             {"name": "score", "type": "double", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "p-3"}}]},
+         "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "p-2"}},
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "idnest",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}},
+    ]
+    os.makedirs(f"{root}/_delta_log", exist_ok=True)
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    # sanity: the fixture file really carries nested ids
+    sch0 = pq.ParquetFile(f"{root}/a.parquet").schema_arrow
+    assert int(sch0.field("p-2").type.field(0).metadata[b"PARQUET:field_id"]) == 3
+
+    v = delta_update(
+        spark, root, {"payload": "named_struct('score', payload.score * 10)"},
+        "id = 2", strategy="rewrite",
+    )
+    got = {
+        (r["id"], r["payload"]["score"])
+        for r in delta_read(spark, root).collect()
+    }
+    assert got == {(1, 1.5), (2, 25.0), (3, 3.5)}
+    with open(f"{root}/_delta_log/{v:020d}.json") as f:
+        acts = [json.loads(l) for l in f if l.strip()]
+    new_add = next(a["add"] for a in acts if "add" in a)
+    import urllib.parse as up
+
+    sch = pq.ParquetFile(
+        f"{root}/" + up.unquote(new_add["path"])
+    ).schema_arrow
+    assert {fl.name for fl in sch} == {"p-1", "p-2"}
+    assert int(sch.field("p-1").metadata[b"PARQUET:field_id"]) == 1
+    assert int(sch.field("p-2").metadata[b"PARQUET:field_id"]) == 2
+    nested = sch.field("p-2").type.field(0)
+    assert nested.name == "p-3"
+    assert int(nested.metadata[b"PARQUET:field_id"]) == 3
