@@ -602,6 +602,16 @@ def iceberg_read(
         # resolution for the whole scan (renamed columns then read
         # correctly from pre-rename files)
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        if any(
+            isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+            for f in schema.fields
+        ):
+            # nested-schema pruning rewrites the read schema WITHOUT
+            # the parquet.field.id metadata → pruned nested columns
+            # would silently read NULL under by-id resolution
+            spark.conf.set(
+                "spark.sql.optimizer.nestedSchemaPruning.enabled", "false"
+            )
         schema = _id_schema(schema, ids)
     pos_paths = [d["path"] for d in deletes if d["content"] == 1]
     eq_deletes = [d for d in deletes if d["content"] == 2]

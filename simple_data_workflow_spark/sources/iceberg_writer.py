@@ -980,6 +980,14 @@ def _live_lineage_scan(
     ):
         # renamed column: resolve by field id, like iceberg_read
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        if any(
+            isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+            for f in schema.fields
+        ):
+            # nested-schema pruning strips field-id metadata → NULLs
+            spark.conf.set(
+                "spark.sql.optimizer.nestedSchemaPruning.enabled", "false"
+            )
         schema = _id_schema(schema, ids)
     pos_paths = [d["path"] for d in deletes if d["content"] == 1]
     eq_deletes = [d for d in deletes if d["content"] == 2]
