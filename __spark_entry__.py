@@ -2364,6 +2364,109 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: DRIVER-SIDE DATA SKIPPING on the jar-free
+    Delta reader (``delta_read(filters=...)``): the log's per-add
+    min/max stats and exact partitionValues prove misses, so pruned
+    files are never even scheduled — the Delta engine's skipping,
+    metadata-sized. Orders land range-clustered by key and partitioned
+    by status; the filtered read must (a) scan strictly fewer files
+    than the full read (asserted in-query) and (b) equal the oracle's
+    plain WHERE."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import delta_write
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-skip-") + "/orders_skip"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_write(
+        orders.repartitionByRange(8, "o_orderkey"),
+        path,
+        mode="error",
+        partition_by=["o_orderstatus"],
+    )
+    filters = [("o_orderstatus", "==", "F"), ("o_orderkey", "<", 300000)]
+    flt = delta_read(spark, path, filters=filters)
+    n_full = len(delta_read(spark, path).inputFiles())
+    n_flt = len(flt.inputFiles())
+    assert n_flt < n_full, f"no files pruned ({n_flt} vs {n_full})"
+    return (
+        flt.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_SKIPPING_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderkey < 300000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def iceberg_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: Iceberg SCAN PLANNING on the jar-free
+    reader (``iceberg_read(filters=...)``): each data file's manifest
+    partition record proves identity-partition misses driver-side, so
+    pruned files never schedule; a stacked position delete still
+    applies on the survivors. In-query assert: fewer files scanned;
+    oracle = plain WHERE over raw parquet."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_read,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-iprn-") + "/orders_iprn"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    iceberg_write(orders, path, mode="error", partition_by=["o_orderstatus"])
+    iceberg_delete(spark, path, "o_orderkey % 50 = 1")
+    filters = [("o_orderstatus", "in", ["F", "P"])]
+    flt = iceberg_read(spark, path, filters=filters)
+    n_full = len(iceberg_read(spark, path).inputFiles())
+    n_flt = len(flt.inputFiles())
+    assert n_flt < n_full, f"no files pruned ({n_flt} vs {n_full})"
+    return (
+        flt.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_PRUNED_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_orderstatus IN ('F', 'P') AND o_orderkey % 50 <> 1
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 11 continuation: Delta RESTORE TO VERSION
     (``delta_writer.delta_restore``): after a DV DELETE and a CoW
@@ -6009,6 +6112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_dml_roundtrip": _wrap(delta_dv_dml_roundtrip),
         "delta_restore_roundtrip": _wrap(delta_restore_roundtrip),
         "iceberg_rollback_roundtrip": _wrap(iceberg_rollback_roundtrip),
+        "delta_skipping_scan": _wrap(delta_skipping_scan),
+        "iceberg_pruned_scan": _wrap(iceberg_pruned_scan),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -6130,6 +6235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_dml_roundtrip",
         "delta_restore_roundtrip",
         "iceberg_rollback_roundtrip",
+        "delta_skipping_scan",
+        "iceberg_pruned_scan",
         "iceberg_eq_delete_read",
         "delta_optimize_roundtrip",
         "hudi_compact_read",
@@ -6176,8 +6283,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_customers",
         "q3_top_orders",
         "q5_region_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -6247,6 +6352,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_compact_roundtrip": ICEBERG_COMPACT_SQL,
         "delta_restore_roundtrip": DELTA_RESTORE_SQL,
         "iceberg_rollback_roundtrip": ICEBERG_ROLLBACK_SQL,
+        "delta_skipping_scan": DELTA_SKIPPING_SQL,
+        "iceberg_pruned_scan": ICEBERG_PRUNED_SQL,
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "hudi_mor_read": HUDI_MOR_SQL,
         "delta_stream_read": DELTA_STREAM_SQL,

@@ -413,6 +413,8 @@ QUERIES = {
     "iceberg_compact_roundtrip": entrymod.iceberg_compact_roundtrip,
     "delta_restore_roundtrip": entrymod.delta_restore_roundtrip,
     "iceberg_rollback_roundtrip": entrymod.iceberg_rollback_roundtrip,
+    "delta_skipping_scan": entrymod.delta_skipping_scan,
+    "iceberg_pruned_scan": entrymod.iceberg_pruned_scan,
     "bm25_scores_docs": entrymod.bm25_scores_docs,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,

@@ -433,8 +433,105 @@ def _dv_masked_scan(
     return out
 
 
+def _filters_expr(filters):
+    """The row-level WHERE for pyarrow-style ``(col, op, value)``
+    tuples (ops ``== = != < <= > >= in isnull notnull``) — applied on
+    top of file skipping so results equal a filtered full scan."""
+    out = None
+    for t in filters:
+        col, op = t[0], t[1]
+        val = t[2] if len(t) > 2 else None
+        c = F.col(col)
+        if op in ("==", "="):
+            e = c == F.lit(val)
+        elif op == "!=":
+            e = c != F.lit(val)
+        elif op == "<":
+            e = c < F.lit(val)
+        elif op == "<=":
+            e = c <= F.lit(val)
+        elif op == ">":
+            e = c > F.lit(val)
+        elif op == ">=":
+            e = c >= F.lit(val)
+        elif op == "in":
+            e = c.isin(*list(val))
+        elif op == "isnull":
+            e = c.isNull()
+        elif op == "notnull":
+            e = c.isNotNull()
+        else:
+            raise ValueError(f"unsupported filter op {op!r}")
+        out = e if out is None else (out & e)
+    return out
+
+
+def _delta_stats_map(
+    spark: SparkSession, path: str, version, files, schema
+) -> dict:
+    """Per-file skipping evidence in ``tablelog._stats_prune``'s input
+    shape, built from the log's add-action ``stats`` JSON (minValues /
+    maxValues / nullCount) plus EXACT ``partitionValues`` membership
+    (typed through the table schema — the log stores them as strings).
+    Metadata-sized (one full-fidelity log replay)."""
+    from simple_data_workflow_spark.sources.delta_writer import _replay_full
+
+    adds, _m, _p, _v, _t = _replay_full(spark, path, version=version)
+    types = {f.name: f.dataType for f in schema.fields}
+
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    def typed(col, v):
+        if v is None or v == _NULL_PARTITION:
+            return None
+        t = types.get(col)
+        try:
+            if isinstance(t, (IntegerType, LongType, ShortType, ByteType)):
+                return int(v)
+            if isinstance(t, (DoubleType, FloatType)):
+                return float(v)
+        except (TypeError, ValueError):
+            return v
+        return v
+
+    by_full = {}
+    for rel, a in adds.items():
+        dec = urllib.parse.unquote(rel)
+        full = dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
+        per_col: dict = {}
+        st = a.get("stats")
+        if st:
+            try:
+                st = json.loads(st)
+                mins = st.get("minValues") or {}
+                maxs = st.get("maxValues") or {}
+                nulls = st.get("nullCount") or {}
+                for c in mins:
+                    if c in maxs:
+                        per_col[c] = (mins[c], maxs[c], nulls.get(c))
+            except (ValueError, TypeError):
+                pass
+        pv = a.get("partitionValues") or {}
+        if pv:
+            per_col["__parts"] = {
+                c: [typed(c, v)] for c, v in pv.items()
+            }
+        by_full[full] = per_col
+    return by_full
+
+
 def delta_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Delta table without the Delta jar: resolve the snapshot's
     live file set from the log, scan those parquet files directly,
@@ -447,10 +544,29 @@ def delta_read(
     plain pushdown-friendly parquet scan. Column mapping: ``name`` mode
     scans by physicalName and renames back; ``id`` mode scans with
     ``parquet.field.id`` metadata under Spark's native field-id
-    resolution — logical names come out directly."""
+    resolution — logical names come out directly.
+
+    ``filters`` (pyarrow-style ``(col, op, value)`` tuples, ops
+    ``== = != < <= > >= in isnull notnull``) enable DRIVER-SIDE FILE
+    SKIPPING from the log's per-add stats (min/max/nullCount) and
+    exact partitionValues — files the stats PROVE miss are never even
+    scheduled (the Delta engine's data-skipping, metadata-sized) — and
+    apply row-level on the survivors, so the result equals a filtered
+    full scan."""
     files, dvs, schema, part_cols, meta = _resolve_snapshot(
         spark, path, version
     )
+    row_filter = None
+    if filters:
+        from simple_data_workflow_spark.sources.tablelog import _stats_prune
+
+        pfilters = [
+            (t[0], t[1], t[2] if len(t) > 2 else None) for t in filters
+        ]
+        smap = _delta_stats_map(spark, path, version, files, schema)
+        keep = set(_stats_prune(smap, sorted(files), pfilters))
+        files = {f: pv for f, pv in files.items() if f in keep}
+        row_filter = _filters_expr(filters)
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
@@ -499,8 +615,11 @@ def delta_read(
             ]
         )
 
+    def fin(df):
+        return df if row_filter is None else df.where(row_filter)
+
     if not files:
-        return spark.createDataFrame([], schema)
+        return fin(spark.createDataFrame([], schema))
     dv_positions = {}
     if dvs:
         from simple_data_workflow_spark.sources.delta_dv import (
@@ -508,12 +627,18 @@ def delta_read(
         )
 
         for f, desc in dvs.items():
+            if f not in files:
+                continue  # the file itself was stats-pruned
             dv_positions[f] = read_dv_positions(
                 lambda p: _read_bytes(spark, p), path, desc
             )
     if not part_cols:
-        return logicalize(
-            _dv_masked_scan(spark, scan_schema, sorted(files), dv_positions)
+        return fin(
+            logicalize(
+                _dv_masked_scan(
+                    spark, scan_schema, sorted(files), dv_positions
+                )
+            )
         )
     groups: dict[tuple, list[str]] = {}
     for f, pv in files.items():
@@ -536,7 +661,7 @@ def delta_read(
             df = df.withColumn(c, lit.cast(types[c]))
         df = df.select(*[f.name for f in schema.fields])
         out = df if out is None else out.unionByName(df)
-    return out
+    return fin(out)
 
 
 def delta_version_at_timestamp(spark: SparkSession, path: str, ts_ms: int) -> int:

@@ -277,7 +277,10 @@ def iceberg_snapshot_files(
 
 
 def _snapshot_files_and_deletes(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    _partitions_out: dict | None = None,
 ) -> tuple[list[tuple[str, int]], list[dict], T.StructType]:
     """Snapshot resolution including v2 row-level deletes:
     ``([(data file, data sequence number)], [delete dicts], schema)``.
@@ -363,6 +366,14 @@ def _snapshot_files_and_deletes(
             fpath = _local_path(_j2py(_get(df, "file_path")))
             if mcontent == 0 and fcontent == 0:
                 files[fpath] = seq
+                if _partitions_out is not None:
+                    prec = _get(df, "partition")
+                    vals = {}
+                    if prec is not None:
+                        for sf in prec.getSchema().getFields():
+                            n = str(sf.name())
+                            vals[n] = _j2py(prec.get(n))
+                    _partitions_out[fpath] = vals
             elif fcontent == 1:  # POSITION_DELETES
                 delete_files[fpath] = {
                     "path": fpath,
@@ -565,8 +576,75 @@ def _scan_with_position_deletes(
     return base.join(dels, ["__fp", "__ri"], "left_anti").drop("__fp", "__ri")
 
 
+def _identity_part_maybe(vals: dict, ptypes: dict, filters) -> bool:
+    """Scan-planning evidence from a data file's IDENTITY-partition
+    record: every row in the file carries exactly these values for the
+    partition columns, so a filter they provably fail prunes the file.
+    Conservative — cross-typed comparisons and non-partition columns
+    never prune. Dates decode from the spec's days-from-epoch ints."""
+    import datetime as _dt
+
+    def cat(x):
+        if isinstance(x, bool):
+            return "b"
+        if isinstance(x, str):
+            return "s"
+        if isinstance(x, (int, float)):
+            return "n"
+        if isinstance(x, (_dt.date, _dt.datetime)):
+            return "d"
+        return "o"
+
+    for t in filters:
+        col, op = t[0], t[1]
+        v = t[2] if len(t) > 2 else None
+        if col not in vals:
+            continue  # not a partition column of this file: no evidence
+        pv = vals[col]
+        if pv is not None and ptypes.get(col) == "date" and isinstance(pv, int):
+            pv = _dt.date(1970, 1, 1) + _dt.timedelta(days=pv)
+        if op == "isnull":
+            if pv is not None:
+                return False
+            continue
+        if op == "notnull":
+            if pv is None:
+                return False
+            continue
+        if pv is None:
+            return False  # all rows NULL here: no comparison can hold
+        cand = list(v) if op == "in" else [v]
+        if any(cat(x) != cat(pv) for x in cand):
+            continue  # cross-typed: cannot prove a miss
+        try:
+            if op in ("==", "="):
+                ok = pv == v
+            elif op == "!=":
+                ok = pv != v
+            elif op == "<":
+                ok = pv < v
+            elif op == "<=":
+                ok = pv <= v
+            elif op == ">":
+                ok = pv > v
+            elif op == ">=":
+                ok = pv >= v
+            elif op == "in":
+                ok = pv in cand
+            else:
+                ok = True
+        except TypeError:
+            ok = True
+        if not ok:
+            return False
+    return True
+
+
 def iceberg_read(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read an Iceberg table without the runtime jar: resolve the
     snapshot's data files from metadata JSON + Avro manifests
@@ -587,14 +665,46 @@ def iceberg_read(
       sequence classes; each class anti-joins the delete files that
       apply to it (a relationally-natural distributed plan — nothing
       reaches the driver)."""
+    parts_out: dict | None = {} if filters else None
     data, deletes, schema = _snapshot_files_and_deletes(
-        spark, path, snapshot_id
+        spark, path, snapshot_id, _partitions_out=parts_out
     )
     meta = load_table_metadata(spark, path)
     _, ids = _schema_and_ids(meta)
+    row_filter = None
+    if filters:
+        from simple_data_workflow_spark.sources.delta_reader import (
+            _filters_expr,
+        )
+
+        cur = _current_schema(meta)
+        by_id = {f["id"]: f for f in cur["fields"]}
+        ptypes = {
+            p["name"]: by_id.get(p["source-id"], {}).get("type")
+            for p in meta.get("partition-spec") or []
+            if p.get("transform") == "identity"
+        }
+        data = [
+            (f, seq)
+            for f, seq in data
+            if _identity_part_maybe(
+                {
+                    c: v
+                    for c, v in (parts_out.get(f) or {}).items()
+                    if c in ptypes
+                },
+                ptypes,
+                filters,
+            )
+        ]
+        row_filter = _filters_expr(filters)
+
+    def fin(df):
+        return df if row_filter is None else df.where(row_filter)
+
     files = [f for f, _seq in data]
     if not files:
-        return spark.createDataFrame([], schema)
+        return fin(spark.createDataFrame([], schema))
     if _rename_detected(meta, ids) or not _by_name_resolution_sound(
         files, ids
     ):
@@ -616,7 +726,9 @@ def iceberg_read(
     pos_paths = [d["path"] for d in deletes if d["content"] == 1]
     eq_deletes = [d for d in deletes if d["content"] == 2]
     if not eq_deletes:
-        return _scan_with_position_deletes(spark, schema, files, pos_paths)
+        return fin(
+            _scan_with_position_deletes(spark, schema, files, pos_paths)
+        )
 
     from functools import reduce
 
@@ -661,7 +773,7 @@ def iceberg_read(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return fin(out)
 
 
 def iceberg_snapshots_table(spark: SparkSession, path: str) -> DataFrame:

@@ -34,7 +34,11 @@ def _available(spark: SparkSession, fmt: str) -> bool:
 
 
 def read_table(
-    spark: SparkSession, fmt: str, path: str, version: int | None = None
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    version: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a lakehouse table. When the runtime jar is absent, Delta
     falls back to the pure-Python log reader (``sources.delta_reader``)
@@ -57,7 +61,7 @@ def read_table(
                 delta_read,
             )
 
-            return delta_read(spark, path, version=version)
+            return delta_read(spark, path, version=version, filters=filters)
         if fmt == "iceberg":
             # pure-metadata fallback (round 10): JSON + Avro manifest
             # replay via sources.iceberg_reader; ``version`` means the
@@ -66,15 +70,24 @@ def read_table(
                 iceberg_read,
             )
 
-            return iceberg_read(spark, path, snapshot_id=version)
+            return iceberg_read(
+                spark, path, snapshot_id=version, filters=filters
+            )
         if fmt == "hudi":
             from simple_data_workflow_spark.sources.hudi_reader import (
                 hudi_read,
             )
 
-            return hudi_read(
+            out = hudi_read(
                 spark, path, as_of=None if version is None else str(version)
             )
+            if filters:
+                from simple_data_workflow_spark.sources.delta_reader import (
+                    _filters_expr,
+                )
+
+                out = out.where(_filters_expr(filters))
+            return out
         raise NotImplementedError(
             f"{fmt} requires the {_FORMATS[fmt]} jar on the Spark classpath "
             "(not present in this environment)"
@@ -90,8 +103,16 @@ def read_table(
             reader = reader.option("snapshot-id", version)
         elif fmt == "hudi":
             reader = reader.option("as.of.instant", str(version))
-        return reader.load(path)
-    return spark.read.format(fmt).load(path)
+        out = reader.load(path)
+    else:
+        out = spark.read.format(fmt).load(path)
+    if filters:
+        from simple_data_workflow_spark.sources.delta_reader import (
+            _filters_expr,
+        )
+
+        out = out.where(_filters_expr(filters))  # runtimes push down
+    return out
 
 
 def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> None:

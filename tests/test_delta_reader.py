@@ -610,3 +610,34 @@ def test_delta_timestamp_as_of_and_history(spark, tmp_path):
     assert hist[0]["timestamp"] == 1000 and hist[0]["operation"] == "WRITE"
     assert hist[1]["timestamp"] == 2000
     assert _json.loads(hist[1]["operation_parameters"]) == {}
+
+
+def test_delta_read_filters_skip_files(spark, tmp_path):
+    """Driver-side data skipping: add-action min/max stats and exact
+    partitionValues PROVE misses, so pruned files are never scheduled;
+    the result still equals a filtered full scan (row filter applied
+    on survivors)."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_writer import delta_write
+
+    root = str(tmp_path / "skip")
+    df = spark.range(0, 4000).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    delta_write(df.repartitionByRange(8, "id"), root, mode="error")
+    flt = delta_read(spark, root, filters=[("id", "<", 500)])
+    assert {r["id"] for r in flt.collect()} == set(range(500))
+    assert len(flt.inputFiles()) < len(delta_read(spark, root).inputFiles())
+    # partition-value skipping on a partitioned table
+    root2 = str(tmp_path / "skipp")
+    delta_write(df, root2, mode="error", partition_by=["g"])
+    f2 = delta_read(spark, root2, filters=[("g", "==", "2"), ("id", ">=", 0)])
+    assert {r["g"] for r in f2.collect()} == {"2"}
+    assert f2.count() == 1000
+    assert len(f2.inputFiles()) < len(delta_read(spark, root2).inputFiles())
+    # isnull evidence: zero-null files prune
+    f3 = delta_read(spark, root, filters=[("v", "isnull", None)])
+    assert f3.count() == 0 and len(f3.inputFiles()) == 0

@@ -626,3 +626,33 @@ def test_iceberg_position_delete_antijoin_path(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(ir, "_POS_DELETE_MASK_MAX", 0)  # force anti-join
     via_join = {(r["id"], r["v"]) for r in iceberg_read(spark, root).collect()}
     assert via_join == want
+
+
+def test_iceberg_read_filters_prune_identity_partitions(spark, tmp_path):
+    """Scan planning: a data file's manifest partition record proves
+    misses for identity-partition filters — pruned files never
+    schedule; the row filter keeps results equal to a filtered scan,
+    and stacked position deletes still apply on the survivors."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_write,
+    )
+
+    root = str(tmp_path / "iskip")
+    df = spark.range(0, 3000).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    iceberg_write(df, root, mode="error", partition_by=["g"])
+    full_n = len(iceberg_read(spark, root).inputFiles())
+    flt = iceberg_read(spark, root, filters=[("g", "in", ["0", "2"])])
+    assert {r["g"] for r in flt.collect()} == {"0", "2"}
+    assert len(flt.inputFiles()) < full_n
+    iceberg_delete(spark, root, "g = '0' and id < 30")
+    f2 = iceberg_read(spark, root, filters=[("g", "==", "0")])
+    assert f2.count() == 1000 - 10
+    # cross-typed filter value never prunes wrongly (conservative)
+    f3 = iceberg_read(spark, root, filters=[("g", "==", 0)])
+    assert len(f3.inputFiles()) == len(iceberg_read(spark, root).inputFiles())
