@@ -233,12 +233,45 @@ def hudi_snapshot_files(
     return sorted(p for _, p in groups.values())
 
 
+def _hive_part_values(part: str) -> dict:
+    """Hive partition-path segments → {col: string value} (NULL dir
+    sentinel decodes to None)."""
+    import urllib.parse as _up
+
+    out = {}
+    for seg in (part or "").split("/"):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[_up.unquote(k)] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else _up.unquote(v)
+            )
+    return out
+
+
+def _prune_groups(groups: dict, logs: dict, filters) -> tuple[dict, dict]:
+    """Drop file groups whose Hive partition-path values PROVE a
+    filter miss — driver-side, metadata-sized (path values are strings,
+    so cross-typed filters conservatively never prune)."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _identity_part_maybe,
+    )
+
+    keep_g, keep_l = {}, {}
+    for key, v in groups.items():
+        if _identity_part_maybe(_hive_part_values(key[0]), {}, filters):
+            keep_g[key] = v
+            if key in logs:
+                keep_l[key] = logs[key]
+    return keep_g, keep_l
+
+
 def hudi_read(
     spark: SparkSession,
     path: str,
     as_of: str | None = None,
     include_meta: bool = False,
     query_type: str = "snapshot",
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Hudi table without the Hudi jar.
 
@@ -260,16 +293,30 @@ def hudi_read(
         raise ValueError(f"unknown query_type {query_type!r}")
     props = load_table_properties(spark, path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    row_filter = None
+    if filters:
+        from simple_data_workflow_spark.sources.delta_reader import (
+            _filters_expr,
+        )
+
+        row_filter = _filters_expr(filters)
     if ttype == "MERGE_ON_READ" and query_type == "snapshot":
-        return _mor_read(spark, path, as_of=as_of)
+        df = _mor_read(spark, path, as_of=as_of, filters=filters)
+        return df if row_filter is None else df.where(row_filter)
     groups, _logs, _c, _r = _resolve_groups(spark, path, as_of)
+    if filters:
+        groups, _logs = _prune_groups(groups, _logs, filters)
     files = sorted(p for _, p in groups.values())
+    if not files:
+        raise ValueError(
+            f"no live file groups in the Hudi table at {path} match"
+        )
     df = spark.read.parquet(*files)
     if not include_meta:
         meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
         if meta_cols:
             df = df.drop(*meta_cols)
-    return df
+    return df if row_filter is None else df.where(row_filter)
 
 
 def _avro_prim_for(dt) -> str:
@@ -299,6 +346,7 @@ def _mor_read(
     path: str,
     as_of: str | None = None,
     _provenance: bool = False,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Distributed merge-on-read snapshot: base slices UNION decoded
     log records, newest (instant, intra-file order) per (file group,
@@ -314,6 +362,11 @@ def _mor_read(
     from simple_data_workflow_spark.sources import hudi_log as hlog
 
     groups, logs, commits, _replaces = _resolve_groups(spark, path, as_of)
+    if filters:
+        # partition-path pruning before ANY scan: base files AND their
+        # log files of pruned groups never schedule (a group's rows all
+        # share its partition values, logs included)
+        groups, logs = _prune_groups(groups, logs, filters)
     if not groups:
         raise ValueError(f"no live file groups in the Hudi table at {path}")
     base_files = sorted(p for _, p in groups.values())

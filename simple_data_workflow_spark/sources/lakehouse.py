@@ -78,16 +78,12 @@ def read_table(
                 hudi_read,
             )
 
-            out = hudi_read(
-                spark, path, as_of=None if version is None else str(version)
+            return hudi_read(
+                spark,
+                path,
+                as_of=None if version is None else str(version),
+                filters=filters,
             )
-            if filters:
-                from simple_data_workflow_spark.sources.delta_reader import (
-                    _filters_expr,
-                )
-
-                out = out.where(_filters_expr(filters))
-            return out
         raise NotImplementedError(
             f"{fmt} requires the {_FORMATS[fmt]} jar on the Spark classpath "
             "(not present in this environment)"

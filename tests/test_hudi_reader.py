@@ -548,3 +548,50 @@ def test_hudi_clean_reaps_superseded_slices(spark, tmp_path):
     assert got == {(1, 200.0), (2, 20.0)}
     # idempotent
     assert hudi_clean(spark, root, retain_commits=1) == []
+
+
+def test_hudi_read_filters_prune_partition_groups(spark, tmp_path):
+    """Partition-path pruning: file groups whose Hive path values prove
+    a filter miss never schedule (CoW base files AND MoR log files);
+    the row filter keeps results equal to a filtered scan."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.hudi_reader import hudi_read
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_delta_upsert,
+        hudi_write,
+    )
+
+    root = str(tmp_path / "hskip")
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", float(i)) for i in range(1, 21)],
+        "id int, grp string, val double",
+    )
+    hudi_write(df, root, mode="error", record_key="id", partition_by=["grp"])
+    full = hudi_read(spark, root)
+    flt = hudi_read(spark, root, filters=[("grp", "==", "A"), ("id", "<=", 9)])
+    assert {(r["id"], r["grp"]) for r in flt.collect()} == {
+        (i, "A") for i in range(1, 10, 2)
+    }
+    assert len(flt.inputFiles()) < len(full.inputFiles())
+    # MoR: pruned groups' LOG files never schedule either
+    root2 = str(tmp_path / "hskipm")
+    hudi_write(
+        df,
+        root2,
+        mode="error",
+        record_key="id",
+        partition_by=["grp"],
+        table_type="MERGE_ON_READ",
+    )
+    src = spark.createDataFrame(
+        [(1, "A", 100.0), (2, "B", 200.0)], "id int, grp string, val double"
+    )
+    hudi_delta_upsert(spark, root2, src)
+    got = {
+        (r["id"], r["val"])
+        for r in hudi_read(
+            spark, root2, filters=[("grp", "==", "A")]
+        ).collect()
+    }
+    assert got == {(1, 100.0)} | {(i, float(i)) for i in range(3, 21, 2)}
