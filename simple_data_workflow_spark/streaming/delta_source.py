@@ -24,12 +24,12 @@ Semantics:
   a batch-backfill concern, like the tablelog source documents).
 
 Scope: column mapping ``name`` mode translates physical→logical per
-field; ``id`` mode resolves each column by matching the parquet
-footer's ``PARQUET:field_id`` against the schema's
-``delta.columnMapping.id`` (falling back to the physical name for
-files without id metadata — the same fallback Spark's fieldId read
-path applies), with nested id-mode columns refused like the batch DML
-path (top-level ids only). Partition values inject from the log's
+field; ``id`` mode renames the file's fields to their LOGICAL names by
+matching the parquet footers' ``PARQUET:field_id`` against
+``delta.columnMapping.id`` at EVERY nesting level (an Arrow schema
+cast — positional, values never move), falling back to physical names
+for files without id metadata — the same fallback Spark's fieldId
+read path applies. Partition values inject from the log's
 ``partitionValues`` as constant Arrow columns.
 
 Everything driver-side is metadata-sized (log JSON bytes); workers read
@@ -111,8 +111,9 @@ class _DeltaFilePartition(InputPartition):
     version: int
     #: logical name -> physical name (column mapping); None = identity
     cmap: dict | None = None
-    #: logical name -> parquet field id (id-mode mapping); None = off
-    idmap: dict | None = None
+    #: parquet field id -> logical name at EVERY nesting level
+    #: (id-mode mapping); None = off
+    idnames: dict | None = None
     #: partition column -> string value (None encodes NULL)
     partition_values: dict = field(default_factory=dict)
     #: deletion-vector positions to MASK OUT; None = none
@@ -138,29 +139,35 @@ class DeltaStreamReader(DataSourceStreamReader):
             if phys and phys != f.name:
                 cmap[f.name] = phys
         self._cmap = cmap or None
-        self._idmap = None
+        self._idnames = None
         if mode == "id":
             from pyspark.sql import types as T
 
-            idmap = {}
-            for f in table_schema.fields:
-                if isinstance(
-                    f.dataType, (T.StructType, T.ArrayType, T.MapType)
-                ):
-                    raise NotImplementedError(
-                        "deltalog streaming on an id-mapped table with "
-                        f"nested column {f.name!r}: nested field-id "
-                        "resolution is top-level only (same scope as the "
-                        "batch DML path)"
-                    )
-                fid = (f.metadata or {}).get(_ID_KEY)
-                if fid is None:
-                    raise ValueError(
-                        f"column mapping mode 'id' but column {f.name!r} "
-                        "carries no delta.columnMapping.id"
-                    )
-                idmap[f.name] = int(fid)
-            self._idmap = idmap
+            # id → LOGICAL name at EVERY nesting level (Delta mapping
+            # ids are table-globally unique): the worker renames the
+            # file's fields by footer id, then resolves by logical name
+            idnames: dict[int, str] = {}
+
+            def walk(dt, where):
+                if isinstance(dt, T.StructType):
+                    for f in dt.fields:
+                        fid = (f.metadata or {}).get(_ID_KEY)
+                        if fid is None:
+                            raise ValueError(
+                                "column mapping mode 'id' but field "
+                                f"{where}{f.name!r} carries no "
+                                "delta.columnMapping.id"
+                            )
+                        idnames[int(fid)] = f.name
+                        walk(f.dataType, f"{where}{f.name}.")
+                elif isinstance(dt, T.ArrayType):
+                    walk(dt.elementType, where)
+                elif isinstance(dt, T.MapType):
+                    walk(dt.keyType, where)
+                    walk(dt.valueType, where)
+
+            walk(table_schema, "")
+            self._idnames = idnames
         # physical partitionValues key per logical partition column
         self._part_phys = {
             c: (cmap or {}).get(c, c) for c in self._part_cols
@@ -263,7 +270,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                         _local_root(full),
                         v,
                         cmap=self._cmap,
-                        idmap=self._idmap,
+                        idnames=self._idnames,
                         partition_values=pv,
                         dv_positions=dv_pos,
                     )
@@ -277,22 +284,58 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.file_path)
-        # id-mode resolution: parquet footer field ids → column name
-        # (files without id metadata fall back to physical names, the
-        # same fallback Spark's fieldId read path applies)
-        by_id = {}
-        if partition.idmap:
-            for pf in tbl.schema:
-                fid = (pf.metadata or {}).get(b"PARQUET:field_id")
-                if fid is not None:
-                    by_id[int(fid)] = pf.name
+        # id-mode resolution at EVERY nesting level: the file's fields
+        # RENAME to their logical names by footer field id (a schema
+        # cast — positional, so values never move), then columns
+        # resolve by logical name. Files without id metadata fall back
+        # to physical names, the same fallback Spark's fieldId path
+        # applies.
+        renamed = False
+        if partition.idnames:
+            idn = partition.idnames
+
+            def fid_of(f):
+                v = (f.metadata or {}).get(b"PARQUET:field_id")
+                return int(v) if v is not None else None
+
+            def fix(arr, field):
+                """(array, field) renamed to logical names by footer
+                field id — STRUCT fields rebuild recursively (Arrow
+                casts refuse name changes, so arrays reconstruct with
+                the same children under new field names)."""
+                t = field.type
+                fid = fid_of(field)
+                name = idn.get(fid, field.name) if fid is not None else field.name
+                if pa.types.is_struct(t):
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                    children, fields_ = [], []
+                    for i in range(t.num_fields):
+                        ca, cf = fix(arr.field(i), t.field(i))
+                        children.append(ca)
+                        fields_.append(cf)
+                    mask = arr.is_null() if arr.null_count else None
+                    arr = pa.StructArray.from_arrays(
+                        children, fields=fields_, mask=mask
+                    )
+                    return arr, pa.field(name, arr.type, field.nullable)
+                return arr, pa.field(name, t, field.nullable)
+
+            if any(fid_of(f) is not None for f in tbl.schema):
+                cols_, flds_ = [], []
+                for i, f in enumerate(tbl.schema):
+                    a, nf = fix(tbl.column(i), f)
+                    cols_.append(a)
+                    flds_.append(nf)
+                tbl = pa.Table.from_arrays(cols_, schema=pa.schema(flds_))
+                renamed = True
         cols = []
         for f in self._arrow_schema:
-            src = None
-            if partition.idmap:
-                src = by_id.get(partition.idmap.get(f.name))
-            if src is None:
-                src = (partition.cmap or {}).get(f.name, f.name)
+            src = (
+                f.name
+                if renamed
+                else (partition.cmap or {}).get(f.name, f.name)
+            )
             if src in tbl.column_names:
                 cols.append(tbl.column(src).cast(f.type))
             else:

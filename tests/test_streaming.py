@@ -1547,3 +1547,89 @@ def test_iceberg_log_stream_skips_replace_snapshots(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["id"], r["v"]) for r in spark.read.parquet(str(tmp_path / "out2")).collect()}
     assert got == {(9, 9.0)}
+
+
+def test_delta_log_stream_id_mode_nested(spark, tmp_path):
+    """id-mode streaming with a NESTED struct column: the worker
+    renames the file's fields to logical names by footer field id at
+    every nesting level, so nested values resolve even when physical
+    names are arbitrary."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from simple_data_workflow_spark.streaming.delta_source import (
+        DeltaLogStreamDataSource,
+    )
+
+    t = str(tmp_path / "idnstream")
+
+    def one_file(df, dest):
+        tmp = dest + ".__tmp__"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        _shutil.move(part, dest)
+        _shutil.rmtree(tmp)
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    nested_t = T.StructType(
+        [T.StructField("p-3", T.DoubleType(), True, {"parquet.field.id": 3})]
+    )
+    one_file(
+        spark.createDataFrame(
+            [(1, (1.5,)), (2, (2.5,))], "a long, b struct<x: double>"
+        ).select(
+            F.col("a").cast("long").alias("p-1", metadata={"parquet.field.id": 1}),
+            F.col("b").cast(nested_t).alias("p-2", metadata={"parquet.field.id": 2}),
+        ),
+        f"{t}/a.parquet",
+    )
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "p-1"}},
+        {"name": "payload",
+         "type": {"type": "struct", "fields": [
+             {"name": "score", "type": "double", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "p-3"}}]},
+         "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "p-2"}},
+    ]
+    _os.makedirs(f"{t}/_delta_log", exist_ok=True)
+    with open(f"{t}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(_json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "idnstream",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 1,
+        }}) + "\n")
+        f.write(_json.dumps({"add": {"path": "a.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}}) + "\n")
+
+    spark.dataSource.register(DeltaLogStreamDataSource)
+    out_dir = str(tmp_path / "idnout")
+    q = (
+        spark.readStream.format("deltalog")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "idnckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["payload"]["score"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(1, 1.5), (2, 2.5)}
