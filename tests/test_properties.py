@@ -245,3 +245,91 @@ def test_fuzzy_pairs_equals_bruteforce_property(spark, strings):
         .collect()
     }
     assert got == brute
+
+
+# --- filtered interop reads: pruning must NEVER drop matching rows ----
+
+_SKIP_TABLES = {}
+
+
+def _skip_fixture(spark, tmp_base):
+    """Two small Delta tables built once per session: range-clustered
+    (min/max stats evidence) and partitioned incl. a NULL partition
+    value (partitionValues evidence)."""
+    if _SKIP_TABLES:
+        return _SKIP_TABLES
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_writer import delta_write
+
+    df = spark.range(0, 200).select(
+        F.col("id").cast("long"),
+        F.when(F.col("id") % 17 == 0, None)
+        .otherwise((F.col("id") % 5).cast("string"))
+        .alias("g"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.col("id") * 1.5)
+        .alias("v"),
+    )
+    p1 = f"{tmp_base}/skiprc"
+    delta_write(df.repartitionByRange(6, "id"), p1, mode="error")
+    p2 = f"{tmp_base}/skippart"
+    delta_write(df, p2, mode="error", partition_by=["g"])
+    _SKIP_TABLES["plain"] = p1
+    _SKIP_TABLES["part"] = p2
+    return _SKIP_TABLES
+
+
+_ops = st.sampled_from(["==", "!=", "<", "<=", ">", ">=", "in", "isnull", "notnull"])
+_cols = st.sampled_from(["id", "g", "v"])
+_vals = st.one_of(
+    st.integers(min_value=-5, max_value=210),
+    st.sampled_from(["0", "1", "2", "3", "4", "zz", ""]),
+    st.floats(min_value=-10, max_value=320, allow_nan=False),
+)
+
+
+@st.composite
+def _filter_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=3))
+    out = []
+    for _ in range(n):
+        col, op = draw(_cols), draw(_ops)
+        if op == "in":
+            out.append((col, op, tuple(draw(st.lists(_vals, min_size=1, max_size=3)))))
+        elif op in ("isnull", "notnull"):
+            out.append((col, op, None))
+        else:
+            out.append((col, op, draw(_vals)))
+    return out
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_filter_lists())
+def test_delta_filtered_read_equals_filtered_full_scan(
+    spark, tmp_path_factory, filters
+):
+    """PROPERTY: for ANY filter list, the skipping read returns exactly
+    the rows a row-filter over the FULL scan returns — i.e. file
+    pruning never drops a matching row and the row filter never leaks
+    one. Exercises stats evidence, partition-value evidence (typed +
+    NULL partitions), and null/NaN edge cases."""
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _filters_expr,
+        delta_read,
+    )
+
+    tables = _skip_fixture(
+        spark, str(tmp_path_factory.mktemp("skipprops"))
+    )
+    for path in tables.values():
+        want = {
+            tuple(r)
+            for r in delta_read(spark, path)
+            .where(_filters_expr(filters))
+            .collect()
+        }
+        got = {
+            tuple(r) for r in delta_read(spark, path, filters=filters).collect()
+        }
+        assert got == want, (filters, path)
