@@ -2364,6 +2364,66 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: Iceberg WRITE-AUDIT-PUBLISH
+    (``iceberg_write(stage_only=True)`` + ``iceberg_cherry_pick``):
+    a staged append commits into the log WITHOUT moving
+    current-snapshot-id; the audit reads it via snapshot-id time
+    travel (in-query assert: the staged rows are invisible to plain
+    reads until publish); cherry-pick publishes metadata-only. A
+    second BAD batch stays staged forever (never published) — the
+    oracle sees base + the one published batch only."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_cherry_pick,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-iwap-") + "/orders_wap"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    iceberg_write(orders.where("o_orderkey % 3 != 0"), path, mode="error")
+    good = iceberg_write(
+        orders.where("o_orderkey % 3 = 0"), path, mode="append",
+        stage_only=True,
+    )
+    # audit: staged rows invisible until publish
+    n_before = lakehouse.read_table(spark, "iceberg", path).count()
+    iceberg_cherry_pick(spark, path, good)
+    # a bad batch stages and is never published
+    iceberg_write(
+        orders.withColumn("o_totalprice", F.col("o_totalprice") * -1),
+        path,
+        mode="append",
+        stage_only=True,
+    )
+    got = lakehouse.read_table(spark, "iceberg", path)
+    assert n_before < got.count(), "staged rows leaked before publish"
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_WAP_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 11 continuation: DRIVER-SIDE DATA SKIPPING on the jar-free
     Delta reader (``delta_read(filters=...)``): the log's per-add
@@ -6114,6 +6174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_rollback_roundtrip": _wrap(iceberg_rollback_roundtrip),
         "delta_skipping_scan": _wrap(delta_skipping_scan),
         "iceberg_pruned_scan": _wrap(iceberg_pruned_scan),
+        "iceberg_wap_publish": _wrap(iceberg_wap_publish),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -6237,6 +6298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_rollback_roundtrip",
         "delta_skipping_scan",
         "iceberg_pruned_scan",
+        "iceberg_wap_publish",
         "iceberg_eq_delete_read",
         "delta_optimize_roundtrip",
         "hudi_compact_read",
@@ -6282,7 +6344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue",
         "q22_dormant_customers",
         "q3_top_orders",
-        "q5_region_revenue",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -6354,6 +6415,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_rollback_roundtrip": ICEBERG_ROLLBACK_SQL,
         "delta_skipping_scan": DELTA_SKIPPING_SQL,
         "iceberg_pruned_scan": ICEBERG_PRUNED_SQL,
+        "iceberg_wap_publish": ICEBERG_WAP_SQL,
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "hudi_mor_read": HUDI_MOR_SQL,
         "delta_stream_read": DELTA_STREAM_SQL,

@@ -415,6 +415,7 @@ QUERIES = {
     "iceberg_rollback_roundtrip": entrymod.iceberg_rollback_roundtrip,
     "delta_skipping_scan": entrymod.delta_skipping_scan,
     "iceberg_pruned_scan": entrymod.iceberg_pruned_scan,
+    "iceberg_wap_publish": entrymod.iceberg_wap_publish,
     "bm25_scores_docs": entrymod.bm25_scores_docs,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,

@@ -651,6 +651,7 @@ def iceberg_write(
     mode: str = "error",
     partition_by: list[str] | None = None,
     format_version: int = 2,
+    stage_only: bool = False,
     _retries: int = 5,
 ) -> int:
     """Write ``df`` as a spec-conformant Iceberg table without the
@@ -665,6 +666,11 @@ def iceberg_write(
     snapshot-id time travel). Appends that lose the metadata-version
     race re-resolve and retry; overwrites raise
     ``IcebergConcurrentWrite``.
+
+    ``stage_only=True`` is write-audit-publish: the snapshot commits
+    into the log but ``current-snapshot-id`` does not move — audit it
+    via snapshot-id time travel, then ``iceberg_cherry_pick`` publishes
+    it (or ``iceberg_expire_snapshots`` eventually collects it).
     """
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
@@ -885,7 +891,15 @@ def iceberg_write(
                 [p["field_id"] for p in spec_fields], default=999
             ),
             "properties": {},
-            "current-snapshot-id": snapshot_id,
+            # stage_only = write-audit-publish: the snapshot lands in
+            # the log (readable via snapshot-id time travel — the
+            # AUDIT) but current does not move until iceberg_cherry_pick
+            # PUBLISHES it
+            "current-snapshot-id": (
+                (cur_meta or {}).get("current-snapshot-id", -1)
+                if stage_only
+                else snapshot_id
+            ),
             "snapshots": prev_snaps + [snapshot],
         }
         if fv >= 2:
@@ -1985,4 +1999,70 @@ def iceberg_rollback(
             return int(snapshot_id)
     raise IcebergConcurrentWrite(
         f"rollback on {path} lost the metadata race {_retries} times"
+    )
+
+
+def iceberg_snapshot_at_timestamp(
+    spark: SparkSession, path: str, ts_ms: int
+) -> int:
+    """Resolve ``as-of-timestamp`` time travel to a snapshot id: the
+    LATEST snapshot whose ``timestamp-ms`` is <= ``ts_ms`` (Iceberg's
+    own rule). Raises if the table has no snapshot at or before the
+    asked instant. Metadata-only."""
+    meta = load_table_metadata(spark, path)
+    best = None
+    for s in meta.get("snapshots") or []:
+        t = int(s.get("timestamp-ms") or 0)
+        if t <= ts_ms and (best is None or t >= best[0]):
+            best = (t, int(s["snapshot-id"]))
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before timestamp {ts_ms} in {path}"
+        )
+    return best[1]
+
+
+def iceberg_cherry_pick(
+    spark: SparkSession, path: str, snapshot_id: int, _retries: int = 5
+) -> int:
+    """Publish a STAGED (write-audit-publish) snapshot: make
+    ``snapshot_id`` — committed earlier with ``iceberg_write(...,
+    stage_only=True)`` — the table's current snapshot, metadata-only
+    (Iceberg's ``cherrypick_snapshot`` for WAP-staged appends). The
+    audit step reads the staged snapshot via snapshot-id time travel
+    before publishing. Refuses to cherry-pick a snapshot whose parent
+    is not the CURRENT snapshot (a fast-forward publish would silently
+    drop the intervening commits)."""
+    import re as _re
+
+    jvm, fs = _jfs(spark, path)
+    for attempt in range(_retries):
+        meta = load_table_metadata(spark, path)
+        snaps = meta.get("snapshots") or []
+        snap = next(
+            (s for s in snaps if int(s["snapshot-id"]) == int(snapshot_id)),
+            None,
+        )
+        if snap is None:
+            raise ValueError(f"snapshot {snapshot_id} not in table")
+        if snap.get("parent-snapshot-id") != meta.get("current-snapshot-id"):
+            raise ValueError(
+                f"snapshot {snapshot_id} does not parent off the current "
+                "snapshot — the table moved since it was staged; re-stage "
+                "against the new current state"
+            )
+        meta_out = dict(meta)
+        meta_out["current-snapshot-id"] = int(snapshot_id)
+        meta_out["last-updated-ms"] = int(time.time() * 1000)
+        version = 1
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")):
+            m = _re.match(r"v(\d+)\.metadata\.json", st.getPath().getName())
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        if _publish_metadata_if_absent(
+            spark, path, version, json.dumps(meta_out, indent=2)
+        ):
+            return int(snapshot_id)
+    raise IcebergConcurrentWrite(
+        f"cherry-pick on {path} lost the metadata race {_retries} times"
     )

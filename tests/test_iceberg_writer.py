@@ -877,3 +877,66 @@ def test_iceberg_rollback_metadata_only(spark, tmp_path):
     assert snap4["sequence-number"] == pre_seq + 1
     with pytest.raises(ValueError, match="not in table"):
         iceberg_rollback(spark, root, 12345)
+
+
+def test_iceberg_wap_stage_and_cherry_pick(spark, tmp_path):
+    """Write-audit-publish: a stage_only append lands in the log but
+    current does not move; the staged snapshot audits via snapshot-id
+    time travel; cherry-pick publishes it metadata-only; a staged
+    snapshot whose parent is no longer current refuses (fast-forward
+    would drop commits)."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_cherry_pick,
+        iceberg_snapshot_at_timestamp,
+    )
+
+    root = str(tmp_path / "wap")
+    s0 = iceberg_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double"),
+        root,
+        mode="error",
+    )
+    staged = iceberg_write(
+        spark.createDataFrame([(9, 9.0)], "id int, v double"),
+        root,
+        mode="append",
+        stage_only=True,
+    )
+    # current unchanged; the staged snapshot audits via time travel
+    assert load_table_metadata(spark, root)["current-snapshot-id"] == s0
+    assert {r["id"] for r in iceberg_read(spark, root).collect()} == {1, 2}
+    assert {r["id"] for r in iceberg_read(spark, root, staged).collect()} == {
+        1,
+        2,
+        9,
+    }
+    # publish
+    assert iceberg_cherry_pick(spark, root, staged) == staged
+    assert {r["id"] for r in iceberg_read(spark, root).collect()} == {1, 2, 9}
+    # a second staged snapshot parented off s0 can no longer publish
+    # (current moved) — refuse rather than silently drop the 9-row
+    meta = load_table_metadata(spark, root)
+    stale = iceberg_write(
+        spark.createDataFrame([(7, 7.0)], "id int, v double"),
+        root,
+        mode="append",
+        stage_only=True,
+    )
+    # move current again via a plain append
+    iceberg_write(
+        spark.createDataFrame([(8, 8.0)], "id int, v double"),
+        root,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="parent"):
+        iceberg_cherry_pick(spark, root, stale)
+    # timestamp time travel resolves the newest snapshot <= ts
+    cur = load_table_metadata(spark, root)
+    last = max(int(s["timestamp-ms"]) for s in cur["snapshots"])
+    sid = iceberg_snapshot_at_timestamp(spark, root, last)
+    assert sid == cur["current-snapshot-id"]
+    with pytest.raises(ValueError, match="no snapshot"):
+        iceberg_snapshot_at_timestamp(spark, root, 1)
