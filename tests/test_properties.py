@@ -282,11 +282,14 @@ def _skip_fixture(spark, tmp_base):
 
 _ops = st.sampled_from(["==", "!=", "<", "<=", ">", ">=", "in", "isnull", "notnull"])
 _cols = st.sampled_from(["id", "g", "v"])
-_vals = st.one_of(
-    st.integers(min_value=-5, max_value=210),
-    st.sampled_from(["0", "1", "2", "3", "4", "zz", ""]),
-    st.floats(min_value=-10, max_value=320, allow_nan=False),
-)
+# values type-consistent with their column (cross-typed filters raise
+# under ANSI casts in the REFERENCE scan too; the evaluators'
+# cross-type conservatism has its own dedicated unit pins)
+_vals_by_col = {
+    "id": st.integers(min_value=-5, max_value=210),
+    "g": st.sampled_from(["0", "1", "2", "3", "4", "zz", ""]),
+    "v": st.floats(min_value=-10, max_value=320, allow_nan=False),
+}
 
 
 @st.composite
@@ -295,12 +298,13 @@ def _filter_lists(draw):
     out = []
     for _ in range(n):
         col, op = draw(_cols), draw(_ops)
+        vals = _vals_by_col[col]
         if op == "in":
-            out.append((col, op, tuple(draw(st.lists(_vals, min_size=1, max_size=3)))))
+            out.append((col, op, tuple(draw(st.lists(vals, min_size=1, max_size=3)))))
         elif op in ("isnull", "notnull"):
             out.append((col, op, None))
         else:
-            out.append((col, op, draw(_vals)))
+            out.append((col, op, draw(vals)))
     return out
 
 
@@ -333,3 +337,40 @@ def test_delta_filtered_read_equals_filtered_full_scan(
             tuple(r) for r in delta_read(spark, path, filters=filters).collect()
         }
         assert got == want, (filters, path)
+
+
+_ICE_TABLES = {}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_filter_lists())
+def test_iceberg_filtered_read_equals_filtered_full_scan(
+    spark, tmp_path_factory, filters
+):
+    """Same property for the Iceberg reader: identity-partition
+    pruning (incl. a NULL partition) must never change the result of a
+    filtered scan."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_reader import _filters_expr
+    from simple_data_workflow_spark.sources.iceberg_reader import iceberg_read
+    from simple_data_workflow_spark.sources.iceberg_writer import iceberg_write
+
+    if "p" not in _ICE_TABLES:
+        df = spark.range(0, 150).select(
+            F.col("id").cast("long"),
+            F.when(F.col("id") % 11 == 0, None)
+            .otherwise((F.col("id") % 4).cast("string"))
+            .alias("g"),
+            (F.col("id") * 0.5).alias("v"),
+        )
+        p = str(tmp_path_factory.mktemp("iceprops")) + "/t"
+        iceberg_write(df, p, mode="error", partition_by=["g"])
+        _ICE_TABLES["p"] = p
+    p = _ICE_TABLES["p"]
+    want = {
+        tuple(r)
+        for r in iceberg_read(spark, p).where(_filters_expr(filters)).collect()
+    }
+    got = {tuple(r) for r in iceberg_read(spark, p, filters=filters).collect()}
+    assert got == want, filters
