@@ -39,6 +39,7 @@ def read_table(
     path: str,
     version: int | None = None,
     filters: list[tuple] | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read a lakehouse table. When the runtime jar is absent, Delta
     falls back to the pure-Python log reader (``sources.delta_reader``)
@@ -55,6 +56,33 @@ def read_table(
     instant-time string for time travel)."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        # resolve timestamp → the format's own time-travel handle, per
+        # each format's rule (latest commit/snapshot/instant <= ts)
+        if fmt == "delta":
+            from simple_data_workflow_spark.sources.delta_reader import (
+                delta_version_at_timestamp,
+            )
+
+            version = delta_version_at_timestamp(spark, path, timestamp_ms)
+        elif fmt == "iceberg":
+            from simple_data_workflow_spark.sources.iceberg_writer import (
+                iceberg_snapshot_at_timestamp,
+            )
+
+            version = iceberg_snapshot_at_timestamp(
+                spark, path, timestamp_ms
+            )
+        elif fmt == "hudi":
+            # Hudi instants are UTC 'yyyyMMddHHmmssSSS' strings — the
+            # lexicographic <= against this spelling IS the time filter
+            import datetime as _dt
+
+            version = _dt.datetime.fromtimestamp(
+                timestamp_ms / 1000.0, _dt.timezone.utc
+            ).strftime("%Y%m%d%H%M%S") + f"{timestamp_ms % 1000:03d}"
     if not _available(spark, fmt):
         if fmt == "delta":
             from simple_data_workflow_spark.sources.delta_reader import (

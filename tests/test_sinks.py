@@ -317,3 +317,46 @@ def test_lakehouse_write_gate(spark, tmp_path):
     for fmt in ("delta", "iceberg", "hudi"):
         write_table(df, fmt, str(tmp_path / fmt))
         assert read_table(spark, fmt, str(tmp_path / fmt)).count() == 3
+
+
+def test_lakehouse_timestamp_time_travel_all_formats(spark, tmp_path):
+    """read_table(timestamp_ms=...) resolves each format's own rule:
+    Delta → latest commit <= ts, Iceberg → latest snapshot <= ts,
+    Hudi → the instant-string spelling of the timestamp."""
+    import time as _time
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import delta_write
+    from simple_data_workflow_spark.sources.hudi_writer import hudi_write
+    from simple_data_workflow_spark.sources.iceberg_writer import iceberg_write
+
+    d1 = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    d2 = spark.createDataFrame([(2, 2.0)], "id int, v double")
+
+    for fmt, write in (
+        ("delta", lambda df, p, m: delta_write(df, p, mode=m)),
+        ("iceberg", lambda df, p, m: iceberg_write(df, p, mode=m)),
+        (
+            "hudi",
+            lambda df, p, m: hudi_write(df, p, mode=m, record_key="id"),
+        ),
+    ):
+        p = str(tmp_path / f"tt-{fmt}")
+        write(d1, p, "error")
+        _time.sleep(1.1)  # commit timestamps must separate
+        mid_ms = int(_time.time() * 1000)
+        _time.sleep(1.1)
+        write(d2, p, "append")
+        old = lakehouse.read_table(spark, fmt, p, timestamp_ms=mid_ms)
+        assert {r["id"] for r in old.collect()} == {1}, fmt
+        now = lakehouse.read_table(
+            spark, fmt, p, timestamp_ms=int(_time.time() * 1000)
+        )
+        assert {r["id"] for r in now.collect()} == {1, 2}, fmt
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        lakehouse.read_table(
+            spark, "delta", str(tmp_path / "tt-delta"), version=0,
+            timestamp_ms=1,
+        )
