@@ -1845,7 +1845,7 @@ def delta_restore(
     if meta_tgt is None:
         raise ValueError(f"no metaData at or before version {version}")
     jvm, fs = _fs(spark, path)
-    for rel in adds_tgt:
+    for rel, a in adds_tgt.items():
         dec = urllib.parse.unquote(rel)
         full = dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(full)):
@@ -1853,6 +1853,24 @@ def delta_restore(
                 f"cannot RESTORE to version {version}: data file {rel} "
                 "was removed (vacuumed) from the table directory"
             )
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            # the re-referenced DELETION VECTOR sidecar must survive
+            # too, or the restored file would resurrect deleted rows
+            from simple_data_workflow_spark.sources.delta_dv import (
+                dv_uuid_path,
+            )
+
+            sc = (
+                dv["pathOrInlineDv"]
+                if dv["storageType"] == "p"
+                else dv_uuid_path(path, dv["pathOrInlineDv"])
+            )
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(sc)):
+                raise FileNotFoundError(
+                    f"cannot RESTORE to version {version}: the deletion-"
+                    f"vector sidecar for {rel} was removed (vacuumed)"
+                )
     for attempt in range(_retries):
         adds_now, meta_now, _p, cur_v, _t = _replay_full(spark, path)
         if version > cur_v:

@@ -2045,6 +2045,8 @@ def iceberg_cherry_pick(
         )
         if snap is None:
             raise ValueError(f"snapshot {snapshot_id} not in table")
+        if meta.get("current-snapshot-id") == int(snapshot_id):
+            return int(snapshot_id)  # already published: no-op
         if snap.get("parent-snapshot-id") != meta.get("current-snapshot-id"):
             raise ValueError(
                 f"snapshot {snapshot_id} does not parent off the current "
