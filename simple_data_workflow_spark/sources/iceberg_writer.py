@@ -1153,7 +1153,12 @@ def _publish_dml_snapshot(
     edit). ``replace_all`` drops the current manifests instead
     (rewrite-data-files/compaction: the staged adds ARE the table). A
     lost metadata race re-resolves and retries: the staged files still
-    name valid targets because prior data files are immutable."""
+    name valid targets because prior data files are immutable —
+    positionally sound, with LAST-WRITER-WINS semantics when two
+    concurrent edits touch the same rows (the Delta CoW path instead
+    recomputes its whole edit per attempt; Iceberg runtimes fail such
+    conflicts under serializable isolation — callers needing that
+    should check the snapshot id before/after)."""
     import re as _re
 
     jvm, fs = _jfs(spark, path)

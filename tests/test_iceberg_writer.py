@@ -940,3 +940,48 @@ def test_iceberg_wap_stage_and_cherry_pick(spark, tmp_path):
     assert sid == cur["current-snapshot-id"]
     with pytest.raises(ValueError, match="no snapshot"):
         iceberg_snapshot_at_timestamp(spark, root, 1)
+
+
+def test_iceberg_dml_lost_race_retries_against_new_state(spark, tmp_path):
+    """A row-level DML that loses the metadata-version race must
+    re-resolve and republish on top of the interloper's commit — both
+    edits survive."""
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_update,
+        _publish_metadata_if_absent,
+    )
+    import simple_data_workflow_spark.sources.iceberg_writer as iw
+
+    root = str(tmp_path / "irace")
+    iceberg_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id int, val double"
+        ),
+        root,
+        mode="error",
+    )
+
+    raced = {"done": False}
+    orig = iw._publish_metadata_if_absent
+
+    def interfere(spark_, path_, version_, body_):
+        if not raced["done"]:
+            raced["done"] = True
+            # an interloper DELETE lands first at this version
+            iw._publish_metadata_if_absent = orig
+            try:
+                iceberg_delete(spark_, path_, "id = 9")
+            finally:
+                iw._publish_metadata_if_absent = interfere
+        return orig(spark_, path_, version_, body_)
+
+    iw._publish_metadata_if_absent = interfere
+    try:
+        iceberg_update(spark, root, {"val": "val + 100"}, "id <= 1")
+    finally:
+        iw._publish_metadata_if_absent = orig
+    got = {r["id"]: r["val"] for r in iceberg_read(spark, root).collect()}
+    # the interloper's delete AND the racing update both survive
+    assert 9 not in got
+    assert got[0] == 100.0 and got[1] == 101.0 and got[5] == 5.0
