@@ -1593,6 +1593,7 @@ def delta_optimize(
     spark: SparkSession,
     path: str,
     small_file_bytes: int = 64 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
     _retries: int = 5,
 ) -> int | None:
     """Compact small files: per partition-value group, files under
@@ -1602,7 +1603,13 @@ def delta_optimize(
     behavior on DV tables). Published as remove+add with
     ``dataChange=false`` so streaming tailers skip it as the byte-level
     no-op it is. Returns the committed version, or None when nothing
-    needed compacting. Untouched files stay byte-identical."""
+    needed compacting. Untouched files stay byte-identical.
+
+    ``zorder_by=[col, ...]`` is OPTIMIZE ZORDER: EVERY file in every
+    partition group rewrites, clustered on a Morton curve over the
+    given 2-4 columns (``sinks.morton_code_column`` — pure codegen,
+    one range shuffle), so min/max stats stay tight on ALL clustered
+    columns and ``delta_read(filters=...)`` prunes on any of them."""
     from pyspark.sql import functions as F
 
     from simple_data_workflow_spark.sources.delta_reader import (
@@ -1637,16 +1644,26 @@ def delta_optimize(
             key = tuple(sorted((k, v) for k, v in (pv or {}).items()))
             groups.setdefault(key, []).append(f)
         compact: list[str] = []
-        for key, flist in groups.items():
-            small = [
-                f
-                for f in flist
-                # a DV'd file is worth rewriting at any size (the mask
-                # disappears and the scan returns to pure codegen)
-                if sizes.get(f, 0) < small_file_bytes or f in dvs
-            ]
-            if len(small) >= 2 or any(f in dvs for f in small):
-                compact.extend(small)
+        if zorder_by:
+            bad = [c for c in zorder_by if c in part_cols]
+            if bad:
+                raise ValueError(
+                    f"zorder_by columns {bad} are partition columns — "
+                    "they are constant within a file already"
+                )
+            # ZORDER re-clusters EVERYTHING (that is the point)
+            compact = [f for flist in groups.values() for f in flist]
+        else:
+            for key, flist in groups.items():
+                small = [
+                    f
+                    for f in flist
+                    # a DV'd file is worth rewriting at any size (the mask
+                    # disappears and the scan returns to pure codegen)
+                    if sizes.get(f, 0) < small_file_bytes or f in dvs
+                ]
+                if len(small) >= 2 or any(f in dvs for f in small):
+                    compact.extend(small)
         if not compact:
             return None
         dv_positions = {}
@@ -1681,7 +1698,22 @@ def delta_optimize(
                 data_schema,
                 sorted(victims),
                 {f: p for f, p in dv_positions.items() if f in victims},
-            ).coalesce(1)
+            )
+            if zorder_by:
+                from simple_data_workflow_spark.sources.sinks import (
+                    morton_code_column,
+                )
+
+                df = (
+                    df.withColumn(
+                        "__z", morton_code_column(df, zorder_by)
+                    )
+                    .repartitionByRange("__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                df = df.coalesce(1)
             for c, v in key:
                 lit = (
                     F.lit(None)
@@ -1700,7 +1732,8 @@ def delta_optimize(
                         "timestamp": now,
                         "operation": "OPTIMIZE",
                         "operationParameters": {
-                            "targetSize": small_file_bytes
+                            "targetSize": small_file_bytes,
+                            "zOrderBy": json.dumps(list(zorder_by or [])),
                         },
                         "engineInfo": "simple-data-workflow-spark delta_writer",
                     }

@@ -99,6 +99,47 @@ def write_sorted_parquet(
     parted.sortWithinPartitions(*order_cols).write.mode(mode).parquet(path)
 
 
+def morton_code_column(df: DataFrame, cols: Sequence[str], bits: int = 16):
+    """The bit-interleaved Morton code over 2-4 numeric/temporal
+    columns as ONE codegen Column (shift/and/or chain — no UDF). Each
+    column normalizes to a ``bits``-bit rank over its [min, max]
+    (bounds from one 1-row aggregate); NULLs rank as the range minimum.
+    Shared by :func:`write_zorder_parquet` and Delta OPTIMIZE ZORDER."""
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("z-ordering needs 2-4 columns")
+    n = len(cols)
+    top = (1 << bits) - 1
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        if mn is None or mx is None:
+            continue  # all-null column contributes no bits
+        span = (mx - mn) or 1.0
+        rank = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+                    / F.lit(span)
+                    * F.lit(float(top))
+                ),
+            ),
+        ).cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return z
+
+
 def write_zorder_parquet(
     df: DataFrame,
     path: str,
@@ -133,35 +174,7 @@ def write_zorder_parquet(
     """
     from pyspark.sql import functions as F
 
-    cols = list(cols)
-    if not 2 <= len(cols) <= 4:
-        raise ValueError("z-ordering needs 2-4 columns")
-    n = len(cols)
-    top = (1 << bits) - 1
-    bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
-    ).first()
-    z = F.lit(0).cast("long")
-    for i, c in enumerate(cols):
-        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
-        span = (mx - mn) or 1.0
-        rank = F.least(
-            F.lit(top),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
-                    / F.lit(span)
-                    * F.lit(float(top))
-                ),
-            ),
-        ).cast("long")
-        for b in range(bits):
-            z = z.bitwiseOR(
-                F.shiftleft(F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * n + i)
-            )
-    tagged = df.withColumn("__z", z)
+    tagged = df.withColumn("__z", morton_code_column(df, cols, bits))
     parted = (
         tagged.repartitionByRange(num_files, "__z")
         if num_files

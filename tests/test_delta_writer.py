@@ -1108,3 +1108,51 @@ def test_dml_on_id_mapped_table_with_nested_struct(spark, tmp_path):
     nested = sch.field("p-2").type.field(0)
     assert nested.name == "p-3"
     assert int(nested.metadata[b"PARQUET:field_id"]) == 3
+
+
+def test_delta_optimize_zorder(spark, tmp_path):
+    """OPTIMIZE ZORDER: every file rewrites clustered on the Morton
+    curve over 2 columns, data identical, commit is dataChange=false,
+    and the re-clustered files give filters=... evidence on BOTH
+    z-ordered columns (tight min/max per file)."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_optimize,
+        delta_write,
+    )
+
+    root = str(tmp_path / "zord")
+    df = spark.range(0, 4000).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 64).cast("long").alias("x"),
+        ((F.col("id") * 7) % 64).cast("long").alias("y"),
+    )
+    # written scattered: neither x nor y clusters → no skipping evidence
+    delta_write(df.repartition(8), root, mode="error")
+    before = {tuple(r) for r in delta_read(spark, root).collect()}
+    v = delta_optimize(spark, root, zorder_by=["x", "y"])
+    assert v is not None
+    after = {tuple(r) for r in delta_read(spark, root).collect()}
+    assert after == before
+    with open(f"{root}/_delta_log/{v:020d}.json") as f:
+        txt = f.read()
+    assert '"zOrderBy": "[\\"x\\", \\"y\\"]"' in txt
+    assert '"dataChange": false' in txt
+    # after z-ordering, a point filter on EITHER column prunes files
+    full_n = len(delta_read(spark, root).inputFiles())
+    for col in ("x", "y"):
+        flt = delta_read(spark, root, filters=[(col, "==", 3)])
+        assert flt.count() == delta_read(spark, root).where(
+            f"{col} = 3"
+        ).count()
+        assert len(flt.inputFiles()) < full_n, col
+    with pytest.raises(ValueError, match="partition columns"):
+        root2 = str(tmp_path / "zp")
+        delta_write(
+            df.withColumn("g", (F.col("id") % 2).cast("string")),
+            root2,
+            mode="error",
+            partition_by=["g"],
+        )
+        delta_optimize(spark, root2, zorder_by=["g", "x"])
