@@ -1704,11 +1704,16 @@ def delta_optimize(
                     morton_code_column,
                 )
 
+                # target ~small_file_bytes output files so the curve
+                # actually SPLITS into prunable hyper-rectangles (AQE
+                # would otherwise coalesce a small group to one file)
+                gbytes = sum(sizes.get(f, 0) for f in victims)
+                n_out = max(1, -(-gbytes // small_file_bytes))
                 df = (
                     df.withColumn(
                         "__z", morton_code_column(df, zorder_by)
                     )
-                    .repartitionByRange("__z")
+                    .repartitionByRange(n_out, "__z")
                     .sortWithinPartitions("__z")
                     .drop("__z")
                 )

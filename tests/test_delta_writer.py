@@ -1131,7 +1131,8 @@ def test_delta_optimize_zorder(spark, tmp_path):
     # written scattered: neither x nor y clusters → no skipping evidence
     delta_write(df.repartition(8), root, mode="error")
     before = {tuple(r) for r in delta_read(spark, root).collect()}
-    v = delta_optimize(spark, root, zorder_by=["x", "y"])
+    # small target size → several z-ordered output files to prune over
+    v = delta_optimize(spark, root, small_file_bytes=8 * 1024, zorder_by=["x", "y"])
     assert v is not None
     after = {tuple(r) for r in delta_read(spark, root).collect()}
     assert after == before
