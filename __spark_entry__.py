@@ -2364,6 +2364,66 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 continuation: OPTIMIZE ZORDER + data skipping together
+    (``delta_optimize(zorder_by=...)`` then ``delta_read(filters=...)``):
+    orders land SCATTERED (hash repartition — no column clusters), the
+    Morton-curve rewrite re-clusters on (o_orderkey, o_totalprice), and
+    a range filter on EACH clustered column then prunes files via the
+    rewritten per-file min/max stats (asserted in-query). The z-order
+    commit is dataChange=false; values never change — the oracle is a
+    plain WHERE."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_optimize,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-zord-") + "/orders_zord"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_write(orders.repartition(8), path, mode="error")
+    delta_optimize(
+        spark,
+        path,
+        small_file_bytes=32 * 1024,  # several z-ordered outputs even at sf0.01
+        zorder_by=["o_orderkey", "o_totalprice"],
+    )
+    n_full = len(delta_read(spark, path).inputFiles())
+    # a SELECTIVE box over both clustered dims is the z-curve's home
+    # turf: it must hit strictly fewer files than the full scan
+    box = [("o_orderkey", "<", 30000), ("o_totalprice", ">", 400000.0)]
+    n_box = len(delta_read(spark, path, filters=box).inputFiles())
+    assert n_box < n_full, f"zorder gave no pruning ({n_box}/{n_full})"
+    flt = delta_read(
+        spark, path, filters=[("o_orderkey", "<", 30000)]
+    )
+    return (
+        flt.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_ZORDER_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_orderkey < 30000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 11 continuation: Iceberg WRITE-AUDIT-PUBLISH
     (``iceberg_write(stage_only=True)`` + ``iceberg_cherry_pick``):
@@ -6175,6 +6235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_skipping_scan": _wrap(delta_skipping_scan),
         "iceberg_pruned_scan": _wrap(iceberg_pruned_scan),
         "iceberg_wap_publish": _wrap(iceberg_wap_publish),
+        "delta_zorder_scan": _wrap(delta_zorder_scan),
         # relational/OLAP coverage (SURVEY.md §2.2) — local-green only
         "q1_pricing_summary": _wrap(rel.q1_pricing_summary),
         "q3_top_orders": _wrap(rel.q3_top_orders),
@@ -6299,6 +6360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_skipping_scan",
         "iceberg_pruned_scan",
         "iceberg_wap_publish",
+        "delta_zorder_scan",
         "iceberg_eq_delete_read",
         "delta_optimize_roundtrip",
         "hudi_compact_read",
@@ -6343,7 +6405,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety",
         "q17_small_quantity_revenue",
         "q22_dormant_customers",
-        "q3_top_orders",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -6416,6 +6477,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_skipping_scan": DELTA_SKIPPING_SQL,
         "iceberg_pruned_scan": ICEBERG_PRUNED_SQL,
         "iceberg_wap_publish": ICEBERG_WAP_SQL,
+        "delta_zorder_scan": DELTA_ZORDER_SQL,
         "delta_dv_write_roundtrip": DELTA_DV_WRITE_SQL,
         "hudi_mor_read": HUDI_MOR_SQL,
         "delta_stream_read": DELTA_STREAM_SQL,

@@ -416,6 +416,7 @@ QUERIES = {
     "delta_skipping_scan": entrymod.delta_skipping_scan,
     "iceberg_pruned_scan": entrymod.iceberg_pruned_scan,
     "iceberg_wap_publish": entrymod.iceberg_wap_publish,
+    "delta_zorder_scan": entrymod.delta_zorder_scan,
     "bm25_scores_docs": entrymod.bm25_scores_docs,
     "semdedup_kmeans": entrymod.semdedup_kmeans_embeddings,
     "ivf_index_topk": entrymod.ivf_index_topk,
