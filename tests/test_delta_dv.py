@@ -376,3 +376,65 @@ def test_delta_delete_auto_strategy_picks_dv_when_wide_and_sparse(
     _files2, dvs2, _s2, _p2 = delta_snapshot_files(spark, root2)
     assert not dvs2
     assert delta_read(spark, root2).count() == 15
+
+
+def test_dv_dml_executor_side_sidecars(spark, tmp_path, monkeypatch):
+    """Round 12 (VERDICT r11 #1): above ``_DV_EXEC_SIDECAR_MIN`` matched
+    rows, ``_dv_dml`` serializes and writes the roaring sidecars from
+    the EXECUTORS (one sidecar per affected file via applyInPandas) and
+    the driver collects only descriptor rows — matched positions never
+    reach the driver. Forced here by dropping the threshold; results
+    must be indistinguishable from the packed-driver path, including
+    merging with a pre-existing DV and time travel."""
+    import glob as _glob
+
+    from simple_data_workflow_spark.sources import delta_writer as dw
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_snapshot_files,
+    )
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_update,
+    )
+
+    root = str(tmp_path / "dvexec")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(400)], "id long, v double"
+        ).repartition(4),
+        root,
+        mode="error",
+    )
+    # a packed-path DV first, so the executor path must MERGE with it
+    delta_delete(spark, root, "id = 7", strategy="dv")
+    assert len(_glob.glob(f"{root}/deletion_vector_*.bin")) == 1
+
+    monkeypatch.setattr(dw, "_DV_EXEC_SIDECAR_MIN", 10)
+    delta_delete(spark, root, "id % 3 = 0", strategy="dv")  # 134 matches
+    # one NEW sidecar per affected file (4 files), not one shared
+    files, dvs, _s, _p = delta_snapshot_files(spark, root)
+    assert len(dvs) == 4
+    assert len(_glob.glob(f"{root}/deletion_vector_*.bin")) >= 1 + 4
+    paths = {d["pathOrInlineDv"] for d in dvs.values()}
+    assert len(paths) == 4  # per-file uuids, no shared sidecar
+    got = {r["id"] for r in delta_read(spark, root).collect()}
+    assert got == {i for i in range(400) if i % 3 != 0 and i != 7}
+    assert sum(d["cardinality"] for d in dvs.values()) == 134 + 1
+
+    # UPDATE through the executor path: dead rows + re-staged rows in
+    # one commit, stacked on the existing per-file DVs
+    delta_update(spark, root, {"v": "v + 1000.0"}, "id % 3 = 1", strategy="dv")
+    rows = {(r["id"], r["v"]) for r in delta_read(spark, root).collect()}
+    expect = {
+        (i, float(i) + (1000.0 if i % 3 == 1 else 0.0))
+        for i in range(400)
+        if i % 3 != 0 and i != 7
+    }
+    assert rows == expect
+    # time travel: pre-update snapshot still reads through its own DVs
+    v_now = max(
+        int(os.path.basename(p).split(".")[0])
+        for p in _glob.glob(f"{root}/_delta_log/*.json")
+    )
+    prev = {r["id"] for r in delta_read(spark, root, v_now - 1).collect()}
+    assert prev == got

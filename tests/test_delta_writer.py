@@ -1157,3 +1157,82 @@ def test_delta_optimize_zorder(spark, tmp_path):
             partition_by=["g"],
         )
         delta_optimize(spark, root2, zorder_by=["g", "x"])
+
+
+def test_predicate_prune_filters_soundness():
+    """Round 12 (VERDICT r11 #2): the DML probe's SQL→skipping-filter
+    extraction emits only conjuncts the predicate IMPLIES — OR poisons
+    everything, unparseable conjuncts drop silently, BETWEEN's inner
+    AND is not a split point, literals type through the schema."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from simple_data_workflow_spark.sources.delta_writer import (
+        _predicate_prune_filters as P,
+    )
+
+    sch = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", DoubleType()),
+            StructField("s", StringType()),
+        ]
+    )
+    assert P("id = 5", sch) == [("id", "==", 5)]
+    assert P("5 < id", sch) == [("id", ">", 5)]
+    assert P("id BETWEEN 3 AND 7 AND s IN ('a','b')", sch) == [
+        ("id", ">=", 3),
+        ("id", "<=", 7),
+        ("s", "in", ["a", "b"]),
+    ]
+    # OR at the top level: NOTHING is implied
+    assert P("id = 5 OR v > 2", sch) == []
+    # ...but an OR inside a paren conjunct only poisons itself
+    assert P("(id = 5 OR v > 2) AND s = 'a'", sch) == [("s", "==", "a")]
+    # unparseable conjuncts (arithmetic, NOT, unknown cols) drop
+    assert P("id % 3 = 0", sch) == []
+    assert P("NOT id = 5 AND v = 1", sch) == [("v", "==", 1.0)]
+    assert P("nope = 3", sch) == []
+    # whole-predicate parens unwrap; escaped quotes survive
+    assert P("(id = 5 AND s = 'x''y')", sch) == [
+        ("id", "==", 5),
+        ("s", "==", "x'y"),
+    ]
+
+
+def test_delete_stats_prune_fast_paths(spark, tmp_path):
+    """Round 12: an auto-strategy DELETE whose predicate the log stats
+    PROVE matches nothing is a metadata no-op (no probe scan, version
+    unchanged); a selective predicate still deletes correctly."""
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_write,
+    )
+
+    root = str(tmp_path / "prune")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "id long, v double"
+        ).repartition(4),
+        root,
+        mode="error",
+    )
+    import glob as _glob
+
+    v0 = max(
+        int(os.path.basename(p).split(".")[0])
+        for p in _glob.glob(f"{root}/_delta_log/*.json")
+    )
+    # provably-empty predicate: stats say no file can hold id = 10^6
+    assert delta_delete(spark, root, "id = 1000000") == v0
+    assert delta_read(spark, root).count() == 100
+    # selective predicate still works through the pruned probe
+    delta_delete(spark, root, "id >= 90")
+    got = {r["id"] for r in delta_read(spark, root).collect()}
+    assert got == set(range(90))
