@@ -530,12 +530,57 @@ def delta_write(
         cur_adds, cur_meta, _, cur_v, cur_txns = _replay_full(spark, path)
         if txn is not None and cur_txns.get(txn[0], -1) >= int(txn[1]):
             return cur_v  # the racing writer WAS this txn: no-op
-        if _schema_types(
-            StructType.fromJson(json.loads(cur_meta["schemaString"]))
-        ) != _schema_types(df.schema):
+        if list(cur_meta.get("partitionColumns") or []) != partition_by:
+            raise DeltaSchemaMismatch(
+                "table partition spec changed while retrying the append"
+            )
+        new_table = StructType.fromJson(json.loads(cur_meta["schemaString"]))
+        tt = _schema_types(new_table)
+        dt = _schema_types(df.schema)
+        if tt == dt:
+            # the racer landed (or already had) exactly our columns —
+            # no metaData republish needed anymore
+            merged_schema, need_meta = None, False
+        elif merge_schema:
+            # recompute the merged schema against the RACER's metaData
+            # (ADVICE r11: comparing the new table schema to df.schema
+            # under mergeSchema raised unconditionally — they differ by
+            # design — and replaying the stale pre-race meta_action
+            # would clobber the racer's schema change); the clash and
+            # column-mapping gates re-run because the racer may have
+            # introduced either
+            if ((cur_meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            )) not in ("", "none"):
+                raise DeltaSchemaMismatch(
+                    "merge_schema on a column-mapped table is not "
+                    "supported (new columns need fresh mapping ids)"
+                )
+            clash = sorted(c for c in dt if c in tt and dt[c] != tt[c])
+            if clash:
+                raise DeltaSchemaMismatch(
+                    "mergeSchema adds columns but never changes "
+                    f"types; columns with type changes: {clash}"
+                )
+            merged_schema = StructType(
+                list(new_table.fields)
+                + [f for f in df.schema.fields if f.name not in tt]
+            )
+            need_meta = True
+        else:
             raise DeltaSchemaMismatch(
                 "table schema changed while retrying the append"
             )
+        meta_action = {
+            "metaData": {
+                "id": cur_meta.get("id") or table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": (merged_schema or df.schema).json(),
+                "partitionColumns": partition_by,
+                "configuration": dict(cur_meta.get("configuration") or {}),
+                "createdTime": cur_meta.get("createdTime", now),
+            }
+        }
     raise DeltaConcurrentWrite(
         f"append to {path} lost the commit race {_retries} times"
     )

@@ -304,14 +304,23 @@ def hudi_read(
         df = _mor_read(spark, path, as_of=as_of, filters=filters)
         return df if row_filter is None else df.where(row_filter)
     groups, _logs, _c, _r = _resolve_groups(spark, path, as_of)
+    all_groups = groups
     if filters:
         groups, _logs = _prune_groups(groups, _logs, filters)
     files = sorted(p for _, p in groups.values())
     if not files:
-        raise ValueError(
-            f"no live file groups in the Hudi table at {path} match"
-        )
-    df = spark.read.parquet(*files)
+        if not all_groups:
+            raise ValueError(
+                f"no live file groups in the Hudi table at {path}"
+            )
+        # filters pruned EVERY group: an empty result with the table
+        # schema (one footer read of a surviving pre-prune base file),
+        # matching delta_read/iceberg_read's zero-match behavior
+        # (ADVICE r11) — the raise stays for a genuinely empty table
+        any_file = sorted(p for _, p in all_groups.values())[0]
+        df = spark.read.parquet(any_file).limit(0)
+    else:
+        df = spark.read.parquet(*files)
     if not include_meta:
         meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
         if meta_cols:
@@ -362,13 +371,30 @@ def _mor_read(
     from simple_data_workflow_spark.sources import hudi_log as hlog
 
     groups, logs, commits, _replaces = _resolve_groups(spark, path, as_of)
+    all_groups = groups
     if filters:
         # partition-path pruning before ANY scan: base files AND their
         # log files of pruned groups never schedule (a group's rows all
         # share its partition values, logs included)
         groups, logs = _prune_groups(groups, logs, filters)
     if not groups:
-        raise ValueError(f"no live file groups in the Hudi table at {path}")
+        if not all_groups:
+            raise ValueError(
+                f"no live file groups in the Hudi table at {path}"
+            )
+        # filters pruned EVERY group: empty result with the MoR output
+        # schema (from one pre-prune base footer) instead of raising
+        # (ADVICE r11 — consistent with delta_read/iceberg_read)
+        any_file = sorted(p for _, p in all_groups.values())[0]
+        empty = spark.read.parquet(any_file).limit(0)
+        dcols = [c for c in empty.columns if not c.startswith("_hoodie_")]
+        if _provenance:
+            return empty.select(
+                F.lit("").alias("__group"),
+                F.lit("").alias("__key"),
+                *dcols,
+            )
+        return empty.select(*dcols)
     base_files = sorted(p for _, p in groups.values())
     base = spark.read.parquet(*base_files)
     if "_hoodie_record_key" not in base.columns:

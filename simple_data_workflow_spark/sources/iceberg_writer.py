@@ -2052,7 +2052,15 @@ def iceberg_cherry_pick(
             raise ValueError(f"snapshot {snapshot_id} not in table")
         if meta.get("current-snapshot-id") == int(snapshot_id):
             return int(snapshot_id)  # already published: no-op
-        if snap.get("parent-snapshot-id") != meta.get("current-snapshot-id"):
+        # normalize "no parent" and "no current snapshot": a snapshot
+        # staged as a new/empty table's FIRST commit records no
+        # parent-snapshot-id while the table metadata says current = -1
+        # (or omits it) — those MATCH (ADVICE r11)
+        parent = snap.get("parent-snapshot-id")
+        current = meta.get("current-snapshot-id")
+        if (parent if parent is not None else -1) != (
+            current if current is not None else -1
+        ):
             raise ValueError(
                 f"snapshot {snapshot_id} does not parent off the current "
                 "snapshot — the table moved since it was staged; re-stage "

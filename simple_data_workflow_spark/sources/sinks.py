@@ -100,24 +100,57 @@ def write_sorted_parquet(
 
 
 def morton_code_column(df: DataFrame, cols: Sequence[str], bits: int = 16):
-    """The bit-interleaved Morton code over 2-4 numeric/temporal
-    columns as ONE codegen Column (shift/and/or chain — no UDF). Each
-    column normalizes to a ``bits``-bit rank over its [min, max]
-    (bounds from one 1-row aggregate); NULLs rank as the range minimum.
+    """The bit-interleaved Morton code over 2-4 columns as ONE codegen
+    Column (shift/and/or chain — no UDF). Each column normalizes to a
+    ``bits``-bit rank over its [min, max] (bounds from one 1-row
+    aggregate); NULLs rank as the range minimum. Numeric/temporal/
+    boolean columns rank by value; STRING columns rank by an
+    order-preserving 6-byte prefix surrogate (codepoints clamped to
+    one byte, exact in a double) — no global sort, still codegen
+    (ADVICE r11: the old ``cast('double')`` turned strings all-NULL
+    and silently contributed no clustering bits). Other types raise.
     Shared by :func:`write_zorder_parquet` and Delta OPTIMIZE ZORDER."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     cols = list(cols)
     if not 2 <= len(cols) <= 4:
         raise ValueError("z-ordering needs 2-4 columns")
+    tmap = {f.name: f.dataType for f in df.schema.fields}
+
+    def surrogate(c: str):
+        t = tmap.get(c)
+        if isinstance(t, T.StringType):
+            expr = F.lit(0.0)
+            for k in range(6):
+                ch = F.ascii(F.substring(F.col(c), k + 1, 1))
+                expr = expr + F.least(
+                    F.coalesce(ch, F.lit(0)), F.lit(255)
+                ).cast("double") * F.lit(float(256 ** (5 - k)))
+            return expr
+        if t is None or isinstance(
+            t,
+            (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+                T.DateType, T.TimestampType, T.TimestampNTZType,
+            ),
+        ):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"z-order column {c!r} has type {t.simpleString()} — only "
+            "numeric/temporal/boolean/string columns cluster"
+        )
+
+    exprs = [surrogate(c) for c in cols]
     n = len(cols)
     top = (1 << bits) - 1
     bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        *[F.min(e).alias(f"mn_{i}") for i, e in enumerate(exprs)],
+        *[F.max(e).alias(f"mx_{i}") for i, e in enumerate(exprs)],
     ).first()
     z = F.lit(0).cast("long")
-    for i, c in enumerate(cols):
+    for i, e in enumerate(exprs):
         mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
         if mn is None or mx is None:
             continue  # all-null column contributes no bits
@@ -127,7 +160,7 @@ def morton_code_column(df: DataFrame, cols: Sequence[str], bits: int = 16):
             F.greatest(
                 F.lit(0),
                 F.floor(
-                    (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+                    (F.coalesce(e, F.lit(mn)) - F.lit(mn))
                     / F.lit(span)
                     * F.lit(float(top))
                 ),

@@ -298,28 +298,69 @@ class DeltaStreamReader(DataSourceStreamReader):
                 v = (f.metadata or {}).get(b"PARQUET:field_id")
                 return int(v) if v is not None else None
 
+            def _nm(f):
+                fid = fid_of(f)
+                return idn.get(fid, f.name) if fid is not None else f.name
+
+            def rename_type(t):
+                """The type with every nested field renamed to its
+                logical name by footer field id — recursing through
+                struct, list, large_list, fixed_size_list AND map
+                (ADVICE r11: struct-only recursion left structs inside
+                arrays/maps under physical names, so the later
+                by-name cast either failed or silently null-filled)."""
+                if pa.types.is_struct(t):
+                    return pa.struct(
+                        [
+                            pa.field(
+                                _nm(t.field(i)),
+                                rename_type(t.field(i).type),
+                                t.field(i).nullable,
+                            )
+                            for i in range(t.num_fields)
+                        ]
+                    )
+                if pa.types.is_map(t):
+                    kf, vf = t.key_field, t.item_field
+                    return pa.map_(
+                        pa.field(_nm(kf), rename_type(kf.type), False),
+                        pa.field(
+                            _nm(vf), rename_type(vf.type), vf.nullable
+                        ),
+                    )
+                if pa.types.is_list(t) or pa.types.is_large_list(t):
+                    vf = t.value_field
+                    inner = pa.field(
+                        _nm(vf), rename_type(vf.type), vf.nullable
+                    )
+                    return (
+                        pa.large_list(inner)
+                        if pa.types.is_large_list(t)
+                        else pa.list_(inner)
+                    )
+                if pa.types.is_fixed_size_list(t):
+                    vf = t.value_field
+                    return pa.list_(
+                        pa.field(_nm(vf), rename_type(vf.type), vf.nullable),
+                        t.list_size,
+                    )
+                return t
+
             def fix(arr, field):
                 """(array, field) renamed to logical names by footer
-                field id — STRUCT fields rebuild recursively (Arrow
-                casts refuse name changes, so arrays reconstruct with
-                the same children under new field names)."""
-                t = field.type
-                fid = fid_of(field)
-                name = idn.get(fid, field.name) if fid is not None else field.name
-                if pa.types.is_struct(t):
+                field id — a pure TYPE change over identical buffers,
+                so the whole rename is one zero-copy ``view`` at every
+                nesting level (values never move)."""
+                name = _nm(field)
+                nt = rename_type(field.type)
+                if nt != field.type:
                     if isinstance(arr, pa.ChunkedArray):
-                        arr = arr.combine_chunks()
-                    children, fields_ = [], []
-                    for i in range(t.num_fields):
-                        ca, cf = fix(arr.field(i), t.field(i))
-                        children.append(ca)
-                        fields_.append(cf)
-                    mask = arr.is_null() if arr.null_count else None
-                    arr = pa.StructArray.from_arrays(
-                        children, fields=fields_, mask=mask
-                    )
-                    return arr, pa.field(name, arr.type, field.nullable)
-                return arr, pa.field(name, t, field.nullable)
+                        arr = pa.chunked_array(
+                            [c.view(nt) for c in arr.chunks] or [], nt
+                        )
+                    else:
+                        arr = arr.view(nt)
+                return arr, pa.field(name, nt, field.nullable)
 
             if any(fid_of(f) is not None for f in tbl.schema):
                 cols_, flds_ = [], []

@@ -1236,3 +1236,60 @@ def test_delete_stats_prune_fast_paths(spark, tmp_path):
     delta_delete(spark, root, "id >= 90")
     got = {r["id"] for r in delta_read(spark, root).collect()}
     assert got == set(range(90))
+
+
+def test_merge_schema_append_survives_commit_race(spark, tmp_path, monkeypatch):
+    """Round 12 (ADVICE r11): a merge_schema append that loses the
+    commit race recomputes the merged schema against the RACER's
+    metaData and retries instead of raising — and the republished
+    metaData unions the racer's columns rather than clobbering them."""
+    from simple_data_workflow_spark.sources import delta_writer as dw
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+
+    root = str(tmp_path / "msrace")
+    dw.delta_write(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        root,
+        mode="error",
+    )
+
+    real_publish = dw._publish_if_absent
+    state = {"raced": False}
+
+    def racing_publish(spark_, path_, name_, content_):
+        if not state["raced"]:
+            state["raced"] = True
+            # the RACER lands first WITH ITS OWN new column (mergeSchema)
+            dw.delta_write(
+                spark.createDataFrame(
+                    [(2, 2.0, "x")], "id long, v double, racer_col string"
+                ),
+                root,
+                mode="append",
+                merge_schema=True,
+            )
+        return real_publish(spark_, path_, name_, content_)
+
+    monkeypatch.setattr(dw, "_publish_if_absent", racing_publish)
+    # our append carries a DIFFERENT new column; first publish attempt
+    # loses to the racer, the retry must merge against the racer's schema
+    dw.delta_write(
+        spark.createDataFrame(
+            [(3, 3.0, 7)], "id long, v double, my_col long"
+        ),
+        root,
+        mode="append",
+        merge_schema=True,
+    )
+    monkeypatch.setattr(dw, "_publish_if_absent", real_publish)
+    got = delta_read(spark, root)
+    assert set(got.columns) == {"id", "v", "racer_col", "my_col"}
+    rows = {
+        (r["id"], r["v"], r["racer_col"], r["my_col"])
+        for r in got.collect()
+    }
+    assert rows == {
+        (1, 1.0, None, None),
+        (2, 2.0, "x", None),
+        (3, 3.0, None, 7),
+    }

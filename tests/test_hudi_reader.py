@@ -595,3 +595,50 @@ def test_hudi_read_filters_prune_partition_groups(spark, tmp_path):
         ).collect()
     }
     assert got == {(1, 100.0)} | {(i, float(i)) for i in range(3, 21, 2)}
+
+
+def test_hudi_read_filters_prune_all_returns_empty(spark, tmp_path):
+    """Round 12 (ADVICE r11): a filter that prunes EVERY file group
+    returns an empty DataFrame with the table schema — consistent with
+    delta_read/iceberg_read — for CoW, MoR snapshot, and the front
+    door; a genuinely empty/absent table still raises."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.hudi_writer import hudi_write
+
+    root = str(tmp_path / "hprune")
+    hudi_write(
+        spark.createDataFrame(
+            [(1, 1.0, "US"), (2, 2.0, "EU")],
+            "id long, v double, region string",
+        ),
+        root,
+        mode="error",
+        record_key="id",
+        partition_by=["region"],
+    )
+    got = hudi_read(spark, root, filters=[("region", "==", "AS")])
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "v", "region"}
+
+    # MERGE_ON_READ snapshot path
+    root2 = str(tmp_path / "hprune_mor")
+    hudi_write(
+        spark.createDataFrame(
+            [(1, 1.0, "US")], "id long, v double, region string"
+        ),
+        root2,
+        mode="error",
+        record_key="id",
+        partition_by=["region"],
+        table_type="MERGE_ON_READ",
+    )
+    got2 = hudi_read(spark, root2, filters=[("region", "==", "AS")])
+    assert got2.count() == 0
+    assert set(got2.columns) == {"id", "v", "region"}
+
+    # genuinely empty table (no committed groups at all) still raises
+    root3 = str(tmp_path / "hprune_empty")
+    _props(root3)
+    with _pytest.raises(ValueError, match="no completed commits"):
+        hudi_read(spark, root3, filters=[("region", "==", "AS")])

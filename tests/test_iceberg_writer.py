@@ -985,3 +985,28 @@ def test_iceberg_dml_lost_race_retries_against_new_state(spark, tmp_path):
     # the interloper's delete AND the racing update both survive
     assert 9 not in got
     assert got[0] == 100.0 and got[1] == 101.0 and got[5] == 5.0
+
+
+def test_iceberg_cherry_pick_first_staged_snapshot(spark, tmp_path):
+    """Round 12 (ADVICE r11): a WAP snapshot staged as a NEW table's
+    FIRST snapshot (no parent, current = -1) publishes — 'no parent'
+    and 'no current snapshot' normalize to the same sentinel instead
+    of always refusing."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_cherry_pick,
+    )
+
+    root = str(tmp_path / "wapfirst")
+    staged = iceberg_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double"),
+        root,
+        mode="error",
+        stage_only=True,
+    )
+    meta = load_table_metadata(spark, root)
+    assert meta.get("current-snapshot-id") in (None, -1)
+    assert iceberg_cherry_pick(spark, root, staged) == staged
+    assert {r["id"] for r in iceberg_read(spark, root).collect()} == {1, 2}

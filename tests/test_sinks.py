@@ -360,3 +360,48 @@ def test_lakehouse_timestamp_time_travel_all_formats(spark, tmp_path):
             spark, "delta", str(tmp_path / "tt-delta"), version=0,
             timestamp_ms=1,
         )
+
+
+def test_morton_string_column_clusters_and_bad_type_raises(spark, tmp_path):
+    """Round 12 (ADVICE r11): z-order STRING columns rank by an
+    order-preserving 6-byte prefix surrogate (previously all-NULL via
+    cast('double') — zero clustering bits, silently); unsupported
+    types raise instead of silently contributing nothing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.sinks import morton_code_column
+
+    df = spark.createDataFrame(
+        [(i, chr(ord("a") + i % 26) + "suffix") for i in range(260)],
+        "id long, name string",
+    )
+    z = morton_code_column(df, ["id", "name"])
+    codes = df.select(z.alias("z"), "name").collect()
+    # the string column CONTRIBUTES bits: same-prefix rows share string
+    # rank, different prefixes differ
+    by_name: dict = {}
+    for r in codes:
+        by_name.setdefault(r["name"][0], set()).add(r["z"])
+    assert len({min(v) for v in by_name.values()}) > 1
+    # order preservation: odd interleaved bits (the string's lane)
+    # are non-decreasing in the string's sort order
+    def string_rank(zv: int) -> int:
+        out = 0
+        for b in range(16):
+            out |= ((zv >> (2 * b + 1)) & 1) << b
+        return out
+
+    ranks = [
+        (r["name"], string_rank(r["z"]))
+        for r in codes
+    ]
+    srt = sorted(ranks)
+    assert all(
+        srt[i][1] <= srt[i + 1][1] for i in range(len(srt) - 1)
+    ), "string surrogate ranks must be monotone in string order"
+
+    with _pytest.raises(ValueError, match="unsupported|cluster"):
+        morton_code_column(
+            df.select("id", F.array("id").alias("arr")), ["id", "arr"]
+        )

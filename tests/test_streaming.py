@@ -1633,3 +1633,139 @@ def test_delta_log_stream_id_mode_nested(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {(1, 1.5), (2, 2.5)}
+
+
+def test_delta_log_stream_id_mode_array_map_nested(spark, tmp_path):
+    """Round 12 (ADVICE r11): id-mode streaming renames structs nested
+    inside ARRAY and MAP columns too — the rename is a zero-copy
+    type view at every nesting level, so array<struct> / map<…,struct>
+    values resolve by field id instead of null-filling or failing."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from simple_data_workflow_spark.streaming.delta_source import (
+        DeltaLogStreamDataSource,
+    )
+
+    t = str(tmp_path / "idamstream")
+
+    def one_file(df, dest):
+        tmp = dest + ".__tmp__"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        _shutil.move(part, dest)
+        _shutil.rmtree(tmp)
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    arr_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField(
+                    "p-3", T.DoubleType(), True, {"parquet.field.id": 3}
+                )
+            ]
+        )
+    )
+    map_t = T.MapType(
+        T.StringType(),
+        T.StructType(
+            [T.StructField("p-5", T.LongType(), True, {"parquet.field.id": 5})]
+        ),
+    )
+    one_file(
+        spark.createDataFrame(
+            [
+                (1, [(1.5,), (2.5,)], {"a": (10,)}),
+                (2, [(3.5,)], {"b": (20,)}),
+            ],
+            "a long, b array<struct<x: double>>, "
+            "c map<string, struct<y: long>>",
+        ).select(
+            F.col("a").cast("long").alias(
+                "p-1", metadata={"parquet.field.id": 1}
+            ),
+            F.col("b").cast(arr_t).alias(
+                "p-2", metadata={"parquet.field.id": 2}
+            ),
+            F.col("c").cast(map_t).alias(
+                "p-4", metadata={"parquet.field.id": 4}
+            ),
+        ),
+        f"{t}/a.parquet",
+    )
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "p-1"}},
+        {"name": "items",
+         "type": {"type": "array", "containsNull": True,
+                  "elementType": {"type": "struct", "fields": [
+                      {"name": "score", "type": "double",
+                       "nullable": True,
+                       "metadata": {"delta.columnMapping.id": 3,
+                                    "delta.columnMapping.physicalName":
+                                        "p-3"}}]}},
+         "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "p-2"}},
+        {"name": "attrs",
+         "type": {"type": "map", "keyType": "string",
+                  "valueContainsNull": True,
+                  "valueType": {"type": "struct", "fields": [
+                      {"name": "n", "type": "long", "nullable": True,
+                       "metadata": {"delta.columnMapping.id": 5,
+                                    "delta.columnMapping.physicalName":
+                                        "p-5"}}]}},
+         "nullable": True,
+         "metadata": {"delta.columnMapping.id": 4,
+                      "delta.columnMapping.physicalName": "p-4"}},
+    ]
+    _os.makedirs(f"{t}/_delta_log", exist_ok=True)
+    with open(f"{t}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(_json.dumps({"protocol": {"minReaderVersion": 2,
+                                          "minWriterVersion": 5}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "idamstream",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 1,
+        }}) + "\n")
+        f.write(_json.dumps({"add": {
+            "path": "a.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 1, "dataChange": True}}) + "\n")
+
+    spark.dataSource.register(DeltaLogStreamDataSource)
+    out_dir = str(tmp_path / "idamout")
+    q = (
+        spark.readStream.format("deltalog")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "idamckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (
+            r["id"],
+            tuple(x["score"] for x in r["items"]),
+            tuple(sorted((k, v["n"]) for k, v in r["attrs"].items())),
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (1, (1.5, 2.5), (("a", 10),)),
+        (2, (3.5,), (("b", 20),)),
+    }
