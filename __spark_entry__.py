@@ -3712,6 +3712,85 @@ def hudi_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 (VERDICT r11 #3): Iceberg FORMAT-VERSION 3 deletion
+    vectors, write AND read, jar-free. Orders land as a v2 table,
+    ``iceberg_upgrade_format`` raises it to v3 (metadata-only), two
+    stacked DELETEs publish Puffin deletion-vector snapshots
+    (``sources/puffin.py`` — ``deletion-vector-v1`` blobs, the roaring
+    format shared with Delta DVs, addressed by the manifest's
+    referenced_data_file/content_offset/content_size_in_bytes), an
+    UPDATE stacks a DV + new data files in one snapshot, and the read
+    applies the DVs as broadcast masks. In-query invariants pin the v3
+    shape: a ``.puffin`` file exists, NO new parquet position-delete
+    file was written, and the table metadata says format-version 3.
+    The oracle replays the same edits as WHERE + CASE over raw
+    parquet."""
+    import glob as _glob
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_update,
+        iceberg_upgrade_format,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-icev3-") + "/orders_v3"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    iceberg_write(orders.repartition(4), path, mode="error")
+    assert iceberg_upgrade_format(spark, path, 3) == 3
+    # v3 routes DELETE through deletion vectors (stacked: the second
+    # DV must supersede/union the first for co-affected files)
+    iceberg_delete(spark, path, "o_totalprice < 50000")
+    iceberg_delete(spark, path, "o_orderpriority = '5-LOW'")
+    iceberg_update(
+        spark,
+        path,
+        {"o_totalprice": "o_totalprice + 1.0"},
+        "o_orderpriority = '1-URGENT'",
+    )
+    assert _glob.glob(f"{path}/data/dv-*.puffin"), "v3 DML must write Puffin DVs"
+    assert not _glob.glob(f"{path}/data/delete-*.parquet"), (
+        "v3 tables must not grow new position-delete files"
+    )
+    assert load_table_metadata(spark, path)["format-version"] == 3
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_V3_DV_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_totalprice >= 50000 AND o_orderpriority <> '5-LOW'
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM kept
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def tablelog_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: METADATA-ONLY column mapping end-to-end
     (``table_rename_column`` — Delta column mapping's shape). Even-key
@@ -6165,6 +6244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_compact_read": _wrap(hudi_compact_read),
         "iceberg_stream_read": _wrap(iceberg_stream_read),
         "iceberg_eq_delete_write": _wrap(iceberg_eq_delete_write),
+        "iceberg_v3_dv_read": _wrap(iceberg_v3_dv_read),
         "hudi_stream_read": _wrap(hudi_stream_read),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
@@ -6485,6 +6565,7 @@ def oracle_sql() -> dict[str, str]:
         "hudi_compact_read": HUDI_MOR_SQL,
         "iceberg_stream_read": ICEBERG_STREAM_SQL,
         "iceberg_eq_delete_write": ICEBERG_EQ_DELETE_SQL,
+        "iceberg_v3_dv_read": ICEBERG_V3_DV_SQL,
         "hudi_stream_read": ICEBERG_STREAM_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,

@@ -121,11 +121,24 @@ def load_table_metadata(spark: SparkSession, path: str) -> dict:
     raw = _read_bytes(spark, f"{path}/metadata/{chosen}").decode("utf-8")
     meta = json.loads(raw)
     fv = int(meta.get("format-version", 1))
-    if fv > 2:
+    if fv > 3:
         raise IcebergFeatureUnsupported(
             f"Iceberg format-version {fv} is not supported by the "
-            "jar-free reader (v1/v2 only)"
+            "jar-free reader (v1/v2/v3 only)"
         )
+    if fv == 3:
+        # v3 reads (round 12, VERDICT r11 #3): deletion vectors +
+        # row-lineage metadata are handled/tolerated; a field DEFAULT
+        # would be silently read as NULL from pre-default files, so it
+        # refuses loudly instead
+        for s in meta.get("schemas") or [meta.get("schema") or {}]:
+            for f in s.get("fields") or []:
+                if "initial-default" in f or "write-default" in f:
+                    raise IcebergFeatureUnsupported(
+                        f"v3 column default on field {f.get('name')!r} — "
+                        "the jar-free reader would silently read NULL "
+                        "where the default applies"
+                    )
     return meta
 
 
@@ -358,6 +371,29 @@ def _snapshot_files_and_deletes(
                 raise ValueError(f"manifest entry without data_file in {mpath}")
             fcontent = int(_get(df, "content") or 0)
             fmt = (_j2py(_get(df, "file_format")) or "PARQUET").upper()
+            if fcontent == 1 and fmt == "PUFFIN":
+                # v3 DELETION VECTOR: a Puffin blob of row positions
+                # for ONE referenced data file (round 12, r11 #3)
+                fpath = _local_path(_j2py(_get(df, "file_path")))
+                ref = _j2py(_get(df, "referenced_data_file"))
+                if ref is None:
+                    raise IcebergFeatureUnsupported(
+                        f"deletion-vector entry without "
+                        f"referenced_data_file in {mpath}"
+                    )
+                off = _get(df, "content_offset")
+                sz = _get(df, "content_size_in_bytes")
+                delete_files[f"{fpath}\x00{ref}"] = {
+                    "path": fpath,
+                    "seq": seq,
+                    "content": 3,  # internal marker: v3 DV
+                    "equality_ids": None,
+                    "referenced": _local_path(str(ref)),
+                    "referenced_raw": str(ref),
+                    "offset": None if off is None else int(_j2py(off)),
+                    "size": None if sz is None else int(_j2py(sz)),
+                }
+                continue
             if fmt != "PARQUET":
                 raise IcebergFeatureUnsupported(
                     f"data file format {fmt}; the jar-free reader scans "
@@ -517,21 +553,67 @@ def _norm_path_col(c):
     return F.regexp_replace(c, "^file:/+", "/")
 
 
+def _load_dv_positions(spark, dv_entries: list[dict]) -> dict:
+    """Decode v3 deletion vectors (Puffin blobs) to a
+    ``{data file: int64 positions}`` map — driver-side, ∝ deleted rows
+    (the cost class of Iceberg's own DV broadcast). Manifest-recorded
+    ``content_offset``/``content_size_in_bytes`` address the blob
+    directly; entries lacking them resolve through the Puffin footer
+    index. Multiple DVs for one file union (each must supersede older
+    ones, so the union equals the newest — and never un-deletes)."""
+    if not dv_entries:
+        return {}
+    import numpy as np
+
+    from simple_data_workflow_spark.sources.puffin import (
+        find_dv_blob,
+        read_dv_blob,
+    )
+
+    raw_cache: dict[str, bytes] = {}
+    out: dict = {}
+    for d in dv_entries:
+        raw = raw_cache.get(d["path"])
+        if raw is None:
+            raw = _read_bytes(spark, d["path"])
+            raw_cache[d["path"]] = raw
+        off, sz = d.get("offset"), d.get("size")
+        if off is None or sz is None:
+            try:
+                off, sz = find_dv_blob(
+                    raw, d.get("referenced_raw") or d["referenced"]
+                )
+            except ValueError:
+                off, sz = find_dv_blob(raw, d["referenced"])
+        pos = read_dv_blob(raw, int(off), int(sz))
+        old = out.get(d["referenced"])
+        out[d["referenced"]] = (
+            np.union1d(old, pos) if old is not None else pos
+        )
+    return out
+
+
 def _scan_with_position_deletes(
-    spark, schema, flist: list[str], pos_paths: list[str]
+    spark, schema, flist: list[str], pos_paths: list[str], dv_positions=None
 ):
     """Scan ``flist`` minus the positions named by the position-delete
     parquet files. Small delete sets broadcast as packed numpy masks
     (``_dv_masked_scan``); large ones apply as a distributed
-    LEFT ANTI join — no driver materialization on either path."""
+    LEFT ANTI join — no driver materialization on either path.
+    ``dv_positions`` (v3 deletion vectors, already decoded driver-side
+    — they live in driver-read Puffin sidecars by design) always apply
+    as broadcast masks; unioning them with any parquet position deletes
+    is sound because a v3 DV must supersede (contain) every older
+    position delete for its file."""
     from pyspark.sql import functions as F
 
     from simple_data_workflow_spark.sources.delta_reader import (
         _dv_masked_scan,
     )
 
+    dv_positions = dv_positions or {}
     if not pos_paths:
-        return _dv_masked_scan(spark, schema, flist, {})
+        return _dv_masked_scan(spark, schema, flist, dv_positions)
     dscan = spark.read.parquet(*sorted(pos_paths)).select("file_path", "pos")
     n_pos = dscan.count()  # metadata-backed: one cheap planning job
     if n_pos <= _POS_DELETE_MASK_MAX:
@@ -559,15 +641,27 @@ def _scan_with_position_deletes(
         for f in flist:
             if f in by_local:
                 positions[f] = by_local[f]
+        for f, arr in dv_positions.items():
+            old = positions.get(f)
+            positions[f] = (
+                np.union1d(old, np.asarray(arr, dtype=np.int64))
+                if old is not None
+                else np.asarray(arr, dtype=np.int64)
+            )
         return _dv_masked_scan(spark, schema, flist, positions)
-    base = (
-        spark.read.schema(schema)
-        .parquet(*sorted(flist))
-        .select(
-            "*",
-            _norm_path_col(F.col("_metadata.file_path")).alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
-        )
+    # large parquet delete sets anti-join; DV masks (if any) apply
+    # inside the masked scan that produces the base
+    base = _dv_masked_scan(
+        spark,
+        schema,
+        sorted(flist),
+        dv_positions,
+        file_col="__fp0",
+        row_col="__ri",
+    ).select(
+        *[f.name for f in schema.fields],
+        _norm_path_col(F.col("__fp0")).alias("__fp"),
+        F.col("__ri"),
     )
     dels = dscan.select(
         _norm_path_col(F.col("file_path")).alias("__fp"),
@@ -725,9 +819,14 @@ def iceberg_read(
         schema = _id_schema(schema, ids)
     pos_paths = [d["path"] for d in deletes if d["content"] == 1]
     eq_deletes = [d for d in deletes if d["content"] == 2]
+    dv_positions = _load_dv_positions(
+        spark, [d for d in deletes if d["content"] == 3]
+    )
     if not eq_deletes:
         return fin(
-            _scan_with_position_deletes(spark, schema, files, pos_paths)
+            _scan_with_position_deletes(
+                spark, schema, files, pos_paths, dv_positions=dv_positions
+            )
         )
 
     from functools import reduce
@@ -750,7 +849,7 @@ def iceberg_read(
     parts = []
     for seq in sorted(classes):
         part = _scan_with_position_deletes(
-            spark, schema, classes[seq], pos_paths
+            spark, schema, classes[seq], pos_paths, dv_positions=dv_positions
         )
         for d in eq_deletes:
             if d["seq"] <= seq:

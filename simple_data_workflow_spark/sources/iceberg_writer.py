@@ -273,6 +273,30 @@ def _manifest_entry_schema_json(
                 "field-id": 135,
             }
         )
+        if format_version >= 3:
+            # v3 deletion-vector addressing (spec field ids 143-145)
+            df_fields.extend(
+                [
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                        "default": None,
+                        "field-id": 143,
+                    },
+                    {
+                        "name": "content_offset",
+                        "type": ["null", "long"],
+                        "default": None,
+                        "field-id": 144,
+                    },
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
+                        "default": None,
+                        "field-id": 145,
+                    },
+                ]
+            )
     else:
         df_fields.append(
             {
@@ -978,6 +1002,7 @@ def _live_lineage_scan(
     from simple_data_workflow_spark.sources.iceberg_reader import (
         _by_name_resolution_sound,
         _id_schema,
+        _load_dv_positions,
         _norm_path_col,
         _rename_detected,
         _schema_and_ids,
@@ -1005,17 +1030,42 @@ def _live_lineage_scan(
         schema = _id_schema(schema, ids)
     pos_paths = [d["path"] for d in deletes if d["content"] == 1]
     eq_deletes = [d for d in deletes if d["content"] == 2]
+    dv_positions = _load_dv_positions(
+        spark, [d for d in deletes if d["content"] == 3]
+    )
 
     def scan(flist: list[str]) -> DataFrame:
-        base = (
-            spark.read.schema(schema)
-            .parquet(*sorted(flist))
-            .select(
-                "*",
-                _norm_path_col(F.col("_metadata.file_path")).alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
+        if dv_positions:
+            # v3 deletion vectors mask inside the scan so DML never
+            # targets already-dead rows
+            from simple_data_workflow_spark.sources.delta_reader import (
+                _dv_masked_scan,
             )
-        )
+
+            base = _dv_masked_scan(
+                spark,
+                schema,
+                sorted(flist),
+                dv_positions,
+                file_col="__fp0",
+                row_col="__ri",
+            ).select(
+                *[f.name for f in schema.fields],
+                _norm_path_col(F.col("__fp0")).alias("__fp"),
+                F.col("__ri"),
+            )
+        else:
+            base = (
+                spark.read.schema(schema)
+                .parquet(*sorted(flist))
+                .select(
+                    "*",
+                    _norm_path_col(F.col("_metadata.file_path")).alias(
+                        "__fp"
+                    ),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
+            )
         if pos_paths:
             dead = spark.read.parquet(*sorted(pos_paths)).select(
                 _norm_path_col(F.col("file_path")).alias("__fp"),
@@ -1144,6 +1194,7 @@ def _publish_dml_snapshot(
     spec_fields: list[dict],
     _retries: int = 5,
     replace_all: bool = False,
+    _snapshot_id: int | None = None,
 ) -> int:
     """Publish ONE sequence-numbered snapshot carrying an optional DATA
     manifest (``staged_adds``) and an optional POSITION-DELETE manifest
@@ -1164,7 +1215,14 @@ def _publish_dml_snapshot(
     jvm, fs = _jfs(spark, path)
     for attempt in range(_retries):
         now_ms = int(time.time() * 1000)
-        snapshot_id = uuid.uuid4().int % (2**62)
+        # a caller that pre-stamped its staged files (DV blobs carry
+        # the snapshot id) fixes the id; random ids never collide
+        # across retries, so reuse is safe
+        snapshot_id = (
+            _snapshot_id
+            if _snapshot_id is not None
+            else uuid.uuid4().int % (2**62)
+        )
         md_uuid = uuid.uuid4().hex
         seq = int(meta.get("last-sequence-number", 0)) + 1
         ice_schema = _current_schema(meta)
@@ -1238,24 +1296,34 @@ def _publish_dml_snapshot(
                 }
             )
         if staged_dels:
-            entry_schema = _manifest_entry_schema_json([], 2)
+            # v3 deletion-vector entries (Puffin) carry the spec's
+            # referenced_data_file/content_offset/content_size fields
+            dv3 = any("referenced" in f for f in staged_dels)
+            entry_schema = _manifest_entry_schema_json([], 3 if dv3 else 2)
             rows = []
             for f in staged_dels:
+                dfd = {
+                    "content": 1,  # POSITION_DELETES (DVs included)
+                    "file_path": f["path"],
+                    "file_format": f.get("file_format", "PARQUET"),
+                    "partition": {},
+                    "record_count": f["record_count"],
+                    "file_size_in_bytes": f["size"],
+                    "equality_ids": None,
+                }
+                if dv3:
+                    dfd["referenced_data_file"] = f.get("referenced")
+                    dfd["content_offset"] = f.get("content_offset")
+                    dfd["content_size_in_bytes"] = f.get(
+                        "content_size_in_bytes"
+                    )
                 rows.append(
                     {
                         "status": 1,
                         "snapshot_id": snapshot_id,
                         "sequence_number": None,  # inherit
                         "file_sequence_number": None,
-                        "data_file": {
-                            "content": 1,  # POSITION_DELETES
-                            "file_path": f["path"],
-                            "file_format": "PARQUET",
-                            "partition": {},
-                            "record_count": f["record_count"],
-                            "file_size_in_bytes": f["size"],
-                            "equality_ids": None,
-                        },
+                        "data_file": dfd,
                     }
                 )
             delmanifest = f"{path}/metadata/{md_uuid}-del-m0.avro"
@@ -1351,6 +1419,10 @@ def iceberg_delete(
             "deletes); rewrite the table with iceberg_write(..., "
             "format_version=2)"
         )
+    if int(meta.get("format-version", 1)) >= 3:
+        # v3 tables must not grow NEW position-delete files (spec):
+        # deletes write as deletion vectors instead
+        return iceberg_dv_delete(spark, path, predicate, _retries)
     view, data, _schema = _live_lineage_scan(spark, path)
     if view is None:
         return int(meta.get("current-snapshot-id") or -1)
@@ -1365,6 +1437,168 @@ def iceberg_delete(
     return _publish_dml_snapshot(
         spark, path, meta, [], staged, "delete", _table_spec(meta), _retries
     )
+
+
+def iceberg_upgrade_format(
+    spark: SparkSession, path: str, target: int = 3, _retries: int = 5
+) -> int:
+    """Metadata-only format-version upgrade (the ``ALTER TABLE … SET
+    'format-version'`` path). Raising to 3 unlocks deletion-vector
+    DML (:func:`iceberg_dv_delete`); existing snapshots, manifests and
+    v2 delete files stay valid per the spec's upgrade rules. Returns
+    the table's (possibly already-satisfied) format version."""
+    import re as _re
+
+    if target not in (2, 3):
+        raise ValueError(f"can only upgrade to format-version 2 or 3, not {target}")
+    jvm, fs = _jfs(spark, path)
+    for attempt in range(_retries):
+        meta = load_table_metadata(spark, path)
+        fv = int(meta.get("format-version", 1))
+        if fv >= target:
+            return fv
+        meta_out = dict(meta)
+        meta_out["format-version"] = target
+        meta_out.setdefault("last-sequence-number", 0)
+        meta_out["last-updated-ms"] = int(time.time() * 1000)
+        version = 1
+        for st in fs.listStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")
+        ):
+            m = _re.match(r"v(\d+)\.metadata\.json", st.getPath().getName())
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        if _publish_metadata_if_absent(
+            spark, path, version, json.dumps(meta_out, indent=2)
+        ):
+            return target
+    raise IcebergConcurrentWrite(
+        f"format upgrade on {path} lost the metadata race {_retries} times"
+    )
+
+
+def iceberg_dv_delete(
+    spark: SparkSession, path: str, predicate: str, _retries: int = 5
+) -> int:
+    """v3 DELETE as DELETION VECTORS (round 12, VERDICT r11 #3): the
+    matching LIVE rows' positions serialize as one Puffin file carrying
+    one ``deletion-vector-v1`` blob per affected data file
+    (:mod:`puffin` — the roaring format shared with Delta DVs), and a
+    delete manifest referencing each blob by
+    ``referenced_data_file``/``content_offset``/``content_size_in_bytes``
+    publishes in a new sequence-numbered snapshot. A file's new DV
+    UNIONS the positions of any DV it supersedes (the spec's
+    must-contain rule), so one blob per file is always the whole truth.
+    Positions leave the cluster as ONE packed Arrow transfer
+    (~8 B/row, the path string once per file). Returns the committed
+    snapshot id (current one when nothing matched).
+
+    Needs format-version 3 (:func:`iceberg_upgrade_format`)."""
+    meta = load_table_metadata(spark, path)
+    if int(meta.get("format-version", 1)) < 3:
+        raise IcebergFeatureUnsupported(
+            "deletion vectors need a format-version 3 table; call "
+            "iceberg_upgrade_format(spark, path, 3) first"
+        )
+    view, data, _schema = _live_lineage_scan(spark, path)
+    if view is None:
+        return int(meta.get("current-snapshot-id") or -1)
+    snapshot_id = uuid.uuid4().int % (2**62)
+    staged = _stage_dv_deletes(
+        spark,
+        path,
+        meta,
+        view.where(predicate).select("__fp", "__ri"),
+        data,
+        snapshot_id,
+    )
+    if not staged:
+        return int(meta.get("current-snapshot-id") or -1)  # no matches
+    return _publish_dml_snapshot(
+        spark,
+        path,
+        meta,
+        [],
+        staged,
+        "delete",
+        _table_spec(meta),
+        _retries,
+        _snapshot_id=snapshot_id,
+    )
+
+
+def _stage_dv_deletes(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    matches: DataFrame,
+    data: list[tuple[str, int]],
+    snapshot_id: int,
+) -> list[dict]:
+    """Stage v3 DELETION VECTORS for ``matches`` (``__fp``/``__ri``
+    lineage rows): positions come off the cluster as ONE packed Arrow
+    transfer, union per file with any DV they supersede, serialize as
+    one Puffin file (one blob per affected data file), and return the
+    delete-manifest entry dicts. Empty list when nothing matched."""
+    import numpy as np
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        _load_dv_positions,
+        _snapshot_files_and_deletes,
+    )
+    from simple_data_workflow_spark.sources.puffin import build_dv_file
+
+    packed = (
+        matches.groupBy("__fp")
+        .agg(F.collect_list("__ri").alias("pos"))
+        .toArrow()
+    )
+    if packed.num_rows == 0:
+        return []
+    # normalized scan path → the manifest's own spelling
+    by_local = {_local_path(f): f for f, _seq in data}
+    _d, deletes, _s = _snapshot_files_and_deletes(spark, path)
+    old_dvs = _load_dv_positions(
+        spark, [d for d in deletes if d["content"] == 3]
+    )
+    dvs: list[tuple[str, np.ndarray]] = []
+    for fp, plist in zip(
+        packed.column("__fp").to_pylist(), packed.column("pos")
+    ):
+        ref = by_local.get(_local_path(str(fp)))
+        if ref is None:
+            continue
+        pos = np.unique(
+            plist.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        old = old_dvs.get(_local_path(ref))
+        if old is not None and len(old):
+            pos = np.union1d(pos, np.asarray(old, dtype=np.int64))
+        dvs.append((ref, pos))
+    if not dvs:
+        return []
+    seq_est = int(meta.get("last-sequence-number", 0)) + 1
+    fbytes, descs = build_dv_file(sorted(dvs), snapshot_id, seq_est)
+    jvm, fs = _jfs(spark, path)
+    dest = f"{path}/data/dv-{uuid.uuid4().hex}.puffin"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/data"))
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(dest), False)
+    try:
+        out.write(fbytes)
+    finally:
+        out.close()
+    return [
+        {
+            "path": dest,
+            "size": len(fbytes),
+            "record_count": d["cardinality"],
+            "file_format": "PUFFIN",
+            "referenced": d["referenced"],
+            "content_offset": d["offset"],
+            "content_size_in_bytes": d["length"],
+        }
+        for d in descs
+    ]
 
 
 def iceberg_update(
@@ -1405,9 +1639,25 @@ def iceberg_update(
     matches = view.where(predicate).localCheckpoint()
     if matches.isEmpty():
         return int(meta.get("current-snapshot-id") or -1)
-    staged_dels = _stage_position_deletes(
-        spark, path, matches.select("__fp", "__ri"), [f for f, _seq in data]
-    )
+    snapshot_id = uuid.uuid4().int % (2**62)
+    if int(meta.get("format-version", 1)) >= 3:
+        # v3: dead rows mark via deletion vectors, never new
+        # position-delete files (spec upgrade rule)
+        staged_dels = _stage_dv_deletes(
+            spark,
+            path,
+            meta,
+            matches.select("__fp", "__ri"),
+            data,
+            snapshot_id,
+        )
+    else:
+        staged_dels = _stage_position_deletes(
+            spark,
+            path,
+            matches.select("__fp", "__ri"),
+            [f for f, _seq in data],
+        )
     updated = matches
     for col, expr in set_exprs.items():
         updated = updated.withColumn(col, F.expr(expr).cast(types[col]))
@@ -1429,6 +1679,7 @@ def iceberg_update(
         "overwrite",
         spec_fields,
         _retries,
+        _snapshot_id=snapshot_id,
     )
 
 
@@ -1481,14 +1732,29 @@ def iceberg_merge_upsert(
     spec_fields = _table_spec(meta)
     ice_schema = _current_schema(meta)
     view, data, _schema = _live_lineage_scan(spark, path)
+    snapshot_id = uuid.uuid4().int % (2**62)
     staged_dels: list[dict] = []
     if view is not None:
         matched = view.join(
             source.select(*on).dropDuplicates(), list(on), "left_semi"
         )
-        staged_dels = _stage_position_deletes(
-            spark, path, matched.select("__fp", "__ri"), [f for f, _seq in data]
-        )
+        if int(meta.get("format-version", 1)) >= 3:
+            # v3: matched target rows mark via deletion vectors
+            staged_dels = _stage_dv_deletes(
+                spark,
+                path,
+                meta,
+                matched.select("__fp", "__ri"),
+                data,
+                snapshot_id,
+            )
+        else:
+            staged_dels = _stage_position_deletes(
+                spark,
+                path,
+                matched.select("__fp", "__ri"),
+                [f for f, _seq in data],
+            )
     staged_adds = _stage_data_files(
         source,
         path,
@@ -1504,6 +1770,7 @@ def iceberg_merge_upsert(
         "overwrite",
         spec_fields,
         _retries,
+        _snapshot_id=snapshot_id,
     )
 
 

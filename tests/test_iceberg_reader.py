@@ -235,13 +235,27 @@ def test_iceberg_v1_inline_manifests_and_single_schema(spark, tmp_path):
 
 
 def test_iceberg_refusals(spark, tmp_path):
-    # v3 metadata
-    root = str(tmp_path / "ice3")
+    # v3 reads since round 12 (deletion vectors) — the version refusal
+    # moved to v4+
+    root = str(tmp_path / "ice4")
     _write_metadata(root, 3, _table_metadata(root, [], -1, format_version=2) | {
-        "format-version": 3,
+        "format-version": 4,
     })
-    with pytest.raises(IcebergFeatureUnsupported, match="format-version 3"):
+    with pytest.raises(IcebergFeatureUnsupported, match="format-version 4"):
         iceberg_read(spark, root)
+
+    # a v3 COLUMN DEFAULT would silently read NULL from pre-default
+    # files — refuse loudly
+    root3d = str(tmp_path / "ice3default")
+    meta3 = _table_metadata(root3d, [], -1, format_version=2) | {
+        "format-version": 3,
+    }
+    for s in meta3.get("schemas") or []:
+        if s.get("fields"):
+            s["fields"][0] = dict(s["fields"][0]) | {"initial-default": 42}
+    _write_metadata(root3d, 3, meta3)
+    with pytest.raises(IcebergFeatureUnsupported, match="default"):
+        iceberg_read(spark, root3d)
 
     # EQUALITY delete file WITHOUT equality_ids: the match columns are
     # unknowable, so the read must refuse (supported equality deletes

@@ -1010,3 +1010,118 @@ def test_iceberg_cherry_pick_first_staged_snapshot(spark, tmp_path):
     assert meta.get("current-snapshot-id") in (None, -1)
     assert iceberg_cherry_pick(spark, root, staged) == staged
     assert {r["id"] for r in iceberg_read(spark, root).collect()} == {1, 2}
+
+
+def test_puffin_dv_blob_roundtrip():
+    """Puffin codec: build → footer index → blob fetch → positions;
+    corrupt CRC raises instead of un-deleting rows."""
+    import numpy as np
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources import puffin
+
+    a = np.array([0, 5, 7, 2**33 + 1], dtype=np.int64)
+    b = np.array([3], dtype=np.int64)
+    raw, descs = puffin.build_dv_file(
+        [("data/f1.parquet", a), ("data/f2.parquet", b)], 42, 7
+    )
+    foot = puffin.read_footer(raw)
+    assert [bl["properties"]["referenced-data-file"] for bl in foot["blobs"]] == [
+        "data/f1.parquet",
+        "data/f2.parquet",
+    ]
+    off, ln = puffin.find_dv_blob(raw, "data/f1.parquet")
+    assert (off, ln) == (descs[0]["offset"], descs[0]["length"])
+    got = puffin.read_dv_blob(raw, off, ln)
+    assert got.tolist() == a.tolist()
+    off2, ln2 = puffin.find_dv_blob(raw, "data/f2.parquet")
+    assert puffin.read_dv_blob(raw, off2, ln2).tolist() == [3]
+    bad = bytearray(raw)
+    bad[off + 6] ^= 0xFF
+    with _pytest.raises(ValueError, match="checksum|magic"):
+        puffin.read_dv_blob(bytes(bad), off, ln)
+
+
+def test_iceberg_v3_deletion_vector_roundtrip(spark, tmp_path):
+    """Round 12 (VERDICT r11 #3): format-version 3 — upgrade is
+    metadata-only; DELETE/UPDATE/MERGE write Puffin deletion vectors
+    (never new position-delete files); stacked DVs supersede (union);
+    the reader applies DVs from the manifest's content_offset/size;
+    time travel to pre-DV snapshots still works; v4 refuses."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_merge_upsert,
+        iceberg_update,
+        iceberg_upgrade_format,
+    )
+
+    root = str(tmp_path / "v3dv")
+    iceberg_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(40)], "id int, v double"
+        ).repartition(4),
+        root,
+        mode="error",
+    )
+    s0 = load_table_metadata(spark, root)["current-snapshot-id"]
+    assert iceberg_upgrade_format(spark, root, 3) == 3
+    assert load_table_metadata(spark, root)["format-version"] == 3
+
+    # DELETE on a v3 table routes to deletion vectors
+    iceberg_delete(spark, root, "id % 4 = 0")
+    puffins = _glob.glob(f"{root}/data/dv-*.puffin")
+    assert puffins, "v3 delete must write a Puffin DV file"
+    got = {r["id"] for r in iceberg_read(spark, root).collect()}
+    assert got == {i for i in range(40) if i % 4 != 0}
+    # no NEW parquet position-delete file was written for this commit
+    assert not _glob.glob(f"{root}/data/delete-*.parquet")
+
+    # stacked delete: the new DV must UNION the old one's positions
+    iceberg_delete(spark, root, "id = 1")
+    got = {r["id"] for r in iceberg_read(spark, root).collect()}
+    assert got == {i for i in range(40) if i % 4 != 0 and i != 1}
+
+    # time travel to the pre-delete snapshot: all 40 rows
+    assert iceberg_read(spark, root, s0).count() == 40
+
+    # UPDATE on v3: DV + new data files in one snapshot
+    iceberg_update(spark, root, {"v": "v + 100.0"}, "id = 2")
+    rows = {(r["id"], r["v"]) for r in iceberg_read(spark, root).collect()}
+    assert (2, 102.0) in rows
+    assert len(rows) == len(got)
+
+    # MERGE on v3: matched rows DV-mask, source rows land
+    iceberg_merge_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(3, 333.0), (1000, 1.0)], "id int, v double"),
+        ["id"],
+    )
+    rows = {(r["id"], r["v"]) for r in iceberg_read(spark, root).collect()}
+    assert (3, 333.0) in rows and (1000, 1.0) in rows
+
+    # v4 refuses loudly
+    import json as _json
+
+    metas = sorted(_glob.glob(f"{root}/metadata/v*.metadata.json"))
+    m = _json.load(open(metas[-1]))
+    m["format-version"] = 4
+    nxt = f"{root}/metadata/v{len(metas) + 1}.metadata.json"
+    with open(nxt, "w") as f:
+        _json.dump(m, f)
+    import os as _os
+
+    crc = f"{root}/metadata/.version-hint.text.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)  # hand-edit invalidates Hadoop's checksum sidecar
+    with open(f"{root}/metadata/version-hint.text", "w") as f:
+        f.write(str(len(metas) + 1))
+    with _pytest.raises(NotImplementedError, match="format-version 4"):
+        iceberg_read(spark, root)
