@@ -726,3 +726,186 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
         "version long, timestamp long, operation string, "
         "operation_parameters string",
     )
+
+
+def delta_table_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED batch reader — Delta's ``table_changes(...)``
+    (round 12, VERDICT r11 #4): the row-level changes committed in
+    versions ``[starting_version, ending_version]``, as the table's
+    LOGICAL columns plus ``_change_type`` (insert / delete /
+    update_preimage / update_postimage), ``_commit_version`` and
+    ``_commit_timestamp``.
+
+    Per commit (PROTOCOL.md §Change Data Files): ``cdc`` actions are
+    the whole truth when present — their ``_change_data/`` parquet
+    files read directly; commits WITHOUT cdc actions derive ``insert``
+    rows from their dataChange adds (pure appends), skip when nothing
+    changed (OPTIMIZE republishes with dataChange=false), and RAISE
+    when rows were removed without change data (Delta's own
+    table_changes errors on ranges where CDF was off). All change
+    files of the range scan as ONE read per shape, with per-file
+    (version, timestamp, partition values) injected through a
+    metadata-sized broadcast join — no per-commit plan legs, no
+    driver data path. Column mapping: name mode supported; id mode
+    refuses (the CDF writer refuses it too)."""
+    from pyspark.sql import types as T
+
+    from simple_data_workflow_spark.sources.delta_writer import _replay_full
+
+    _adds_now, meta, _proto, cur_v, _t = _replay_full(spark, path)
+    if meta is None:
+        raise ValueError(f"no Delta table at {path}")
+    end = cur_v if ending_version is None else min(int(ending_version), cur_v)
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if mode == "id":
+        raise NotImplementedError(
+            "change data feed on an id-mapped table is not supported by "
+            "the jar-free reader"
+        )
+    mapped = mode == "name" or _is_mapped(schema)
+    part_cols = list(meta.get("partitionColumns") or [])
+    types = {f.name: f.dataType for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    part_fields = [f for f in schema.fields if f.name in part_cols]
+    phys = {f.name: _physical_name(f) if mapped else f.name for f in schema.fields}
+
+    def _full(rel: str) -> str:
+        dec = urllib.parse.unquote(rel)
+        return dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
+
+    cdc_files: list[tuple[str, int, int | None, dict]] = []
+    ins_files: list[tuple[str, int, int | None, dict]] = []
+    for v in range(int(starting_version), end + 1):
+        raw = _read_bytes(
+            spark, f"{path}/_delta_log/{v:020d}.json"
+        ).decode("utf-8")
+        acts = [json.loads(x) for x in raw.splitlines() if x.strip()]
+        ts = next(
+            (a["commitInfo"].get("timestamp") for a in acts if "commitInfo" in a),
+            None,
+        )
+        cdcs = [a["cdc"] for a in acts if "cdc" in a]
+        if cdcs:
+            for c in cdcs:
+                cdc_files.append(
+                    (_full(c["path"]), v, ts, c.get("partitionValues") or {})
+                )
+            continue
+        removes = [
+            a["remove"]
+            for a in acts
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        adds = [
+            a["add"]
+            for a in acts
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        if removes:
+            raise ValueError(
+                f"version {v} of {path} removed rows without change data "
+                "— enable delta.enableChangeDataFeed before running DML "
+                "to make this range CDF-readable"
+            )
+        for a in adds:
+            ins_files.append(
+                (_full(a["path"]), v, ts, a.get("partitionValues") or {})
+            )
+
+    out_fields = (
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+            T.StructField("_commit_timestamp", T.TimestampType()),
+        ]
+    )
+    out_schema = StructType(out_fields)
+    if not cdc_files and not ins_files:
+        return spark.createDataFrame([], out_schema)
+
+    read_fields = [
+        T.StructField(
+            phys[f.name],
+            _physicalize(f.dataType) if mapped else f.dataType,
+            f.nullable,
+        )
+        for f in data_fields
+    ]
+
+    def _scan(files_info, with_ct: bool) -> DataFrame:
+        rs = StructType(
+            list(read_fields)
+            + ([T.StructField("_change_type", T.StringType())] if with_ct else [])
+        )
+        df = (
+            spark.read.schema(rs)
+            .parquet(*sorted({f[0] for f in files_info}))
+            .select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__fk"),
+            )
+        )
+        map_rows = []
+        for full, v, ts, pv in files_info:
+            local = (
+                urllib.parse.urlparse(full).path
+                if ("://" in full or full.startswith("file:"))
+                else full
+            )
+            vals = [
+                None
+                if pv.get(phys[c], pv.get(c)) in (None, _NULL_PARTITION)
+                else pv.get(phys[c], pv.get(c))
+                for c in part_cols
+            ]
+            map_rows.append((local, v, ts, *vals))
+        map_schema = T.StructType(
+            [
+                T.StructField("__fk", T.StringType()),
+                T.StructField("__v", T.LongType()),
+                T.StructField("__ts", T.LongType()),
+            ]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in part_cols]
+        )
+        mapdf = spark.createDataFrame(map_rows, map_schema)
+        df = df.join(F.broadcast(mapdf), "__fk")
+        return df.select(
+            *[
+                F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+                for f in data_fields
+            ],
+            *[
+                F.col(f"__pv_{c}").cast(types[c]).alias(c)
+                for c in part_cols
+            ],
+            (
+                F.col("_change_type")
+                if with_ct
+                else F.lit("insert").alias("_change_type")
+            ),
+            F.col("__v").alias("_commit_version"),
+            (F.col("__ts") / F.lit(1000.0))
+            .cast("timestamp")
+            .alias("_commit_timestamp"),
+        )
+
+    parts = []
+    if cdc_files:
+        parts.append(_scan(cdc_files, True))
+    if ins_files:
+        parts.append(_scan(ins_files, False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*[f.name for f in out_schema.fields])

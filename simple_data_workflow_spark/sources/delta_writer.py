@@ -974,6 +974,130 @@ def _stage_physical(
     return _stage_data_files(df, path, stage_parts)
 
 
+def _cdf_enabled(meta: dict | None) -> bool:
+    """Table property ``delta.enableChangeDataFeed`` (CDF writes are
+    gated on it, like Delta's own writers)."""
+    return (
+        str(
+            ((meta or {}).get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", "false"
+            )
+        ).lower()
+        == "true"
+    )
+
+
+def _stage_change_files(
+    spark: SparkSession, path: str, view: dict, changes, operation: str
+) -> list[dict]:
+    """Stage CHANGE DATA FEED files under ``_change_data/`` for a DML
+    commit: ``changes`` carries the table's logical columns plus
+    ``_change_type`` (insert / delete / update_preimage /
+    update_postimage — PROTOCOL.md §Change Data Files). Data columns
+    physicalize exactly like table files (name-mode column mapping);
+    ``_change_type`` stores verbatim. Returns the ``cdc`` action dicts
+    (``dataChange=false`` — streaming tailers of the MAIN table skip
+    them; the CDF reader targets them)."""
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _physical_name,
+        _physicalize,
+    )
+
+    schema, part_cols = view["schema"], view["part_cols"]
+    if view["id_mode"]:
+        raise NotImplementedError(
+            f"{operation}: change data feed on an id-mapped table is "
+            "not supported by the jar-free writer"
+        )
+    if view["mapped"]:
+        cols = [
+            F.col(f.name)
+            .cast(_physicalize(f.dataType))
+            .alias(_physical_name(f))
+            for f in schema.fields
+        ]
+        changes = changes.select(*cols, "_change_type")
+        stage_parts = [
+            _physical_name(f) for f in schema.fields if f.name in part_cols
+        ]
+    else:
+        changes = changes.select(
+            *[f.name for f in schema.fields], "_change_type"
+        )
+        stage_parts = list(part_cols)
+    staged = _stage_data_files(changes, f"{path}/_change_data", stage_parts)
+    return [
+        {
+            "path": "_change_data/" + a["path"],
+            "partitionValues": a["partitionValues"],
+            "size": a["size"],
+            "dataChange": False,
+        }
+        for a in staged
+    ]
+
+
+def delta_set_properties(
+    spark: SparkSession, path: str, props: dict, _retries: int = 5
+) -> int:
+    """ALTER TABLE SET TBLPROPERTIES, jar-free: republish metaData with
+    the merged configuration in one commit. Enabling
+    ``delta.enableChangeDataFeed`` also upgrades the protocol with the
+    ``changeDataFeed`` writer feature (legacy tables bump
+    minWriterVersion to 4, feature-tables add the flag) — the spec's
+    gate for writing ``cdc`` actions."""
+    for attempt in range(_retries):
+        adds, meta, proto, cur_v, _t = _replay_full(spark, path)
+        if meta is None:
+            raise ValueError(f"no Delta table at {path}")
+        conf = dict(meta.get("configuration") or {})
+        conf.update({k: str(v) for k, v in props.items()})
+        now = int(time.time() * 1000)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "SET TBLPROPERTIES",
+                        "operationParameters": {
+                            "properties": json.dumps(
+                                {k: str(v) for k, v in props.items()}
+                            )
+                        },
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            )
+        ]
+        if _cdf_enabled({"configuration": conf}):
+            proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+            wfeats = proto.get("writerFeatures")
+            if wfeats is not None:
+                if "changeDataFeed" not in wfeats:
+                    new_proto = dict(proto)
+                    new_proto["writerFeatures"] = sorted(
+                        set(wfeats) | {"changeDataFeed"}
+                    )
+                    lines.append(json.dumps({"protocol": new_proto}))
+            elif int(proto.get("minWriterVersion", 2)) < 4:
+                new_proto = dict(proto)
+                new_proto["minWriterVersion"] = 4
+                lines.append(json.dumps({"protocol": new_proto}))
+        meta_out = dict(meta)
+        meta_out["configuration"] = conf
+        lines.append(json.dumps({"metaData": meta_out}))
+        version = cur_v + 1
+        if _publish_if_absent(
+            spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
+        ):
+            return version
+    raise DeltaConcurrentWrite(
+        f"SET TBLPROPERTIES on {path} lost the commit race {_retries} times"
+    )
+
+
 def _dml_rewrite(
     spark: SparkSession,
     path: str,
@@ -985,6 +1109,7 @@ def _dml_rewrite(
     _hits0: tuple | None = None,
     _view0: dict | None = None,
     _retries: int = 5,
+    cdc_fn=None,
 ) -> int:
     """Shared CoW DML engine: find the files that contain matches
     (one scan with ``_metadata.file_path`` — unaffected files never
@@ -1078,6 +1203,13 @@ def _dml_rewrite(
             extra = extra_rows_fn([f.name for f in schema.fields])
             rewritten = rewritten.unionByName(extra)
         staged = _stage_physical(spark, path, rewritten, view, operation)
+        cdc_actions: list[dict] = []
+        if cdc_fn is not None and _cdf_enabled(view["meta"]):
+            cdf = cdc_fn(snap)
+            if cdf is not None:
+                cdc_actions = _stage_change_files(
+                    spark, path, view, cdf, operation
+                )
 
         now = int(time.time() * 1000)
         rel_by_full = {}
@@ -1117,6 +1249,7 @@ def _dml_rewrite(
                 )
             )
         lines.extend(json.dumps({"add": a}) for a in staged)
+        lines.extend(json.dumps({"cdc": c}) for c in cdc_actions)
         version = cur_v + 1
         if _publish_if_absent(
             spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
@@ -1127,6 +1260,9 @@ def _dml_rewrite(
         jvm, fs = _fs(spark, path)
         for a in staged:
             dec = urllib.parse.unquote(a["path"])
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{dec}"), False)
+        for c in cdc_actions:
+            dec = urllib.parse.unquote(c["path"])
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{dec}"), False)
     raise DeltaConcurrentWrite(
         f"{operation} on {path} lost the commit race {_retries} times"
@@ -1144,6 +1280,7 @@ def _dv_dml(
     checkpoint_matches: bool = True,
     _retries: int = 5,
     _subset0: tuple | None = None,
+    cdc_fn=None,
 ) -> int:
     """Shared merge-on-read DML engine: DELETION VECTORS mark the rows
     ``hit_fn(snap)`` selects as dead, and ``new_rows_fn(matches, view)``
@@ -1245,6 +1382,13 @@ def _dv_dml(
                 view,
                 operation,
             )
+        cdc_actions: list[dict] = []
+        if cdc_fn is not None and _cdf_enabled(view["meta"]):
+            cdf = cdc_fn(matches.drop("__file", "__row"), view)
+            if cdf is not None:
+                cdc_actions = _stage_change_files(
+                    spark, path, view, cdf, operation
+                )
 
         jvm, fs = _fs(spark, path)
         from pyspark.sql import functions as F
@@ -1449,6 +1593,7 @@ def _dv_dml(
             )
             lines.append(json.dumps({"add": old_add}))
         lines.extend(json.dumps({"add": a}) for a in staged)
+        lines.extend(json.dumps({"cdc": c}) for c in cdc_actions)
         version = view["cur_v"] + 1
         if _publish_if_absent(
             spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
@@ -1460,6 +1605,9 @@ def _dv_dml(
             fs.delete(jvm.org.apache.hadoop.fs.Path(sc_p), False)
         for a in staged:
             dec = urllib.parse.unquote(a["path"])
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{dec}"), False)
+        for c in cdc_actions:
+            dec = urllib.parse.unquote(c["path"])
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{dec}"), False)
     raise DeltaConcurrentWrite(
         f"{operation} on {path} lost the commit race {_retries} times"
@@ -1476,6 +1624,8 @@ def _dv_delete(
     """Merge-on-read DELETE: write DELETION VECTORS instead of
     rewriting files — cost ∝ deleted rows, not affected-file bytes
     (see ``_dv_dml``)."""
+    from pyspark.sql import functions as F
+
     return _dv_dml(
         spark,
         path,
@@ -1484,6 +1634,7 @@ def _dv_delete(
         lambda snap: snap.where(predicate),
         _retries=_retries,
         _subset0=_subset0,
+        cdc_fn=lambda m, _v: m.withColumn("_change_type", F.lit("delete")),
     )
 
 
@@ -1810,6 +1961,15 @@ def delta_delete(
                 _subset0=(view["cur_v"], _probe_files(view, probe)),
             )
         hits0 = (view["cur_v"], [r for r in probe])
+    from pyspark.sql import functions as F
+
+    def _cdc_delete(snap):
+        return (
+            snap.where(f"coalesce(({predicate}), false)")
+            .drop("__file")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+
     return _dml_rewrite(
         spark,
         path,
@@ -1818,6 +1978,7 @@ def delta_delete(
         "DELETE",
         _hits0=hits0,
         _view0=view if strategy == "auto" else None,
+        cdc_fn=_cdc_delete,
     )
 
 
@@ -1844,6 +2005,13 @@ def _dv_update(
             out = out.withColumn(col, F.expr(expr).cast(types[col]))
         return out.select(*[f.name for f in view["schema"].fields])
 
+    def cdc(m, view):
+        pre = m.withColumn("_change_type", F.lit("update_preimage"))
+        post = new_rows(m, view).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        return pre.unionByName(post)
+
     return _dv_dml(
         spark,
         path,
@@ -1853,6 +2021,7 @@ def _dv_update(
         new_rows_fn=new_rows,
         _retries=_retries,
         _subset0=_subset0,
+        cdc_fn=cdc,
     )
 
 
@@ -1930,6 +2099,18 @@ def delta_update(
             )
         return out
 
+    def _cdc_update(snap):
+        pre = snap.where(f"coalesce(({predicate}), false)").drop("__file")
+        types = {f.name: f.dataType for f in pre.schema.fields}
+        post = pre
+        for col, expr in set_exprs.items():
+            post = post.withColumn(col, F.expr(expr).cast(types[col]))
+        return pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        )
+
     return _dml_rewrite(
         spark,
         path,
@@ -1938,6 +2119,7 @@ def delta_update(
         "UPDATE",
         _hits0=hits0,
         _view0=view if strategy == "auto" else None,
+        cdc_fn=_cdc_update,
     )
 
 
@@ -2016,6 +2198,18 @@ def delta_merge_upsert(
     def extra_rows_fn(out_cols):
         return src.select(*out_cols)
 
+    from pyspark.sql import functions as F
+
+    def _cdc_merge(snap):
+        matched = hit_fn(snap).drop("__file")
+        return matched.withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(
+            src.select(*matched.columns).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+
     return _dml_rewrite(
         spark,
         path,
@@ -2026,6 +2220,7 @@ def delta_merge_upsert(
         extra_rows_fn=extra_rows_fn,
         _hits0=hits0,
         _view0=view if strategy == "auto" else None,
+        cdc_fn=_cdc_merge,
     )
 
 
@@ -2042,6 +2237,16 @@ def _dv_merge(
     and appends every source row as new data files — no data-file
     rewrites, cost ∝ matched + source rows. ``src`` is already
     checkpointed and projected to the table columns by the caller."""
+    from pyspark.sql import functions as F
+
+    def cdc(m, view):
+        cols = [f.name for f in view["schema"].fields]
+        return m.select(*cols).withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(
+            src.select(*cols).withColumn("_change_type", F.lit("insert"))
+        )
+
     return _dv_dml(
         spark,
         path,
@@ -2055,6 +2260,7 @@ def _dv_merge(
         checkpoint_matches=False,
         _retries=_retries,
         _subset0=_subset0,
+        cdc_fn=cdc,
     )
 
 

@@ -118,6 +118,9 @@ class _DeltaFilePartition(InputPartition):
     partition_values: dict = field(default_factory=dict)
     #: deletion-vector positions to MASK OUT; None = none
     dv_positions: list | None = None
+    #: CDF file: keep only rows whose _change_type is in this list,
+    #: then drop the column; None = a plain data file
+    cdc_types: list | None = None
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -216,6 +219,42 @@ class DeltaStreamReader(DataSourceStreamReader):
             adds = [a["add"] for a in actions if "add" in a]
             removes = [a for a in actions if "remove" in a]
             data_adds = [a for a in adds if a.get("dataChange", True)]
+            cdcs = [a["cdc"] for a in actions if "cdc" in a]
+            if cdcs:
+                # CHANGE DATA FEED commit (round 12): the cdc files name
+                # the committed changes exactly — stream the NEW row
+                # versions (insert / update_postimage) once, never the
+                # carried-over rows, so DML commits tail exactly-once
+                # without allowRewrites
+                for c in cdcs:
+                    rel = urllib.parse.unquote(c["path"])
+                    full = (
+                        rel
+                        if "://" in rel or rel.startswith("/")
+                        else f"{root}/{rel}"
+                    )
+                    pv = {}
+                    raw_pv = c.get("partitionValues") or {}
+                    for col in self._part_cols:
+                        val = raw_pv.get(
+                            self._part_phys[col], raw_pv.get(col)
+                        )
+                        pv[col] = (
+                            None
+                            if val is None or val == _NULL_PARTITION
+                            else val
+                        )
+                    parts.append(
+                        _DeltaFilePartition(
+                            _local_root(full),
+                            v,
+                            cmap=self._cmap,
+                            idnames=self._idnames,
+                            partition_values=pv,
+                            cdc_types=["insert", "update_postimage"],
+                        )
+                    )
+                continue
             if not data_adds:
                 continue  # metadata/protocol-only or compaction
             if removes and not self._allow_rewrites:
@@ -284,6 +323,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.file_path)
+        if partition.cdc_types:
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(
+                pc.is_in(
+                    tbl.column("_change_type"),
+                    value_set=pa.array(partition.cdc_types),
+                )
+            )
+            tbl = tbl.drop_columns(["_change_type"])
         # id-mode resolution at EVERY nesting level: the file's fields
         # RENAME to their logical names by footer field id (a schema
         # cast — positional, so values never move), then columns

@@ -1293,3 +1293,105 @@ def test_merge_schema_append_survives_commit_race(spark, tmp_path, monkeypatch):
         (2, 2.0, "x", None),
         (3, 3.0, None, 7),
     }
+
+
+def test_delta_change_data_feed_roundtrip(spark, tmp_path):
+    """Round 12 (VERDICT r11 #4): jar-free Delta CDF. Enabling
+    delta.enableChangeDataFeed upgrades the protocol; DELETE/UPDATE/
+    MERGE emit _change_data parquet + cdc actions (both rewrite and
+    deletion-vector strategies); delta_table_changes reads back exact
+    I/U/D pre/postimages; appends derive as inserts; a non-CDF removal
+    range raises like Delta's own table_changes."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_read,
+        delta_table_changes,
+    )
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_merge_upsert,
+        delta_set_properties,
+        delta_update,
+        delta_write,
+    )
+
+    root = str(tmp_path / "cdf")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ).coalesce(1),
+        root,
+        mode="error",
+    )  # v0
+    delta_set_properties(
+        spark, root, {"delta.enableChangeDataFeed": "true"}
+    )  # v1
+    with open(f"{root}/_delta_log/{1:020d}.json") as f:
+        acts = [json.loads(x) for x in f if x.strip()]
+    proto = next((a["protocol"] for a in acts if "protocol" in a), None)
+    assert proto is not None and proto["minWriterVersion"] >= 4
+
+    delta_delete(spark, root, "id >= 8", strategy="rewrite")  # v2
+    delta_update(
+        spark, root, {"v": "v * 10.0"}, "id = 1", strategy="rewrite"
+    )  # v3
+    delta_merge_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(2, 222.0), (50, 50.0)], "id long, v double"),
+        ["id"],
+        strategy="rewrite",
+    )  # v4
+    assert _glob.glob(f"{root}/_change_data/*.parquet")
+
+    ch = delta_table_changes(spark, root, 2, 4)
+    got = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in ch.collect()
+    }
+    assert got == {
+        (8, 8.0, "delete", 2),
+        (9, 9.0, "delete", 2),
+        (1, 1.0, "update_preimage", 3),
+        (1, 10.0, "update_postimage", 3),
+        (2, 2.0, "delete", 4),
+        (2, 222.0, "insert", 4),
+        (50, 50.0, "insert", 4),
+    }
+    # the appends (v0) derive as inserts
+    ch0 = delta_table_changes(spark, root, 0, 0)
+    assert {(r["id"], r["_change_type"]) for r in ch0.collect()} == {
+        (i, "insert") for i in range(10)
+    }
+    # DV-strategy DML also emits CDF
+    delta_delete(spark, root, "id = 3", strategy="dv")  # v5
+    ch5 = delta_table_changes(spark, root, 5, 5)
+    assert {(r["id"], r["_change_type"]) for r in ch5.collect()} == {
+        (3, "delete")
+    }
+    delta_update(spark, root, {"v": "v + 0.5"}, "id = 4", strategy="dv")  # v6
+    ch6 = delta_table_changes(spark, root, 6, 6)
+    assert {(r["id"], r["v"], r["_change_type"]) for r in ch6.collect()} == {
+        (4, 4.0, "update_preimage"),
+        (4, 4.5, "update_postimage"),
+    }
+    # table state agrees with the replayed changes
+    rows = {(r["id"], r["v"]) for r in delta_read(spark, root).collect()}
+    assert rows == {
+        (0, 0.0), (1, 10.0), (2, 222.0), (4, 4.5),
+        (5, 5.0), (6, 6.0), (7, 7.0), (50, 50.0),
+    }
+
+    # a pre-CDF removal range raises
+    root2 = str(tmp_path / "nocdf")
+    delta_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        root2,
+        mode="error",
+    )
+    delta_delete(spark, root2, "id = 1", strategy="rewrite")
+    with _pytest.raises(ValueError, match="without change data"):
+        delta_table_changes(spark, root2, 0, 1).collect()
