@@ -3712,6 +3712,124 @@ def hudi_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hudi_1x_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 (VERDICT r11 #5): Hudi 1.x (table version 8) reads —
+    the timeline moves to ``.hoodie/timeline/`` with
+    ``<requested>_<completion>.<action>`` names, and MoR DELETE blocks
+    carry KRYO-serialized ``HoodieKey[]`` payloads (the runtime-writer
+    shape: fixed class preamble + per-key tag + partitionPath/recordKey
+    strings — ``hudi_log.decode_kryo_delete_payload``). The fixture
+    builds a MERGE_ON_READ orders table, upserts one band, appends a
+    spec-shaped Kryo delete block, converts the whole timeline to the
+    1.x layout in place, and reads the merged snapshot back. The
+    oracle replays upsert + delete as CASE + WHERE over raw parquet."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    import tempfile
+
+    from simple_data_workflow_spark.sources import hudi_log as hlog
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        _resolve_groups,
+        hudi_read,
+    )
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_delta_upsert,
+        hudi_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-h1x-") + "/orders_h1x"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    hudi_write(
+        orders,
+        path,
+        mode="error",
+        record_key="o_orderkey",
+        table_type="MERGE_ON_READ",
+    )
+    t1 = hudi_delta_upsert(
+        spark,
+        path,
+        orders.where("o_orderkey % 50 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        ),
+    )
+    # a runtime-writer-shaped KRYO delete block per file group
+    del_keys = sorted(
+        str(r["o_orderkey"])
+        for r in orders.where("o_orderkey % 97 = 0")
+        .select("o_orderkey")
+        .collect()
+    )  # metadata-sized: ~1% of the keys
+    groups, logs, _c, _r = _resolve_groups(spark, path)
+    inst2 = str(int(t1) + 1)
+    for (part, fid), (binst, base) in groups.items():
+        vers = [v for v, _p in logs.get((part, fid), [])]
+        nxt = (max(vers) + 1) if vers else 1
+        blk = hlog.encode_block(
+            hlog.DELETE_BLOCK,
+            {hlog.INSTANT_TIME: inst2},
+            hlog.encode_kryo_delete_payload([(part, k) for k in del_keys]),
+        )
+        with open(
+            f"{_os.path.dirname(base)}/.{fid}_{binst}.log.{nxt}_0-1-1", "wb"
+        ) as f:
+            f.write(blk)
+    # publish the delete + convert the timeline to the 1.x layout
+    hd = f"{path}/.hoodie"
+    _os.makedirs(f"{hd}/timeline", exist_ok=True)
+    with open(
+        f"{hd}/timeline/{inst2}_{int(inst2) + 1}.deltacommit", "w"
+    ) as f:
+        f.write("{}")
+    moved = 0
+    for n in sorted(_os.listdir(hd)):
+        m = _re.match(r"^(\d+)\.(commit|deltacommit|replacecommit)$", n)
+        if m:
+            _shutil.move(
+                f"{hd}/{n}",
+                f"{hd}/timeline/{m.group(1)}_{int(m.group(1)) + 1}"
+                f".{m.group(2)}",
+            )
+            moved += 1
+    assert moved >= 2, "fixture must exercise the 1.x timeline layout"
+    crc = f"{hd}/.hoodie.properties.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    with open(f"{hd}/hoodie.properties", "a") as f:
+        f.write("hoodie.table.version=8\n")
+    got = hudi_read(spark, path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+HUDI_1X_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM kept
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 12 (VERDICT r11 #4): jar-free Delta CHANGE DATA FEED.
     Orders land as a Delta table, ``delta_set_properties`` enables
@@ -6323,6 +6441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_eq_delete_write": _wrap(iceberg_eq_delete_write),
         "iceberg_v3_dv_read": _wrap(iceberg_v3_dv_read),
         "delta_cdf_roundtrip": _wrap(delta_cdf_roundtrip),
+        "hudi_1x_read": _wrap(hudi_1x_read),
         "hudi_stream_read": _wrap(hudi_stream_read),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
@@ -6645,6 +6764,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_eq_delete_write": ICEBERG_EQ_DELETE_SQL,
         "iceberg_v3_dv_read": ICEBERG_V3_DV_SQL,
         "delta_cdf_roundtrip": DELTA_CDF_SQL,
+        "hudi_1x_read": HUDI_1X_SQL,
         "hudi_stream_read": ICEBERG_STREAM_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,

@@ -352,8 +352,221 @@ def encode_delete_block(instant: str, keys: list[str]) -> bytes:
     return encode_block(DELETE_BLOCK, {INSTANT_TIME: instant}, content)
 
 
+# ---------------------------------------------------------------------------
+# Kryo-serialized delete keys (round 12, VERDICT r11 #5)
+#
+# Hudi runtime writers serialize DELETE_BLOCK keys through
+# SerializationUtils (shaded Kryo, registrationRequired=false,
+# references off): ``kryo.writeClassAndObject(out, HoodieKey[])``.
+# The COMMON case is a fixed preamble + per-key tag + two strings:
+#
+# - class tag: varint 1 (``NAME``), varint nameId 0, then the array
+#   class name ``[Lorg.apache.hudi.common.model.HoodieKey;`` as a Kryo
+#   string — FIXED bytes for this payload shape;
+# - array length + 1 as a varint (ObjectArraySerializer);
+# - per element: varint 1 + varint nameId (1 — the element class is
+#   named once, the first element carries the name string), then the
+#   FieldSerializer fields in alphabetical order: ``partitionPath``,
+#   ``recordKey`` — each a Kryo string (ASCII strings pack the chars
+#   raw with bit 8 set on the LAST byte; non-ASCII/short strings use
+#   a UTF8-length header: first byte has bit 8 set, bit 7 continues
+#   the varint, value = char count + 1; 0x80 alone encodes null and
+#   0x81 the empty string).
+#
+# Anything outside this shape (custom payload classes, DeleteRecord
+# with ordering values, reference-tracking streams) still refuses
+# loudly — decoding it by guesswork could resurrect or over-delete
+# rows.
+# ---------------------------------------------------------------------------
+
+_KRYO_HOODIE_KEY_ARRAY = "[Lorg.apache.hudi.common.model.HoodieKey;"
+_KRYO_HOODIE_KEY = "org.apache.hudi.common.model.HoodieKey"
+
+
+def _kryo_write_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        if v & ~0x7F:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        else:
+            out.append(v)
+            return bytes(out)
+
+
+def _kryo_read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    v, shift = 0, 0
+    while True:
+        if pos >= len(data):
+            raise HudiLogCorrupt("Kryo varint truncated")
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+        if shift > 35:
+            raise HudiLogCorrupt("Kryo varint too long")
+
+
+def _kryo_write_string(s: str | None) -> bytes:
+    if s is None:
+        return b"\x80"
+    if s == "":
+        return b"\x81"
+    if len(s) > 1 and all(ord(c) < 128 for c in s):
+        b = bytearray(s.encode("ascii"))
+        b[-1] |= 0x80
+        return bytes(b)
+    # UTF8-length header: varint of (charCount + 1); first byte flags
+    # 0x80 = "length follows", 0x40 = continuation
+    n = len(s) + 1
+    out = bytearray()
+    if n >> 6 == 0:
+        out.append(n | 0x80)
+    elif n >> 13 == 0:
+        out.append((n & 0x3F) | 0x40 | 0x80)
+        out.append((n >> 6) & 0xFF)
+    elif n >> 20 == 0:
+        out.append((n & 0x3F) | 0x40 | 0x80)
+        out.append(((n >> 6) & 0x7F) | 0x80)
+        out.append((n >> 13) & 0xFF)
+    else:
+        raise ValueError("string too long for the Kryo codec")
+    return bytes(out) + s.encode("utf-8")
+
+
+def _kryo_read_string(data: bytes, pos: int) -> tuple[str | None, int]:
+    if pos >= len(data):
+        raise HudiLogCorrupt("Kryo string truncated")
+    b = data[pos]
+    if b & 0x80:
+        # UTF8-length header
+        n = b & 0x3F
+        pos += 1
+        if b & 0x40:
+            if pos >= len(data):
+                raise HudiLogCorrupt("Kryo string length truncated")
+            b2 = data[pos]
+            n |= (b2 & 0x7F) << 6
+            pos += 1
+            if b2 & 0x80:
+                if pos >= len(data):
+                    raise HudiLogCorrupt("Kryo string length truncated")
+                b3 = data[pos]
+                if b3 & 0x80:
+                    raise HudiLogCorrupt(
+                        "Kryo string longer than the codec supports"
+                    )
+                n |= (b3 & 0x7F) << 13
+                pos += 1
+        if n == 0:
+            return None, pos
+        if n == 1:
+            return "", pos
+        chars = n - 1
+        # chars, not bytes: decode incrementally (ASCII-dominant keys
+        # decode in one slice; multi-byte tails walk)
+        raw = data[pos:]
+        try:
+            s = raw[:chars].decode("utf-8")
+            if len(s) == chars:
+                return s, pos + chars
+        except UnicodeDecodeError:
+            pass
+        out, taken = [], 0
+        while len(out) < chars:
+            for w in (1, 2, 3, 4):
+                try:
+                    out.append(raw[taken : taken + w].decode("utf-8"))
+                    taken += w
+                    break
+                except UnicodeDecodeError:
+                    continue
+            else:
+                raise HudiLogCorrupt("Kryo UTF8 string undecodable")
+        return "".join(out), pos + taken
+    # ASCII mode: bytes until one with bit 8 set (inclusive)
+    j = pos
+    while j < len(data) and not data[j] & 0x80:
+        j += 1
+    if j >= len(data):
+        raise HudiLogCorrupt("Kryo ASCII string unterminated")
+    return (
+        data[pos:j].decode("ascii") + chr(data[j] & 0x7F),
+        j + 1,
+    )
+
+
+def encode_kryo_delete_payload(keys: list[tuple[str, str]]) -> bytes:
+    """Serialize ``[(partitionPath, recordKey), ...]`` exactly as
+    Hudi's SerializationUtils Kryo stream does for ``HoodieKey[]``
+    (fixture builder; the decoder below is the product)."""
+    out = bytearray()
+    out += _kryo_write_varint(1)  # class tag: NAME
+    out += _kryo_write_varint(0)  # nameId 0 (first named class)
+    out += _kryo_write_string(_KRYO_HOODIE_KEY_ARRAY)
+    out += _kryo_write_varint(len(keys) + 1)
+    for i, (part, rec) in enumerate(keys):
+        out += _kryo_write_varint(1)  # NAME tag
+        out += _kryo_write_varint(1)  # nameId 1 = HoodieKey
+        if i == 0:
+            out += _kryo_write_string(_KRYO_HOODIE_KEY)
+        out += _kryo_write_string(part)
+        out += _kryo_write_string(rec)
+    return bytes(out)
+
+
+def decode_kryo_delete_payload(data: bytes) -> list[str]:
+    """Record keys from a Kryo-serialized ``HoodieKey[]`` delete
+    payload (the common runtime-writer shape documented above)."""
+    tag, pos = _kryo_read_varint(data, 0)
+    if tag != 1:
+        raise HudiLogCorrupt(
+            f"Kryo delete payload: unexpected class tag {tag}"
+        )
+    _nid, pos = _kryo_read_varint(data, pos)
+    cls, pos = _kryo_read_string(data, pos)
+    if cls != _KRYO_HOODIE_KEY_ARRAY:
+        raise HudiLogCorrupt(
+            f"Kryo delete payload: array class {cls!r} — custom payload "
+            "classes need the Hudi runtime to decode"
+        )
+    n1, pos = _kryo_read_varint(data, pos)
+    keys: list[str] = []
+    for i in range(n1 - 1):
+        tag, pos = _kryo_read_varint(data, pos)
+        if tag == 0:
+            keys.append(None)  # null element (tolerate)
+            continue
+        if tag != 1:
+            raise HudiLogCorrupt(
+                f"Kryo delete payload: element tag {tag} — custom "
+                "payload classes need the Hudi runtime to decode"
+            )
+        _nid, pos = _kryo_read_varint(data, pos)
+        if i == 0:
+            cls, pos = _kryo_read_string(data, pos)
+            if cls != _KRYO_HOODIE_KEY:
+                raise HudiLogCorrupt(
+                    f"Kryo delete payload: element class {cls!r} — "
+                    "custom payload classes need the Hudi runtime"
+                )
+        _part, pos = _kryo_read_string(data, pos)
+        rec, pos = _kryo_read_string(data, pos)
+        keys.append(rec)
+    if pos != len(data):
+        raise HudiLogCorrupt("Kryo delete payload trailing bytes")
+    return [k for k in keys if k is not None]
+
+
 def decode_delete_block(block: dict) -> list[str]:
     data = block["content"]
+    if data[:2] == b"\x01\x00":
+        # a Kryo-serialized HoodieKey[] payload (runtime writers, both
+        # 0.x and 1.x) — the framed layout below always starts with a
+        # big-endian int32 version whose first byte is 0x00
+        return decode_kryo_delete_payload(data)
     if len(data) < 8:
         raise HudiLogCorrupt("delete block too short")
     _v, n = struct.unpack_from(">ii", data, 0)

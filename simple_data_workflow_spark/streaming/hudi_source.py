@@ -58,23 +58,51 @@ def _local(path: str) -> str:
     return path
 
 
-def _completed_instants(path: str) -> list[tuple[str, str]]:
-    """Sorted (instant, action) for completed commit/deltacommit/
-    replacecommit actions — session-free."""
+def _timeline_dirs(path: str) -> list[str]:
     hd = f"{_local(path)}/.hoodie"
     if not os.path.isdir(hd):
         raise FileNotFoundError(f"no .hoodie directory under {path}")
+    dirs = [hd]
+    if os.path.isdir(f"{hd}/timeline"):  # 1.x layout (round 12)
+        dirs.append(f"{hd}/timeline")
+    return dirs
+
+
+def _completed_instants(path: str) -> list[tuple[str, str]]:
+    """Sorted (instant, action) for completed commit/deltacommit/
+    replacecommit actions — session-free, BOTH timeline layouts
+    (classic bare names; 1.x completion-suffixed under
+    ``.hoodie/timeline/``)."""
     out = []
-    for n in os.listdir(hd):
-        m = re.match(r"^(\d+)\.(commit|deltacommit|replacecommit)$", n)
-        if m:
-            out.append((m.group(1), m.group(2)))
-    return sorted(out)
+    for d in _timeline_dirs(path):
+        for n in os.listdir(d):
+            m = re.match(
+                r"^(\d+)(?:_\d+)?\.(commit|deltacommit|replacecommit)$", n
+            )
+            if m:
+                out.append((m.group(1), m.group(2)))
+    return sorted(set(out))
+
+
+def _instant_file(path: str, instant: str, action: str) -> str:
+    classic = f"{_local(path)}/.hoodie/{instant}.{action}"
+    if os.path.exists(classic):
+        return classic
+    tl = f"{_local(path)}/.hoodie/timeline"
+    if os.path.isdir(tl):
+        for n in os.listdir(tl):
+            m = re.match(r"^(\d+)(?:_\d+)?\.([a-z]+)$", n)
+            if m and m.group(1) == instant and m.group(2) == action:
+                return f"{tl}/{n}"
+    raise FileNotFoundError(
+        f"no completed {action} metadata for instant {instant} under "
+        f"{path}/.hoodie"
+    )
 
 
 def _commit_files(path: str, instant: str, action: str) -> list[str]:
     """Relative paths the instant's ``partitionToWriteStats`` added."""
-    with open(f"{_local(path)}/.hoodie/{instant}.{action}") as f:
+    with open(_instant_file(path, instant, action)) as f:
         meta = json.load(f)
     out = []
     for _part, stats in (meta.get("partitionToWriteStats") or {}).items():

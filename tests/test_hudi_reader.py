@@ -642,3 +642,127 @@ def test_hudi_read_filters_prune_all_returns_empty(spark, tmp_path):
     _props(root3)
     with _pytest.raises(ValueError, match="no completed commits"):
         hudi_read(spark, root3, filters=[("region", "==", "AS")])
+
+
+def test_kryo_delete_payload_codec():
+    """Round 12 (VERDICT r11 #5): the Kryo HoodieKey[] delete-payload
+    codec — fixed class preamble, per-key tag + (partitionPath,
+    recordKey) strings; ASCII strings terminate via bit 8 on the last
+    byte, short/non-ASCII strings carry a UTF8-length header; null and
+    empty encode distinctly; custom classes refuse."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources import hudi_log as hlog
+
+    keys = [
+        ("region=US", "key-001"),
+        ("", "k"),              # empty partition, 1-char key (UTF8 path)
+        ("region=ü", "clé-42"),  # non-ASCII both sides
+    ]
+    payload = hlog.encode_kryo_delete_payload(keys)
+    assert hlog.decode_kryo_delete_payload(payload) == [
+        "key-001", "k", "clé-42",
+    ]
+    # golden preamble: NAME tag, nameId 0, the array class name with
+    # bit 8 set on its final ASCII char
+    cls = b"[Lorg.apache.hudi.common.model.HoodieKey;"
+    assert payload[:2] == b"\x01\x00"
+    assert payload[2 : 2 + len(cls)] == cls[:-1] + bytes(
+        [cls[-1] | 0x80]
+    )
+    # dispatch: decode_delete_block routes Kryo payloads
+    blk = hlog.encode_block(
+        hlog.DELETE_BLOCK, {hlog.INSTANT_TIME: "1"}, payload
+    )
+    [b] = hlog.decode_blocks(blk)
+    assert hlog.decode_delete_block(b) == ["key-001", "k", "clé-42"]
+    # a custom element class still refuses loudly (final chars carry
+    # the ASCII terminator bit, so match on the shared stem: first hit
+    # is the array class, second the element class)
+    bad = bytearray(payload)
+    first = payload.index(b"common.model.HoodieKe")
+    second = payload.index(b"common.model.HoodieKe", first + 1)
+    bad[second] = ord("X")
+    with _pytest.raises(hlog.HudiLogCorrupt, match="Hudi runtime"):
+        hlog.decode_kryo_delete_payload(bytes(bad))
+
+
+def test_hudi_1x_timeline_and_kryo_delete(spark, tmp_path):
+    """Round 12 (VERDICT r11 #5): a Hudi 1.x-layout table reads —
+    completed instants live in .hoodie/timeline/ with
+    <requested>_<completion>.<action> names, and a runtime-writer
+    (Kryo HoodieKey[]) DELETE block in the MoR log drops its keys.
+    Time travel and the timeline view work over the moved instants."""
+    import os as _os
+    import shutil as _shutil
+
+    from simple_data_workflow_spark.sources import hudi_log as hlog
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        _resolve_groups,
+        hudi_timeline_table,
+    )
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_delta_upsert,
+        hudi_write,
+    )
+
+    root = str(tmp_path / "h1x")
+    t0 = hudi_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ),
+        root,
+        mode="error",
+        record_key="id",
+        table_type="MERGE_ON_READ",
+    )
+    t1 = hudi_delta_upsert(
+        spark, root, spark.createDataFrame([(1, 100.0)], "id long, v double")
+    )
+
+    # hand-append a KRYO-serialized DELETE block for record key "2"
+    groups, logs, _c, _r = _resolve_groups(spark, root)
+    inst2 = str(int(t1) + 1)
+    for (part, fid), (binst, base) in groups.items():
+        vers = [v for v, _p in logs.get((part, fid), [])]
+        nxt = (max(vers) + 1) if vers else 1
+        blk = hlog.encode_block(
+            hlog.DELETE_BLOCK,
+            {hlog.INSTANT_TIME: inst2},
+            hlog.encode_kryo_delete_payload([(part, "2")]),
+        )
+        logname = f".{fid}_{binst}.log.{nxt}_0-1-1"
+        with open(f"{_os.path.dirname(base)}/{logname}", "wb") as f:
+            f.write(blk)
+
+    # publish inst2 AND move the whole timeline to the 1.x layout
+    hd = f"{root}/.hoodie"
+    _os.makedirs(f"{hd}/timeline", exist_ok=True)
+    with open(f"{hd}/timeline/{inst2}_{int(inst2) + 1}.deltacommit", "w") as f:
+        f.write("{}")
+    for n in sorted(_os.listdir(hd)):
+        m = __import__("re").match(r"^(\d+)\.(commit|deltacommit)$", n)
+        if m:
+            _shutil.move(
+                f"{hd}/{n}",
+                f"{hd}/timeline/{m.group(1)}_{int(m.group(1)) + 1}"
+                f".{m.group(2)}",
+            )
+    crc = f"{hd}/.hoodie.properties.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)  # hand-edit invalidates Hadoop's checksum sidecar
+    with open(f"{hd}/hoodie.properties", "a") as f:
+        f.write("hoodie.table.version=8\n")
+
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(0, 0.0), (1, 100.0), (3, 3.0), (4, 4.0), (5, 5.0)}
+    # time travel over the 1.x layout: pre-delete, pre-upsert
+    assert {
+        (r["id"], r["v"]) for r in hudi_read(spark, root, as_of=t0).collect()
+    } == {(i, float(i)) for i in range(6)}
+    tl = {
+        (r["instant"], r["action"], r["state"])
+        for r in hudi_timeline_table(spark, root).collect()
+    }
+    assert (t0, "deltacommit", "completed") in tl
+    assert (inst2, "deltacommit", "completed") in tl
