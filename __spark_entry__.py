@@ -6665,80 +6665,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mice_impute_lineitem": _wrap(mice_impute_lineitem),
         "merge_upsert_customers": _wrap(merge_upsert_customers),
     }
-    # Registration order is load-bearing: the driver's correctness
-    # harness checks the FIRST 50 entries. Round-11 rotation (VERDICT
-    # r10 "Next round" #8): lead with this round's NEW queries (Iceberg
-    # equality-delete read, Iceberg v2 DML, Delta DV-write, Hudi MoR,
-    # Delta log streaming), then every never-driver-checked entry
-    # (hudi_upsert, gopher, dup-ngram, SemDeDup, cluster-balanced
-    # sampling, pq_topk), then stalest-first: the r5 ANN/embedding
-    # block, the r6 asof/cube block, the bpe/multimodal rows-only
-    # twins VERDICT named, and the r7 TPC-H + llmdata block, topped
-    # with two r8 entries to fill the 50. The r10 head (lakehouse
-    # write/DML round-trips, §2.1 battery, tablelog DML/DV/clone) is
-    # freshly driver-green in CORRECTNESS_r10 and keeps local-replica
-    # evidence below the window. Rows-only entries in the window:
-    # minhash_lsh_near_dups, simhash_docs, semdedup_kmeans_embeddings,
-    # cluster_balanced_embeddings, pq_topk_embeddings,
-    # multimodal_features, bpe_train_merges, ivf_topk_embeddings
-    # (each with an oracle twin or in-query invariant as declared).
+    # Round-12 driver window (VERDICT r11 #7, stalest-first): the four
+    # new/newly-twinned r12 entries (delta CDF, hudi 1.x, iceberg v3 DV,
+    # the now-hash-checked ivf_topk), then everything last
+    # driver-checked in r7 (12), the full r8 block (25 — including the
+    # r6-era CDC/temporal trio scd2/temporal_status/incremental_agg and
+    # the relational batteries the verdict named), and the first 9 of
+    # the r9 block. Staleness computed from CORRECTNESS_r01..r11 window
+    # membership. Rows-only entry in the window: ivf_index_topk
+    # (in-query recall assert) — every other entry is hash-checked
+    # against its oracle twin.
     head = [
-        # --- new in r11 ---
-        "iceberg_update_roundtrip",
-        "iceberg_merge_roundtrip",
-        "iceberg_schema_evolution",
-        "iceberg_compact_roundtrip",
-        "delta_dv_dml_roundtrip",
-        "delta_restore_roundtrip",
-        "iceberg_rollback_roundtrip",
-        "delta_skipping_scan",
-        "iceberg_pruned_scan",
-        "iceberg_wap_publish",
-        "delta_zorder_scan",
-        "iceberg_eq_delete_read",
-        "delta_optimize_roundtrip",
-        "hudi_compact_read",
-        "iceberg_stream_read",
-        "iceberg_eq_delete_write",
-        "hudi_stream_read",
-        "iceberg_dml_roundtrip",
-        "delta_dv_write_roundtrip",
-        "hudi_mor_read",
-        "delta_stream_read",
-        # --- never driver-checked ---
-        "hudi_upsert_roundtrip",
-        "gopher_quality_docs",
-        "dup_ngram_fraction_docs",
-        "semdedup_kmeans_embeddings",
-        "cluster_balanced_embeddings",
-        "pq_topk_embeddings",
-        # --- stalest: last driver-checked r5 ---
+        "delta_cdf_roundtrip",
+        "hudi_1x_read",
+        "iceberg_v3_dv_read",
         "ivf_topk_embeddings",
-        "minhash_lsh_near_dups",
-        "simhash_docs",
-        "train_holdout_split",
-        "error_window_clicks",
-        "quantize_embeddings",
-        "pack_documents",
-        "trailing_30d_revenue",
-        # --- last driver-checked r6 ---
-        "asof_last_signup",
-        "asof_purchase_order",
-        "cube_year_flag",
-        # --- rows-only twins VERDICT r10 #8 named (r7/r8) ---
-        "bpe_encode_docs",
-        "bpe_train_merges",
-        "multimodal_features",
-        # --- last driver-checked r7 ---
-        "cohort_retention",
-        "events_json_kpi",
-        "nations_with_both",
-        "q11_important_parts",
-        "q12_shipdelay_priority",
-        "q15_top_supplier",
-        "q16_supplier_variety",
-        "q17_small_quantity_revenue",
-        "q22_dormant_customers",
+        "profile_orders",
+        "q3_top_orders",
+        "q5_region_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "revenue_by_year",
+        "rollup_flag_status",
+        "segment_without_recent_orders",
+        "semantic_dedup_embeddings",
+        "sessionize_events",
+        "top3_orders_per_segment",
+        "windowed_event_counts",
+        "asof_next_order",
+        "bloom_decontaminate_docs",
+        "cap_docs_per_source",
+        "ewma_customer_orders",
+        "funnel_conversion",
+        "fuzzy_name_matches",
+        "heavy_hitter_terms",
+        "incremental_agg_orders",
+        "ivf_index_topk",
+        "listagg_priorities_by_segment",
+        "merge_upsert_customers",
+        "overlapping_incident_windows",
+        "perplexity_score_docs",
+        "q10_returned_items",
+        "q14_promo_effect",
+        "q19_disjunctive_revenue",
+        "q4_priority_exists",
+        "q6_forecast_revenue",
+        "scd2_customer_status",
+        "stats_moments_battery",
+        "tablelog_incremental_view",
+        "tablelog_scan_pruned",
+        "temporal_status_of_clicks",
+        "weighted_median_price",
+        "window_nav_battery",
+        "big_orders",
+        "bigram_doc_freq",
+        "boilerplate_docs",
+        "bpe_token_counts",
+        "cheapest_supplier_per_nation",
+        "chunk_documents",
+        "cluster_near_dup_docs",
+        "conditional_agg_battery",
+        "corpus_curation",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
