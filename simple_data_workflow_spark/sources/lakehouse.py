@@ -177,3 +177,43 @@ def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> 
             "(not present in this environment)"
         )
     df.write.format(fmt).mode(mode).save(path)
+
+
+def table_changes(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    starting_version: int | str = 0,
+    ending_version: int | str | None = None,
+) -> DataFrame:
+    """Row-level change feed between two table versions — the front
+    door over each format's own changes surface (round 12):
+
+    - ``delta``: the CDF reader (``delta_reader.delta_table_changes``)
+      — exact I/U/D pre/postimages from ``_change_data`` cdc files,
+      derived inserts for pure appends, loud raise for non-CDF removal
+      ranges.
+    - ``iceberg``/``hudi``: not wired jar-free yet (Iceberg's
+      changelog procedure and Hudi's incremental query are runtime
+      features); raises NotImplementedError naming the gap.
+
+    Versions are format-native: Delta commit versions (ints)."""
+    if fmt == "delta":
+        from simple_data_workflow_spark.sources.delta_reader import (
+            delta_table_changes,
+        )
+
+        return delta_table_changes(
+            spark,
+            path,
+            int(starting_version),
+            None if ending_version is None else int(ending_version),
+        )
+    if fmt in _FORMATS:
+        raise NotImplementedError(
+            f"table_changes for {fmt} needs the {_FORMATS[fmt]} runtime "
+            "(jar-free support covers delta CDF today)"
+        )
+    raise ValueError(
+        f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}"
+    )

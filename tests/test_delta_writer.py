@@ -1395,3 +1395,31 @@ def test_delta_change_data_feed_roundtrip(spark, tmp_path):
     delta_delete(spark, root2, "id = 1", strategy="rewrite")
     with _pytest.raises(ValueError, match="without change data"):
         delta_table_changes(spark, root2, 0, 1).collect()
+
+
+def test_lakehouse_table_changes_front_door(spark, tmp_path):
+    """Round 12: the lakehouse front door exposes the change feed —
+    delta routes to delta_table_changes; iceberg/hudi name the gap."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_set_properties,
+        delta_write,
+    )
+
+    root = str(tmp_path / "fdcdf")
+    delta_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        root,
+        mode="error",
+    )
+    delta_set_properties(spark, root, {"delta.enableChangeDataFeed": "true"})
+    delta_delete(spark, root, "id = 1")
+    ch = lakehouse.table_changes(spark, "delta", root, 2, 2)
+    assert {(r["id"], r["_change_type"]) for r in ch.collect()} == {
+        (1, "delete")
+    }
+    with _pytest.raises(NotImplementedError, match="table_changes"):
+        lakehouse.table_changes(spark, "iceberg", root)
