@@ -743,11 +743,16 @@ def delta_table_changes(
 
     Per commit (PROTOCOL.md §Change Data Files): ``cdc`` actions are
     the whole truth when present — their ``_change_data/`` parquet
-    files read directly; commits WITHOUT cdc actions derive ``insert``
-    rows from their dataChange adds (pure appends), skip when nothing
-    changed (OPTIMIZE republishes with dataChange=false), and RAISE
-    when rows were removed without change data (Delta's own
-    table_changes errors on ranges where CDF was off). All change
+    files read directly; commits WITHOUT cdc actions derive from their
+    add/remove actions per the spec: dataChange adds → ``insert`` rows,
+    and (when CDF is enabled on the table) dataChange removes →
+    ``delete`` rows — the removed file's LIVE rows as of the previous
+    version, its then-DV applied (the overwrite/RESTORE shape; this
+    engine's DML always writes cdc, so rewrite noise never reaches the
+    derivation). Commits where nothing changed (OPTIMIZE republishes
+    with dataChange=false) contribute no rows; a removal commit on a
+    CDF-DISABLED table still RAISES (Delta's own table_changes errors
+    on ranges where CDF was off). All change
     files of the range scan as ONE read per shape, with per-file
     (version, timestamp, partition values) injected through a
     metadata-sized broadcast join — no per-commit plan legs, no
@@ -781,8 +786,20 @@ def delta_table_changes(
         dec = urllib.parse.unquote(rel)
         return dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
 
+    cdf_on = (
+        str(
+            (meta.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", "false"
+            )
+        ).lower()
+        == "true"
+    )
     cdc_files: list[tuple[str, int, int | None, dict]] = []
     ins_files: list[tuple[str, int, int | None, dict]] = []
+    # per-version derived DELETES (overwrite/restore without cdc):
+    # version -> [(full path, pv, dv_positions_or_None)]
+    rem_groups: dict[int, list] = {}
+    ver_ts: dict[int, int | None] = {}
     for v in range(int(starting_version), end + 1):
         raw = _read_bytes(
             spark, f"{path}/_delta_log/{v:020d}.json"
@@ -792,6 +809,7 @@ def delta_table_changes(
             (a["commitInfo"].get("timestamp") for a in acts if "commitInfo" in a),
             None,
         )
+        ver_ts[v] = ts
         cdcs = [a["cdc"] for a in acts if "cdc" in a]
         if cdcs:
             for c in cdcs:
@@ -810,11 +828,46 @@ def delta_table_changes(
             if "add" in a and a["add"].get("dataChange", True)
         ]
         if removes:
-            raise ValueError(
-                f"version {v} of {path} removed rows without change data "
-                "— enable delta.enableChangeDataFeed before running DML "
-                "to make this range CDF-readable"
+            if not cdf_on:
+                raise ValueError(
+                    f"version {v} of {path} removed rows without change "
+                    "data — enable delta.enableChangeDataFeed before "
+                    "running DML to make this range CDF-readable"
+                )
+            # spec derivation (PROTOCOL.md §Change Data Files): with CDF
+            # enabled and no cdc actions, removes derive as DELETE rows
+            # — the removed file's LIVE rows as of v-1 (its DV then
+            # still masks already-dead rows). This is the
+            # overwrite/restore shape; DML writers emit cdc, so
+            # rewrite-noise never reaches here from this engine.
+            from simple_data_workflow_spark.sources.delta_writer import (
+                _replay_full,
             )
+
+            prev_adds, _pm, _pp, _pv_, _pt = _replay_full(
+                spark, path, version=v - 1
+            )
+            group = []
+            for r in removes:
+                rel = r["path"]
+                prev = prev_adds.get(rel)
+                pv = (
+                    (prev or {}).get("partitionValues")
+                    or r.get("partitionValues")
+                    or {}
+                )
+                dv_pos = None
+                desc = (prev or {}).get("deletionVector")
+                if desc:
+                    from simple_data_workflow_spark.sources.delta_dv import (
+                        read_dv_positions,
+                    )
+
+                    dv_pos = read_dv_positions(
+                        lambda p: _read_bytes(spark, p), path, desc
+                    )
+                group.append((_full(rel), pv, dv_pos))
+            rem_groups[v] = group
         for a in adds:
             ins_files.append(
                 (_full(a["path"]), v, ts, a.get("partitionValues") or {})
@@ -829,7 +882,7 @@ def delta_table_changes(
         ]
     )
     out_schema = StructType(out_fields)
-    if not cdc_files and not ins_files:
+    if not cdc_files and not ins_files and not rem_groups:
         return spark.createDataFrame([], out_schema)
 
     read_fields = [
@@ -900,11 +953,72 @@ def delta_table_changes(
             .alias("_commit_timestamp"),
         )
 
+    def _scan_removed(v: int, group) -> DataFrame:
+        # the removed files' LIVE rows as of v-1 (their then-DVs mask
+        # already-dead rows) → DELETE changes; one masked scan + one
+        # broadcast partition-value map per such version (overwrites
+        # and restores — rare commits, so the extra plan leg is fine)
+        positions = {
+            full: pos
+            for full, _pv, pos in group
+            if pos is not None and len(pos)
+        }
+        flist = sorted({full for full, _pv, _pos in group})
+        base = _dv_masked_scan(
+            spark,
+            StructType(list(read_fields)),
+            flist,
+            positions,
+            file_col="__fp0",
+        )
+        base = base.select(
+            *[f.name for f in read_fields],
+            F.regexp_replace(F.col("__fp0"), "^file:/+", "/").alias("__fk"),
+        )
+        map_rows = []
+        for full, pv, _pos in group:
+            local = (
+                urllib.parse.urlparse(full).path
+                if ("://" in full or full.startswith("file:"))
+                else full
+            )
+            vals = [
+                None
+                if pv.get(phys[c], pv.get(c)) in (None, _NULL_PARTITION)
+                else pv.get(phys[c], pv.get(c))
+                for c in part_cols
+            ]
+            map_rows.append((local, *vals))
+        map_schema = T.StructType(
+            [T.StructField("__fk", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in part_cols]
+        )
+        base = base.join(
+            F.broadcast(spark.createDataFrame(map_rows, map_schema)), "__fk"
+        )
+        return base.select(
+            *[
+                F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+                for f in data_fields
+            ],
+            *[
+                F.col(f"__pv_{c}").cast(types[c]).alias(c)
+                for c in part_cols
+            ],
+            F.lit("delete").alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+            (F.lit(ver_ts.get(v)) / F.lit(1000.0))
+            .cast("timestamp")
+            .alias("_commit_timestamp"),
+        )
+
     parts = []
     if cdc_files:
         parts.append(_scan(cdc_files, True))
     if ins_files:
         parts.append(_scan(ins_files, False))
+    for v in sorted(rem_groups):
+        parts.append(_scan_removed(v, rem_groups[v]))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

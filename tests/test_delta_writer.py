@@ -1423,3 +1423,40 @@ def test_lakehouse_table_changes_front_door(spark, tmp_path):
     }
     with _pytest.raises(NotImplementedError, match="table_changes"):
         lakehouse.table_changes(spark, "iceberg", root)
+
+
+def test_cdf_derives_overwrite_and_restore(spark, tmp_path):
+    """Round 12 continuation: CDF spec derivation — an OVERWRITE commit
+    on a CDF-enabled table (remove+add, no cdc) derives delete rows
+    from the removed files' pre-commit LIVE state (DVs applied) and
+    insert rows from the adds; a DV-carrying file's already-dead rows
+    never resurrect as deletes."""
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_table_changes,
+    )
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_set_properties,
+        delta_write,
+    )
+
+    root = str(tmp_path / "cdfow")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ).coalesce(1),
+        root,
+        mode="error",
+    )  # v0
+    delta_set_properties(spark, root, {"delta.enableChangeDataFeed": "true"})
+    delta_delete(spark, root, "id = 5", strategy="dv")  # v2: DV masks id=5
+    delta_write(
+        spark.createDataFrame([(100, 1.0)], "id long, v double"),
+        root,
+        mode="overwrite",
+    )  # v3: remove all + add, NO cdc
+    ch = delta_table_changes(spark, root, 3, 3)
+    got = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    # deletes = the LIVE rows before the overwrite (id 5 was already
+    # dead via its DV — it must NOT reappear as a delete)
+    assert got == {(i, "delete") for i in range(5)} | {(100, "insert")}
