@@ -3830,6 +3830,86 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 continuation: the jar-free Iceberg CHANGELOG
+    (``iceberg_reader.iceberg_table_changes`` — the
+    ``create_changelog_view`` row shape). Orders land as a v2 table,
+    an append adds a band, a DELETE publishes position deletes, an
+    UPDATE publishes delete+insert in one snapshot, and a compaction
+    (replace — byte movement, no logical change) must contribute
+    NOTHING; the changelog emits every row-level change with
+    ``_change_type``/``_change_ordinal``. Aggregated per (ordinal,
+    change type); the oracle reconstructs the same change sets from
+    raw parquet."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_compact,
+        iceberg_delete,
+        iceberg_update,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-icechlog-") + "/orders_chlog"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    iceberg_write(orders.where("o_orderkey % 3 != 0"), path, mode="error")
+    iceberg_write(
+        orders.where("o_orderkey % 3 = 0"), path, mode="append"
+    )
+    iceberg_delete(spark, path, "o_totalprice < 30000")
+    iceberg_update(
+        spark,
+        path,
+        {"o_totalprice": "o_totalprice + 5.0"},
+        "o_orderkey % 100 = 0 AND o_totalprice >= 30000",
+    )
+    iceberg_compact(spark, path)  # replace: MUST add no changes
+    ch = lakehouse.table_changes(spark, "iceberg", path)
+    return (
+        ch.groupBy("_change_ordinal", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("_change_ordinal", "_change_type")
+    )
+
+
+ICEBERG_CHANGELOG_SQL = """
+WITH ch AS (
+  SELECT 0 AS _change_ordinal, 'insert' AS _change_type,
+         o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT 1, 'insert', o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 2, 'delete', o_orderkey, o_totalprice
+  FROM orders WHERE o_totalprice < 30000
+  UNION ALL
+  SELECT 3, 'delete', o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 100 = 0 AND o_totalprice >= 30000
+  UNION ALL
+  SELECT 3, 'insert', o_orderkey, o_totalprice + 5.0
+  FROM orders
+  WHERE o_orderkey % 100 = 0 AND o_totalprice >= 30000
+)
+SELECT CAST(_change_ordinal AS INT) AS _change_ordinal, _change_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM ch
+GROUP BY _change_ordinal, _change_type
+ORDER BY _change_ordinal, _change_type
+"""
+
+
 def delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 12 (VERDICT r11 #4): jar-free Delta CHANGE DATA FEED.
     Orders land as a Delta table, ``delta_set_properties`` enables
@@ -6499,6 +6579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_v3_dv_read": _wrap(iceberg_v3_dv_read),
         "delta_cdf_roundtrip": _wrap(delta_cdf_roundtrip),
         "hudi_1x_read": _wrap(hudi_1x_read),
+        "iceberg_changelog_read": _wrap(iceberg_changelog_read),
         "hudi_stream_read": _wrap(hudi_stream_read),
         "delta_idmode_read": _wrap(delta_idmode_read),
         "delta_dv_read": _wrap(delta_dv_read),
@@ -6680,6 +6761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_1x_read",
         "iceberg_v3_dv_read",
         "ivf_topk_embeddings",
+        "iceberg_changelog_read",
         "profile_orders",
         "q3_top_orders",
         "q5_region_revenue",
@@ -6725,7 +6807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents",
         "cluster_near_dup_docs",
         "conditional_agg_battery",
-        "corpus_curation",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -6809,6 +6890,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_v3_dv_read": ICEBERG_V3_DV_SQL,
         "delta_cdf_roundtrip": DELTA_CDF_SQL,
         "hudi_1x_read": HUDI_1X_SQL,
+        "iceberg_changelog_read": ICEBERG_CHANGELOG_SQL,
         "ivf_topk_embeddings": IVF_TOPK_SQL,
         "hudi_stream_read": ICEBERG_STREAM_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,

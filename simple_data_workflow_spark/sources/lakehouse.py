@@ -191,13 +191,19 @@ def table_changes(
 
     - ``delta``: the CDF reader (``delta_reader.delta_table_changes``)
       — exact I/U/D pre/postimages from ``_change_data`` cdc files,
-      derived inserts for pure appends, loud raise for non-CDF removal
-      ranges.
-    - ``iceberg``/``hudi``: not wired jar-free yet (Iceberg's
-      changelog procedure and Hudi's incremental query are runtime
-      features); raises NotImplementedError naming the gap.
+      spec derivation (append inserts; overwrite/restore deletes from
+      the pre-commit live state) otherwise, loud raise for non-CDF
+      removal ranges.
+    - ``iceberg``: the jar-free changelog
+      (``iceberg_reader.iceberg_table_changes``) — incremental
+      per-snapshot derivation; versions are SNAPSHOT IDS, and
+      ``starting_version``/``ending_version`` are exclusive-from /
+      inclusive-to like the procedure's arguments (None = the ends).
+    - ``hudi``: not wired jar-free yet (the incremental query is a
+      runtime feature); raises NotImplementedError naming the gap.
 
-    Versions are format-native: Delta commit versions (ints)."""
+    Versions are format-native: Delta commit versions (ints), Iceberg
+    snapshot ids."""
     if fmt == "delta":
         from simple_data_workflow_spark.sources.delta_reader import (
             delta_table_changes,
@@ -209,10 +215,22 @@ def table_changes(
             int(starting_version),
             None if ending_version is None else int(ending_version),
         )
+    if fmt == "iceberg":
+        from simple_data_workflow_spark.sources.iceberg_reader import (
+            iceberg_table_changes,
+        )
+
+        return iceberg_table_changes(
+            spark,
+            path,
+            None if starting_version in (0, None) else int(starting_version),
+            None if ending_version is None else int(ending_version),
+        )
     if fmt in _FORMATS:
         raise NotImplementedError(
             f"table_changes for {fmt} needs the {_FORMATS[fmt]} runtime "
-            "(jar-free support covers delta CDF today)"
+            "(jar-free support covers delta CDF and the iceberg "
+            "changelog today)"
         )
     raise ValueError(
         f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}"

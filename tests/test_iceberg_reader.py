@@ -670,3 +670,75 @@ def test_iceberg_read_filters_prune_identity_partitions(spark, tmp_path):
     # cross-typed filter value never prunes wrongly (conservative)
     f3 = iceberg_read(spark, root, filters=[("g", "==", 0)])
     assert len(f3.inputFiles()) == len(iceberg_read(spark, root).inputFiles())
+
+
+def test_iceberg_table_changes_changelog(spark, tmp_path):
+    """Round 12 continuation: the jar-free changelog — appends emit
+    inserts; a position-delete snapshot emits exactly the dying rows;
+    an UPDATE snapshot emits delete+insert; compaction (replace)
+    emits nothing; v3 DV snapshots emit only the NEWLY-dead rows;
+    equality deletes emit the matching parent-live rows."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_table_changes,
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_compact,
+        iceberg_delete,
+        iceberg_equality_delete,
+        iceberg_update,
+        iceberg_upgrade_format,
+        iceberg_write,
+    )
+
+    root = str(tmp_path / "chlog")
+    iceberg_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id int, v double"
+        ).coalesce(1),
+        root,
+        mode="error",
+    )
+    iceberg_write(
+        spark.createDataFrame([(100, 1.0)], "id int, v double"),
+        root,
+        mode="append",
+    )
+    iceberg_delete(spark, root, "id IN (2, 3)")  # v2 position deletes
+    iceberg_update(spark, root, {"v": "v + 50.0"}, "id = 4")
+    sid_before_compact = load_table_metadata(spark, root)[
+        "current-snapshot-id"
+    ]
+    iceberg_compact(spark, root)  # replace: no changes
+    iceberg_equality_delete(
+        spark, root, spark.createDataFrame([(100,)], "id int")
+    )
+    iceberg_upgrade_format(spark, root, 3)
+    iceberg_delete(spark, root, "id = 5")  # v3 DV
+    iceberg_delete(spark, root, "id = 6")  # stacked DV: only NEW dead
+
+    ch = iceberg_table_changes(spark, root)
+    got = sorted(
+        (r["_change_ordinal"], r["_change_type"], r["id"], r["v"])
+        for r in ch.collect()
+    )
+    expect = sorted(
+        [(0, "insert", i, float(i)) for i in range(8)]
+        + [(1, "insert", 100, 1.0)]
+        + [(2, "delete", 2, 2.0), (2, "delete", 3, 3.0)]
+        + [(3, "delete", 4, 4.0), (3, "insert", 4, 54.0)]
+        # ordinal 4 = compaction (nothing)
+        + [(5, "delete", 100, 1.0)]
+        + [(6, "delete", 5, 5.0)]
+        + [(7, "delete", 6, 6.0)]
+    )
+    assert got == expect
+    # ranged read: only the last two snapshots
+    snaps = load_table_metadata(spark, root)["snapshots"]
+    ordered = sorted(snaps, key=lambda s: int(s.get("sequence-number") or 0))
+    frm = int(ordered[-3]["snapshot-id"])
+    ranged = iceberg_table_changes(spark, root, from_snapshot=frm)
+    assert {(r["_change_type"], r["id"]) for r in ranged.collect()} == {
+        ("delete", 5),
+        ("delete", 6),
+    }
