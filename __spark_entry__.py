@@ -3830,6 +3830,172 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 continuation: Iceberg NAMED REFERENCES end-to-end —
+    tag, branch, ref reads, fast-forward publish, ref-pinned retention.
+    Evens land first and get TAG ``v1`` (immutable bookmark); odds
+    append to main; an audit wave (key-shifted rows) stages WAP-style
+    and becomes BRANCH ``audit``; snapshot expiry must NOT collect the
+    tagged snapshot (refs pin their snapshots); main publishes the
+    audited branch via fast-forward (ancestry-checked — a non-linear
+    move refuses). In-query asserts pin the tag view (evens only) and
+    the pre-publish main view; the returned frame aggregates the
+    post-publish table and must match the oracle's UNION twin."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_expire_snapshots,
+        iceberg_fast_forward,
+        iceberg_set_ref,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-iceref-") + "/orders_refs"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    evens = orders.where("o_orderkey % 2 = 0")
+    s1 = iceberg_write(evens, path, mode="error")
+    iceberg_set_ref(spark, path, "v1", snapshot_id=s1, ref_type="tag")
+    iceberg_write(orders.where("o_orderkey % 2 = 1"), path, mode="append")
+    staged = iceberg_write(
+        orders.where("o_orderkey % 1000 = 0").withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        ),
+        path,
+        mode="append",
+        stage_only=True,
+    )
+    iceberg_set_ref(spark, path, "audit", snapshot_id=staged)
+
+    # refs pin their snapshots: expire to the minimum and the tag must
+    # still read — then the views themselves
+    iceberg_expire_snapshots(spark, path, keep_last=1)
+    n_tag = lakehouse.read_table(spark, "iceberg", path, ref="v1").count()
+    n_evens = evens.count()
+    assert n_tag == n_evens, f"tag read {n_tag}, want {n_evens}"
+    n_main_pre = lakehouse.read_table(spark, "iceberg", path).count()
+    n_all = orders.count()
+    assert n_main_pre == n_all, f"pre-publish main {n_main_pre}, want {n_all}"
+
+    iceberg_fast_forward(spark, path, "main", "audit")
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_BRANCH_SQL = """
+WITH final AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def hudi_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 continuation: the jar-free Hudi INCREMENTAL query
+    (``hoodie.datasource.query.type=incremental`` semantics — begin
+    exclusive, end inclusive, record-level ``_hoodie_commit_time``),
+    completing the ``lakehouse.table_changes`` trio (delta CDF +
+    iceberg changelog + hudi incremental). Orders land as a
+    partitioned CoW table; upsert wave 1 doubles every 5th key's
+    price; wave 2 bumps every 20th key again. The incremental read
+    over ``(t1, t3]`` must contain EXACTLY the touched keys at their
+    final in-range values, labeled by the wave that last changed them
+    — rewritten-but-unchanged remainder rows keep their original
+    commit time (the meta-field preservation the CoW upsert
+    guarantees), so none of them leak in. A second ranged read
+    ``(t2, t3]`` is pinned in-query to the wave-2 key count. Reference
+    parity: the reference's pandas pipeline re-reads full snapshots;
+    incremental pull is the capability that replaces that at scale."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_upsert,
+        hudi_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-hudi-inc-") + "/orders_inc"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t1 = hudi_write(
+        orders,
+        path,
+        mode="error",
+        record_key="o_orderkey",
+        partition_by=["o_orderstatus"],
+    )
+    wave1 = orders.where("o_orderkey % 5 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t2 = hudi_upsert(spark, path, wave1)
+    wave2 = orders.where("o_orderkey % 20 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2 + F.lit(7.0)
+    )
+    t3 = hudi_upsert(spark, path, wave2)
+
+    inc = lakehouse.table_changes(spark, "hudi", path, t1, t3)
+    # in-query invariant: the narrower range (t2, t3] is exactly wave 2
+    n_w2 = lakehouse.table_changes(spark, "hudi", path, t2, t3).count()
+    want_w2 = wave2.count()
+    assert n_w2 == want_w2, f"(t2,t3] returned {n_w2}, want {want_w2}"
+
+    labeled = inc.withColumn(
+        "changed_at",
+        F.when(F.col("_hoodie_commit_time") == t2, F.lit("first_wave"))
+        .when(F.col("_hoodie_commit_time") == t3, F.lit("second_wave"))
+        .otherwise(F.lit("UNEXPECTED_INSTANT")),
+    )
+    return (
+        labeled.groupBy("o_orderstatus", "changed_at")
+        .agg(
+            F.count(F.lit(1)).alias("n_changed"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "changed_at")
+    )
+
+
+HUDI_INCREMENTAL_SQL = """
+WITH changed AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 2 + 7.0
+              ELSE o_totalprice * 2 END AS o_totalprice,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'second_wave'
+              ELSE 'first_wave' END AS changed_at
+  FROM orders
+  WHERE o_orderkey % 5 = 0
+)
+SELECT o_orderstatus, changed_at, COUNT(*) AS n_changed,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM changed
+GROUP BY o_orderstatus, changed_at
+ORDER BY o_orderstatus, changed_at
+"""
+
+
 def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 12 continuation: the jar-free Iceberg CHANGELOG
     (``iceberg_reader.iceberg_table_changes`` — the
@@ -5818,9 +5984,13 @@ def media_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically per doc_id, via
     ``llmdata.multimodal.extract_media_meta`` (Arrow-batched
     mapInPandas, no decoder library). The query asserts in-line that
-    every sniffed (mime, width, height) equals the dims the blob was
-    built with — the NotImplementedError tier now covers only actual
-    pixel decode. Python-synthesized binary ⇒ rows-only."""
+    every sniffed (mime, width, height, n_bytes) equals the dims/size
+    the blob was built with — the NotImplementedError tier now covers
+    only actual pixel decode. Round 12: because (mime, width, height)
+    are closed-form in doc_id (the blob round-trip is what the sniffer
+    must survive), the returned frame is fully oracle-checkable — the
+    SQL twin recomputes the expected metadata arithmetically, so a
+    sniffer that mis-parses ANY header fails the hash."""
     import struct
     import zlib
     from collections.abc import Iterator
@@ -5892,18 +6062,37 @@ def media_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, media binary, want_mime string, want_w int, want_h int",
     )
     sniffed = extract_media_meta(media).join(
-        media.select("doc_id", "want_mime", "want_w", "want_h"), "doc_id"
+        media.select(
+            "doc_id", "want_mime", "want_w", "want_h",
+            F.length("media").alias("want_bytes"),
+        ),
+        "doc_id",
     )
     bad = sniffed.where(
         (F.col("mime") != F.col("want_mime"))
         | (F.col("width") != F.col("want_w"))
         | (F.col("height") != F.col("want_h"))
+        | (F.col("n_bytes") != F.col("want_bytes"))
     ).count()
     assert bad == 0, f"{bad} blobs sniffed wrong"
     return (
-        sniffed.select("doc_id", "mime", "width", "height", "n_bytes")
+        sniffed.select("doc_id", "mime", "width", "height")
         .orderBy("doc_id")
     )
+
+
+MEDIA_HEADER_META_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'image/jpeg'
+            WHEN 2 THEN 'image/gif'
+            ELSE 'image/bmp' END AS mime,
+       CAST(16 + doc_id % 640 AS INT) AS width,
+       CAST(8 + doc_id % 480 AS INT) AS height
+FROM documents
+ORDER BY doc_id
+"""
 
 
 def impute_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6544,6 +6733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     q = {
+        "hudi_incremental_read": _wrap(hudi_incremental_read),
+        "iceberg_branch_read": _wrap(iceberg_branch_read),
         "tablelog_wap_publish": _wrap(tablelog_wap_publish),
         "tablelog_tag_read": _wrap(tablelog_tag_read),
         "tablelog_metadata_tables": _wrap(tablelog_metadata_tables),
@@ -6757,6 +6948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (in-query recall assert) — every other entry is hash-checked
     # against its oracle twin.
     head = [
+        "hudi_incremental_read",
+        "iceberg_branch_read",
+        "media_header_meta",
         "delta_cdf_roundtrip",
         "hudi_1x_read",
         "iceberg_v3_dv_read",
@@ -6804,9 +6998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs",
         "bpe_token_counts",
         "cheapest_supplier_per_nation",
-        "chunk_documents",
-        "cluster_near_dup_docs",
-        "conditional_agg_battery",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -6890,6 +7081,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_v3_dv_read": ICEBERG_V3_DV_SQL,
         "delta_cdf_roundtrip": DELTA_CDF_SQL,
         "hudi_1x_read": HUDI_1X_SQL,
+        "hudi_incremental_read": HUDI_INCREMENTAL_SQL,
+        "iceberg_branch_read": ICEBERG_BRANCH_SQL,
         "iceberg_changelog_read": ICEBERG_CHANGELOG_SQL,
         "ivf_topk_embeddings": IVF_TOPK_SQL,
         "hudi_stream_read": ICEBERG_STREAM_SQL,
@@ -6988,6 +7181,10 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": COSINE_TOPK_SQL,
         "cosine_near_dups": COSINE_NEAR_DUP_SQL,
         # multimodal_features: pandas-UDF decode → rows-only
+        # media_header_meta: blob metadata is closed-form in doc_id, so the
+        # sniff round-trip IS hash-checkable (the in-query assert pins the
+        # byte-level parse; the twin pins the returned frame)
+        "media_header_meta": MEDIA_HEADER_META_SQL,
         "stats_corr_battery": rel.STATS_CORR_SQL,
         "trailing_30d_revenue": rel.TRAILING_30D_SQL,
         "pack_documents": PACK_SQL,

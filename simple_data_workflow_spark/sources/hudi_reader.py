@@ -373,6 +373,57 @@ def hudi_read(
     return df if row_filter is None else df.where(row_filter)
 
 
+def hudi_table_changes(
+    spark: SparkSession,
+    path: str,
+    start_instant: str | None = None,
+    end_instant: str | None = None,
+) -> DataFrame:
+    """Jar-free Hudi INCREMENTAL query (round 12) — the semantics of
+    ``hoodie.datasource.query.type=incremental``: every record whose
+    CURRENT version as of ``end_instant`` was committed in
+    ``(start_instant, end_instant]`` (begin EXclusive, end INclusive,
+    Hudi's begin/end instant contract), returned with its
+    ``_hoodie_commit_time``. Matching real Hudi incremental reads:
+
+    - deletes are NOT emitted (a record deleted in range simply stops
+      appearing — Hudi's non-CDC incremental behavior);
+    - compaction produces no record versions (meta fields carry over,
+      so compacted-but-unchanged records never re-emit);
+    - instant strings are fixed-width timestamps, so lexicographic
+      comparison IS chronological and the CoW filter pushes down to
+      the parquet scan as a plain string-range predicate.
+
+    COPY_ON_WRITE resolves the snapshot as-of ``end_instant`` and
+    filters record-level ``_hoodie_commit_time``; MERGE_ON_READ runs
+    the merged view with per-record commit times (base column for base
+    rows, block instant for log records) and filters the winner."""
+    from pyspark.sql import functions as F
+
+    props = load_table_properties(spark, path)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    commits, replaces = _timeline(spark, path)
+    instants = sorted(commits | replaces)
+    if not instants:
+        raise ValueError(f"no completed instants in the Hudi table at {path}")
+    end = str(end_instant) if end_instant is not None else instants[-1]
+    start = str(start_instant) if start_instant is not None else ""
+    if start >= end:
+        raise ValueError(
+            f"empty incremental range: start {start!r} must precede end {end!r}"
+        )
+    if ttype == "MERGE_ON_READ":
+        df = _mor_read(spark, path, as_of=end, _with_commit_time=True)
+    else:
+        df = hudi_read(spark, path, as_of=end, include_meta=True)
+        data_cols = [c for c in df.columns if not c.startswith("_hoodie_")]
+        df = df.select(*data_cols, "_hoodie_commit_time")
+    return df.where(
+        (F.col("_hoodie_commit_time") > F.lit(start))
+        & (F.col("_hoodie_commit_time") <= F.lit(end))
+    )
+
+
 def _avro_prim_for(dt) -> str:
     """Spark type → flat Avro primitive (the log codec's domain)."""
     from pyspark.sql import types as T
@@ -401,6 +452,7 @@ def _mor_read(
     as_of: str | None = None,
     _provenance: bool = False,
     filters: list[tuple] | None = None,
+    _with_commit_time: bool = False,
 ) -> DataFrame:
     """Distributed merge-on-read snapshot: base slices UNION decoded
     log records, newest (instant, intra-file order) per (file group,
@@ -437,7 +489,12 @@ def _mor_read(
             return empty.select(
                 F.lit("").alias("__group"),
                 F.lit("").alias("__key"),
+                F.lit("").alias("__commit"),
                 *dcols,
+            )
+        if _with_commit_time:
+            return empty.select(
+                *dcols, F.lit("").alias("_hoodie_commit_time")
             )
         return empty.select(*dcols)
     base_files = sorted(p for _, p in groups.values())
@@ -466,6 +523,15 @@ def _mor_read(
     mapdf = spark.createDataFrame(
         map_rows, "__fk string, __group string, __binstant string"
     )
+    # per-RECORD commit time: the base column when present (compaction
+    # preserves it, so a compacted record keeps its true last-change
+    # instant — real Hudi's meta-field contract), the slice instant as
+    # a fallback for foreign tables without the column
+    record_commit = (
+        F.col("_hoodie_commit_time")
+        if "_hoodie_commit_time" in base.columns
+        else F.col("__binstant")
+    )
     base_rows = (
         base.withColumn(
             "__fk",
@@ -478,6 +544,7 @@ def _mor_read(
             F.lit(-1).cast("long").alias("__ord"),
             F.lit(False).alias("__del"),
             F.col("_hoodie_record_key").alias("__key"),
+            record_commit.alias("__commit"),
             *data_cols,
         )
     )
@@ -513,6 +580,7 @@ def _mor_read(
                 T.StructField("__ord", T.LongType()),
                 T.StructField("__del", T.BooleanType()),
                 T.StructField("__key", T.StringType()),
+                T.StructField("__commit", T.StringType()),
             ]
             + list(data_schema.fields)
         )
@@ -556,6 +624,7 @@ def _mor_read(
                                         "__ord": ord_base + j,
                                         "__del": True,
                                         "__key": key,
+                                        "__commit": instant,
                                     }
                                 )
                         elif blk["type"] == hlog.AVRO_DATA_BLOCK:
@@ -563,7 +632,7 @@ def _mor_read(
                                 hlog.decode_avro_data_block(blk)
                             ):
                                 row = {
-                                    c: rec.get(c) for c in out_cols[5:]
+                                    c: rec.get(c) for c in out_cols[6:]
                                 }
                                 row["__group"] = group
                                 row["__instant"] = instant
@@ -572,6 +641,7 @@ def _mor_read(
                                 row["__key"] = rec.get(
                                     "_hoodie_record_key"
                                 )
+                                row["__commit"] = instant
                                 rows.append(row)
                         else:
                             raise HudiFeatureUnsupported(
@@ -594,8 +664,13 @@ def _mor_read(
     merged = all_rows.withColumn("__rn", F.row_number().over(w)).where(
         (F.col("__rn") == 1) & (~F.col("__del"))
     )
-    if _provenance:  # internal: the MoR delete writer needs (group, key)
-        return merged.select("__group", "__key", *data_cols)
+    if _provenance:  # internal: the MoR delete/compaction writers need
+        # (group, key) + the winning record's true commit time
+        return merged.select("__group", "__key", "__commit", *data_cols)
+    if _with_commit_time:  # the incremental query's filter column
+        return merged.select(
+            *data_cols, F.col("__commit").alias("_hoodie_commit_time")
+        )
     return merged.select(*data_cols)
 
 

@@ -201,9 +201,21 @@ def _insert_batch(
 ) -> str:
     """Enrich with meta columns, stage distributed, move into
     spec-named file groups, publish the timeline instant if-absent
-    (``replacecommit`` when groups retire, ``commit`` otherwise)."""
+    (``replacecommit`` when groups retire, ``commit`` otherwise).
+
+    A ``__commit_time`` column, when present, carries each row's
+    record-level ``_hoodie_commit_time`` instead of the batch instant —
+    how a CoW upsert's rewritten-but-unchanged remainder rows keep
+    their true last-change instant (Hudi's meta-field contract; the
+    incremental query depends on it)."""
     spark = df.sparkSession
     # ---- meta columns + staging --------------------------------------
+    commit_expr = (
+        F.col("__commit_time")
+        if "__commit_time" in df.columns
+        else F.lit(instant)
+    )
+    data_out = [c for c in df.columns if c != "__commit_time"]
     key_expr = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
     part_path_expr = (
         F.concat_ws(
@@ -224,14 +236,14 @@ def _insert_batch(
     )
     file_id = uuid.uuid4().hex  # one logical group id per write batch
     enriched = df.select(
-        F.lit(instant).alias("_hoodie_commit_time"),
+        commit_expr.alias("_hoodie_commit_time"),
         F.concat(
             F.lit(instant + "_"), F.monotonically_increasing_id().cast("string")
         ).alias("_hoodie_commit_seqno"),
         key_expr.alias("_hoodie_record_key"),
         part_path_expr.alias("_hoodie_partition_path"),
         F.lit(file_id).alias("_hoodie_file_name"),
-        *df.columns,
+        *data_out,
     )
     shadows = []
     for c in partition_by:
@@ -416,13 +428,24 @@ def hudi_upsert(
         rel = local[len(root_local) + 1 :]
         part = rel.rsplit("/", 1)[0] if "/" in rel else ""
         replaced.setdefault(part, set()).add(fid)
+    instant = _next_instant(spark, path)
+    # remainder rows are rewritten-but-UNCHANGED: they keep their
+    # record-level commit time (real Hudi's merge-handle behavior), so
+    # the incremental query never re-emits them; only the source rows
+    # stamp the new instant
+    commit_src = (
+        F.col("_hoodie_commit_time")
+        if "_hoodie_commit_time" in snap.columns
+        else F.lit(instant)
+    )
     remainder = (
         snap.where(F.col("__file").isin(*hit_paths))
-        .select(*data_cols)
+        .select(*data_cols, commit_src.alias("__commit_time"))
         .join(key_df, keys, "left_anti")
     )
-    batch = remainder.unionByName(src)
-    instant = _next_instant(spark, path)
+    batch = remainder.unionByName(
+        src.withColumn("__commit_time", F.lit(instant))
+    )
     return _insert_batch(
         batch, path, keys, partition_by, replaced, True, instant, "UPSERT"
     )
@@ -767,7 +790,9 @@ def hudi_compact(spark: SparkSession, path: str) -> str | None:
 
     view = _mor_read(spark, path, _provenance=True)
     victims = view.where(F.col("__group").isin(*sorted(logged)))
-    data_cols = [c for c in victims.columns if c not in ("__group", "__key")]
+    data_cols = [
+        c for c in victims.columns if c not in ("__group", "__key", "__commit")
+    ]
 
     out_schema = (
         "partition string, fileId string, path string, "
@@ -790,7 +815,11 @@ def hudi_compact(spark: SparkSession, path: str) -> str | None:
         n = len(body)
         meta = _pd.DataFrame(
             {
-                "_hoodie_commit_time": [instant] * n,
+                # preserve each record's LAST-CHANGE instant (Hudi's
+                # compaction contract: meta fields carry over, so the
+                # incremental query never re-emits compacted-but-
+                # unchanged records)
+                "_hoodie_commit_time": pdf["__commit"].tolist(),
                 "_hoodie_commit_seqno": [
                     f"{instant}_{i}" for i in range(n)
                 ],
@@ -848,7 +877,7 @@ def hudi_compact(spark: SparkSession, path: str) -> str | None:
         from pyspark.sql.pandas.types import to_arrow_schema
 
         data_arrow = to_arrow_schema(
-            victims.drop("__group", "__key").schema
+            victims.drop("__group", "__key", "__commit").schema
         )
         meta_fields = [
             _pa.field(c, _pa.string())

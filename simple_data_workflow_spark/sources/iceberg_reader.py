@@ -739,6 +739,7 @@ def iceberg_read(
     path: str,
     snapshot_id: int | None = None,
     filters: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table without the runtime jar: resolve the
     snapshot's data files from metadata JSON + Avro manifests
@@ -759,6 +760,23 @@ def iceberg_read(
       sequence classes; each class anti-joins the delete files that
       apply to it (a relationally-natural distributed plan — nothing
       reaches the driver)."""
+    if ref is not None:
+        # named branch/tag (round 12 continuation): resolve the refs
+        # map to a snapshot id — `main` is the current snapshot
+        if snapshot_id is not None:
+            raise ValueError("pass either snapshot_id or ref, not both")
+        meta0 = load_table_metadata(spark, path)
+        if ref == "main":
+            cur = meta0.get("current-snapshot-id")
+            if cur in (None, -1):
+                raise ValueError(f"table at {path} has no current snapshot")
+            snapshot_id = int(cur)
+        else:
+            entry = (meta0.get("refs") or {}).get(ref)
+            if entry is None:
+                have = sorted((meta0.get("refs") or {}).keys())
+                raise ValueError(f"no ref named {ref!r} (have {have})")
+            snapshot_id = int(entry["snapshot-id"])
     parts_out: dict | None = {} if filters else None
     data, deletes, schema = _snapshot_files_and_deletes(
         spark, path, snapshot_id, _partitions_out=parts_out
@@ -894,6 +912,24 @@ def iceberg_snapshots_table(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "snapshot_id long, timestamp_ms long, operation string, "
         "manifest_list string, parent_id long",
+    )
+
+
+def iceberg_refs_table(spark: SparkSession, path: str) -> DataFrame:
+    """The table's named references as a DataFrame — Iceberg's ``refs``
+    metadata table shape (name, type, snapshot_id), ``main``
+    synthesized from current-snapshot-id. Metadata-sized."""
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_refs,
+    )
+
+    rows = [
+        (name, entry["type"], int(entry["snapshot-id"]))
+        for name, entry in sorted(iceberg_refs(spark, path).items())
+    ]
+    return spark.createDataFrame(
+        rows or spark.sparkContext.emptyRDD(),
+        "name string, type string, snapshot_id long",
     )
 
 

@@ -914,7 +914,9 @@ def iceberg_write(
             "last-partition-id": max(
                 [p["field_id"] for p in spec_fields], default=999
             ),
-            "properties": {},
+            # carry table properties and named refs (branches/tags)
+            # through the rebuild — a write must never drop them
+            "properties": dict((cur_meta or {}).get("properties") or {}),
             # stage_only = write-audit-publish: the snapshot lands in
             # the log (readable via snapshot-id time travel — the
             # AUDIT) but current does not move until iceberg_cherry_pick
@@ -926,6 +928,8 @@ def iceberg_write(
             ),
             "snapshots": prev_snaps + [snapshot],
         }
+        if (cur_meta or {}).get("refs"):
+            meta_out["refs"] = dict(cur_meta["refs"])
         if fv >= 2:
             meta_out["last-sequence-number"] = seq
         version = 1
@@ -1980,6 +1984,10 @@ def iceberg_expire_snapshots(
     )
     cur = meta.get("current-snapshot-id")
     keep: set[int] = {int(cur)} if cur not in (None, -1) else set()
+    # named branches/tags pin their snapshots (Iceberg's retention
+    # rule: a referenced snapshot never expires while the ref lives)
+    for entry in (meta.get("refs") or {}).values():
+        keep.add(int(entry["snapshot-id"]))
     for s in snaps[-max(keep_last, 1):]:
         keep.add(int(s["snapshot-id"]))
     if older_than_ms is not None:
@@ -2348,3 +2356,180 @@ def iceberg_cherry_pick(
     raise IcebergConcurrentWrite(
         f"cherry-pick on {path} lost the metadata race {_retries} times"
     )
+
+
+# ---------------------------------------------------------------------------
+# named references (round 12 continuation): branches and tags — the
+# spec's table-metadata `refs` map (name -> {snapshot-id, type}).
+# `main` is IMPLICIT here: it always means current-snapshot-id (real
+# runtimes materialize a main entry too; every reader of this metadata
+# that consults current-snapshot-id sees identical behavior, and
+# iceberg_refs() synthesizes the entry for the metadata-table view).
+# ---------------------------------------------------------------------------
+
+
+def _mutate_refs(spark: SparkSession, path: str, mutate, _retries: int = 5):
+    """CAS loop for metadata-only ref changes: ``mutate(meta)`` edits a
+    dict copy in place (or raises); the copy publishes at the next
+    metadata version. Returns the published metadata."""
+    import re as _re
+
+    jvm, fs = _jfs(spark, path)
+    for _attempt in range(_retries):
+        meta = load_table_metadata(spark, path)
+        meta_out = dict(meta)
+        meta_out["refs"] = dict(meta.get("refs") or {})
+        mutate(meta_out)
+        meta_out["last-updated-ms"] = int(time.time() * 1000)
+        version = 1
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")):
+            m = _re.match(r"v(\d+)\.metadata\.json", st.getPath().getName())
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        if _publish_metadata_if_absent(
+            spark, path, version, json.dumps(meta_out, indent=2)
+        ):
+            return meta_out
+    raise IcebergConcurrentWrite(
+        f"ref change on {path} lost the metadata race {_retries} times"
+    )
+
+
+def iceberg_set_ref(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "branch",
+    if_exists: str = "error",
+) -> int:
+    """Create or move a named reference (Iceberg's ``CREATE BRANCH`` /
+    ``CREATE TAG`` / ``REPLACE BRANCH``): point ``name`` at
+    ``snapshot_id`` (default: the current snapshot). ``ref_type`` is
+    ``branch`` or ``tag`` — a TAG is immutable by convention, so moving
+    one requires ``if_exists="replace"`` just like a branch.
+    ``main`` is reserved (it IS current-snapshot-id; move it with
+    ``iceberg_fast_forward``/``iceberg_rollback``). Returns the
+    snapshot id the ref points at. Metadata-only."""
+    if name == "main":
+        raise ValueError(
+            "'main' is the table's current snapshot — move it with "
+            "iceberg_fast_forward or iceberg_rollback"
+        )
+    if ref_type not in ("branch", "tag"):
+        raise ValueError(f"ref_type must be 'branch' or 'tag', got {ref_type!r}")
+    if if_exists not in ("error", "replace"):
+        raise ValueError(f"if_exists must be 'error' or 'replace', got {if_exists!r}")
+
+    def mutate(meta_out):
+        snaps = meta_out.get("snapshots") or []
+        target = snapshot_id
+        if target is None:
+            cur = meta_out.get("current-snapshot-id")
+            if cur in (None, -1):
+                raise ValueError(
+                    f"table at {path} has no current snapshot to reference"
+                )
+            target = int(cur)
+        if not any(int(s["snapshot-id"]) == int(target) for s in snaps):
+            raise ValueError(f"snapshot {target} not in table")
+        if name in meta_out["refs"] and if_exists == "error":
+            raise ValueError(
+                f"ref {name!r} already exists (pass if_exists='replace' to move it)"
+            )
+        meta_out["refs"][name] = {
+            "snapshot-id": int(target),
+            "type": ref_type,
+        }
+        mutate.result = int(target)
+
+    published = _mutate_refs(spark, path, mutate)
+    return int(published["refs"][name]["snapshot-id"])
+
+
+def iceberg_drop_ref(spark: SparkSession, path: str, name: str) -> None:
+    """Drop a named branch/tag (metadata-only; the snapshots it pointed
+    at stay in the log until ``iceberg_expire_snapshots``)."""
+    if name == "main":
+        raise ValueError("cannot drop 'main'")
+
+    def mutate(meta_out):
+        if name not in meta_out["refs"]:
+            raise ValueError(f"no ref named {name!r}")
+        del meta_out["refs"][name]
+
+    _mutate_refs(spark, path, mutate)
+
+
+def iceberg_refs(spark: SparkSession, path: str) -> dict:
+    """The table's reference map, ``main`` synthesized from
+    current-snapshot-id (the spec's implicit main branch)."""
+    meta = load_table_metadata(spark, path)
+    refs = dict(meta.get("refs") or {})
+    cur = meta.get("current-snapshot-id")
+    if cur not in (None, -1):
+        refs.setdefault("main", {"snapshot-id": int(cur), "type": "branch"})
+    return refs
+
+
+def _is_ancestor(snaps_by_id: dict, ancestor: int, descendant: int) -> bool:
+    """True when ``ancestor`` is on ``descendant``'s parent chain
+    (inclusive)."""
+    seen = set()
+    cur = descendant
+    while cur is not None and cur not in seen:
+        if int(cur) == int(ancestor):
+            return True
+        seen.add(cur)
+        snap = snaps_by_id.get(int(cur))
+        cur = None if snap is None else snap.get("parent-snapshot-id")
+    return False
+
+
+def iceberg_fast_forward(
+    spark: SparkSession, path: str, name: str, to_ref: str
+) -> int:
+    """Fast-forward ref ``name`` to another ref's snapshot (Iceberg's
+    ``fast_forward`` procedure): REQUIRES the target's ancestry to
+    contain ``name``'s current position — anything else would silently
+    drop commits, so it raises instead. ``name='main'`` moves
+    current-snapshot-id (how a branch's audited work publishes).
+    Returns the new snapshot id."""
+
+    def resolve(meta_out, ref):
+        if ref == "main":
+            cur = meta_out.get("current-snapshot-id")
+            return None if cur in (None, -1) else int(cur)
+        entry = (meta_out.get("refs") or {}).get(ref)
+        if entry is None:
+            raise ValueError(f"no ref named {ref!r}")
+        return int(entry["snapshot-id"])
+
+    result = {}
+
+    def mutate(meta_out):
+        target = resolve(meta_out, to_ref)
+        if target is None:
+            raise ValueError(f"ref {to_ref!r} resolves to no snapshot")
+        pos = resolve(meta_out, name) if (
+            name == "main" or name in meta_out["refs"]
+        ) else None
+        snaps_by_id = {
+            int(s["snapshot-id"]): s for s in meta_out.get("snapshots") or []
+        }
+        if pos is not None and not _is_ancestor(snaps_by_id, pos, target):
+            raise ValueError(
+                f"cannot fast-forward {name!r}: its snapshot {pos} is not "
+                f"an ancestor of {to_ref!r}'s snapshot {target}"
+            )
+        if name == "main":
+            meta_out["current-snapshot-id"] = int(target)
+        else:
+            meta_out["refs"][name] = {
+                "snapshot-id": int(target),
+                "type": (meta_out["refs"].get(name) or {}).get("type", "branch"),
+            }
+        result["snapshot"] = int(target)
+
+    _mutate_refs(spark, path, mutate)
+    return result["snapshot"]

@@ -40,6 +40,7 @@ def read_table(
     version: int | None = None,
     filters: list[tuple] | None = None,
     timestamp_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read a lakehouse table. When the runtime jar is absent, Delta
     falls back to the pure-Python log reader (``sources.delta_reader``)
@@ -56,6 +57,10 @@ def read_table(
     instant-time string for time travel)."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
+    if ref is not None and fmt != "iceberg":
+        raise ValueError("ref= (branch/tag) reads are an Iceberg feature")
+    if ref is not None and (version is not None or timestamp_ms is not None):
+        raise ValueError("pass ref OR version/timestamp_ms, not both")
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp_ms, not both")
@@ -99,7 +104,7 @@ def read_table(
             )
 
             return iceberg_read(
-                spark, path, snapshot_id=version, filters=filters
+                spark, path, snapshot_id=version, filters=filters, ref=ref
             )
         if fmt == "hudi":
             from simple_data_workflow_spark.sources.hudi_reader import (
@@ -128,6 +133,22 @@ def read_table(
         elif fmt == "hudi":
             reader = reader.option("as.of.instant", str(version))
         out = reader.load(path)
+    elif ref is not None:
+        # the Iceberg runtime resolves branch and tag through distinct
+        # options; resolve the ref's kind from the metadata first so a
+        # tag never silently reads as a missing branch
+        from simple_data_workflow_spark.sources.iceberg_writer import (
+            iceberg_refs,
+        )
+
+        entry = iceberg_refs(spark, path).get(ref)
+        if entry is None:
+            raise ValueError(f"no ref named {ref!r}")
+        out = (
+            spark.read.format(fmt)
+            .option("branch" if entry["type"] == "branch" else "tag", ref)
+            .load(path)
+        )
     else:
         out = spark.read.format(fmt).load(path)
     if filters:
@@ -199,11 +220,16 @@ def table_changes(
       per-snapshot derivation; versions are SNAPSHOT IDS, and
       ``starting_version``/``ending_version`` are exclusive-from /
       inclusive-to like the procedure's arguments (None = the ends).
-    - ``hudi``: not wired jar-free yet (the incremental query is a
-      runtime feature); raises NotImplementedError naming the gap.
+    - ``hudi``: the jar-free incremental query
+      (``hudi_reader.hudi_table_changes``) — records whose current
+      version as of ``ending_version`` was committed in the range,
+      ``hoodie.datasource.query.type=incremental`` semantics (begin
+      exclusive, end inclusive; deletes not emitted; compaction
+      produces no record versions). Versions are INSTANT strings;
+      the 0/None defaults mean table-start / latest.
 
     Versions are format-native: Delta commit versions (ints), Iceberg
-    snapshot ids."""
+    snapshot ids, Hudi instant timestamps (strings)."""
     if fmt == "delta":
         from simple_data_workflow_spark.sources.delta_reader import (
             delta_table_changes,
@@ -226,11 +252,16 @@ def table_changes(
             None if starting_version in (0, None) else int(starting_version),
             None if ending_version is None else int(ending_version),
         )
-    if fmt in _FORMATS:
-        raise NotImplementedError(
-            f"table_changes for {fmt} needs the {_FORMATS[fmt]} runtime "
-            "(jar-free support covers delta CDF and the iceberg "
-            "changelog today)"
+    if fmt == "hudi":
+        from simple_data_workflow_spark.sources.hudi_reader import (
+            hudi_table_changes,
+        )
+
+        return hudi_table_changes(
+            spark,
+            path,
+            None if starting_version in (0, None) else str(starting_version),
+            None if ending_version is None else str(ending_version),
         )
     raise ValueError(
         f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}"

@@ -1399,7 +1399,7 @@ def test_delta_change_data_feed_roundtrip(spark, tmp_path):
 
 def test_lakehouse_table_changes_front_door(spark, tmp_path):
     """Round 12: the lakehouse front door exposes the change feed —
-    delta routes to delta_table_changes; iceberg/hudi name the gap."""
+    delta routes to delta_table_changes; an unknown format raises."""
     import pytest as _pytest
 
     from simple_data_workflow_spark.sources import lakehouse
@@ -1421,8 +1421,8 @@ def test_lakehouse_table_changes_front_door(spark, tmp_path):
     assert {(r["id"], r["_change_type"]) for r in ch.collect()} == {
         (1, "delete")
     }
-    with _pytest.raises(NotImplementedError, match="table_changes"):
-        lakehouse.table_changes(spark, "iceberg", root)
+    with _pytest.raises(ValueError, match="unknown"):
+        lakehouse.table_changes(spark, "not-a-format", root)
 
 
 def test_cdf_derives_overwrite_and_restore(spark, tmp_path):

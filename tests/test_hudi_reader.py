@@ -766,3 +766,139 @@ def test_hudi_1x_timeline_and_kryo_delete(spark, tmp_path):
     }
     assert (t0, "deltacommit", "completed") in tl
     assert (inst2, "deltacommit", "completed") in tl
+
+
+def test_hudi_incremental_cow(spark, tmp_path):
+    """Round 12 continuation: jar-free incremental query on
+    COPY_ON_WRITE — (start, end] record versions, upserted rows carry
+    the upsert instant, deletes (overwritten-away rows) never emit,
+    and the begin bound is exclusive."""
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        hudi_table_changes,
+    )
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_upsert,
+        hudi_write,
+    )
+
+    root = str(tmp_path / "inc_cow")
+    # ONE file group: the upserts below rewrite it, so the unchanged
+    # remainder rows (ids 1, 3) prove commit-time preservation — a
+    # rewrite that re-stamped them would wrongly re-emit them
+    t1 = hudi_write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+        ).coalesce(1),
+        root,
+        mode="error",
+        record_key="id",
+    )
+    t2 = hudi_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(2, 222.0), (4, 40.0)], "id long, v double"),
+    )
+    t3 = hudi_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(4, 444.0)], "id long, v double"),
+    )
+
+    def rows(df):
+        return {(r["id"], r["v"], r["_hoodie_commit_time"]) for r in df.collect()}
+
+    # full range: every record's latest version, stamped with its
+    # last-change instant
+    assert rows(hudi_table_changes(spark, root)) == {
+        (1, 10.0, t1), (2, 222.0, t2), (3, 30.0, t1), (4, 444.0, t3),
+    }
+    # (t1, t3]: only records changed after t1
+    assert rows(hudi_table_changes(spark, root, t1)) == {
+        (2, 222.0, t2), (4, 444.0, t3),
+    }
+    # (t1, t2]: as-of t2 — id=4's version at t2 (40.0), not t3's
+    assert rows(hudi_table_changes(spark, root, t1, t2)) == {
+        (2, 222.0, t2), (4, 40.0, t2),
+    }
+    # (t2, t3]
+    assert rows(hudi_table_changes(spark, root, t2, t3)) == {(4, 444.0, t3)}
+    # front door: instant-string versions pass through
+    assert rows(lakehouse.table_changes(spark, "hudi", root, t2, t3)) == {
+        (4, 444.0, t3)
+    }
+    # empty/inverted range raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty incremental range"):
+        hudi_table_changes(spark, root, t3, t2)
+    with _pytest.raises(ValueError, match="empty incremental range"):
+        hudi_table_changes(spark, root, t3, t3)
+
+
+def test_hudi_incremental_mor_and_compaction_preserves_commit_times(
+    spark, tmp_path
+):
+    """MoR incremental: log-record upserts emit at their deltacommit
+    instant, deleted records never emit, and COMPACTION preserves each
+    record's last-change _hoodie_commit_time (the incremental result is
+    IDENTICAL before and after compacting)."""
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        hudi_read,
+        hudi_table_changes,
+    )
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_compact,
+        hudi_delta_delete,
+        hudi_delta_upsert,
+        hudi_write,
+    )
+
+    root = str(tmp_path / "inc_mor")
+    t1 = hudi_write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+        ),
+        root,
+        mode="error",
+        record_key="id",
+        table_type="MERGE_ON_READ",
+    )
+    # separate calls: hudi_delta_upsert publishes updates and inserts
+    # under DIFFERENT deltacommit instants and returns the last one
+    t2 = hudi_delta_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(2, 222.0)], "id long, v double"),
+    )
+    t2b = hudi_delta_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(9, 90.0)], "id long, v double"),
+    )
+    t3 = hudi_delta_delete(spark, root, "id = 3")
+
+    def rows(df):
+        return {(r["id"], r["v"], r["_hoodie_commit_time"]) for r in df.collect()}
+
+    want_all = {(1, 10.0, t1), (2, 222.0, t2), (9, 90.0, t2b)}
+    assert rows(hudi_table_changes(spark, root)) == want_all
+    # (t1, ·]: the upserted/inserted records; the t3-deleted id=3 never
+    # emits (non-CDC incremental contract)
+    want_inc = {(2, 222.0, t2), (9, 90.0, t2b)}
+    assert rows(hudi_table_changes(spark, root, t1)) == want_inc
+    # as-of t2b (before the delete) id=3 is LIVE but unchanged-in-range
+    assert rows(hudi_table_changes(spark, root, t1, t2b)) == want_inc
+
+    # compaction rewrites logged groups into new base slices …
+    t4 = hudi_compact(spark, root)
+    assert t4 is not None
+    # … but record commit times carry over: the incremental views are
+    # unchanged, nothing re-emits at the compaction instant
+    assert rows(hudi_table_changes(spark, root)) == want_all
+    assert rows(hudi_table_changes(spark, root, t1)) == want_inc
+    assert rows(hudi_table_changes(spark, root, t3)) == set()
+    # and the merged snapshot itself is intact
+    assert {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()} == {
+        (1, 10.0), (2, 222.0), (9, 90.0)
+    }

@@ -1125,3 +1125,128 @@ def test_iceberg_v3_deletion_vector_roundtrip(spark, tmp_path):
         f.write(str(len(metas) + 1))
     with _pytest.raises(NotImplementedError, match="format-version 4"):
         iceberg_read(spark, root)
+
+
+def test_iceberg_refs_branch_tag_lifecycle(spark, tmp_path):
+    """Round 12 continuation: named references — create a tag and a
+    branch, read through them (ref= on iceberg_read AND the lakehouse
+    front door), move a branch with if_exists='replace', refuse
+    duplicate creates / 'main' writes / unknown refs, and drop."""
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_refs_table,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_drop_ref,
+        iceberg_refs,
+        iceberg_set_ref,
+    )
+
+    root = str(tmp_path / "refs")
+    s1 = iceberg_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double"),
+        root,
+        mode="error",
+    )
+    assert iceberg_set_ref(spark, root, "v1.0", ref_type="tag") == s1
+    s2 = iceberg_write(
+        spark.createDataFrame([(3, 3.0)], "id int, v double"),
+        root,
+        mode="append",
+    )
+    assert iceberg_set_ref(spark, root, "dev", snapshot_id=s1) == s1
+
+    # ref reads: tag/branch pin s1, main sees s2's rows
+    assert {r["id"] for r in iceberg_read(spark, root, ref="v1.0").collect()} == {1, 2}
+    assert {r["id"] for r in iceberg_read(spark, root, ref="dev").collect()} == {1, 2}
+    assert {r["id"] for r in iceberg_read(spark, root, ref="main").collect()} == {1, 2, 3}
+    assert {
+        r["id"]
+        for r in lakehouse.read_table(spark, "iceberg", root, ref="v1.0").collect()
+    } == {1, 2}
+
+    # refs survive a subsequent write (metadata rebuild must carry them)
+    iceberg_write(
+        spark.createDataFrame([(4, 4.0)], "id int, v double"),
+        root,
+        mode="append",
+    )
+    assert set(iceberg_refs(spark, root)) == {"main", "v1.0", "dev"}
+    tbl = {
+        (r["name"], r["type"], r["snapshot_id"])
+        for r in iceberg_refs_table(spark, root).collect()
+    }
+    assert ("v1.0", "tag", s1) in tbl and ("dev", "branch", s1) in tbl
+
+    # move the branch; duplicate create refuses; main is reserved
+    assert iceberg_set_ref(spark, root, "dev", snapshot_id=s2, if_exists="replace") == s2
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg_set_ref(spark, root, "dev", snapshot_id=s1)
+    with pytest.raises(ValueError, match="main"):
+        iceberg_set_ref(spark, root, "main", snapshot_id=s1)
+    with pytest.raises(ValueError, match="no ref named"):
+        iceberg_read(spark, root, ref="nope")
+    with pytest.raises(ValueError, match="not both"):
+        iceberg_read(spark, root, snapshot_id=s1, ref="dev")
+    with pytest.raises(ValueError, match="Iceberg feature"):
+        lakehouse.read_table(spark, "delta", root, ref="dev")
+
+    iceberg_drop_ref(spark, root, "dev")
+    assert set(iceberg_refs(spark, root)) == {"main", "v1.0"}
+    with pytest.raises(ValueError, match="no ref named"):
+        iceberg_drop_ref(spark, root, "dev")
+
+
+def test_iceberg_refs_pin_snapshots_and_fast_forward(spark, tmp_path):
+    """Refs protect their snapshots from expiry, and fast-forward
+    publishes a staged branch onto main only when the move is a true
+    fast-forward."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_expire_snapshots,
+        iceberg_fast_forward,
+        iceberg_set_ref,
+    )
+
+    root = str(tmp_path / "ffwd")
+    s1 = iceberg_write(
+        spark.createDataFrame([(1, 1.0)], "id int, v double"),
+        root,
+        mode="error",
+    )
+    iceberg_set_ref(spark, root, "keepme", snapshot_id=s1, ref_type="tag")
+    iceberg_write(
+        spark.createDataFrame([(2, 2.0)], "id int, v double"),
+        root, mode="append",
+    )
+    s3 = iceberg_write(
+        spark.createDataFrame([(3, 3.0)], "id int, v double"),
+        root, mode="append",
+    )
+    # expire everything except current — the tagged s1 must survive
+    expired = iceberg_expire_snapshots(spark, root, keep_last=1)
+    kept = {
+        int(s["snapshot-id"])
+        for s in load_table_metadata(spark, root)["snapshots"]
+    }
+    assert s1 in kept and s3 in kept and s1 not in expired
+    assert {r["id"] for r in iceberg_read(spark, root, ref="keepme").collect()} == {1}
+
+    # stage an audit commit (parents off current), branch it, publish
+    # main by fast-forward; a backwards move refuses
+    staged = iceberg_write(
+        spark.createDataFrame([(9, 9.0)], "id int, v double"),
+        root, mode="append", stage_only=True,
+    )
+    iceberg_set_ref(spark, root, "audit", snapshot_id=staged)
+    assert {r["id"] for r in iceberg_read(spark, root, ref="audit").collect()} == {1, 2, 3, 9}
+    assert {r["id"] for r in iceberg_read(spark, root).collect()} == {1, 2, 3}
+    assert iceberg_fast_forward(spark, root, "main", "audit") == staged
+    assert {r["id"] for r in iceberg_read(spark, root).collect()} == {1, 2, 3, 9}
+    # backwards (main is now AT the branch head; moving a ref pointing
+    # nowhere on main's ancestry refuses)
+    iceberg_set_ref(spark, root, "old", snapshot_id=s3)
+    with pytest.raises(ValueError, match="not.*ancestor|ancestor"):
+        iceberg_fast_forward(spark, root, "main", "old")
