@@ -3830,6 +3830,161 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 continuation: SHALLOW CLONE end-to-end — orders take a
+    deletion-vector DELETE, the table clones (metadata-only: absolute-
+    path add actions, DV descriptors re-anchored 'p'), and the clone
+    diverges with its own UPDATE while the source stays byte-identical
+    (asserted in-query against the pre-clone aggregate). The returned
+    frame aggregates the DIVERGED CLONE and must match the oracle's
+    WHERE + CASE twin — a clone that leaked the update into the source
+    or misapplied the source's DVs breaks the hash."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_clone,
+        delta_delete,
+        delta_update,
+        delta_write,
+    )
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="sdw-dclone-")
+    src, dst = f"{root}/orders_src", f"{root}/orders_clone"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_write(orders.repartition(8), src, mode="error")
+    delta_delete(spark, src, "o_totalprice < 20000", strategy="dv")
+    delta_clone(spark, src, dst)
+    src_before = lakehouse.read_table(spark, "delta", src).count()
+    delta_update(
+        spark, dst, {"o_totalprice": "o_totalprice * 3"},
+        "o_orderkey % 4 = 0", strategy="rewrite",
+    )
+    src_after = lakehouse.read_table(spark, "delta", src).count()
+    assert src_after == src_before, "clone DML leaked into the source"
+    got = lakehouse.read_table(spark, "delta", dst)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_CLONE_SQL = """
+WITH cloned AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_totalprice >= 20000
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM cloned
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def delta_constraint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 continuation: Delta CHECK constraints end-to-end —
+    ADD CONSTRAINT validates the current rows and bumps the writer
+    protocol; a violating append, a violating UPDATE (deletion-vector
+    engine), and a NULL-producing UPDATE (Delta counts NULL as a
+    violation) must all REFUSE with DeltaConstraintViolation and leave
+    the table byte-identical; a legal UPDATE commits. The returned
+    aggregate must match the oracle's arithmetic twin — wrong rows
+    from any refused-but-leaked write break the hash."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        DeltaConstraintViolation,
+        delta_add_constraint,
+        delta_update,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-dchk-") + "/orders_chk"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_write(orders, path, mode="error")
+    delta_add_constraint(spark, path, "price_pos", "o_totalprice > 0.0")
+
+    def must_refuse(fn, what):
+        try:
+            fn()
+        except DeltaConstraintViolation:
+            return
+        raise AssertionError(f"{what} should have violated price_pos")
+
+    must_refuse(
+        lambda: delta_write(
+            orders.limit(10).withColumn(
+                "o_totalprice", F.col("o_totalprice") * -1
+            ),
+            path,
+            mode="append",
+        ),
+        "negative-price append",
+    )
+    must_refuse(
+        lambda: delta_update(
+            spark, path, {"o_totalprice": "-o_totalprice"},
+            "o_orderkey % 7 = 0", strategy="dv",
+        ),
+        "negating UPDATE",
+    )
+    must_refuse(
+        lambda: delta_update(
+            spark, path, {"o_totalprice": "CAST(NULL AS DOUBLE)"},
+            "o_orderkey % 11 = 0", strategy="rewrite",
+        ),
+        "NULL-producing UPDATE",
+    )
+    # a legal UPDATE commits under the constraint
+    delta_update(
+        spark, path, {"o_totalprice": "o_totalprice * 2"},
+        "o_orderkey % 10 = 0", strategy="rewrite",
+    )
+    got = lakehouse.read_table(spark, "delta", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_CONSTRAINT_SQL = """
+WITH final AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def iceberg_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 12 continuation: Iceberg NAMED REFERENCES end-to-end —
     tag, branch, ref reads, fast-forward publish, ref-pinned retention.
@@ -6735,6 +6890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "hudi_incremental_read": _wrap(hudi_incremental_read),
         "iceberg_branch_read": _wrap(iceberg_branch_read),
+        "delta_constraint_roundtrip": _wrap(delta_constraint_roundtrip),
+        "delta_clone_read": _wrap(delta_clone_read),
         "tablelog_wap_publish": _wrap(tablelog_wap_publish),
         "tablelog_tag_read": _wrap(tablelog_tag_read),
         "tablelog_metadata_tables": _wrap(tablelog_metadata_tables),
@@ -6950,6 +7107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head = [
         "hudi_incremental_read",
         "iceberg_branch_read",
+        "delta_constraint_roundtrip",
+        "delta_clone_read",
         "media_header_meta",
         "delta_cdf_roundtrip",
         "hudi_1x_read",
@@ -6996,8 +7155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders",
         "bigram_doc_freq",
         "boilerplate_docs",
-        "bpe_token_counts",
-        "cheapest_supplier_per_nation",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -7083,6 +7240,8 @@ def oracle_sql() -> dict[str, str]:
         "hudi_1x_read": HUDI_1X_SQL,
         "hudi_incremental_read": HUDI_INCREMENTAL_SQL,
         "iceberg_branch_read": ICEBERG_BRANCH_SQL,
+        "delta_constraint_roundtrip": DELTA_CONSTRAINT_SQL,
+        "delta_clone_read": DELTA_CLONE_SQL,
         "iceberg_changelog_read": ICEBERG_CHANGELOG_SQL,
         "ivf_topk_embeddings": IVF_TOPK_SQL,
         "hudi_stream_read": ICEBERG_STREAM_SQL,

@@ -60,6 +60,47 @@ class DeltaSchemaMismatch(ValueError):
     """Append/overwrite schema is incompatible with the table."""
 
 
+class DeltaConstraintViolation(ValueError):
+    """Rows being written violate a table CHECK constraint."""
+
+
+def _table_constraints(meta: dict | None) -> dict[str, str]:
+    """CHECK constraints from table configuration — Delta stores each
+    as ``delta.constraints.<name> = <sql expr>``."""
+    conf = (meta or {}).get("configuration") or {}
+    pre = "delta.constraints."
+    return {k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)}
+
+
+def _enforce_constraints(df, meta: dict | None, operation: str) -> None:
+    """Raise if ANY row of ``df`` (logical schema) violates a CHECK
+    constraint. Delta's rule: a row violates when the expression is
+    FALSE **or NULL** (CheckDeltaInvariant), stricter than SQL CHECK.
+    One pass finding the first offending row; the common
+    no-constraints case costs nothing."""
+    cons = sorted(_table_constraints(meta).items())
+    if not cons:
+        return
+    from pyspark.sql import functions as F
+
+    checks = [
+        F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)).alias(f"__c{i}")
+        for i, (_name, expr) in enumerate(cons)
+    ]
+    any_bad = " OR ".join(f"(NOT __c{i})" for i in range(len(cons)))
+    hit = df.select(*checks).where(any_bad).limit(1).collect()
+    if hit:
+        row = hit[0]
+        broken = [
+            f"{name} CHECK ({expr})"
+            for i, (name, expr) in enumerate(cons)
+            if not row[f"__c{i}"]
+        ]
+        raise DeltaConstraintViolation(
+            f"{operation} violates table constraint(s): {'; '.join(broken)}"
+        )
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -431,6 +472,10 @@ def delta_write(
     if missing:
         raise ValueError(f"partition columns not in DataFrame: {missing}")
 
+    if exists:
+        # CHECK constraints gate incoming rows (appends AND the
+        # replacement contents of an overwrite)
+        _enforce_constraints(df, cur_meta, f"{mode} write")
     adds = _stage_data_files(df, path, partition_by)
     now = int(time.time() * 1000)
     table_id = (cur_meta or {}).get("id") or str(uuid.uuid4())
@@ -939,6 +984,10 @@ def _stage_physical(
         _physicalize,
     )
 
+    # CHECK constraints gate every DML-staged row (UPDATE/MERGE can
+    # introduce violations; rewritten-but-unchanged rows re-pass by
+    # the invariant ADD CONSTRAINT validated)
+    _enforce_constraints(df, view.get("meta"), operation)
     schema, part_cols = view["schema"], view["part_cols"]
     if view["mapped"] or view["id_mode"]:
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -1096,6 +1145,211 @@ def delta_set_properties(
     raise DeltaConcurrentWrite(
         f"SET TBLPROPERTIES on {path} lost the commit race {_retries} times"
     )
+
+
+def delta_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str, _retries: int = 5
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>), jar-free:
+    validates the EXISTING rows first (Delta refuses to add a
+    constraint the current table violates), then publishes metaData
+    with ``delta.constraints.<name> = expr`` and upgrades the protocol
+    (legacy tables bump minWriterVersion to 3 — the spec's CHECK
+    constraints gate; feature tables add ``checkConstraints``). Every
+    subsequent append/overwrite/UPDATE/MERGE enforces the constraint
+    (violation = expression FALSE or NULL, Delta's rule) and raises
+    ``DeltaConstraintViolation`` instead of committing."""
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+
+    name = name.lower()  # Delta lowercases constraint names
+    key = f"delta.constraints.{name}"
+    for attempt in range(_retries):
+        adds, meta, proto, cur_v, _t = _replay_full(spark, path)
+        if meta is None:
+            raise ValueError(f"no Delta table at {path}")
+        conf = dict(meta.get("configuration") or {})
+        if key in conf:
+            raise ValueError(
+                f"constraint {name!r} already exists: CHECK ({conf[key]})"
+            )
+        # current rows must satisfy the new constraint (reader applies
+        # DVs + column mapping, so `expr` sees logical columns)
+        _enforce_constraints(
+            delta_read(spark, path),
+            {"configuration": {key: expr}},
+            f"ADD CONSTRAINT {name}",
+        )
+        now = int(time.time() * 1000)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "ADD CONSTRAINT",
+                        "operationParameters": {"name": name, "expr": expr},
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            )
+        ]
+        proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+        wfeats = proto.get("writerFeatures")
+        if wfeats is not None:
+            if "checkConstraints" not in wfeats:
+                new_proto = dict(proto)
+                new_proto["writerFeatures"] = sorted(
+                    set(wfeats) | {"checkConstraints"}
+                )
+                lines.append(json.dumps({"protocol": new_proto}))
+        elif int(proto.get("minWriterVersion", 2)) < 3:
+            new_proto = dict(proto)
+            new_proto["minWriterVersion"] = 3
+            lines.append(json.dumps({"protocol": new_proto}))
+        conf[key] = expr
+        meta_out = dict(meta)
+        meta_out["configuration"] = conf
+        lines.append(json.dumps({"metaData": meta_out}))
+        version = cur_v + 1
+        if _publish_if_absent(
+            spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
+        ):
+            return version
+    raise DeltaConcurrentWrite(
+        f"ADD CONSTRAINT on {path} lost the commit race {_retries} times"
+    )
+
+
+def delta_drop_constraint(
+    spark: SparkSession, path: str, name: str, _retries: int = 5
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT, jar-free: republish metaData
+    without ``delta.constraints.<name>``."""
+    name = name.lower()
+    key = f"delta.constraints.{name}"
+    for attempt in range(_retries):
+        adds, meta, _proto, cur_v, _t = _replay_full(spark, path)
+        if meta is None:
+            raise ValueError(f"no Delta table at {path}")
+        conf = dict(meta.get("configuration") or {})
+        if key not in conf:
+            raise ValueError(f"no constraint named {name!r}")
+        del conf[key]
+        now = int(time.time() * 1000)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "DROP CONSTRAINT",
+                        "operationParameters": {"name": name},
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            ),
+        ]
+        meta_out = dict(meta)
+        meta_out["configuration"] = conf
+        lines.append(json.dumps({"metaData": meta_out}))
+        version = cur_v + 1
+        if _publish_if_absent(
+            spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
+        ):
+            return version
+    raise DeltaConcurrentWrite(
+        f"DROP CONSTRAINT on {path} lost the commit race {_retries} times"
+    )
+
+
+def delta_clone(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """SHALLOW CLONE, jar-free (Delta's ``CREATE TABLE ... SHALLOW
+    CLONE src [VERSION AS OF v]``): a NEW table whose version-0 commit
+    references the source snapshot's data files by ABSOLUTE path — no
+    data copies, metadata-sized cost. The clone gets its own table id
+    and log; schema, partitioning, configuration (constraints, CDF,
+    column mapping) and protocol copy verbatim; deletion-vector
+    descriptors re-anchor as ``storageType "p"`` (absolute) so the
+    clone's reads mask exactly the source's dead rows. Writes and DML
+    on the clone diverge freely — and ``delta_vacuum`` on the clone
+    can never reap source data (it only walks the clone's own root;
+    the referenced files live outside it, the same containment real
+    Delta relies on)."""
+    from simple_data_workflow_spark.sources.delta_dv import dv_uuid_path
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_version_at_timestamp,
+    )
+
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = delta_version_at_timestamp(spark, src_path, timestamp_ms)
+    adds, meta, proto, src_v, _txns = _replay_full(spark, src_path, version)
+    if meta is None:
+        raise ValueError(f"no Delta table at {src_path}")
+    try:
+        _replay_full(spark, dst_path)
+        raise ValueError(f"Delta table already exists at {dst_path}")
+    except FileNotFoundError:
+        pass
+
+    jvm, _fs_ = _fs(spark, src_path)
+    src_local = jvm.org.apache.hadoop.fs.Path(src_path).toUri().getPath()
+    now = int(time.time() * 1000)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "CLONE",
+                    "operationParameters": {
+                        "source": src_path,
+                        "sourceVersion": src_v,
+                    },
+                    "engineInfo": "simple-data-workflow-spark delta_writer",
+                }
+            }
+        ),
+        json.dumps(
+            {"protocol": proto or {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ),
+    ]
+    meta_out = dict(meta)
+    meta_out["id"] = str(uuid.uuid4())
+    meta_out["createdTime"] = now
+    lines.append(json.dumps({"metaData": meta_out}))
+    for rel in sorted(adds):
+        a = dict(adds[rel])
+        dec = urllib.parse.unquote(rel)
+        full = (
+            dec
+            if "://" in dec or dec.startswith("/")
+            else f"{src_local}/{dec}"
+        )
+        a["path"] = urllib.parse.quote(full)
+        a["dataChange"] = True
+        a["modificationTime"] = int(a.get("modificationTime") or now)
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            a["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": dv_uuid_path(
+                    src_local, dv["pathOrInlineDv"]
+                ),
+            }
+        lines.append(json.dumps({"add": a}))
+    if not _publish_if_absent(
+        spark, dst_path, f"{0:020d}.json", "\n".join(lines) + "\n"
+    ):
+        raise DeltaConcurrentWrite(
+            f"another writer created a Delta table at {dst_path}"
+        )
+    return 0
 
 
 def _dml_rewrite(

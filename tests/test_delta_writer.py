@@ -1460,3 +1460,156 @@ def test_cdf_derives_overwrite_and_restore(spark, tmp_path):
     # deletes = the LIVE rows before the overwrite (id 5 was already
     # dead via its DV — it must NOT reappear as a delete)
     assert got == {(i, "delete") for i in range(5)} | {(100, "insert")}
+
+
+def test_delta_check_constraints(spark, tmp_path):
+    """Round 12 continuation: CHECK constraints — ADD CONSTRAINT
+    validates existing rows and upgrades the protocol; violating
+    appends/overwrites/UPDATEs (both strategies)/MERGE inserts refuse
+    with DeltaConstraintViolation; NULL evaluates as a violation
+    (Delta's rule, stricter than SQL CHECK); DROP lifts the gate."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        DeltaConstraintViolation,
+        _replay_full,
+        delta_add_constraint,
+        delta_drop_constraint,
+        delta_merge_upsert,
+        delta_update,
+        delta_write,
+    )
+
+    root = str(tmp_path / "chk")
+    delta_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+        root,
+        mode="error",
+    )
+    # existing data violates -> refuse, nothing committed
+    with _pytest.raises(DeltaConstraintViolation, match="v_big"):
+        delta_add_constraint(spark, root, "v_big", "v > 15.0")
+    delta_add_constraint(spark, root, "v_pos", "v > 0.0")
+    with _pytest.raises(ValueError, match="already exists"):
+        delta_add_constraint(spark, root, "V_POS", "v > 1.0")
+    # legacy protocol bumped to writer version 3
+    _a, _m, proto, _v, _t = _replay_full(spark, root)
+    assert int(proto["minWriterVersion"]) >= 3
+
+    # violating append refuses; clean append passes
+    with _pytest.raises(DeltaConstraintViolation, match="v_pos"):
+        delta_write(
+            spark.createDataFrame([(3, -1.0)], "id long, v double"),
+            root, mode="append",
+        )
+    # NULL is a violation too
+    with _pytest.raises(DeltaConstraintViolation, match="v_pos"):
+        delta_write(
+            spark.createDataFrame([(3, None)], "id long, v double"),
+            root, mode="append",
+        )
+    delta_write(
+        spark.createDataFrame([(3, 30.0)], "id long, v double"),
+        root, mode="append",
+    )
+
+    # UPDATE that would break the constraint refuses on BOTH engines
+    for strat in ("rewrite", "dv"):
+        with _pytest.raises(DeltaConstraintViolation, match="v_pos"):
+            delta_update(spark, root, {"v": "v - 100.0"}, "id = 1", strategy=strat)
+    # MERGE whose insert rows violate refuses
+    with _pytest.raises(DeltaConstraintViolation, match="v_pos"):
+        delta_merge_upsert(
+            spark,
+            root,
+            spark.createDataFrame([(9, -9.0)], "id long, v double"),
+            ["id"],
+            strategy="rewrite",
+        )
+    # table unchanged by all refused writes
+    assert {(r["id"], r["v"]) for r in delta_read(spark, root).collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    }
+    # legal UPDATE still works under the constraint
+    delta_update(spark, root, {"v": "v + 1.0"}, "id = 2", strategy="rewrite")
+    assert {(r["id"], r["v"]) for r in delta_read(spark, root).collect()} == {
+        (1, 10.0), (2, 21.0), (3, 30.0)
+    }
+
+    # DROP lifts the gate
+    delta_drop_constraint(spark, root, "v_pos")
+    with _pytest.raises(ValueError, match="no constraint"):
+        delta_drop_constraint(spark, root, "v_pos")
+    delta_write(
+        spark.createDataFrame([(4, -4.0)], "id long, v double"),
+        root, mode="append",
+    )
+    assert delta_read(spark, root).count() == 4
+
+
+def test_delta_shallow_clone(spark, tmp_path):
+    """Round 12 continuation: shallow CLONE — the clone reads the
+    source snapshot through absolute-path add actions (DV descriptors
+    re-anchored as storageType 'p'), version pinning works, writes on
+    the clone never touch the source, and vacuum on the clone cannot
+    reap source data files."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_clone,
+        delta_delete,
+        delta_update,
+        delta_vacuum,
+        delta_write,
+    )
+
+    src = str(tmp_path / "src")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ).repartition(4),
+        src,
+        mode="error",
+    )
+    delta_delete(spark, src, "id >= 8", strategy="dv")  # v1 + a DV sidecar
+    delta_write(
+        spark.createDataFrame([(100, 100.0)], "id long, v double"),
+        src, mode="append",
+    )  # v2
+
+    dst = str(tmp_path / "dst")
+    assert delta_clone(spark, src, dst) == 0
+    want = {(i, float(i)) for i in range(8)} | {(100, 100.0)}
+    assert {(r["id"], r["v"]) for r in delta_read(spark, dst).collect()} == want
+
+    # version-pinned clone: pre-append snapshot (v1, DV applied)
+    dst1 = str(tmp_path / "dst_v1")
+    delta_clone(spark, src, dst1, version=1)
+    assert {(r["id"], r["v"]) for r in delta_read(spark, dst1).collect()} == {
+        (i, float(i)) for i in range(8)
+    }
+    # clone onto an existing table refuses
+    with _pytest.raises(ValueError, match="already exists"):
+        delta_clone(spark, src, dst)
+
+    # divergence: update + append on the clone; source unchanged
+    delta_update(spark, dst, {"v": "v + 0.5"}, "id = 0", strategy="rewrite")
+    delta_write(
+        spark.createDataFrame([(200, 200.0)], "id long, v double"),
+        dst, mode="append",
+    )
+    got_dst = {(r["id"], r["v"]) for r in delta_read(spark, dst).collect()}
+    assert (0, 0.5) in got_dst and (200, 200.0) in got_dst
+    assert {(r["id"], r["v"]) for r in delta_read(spark, src).collect()} == want
+
+    # vacuum on the clone reaps only clone-root orphans — the source's
+    # data files all survive
+    src_before = set(_glob.glob(f"{src}/**/*.parquet", recursive=True))
+    delta_vacuum(spark, dst, retention_hours=0)
+    assert set(_glob.glob(f"{src}/**/*.parquet", recursive=True)) == src_before
+    assert {(r["id"], r["v"]) for r in delta_read(spark, src).collect()} == want
+    assert {(r["id"], r["v"]) for r in delta_read(spark, dst).collect()} == got_dst
