@@ -24,8 +24,12 @@ structure scales instead of degenerating into exact clones). Records
 wall + driver peak RSS per query — the first empirical point on the
 100x curve.
 
+Part D — round-12 continuation surfaces (hudi incremental, delta
+shallow clone, iceberg refs) across a 64x table-size sweep with a
+FIXED change volume.
+
 Output: evidence/r12_rung.jsonl (one JSON line per measurement).
-Usage: python scripts/r12_rung.py [a|b|c|all]
+Usage: python scripts/r12_rung.py [a|b|c|d|all]
 """
 
 from __future__ import annotations
@@ -322,6 +326,98 @@ def part_c_sf1(spark):
         )
 
 
+def part_d_continuation(spark):
+    """Round-12 continuation rung: the new surfaces' 100x posture.
+
+    - hudi incremental: CoW table at 1x/8x/64x rows, a FIXED two-wave
+      change set — the incremental read's wall should track the CHANGE
+      volume, not the table volume (the commit-time range predicate
+      stats-prunes untouched files), and driver RSS stays flat.
+    - delta shallow clone: wall vs table size — metadata-only, so the
+      wall tracks FILE COUNT (fixed here), not rows.
+    - iceberg refs: set/fast-forward/read-through-ref walls — all
+      metadata-sized, flat in table rows.
+    """
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_clone,
+        delta_write,
+    )
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        hudi_table_changes,
+    )
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_upsert,
+        hudi_write,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_fast_forward,
+        iceberg_set_ref,
+        iceberg_write,
+    )
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="sdw-r12d-")
+    n0 = 200_000
+    n_changed = 4_000  # FIXED change volume across the sweep
+    for mult, label in [(1, "1x"), (8, "8x"), (64, "64x")]:
+        n = n0 * mult
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") % 1013).cast("double").alias("v")
+        )
+        # --- hudi incremental ------------------------------------------
+        hroot = f"{base}/hudi_{label}"
+        t1 = hudi_write(
+            df.repartition(16), hroot, mode="error", record_key="id"
+        )
+        wave = spark.range(n_changed).select(
+            (F.col("id") * (n // n_changed)).alias("id"),
+            F.lit(-1.0).alias("v"),
+        )
+        t2 = hudi_upsert(spark, hroot, wave)
+        t0 = time.time()
+        got = hudi_table_changes(spark, hroot, t1, t2).count()
+        wall = time.time() - t0
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        assert got == n_changed, (got, n_changed)
+        emit({"part": "d-hudi-incremental", "rows": n, "label": label,
+              "changed": n_changed, "inc_read_s": round(wall, 3),
+              "driver_rss_mb": rss})
+        # --- delta shallow clone ---------------------------------------
+        droot = f"{base}/delta_{label}"
+        delta_write(df.repartition(16), droot, mode="error")
+        t0 = time.time()
+        delta_clone(spark, droot, f"{droot}_clone")
+        clone_wall = time.time() - t0
+        t0 = time.time()
+        from simple_data_workflow_spark.sources.delta_reader import delta_read
+        nc = delta_read(spark, f"{droot}_clone").count()
+        read_wall = time.time() - t0
+        assert nc == n
+        emit({"part": "d-delta-clone", "rows": n, "label": label,
+              "clone_s": round(clone_wall, 3),
+              "clone_read_s": round(read_wall, 3)})
+        # --- iceberg refs ----------------------------------------------
+        iroot = f"{base}/ice_{label}"
+        s1 = iceberg_write(df.repartition(16), iroot, mode="error")
+        staged = iceberg_write(
+            spark.range(5).select(
+                (F.col("id") + n).alias("id"), F.lit(0.0).alias("v")
+            ),
+            iroot, mode="append", stage_only=True,
+        )
+        t0 = time.time()
+        iceberg_set_ref(spark, iroot, "audit", snapshot_id=staged)
+        iceberg_set_ref(spark, iroot, "v1", snapshot_id=s1, ref_type="tag")
+        nref = iceberg_read(spark, iroot, ref="v1").count()
+        iceberg_fast_forward(spark, iroot, "main", "audit")
+        wall = time.time() - t0
+        assert nref == n
+        emit({"part": "d-iceberg-refs", "rows": n, "label": label,
+              "refs_ops_plus_tag_read_s": round(wall, 3)})
+
+
 def main():
     which = (sys.argv[1] if len(sys.argv) > 1 else "all").lower()
     spark = get_spark(app_name="r12-rung")
@@ -333,6 +429,8 @@ def main():
         part_b_zorder_rung(spark)
     if which in ("c", "all"):
         part_c_sf1(spark)
+    if which in ("d", "all"):
+        part_d_continuation(spark)
 
 
 if __name__ == "__main__":

@@ -294,6 +294,7 @@ def _snapshot_files_and_deletes(
     path: str,
     snapshot_id: int | None = None,
     _partitions_out: dict | None = None,
+    _records_out: dict | None = None,
 ) -> tuple[list[tuple[str, int]], list[dict], T.StructType]:
     """Snapshot resolution including v2 row-level deletes:
     ``([(data file, data sequence number)], [delete dicts], schema)``.
@@ -402,6 +403,11 @@ def _snapshot_files_and_deletes(
             fpath = _local_path(_j2py(_get(df, "file_path")))
             if mcontent == 0 and fcontent == 0:
                 files[fpath] = seq
+                if _records_out is not None:
+                    rc = _get(df, "record_count")
+                    _records_out[fpath] = (
+                        None if rc is None else int(_j2py(rc))
+                    )
                 if _partitions_out is not None:
                     prec = _get(df, "partition")
                     vals = {}
@@ -930,6 +936,70 @@ def iceberg_refs_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows or spark.sparkContext.emptyRDD(),
         "name string, type string, snapshot_id long",
+    )
+
+
+def iceberg_history_table(spark: SparkSession, path: str) -> DataFrame:
+    """The table's snapshot lineage — Iceberg's ``history`` metadata
+    table shape (made_current_at, snapshot_id, parent_id,
+    is_current_ancestor). ``is_current_ancestor`` walks the parent
+    chain from the current snapshot, so rolled-past branches show
+    False (exactly how the real table exposes rollbacks).
+    Metadata-sized."""
+    meta = load_table_metadata(spark, path)
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: (int(s.get("timestamp-ms") or 0), int(s["snapshot-id"])),
+    )
+    by_id = {int(s["snapshot-id"]): s for s in snaps}
+    ancestors: set[int] = set()
+    cur = meta.get("current-snapshot-id")
+    while cur not in (None, -1) and int(cur) in by_id and int(cur) not in ancestors:
+        ancestors.add(int(cur))
+        cur = by_id[int(cur)].get("parent-snapshot-id")
+    rows = [
+        (
+            s.get("timestamp-ms"),
+            int(s["snapshot-id"]),
+            s.get("parent-snapshot-id"),
+            int(s["snapshot-id"]) in ancestors,
+        )
+        for s in snaps
+    ]
+    return spark.createDataFrame(
+        rows,
+        "made_current_at long, snapshot_id long, parent_id long, "
+        "is_current_ancestor boolean",
+    )
+
+
+def iceberg_partitions_table(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Per-partition live stats — Iceberg's ``partitions`` metadata
+    table shape (partition values as a JSON string, record_count,
+    file_count). Record counts come from the manifests' own
+    ``record_count`` field (no data scan); unpartitioned tables get
+    one ``{}`` row. Metadata-sized."""
+    parts_out: dict = {}
+    recs_out: dict = {}
+    data, _deletes, _schema = _snapshot_files_and_deletes(
+        spark,
+        path,
+        snapshot_id,
+        _partitions_out=parts_out,
+        _records_out=recs_out,
+    )
+    agg: dict[str, list[int]] = {}
+    for f, _seq in data:
+        key = json.dumps(parts_out.get(f) or {}, sort_keys=True, default=str)
+        tot = agg.setdefault(key, [0, 0])
+        tot[0] += int(recs_out.get(f) or 0)
+        tot[1] += 1
+    rows = [(k, v[0], v[1]) for k, v in sorted(agg.items())]
+    return spark.createDataFrame(
+        rows or spark.sparkContext.emptyRDD(),
+        "partition string, record_count long, file_count long",
     )
 
 

@@ -1250,3 +1250,59 @@ def test_iceberg_refs_pin_snapshots_and_fast_forward(spark, tmp_path):
     iceberg_set_ref(spark, root, "old", snapshot_id=s3)
     with pytest.raises(ValueError, match="not.*ancestor|ancestor"):
         iceberg_fast_forward(spark, root, "main", "old")
+
+
+def test_iceberg_history_and_partitions_tables(spark, tmp_path):
+    """history (ancestry-aware after rollback) and partitions (per-
+    partition record/file counts from the manifests, no data scan)
+    metadata-table views."""
+    import json as _json
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_history_table,
+        iceberg_partitions_table,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_rollback,
+    )
+
+    root = str(tmp_path / "metatbl")
+    s1 = iceberg_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "id int, part string"
+        ).coalesce(1),
+        root,
+        mode="error",
+        partition_by=["part"],
+    )
+    s2 = iceberg_write(
+        spark.createDataFrame([(4, "b")], "id int, part string").coalesce(1),
+        root,
+        mode="append",
+    )
+    parts = {
+        _json.loads(r["partition"])["part"]: (r["record_count"], r["file_count"])
+        for r in iceberg_partitions_table(spark, root).collect()
+    }
+    assert parts == {"a": (2, 1), "b": (2, 2)}
+
+    s3 = iceberg_write(
+        spark.createDataFrame([(9, "c")], "id int, part string").coalesce(1),
+        root,
+        mode="append",
+    )
+    iceberg_rollback(spark, root, s2)
+    hist = {
+        r["snapshot_id"]: (r["parent_id"], r["is_current_ancestor"])
+        for r in iceberg_history_table(spark, root).collect()
+    }
+    # s3 is rolled past: present, NOT a current ancestor
+    assert hist[s1] == (None, True)
+    assert hist[s2] == (s1, True)
+    assert hist[s3] == (s2, False)
+    # partitions view follows the rollback (c's file is not live)
+    parts2 = {
+        _json.loads(r["partition"])["part"]
+        for r in iceberg_partitions_table(spark, root).collect()
+    }
+    assert parts2 == {"a", "b"}
