@@ -3830,6 +3830,70 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_spec_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 continuation: Iceberg PARTITION EVOLUTION end-to-end —
+    orders land partitioned by o_orderstatus (spec 0), the default
+    spec evolves to o_orderpriority (metadata-only, NO data rewrites —
+    asserted in-query by file-count identity), a second wave appends
+    under the NEW layout, and a DELETE spans both layouts. Reads prune
+    by whichever spec each file carries (old-spec files are
+    conservatively scanned for new-spec predicates and vice versa).
+    The oracle twin replays wave + delete arithmetic over raw
+    parquet."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_files_table,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_update_spec,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-icespec-") + "/orders_spec"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    iceberg_write(
+        orders.where("o_orderkey % 2 = 0"),
+        path,
+        mode="error",
+        partition_by=["o_orderstatus"],
+    )
+    files_before = iceberg_files_table(spark, path).count()
+    new_spec = iceberg_update_spec(spark, path, ["o_orderpriority"])
+    assert new_spec == 1
+    files_after = iceberg_files_table(spark, path).count()
+    assert files_after == files_before, "spec evolution rewrote data files"
+
+    iceberg_write(orders.where("o_orderkey % 2 = 1"), path, mode="append")
+    iceberg_delete(spark, path, "o_totalprice < 15000")
+    got = lakehouse.read_table(spark, "iceberg", path)
+    return (
+        got.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+ICEBERG_SPEC_EVOLUTION_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_totalprice >= 15000
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def delta_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 12 continuation: SHALLOW CLONE end-to-end — orders take a
     deletion-vector DELETE, the table clones (metadata-only: absolute-
@@ -6892,6 +6956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_branch_read": _wrap(iceberg_branch_read),
         "delta_constraint_roundtrip": _wrap(delta_constraint_roundtrip),
         "delta_clone_read": _wrap(delta_clone_read),
+        "iceberg_spec_evolution_read": _wrap(iceberg_spec_evolution_read),
         "tablelog_wap_publish": _wrap(tablelog_wap_publish),
         "tablelog_tag_read": _wrap(tablelog_tag_read),
         "tablelog_metadata_tables": _wrap(tablelog_metadata_tables),
@@ -7109,6 +7174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_branch_read",
         "delta_constraint_roundtrip",
         "delta_clone_read",
+        "iceberg_spec_evolution_read",
         "media_header_meta",
         "delta_cdf_roundtrip",
         "hudi_1x_read",
@@ -7154,7 +7220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_nav_battery",
         "big_orders",
         "bigram_doc_freq",
-        "boilerplate_docs",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -7242,6 +7307,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_branch_read": ICEBERG_BRANCH_SQL,
         "delta_constraint_roundtrip": DELTA_CONSTRAINT_SQL,
         "delta_clone_read": DELTA_CLONE_SQL,
+        "iceberg_spec_evolution_read": ICEBERG_SPEC_EVOLUTION_SQL,
         "iceberg_changelog_read": ICEBERG_CHANGELOG_SQL,
         "ivf_topk_embeddings": IVF_TOPK_SQL,
         "hudi_stream_read": ICEBERG_STREAM_SQL,

@@ -60,6 +60,52 @@ class DeltaFeatureUnsupported(NotImplementedError):
     rows, so this raises instead."""
 
 
+def _strip_scheme(p: str) -> str:
+    """``file:``/URI scheme → plain path, NO percent-decoding: the
+    spelling table metadata records (Delta adds after the log's own
+    unquote, Iceberg manifests, Hudi timelines) IS the on-disk literal
+    name — which may itself contain ``%`` characters (Spark's
+    partitioned writer escapes ``%`` in partition dir names), so
+    decoding here would corrupt it."""
+    import urllib.parse as _up
+
+    if p.startswith("file:") or "://" in p:
+        return _up.urlparse(p).path
+    return p
+
+
+def _cmp_path(p: str) -> str:
+    """SCAN-side path → the on-disk literal spelling.
+    ``_metadata.file_path`` reports Hadoop's URI raw path: the disk
+    name percent-ENCODED once (space → ``%20``, a literal ``%`` →
+    ``%25``). Strip the scheme and decode exactly ONCE to recover the
+    metadata/disk spelling. Apply ONLY to scan-derived values — the
+    metadata side uses :func:`_strip_scheme` (round-12 continuation
+    fix: raw-string comparisons silently dropped encoded-path files,
+    under-deleting/under-rewriting)."""
+    import urllib.parse as _up
+
+    return _up.unquote(_strip_scheme(p))
+
+
+def _scan_spelling(p: str) -> str:
+    """The spelling ``_metadata.file_path`` reports for a file at
+    DECODED local path ``p`` (scheme stripped): Hadoop's URI raw-path
+    encoding — ASCII outside the URI-safe set percent-encodes,
+    non-ASCII passes through (java.net.URI raw path). Use to key
+    SQL-side broadcast maps that join against the scan column (the
+    Python-side comparisons use :func:`_cmp_path` instead)."""
+    import string as _string
+    import urllib.parse as _up
+
+    safe = frozenset(
+        "/:@!$&'()*+,;=-._~" + _string.ascii_letters + _string.digits
+    )
+    return "".join(
+        c if (ord(c) > 127 or c in safe) else _up.quote(c) for c in p
+    )
+
+
 def _jfs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -383,18 +429,17 @@ def _dv_masked_scan(
             df = df.select(*extra, "*")
         parts.append(df)
     if dirty:
-        masks = {
-            _up.urlparse(f).path if "://" in f or f.startswith("file:") else f:
-                dv_positions[f]
-            for f in dirty
-        }
+        # masks key by the metadata/disk spelling; the lookup decodes
+        # the scan spelling exactly once to meet it — a raw-string
+        # lookup would silently skip encoded-path masks
+        masks = {_strip_scheme(f): dv_positions[f] for f in dirty}
 
         # no type hints: module-level `from __future__ import
         # annotations` would stringify them beyond pyspark's resolver
         def _keep(fp, ri):
             out = np.ones(len(fp), dtype=bool)
             for p in fp.unique():
-                key = _up.urlparse(p).path
+                key = _cmp_path(str(p))
                 dead = masks.get(key)
                 if dead is not None and len(dead):
                     sel = (fp == p).to_numpy()
@@ -911,11 +956,8 @@ def delta_table_changes(
         )
         map_rows = []
         for full, v, ts, pv in files_info:
-            local = (
-                urllib.parse.urlparse(full).path
-                if ("://" in full or full.startswith("file:"))
-                else full
-            )
+            # __fk joins against the scan column: key by ITS spelling
+            local = _scan_spelling(_strip_scheme(full))
             vals = [
                 None
                 if pv.get(phys[c], pv.get(c)) in (None, _NULL_PARTITION)
@@ -977,11 +1019,7 @@ def delta_table_changes(
         )
         map_rows = []
         for full, pv, _pos in group:
-            local = (
-                urllib.parse.urlparse(full).path
-                if ("://" in full or full.startswith("file:"))
-                else full
-            )
+            local = _scan_spelling(_strip_scheme(full))
             vals = [
                 None
                 if pv.get(phys[c], pv.get(c)) in (None, _NULL_PARTITION)

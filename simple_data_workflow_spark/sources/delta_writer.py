@@ -810,6 +810,7 @@ def _snapshot_view(
         _physical_name,
         _physicalize,
         _read_bytes,
+        _scan_spelling,
         _with_field_ids,
         delta_snapshot_files,
     )
@@ -890,7 +891,9 @@ def _snapshot_view(
                 v = pv.get(part_phys[c], pv.get(c))
                 vals.append(None if v is None or v == _NULL_PARTITION else v)
             local = _up.urlparse(f).path if "://" in f else f
-            map_rows.append((local, *vals))
+            # key by the SCAN's spelling: __fk strips file:/ but keeps
+            # percent-encoding, while add paths are decoded
+            map_rows.append((_scan_spelling(local), *vals))
         map_schema = T.StructType(
             [T.StructField("__fk", T.StringType())]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in part_cols]
@@ -1431,13 +1434,17 @@ def _dml_rewrite(
                 hit_fn(snap) if hit_fn is not None else snap.where(predicate)
             )
             hit = hit_df.select("__file").distinct().collect()
-        norm = {}
-        for f in files:
-            local = _up.urlparse(f).path if "://" in f else f
-            norm[local] = f
+        from simple_data_workflow_spark.sources.delta_reader import (
+            _cmp_path as _cmp,
+        )
+        from simple_data_workflow_spark.sources.delta_reader import (
+            _strip_scheme as _strip,
+        )
+
+        norm = {_strip(f): f for f in files}
         affected = []
         for r in hit:
-            local = _up.urlparse(r["__file"]).path
+            local = _cmp(r["__file"])
             if local in norm:
                 affected.append(norm[local])
         if not affected and extra_rows_fn is None:
@@ -1611,16 +1618,21 @@ def _dv_dml(
             hits = matches.select("__file", "__row").localCheckpoint()
         import urllib.parse as _up
 
-        def _local(p: str) -> str:
-            if "://" in p or p.startswith("file:"):
-                return _up.urlparse(p).path
-            return p
+        from simple_data_workflow_spark.sources.delta_reader import (
+            # metadata paths keep their on-disk literal spelling;
+            # scan-derived __file values decode exactly once to meet
+            # them — raw-string keys silently drop encoded-path files
+            _cmp_path as _from_scan,
+        )
+        from simple_data_workflow_spark.sources.delta_reader import (
+            _strip_scheme as _local,
+        )
 
         norm = {_local(f): f for f in view["files"]}
         # metadata-sized probe: ONE row per affected file
         counts = hits.groupBy("__file").count().collect()
         total_matched = sum(
-            int(r["count"]) for r in counts if norm.get(_local(r["__file"]))
+            int(r["count"]) for r in counts if norm.get(_from_scan(r["__file"]))
         )
         if total_matched == 0 and not always_commit:
             return view["cur_v"]
@@ -1649,7 +1661,9 @@ def _dv_dml(
 
         sidecars: list[str] = []
         dv_descs: dict[str, dict] = {}  # full data-file path → descriptor
-        root_local = _local(path).rstrip("/")
+        root_local = (
+            _up.urlparse(path).path if "://" in path else path
+        ).rstrip("/")
         exec_side = total_matched > _DV_EXEC_SIDECAR_MIN and (
             "://" not in path or path.startswith("file:")
         )
@@ -1693,7 +1707,7 @@ def _dv_dml(
                 )
 
                 fp = str(pdf["__file"].iloc[0])
-                pr = (
+                pr = urllib.parse.unquote(
                     urllib.parse.urlparse(fp).path
                     if ("://" in fp or fp.startswith("file:"))
                     else fp
@@ -1725,7 +1739,7 @@ def _dv_dml(
             ).collect()
             for r in desc_rows:
                 sidecars.append(dv_uuid_path(path, r["z"]))
-                full = norm.get(_local(r["file"]))
+                full = norm.get(_from_scan(r["file"]))
                 if full is None:
                     continue  # defensive — hits came FROM the snapshot
                 dv_descs[full] = {
@@ -1750,7 +1764,7 @@ def _dv_dml(
             for fp, plist in zip(
                 tbl.column("__file").to_pylist(), tbl.column("pos_list")
             ):
-                full = norm.get(_local(str(fp)))
+                full = norm.get(_from_scan(str(fp)))
                 if full is None:
                     continue
                 pos = plist.values.to_numpy(zero_copy_only=False).astype(
@@ -2095,17 +2109,17 @@ def _probe_files(view: dict, probe: list) -> set:
     the snapshot's full data-file paths — the subset a follow-up DV
     scan needs to touch (metadata-sized: one entry per affected
     file)."""
-    import urllib.parse as _up
-
-    def _local(p: str) -> str:
-        if "://" in p or p.startswith("file:"):
-            return _up.urlparse(p).path
-        return p
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _cmp_path as _from_scan,
+    )
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _strip_scheme as _local,
+    )
 
     norm = {_local(f): f for f in view["files"]}
     out = set()
     for r in probe:
-        full = norm.get(_local(str(r["__file"])))
+        full = norm.get(_from_scan(str(r["__file"])))
         if full is not None:
             out.add(full)
     return out
@@ -2120,7 +2134,12 @@ def _probe_wants_dv(view: dict, probe: list, path: str) -> bool:
     rows, from the log's per-file numRecords stats — metadata only).
     Rewriting many files to edit a few rows each is the scale trap;
     dense edits rewrite so the files actually shrink/stay pure."""
-    import urllib.parse as _up
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _cmp_path as _cmp,
+    )
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _strip_scheme as _strip,
+    )
 
     if len(probe) <= _DV_DELETE_FILE_THRESHOLD:
         return False
@@ -2131,11 +2150,11 @@ def _probe_wants_dv(view: dict, probe: list, path: str) -> bool:
     for rel in view["adds_now"]:
         dec = urllib.parse.unquote(rel)
         full = dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
-        rel_by_full[_up.urlparse(full).path if "://" in full else full] = rel
+        rel_by_full[_strip(full)] = rel
     total = 0
     known = True
     for r in probe:
-        local = _up.urlparse(r["__file"]).path
+        local = _cmp(r["__file"])
         rel = rel_by_full.get(local)
         stats = view["adds_now"].get(rel, {}).get("stats") if rel else None
         n = json.loads(stats).get("numRecords") if stats else None

@@ -512,16 +512,20 @@ def _mor_read(
     # base rows: provenance via one broadcast (path -> group, instant) map
     import urllib.parse as _up
 
-    map_rows = [
-        (
-            _up.urlparse(full).path if "://" in full else full,
-            f"{part}\x00{fid}",
-            instant,
-        )
-        for (part, fid), (instant, full) in groups.items()
-    ]
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _scan_spelling,
+    )
+
+    # BOTH spellings per file: the scan's __fk percent-encodes special
+    # chars while the resolved group paths are decoded
+    map_pairs = {}
+    for (part, fid), (instant, full) in groups.items():
+        loc = _up.urlparse(full).path if "://" in full else full
+        map_pairs[loc] = (f"{part}\x00{fid}", instant)
+        map_pairs[_scan_spelling(loc)] = (f"{part}\x00{fid}", instant)
     mapdf = spark.createDataFrame(
-        map_rows, "__fk string, __group string, __binstant string"
+        [(k, g, i) for k, (g, i) in sorted(map_pairs.items())],
+        "__fk string, __group string, __binstant string",
     )
     # per-RECORD commit time: the base column when present (compaction
     # preserves it, so a compacted record keeps its true last-change

@@ -421,8 +421,11 @@ def hudi_upsert(
 
     replaced: dict[str, set[str]] = {}
     hit_paths = sorted({r["__file"] for r in hit})
+    from simple_data_workflow_spark.sources.delta_reader import _cmp_path
+
     for p_ in hit_paths:
-        local = _up.urlparse(p_).path
+        local = _cmp_path(p_)  # scan spelling percent-encodes; the
+        # partition/rel derivation below needs the DECODED path
         name = local.rsplit("/", 1)[1]
         fid = name.split("_", 1)[0]
         rel = local[len(root_local) + 1 :]
@@ -520,18 +523,21 @@ def _base_keymap(spark: SparkSession, path: str, groups: dict):
     instant)."""
     import urllib.parse as _up
 
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _scan_spelling,
+    )
+
     base_files = sorted(p for _, p in groups.values())
+    # keyed by BOTH spellings: the scan column percent-encodes special
+    # chars (space-valued partition paths), timeline paths are decoded
+    rows = {}
+    for (part, fid), (instant, full) in groups.items():
+        loc = _up.urlparse(full).path if "://" in full else full
+        tup = (f"{part}\x00{fid}", part, fid, instant)
+        rows[loc] = tup
+        rows[_scan_spelling(loc)] = tup
     mapdf = spark.createDataFrame(
-        [
-            (
-                _up.urlparse(full).path if "://" in full else full,
-                f"{part}\x00{fid}",
-                part,
-                fid,
-                instant,
-            )
-            for (part, fid), (instant, full) in groups.items()
-        ],
+        [(k, *v) for k, v in sorted(rows.items())],
         "__fk string, __group string, __part string, __fid string, "
         "__binstant string",
     )

@@ -58,8 +58,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from simple_data_workflow_spark.sources.delta_reader import (
+    _cmp_path,
     _jfs,
     _read_bytes,
+    _scan_spelling,
+    _strip_scheme,
 )
 
 
@@ -641,12 +644,13 @@ def _scan_with_position_deletes(
             tbl.column("file_path").to_pylist(),
             tbl.column("pos_list"),
         ):
-            by_local[_local_path(str(fp))] = np.unique(
+            by_local[_cmp_path(str(fp))] = np.unique(
                 plist.values.to_numpy(zero_copy_only=False).astype(np.int64)
             )
         for f in flist:
-            if f in by_local:
-                positions[f] = by_local[f]
+            arr = by_local.get(_cmp_path(f))
+            if arr is not None:
+                positions[f] = arr
         for f, arr in dv_positions.items():
             old = positions.get(f)
             positions[f] = (
@@ -669,9 +673,24 @@ def _scan_with_position_deletes(
         _norm_path_col(F.col("__fp0")).alias("__fp"),
         F.col("__ri"),
     )
-    dels = dscan.select(
-        _norm_path_col(F.col("file_path")).alias("__fp"),
-        F.col("pos").cast("long").alias("__ri"),
+    # delete files carry decoded paths while base __fp is the scan
+    # spelling — map through a metadata-sized both-spellings broadcast
+    # (delete rows for files outside the snapshot drop, harmlessly)
+    key_rows = {}
+    for f in flist:
+        enc = _scan_spelling(_strip_scheme(f))
+        key_rows[_strip_scheme(f)] = enc
+        key_rows[enc] = enc
+    spellmap = spark.createDataFrame(
+        sorted(key_rows.items()), "__k string, __fp string"
+    )
+    dels = (
+        dscan.select(
+            _norm_path_col(F.col("file_path")).alias("__k"),
+            F.col("pos").cast("long").alias("__ri"),
+        )
+        .join(F.broadcast(spellmap), "__k")
+        .select("__fp", "__ri")
     )
     return base.join(dels, ["__fp", "__ri"], "left_anti").drop("__fp", "__ri")
 
@@ -797,9 +816,18 @@ def iceberg_read(
 
         cur = _current_schema(meta)
         by_id = {f["id"]: f for f in cur["fields"]}
+        # identity fields from EVERY spec the table ever had (partition
+        # evolution): a file's own partition record provides the values
+        # it can prune on; _identity_part_maybe already skips columns a
+        # file's spec does not carry, so the union is conservative
+        spec_fields = [
+            p
+            for s in (meta.get("partition-specs") or [])
+            for p in (s.get("fields") or [])
+        ] or list(meta.get("partition-spec") or [])
         ptypes = {
             p["name"]: by_id.get(p["source-id"], {}).get("type")
-            for p in meta.get("partition-spec") or []
+            for p in spec_fields
             if p.get("transform") == "identity"
         }
         data = [

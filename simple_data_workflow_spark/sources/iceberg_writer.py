@@ -759,6 +759,9 @@ def iceberg_write(
         spec_fields = _partition_fields(ice_schema, partition_by)
         table_uuid = str(uuid.uuid4())
     partition_by = list(partition_by or [])
+    # the spec id this write's manifests are stamped with: the table's
+    # DEFAULT spec (evolved tables keep their history; new tables = 0)
+    spec_id = int((cur_meta or {}).get("default-spec-id") or 0)
 
     scan_schema = _field_id_spark_schema(df.schema, ice_schema)
     files = _stage_data_files(df, path, partition_by, scan_schema)
@@ -825,7 +828,7 @@ def iceberg_write(
             meta={
                 "schema": json.dumps(ice_schema),
                 "partition-spec": spec_json,
-                "partition-spec-id": "0",
+                "partition-spec-id": str(spec_id),
                 "format-version": str(fv),
                 "content": "data",
             },
@@ -837,7 +840,7 @@ def iceberg_write(
         new_manifest = {
             "manifest_path": manifest_path,
             "manifest_length": mlen,
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "added_snapshot_id": snapshot_id,
             "added_data_files_count": len(files),
             "existing_data_files_count": 0,
@@ -896,23 +899,31 @@ def iceberg_write(
                 }
                 for p in spec_fields
             ],
-            "partition-specs": [
-                {
-                    "spec-id": 0,
-                    "fields": [
-                        {
-                            "name": p["name"],
-                            "transform": p["transform"],
-                            "source-id": p["source_id"],
-                            "field-id": p["field_id"],
-                        }
-                        for p in spec_fields
-                    ],
-                }
-            ],
-            "default-spec-id": 0,
+            # partition-spec history: an evolved table keeps ALL its
+            # specs and its default-spec-id (iceberg_update_spec); a
+            # fresh table starts at spec-id 0
+            "partition-specs": (
+                list(cur_meta["partition-specs"])
+                if exists and cur_meta.get("partition-specs")
+                else [
+                    {
+                        "spec-id": 0,
+                        "fields": [
+                            {
+                                "name": p["name"],
+                                "transform": p["transform"],
+                                "source-id": p["source_id"],
+                                "field-id": p["field_id"],
+                            }
+                            for p in spec_fields
+                        ],
+                    }
+                ]
+            ),
+            "default-spec-id": spec_id,
             "last-partition-id": max(
-                [p["field_id"] for p in spec_fields], default=999
+                [int((cur_meta or {}).get("last-partition-id") or 999)]
+                + [p["field_id"] for p in spec_fields]
             ),
             # carry table properties and named refs (branches/tags)
             # through the rebuild — a write must never drop them
@@ -1128,11 +1139,25 @@ def _stage_position_deletes(
     matched); zero-row task files are dropped."""
     import pyarrow.parquet as pq
 
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _cmp_path,
+        _scan_spelling,
+    )
+
+    # the matches' __fp carries the SCAN spelling (percent-encoded
+    # special chars); manifests carry decoded paths — key the map by
+    # BOTH spellings so no match is silently dropped (round-12 fix:
+    # a space-valued partition under-deleted 41 rows at sf0.01)
+    key_rows = {}
+    for f in files:
+        loc = _local_path(f)  # manifest spelling = on-disk literal
+        key_rows[loc] = f
+        key_rows[_scan_spelling(loc)] = f
     rows = (
         matches.join(
             F.broadcast(
                 spark.createDataFrame(
-                    [(_local_path(f), f) for f in files],
+                    sorted(key_rows.items()),
                     "__fp string, file_path string",
                 )
             ),
@@ -1280,7 +1305,7 @@ def _publish_dml_snapshot(
                 meta={
                     "schema": json.dumps(ice_schema),
                     "partition-spec": spec_json,
-                    "partition-spec-id": "0",
+                    "partition-spec-id": str(int(meta.get("default-spec-id") or 0)),
                     "format-version": "2",
                     "content": "data",
                 },
@@ -1289,7 +1314,7 @@ def _publish_dml_snapshot(
                 {
                     "manifest_path": dmanifest,
                     "manifest_length": dlen,
-                    "partition_spec_id": 0,
+                    "partition_spec_id": int(meta.get("default-spec-id") or 0),
                     "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
@@ -2355,6 +2380,111 @@ def iceberg_cherry_pick(
             return int(snapshot_id)
     raise IcebergConcurrentWrite(
         f"cherry-pick on {path} lost the metadata race {_retries} times"
+    )
+
+
+def iceberg_update_spec(
+    spark: SparkSession, path: str, partition_by: list[str], _retries: int = 5
+) -> int:
+    """PARTITION EVOLUTION (Iceberg's ``ALTER TABLE ... REPLACE
+    PARTITION FIELD`` family), metadata-only: append a NEW partition
+    spec (identity transforms over ``partition_by``) with the next
+    spec-id and make it the default. Existing data files keep their
+    old layout and old spec — the spec's core promise: evolution never
+    rewrites data — and subsequent writes partition by the new spec,
+    their manifests stamped with the new spec-id. Partition field-ids
+    are REUSED for a (source-id, transform) pair any earlier spec
+    already named (the spec's same-field-same-id rule) and fresh ones
+    continue from last-partition-id. v1 refuses (single-spec format).
+    Returns the new spec id."""
+    import re as _re
+
+    jvm, fs = _jfs(spark, path)
+    for _attempt in range(_retries):
+        meta = load_table_metadata(spark, path)
+        if int(meta.get("format-version", 1)) < 2:
+            raise IcebergFeatureUnsupported(
+                "partition evolution needs format-version >= 2 "
+                "(v1 tables carry a single spec)"
+            )
+        ice_schema = _current_schema(meta)
+        specs = list(meta.get("partition-specs") or [])
+        if not specs:
+            specs = [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": p["name"],
+                            "transform": p["transform"],
+                            "source-id": p["source-id"],
+                            "field-id": p["field-id"],
+                        }
+                        for p in (meta.get("partition-spec") or [])
+                    ],
+                }
+            ]
+        new_id = max(int(s.get("spec-id", 0)) for s in specs) + 1
+        seen = {
+            (int(f["source-id"]), f["transform"]): int(f["field-id"])
+            for s in specs
+            for f in s.get("fields") or []
+        }
+        next_fid = max(
+            [int(meta.get("last-partition-id") or 999)]
+            + [fid for fid in seen.values()]
+        )
+        raw = _partition_fields(ice_schema, list(partition_by))
+        fields = []
+        for p in raw:
+            key = (int(p["source_id"]), p["transform"])
+            if key in seen:
+                fid = seen[key]
+            else:
+                next_fid += 1
+                fid = next_fid
+            fields.append(
+                {
+                    "name": p["name"],
+                    "transform": p["transform"],
+                    "source-id": p["source_id"],
+                    "field-id": fid,
+                }
+            )
+        cur_default = next(
+            (
+                s
+                for s in specs
+                if int(s.get("spec-id", 0))
+                == int(meta.get("default-spec-id") or 0)
+            ),
+            None,
+        )
+        if cur_default is not None and cur_default.get("fields") == fields:
+            return int(cur_default["spec-id"])  # no-op: same spec
+        meta_out = dict(meta)
+        meta_out["partition-specs"] = specs + [
+            {"spec-id": new_id, "fields": fields}
+        ]
+        meta_out["default-spec-id"] = new_id
+        # the legacy flat field mirrors the DEFAULT spec (what this
+        # writer's append path reads)
+        meta_out["partition-spec"] = fields
+        meta_out["last-partition-id"] = max(
+            [next_fid] + [int(f["field-id"]) for f in fields]
+        )
+        meta_out["last-updated-ms"] = int(time.time() * 1000)
+        version = 1
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")):
+            m = _re.match(r"v(\d+)\.metadata\.json", st.getPath().getName())
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        if _publish_metadata_if_absent(
+            spark, path, version, json.dumps(meta_out, indent=2)
+        ):
+            return new_id
+    raise IcebergConcurrentWrite(
+        f"spec update on {path} lost the metadata race {_retries} times"
     )
 
 

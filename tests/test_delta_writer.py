@@ -1613,3 +1613,38 @@ def test_delta_shallow_clone(spark, tmp_path):
     assert set(_glob.glob(f"{src}/**/*.parquet", recursive=True)) == src_before
     assert {(r["id"], r["v"]) for r in delta_read(spark, src).collect()} == want
     assert {(r["id"], r["v"]) for r in delta_read(spark, dst).collect()} == got_dst
+
+
+def test_path_encoding_partition_values_delta(spark, tmp_path):
+    """Round 12 continuation: partition values with URI-special chars
+    (space, %) — `_metadata.file_path` percent-encodes them while the
+    log records decoded paths, so every scan/metadata path comparison
+    must normalize. Pins DV delete, DV-masked read, rewrite UPDATE,
+    and CDF across a `NOT SPECIFIED`-style partition."""
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_update,
+        delta_write,
+    )
+
+    root = str(tmp_path / "enc")
+    df = spark.createDataFrame(
+        [(i, float(i), "NOT SPECIFIED" if i % 2 else "100% sure")
+         for i in range(40)],
+        "id long, v double, prio string",
+    )
+    delta_write(df.repartition(4), root, mode="error", partition_by=["prio"])
+    # DV delete inside the encoded partitions
+    delta_delete(spark, root, "id < 10", strategy="dv")
+    got = {(r["id"], r["prio"]) for r in delta_read(spark, root).collect()}
+    assert got == {(i, "NOT SPECIFIED" if i % 2 else "100% sure")
+                   for i in range(10, 40)}
+    # rewrite UPDATE must find the encoded files
+    delta_update(spark, root, {"v": "v + 1000.0"}, "id >= 30", strategy="rewrite")
+    vs = {r["id"]: r["v"] for r in delta_read(spark, root).collect()}
+    assert vs[30] == 1030.0 and vs[29] == 29.0 and len(vs) == 30
+    # DV UPDATE too (dv strategy appends new rows + masks old)
+    delta_update(spark, root, {"v": "v - 7.0"}, "id = 15", strategy="dv")
+    vs = {r["id"]: r["v"] for r in delta_read(spark, root).collect()}
+    assert vs[15] == 8.0 and len(vs) == 30

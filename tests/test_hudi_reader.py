@@ -902,3 +902,50 @@ def test_hudi_incremental_mor_and_compaction_preserves_commit_times(
     assert {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()} == {
         (1, 10.0), (2, 222.0), (9, 90.0)
     }
+
+
+def test_path_encoding_partition_values_hudi(spark, tmp_path):
+    """Partition values with URI-special chars: CoW upsert must hit the
+    encoded file groups, and MoR log upserts/deletes must attach to
+    them through the scan/metadata path normalization."""
+    from simple_data_workflow_spark.sources.hudi_reader import hudi_read
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_delta_delete,
+        hudi_delta_upsert,
+        hudi_upsert,
+        hudi_write,
+    )
+
+    # CoW: upsert into a space-valued partition
+    root = str(tmp_path / "enc_cow")
+    df = spark.createDataFrame(
+        [(1, 10.0, "NOT SPECIFIED"), (2, 20.0, "NOT SPECIFIED"), (3, 30.0, "x y")],
+        "id long, v double, part string",
+    ).coalesce(1)
+    hudi_write(df, root, mode="error", record_key="id", partition_by=["part"])
+    hudi_upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(2, 222.0, "NOT SPECIFIED")], "id long, v double, part string"
+        ),
+    )
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert got == {(1, 10.0), (2, 222.0), (3, 30.0)}
+
+    # MoR: log upsert + delete inside the encoded partition
+    root2 = str(tmp_path / "enc_mor")
+    hudi_write(
+        df, root2, mode="error", record_key="id",
+        partition_by=["part"], table_type="MERGE_ON_READ",
+    )
+    hudi_delta_upsert(
+        spark,
+        root2,
+        spark.createDataFrame(
+            [(1, 111.0, "NOT SPECIFIED")], "id long, v double, part string"
+        ),
+    )
+    hudi_delta_delete(spark, root2, "id = 3")
+    got = {(r["id"], r["v"]) for r in hudi_read(spark, root2).collect()}
+    assert got == {(1, 111.0), (2, 20.0)}

@@ -1306,3 +1306,106 @@ def test_iceberg_history_and_partitions_tables(spark, tmp_path):
         for r in iceberg_partitions_table(spark, root).collect()
     }
     assert parts2 == {"a", "b"}
+
+
+def test_iceberg_partition_evolution(spark, tmp_path):
+    """Round 12 continuation: partition evolution — a new default spec
+    appends metadata-only (no data rewrites), later writes lay out and
+    stamp by the new spec, reads spanning both layouts stay correct
+    AND prune by whichever spec each file carries, DML works across
+    layouts, and field-ids reuse per the same-field-same-id rule."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_update_spec,
+    )
+
+    root = str(tmp_path / "specevo")
+    iceberg_write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id int, cat string, bucket int"
+        ).coalesce(1),
+        root,
+        mode="error",
+        partition_by=["cat"],
+    )
+    new_id = iceberg_update_spec(spark, root, ["bucket"])
+    assert new_id == 1
+    meta = load_table_metadata(spark, root)
+    assert int(meta["default-spec-id"]) == 1
+    assert len(meta["partition-specs"]) == 2
+    # same-field-same-id: re-adding cat later reuses its field-id
+    fid_cat = meta["partition-specs"][0]["fields"][0]["field-id"]
+
+    iceberg_write(
+        spark.createDataFrame(
+            [(3, "a", 10), (4, "c", 30)], "id int, cat string, bucket int"
+        ).coalesce(1),
+        root,
+        mode="append",
+    )
+    # both layouts read together
+    got = {r["id"] for r in iceberg_read(spark, root).collect()}
+    assert got == {1, 2, 3, 4}
+    # spec history survives the append's metadata rebuild
+    meta = load_table_metadata(spark, root)
+    assert len(meta["partition-specs"]) == 2
+    assert int(meta["default-spec-id"]) == 1
+    # pruning works against BOTH specs' identity columns (conservative
+    # across files that lack the column)
+    assert {
+        r["id"]
+        for r in iceberg_read(spark, root, filters=[("cat", "=", "a")]).collect()
+    } == {1, 3}
+    assert {
+        r["id"]
+        for r in iceberg_read(
+            spark, root, filters=[("bucket", "=", 30)]
+        ).collect()
+    } == {4}
+    # DML across layouts
+    iceberg_delete(spark, root, "id = 2")
+    assert {r["id"] for r in iceberg_read(spark, root).collect()} == {1, 3, 4}
+
+    # evolving BACK to cat reuses the original partition field-id
+    third = iceberg_update_spec(spark, root, ["cat"])
+    meta = load_table_metadata(spark, root)
+    spec3 = next(
+        s for s in meta["partition-specs"] if int(s["spec-id"]) == third
+    )
+    assert spec3["fields"][0]["field-id"] == fid_cat
+    # no-op update returns the existing default without a new spec
+    assert iceberg_update_spec(spark, root, ["cat"]) == third
+
+
+def test_path_encoding_partition_values_iceberg(spark, tmp_path, monkeypatch):
+    """Partition values with URI-special chars: position deletes must
+    stage for AND mask rows in percent-encoded paths, on BOTH the
+    packed-mask path and the large-set anti-join path."""
+    import simple_data_workflow_spark.sources.iceberg_reader as ir
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+    )
+
+    root = str(tmp_path / "enc")
+    df = spark.createDataFrame(
+        [(i, float(i), "NOT SPECIFIED" if i % 2 else "a b c")
+         for i in range(40)],
+        "id int, v double, prio string",
+    )
+    iceberg_write(df.repartition(2), root, mode="error", partition_by=["prio"])
+    iceberg_delete(spark, root, "id < 10")
+    want = set(range(10, 40))
+    assert {r["id"] for r in iceberg_read(spark, root).collect()} == want
+    # force the anti-join path (mask max 0) — same result
+    monkeypatch.setattr(ir, "_POS_DELETE_MASK_MAX", 0)
+    assert {r["id"] for r in iceberg_read(spark, root).collect()} == want
+    # identity pruning on the encoded value still works
+    assert {
+        r["id"]
+        for r in iceberg_read(
+            spark, root, filters=[("prio", "=", "a b c")]
+        ).collect()
+    } == {i for i in range(10, 40) if i % 2 == 0}
