@@ -3894,6 +3894,72 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def delta_v2_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 continuation: V2 CHECKPOINTS end-to-end — orders take a
+    deletion-vector DELETE (feature-carrying protocol), a V2 checkpoint
+    cuts (manifest + ``_delta_log/_sidecars/`` sidecar, protocol
+    upgraded with the ``v2Checkpoint`` reader feature), every
+    pre-checkpoint JSON commit is DELETED (the manifest is the only
+    source of truth left — asserted in-query), a post-checkpoint append
+    lands, and the read must still match the oracle's WHERE twin —
+    pinning manifest+sidecar replay, DV survival through the
+    checkpoint, and checkpoint-seeded appends."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_checkpoint,
+        delta_delete,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-dv2cp-") + "/orders_v2cp"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_write(
+        orders.where("o_orderkey % 3 != 2").repartition(8), path, mode="error"
+    )
+    delta_delete(spark, path, "o_totalprice < 20000", strategy="dv")
+    v = delta_checkpoint(spark, path, format="v2")
+    assert _glob.glob(f"{path}/_delta_log/_sidecars/*.parquet"), "no sidecar"
+    removed = 0
+    for j in _glob.glob(f"{path}/_delta_log/0*.json"):
+        if int(_os.path.basename(j)[:-5]) <= v:
+            _os.remove(j)
+            removed += 1
+    assert removed >= 3, f"only {removed} pre-checkpoint commits existed"
+    delta_write(orders.where("o_orderkey % 3 = 2"), path, mode="append")
+    got = lakehouse.read_table(spark, "delta", path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_V2_CHECKPOINT_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE (o_orderkey % 3 <> 2 AND o_totalprice >= 20000)
+     OR o_orderkey % 3 = 2
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM kept
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 12 continuation: SHALLOW CLONE end-to-end — orders take a
     deletion-vector DELETE, the table clones (metadata-only: absolute-
@@ -6956,6 +7022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_branch_read": _wrap(iceberg_branch_read),
         "delta_constraint_roundtrip": _wrap(delta_constraint_roundtrip),
         "delta_clone_read": _wrap(delta_clone_read),
+        "delta_v2_checkpoint_read": _wrap(delta_v2_checkpoint_read),
         "iceberg_spec_evolution_read": _wrap(iceberg_spec_evolution_read),
         "tablelog_wap_publish": _wrap(tablelog_wap_publish),
         "tablelog_tag_read": _wrap(tablelog_tag_read),
@@ -7175,6 +7242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_constraint_roundtrip",
         "delta_clone_read",
         "iceberg_spec_evolution_read",
+        "delta_v2_checkpoint_read",
         "media_header_meta",
         "delta_cdf_roundtrip",
         "hudi_1x_read",
@@ -7219,7 +7287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price",
         "window_nav_battery",
         "big_orders",
-        "bigram_doc_freq",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -7307,6 +7374,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_branch_read": ICEBERG_BRANCH_SQL,
         "delta_constraint_roundtrip": DELTA_CONSTRAINT_SQL,
         "delta_clone_read": DELTA_CLONE_SQL,
+        "delta_v2_checkpoint_read": DELTA_V2_CHECKPOINT_SQL,
         "iceberg_spec_evolution_read": ICEBERG_SPEC_EVOLUTION_SQL,
         "iceberg_changelog_read": ICEBERG_CHANGELOG_SQL,
         "ivf_topk_embeddings": IVF_TOPK_SQL,

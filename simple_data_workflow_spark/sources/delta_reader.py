@@ -135,7 +135,9 @@ def _list_log(spark: SparkSession, path: str):
         name = st.getPath().getName()
         if name.endswith(".json") and name[:-5].isdigit():
             commits.append(int(name[:-5]))
-        elif ".checkpoint." in name and name.endswith(".parquet"):
+        elif ".checkpoint." in name and (
+            name.endswith(".parquet") or name.endswith(".json")
+        ):
             v = name.split(".checkpoint.")[0]
             if v.isdigit():
                 cps.setdefault(int(v), []).append(
@@ -151,6 +153,7 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",  # sources.delta_dv + _dv_masked_scan
     "columnMapping",    # name mode (physicalName scan) + id mode (field-id scan)
     "timestampNtz",     # plain type mapping, nothing to do at scan
+    "v2Checkpoint",     # manifest + sidecar replay (_checkpoint_sources)
 }
 
 
@@ -202,44 +205,112 @@ def _apply_commit(spark, path, version, adds, meta_proto) -> None:
             adds.pop(action["remove"]["path"], None)
 
 
+def _checkpoint_sources(spark, parts) -> list:
+    """Normalize a checkpoint (classic single-file, classic multipart,
+    or V2 manifest + sidecars — PROTOCOL.md "V2 Checkpoint Spec") into
+    ``[("df", DataFrame) | ("actions", list[dict])]`` pieces whose
+    union carries every checkpoint action. V2 manifests are
+    ``<v>.checkpoint.<uuid>.{parquet,json}``; their file actions may
+    live inline or in ``_delta_log/_sidecars/`` parquet files named by
+    ``sidecar`` actions (relative to that dir, or absolute)."""
+
+    def _is_classic(name: str) -> bool:
+        rest = name.split(".checkpoint.", 1)[1]
+        segs = rest.split(".")
+        return rest == "parquet" or (
+            len(segs) == 3
+            and segs[0].isdigit()
+            and segs[1].isdigit()
+            and segs[2] == "parquet"
+        )
+
+    classic = [p for p in parts if _is_classic(p.rsplit("/", 1)[1])]
+    if classic:  # self-contained; preferred when both forms coexist
+        return [("df", spark.read.parquet(*classic))]
+    manifest = sorted(parts)[0]
+    log_dir = manifest.rsplit("/", 1)[0]
+    out: list = []
+    sidecars: list[str] = []
+    if manifest.endswith(".json"):
+        actions = [
+            json.loads(line)
+            for line in _read_bytes(spark, manifest).decode("utf-8").splitlines()
+            if line.strip()
+        ]
+        out.append(("actions", [a for a in actions if "sidecar" not in a]))
+        sidecars = [a["sidecar"]["path"] for a in actions if "sidecar" in a]
+    else:
+        mdf = spark.read.parquet(manifest)
+        out.append(("df", mdf))
+        if "sidecar" in mdf.columns:
+            sidecars = [
+                r["sidecar"]["path"]
+                for r in mdf.where(F.col("sidecar").isNotNull()).collect()
+            ]
+    paths = [
+        s if "://" in s or s.startswith("/") else f"{log_dir}/_sidecars/{s}"
+        for s in sidecars
+    ]
+    if paths:
+        out.append(("df", spark.read.parquet(*paths)))
+    return out
+
+
 def _load_checkpoint(spark, parts, adds, meta_proto) -> None:
     """Seed the snapshot from a checkpoint's action table (tombstoned
-    removes are irrelevant to the live set and skipped)."""
-    cp = spark.read.parquet(*parts)
-    cols = set(cp.columns)
-    if "metaData" in cols:
-        for r in cp.where(F.col("metaData").isNotNull()).collect():
-            m = r["metaData"].asDict(recursive=True)
-            # parquet maps may deserialize with None values scrubbed
-            meta_proto["meta"] = {k: v for k, v in m.items() if v is not None}
-    if "protocol" in cols:
-        for r in cp.where(F.col("protocol").isNotNull()).collect():
-            p = r["protocol"].asDict(recursive=True)
-            meta_proto["proto"] = {
-                k: v for k, v in p.items() if v is not None
-            }
-    if "add" in cols:
-        add_fields = {f.name for f in cp.schema["add"].dataType.fields}
-        dv = (
-            [F.col("add.deletionVector").alias("__dv")]
-            if "deletionVector" in add_fields
-            else [F.lit(None).alias("__dv")]
-        )
-        for r in (
-            cp.where(F.col("add").isNotNull())
-            .select(
-                F.col("add.path").alias("__p"),
-                F.col("add.partitionValues").alias("__pv"),
-                *dv,
+    removes are irrelevant to the live set and skipped). Handles
+    classic, multipart, and V2 (manifest + sidecar) checkpoints."""
+    for kind, payload in _checkpoint_sources(spark, parts):
+        if kind == "actions":
+            for a in payload:
+                if a.get("metaData"):
+                    meta_proto["meta"] = a["metaData"]
+                elif a.get("protocol"):
+                    meta_proto["proto"] = a["protocol"]
+                elif a.get("add"):
+                    ad = a["add"]
+                    adds[ad["path"]] = (
+                        dict(ad.get("partitionValues") or {}),
+                        ad.get("deletionVector") or None,
+                    )
+            continue
+        cp = payload
+        cols = set(cp.columns)
+        if "metaData" in cols:
+            for r in cp.where(F.col("metaData").isNotNull()).collect():
+                m = r["metaData"].asDict(recursive=True)
+                # parquet maps may deserialize with None values scrubbed
+                meta_proto["meta"] = {
+                    k: v for k, v in m.items() if v is not None
+                }
+        if "protocol" in cols:
+            for r in cp.where(F.col("protocol").isNotNull()).collect():
+                p = r["protocol"].asDict(recursive=True)
+                meta_proto["proto"] = {
+                    k: v for k, v in p.items() if v is not None
+                }
+        if "add" in cols:
+            add_fields = {f.name for f in cp.schema["add"].dataType.fields}
+            dv = (
+                [F.col("add.deletionVector").alias("__dv")]
+                if "deletionVector" in add_fields
+                else [F.lit(None).alias("__dv")]
             )
-            .collect()
-        ):
-            dvd = r["__dv"]
-            if dvd is not None and not isinstance(dvd, dict):
-                dvd = dvd.asDict(recursive=True)
-            if dvd is not None:
-                dvd = {k: v for k, v in dvd.items() if v is not None}
-            adds[r["__p"]] = (dict(r["__pv"] or {}), dvd or None)
+            for r in (
+                cp.where(F.col("add").isNotNull())
+                .select(
+                    F.col("add.path").alias("__p"),
+                    F.col("add.partitionValues").alias("__pv"),
+                    *dv,
+                )
+                .collect()
+            ):
+                dvd = r["__dv"]
+                if dvd is not None and not isinstance(dvd, dict):
+                    dvd = dvd.asDict(recursive=True)
+                if dvd is not None:
+                    dvd = {k: v for k, v in dvd.items() if v is not None}
+                adds[r["__p"]] = (dict(r["__pv"] or {}), dvd or None)
 
 
 def delta_snapshot_files(

@@ -161,20 +161,32 @@ def _replay_full(spark, path: str, version: int | None = None):
     cp_versions = [v for v in cps if v <= target]
     start = 0
     if cp_versions:
+        from simple_data_workflow_spark.sources.delta_reader import (
+            _checkpoint_sources,
+        )
+
         cp_v = max(cp_versions)
-        cp = spark.read.parquet(*sorted(cps[cp_v]))
-        cols = set(cp.columns)
-        for r in cp.collect():
-            d = r.asDict(recursive=True)
-            if "metaData" in cols and d.get("metaData"):
-                meta = {k: v for k, v in d["metaData"].items() if v is not None}
-            if "protocol" in cols and d.get("protocol"):
-                proto = {k: v for k, v in d["protocol"].items() if v is not None}
-            if "add" in cols and d.get("add"):
-                a = {k: v for k, v in d["add"].items() if v is not None}
-                adds[a["path"]] = a
-            if "txn" in cols and d.get("txn") and d["txn"].get("appId"):
-                txns[d["txn"]["appId"]] = int(d["txn"]["version"])
+        for kind, payload in _checkpoint_sources(spark, sorted(cps[cp_v])):
+            if kind == "actions":  # V2 JSON manifest lines
+                rows = payload
+            else:
+                rows = [r.asDict(recursive=True) for r in payload.collect()]
+            for d in rows:
+                if d.get("metaData"):
+                    meta = {
+                        k: v for k, v in d["metaData"].items()
+                        if v is not None
+                    }
+                if d.get("protocol"):
+                    proto = {
+                        k: v for k, v in d["protocol"].items()
+                        if v is not None
+                    }
+                if d.get("add"):
+                    a = {k: v for k, v in d["add"].items() if v is not None}
+                    adds[a["path"]] = a
+                if d.get("txn") and d["txn"].get("appId"):
+                    txns[d["txn"]["appId"]] = int(d["txn"]["version"])
         start = cp_v + 1
     for v in [c for c in commits if start <= c <= target]:
         raw = _read_bytes(
@@ -631,18 +643,33 @@ def delta_write(
     )
 
 
-def delta_checkpoint(spark: SparkSession, path: str) -> int:
-    """Write a classic single-file checkpoint (``<v>.checkpoint.parquet``
-    + ``_last_checkpoint``) for the latest version, so replay cost stays
-    bounded; pre-checkpoint JSON commits become vacuum-able.  Remove
-    tombstones are not carried (this writer's reader — and snapshot
-    correctness generally — only needs the live add set; noted per
-    PROTOCOL.md which keeps tombstones for VACUUM bookkeeping only).
-    Local-filesystem paths only (the checkpoint is metadata-sized and
-    written driver-side with pyarrow)."""
+def delta_checkpoint(
+    spark: SparkSession, path: str, format: str = "classic"
+) -> int:
+    """Write a checkpoint for the latest version so replay cost stays
+    bounded (pre-checkpoint JSON commits become vacuum-able).
+
+    ``format="classic"``: the single-file ``<v>.checkpoint.parquet``.
+    ``format="v2"``: the V2 spec layout (PROTOCOL.md "V2 Checkpoint
+    Spec") — file actions land in a ``_delta_log/_sidecars/<uuid>.parquet``
+    sidecar and a ``<v>.checkpoint.<uuid>.parquet`` MANIFEST carries
+    checkpointMetadata + protocol + metaData + txn + the ``sidecar``
+    pointer; requires the ``v2Checkpoint`` reader feature, so a table
+    without it first publishes a protocol-upgrade commit (reader 3 /
+    writer 7, existing features carried).
+
+    Remove tombstones are not carried (this writer's reader — and
+    snapshot correctness generally — only needs the live add set;
+    noted per PROTOCOL.md which keeps tombstones for VACUUM
+    bookkeeping only). Feature-carrying protocols (readerFeatures /
+    writerFeatures) persist verbatim — dropping them would make a
+    DV/column-mapped table unreadable after log cleanup. Local
+    filesystem paths (metadata-sized, driver-side pyarrow)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if format not in ("classic", "v2"):
+        raise ValueError(f"unknown checkpoint format {format!r}")
     adds, meta, proto, version, txns = _replay_full(spark, path)
     if meta is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
@@ -650,30 +677,81 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     # would silently un-delete rows once pre-checkpoint commits vacuum)
     proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
 
-    def row(add=None, m=None, p=None, t=None):
-        return {"add": add, "metaData": m, "protocol": p, "txn": t}
+    if format == "v2" and "v2Checkpoint" not in set(
+        proto.get("readerFeatures") or []
+    ):
+        # the spec gates v2 checkpoints behind the reader feature —
+        # upgrade first (one protocol-only commit), carrying existing
+        # features plus the legacy-implied ones our reader checks
+        rfeats = set(proto.get("readerFeatures") or []) | {"v2Checkpoint"}
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode not in ("", "none"):
+            rfeats.add("columnMapping")
+        wfeats = set(proto.get("writerFeatures") or []) | rfeats
+        new_proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeats),
+            "writerFeatures": sorted(wfeats),
+        }
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "UPGRADE PROTOCOL",
+                        "operationParameters": {
+                            "newProtocol": json.dumps(new_proto)
+                        },
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            ),
+            json.dumps({"protocol": new_proto}),
+        ]
+        if not _publish_if_absent(
+            spark, path, f"{version + 1:020d}.json", "\n".join(lines) + "\n"
+        ):
+            raise DeltaConcurrentWrite(
+                f"v2Checkpoint protocol upgrade on {path} lost the race"
+            )
+        proto = new_proto
+        version += 1
 
-    rows = [row(p=proto), row(m={
+    def row(add=None, m=None, p=None, t=None, cm=None, sc=None):
+        return {
+            "add": add,
+            "metaData": m,
+            "protocol": p,
+            "txn": t,
+            "checkpointMetadata": cm,
+            "sidecar": sc,
+        }
+
+    meta_row = {
         "id": meta.get("id"),
-        "format": {"provider": "parquet", "options": {}},
+        "format": {"provider": "parquet", "options": []},
         "schemaString": meta.get("schemaString"),
         "partitionColumns": list(meta.get("partitionColumns") or []),
-        "configuration": dict(meta.get("configuration") or {}),
+        "configuration": list((meta.get("configuration") or {}).items()),
         "createdTime": meta.get("createdTime"),
-    })]
+    }
+    head_rows = [row(p=proto), row(m=meta_row)]
     for app_id in sorted(txns):
         # streaming replay-dedup evidence must survive checkpointing
-        rows.append(
-            row(t={"appId": app_id, "version": int(txns[app_id])})
-        )
+        head_rows.append(row(t={"appId": app_id, "version": int(txns[app_id])}))
+    add_rows = []
     for rel in sorted(adds):
         a = adds[rel]
-        rows.append(
+        add_rows.append(
             row(
                 add={
                     "path": a["path"],
                     "partitionValues": [
-                        (k, v) for k, v in (a.get("partitionValues") or {}).items()
+                        (k, v)
+                        for k, v in (a.get("partitionValues") or {}).items()
                     ],
                     "size": a.get("size"),
                     "modificationTime": a.get("modificationTime"),
@@ -683,91 +761,140 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
                 }
             )
         )
+
     kv = pa.map_(pa.string(), pa.string())
-    schema = pa.schema(
-        [
-            pa.field(
-                "add",
-                pa.struct(
-                    [
-                        pa.field("path", pa.string()),
-                        pa.field("partitionValues", kv),
-                        pa.field("size", pa.int64()),
-                        pa.field("modificationTime", pa.int64()),
-                        pa.field("dataChange", pa.bool_()),
-                        pa.field("stats", pa.string()),
-                        pa.field(
-                            "deletionVector",
-                            pa.struct(
-                                [
-                                    pa.field("storageType", pa.string()),
-                                    pa.field("pathOrInlineDv", pa.string()),
-                                    pa.field("offset", pa.int32()),
-                                    pa.field("sizeInBytes", pa.int32()),
-                                    pa.field("cardinality", pa.int64()),
-                                ]
-                            ),
+    fields = {
+        "add": pa.field(
+            "add",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("partitionValues", kv),
+                    pa.field("size", pa.int64()),
+                    pa.field("modificationTime", pa.int64()),
+                    pa.field("dataChange", pa.bool_()),
+                    pa.field("stats", pa.string()),
+                    pa.field(
+                        "deletionVector",
+                        pa.struct(
+                            [
+                                pa.field("storageType", pa.string()),
+                                pa.field("pathOrInlineDv", pa.string()),
+                                pa.field("offset", pa.int32()),
+                                pa.field("sizeInBytes", pa.int32()),
+                                pa.field("cardinality", pa.int64()),
+                            ]
                         ),
-                    ]
-                ),
+                    ),
+                ]
             ),
-            pa.field(
-                "metaData",
-                pa.struct(
-                    [
-                        pa.field("id", pa.string()),
-                        pa.field(
-                            "format",
-                            pa.struct(
-                                [
-                                    pa.field("provider", pa.string()),
-                                    pa.field("options", kv),
-                                ]
-                            ),
+        ),
+        "metaData": pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    pa.field("id", pa.string()),
+                    pa.field(
+                        "format",
+                        pa.struct(
+                            [
+                                pa.field("provider", pa.string()),
+                                pa.field("options", kv),
+                            ]
                         ),
-                        pa.field("schemaString", pa.string()),
-                        pa.field("partitionColumns", pa.list_(pa.string())),
-                        pa.field("configuration", kv),
-                        pa.field("createdTime", pa.int64()),
-                    ]
-                ),
+                    ),
+                    pa.field("schemaString", pa.string()),
+                    pa.field("partitionColumns", pa.list_(pa.string())),
+                    pa.field("configuration", kv),
+                    pa.field("createdTime", pa.int64()),
+                ]
             ),
-            pa.field(
-                "protocol",
-                pa.struct(
-                    [
-                        pa.field("minReaderVersion", pa.int32()),
-                        pa.field("minWriterVersion", pa.int32()),
-                    ]
-                ),
+        ),
+        "protocol": pa.field(
+            "protocol",
+            pa.struct(
+                [
+                    pa.field("minReaderVersion", pa.int32()),
+                    pa.field("minWriterVersion", pa.int32()),
+                    # feature lists persist verbatim (DV / column-mapped
+                    # tables would otherwise become unreadable once the
+                    # pre-checkpoint commits vacuum)
+                    pa.field("readerFeatures", pa.list_(pa.string())),
+                    pa.field("writerFeatures", pa.list_(pa.string())),
+                ]
             ),
-            pa.field(
-                "txn",
-                pa.struct(
-                    [
-                        pa.field("appId", pa.string()),
-                        pa.field("version", pa.int64()),
-                    ]
-                ),
+        ),
+        "txn": pa.field(
+            "txn",
+            pa.struct(
+                [
+                    pa.field("appId", pa.string()),
+                    pa.field("version", pa.int64()),
+                ]
             ),
-        ]
-    )
-    # format.options needs the tuple-list map encoding too
-    for r in rows:
-        if r["metaData"]:
-            r["metaData"]["format"]["options"] = []
-            r["metaData"]["configuration"] = list(
-                r["metaData"]["configuration"].items()
-            )
-    table = pa.Table.from_pylist(rows, schema=schema)
+        ),
+        "checkpointMetadata": pa.field(
+            "checkpointMetadata",
+            pa.struct([pa.field("version", pa.int64()), pa.field("tags", kv)]),
+        ),
+        "sidecar": pa.field(
+            "sidecar",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("sizeInBytes", pa.int64()),
+                    pa.field("modificationTime", pa.int64()),
+                ]
+            ),
+        ),
+    }
+
+    def table(rows, names):
+        schema = pa.schema([fields[n] for n in names])
+        return pa.Table.from_pylist(
+            [{n: r[n] for n in names} for r in rows], schema=schema
+        )
+
     jvm, _ = _fs(spark, path)
     local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
-    pq.write_table(
-        table, f"{local}/_delta_log/{version:020d}.checkpoint.parquet"
-    )
+    now = int(time.time() * 1000)
+    if format == "classic":
+        t = table(head_rows + add_rows, ["add", "metaData", "protocol", "txn"])
+        pq.write_table(
+            t, f"{local}/_delta_log/{version:020d}.checkpoint.parquet"
+        )
+        n_actions = len(head_rows) + len(add_rows)
+    else:
+        import os as _os
+
+        _os.makedirs(f"{local}/_delta_log/_sidecars", exist_ok=True)
+        sc_name = f"{uuid.uuid4()}.parquet"
+        sc_path = f"{local}/_delta_log/_sidecars/{sc_name}"
+        pq.write_table(table(add_rows, ["add"]), sc_path)
+        manifest_rows = [
+            row(cm={"version": version, "tags": []}),
+            *head_rows,
+            row(
+                sc={
+                    "path": sc_name,
+                    "sizeInBytes": _os.path.getsize(sc_path),
+                    "modificationTime": now,
+                }
+            ),
+        ]
+        t = table(
+            manifest_rows,
+            ["checkpointMetadata", "protocol", "metaData", "txn", "sidecar"],
+        )
+        pq.write_table(
+            t,
+            f"{local}/_delta_log/{version:020d}.checkpoint.{uuid.uuid4()}.parquet",
+        )
+        n_actions = len(manifest_rows) + len(add_rows)
     with open(f"{local}/_delta_log/_last_checkpoint", "w") as f:
-        json.dump({"version": version, "size": len(rows)}, f)
+        json.dump({"version": version, "size": n_actions}, f)
     return version
+
 
 # ---------------------------------------------------------------------------
 # copy-on-write DML (round 10 second half): DELETE / UPDATE on the

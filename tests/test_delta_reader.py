@@ -541,9 +541,11 @@ def test_delta_read_column_mapping_id_mode(spark, tmp_path):
 
 
 def test_delta_reader_refuses_unknown_reader_feature(spark, tmp_path):
-    """Reader features are a WHITELIST: an unknown feature (e.g.
-    v2Checkpoint's sidecar layout) could make the log replay silently
-    wrong, so anything unrecognized refuses."""
+    """Reader features are a WHITELIST: an unknown feature (e.g. a
+    future type-widening layout) could make the log replay silently
+    wrong, so anything unrecognized refuses. (v2Checkpoint graduated
+    off this list in round 12 — the manifest+sidecar replay is
+    implemented.)"""
     root = str(tmp_path / "dlvf")
     _write_parquet_file(
         spark,
@@ -558,15 +560,15 @@ def test_delta_reader_refuses_unknown_reader_feature(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["v2Checkpoint"],
-                    "writerFeatures": ["v2Checkpoint"],
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
                 }
             },
             _meta(),
             _add("f0.parquet"),
         ],
     )
-    with pytest.raises(DeltaFeatureUnsupported, match="v2Checkpoint"):
+    with pytest.raises(DeltaFeatureUnsupported, match="typeWidening"):
         delta_read(spark, root)
 
 

@@ -1648,3 +1648,103 @@ def test_path_encoding_partition_values_delta(spark, tmp_path):
     delta_update(spark, root, {"v": "v - 7.0"}, "id = 15", strategy="dv")
     vs = {r["id"]: r["v"] for r in delta_read(spark, root).collect()}
     assert vs[15] == 8.0 and len(vs) == 30
+
+
+def test_delta_v2_checkpoint_roundtrip(spark, tmp_path):
+    """Round 12 continuation: V2 checkpoints — manifest + sidecar
+    layout writes, the protocol upgrades with the v2Checkpoint reader
+    feature, replay works from the manifest ALONE (pre-checkpoint JSON
+    commits deleted), DV descriptors and feature lists survive, and
+    classic checkpoints now persist feature-carrying protocols too."""
+    import glob as _glob
+    import os as _os
+
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        _replay_full,
+        delta_add_constraint,
+        delta_checkpoint,
+        delta_delete,
+        delta_write,
+    )
+
+    root = str(tmp_path / "v2cp")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, v double"
+        ).repartition(4),
+        root,
+        mode="error",
+    )
+    delta_delete(spark, root, "id >= 15", strategy="dv")   # v1, DV + features
+    delta_add_constraint(spark, root, "v_lo", "v < 1000.0")  # v2
+    want = {(i, float(i)) for i in range(15)}
+
+    v = delta_checkpoint(spark, root, format="v2")
+    # protocol upgrade commit happened (v2Checkpoint feature)
+    _a, _m, proto, cur_v, _t = _replay_full(spark, root)
+    assert "v2Checkpoint" in set(proto.get("readerFeatures") or [])
+    assert v == cur_v
+    # manifest + sidecar exist on disk
+    assert _glob.glob(f"{root}/_delta_log/*.checkpoint.*-*.parquet")
+    assert _glob.glob(f"{root}/_delta_log/_sidecars/*.parquet")
+
+    # replay from the checkpoint ALONE: delete all pre-checkpoint JSON
+    for j in _glob.glob(f"{root}/_delta_log/0*.json"):
+        if int(_os.path.basename(j)[:-5]) <= v:
+            _os.remove(j)
+    assert {(r["id"], r["v"]) for r in delta_read(spark, root).collect()} == want
+    # features + constraint survived the checkpoint
+    _a2, m2, p2, _v2, _t2 = _replay_full(spark, root)
+    assert "deletionVectors" in set(p2.get("readerFeatures") or [])
+    assert "delta.constraints.v_lo" in (m2.get("configuration") or {})
+    # and writes on the checkpoint-seeded table still work + enforce
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.delta_writer import (
+        DeltaConstraintViolation,
+    )
+
+    with _pytest.raises(DeltaConstraintViolation):
+        delta_write(
+            spark.createDataFrame([(99, 9999.0)], "id long, v double"),
+            root, mode="append",
+        )
+    delta_write(
+        spark.createDataFrame([(99, 99.0)], "id long, v double"),
+        root, mode="append",
+    )
+    assert delta_read(spark, root).count() == 16
+
+
+def test_delta_classic_checkpoint_preserves_features(spark, tmp_path):
+    """A classic checkpoint of a DV table persists the feature-carrying
+    protocol (previously the features lists were silently dropped by
+    the checkpoint schema)."""
+    import glob as _glob
+    import os as _os
+
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        _replay_full,
+        delta_checkpoint,
+        delta_delete,
+        delta_write,
+    )
+
+    root = str(tmp_path / "ccp")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ).repartition(2),
+        root,
+        mode="error",
+    )
+    delta_delete(spark, root, "id >= 8", strategy="dv")
+    v = delta_checkpoint(spark, root)
+    for j in _glob.glob(f"{root}/_delta_log/0*.json"):
+        if int(_os.path.basename(j)[:-5]) <= v:
+            _os.remove(j)
+    _a, _m, proto, _v, _t = _replay_full(spark, root)
+    assert "deletionVectors" in set(proto.get("readerFeatures") or [])
+    assert {r["id"] for r in delta_read(spark, root).collect()} == set(range(8))
