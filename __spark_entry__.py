@@ -3894,6 +3894,63 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def hudi_cluster_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 continuation: Hudi sort-based CLUSTERING — orders land
+    as 16 scattered file groups, one ``replacecommit`` rewrites them
+    range-partitioned + sorted by ``o_totalprice`` (the only global
+    movement is the range shuffle), and the read must match the plain
+    aggregate oracle. In-query asserts: clustering produced NO record
+    versions (the incremental query over the clustering commit is
+    empty — record commit times carry over) and the pre-cluster
+    snapshot still time-travels. The layout payoff (disjoint per-file
+    value ranges → row-group skipping for range predicates) is pinned
+    by the unit test's footer check."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        hudi_read,
+        hudi_table_changes,
+    )
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_cluster,
+        hudi_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-hclu-") + "/orders_clu"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t1 = hudi_write(
+        orders.repartition(16), path, mode="error", record_key="o_orderkey"
+    )
+    t2 = hudi_cluster(spark, path, sort_by=["o_totalprice"])
+    n_inc = hudi_table_changes(spark, path, t1, t2).count()
+    assert n_inc == 0, f"clustering re-emitted {n_inc} record versions"
+    n_pre = hudi_read(spark, path, as_of=t1).count()
+    got = hudi_read(spark, path)
+    assert got.count() == n_pre, "clustering changed the row count"
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+HUDI_CLUSTER_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def delta_v2_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 12 continuation: V2 CHECKPOINTS end-to-end — orders take a
     deletion-vector DELETE (feature-carrying protocol), a V2 checkpoint
@@ -7023,6 +7080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_constraint_roundtrip": _wrap(delta_constraint_roundtrip),
         "delta_clone_read": _wrap(delta_clone_read),
         "delta_v2_checkpoint_read": _wrap(delta_v2_checkpoint_read),
+        "hudi_cluster_read": _wrap(hudi_cluster_read),
         "iceberg_spec_evolution_read": _wrap(iceberg_spec_evolution_read),
         "tablelog_wap_publish": _wrap(tablelog_wap_publish),
         "tablelog_tag_read": _wrap(tablelog_tag_read),
@@ -7243,6 +7301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clone_read",
         "iceberg_spec_evolution_read",
         "delta_v2_checkpoint_read",
+        "hudi_cluster_read",
         "media_header_meta",
         "delta_cdf_roundtrip",
         "hudi_1x_read",
@@ -7286,7 +7345,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_status_of_clicks",
         "weighted_median_price",
         "window_nav_battery",
-        "big_orders",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -7375,6 +7433,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_constraint_roundtrip": DELTA_CONSTRAINT_SQL,
         "delta_clone_read": DELTA_CLONE_SQL,
         "delta_v2_checkpoint_read": DELTA_V2_CHECKPOINT_SQL,
+        "hudi_cluster_read": HUDI_CLUSTER_SQL,
         "iceberg_spec_evolution_read": ICEBERG_SPEC_EVOLUTION_SQL,
         "iceberg_changelog_read": ICEBERG_CHANGELOG_SQL,
         "ivf_topk_embeddings": IVF_TOPK_SQL,

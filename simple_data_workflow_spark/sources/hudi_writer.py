@@ -926,6 +926,74 @@ def hudi_compact(spark: SparkSession, path: str) -> str | None:
     return instant
 
 
+def hudi_cluster(
+    spark: SparkSession,
+    path: str,
+    sort_by: list[str],
+    n_file_groups: int | None = None,
+) -> str | None:
+    """CLUSTERING (Hudi's sort-based ``cluster`` table service): rewrite
+    the live file groups into new, ``sort_by``-ordered groups published
+    as ONE ``replacecommit`` — readers flip atomically, pre-clustering
+    instants stay time-travelable, and record-level
+    ``_hoodie_commit_time`` carries over (clustering produces NO record
+    versions, so the incremental query never re-emits clustered rows).
+    Layout: a range repartition on ``sort_by`` (the only global
+    movement) + in-partition sort, so parquet row-group stats become
+    selective for ``sort_by`` predicates. ``n_file_groups`` defaults to
+    the current live group count. MERGE_ON_READ tables with pending log
+    files refuse (run ``hudi_compact`` first — clustering must not
+    silently drop log records); returns the committed instant, or None
+    for an empty table."""
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        _resolve_groups,
+        hudi_read,
+        load_table_properties,
+    )
+
+    props = load_table_properties(spark, path)
+    groups, logs, _c, _r = _resolve_groups(spark, path)
+    if not groups:
+        return None
+    if logs and any(lst for lst in logs.values()):
+        raise ValueError(
+            "clustering a MERGE_ON_READ table with pending log files "
+            "would drop their records — run hudi_compact first"
+        )
+    partition_by = [
+        p
+        for p in (props.get("hoodie.table.partition.fields", "") or "").split(",")
+        if p
+    ]
+    keys = [
+        k
+        for k in (props.get("hoodie.table.recordkey.fields", "") or "").split(",")
+        if k
+    ]
+    snap = hudi_read(spark, path, include_meta=True)
+    bad = [c for c in sort_by if c not in snap.columns]
+    if bad:
+        raise ValueError(f"sort_by columns not in table: {bad}")
+    data_cols = [c for c in snap.columns if not c.startswith("_hoodie_")]
+    n = int(n_file_groups or len(groups))
+    batch = (
+        snap.select(
+            *data_cols,
+            F.col("_hoodie_commit_time").alias("__commit_time"),
+        )
+        .repartitionByRange(max(n, 1), *[F.col(c) for c in sort_by])
+        .sortWithinPartitions(*sort_by)
+    )
+    replaced: dict[str, set[str]] = {}
+    for part, fid in groups:
+        replaced.setdefault(part, set()).add(fid)
+    instant = _next_instant(spark, path)
+    return _insert_batch(
+        batch, path, keys, partition_by, replaced, True, instant, "CLUSTER",
+        table_type=props.get("hoodie.table.type", "COPY_ON_WRITE"),
+    )
+
+
 def hudi_clean(
     spark: SparkSession, path: str, retain_commits: int = 10
 ) -> list[str]:

@@ -949,3 +949,81 @@ def test_path_encoding_partition_values_hudi(spark, tmp_path):
     hudi_delta_delete(spark, root2, "id = 3")
     got = {(r["id"], r["v"]) for r in hudi_read(spark, root2).collect()}
     assert got == {(1, 111.0), (2, 20.0)}
+
+
+def test_hudi_cluster_sort_layout(spark, tmp_path):
+    """Round 12 continuation: sort-based CLUSTERING — one
+    replacecommit rewrites the live groups range-partitioned + sorted
+    by the cluster key; rows/values identical, per-file value ranges
+    non-overlapping, pre-cluster time travel intact, record commit
+    times preserved (the incremental query never re-emits clustered
+    rows), and MoR tables with pending logs refuse."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        hudi_read,
+        hudi_table_changes,
+    )
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_cluster,
+        hudi_delta_upsert,
+        hudi_write,
+    )
+
+    root = str(tmp_path / "clu")
+    # scatter: interleaved values across 4 initial groups
+    df = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(200)], "id long, v double"
+    )
+    t1 = hudi_write(df.repartition(4), root, mode="error", record_key="id")
+    before = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+
+    t2 = hudi_cluster(spark, root, sort_by=["v"], n_file_groups=4)
+    assert t2 is not None and _glob.glob(f"{root}/.hoodie/{t2}.replacecommit")
+    after = {(r["id"], r["v"]) for r in hudi_read(spark, root).collect()}
+    assert after == before
+    # pre-cluster snapshot still resolves
+    assert {
+        (r["id"], r["v"]) for r in hudi_read(spark, root, as_of=t1).collect()
+    } == before
+    # incremental (t1, t2]: clustering produced NO record versions
+    assert hudi_table_changes(spark, root, t1, t2).count() == 0
+
+    # per-file v ranges are disjoint (range repartition + sort)
+    import pyarrow.parquet as _pq
+
+    spans = []
+    for f in sorted(
+        p for p in _glob.glob(f"{root}/*.parquet")
+        if f"_{t2}.parquet" in p
+    ):
+        md = _pq.ParquetFile(f).metadata
+        vi = next(
+            i for i in range(md.schema.to_arrow_schema().__len__())
+            if md.schema.to_arrow_schema().field(i).name == "v"
+        )
+        st = md.row_group(0).column(vi).statistics
+        lo, hi = st.min, st.max
+        for g in range(1, md.num_row_groups):
+            s = md.row_group(g).column(vi).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) >= 2
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2, f"overlapping clustered files: {spans}"
+
+    # MoR with pending logs refuses
+    root2 = str(tmp_path / "clu_mor")
+    hudi_write(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        root2, mode="error", record_key="id", table_type="MERGE_ON_READ",
+    )
+    hudi_delta_upsert(
+        spark, root2,
+        spark.createDataFrame([(1, 11.0)], "id long, v double"),
+    )
+    with _pytest.raises(ValueError, match="hudi_compact first"):
+        hudi_cluster(spark, root2, sort_by=["v"])
