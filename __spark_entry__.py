@@ -7284,16 +7284,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mice_impute_lineitem": _wrap(mice_impute_lineitem),
         "merge_upsert_customers": _wrap(merge_upsert_customers),
     }
-    # Round-12 driver window (VERDICT r11 #7, stalest-first): the four
-    # new/newly-twinned r12 entries (delta CDF, hudi 1.x, iceberg v3 DV,
-    # the now-hash-checked ivf_topk), then everything last
-    # driver-checked in r7 (12), the full r8 block (25 — including the
-    # r6-era CDC/temporal trio scd2/temporal_status/incremental_agg and
-    # the relational batteries the verdict named), and the first 9 of
-    # the r9 block. Staleness computed from CORRECTNESS_r01..r11 window
-    # membership. Rows-only entry in the window: ivf_index_topk
-    # (in-query recall assert) — every other entry is hash-checked
-    # against its oracle twin.
+    # Round-12 driver window (VERDICT r11 #7, stalest-first): the
+    # continuation wave's seven NEW queries first (hudi incremental,
+    # iceberg branches/tags, delta constraints, delta shallow clone,
+    # iceberg partition evolution, delta v2 checkpoints, hudi
+    # clustering) + the newly-twinned media_header_meta, then the four
+    # r12 first-wave entries (delta CDF, hudi 1.x, iceberg v3 DV,
+    # hash-checked ivf_topk), then everything last driver-checked in
+    # r7, the r8 block (incl. the r6-era CDC/temporal trio and the
+    # relational batteries), and the start of the r9 block. Staleness
+    # computed from CORRECTNESS_r01..r11 window membership. Rows-only
+    # entry in the window: ivf_index_topk (in-query recall assert) —
+    # every other entry is hash-checked against its oracle twin.
     head = [
         "hudi_incremental_read",
         "iceberg_branch_read",

@@ -47,14 +47,15 @@ def read_table(
     and Iceberg to the metadata/manifest replay reader
     (``sources.iceberg_reader``) — both formats' on-disk layouts are
     public specs, so snapshot resolution + a direct parquet scan need
-    no jar. Both fallbacks support ``version=`` time travel (Delta
-    version / Iceberg snapshot id); the Delta one applies deletion
-    vectors and column mapping, and all three fallbacks REFUSE feature
-    tiers they cannot read correctly (Iceberg row-level deletes, v3+,
-    renamed columns; Hudi merge-on-read) rather than return wrong
-    rows. Hudi copy-on-write resolves through the timeline +
-    file-group reader (``sources.hudi_reader``; ``version`` = the
-    instant-time string for time travel)."""
+    no jar. All three fallbacks support ``version=`` time travel
+    (Delta version / Iceberg snapshot id / Hudi instant string) and
+    ``timestamp_ms=``; the Delta one applies deletion vectors, column
+    mapping, and V2 checkpoints, the Iceberg one v2/v3 row-level
+    deletes and ``ref=`` branch/tag reads, the Hudi one merge-on-read
+    log replay (both timeline layouts). Feature tiers none of them
+    can read CORRECTLY still refuse loudly (Iceberg v4+/column
+    defaults, unknown Delta reader features, Hudi custom payload
+    classes) rather than return wrong rows."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
     if ref is not None and fmt != "iceberg":
@@ -167,8 +168,10 @@ def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> 
     writer (``sources.iceberg_writer``) — both stage plain parquet data
     files with Spark's own distributed writer and publish the format's
     public metadata chain atomically, so this repo's jar-free readers
-    AND the real runtimes can replay them. Hudi still requires its
-    jar."""
+    AND the real runtimes can replay them. Hudi writes through the
+    classic-layout writer (``sources.hudi_writer``; the record key
+    defaults to the first column — pass richer options through
+    ``hudi_write`` directly)."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown lakehouse format {fmt!r}; supported: {sorted(_FORMATS)}")
     if not _available(df.sparkSession, fmt):
