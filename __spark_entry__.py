@@ -3894,6 +3894,74 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def delta_column_ddl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12 continuation: Delta column-mapping DDL end-to-end —
+    orders upgrade to name-mode mapping (physicalName = the current
+    name, so pre-upgrade files keep reading), RENAME COLUMN moves the
+    logical name metadata-only, ADD COLUMN appends a NULL-reading
+    field, a post-rename APPEND stages under PHYSICAL names (the gap
+    this query pinned: un-physicalized appends silently mis-read), and
+    a DELETE runs across pre- and post-rename files. The oracle twin
+    replays the same arithmetic under the NEW names."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources import lakehouse
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_add_column,
+        delta_delete,
+        delta_enable_column_mapping,
+        delta_rename_column,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-dddl-") + "/orders_ddl"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_write(orders.where("o_orderkey % 2 = 0"), path, mode="error")
+    delta_enable_column_mapping(spark, path)
+    delta_rename_column(spark, path, "o_totalprice", "price")
+    delta_add_column(spark, path, "note", "string")
+    delta_write(
+        orders.where("o_orderkey % 2 = 1").select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "o_orderstatus",
+            F.lit("late").alias("note"),
+        ),
+        path,
+        mode="append",
+    )
+    delta_delete(spark, path, "price < 10000")
+    got = lakehouse.read_table(spark, "delta", path)
+    return (
+        got.groupBy("o_orderstatus", "note")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("price")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "note")
+    )
+
+
+DELTA_COLUMN_DDL_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+         CASE WHEN o_orderkey % 2 = 1 THEN 'late' END AS note
+  FROM orders
+  WHERE o_totalprice >= 10000
+)
+SELECT o_orderstatus, note, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(price*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM kept
+GROUP BY o_orderstatus, note
+ORDER BY o_orderstatus, note
+"""
+
+
 def hudi_cluster_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 12 continuation: Hudi sort-based CLUSTERING — orders land
     as 16 scattered file groups, one ``replacecommit`` rewrites them
@@ -7081,6 +7149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clone_read": _wrap(delta_clone_read),
         "delta_v2_checkpoint_read": _wrap(delta_v2_checkpoint_read),
         "hudi_cluster_read": _wrap(hudi_cluster_read),
+        "delta_column_ddl_read": _wrap(delta_column_ddl_read),
         "iceberg_spec_evolution_read": _wrap(iceberg_spec_evolution_read),
         "tablelog_wap_publish": _wrap(tablelog_wap_publish),
         "tablelog_tag_read": _wrap(tablelog_tag_read),
@@ -7304,6 +7373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_spec_evolution_read",
         "delta_v2_checkpoint_read",
         "hudi_cluster_read",
+        "delta_column_ddl_read",
         "media_header_meta",
         "delta_cdf_roundtrip",
         "hudi_1x_read",
@@ -7346,7 +7416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablelog_scan_pruned",
         "temporal_status_of_clicks",
         "weighted_median_price",
-        "window_nav_battery",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}
@@ -7436,6 +7505,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_clone_read": DELTA_CLONE_SQL,
         "delta_v2_checkpoint_read": DELTA_V2_CHECKPOINT_SQL,
         "hudi_cluster_read": HUDI_CLUSTER_SQL,
+        "delta_column_ddl_read": DELTA_COLUMN_DDL_SQL,
         "iceberg_spec_evolution_read": ICEBERG_SPEC_EVOLUTION_SQL,
         "iceberg_changelog_read": ICEBERG_CHANGELOG_SQL,
         "ivf_topk_embeddings": IVF_TOPK_SQL,

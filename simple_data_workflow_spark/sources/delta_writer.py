@@ -474,6 +474,17 @@ def delta_write(
                     "overwrite with a different schema needs "
                     "overwrite_schema=True"
                 )
+            elif (
+                (cur_meta.get("configuration") or {}).get(
+                    "delta.columnMapping.mode", "none"
+                )
+                not in ("", "none")
+            ):
+                raise DeltaSchemaMismatch(
+                    "overwrite_schema on a column-mapped table is not "
+                    "supported (the replacement schema would lose its "
+                    "mapping ids) — Delta's own writer refuses this too"
+                )
         if same:
             # canonical column order = the table's
             df = df.select(*[f.name for f in table_schema.fields])
@@ -488,7 +499,34 @@ def delta_write(
         # CHECK constraints gate incoming rows (appends AND the
         # replacement contents of an overwrite)
         _enforce_constraints(df, cur_meta, f"{mode} write")
-    adds = _stage_data_files(df, path, partition_by)
+    mode_cm = (
+        ((cur_meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if exists and merged_schema is None and not overwrite_schema
+        else "none"
+    )
+    if mode_cm not in ("", "none"):
+        # column-mapped tables store PHYSICAL column names (and
+        # physical partition dirs) in their data files — stage through
+        # the DML engines' physicalizer so appends after a RENAME
+        # COLUMN keep reading correctly
+        adds = _stage_physical(
+            spark,
+            path,
+            df,
+            {
+                "schema": table_schema,
+                "part_cols": partition_by,
+                "mapped": mode_cm == "name",
+                "id_mode": mode_cm == "id",
+                # constraints were enforced above; no meta => no re-check
+                "meta": None,
+            },
+            f"{mode} write",
+        )
+    else:
+        adds = _stage_data_files(df, path, partition_by)
     now = int(time.time() * 1000)
     table_id = (cur_meta or {}).get("id") or str(uuid.uuid4())
     meta_action = {
@@ -1387,6 +1425,280 @@ def delta_drop_constraint(
             return version
     raise DeltaConcurrentWrite(
         f"DROP CONSTRAINT on {path} lost the commit race {_retries} times"
+    )
+
+
+def _mutate_schema(spark, path, operation: str, params: dict, mutate, _retries=5):
+    """CAS loop for metadata-only schema DDL: ``mutate(schema_dict,
+    meta)`` edits the parsed schemaString in place (or raises); one
+    commit republishes metaData."""
+    for _attempt in range(_retries):
+        adds, meta, proto, cur_v, _t = _replay_full(spark, path)
+        if meta is None:
+            raise ValueError(f"no Delta table at {path}")
+        schema = json.loads(meta["schemaString"])
+        mutate(schema, meta)
+        meta_out = dict(meta)
+        meta_out["schemaString"] = json.dumps(schema)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": operation,
+                        "operationParameters": params,
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            ),
+            json.dumps({"metaData": meta_out}),
+        ]
+        version = cur_v + 1
+        if _publish_if_absent(
+            spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
+        ):
+            return version
+    raise DeltaConcurrentWrite(
+        f"{operation} on {path} lost the commit race {_retries} times"
+    )
+
+
+def _walk_assign_mapping(fields: list, next_id: list) -> None:
+    """Assign ``delta.columnMapping.{id,physicalName}`` recursively —
+    existing columns keep their CURRENT name as physicalName (pre-
+    mapping data files store that name, so they stay readable), per
+    Delta's own upgrade rule."""
+    for f in fields:
+        md = dict(f.get("metadata") or {})
+        if "delta.columnMapping.id" not in md:
+            next_id[0] += 1
+            md["delta.columnMapping.id"] = next_id[0]
+            md["delta.columnMapping.physicalName"] = f["name"]
+            f["metadata"] = md
+        t = f.get("type")
+        while isinstance(t, dict):
+            if t.get("type") == "struct":
+                _walk_assign_mapping(t.get("fields") or [], next_id)
+                break
+            if t.get("type") == "array":
+                t = t.get("elementType")
+            elif t.get("type") == "map":
+                # map values may be structs; keys are primitives here
+                t = t.get("valueType")
+            else:
+                break
+
+
+def delta_enable_column_mapping(
+    spark: SparkSession, path: str, mode: str = "name"
+) -> int:
+    """Upgrade a plain table to COLUMN MAPPING (the gate for
+    RENAME/DROP COLUMN): every field gets a mapping id and a
+    physicalName equal to its CURRENT name — pre-mapping data files
+    remain readable — and the protocol upgrades (legacy → reader 2 /
+    writer 5; feature tables add ``columnMapping``). ``mode`` is
+    ``name`` (the common upgrade) — ``id`` mode is only assigned at
+    table creation by real engines, so upgrading into it refuses."""
+    if mode != "name":
+        raise ValueError(
+            "only 'name' mode upgrades are supported (id mode must be "
+            "set at table creation)"
+        )
+    for _attempt in range(5):
+        adds, meta, proto, cur_v, _t = _replay_full(spark, path)
+        if meta is None:
+            raise ValueError(f"no Delta table at {path}")
+        conf = dict(meta.get("configuration") or {})
+        cur_mode = conf.get("delta.columnMapping.mode", "none")
+        if cur_mode == "name":
+            return cur_v  # already enabled: no-op
+        if cur_mode not in ("", "none"):
+            raise ValueError(
+                f"table already uses column mapping mode {cur_mode!r}"
+            )
+        schema = json.loads(meta["schemaString"])
+        next_id = [int(conf.get("delta.columnMapping.maxColumnId") or 0)]
+        _walk_assign_mapping(schema.get("fields") or [], next_id)
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(next_id[0])
+        meta_out = dict(meta)
+        meta_out["schemaString"] = json.dumps(schema)
+        meta_out["configuration"] = conf
+        now = int(time.time() * 1000)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "SET TBLPROPERTIES",
+                        "operationParameters": {
+                            "properties": json.dumps(
+                                {"delta.columnMapping.mode": "name"}
+                            )
+                        },
+                        "engineInfo": "simple-data-workflow-spark delta_writer",
+                    }
+                }
+            )
+        ]
+        proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+        rfeats = proto.get("readerFeatures")
+        if rfeats is not None:
+            if "columnMapping" not in rfeats:
+                new_proto = dict(proto)
+                new_proto["readerFeatures"] = sorted(
+                    set(rfeats) | {"columnMapping"}
+                )
+                new_proto["writerFeatures"] = sorted(
+                    set(proto.get("writerFeatures") or []) | {"columnMapping"}
+                )
+                lines.append(json.dumps({"protocol": new_proto}))
+        elif (
+            int(proto.get("minReaderVersion", 1)) < 2
+            or int(proto.get("minWriterVersion", 2)) < 5
+        ):
+            new_proto = dict(proto)
+            new_proto["minReaderVersion"] = max(
+                2, int(proto.get("minReaderVersion", 1))
+            )
+            new_proto["minWriterVersion"] = max(
+                5, int(proto.get("minWriterVersion", 2))
+            )
+            lines.append(json.dumps({"protocol": new_proto}))
+        lines.append(json.dumps({"metaData": meta_out}))
+        version = cur_v + 1
+        if _publish_if_absent(
+            spark, path, f"{version:020d}.json", "\n".join(lines) + "\n"
+        ):
+            return version
+    raise DeltaConcurrentWrite(
+        f"column-mapping upgrade on {path} lost the commit race"
+    )
+
+
+def _constraint_mentions(meta: dict, col: str) -> list[str]:
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(col)}\b", _re.IGNORECASE)
+    return sorted(
+        name
+        for name, expr in _table_constraints(meta).items()
+        if pat.search(expr)
+    )
+
+
+def delta_rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN (top-level), metadata-only — requires
+    column mapping (the physicalName keeps pointing at the data files'
+    on-disk column, so nothing rewrites). Refuses when a CHECK
+    constraint references the column (renaming under it would break
+    enforcement — Delta's own rule)."""
+
+    def mutate(schema, meta):
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode in ("", "none"):
+            raise ValueError(
+                "RENAME COLUMN needs column mapping — run "
+                "delta_enable_column_mapping first"
+            )
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        used = _constraint_mentions(meta, old)
+        if used:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) "
+                f"{used} — drop them first"
+            )
+        for f in schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        if old in (meta.get("partitionColumns") or []):
+            meta["partitionColumns"] = [
+                new if c == old else c for c in meta["partitionColumns"]
+            ]
+
+    return _mutate_schema(
+        spark, path, "RENAME COLUMN", {"from": old, "to": new}, mutate
+    )
+
+
+def delta_drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN (top-level), metadata-only — requires
+    column mapping (the data stays in the files, unread). Refuses for
+    partition columns and constraint-referenced columns."""
+
+    def mutate(schema, meta):
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode in ("", "none"):
+            raise ValueError(
+                "DROP COLUMN needs column mapping — run "
+                "delta_enable_column_mapping first"
+            )
+        names = [f["name"] for f in schema["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        if name in (meta.get("partitionColumns") or []):
+            raise ValueError(f"cannot drop partition column {name!r}")
+        used = _constraint_mentions(meta, name)
+        if used:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint(s) "
+                f"{used} — drop them first"
+            )
+        schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+
+    return _mutate_schema(spark, path, "DROP COLUMN", {"name": name}, mutate)
+
+
+def delta_add_column(
+    spark: SparkSession, path: str, name: str, sql_type: str
+) -> int:
+    """ALTER TABLE ADD COLUMN (top-level, nullable), metadata-only:
+    rows in existing files read NULL. On a column-mapped table the new
+    field gets a fresh mapping id and a uuid physicalName (so a later
+    rename never collides with on-disk names); plain tables just
+    append the field."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt = _parse_datatype_string(sql_type)
+
+    def mutate(schema, meta):
+        names = [f["name"] for f in schema["fields"]]
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        # dt.json() IS the Delta schemaString spelling for any type
+        # ('"long"' for primitives, nested dicts for complex types)
+        field = {
+            "name": name,
+            "type": json.loads(dt.json()),
+            "nullable": True,
+            "metadata": {},
+        }
+        conf = dict(meta.get("configuration") or {})
+        mode = conf.get("delta.columnMapping.mode", "none")
+        if mode not in ("", "none"):
+            next_id = int(conf.get("delta.columnMapping.maxColumnId") or 0) + 1
+            field["metadata"] = {
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+            }
+            conf["delta.columnMapping.maxColumnId"] = str(next_id)
+            meta["configuration"] = conf
+        schema["fields"].append(field)
+
+    return _mutate_schema(
+        spark, path, "ADD COLUMN", {"name": name, "type": sql_type}, mutate
     )
 
 

@@ -1082,9 +1082,32 @@ def _live_lineage_scan(
                 )
             )
         if pos_paths:
-            dead = spark.read.parquet(*sorted(pos_paths)).select(
-                _norm_path_col(F.col("file_path")).alias("__fp"),
-                F.col("pos").cast("long").alias("__ri"),
+            # delete files carry the manifests' decoded spellings while
+            # base __fp is the scan spelling — map through a metadata-
+            # sized both-spellings broadcast (same fix as iceberg_read's
+            # anti-join path): a raw-string join would let prior deletes
+            # in encoded partitions UN-mask during DML
+            from simple_data_workflow_spark.sources.delta_reader import (
+                _scan_spelling,
+                _strip_scheme,
+            )
+
+            key_rows = {}
+            for f in flist:
+                enc = _scan_spelling(_strip_scheme(f))
+                key_rows[_strip_scheme(f)] = enc
+                key_rows[enc] = enc
+            spellmap = spark.createDataFrame(
+                sorted(key_rows.items()), "__k string, __fp string"
+            )
+            dead = (
+                spark.read.parquet(*sorted(pos_paths))
+                .select(
+                    _norm_path_col(F.col("file_path")).alias("__k"),
+                    F.col("pos").cast("long").alias("__ri"),
+                )
+                .join(F.broadcast(spellmap), "__k")
+                .select("__fp", "__ri")
             )
             base = base.join(dead, ["__fp", "__ri"], "left_anti")
         return base

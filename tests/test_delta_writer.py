@@ -1748,3 +1748,96 @@ def test_delta_classic_checkpoint_preserves_features(spark, tmp_path):
     _a, _m, proto, _v, _t = _replay_full(spark, root)
     assert "deletionVectors" in set(proto.get("readerFeatures") or [])
     assert {r["id"] for r in delta_read(spark, root).collect()} == set(range(8))
+
+
+def test_delta_column_mapping_ddl(spark, tmp_path):
+    """Round 12 continuation: column-mapping DDL — enable mapping on a
+    plain table (physicalName = current name, so pre-mapping files
+    stay readable), RENAME/DROP/ADD COLUMN metadata-only, DML under
+    the renamed schema, refusals (no-mapping rename, partition-column
+    drop, constraint-referenced rename)."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        _replay_full,
+        delta_add_column,
+        delta_add_constraint,
+        delta_delete,
+        delta_drop_column,
+        delta_drop_constraint,
+        delta_enable_column_mapping,
+        delta_rename_column,
+        delta_write,
+    )
+
+    root = str(tmp_path / "cmddl")
+    delta_write(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b")], "id long, v double, tag string"
+        ),
+        root,
+        mode="error",
+        partition_by=["tag"],
+    )
+    # rename before mapping refuses
+    with _pytest.raises(ValueError, match="column mapping"):
+        delta_rename_column(spark, root, "v", "value")
+
+    delta_enable_column_mapping(spark, root)
+    assert delta_enable_column_mapping(spark, root) >= 0  # idempotent
+    _a, meta, proto, _v, _t = _replay_full(spark, root)
+    assert (
+        int(proto.get("minReaderVersion", 1)) >= 2
+        or "columnMapping" in set(proto.get("readerFeatures") or [])
+    )
+    # pre-mapping files still read
+    assert {(r["id"], r["v"]) for r in delta_read(spark, root).collect()} == {
+        (1, 10.0), (2, 20.0)
+    }
+
+    # RENAME: logical name moves, data files untouched
+    delta_rename_column(spark, root, "v", "value")
+    got = delta_read(spark, root)
+    assert "value" in got.columns and "v" not in got.columns
+    assert {(r["id"], r["value"]) for r in got.collect()} == {(1, 10.0), (2, 20.0)}
+    # renamed partition column too
+    delta_rename_column(spark, root, "tag", "label")
+    assert {(r["id"], r["label"]) for r in delta_read(spark, root).collect()} == {
+        (1, "a"), (2, "b")
+    }
+    # appends + DML under the renamed schema
+    delta_write(
+        spark.createDataFrame([(3, 30.0, "c")], "id long, value double, label string"),
+        root, mode="append",
+    )
+    delta_delete(spark, root, "value >= 30.0", strategy="rewrite")
+    assert delta_read(spark, root).count() == 2
+
+    # constraint-referenced rename refuses; dropping the constraint lifts
+    delta_add_constraint(spark, root, "val_pos", "value > 0.0")
+    with _pytest.raises(ValueError, match="val_pos"):
+        delta_rename_column(spark, root, "value", "v2")
+    with _pytest.raises(ValueError, match="val_pos"):
+        delta_drop_column(spark, root, "value")
+    delta_drop_constraint(spark, root, "val_pos")
+
+    # ADD COLUMN: existing rows read NULL; new writes carry it
+    delta_add_column(spark, root, "score", "double")
+    assert {r["score"] for r in delta_read(spark, root).collect()} == {None}
+    delta_write(
+        spark.createDataFrame(
+            [(9, 90.0, "z", 0.5)],
+            "id long, value double, label string, score double",
+        ),
+        root, mode="append",
+    )
+    assert (9, 0.5) in {
+        (r["id"], r["score"]) for r in delta_read(spark, root).collect()
+    }
+
+    # DROP: partition column refuses; a data column drops metadata-only
+    with _pytest.raises(ValueError, match="partition"):
+        delta_drop_column(spark, root, "label")
+    delta_drop_column(spark, root, "score")
+    assert "score" not in delta_read(spark, root).columns

@@ -1409,3 +1409,16 @@ def test_path_encoding_partition_values_iceberg(spark, tmp_path, monkeypatch):
             spark, root, filters=[("prio", "=", "a b c")]
         ).collect()
     } == {i for i in range(10, 40) if i % 2 == 0}
+    # stacked DML: the live-lineage scan must MASK the first delete's
+    # rows in the encoded partitions (an unmasked scan would let the
+    # UPDATE resurrect them as new rows)
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_update,
+    )
+
+    iceberg_delete(spark, root, "id >= 35")
+    iceberg_update(spark, root, {"v": "v + 100.0"}, "id >= 30")
+    got = {(r["id"], r["v"]) for r in iceberg_read(spark, root).collect()}
+    assert got == {
+        (i, float(i) + (100.0 if i >= 30 else 0.0)) for i in range(10, 35)
+    }
