@@ -29,7 +29,9 @@ shallow clone, iceberg refs) across a 64x table-size sweep with a
 FIXED change volume.
 
 Output: evidence/r12_rung.jsonl (one JSON line per measurement).
-Usage: python scripts/r12_rung.py [a|b|c|d|all]
+Part E — clustering + V2-checkpoint scale posture.
+
+Usage: python scripts/r12_rung.py [a|b|c|d|e|all]
 """
 
 from __future__ import annotations
@@ -418,6 +420,89 @@ def part_d_continuation(spark):
               "refs_ops_plus_tag_read_s": round(wall, 3)})
 
 
+def part_e_cluster_checkpoint(spark):
+    """Clustering + V2-checkpoint scale posture.
+
+    - hudi_cluster at 1x/8x/64x rows: wall should scale ~linearly
+      (ONE range shuffle — the only global movement) and the
+      clustered layout's file-pruning payoff should HOLD or improve
+      (disjoint ranges shrink as files grow).
+    - delta v2 checkpoint: checkpoint wall + post-checkpoint replay
+      wall vs commit count — replay from the manifest is flat in the
+      number of pre-checkpoint commits it replaces.
+    """
+    import pyarrow.parquet as _pq
+
+    from simple_data_workflow_spark.sources.delta_reader import delta_read
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_checkpoint,
+        delta_write,
+    )
+    from simple_data_workflow_spark.sources.hudi_reader import hudi_read
+    from simple_data_workflow_spark.sources.hudi_writer import (
+        hudi_cluster,
+        hudi_write,
+    )
+
+    base = tempfile.mkdtemp(prefix="sdw-r12e-")
+    n0 = 200_000
+    for mult, label in [(1, "1x"), (8, "8x"), (64, "64x")]:
+        n = n0 * mult
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") % 9973).cast("double").alias("v")
+        )
+        root = f"{base}/h_{label}"
+        hudi_write(df.repartition(16), root, mode="error", record_key="id")
+        t0 = time.time()
+        t_clu = hudi_cluster(spark, root, sort_by=["v"], n_file_groups=16)
+        wall = time.time() - t0
+        # pruning payoff: fraction of clustered files a 1%-range
+        # predicate could skip via footer min/max
+        import glob as _glob
+
+        spans = []
+        for f in _glob.glob(f"{root}/*_{t_clu}.parquet"):  # LIVE slices
+            # (the retired pre-cluster files stay on disk until
+            # hudi_clean — they must not count against the layout)
+            md = _pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            vi = names.index("v")
+            st = md.row_group(0).column(vi).statistics
+            lo, hi = st.min, st.max
+            for g in range(1, md.num_row_groups):
+                s = md.row_group(g).column(vi).statistics
+                lo, hi = min(lo, s.min), max(hi, s.max)
+            spans.append((lo, hi))
+        live = [s for s in spans]
+        qlo, qhi = 0.0, 99.73  # 1% of the v domain
+        kept = sum(1 for lo, hi in live if hi >= qlo and lo <= qhi)
+        emit({"part": "e-hudi-cluster", "rows": n, "label": label,
+              "cluster_s": round(wall, 3), "files": len(live),
+              "files_kept_for_1pct_range": kept})
+        # --- delta v2 checkpoint: many small commits, one checkpoint
+        droot = f"{base}/d_{label}"
+        n_commits = 4 * (1 if mult == 1 else (3 if mult == 8 else 6))
+        delta_write(df.repartition(8), droot, mode="error")
+        for i in range(n_commits):
+            delta_write(
+                spark.range(100).select(
+                    (F.col("id") + n + i * 100).alias("id"),
+                    F.lit(0.0).alias("v"),
+                ),
+                droot, mode="append",
+            )
+        t0 = time.time()
+        v = delta_checkpoint(spark, droot, format="v2")
+        cp_wall = time.time() - t0
+        t0 = time.time()
+        got = delta_read(spark, droot).count()
+        read_wall = time.time() - t0
+        assert got == n + n_commits * 100
+        emit({"part": "e-delta-v2cp", "rows": n, "label": label,
+              "commits": n_commits + 1, "checkpoint_s": round(cp_wall, 3),
+              "replay_read_s": round(read_wall, 3)})
+
+
 def main():
     which = (sys.argv[1] if len(sys.argv) > 1 else "all").lower()
     spark = get_spark(app_name="r12-rung")
@@ -431,6 +516,8 @@ def main():
         part_c_sf1(spark)
     if which in ("d", "all"):
         part_d_continuation(spark)
+    if which in ("e", "all"):
+        part_e_cluster_checkpoint(spark)
 
 
 if __name__ == "__main__":

@@ -1031,6 +1031,47 @@ def iceberg_partitions_table(
     )
 
 
+def iceberg_manifests_table(spark: SparkSession, path: str) -> DataFrame:
+    """The current snapshot's manifest list — Iceberg's ``manifests``
+    metadata table shape (path, length, partition_spec_id, content,
+    added_snapshot_id, added/existing/deleted data file counts).
+    Metadata-sized (one Avro manifest-list read)."""
+    from simple_data_workflow_spark.sources.avro_ocf import read_ocf_file
+
+    meta = load_table_metadata(spark, path)
+    cur = meta.get("current-snapshot-id")
+    snap = next(
+        (
+            s
+            for s in meta.get("snapshots") or []
+            if cur not in (None, -1) and int(s["snapshot-id"]) == int(cur)
+        ),
+        None,
+    )
+    rows = []
+    if snap is not None and snap.get("manifest-list"):
+        _s, entries = read_ocf_file(_local_path(str(snap["manifest-list"])))
+        for m in entries:
+            rows.append(
+                (
+                    str(m.get("manifest_path")),
+                    int(m.get("manifest_length") or 0),
+                    int(m.get("partition_spec_id") or 0),
+                    int(m.get("content") or 0),
+                    m.get("added_snapshot_id"),
+                    m.get("added_data_files_count"),
+                    m.get("existing_data_files_count"),
+                    m.get("deleted_data_files_count"),
+                )
+            )
+    return spark.createDataFrame(
+        rows or spark.sparkContext.emptyRDD(),
+        "path string, length long, partition_spec_id int, content int, "
+        "added_snapshot_id long, added_data_files_count int, "
+        "existing_data_files_count int, deleted_data_files_count int",
+    )
+
+
 def iceberg_files_table(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:

@@ -1422,3 +1422,41 @@ def test_path_encoding_partition_values_iceberg(spark, tmp_path, monkeypatch):
     assert got == {
         (i, float(i) + (100.0 if i >= 30 else 0.0)) for i in range(10, 35)
     }
+
+
+def test_iceberg_manifests_table(spark, tmp_path):
+    """manifests metadata view: one row per manifest of the CURRENT
+    snapshot, spec ids stamped (evolution-aware), delete manifests
+    flagged content=1."""
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_manifests_table,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_delete,
+        iceberg_update_spec,
+    )
+
+    root = str(tmp_path / "mft")
+    iceberg_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, part string")
+        .coalesce(1),
+        root,
+        mode="error",
+        partition_by=["part"],
+    )
+    iceberg_update_spec(spark, root, [])
+    iceberg_write(
+        spark.createDataFrame([(3, "c")], "id int, part string").coalesce(1),
+        root,
+        mode="append",
+    )
+    iceberg_delete(spark, root, "id = 1")
+    rows = iceberg_manifests_table(spark, root).collect()
+    assert len(rows) >= 3  # two data manifests + one delete manifest
+    by_content = {}
+    for r in rows:
+        by_content.setdefault(r["content"], []).append(r)
+    assert 1 in by_content  # the position-delete manifest
+    # the post-evolution data manifest is stamped with the NEW spec id
+    assert {r["partition_spec_id"] for r in by_content[0]} == {0, 1}
+    assert all(r["length"] > 0 for r in rows)
