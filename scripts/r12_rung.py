@@ -141,7 +141,7 @@ def part_b_zorder_rung(spark):
         z_wall = time.time() - t0
         files, _dvs, schema, _pc = delta_snapshot_files(spark, root)
         _a, _m, _p, cur_v, _t = _replay_full(spark, root)
-        smap = _delta_stats_map(spark, root, cur_v, files, schema)
+        smap = _delta_stats_map(spark, root, cur_v, schema)
         # a 10%-per-side box → 1% of the plane
         filters = [
             ("x", ">=", -100), ("x", "<=", 0),

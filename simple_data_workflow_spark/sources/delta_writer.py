@@ -144,71 +144,19 @@ def _publish_if_absent(spark, path: str, name: str, body: str) -> bool:
 
 
 def _replay_full(spark, path: str, version: int | None = None):
-    """Full-fidelity snapshot replay: ``(adds: {relpath: add-dict},
-    meta, proto, version, txns: {appId: version})``.  Unlike the
-    reader's replay this keeps the whole ``add`` action
-    (size/modTime/stats) — the checkpoint writer needs it verbatim —
-    and the per-app ``txn`` high-water marks (streaming replay dedup,
-    Delta's ``(txnAppId, txnVersion)``).  Seeds from the newest
-    checkpoint ≤ target like the reader does."""
-    commits, cps = _list_log(spark, path)
-    if not commits and not cps:
-        raise FileNotFoundError(f"empty _delta_log under {path}")
-    target = max([*commits, *cps]) if version is None else int(version)
-    adds: dict[str, dict] = {}
-    txns: dict[str, int] = {}
-    meta = proto = None
-    cp_versions = [v for v in cps if v <= target]
-    start = 0
-    if cp_versions:
-        from simple_data_workflow_spark.sources.delta_reader import (
-            _checkpoint_sources,
-        )
+    """Full-fidelity snapshot replay: ``(adds, meta, proto, version,
+    txns: {appId: version})``. ``adds`` is a read-only
+    ``{relpath: add-dict}`` MAPPING backed by one Arrow table
+    (``sources.delta_state``, round 13) — checkpoint seeding reads the
+    parquet directly with pyarrow and last-wins resolution runs in
+    Acero, so driver Python-object memory stays FLAT in file count;
+    consumers that need individual add dicts box one at a time."""
+    from simple_data_workflow_spark.sources.delta_state import (
+        replay_snapshot,
+    )
 
-        cp_v = max(cp_versions)
-        for kind, payload in _checkpoint_sources(spark, sorted(cps[cp_v])):
-            if kind == "actions":  # V2 JSON manifest lines
-                rows = payload
-            else:
-                rows = [r.asDict(recursive=True) for r in payload.collect()]
-            for d in rows:
-                if d.get("metaData"):
-                    meta = {
-                        k: v for k, v in d["metaData"].items()
-                        if v is not None
-                    }
-                if d.get("protocol"):
-                    proto = {
-                        k: v for k, v in d["protocol"].items()
-                        if v is not None
-                    }
-                if d.get("add"):
-                    a = {k: v for k, v in d["add"].items() if v is not None}
-                    adds[a["path"]] = a
-                if d.get("txn") and d["txn"].get("appId"):
-                    txns[d["txn"]["appId"]] = int(d["txn"]["version"])
-        start = cp_v + 1
-    for v in [c for c in commits if start <= c <= target]:
-        raw = _read_bytes(
-            spark, f"{path}/_delta_log/{v:020d}.json"
-        ).decode("utf-8")
-        for line in raw.splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
-            if "metaData" in action:
-                meta = action["metaData"]
-            elif "protocol" in action:
-                proto = action["protocol"]
-            elif "add" in action:
-                adds[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                adds.pop(action["remove"]["path"], None)
-            elif "txn" in action:
-                t = action["txn"]
-                if t.get("appId") is not None:
-                    txns[t["appId"]] = int(t["version"])
-    return adds, meta, proto, target, txns
+    snap = replay_snapshot(spark, path, version)
+    return snap.adds_view(), snap.meta, snap.proto, snap.version, snap.txns
 
 
 def delta_last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
@@ -708,7 +656,12 @@ def delta_checkpoint(
 
     if format not in ("classic", "v2"):
         raise ValueError(f"unknown checkpoint format {format!r}")
-    adds, meta, proto, version, txns = _replay_full(spark, path)
+    from simple_data_workflow_spark.sources.delta_state import (
+        replay_snapshot,
+    )
+
+    snap = replay_snapshot(spark, path)
+    meta, proto, version, txns = snap.meta, snap.proto, snap.version, snap.txns
     if meta is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
     # deletionVector descriptors are carried VERBATIM (dropping them
@@ -780,25 +733,6 @@ def delta_checkpoint(
     for app_id in sorted(txns):
         # streaming replay-dedup evidence must survive checkpointing
         head_rows.append(row(t={"appId": app_id, "version": int(txns[app_id])}))
-    add_rows = []
-    for rel in sorted(adds):
-        a = adds[rel]
-        add_rows.append(
-            row(
-                add={
-                    "path": a["path"],
-                    "partitionValues": [
-                        (k, v)
-                        for k, v in (a.get("partitionValues") or {}).items()
-                    ],
-                    "size": a.get("size"),
-                    "modificationTime": a.get("modificationTime"),
-                    "dataChange": True,
-                    "stats": a.get("stats"),
-                    "deletionVector": a.get("deletionVector"),
-                }
-            )
-        )
 
     kv = pa.map_(pa.string(), pa.string())
     fields = {
@@ -893,22 +827,55 @@ def delta_checkpoint(
             [{n: r[n] for n in names} for r in rows], schema=schema
         )
 
+    def adds_table(names):
+        """The live add set as checkpoint rows — built COLUMN-WISE from
+        the Arrow snapshot state (round 13): no per-file Python boxing,
+        DV descriptors carried verbatim."""
+        at = snap.adds.sort_by([("path", "ascending")])
+        n = at.num_rows
+
+        def arr(name):
+            c = at.column(name)
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            return c
+
+        add_t = fields["add"].type
+        struct = pa.StructArray.from_arrays(
+            [
+                arr("path"),
+                arr("partitionValues"),
+                arr("size"),
+                arr("modificationTime"),
+                pa.array([True] * n, pa.bool_()),
+                arr("stats"),
+                arr("deletionVector"),
+            ],
+            fields=list(add_t),
+        )
+        cols = {
+            nm: (struct if nm == "add" else pa.nulls(n, fields[nm].type))
+            for nm in names
+        }
+        return pa.table(cols, schema=pa.schema([fields[nm] for nm in names]))
+
     jvm, _ = _fs(spark, path)
     local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
     now = int(time.time() * 1000)
     if format == "classic":
-        t = table(head_rows + add_rows, ["add", "metaData", "protocol", "txn"])
+        names4 = ["add", "metaData", "protocol", "txn"]
+        t = pa.concat_tables([table(head_rows, names4), adds_table(names4)])
         pq.write_table(
             t, f"{local}/_delta_log/{version:020d}.checkpoint.parquet"
         )
-        n_actions = len(head_rows) + len(add_rows)
+        n_actions = t.num_rows
     else:
         import os as _os
 
         _os.makedirs(f"{local}/_delta_log/_sidecars", exist_ok=True)
         sc_name = f"{uuid.uuid4()}.parquet"
         sc_path = f"{local}/_delta_log/_sidecars/{sc_name}"
-        pq.write_table(table(add_rows, ["add"]), sc_path)
+        side = adds_table(["add"])
+        pq.write_table(side, sc_path)
         manifest_rows = [
             row(cm={"version": version, "tags": []}),
             *head_rows,
@@ -928,7 +895,7 @@ def delta_checkpoint(
             t,
             f"{local}/_delta_log/{version:020d}.checkpoint.{uuid.uuid4()}.parquet",
         )
-        n_actions = len(manifest_rows) + len(add_rows)
+        n_actions = len(manifest_rows) + side.num_rows
     with open(f"{local}/_delta_log/_last_checkpoint", "w") as f:
         json.dump({"version": version, "size": n_actions}, f)
     return version
@@ -970,6 +937,7 @@ def _snapshot_view(
 
     from simple_data_workflow_spark.sources.delta_reader import (
         _NULL_PARTITION,
+        _check_protocol,
         _dv_masked_scan,
         _is_mapped,
         _physical_name,
@@ -977,11 +945,24 @@ def _snapshot_view(
         _read_bytes,
         _scan_spelling,
         _with_field_ids,
-        delta_snapshot_files,
+    )
+    from simple_data_workflow_spark.sources.delta_state import (
+        replay_snapshot,
     )
 
-    files, dvs, schema, part_cols = delta_snapshot_files(spark, path)
-    adds_now, meta, proto, cur_v, _txns = _replay_full(spark, path)
+    # ONE Arrow-native replay (round 13) — file/DV dicts derived from
+    # it are transient per-DML-op; the retained state stays columnar
+    snapshot = replay_snapshot(spark, path)
+    _check_protocol(snapshot.proto, snapshot.meta)
+    meta, proto, cur_v = snapshot.meta, snapshot.proto, snapshot.version
+    if meta is None:
+        raise ValueError(f"Delta log at {path} has no metaData action")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    _fullp = snapshot.full_paths()
+    files = snapshot.files_dict(_fullp)
+    dvs = snapshot.dv_dict(_fullp)
+    adds_now = snapshot.adds_view()
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
@@ -2100,12 +2081,7 @@ def _dv_dml(
 
         sidecars: list[str] = []
         dv_descs: dict[str, dict] = {}  # full data-file path → descriptor
-        root_local = (
-            _up.urlparse(path).path if "://" in path else path
-        ).rstrip("/")
-        exec_side = total_matched > _DV_EXEC_SIDECAR_MIN and (
-            "://" not in path or path.startswith("file:")
-        )
+        exec_side = total_matched > _DV_EXEC_SIDECAR_MIN
         if exec_side:
             # EXECUTOR-SIDE sidecars: each affected file's worker
             # unions its new positions with the file's existing DV
@@ -2113,15 +2089,18 @@ def _dv_dml(
             # serializes, and writes its OWN one-blob sidecar; the
             # driver collects ONE descriptor row per file. Positions
             # never reach the driver — flat driver bytes at any
-            # matched-row count. (Gated to posix-reachable roots; a
-            # remote object store would fall through to the packed
-            # driver write below, which uses the Hadoop fs.)
+            # matched-row count. Workers write through ``pyarrow.fs``
+            # (round 13, VERDICT r12 #2), so object-store roots take
+            # this path too instead of falling back to the packed
+            # driver transfer — the gate is format capability, not
+            # path scheme.
             old_blobs = {
                 _local(f): dv_serialize(arr)
                 for f, arr in view["dv_positions"].items()
                 if len(arr)
             }
             bc_old = spark.sparkContext.broadcast(old_blobs)
+            _dv_root = path  # scheme'd roots write via pyarrow.fs
 
             def _write_sidecar(pdf):
                 import uuid as _uuid
@@ -2157,8 +2136,23 @@ def _dv_dml(
                     pos = _np.union1d(pos, _deser(old))
                 data, spans = _fbytes([_ser(pos)])
                 z = _z85(_uuid.uuid4().bytes)
-                with open(_upath(root_local, z), "wb") as fh:
+                target = _upath(_dv_root, z)
+                if "://" in target and not target.startswith("file:"):
+                    from pyarrow import fs as _pafs
+
+                    _f, _rel = _pafs.FileSystem.from_uri(target)
+                    fh = _f.open_output_stream(_rel)
+                else:
+                    _loc = (
+                        urllib.parse.urlparse(target).path
+                        if target.startswith("file:")
+                        else target
+                    )
+                    fh = open(_loc, "wb")
+                try:
                     fh.write(data)
+                finally:
+                    fh.close()
                 return _pd.DataFrame(
                     [
                         {
@@ -2538,7 +2532,7 @@ def _stats_keep_files(
     from simple_data_workflow_spark.sources.tablelog import _stats_prune
 
     smap = _delta_stats_map(
-        spark, path, view["cur_v"], view["files"], view["schema"]
+        spark, path, view["cur_v"], view["schema"]
     )
     return set(_stats_prune(smap, sorted(view["files"]), pf))
 
@@ -3006,13 +3000,26 @@ def delta_optimize(
     from pyspark.sql import functions as F
 
     from simple_data_workflow_spark.sources.delta_reader import (
+        _check_protocol,
         _read_bytes,
-        delta_snapshot_files,
+    )
+    from simple_data_workflow_spark.sources.delta_state import (
+        replay_snapshot,
     )
 
     for attempt in range(_retries):
-        files, dvs, schema, part_cols = delta_snapshot_files(spark, path)
-        adds_now, meta, proto, cur_v, _txns = _replay_full(spark, path)
+        # ONE Arrow-native replay (round 13); rel/size maps derive
+        # column-wise, no per-file add boxing
+        snap = replay_snapshot(spark, path)
+        _check_protocol(snap.proto, snap.meta)
+        meta, proto, cur_v = snap.meta, snap.proto, snap.version
+        if meta is None:
+            raise ValueError(f"Delta log at {path} has no metaData action")
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = list(meta.get("partitionColumns") or [])
+        _fullp = snap.full_paths()
+        files = snap.files_dict(_fullp)
+        dvs = snap.dv_dict(_fullp)
         mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
@@ -3021,16 +3028,11 @@ def delta_optimize(
                 "OPTIMIZE on a column-mapped table is not supported by "
                 "the jar-free writer yet (physical-name restaging)"
             )
-        rel_by_full = {}
-        for rel in adds_now:
-            dec = urllib.parse.unquote(rel)
-            full = (
-                dec if "://" in dec or dec.startswith("/") else f"{path}/{dec}"
-            )
-            rel_by_full[full] = rel
+        _fulls = _fullp.to_pylist()
+        rel_by_full = dict(zip(_fulls, snap.adds.column("path").to_pylist()))
         sizes = {
-            full: int(adds_now[rel].get("size") or 0)
-            for full, rel in rel_by_full.items()
+            f: int(s or 0)
+            for f, s in zip(_fulls, snap.adds.column("size").to_pylist())
         }
         groups: dict[tuple, list[str]] = {}
         for f, pv in files.items():
