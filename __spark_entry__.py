@@ -3962,6 +3962,91 @@ ORDER BY o_orderstatus, note
 """
 
 
+def delta_mapped_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 (VERDICT r12 #3): CHANGE DATA FEED x COLUMN MAPPING —
+    orders upgrade to name-mode mapping, RENAME COLUMN moves
+    ``o_totalprice`` to ``price`` metadata-only, CDF enables, then a
+    DELETE and an UPDATE run against the MAPPED table (change files
+    store physical column names exactly like data files), and an
+    OPTIMIZE compacts the mapped table (round-13 capability;
+    ``dataChange=false``, so it must contribute ZERO change rows).
+    ``table_changes`` reads the whole DML range back under the
+    post-rename logical names; the oracle replays the same
+    insert/update/delete arithmetic."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_table_changes,
+    )
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_enable_column_mapping,
+        delta_optimize,
+        delta_rename_column,
+        delta_set_properties,
+        delta_update,
+        delta_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-mcdf-") + "/orders_mcdf"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    delta_write(orders.repartition(4), path, mode="error")        # v0
+    delta_enable_column_mapping(spark, path)                      # v1
+    delta_rename_column(spark, path, "o_totalprice", "price")     # v2
+    delta_set_properties(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )                                                             # v3
+    delta_delete(spark, path, "price < 5000")                     # v4
+    delta_update(
+        spark,
+        path,
+        {"price": "price * 2.0"},
+        "o_orderstatus = 'F' AND price >= 200000",
+    )                                                             # v5
+    v_opt = delta_optimize(spark, path, small_file_bytes=256 * 1024 * 1024)
+    ch = delta_table_changes(spark, path, starting_version=4)
+    if v_opt is not None:
+        # OPTIMIZE republishes bytes with dataChange=false — the CDF
+        # range must carry no rewrite noise
+        n_opt = ch.where(F.col("_commit_version") == v_opt).count()
+        assert n_opt == 0, f"OPTIMIZE leaked {n_opt} change rows"
+    return (
+        ch.groupBy("_change_type", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("price")).alias("total_price"),
+        )
+        .orderBy("_change_type", "o_orderstatus")
+    )
+
+
+DELTA_MAPPED_CDF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders
+),
+changes AS (
+  SELECT 'delete' AS _change_type, o_orderstatus, o_orderkey, price
+  FROM base WHERE price < 5000
+  UNION ALL
+  SELECT 'update_preimage', o_orderstatus, o_orderkey, price
+  FROM base WHERE o_orderstatus = 'F' AND price >= 200000
+  UNION ALL
+  SELECT 'update_postimage', o_orderstatus, o_orderkey, price * 2.0
+  FROM base WHERE o_orderstatus = 'F' AND price >= 200000
+)
+SELECT _change_type, o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(price*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM changes
+GROUP BY _change_type, o_orderstatus
+ORDER BY _change_type, o_orderstatus
+"""
+
+
 def hudi_cluster_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 12 continuation: Hudi sort-based CLUSTERING — orders land
     as 16 scattered file groups, one ``replacecommit`` rewrites them
@@ -7150,6 +7235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_v2_checkpoint_read": _wrap(delta_v2_checkpoint_read),
         "hudi_cluster_read": _wrap(hudi_cluster_read),
         "delta_column_ddl_read": _wrap(delta_column_ddl_read),
+        "delta_mapped_cdf_roundtrip": _wrap(delta_mapped_cdf_roundtrip),
         "iceberg_spec_evolution_read": _wrap(iceberg_spec_evolution_read),
         "tablelog_wap_publish": _wrap(tablelog_wap_publish),
         "tablelog_tag_read": _wrap(tablelog_tag_read),
@@ -7506,6 +7592,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_v2_checkpoint_read": DELTA_V2_CHECKPOINT_SQL,
         "hudi_cluster_read": HUDI_CLUSTER_SQL,
         "delta_column_ddl_read": DELTA_COLUMN_DDL_SQL,
+        "delta_mapped_cdf_roundtrip": DELTA_MAPPED_CDF_SQL,
         "iceberg_spec_evolution_read": ICEBERG_SPEC_EVOLUTION_SQL,
         "iceberg_changelog_read": ICEBERG_CHANGELOG_SQL,
         "ivf_topk_embeddings": IVF_TOPK_SQL,

@@ -753,8 +753,10 @@ def delta_table_changes(
     files of the range scan as ONE read per shape, with per-file
     (version, timestamp, partition values) injected through a
     metadata-sized broadcast join — no per-commit plan legs, no
-    driver data path. Column mapping: name mode supported; id mode
-    refuses (the CDF writer refuses it too)."""
+    driver data path. Column mapping: name mode scans change files by
+    physicalName and renames back; id mode (round 13) scans by
+    parquet.field.id with logical names — both modes fully supported,
+    matching the writer."""
     from pyspark.sql import types as T
 
     from simple_data_workflow_spark.sources.delta_writer import _replay_full
@@ -767,17 +769,31 @@ def delta_table_changes(
         "delta.columnMapping.mode", "none"
     )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    if mode == "id":
-        raise NotImplementedError(
-            "change data feed on an id-mapped table is not supported by "
-            "the jar-free reader"
-        )
-    mapped = mode == "name" or _is_mapped(schema)
+    id_mode = mode == "id"
+    mapped = (not id_mode) and (mode == "name" or _is_mapped(schema))
     part_cols = list(meta.get("partitionColumns") or [])
     types = {f.name: f.dataType for f in schema.fields}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     part_fields = [f for f in schema.fields if f.name in part_cols]
-    phys = {f.name: _physical_name(f) if mapped else f.name for f in schema.fields}
+    # partitionValues key by PHYSICAL name in BOTH mapping modes; the
+    # scan column name is physical in name mode but LOGICAL in id mode
+    # (field-id resolution reads by id, names come out logical)
+    phys = {
+        f.name: _physical_name(f) if (mapped or id_mode) else f.name
+        for f in schema.fields
+    }
+    rname = {f.name: phys[f.name] if mapped else f.name for f in schema.fields}
+    if id_mode:
+        from pyspark.sql.types import ArrayType, MapType
+
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        if any(
+            isinstance(f.dataType, (StructType, ArrayType, MapType))
+            for f in data_fields
+        ):
+            spark.conf.set(
+                "spark.sql.optimizer.nestedSchemaPruning.enabled", "false"
+            )
 
     def _full(rel: str) -> str:
         dec = urllib.parse.unquote(rel)
@@ -882,14 +898,21 @@ def delta_table_changes(
     if not cdc_files and not ins_files and not rem_groups:
         return spark.createDataFrame([], out_schema)
 
-    read_fields = [
-        T.StructField(
-            phys[f.name],
-            _physicalize(f.dataType) if mapped else f.dataType,
-            f.nullable,
+    if id_mode:
+        # logical names + parquet.field.id metadata at every nesting
+        # level — Spark's native field-id resolution scans by id
+        read_fields = list(
+            _with_field_ids(StructType(data_fields)).fields
         )
-        for f in data_fields
-    ]
+    else:
+        read_fields = [
+            T.StructField(
+                phys[f.name],
+                _physicalize(f.dataType) if mapped else f.dataType,
+                f.nullable,
+            )
+            for f in data_fields
+        ]
 
     def _scan(files_info, with_ct: bool) -> DataFrame:
         rs = StructType(
@@ -929,7 +952,7 @@ def delta_table_changes(
         df = df.join(F.broadcast(mapdf), "__fk")
         return df.select(
             *[
-                F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+                F.col(rname[f.name]).cast(f.dataType).alias(f.name)
                 for f in data_fields
             ],
             *[
@@ -988,7 +1011,7 @@ def delta_table_changes(
         )
         return base.select(
             *[
-                F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+                F.col(rname[f.name]).cast(f.dataType).alias(f.name)
                 for f in data_fields
             ],
             *[

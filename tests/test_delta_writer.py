@@ -1841,3 +1841,160 @@ def test_delta_column_mapping_ddl(spark, tmp_path):
         delta_drop_column(spark, root, "label")
     delta_drop_column(spark, root, "score")
     assert "score" not in delta_read(spark, root).columns
+
+
+def test_optimize_on_mapped_tables(spark, tmp_path):
+    """Round 13 (VERDICT r12 #3): OPTIMIZE compacts column-mapped
+    tables — name AND id mode — restaging through ``_stage_physical``
+    so compacted files keep PHYSICAL names (and parquet.field.id in id
+    mode) and partition dirs stay physically named."""
+    import glob as _glob
+    import urllib.parse as up
+
+    import pyarrow.parquet as pq
+
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_optimize,
+        delta_write,
+    )
+
+    # --- name mode (partitioned, nested struct) ---
+    root = str(tmp_path / "optname")
+    _mapped_fixture(spark, root, "name")
+    delta_write(
+        spark.createDataFrame(
+            [(10, (10.5,), "US"), (30, (30.5,), "EU")],
+            "id long, payload struct<score: double>, region string",
+        ),
+        root,
+        mode="append",
+        partition_by=["region"],
+    )
+    v = delta_optimize(spark, root, small_file_bytes=1024 * 1024)
+    assert v is not None
+    got = {
+        (r["id"], r["payload"]["score"], r["region"])
+        for r in delta_read(spark, root).collect()
+    }
+    assert got == {
+        (1, 1.5, "US"), (2, 2.5, "US"), (3, 3.5, "EU"),
+        (10, 10.5, "US"), (30, 30.5, "EU"),
+    }
+    with open(f"{root}/_delta_log/{v:020d}.json") as f:
+        acts = [json.loads(line) for line in f if line.strip()]
+    new_adds = [a["add"] for a in acts if "add" in a]
+    assert new_adds and all(
+        "col-p" in a["partitionValues"] for a in new_adds
+    )
+    newf = up.unquote(f"{root}/{new_adds[0]['path']}")
+    sch = pq.ParquetFile(newf).schema_arrow
+    assert {f.name for f in sch} == {"col-a", "col-b"}
+
+    # --- id mode (flat) ---
+    root2 = str(tmp_path / "optid")
+    _mapped_fixture(spark, root2, "id")
+    delta_write(
+        spark.createDataFrame([(9, 9.5)], "id long, score double"),
+        root2,
+        mode="append",
+    )
+    v2 = delta_optimize(spark, root2, small_file_bytes=1024 * 1024)
+    assert v2 is not None
+    got2 = {(r["id"], r["score"]) for r in delta_read(spark, root2).collect()}
+    assert got2 == {(1, 1.5), (2, 2.5), (3, 3.5), (9, 9.5)}
+    with open(f"{root2}/_delta_log/{v2:020d}.json") as f:
+        acts2 = [json.loads(line) for line in f if line.strip()]
+    add2 = [a["add"] for a in acts2 if "add" in a][0]
+    sch2 = pq.ParquetFile(up.unquote(f"{root2}/{add2['path']}")).schema_arrow
+    assert {f.name for f in sch2} == {"p-1", "p-2"}
+    assert sch2.field("p-1").metadata[b"PARQUET:field_id"] == b"1"
+
+
+def test_cdf_on_mapped_tables(spark, tmp_path):
+    """Round 13 (VERDICT r12 #3): change data feed works with BOTH
+    column-mapping modes — change files store data columns exactly like
+    data files (physical names; field ids in id mode) and
+    ``table_changes`` reads them back under logical names."""
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_table_changes,
+    )
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_delete,
+        delta_set_properties,
+        delta_update,
+    )
+
+    # --- name mode ---
+    root = str(tmp_path / "cdfname")
+    _mapped_fixture(spark, root, "name")
+    delta_set_properties(spark, root, {"delta.enableChangeDataFeed": "true"})
+    delta_delete(spark, root, "id = 2")
+    ch = delta_table_changes(spark, root, starting_version=2)
+    rows = {
+        (r["id"], r["payload"]["score"], r["region"], r["_change_type"])
+        for r in ch.collect()
+    }
+    assert rows == {(2, 2.5, "US", "delete")}
+
+    # --- id mode ---
+    root2 = str(tmp_path / "cdfid")
+    _mapped_fixture(spark, root2, "id")
+    delta_set_properties(spark, root2, {"delta.enableChangeDataFeed": "true"})
+    delta_update(spark, root2, {"score": "score + 100.0"}, "id = 3")
+    ch2 = delta_table_changes(spark, root2, starting_version=2)
+    rows2 = {
+        (r["id"], r["score"], r["_change_type"]) for r in ch2.collect()
+    }
+    assert rows2 == {
+        (3, 3.5, "update_preimage"),
+        (3, 103.5, "update_postimage"),
+    }
+
+
+def test_v2_checkpoint_upgrade_carries_legacy_implied_features(
+    spark, tmp_path
+):
+    """ADVICE r12 (medium): upgrading a LEGACY protocol to table
+    features (reader 3 / writer 7, e.g. for a v2 checkpoint) must list
+    every feature the old minReader/minWriter versions implied — a
+    constraint-carrying (writer 3) + CDF-enabled (writer 4) table that
+    lands at writer 7 without checkConstraints/changeDataFeed in
+    writerFeatures would make real engines refuse it or silently stop
+    enforcing."""
+    from simple_data_workflow_spark.sources.delta_writer import (
+        DeltaConstraintViolation,
+        _replay_full,
+        delta_add_constraint,
+        delta_checkpoint,
+        delta_set_properties,
+    )
+
+    root = str(tmp_path / "legacyfeat")
+    delta_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+        root,
+        mode="error",
+    )
+    delta_add_constraint(spark, root, "v_pos", "v > 0")       # → writer 3
+    delta_set_properties(
+        spark, root, {"delta.enableChangeDataFeed": "true"}
+    )                                                         # → writer 4
+    delta_checkpoint(spark, root, format="v2")                # → 3 / 7
+    _a, _m, proto, _v, _t = _replay_full(spark, root)
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    wf = set(proto["writerFeatures"])
+    assert {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "v2Checkpoint",
+    } <= wf
+    # the features still ENFORCE after the upgrade
+    with pytest.raises(DeltaConstraintViolation):
+        delta_write(
+            spark.createDataFrame([(3, -1.0)], "id long, v double"),
+            root,
+            mode="append",
+        )
