@@ -3962,6 +3962,80 @@ ORDER BY o_orderstatus, note
 """
 
 
+def iceberg_orc_mixed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 (VERDICT r12 #7): a MIXED parquet + ORC Iceberg v2
+    table — even-key orders land as the writer's parquet files, odd-key
+    orders as an ORC data file published through the same DML snapshot
+    machinery (manifest entry ``file_format: ORC``), then an EQUALITY
+    DELETE (applies across both formats by the strictly-smaller
+    sequence rule) removes low-priced orders. The read must route each
+    file to the right Spark scan and match the plain relational
+    oracle."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        iceberg_read,
+        load_table_metadata,
+    )
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        _publish_dml_snapshot,
+        iceberg_equality_delete,
+        iceberg_write,
+    )
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="sdw-orcmix-")
+    path = base + "/orders_orcmix"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    iceberg_write(
+        orders.where("o_orderkey % 2 = 0").repartition(4), path, mode="error"
+    )
+    orc_dir = base + "/orc_stage"
+    orders.where("o_orderkey % 2 = 1").coalesce(2).write.orc(orc_dir)
+    meta = load_table_metadata(spark, path)
+    staged = [
+        {
+            "path": p,
+            "record_count": 0,  # informational here; scan reads the file
+            "size": _os.path.getsize(p),
+            "partition_values": {},
+            "file_format": "ORC",
+        }
+        for p in sorted(_glob.glob(f"{orc_dir}/part-*.orc"))
+    ]
+    _publish_dml_snapshot(spark, path, meta, staged, [], "append", [])
+    iceberg_equality_delete(
+        spark,
+        path,
+        orders.where("o_totalprice < 5000").select("o_orderkey"),
+    )
+    got = iceberg_read(spark, path)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            rel.dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_ORC_MIXED_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS DECIMAL(38,0))) AS DOUBLE)/1000000.0 AS total_price
+FROM orders
+WHERE o_totalprice >= 5000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def iceberg_v3_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 13 (VERDICT r12 #4): NATIVE format-version 3 — the table
     CREATES at v3 (no upgrade hop; ``next-row-id`` seeds at 0 and
@@ -7331,6 +7405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_column_ddl_read": _wrap(delta_column_ddl_read),
         "delta_mapped_cdf_roundtrip": _wrap(delta_mapped_cdf_roundtrip),
         "iceberg_v3_native_roundtrip": _wrap(iceberg_v3_native_roundtrip),
+        "iceberg_orc_mixed_read": _wrap(iceberg_orc_mixed_read),
         "iceberg_spec_evolution_read": _wrap(iceberg_spec_evolution_read),
         "tablelog_wap_publish": _wrap(tablelog_wap_publish),
         "tablelog_tag_read": _wrap(tablelog_tag_read),
@@ -7689,6 +7764,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_column_ddl_read": DELTA_COLUMN_DDL_SQL,
         "delta_mapped_cdf_roundtrip": DELTA_MAPPED_CDF_SQL,
         "iceberg_v3_native_roundtrip": ICEBERG_V3_NATIVE_SQL,
+        "iceberg_orc_mixed_read": ICEBERG_ORC_MIXED_SQL,
         "iceberg_spec_evolution_read": ICEBERG_SPEC_EVOLUTION_SQL,
         "iceberg_changelog_read": ICEBERG_CHANGELOG_SQL,
         "ivf_topk_embeddings": IVF_TOPK_SQL,

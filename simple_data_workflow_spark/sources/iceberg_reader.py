@@ -301,6 +301,7 @@ def _snapshot_files_and_deletes(
     snapshot_id: int | None = None,
     _partitions_out: dict | None = None,
     _records_out: dict | None = None,
+    _formats_out: dict | None = None,
 ) -> tuple[list[tuple[str, int]], list[dict], T.StructType]:
     """Snapshot resolution including v2 row-level deletes:
     ``([(data file, data sequence number)], [delete dicts], schema)``.
@@ -401,12 +402,21 @@ def _snapshot_files_and_deletes(
                     "size": None if sz is None else int(_j2py(sz)),
                 }
                 continue
-            if fmt != "PARQUET":
+            if fmt not in ("PARQUET", "ORC"):
                 raise IcebergFeatureUnsupported(
                     f"data file format {fmt}; the jar-free reader scans "
-                    "parquet only"
+                    "parquet and ORC only"
+                )
+            if fmt == "ORC" and not (mcontent == 0 and fcontent == 0):
+                # delete files are parquet in practice; an ORC delete
+                # file would need a separate decode path — refuse loudly
+                raise IcebergFeatureUnsupported(
+                    f"ORC DELETE file in {mpath}; only ORC DATA files "
+                    "are supported (round 13)"
                 )
             fpath = _local_path(_j2py(_get(df, "file_path")))
+            if fmt == "ORC" and _formats_out is not None:
+                _formats_out[fpath] = "ORC"
             if mcontent == 0 and fcontent == 0:
                 files[fpath] = seq
                 if _records_out is not None:
@@ -806,8 +816,10 @@ def iceberg_read(
                 raise ValueError(f"no ref named {ref!r} (have {have})")
             snapshot_id = int(entry["snapshot-id"])
     parts_out: dict | None = {} if filters else None
+    fmts: dict = {}
     data, deletes, schema = _snapshot_files_and_deletes(
-        spark, path, snapshot_id, _partitions_out=parts_out
+        spark, path, snapshot_id, _partitions_out=parts_out,
+        _formats_out=fmts,
     )
     meta = load_table_metadata(spark, path)
     _, ids = _schema_and_ids(meta)
@@ -854,9 +866,17 @@ def iceberg_read(
     files = [f for f, _seq in data]
     if not files:
         return fin(spark.createDataFrame([], schema))
+    orc_files = {f for f in files if fmts.get(f) == "ORC"}
     if _rename_detected(meta, ids) or not _by_name_resolution_sound(
-        files, ids
+        [f for f in files if f not in orc_files], ids
     ):
+        if orc_files:
+            # Spark's ORC scan has no parquet.field.id resolution —
+            # by-id reads of renamed columns would silently misread
+            raise IcebergFeatureUnsupported(
+                "field-id (rename) resolution over ORC data files is "
+                "not supported by the jar-free reader"
+            )
         # a column was renamed: switch to the spec's by-FIELD-ID
         # resolution for the whole scan (renamed columns then read
         # correctly from pre-rename files)
@@ -877,6 +897,25 @@ def iceberg_read(
     dv_positions = _load_dv_positions(
         spark, [d for d in deletes if d["content"] == 3]
     )
+    if orc_files:
+        # position-level deletes need _metadata.row_index, which the
+        # ORC scan does not expose — refuse if any targets an ORC file
+        hit = {f for f in dv_positions if f in orc_files}
+        if pos_paths:
+            targets = {
+                _cmp_path(str(r["file_path"]))
+                for r in spark.read.parquet(*sorted(pos_paths))
+                .select("file_path")
+                .distinct()
+                .collect()
+            }
+            hit |= {f for f in orc_files if _cmp_path(f) in targets}
+        if hit:
+            raise IcebergFeatureUnsupported(
+                f"position deletes target ORC data files "
+                f"({sorted(hit)[:2]}...); row-index masking needs "
+                "parquet"
+            )
 
     from functools import reduce
 
@@ -891,13 +930,22 @@ def iceberg_read(
                 f"{missing} that are not top-level table columns"
             )
 
-    def assemble(data_sub):
+    def _clean_scan(fl, fmt):
+        if fmt == "ORC":
+            # ORC data files: plain by-name scan (no position-delete
+            # targets by the guard above; equality deletes still
+            # apply). NOTE: DataFrameReader.orc's second positional is
+            # mergeSchema, not a path — pass the file list via load()
+            return spark.read.schema(schema).format("orc").load(sorted(fl))
+        return _scan_with_position_deletes(
+            spark, schema, fl, pos_paths, dv_positions=dv_positions
+        )
+
+    def assemble(data_sub, fmt="PARQUET"):
         """The delete-applying scan over a subset of (file, seq)."""
         files_sub = [f for f, _seq in data_sub]
         if not eq_deletes:
-            return _scan_with_position_deletes(
-                spark, schema, files_sub, pos_paths, dv_positions=dv_positions
-            )
+            return _clean_scan(files_sub, fmt)
         # sequence classes: all data files sharing a sequence number
         # see the same set of applicable equality deletes
         classes: dict[int, list[str]] = {}
@@ -905,13 +953,7 @@ def iceberg_read(
             classes.setdefault(seq, []).append(f)
         parts = []
         for seq in sorted(classes):
-            part = _scan_with_position_deletes(
-                spark,
-                schema,
-                classes[seq],
-                pos_paths,
-                dv_positions=dv_positions,
-            )
+            part = _clean_scan(classes[seq], fmt)
             for d in eq_deletes:
                 if d["seq"] <= seq:
                     continue  # strictly-smaller rule: not applicable
@@ -950,15 +992,33 @@ def iceberg_read(
         if "initial-default" in f
         and any(sf.name == f["name"] for sf in schema.fields)
     ]
+    def by_format(data_all):
+        pq_sub = [(f, s) for f, s in data_all if f not in orc_files]
+        orc_sub = [(f, s) for f, s in data_all if f in orc_files]
+        outs = []
+        if pq_sub:
+            outs.append(assemble(pq_sub, "PARQUET"))
+        if orc_sub:
+            outs.append(assemble(orc_sub, "ORC"))
+        out = outs[0]
+        for p in outs[1:]:
+            out = out.unionByName(p)
+        return out
+
     if not defaults:
-        return fin(assemble(data))
+        return fin(by_format(data))
 
     def _footer_missing(fp: str) -> frozenset:
         import pyarrow.parquet as pq
 
         local = _strip_scheme(fp)
         try:
-            sch = pq.ParquetFile(local).schema_arrow
+            if fmts.get(fp) == "ORC":
+                from pyarrow import orc as _paorc
+
+                sch = _paorc.ORCFile(local).schema
+            else:
+                sch = pq.ParquetFile(local).schema_arrow
         except Exception:
             return frozenset()
         by_id, names = set(), set()
@@ -977,13 +1037,16 @@ def iceberg_read(
                 out.add(f["name"])
         return frozenset(out)
 
-    groups: dict[frozenset, list] = {}
+    groups: dict[tuple, list] = {}
     for f, seq in data:
-        groups.setdefault(_footer_missing(f), []).append((f, seq))
+        fmt = "ORC" if f in orc_files else "PARQUET"
+        groups.setdefault((fmt, _footer_missing(f)), []).append((f, seq))
     by_name_default = {f["name"]: f for f in defaults}
     outs = []
-    for missing, sub in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
-        df = assemble(sub)
+    for (fmt, missing), sub in sorted(
+        groups.items(), key=lambda kv: (kv[0][0], sorted(kv[0][1]))
+    ):
+        df = assemble(sub, fmt)
         for nm in sorted(missing):
             fld = by_name_default[nm]
             df = df.withColumn(

@@ -1351,7 +1351,7 @@ def _publish_dml_snapshot(
                         "data_file": {
                             "content": 0,  # DATA
                             "file_path": f["path"],
-                            "file_format": "PARQUET",
+                            "file_format": f.get("file_format", "PARQUET"),
                             "partition": part_rec,
                             "record_count": f["record_count"],
                             "file_size_in_bytes": f["size"],

@@ -47,21 +47,121 @@ MAGIC = b"PFA1"
 DV_BLOB_TYPE = "deletion-vector-v1"
 
 
+_LZ4_FRAME_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def _lz4_block_into(out: bytearray, src: bytes) -> None:
+    """Decode one LZ4 BLOCK appending into ``out`` (public block spec:
+    token nibbles = literal length / match length-4, little-endian
+    2-byte match offsets, 255-terminated length extensions). Decoding
+    into the shared buffer also serves LINKED blocks, whose matches may
+    reach into previously-decoded frames."""
+    i, n = 0, len(src)
+    base = len(out)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("corrupt LZ4 block (literal overrun)")
+        out += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # the last sequence is literals-only, per spec
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("corrupt LZ4 block (zero match offset)")
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("corrupt LZ4 block (offset beyond history)")
+        if offset >= mlen:
+            out += out[start : start + mlen]
+        else:  # overlapping match: byte-wise (RLE-style) copy
+            for _ in range(mlen):
+                out.append(out[start])
+                start += 1
+    del base
+
+
+def lz4_frame_decompress(raw: bytes) -> bytes:
+    """Pure-Python LZ4 FRAME decoder (public frame spec v1.6.x) — no
+    native lz4 dependency. Checksums (xxHash32) are SKIPPED, not
+    verified (stdlib has no xxHash); framing errors still raise.
+    Footer payloads are small, so Python-loop cost is irrelevant."""
+    if raw[:4] != _LZ4_FRAME_MAGIC:
+        raise ValueError("not an LZ4 frame (magic mismatch)")
+    i = 4
+    flg = raw[i]
+    i += 2  # FLG + BD
+    if flg >> 6 != 0b01:
+        raise ValueError(f"unsupported LZ4 frame version {flg >> 6}")
+    has_content_size = (flg >> 3) & 1
+    has_block_checksum = (flg >> 4) & 1
+    has_content_checksum = (flg >> 2) & 1
+    has_dict_id = flg & 1
+    if has_content_size:
+        i += 8
+    if has_dict_id:
+        i += 4
+    i += 1  # header checksum byte (xxHash32 — skipped)
+    out = bytearray()
+    while True:
+        if i + 4 > len(raw):
+            raise ValueError("truncated LZ4 frame (no end mark)")
+        bsz = int.from_bytes(raw[i : i + 4], "little")
+        i += 4
+        if bsz == 0:
+            break  # EndMark
+        is_raw = bsz & 0x80000000
+        bsz &= 0x7FFFFFFF
+        block = raw[i : i + bsz]
+        if len(block) != bsz:
+            raise ValueError("truncated LZ4 block")
+        i += bsz
+        if has_block_checksum:
+            i += 4
+        if is_raw:
+            out += block
+        else:
+            _lz4_block_into(out, block)
+    if has_content_checksum:
+        i += 4
+    return bytes(out)
+
+
 def read_footer(raw: bytes) -> dict:
-    """Parse a Puffin file's footer JSON (blob index)."""
+    """Parse a Puffin file's footer JSON (blob index). LZ4-compressed
+    footer payloads (flag bit 0 — what several 2026 runtimes emit)
+    decode through the pure-Python frame decoder (round 13, VERDICT
+    r12 #7)."""
     if len(raw) < 16 or raw[:4] != MAGIC or raw[-4:] != MAGIC:
         raise ValueError("not a Puffin file (magic mismatch)")
     flags = int.from_bytes(raw[-8:-4], "little")
-    if flags & 0x1:
-        raise NotImplementedError(
-            "Puffin footer payload is LZ4-compressed — the jar-free "
-            "reader handles uncompressed footers only"
-        )
     size = int.from_bytes(raw[-12:-8], "little")
     start = len(raw) - 12 - size
     if start < 4 or raw[start - 4 : start] != MAGIC:
         raise ValueError("Puffin footer magic mismatch")
-    return json.loads(raw[start : start + size].decode("utf-8"))
+    payload = raw[start : start + size]
+    if flags & 0x1:
+        payload = lz4_frame_decompress(payload)
+    return json.loads(payload.decode("utf-8"))
 
 
 def find_dv_blob(raw: bytes, referenced_data_file: str) -> tuple[int, int]:
