@@ -3716,13 +3716,16 @@ def hudi_1x_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 12 (VERDICT r11 #5): Hudi 1.x (table version 8) reads —
     the timeline moves to ``.hoodie/timeline/`` with
     ``<requested>_<completion>.<action>`` names, and MoR DELETE blocks
-    carry KRYO-serialized ``HoodieKey[]`` payloads (the runtime-writer
-    shape: fixed class preamble + per-key tag + partitionPath/recordKey
-    strings — ``hudi_log.decode_kryo_delete_payload``). The fixture
-    builds a MERGE_ON_READ orders table, upserts one band, appends a
-    spec-shaped Kryo delete block, converts the whole timeline to the
-    1.x layout in place, and reads the merged snapshot back. The
-    oracle replays upsert + delete as CASE + WHERE over raw parquet."""
+    carry KRYO-serialized payloads in BOTH runtime shapes:
+    ``HoodieKey[]`` (0.x/1.x writers) and — round 13, VERDICT r12 #10 —
+    ``DeleteRecord[]`` with nested HoodieKey + orderingValue, the 1.x
+    STOCK payload-class shape (OverwriteWithLatestAvroPayload /
+    DefaultHoodieRecordPayload: both latest-wins, so the key set IS
+    the delete). The fixture builds a MERGE_ON_READ orders table,
+    upserts one band, appends one delete block of EACH payload shape,
+    converts the whole timeline to the 1.x layout in place, and reads
+    the merged snapshot back. The oracle replays upsert + delete as
+    CASE + WHERE over raw parquet."""
     import os as _os
     import re as _re
     import shutil as _shutil
@@ -3766,18 +3769,37 @@ def hudi_1x_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # metadata-sized: ~1% of the keys
     groups, logs, _c, _r = _resolve_groups(spark, path)
     inst2 = str(int(t1) + 1)
+    half = len(del_keys) // 2
     for (part, fid), (binst, base) in groups.items():
         vers = [v for v, _p in logs.get((part, fid), [])]
         nxt = (max(vers) + 1) if vers else 1
+        # one block per payload shape: HoodieKey[] (0.x/1.x runtime
+        # writers) AND DeleteRecord[] (1.x STOCK payload classes —
+        # round 13, VERDICT r12 #10)
         blk = hlog.encode_block(
             hlog.DELETE_BLOCK,
             {hlog.INSTANT_TIME: inst2},
-            hlog.encode_kryo_delete_payload([(part, k) for k in del_keys]),
+            hlog.encode_kryo_delete_payload(
+                [(part, k) for k in del_keys[:half]]
+            ),
         )
         with open(
             f"{_os.path.dirname(base)}/.{fid}_{binst}.log.{nxt}_0-1-1", "wb"
         ) as f:
             f.write(blk)
+        blk2 = hlog.encode_block(
+            hlog.DELETE_BLOCK,
+            {hlog.INSTANT_TIME: inst2},
+            hlog.encode_kryo_delete_records(
+                [(part, k) for k in del_keys[half:]],
+                ordering=[str(i) for i in range(len(del_keys) - half)],
+            ),
+        )
+        with open(
+            f"{_os.path.dirname(base)}/.{fid}_{binst}.log.{nxt + 1}_0-1-1",
+            "wb",
+        ) as f:
+            f.write(blk2)
     # publish the delete + convert the timeline to the 1.x layout
     hd = f"{path}/.hoodie"
     _os.makedirs(f"{hd}/timeline", exist_ok=True)

@@ -106,23 +106,43 @@ def _legacy_implied_features(proto: dict) -> tuple[set, set]:
     return rf, wf
 
 
-def _enforce_constraints(df, meta: dict | None, operation: str) -> None:
-    """Raise if ANY row of ``df`` (logical schema) violates a CHECK
-    constraint. Delta's rule: a row violates when the expression is
-    FALSE **or NULL** (CheckDeltaInvariant), stricter than SQL CHECK.
-    One pass finding the first offending row; the common
-    no-constraints case costs nothing."""
+def _enforce_constraints(df, meta: dict | None, operation: str):
+    """Validate ``df`` (logical schema) against the table's CHECK
+    constraints and return the DataFrame the caller must STAGE. Delta's
+    rule: a row violates when the expression is FALSE **or NULL**
+    (CheckDeltaInvariant), stricter than SQL CHECK.
+
+    ADVICE r12 hardening: when constraints exist, the returned df is
+    ``localCheckpoint``-pinned FIRST, so the validated rows are
+    byte-identical to the staged rows even for non-deterministic
+    sources (rand(), current_timestamp, re-read mutable input) — real
+    Delta enforces invariants inside the write task for the same
+    reason. Constraint expressions that do not RESOLVE against the
+    incoming schema (overwrite_schema dropping a constrained column)
+    raise a clean refusal instead of a raw AnalysisException. The
+    common no-constraints case costs nothing and returns df as-is."""
     cons = sorted(_table_constraints(meta).items())
     if not cons:
-        return
+        return df
     from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
 
+    df = df.localCheckpoint()
     checks = [
         F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)).alias(f"__c{i}")
         for i, (_name, expr) in enumerate(cons)
     ]
     any_bad = " OR ".join(f"(NOT __c{i})" for i in range(len(cons)))
-    hit = df.select(*checks).where(any_bad).limit(1).collect()
+    try:
+        hit = df.select(*checks).where(any_bad).limit(1).collect()
+    except AnalysisException as e:
+        raise ValueError(
+            f"{operation}: table CHECK constraint(s) "
+            f"{[n for n, _e in cons]} do not resolve against the "
+            f"incoming schema {df.columns} — drop the constraint(s) "
+            f"first (delta_drop_constraint) or keep the columns they "
+            f"reference ({e.getMessage().splitlines()[0] if hasattr(e, 'getMessage') else e})"
+        ) from e
     if hit:
         row = hit[0]
         broken = [
@@ -133,6 +153,7 @@ def _enforce_constraints(df, meta: dict | None, operation: str) -> None:
         raise DeltaConstraintViolation(
             f"{operation} violates table constraint(s): {'; '.join(broken)}"
         )
+    return df
 
 
 def _fs(spark: SparkSession, path: str):
@@ -480,7 +501,7 @@ def delta_write(
     if exists:
         # CHECK constraints gate incoming rows (appends AND the
         # replacement contents of an overwrite)
-        _enforce_constraints(df, cur_meta, f"{mode} write")
+        df = _enforce_constraints(df, cur_meta, f"{mode} write")
     mode_cm = (
         ((cur_meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
@@ -1175,7 +1196,7 @@ def _stage_physical(
     # CHECK constraints gate every DML-staged row (UPDATE/MERGE can
     # introduce violations; rewritten-but-unchanged rows re-pass by
     # the invariant ADD CONSTRAINT validated)
-    _enforce_constraints(df, view.get("meta"), operation)
+    df = _enforce_constraints(df, view.get("meta"), operation)
     schema, part_cols = view["schema"], view["part_cols"]
     if view["mapped"] or view["id_mode"]:
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -1817,7 +1838,15 @@ def delta_clone(
             if "://" in dec or dec.startswith("/")
             else f"{src_local}/{dec}"
         )
-        a["path"] = urllib.parse.quote(full)
+        if "://" in full:
+            # scheme'd absolute URI (cross-store source, clone-of-clone):
+            # percent-encode ONLY the path component — quoting the whole
+            # URI would encode ':' and break the add path (ADVICE r12)
+            head, _, tail = full.partition("://")
+            netloc, slash, rest = tail.partition("/")
+            a["path"] = f"{head}://{netloc}{slash}{urllib.parse.quote(rest)}"
+        else:
+            a["path"] = urllib.parse.quote(full)
         a["dataChange"] = True
         a["modificationTime"] = int(a.get("modificationTime") or now)
         dv = a.get("deletionVector")

@@ -408,10 +408,23 @@ def hudi_table_changes(
         raise ValueError(f"no completed instants in the Hudi table at {path}")
     end = str(end_instant) if end_instant is not None else instants[-1]
     start = str(start_instant) if start_instant is not None else ""
-    if start >= end:
+    if start and start > instants[-1]:
+        # a start BEYOND the timeline is a caller bug, not polling
         raise ValueError(
-            f"empty incremental range: start {start!r} must precede end {end!r}"
+            f"start instant {start!r} is past the newest completed "
+            f"instant {instants[-1]!r}"
         )
+    if start >= end:
+        # steady-state incremental polling: start == latest instant
+        # (or >= end) is the normal "no new commits" case — real Hudi
+        # incremental queries return an EMPTY result here (ADVICE r12)
+        if ttype == "MERGE_ON_READ":
+            return _mor_read(
+                spark, path, as_of=end, _with_commit_time=True
+            ).limit(0)
+        df = hudi_read(spark, path, as_of=end, include_meta=True)
+        data_cols = [c for c in df.columns if not c.startswith("_hoodie_")]
+        return df.select(*data_cols, "_hoodie_commit_time").limit(0)
     if ttype == "MERGE_ON_READ":
         df = _mor_read(spark, path, as_of=end, _with_commit_time=True)
     else:

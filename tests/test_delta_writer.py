@@ -1998,3 +1998,93 @@ def test_v2_checkpoint_upgrade_carries_legacy_implied_features(
             root,
             mode="append",
         )
+
+
+def test_constraint_validation_pins_nondeterministic_rows(spark, tmp_path):
+    """ADVICE r12 (low): with a non-deterministic source the rows that
+    PASS constraint validation must be the rows COMMITTED —
+    _enforce_constraints localCheckpoint-pins the input before
+    validating, so rand() cannot produce different rows at staging.
+    And a constraint that no longer resolves after overwrite_schema
+    raises a clean refusal, not a raw AnalysisException."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_add_constraint,
+    )
+
+    root = str(tmp_path / "ndconstraint")
+    delta_write(
+        spark.createDataFrame([(1, 0.5)], "id long, v double"),
+        root,
+        mode="error",
+    )
+    delta_add_constraint(spark, root, "v_small", "v < 1.0")
+    # rand() < 1.0 always passes, but the STAGED rows must equal the
+    # VALIDATED rows — commit and read back: every row satisfies
+    nd = spark.range(200).select(
+        F.col("id"), (F.rand(seed=7) * 0.99).alias("v")
+    )
+    delta_write(nd, root, mode="append")
+    vals = [r["v"] for r in delta_read(spark, root).collect()]
+    assert len(vals) == 201 and all(v < 1.0 for v in vals)
+    # overwrite_schema dropping the constrained column: clean refusal
+    with _pytest.raises(ValueError, match="v_small"):
+        delta_write(
+            spark.createDataFrame([(1,)], "id long"),
+            root,
+            mode="overwrite",
+            overwrite_schema=True,
+        )
+
+
+def test_clone_preserves_scheme_in_absolute_uris(spark, tmp_path):
+    """ADVICE r12 (low): cloning a table whose resolved source paths
+    are scheme'd URIs must not percent-encode the ':' — only the path
+    component quotes, so the clone's add paths stay readable."""
+    from simple_data_workflow_spark.sources.delta_writer import (
+        _replay_full,
+        delta_clone,
+    )
+
+    import json as _json
+    import urllib.parse as _up
+
+    src_root = str(tmp_path / "clonesrc")
+    delta_write(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string"),
+        src_root,
+        mode="error",
+    )
+    # rewrite the source log so its add paths are scheme'd ABSOLUTE
+    # URIs (the shape real cross-store tables and clones-of-clones
+    # carry) — the quoting bug encoded ':' and broke exactly this
+    log0 = f"{src_root}/_delta_log/{0:020d}.json"
+    lines = []
+    for line in open(log0):
+        if not line.strip():
+            continue
+        act = _json.loads(line)
+        if "add" in act:
+            dec = _up.unquote(act["add"]["path"])
+            act["add"]["path"] = "file://" + _up.quote(f"{src_root}/{dec}")
+        lines.append(_json.dumps(act))
+    with open(log0, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    assert {(r["id"], r["s"]) for r in delta_read(spark, src_root).collect()} == {
+        (1, "x"),
+        (2, "y"),
+    }
+    dst = str(tmp_path / "clonedst")
+    delta_clone(spark, src_root, dst)
+    adds, _m, _p, _v, _t = _replay_full(spark, dst)
+    # clone-of-clone exercises the absolute-URI re-quote path too
+    for rel in adds:
+        assert "%3A" not in rel and "%3a" not in rel, rel
+    got = {(r["id"], r["s"]) for r in delta_read(spark, dst).collect()}
+    assert got == {(1, "x"), (2, "y")}
+    dst2 = str(tmp_path / "clonedst2")
+    delta_clone(spark, dst, dst2)
+    got2 = {(r["id"], r["s"]) for r in delta_read(spark, dst2).collect()}
+    assert got2 == {(1, "x"), (2, "y")}

@@ -1027,3 +1027,71 @@ def test_hudi_cluster_sort_layout(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="hudi_compact first"):
         hudi_cluster(spark, root2, sort_by=["v"])
+
+
+def test_kryo_delete_record_payload_roundtrip():
+    """Round 13 (VERDICT r12 #10): the 1.x STOCK-payload delete shape —
+    a Kryo ``DeleteRecord[]`` (nested HoodieKey + orderingValue) —
+    decodes to its record keys; both stock payload classes are
+    latest-wins, so the key set IS the delete. Custom ordering types
+    still refuse."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.hudi_log import (
+        HudiLogCorrupt,
+        _kryo_write_string,
+        _kryo_write_varint,
+        decode_kryo_delete_payload,
+        encode_kryo_delete_records,
+    )
+
+    keys = [("p1", "k-001"), ("p2", "k-002"), ("", "k-003")]
+    data = encode_kryo_delete_records(keys, ordering=["5", None, "7"])
+    assert decode_kryo_delete_payload(data) == ["k-001", "k-002", "k-003"]
+    # null orderings throughout
+    data2 = encode_kryo_delete_records(keys)
+    assert decode_kryo_delete_payload(data2) == ["k-001", "k-002", "k-003"]
+    # a non-null, non-String orderingValue class tag refuses
+    bad = bytearray(encode_kryo_delete_records([("p", "k")]))
+    assert bad[-1] == 0  # trailing null orderingValue
+    bad = bytes(bad[:-1]) + _kryo_write_varint(4) + b"\x01"
+    with _pytest.raises(HudiLogCorrupt, match="orderingValue"):
+        decode_kryo_delete_payload(bad)
+    # an unknown array class still refuses
+    out = bytearray()
+    out += _kryo_write_varint(1) + _kryo_write_varint(0)
+    out += _kryo_write_string("[Lcom.example.CustomPayload;")
+    out += _kryo_write_varint(1)
+    with _pytest.raises(HudiLogCorrupt, match="custom payload"):
+        decode_kryo_delete_payload(bytes(out))
+
+
+def test_hudi_incremental_empty_range(spark, tmp_path):
+    """ADVICE r12 (low): start >= end is the steady-state 'no new
+    commits' polling case — hudi_table_changes returns an EMPTY frame
+    with the right schema instead of raising; a start past the newest
+    instant still raises (caller bug, not polling)."""
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.hudi_reader import (
+        hudi_table_changes,
+    )
+    from simple_data_workflow_spark.sources.hudi_writer import hudi_write
+
+    root = str(tmp_path / "hincempty")
+    hudi_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        root,
+        mode="error",
+        record_key="id",
+    )
+    full = hudi_table_changes(spark, root)
+    assert full.count() == 2
+    latest = max(
+        r["_hoodie_commit_time"] for r in full.collect()
+    )
+    empty = hudi_table_changes(spark, root, start_instant=latest)
+    assert empty.count() == 0
+    assert set(empty.columns) == set(full.columns)
+    with _pytest.raises(ValueError, match="past the newest"):
+        hudi_table_changes(spark, root, start_instant=str(int(latest) + 10))
