@@ -7631,69 +7631,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mice_impute_lineitem": _wrap(mice_impute_lineitem),
         "merge_upsert_customers": _wrap(merge_upsert_customers),
     }
-    # Round-12 driver window (VERDICT r11 #7, stalest-first): the
-    # continuation wave's seven NEW queries first (hudi incremental,
-    # iceberg branches/tags, delta constraints, delta shallow clone,
-    # iceberg partition evolution, delta v2 checkpoints, hudi
-    # clustering) + the newly-twinned media_header_meta, then the four
-    # r12 first-wave entries (delta CDF, hudi 1.x, iceberg v3 DV,
-    # hash-checked ivf_topk), then everything last driver-checked in
-    # r7, the r8 block (incl. the r6-era CDC/temporal trio and the
-    # relational batteries), and the start of the r9 block. Staleness
-    # computed from CORRECTNESS_r01..r11 window membership. Rows-only
-    # entry in the window: ivf_index_topk (in-query recall assert) —
-    # every other entry is hash-checked against its oracle twin.
+    # Round-13 driver window (VERDICT r12 #8, stalest-first): the three
+    # NEW r13 queries (CDF x column-mapping, native Iceberg v3 with
+    # column defaults, mixed parquet+ORC) plus ivf_index_topk (newly
+    # hash-checked this round — its oracle twin is new evidence), then
+    # everything last driver-checked in r8 (window_nav_battery) and the
+    # r9 block: the tablelog family (wap_publish / metadata tables /
+    # hidden-partition / tag / rename), the llmdata dedup+decontam
+    # battery, relational batteries, and ANN brute-force twins.
+    # Staleness computed from CORRECTNESS_r01..r12 window membership.
+    # ZERO rows-only entries in the window — every head entry is
+    # hash-checked against its oracle twin.
     head = [
-        "hudi_incremental_read",
-        "iceberg_branch_read",
-        "delta_constraint_roundtrip",
-        "delta_clone_read",
-        "iceberg_spec_evolution_read",
-        "delta_v2_checkpoint_read",
-        "hudi_cluster_read",
-        "delta_column_ddl_read",
-        "media_header_meta",
-        "delta_cdf_roundtrip",
-        "hudi_1x_read",
-        "iceberg_v3_dv_read",
-        "ivf_topk_embeddings",
-        "iceberg_changelog_read",
-        "profile_orders",
-        "q3_top_orders",
-        "q5_region_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "revenue_by_year",
-        "rollup_flag_status",
-        "segment_without_recent_orders",
-        "semantic_dedup_embeddings",
-        "sessionize_events",
-        "top3_orders_per_segment",
-        "windowed_event_counts",
-        "asof_next_order",
-        "bloom_decontaminate_docs",
-        "cap_docs_per_source",
-        "ewma_customer_orders",
-        "funnel_conversion",
-        "fuzzy_name_matches",
-        "heavy_hitter_terms",
-        "incremental_agg_orders",
+        "delta_mapped_cdf_roundtrip",
+        "iceberg_v3_native_roundtrip",
+        "iceberg_orc_mixed_read",
         "ivf_index_topk",
-        "listagg_priorities_by_segment",
-        "merge_upsert_customers",
-        "overlapping_incident_windows",
-        "perplexity_score_docs",
-        "q10_returned_items",
-        "q14_promo_effect",
-        "q19_disjunctive_revenue",
-        "q4_priority_exists",
-        "q6_forecast_revenue",
-        "scd2_customer_status",
-        "stats_moments_battery",
-        "tablelog_incremental_view",
-        "tablelog_scan_pruned",
-        "temporal_status_of_clicks",
-        "weighted_median_price",
+        "window_nav_battery",
+        "big_orders",
+        "bigram_doc_freq",
+        "boilerplate_docs",
+        "bpe_token_counts",
+        "cheapest_supplier_per_nation",
+        "chunk_documents",
+        "cluster_near_dup_docs",
+        "conditional_agg_battery",
+        "corpus_curation",
+        "cosine_near_dups",
+        "cosine_topk",
+        "customers_above_segment_avg",
+        "date_fn_battery",
+        "decontaminate_docs",
+        "dedup_exact_docs",
+        "dedup_near_dup_docs",
+        "doc_repetition_stats",
+        "doc_text_stats",
+        "embedding_stats",
+        "events_props_map",
+        "minhash_md5_near_dups",
+        "mixture_sample_docs",
+        "ngram_decontaminate_docs",
+        "ngram_jaccard_near_dups",
+        "order_count_distribution",
+        "order_rank_metrics",
+        "perplexity_heldout_docs",
+        "regexp_extract_brands",
+        "rollup_with_grouping_id",
+        "running_customer_revenue",
+        "salted_skew_join",
+        "scrub_pii_docs",
+        "simhash_md5_docs",
+        "sliding_window_counts",
+        "sql_grouping_sets",
+        "stats_corr_battery",
+        "stratified_sample_docs",
+        "string_fn_battery",
+        "tablelog_hidden_partition_scan",
+        "tablelog_metadata_tables",
+        "tablelog_rename_scan",
+        "tablelog_tag_read",
+        "tablelog_wap_publish",
+        "tfidf_top_term",
+        "token_budget_select",
     ]
     assert len(head) == 50 and all(k in q for k in head)
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in head}}

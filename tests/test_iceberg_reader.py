@@ -244,17 +244,28 @@ def test_iceberg_refusals(spark, tmp_path):
     with pytest.raises(IcebergFeatureUnsupported, match="format-version 4"):
         iceberg_read(spark, root)
 
-    # a v3 COLUMN DEFAULT would silently read NULL from pre-default
-    # files — refuse loudly
+    # round 13: PRIMITIVE v3 column defaults APPLY on read (pinned in
+    # test_v3_native_write_row_lineage_and_defaults); a default on a
+    # NON-primitive field still refuses — struct-literal synthesis is
+    # out of scope for the jar-free reader
     root3d = str(tmp_path / "ice3default")
     meta3 = _table_metadata(root3d, [], -1, format_version=2) | {
         "format-version": 3,
     }
     for s in meta3.get("schemas") or []:
         if s.get("fields"):
-            s["fields"][0] = dict(s["fields"][0]) | {"initial-default": 42}
+            s["fields"][0] = dict(s["fields"][0]) | {
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {"id": 99, "name": "x", "required": False,
+                         "type": "long"},
+                    ],
+                },
+                "initial-default": {"99": 42},
+            }
     _write_metadata(root3d, 3, meta3)
-    with pytest.raises(IcebergFeatureUnsupported, match="default"):
+    with pytest.raises(IcebergFeatureUnsupported, match="non-primitive"):
         iceberg_read(spark, root3d)
 
     # EQUALITY delete file WITHOUT equality_ids: the match columns are
