@@ -175,16 +175,32 @@ _PRIMITIVES = {
 
 
 def _spark_type(t) -> T.DataType:
-    """Iceberg schema-JSON type → Spark type (spec Appendix C)."""
+    """Iceberg schema-JSON type → Spark type (spec Appendix C).
+    Round 13: ``fixed[n]`` maps to BinaryType (the parquet
+    FIXED_LEN_BYTE_ARRAY physical type reads as binary — what real
+    engines present too); TOP-LEVEL ``uuid`` is handled by
+    ``iceberg_read`` (binary scan + canonical-string projection, the
+    presentation real engines give); ``time`` still refuses — Spark
+    has no TIME type to map it to faithfully."""
     if isinstance(t, str):
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]
         m = re.match(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
         if m:
             return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        if re.match(r"fixed\[\s*\d+\s*\]", t):
+            return T.BinaryType()
+        if t == "uuid":
+            # nested uuid: no projection hook — refuse; TOP-LEVEL uuid
+            # never reaches here (``_schema_and_ids`` special-cases it)
+            raise IcebergFeatureUnsupported(
+                "Iceberg 'uuid' nested inside a struct/list/map has no "
+                "projection hook in the jar-free reader (top-level "
+                "uuid columns are supported)"
+            )
         raise IcebergFeatureUnsupported(
             f"Iceberg type {t!r} has no faithful Spark mapping in the "
-            "jar-free reader (uuid/fixed/time)"
+            "jar-free reader (time)"
         )
     kind = t.get("type")
     if kind == "struct":
@@ -210,14 +226,30 @@ def _spark_type(t) -> T.DataType:
 
 
 def _schema_and_ids(meta: dict) -> tuple[T.StructType, dict[str, int]]:
+    """SCAN schema + name→field-id map. Top-level ``uuid`` columns scan
+    as BINARY (parquet stores them as 16-byte fixed); ``iceberg_read``
+    projects them to the canonical lowercase-hex string afterwards."""
     s = _current_schema(meta)
     fields, ids = [], {}
     for f in s["fields"]:
+        dt = (
+            T.BinaryType()
+            if f["type"] == "uuid"
+            else _spark_type(f["type"])
+        )
         fields.append(
-            T.StructField(f["name"], _spark_type(f["type"]), not f.get("required", False))
+            T.StructField(f["name"], dt, not f.get("required", False))
         )
         ids[f["name"]] = int(f["id"])
     return T.StructType(fields), ids
+
+
+def _uuid_columns(meta: dict) -> list[str]:
+    return [
+        f["name"]
+        for f in _current_schema(meta).get("fields") or []
+        if f.get("type") == "uuid"
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -803,6 +835,8 @@ def iceberg_read(
                 have = sorted((meta0.get("refs") or {}).keys())
                 raise ValueError(f"no ref named {ref!r} (have {have})")
             snapshot_id = int(entry["snapshot-id"])
+    from pyspark.sql import functions as F
+
     parts_out: dict | None = {} if filters else None
     fmts: dict = {}
     data, deletes, schema = _snapshot_files_and_deletes(
@@ -848,7 +882,28 @@ def iceberg_read(
         ]
         row_filter = _filters_expr(filters)
 
+    uuid_cols = _uuid_columns(meta)
+
     def fin(df):
+        for c in uuid_cols:
+            # canonical 8-4-4-4-12 lowercase-hex presentation — what
+            # real engines show for uuid; NULLs pass through
+            h = F.lower(F.hex(F.col(c)))
+            df = df.withColumn(
+                c,
+                F.when(
+                    F.col(c).isNull(), F.lit(None).cast("string")
+                ).otherwise(
+                    F.concat_ws(
+                        "-",
+                        F.substring(h, 1, 8),
+                        F.substring(h, 9, 4),
+                        F.substring(h, 13, 4),
+                        F.substring(h, 17, 4),
+                        F.substring(h, 21, 12),
+                    )
+                ),
+            )
         return df if row_filter is None else df.where(row_filter)
 
     files = [f for f, _seq in data]
@@ -906,8 +961,6 @@ def iceberg_read(
             )
 
     from functools import reduce
-
-    from pyspark.sql import functions as F
 
     id_to_name = {v: k for k, v in ids.items()}
     for d in eq_deletes:

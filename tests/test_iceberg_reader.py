@@ -899,3 +899,144 @@ def test_iceberg_orc_data_files(spark, tmp_path):
     )
     got2 = {(r["id"], r["src"]) for r in iceberg_read(spark, root).collect()}
     assert got2 == {(1, "pq"), (3, "pq"), (11, "orc")}
+
+
+def test_iceberg_uuid_and_fixed_types(spark, tmp_path):
+    """Round 13: ``fixed[n]`` columns read as BINARY and TOP-LEVEL
+    ``uuid`` columns read as the canonical lowercase-hex string (the
+    presentation real engines give); ``time`` still refuses."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_data_workflow_spark.sources.iceberg_reader import (
+        IcebergFeatureUnsupported,
+        iceberg_read,
+    )
+
+    root = str(tmp_path / "iceuuid")
+    u1, u2 = _uuid.uuid4(), _uuid.uuid4()
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "u": pa.array([u1.bytes, u2.bytes], pa.binary()),
+            "fx": pa.array([b"\x01\x02\x03\x04", b"\xff\xfe\xfd\xfc"], pa.binary()),
+        }
+    )
+    import os as _os
+
+    _os.makedirs(f"{root}/data", exist_ok=True)
+    pq.write_table(t, f"{root}/data/a.parquet")
+    fields = [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "u", "required": False, "type": "uuid"},
+        {"id": 3, "name": "fx", "required": False, "type": "fixed[4]"},
+    ]
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(_uuid.uuid4()),
+        "location": root,
+        "last-updated-ms": 1,
+        "last-column-id": 3,
+        "last-sequence-number": 1,
+        "schema": {"type": "struct", "schema-id": 0, "fields": fields},
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1,
+                "sequence-number": 1,
+                "summary": {"operation": "append"},
+                "manifests": [],
+                "manifest-list": "",
+            }
+        ],
+    }
+    # v1-style inline manifests list (empty manifest-list string wins
+    # the else branch)
+    meta["snapshots"][0].pop("manifest-list")
+    meta["snapshots"][0]["manifests"] = []
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        _manifest_entry_schema_json,
+        _write_avro,
+    )
+
+    _write_avro(
+        spark,
+        f"{root}/metadata/m.avro",
+        _manifest_entry_schema_json([], 2),
+        [
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"{root}/data/a.parquet",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 2,
+                    "file_size_in_bytes": 100,
+                    "equality_ids": None,
+                },
+            }
+        ],
+        meta={"format-version": "2"},
+    )
+    import json as _json
+
+    from simple_data_workflow_spark.sources.iceberg_writer import (
+        _manifest_file_schema_json,
+    )
+
+    _write_avro(
+        spark,
+        f"{root}/metadata/ml.avro",
+        _manifest_file_schema_json(2),
+        [
+            {
+                "manifest_path": f"{root}/metadata/m.avro",
+                "manifest_length": 100,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "added_data_files_count": 1,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+            }
+        ],
+        meta={"format-version": "2"},
+    )
+    meta["snapshots"][0]["manifest-list"] = f"{root}/metadata/ml.avro"
+    with open(f"{root}/metadata/v1.metadata.json", "w") as f:
+        _json.dump(meta, f)
+    got = {(r["id"], r["u"], bytes(r["fx"])) for r in iceberg_read(spark, root).collect()}
+    assert got == {
+        (1, str(u1), b"\x01\x02\x03\x04"),
+        (2, str(u2), b"\xff\xfe\xfd\xfc"),
+    }
+    # time still refuses
+    fields_t = [dict(fields[0]), {"id": 2, "name": "t", "required": False, "type": "time"}]
+    meta2 = dict(meta)
+    meta2["schema"] = {"type": "struct", "schema-id": 0, "fields": fields_t}
+    meta2["schemas"] = [meta2["schema"]]
+    root2 = str(tmp_path / "icetime")
+    _os.makedirs(f"{root2}/metadata", exist_ok=True)
+    meta2["location"] = root2
+    with open(f"{root2}/metadata/v1.metadata.json", "w") as f:
+        _json.dump(meta2, f)
+    import pytest as _pytest
+
+    with _pytest.raises(IcebergFeatureUnsupported, match="time"):
+        iceberg_read(spark, root2)
