@@ -680,9 +680,17 @@ def delta_version_at_timestamp(spark: SparkSession, path: str, ts_ms: int) -> in
             if not line.strip():
                 continue
             a = json.loads(line)
-            if "commitInfo" in a and a["commitInfo"].get("timestamp"):
-                t = int(a["commitInfo"]["timestamp"])
-                break
+            if "commitInfo" in a:
+                ci = a["commitInfo"]
+                # inCommitTimestamp (table feature, 2024+ runtimes):
+                # when present it IS the commit's timestamp — monotonic
+                # by spec, preferred over wall-clock `timestamp`
+                if ci.get("inCommitTimestamp"):
+                    t = int(ci["inCommitTimestamp"])
+                    break
+                if ci.get("timestamp"):
+                    t = int(ci["timestamp"])
+                    break
         if t <= ts_ms and (best is None or v > best):
             best = v
     if best is None:
@@ -713,7 +721,7 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
         rows.append(
             (
                 v,
-                info.get("timestamp"),
+                info.get("inCommitTimestamp") or info.get("timestamp"),
                 info.get("operation"),
                 json.dumps(info.get("operationParameters") or {}),
             )

@@ -287,6 +287,7 @@ def _checkpoint_state(spark, parts: list[str]):
     classic = [p for p in parts if _is_classic(p.rsplit("/", 1)[1])]
     meta = proto = None
     txns: dict[str, int] = {}
+    domains: dict[str, dict] = {}
     adds_tables: list[pa.Table] = []
     head_actions: list[dict] = []
     sidecars: list[str] = []
@@ -335,6 +336,8 @@ def _checkpoint_state(spark, parts: list[str]):
             )
         elif a.get("txn") and a["txn"].get("appId"):
             txns[a["txn"]["appId"]] = int(a["txn"]["version"])
+        elif a.get("domainMetadata") and a["domainMetadata"].get("domain"):
+            domains[a["domainMetadata"]["domain"]] = a["domainMetadata"]
     def _valid_rows(t, name):
         col = t.column(name)
         if isinstance(col, pa.ChunkedArray):
@@ -367,12 +370,17 @@ def _checkpoint_state(spark, parts: list[str]):
             for r in _valid_rows(t, "txn"):
                 if r.get("appId") is not None and r.get("version") is not None:
                     txns[r["appId"]] = int(r["version"])
+        if "domainMetadata" in names:
+            for r in _valid_rows(t, "domainMetadata"):
+                d = _scrub(r)
+                if d and d.get("domain") is not None:
+                    domains[d["domain"]] = d
         if "add" in names:
             adds_tables.append(_normalize_checkpoint_adds(t.column("add")))
     adds = (
         pa.concat_tables(adds_tables) if adds_tables else _empty_adds()
     )
-    return adds, meta, proto, txns
+    return adds, meta, proto, txns, domains
 
 
 def _resolve_live(
@@ -440,17 +448,25 @@ def _resolve_live(
 
 class DeltaSnapshot:
     """A resolved snapshot: live adds as ONE Arrow table plus the
-    metadata-sized scalars (meta / protocol / version / txns)."""
+    metadata-sized scalars (meta / protocol / version / txns /
+    domainMetadata)."""
 
-    __slots__ = ("adds", "meta", "proto", "version", "txns", "root")
+    __slots__ = (
+        "adds", "meta", "proto", "version", "txns", "root", "domains"
+    )
 
-    def __init__(self, adds, meta, proto, version, txns, root):
+    def __init__(self, adds, meta, proto, version, txns, root,
+                 domains=None):
         self.adds = adds
         self.meta = meta
         self.proto = proto
         self.version = version
         self.txns = txns
         self.root = root
+        # {domain name: latest domainMetadata action dict} — the spec
+        # requires writers to PRESERVE domain metadata for domains they
+        # do not own; checkpoints must carry the latest per domain
+        self.domains = domains or {}
 
     def adds_view(self) -> AddsView:
         return AddsView(self.adds)
@@ -574,12 +590,13 @@ def replay_snapshot(spark, path: str, version: int | None = None) -> DeltaSnapsh
     target = max([*commits, *cps]) if version is None else int(version)
     meta = proto = None
     txns: dict[str, int] = {}
+    domains: dict[str, dict] = {}
     base = _empty_adds()
     cp_versions = [v for v in cps if v <= target]
     start = 0
     if cp_versions:
         cp_v = max(cp_versions)
-        base, meta, proto, txns = _checkpoint_state(
+        base, meta, proto, txns, domains = _checkpoint_state(
             spark, sorted(cps[cp_v])
         )
         start = cp_v + 1
@@ -608,5 +625,9 @@ def replay_snapshot(spark, path: str, version: int | None = None) -> DeltaSnapsh
                 t = action["txn"]
                 if t.get("appId") is not None:
                     txns[t["appId"]] = int(t["version"])
+            elif "domainMetadata" in action:
+                d = action["domainMetadata"]
+                if d.get("domain") is not None:
+                    domains[d["domain"]] = d
     adds = _resolve_live(base, tail_adds, tail_removes)
-    return DeltaSnapshot(adds, meta, proto, target, txns, path)
+    return DeltaSnapshot(adds, meta, proto, target, txns, path, domains)

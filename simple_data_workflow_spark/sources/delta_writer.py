@@ -156,6 +156,85 @@ def _enforce_constraints(df, meta: dict | None, operation: str):
     return df
 
 
+# PROTOCOL.md "Table Features": a writer must support EVERY feature in
+# writerFeatures before committing ANYTHING to the table — writing
+# without honoring a feature (e.g. rowTracking's baseRowIds,
+# inCommitTimestamp's monotonic stamps, domainMetadata preservation)
+# silently corrupts state other engines rely on. Round 13: every
+# commit-producing entry point gates through this check.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",        # enforced below via delta.appendOnly
+    "invariants",        # enforced below via field metadata check
+    "checkConstraints",  # _enforce_constraints at every write path
+    "changeDataFeed",    # cdc actions emitted by both DML engines
+    "columnMapping",     # _stage_physical stages physically
+    "deletionVectors",   # _dv_dml
+    "v2Checkpoint",      # delta_checkpoint(format="v2")
+    "timestampNtz",      # plain type mapping
+    "generatedColumns",  # gated below: refuse when expressions exist
+    "identityColumns",   # gated below: refuse when identity cols exist
+    "domainMetadata",    # preserved through replay + checkpoints
+}
+
+
+def _check_writer_allowed(
+    proto: dict | None, meta: dict | None, operation: str,
+    removes_data: bool = False,
+) -> None:
+    """Refuse a commit this writer cannot make faithfully:
+
+    - UNKNOWN writer features (rowTracking / domainMetadata /
+      inCommitTimestamp / ...) — committing without maintaining them
+      corrupts the table for engines that rely on them;
+    - ``delta.appendOnly = true`` tables refuse data-removing commits
+      (DELETE/UPDATE/MERGE/overwrite/RESTORE) — appends, OPTIMIZE
+      (dataChange=false) and reads stay allowed, Delta's own rule;
+    - schemas carrying GENERATED / IDENTITY column expressions or
+      column INVARIANTS — this writer does not compute them, so a
+      write would silently break the column contract."""
+    wf = set((proto or {}).get("writerFeatures") or [])
+    bad = sorted(wf - _SUPPORTED_WRITER_FEATURES)
+    if bad:
+        raise NotImplementedError(
+            f"{operation}: table requires writer features {bad} this "
+            "jar-free writer does not maintain; writing anyway would "
+            "corrupt state other engines rely on (use the Delta "
+            "runtime jar)"
+        )
+    conf = (meta or {}).get("configuration") or {}
+    if removes_data and str(
+        conf.get("delta.appendOnly", "false")
+    ).lower() == "true":
+        raise ValueError(
+            f"{operation}: table is append-only "
+            "(delta.appendOnly=true) — data-removing commits refuse"
+        )
+    if meta and meta.get("schemaString"):
+        try:
+            fields = json.loads(meta["schemaString"]).get("fields") or []
+        except (ValueError, TypeError):
+            fields = []
+        for f in fields:
+            md = f.get("metadata") or {}
+            if "delta.generationExpression" in md:
+                raise NotImplementedError(
+                    f"{operation}: column {f.get('name')!r} is GENERATED "
+                    "— this writer does not compute generation "
+                    "expressions, so a write would break the contract"
+                )
+            if any(k.startswith("delta.identity.") for k in md):
+                raise NotImplementedError(
+                    f"{operation}: column {f.get('name')!r} is an "
+                    "IDENTITY column — this writer does not allocate "
+                    "identity values"
+                )
+            if "delta.invariants" in md:
+                raise NotImplementedError(
+                    f"{operation}: column {f.get('name')!r} carries an "
+                    "INVARIANT expression this writer does not enforce"
+                )
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -415,11 +494,18 @@ def delta_write(
         raise ValueError(f"unsupported mode {mode!r}")
     spark = df.sparkSession
     try:
-        cur_adds, cur_meta, _, cur_v, cur_txns = _replay_full(spark, path)
+        cur_adds, cur_meta, cur_proto, cur_v, cur_txns = _replay_full(
+            spark, path
+        )
         exists = cur_meta is not None
     except FileNotFoundError:
-        cur_adds, cur_meta, cur_v, exists = {}, None, -1, False
+        cur_adds, cur_meta, cur_proto, cur_v, exists = {}, None, None, -1, False
         cur_txns = {}
+    if exists:
+        _check_writer_allowed(
+            cur_proto, cur_meta, f"{mode} write",
+            removes_data=(mode == "overwrite"),
+        )
     if txn is not None and cur_txns.get(txn[0], -1) >= int(txn[1]):
         return cur_v  # committed replay: idempotent no-op
     if exists and mode == "error":
@@ -625,7 +711,10 @@ def delta_write(
                 "writer; re-run the overwrite against the new snapshot"
             )
         # blind appends are order-free: re-resolve and retry
-        cur_adds, cur_meta, _, cur_v, cur_txns = _replay_full(spark, path)
+        cur_adds, cur_meta, cur_proto, cur_v, cur_txns = _replay_full(
+            spark, path
+        )
+        _check_writer_allowed(cur_proto, cur_meta, f"{mode} write")
         if txn is not None and cur_txns.get(txn[0], -1) >= int(txn[1]):
             return cur_v  # the racing writer WAS this txn: no-op
         if list(cur_meta.get("partitionColumns") or []) != partition_by:
@@ -719,6 +808,10 @@ def delta_checkpoint(
     meta, proto, version, txns = snap.meta, snap.proto, snap.version, snap.txns
     if meta is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
+    # a checkpoint of a table with unknown writer features would DROP
+    # the state those features maintain (e.g. rowTracking baseRowIds,
+    # domainMetadata actions) — refuse like any other commit
+    _check_writer_allowed(proto, meta, "CHECKPOINT")
     # deletionVector descriptors are carried VERBATIM (dropping them
     # would silently un-delete rows once pre-checkpoint commits vacuum)
     proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -771,7 +864,7 @@ def delta_checkpoint(
         proto = new_proto
         version += 1
 
-    def row(add=None, m=None, p=None, t=None, cm=None, sc=None):
+    def row(add=None, m=None, p=None, t=None, cm=None, sc=None, dm=None):
         return {
             "add": add,
             "metaData": m,
@@ -779,6 +872,7 @@ def delta_checkpoint(
             "txn": t,
             "checkpointMetadata": cm,
             "sidecar": sc,
+            "domainMetadata": dm,
         }
 
     meta_row = {
@@ -793,6 +887,20 @@ def delta_checkpoint(
     for app_id in sorted(txns):
         # streaming replay-dedup evidence must survive checkpointing
         head_rows.append(row(t={"appId": app_id, "version": int(txns[app_id])}))
+    for dom in sorted(snap.domains):
+        # spec: checkpoints carry the latest domainMetadata per domain
+        # (dropping them would erase state features like clustering
+        # metadata rely on)
+        d = snap.domains[dom]
+        head_rows.append(
+            row(
+                dm={
+                    "domain": d.get("domain"),
+                    "configuration": d.get("configuration"),
+                    "removed": bool(d.get("removed", False)),
+                }
+            )
+        )
 
     kv = pa.map_(pa.string(), pa.string())
     fields = {
@@ -879,6 +987,16 @@ def delta_checkpoint(
                 ]
             ),
         ),
+        "domainMetadata": pa.field(
+            "domainMetadata",
+            pa.struct(
+                [
+                    pa.field("domain", pa.string()),
+                    pa.field("configuration", pa.string()),
+                    pa.field("removed", pa.bool_()),
+                ]
+            ),
+        ),
     }
 
     def table(rows, names):
@@ -922,7 +1040,7 @@ def delta_checkpoint(
     local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
     now = int(time.time() * 1000)
     if format == "classic":
-        names4 = ["add", "metaData", "protocol", "txn"]
+        names4 = ["add", "metaData", "protocol", "txn", "domainMetadata"]
         t = pa.concat_tables([table(head_rows, names4), adds_table(names4)])
         pq.write_table(
             t, f"{local}/_delta_log/{version:020d}.checkpoint.parquet"
@@ -949,7 +1067,14 @@ def delta_checkpoint(
         ]
         t = table(
             manifest_rows,
-            ["checkpointMetadata", "protocol", "metaData", "txn", "sidecar"],
+            [
+                "checkpointMetadata",
+                "protocol",
+                "metaData",
+                "txn",
+                "sidecar",
+                "domainMetadata",
+            ],
         )
         pq.write_table(
             t,
@@ -1017,6 +1142,8 @@ def _snapshot_view(
     meta, proto, cur_v = snapshot.meta, snapshot.proto, snapshot.version
     if meta is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
+    # every _snapshot_view caller is a row-removing DML engine
+    _check_writer_allowed(proto, meta, operation, removes_data=True)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     _fullp = snapshot.full_paths()
@@ -1335,6 +1462,7 @@ def delta_set_properties(
         adds, meta, proto, cur_v, _t = _replay_full(spark, path)
         if meta is None:
             raise ValueError(f"no Delta table at {path}")
+        _check_writer_allowed(proto, meta, "SET TBLPROPERTIES")
         conf = dict(meta.get("configuration") or {})
         conf.update({k: str(v) for k, v in props.items()})
         now = int(time.time() * 1000)
@@ -1401,6 +1529,7 @@ def delta_add_constraint(
         adds, meta, proto, cur_v, _t = _replay_full(spark, path)
         if meta is None:
             raise ValueError(f"no Delta table at {path}")
+        _check_writer_allowed(proto, meta, "ADD CONSTRAINT")
         conf = dict(meta.get("configuration") or {})
         if key in conf:
             raise ValueError(
@@ -1502,6 +1631,7 @@ def _mutate_schema(spark, path, operation: str, params: dict, mutate, _retries=5
         adds, meta, proto, cur_v, _t = _replay_full(spark, path)
         if meta is None:
             raise ValueError(f"no Delta table at {path}")
+        _check_writer_allowed(proto, meta, operation)
         schema = json.loads(meta["schemaString"])
         mutate(schema, meta)
         meta_out = dict(meta)
@@ -1574,6 +1704,7 @@ def delta_enable_column_mapping(
         adds, meta, proto, cur_v, _t = _replay_full(spark, path)
         if meta is None:
             raise ValueError(f"no Delta table at {path}")
+        _check_writer_allowed(proto, meta, "ENABLE COLUMN MAPPING")
         conf = dict(meta.get("configuration") or {})
         cur_mode = conf.get("delta.columnMapping.mode", "none")
         if cur_mode == "name":
@@ -3113,6 +3244,9 @@ def delta_optimize(
         meta, proto, cur_v = snap.meta, snap.proto, snap.version
         if meta is None:
             raise ValueError(f"Delta log at {path} has no metaData action")
+        # byte-level rewrite (dataChange=false): allowed on append-only
+        # tables, still gated on unknown writer features
+        _check_writer_allowed(proto, meta, "OPTIMIZE")
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = list(meta.get("partitionColumns") or [])
         _fullp = snap.full_paths()
@@ -3456,7 +3590,10 @@ def delta_restore(
                     f"vector sidecar for {rel} was removed (vacuumed)"
                 )
     for attempt in range(_retries):
-        adds_now, meta_now, _p, cur_v, _t = _replay_full(spark, path)
+        adds_now, meta_now, cur_proto, cur_v, _t = _replay_full(spark, path)
+        _check_writer_allowed(
+            cur_proto, meta_now, "RESTORE", removes_data=True
+        )
         if version > cur_v:
             raise ValueError(
                 f"version {version} is newer than the current {cur_v}"

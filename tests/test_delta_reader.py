@@ -643,3 +643,41 @@ def test_delta_read_filters_skip_files(spark, tmp_path):
     # isnull evidence: zero-null files prune
     f3 = delta_read(spark, root, filters=[("v", "isnull", None)])
     assert f3.count() == 0 and len(f3.inputFiles()) == 0
+
+
+def test_in_commit_timestamp_resolution(spark, tmp_path):
+    """Round 13: tables with the inCommitTimestamp feature (2024+
+    runtimes) resolve timestampAsOf by commitInfo.inCommitTimestamp —
+    the spec says it IS the commit timestamp, monotonic, preferred over
+    wall-clock `timestamp`. (Writes to such tables refuse — the writer
+    gate — but READS must honor the stamps.)"""
+    import json as _json
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        delta_history,
+        delta_version_at_timestamp,
+    )
+    from simple_data_workflow_spark.sources.delta_writer import delta_write
+
+    root = str(tmp_path / "ict")
+    delta_write(
+        spark.createDataFrame([(1,)], "id long"), root, mode="error"
+    )
+    delta_write(
+        spark.createDataFrame([(2,)], "id long"), root, mode="append"
+    )
+    # stamp ICTs that DISAGREE with the wall-clock timestamps
+    for v, ict in ((0, 1_000_000), (1, 2_000_000)):
+        p = f"{root}/_delta_log/{v:020d}.json"
+        out = []
+        for line in open(p):
+            act = _json.loads(line)
+            if "commitInfo" in act:
+                act["commitInfo"]["inCommitTimestamp"] = ict
+            out.append(_json.dumps(act))
+        with open(p, "w") as f:
+            f.write("\n".join(out) + "\n")
+    assert delta_version_at_timestamp(spark, root, 1_500_000) == 0
+    assert delta_version_at_timestamp(spark, root, 2_000_000) == 1
+    hist = {r["version"]: r["timestamp"] for r in delta_history(spark, root).collect()}
+    assert hist == {0: 1_000_000, 1: 2_000_000}

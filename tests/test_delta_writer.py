@@ -2142,3 +2142,173 @@ def test_optimize_after_column_mapping_ddl(spark, tmp_path):
     sch = pq.ParquetFile(_up.unquote(f"{root}/{add['path']}")).schema_arrow
     assert "amount" in {fl.name for fl in sch}
     assert "price" not in {fl.name for fl in sch}
+
+
+def test_writer_feature_gate_and_append_only(spark, tmp_path):
+    """Round 13: PROTOCOL.md's writer rule — a writer must support
+    EVERY listed writer feature before committing anything. Unknown
+    features (rowTracking et al.) refuse writes AND checkpoints;
+    ``delta.appendOnly = true`` refuses data-removing commits while
+    appends and OPTIMIZE stay allowed; GENERATED-column schemas refuse."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_checkpoint,
+        delta_delete,
+        delta_optimize,
+        delta_set_properties,
+    )
+
+    # append-only enforcement
+    root = str(tmp_path / "appendonly")
+    delta_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        root,
+        mode="error",
+    )
+    delta_set_properties(spark, root, {"delta.appendOnly": "true"})
+    delta_write(
+        spark.createDataFrame([(3, 3.0)], "id long, v double"),
+        root,
+        mode="append",
+    )  # appends stay allowed
+    with _pytest.raises(ValueError, match="append-only"):
+        delta_delete(spark, root, "id = 1")
+    with _pytest.raises(ValueError, match="append-only"):
+        delta_write(
+            spark.createDataFrame([(9, 9.0)], "id long, v double"),
+            root,
+            mode="overwrite",
+        )
+    # OPTIMIZE (dataChange=false) is not a data-removing commit
+    delta_optimize(spark, root, small_file_bytes=1024 * 1024)
+    assert {r["id"] for r in delta_read(spark, root).collect()} == {1, 2, 3}
+
+    # unknown writer feature refuses write + checkpoint
+    root2 = str(tmp_path / "rowtracking")
+    delta_write(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        root2,
+        mode="error",
+    )
+    with open(f"{root2}/_delta_log/{1:020d}.json", "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["appendOnly", "rowTracking"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with _pytest.raises(NotImplementedError, match="rowTracking"):
+        delta_write(
+            spark.createDataFrame([(2, 2.0)], "id long, v double"),
+            root2,
+            mode="append",
+        )
+    with _pytest.raises(NotImplementedError, match="rowTracking"):
+        delta_checkpoint(spark, root2)
+    # reads stay fine (writer features never gate reads)
+    assert delta_read(spark, root2).count() == 1
+
+    # GENERATED column schema refuses writes
+    root3 = str(tmp_path / "gencol")
+    delta_write(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        root3,
+        mode="error",
+    )
+    meta_path = f"{root3}/_delta_log/{0:020d}.json"
+    out = []
+    for line in open(meta_path):
+        act = _json.loads(line)
+        if "metaData" in act:
+            sch = _json.loads(act["metaData"]["schemaString"])
+            sch["fields"][1]["metadata"] = {
+                "delta.generationExpression": "id * 2"
+            }
+            act["metaData"]["schemaString"] = _json.dumps(sch)
+        out.append(_json.dumps(act))
+    # republish the mutated metaData as a new commit
+    meta_line = next(a for a in out if "metaData" in _json.loads(a))
+    with open(f"{root3}/_delta_log/{1:020d}.json", "w") as f:
+        f.write(meta_line + "\n")
+    with _pytest.raises(NotImplementedError, match="GENERATED"):
+        delta_write(
+            spark.createDataFrame([(2, 2.0)], "id long, v double"),
+            root3,
+            mode="append",
+        )
+
+
+def test_domain_metadata_preserved_through_checkpoint(spark, tmp_path):
+    """Round 13: domainMetadata actions (the writer feature backing
+    e.g. clustering state) are PRESERVED — replay tracks the latest
+    per domain, checkpoints carry them (classic and v2), and the
+    feature is writable instead of refused."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from simple_data_workflow_spark.sources.delta_state import (
+        replay_snapshot,
+    )
+    from simple_data_workflow_spark.sources.delta_writer import (
+        delta_checkpoint,
+    )
+
+    for fmt in ("classic", "v2"):
+        root = str(tmp_path / f"dm_{fmt}")
+        delta_write(
+            spark.createDataFrame([(1, 1.0)], "id long, v double"),
+            root,
+            mode="error",
+        )
+        # a foreign writer recorded domain metadata + the feature
+        with open(f"{root}/_delta_log/{1:020d}.json", "w") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 7,
+                            "writerFeatures": [
+                                "appendOnly", "invariants", "domainMetadata"
+                            ],
+                        }
+                    }
+                )
+                + "\n"
+                + _json.dumps(
+                    {
+                        "domainMetadata": {
+                            "domain": "delta.clustering",
+                            "configuration": "{\"clusteringColumns\":[]}",
+                            "removed": False,
+                        }
+                    }
+                )
+                + "\n"
+            )
+        # writes still allowed (feature preserved, not refused)
+        delta_write(
+            spark.createDataFrame([(2, 2.0)], "id long, v double"),
+            root,
+            mode="append",
+        )
+        delta_checkpoint(spark, root, format=fmt)
+        # drop every pre-checkpoint commit: the checkpoint is the truth
+        for p in sorted(_glob.glob(f"{root}/_delta_log/*.json"))[:-1]:
+            _os.remove(p)
+        snap = replay_snapshot(spark, root)
+        assert "delta.clustering" in snap.domains
+        assert snap.domains["delta.clustering"]["configuration"] == (
+            "{\"clusteringColumns\":[]}"
+        )
+        assert delta_read(spark, root).count() == 2
