@@ -827,13 +827,10 @@ def test_hudi_incremental_cow(spark, tmp_path):
     assert rows(lakehouse.table_changes(spark, "hudi", root, t2, t3)) == {
         (4, 444.0, t3)
     }
-    # empty/inverted range raises
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="empty incremental range"):
-        hudi_table_changes(spark, root, t3, t2)
-    with _pytest.raises(ValueError, match="empty incremental range"):
-        hudi_table_changes(spark, root, t3, t3)
+    # empty/inverted range = the steady-state polling case since
+    # round 13 (ADVICE r12): an EMPTY frame, not an error
+    assert hudi_table_changes(spark, root, t3, t2).count() == 0
+    assert hudi_table_changes(spark, root, t3, t3).count() == 0
 
 
 def test_hudi_incremental_mor_and_compaction_preserves_commit_times(

@@ -248,8 +248,12 @@ def test_iceberg_refusals(spark, tmp_path):
     # test_v3_native_write_row_lineage_and_defaults); a default on a
     # NON-primitive field still refuses — struct-literal synthesis is
     # out of scope for the jar-free reader
+    import copy as _copy
+
     root3d = str(tmp_path / "ice3default")
-    meta3 = _table_metadata(root3d, [], -1, format_version=2) | {
+    meta3 = _copy.deepcopy(
+        _table_metadata(root3d, [], -1, format_version=2)
+    ) | {
         "format-version": 3,
     }
     for s in meta3.get("schemas") or []:
