@@ -15,6 +15,11 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any toPandas()/pandas_udf boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # INT96 (the legacy default) carries NO footer statistics, which
+    # would blind the commit-time footer-stats harvest (tablelog) and
+    # Delta's add-action stats on timestamp columns; int64 micros is
+    # also what the Iceberg spec requires of parquet data files.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # the tablelog batch reader (Python Data Source API) prunes its
     # file list from pushed filters; without this flag Spark refuses
     # to plan a reader that implements pushFilters at all

@@ -1302,6 +1302,153 @@ def _ser_stat(v, side):
         return None
 
 
+def _local_fs_path(p: str) -> str | None:
+    """Driver-reachable filesystem path for ``p``, or None when it
+    lives behind a non-local scheme (object store) and footer harvest
+    must fall back to the distributed stats aggregate."""
+    if "://" not in p:
+        return p
+    if p.startswith("file:"):
+        import urllib.parse
+
+        return urllib.parse.unquote(urllib.parse.urlparse(p).path)
+    return None
+
+
+def _arrow_skippable(t) -> bool:
+    """Arrow-type twin of :data:`_SKIPPABLE` (numeric/string/date/
+    timestamp — NOT boolean/binary/nested), so the footer harvest
+    records stats for exactly the columns the Spark aggregate would."""
+    import pyarrow as pa
+
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_decimal(t)
+        or (pa.types.is_string(t) or pa.types.is_large_string(t))
+        or pa.types.is_date(t)
+        or pa.types.is_timestamp(t)
+    )
+
+
+def _footer_val(v):
+    """Normalize a footer stat value to what the Spark collect used to
+    return: tz-aware timestamps become naive UTC (the session timezone
+    is pinned UTC, so Spark collected naive datetimes)."""
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _footer_harvest(
+    path: str,
+    files: list[str],
+    partition_cols: list[str] | None,
+    cmap: dict | None,
+) -> dict | None:
+    """Per-file stats from the parquet FOOTERS the write already paid
+    for — driver-side, metadata-sized, zero extra scan (guide §1.2/§6:
+    the second full read of every staged byte that the Spark aggregate
+    costs is data-proportional at commit time; real formats accumulate
+    stats in the writer). Returns the same ``{file: {"__rows", col:
+    [mn, mx, nulls], "__parts": ...}}`` shape as the distributed pass,
+    or None when any file is unreachable/undecodable (non-local
+    scheme, exotic type) — the caller then falls back.
+
+    Semantics mirror the aggregate exactly: a bound must cover EVERY
+    row group or the column records nothing (NaN groups, long strings
+    and unserializable values invalidate the column, never narrow it);
+    zero-row files record nothing (the caller prunes them); partition
+    value sets come from a columnar read of JUST the partition columns
+    transformed by the driver twin ``_transform_value`` (same bytes
+    the aggregate's scan would touch, minus a Spark job)."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is a hard dep
+        return None
+    pfields: list[tuple[str, tuple[str, int | None, str]]] = []
+    for spec in partition_cols or []:
+        _, col, kind, param = _parse_partition_field(spec)
+        pcol = (cmap or {}).get(col, col)
+        pfields.append((_canonical_field(kind, param, pcol), (kind, param, pcol)))
+    stats: dict = {}
+    for f in files:
+        local = _local_fs_path(_data_path(path, f))
+        if local is None:
+            return None
+        try:
+            pf = pq.ParquetFile(local)
+        except Exception:
+            return None
+        md = pf.metadata
+        if md.num_rows == 0:
+            continue  # empty staged file: no stats row, caller drops it
+        names = {
+            fld.name for fld in pf.schema_arrow if _arrow_skippable(fld.type)
+        }
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        invalid: set = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name or name not in names:
+                    continue
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    invalid.add(name)
+                    continue
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                if not st.has_min_max:
+                    # an all-null group carries no bound (harmless); a
+                    # group with values but no stats poisons the bound
+                    if st.null_count != col.num_values:
+                        invalid.add(name)
+                    continue
+                lo = _ser_stat(_footer_val(st.min), "min")
+                hi = _ser_stat(_footer_val(st.max), "max")
+                if lo is None or hi is None:
+                    invalid.add(name)
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        per_col: dict = {"__rows": int(md.num_rows)}
+        for name in names - invalid:
+            if name in mins and name in maxs:
+                per_col[name] = [mins[name], maxs[name], int(nulls.get(name, 0))]
+        parts: dict = {}
+        for key, (kind, param, pcol) in pfields:
+            if pcol not in {fld.name for fld in pf.schema_arrow}:
+                continue
+            try:
+                raw = pf.read(columns=[pcol]).column(0)
+            except Exception:
+                return None
+            try:
+                import pyarrow.compute as pc
+
+                raw = pc.unique(raw)
+            except Exception:
+                pass
+            vals = {v for v in (_footer_val(x) for x in raw.to_pylist()) if v is not None}
+            tset = {_transform_value(kind, param, v) for v in vals}
+            if None in tset and vals:
+                return None  # transform twin can't reproduce — fall back
+            if len(tset) > _MAX_PART_VALUES:
+                continue  # truncated set is not evidence — min/max only
+            ser = [_ser_stat(v, "min") for v in tset]
+            if any(s is None for s in ser):
+                continue  # unserializable value in the set
+            parts[key] = sorted(ser, key=lambda x: (str(type(x)), str(x)))
+        if parts:
+            per_col["__parts"] = parts
+        stats[f.rsplit("/", 1)[-1]] = per_col
+    return stats
+
+
 def _collect_stats(
     spark: SparkSession,
     path: str,
@@ -1311,27 +1458,50 @@ def _collect_stats(
     cmap: dict | None = None,
 ) -> dict:
     """Per-file min/max/null-count for every skippable column of the
-    just-staged files — ONE grouped aggregate over only those files
-    (freshly written, page-cache warm), collected as at most one row
-    per file. This is the commit-time cost that buys ``table_scan``
-    its driver-side file pruning; the real formats pay the same.
+    just-staged files. Primary path: harvested from the parquet
+    FOOTERS driver-side (:func:`_footer_harvest`) — metadata-sized, no
+    second read of the staged data (at 100 TB the old one-aggregate
+    pass re-read every committed byte; footers are KBs). Falls back to
+    the distributed aggregate (:func:`_collect_stats_spark`) for
+    non-local schemes or undecodable files. Bloom bitmaps (when
+    declared) still run their dedicated aggregates — they genuinely
+    need every value.
 
     ``partition_cols`` additionally records each file's DISTINCT value
     set for those columns (under the reserved ``__parts`` key, capped
     at :data:`_MAX_PART_VALUES` per file) — exact membership evidence
-    where hash-clustered values make min/max ranges useless. This is
-    the log-native equivalent of hive partition values, except a file
-    may legitimately hold several values (hash clustering) and pruning
-    stays exact."""
+    where hash-clustered values make min/max ranges useless."""
+    if not files:
+        return {}
+    stats = _footer_harvest(path, files, partition_cols, cmap)
+    if stats is None:
+        stats = _collect_stats_spark(spark, path, files, partition_cols, cmap)
+    if bloom and bloom.get("cols"):
+        if cmap:
+            bloom = {**bloom, "cols": [cmap.get(c, c) for c in bloom["cols"]]}
+        for ref, cols in _collect_blooms(spark, path, files, bloom).items():
+            stats.setdefault(ref.rsplit("/", 1)[-1], {})["__bloom"] = cols
+    return stats
+
+
+def _collect_stats_spark(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    partition_cols: list[str] | None = None,
+    cmap: dict | None = None,
+) -> dict:
+    """Distributed fallback for :func:`_collect_stats`: ONE grouped
+    aggregate over just the staged files, collected as at most one row
+    per file — the path for object-store roots where footers are not
+    driver-reachable."""
     if not files:
         return {}
     scan = spark.read.parquet(*[f"{path}/data/{f}" for f in files])
     cols = [f.name for f in scan.schema if isinstance(f.dataType, _SKIPPABLE)]
     # staged files carry PHYSICAL names; specs are declared logical —
-    # translate here so stats stay keyed physical (stable across
-    # renames, matching the files) and scans translate filters once
-    if cmap and bloom and bloom.get("cols"):
-        bloom = {**bloom, "cols": [cmap.get(c, c) for c in bloom["cols"]]}
+    # the stats stay keyed physical (stable across renames, matching
+    # the files) and scans translate filters once
     # partition fields: bare columns (identity) or transforms; the
     # stats key is the canonical form over the PHYSICAL inner column
     # (stable across renames), the recorded values are TRANSFORMED
@@ -1388,12 +1558,6 @@ def _collect_stats(
         if parts:
             per_col["__parts"] = parts
         stats[r["__f"].rsplit("/", 1)[-1]] = per_col
-    if bloom and bloom.get("cols"):
-        # second pass over the same just-written (page-warm) files; the
-        # per-file payload is self-describing ({m,k,t,bitmap}) so files
-        # built under an older spec keep pruning correctly forever
-        for ref, cols in _collect_blooms(spark, path, files, bloom).items():
-            stats.setdefault(ref.rsplit("/", 1)[-1], {})["__bloom"] = cols
     return stats
 
 
