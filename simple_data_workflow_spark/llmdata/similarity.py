@@ -428,13 +428,23 @@ def _kmeans_np(X: "np.ndarray", k: int, iters: int = 20, seed: int = 42):
     k = min(k, len(X))
     idx = rng.choice(len(X), size=k, replace=False)
     C = X[idx].astype(np.float64).copy()
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    dim = X.shape[1]
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        # argmin_c ||x-c||² == argmin_c (||c||² - 2x·c): one BLAS GEMM
+        # instead of the n×k×dim broadcast temp (measured ~40× on the
+        # 10k×256 PQ shape — guide §1.2 "per-task work", here the task
+        # is the driver fit)
+        d = X @ C.T
+        d *= -2.0
+        d += (C * C).sum(axis=1)[None, :]
         a = d.argmin(axis=1)
-        for j in range(k):
-            members = X[a == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        sums = np.empty_like(C)
+        for j in range(dim):
+            sums[:, j] = np.bincount(a, weights=X[:, j], minlength=k)
+        nz = counts > 0  # empty clusters keep their previous centroid
+        C[nz] = sums[nz] / counts[nz, None]
     return C
 
 
