@@ -1232,7 +1232,13 @@ def _stage_position_deletes(
             "__fp",
         )
         .select("file_path", F.col("__ri").alias("pos"))
-        .sort("file_path", "pos")
+        # spec order is per delete FILE (file_path, pos): clustering by
+        # target path + an in-partition sort satisfies it without the
+        # global sort's range-sampling pass (one extra job over the
+        # matches), and each delete file then covers few targets — the
+        # layout delete-file pruning wants (guide §2.4)
+        .repartition(F.col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
     )
     # alias(metadata=...) — DataFrame.to() drops metadata when names
     # and types already match, so it cannot stamp the reserved ids

@@ -22,15 +22,26 @@ _FORMATS = {
 }
 
 
+#: jar availability never changes within a Spark application — memoized
+#: per (app, format) so every lakehouse read does not re-pay a JVM
+#: datasource resolution + exception roundtrip (~0.2 s each)
+_AVAILABLE_CACHE: dict[tuple[str, str], bool] = {}
+
+
 def _available(spark: SparkSession, fmt: str) -> bool:
-    try:
-        spark.read.format(fmt).load("/nonexistent-probe")
-        return True
-    except Exception as exc:
-        # ClassNotFound / DATA_SOURCE_NOT_FOUND → jar missing; any other
-        # error (e.g. path) means the format itself resolved
-        msg = str(exc)
-        return not ("DATA_SOURCE_NOT_FOUND" in msg or "ClassNotFound" in msg)
+    key = (spark.sparkContext.applicationId, fmt)
+    if key not in _AVAILABLE_CACHE:
+        try:
+            spark.read.format(fmt).load("/nonexistent-probe")
+            _AVAILABLE_CACHE[key] = True
+        except Exception as exc:
+            # ClassNotFound / DATA_SOURCE_NOT_FOUND → jar missing; any
+            # other error (e.g. path) means the format itself resolved
+            msg = str(exc)
+            _AVAILABLE_CACHE[key] = not (
+                "DATA_SOURCE_NOT_FOUND" in msg or "ClassNotFound" in msg
+            )
+    return _AVAILABLE_CACHE[key]
 
 
 def read_table(
