@@ -598,10 +598,13 @@ def cluster_pairs(
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    # LAZY checkpoints: the convergence-probe aggregate right after is
+    # the action that materializes them, so every round runs ONE job
+    # (materialize + sum) instead of two (guide §1.2 — fewer passes)
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("cluster_id"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(max_iters):
         nbr = (
@@ -629,7 +632,7 @@ def cluster_pairs(
                     F.col("cluster_id"), F.coalesce("__plabel", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:
@@ -1113,10 +1116,25 @@ def fuzzy_pairs(
     # without this the whole verify stage inherits the source file's
     # partition count (1 for a small parquet) and a million levenshteins
     # run on one core — measured 8 s -> <1 s at sf0.1
-    sides = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        s.alias("__s"),
-        F.explode(variants).alias("__v"),
+    #
+    # the join key is xxhash64(variant), not the variant string: the
+    # exploded side shuffles 8 bytes per candidate key instead of a
+    # near-full-length string (guide §2.3 — shuffle keys, not payloads).
+    # Correctness is unchanged: any true ≤d pair already meets on a
+    # genuinely shared variant, and a hash COLLISION only adds a
+    # candidate that the exact levenshtein verify then keeps or drops
+    # on its true distance — no false negatives, no surviving false
+    # positives.
+    sides = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            s.alias("__s"),
+            # generators must sit at the top level of a projection, so
+            # explode first and hash in the next Project
+            F.explode(variants).alias("__v"),
+        )
+        .withColumn("__v", F.xxhash64("__v"))
     )
     a, b = sides.alias("a"), sides.alias("b")
     # verify INSIDE the join projection and filter before the dedup:
