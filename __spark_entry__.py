@@ -6319,19 +6319,27 @@ def semdedup_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it ONCE and reuse it for both the dedup and the
     # orphan audit — localCheckpoint so the second consumer doesn't
     # replay the join (storage reclaimed by the ContextCleaner)
-    pairs = semantic_pairs(emb, C, threshold=0.38).localCheckpoint(eager=True)
-    kept = semantic_dedup(emb, C, threshold=0.38, pairs=pairs)
-    n_total = emb.count()
+    # assign ONCE and persist: the pair self-join reads it twice, the
+    # dedup anti-join once, the audit once, the final summary once —
+    # previously each was a fresh parquet scan + assign-UDF pass
+    assigned = assign_clusters(emb, C).persist()
+    pairs = semantic_pairs(
+        emb, C, threshold=0.38, assigned=assigned
+    ).localCheckpoint(eager=True)
+    kept = semantic_dedup(emb, C, threshold=0.38, pairs=pairs, assigned=assigned)
+    n_total = assigned.count()
     n_kept = kept.count()
     assert 0 < n_kept <= n_total
     participants = pairs.select(F.col("id_a").alias("vec_id")).unionByName(
         pairs.select(F.col("id_b").alias("vec_id"))
     ).distinct()
-    dropped = emb.select("vec_id").join(kept.select("vec_id"), "vec_id", "left_anti")
+    dropped = assigned.select("vec_id").join(
+        kept.select("vec_id"), "vec_id", "left_anti"
+    )
     orphans = dropped.join(participants, "vec_id", "left_anti").count()
     assert orphans == 0, f"{orphans} dropped vectors have no near-dup pair"
     return (
-        assign_clusters(emb, C)
+        assigned
         .join(kept.select("vec_id", F.lit(1).alias("__k")), "vec_id", "left")
         .groupBy("cluster_id")
         .agg(

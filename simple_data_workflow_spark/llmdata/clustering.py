@@ -73,7 +73,12 @@ def kmeans_fit(
     C = np.asarray([r["v"] for r in seed_rows], dtype=np.float64)
     dim = C.shape[1]
     k_n = C.shape[0]
-    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # persist the projected+cast vectors for the duration of the fit:
+    # every Lloyd iteration is a full pass, and without this each pass
+    # re-reads the parquet and re-casts (guide §5 — reuse justifies the
+    # cache; MEMORY_AND_DISK spills gracefully at scale). In-query only:
+    # unpersisted before returning, recomputed from source every call.
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v")).persist()
     for _ in range(iters):
         C_iter = C.copy()
 
@@ -112,6 +117,7 @@ def kmeans_fit(
             C = new_C
             break
         C = new_C
+    vecs.unpersist()
     return [[float(x) for x in row] for row in C]
 
 
@@ -158,6 +164,7 @@ def semantic_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster cosine near-duplicate pairs — the candidate step
     of SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -175,7 +182,12 @@ def semantic_pairs(
     not participate in whole-stage codegen)."""
     from simple_data_workflow_spark.functions.vectors import cosine_pd
 
-    base = assign_clusters(df, centroids, vec_col=vec_col).select(
+    # ``assigned=`` lets a caller that already holds (and typically
+    # persisted) the assign_clusters result skip re-running the assign
+    # scan + UDF for each side of the self-join
+    if assigned is None:
+        assigned = assign_clusters(df, centroids, vec_col=vec_col)
+    base = assigned.select(
         F.col(id_col),
         "cluster_id",
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -205,6 +217,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pairs: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup: drop semantic near-duplicates, keeping ONE
     representative per within-cluster near-dup connected component
@@ -224,9 +237,15 @@ def semantic_dedup(
 
     if pairs is None:
         pairs = semantic_pairs(
-            df, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col
+            df,
+            centroids,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            assigned=assigned,
         )
-    assigned = assign_clusters(df, centroids, vec_col=vec_col)
+    if assigned is None:
+        assigned = assign_clusters(df, centroids, vec_col=vec_col)
     return dedup_by_cluster(assigned, pairs, id_col=id_col)
 
 

@@ -21,6 +21,8 @@ engine-portable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -566,6 +568,45 @@ def simhash_md5_near_dups(
     )
 
 
+def _cluster_pairs_driver(spark, edges: DataFrame) -> DataFrame:
+    """Capped driver twin of the distributed min-label loop: one Arrow
+    transfer of the (symmetrized, already-materialized) edge list, then
+    vectorized min-label propagation with pointer jumping in numpy —
+    identical labels (cluster_id = min id reachable), no per-round Spark
+    job latency. Only called by ``cluster_pairs`` under its edge cap."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    tab = edges.toArrow()
+    src = tab.column("src").to_numpy(zero_copy_only=False)
+    dst = tab.column("dst").to_numpy(zero_copy_only=False)
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s, d = inv[: len(src)], inv[len(src):]
+    # np.unique sorts ascending, so index order == id order and the
+    # min-index label IS the min-id label for any orderable id type
+    labels = np.arange(len(ids), dtype=np.int64)
+    while True:
+        prev = labels
+        nl = labels.copy()
+        np.minimum.at(nl, d, labels[s])  # one relax round over all edges
+        while True:  # full pointer jumping to this round's fixpoint
+            hop = nl[nl]
+            if np.array_equal(hop, nl):
+                break
+            nl = hop
+        if np.array_equal(nl, prev):
+            break
+        labels = nl
+    out = pd.DataFrame({"id": ids, "cluster_id": ids[labels]})
+    id_type = edges.schema["src"].dataType
+    schema = StructType(
+        [StructField("id", id_type, True), StructField("cluster_id", id_type, True)]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -602,6 +643,17 @@ def cluster_pairs(
     # the action that materializes them, so every round runs ONE job
     # (materialize + sum) instead of two (guide §1.2 — fewer passes)
     edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    # Size-gated driver fast path (the same capped-transfer-with-
+    # distributed-fallback posture as the DV DML packed path): below
+    # the cap the whole edge list is two integer columns small enough
+    # to label in one vectorized numpy pass, where the distributed
+    # loop pays O(log diameter) full Spark job round-trips mostly in
+    # scheduler latency. Above the cap (the 100 TB posture — pair
+    # lists scale with the corpus) nothing changes.
+    cap = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGE_CAP", 4_000_000))
+    n_edges = edges.count()  # materializes the checkpoint either way
+    if n_edges <= cap:
+        return _cluster_pairs_driver(pairs.sparkSession, edges)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("cluster_id"))
     ).localCheckpoint(eager=False)
