@@ -317,9 +317,11 @@ def encode_avro_data_block(
     instant: str, schema_json: str, rows: list[dict]
 ) -> bytes:
     blobs = encode_avro_records(schema_json, rows)
-    content = struct.pack(">ii", _DATA_BLOCK_CONTENT_VERSION, len(blobs))
+    parts = [struct.pack(">ii", _DATA_BLOCK_CONTENT_VERSION, len(blobs))]
     for b in blobs:
-        content += struct.pack(">i", len(b)) + b
+        parts.append(struct.pack(">i", len(b)))
+        parts.append(b)
+    content = b"".join(parts)
     return encode_block(
         AVRO_DATA_BLOCK,
         {INSTANT_TIME: instant, SCHEMA: schema_json},
@@ -345,11 +347,12 @@ def decode_avro_data_block(block: dict) -> list[dict]:
 
 
 def encode_delete_block(instant: str, keys: list[str]) -> bytes:
-    content = struct.pack(">ii", _DELETE_BLOCK_CONTENT_VERSION, len(keys))
+    parts = [struct.pack(">ii", _DELETE_BLOCK_CONTENT_VERSION, len(keys))]
     for k in keys:
         b = k.encode("utf-8")
-        content += struct.pack(">i", len(b)) + b
-    return encode_block(DELETE_BLOCK, {INSTANT_TIME: instant}, content)
+        parts.append(struct.pack(">i", len(b)))
+        parts.append(b)
+    return encode_block(DELETE_BLOCK, {INSTANT_TIME: instant}, b"".join(parts))
 
 
 # ---------------------------------------------------------------------------

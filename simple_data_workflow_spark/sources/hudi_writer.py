@@ -666,11 +666,16 @@ def hudi_delta_upsert(spark: SparkSession, path: str, source: DataFrame) -> str:
         data_cols = [f.name for f in data_fields]
 
         def make_content(pdf, inst):
+            # column-wise .tolist() (numpy scalars -> Python natives)
+            # instead of iterrows(): same values, ~10x less per-row
+            # pandas overhead in the executor's write task
+            keys_l = pdf["__key"].tolist()
+            col_vals = [pdf[c].tolist() for c in data_cols]
             rows = []
-            for _i, r in pdf.iterrows():
-                rec = {"_hoodie_record_key": r["__key"]}
-                for c in data_cols:
-                    v = r[c]
+            for i, key in enumerate(keys_l):
+                rec = {"_hoodie_record_key": key}
+                for c, vals in zip(data_cols, col_vals):
+                    v = vals[i]
                     rec[c] = None if v is None or (v != v) else v
                 rows.append(rec)
             return hlog.encode_avro_data_block(inst, schema_json, rows)
