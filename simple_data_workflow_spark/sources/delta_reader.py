@@ -47,11 +47,14 @@ parquet scans with pushdown/pruning per group.
 from __future__ import annotations
 
 import json
+import os
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from simple_data_workflow_spark.sources import localfs
 
 
 class DeltaFeatureUnsupported(NotImplementedError):
@@ -113,6 +116,9 @@ def _jfs(spark: SparkSession, path: str):
 
 
 def _read_bytes(spark: SparkSession, path: str) -> bytes:
+    loc = localfs.local_root(path)
+    if loc is not None:
+        return localfs.read_bytes(loc)
     jvm, fs = _jfs(spark, path)
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
     try:
@@ -121,18 +127,32 @@ def _read_bytes(spark: SparkSession, path: str) -> bytes:
         stream.close()
 
 
+def _list_log_names(spark: SparkSession, path: str) -> list[str] | None:
+    """Entry names of ``<path>/_delta_log``, or None when the dir is
+    absent — local fast path, Hadoop fallback for scheme'd roots."""
+    loc = localfs.local_root(path)
+    if loc is not None:
+        names = localfs.list_names(f"{loc}/_delta_log")
+        if not names and not os.path.isdir(f"{loc}/_delta_log"):
+            return None
+        return names
+    jvm, fs = _jfs(spark, path)
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
+    if not fs.exists(log_dir):
+        return None
+    return [st.getPath().getName() for st in fs.listStatus(log_dir)]
+
+
 def _list_log(spark: SparkSession, path: str):
     """(commit versions, {checkpoint version: [part files]}) in
     ``_delta_log`` — names follow the spec: ``<20-digit>.json``,
     ``<v>.checkpoint.parquet`` or ``<v>.checkpoint.<i>.<n>.parquet``."""
-    jvm, fs = _jfs(spark, path)
-    log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
-    if not fs.exists(log_dir):
+    names = _list_log_names(spark, path)
+    if names is None:
         raise FileNotFoundError(f"no _delta_log under {path}")
     commits: list[int] = []
     cps: dict[int, list[str]] = {}
-    for st in fs.listStatus(log_dir):
-        name = st.getPath().getName()
+    for name in names:
         if name.endswith(".json") and name[:-5].isdigit():
             commits.append(int(name[:-5]))
         elif ".checkpoint." in name and (

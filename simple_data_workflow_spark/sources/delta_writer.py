@@ -38,12 +38,15 @@ every log-format writer pays.  Nothing data-sized reaches the driver.
 from __future__ import annotations
 
 import json
+import os
 import time
 import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+from simple_data_workflow_spark.sources import localfs
 
 from simple_data_workflow_spark.sources.delta_reader import (
     _list_log,
@@ -247,6 +250,11 @@ def _publish_if_absent(spark, path: str, name: str, body: str) -> bool:
     primitive ``tablelog._write_json_if_absent`` documents; HDFS
     rename refuses existing destinations so the fallback is safe
     there too)."""
+    loc = localfs.local_root(path)
+    if loc is not None:
+        return localfs.write_if_absent(
+            f"{loc}/_delta_log/{name}", body.encode("utf-8")
+        )
     jvm, fs = _fs(spark, path)
     log = f"{path}/_delta_log"
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(log))
@@ -399,26 +407,57 @@ def _stage_data_files(
     Hive-style dir names Spark itself produced, paths percent-encoded
     per spec, stats from the footers."""
     spark = df.sparkSession
-    jvm, fs = _fs(spark, path)
+    loc = localfs.local_root(path)
     staging = f"{path}/.staging-{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
 
-    def walk(p):
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
-            if st.isDirectory():
-                yield from walk(str(st.getPath().toUri().getPath()))
-            else:
-                yield st
+    if loc is not None:
+        staging_loc = f"{loc}/.staging-{staging.rsplit('.staging-', 1)[1]}"
+
+        def walk(p):
+            for entry in sorted(os.scandir(p), key=lambda e: e.path):
+                if entry.is_dir():
+                    yield from walk(entry.path)
+                else:
+                    yield entry.path, entry.stat().st_size
+
+        def move(full, dest):
+            os.makedirs(dest.rsplit("/", 1)[0], exist_ok=True)
+            os.rename(full, dest)
+
+        entries = list(walk(staging_loc))
+        staging_uri, table_root = staging_loc, loc
+        cleanup = lambda: localfs.delete(staging_loc, recursive=True)  # noqa: E731
+    else:
+        jvm, fs = _fs(spark, path)
+
+        def jwalk(p):
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
+                if st.isDirectory():
+                    yield from jwalk(str(st.getPath().toUri().getPath()))
+                else:
+                    yield str(st.getPath().toUri().getPath()), int(st.getLen())
+
+        def move(full, dest):
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest.rsplit("/", 1)[0]))
+            if not fs.rename(
+                jvm.org.apache.hadoop.fs.Path(full),
+                jvm.org.apache.hadoop.fs.Path(dest),
+            ):
+                raise IOError(f"failed to move staged file into table: {dest}")
+
+        staging_uri = jvm.org.apache.hadoop.fs.Path(staging).toUri().getPath()
+        entries = list(jwalk(staging))
+        table_root = path
+        cleanup = lambda: fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)  # noqa: E731
 
     part_set = set(partition_by)
     adds = []
     now = int(time.time() * 1000)
-    staging_uri = jvm.org.apache.hadoop.fs.Path(staging).toUri().getPath()
-    for st in walk(staging):
-        full = str(st.getPath().toUri().getPath())
+    for full, flen in entries:
         name = full.rsplit("/", 1)[1]
         if not name.endswith(".parquet"):
             continue
@@ -431,26 +470,20 @@ def _stage_data_files(
             k, _, v = seg.partition("=")
             k = urllib.parse.unquote(k)
             pv[k] = None if v == _NULL_PARTITION else urllib.parse.unquote(v)
-        dest = f"{path}/{rel}"
-        parent = dest.rsplit("/", 1)[0]
-        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(parent))
-        if not fs.rename(
-            jvm.org.apache.hadoop.fs.Path(full),
-            jvm.org.apache.hadoop.fs.Path(dest),
-        ):
-            raise IOError(f"failed to move staged file into table: {rel}")
+        dest = f"{table_root}/{rel}"
+        move(full, dest)
         stats = _file_stats(dest, part_set)
         add = {
             "path": "/".join(urllib.parse.quote(s, safe="=") for s in segs),
             "partitionValues": pv,
-            "size": int(st.getLen()),
+            "size": int(flen),
             "modificationTime": now,
             "dataChange": True,
         }
         if stats:
             add["stats"] = stats
         adds.append(add)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    cleanup()
     return adds
 
 

@@ -49,9 +49,12 @@ files store ALL columns, including partition columns).
 from __future__ import annotations
 
 import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+from simple_data_workflow_spark.sources import localfs
 
 from simple_data_workflow_spark.sources.delta_reader import (
     _jfs,
@@ -102,6 +105,12 @@ _COMPLETED_RE = re.compile(
 
 
 def _timeline_dirs(spark: SparkSession, path: str) -> list[str]:
+    loc = localfs.local_root(path)
+    if loc is not None:
+        dirs = [f"{path}/.hoodie"]
+        if os.path.isdir(f"{loc}/.hoodie/timeline"):
+            dirs.append(f"{path}/.hoodie/timeline")
+        return dirs
     jvm, fs = _jfs(spark, path)
     dirs = [f"{path}/.hoodie"]
     tl = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie/timeline")
@@ -120,12 +129,21 @@ def _timeline(spark: SparkSession, path: str):
     reference it). ``deltacommit`` (merge-on-read writes) counts as a
     commit: its base files (inserts) and log blocks are live once the
     instant completes."""
-    jvm, fs = _jfs(spark, path)
+    loc = localfs.local_root(path)
     commits: set[str] = set()
     replaces: set[str] = set()
+    if loc is None:
+        jvm, fs = _jfs(spark, path)
     for d in _timeline_dirs(spark, path):
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d)):
-            name = st.getPath().getName()
+        if loc is not None:
+            rel = d[len(path) :]
+            names = localfs.list_names(f"{loc}{rel}")
+        else:
+            names = [
+                st.getPath().getName()
+                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d))
+            ]
+        for name in names:
             m = _COMPLETED_RE.match(name)
             if m:
                 (replaces if m.group(3) == "replacecommit" else commits).add(
@@ -140,8 +158,20 @@ def _instant_file(
     """Full path of a completed instant's metadata file in either
     timeline layout (classic bare name, or 1.x completion-suffixed
     under ``.hoodie/timeline/``)."""
-    jvm, fs = _jfs(spark, path)
+    loc = localfs.local_root(path)
     classic = f"{path}/.hoodie/{instant}.{action}"
+    if loc is not None:
+        if os.path.exists(f"{loc}/.hoodie/{instant}.{action}"):
+            return classic
+        for name in localfs.list_names(f"{loc}/.hoodie/timeline"):
+            m = _COMPLETED_RE.match(name)
+            if m and m.group(1) == instant and m.group(3) == action:
+                return f"{path}/.hoodie/timeline/{name}"
+        raise FileNotFoundError(
+            f"no completed {action} metadata for instant {instant} in "
+            f"either timeline layout under {path}/.hoodie"
+        )
+    jvm, fs = _jfs(spark, path)
     if fs.exists(jvm.org.apache.hadoop.fs.Path(classic)):
         return classic
     tl = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie/timeline")
@@ -196,18 +226,32 @@ def _resolve_groups(
     if not completed:
         raise ValueError(f"no completed commits in the Hudi timeline at {path}")
 
-    jvm, fs = _jfs(spark, path)
-    root = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    loc = localfs.local_root(path)
+    if loc is not None:
+        root = loc
 
-    def walk(p):
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
-            name = st.getPath().getName()
-            if st.isDirectory():
-                if name == ".hoodie":
-                    continue
-                yield from walk(str(st.getPath().toUri().getPath()))
-            else:
-                yield str(st.getPath().toUri().getPath())
+        def walk(p):
+            for entry in sorted(os.scandir(p), key=lambda e: e.path):
+                if entry.is_dir():
+                    if entry.name == ".hoodie":
+                        continue
+                    yield from walk(entry.path)
+                else:
+                    yield entry.path
+
+    else:
+        jvm, fs = _jfs(spark, path)
+        root = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+
+        def walk(p):
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
+                name = st.getPath().getName()
+                if st.isDirectory():
+                    if name == ".hoodie":
+                        continue
+                    yield from walk(str(st.getPath().toUri().getPath()))
+                else:
+                    yield str(st.getPath().toUri().getPath())
 
     # (partition relpath, fileId) -> (instant, full path): latest valid
     # slice per file group

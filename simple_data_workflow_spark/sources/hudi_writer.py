@@ -39,6 +39,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simple_data_workflow_spark.sources import localfs
 from simple_data_workflow_spark.sources.delta_reader import _jfs
 from simple_data_workflow_spark.sources.hudi_reader import (
     hudi_snapshot_files,
@@ -68,16 +69,24 @@ def _next_instant(spark: SparkSession, path: str) -> str:
     "...12001" < "...12999"), silently corrupting instant-ordered time
     travel — and the result bumps past the timeline MAX, not just past
     collisions."""
-    jvm, fs = _jfs(spark, path)
-    existing = set()
-    hd = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie")
-    if fs.exists(hd):
-        import re
+    import re
 
-        for st in fs.listStatus(hd):
-            m = re.match(r"^(\d+)\.", st.getPath().getName())
-            if m:
-                existing.add(m.group(1))
+    loc = localfs.local_root(path)
+    if loc is not None:
+        names = localfs.list_names(f"{loc}/.hoodie")
+    else:
+        jvm, fs = _jfs(spark, path)
+        hd = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie")
+        names = (
+            [st.getPath().getName() for st in fs.listStatus(hd)]
+            if fs.exists(hd)
+            else []
+        )
+    existing = set()
+    for n in names:
+        m = re.match(r"^(\d+)\.", n)
+        if m:
+            existing.add(m.group(1))
     now = time.time()
     t = time.strftime(
         "%Y%m%d%H%M%S", time.localtime(now)
@@ -91,6 +100,11 @@ def _next_instant(spark: SparkSession, path: str) -> str:
 def _publish_instant_if_absent(
     spark: SparkSession, path: str, name: str, body: str
 ) -> bool:
+    loc = localfs.local_root(path)
+    if loc is not None:
+        return localfs.write_if_absent(
+            f"{loc}/.hoodie/{name}", body.encode("utf-8")
+        )
     jvm, fs = _jfs(spark, path)
     hd = f"{path}/.hoodie"
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(hd))

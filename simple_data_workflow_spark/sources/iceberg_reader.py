@@ -57,6 +57,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from simple_data_workflow_spark.sources import localfs
 from simple_data_workflow_spark.sources.delta_reader import (
     _cmp_path,
     _jfs,
@@ -79,6 +80,17 @@ class IcebergFeatureUnsupported(NotImplementedError):
 
 
 def _list_metadata_files(spark: SparkSession, path: str) -> list[str]:
+    loc = localfs.local_root(path)
+    if loc is not None:
+        import os as _os
+
+        if not _os.path.isdir(f"{loc}/metadata"):
+            raise FileNotFoundError(f"no metadata/ directory under {path}")
+        return [
+            n
+            for n in localfs.list_names(f"{loc}/metadata")
+            if n.endswith(".metadata.json")
+        ]
     jvm, fs = _jfs(spark, path)
     md_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/metadata")
     if not fs.exists(md_dir):
@@ -101,13 +113,22 @@ def load_table_metadata(spark: SparkSession, path: str) -> dict:
     """Parse the CURRENT table metadata JSON: ``version-hint.text``
     names it when present (the HadoopTables convention); otherwise the
     highest-versioned ``*.metadata.json`` wins."""
-    jvm, fs = _jfs(spark, path)
-    hint = jvm.org.apache.hadoop.fs.Path(f"{path}/metadata/version-hint.text")
+    loc = localfs.local_root(path)
+    if loc is not None:
+        import os as _os
+
+        hint_exists = _os.path.exists(f"{loc}/metadata/version-hint.text")
+    else:
+        jvm, fs = _jfs(spark, path)
+        hint = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/metadata/version-hint.text"
+        )
+        hint_exists = fs.exists(hint)
     names = _list_metadata_files(spark, path)
     if not names:
         raise FileNotFoundError(f"no *.metadata.json under {path}/metadata")
     chosen = None
-    if fs.exists(hint):
+    if hint_exists:
         v = int(
             _read_bytes(spark, f"{path}/metadata/version-hint.text")
             .decode()

@@ -58,6 +58,7 @@ from simple_data_workflow_spark.sources.iceberg_reader import (
     _local_path,
     load_table_metadata,
 )
+from simple_data_workflow_spark.sources import localfs
 from simple_data_workflow_spark.sources.delta_reader import _jfs
 
 
@@ -540,23 +541,59 @@ def _stage_data_files(
         sh = f"__icepart_{c}"
         df = df.withColumn(sh, F.col(c))
         shadows.append(sh)
-    staging = f"{path}/.staging-{uuid.uuid4().hex}"
+    stage_id = uuid.uuid4().hex
+    staging = f"{path}/.staging-{stage_id}"
     writer = df.write.mode("overwrite")
     if shadows:
         writer = writer.partitionBy(*shadows)
     writer.parquet(staging)
 
-    def walk(p):
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
-            if st.isDirectory():
-                yield from walk(str(st.getPath().toUri().getPath()))
-            else:
-                yield st
+    loc = localfs.local_root(path)
+    if loc is not None:
+        import os as _os
 
-    staging_local = jvm.org.apache.hadoop.fs.Path(staging).toUri().getPath()
+        staging_local = f"{loc}/.staging-{stage_id}"
+
+        def walk(p):
+            for entry in sorted(_os.scandir(p), key=lambda e: e.path):
+                if entry.is_dir():
+                    yield from walk(entry.path)
+                else:
+                    yield entry.path, entry.stat().st_size
+
+        def move(full, dest):
+            _os.makedirs(dest.rsplit("/", 1)[0], exist_ok=True)
+            _os.rename(full, dest)
+
+        entries = list(walk(staging_local))
+        table_root = loc
+        cleanup = lambda: localfs.delete(staging_local, recursive=True)  # noqa: E731
+    else:
+
+        def jwalk(p):
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
+                if st.isDirectory():
+                    yield from jwalk(str(st.getPath().toUri().getPath()))
+                else:
+                    yield str(st.getPath().toUri().getPath()), int(st.getLen())
+
+        def move(full, dest):
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest.rsplit("/", 1)[0]))
+            if not fs.rename(
+                jvm.org.apache.hadoop.fs.Path(full),
+                jvm.org.apache.hadoop.fs.Path(dest),
+            ):
+                raise IOError(
+                    f"failed to move staged file into table: {dest}"
+                )
+
+        staging_local = jvm.org.apache.hadoop.fs.Path(staging).toUri().getPath()
+        entries = list(jwalk(staging))
+        table_root = path
+        cleanup = lambda: fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)  # noqa: E731
+
     files = []
-    for st in walk(staging):
-        full = str(st.getPath().toUri().getPath())
+    for full, flen in entries:
         name = full.rsplit("/", 1)[1]
         if not name.endswith(".parquet"):
             continue
@@ -575,14 +612,8 @@ def _stage_data_files(
             else:
                 clean_segs.append(seg)
         dest_rel = "/".join(["data", *clean_segs, name])
-        dest = f"{path}/{dest_rel}"
-        parent = dest.rsplit("/", 1)[0]
-        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(parent))
-        if not fs.rename(
-            jvm.org.apache.hadoop.fs.Path(full),
-            jvm.org.apache.hadoop.fs.Path(dest),
-        ):
-            raise IOError(f"failed to move staged file into table: {rel}")
+        dest = f"{table_root}/{dest_rel}"
+        move(full, dest)
         try:
             import pyarrow.parquet as pq
 
@@ -591,13 +622,15 @@ def _stage_data_files(
             nrec = df.sparkSession.read.parquet(dest).count()
         files.append(
             {
-                "path": dest,
-                "size": int(st.getLen()),
+                # manifests record the path under the TABLE ROOT as the
+                # caller spelled it (scheme preserved on remote roots)
+                "path": f"{path}/{dest_rel}" if loc is not None else dest,
+                "size": int(flen),
                 "record_count": int(nrec),
                 "partition_values": pv,
             }
         )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    cleanup()
     return files
 
 
@@ -612,6 +645,16 @@ def _publish_metadata_if_absent(
     """HadoopTables convention: ``metadata/v<N>.metadata.json`` is the
     commit point — publish if-absent (hard link on local FS, rename
     elsewhere), then best-effort update ``version-hint.text``."""
+    loc = localfs.local_root(path)
+    if loc is not None:
+        won = localfs.write_if_absent(
+            f"{loc}/metadata/v{version}.metadata.json", body.encode("utf-8")
+        )
+        if won:
+            localfs.write_bytes(
+                f"{loc}/metadata/version-hint.text", str(version).encode()
+            )
+        return won
     jvm, fs = _jfs(spark, path)
     md = f"{path}/metadata"
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(md))

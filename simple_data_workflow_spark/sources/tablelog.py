@@ -58,6 +58,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from simple_data_workflow_spark.sources import localfs
+
 #: a full-state checkpoint is written after every Nth commit; snapshot
 #: resolution then reads 1 checkpoint + at most N-1 tail entries.
 #: per-file Bloom-filter index sizing. The DEFAULT is AUTO (spec
@@ -382,13 +384,17 @@ def _fs(spark: SparkSession, path: str):
 
 def _list_log(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
     """(entry versions, checkpoint versions), each sorted ascending."""
-    jvm, fs = _fs(spark, path)
-    log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_log")
-    if not fs.exists(log_dir):
-        return [], []
+    loc = localfs.local_root(path)
+    if loc is not None:
+        names = localfs.list_names(f"{loc}/_log")
+    else:
+        jvm, fs = _fs(spark, path)
+        log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_log")
+        if not fs.exists(log_dir):
+            return [], []
+        names = [st.getPath().getName() for st in fs.listStatus(log_dir)]
     entries, cps = [], []
-    for st in fs.listStatus(log_dir):
-        name = st.getPath().getName()
+    for name in names:
         if name.startswith("."):
             continue
         if name.endswith(".checkpoint.json"):
@@ -399,6 +405,9 @@ def _list_log(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
 
 
 def _read_json(spark: SparkSession, path: str, name: str) -> dict:
+    loc = localfs.local_root(path)
+    if loc is not None:
+        return json.loads(localfs.read_bytes(f"{loc}/_log/{name}"))
     jvm, fs = _fs(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{name}")
     stream = fs.open(p)
@@ -425,6 +434,11 @@ def _write_json_if_absent(
     an existing destination, so the fallback is safe there too — the
     documented best-effort caveat is object stores without an if-absent
     primitive, same one the real formats carry)."""
+    loc = localfs.local_root(path)
+    if loc is not None:
+        return localfs.write_if_absent(
+            f"{loc}/_log/{name}", json.dumps(payload).encode("utf-8")
+        )
     jvm, fs = _fs(spark, path)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/_log"))
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/.tmp-{uuid.uuid4().hex}.json")
@@ -643,13 +657,25 @@ def _stage_data_files(df: DataFrame, path: str, writer=None) -> list[str]:
     parquet part to a uuid name directly under ``data/``, return the
     names. Files stay invisible until a log entry references them."""
     spark = df.sparkSession
-    jvm, fs = _fs(spark, path)
-    staging = f"{path}/data/.stage-{uuid.uuid4().hex}"
+    stage_id = uuid.uuid4().hex
+    staging = f"{path}/data/.stage-{stage_id}"
     if writer is not None:
         writer(df, staging)
     else:
         df.write.mode("overwrite").parquet(staging)
+    loc = localfs.local_root(path)
     files = []
+    if loc is not None:
+        staging_loc = f"{loc}/data/.stage-{stage_id}"
+        for name in sorted(localfs.list_names(staging_loc)):
+            if not name.endswith(".parquet"):
+                continue
+            final = f"{uuid.uuid4().hex}.parquet"
+            os.rename(f"{staging_loc}/{name}", f"{loc}/data/{final}")
+            files.append(final)
+        localfs.delete(staging_loc, recursive=True)
+        return files
+    jvm, fs = _fs(spark, path)
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
         name = st.getPath().getName()
         if not name.endswith(".parquet"):
