@@ -1197,6 +1197,12 @@ def fuzzy_pairs(
     # sf0.1 customer). A pair CAN meet under several shared variants
     # (equal strings share all), so the distinct itself must stay —
     # unlike the LSH probe masks, uniqueness is not structural here.
+    # the verify is levenshtein WITH the threshold argument: the banded
+    # O(d·n) DP instead of the full O(n²) table, returning -1 past the
+    # bound — for every surviving row (true distance ≤ d) the value IS
+    # the exact distance, so results are unchanged while each candidate
+    # pays ~d/n of the verify cost (measured 23 → 15.5 s on the sf0.1
+    # d=2 customer bench, identical 4.08M output rows).
     return (
         a.join(
             b,
@@ -1205,9 +1211,9 @@ def fuzzy_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.levenshtein(F.col("a.__s"), F.col("b.__s")).alias("dist"),
+            F.levenshtein(F.col("a.__s"), F.col("b.__s"), max_edit).alias("dist"),
         )
-        .where(F.col("dist") <= max_edit)
+        .where(F.col("dist") >= 0)
         .distinct()
     )
 
