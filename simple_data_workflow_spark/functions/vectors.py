@@ -61,6 +61,9 @@ def cosine_pd():
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        from simple_data_workflow_spark.blasctl import pin_worker_blas
+
+        pin_worker_blas()
         A, B = _stack(a), _stack(b)
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
@@ -76,6 +79,9 @@ def hyperplane_bucket_pd(planes):
 
     @pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
+        from simple_data_workflow_spark.blasctl import pin_worker_blas
+
+        pin_worker_blas()
         V = _stack(v)
         bits = (V @ P.T) > 0
         return pd.Series((bits @ powers).astype("int64"))
@@ -91,6 +97,9 @@ def nearest_centroids_pd(centroids, n_assign: int):
 
     @pandas_udf("array<int>")
     def _assign(v: pd.Series) -> pd.Series:
+        from simple_data_workflow_spark.blasctl import pin_worker_blas
+
+        pin_worker_blas()
         V = _stack(v)
         d2 = (V**2).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + c2
         idx = np.argsort(d2, axis=1, kind="stable")[:, :n_assign]

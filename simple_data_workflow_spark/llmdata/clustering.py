@@ -38,6 +38,9 @@ def _assign_udf(centroids: np.ndarray):
 
     @pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
+        from simple_data_workflow_spark.blasctl import pin_worker_blas
+
+        pin_worker_blas()
         X = np.asarray(list(vs), dtype=np.float64)
         # ||x-c||² = ||x||² − 2x·c + ||c||²; ||x||² constant per row
         d = -2.0 * X @ C.T + (C * C).sum(axis=1)[None, :]
@@ -83,6 +86,9 @@ def kmeans_fit(
         C_iter = C.copy()
 
         def partials(batches, C_iter=C_iter):
+            from simple_data_workflow_spark.blasctl import pin_worker_blas
+
+            pin_worker_blas()
             S = np.zeros((k_n, dim))
             N = np.zeros(k_n, dtype=np.int64)
             for pdf in batches:

@@ -487,11 +487,19 @@ def fit_pq_codebooks(
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
 
+    from simple_data_workflow_spark.blasctl import blas_threads
+
     def _fit(i: int) -> list:
         return _kmeans_np(X[:, i * sub : (i + 1) * sub], k_codes, seed=seed + i).tolist()
 
-    with ThreadPoolExecutor(max_workers=min(m, _os.cpu_count() or 4)) as pool:
-        return list(pool.map(_fit, range(m)))
+    # pin OpenBLAS to one thread for the fits: these GEMMs are tiny
+    # (sample × dim/m), so a core-count BLAS pool pays more in dispatch
+    # + spin-wait than the multiply costs — measured 4-20× slower and
+    # wildly variable (4-45 s vs a consistent ~1-2 s for the m=16
+    # shape). Bit-identical results (see blasctl); restored on exit.
+    with blas_threads(1):
+        with ThreadPoolExecutor(max_workers=min(m, _os.cpu_count() or 4)) as pool:
+            return list(pool.map(_fit, range(m)))
 
 
 def pq_encode(
@@ -513,6 +521,9 @@ def pq_encode(
 
     @pandas_udf("array<int>")
     def encode(vs: pd.Series) -> pd.Series:
+        from simple_data_workflow_spark.blasctl import pin_worker_blas
+
+        pin_worker_blas()
         X = np.asarray(list(vs), dtype=np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         out = np.empty((len(X), len(C)), dtype=np.int64)
@@ -569,6 +580,9 @@ def pq_topk(
 
     @pandas_udf("array<double>")
     def lut(vs: pd.Series) -> pd.Series:
+        from simple_data_workflow_spark.blasctl import pin_worker_blas
+
+        pin_worker_blas()
         X = np.asarray(list(vs), dtype=np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         out = np.empty((len(X), m * k_codes), dtype=np.float64)

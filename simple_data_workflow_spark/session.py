@@ -59,6 +59,14 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment — keep going
+    # the driver's numpy work is many SMALL seeded fits (PQ codebooks,
+    # coarse quantizers) where a core-count OpenBLAS pool is 4-20x
+    # slower than one thread and wildly variable (see blasctl) — pin
+    # it; results are bit-identical, env-overridable for deployments
+    # whose driver hosts large solo solves
+    from simple_data_workflow_spark import blasctl
+
+    blasctl.set_threads(int(os.environ.get("SDW_DRIVER_BLAS_THREADS", "1")))
     return spark
 
 
