@@ -1172,16 +1172,10 @@ def fuzzy_pairs(
     # the join key is xxhash64(variant), not the variant string: the
     # exploded side shuffles 8 bytes per candidate key instead of a
     # near-full-length string (guide §2.3 — shuffle keys, not payloads).
-    # Correctness is unchanged: any true ≤d pair already meets on a
-    # genuinely shared variant, and a hash COLLISION only adds a
-    # candidate that the exact levenshtein verify then keeps or drops
-    # on its true distance — no false negatives, no surviving false
-    # positives.
     sides = (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("__id"),
-            s.alias("__s"),
             # generators must sit at the top level of a projection, so
             # explode first and hash in the next Project
             F.explode(variants).alias("__v"),
@@ -1189,21 +1183,25 @@ def fuzzy_pairs(
         .withColumn("__v", F.xxhash64("__v"))
     )
     a, b = sides.alias("a"), sides.alias("b")
-    # verify INSIDE the join projection and filter before the dedup:
-    # levenshtein is cheap codegen per candidate row, so running it on
-    # the pre-distinct stream costs nothing extra, while the distinct
-    # then shuffles only true-match rows of (id, id, int) instead of
-    # every candidate with both full strings attached (measured ~2x on
-    # sf0.1 customer). A pair CAN meet under several shared variants
-    # (equal strings share all), so the distinct itself must stay —
-    # unlike the LSH probe masks, uniqueness is not structural here.
-    # the verify is levenshtein WITH the threshold argument: the banded
+    # decide on small rows, attach the payload once (guide §8): the
+    # variant join carries ONLY (id, variant-hash). A pair CAN meet
+    # under several shared variants (equal strings share all; near-dup-
+    # dense columns meet on ~len of them), so the candidate stream is
+    # many times the true pair set (31.7M meets vs 4.08M pairs on the
+    # sf0.1 d=2 customer bench). Deduping the bare (id_a, id_b) pairs
+    # FIRST means the strings join back and the levenshtein verify runs
+    # ONCE per distinct pair instead of once per meet. The re-attach
+    # joins key on the row id — the planner broadcasts the (id, string)
+    # projection when small and falls back to a shuffle keyed on ids
+    # (pair-set-sized, never meet-sized) when it is not.
+    # The verify is levenshtein WITH the threshold argument: the banded
     # O(d·n) DP instead of the full O(n²) table, returning -1 past the
-    # bound — for every surviving row (true distance ≤ d) the value IS
-    # the exact distance, so results are unchanged while each candidate
-    # pays ~d/n of the verify cost (measured 23 → 15.5 s on the sf0.1
-    # d=2 customer bench, identical 4.08M output rows).
-    return (
+    # bound — exact for every surviving row, so a hash COLLISION only
+    # adds a candidate pair the verify then drops: no false negatives,
+    # no surviving false positives. (Restructure measured
+    # 13.0/9.7/10.3 s → 8.0/6.9/5.3 s over three interleaved reps on
+    # the sf0.1 d=2 customer bench, identical 4,083,571 output rows.)
+    cand = (
         a.join(
             b,
             (F.col("a.__v") == F.col("b.__v")) & (F.col("a.__id") < F.col("b.__id")),
@@ -1211,10 +1209,25 @@ def fuzzy_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.levenshtein(F.col("a.__s"), F.col("b.__s"), max_edit).alias("dist"),
+        )
+        .distinct()
+    )
+    names = df.select(F.col(id_col), s.alias("__s"))
+    return (
+        cand.join(
+            names.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            names.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__sa"), F.col("__sb"), max_edit).alias("dist"),
         )
         .where(F.col("dist") >= 0)
-        .distinct()
     )
 
 
