@@ -78,18 +78,27 @@ def build_ivf_index(
         F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
     )
     n_files = files_per_index or max(8, n_lists // 2)
-    clustered = assigned.repartitionByRange(n_files, "list_id").sortWithinPartitions(
-        "list_id"
-    )
-    table_commit(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "list_id long, centroid array<double>",
-        ),
-        f"{path}_centroids",
-        mode="overwrite",
-    )
-    return table_commit(clustered, path, mode="overwrite")
+    # repartitionByRange SAMPLES its input to pick boundaries, which
+    # would run the assign UDF chain twice (sampling pass + write
+    # pass); persist the assigned frame for the build's lifetime so the
+    # corpus is scanned and assigned ONCE (guide §5 — reuse justifies
+    # the cache; in-build only, unpersisted before returning)
+    assigned = assigned.persist()
+    try:
+        clustered = assigned.repartitionByRange(
+            n_files, "list_id"
+        ).sortWithinPartitions("list_id")
+        table_commit(
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "list_id long, centroid array<double>",
+            ),
+            f"{path}_centroids",
+            mode="overwrite",
+        )
+        return table_commit(clustered, path, mode="overwrite")
+    finally:
+        assigned.unpersist()
 
 
 def append_ivf_index(
@@ -135,10 +144,16 @@ def append_ivf_index(
         F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
     )
     n_files = files_per_batch or max(2, len(centroids) // 4)
-    clustered = assigned.repartitionByRange(
-        n_files, "list_id"
-    ).sortWithinPartitions("list_id")
-    return table_commit(clustered, path, mode="append")
+    # same single-assign persist as build_ivf_index: the range sampler
+    # must not re-run the assign UDF over the batch
+    assigned = assigned.persist()
+    try:
+        clustered = assigned.repartitionByRange(
+            n_files, "list_id"
+        ).sortWithinPartitions("list_id")
+        return table_commit(clustered, path, mode="append")
+    finally:
+        assigned.unpersist()
 
 
 def ivf_index_skew(spark: SparkSession, path: str) -> dict:
@@ -302,7 +317,12 @@ def build_pq_index(
             collect_stats=False,  # bounded model rows — never pruned
         )
     codes = pq_encode(df, codebooks, id_col, vec_col, payload_cols=payload)
+    persisted = None
     if n_lists:
+        # the range sampler must not re-run the IVF-assign + PQ-encode
+        # UDF chain over the corpus (same single-pass persist as
+        # build_ivf_index; in-build only, unpersisted before returning)
+        persisted = codes = codes.persist()
         n_files = files_per_index or max(8, n_lists // 2)
         codes = codes.repartitionByRange(
             n_files, "list_id"
@@ -312,15 +332,19 @@ def build_pq_index(
         for s in range(m)
         for c in range(k_codes)
     ]
-    table_commit(
-        spark.createDataFrame(
-            cb_rows, "subspace int, code int, centroid array<double>"
-        ),
-        f"{path}_codebooks",
-        mode="overwrite",
-        collect_stats=False,  # bounded model rows — never pruned
-    )
-    return table_commit(codes, path, mode="overwrite")
+    try:
+        table_commit(
+            spark.createDataFrame(
+                cb_rows, "subspace int, code int, centroid array<double>"
+            ),
+            f"{path}_codebooks",
+            mode="overwrite",
+            collect_stats=False,  # bounded model rows — never pruned
+        )
+        return table_commit(codes, path, mode="overwrite")
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def read_pq_codebooks(spark: SparkSession, path: str) -> list:
