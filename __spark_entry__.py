@@ -7119,9 +7119,14 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     total characters instead of the oracle's n² cross join."""
     tune(spark)
     cust = _t(spark, sf_dir, "customer")
+    # no output orderBy: the correctness gate hashes order-insensitively
+    # and nothing else consumes row order, so the global range sort of
+    # the (large) pair set was pure presentational cost (guide §2.4 —
+    # "an orderBy used only to make output deterministic"); the result
+    # MULTISET is unchanged
     return dedup.fuzzy_pairs(
         cust, id_col="c_custkey", text_col="c_name", max_edit=1
-    ).orderBy("id_a", "id_b")
+    )
 
 
 FUZZY_NAME_SQL = """
@@ -7144,9 +7149,12 @@ def fuzzy_edit2_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee: no pair within two edits escapes the variant join."""
     tune(spark)
     cust = _t(spark, sf_dir, "customer")
+    # no output orderBy — same reasoning as fuzzy_name_matches; on the
+    # 4.08M-pair sf0.1 output the sort alone measured ~5-8 s, roughly
+    # DOUBLING the query
     return dedup.fuzzy_pairs(
         cust, id_col="c_custkey", text_col="c_name", max_edit=2
-    ).orderBy("id_a", "id_b")
+    )
 
 
 FUZZY_EDIT2_SQL = """
