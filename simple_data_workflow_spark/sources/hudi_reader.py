@@ -76,10 +76,19 @@ _BASE_FILE_RE = re.compile(
 def load_table_properties(spark: SparkSession, path: str) -> dict:
     """Parse ``.hoodie/hoodie.properties`` (java.util.Properties
     format: ``key=value`` lines, ``#`` comments)."""
-    jvm, fs = _jfs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie/hoodie.properties")
-    if not fs.exists(p):
-        raise FileNotFoundError(f"no .hoodie/hoodie.properties under {path}")
+    loc = localfs.local_root(path)
+    if loc is not None:
+        if not os.path.exists(f"{loc}/.hoodie/hoodie.properties"):
+            raise FileNotFoundError(
+                f"no .hoodie/hoodie.properties under {path}"
+            )
+    else:
+        jvm, fs = _jfs(spark, path)
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie/hoodie.properties")
+        if not fs.exists(p):
+            raise FileNotFoundError(
+                f"no .hoodie/hoodie.properties under {path}"
+            )
     props: dict[str, str] = {}
     raw = _read_bytes(spark, f"{path}/.hoodie/hoodie.properties").decode(
         "utf-8"
@@ -481,6 +490,44 @@ def hudi_table_changes(
     )
 
 
+def _split_merge_min_base() -> int:
+    """Base-bytes threshold above which the MoR merge switches from
+    the single windowed union (cheapest at small scale: one shuffle,
+    no extra jobs) to the split shape (window over log rows only +
+    anti-join on touched keys: no table-sized shuffle — the 100 TB
+    posture). Env override: ``SPARK_GRAFT_HUDI_SPLIT_MERGE_MIN_BASE``
+    (bytes)."""
+    import os as _os
+
+    raw = _os.environ.get("SPARK_GRAFT_HUDI_SPLIT_MERGE_MIN_BASE")
+    if raw is not None:
+        try:
+            return int(raw)
+        except ValueError:
+            pass
+    return 256 * 1024**2
+
+
+def _log_broadcast_cap(spark: SparkSession) -> int:
+    """Raw-log-bytes bound under which the MoR merge broadcasts the
+    touched-key set (removing the base side's exchange entirely).
+    Derived from the driver's memory budget — the broadcast relation is
+    built there — with a 64 MiB ceiling; key rows are a small fraction
+    of raw log bytes, so the guard is conservative. Env override:
+    ``SPARK_GRAFT_HUDI_LOG_BC_CAP`` (bytes)."""
+    import os as _os
+
+    from simple_data_workflow_spark.session import driver_memory_bytes
+
+    raw = _os.environ.get("SPARK_GRAFT_HUDI_LOG_BC_CAP")
+    if raw is not None:
+        try:
+            return int(raw)
+        except ValueError:
+            pass
+    return min(64 * 1024**2, driver_memory_bytes(spark) // 16)
+
+
 def _avro_prim_for(dt) -> str:
     """Spark type → flat Avro primitive (the log codec's domain)."""
     from pyspark.sql import types as T
@@ -612,7 +659,12 @@ def _mor_read(
 
     log_paths = sorted(p for lst in logs.values() for _v, p in lst)
     if not log_paths:
-        all_rows = base_rows
+        # No live logs (freshly compacted table, insert-only MoR): every
+        # base row is already final — record keys are unique within a
+        # file group's base slice (Hudi spec), so the (group, key)
+        # window would shuffle the whole table to pick a winner among
+        # one candidate each. Pass the base scan straight through.
+        merged = base_rows
     else:
         # Spark's file index ignores dot-files, and the spec names log
         # files with a leading dot — stage non-hidden SYMLINKS
@@ -717,14 +769,64 @@ def _mor_read(
             .select("path", "content")
             .mapInPandas(decode, out_schema)
         )
-        all_rows = base_rows.unionByName(log_rows)
-
-    w = Window.partitionBy("__group", "__key").orderBy(
-        F.desc("__instant"), F.desc("__ord")
-    )
-    merged = all_rows.withColumn("__rn", F.row_number().over(w)).where(
-        (F.col("__rn") == 1) & (~F.col("__del"))
-    )
+        # Merge with SMALL rows (guide §8): log records are ∝ edits,
+        # base rows are the whole table. Two Hudi-spec invariants make
+        # the (group, key) winner decidable without co-shuffling base
+        # and log rows: (a) record keys are unique within a file
+        # group's base slice, and (b) every valid log record is
+        # STRICTLY newer than its group's base slice (logs attach only
+        # to the current slice and publish at later instants). So a key
+        # touched by any log record resolves among the LOG rows alone,
+        # and an untouched base row is final as-is.
+        #
+        # Plan choice is SIZE-ADAPTIVE (the same cost logic AQE applies
+        # to join strategies): above ``_SPLIT_MERGE_MIN_BASE`` of base
+        # bytes, windowing base ∪ logs would shuffle the whole table by
+        # (group, key) — instead the window runs over log rows only and
+        # the base scan anti-joins against the touched keys (broadcast
+        # when the raw log bytes fit, removing the base-side exchange
+        # entirely). Below the threshold the single windowed union is
+        # strictly cheaper: the split's extra checkpoint + broadcast
+        # jobs cost more driver round-trips than a small shuffle does.
+        try:
+            base_bytes = sum(
+                _os.path.getsize(p) for _i, p in groups.values()
+            )
+        except OSError:
+            base_bytes = None  # unstattable (object store) → big-data
+        split = base_bytes is None or base_bytes >= _split_merge_min_base()
+        w = Window.partitionBy("__group", "__key").orderBy(
+            F.desc("__instant"), F.desc("__ord")
+        )
+        if split:
+            log_rows = log_rows.localCheckpoint(eager=False)  # decode
+            # once across the window and touched-key subtrees
+            winners = (
+                log_rows.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            touched = log_rows.select("__group", "__key").distinct()
+            try:
+                log_bytes = sum(_os.path.getsize(p) for p in log_paths)
+            except OSError:
+                log_bytes = None
+            if (
+                log_bytes is not None
+                and log_bytes <= _log_broadcast_cap(spark)
+            ):
+                # raw log bytes overestimate the distinct-key
+                # footprint, so this is a conservative broadcast guard
+                touched = F.broadcast(touched)
+            base_kept = base_rows.join(
+                touched, ["__group", "__key"], "left_anti"
+            )
+            merged = base_kept.unionByName(winners.where(~F.col("__del")))
+        else:
+            all_rows = base_rows.unionByName(log_rows)
+            merged = all_rows.withColumn(
+                "__rn", F.row_number().over(w)
+            ).where((F.col("__rn") == 1) & (~F.col("__del")))
     if _provenance:  # internal: the MoR delete/compaction writers need
         # (group, key) + the winning record's true commit time
         return merged.select("__group", "__key", "__commit", *data_cols)

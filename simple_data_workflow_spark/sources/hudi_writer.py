@@ -51,6 +51,16 @@ class HudiConcurrentWrite(RuntimeError):
     """Another writer committed the instant this write targeted."""
 
 
+def _root_local(spark: SparkSession, path: str) -> str:
+    """Plain-local path of the table root — ``os`` for scheme-less
+    roots, one py4j round trip otherwise."""
+    loc = localfs.local_root(path)
+    if loc is not None:
+        return loc
+    jvm, _fs = _jfs(spark, path)
+    return jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+
+
 _META_COLS = [
     "_hoodie_commit_time",
     "_hoodie_commit_seqno",
@@ -192,8 +202,7 @@ def hudi_write(
 
 def _live_groups(spark: SparkSession, path: str):
     """(partition relpath, fileId) of every live file group."""
-    jvm, _ = _jfs(spark, path)
-    root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    root_local = _root_local(spark, path)
     for f in hudi_snapshot_files(spark, path):
         name = f.rsplit("/", 1)[1]
         fid = name.split("_", 1)[0]
@@ -270,20 +279,41 @@ def _insert_batch(
         writer = writer.partitionBy(*shadows)
     writer.parquet(staging)
 
-    jvm, fs = _jfs(spark, path)
-    staging_local = jvm.org.apache.hadoop.fs.Path(staging).toUri().getPath()
+    # staged-file moves: scheme-less roots go through ``os`` directly
+    # (the walk + per-file rename/mkdirs/marker loop is otherwise 4-6
+    # py4j round trips per staged file — pure driver serial time, the
+    # same local-FS fast path the timeline metadata ops already take);
+    # scheme'd roots keep the Hadoop route byte-for-byte
+    loc = localfs.local_root(path)
+    if loc is not None:
+        import os as _os
 
-    def walk(p):
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
-            if st.isDirectory():
-                yield from walk(str(st.getPath().toUri().getPath()))
-            else:
-                yield st
+        staging_local = localfs.local_root(staging)
+
+        def walk(p):
+            for entry in sorted(_os.scandir(p), key=lambda e: e.path):
+                if entry.is_dir():
+                    yield from walk(entry.path)
+                else:
+                    yield entry.path, entry.stat().st_size
+
+        staged = list(walk(staging_local))
+    else:
+        jvm, fs = _jfs(spark, path)
+        staging_local = jvm.org.apache.hadoop.fs.Path(staging).toUri().getPath()
+
+        def walk(p):
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(p)):
+                if st.isDirectory():
+                    yield from walk(str(st.getPath().toUri().getPath()))
+                else:
+                    yield str(st.getPath().toUri().getPath()), int(st.getLen())
+
+        staged = list(walk(staging))
 
     write_stats: dict[str, list[dict]] = {}
     seq = 0
-    for st in walk(staging):
-        full = str(st.getPath().toUri().getPath())
+    for full, fsize in staged:
         name = full.rsplit("/", 1)[1]
         if not name.endswith(".parquet"):
             continue
@@ -299,41 +329,53 @@ def _insert_batch(
         fid = f"{file_id}-{seq}"
         seq += 1
         new_name = f"{fid}_0-{seq}-0_{instant}.parquet"
-        dest_dir = f"{path}/{part}" if part else path
-        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_dir))
-        dest = f"{dest_dir}/{new_name}"
-        if not fs.rename(
-            jvm.org.apache.hadoop.fs.Path(full),
-            jvm.org.apache.hadoop.fs.Path(dest),
-        ):
-            raise IOError(f"failed to move staged file into table: {rel}")
-        # per-partition marker the Hudi reader stack expects
-        pm = jvm.org.apache.hadoop.fs.Path(
-            f"{dest_dir}/.hoodie_partition_metadata"
-        )
-        if not fs.exists(pm):
-            out = fs.create(pm, False)
-            try:
-                out.write(
-                    (
-                        "#partition metadata\n"
-                        f"commitTime={instant}\n"
-                        f"partitionDepth={len(clean)}\n"
-                    ).encode()
-                )
-            finally:
-                out.close()
+        pm_body = (
+            "#partition metadata\n"
+            f"commitTime={instant}\n"
+            f"partitionDepth={len(clean)}\n"
+        ).encode()
+        if loc is not None:
+            dest_dir = f"{loc}/{part}" if part else loc
+            import os as _os
+
+            _os.makedirs(dest_dir, exist_ok=True)
+            if not localfs.rename(full, f"{dest_dir}/{new_name}"):
+                raise IOError(f"failed to move staged file into table: {rel}")
+            pm = f"{dest_dir}/.hoodie_partition_metadata"
+            if not _os.path.exists(pm):
+                localfs.write_if_absent(pm, pm_body)
+        else:
+            dest_dir = f"{path}/{part}" if part else path
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_dir))
+            dest = f"{dest_dir}/{new_name}"
+            if not fs.rename(
+                jvm.org.apache.hadoop.fs.Path(full),
+                jvm.org.apache.hadoop.fs.Path(dest),
+            ):
+                raise IOError(f"failed to move staged file into table: {rel}")
+            # per-partition marker the Hudi reader stack expects
+            pm = jvm.org.apache.hadoop.fs.Path(
+                f"{dest_dir}/.hoodie_partition_metadata"
+            )
+            if not fs.exists(pm):
+                out = fs.create(pm, False)
+                try:
+                    out.write(pm_body)
+                finally:
+                    out.close()
         write_stats.setdefault(part, []).append(
             {
                 "fileId": fid,
                 "path": f"{part}/{new_name}" if part else new_name,
-                "fileSizeInBytes": int(st.getLen()),
+                "fileSizeInBytes": fsize,
             }
         )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    if loc is not None:
+        localfs.delete(staging_local, recursive=True)
+    else:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
     if not exists:
-        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie"))
         props_body = (
             "#Updated at write time\n"
             "hoodie.table.name=" + path.rstrip("/").rsplit("/", 1)[1] + "\n"
@@ -342,14 +384,22 @@ def _insert_batch(
             "hoodie.table.recordkey.fields=" + ",".join(keys) + "\n"
             "hoodie.table.partition.fields=" + ",".join(partition_by) + "\n"
         )
-        out = fs.create(
-            jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie/hoodie.properties"),
-            True,
-        )
-        try:
-            out.write(props_body.encode())
-        finally:
-            out.close()
+        if loc is not None:
+            localfs.write_bytes(
+                f"{loc}/.hoodie/hoodie.properties", props_body.encode()
+            )
+        else:
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/.hoodie"))
+            out = fs.create(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/.hoodie/hoodie.properties"
+                ),
+                True,
+            )
+            try:
+                out.write(props_body.encode())
+            finally:
+                out.close()
 
     meta = {
         "partitionToWriteStats": write_stats,
@@ -408,8 +458,7 @@ def hudi_upsert(
         raise ValueError(f"record key columns not in source: {missing}")
 
     files = hudi_snapshot_files(spark, path)
-    jvm, _ = _jfs(spark, path)
-    root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    root_local = _root_local(spark, path)
     snap = (
         spark.read.parquet(*files)
         .withColumn("__file", F.col("_metadata.file_path"))
@@ -525,8 +574,7 @@ def _mor_context(spark: SparkSession, path: str):
         f"{part}\x00{fid}": (max((v for v, _p in logs.get((part, fid), [])), default=0) + 1)
         for (part, fid) in groups
     }
-    jvm, _fs = _jfs(spark, path)
-    root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    root_local = _root_local(spark, path)
     return props, keys, groups, logs, next_version, root_local
 
 
@@ -664,18 +712,43 @@ def hudi_delta_upsert(spark: SparkSession, path: str, source: DataFrame) -> str:
     data_fields = [f for f in source.schema.fields]
     schema_json = _avro_log_schema(data_fields)
     key_expr = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
-    src = source.withColumn("__key", key_expr)
+    # source-sized (the changed rows) — LAZY checkpoint materialized by
+    # the count below, so sizing the batch costs no extra job
+    src = source.withColumn("__key", key_expr).localCheckpoint(eager=False)
     keymap = _base_keymap(spark, path, groups)
-    # ONE join, materialized once (source-sized — the changed rows),
-    # then split into updates/inserts without recomputation
-    joined = src.join(keymap, "__key", "left").localCheckpoint(eager=True)
+    n_src = src.count()
+    # key→group attachment (guide §3.2/§8: decide with small rows): the
+    # keymap is TABLE-sized (one row per base record), so joining src
+    # against it plainly shuffles the whole table per edit batch. When
+    # the batch is bounded, semi-filter the keymap with a broadcast of
+    # the batch's key set FIRST — the base scan then never exchanges
+    # (broadcast semi), the filtered keymap is edit-sized, and AQE
+    # broadcasts it into the outer join at runtime. Above the cap (edit
+    # batches that rival the table) the plain shuffle join is the right
+    # plan and stays.
+    from simple_data_workflow_spark.session import driver_memory_bytes
+
+    bc_cap = min(64 * 1024**2, driver_memory_bytes(spark) // 16)
+    if n_src * 64 <= bc_cap:  # ~64 B per broadcast key string
+        keymap = keymap.join(
+            F.broadcast(src.select("__key").distinct()), "__key", "left_semi"
+        )
+    # ONE join, checkpointed lazily: the single fused gate aggregate
+    # below materializes it AND sizes both splits — replacing the
+    # previous eager-materialize + matched.limit(1).count() +
+    # inserts.limit(1).count() (three separate jobs) with one
+    joined = src.join(keymap, "__key", "left").localCheckpoint(eager=False)
+    gate = joined.agg(
+        F.count("__group").alias("m"), F.count(F.lit(1)).alias("t")
+    ).first()
+    n_matched, n_total = int(gate["m"]), int(gate["t"])
     matched = joined.where(F.col("__group").isNotNull())
     inserts = joined.where(F.col("__group").isNull()).drop(
         "__key", "__group", "__part", "__fid", "__binstant"
     )
     last_instant = None
 
-    if matched.limit(1).count() > 0:
+    if n_matched > 0:
         instant = _next_instant(spark, path)
         data_cols = [f.name for f in data_fields]
 
@@ -706,7 +779,7 @@ def hudi_delta_upsert(spark: SparkSession, path: str, source: DataFrame) -> str:
             make_content,
         ).collect()
         last_instant = _publish_delta(spark, path, instant, stats, "UPSERT")
-    if inserts.limit(1).count() > 0:
+    if n_total - n_matched > 0:
         part_fields = [
             p
             for p in (
@@ -750,13 +823,15 @@ def hudi_delta_delete(spark: SparkSession, path: str, predicate: str) -> str:
     )
     view = _mor_read(spark, path, _provenance=True)
     # materialize the hit set once (∝ deleted rows) — the probe and the
-    # per-group log writes reuse it instead of re-merging the table
+    # per-group log writes reuse it instead of re-merging the table;
+    # LAZY checkpoint so the emptiness gate below is also the
+    # materializing action (one job, not two)
     hits = (
         view.where(predicate)
         .select("__group", "__key")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    if hits.limit(1).count() == 0:
+    if hits.count() == 0:
         from simple_data_workflow_spark.sources.hudi_reader import _timeline
 
         commits, replaces = _timeline(spark, path)
@@ -809,8 +884,7 @@ def hudi_compact(spark: SparkSession, path: str) -> str | None:
     logged = {f"{part}\x00{fid}" for (part, fid) in logs}
     if not logged:
         return None
-    jvm, _fs_ = _jfs(spark, path)
-    root_local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+    root_local = _root_local(spark, path)
     instant = _next_instant(spark, path)
 
     view = _mor_read(spark, path, _provenance=True)
