@@ -650,7 +650,19 @@ def cluster_pairs(
     # loop pays O(log diameter) full Spark job round-trips mostly in
     # scheduler latency. Above the cap (the 100 TB posture — pair
     # lists scale with the corpus) nothing changes.
-    cap = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGE_CAP", 4_000_000))
+    # cap derives from the driver's actual memory budget (an edge is
+    # two int64 cells ≈ 16 B plus Arrow/unique/label overhead; heap/2048
+    # keeps the whole labeling pass a small fraction of the heap):
+    # 8 GiB driver → 4M edges (the previously hardcoded value),
+    # 2 GiB → 1M. The env override keeps the knob explicit for
+    # deployments that know better.
+    cap_env = os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGE_CAP")
+    if cap_env is not None:
+        cap = int(cap_env)
+    else:
+        from simple_data_workflow_spark.session import driver_memory_bytes
+
+        cap = driver_memory_bytes(pairs.sparkSession) // 2048
     n_edges = edges.count()  # materializes the checkpoint either way
     if n_edges <= cap:
         return _cluster_pairs_driver(pairs.sparkSession, edges)

@@ -52,6 +52,26 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+def driver_memory_bytes(spark: SparkSession) -> int:
+    """``spark.driver.memory`` as bytes (the budget that bounds every
+    capped driver-side transfer); 1 GiB when unset/unparseable — the
+    JVM default, i.e. the conservative regime."""
+    raw = ""
+    try:
+        raw = (spark.conf.get("spark.driver.memory", "") or "").strip().lower()
+    except Exception:
+        pass
+    m = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    try:
+        if raw and raw[-1] in m:
+            return int(float(raw[:-1]) * m[raw[-1]])
+        if raw:
+            return int(raw)
+    except ValueError:
+        pass
+    return 1024**3
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an existing session (e.g. the driver's)."""
     for k, v in RUNTIME_CONF.items():
@@ -66,7 +86,11 @@ def tune(spark: SparkSession) -> SparkSession:
     # whose driver hosts large solo solves
     from simple_data_workflow_spark import blasctl
 
-    blasctl.set_threads(int(os.environ.get("SDW_DRIVER_BLAS_THREADS", "1")))
+    try:
+        n_blas = int(os.environ.get("SDW_DRIVER_BLAS_THREADS", "1"))
+    except ValueError:
+        n_blas = 1  # malformed env var degrades to the pinned default
+    blasctl.set_threads(n_blas)
     return spark
 
 

@@ -2338,7 +2338,7 @@ def _dv_dml(
 
         sidecars: list[str] = []
         dv_descs: dict[str, dict] = {}  # full data-file path → descriptor
-        exec_side = total_matched > _DV_EXEC_SIDECAR_MIN
+        exec_side = total_matched > _dv_exec_sidecar_min(spark)
         if exec_side:
             # EXECUTOR-SIDE sidecars: each affected file's worker
             # unions its new positions with the file's existing DV
@@ -2614,8 +2614,28 @@ _DV_DELETE_MAX_MATCHED_ROWS = 100_000_000
 # _dv_dml position-path switch: at or below this many matched rows the
 # positions come to the driver as ONE packed Arrow transfer (~8 B/row);
 # above it, executors serialize and write the sidecars themselves and
-# the driver sees one descriptor row per file (flat driver bytes)
-_DV_EXEC_SIDECAR_MIN = 2_000_000
+# the driver sees one descriptor row per file (flat driver bytes).
+# None (default) derives the cap from the driver's memory budget
+# (heap/4096 rows ≈ heap/512 of packed bytes: 8 GiB driver → 2M rows,
+# the previously hardcoded value); tests/deployments may pin a number
+# here or via SPARK_GRAFT_DV_DRIVER_POS_CAP.
+_DV_EXEC_SIDECAR_MIN = None
+
+
+def _dv_exec_sidecar_min(spark) -> int:
+    if _DV_EXEC_SIDECAR_MIN is not None:
+        return _DV_EXEC_SIDECAR_MIN
+    import os as _os
+
+    raw = _os.environ.get("SPARK_GRAFT_DV_DRIVER_POS_CAP")
+    if raw is not None:
+        try:
+            return int(raw)
+        except ValueError:
+            pass
+    from simple_data_workflow_spark.session import driver_memory_bytes
+
+    return driver_memory_bytes(spark) // 4096
 
 
 def _predicate_prune_filters(predicate: str, schema) -> list[tuple]:
@@ -3410,7 +3430,16 @@ def delta_optimize(
                     .drop("__z")
                 )
             else:
-                df = df.coalesce(1)
+                # repartition, NOT coalesce: coalesce(1) pins the whole
+                # upstream (multi-file scan + DV masking) to ONE task —
+                # profiled as this entry's wall and its 8→32-core
+                # anti-scaling; a round-robin shuffle of the (small-file)
+                # group keeps the scan+mask parallel and only the final
+                # write single-task per output file (guide §2.2/§2.5).
+                # Output file count targets ~small_file_bytes like the
+                # zorder branch.
+                gbytes = sum(sizes.get(f, 0) for f in victims)
+                df = df.repartition(max(1, -(-gbytes // small_file_bytes)))
             for c, v in key:
                 lc = logical_of.get(c, c)
                 lit = (

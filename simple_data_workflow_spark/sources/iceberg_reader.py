@@ -603,7 +603,27 @@ def _id_schema(schema: T.StructType, ids: dict[str, int]) -> T.StructType:
 # nothing is collected at all and the scan anti-joins on
 # (file_path, _metadata.row_index) instead, keeping driver memory flat
 # no matter how many rows a snapshot deletes.
-_POS_DELETE_MASK_MAX = 2_000_000
+# None (default) derives the cap from the driver's memory budget
+# (heap/4096 rows ≈ heap/512 of packed bytes: 8 GiB driver → 2M
+# positions, the previously hardcoded value); tests/deployments may pin
+# a number here or via SPARK_GRAFT_POS_DELETE_MASK_CAP.
+_POS_DELETE_MASK_MAX = None
+
+
+def _pos_delete_mask_max(spark) -> int:
+    if _POS_DELETE_MASK_MAX is not None:
+        return _POS_DELETE_MASK_MAX
+    import os as _os
+
+    raw = _os.environ.get("SPARK_GRAFT_POS_DELETE_MASK_CAP")
+    if raw is not None:
+        try:
+            return int(raw)
+        except ValueError:
+            pass
+    from simple_data_workflow_spark.session import driver_memory_bytes
+
+    return driver_memory_bytes(spark) // 4096
 
 
 def _norm_path_col(c):
@@ -679,7 +699,7 @@ def _scan_with_position_deletes(
         return _dv_masked_scan(spark, schema, flist, dv_positions)
     dscan = spark.read.parquet(*sorted(pos_paths)).select("file_path", "pos")
     n_pos = dscan.count()  # metadata-backed: one cheap planning job
-    if n_pos <= _POS_DELETE_MASK_MAX:
+    if n_pos <= _pos_delete_mask_max(spark):
         import numpy as np
         from pyspark.sql import functions as F
 

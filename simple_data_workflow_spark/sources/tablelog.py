@@ -2627,12 +2627,6 @@ def table_delete_where(
     if not state["files"]:  # empty snapshot: DELETE is a no-op
         return state["version"]
     cond = F.expr(condition)
-    touched = _touched_files(
-        spark, path, state["files"], cond, state["schema"], dvs=state["dvs"],
-        cmap=state.get("column_map"),
-    )
-    if not touched:
-        return state["version"]
 
     if mode == "mor":
 
@@ -2656,25 +2650,31 @@ def table_delete_where(
                 [(f.rsplit("/", 1)[-1], f) for f in files],
                 "__sdw_dv_name string, file string",
             )
+            # hit positions feed the staged write AND the per-file
+            # counts — materialize the edit-sized set once (guide §5),
+            # which also makes this one scan BOTH the touched-file
+            # probe and the position harvest (guide §1.2)
             dv_rows = (
                 scan.where(F.coalesce(cond, F.lit(False)))
                 .select("__sdw_dv_name", F.col("__sdw_dv_pos").alias("pos"))
                 .join(F.broadcast(name_to_ref), "__sdw_dv_name")
                 .select("file", "pos")
+                .localCheckpoint(eager=True)
             )
-            dv_files = _stage_data_files(dv_rows, path)
-            # counts from the just-staged sidecars — no recompute
             counts = {
                 r["file"]: int(r["n"])
-                for r in spark.read.schema("file string, pos bigint")
-                .parquet(*[_data_path(path, d) for d in dv_files])
-                .groupBy("file")
+                for r in dv_rows.groupBy("file")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
+            if not counts:
+                return [], {}
+            dv_files = _stage_data_files(dv_rows, path)
             return dv_files, counts
 
-        dv_files, counts = _mark(touched)
+        dv_files, counts = _mark(state["files"])
+        if not counts:  # nothing matched anywhere: DELETE is a no-op
+            return state["version"]
         entry = {
             "action": "dv",
             "dv_add": dv_files,
@@ -2701,6 +2701,13 @@ def table_delete_where(
             ),
             fold=_fold_dv,
         )
+
+    touched = _touched_files(
+        spark, path, state["files"], cond, state["schema"], dvs=state["dvs"],
+        cmap=state.get("column_map"),
+    )
+    if not touched:
+        return state["version"]
 
     def _rewrite(files: list[str]) -> tuple[list[str], dict]:
         survivors = _read_files(
@@ -2765,12 +2772,6 @@ def table_update_where(
     if not state["files"]:  # empty snapshot: UPDATE is a no-op
         return state["version"]
     cond = F.expr(condition)
-    touched = _touched_files(
-        spark, path, state["files"], cond, state["schema"], dvs=state["dvs"],
-        cmap=state.get("column_map"),
-    )
-    if not touched:
-        return state["version"]
     hit = F.coalesce(cond, F.lit(False))
 
     if mode == "mor":
@@ -2791,7 +2792,13 @@ def table_update_where(
                     ["__sdw_dv_name", "__sdw_dv_pos"],
                     "left_anti",
                 )
-            matches = scan.where(hit)
+            # matched rows feed BOTH staged writes (postimages and DV
+            # sidecar rows) and the per-file counts — materialize the
+            # edit-sized set once instead of re-running the
+            # scan + DV-anti-join + predicate per consumer (guide §5)
+            matches = scan.where(hit).localCheckpoint(eager=True)
+            if not matches.take(1):
+                return [], {}, [], {}
             # postimages: every selected row matched, so SET applies
             # unconditionally; cast pins the declared column type
             post = matches.select(
@@ -2807,12 +2814,6 @@ def table_update_where(
             _enforce_constraints(
                 post, state.get("constraints") or {}, path, "UPDATE postimage"
             )
-            added = _stage_data_files(
-                _to_physical(post, state.get("column_map")), path
-            )
-            added_stats = _collect_stats(
-                spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
-            )
             name_to_ref = spark.createDataFrame(
                 [(f.rsplit("/", 1)[-1], f) for f in files],
                 "__sdw_dv_name string, file string",
@@ -2824,18 +2825,38 @@ def table_update_where(
                 .join(F.broadcast(name_to_ref), "__sdw_dv_name")
                 .select("file", "pos")
             )
-            dv_files = _stage_data_files(dv_rows, path)
+            # the two staged writes are independent jobs over the same
+            # cached rows — overlap them (guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                added_fut = pool.submit(
+                    _stage_data_files,
+                    _to_physical(post, state.get("column_map")),
+                    path,
+                )
+                dv_fut = pool.submit(_stage_data_files, dv_rows, path)
+                added = added_fut.result()
+                dv_files = dv_fut.result()
+            added_stats = _collect_stats(
+                spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
+            )
+            # per-file DV counts from the cached rows — no read-back of
+            # the just-written sidecar files
             counts = {
                 r["file"]: int(r["n"])
-                for r in spark.read.schema("file string, pos bigint")
-                .parquet(*[_data_path(path, d) for d in dv_files])
-                .groupBy("file")
+                for r in dv_rows.groupBy("file")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
             return dv_files, counts, added, added_stats
 
-        dv_files, counts, added, added_stats = _mor(touched)
+        # fused probe+mark (guide §1.2): the checkpointed matches over
+        # the whole snapshot IS the probe — one predicate-pushed scan
+        # instead of a name-only probe plus a re-scan of touched files
+        dv_files, counts, added, added_stats = _mor(state["files"])
+        if not counts:  # nothing matched anywhere: UPDATE is a no-op
+            return state["version"]
         entry = {
             "action": "dv",
             "dv_add": dv_files,
@@ -2866,6 +2887,13 @@ def table_update_where(
             ),
             fold=_fold_mor,
         )
+
+    touched = _touched_files(
+        spark, path, state["files"], cond, state["schema"], dvs=state["dvs"],
+        cmap=state.get("column_map"),
+    )
+    if not touched:
+        return state["version"]
 
     def _rewrite(files: list[str]) -> tuple[list[str], dict]:
         snap = _read_files(
@@ -3056,7 +3084,7 @@ def table_merge_upsert(
         # insert-only — no files to probe (a zero-path parquet read
         # would throw), the batch commits as the whole new content
         touched: list[str] = []
-    else:
+    elif mode != "mor":
         touched = _colliding(state["files"])
 
     if mode == "mor":
@@ -3075,12 +3103,56 @@ def table_merge_upsert(
         _enforce_constraints(
             post, state.get("constraints") or {}, path, "MERGE batch"
         )
-        added = _stage_data_files(
-            _to_physical(post, state.get("column_map")), path
-        )
-        added_stats = _collect_stats(
-            spark, path, added, partition_cols=state.get("partition_by"), bloom=state.get("bloom"), cmap=state.get("column_map")
-        )
+
+        def _stage_batch():
+            added = _stage_data_files(
+                _to_physical(post, state.get("column_map")), path
+            )
+            return added, _collect_stats(
+                spark, path, added,
+                partition_cols=state.get("partition_by"),
+                bloom=state.get("bloom"), cmap=state.get("column_map"),
+            )
+
+        def _collide_rows():
+            """ONE scan yields both the touched-file set and the DV
+            positions — previously a name-only probe pass plus a
+            second positions pass over the same files (guide §1.2)."""
+            if not state["files"]:
+                return None, []
+            scan = _scan_with_pos(
+                spark, path, state["files"], state["schema"],
+                cmap=state.get("column_map"),
+            )
+            if state["dvs"]:
+                scan = scan.join(
+                    _dv_frame(spark, path, state["dvs"]),
+                    ["__sdw_dv_name", "__sdw_dv_pos"],
+                    "left_anti",
+                )
+            rows = (
+                scan.join(F.broadcast(keys), key, "left_semi")
+                .select(
+                    "__sdw_dv_name", F.col("__sdw_dv_pos").alias("pos")
+                )
+                .localCheckpoint(eager=True)  # ∝ colliding rows
+            )
+            names = {
+                r["__sdw_dv_name"]
+                for r in rows.select("__sdw_dv_name").distinct().collect()
+            }
+            by_name = {f.rsplit("/", 1)[-1]: f for f in state["files"]}
+            return rows, sorted(by_name[n] for n in names)
+
+        # the batch write and the collide probe are independent jobs —
+        # overlap them (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            batch_fut = pool.submit(_stage_batch)
+            rows_fut = pool.submit(_collide_rows)
+            added, added_stats = batch_fut.result()
+            crows, touched = rows_fut.result()
 
         def _mark_colliding(
             files: list[str], dvs: list[str]
@@ -3121,7 +3193,21 @@ def table_merge_upsert(
             return dv_files, counts
 
         if touched:
-            dv_files, counts = _mark_colliding(touched, state["dvs"])
+            name_to_ref = spark.createDataFrame(
+                [(f.rsplit("/", 1)[-1], f) for f in touched],
+                "__sdw_dv_name string, file string",
+            )
+            dv_rows = (
+                crows.join(F.broadcast(name_to_ref), "__sdw_dv_name")
+                .select("file", "pos")
+            )
+            dv_files = _stage_data_files(dv_rows, path)
+            counts = {
+                r["file"]: int(r["n"])
+                for r in dv_rows.groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         else:
             dv_files, counts = [], {}
         entry = {
