@@ -7016,14 +7016,26 @@ def pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="sdw-pqidx-") + "/idx"
     build_pq_index(emb, path, m=16, n_lists=16)
     q = emb.where(F.col("vec_id") % 50 == 0)
+    # persisted for the query's lifetime: the recall assertion collects
+    # the search once and the RETURNED frame re-reads the cache instead
+    # of re-running the whole index scan + ADC + re-rank (guide §5 —
+    # reuse justifies the cache; same entry-level posture as
+    # semdedup_kmeans, cleared by the caller's clearCache)
     out = pq_index_search(
         spark, path, q, k=5, n_probe=8, rerank=max(50, n // 10), corpus=emb
-    )
-    exact = {
-        (r["query_id"], r["neighbor_id"])
-        for r in similarity.brute_force_topk(q, emb, k=5).collect()
-    }
-    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    ).persist()
+    # the brute-force twin and the indexed search are independent jobs —
+    # collect them on two threads so neither waits on the other's tail
+    # (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        exact_fut = pool.submit(
+            lambda: similarity.brute_force_topk(q, emb, k=5).collect()
+        )
+        got_fut = pool.submit(out.collect)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in exact_fut.result()}
+        got = {(r["query_id"], r["neighbor_id"]) for r in got_fut.result()}
     assert len(got & exact) / max(len(exact), 1) >= 0.8
     return out.orderBy("query_id", "rank")
 
@@ -7100,7 +7112,12 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.punct_ratio(F.col("text")).alias("punct_r"),
         F.log1p(text.token_count(F.col("text"))).alias("log_toks"),
         (F.length("text") > 400).cast("double").alias("label"),
-    )
+    ).persist()
+    # the string-heavy feature projection is scanned by every one of
+    # the 8 IRLS aggregates AND the final scoring pass — persist it
+    # once (doc_id + 4 doubles, far smaller than the text it derives
+    # from; guide §5 reuse-justifies-cache, entry-level like
+    # semdedup_kmeans, cleared by the caller's clearCache)
     beta = train_logreg(
         feats, ["stop_r", "punct_r", "log_toks"], "label", iters=8
     )

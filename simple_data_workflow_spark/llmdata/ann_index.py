@@ -294,14 +294,35 @@ def build_pq_index(
     )
 
     spark = df.sparkSession
-    codebooks = fit_pq_codebooks(
-        df, vec_col=vec_col, m=m, k_codes=k_codes, seed=seed, sample=sample
-    )
     payload: list = []
     if n_lists:
-        centroids = fit_ivf_centroids(
-            df, vec_col=vec_col, n_lists=n_lists, seed=seed
-        )
+        # the PQ codebook fit (one bounded collect + driver numpy) and
+        # the IVF coarse-quantizer fit (seeded MLlib jobs) are
+        # INDEPENDENT — run them on two threads so the driver-side
+        # numpy time overlaps the cluster-side MLlib time (guide §2.6
+        # — overlap independent jobs). Each fit's inputs and seeds are
+        # exactly the serial path's, so both results are bit-identical.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            cb_fut = pool.submit(
+                fit_pq_codebooks,
+                df,
+                vec_col=vec_col,
+                m=m,
+                k_codes=k_codes,
+                seed=seed,
+                sample=sample,
+            )
+            iv_fut = pool.submit(
+                fit_ivf_centroids,
+                df,
+                vec_col=vec_col,
+                n_lists=n_lists,
+                seed=seed,
+            )
+            codebooks = cb_fut.result()
+            centroids = iv_fut.result()
         assign1 = nearest_centroids_pd(centroids, 1)
         df = df.withColumn(
             "list_id", F.element_at(assign1(F.col(vec_col)), 1)
@@ -315,6 +336,11 @@ def build_pq_index(
             f"{path}_centroids",
             mode="overwrite",
             collect_stats=False,  # bounded model rows — never pruned
+        )
+    else:
+        codebooks = fit_pq_codebooks(
+            df, vec_col=vec_col, m=m, k_codes=k_codes, seed=seed,
+            sample=sample,
         )
     codes = pq_encode(df, codebooks, id_col, vec_col, payload_cols=payload)
     persisted = None
