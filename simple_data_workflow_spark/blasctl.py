@@ -48,24 +48,48 @@ def _resolve():
             os.path.join(np_dir, "..", "numpy.libs"),
             os.path.join(np_dir, ".libs"),
         )
+        candidates = []
         for root in roots:
-            for cand in sorted(glob.glob(os.path.join(root, "libopenblas*.so*"))):
-                try:
-                    lib = ctypes.CDLL(cand)
-                except OSError:
-                    continue
-                for suf in ("64_", "", "_64"):
-                    setter = getattr(lib, "openblas_set_num_threads" + suf, None)
-                    getter = getattr(lib, "openblas_get_num_threads" + suf, None)
-                    if setter is not None and getter is not None:
-                        setter.argtypes = [ctypes.c_int]
-                        setter.restype = None
-                        getter.restype = ctypes.c_int
-                        _lib, _set, _get = lib, setter, getter
-                        return _lib
+            candidates.extend(
+                sorted(glob.glob(os.path.join(root, "libopenblas*.so*")))
+            )
+        # distro numpy links a SYSTEM libopenblas outside numpy's wheel
+        # dirs (ADVICE r13) — probe the images already mapped into this
+        # process before giving up, so the pin is not a silent no-op on
+        # non-wheel installs
+        try:
+            with open("/proc/self/maps") as maps:
+                seen = set()
+                for line in maps:
+                    p = line.rstrip("\n").rsplit(" ", 1)[-1]
+                    if "libopenblas" in p and p not in seen:
+                        seen.add(p)
+                        candidates.append(p)
+        except OSError:
+            pass
+        candidates.append("libopenblas.so.0")  # loader default as last resort
+        for cand in candidates:
+            try:
+                lib = ctypes.CDLL(cand)
+            except OSError:
+                continue
+            for suf in ("64_", "", "_64"):
+                setter = getattr(lib, "openblas_set_num_threads" + suf, None)
+                getter = getattr(lib, "openblas_get_num_threads" + suf, None)
+                if setter is not None and getter is not None:
+                    setter.argtypes = [ctypes.c_int]
+                    setter.restype = None
+                    getter.restype = ctypes.c_int
+                    _lib, _set, _get = lib, setter, getter
+                    return _lib
     except Exception:
         pass
     _lib = False
+    import logging
+
+    logging.getLogger(__name__).info(
+        "blasctl: no controllable OpenBLAS found — thread pinning is a no-op"
+    )
     return _lib
 
 

@@ -1127,6 +1127,12 @@ def fuzzy_pairs(
     under several shared variants — e.g. equal strings meet on every
     deletion — so this dedup is NOT structural, unlike the LSH probe
     masks).
+
+    ``id_col`` must be a UNIQUE key of ``df`` (every caller passes a
+    primary key). Pairs are deduped on bare ids BEFORE the strings
+    re-attach by id; a duplicated id would re-multiply the joined-back
+    strings and emit one row per copy, violating the distinct
+    guarantee above.
     """
     if max_edit not in (1, 2):
         raise NotImplementedError(

@@ -1235,23 +1235,13 @@ def _live_lineage_scan(
     return out, data, schema
 
 
-def _stage_position_deletes(
-    spark: SparkSession,
-    path: str,
-    matches: DataFrame,
-    files: list[str],
-) -> list[dict]:
-    """Stage spec-shaped POSITION-DELETE parquet files for ``matches``
-    (a DataFrame carrying ``__fp``/``__ri`` lineage columns): the
-    normalized scan paths map back to the manifest's own spelling
-    through a metadata-sized broadcast, rows sort by path then
-    position, and the reserved delete-file field ids stamp into the
-    footers. Returns the staged file dicts (empty when nothing
-    matched); zero-row task files are dropped."""
-    import pyarrow.parquet as pq
-
+def _position_delete_frame(
+    spark: SparkSession, matches: DataFrame, files: list[str]
+) -> DataFrame:
+    """The staged position-delete frame (``file_path``, ``pos``) —
+    split out of :func:`_stage_position_deletes` so evidence tooling
+    can ``explain`` exactly the plan the staging write executes."""
     from simple_data_workflow_spark.sources.delta_reader import (
-        _cmp_path,
         _scan_spelling,
     )
 
@@ -1264,7 +1254,7 @@ def _stage_position_deletes(
         loc = _local_path(f)  # manifest spelling = on-disk literal
         key_rows[loc] = f
         key_rows[_scan_spelling(loc)] = f
-    rows = (
+    return (
         matches.join(
             F.broadcast(
                 spark.createDataFrame(
@@ -1283,6 +1273,24 @@ def _stage_position_deletes(
         .repartition(F.col("file_path"))
         .sortWithinPartitions("file_path", "pos")
     )
+
+
+def _stage_position_deletes(
+    spark: SparkSession,
+    path: str,
+    matches: DataFrame,
+    files: list[str],
+) -> list[dict]:
+    """Stage spec-shaped POSITION-DELETE parquet files for ``matches``
+    (a DataFrame carrying ``__fp``/``__ri`` lineage columns): the
+    normalized scan paths map back to the manifest's own spelling
+    through a metadata-sized broadcast, rows sort by path then
+    position, and the reserved delete-file field ids stamp into the
+    footers. Returns the staged file dicts (empty when nothing
+    matched); zero-row task files are dropped."""
+    import pyarrow.parquet as pq
+
+    rows = _position_delete_frame(spark, matches, files)
     # alias(metadata=...) — DataFrame.to() drops metadata when names
     # and types already match, so it cannot stamp the reserved ids
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
