@@ -225,10 +225,23 @@ def select_by_token_budget(
     """
     toks = F.col(token_col) if token_col else token_count(F.col(text_col))
     score = F.col(score_col) if score_col else F.lit(0.0)
-    base = ensure_parallelism(df).withColumn("__tok", toks.cast("long")).withColumn(
-        "__score", score.cast("double")
+    # three passes need (id, tokens, score) — min/max agg, bucket sums,
+    # the boundary window — and deriving them usually means tokenizing
+    # text, so the NARROW projection checkpoints once (~24 B/row, same
+    # shape as pack_sequences' narrow cache; the first action below
+    # materializes it) and the budget-bounded kept-id set semi-joins
+    # back at the end. Previously all three actions re-tokenized the
+    # corpus (guide §1.2 — don't compute things three times).
+    narrow = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            toks.cast("long").alias("__tok"),
+            score.cast("double").alias("__score"),
+        )
+        .localCheckpoint(eager=False)
     )
-    mn, mx = base.agg(F.min("__score"), F.max("__score")).first()
+    mn, mx = narrow.agg(F.min("__score"), F.max("__score")).first()
     if mn is None:
         return df.limit(0)
     if mn == mx:
@@ -239,7 +252,7 @@ def select_by_token_budget(
             F.width_bucket(F.col("__score"), F.lit(mn), F.lit(mx), F.lit(n_buckets)),
             F.lit(n_buckets),
         )
-    base = base.withColumn("__b", bucket)
+    base = narrow.withColumn("__b", bucket)
     sums = {
         r["__b"]: r["t"]
         for r in base.groupBy("__b").agg(F.sum("__tok").alias("t")).collect()
@@ -255,8 +268,19 @@ def select_by_token_budget(
     if boundary is None:  # everything fits
         return df
     w = Window.partitionBy("__b").orderBy(F.col("__score").desc(), F.col(id_col))
-    kept = base.withColumn("__cum", F.sum("__tok").over(w)).where(
-        (F.col("__b") > F.lit(boundary))
-        | ((F.col("__b") == F.lit(boundary)) & (F.col("__cum") <= F.lit(remaining)))
+    kept_ids = (
+        base.withColumn("__cum", F.sum("__tok").over(w))
+        .where(
+            (F.col("__b") > F.lit(boundary))
+            | (
+                (F.col("__b") == F.lit(boundary))
+                & (F.col("__cum") <= F.lit(remaining))
+            )
+        )
+        .select(id_col)
     )
-    return kept.drop("__tok", "__score", "__b", "__cum")
+    # the kept set is budget-bounded (≤ budget rows even at one token
+    # per doc), so this semi-join broadcasts/AQE-converts rather than
+    # shuffling the corpus; ``id_col`` must be a unique key (same
+    # contract as pack_sequences)
+    return df.join(kept_ids, id_col, "left_semi")
