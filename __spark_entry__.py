@@ -6212,14 +6212,24 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     cbs = similarity.fit_pq_codebooks(emb, m=16)
     codes = similarity.pq_encode(emb, cbs)
+    # persisted for the query's lifetime: the recall assertion collects
+    # the search once and the RETURNED frame re-reads the cache instead
+    # of re-encoding the corpus + re-running ADC + re-rank (guide §5;
+    # same entry-level posture as semdedup_kmeans/pq_index_topk,
+    # cleared by the caller's clearCache). The brute-force twin
+    # collects concurrently (guide §2.6 — independent jobs).
     out = similarity.pq_topk(
         q, codes, cbs, k=5, rerank=max(50, n // 20), corpus=emb
-    )
-    exact = {
-        (r["query_id"], r["neighbor_id"])
-        for r in similarity.brute_force_topk(q, emb, k=5).collect()
-    }
-    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    ).persist()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        exact_fut = pool.submit(
+            lambda: similarity.brute_force_topk(q, emb, k=5).collect()
+        )
+        got_fut = pool.submit(out.collect)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in exact_fut.result()}
+        got = {(r["query_id"], r["neighbor_id"]) for r in got_fut.result()}
     assert len(got & exact) / max(len(exact), 1) >= 0.9
     return out.orderBy("query_id", "rank")
 

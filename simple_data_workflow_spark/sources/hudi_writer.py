@@ -730,9 +730,15 @@ def hudi_delta_upsert(spark: SparkSession, path: str, source: DataFrame) -> str:
 
     bc_cap = min(64 * 1024**2, driver_memory_bytes(spark) // 16)
     if n_src * 64 <= bc_cap:  # ~64 B per broadcast key string
+        # no .distinct() on the broadcast build: duplicate keys cannot
+        # change a left_semi's result and the dedup would cost a
+        # shuffle job inside the broadcast build
         keymap = keymap.join(
-            F.broadcast(src.select("__key").distinct()), "__key", "left_semi"
+            F.broadcast(src.select("__key")), "__key", "left_semi"
         )
+        # the semi-filtered keymap is edit-sized — broadcast it into
+        # the outer join as well, so NEITHER join side exchanges
+        keymap = F.broadcast(keymap)
     # ONE join, checkpointed lazily: the single fused gate aggregate
     # below materializes it AND sizes both splits — replacing the
     # previous eager-materialize + matched.limit(1).count() +
