@@ -2919,18 +2919,28 @@ def iceberg_pos_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap0 = meta["snapshots"][0]
     data_file = _glob.glob(f"{root}/data/*.parquet")[0]
     n_rows = _pq.ParquetFile(data_file).metadata.num_rows
-    dele = spark.createDataFrame(
-        [(data_file, p) for p in range(0, n_rows, 10)],
-        "file_path string, pos long",
-    )
-    dpath = f"{root}/data/pos-deletes.parquet"
-    tmp = dpath + ".__tmp__"
-    dele.coalesce(1).write.parquet(tmp)
-    import shutil as _shutil
+    # the delete rows are driver-generated (positions ≡ 0 mod 10), so
+    # write the one-file fixture with pyarrow directly: the pickled-list
+    # createDataFrame → coalesce(1) → Spark write path costs ~6 s of
+    # pure Python-RDD evaluation for 15k rows (guide §4 — don't route
+    # driver data through the JVM↔Python boundary); file contents are
+    # identical (same two columns, same row order)
+    import pyarrow as _pa
 
-    part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-    _shutil.move(part, dpath)
-    _shutil.rmtree(tmp)
+    positions = list(range(0, n_rows, 10))
+    dpath = f"{root}/data/pos-deletes.parquet"
+    _pq.write_table(
+        _pa.table(
+            {
+                "file_path": _pa.array(
+                    [data_file] * len(positions), _pa.string()
+                ),
+                "pos": _pa.array(positions, _pa.int64()),
+            }
+        ),
+        dpath,
+        compression="snappy",
+    )
     entry_schema = _json.dumps(
         {
             "type": "record",
