@@ -697,7 +697,13 @@ def _scan_with_position_deletes(
     dv_positions = dv_positions or {}
     if not pos_paths:
         return _dv_masked_scan(spark, schema, flist, dv_positions)
-    dscan = spark.read.parquet(*sorted(pos_paths)).select("file_path", "pos")
+    # position-delete files are spec-shaped — fixing the schema skips
+    # the footer-inference job per read
+    dscan = (
+        spark.read.schema("file_path string, pos long")
+        .parquet(*sorted(pos_paths))
+        .select("file_path", "pos")
+    )
     n_pos = dscan.count()  # metadata-backed: one cheap planning job
     if n_pos <= _pos_delete_mask_max(spark):
         import numpy as np

@@ -1189,7 +1189,10 @@ def _live_lineage_scan(
                 sorted(key_rows.items()), "__k string, __fp string"
             )
             dead = (
-                spark.read.parquet(*sorted(pos_paths))
+                # position-delete files are spec-shaped — fixing the
+                # schema skips the footer-inference job per scan
+                spark.read.schema("file_path string, pos long")
+                .parquet(*sorted(pos_paths))
                 .select(
                     _norm_path_col(F.col("file_path")).alias("__k"),
                     F.col("pos").cast("long").alias("__ri"),
@@ -1275,11 +1278,144 @@ def _position_delete_frame(
     )
 
 
+def _pos_delete_stage_cap(spark: SparkSession) -> int:
+    """Max positions the packed driver-side delete staging may collect
+    (~8 B/position + one path string per target file — the same budget
+    rule as the reader's mask cap): heap/4096, env-overridable."""
+    import os as _os
+
+    raw = _os.environ.get("SPARK_GRAFT_POS_DELETE_STAGE_CAP")
+    if raw is not None:
+        try:
+            return int(raw)
+        except ValueError:
+            pass
+    from simple_data_workflow_spark.session import driver_memory_bytes
+
+    return max(65536, driver_memory_bytes(spark) // 4096)
+
+
+def _stage_position_deletes_packed(
+    spark: SparkSession,
+    path: str,
+    matches: DataFrame,
+    files: list[str],
+) -> list[dict]:
+    """Bounded-size fast path: the positions leave the cluster as ONE
+    packed Arrow transfer (grouped per target file — ints never box)
+    and the single spec-ordered delete file writes driver-side with
+    pyarrow, skipping the repartition shuffle, the distributed staging
+    write, the footer read-back and the rename loop (guide §1.2/§5 —
+    the same posture as the v3 DV staging, which always packs)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_data_workflow_spark.sources.delta_reader import (
+        _scan_spelling,
+    )
+
+    key_rows = {}
+    for f in files:
+        loc = _local_path(f)
+        key_rows[loc] = f
+        key_rows[_scan_spelling(loc)] = f
+    packed = (
+        matches.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    sorted(key_rows.items()),
+                    "__fp string, file_path string",
+                )
+            ),
+            "__fp",
+        )
+        .groupBy("file_path")
+        .agg(F.collect_list("__ri").alias("pos"))
+        .toArrow()
+    )
+    if packed.num_rows == 0:
+        return []
+    per_file = sorted(
+        (
+            str(fp),
+            np.sort(
+                plist.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            ),
+        )
+        for fp, plist in zip(
+            packed.column("file_path").to_pylist(), packed.column("pos")
+        )
+    )
+    paths = []
+    pos_chunks = []
+    for fp, pos in per_file:
+        paths.extend([fp] * len(pos))
+        pos_chunks.append(pos)
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_POS_DELETE_FILE_PATH_ID).encode()},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_POS_DELETE_POS_ID).encode()},
+            ),
+        ]
+    )
+    tbl = pa.table(
+        {
+            "file_path": pa.array(paths, pa.string()),
+            "pos": pa.array(np.concatenate(pos_chunks), pa.int64()),
+        },
+        schema=schema,
+    )
+    name = f"delete-{uuid.uuid4().hex}-packed.parquet"
+    dest_rel = f"data/{name}"
+    loc_root = localfs.local_root(path)
+    if loc_root is not None:
+        import os as _os
+
+        _os.makedirs(f"{loc_root}/data", exist_ok=True)
+        dest_local = f"{loc_root}/{dest_rel}"
+        pq.write_table(tbl, dest_local, compression="snappy")
+        size = _os.path.getsize(dest_local)
+    else:
+        import io as _io
+
+        buf = _io.BytesIO()
+        pq.write_table(tbl, buf, compression="snappy")
+        data = buf.getvalue()
+        jvm, fs = _jfs(spark, path)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/data"))
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/{dest_rel}"), False
+        )
+        try:
+            out.write(data)
+        finally:
+            out.close()
+        size = len(data)
+    return [
+        {
+            "path": f"{path}/{dest_rel}",
+            "size": int(size),
+            "record_count": int(tbl.num_rows),
+        }
+    ]
+
+
 def _stage_position_deletes(
     spark: SparkSession,
     path: str,
     matches: DataFrame,
     files: list[str],
+    n_hint: int | None = None,
 ) -> list[dict]:
     """Stage spec-shaped POSITION-DELETE parquet files for ``matches``
     (a DataFrame carrying ``__fp``/``__ri`` lineage columns): the
@@ -1287,9 +1423,16 @@ def _stage_position_deletes(
     through a metadata-sized broadcast, rows sort by path then
     position, and the reserved delete-file field ids stamp into the
     footers. Returns the staged file dicts (empty when nothing
-    matched); zero-row task files are dropped."""
+    matched); zero-row task files are dropped.
+
+    Callers that already know the match count pass ``n_hint``; bounded
+    sets take :func:`_stage_position_deletes_packed` (one Arrow
+    transfer + driver-side write), unbounded/large ones keep the fully
+    distributed staged write below."""
     import pyarrow.parquet as pq
 
+    if n_hint is not None and n_hint <= _pos_delete_stage_cap(spark):
+        return _stage_position_deletes_packed(spark, path, matches, files)
     rows = _position_delete_frame(spark, matches, files)
     # alias(metadata=...) — DataFrame.to() drops metadata when names
     # and types already match, so it cannot stamp the reserved ids
@@ -1592,11 +1735,23 @@ def iceberg_delete(
     view, data, _schema = _live_lineage_scan(spark, path)
     if view is None:
         return int(meta.get("current-snapshot-id") or -1)
+    # edit-sized lazy checkpoint + count gate: sizes the match set (so
+    # bounded deletes take the packed staging path) and turns a
+    # no-match DELETE into a metadata no-op without a staging write
+    hits = (
+        view.where(predicate)
+        .select("__fp", "__ri")
+        .localCheckpoint(eager=False)
+    )
+    n_hits = hits.count()
+    if n_hits == 0:
+        return int(meta.get("current-snapshot-id") or -1)  # no matches
     staged = _stage_position_deletes(
         spark,
         path,
-        view.where(predicate).select("__fp", "__ri"),
+        hits,
         [f for f, _seq in data],
+        n_hint=n_hits,
     )
     if not staged:
         return int(meta.get("current-snapshot-id") or -1)  # no matches
@@ -1804,41 +1959,59 @@ def iceberg_update(
             raise ValueError(f"unknown column {col!r} in SET")
     # materialize the matches ONCE (executor-resident, size ∝ matched
     # rows): the delete positions and the re-inserted rows MUST name
-    # the same row set even if the predicate is volatile
-    matches = view.where(predicate).localCheckpoint()
-    if matches.isEmpty():
+    # the same row set even if the predicate is volatile. LAZY
+    # checkpoint + count gate = one materializing job (the eager
+    # checkpoint + isEmpty() shape paid two — guide §1.2)
+    matches = view.where(predicate).localCheckpoint(eager=False)
+    n_matched = matches.count()
+    if n_matched == 0:
         return int(meta.get("current-snapshot-id") or -1)
     snapshot_id = uuid.uuid4().int % (2**62)
-    if int(meta.get("format-version", 1)) >= 3:
-        # v3: dead rows mark via deletion vectors, never new
-        # position-delete files (spec upgrade rule)
-        staged_dels = _stage_dv_deletes(
-            spark,
-            path,
-            meta,
-            matches.select("__fp", "__ri"),
-            data,
-            snapshot_id,
-        )
-    else:
-        staged_dels = _stage_position_deletes(
-            spark,
-            path,
-            matches.select("__fp", "__ri"),
-            [f for f, _seq in data],
-        )
     updated = matches
     for col, expr in set_exprs.items():
         updated = updated.withColumn(col, F.expr(expr).cast(types[col]))
     updated = updated.select(*[f.name for f in schema.fields])
     spec_fields = _table_spec(meta)
     ice_schema = _current_schema(meta)
-    staged_adds = _stage_data_files(
-        updated,
-        path,
-        [p["name"] for p in spec_fields],
-        _field_id_spark_schema(updated.schema, ice_schema),
-    )
+
+    # the delete-side staging and the new-version staging both read the
+    # materialized checkpoint and write disjoint staged files — run the
+    # two independent Spark jobs on two threads (guide §2.6), the same
+    # overlap the tablelog MoR DML writers use
+    def _dels() -> list[dict]:
+        if int(meta.get("format-version", 1)) >= 3:
+            # v3: dead rows mark via deletion vectors, never new
+            # position-delete files (spec upgrade rule)
+            return _stage_dv_deletes(
+                spark,
+                path,
+                meta,
+                matches.select("__fp", "__ri"),
+                data,
+                snapshot_id,
+            )
+        return _stage_position_deletes(
+            spark,
+            path,
+            matches.select("__fp", "__ri"),
+            [f for f, _seq in data],
+            n_hint=n_matched,
+        )
+
+    def _adds() -> list[dict]:
+        return _stage_data_files(
+            updated,
+            path,
+            [p["name"] for p in spec_fields],
+            _field_id_spark_schema(updated.schema, ice_schema),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_dels = pool.submit(_dels)
+        staged_adds = _adds()
+        staged_dels = fut_dels.result()
     return _publish_dml_snapshot(
         spark,
         path,
@@ -1902,34 +2075,52 @@ def iceberg_merge_upsert(
     ice_schema = _current_schema(meta)
     view, data, _schema = _live_lineage_scan(spark, path)
     snapshot_id = uuid.uuid4().int % (2**62)
-    staged_dels: list[dict] = []
-    if view is not None:
-        matched = view.join(
-            source.select(*on).dropDuplicates(), list(on), "left_semi"
+
+    # the matched-row delete staging (reads the live view ⋉ source) and
+    # the source staging write are independent Spark jobs over disjoint
+    # staged files — overlap them on two threads (guide §2.6)
+    def _dels() -> list[dict]:
+        if view is None:
+            return []
+        matched = (
+            view.join(
+                source.select(*on).dropDuplicates(), list(on), "left_semi"
+            )
+            .select("__fp", "__ri")
+            .localCheckpoint(eager=False)
         )
+        n_matched = matched.count()  # sizes the packed-staging decision
+        if n_matched == 0:
+            return []
         if int(meta.get("format-version", 1)) >= 3:
             # v3: matched target rows mark via deletion vectors
-            staged_dels = _stage_dv_deletes(
+            return _stage_dv_deletes(
                 spark,
                 path,
                 meta,
-                matched.select("__fp", "__ri"),
+                matched,
                 data,
                 snapshot_id,
             )
-        else:
-            staged_dels = _stage_position_deletes(
-                spark,
-                path,
-                matched.select("__fp", "__ri"),
-                [f for f, _seq in data],
-            )
-    staged_adds = _stage_data_files(
-        source,
-        path,
-        [p["name"] for p in spec_fields],
-        _field_id_spark_schema(source.schema, ice_schema),
-    )
+        return _stage_position_deletes(
+            spark,
+            path,
+            matched,
+            [f for f, _seq in data],
+            n_hint=n_matched,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_dels = pool.submit(_dels)
+        staged_adds = _stage_data_files(
+            source,
+            path,
+            [p["name"] for p in spec_fields],
+            _field_id_spark_schema(source.schema, ice_schema),
+        )
+        staged_dels = fut_dels.result()
     return _publish_dml_snapshot(
         spark,
         path,
