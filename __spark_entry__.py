@@ -335,7 +335,10 @@ def ols_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     beta = row["sxy"] / row["sxx"]
     se = ((row["syy"] - beta * row["sxy"]) / (row["n"] - 1) / row["sxx"]) ** 0.5
-    return spark.createDataFrame(
+    from simple_data_workflow_spark.smalldf import small_df
+
+    return small_df(
+        spark,
         [("l_quantity", round(beta, 6), round(se, 6))],
         "regressor string, estimate double, stderr double",
     )
@@ -6948,7 +6951,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=12)
-    return spark.createDataFrame(
+    from simple_data_workflow_spark.smalldf import small_df
+
+    return small_df(
+        spark,
         [(i + 1, p, int(c)) for i, (p, c) in enumerate(merges)],
         "merge_no int, pair string, count long",
     ).orderBy("merge_no")
@@ -7105,7 +7111,9 @@ def cluster_balanced_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     assert all(r["n_kept"] <= cap for r in rows)
     assert all(r["n_kept"] == min(r["n_total"], cap) for r in rows)
-    return spark.createDataFrame(rows, out.schema)
+    from simple_data_workflow_spark.smalldf import small_df
+
+    return small_df(spark, [tuple(r) for r in rows], out.schema)
 
 
 def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,21 @@ from simple_data_workflow_spark.sources.tablelog import (
 )
 
 
+def _model_df(
+    spark: SparkSession, rows: list, columns: list[str], schema: str
+) -> DataFrame:
+    """Bounded model rows (centroids, codebooks) as a DataFrame via the
+    pandas/Arrow path — evaluating a pickled-list createDataFrame costs
+    ~4x more per pass (every consumer pays a Python-worker round trip
+    per parallelize slice; guide §4 — keep driver data off the
+    row-pickle boundary). Values are identical."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=columns), schema=schema
+    )
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -88,15 +103,30 @@ def build_ivf_index(
         clustered = assigned.repartitionByRange(
             n_files, "list_id"
         ).sortWithinPartitions("list_id")
-        table_commit(
-            spark.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-                "list_id long, centroid array<double>",
-            ),
-            f"{path}_centroids",
-            mode="overwrite",
-        )
-        return table_commit(clustered, path, mode="overwrite")
+        # the bounded centroids-model commit and the corpus codes
+        # commit target DIFFERENT tables — overlap them on a thread
+        # (guide §2.6); the model frame takes the Arrow path (a
+        # pickled-list createDataFrame costs ~4x more per evaluation)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            cent_fut = pool.submit(
+                table_commit,
+                _model_df(
+                    spark,
+                    [
+                        (i, [float(x) for x in c])
+                        for i, c in enumerate(centroids)
+                    ],
+                    ["list_id", "centroid"],
+                    "list_id long, centroid array<double>",
+                ),
+                f"{path}_centroids",
+                mode="overwrite",
+            )
+            version = table_commit(clustered, path, mode="overwrite")
+            cent_fut.result()
+        return version
     finally:
         assigned.unpersist()
 
@@ -328,16 +358,8 @@ def build_pq_index(
             "list_id", F.element_at(assign1(F.col(vec_col)), 1)
         )
         payload = ["list_id"]
-        table_commit(
-            spark.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-                "list_id long, centroid array<double>",
-            ),
-            f"{path}_centroids",
-            mode="overwrite",
-            collect_stats=False,  # bounded model rows — never pruned
-        )
     else:
+        centroids = None
         codebooks = fit_pq_codebooks(
             df, vec_col=vec_col, m=m, k_codes=k_codes, seed=seed,
             sample=sample,
@@ -358,16 +380,46 @@ def build_pq_index(
         for s in range(m)
         for c in range(k_codes)
     ]
-    try:
+
+    def _commit_models() -> None:
+        # bounded model tables (centroids + codebooks) — Arrow-path
+        # frames, committed on a thread so they overlap the corpus
+        # encode + codes commit (different tables; guide §2.6)
+        if centroids is not None:
+            table_commit(
+                _model_df(
+                    spark,
+                    [
+                        (i, [float(x) for x in c])
+                        for i, c in enumerate(centroids)
+                    ],
+                    ["list_id", "centroid"],
+                    "list_id long, centroid array<double>",
+                ),
+                f"{path}_centroids",
+                mode="overwrite",
+                collect_stats=False,  # bounded model rows — never pruned
+            )
         table_commit(
-            spark.createDataFrame(
-                cb_rows, "subspace int, code int, centroid array<double>"
+            _model_df(
+                spark,
+                cb_rows,
+                ["subspace", "code", "centroid"],
+                "subspace int, code int, centroid array<double>",
             ),
             f"{path}_codebooks",
             mode="overwrite",
             collect_stats=False,  # bounded model rows — never pruned
         )
-        return table_commit(codes, path, mode="overwrite")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            models_fut = pool.submit(_commit_models)
+            version = table_commit(codes, path, mode="overwrite")
+            models_fut.result()
+        return version
     finally:
         if persisted is not None:
             persisted.unpersist()

@@ -159,7 +159,11 @@ def confidence_intervals(
     for name, (lo, hi) in zip(res.regressors, ci):
         rows.append((name, "lower", float(lo)))
         rows.append((name, "upper", float(hi)))
-    return spark.createDataFrame(rows, "regressor string, interval string, estimate double")
+    from simple_data_workflow_spark.smalldf import small_df
+
+    return small_df(
+        spark, rows, "regressor string, interval string, estimate double"
+    )
 
 
 def fit_per_group(

@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from simple_data_workflow_spark.sources import localfs
+from simple_data_workflow_spark.smalldf import small_df
 
 
 class DeltaFeatureUnsupported(NotImplementedError):
@@ -976,7 +977,7 @@ def delta_table_changes(
             ]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in part_cols]
         )
-        mapdf = spark.createDataFrame(map_rows, map_schema)
+        mapdf = small_df(spark, map_rows, map_schema)
         df = df.join(F.broadcast(mapdf), "__fk")
         return df.select(
             *[
@@ -1035,7 +1036,7 @@ def delta_table_changes(
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in part_cols]
         )
         base = base.join(
-            F.broadcast(spark.createDataFrame(map_rows, map_schema)), "__fk"
+            F.broadcast(small_df(spark, map_rows, map_schema)), "__fk"
         )
         return base.select(
             *[

@@ -1264,7 +1264,9 @@ def _snapshot_view(
             [T.StructField("__fk", T.StringType())]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in part_cols]
         )
-        mapdf = spark.createDataFrame(map_rows, map_schema)
+        from simple_data_workflow_spark.smalldf import small_df
+
+        mapdf = small_df(spark, map_rows, map_schema)
         snap = snap.withColumn(
             "__fk", F.regexp_replace(F.col("__file"), "^file:/+", "/")
         )

@@ -627,7 +627,10 @@ def _mor_read(
         loc = _up.urlparse(full).path if "://" in full else full
         map_pairs[loc] = (f"{part}\x00{fid}", instant)
         map_pairs[_scan_spelling(loc)] = (f"{part}\x00{fid}", instant)
-    mapdf = spark.createDataFrame(
+    from simple_data_workflow_spark.smalldf import small_df
+
+    mapdf = small_df(
+        spark,
         [(k, g, i) for k, (g, i) in sorted(map_pairs.items())],
         "__fk string, __group string, __binstant string",
     )
@@ -856,6 +859,8 @@ def hudi_timeline_table(spark: SparkSession, path: str) -> DataFrame:
                 rows.append(
                     (m.group(1), m.group(2), m.group(3) or "completed")
                 )
-    return spark.createDataFrame(
-        sorted(set(rows)), "instant string, action string, state string"
+    from simple_data_workflow_spark.smalldf import small_df
+
+    return small_df(
+        spark, sorted(set(rows)), "instant string, action string, state string"
     )

@@ -598,7 +598,10 @@ def _base_keymap(spark: SparkSession, path: str, groups: dict):
         tup = (f"{part}\x00{fid}", part, fid, instant)
         rows[loc] = tup
         rows[_scan_spelling(loc)] = tup
-    mapdf = spark.createDataFrame(
+    from simple_data_workflow_spark.smalldf import small_df
+
+    mapdf = small_df(
+        spark,
         [(k, *v) for k, v in sorted(rows.items())],
         "__fk string, __group string, __part string, __fid string, "
         "__binstant string",
@@ -773,7 +776,10 @@ def hudi_delta_upsert(spark: SparkSession, path: str, source: DataFrame) -> str:
                 rows.append(rec)
             return hlog.encode_avro_data_block(inst, schema_json, rows)
 
-        vmap = spark.createDataFrame(
+        from simple_data_workflow_spark.smalldf import small_df
+
+        vmap = small_df(
+            spark,
             [(g, v) for g, v in next_version.items()],
             "__group string, __version int",
         )
@@ -847,7 +853,10 @@ def hudi_delta_delete(spark: SparkSession, path: str, predicate: str) -> str:
     def make_content(pdf, inst):
         return hlog.encode_delete_block(inst, sorted(pdf["__key"]))
 
-    ctx = spark.createDataFrame(
+    from simple_data_workflow_spark.smalldf import small_df
+
+    ctx = small_df(
+        spark,
         [
             (g, v, groups[tuple(g.split("\x00"))][0])
             for g, v in next_version.items()

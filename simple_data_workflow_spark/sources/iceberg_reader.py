@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from simple_data_workflow_spark.sources import localfs
+from simple_data_workflow_spark.smalldf import small_df
 from simple_data_workflow_spark.sources.delta_reader import (
     _cmp_path,
     _jfs,
@@ -761,8 +762,8 @@ def _scan_with_position_deletes(
         enc = _scan_spelling(_strip_scheme(f))
         key_rows[_strip_scheme(f)] = enc
         key_rows[enc] = enc
-    spellmap = spark.createDataFrame(
-        sorted(key_rows.items()), "__k string, __fp string"
+    spellmap = small_df(
+        spark, sorted(key_rows.items()), "__k string, __fp string"
     )
     dels = (
         dscan.select(
@@ -1165,7 +1166,8 @@ def iceberg_snapshots_table(spark: SparkSession, path: str) -> DataFrame:
         )
         for s in meta.get("snapshots") or []
     ]
-    return spark.createDataFrame(
+    return small_df(
+        spark,
         rows,
         "snapshot_id long, timestamp_ms long, operation string, "
         "manifest_list string, parent_id long",
@@ -1184,8 +1186,9 @@ def iceberg_refs_table(spark: SparkSession, path: str) -> DataFrame:
         (name, entry["type"], int(entry["snapshot-id"]))
         for name, entry in sorted(iceberg_refs(spark, path).items())
     ]
-    return spark.createDataFrame(
-        rows or spark.sparkContext.emptyRDD(),
+    return small_df(
+        spark,
+        rows,
         "name string, type string, snapshot_id long",
     )
 
@@ -1217,7 +1220,8 @@ def iceberg_history_table(spark: SparkSession, path: str) -> DataFrame:
         )
         for s in snaps
     ]
-    return spark.createDataFrame(
+    return small_df(
+        spark,
         rows,
         "made_current_at long, snapshot_id long, parent_id long, "
         "is_current_ancestor boolean",
@@ -1248,8 +1252,9 @@ def iceberg_partitions_table(
         tot[0] += int(recs_out.get(f) or 0)
         tot[1] += 1
     rows = [(k, v[0], v[1]) for k, v in sorted(agg.items())]
-    return spark.createDataFrame(
-        rows or spark.sparkContext.emptyRDD(),
+    return small_df(
+        spark,
+        rows,
         "partition string, record_count long, file_count long",
     )
 
@@ -1287,8 +1292,9 @@ def iceberg_manifests_table(spark: SparkSession, path: str) -> DataFrame:
                     m.get("deleted_data_files_count"),
                 )
             )
-    return spark.createDataFrame(
-        rows or spark.sparkContext.emptyRDD(),
+    return small_df(
+        spark,
+        rows,
         "path string, length long, partition_spec_id int, content int, "
         "added_snapshot_id long, added_data_files_count int, "
         "existing_data_files_count int, deleted_data_files_count int",
@@ -1306,7 +1312,8 @@ def iceberg_files_table(
         spark, path, snapshot_id
     )
     rows = [(f, seq, bool(deletes)) for f, seq in data]
-    return spark.createDataFrame(
+    return small_df(
+        spark,
         rows,
         "file_path string, sequence_number long, snapshot_has_deletes boolean",
     )
@@ -1503,8 +1510,8 @@ def iceberg_table_changes(
                     )
                 ]
                 if rows:
-                    dvdf = spark.createDataFrame(
-                        rows, "__fp string, __ri long"
+                    dvdf = small_df(
+                        spark, rows, "__fp string, __ri long"
                     )
                     dead_new = (
                         dvdf

@@ -59,6 +59,7 @@ from simple_data_workflow_spark.sources.iceberg_reader import (
     load_table_metadata,
 )
 from simple_data_workflow_spark.sources import localfs
+from simple_data_workflow_spark.smalldf import small_df
 from simple_data_workflow_spark.sources.delta_reader import _jfs
 
 
@@ -1185,8 +1186,8 @@ def _live_lineage_scan(
                 enc = _scan_spelling(_strip_scheme(f))
                 key_rows[_strip_scheme(f)] = enc
                 key_rows[enc] = enc
-            spellmap = spark.createDataFrame(
-                sorted(key_rows.items()), "__k string, __fp string"
+            spellmap = small_df(
+                spark, sorted(key_rows.items()), "__k string, __fp string"
             )
             dead = (
                 # position-delete files are spec-shaped — fixing the
@@ -1260,7 +1261,8 @@ def _position_delete_frame(
     return (
         matches.join(
             F.broadcast(
-                spark.createDataFrame(
+                small_df(
+                    spark,
                     sorted(key_rows.items()),
                     "__fp string, file_path string",
                 )
@@ -1323,7 +1325,8 @@ def _stage_position_deletes_packed(
     packed = (
         matches.join(
             F.broadcast(
-                spark.createDataFrame(
+                small_df(
+                    spark,
                     sorted(key_rows.items()),
                     "__fp string, file_path string",
                 )

@@ -59,6 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from simple_data_workflow_spark.sources import localfs
+from simple_data_workflow_spark.smalldf import small_df
 
 #: a full-state checkpoint is written after every Nth commit; snapshot
 #: resolution then reads 1 checkpoint + at most N-1 tail entries.
@@ -2646,7 +2647,8 @@ def table_delete_where(
                     ["__sdw_dv_name", "__sdw_dv_pos"],
                     "left_anti",
                 )
-            name_to_ref = spark.createDataFrame(
+            name_to_ref = small_df(
+                spark,
                 [(f.rsplit("/", 1)[-1], f) for f in files],
                 "__sdw_dv_name string, file string",
             )
@@ -2814,7 +2816,8 @@ def table_update_where(
             _enforce_constraints(
                 post, state.get("constraints") or {}, path, "UPDATE postimage"
             )
-            name_to_ref = spark.createDataFrame(
+            name_to_ref = small_df(
+                spark,
                 [(f.rsplit("/", 1)[-1], f) for f in files],
                 "__sdw_dv_name string, file string",
             )
@@ -3171,7 +3174,8 @@ def table_merge_upsert(
                     ["__sdw_dv_name", "__sdw_dv_pos"],
                     "left_anti",
                 )
-            name_to_ref = spark.createDataFrame(
+            name_to_ref = small_df(
+                spark,
                 [(f.rsplit("/", 1)[-1], f) for f in files],
                 "__sdw_dv_name string, file string",
             )
@@ -3193,7 +3197,8 @@ def table_merge_upsert(
             return dv_files, counts
 
         if touched:
-            name_to_ref = spark.createDataFrame(
+            name_to_ref = small_df(
+                spark,
                 [(f.rsplit("/", 1)[-1], f) for f in touched],
                 "__sdw_dv_name string, file string",
             )
@@ -4193,7 +4198,7 @@ def table_files_df(
                 else None,
             )
         )
-    return spark.createDataFrame(rows, _FILES_DF_SCHEMA)
+    return small_df(spark, rows, _FILES_DF_SCHEMA)
 
 
 def table_partitions_df(
@@ -4230,8 +4235,8 @@ def table_partitions_df(
         (field, val, nf, nr if ex else None)
         for (field, val), (nf, nr, ex) in sorted(per_val.items())
     ]
-    return spark.createDataFrame(
-        rows, "field string, value string, n_files bigint, n_rows bigint"
+    return small_df(
+        spark, rows, "field string, value string, n_files bigint, n_rows bigint"
     )
 
 
